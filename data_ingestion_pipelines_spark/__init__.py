@@ -1,0 +1,12 @@
+"""PySpark-native ingestion/ETL engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference metadata-driven ingestion framework (see SURVEY.md): declarative
+job specs, a library of source/transform/sink operators, SNP/APPEND/INC
+load modes, watermark incrementality, audit run-logging — re-expressed
+Spark-first (DataFrame/SQL/Catalyst, Structured Streaming) and extended
+with large-scale training-data-pipeline operators (dedup, similarity
+search, multimodal columns, text analysis), designed for 100 TB scale.
+"""
+
+__version__ = "0.1.0"

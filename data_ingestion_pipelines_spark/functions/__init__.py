@@ -1,0 +1,23 @@
+from .column_specs import (
+    add_audit_columns,
+    apply_cast_spec,
+    apply_rename_spec,
+    coalesce_merge,
+    normalize_column_names,
+    parse_cast_spec,
+    parse_rename_spec,
+    select_inscope,
+    strip_prefix,
+)
+
+__all__ = [
+    "add_audit_columns",
+    "apply_cast_spec",
+    "apply_rename_spec",
+    "coalesce_merge",
+    "normalize_column_names",
+    "parse_cast_spec",
+    "parse_rename_spec",
+    "select_inscope",
+    "strip_prefix",
+]

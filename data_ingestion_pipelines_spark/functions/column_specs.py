@@ -1,0 +1,174 @@
+"""Config-string column transforms (SURVEY §2.3 P1/P2/P6/P7/P9).
+
+The reference configures projections, renames, casts and audit columns as
+string micro-formats in the control table:
+
+- cast spec ``"col:type[:newName];…"`` — reference `changeColumnSchema`,
+  `bp-scala-api-ingestions/dataSource bp/ModuleFunctions.scala:663-686`,
+  with a ``to_timestamp(col, fmt)`` variant at
+  `PSS WHI (XML)/ModuleFunctions.scala:450-481`.
+- rename spec ``"old&new|old2&new2"`` — reference
+  `bp-structured-sharepoint-list-online/main.py:88-92`.
+- audit columns (``load_ts`` / ``row_create_date``) — reference
+  `dataSource bp/ModuleFunctions.scala:773-797`.
+- COALESCE-merge of old/new rows after a full-outer join — reference
+  `bp-unstructured-netapp-ingestion/Step 1 - NetApp Listing.py:210-226`.
+
+Everything here is pure Column algebra — single-pass ``select``s that stay
+inside whole-stage codegen; no UDFs, no shuffles.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parse_cast_spec(spec: str) -> list[tuple[str, str, str | None]]:
+    """Parse ``"col:type[:newName];…"`` → [(col, type, new_name|None)]."""
+    out: list[tuple[str, str, str | None]] = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        bits = [b.strip() for b in part.split(":")]
+        if len(bits) == 2:
+            out.append((bits[0], bits[1], None))
+        elif len(bits) == 3:
+            out.append((bits[0], bits[1], bits[2]))
+        else:
+            raise ValueError(f"bad cast spec entry: {part!r} (want col:type[:newName])")
+    return out
+
+
+def apply_cast_spec(df: DataFrame, spec: str, timestamp_format: str | None = None) -> DataFrame:
+    """Apply a cast spec in ONE select (not N withColumn calls — each
+    withColumn adds a projection node; one select keeps the plan flat)."""
+    if not spec:
+        return df
+    plan = {c: (t, n) for c, t, n in parse_cast_spec(spec)}
+    cols: list[Column] = []
+    for c in df.columns:
+        if c in plan:
+            typ, new_name = plan[c]
+            if typ.lower() == "timestamp" and timestamp_format:
+                col = F.to_timestamp(F.col(c), timestamp_format)
+            else:
+                col = F.col(c).cast(typ)
+            cols.append(col.alias(new_name or c))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)
+
+
+def parse_rename_spec(spec: str) -> dict[str, str]:
+    """Parse ``"old&new|old2&new2"`` → {old: new}."""
+    out: dict[str, str] = {}
+    for part in spec.split("|"):
+        part = part.strip()
+        if not part:
+            continue
+        if "&" not in part:
+            raise ValueError(f"bad rename spec entry: {part!r} (want old&new)")
+        old, new = part.split("&", 1)
+        out[old.strip()] = new.strip()
+    return out
+
+
+def apply_rename_spec(df: DataFrame, spec: str) -> DataFrame:
+    if not spec:
+        return df
+    return df.withColumnsRenamed(parse_rename_spec(spec))
+
+
+def normalize_column_names(df: DataFrame, pattern: str = r"\W", replacement: str = "_") -> DataFrame:
+    """Scrub non-word chars from column names (reference
+    `bp-structured-sharepoint-list-online/main.py:84` ``re.sub('\\W','_',c)``,
+    and space→underscore `dataSource bp/Tables.scala:276`)."""
+    mapping = {c: re.sub(pattern, replacement, c) for c in df.columns}
+    mapping = {o: n for o, n in mapping.items() if o != n}
+    return df.withColumnsRenamed(mapping) if mapping else df
+
+
+def strip_prefix(df: DataFrame, prefix: str) -> DataFrame:
+    """Strip a flatten prefix like ``Data_`` from column names (reference
+    `removePrefix`, `dataSource bp/ModuleFunctions.scala:248-260`)."""
+    mapping = {c: c[len(prefix):] for c in df.columns if c.startswith(prefix)}
+    return df.withColumnsRenamed(mapping) if mapping else df
+
+
+def select_inscope(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Keep-list projection (reference ``inscopeColumnList``,
+    `bp-structured-sharepoint-list-online/main.py:82-83`). Early select →
+    Catalyst pushes column pruning into the scan."""
+    if not columns:
+        return df
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"inscope columns not in DataFrame: {missing}")
+    return df.select(*columns)
+
+
+def add_audit_columns(
+    df: DataFrame,
+    columns: list[str],
+    load_ts: str | None = None,
+    literals: dict[str, object] | None = None,
+) -> DataFrame:
+    """Append audit columns in one select.
+
+    Known names follow the reference: ``load_ts`` / ``row_create_date`` get
+    the pipeline-trigger timestamp (or current_timestamp), ``_year`` /
+    ``_month`` derive from load_ts for partitioning (reference netapp
+    `ModuleFunctions.py:729-730`). Anything else must appear in
+    ``literals``.
+    """
+    literals = literals or {}
+    ts = F.to_timestamp(F.lit(load_ts)) if load_ts else F.current_timestamp()
+    new_cols: list[Column] = []
+    for name in columns:
+        if name in literals:
+            new_cols.append(F.lit(literals[name]).alias(name))
+        elif name in ("load_ts", "row_create_date", "loadTimeStamp"):
+            new_cols.append(ts.alias(name))
+        elif name == "_year":
+            new_cols.append(F.year(ts).alias(name))
+        elif name == "_month":
+            new_cols.append(F.month(ts).alias(name))
+        else:
+            raise ValueError(f"unknown audit column {name!r}; pass a literal for it")
+    return df.select("*", *new_cols)
+
+
+def coalesce_merge(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    prefer: str = "new",
+) -> DataFrame:
+    """Full-outer join on ``keys`` + per-column COALESCE — the reference's
+    file-inventory refresh (`Step 1 - NetApp Listing.py:202-226`, J1+P2).
+
+    Column set is the union of both frames; for shared non-key columns the
+    ``prefer`` side wins when non-null. The join shuffles both sides on
+    ``keys`` once; at 100 TB the control table should be bucketed on the
+    keys so repeated refreshes co-locate.
+    """
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(n, on=keys, how="full_outer")
+    first, second = ("n", "o") if prefer == "new" else ("o", "n")
+    cols: list[Column] = [F.col(k) for k in keys]
+    for c in old.columns + [c for c in new.columns if c not in old.columns]:
+        if c in keys:
+            continue
+        in_old, in_new = c in old.columns, c in new.columns
+        if in_old and in_new:
+            cols.append(F.coalesce(F.col(f"{first}.{c}"), F.col(f"{second}.{c}")).alias(c))
+        elif in_old:
+            cols.append(F.col(f"o.{c}").alias(c))
+        else:
+            cols.append(F.col(f"n.{c}").alias(c))
+    return joined.select(*cols)

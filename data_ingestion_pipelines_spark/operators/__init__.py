@@ -1,0 +1,10 @@
+from .flatten import drop_nested_column, explode_zipped, flatten_dataframe
+from .windows import chunk_by_row_number, keep_latest
+
+__all__ = [
+    "drop_nested_column",
+    "explode_zipped",
+    "flatten_dataframe",
+    "chunk_by_row_number",
+    "keep_latest",
+]

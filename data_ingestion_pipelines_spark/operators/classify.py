@@ -1,0 +1,126 @@
+"""Rule-cascade file classification (SURVEY §2.3 P13) — pure Spark.
+
+The reference classifies files on the DRIVER: it collects every
+``isAtSource='Y'`` row, loads 4 exclusion-rule tables (abbreviation /
+extension / filepath / folderpath, comma-separated terms) into Python
+sets, and runs a per-row rule cascade (`bp-unstructured-netapp-ingestion/
+ModuleFunctions.py:333-464`). That caps throughput at one driver core and
+O(files) driver memory.
+
+Here the cascade is a broadcast-joined Column expression: rules are split
+(``explode(split(...))``), normalized, collected into ONE small local list
+per rule kind (rule tables are tiny — hundreds of terms), and compiled
+into `rlike`/`startswith`/`isin` predicates evaluated executor-side in
+whole-stage codegen. Precedence matches the reference cascade:
+file path > extension > folder path > file-name abbreviation regex.
+
+Empty rule sets exclude nothing (reference edge case
+`ModuleFunctions.py:428-447`).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Reference exclusionReason literals (README.md:118-164)
+REASON_FILEPATH = "file path"
+REASON_EXTENSION = "file extension"
+REASON_FOLDERPATH = "folder path"
+REASON_FILENAME = "file name"
+
+
+@dataclass
+class ExclusionRules:
+    """Normalized rule sets for one (jobGroup, jobOrder)."""
+
+    file_paths: set[str] = field(default_factory=set)
+    extensions: set[str] = field(default_factory=set)  # lowercase, no dot
+    folder_prefixes: set[str] = field(default_factory=set)
+    name_terms: set[str] = field(default_factory=set)  # case-insensitive substrings
+
+    @staticmethod
+    def _terms(df: DataFrame | None, col: str) -> set[str]:
+        """Split comma-separated term cells into a normalized set.
+
+        Rule tables are tiny control tables; the collect here is bounded
+        (hundreds of terms) and the result is shipped to executors inside
+        the compiled predicate — the file inventory itself never leaves
+        the executors.
+        """
+        if df is None:
+            return set()
+        rows = (
+            df.select(F.explode(F.split(F.col(col), ",")).alias("t"))
+            .select(F.trim("t").alias("t"))
+            .filter(F.col("t") != "")
+            .distinct()
+            .collect()
+        )
+        return {r["t"] for r in rows}
+
+    @classmethod
+    def from_tables(
+        cls,
+        filepath_df: DataFrame | None = None,
+        extension_df: DataFrame | None = None,
+        folderpath_df: DataFrame | None = None,
+        abbreviation_df: DataFrame | None = None,
+    ) -> "ExclusionRules":
+        return cls(
+            file_paths=cls._terms(filepath_df, "filePath"),
+            extensions={e.lower().lstrip(".") for e in cls._terms(extension_df, "extension")},
+            folder_prefixes=cls._terms(folderpath_df, "folderPath"),
+            name_terms=cls._terms(abbreviation_df, "abbreviation"),
+        )
+
+
+def _filename(col: Column) -> Column:
+    return F.substring_index(col, "/", -1)
+
+
+def _extension(col: Column) -> Column:
+    name = _filename(col)
+    # no dot → no extension (empty string never matches a rule)
+    return F.when(name.contains("."), F.lower(F.substring_index(name, ".", -1))).otherwise(F.lit(""))
+
+
+def classify(
+    df: DataFrame,
+    rules: ExclusionRules,
+    path_col: str = "sourceFilePath",
+) -> DataFrame:
+    """Set ``toBeExcluded``/``exclusionReason`` per the reference cascade.
+
+    Entirely executor-side; no collect of the inventory, no UDF.
+    """
+    p = F.col(path_col)
+    checks: list[tuple[Column, str]] = []
+    if rules.file_paths:
+        checks.append((p.isin(sorted(rules.file_paths)), REASON_FILEPATH))
+    if rules.extensions:
+        checks.append((_extension(p).isin(sorted(rules.extensions)), REASON_EXTENSION))
+    if rules.folder_prefixes:
+        prefix_match = None
+        for pre in sorted(rules.folder_prefixes):
+            c = p.startswith(pre)
+            prefix_match = c if prefix_match is None else (prefix_match | c)
+        checks.append((prefix_match, REASON_FOLDERPATH))
+    if rules.name_terms:
+        # case-insensitive term match on the FILE NAME, like the
+        # reference's '|'-joined IGNORECASE regex (ModuleFunctions.py:428-447)
+        pattern = "(?i)(" + "|".join(re.escape(t) for t in sorted(rules.name_terms)) + ")"
+        checks.append((_filename(p).rlike(pattern), REASON_FILENAME))
+
+    reason: Column = F.lit(None).cast("string")
+    for cond, label in reversed(checks):
+        reason = F.when(cond, F.lit(label)).otherwise(reason)
+    return df.withColumns(
+        {
+            "exclusionReason": reason,
+            "toBeExcluded": F.when(reason.isNotNull(), F.lit("Y")).otherwise(F.lit("N")),
+        }
+    )

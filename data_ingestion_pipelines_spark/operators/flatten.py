@@ -1,0 +1,119 @@
+"""Nested-data operators (SURVEY §2.8 N1-N4) — the reference's signature
+transform, re-expressed as schema-driven Column algebra.
+
+- N1 ``flatten_dataframe``: recursive full flatten — every ArrayType is
+  exploded (`explode_outer`), every StructType expanded with
+  ``parent_child`` naming, until the schema is flat. Reference
+  `bp-scala-api-ingestions/dataSource bp/ModuleFunctions.scala:211-246`.
+- N2/N3 ``explode_zipped``: correlated-array flatten — sibling arrays are
+  zipped positionally and exploded ONCE (the reference explodes each array
+  independently and re-joins on monotonically_increasing_id to dodge the
+  cross-join, `Rushmore Reviews/ModuleFunctions.scala:437-509`; `arrays_zip`
+  + one `explode` gives the same rows with no join and no shuffle).
+- N4 ``drop_nested_column``: drop ``a.b.c`` incl. inside arrays-of-structs
+  (the reference rebuilds structs with an `arrays_zip` workaround for
+  SPARK-31779, `dataSource bp/ModuleFunctions.scala:281-374`; modern Spark
+  has `Column.dropFields` + `transform` for the array case).
+
+Scale notes: flatten is a pure projection + generate — no shuffle, stays in
+whole-stage codegen. Exploding N sibling arrays independently would be an
+O(prod(len)) cross-join; zipping keeps it O(max(len)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+
+def flatten_dataframe(
+    df: DataFrame,
+    sep: str = "_",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Fully flatten: structs → ``parent_child`` columns, arrays →
+    ``explode_outer`` rows, repeated until flat.
+
+    Matches the reference semantics (`ModuleFunctions.scala:211-246`):
+    one array is exploded per pass, so sibling arrays at the same level
+    produce a cross-product of their elements — callers who need
+    correlated (positional) semantics use :func:`explode_zipped`.
+    `explode_outer` keeps rows whose array is null/empty (null fields).
+    """
+    for _ in range(max_rounds):
+        changed = False
+        # Expand all structs in a single select pass.
+        if any(isinstance(f.dataType, StructType) for f in df.schema.fields):
+            cols: list[Column] = []
+            for f in df.schema.fields:
+                if isinstance(f.dataType, StructType):
+                    for sub in f.dataType.fields:
+                        cols.append(F.col(f"`{f.name}`.`{sub.name}`").alias(f"{f.name}{sep}{sub.name}"))
+                else:
+                    cols.append(F.col(f"`{f.name}`"))
+            df = df.select(*cols)
+            changed = True
+        # Explode the first array (one per pass, like the reference).
+        arr = next((f.name for f in df.schema.fields if isinstance(f.dataType, ArrayType)), None)
+        if arr is not None:
+            df = df.select(
+                *[F.col(f"`{c}`") if c != arr else F.explode_outer(F.col(f"`{c}`")).alias(c) for c in df.columns]
+            )
+            changed = True
+        if not changed:
+            return df
+    raise ValueError(f"schema did not flatten within {max_rounds} rounds")
+
+
+def explode_zipped(df: DataFrame, array_cols: list[str], keep: list[str] | None = None) -> DataFrame:
+    """Correlated explode: zip sibling arrays positionally, explode once.
+
+    Output columns: ``keep`` (pass-through) + one column per entry of
+    ``array_cols`` (leaf name) + ``pos`` (the element index). Replaces the
+    reference's explode-independently-then-join-on-generated-ids pattern
+    (`Rushmore Reviews/ModuleFunctions.scala:437-444,465-509`) with a
+    single generate — no monotonically_increasing_id, no join, no shuffle.
+    """
+    keep = keep or []
+    leaf = [c.split(".")[-1] for c in array_cols]
+    zipped = F.arrays_zip(*[F.col(c).alias(l) for c, l in zip(array_cols, leaf)])
+    exploded = df.select(*keep, F.posexplode_outer(zipped).alias("pos", "_z"))
+    return exploded.select(*keep, "pos", *[F.col(f"_z.{l}").alias(l) for l in leaf])
+
+
+def _drop_in_type(col: Column, dtype, path: list[str]) -> Column:
+    """Rebuild ``col`` of type ``dtype`` with ``path`` removed."""
+    head = path[0]
+    if isinstance(dtype, StructType):
+        if len(path) == 1:
+            return col.dropFields(f"`{head}`")
+        sub_field = next(f for f in dtype.fields if f.name == head)
+        rebuilt = _drop_in_type(col.getField(head), sub_field.dataType, path[1:])
+        return col.withField(f"`{head}`", rebuilt)
+    if isinstance(dtype, ArrayType):
+        # Descend through arrays (incl. arrays-of-structs) with transform —
+        # this is what the reference's SPARK-31779 arrays_zip workaround
+        # emulated by hand.
+        return F.transform(col, lambda x: _drop_in_type(x, dtype.elementType, path))
+    raise ValueError(f"cannot descend into non-struct type at {head!r}")
+
+
+def drop_nested_column(df: DataFrame, *paths: str) -> DataFrame:
+    """Drop columns by dotted path, descending structs and arrays-of-structs.
+
+    ``drop_nested_column(df, 'a.b.c', 'arr.drop')`` — top-level names fall
+    back to plain ``df.drop``.
+    """
+    for path in paths:
+        parts = path.split(".")
+        if len(parts) == 1:
+            df = df.drop(parts[0])
+            continue
+        root = parts[0]
+        field = next((f for f in df.schema.fields if f.name == root), None)
+        if field is None:
+            continue
+        rebuilt = _drop_in_type(F.col(f"`{root}`"), field.dataType, parts[1:])
+        df = df.withColumn(root, rebuilt)
+    return df

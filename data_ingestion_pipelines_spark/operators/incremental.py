@@ -1,0 +1,102 @@
+"""Incremental / watermark semantics (SURVEY §2.9 I1-I4).
+
+The reference implements incrementality as batch watermarking:
+
+- I2 file-level INC predicate: copy iff never copied, previously failed,
+  or modified since last successful copy — netapp
+  `ModuleFunctions.py:605-637` (`get_base_condition_to_copy` /
+  `get_extra_condition_to_copy`), with NULL-heavy truth table.
+- I3 SPO INC: skip iff both TimeLastModified and TimeCreated predate the
+  last run, with a -1h skew guard (`…sharepoint…/main.py:147-149`).
+- I4 API INC: watermark read-modify-write around the fetch
+  (`dataSource bp/Tables.scala:232-299`).
+
+Watermark state lives in a small key→value table updated atomically per
+job run (MERGE when Delta is available, conditional overwrite otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def copy_needed_condition(
+    status: str = "status",
+    copy_ts: str = "copyStatusTimeStamp",
+    modified_ts: str = "modifiedTimeStamp",
+) -> Column:
+    """I2: the INC copy predicate with the reference's NULL semantics.
+
+    A file is copied unless it has a successful copy ('S') newer than its
+    last modification. NULL status / NULL copy timestamp ⇒ copy.
+    Equivalent to the reference's
+    ``NOT (status='S' AND copyStatusTimeStamp > modifiedTimeStamp)``
+    with NULL-safe handling (netapp `ModuleFunctions.py:633-636`).
+    """
+    s, cts, mts = F.col(status), F.col(copy_ts), F.col(modified_ts)
+    copied_fresh = (s == "S") & cts.isNotNull() & (cts > mts)
+    return ~F.coalesce(copied_fresh, F.lit(False))
+
+
+def failures_only_condition(status: str = "status") -> Column:
+    """FAILURES_ONLY load type: retry rows whose last outcome failed."""
+    return F.col(status) == "F"
+
+
+def modified_since_condition(
+    watermark_ts,
+    modified_col: str = "TimeLastModified",
+    created_col: str = "TimeCreated",
+    slack_hours: int = 1,
+) -> Column:
+    """I3: SPO-style skip rule — process iff modified OR created at/after
+    (watermark - slack). The slack reproduces the reference's
+    ``LastIngestionDate = now() - 1h`` guard as an explicit lateness
+    allowance (the batch analogue of an event-time watermark delay).
+    """
+    wm = F.to_timestamp(F.lit(watermark_ts)) - F.expr(f"INTERVAL {slack_hours} HOURS")
+    return (F.col(modified_col) >= wm) | (F.col(created_col) >= wm)
+
+
+class WatermarkStore:
+    """Key→value watermark table with read-modify-write per job (I4).
+
+    Stored as a single small parquet table ``(job_key, watermark)``; the
+    update pattern is read → fetch with ``watermark`` in the source
+    predicate → compute ``max(change_key)`` of the ingested batch → write
+    back. On Delta this becomes a MERGE; on parquet we rewrite the tiny
+    table (it is O(#jobs) rows).
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def _read(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.path)
+        except Exception:
+            return self.spark.createDataFrame([], "job_key string, watermark string")
+
+    def get(self, job_key: str) -> str | None:
+        rows = self._read().filter(F.col("job_key") == job_key).limit(1).collect()
+        return rows[0]["watermark"] if rows else None
+
+    def set(self, job_key: str, watermark: str) -> None:
+        current = self._read().filter(F.col("job_key") != job_key)
+        updated = current.unionByName(
+            self.spark.createDataFrame([(job_key, watermark)], "job_key string, watermark string")
+        )
+        # tiny table: single-file rewrite is atomic enough per-job; Delta
+        # MERGE replaces this when available.
+        updated.coalesce(1).write.mode("overwrite").parquet(self.path)
+
+    def advance_from(self, job_key: str, df: DataFrame, change_col: str) -> str | None:
+        """Compute max(change_col) of the ingested batch and persist it."""
+        row = df.agg(F.max(change_col).alias("wm")).collect()[0]
+        if row["wm"] is None:
+            return self.get(job_key)
+        wm = str(row["wm"])
+        self.set(job_key, wm)
+        return wm

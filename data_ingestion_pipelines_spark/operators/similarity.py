@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``cosine_similarity`` — exact cosine as Column algebra (`zip_with` dot
+  product + `aggregate` norms), double precision, deterministic
+  index-order summation.
+- ``brute_force_topk`` — baseline exact top-k: broadcast the (small) query
+  set, cross-join against the corpus, rank per query. One pass over the
+  corpus, no corpus shuffle until the final per-query top-k (tiny).
+- ``lsh_topk`` — scale path: random-hyperplane LSH. Corpus and queries are
+  bucketed by sign-pattern hash; candidates = same-bucket pairs across any
+  of `num_tables` hash tables; exact cosine re-rank inside buckets. Probes
+  a corpus fraction ≈ tables/2^bits instead of 100%.
+- ``ivf_topk`` — IVF-style: k-means-lite centroids (sampled, driver-side,
+  deterministic), corpus assigned to nearest centroid once; queries probe
+  `nprobe` nearest lists. Coarser but cheaper than LSH for static corpora.
+
+At 100 TB the brute-force path is only for oracle/testing; LSH/IVF keep
+the probed fraction constant as the corpus grows, and both are expressed
+as joins on small integer bucket keys (AQE-friendly, broadcastable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, vec_id, score).
+
+    ``queries`` must be small (it is broadcast); score rounded to 6 dp,
+    ties broken by neighbor id so output is deterministic.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane (hash-based signs
+    and magnitudes — no RNG state, reproducible across runs/engines)."""
+    import hashlib
+
+    vals = []
+    for j in range(dim):
+        h = hashlib.md5(f"{table}:{bit}:{j}".encode()).digest()
+        v = int.from_bytes(h[:8], "big", signed=True) / float(1 << 63)
+        vals.append(v)
+    return vals
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id for one hash table (bits = len(planes))."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(p) for p in plane]),
+                lambda x, p: x.cast("double") * p,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_tables: int = 4,
+    bits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH + exact re-rank.
+
+    Corpus is hashed once per table (projection only); the candidate join
+    is on (table, bucket) — small int keys. Recall rises with num_tables;
+    probed fraction ≈ num_tables / 2^bits of the corpus per query.
+    """
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    tables = []
+    for t in range(num_tables):
+        planes = [_hyperplane(dim, b, t) for b in range(bits)]
+        tables.append(
+            F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+        )
+    bucketed = F.explode(F.array(*tables)).alias("_t")
+
+    c = corpus.select(F.col(id_col), F.col(vec_col), bucketed).select(
+        id_col, vec_col, F.col("_t.tbl").alias("tbl"), F.col("_t.bucket").alias("bucket")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), bucketed
+    ).select(query_id_col, "_qvec", F.col("_t.tbl").alias("tbl"), F.col("_t.bucket").alias("bucket"))
+
+    cand = (
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
+        .select(query_id_col, id_col, "_qvec", vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF: centroid lists from a deterministic corpus sample, probe the
+    ``nprobe`` nearest lists per query, exact re-rank inside.
+
+    Centroids are the first ``num_lists`` sampled vectors (k-means init
+    without iterations — adequate as a partitioner; a production build
+    would run a few Lloyd rounds with `mapInPandas`). Corpus assignment is
+    one projection + small broadcast; the probe join is on a small int key.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(num_lists)
+        .collect()
+    )
+    centroids = [(i, list(r[vec_col])) for i, r in enumerate(cent_rows)]
+
+    def nearest_lists(vec: Column, n: int) -> Column:
+        sims = F.array(
+            *[
+                F.struct(
+                    cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
+        return F.transform(top, lambda s: s["cid"])
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), F.element_at(nearest_lists(F.col(vec_col), 1), 1).alias("list_id")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("list_id"),
+    )
+    cand = c.join(F.broadcast(q), on="list_id").dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

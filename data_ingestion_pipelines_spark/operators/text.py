@@ -1,0 +1,122 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen) — no Python UDFs. Each operator is a
+DataFrame→DataFrame function over a text column, designed to run over
+billions of documents: pure projections (no shuffle) unless noted.
+
+Operators:
+- ``with_token_count``   — whitespace tokenization count
+- ``with_word_tokens``   — lowercase word-token array (BPE-ish regex)
+- ``with_quality_signals`` — length / punctuation ratio / stopword ratio /
+  mean word length / non-alnum ratio, the classic C4/Gopher-style filters
+- ``with_fingerprint``   — normalized-text content fingerprint (exact-dup key)
+- ``with_language_id``   — stopword-overlap n-gram heuristic language ID
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[a-z0-9]+"  # ASCII word pieces; explicit class so Spark (Java
+# regex) and any SQL oracle (RE2/PCRE) agree — \\w and \\W diverge on unicode.
+
+# Minimal stopword marker sets per language for the heuristic language ID.
+# Deliberately tiny and deterministic (a real deployment would plug in a
+# fastText/CLD model via mapInPandas; see multimodal.py for the pattern).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "para", "en", "que", "no"],
+}
+
+_STOPWORDS = _LANG_MARKERS["en"]
+
+
+def word_tokens(text: Column) -> Column:
+    """Lowercase ASCII word tokens via regexp extraction (keeps semantics
+    identical across engines — split-on-\\s misbehaves on leading blanks)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_RE), 0)
+
+
+def with_word_tokens(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    return df.withColumn(out, word_tokens(F.col(text_col)))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, F.size(word_tokens(F.col(text_col))).cast("bigint"))
+
+
+def with_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style quality signals, all codegen expressions.
+
+    Adds: n_chars_calc, n_tokens, punct_ratio, stopword_ratio,
+    mean_word_len, alnum_ratio, quality_score (simple linear blend).
+    Ratios are single divisions of exact integer counts — bit-identical
+    across engines, so results hash-stably without rounding.
+    """
+    t = F.col(text_col)
+    toks = word_tokens(t)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?'\"()\[\]{}-]", ""))
+    n_alnum = F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", ""))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS))).cast("bigint")
+    total_tok_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    nz = F.greatest(n_tokens, F.lit(1))
+    nzc = F.greatest(n_chars, F.lit(1))
+    df = df.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": n_punct / nzc.cast("double"),
+            "stopword_ratio": n_stop / nz.cast("double"),
+            "mean_word_len": total_tok_len / nz.cast("double"),
+            "alnum_ratio": n_alnum / nzc.cast("double"),
+        }
+    )
+    return df.withColumn(
+        "quality_score",
+        F.lit(1.0)
+        - F.col("punct_ratio")
+        + F.lit(0.5) * F.col("stopword_ratio")
+        - F.when(F.col("n_tokens") < 10, 0.5).otherwise(0.0),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 of casefolded text with non-alnum stripped.
+
+    The exact-dedup key — whitespace/punctuation-insensitive, so trivially
+    reformatted copies collide. Deterministic across engines (md5 of UTF-8).
+    """
+    normalized = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    return df.withColumn(out, F.md5(normalized))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts.
+
+    Ties and zero-hit documents resolve to 'und'. One projection, no
+    shuffle; the marker arrays are literals compiled into the plan.
+    """
+    toks = word_tokens(F.col(text_col))
+
+    def score_for(markers: list[str]) -> Column:
+        # NB: the filter lambda must be arity-1 — PySpark treats a 2-arg
+        # lambda (even with defaults) as (element, index).
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: score_for(markers) for lang, markers in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # deterministic priority: iterate sorted so equal scores pick the
+    # alphabetically-first language, stably
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
+    return df.withColumn(out, pred)

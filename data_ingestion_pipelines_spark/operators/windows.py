@@ -1,0 +1,51 @@
+"""Window operators (SURVEY §2.6 W1/W2, §2.7 O4).
+
+- ``chunk_by_row_number``: the reference slices work into 200-row chunks
+  with ``row_number() OVER (ORDER BY sourceFilePath)`` and fans each chunk
+  out to a notebook (`bp-unstructured-netapp-ingestion/ModuleFunctions.py:
+  142-172`). A global ORDER BY window funnels ALL rows through one
+  partition — fine for 60k control rows, catastrophic at 100 TB. The
+  engine keeps the deterministic window form for parity/tests and offers
+  ``repartition``-based distribution for the actual copy fan-out
+  (sources/files.py).
+- ``keep_latest``: keep-latest-per-key dedup via rank over (key ORDER BY
+  ts DESC) — reference RANK+DELETE (`ModuleFunctions.py:639-679`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_by_row_number(df: DataFrame, order_by: str, chunk_size: int = 200) -> DataFrame:
+    """Add ``rn`` (1-based) and ``chunk_id`` (0-based) columns.
+
+    Deterministic slicing identical to the reference's
+    ``rn > offset AND rn <= offset + chunk_size`` windows.
+    """
+    w = Window.orderBy(order_by)
+    return df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "chunk_id", F.floor((F.col("rn") - 1) / chunk_size).cast("bigint")
+    )
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Keep the latest row per key: rank over (keys ORDER BY order_col DESC
+    [, tiebreakers DESC]) == 1, nulls last.
+
+    With tiebreakers covering a unique column this is exactly one row per
+    key (the reference's RANK can keep >1 on ties; pass no tiebreakers for
+    that semantics). Shuffles once on ``keys``; at scale prefer keys with
+    high cardinality or pre-bucketed state tables.
+    """
+    order = [F.col(order_col).desc_nulls_last()] + [
+        F.col(t).desc_nulls_last() for t in (tiebreakers or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")

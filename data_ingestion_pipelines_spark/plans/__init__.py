@@ -1,0 +1,43 @@
+"""Query-plan library: every SURVEY §2 operator family as a named query.
+
+Each entry pairs a Spark plan (a ``(spark, sf_dir) -> DataFrame`` callable,
+built on the engine's operators) with an equivalent ANSI-SQL oracle string
+for DuckDB (or None for non-SQL-expressible ops — the driver then records
+a weaker rows-only check).
+
+Numeric determinism rules used throughout (so value hashes match across
+engines):
+- money aggregates: cast the (exact-2dp-rational) double to DECIMAL before
+  SUM — exact — then cast the total to DOUBLE (correctly-rounded, both
+  engines identical);
+- averages/ratios: one division of exact operands, never an accumulation
+  of per-row doubles;
+- no bare LIMIT — any top-k is row_number with a full tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import llmops, relational
+
+# name -> (spark_fn, oracle_sql_or_None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+REGISTRY.update(relational.QUERIES)
+REGISTRY.update(llmops.QUERIES)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.files import read_parquet_table
+
+    return read_parquet_table(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")

@@ -1,0 +1,256 @@
+"""Training-data pipeline query set: dedup, text analysis, similarity
+search, multimodal plumbing — declared over the `documents` and
+`embeddings` test tables.
+
+MinHash/SimHash use Spark's xxhash64 (no DuckDB equivalent) so those
+entries ship without an oracle — the driver records a rows-only check;
+everything else pairs with exact SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.text import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_signals,
+    with_token_count,
+)
+from ..sources.files import read_parquet_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# Shared DuckDB fragments mirroring operators/text.py exactly.
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_STOPWORDS_SQL = "['the','and','of','to','a','in','is','that','for','it']"
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: duplicate the corpus with shifted ids; the original (min id)
+# must win per normalized-content fingerprint.
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text")
+    all_docs = docs.unionByName(copies)
+    return exact_dedup(all_docs, text_col="text", id_col="doc_id").select("doc_id")
+
+
+DEDUP_EXACT_DOCS_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)
+SELECT MIN(doc_id) AS doc_id
+FROM all_docs
+GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+"""
+
+
+# --------------------------------------------------------------------------
+# Content fingerprints (the dedup key itself, per doc)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Token counts + corpus stats per source
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+TOKEN_STATS_BY_SOURCE_SQL = f"""
+WITH tok AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM tok GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-document quality signals (Gopher/C4-style filters)
+def doc_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_quality_signals(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "mean_word_len",
+        "alnum_ratio", "quality_score",
+    )
+
+
+DOC_QUALITY_SIGNALS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         {_TOKS} AS toks,
+         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS n_alnum
+  FROM documents
+), agg AS (
+  SELECT doc_id, n_chars, n_punct, n_alnum,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, x))) AS BIGINT) AS n_stop,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_tok_len
+  FROM sig
+)
+SELECT doc_id, n_tokens,
+       n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,
+       n_stop / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS stopword_ratio,
+       COALESCE(total_tok_len, 0) / CAST(GREATEST(n_tokens, 1) AS DOUBLE) AS mean_word_len,
+       n_alnum / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS alnum_ratio,
+       1.0 - (n_punct / CAST(GREATEST(n_chars, 1) AS DOUBLE))
+           + 0.5 * (n_stop / CAST(GREATEST(n_tokens, 1) AS DOUBLE))
+           - (CASE WHEN n_tokens < 10 THEN 0.5 ELSE 0.0 END) AS quality_score
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Heuristic language ID (stopword-overlap argmax)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_language_id(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "lang", "lang_pred")
+
+
+_MARKERS_SQL = {
+    "en": "['the','and','of','to','a','in','is','that','for','it']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",
+    "fr": "['le','la','les','et','est','une','pour','dans','que','pas']",
+    "es": "['el','la','los','y','es','una','para','en','que','no']",
+}
+
+DOC_LANGUAGE_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['en']}, x))) AS s_en,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['de']}, x))) AS s_de,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['fr']}, x))) AS s_fr,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['es']}, x))) AS s_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+            WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+            WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs (bucketed self-join)
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.05, bucket_prefix_tokens=1)
+
+
+NGRAM_JACCARD_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g,
+         array_to_string(t[1:1], ' ') AS bucket
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.05
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash LSH near-dup pairs — xxhash64-based, no SQL oracle (rows-only)
+def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"
+    )
+    return minhash_dedup_pairs(
+        docs.unionByName(copies), threshold=0.5, num_bands=8, rows_per_band=4
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures — xxhash64-based, no SQL oracle (rows-only)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Brute-force exact cosine top-k (ANN baseline)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+SIMILARITY_TOPK_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+)
+SELECT query_id, vec_id, score FROM (
+  SELECT query_id, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed approximate top-k — deterministic hyperplanes, no SQL oracle
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, queries, k=10, num_tables=4, bits=6, dim=64)
+
+
+QUERIES = {
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
+    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
+    "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),
+    "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
+    "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
+    "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
+    "minhash_pairs_docs": (minhash_pairs_docs, None),
+    "simhash_docs": (simhash_docs, None),
+    "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
+    "similarity_lsh_topk": (similarity_lsh_topk, None),
+}

@@ -1,0 +1,631 @@
+"""Relational query set — the reference's operator surface (SURVEY §2.3-2.9)
+declared over the TPC-H-ish test tables.
+
+Each query exercises one operator family THROUGH the engine's library
+(flatten, coalesce_merge, merge_upsert, keep_latest, classify, INC
+predicates), so the correctness gate tests the engine code, not ad-hoc
+SQL. Plans are pure DataFrame algebra: filters/projections reach the
+parquet scan, joins stay broadcastable, aggregates are partial-agg
+friendly. See plans/__init__ for the cross-engine numeric rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.column_specs import apply_cast_spec, apply_rename_spec, coalesce_merge
+from ..operators.classify import ExclusionRules, classify
+from ..operators.flatten import drop_nested_column, explode_zipped, flatten_dataframe
+from ..operators.incremental import copy_needed_condition
+from ..operators.windows import chunk_by_row_number, keep_latest
+from ..sinks.merge import merge_upsert
+from ..sources.files import read_parquet_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def _dec(col: str, scale: int = 4):
+    return F.col(col).cast(f"decimal(38,{scale})")
+
+
+# --------------------------------------------------------------------------
+# A-family aggregates + P3 filter: TPC-H Q1-style pricing summary
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    ).cast("decimal(38,8)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,8))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# J-chain joins + broadcast dims: revenue per nation
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+       COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# group + deterministic HAVING-style filter (no LIMIT): big customers
+def big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 8)
+    )
+
+
+BIG_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+HAVING COUNT(*) >= 8
+"""
+
+
+# --------------------------------------------------------------------------
+# J1+P2: full-outer join + COALESCE refresh (the file-inventory pattern),
+# via the engine's coalesce_merge
+def outer_coalesce_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < F.lit("1994-07-01").cast("timestamp")).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lit("OLD").alias("src"),
+    )
+    new = orders.filter(F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp")).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.05)).alias("price"),
+        F.lit("NEW").alias("src"),
+    )
+    return coalesce_merge(old, new, keys=["o_orderkey"], prefer="new")
+
+
+OUTER_COALESCE_REFRESH_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS price, 'OLD' AS src
+  FROM orders WHERE o_orderdate < TIMESTAMP '1994-07-01'
+), new AS (
+  SELECT o_orderkey, o_totalprice * 1.05 AS price, 'NEW' AS src
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+)
+SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+       COALESCE(new.price, old.price) AS price,
+       COALESCE(new.src, old.src) AS src
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# J4: semi/anti joins — customers with vs without orders
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    has = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("HAS_ORDERS").alias("status")
+    )
+    none = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("NO_ORDERS").alias("status")
+    )
+    return has.unionByName(none)
+
+
+SEMI_ANTI_CUSTOMERS_SQL = """
+SELECT c_custkey, 'HAS_ORDERS' AS status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'NO_ORDERS' AS status FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# A2/A3: min/max watermark aggregates
+def watermark_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+WATERMARK_MINMAX_SQL = """
+SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# A7: DISTINCT projection
+def distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+
+
+DISTINCT_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders"
+
+
+# --------------------------------------------------------------------------
+# W1: row_number chunking (the reference's 200-row copy slices)
+def chunk_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    chunked = chunk_by_row_number(orders, order_by="o_orderkey", chunk_size=200)
+    return chunked.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+CHUNK_ASSIGNMENT_SQL = """
+WITH chunked AS (
+  SELECT o_orderkey,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 200.0) AS BIGINT) AS chunk_id
+  FROM orders
+)
+SELECT chunk_id, COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM chunked GROUP BY chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# W2/O4: keep-latest dedup via the engine's keep_latest
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return keep_latest(ev, keys=["user_id"], order_col="ts", tiebreakers=["event_id"]).select(
+        "user_id", "event_id", "event_type", "value"
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         RANK() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# O3: unionByName page accumulation with missing columns
+def union_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    page1 = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice")
+    page2 = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderpriority")
+    return page1.unionByName(page2, allowMissingColumns=True)
+
+
+UNION_PAGES_SQL = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+# --------------------------------------------------------------------------
+# K3/I1: INC merge upsert via the engine's merge_upsert
+def inc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderdate") < F.lit("1994-07-01").cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderdate") >= F.lit("1994-06-01").cast("timestamp")).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return merge_upsert(target, source, keys=["o_orderkey"])
+
+
+INC_MERGE_UPSERT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice, 'U' AS o_orderstatus
+FROM orders WHERE o_orderdate >= TIMESTAMP '1994-06-01'
+UNION ALL
+SELECT t.o_orderkey, t.o_custkey, t.o_totalprice, t.o_orderstatus
+FROM orders t
+WHERE t.o_orderdate < TIMESTAMP '1994-07-01'
+  AND NOT EXISTS (
+    SELECT 1 FROM orders s
+    WHERE s.o_orderdate >= TIMESTAMP '1994-06-01' AND s.o_orderkey = t.o_orderkey
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# I2/P4: the INC copy predicate with NULL-heavy truth table, on a file
+# inventory derived from events
+def _inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_type") == "error", F.lit("F"))
+        .when(F.col("event_type").isin("purchase", "click"), F.lit("S"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    copy_ts = (
+        F.when(F.col("event_type") == "purchase", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .when(F.col("event_type") == "click", F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        .otherwise(F.lit(None).cast("timestamp"))
+    )
+    return ev.select(
+        F.concat(
+            F.lit("/smb/u"), F.col("user_id").cast("string"), F.lit("/f"),
+            F.col("event_id").cast("string"), F.lit(".dat"),
+        ).alias("sourceFilePath"),
+        F.col("ts").alias("modifiedTimeStamp"),
+        status.alias("status"),
+        copy_ts.alias("copyStatusTimeStamp"),
+    )
+
+
+def inc_copy_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inv = _inventory(spark, sf_dir)
+    return inv.filter(copy_needed_condition()).select(
+        "sourceFilePath", "status", "modifiedTimeStamp"
+    )
+
+
+INC_COPY_CANDIDATES_SQL = """
+WITH inv AS (
+  SELECT '/smb/u' || CAST(user_id AS VARCHAR) || '/f' || CAST(event_id AS VARCHAR) || '.dat' AS sourceFilePath,
+         ts AS modifiedTimeStamp,
+         CASE WHEN event_type = 'error' THEN 'F'
+              WHEN event_type IN ('purchase','click') THEN 'S'
+              ELSE NULL END AS status,
+         CASE WHEN event_type = 'purchase' THEN ts + INTERVAL 1 HOUR
+              WHEN event_type = 'click' THEN ts - INTERVAL 1 HOUR
+              ELSE NULL END AS copyStatusTimeStamp
+  FROM events
+)
+SELECT sourceFilePath, status, modifiedTimeStamp
+FROM inv
+WHERE NOT COALESCE(status = 'S' AND copyStatusTimeStamp IS NOT NULL
+                   AND copyStatusTimeStamp > modifiedTimeStamp, FALSE)
+"""
+
+
+# --------------------------------------------------------------------------
+# P6/P7: config-string cast + rename specs via the engine's functions
+def cast_rename_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    df = apply_cast_spec(part, "p_retailprice:decimal(12,2):retail_price;p_size:string:size_str")
+    df = apply_rename_spec(df, "p_brand&brand|p_name&part_name")
+    return df.select("p_partkey", "part_name", "brand", "retail_price", "size_str")
+
+
+CAST_RENAME_SPEC_SQL = """
+SELECT p_partkey, p_name AS part_name, p_brand AS brand,
+       CAST(p_retailprice AS DECIMAL(12,2)) AS retail_price,
+       CAST(p_size AS VARCHAR) AS size_str
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# P5/P11: conditional columns + null handling
+def conditional_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit("NEG"))
+        .when(F.col("c_acctbal") < 1000, F.lit("LOW"))
+        .otherwise(F.lit("HIGH"))
+        .alias("balance_band"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+CONDITIONAL_FLAGS_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'NEG'
+            WHEN c_acctbal < 1000 THEN 'LOW'
+            ELSE 'HIGH' END AS balance_band,
+       COALESCE(c_mktsegment, 'UNKNOWN') AS segment
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# P10: string functions (filename/extension extraction, regex)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/corpus/"), F.col("source"), F.lit("/d"), F.col("doc_id").cast("string"), F.lit(".txt")
+    )
+    filename = F.substring_index(path, "/", -1)
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        filename.alias("filename"),
+        F.substring_index(filename, ".", -1).alias("ext"),
+        F.regexp_extract(F.col("text"), "^[a-z0-9]+", 0).alias("first_word"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT doc_id,
+       '/corpus/' || source || '/d' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+       regexp_extract('/corpus/' || source || '/d' || CAST(doc_id AS VARCHAR) || '.txt', '[^/]+$') AS filename,
+       regexp_extract('/corpus/' || source || '/d' || CAST(doc_id AS VARCHAR) || '.txt', '[^.]+$') AS ext,
+       COALESCE(regexp_extract(text, '^[a-z0-9]+'), '') AS first_word,
+       CAST(LENGTH(text) AS BIGINT) AS text_len
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# P12: date arithmetic
+def date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_sub(F.col("o_orderdate"), 30), "yyyyMMdd").alias("cutoff_yyyymmdd"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    )
+
+
+DATE_ARITH_SQL = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE) - 30, '%Y%m%d') AS cutoff_yyyymmdd,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# P13: classification rule cascade via the engine's classify()
+def classify_exclusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    ext = (
+        F.when(F.col("p_type") == "ECONOMY", F.lit("txt"))
+        .when(F.col("p_type") == "SMALL", F.lit("pdf"))
+        .otherwise(F.lit("docx"))
+    )
+    inv = part.select(
+        F.concat(
+            F.lit("/share/"), F.col("p_brand"), F.lit("/"),
+            F.regexp_replace(F.col("p_name"), " ", "_"), F.lit("_"),
+            F.col("p_partkey").cast("string"), F.lit("."), ext,
+        ).alias("sourceFilePath")
+    )
+    rules = ExclusionRules(
+        extensions={"txt"},
+        folder_prefixes={"/share/Brand#1"},
+        name_terms={"red", "gear"},
+    )
+    return classify(inv, rules)
+
+
+CLASSIFY_EXCLUSIONS_SQL = """
+WITH inv AS (
+  SELECT '/share/' || p_brand || '/' || replace(p_name, ' ', '_') || '_'
+         || CAST(p_partkey AS VARCHAR) || '.'
+         || CASE WHEN p_type = 'ECONOMY' THEN 'txt'
+                 WHEN p_type = 'SMALL' THEN 'pdf'
+                 ELSE 'docx' END AS sourceFilePath
+  FROM part
+), cls AS (
+  SELECT sourceFilePath,
+         CASE
+           WHEN lower(regexp_extract(regexp_extract(sourceFilePath, '[^/]+$'), '[^.]+$')) = 'txt'
+             THEN 'file extension'
+           WHEN sourceFilePath LIKE '/share/Brand#1%' THEN 'folder path'
+           WHEN regexp_matches(lower(regexp_extract(sourceFilePath, '[^/]+$')), '(gear|red)')
+             THEN 'file name'
+           ELSE NULL
+         END AS exclusionReason
+  FROM inv
+)
+SELECT sourceFilePath, exclusionReason,
+       CASE WHEN exclusionReason IS NOT NULL THEN 'Y' ELSE 'N' END AS toBeExcluded
+FROM cls
+"""
+
+
+# --------------------------------------------------------------------------
+# N1: full flatten — nest lineitem per order, flatten back (identity oracle)
+def flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_quantity")))
+        ).alias("items")
+    )
+    flat = flatten_dataframe(nested)
+    return flat.select(
+        "l_orderkey",
+        F.col("items_l_linenumber").alias("linenumber"),
+        F.col("items_l_quantity").alias("quantity"),
+    )
+
+
+FLATTEN_ROUNDTRIP_SQL = """
+SELECT l_orderkey, l_linenumber AS linenumber, l_quantity AS quantity FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# N2/N3: correlated-array explode via explode_zipped (positional semantics)
+def correlated_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("l_linenumber"), F.col("l_quantity")))
+        ).alias("_items")
+    ).select(
+        "l_orderkey",
+        F.transform("_items", lambda s: s["l_linenumber"]).alias("linenumbers"),
+        F.transform("_items", lambda s: s["l_quantity"]).alias("quantities"),
+    )
+    out = explode_zipped(nested, ["linenumbers", "quantities"], keep=["l_orderkey"])
+    return out.select(
+        "l_orderkey",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("linenumbers").alias("linenumber"),
+        F.col("quantities").alias("quantity"),
+    )
+
+
+CORRELATED_EXPLODE_SQL = """
+SELECT l_orderkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) - 1 AS BIGINT) AS pos,
+       l_linenumber AS linenumber, l_quantity AS quantity
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# N4: nested drop (struct field + field inside array-of-struct)
+def nested_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("price")
+        ).alias("info"),
+        F.array(
+            F.struct(F.col("o_orderpriority").alias("prio"), F.col("o_custkey").alias("cust"))
+        ).alias("flags"),
+    )
+    dropped = drop_nested_column(nested, "info.price", "flags.cust")
+    return flatten_dataframe(dropped).select(
+        "o_orderkey",
+        F.col("info_status").alias("status"),
+        F.col("flags_prio").alias("prio"),
+    )
+
+
+NESTED_DROP_SQL = """
+SELECT o_orderkey, o_orderstatus AS status, o_orderpriority AS prio FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# I5-extension: tumbling-window aggregation (batch form of the streaming op)
+def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+EVENT_HOURLY_WINDOWS_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "big_customers": (big_customers, BIG_CUSTOMERS_SQL),
+    "outer_coalesce_refresh": (outer_coalesce_refresh, OUTER_COALESCE_REFRESH_SQL),
+    "semi_anti_customers": (semi_anti_customers, SEMI_ANTI_CUSTOMERS_SQL),
+    "watermark_minmax": (watermark_minmax, WATERMARK_MINMAX_SQL),
+    "distinct_priorities": (distinct_priorities, DISTINCT_PRIORITIES_SQL),
+    "chunk_assignment": (chunk_assignment, CHUNK_ASSIGNMENT_SQL),
+    "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
+    "union_pages": (union_pages, UNION_PAGES_SQL),
+    "inc_merge_upsert": (inc_merge_upsert, INC_MERGE_UPSERT_SQL),
+    "inc_copy_candidates": (inc_copy_candidates, INC_COPY_CANDIDATES_SQL),
+    "cast_rename_spec": (cast_rename_spec, CAST_RENAME_SPEC_SQL),
+    "conditional_flags": (conditional_flags, CONDITIONAL_FLAGS_SQL),
+    "string_funcs": (string_funcs, STRING_FUNCS_SQL),
+    "date_arith": (date_arith, DATE_ARITH_SQL),
+    "classify_exclusions": (classify_exclusions, CLASSIFY_EXCLUSIONS_SQL),
+    "flatten_roundtrip": (flatten_roundtrip, FLATTEN_ROUNDTRIP_SQL),
+    "correlated_explode": (correlated_explode, CORRELATED_EXPLODE_SQL),
+    "nested_drop": (nested_drop, NESTED_DROP_SQL),
+    "event_hourly_windows": (event_hourly_windows, EVENT_HOURLY_WINDOWS_SQL),
+}

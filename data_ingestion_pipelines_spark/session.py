@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults assume a large cluster: AQE on (runtime re-plan, skew-join
+handling, partition coalescing), Arrow for any pandas exchange, and a
+shuffle-partition count meant to be overridden per deployment. Tests and
+local runs pass ``master='local[N]'`` with a small shuffle partition count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+SCALE_DEFAULTS: dict[str, str] = {
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones, convert to broadcast join when runtime stats allow.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for any pandas UDF / toPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep scans pruned: parquet filter pushdown is on by default; make the
+    # intent explicit so a config audit shows it.
+    "spark.sql.parquet.filterPushdown": "true",
+    # Sane partition sizing for large scans (128 MB splits).
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Timestamps without zone read back deterministically.
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "ingestion-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so the
+    same entry points work in tests and under the driver harness; on a real
+    cluster the master comes from spark-submit and this arg stays None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in SCALE_DEFAULTS.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,4 @@
+from .merge import merge_upsert
+from .writers import load_dataframe
+
+__all__ = ["merge_upsert", "load_dataframe"]

@@ -1,0 +1,82 @@
+"""Upsert (MERGE) semantics (SURVEY §2.2 K3/K4/K5).
+
+The reference's INC load is ``DeltaTable.merge(src, pkCond)
+.whenMatchedUpdateAll.whenNotMatchedInsertAll`` (`bp-scala-api-ingestions/
+dataSource bp/ModuleFunctions.scala:375-408`), or SQL ``MERGE INTO``
+(`PSS WHI (XML)/Tables.scala:579-605`), or a staged STG_+union-overwrite
+(`Well Logs…/ModuleFunctions.scala:561-590`).
+
+Engine behavior:
+- DataFrame-level ``merge_upsert(target, source, keys)`` computes the
+  post-merge snapshot declaratively: source rows win on key match
+  (update-all), unmatched target rows pass through (insert-all ∪ keep).
+  One shuffle on the keys; Catalyst broadcasts the source side when small.
+- When delta-spark is importable, ``merge_into_table`` runs a real Delta
+  MERGE (file-level rewrite, no full-snapshot IO). On a 100 TB target the
+  Delta path is the right one — snapshot rewrite is only acceptable for
+  small control/state tables; the parquet fallback exists so the engine is
+  runnable in this container (no Delta jars available).
+
+Source must be key-unique; ``dedupe_source='latest'`` pre-applies
+keep-latest on an ordering column first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # Delta is optional in this container
+    from delta.tables import DeltaTable  # type: ignore
+
+    HAVE_DELTA = True
+except Exception:  # pragma: no cover
+    DeltaTable = None  # type: ignore
+    HAVE_DELTA = False
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Post-merge snapshot: whenMatched→updateAll, whenNotMatched→insertAll.
+
+    ``order_col``: if given, the source is first deduped to the latest row
+    per key (window rank) so the merge is deterministic.
+    """
+    if order_col is not None:
+        from ..operators.windows import keep_latest
+
+        source = keep_latest(source, keys, order_col)
+    cols = target.columns
+    source = source.select(*cols)
+    # anti-join keeps target rows with no source match; union brings in all
+    # source rows (both updates and inserts). Same shuffle key for both →
+    # AQE reuses the exchange.
+    untouched = target.join(source, on=keys, how="left_anti")
+    return untouched.unionByName(source)
+
+
+def merge_into_table(spark, table_name: str, source: DataFrame, keys: list[str]) -> None:
+    """Real Delta MERGE when available (INC load on big targets)."""
+    if not HAVE_DELTA:
+        raise RuntimeError("delta-spark not available; use merge_upsert + overwrite")
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+    (
+        DeltaTable.forName(spark, table_name)
+        .alias("t")
+        .merge(source.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def keep_latest_then_merge(
+    target: DataFrame, source: DataFrame, keys: list[str], ts_col: str
+) -> DataFrame:
+    """O4 keep-latest dedup feeding a merge — reference RANK+DELETE
+    (`bp-unstructured-netapp-ingestion/ModuleFunctions.py:639-679`)."""
+    return merge_upsert(target, source, keys, order_col=ts_col)

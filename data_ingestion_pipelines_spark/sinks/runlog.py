@@ -1,0 +1,75 @@
+"""Audit run-logging (SURVEY §2.2 K6/K7, §1.1 item 3).
+
+The reference writes job/file outcomes to SQL Server via a stored proc
+(`dataSource bp/ModuleFunctions.scala:128-175`) or JDBC append, and file
+outcomes to a Delta ``runlog_unified`` partitioned by (_year, _month)
+(`…sharepoint…/ModuleFunctions.py:443-462`). The engine replaces the
+stored proc with an append-only parquet/Delta table of RunRecord rows —
+same columns as FIXTURES F3 — flushed in batches (the reference flushes
+every 10k rows / hourly; here a flush is one append job).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+RUNLOG_SCHEMA = (
+    "jobGroup INT, jobOrder INT, startTime TIMESTAMP, endTime TIMESTAMP, "
+    "status STRING, errorMessage STRING, fileName STRING, fileSizeMB STRING, "
+    "sourceFilePath STRING, targetFilePath STRING, recInSource BIGINT, recIngested BIGINT"
+)
+
+
+@dataclass
+class RunRecord:
+    jobGroup: int
+    jobOrder: int
+    startTime: dt.datetime
+    endTime: dt.datetime | None = None
+    status: str = "S"  # S/F like the reference
+    errorMessage: str | None = None
+    fileName: str | None = None
+    fileSizeMB: str | None = None
+    sourceFilePath: str | None = None
+    targetFilePath: str | None = None
+    recInSource: int | None = None
+    recIngested: int | None = None
+
+
+@dataclass
+class RunLog:
+    """Buffered append-only audit sink partitioned by (_year, _month)."""
+
+    spark: SparkSession
+    path: str
+    flush_threshold: int = 10_000  # reference flush size, sharepoint MF.py:528
+    _buffer: list[RunRecord] = field(default_factory=list)
+
+    def record(self, rec: RunRecord) -> None:
+        self._buffer.append(rec)
+        if len(self._buffer) >= self.flush_threshold:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._buffer:
+            return
+        rows = [asdict(r) for r in self._buffer]
+        df = self.spark.createDataFrame(rows, RUNLOG_SCHEMA)
+        df = df.withColumns(
+            {"_year": F.year("startTime"), "_month": F.month("startTime")}
+        )
+        df.write.mode("append").partitionBy("_year", "_month").parquet(self.path)
+        self._buffer.clear()
+
+    def read(self):
+        return self.spark.read.parquet(self.path)
+
+    def __enter__(self) -> "RunLog":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.flush()

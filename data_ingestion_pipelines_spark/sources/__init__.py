@@ -1,0 +1,3 @@
+from .files import read_parquet_table
+
+__all__ = ["read_parquet_table"]

@@ -1,0 +1,128 @@
+"""File sources (SURVEY §2.1 S1/S13/S16/S17).
+
+``read_parquet_table`` is the engine's parquet reader: it transparently
+handles TIMESTAMP(NANOS) columns, which Spark's vectorized reader rejects
+(`PARQUET_TYPE_ILLEGAL`). Nanos columns are detected from the parquet
+footer (pyarrow — metadata only, no data read), read as longs via the
+``nanosAsLong`` legacy conf, and converted to microsecond timestamps with
+integer division (exact — double division would lose precision above
+2^53 ns ≈ 1970+104 days).
+
+``list_files_distributed`` replaces the reference's driver-side SMB
+recursion (`bp-unstructured-netapp-ingestion/Step 1 - NetApp Listing.py:
+100-154`): seed directories become a DataFrame, each partition lists its
+subtree executor-side, so listing throughput scales with the cluster, not
+the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+# schema for one listed file's metadata row (reference CONTROL_TABLE_SCHEMA
+# subset, netapp ModuleFunctions.py:26-42)
+LISTING_SCHEMA = (
+    "sourceFilePath STRING, fileSizeMB DOUBLE, createdTimeStamp TIMESTAMP, "
+    "modifiedTimeStamp TIMESTAMP, listError STRING"
+)
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Names of TIMESTAMP(NANOS) columns, from the parquet footer only."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pat
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates nanosecond timestamps."""
+    nanos = _nanos_columns(path)
+    if not nanos:
+        return spark.read.parquet(path)
+    spark.conf.set(_NANOS_CONF, "true")
+    df = spark.read.parquet(path)
+    return df.withColumns(
+        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos}
+    )
+
+
+def local_lister(root: str) -> Iterator[dict]:
+    """Default lister: walk a local directory tree, one metadata dict per
+    file. Swap for an SMB/SPO client with the same signature."""
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            p = os.path.join(dirpath, name)
+            try:
+                st = os.stat(p)
+                yield {
+                    "sourceFilePath": p,
+                    "fileSizeMB": st.st_size / (1024 * 1024),
+                    "createdTimeStamp": st.st_ctime,
+                    "modifiedTimeStamp": st.st_mtime,
+                    "listError": None,
+                }
+            except OSError as ex:  # failure rows, like the reference
+                yield {
+                    "sourceFilePath": p,
+                    "fileSizeMB": None,
+                    "createdTimeStamp": None,
+                    "modifiedTimeStamp": None,
+                    "listError": str(ex),
+                }
+
+
+def list_files_distributed(
+    spark: SparkSession,
+    seed_dirs: list[str],
+    lister: Callable[[str], Iterator[dict]] = local_lister,
+) -> DataFrame:
+    """Executor-side recursive listing over a DataFrame of seed dirs.
+
+    Each partition walks its directories with ``lister`` and emits
+    metadata rows; failures become rows with ``listError`` set instead of
+    aborting (the reference collects failures into a separate table —
+    filter on ``listError IS NOT NULL``). At 100 TB the seed list is the
+    first-level directory fan-out, repartitioned so each executor walks a
+    disjoint subtree.
+    """
+    import datetime as dt
+
+    seeds = spark.createDataFrame([(d,) for d in seed_dirs], "root STRING")
+    seeds = seeds.repartition(max(len(seed_dirs), 1))
+
+    def walk(rows):
+        import pandas as pd
+
+        for pdf in rows:
+            out = []
+            for root in pdf["root"]:
+                for rec in lister(root):
+                    for ts_key in ("createdTimeStamp", "modifiedTimeStamp"):
+                        v = rec.get(ts_key)
+                        if isinstance(v, (int, float)):
+                            rec[ts_key] = dt.datetime.fromtimestamp(v, dt.timezone.utc).replace(tzinfo=None)
+                    out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "sourceFilePath", "fileSizeMB", "createdTimeStamp",
+                    "modifiedTimeStamp", "listError",
+                ],
+            )
+
+    return seeds.mapInPandas(walk, LISTING_SCHEMA)

@@ -1,0 +1,179 @@
+"""Declarative job specs — the engine's core abstraction.
+
+The reference drives every pipeline from a row in a SQL Server control
+table ``audit.tblJobQueue`` joined to ``audit.tblJobQueueExtn`` (see
+SURVEY.md §1.1; reference `bp-scala-api-ingestions/dataSource
+bp/Tables.scala:101-173`). Here the job spec is a validated dataclass; a
+control table is just a DataFrame of serialized specs (parquet/Delta/JDBC
+— any Spark-readable store).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+
+class LoadType(str, enum.Enum):
+    """Load-mode dispatch, reference `dataSource bp/ModuleFunctions.scala:735-760`
+    and netapp `ModuleFunctions.py:621-637`."""
+
+    SNP = "SNP"  # full snapshot overwrite
+    APPEND = "APPEND"  # blind append
+    INC = "INC"  # incremental upsert (MERGE on PKs, watermark fetch)
+    FAILURES_ONLY = "FAILURES_ONLY"  # re-run failed units only
+
+
+class ResponseFormat(str, enum.Enum):
+    JSON = "JSON"
+    CSV = "CSV"
+    XML = "XML"
+    XLSX = "XLSX"
+    TEXT = "TEXT"
+
+
+class PaginationType(str, enum.Enum):
+    """Reference `dataSource bp/ModuleFunctions.scala:478-561`."""
+
+    NONE = "NONE"
+    HEADER = "HEADER"  # next-page URL in a response header
+    QUERY_PARAM = "QueryParam"  # offset/limit query parameter
+    ABSOLUTE_URL = "AbsoluteURL"  # body carries the absolute next URL
+    RELATIVE_URL = "RelativeURL"  # body carries a relative next URL
+    PAGE_COUNT = "PageCount"  # body carries total page count (Rushmore)
+
+
+class AuthType(str, enum.Enum):
+    """Reference `dataSource bp/ModuleFunctions.scala:413-454`."""
+
+    NO_AUTH = "No-Auth"
+    BEARER = "Bearer"
+    API_KEY = "API-Key"
+    OAUTH2 = "OAuth2.0"
+    BASIC = "Basic"
+    NTLM = "NTLM"
+
+
+def _split(s: str | None, sep: str = ",") -> list[str]:
+    if not s:
+        return []
+    return [p.strip() for p in s.split(sep) if p.strip()]
+
+
+@dataclass
+class JobSpec:
+    """One ingestion job = one control-table row.
+
+    Field names follow the reference control table (SURVEY §1.1 / FIXTURES
+    F4) so specs round-trip through the same storage; parsing helpers turn
+    the reference's string micro-formats into structured values.
+    """
+
+    job_group: int
+    job_order: int
+    job_num: int = 1
+    job_step_num: int = 1
+    load_type: LoadType = LoadType.SNP
+    source_application: str = ""
+    source_url: str = ""
+    source_table: str = ""
+    # ';'-separated PK columns used for INC merge
+    source_pk_cols: str = ""
+    # select/flatten root (API pipelines)
+    source_change_key_cols: str = ""
+    # ','-separated drop list; entries may be nested 'a.b.c'
+    exclude_columns: str = ""
+    # ','- or '|'-separated keep-list
+    inscope_column_list: str = ""
+    # 'col:type[:newName];…' cast spec
+    transformed_columns_in_target: str = ""
+    # ','-separated audit columns to add, e.g. 'load_ts'
+    additional_columns_in_target: str = ""
+    # watermark value, format varies per source
+    source_chg_key_latest_values: str = ""
+    source_timestamp_format: str = ""
+    target_db_name: str = ""
+    target_tbl_name: str = ""
+    target_file_format: str = "parquet"
+    filter_query: str = ""
+    is_active: str = "Y"
+    # API extension (tblJobQueueExtn)
+    auth_type: AuthType = AuthType.NO_AUTH
+    token_url: str = ""
+    response_format: ResponseFormat = ResponseFormat.JSON
+    pagination: PaginationType = PaginationType.NONE
+    pagination_keyword: str = ""
+    pagination_location: str = ""
+    pagination_additional_params: str = ""
+    options: dict[str, Any] = field(default_factory=dict)
+
+    # ---- parsed views of the string micro-formats -----------------------
+    @property
+    def pk_columns(self) -> list[str]:
+        return _split(self.source_pk_cols, ";") or _split(self.source_pk_cols, ",")
+
+    @property
+    def excluded_columns(self) -> list[str]:
+        return _split(self.exclude_columns, ",")
+
+    @property
+    def inscope_columns(self) -> list[str]:
+        cols = _split(self.inscope_column_list, "|")
+        if len(cols) <= 1:
+            cols = _split(self.inscope_column_list, ",")
+        return cols
+
+    @property
+    def additional_columns(self) -> list[str]:
+        return _split(self.additional_columns_in_target, ",")
+
+    @property
+    def target_fqn(self) -> str:
+        if self.target_db_name:
+            return f"{self.target_db_name}.{self.target_tbl_name}"
+        return self.target_tbl_name
+
+    def validate(self) -> "JobSpec":
+        if self.load_type == LoadType.INC and not self.pk_columns:
+            raise ValueError(
+                f"INC job {self.job_group}/{self.job_order}/{self.job_num} requires sourcePKCols"
+            )
+        if not self.target_tbl_name and self.target_db_name:
+            raise ValueError("targetDBName set without targetTblName")
+        return self
+
+    @classmethod
+    def from_row(cls, row: Mapping[str, Any]) -> "JobSpec":
+        """Build a spec from a control-table row (Spark Row.asDict() or dict).
+
+        Accepts the reference's camelCase control-table column names.
+        """
+        m = {k.lower(): v for k, v in dict(row).items() if v is not None}
+
+        def g(key: str, default: Any = "") -> Any:
+            return m.get(key.lower(), default)
+
+        return cls(
+            job_group=int(g("jobGroup", 0)),
+            job_order=int(g("jobOrder", 0)),
+            job_num=int(g("jobNum", 1)),
+            job_step_num=int(g("jobStepNum", 1)),
+            load_type=LoadType(g("fkLoadType", "SNP") or "SNP"),
+            source_application=g("fkSourceApplication"),
+            source_url=g("sourceURL"),
+            source_table=g("sourceTblName"),
+            source_pk_cols=g("sourcePKCols"),
+            source_change_key_cols=g("sourceChangeKeyCols"),
+            exclude_columns=g("excludeColumns"),
+            inscope_column_list=g("inscopeColumnList"),
+            transformed_columns_in_target=g("transformedColumnsInTarget"),
+            additional_columns_in_target=g("additionalColumnsInTarget"),
+            source_chg_key_latest_values=g("sourceChgKeyLatestValues"),
+            source_timestamp_format=g("sourceTimestampFormat"),
+            target_db_name=g("targetDBName"),
+            target_tbl_name=g("targetTblName"),
+            target_file_format=g("fkTargetFileFormat", "parquet") or "parquet",
+            filter_query=g("filterQuery"),
+            is_active=g("isActive", "Y") or "Y",
+        )

@@ -1,0 +1,117 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, then compares row count, (sorted)
+column names, and an order-insensitive value hash. Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+    """Order-insensitive hash: normalize each value to a string, sort rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def norm(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, bool):
+            return str(int(v))
+        return str(v)
+
+    lines = sorted("\x1f".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as e
+    from data_ingestion_pipelines_spark.session import get_spark
+
+    spark = get_spark("correctness-check", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"      WARNING: 0 rows for rows-only query {name}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        else:
+            hs, hd = value_hash(srows, scols), value_hash(drows, dcols)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show a few differing rows for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                set_s = {tuple(r[i] for i in order_s) for r in srows}
+                set_d = {tuple(r[i] for i in order_d) for r in drows}
+                for r in list(set_s - set_d)[:3]:
+                    print(f"      spark-only: {r}")
+                for r in list(set_d - set_s)[:3]:
+                    print(f"      duck-only:  {r}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
