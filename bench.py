@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute); results are drained with
+count() on a cached-nothing session so scan/shuffle/agg all run. Order is
+fixed; a warmup query initializes the JVM/codegen so timings reflect the
+plans, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_ingestion_pipelines_spark import plans  # noqa: E402
+from data_ingestion_pipelines_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan/join/agg/window/nested/dedup/similarity spine.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "big_customers",
+    "outer_coalesce_refresh",
+    "inc_merge_upsert",
+    "latest_event_per_user",
+    "event_hourly_windows",
+    "flatten_roundtrip",
+    "correlated_explode",
+    "classify_exclusions",
+    "dedup_exact_docs",
+    "doc_quality_signals",
+    "minhash_pairs_docs",
+    "similarity_topk",
+    "similarity_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark(
+        "bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = plans.queries()
+    # JVM/codegen warmup on a small scan (not timed)
+    plans.load(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,12 +84,15 @@ class WatermarkStore:
         return rows[0]["watermark"] if rows else None
 
     def set(self, job_key: str, watermark: str) -> None:
-        current = self._read().filter(F.col("job_key") != job_key)
-        updated = current.unionByName(
-            self.spark.createDataFrame([(job_key, watermark)], "job_key string, watermark string")
-        )
-        # tiny table: single-file rewrite is atomic enough per-job; Delta
-        # MERGE replaces this when available.
+        # materialize the O(#jobs) rows on the driver before overwriting
+        # the directory the plan reads from; Delta MERGE replaces this
+        # rewrite when available.
+        rows = [
+            (r["job_key"], r["watermark"])
+            for r in self._read().filter(F.col("job_key") != job_key).collect()
+        ]
+        rows.append((job_key, watermark))
+        updated = self.spark.createDataFrame(rows, "job_key string, watermark string")
         updated.coalesce(1).write.mode("overwrite").parquet(self.path)
 
     def advance_from(self, job_key: str, df: DataFrame, change_col: str) -> str | None:

@@ -1,0 +1,123 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.classify import (
+    REASON_EXTENSION,
+    REASON_FILENAME,
+    REASON_FILEPATH,
+    REASON_FOLDERPATH,
+    ExclusionRules,
+    classify,
+)
+from data_ingestion_pipelines_spark.operators.incremental import (
+    WatermarkStore,
+    copy_needed_condition,
+    failures_only_condition,
+    modified_since_condition,
+)
+from data_ingestion_pipelines_spark.operators.windows import chunk_by_row_number, keep_latest
+
+
+def _paths_df(spark, paths):
+    return spark.createDataFrame([(p,) for p in paths], "sourceFilePath string")
+
+
+def test_classify_cascade_precedence(spark):
+    rules = ExclusionRules(
+        file_paths={"/s/x/exact.txt"},
+        extensions={"txt"},
+        folder_prefixes={"/s/secret"},
+        name_terms={"tam"},
+    )
+    df = _paths_df(
+        spark,
+        [
+            "/s/x/exact.txt",       # filepath wins over extension
+            "/s/y/notes.txt",       # extension
+            "/s/secret/plan.pdf",   # folder prefix
+            "/s/y/TAM report.pdf",  # name term, case-insensitive
+            "/s/y/clean.pdf",       # not excluded
+        ],
+    )
+    got = {r["sourceFilePath"]: (r["toBeExcluded"], r["exclusionReason"]) for r in classify(df, rules).collect()}
+    assert got["/s/x/exact.txt"] == ("Y", REASON_FILEPATH)
+    assert got["/s/y/notes.txt"] == ("Y", REASON_EXTENSION)
+    assert got["/s/secret/plan.pdf"] == ("Y", REASON_FOLDERPATH)
+    assert got["/s/y/TAM report.pdf"] == ("Y", REASON_FILENAME)
+    assert got["/s/y/clean.pdf"] == ("N", None)
+
+
+def test_classify_empty_rules_exclude_nothing(spark):
+    df = _paths_df(spark, ["/a/b.txt"])
+    got = classify(df, ExclusionRules()).collect()[0]
+    assert got["toBeExcluded"] == "N" and got["exclusionReason"] is None
+
+
+def test_classify_rules_from_tables(spark):
+    ext = spark.createDataFrame([(1, 1, "aprx,txt , pps")], "jobGroup int, jobOrder int, extension string")
+    rules = ExclusionRules.from_tables(extension_df=ext)
+    assert rules.extensions == {"aprx", "txt", "pps"}
+
+
+def test_chunk_by_row_number(spark):
+    df = spark.range(450).withColumnRenamed("id", "k")
+    out = chunk_by_row_number(df, "k", chunk_size=200)
+    counts = {r["chunk_id"]: r["n"] for r in out.groupBy("chunk_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 200, 1: 200, 2: 50}
+
+
+def test_keep_latest_with_tiebreaker(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 10), (1, dt.datetime(2024, 1, 2), 11),
+         (1, dt.datetime(2024, 1, 2), 12), (2, dt.datetime(2024, 1, 1), 20)],
+        "k int, ts timestamp, seq int",
+    )
+    out = keep_latest(df, ["k"], "ts", tiebreakers=["seq"]).collect()
+    got = {(r["k"], r["seq"]) for r in out}
+    assert got == {(1, 12), (2, 20)}
+    # without tiebreaker, rank keeps both tied rows (reference RANK semantics)
+    assert keep_latest(df, ["k"], "ts").count() == 3
+
+
+def test_copy_needed_truth_table(spark):
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    df = spark.createDataFrame(
+        [
+            ("never_copied", None, None, t0),
+            ("failed", "F", t1, t0),
+            ("copied_fresh", "S", t1, t0),   # copy after modify → skip
+            ("copied_stale", "S", t0, t1),   # modified after copy → copy
+            ("s_null_ts", "S", None, t0),    # S but no timestamp → copy
+        ],
+        "name string, status string, copyStatusTimeStamp timestamp, modifiedTimeStamp timestamp",
+    )
+    got = {r["name"] for r in df.filter(copy_needed_condition()).collect()}
+    assert got == {"never_copied", "failed", "copied_stale", "s_null_ts"}
+    assert {r["name"] for r in df.filter(failures_only_condition()).collect()} == {"failed"}
+
+
+def test_modified_since_condition(spark):
+    wm = "2024-01-10 00:00:00"
+    df = spark.createDataFrame(
+        [
+            ("old", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 1)),
+            ("recent_mod", dt.datetime(2024, 1, 11), dt.datetime(2024, 1, 1)),
+            ("slack_window", dt.datetime(2024, 1, 9, 23, 30), dt.datetime(2024, 1, 1)),
+        ],
+        "name string, TimeLastModified timestamp, TimeCreated timestamp",
+    )
+    got = {r["name"] for r in df.filter(modified_since_condition(wm)).collect()}
+    assert got == {"recent_mod", "slack_window"}
+
+
+def test_watermark_store_roundtrip(spark, tmp_path):
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    assert store.get("job1") is None
+    store.set("job1", "2024-01-01")
+    store.set("job2", "2024-06-01")
+    store.set("job1", "2024-02-01")
+    assert store.get("job1") == "2024-02-01"
+    assert store.get("job2") == "2024-06-01"
+    df = spark.createDataFrame([("2024-09-09",)], "chg string")
+    assert store.advance_from("job1", df, "chg") == "2024-09-09"

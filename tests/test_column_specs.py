@@ -1,0 +1,76 @@
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.functions import (
+    add_audit_columns,
+    apply_cast_spec,
+    apply_rename_spec,
+    coalesce_merge,
+    normalize_column_names,
+    parse_cast_spec,
+    parse_rename_spec,
+    select_inscope,
+    strip_prefix,
+)
+
+
+def test_parse_cast_spec():
+    assert parse_cast_spec("a:int;b:string:bee") == [("a", "int", None), ("b", "string", "bee")]
+    with pytest.raises(ValueError):
+        parse_cast_spec("a")
+
+
+def test_apply_cast_spec(spark):
+    df = spark.createDataFrame([("1", "2024-01-02 03:04:05")], "a string, ts string")
+    out = apply_cast_spec(df, "a:int:num;ts:timestamp")
+    assert dict(out.dtypes) == {"num": "int", "ts": "timestamp"}
+    row = out.collect()[0]
+    assert row["num"] == 1 and row["ts"].year == 2024
+
+
+def test_apply_cast_spec_timestamp_format(spark):
+    df = spark.createDataFrame([("02/01/2024",)], "d string")
+    out = apply_cast_spec(df, "d:timestamp", timestamp_format="dd/MM/yyyy")
+    assert out.collect()[0]["d"].month == 1
+
+
+def test_rename_spec(spark):
+    assert parse_rename_spec("a&b|c&d") == {"a": "b", "c": "d"}
+    df = spark.createDataFrame([(1, 2)], "a int, c int")
+    assert apply_rename_spec(df, "a&b|c&d").columns == ["b", "d"]
+
+
+def test_normalize_and_strip_prefix(spark):
+    df = spark.createDataFrame([(1, 2, 3)], ["col one", "two:2", "Data_x"])
+    out = normalize_column_names(df)
+    assert out.columns == ["col_one", "two_2", "Data_x"]
+    assert strip_prefix(out, "Data_").columns == ["col_one", "two_2", "x"]
+
+
+def test_select_inscope(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    assert select_inscope(df, ["c", "a"]).columns == ["c", "a"]
+    with pytest.raises(ValueError):
+        select_inscope(df, ["nope"])
+
+
+def test_add_audit_columns(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    out = add_audit_columns(df, ["load_ts", "_year", "_month"], load_ts="2024-03-04 00:00:00")
+    row = out.collect()[0]
+    assert row["_year"] == 2024 and row["_month"] == 3
+    with pytest.raises(ValueError):
+        add_audit_columns(df, ["mystery"])
+
+
+def test_coalesce_merge(spark):
+    old = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], "k int, v string, only_old string")
+    new = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    out = coalesce_merge(old, new, keys=["k"]).orderBy("k").collect()
+    assert [(r["k"], r["v"], r["only_old"]) for r in out] == [
+        (1, "a", "x"),
+        (2, "B", "y"),  # new wins on conflict, old-only column survives
+        (3, "C", None),
+    ]
+    out_old = coalesce_merge(old, new, keys=["k"], prefer="old").orderBy("k").collect()
+    assert [(r["k"], r["v"]) for r in out_old] == [(1, "a"), (2, "b"), (3, "C")]

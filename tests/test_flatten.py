@@ -1,0 +1,105 @@
+"""Nested-operator semantics tests — FIXTURES.md F6 shapes.
+
+F6b/F6c must match the reference's *corrected* rejoin semantics (no
+cross-join between correlated arrays); F6a matches full-flatten
+``parent_child`` naming including the sibling-array cross-product.
+"""
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.flatten import (
+    drop_nested_column,
+    explode_zipped,
+    flatten_dataframe,
+)
+
+
+def _json_df(spark, obj):
+    return spark.read.json(spark.sparkContext.parallelize([json.dumps(obj)]))
+
+
+def test_flatten_simple_nested(spark):
+    # F6a: struct → parent_child columns, array-of-struct → rows
+    df = _json_df(
+        spark,
+        {
+            "Data": [
+                {"WellID": "w1", "Operator": "op", "Details": {"Depth": 1.5, "Rig": "r1"}},
+                {"WellID": "w2", "Operator": "op", "Details": {"Depth": 2.5, "Rig": "r2"}},
+            ],
+            "PageInfo": {"Next": {"Page": 2}, "Last": {"Page": 9}},
+        },
+    )
+    out = flatten_dataframe(df)
+    assert set(out.columns) == {
+        "Data_WellID", "Data_Operator", "Data_Details_Depth", "Data_Details_Rig",
+        "PageInfo_Next_Page", "PageInfo_Last_Page",
+    }
+    rows = {(r["Data_WellID"], r["Data_Details_Rig"]) for r in out.collect()}
+    assert rows == {("w1", "r1"), ("w2", "r2")}
+
+
+def test_flatten_sibling_arrays_cross_product(spark):
+    # reference semantics: two sibling arrays explode independently → cross
+    df = spark.createDataFrame([([1, 2], ["a", "b"])], "xs array<int>, ys array<string>")
+    out = flatten_dataframe(df)
+    assert out.count() == 4
+
+
+def test_flatten_null_and_empty_arrays_kept(spark):
+    df = spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, None)], "k int, xs array<int>"
+    )
+    out = flatten_dataframe(df)
+    got = {(r["k"], r["xs"]) for r in out.collect()}
+    assert got == {(1, 10), (1, 20), (2, None), (3, None)}
+
+
+def test_explode_zipped_no_cross_join(spark):
+    # F6b: correlated arrays stay positional — 3 rows, not 9
+    df = spark.createDataFrame(
+        [("w1", ["d1", "d2", "d3"], [100.0, 200.0, 300.0])],
+        "well string, days array<string>, depths array<double>",
+    )
+    out = explode_zipped(df, ["days", "depths"], keep=["well"])
+    rows = [(r["well"], r["pos"], r["days"], r["depths"]) for r in out.orderBy("pos").collect()]
+    assert rows == [
+        ("w1", 0, "d1", 100.0),
+        ("w1", 1, "d2", 200.0),
+        ("w1", 2, "d3", 300.0),
+    ]
+
+
+def test_explode_zipped_ragged_arrays_null_pad(spark):
+    df = spark.createDataFrame([("w", [1, 2, 3], ["a"])], "k string, xs array<int>, ys array<string>")
+    out = explode_zipped(df, ["xs", "ys"], keep=["k"]).orderBy("pos").collect()
+    assert [(r["xs"], r["ys"]) for r in out] == [(1, "a"), (2, None), (3, None)]
+
+
+def test_drop_nested_column(spark):
+    # F6d: struct field and field inside array-of-struct
+    df = spark.createDataFrame(
+        [((1, 2), [(3, 4), (5, 6)])],
+        "a struct<keep:int, drop:int>, arr array<struct<keep:int, drop:int>>",
+    )
+    out = drop_nested_column(df, "a.drop", "arr.drop")
+    assert out.schema["a"].dataType.fieldNames() == ["keep"]
+    assert out.schema["arr"].dataType.elementType.fieldNames() == ["keep"]
+    row = out.collect()[0]
+    assert row["a"]["keep"] == 1 and [x["keep"] for x in row["arr"]] == [3, 5]
+
+
+def test_drop_nested_deep_path(spark):
+    df = spark.createDataFrame(
+        [((1, (2, 3)),)], "a struct<x:int, b:struct<keep:int, drop:int>>"
+    )
+    out = drop_nested_column(df, "a.b.drop")
+    assert out.schema["a"].dataType["b"].dataType.fieldNames() == ["keep"]
+
+
+def test_drop_top_level_and_missing(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    assert drop_nested_column(df, "b").columns == ["a"]
+    assert drop_nested_column(df, "missing.x").columns == ["a", "b"]

@@ -1,0 +1,129 @@
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from data_ingestion_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from data_ingestion_pipelines_spark.operators.text import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_signals,
+    with_token_count,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog and runs far away today"
+
+
+def _docs(spark):
+    rows = [
+        (1, DOC),
+        (2, DOC),  # exact duplicate
+        (3, "The  quick, brown FOX jumps over the lazy dog and runs far away today!"),  # formatting dup
+        (4, DOC + " extra"),  # near dup: one appended token, J = 10/11
+        (5, "completely different content about spark query engines and shuffles here now"),
+        (6, DOC.replace("dog", "cat")),  # weak near dup: J = 1/3, below LSH threshold
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark))
+    assert {r["doc_id"] for r in out.collect()} == {1, 4, 5, 6}
+
+
+def test_fingerprint_normalization(spark):
+    fp = with_fingerprint(_docs(spark), "text").collect()
+    by_id = {r["doc_id"]: r["fingerprint"] for r in fp}
+    assert by_id[1] == by_id[2] == by_id[3]
+    assert by_id[1] != by_id[4]
+
+
+def test_minhash_finds_near_dups(spark):
+    # default banding (8×4) has its S-curve threshold around J≈0.6: doc4
+    # (J=10/11) must collide; doc6 (J=1/3) is legitimately below it
+    pairs = minhash_dedup_pairs(_docs(spark), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # exact + formatting dups
+    assert (1, 4) in got                    # high-jaccard near dup
+    assert not any(5 in p for p in got)     # unrelated doc never pairs
+
+
+def test_simhash_close_for_near_dups(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]
+    ham_near = bin(sigs[1] ^ sigs[4]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[5]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5, bucket_prefix_tokens=1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) in got and got[(1, 4)] < 1.0
+
+
+def test_token_count_and_quality(spark):
+    df = with_token_count(_docs(spark))
+    assert {r["doc_id"]: r["n_tokens"] for r in df.collect()}[1] == 14
+    q = with_quality_signals(_docs(spark)).collect()
+    row = {r["doc_id"]: r for r in q}
+    assert row[1]["punct_ratio"] == 0.0
+    assert row[3]["punct_ratio"] > 0.0
+    assert 0 < row[1]["stopword_ratio"] < 1
+    assert row[1]["mean_word_len"] > 2
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der hund ist nicht mit der katze auf dem sofa"),
+            (3, "le chat est dans la maison pour la nuit"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    corpus = _vectors(spark)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(corpus, queries, k=3).orderBy(F.desc("score")).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]  # self, near, orthogonal(id tiebreak)
+    assert out[0]["score"] == 1.0
+
+
+def test_lsh_and_ivf_recall_self_and_near(spark):
+    corpus = _vectors(spark)
+    queries = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    lsh = lsh_topk(corpus, queries, k=3, num_tables=4, bits=2, dim=4).collect()
+    ids = [r["vec_id"] for r in sorted(lsh, key=lambda r: -r["score"])]
+    assert ids[0] == 0 and 1 in ids  # self + near neighbor found
+    ivf = ivf_topk(corpus, queries, k=3, num_lists=3, nprobe=2).collect()
+    ids = [r["vec_id"] for r in sorted(ivf, key=lambda r: -r["score"])]
+    assert ids[0] == 0

@@ -1,0 +1,82 @@
+import datetime as dt
+
+from data_ingestion_pipelines_spark.sinks.merge import keep_latest_then_merge, merge_upsert
+from data_ingestion_pipelines_spark.sinks.runlog import RunLog, RunRecord
+from data_ingestion_pipelines_spark.sinks.writers import load_dataframe
+from data_ingestion_pipelines_spark.specs import JobSpec, LoadType
+
+
+def test_merge_upsert_update_and_insert(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    source = spark.createDataFrame([(2, "B"), (3, "C")], "k int, v string")
+    got = {(r["k"], r["v"]) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "C")}
+
+
+def test_merge_upsert_dedupes_source_on_order_col(spark):
+    target = spark.createDataFrame([(1, "a", 0)], "k int, v string, ver int")
+    source = spark.createDataFrame([(1, "new", 2), (1, "stale", 1)], "k int, v string, ver int")
+    got = merge_upsert(target, source, ["k"], order_col="ver").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, "new")]
+    got2 = keep_latest_then_merge(target, source, ["k"], "ver").collect()
+    assert [(r["k"], r["v"]) for r in got2] == [(1, "new")]
+
+
+def test_load_modes_snp_append_inc(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a")], "k int, v string")
+    load_dataframe(df1, path, LoadType.SNP)
+    assert spark.read.parquet(path).count() == 1
+
+    load_dataframe(df1, path, LoadType.APPEND)
+    assert spark.read.parquet(path).count() == 2
+
+    # SNP overwrites
+    df2 = spark.createDataFrame([(9, "z")], "k int, v string")
+    load_dataframe(df2, path, LoadType.SNP)
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {9}
+
+    # INC merges on PK
+    df3 = spark.createDataFrame([(9, "updated"), (10, "new")], "k int, v string")
+    load_dataframe(df3, path, LoadType.INC, pk_columns=["k"])
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(9, "updated"), (10, "new")}
+
+
+def test_load_partitioned(spark, tmp_path):
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame([(1, 2024, "a"), (2, 2025, "b")], "k int, _year int, v string")
+    load_dataframe(df, path, LoadType.APPEND, partition_by=["_year"])
+    assert (tmp_path / "part_tbl" / "_year=2024").exists()
+
+
+def test_runlog_flush_and_partitioning(spark, tmp_path):
+    path = str(tmp_path / "runlog")
+    with RunLog(spark, path, flush_threshold=100) as log:
+        log.record(RunRecord(1, 1, dt.datetime(2024, 3, 1), status="S", recInSource=10, recIngested=10))
+        log.record(RunRecord(1, 2, dt.datetime(2024, 4, 1), status="F", errorMessage="boom"))
+    df = spark.read.parquet(path)
+    assert df.count() == 2
+    assert {r["_month"] for r in df.collect()} == {3, 4}
+    assert (tmp_path / "runlog" / "_year=2024" / "_month=3").exists()
+
+
+def test_jobspec_roundtrip_and_validation(spark):
+    spec = JobSpec.from_row(
+        {
+            "jobGroup": 5, "jobOrder": 2, "fkLoadType": "INC",
+            "sourcePKCols": "id;ts", "inscopeColumnList": "a,b,c",
+            "excludeColumns": "x.y, z", "targetDBName": "db", "targetTblName": "t",
+        }
+    )
+    assert spec.load_type == LoadType.INC
+    assert spec.pk_columns == ["id", "ts"]
+    assert spec.inscope_columns == ["a", "b", "c"]
+    assert spec.excluded_columns == ["x.y", "z"]
+    assert spec.target_fqn == "db.t"
+    spec.validate()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        JobSpec(job_group=1, job_order=1, load_type=LoadType.INC).validate()

@@ -1,0 +1,34 @@
+import os
+
+from data_ingestion_pipelines_spark.sources.files import (
+    list_files_distributed,
+    read_parquet_table,
+)
+
+
+def test_read_parquet_nanos_timestamps(spark):
+    # events.parquet is TIMESTAMP(NANOS): stock reader rejects it
+    df = read_parquet_table(spark, "/root/testdata/sf0.001/events.parquet")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0
+    assert df.select("ts").first()[0].year >= 2024
+
+
+def test_read_parquet_regular(spark):
+    df = read_parquet_table(spark, "/root/testdata/sf0.001/orders.parquet")
+    assert df.count() > 0
+
+
+def test_list_files_distributed(spark, tmp_path):
+    (tmp_path / "a" / "sub").mkdir(parents=True)
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "f1.txt").write_text("hello")
+    (tmp_path / "a" / "sub" / "f2.txt").write_text("world!")
+    (tmp_path / "b" / "f3.bin").write_bytes(b"\x00" * 10)
+
+    df = list_files_distributed(spark, [str(tmp_path / "a"), str(tmp_path / "b")])
+    rows = df.collect()
+    names = {os.path.basename(r["sourceFilePath"]) for r in rows}
+    assert names == {"f1.txt", "f2.txt", "f3.bin"}
+    assert all(r["listError"] is None for r in rows)
+    assert all(r["modifiedTimeStamp"] is not None for r in rows)
