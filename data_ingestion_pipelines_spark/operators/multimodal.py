@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media are opaque ``binary`` columns with typed metadata alongside —
+ingested via ``spark.read.format('binaryFile')`` (path, modificationTime,
+length, content) or the engine's file-copy pipeline. Decode/resize/
+frame-sample run as Arrow-batched ``mapInPandas`` so bytes never leave
+the executors and the Python workers see whole batches.
+
+The actual codecs (Pillow/torchaudio/ffmpeg) are NOT in this container,
+so the decode step is pluggable: ``decoder=None`` uses a deterministic
+fake that derives features from the bytes themselves (length, md5-seeded
+pseudo-dimensions) — the Spark-side plumbing (schema, partitioning, UDF
+signature, batch shape) is real and tested; swap ``decoder`` for a real
+one in deployment.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (content: bytes) -> dict of features
+Decoder = Callable[[bytes], dict]
+
+IMAGE_FEATURE_SCHEMA = (
+    "width INT, height INT, n_channels INT, format STRING, decode_error STRING"
+)
+
+
+def fake_image_decoder(content: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder.
+
+    Derives pseudo-dimensions from a content hash — stable across runs,
+    engines, and partitionings. Replace with Pillow in deployment:
+    ``lambda b: {'width': img.width, ...}``.
+    """
+    if not content:
+        raise ValueError("empty content")
+    h = hashlib.md5(content).digest()
+    return {
+        "width": 64 + h[0] * 8,
+        "height": 64 + h[1] * 8,
+        "n_channels": 3 if h[2] % 4 else 1,
+        "format": ["png", "jpeg", "webp"][h[3] % 3],
+    }
+
+
+def read_binary_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Binary-file source: one row per file with content bytes + metadata.
+
+    At 100 TB: binaryFile splits per-file (no partial reads), so set
+    ``spark.sql.files.maxPartitionBytes`` / use many files; huge media
+    archives should land as tar-shards read by a custom mapInPandas
+    un-archiver instead.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Cheap metadata that needs no decode: size, content hash, magic-byte
+    sniffed type. Pure Column algebra (codegen, no Python)."""
+    c = F.col(content_col)
+    magic = F.hex(F.substring(c, 1, 4))
+    return df.withColumns(
+        {
+            "media_size_bytes": F.length(c).cast("bigint"),
+            "media_md5": F.md5(c),
+            "media_type": F.when(magic.startswith("89504E47"), "image/png")
+            .when(magic.startswith("FFD8FF"), "image/jpeg")
+            .when(magic.startswith("47494638"), "image/gif")
+            .when(magic.startswith("52494646"), "audio/wav-or-webp")
+            .when(magic.startswith("664C6143"), "audio/flac")
+            .otherwise("application/octet-stream"),
+        }
+    )
+
+
+def decode_images(
+    df: DataFrame,
+    content_col: str = "content",
+    keep_cols: list[str] | None = None,
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """Decode/feature-extract images via Arrow-batched mapInPandas.
+
+    Output: ``keep_cols`` + IMAGE_FEATURE_SCHEMA. Decode failures become
+    rows with ``decode_error`` set (never abort a 100 TB scan for one
+    corrupt file).
+    """
+    keep_cols = keep_cols or []
+    dec = decoder or fake_image_decoder
+    keep_types = dict(df.dtypes)
+    schema = ", ".join(
+        [f"`{c}` {keep_types[c]}" for c in keep_cols] + [IMAGE_FEATURE_SCHEMA]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                rec = {c: row[c] for c in keep_cols}
+                try:
+                    feats = dec(bytes(row[content_col]))
+                    rec.update(
+                        {
+                            "width": feats.get("width"),
+                            "height": feats.get("height"),
+                            "n_channels": feats.get("n_channels"),
+                            "format": feats.get("format"),
+                            "decode_error": None,
+                        }
+                    )
+                except Exception as ex:
+                    rec.update(
+                        {"width": None, "height": None, "n_channels": None,
+                         "format": None, "decode_error": str(ex)}
+                    )
+                out.append(rec)
+            yield pd.DataFrame(
+                out,
+                columns=keep_cols + ["width", "height", "n_channels", "format", "decode_error"],
+            )
+
+    return df.mapInPandas(run, schema)

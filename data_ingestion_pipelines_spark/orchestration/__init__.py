@@ -1,0 +1,3 @@
+from .runner import JobResult, JobRunner
+
+__all__ = ["JobResult", "JobRunner"]

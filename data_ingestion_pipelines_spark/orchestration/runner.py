@@ -1,0 +1,109 @@
+"""Job-group orchestration (SURVEY §2.10 X1/X3/X6).
+
+The reference fans a job group out as parent→child *notebooks* — a fixed
+pool of 7/10 Databricks notebook runs, each a separate JVM, statuses
+returned as JSON strings through ``dbutils.notebook.exit`` (`dataSource
+bp/Concurrent.scala`, `parallel-notebooks.scala`). One Spark app per
+child wastes cluster startup and prevents shared caching.
+
+Engine design: ONE SparkSession, a thread pool over JobSpecs (Spark's
+scheduler interleaves concurrent jobs fine — threads just submit actions),
+per-job ``JobResult`` dataclasses instead of JSON strings, a bounded
+retry ladder over failed jobs (X3: up-to-4 re-runs, `Well Logs…/
+Tables.scala:249-289`), runlog records per job, and a pluggable notifier
+hook (X6).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import traceback
+from collections.abc import Callable, Iterable
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from dataclasses import dataclass, field
+
+from ..sinks.runlog import RunLog, RunRecord
+from ..specs import JobSpec
+
+# A job body: spec -> number of rows ingested (or raises)
+JobFn = Callable[[JobSpec], int]
+Notifier = Callable[[str, list["JobResult"]], None]
+
+DEFAULT_POOL_SIZE = 7  # reference numNotebooksInParallel
+DEFAULT_RERUN_BUDGET = 4  # reference failure re-run budget
+
+
+@dataclass
+class JobResult:
+    spec: JobSpec
+    status: str  # 'S' / 'F'
+    started_at: dt.datetime
+    ended_at: dt.datetime
+    rows: int = 0
+    error: str | None = None
+    attempts: int = 1
+
+    @property
+    def key(self) -> str:
+        return f"{self.spec.job_group}/{self.spec.job_order}/{self.spec.job_num}"
+
+
+@dataclass
+class JobRunner:
+    job_fn: JobFn
+    pool_size: int = DEFAULT_POOL_SIZE
+    rerun_budget: int = DEFAULT_RERUN_BUDGET
+    runlog: RunLog | None = None
+    notifier: Notifier | None = None
+    results: list[JobResult] = field(default_factory=list)
+
+    def _run_one(self, spec: JobSpec, attempt: int) -> JobResult:
+        start = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        try:
+            rows = self.job_fn(spec)
+            status, error = "S", None
+        except Exception:
+            rows, status, error = 0, "F", traceback.format_exc(limit=5)
+        end = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        res = JobResult(spec, status, start, end, rows=rows, error=error, attempts=attempt)
+        if self.runlog is not None:
+            self.runlog.record(
+                RunRecord(
+                    jobGroup=spec.job_group,
+                    jobOrder=spec.job_order,
+                    startTime=start,
+                    endTime=end,
+                    status=status,
+                    errorMessage=(error or "")[:4000] or None,
+                    recIngested=rows,
+                )
+            )
+        return res
+
+    def run_group(self, specs: Iterable[JobSpec]) -> list[JobResult]:
+        """Run active specs in a bounded pool; retry failures up to the
+        rerun budget (FAILURES_ONLY semantics at job granularity)."""
+        pending = [s for s in specs if (s.is_active or "Y").upper() == "Y"]
+        final: dict[str, JobResult] = {}
+        attempt = 1
+        while pending and attempt <= self.rerun_budget:
+            with ThreadPoolExecutor(max_workers=self.pool_size) as pool:
+                futures = {pool.submit(self._run_one, s, attempt): s for s in pending}
+                round_results = [f.result() for f in as_completed(futures)]
+            for r in round_results:
+                final[r.key] = r
+            pending = [r.spec for r in round_results if r.status == "F"]
+            attempt += 1
+        self.results = list(final.values())
+        if self.runlog is not None:
+            self.runlog.flush()
+        failed = [r for r in self.results if r.status == "F"]
+        if self.notifier is not None:
+            self.notifier("FAILED" if failed else "SUCCEEDED", self.results)
+        return self.results
+
+    def raise_on_failure(self) -> None:
+        failed = [r for r in self.results if r.status == "F"]
+        if failed:
+            keys = ", ".join(r.key for r in failed)
+            raise RuntimeError(f"{len(failed)} job(s) failed after retries: {keys}")

@@ -1,0 +1,3 @@
+from .file_inventory import FileInventoryPipeline
+
+__all__ = ["FileInventoryPipeline"]

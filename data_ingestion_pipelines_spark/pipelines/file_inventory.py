@@ -1,0 +1,229 @@
+"""The file-inventory ingestion pipeline — the NetApp/SPO lifecycle
+(SURVEY §3.1) re-expressed Spark-first.
+
+Reference flow (3 notebooks, driver-bound):
+  1. LISTING: driver walks SMB, 50k-row batched union, null-out + DELETE +
+     full-outer-join COALESCE refresh of the control table
+  2. CLASSIFY: collect() every row to the driver, per-row rule cascade,
+     left-join results back
+  3. COPY: row_number 200-row chunks → 20 notebook JVMs, per-file driver
+     copy loops, hourly state flush, RANK-dedup DELETE
+
+Engine flow (one Spark app, no collect of the inventory):
+  1. ``refresh_inventory``: executor-side listing (sources/files.py) →
+     ``coalesce_merge`` against current state (J1+P2) with the
+     reference's isAtSource recompute — one outer-join shuffle on the
+     path key
+  2. ``classify_inventory``: broadcast-compiled rule cascade (P13) —
+     projection only
+  3. ``copy_files``: INC predicate (I2) filter → ``repartition(n)`` (the
+     Spark-native replacement for chunk-queries+notebooks, X2) →
+     ``mapInPandas`` copy with per-partition clients, MD5 verify, S/F
+     status rows — state update via ``keep_latest`` merge, runlog append
+
+State lives in a parquet/Delta control table with the F1 schema,
+partitioned (jobGroup, jobOrder) like the reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.column_specs import coalesce_merge
+from ..operators.classify import ExclusionRules, classify
+from ..operators.incremental import copy_needed_condition
+from ..operators.windows import keep_latest
+from ..sinks.runlog import RunLog
+from ..sources.files import list_files_distributed
+
+CONTROL_SCHEMA = (
+    "sourceFilePath STRING, jobGroup INT, jobOrder INT, isAtSource STRING, "
+    "fileSizeMB STRING, createdTimeStamp TIMESTAMP, modifiedTimeStamp TIMESTAMP, "
+    "listingTimeStamp TIMESTAMP, toBeExcluded STRING, exclusionReason STRING, "
+    "exclusionTimeStamp TIMESTAMP, targetFilePath STRING, status STRING, "
+    "copyFailReason STRING, copyStatusTimeStamp TIMESTAMP"
+)
+
+# (src_path, dst_path) -> None; raises on failure. Default: local FS copy.
+CopyFn = Callable[[str, str], None]
+
+
+def _md5_file(path: str, chunk: int = 4096) -> str:
+    """Chunked MD5 (reference copy-integrity check, 4 KB chunks)."""
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                return h.hexdigest()
+            h.update(b)
+
+
+def local_copy_verified(src: str, dst: str) -> None:
+    """Copy + chunked-MD5 verify (reference `Testing/Copy File and
+    Calculate md5/main.py:63-92`). Swap for an SMB→Blob client pair."""
+    import shutil
+
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.copyfile(src, dst)
+    if _md5_file(src) != _md5_file(dst):
+        raise IOError(f"md5 mismatch after copy: {src} -> {dst}")
+
+
+@dataclass
+class FileInventoryPipeline:
+    spark: SparkSession
+    control_path: str
+    job_group: int
+    job_order: int
+    runlog: RunLog | None = None
+
+    # -- state ------------------------------------------------------------
+    def read_control(self) -> DataFrame:
+        try:
+            df = self.spark.read.parquet(self.control_path)
+        except Exception:
+            df = self.spark.createDataFrame([], CONTROL_SCHEMA)
+        return df.filter(
+            (F.col("jobGroup") == self.job_group) & (F.col("jobOrder") == self.job_order)
+        )
+
+    def _write_control(self, df: DataFrame) -> None:
+        full = df
+        try:
+            others = self.spark.read.parquet(self.control_path).filter(
+                ~((F.col("jobGroup") == self.job_group) & (F.col("jobOrder") == self.job_order))
+            )
+            full = others.unionByName(df)
+        except Exception:
+            pass
+        # parquet fallback: slice-scoped rewrite, partitioned like the
+        # reference; on Delta this is replaceWhere on the partition.
+        full = full.localCheckpoint(eager=True)
+        full.write.mode("overwrite").partitionBy("jobGroup", "jobOrder").parquet(
+            self.control_path
+        )
+
+    # -- step 1: listing + refresh -----------------------------------------
+    def refresh_inventory(self, seed_dirs: list[str], target_root: str) -> DataFrame:
+        """Executor-side listing → outer-join COALESCE refresh.
+
+        New listing wins for file metadata; copy-state columns survive
+        from the old rows (the reference nulls 5 columns then COALESCEs —
+        same effect). ``isAtSource`` recomputed: Y iff listed this round.
+        """
+        now = F.current_timestamp()
+        listed = list_files_distributed(self.spark, seed_dirs)
+        failures = listed.filter(F.col("listError").isNotNull())
+        new = (
+            listed.filter(F.col("listError").isNull())
+            .select(
+                "sourceFilePath",
+                F.lit(self.job_group).alias("jobGroup"),
+                F.lit(self.job_order).alias("jobOrder"),
+                F.lit("Y").alias("isAtSource"),
+                F.format_number(F.col("fileSizeMB"), 3).alias("fileSizeMB"),
+                "createdTimeStamp",
+                "modifiedTimeStamp",
+                now.alias("listingTimeStamp"),
+                F.concat(
+                    F.lit(target_root.rstrip("/") + "/"),
+                    F.substring_index("sourceFilePath", "/", -1),
+                ).alias("targetFilePath"),
+            )
+        )
+        old = self.read_control()
+        merged = coalesce_merge(
+            old, new, keys=["sourceFilePath", "jobGroup", "jobOrder"], prefer="new"
+        )
+        # not listed this round → no longer at source
+        merged = merged.withColumn(
+            "isAtSource",
+            F.when(F.col("listingTimeStamp") < now, F.lit("N")).otherwise(
+                F.coalesce(F.col("isAtSource"), F.lit("N"))
+            ),
+        )
+        # old (read_control) always carries the full F1 schema, so the
+        # coalesce-merge output has every control column
+        control_cols = [c.strip().split()[0] for c in CONTROL_SCHEMA.split(",")]
+        self._write_control(merged.select(*control_cols))
+        return failures
+
+    # -- step 2: classification --------------------------------------------
+    def classify_inventory(self, rules: ExclusionRules) -> None:
+        inv = self.read_control()
+        at_source = inv.filter(F.col("isAtSource") == "Y").drop(
+            "toBeExcluded", "exclusionReason"
+        )
+        rest = inv.filter(F.col("isAtSource") != "Y")
+        classified = classify(at_source, rules).withColumn(
+            "exclusionTimeStamp",
+            F.when(F.col("toBeExcluded") == "Y", F.current_timestamp()).otherwise(
+                F.lit(None).cast("timestamp")
+            ),
+        )
+        self._write_control(rest.unionByName(classified.select(*rest.columns)))
+
+    # -- step 3: copy --------------------------------------------------------
+    def copy_candidates(self) -> DataFrame:
+        return self.read_control().filter(
+            (F.col("isAtSource") == "Y")
+            & (F.col("toBeExcluded") == "N")
+            & copy_needed_condition()
+        )
+
+    def copy_files(
+        self,
+        parallelism: int = 20,
+        copy_fn: CopyFn = local_copy_verified,
+    ) -> DataFrame:
+        """Distributed copy: repartition(parallelism) replaces the
+        reference's 200-row chunk queries × 20 notebooks; each partition
+        copies its files and emits S/F status rows; control table updated
+        via keep-latest merge (replaces RANK-dedup DELETE, O4)."""
+        cand = self.copy_candidates().select("sourceFilePath", "targetFilePath")
+        out_schema = "sourceFilePath STRING, status STRING, copyFailReason STRING, copyStatusTimeStamp TIMESTAMP"
+
+        def do_copy(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+                    try:
+                        copy_fn(r["sourceFilePath"], r["targetFilePath"])
+                        rows.append((r["sourceFilePath"], "S", None, ts))
+                    except Exception as ex:
+                        rows.append((r["sourceFilePath"], "F", str(ex)[:1000], ts))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["sourceFilePath", "status", "copyFailReason", "copyStatusTimeStamp"],
+                )
+
+        # materialize EAGERLY: the copy is a side effect that must run
+        # exactly once, and the control files the plan reads are about to
+        # be overwritten
+        results = cand.repartition(parallelism).mapInPandas(do_copy, out_schema)
+        results = results.localCheckpoint(eager=True)
+        # merge outcomes into control state: newest status per file wins
+        inv = self.read_control()
+        updated = (
+            inv.drop("status", "copyFailReason", "copyStatusTimeStamp")
+            .join(results, on="sourceFilePath", how="left")
+        )
+        # keep-latest guards against duplicate status rows (retry overlap)
+        updated = keep_latest(
+            updated, keys=["sourceFilePath"], order_col="copyStatusTimeStamp"
+        )
+        self._write_control(updated.select(*inv.columns))
+        if self.runlog is not None:
+            self.runlog.flush()
+        return results

@@ -21,12 +21,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import llmops, relational
+from . import ingestion, llmops, relational
 
 # name -> (spark_fn, oracle_sql_or_None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 REGISTRY.update(relational.QUERIES)
 REGISTRY.update(llmops.QUERIES)
+REGISTRY.update(ingestion.QUERIES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

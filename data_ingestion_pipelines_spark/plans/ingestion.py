@@ -1,0 +1,145 @@
+"""Ingestion-surface query set: XML extraction, distributed REST fan-out,
+and multimodal binary plumbing — hash-checked against SQL oracles by
+constructing the inputs deterministically from the test tables.
+
+- ``xml_extract``: builds one SOAP body per order FROM lineitem, parses it
+  back with the engine's executor-side XML extractor — the oracle is the
+  lineitem identity (flatten(build(x)) == x).
+- ``rest_fetch_per_id``: runs the mapInPandas per-ID fan-out with an
+  injected deterministic transport (no network) — the oracle predicts
+  each response from the id.
+- ``multimodal_decode``: text bytes as a binary media column → metadata +
+  (fake-)decoder features; the decoder derives features from the md5
+  digest, which the oracle recomputes in SQL via hex-nibble parsing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import decode_images, with_media_metadata
+from ..sources.files import read_parquet_table
+from ..sources.rest import Response, fetch_per_id
+from ..sources.xml import xml_bodies_to_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# S11/N5: SOAP-XML node-path extraction (roundtrip through a built body)
+def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    row_xml = F.concat(
+        F.lit('<Row Tag="'), F.col("l_linenumber").cast("string"),
+        F.lit('" Value="'), F.col("l_quantity").cast("string"), F.lit('"/>'),
+    )
+    bodies = (
+        li.groupBy("l_orderkey")
+        .agg(F.concat_ws("", F.array_sort(F.collect_list(row_xml))).alias("inner"))
+        .select(
+            "l_orderkey",
+            F.concat(
+                F.lit("<Envelope><Body><Response>"), F.col("inner"),
+                F.lit("</Response></Body></Envelope>"),
+            ).alias("body"),
+        )
+    )
+    return xml_bodies_to_df(
+        bodies, "Envelope;Body;Response;Row", ["Tag", "Value"], keep_cols=["l_orderkey"]
+    )
+
+
+XML_EXTRACT_SQL = """
+SELECT l_orderkey, CAST(l_linenumber AS VARCHAR) AS Tag,
+       CAST(l_quantity AS VARCHAR) AS Value
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# S10: distributed per-ID REST fan-out with a deterministic fake transport
+def _fake_transport():
+    import json as _json
+
+    def transport(url: str, method, headers, body) -> Response:
+        # id is the last path segment; every 97th id 404s (failure rows)
+        ident = int(url.rsplit("/", 1)[-1])
+        if ident % 97 == 0:
+            return Response(404, "not found")
+        return Response(200, _json.dumps({"status": "ok", "id": ident}))
+
+    return transport
+
+
+def rest_fetch_per_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _t(spark, sf_dir, "part").select("p_partkey")
+    fetched = fetch_per_id(
+        ids, "http://api/v1/part/{p_partkey}", _fake_transport,
+        retries=0, retry_sleep_sec=0.0,
+    )
+    return fetched.select(
+        "p_partkey",
+        F.get_json_object("body", "$.status").alias("status"),
+        F.get_json_object("body", "$.id").cast("bigint").alias("echo_id"),
+        "error",
+    )
+
+
+REST_FETCH_PER_ID_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE 'ok' END AS status,
+       CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE p_partkey END AS echo_id,
+       CASE WHEN p_partkey % 97 = 0 THEN 'HTTP 404' ELSE NULL END AS error
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal: binary media column metadata + deterministic fake decode
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    meta = with_media_metadata(docs)
+    feats = decode_images(meta, keep_cols=["doc_id", "media_size_bytes", "media_md5", "media_type"])
+    return feats.select(
+        "doc_id", "media_size_bytes", "media_md5", "media_type",
+        "width", "height", "n_channels", "format", "decode_error",
+    )
+
+
+# hex-nibble parse: byte i of the md5 digest, 1-indexed hex pairs
+_NIB = "strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1"
+_BYTE = f"(({_NIB.format(i='{a}')}) * 16 + ({_NIB.format(i='{b}')}))"
+
+MULTIMODAL_DECODE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS media_size_bytes,
+         md5(text) AS media_md5,
+         'application/octet-stream' AS media_type,
+         {_BYTE.format(a=1, b=2)} AS h0,
+         {_BYTE.format(a=3, b=4)} AS h1,
+         {_BYTE.format(a=5, b=6)} AS h2,
+         {_BYTE.format(a=7, b=8)} AS h3,
+         length(text) = 0 AS is_empty
+  FROM documents
+)
+SELECT doc_id, media_size_bytes, media_md5, media_type,
+       CASE WHEN is_empty THEN NULL ELSE CAST(64 + h0 * 8 AS INTEGER) END AS width,
+       CASE WHEN is_empty THEN NULL ELSE CAST(64 + h1 * 8 AS INTEGER) END AS height,
+       CASE WHEN is_empty THEN NULL ELSE CAST(CASE WHEN h2 % 4 = 0 THEN 1 ELSE 3 END AS INTEGER) END AS n_channels,
+       CASE WHEN is_empty THEN NULL ELSE ['png','jpeg','webp'][h3 % 3 + 1] END AS format,
+       CASE WHEN is_empty THEN 'empty content' ELSE NULL END AS decode_error
+FROM m
+"""
+
+
+QUERIES = {
+    "xml_extract": (xml_extract, XML_EXTRACT_SQL),
+    "rest_fetch_per_id": (rest_fetch_per_id, REST_FETCH_PER_ID_SQL),
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
+}

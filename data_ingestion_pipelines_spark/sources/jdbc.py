@@ -1,0 +1,79 @@
+"""JDBC source/sink wrappers (SURVEY §2.1 S2, §2.2 K6/K7).
+
+The reference reads control tables from SQL Server with pushdown
+subqueries aliased ``(…) as tab`` and a large fetchsize, and appends
+run-log rows back over JDBC (`dataSource bp/Tables.scala:101-114`,
+fetchsize `:48-64`; `bp-structured-sharepoint-list-online/main.py:32-34,
+215`). These wrappers keep that surface; no JDBC driver jar ships in this
+container, so they are exercised in integration environments only (the
+parquet control-table path covers tests here — catalog.py).
+
+The stored-proc audit write (K7, `[audit].[SP_LOG_RUN_DETAILS_NEW]`) is
+deliberately NOT reproduced: the engine's RunLog table (sinks/runlog.py)
+replaces it, and ``runlog_to_jdbc`` ships those rows to a relational
+store when one exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_FETCHSIZE = 36_000  # reference Tables.scala:55 (108k for bulk)
+
+
+def read_jdbc_query(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    properties: dict[str, str] | None = None,
+    fetchsize: int = DEFAULT_FETCHSIZE,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Pushdown-subquery JDBC read: the WHOLE query executes source-side.
+
+    For big tables pass ``partition_column`` + bounds so Spark issues
+    ``num_partitions`` range-partitioned queries in parallel instead of
+    one serial cursor — the scale-out the reference approximates with
+    fetchsize alone.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"({query}) AS tab")
+        .option("fetchsize", str(fetchsize))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if num_partitions is None or lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs numPartitions + bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
+
+
+def append_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Append rows to a JDBC table (K6: runlog → SQL Server)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()

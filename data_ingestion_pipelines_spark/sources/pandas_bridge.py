@@ -1,0 +1,48 @@
+"""pandas/dict → Spark bridges (SURVEY §2.1 S16/S17).
+
+The reference hand-rolls a dtype map (datetime64→Timestamp, int64→Long,
+int32→Integer, float64→Float, else String —
+`bp-unstructured-sharepoint-ingestion/ModuleFunctions.py:115-135`,
+duplicated twice more). With Arrow enabled, ``spark.createDataFrame(pdf)``
+does this natively and zero-copies the columns; this module keeps the
+reference's *semantics* (notably: unknown dtypes stringify, and an
+``autoInferSchema='false'`` mode forces all-string like
+`bp-structured-sharepoint-list-online/main.py:163-165`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def pandas_to_spark(
+    spark: SparkSession,
+    pdf,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """Arrow-backed pandas→Spark. ``infer_schema=False`` stringifies every
+    column first (the reference's autoInferSchema='false' path)."""
+    if not infer_schema:
+        pdf = pdf.astype("string").where(pdf.notna(), None)
+        schema = ", ".join(f"`{c}` STRING" for c in pdf.columns)
+        return spark.createDataFrame(pdf, schema)
+    # object columns with non-string payloads stringify (reference behavior)
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(lambda v: None if v is None else str(v))
+    return spark.createDataFrame(pdf)
+
+
+def rows_to_spark(
+    spark: SparkSession,
+    rows: list[dict[str, Any]] | list[tuple],
+    schema: str,
+) -> DataFrame:
+    """dict/tuple rows → DataFrame with an explicit DDL schema (S17)."""
+    if rows and isinstance(rows[0], dict):
+        cols = [f.strip().split()[0].strip("`") for f in schema.split(",")]
+        rows = [tuple(r.get(c) for c in cols) for r in rows]
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,283 @@
+"""REST/API sources (SURVEY §2.1 S6/S7/S8/S10, §2.10 X3/X5).
+
+The reference fetches APIs driver-side with scalaj-http/curl: generic
+auth'd GET/POST (`dataSource bp/ModuleFunctions.scala:413-454`), recursive
+pagination in 4 modes with token auto-regen (`:478-561`), raw-text paging
+(`:619-658`), and a per-ID fan-out that loops (curveId, fileId) tuples on
+the driver (`Well Logs…/ModuleFunctions.scala:647-711`).
+
+Engine design:
+- ``Transport`` is a pluggable callable (url, method, headers, body) →
+  ``Response``; the default uses urllib (stdlib). Tests inject fakes — no
+  network in this container.
+- ``TokenProvider`` owns the auth lifecycle: it re-generates bearer
+  tokens after ``refresh_minutes`` (reference 50-min rule :466-477) and is
+  safe to construct INSIDE executors (per-partition auth, SURVEY §7
+  hard-part d).
+- ``paginate`` is a driver-side page generator (pagination is inherently
+  sequential — page N carries the link to N+1); each page body lands in
+  ``spark.read.json`` / csv and pages accumulate via ``unionByName`` with
+  a balanced reduce (the reference's linear ``union`` chain grows the plan
+  linearly; balanced reduce keeps it log-depth).
+- ``fetch_per_id`` is the scale path for ID fan-outs: the ID table is a
+  DataFrame, ``mapInPandas`` issues one HTTP call per row executor-side,
+  failures become rows in a failures column instead of aborting (feeding
+  the retry ladder, reference `Well Logs…/Tables.scala:249-289`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..specs import PaginationType
+
+
+@dataclass
+class Response:
+    status: int
+    body: str
+    headers: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return 200 <= self.status < 300
+
+
+# (url, method, headers, body) -> Response
+Transport = Callable[[str, str, dict[str, str], str | None], Response]
+
+
+def urllib_transport(
+    url: str, method: str = "GET", headers: dict[str, str] | None = None, body: str | None = None,
+    timeout_sec: float = 600.0,
+) -> Response:
+    """Stdlib transport (no external deps). Long read timeout mirrors the
+    reference's 600 s read timeout."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=body.encode() if body else None, headers=headers or {}, method=method
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
+            return Response(resp.status, resp.read().decode(), dict(resp.headers))
+    except urllib.error.HTTPError as ex:
+        return Response(ex.code, ex.read().decode(errors="replace"), dict(ex.headers or {}))
+
+
+@dataclass
+class TokenProvider:
+    """Bearer-token lifecycle with timed regeneration.
+
+    ``generator`` returns a fresh token string; ``refresh_minutes`` is the
+    reference's 50-minute rule (25 for the curve API). Constructed lazily
+    so instances can live inside executor partitions.
+    """
+
+    generator: Callable[[], str]
+    refresh_minutes: float = 50.0
+    _token: str | None = None
+    _issued_at: float = 0.0
+
+    def token(self) -> str:
+        now = time.monotonic()
+        if self._token is None or (now - self._issued_at) > self.refresh_minutes * 60:
+            self._token = self.generator()
+            self._issued_at = now
+        return self._token
+
+    def auth_headers(self) -> dict[str, str]:
+        return {"Authorization": f"Bearer {self.token()}"}
+
+
+def with_retries(
+    fn: Callable[[], Response],
+    retries: int = 3,
+    sleep_sec: float = 60.0,
+    retry_statuses: tuple[int, ...] = (429, 500, 502, 503, 504),
+    sleeper: Callable[[float], None] = time.sleep,
+) -> Response:
+    """Bounded retry ladder (reference: 3×60 s, `…sharepoint…/
+    ModuleFunctions.py:246-248`). Retries on transport errors and
+    retryable statuses; returns the last response otherwise."""
+    last: Exception | Response | None = None
+    for attempt in range(retries + 1):
+        try:
+            resp = fn()
+        except Exception as ex:  # transport-level failure
+            last = ex
+            if attempt < retries:
+                sleeper(sleep_sec)
+            continue
+        if resp.status in retry_statuses and attempt < retries:
+            last = resp
+            sleeper(sleep_sec)
+            continue
+        return resp
+    if isinstance(last, Response):
+        return last
+    raise RuntimeError(f"request failed after {retries + 1} attempts: {last}")
+
+
+def _set_query_param(url: str, key: str, value: str) -> str:
+    """Replace-or-append one query parameter (so a url that already
+    carries ``offset=0`` pages correctly instead of accumulating params)."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    parts = urlsplit(url)
+    q = [(k, v) for k, v in parse_qsl(parts.query) if k != key]
+    q.append((key, value))
+    return urlunsplit(parts._replace(query=urlencode(q)))
+
+
+def paginate(
+    url: str,
+    transport: Transport = urllib_transport,
+    pagination: PaginationType = PaginationType.NONE,
+    keyword: str = "",
+    headers: dict[str, str] | None = None,
+    token_provider: TokenProvider | None = None,
+    page_limit: int = 10_000,
+    offset_step: int | None = None,
+    base_url: str = "",
+) -> Iterator[str]:
+    """Yield page bodies following the reference's 4 pagination modes.
+
+    - HEADER: next URL in response header ``keyword``
+    - QUERY_PARAM: ``&{keyword}={offset}`` incremented by ``offset_step``
+    - ABSOLUTE_URL / RELATIVE_URL: next link under JSON key ``keyword``
+    - PAGE_COUNT: body key ``keyword`` holds total pages; fetch
+      ``?page=N`` (Rushmore variant)
+    Token refresh happens per page via ``token_provider`` (50-min rule).
+    """
+    current = url
+    offset = 0
+    page_no = 1
+    total_pages: int | None = None
+    for _ in range(page_limit):
+        hdrs = dict(headers or {})
+        if token_provider is not None:
+            hdrs.update(token_provider.auth_headers())
+        resp = with_retries(lambda: transport(current, "GET", hdrs, None))
+        if not resp.ok:
+            raise RuntimeError(f"page fetch failed: HTTP {resp.status} at {current}")
+        yield resp.body
+
+        if pagination == PaginationType.NONE:
+            return
+        if pagination == PaginationType.HEADER:
+            nxt = resp.headers.get(keyword)
+            if not nxt:
+                return
+            current = nxt
+        elif pagination == PaginationType.QUERY_PARAM:
+            if not json.loads(resp.body):  # empty page ends QueryParam mode
+                return
+            step = offset_step or 1
+            offset += step
+            current = _set_query_param(url, keyword, str(offset))
+        elif pagination in (PaginationType.ABSOLUTE_URL, PaginationType.RELATIVE_URL):
+            doc = json.loads(resp.body)
+            nxt = doc
+            for part in keyword.split("."):
+                nxt = nxt.get(part) if isinstance(nxt, dict) else None
+            if not nxt:
+                return
+            current = nxt if pagination == PaginationType.ABSOLUTE_URL else base_url + nxt
+        elif pagination == PaginationType.PAGE_COUNT:
+            if total_pages is None:
+                doc = json.loads(resp.body)
+                node = doc
+                for part in keyword.split("."):
+                    node = node.get(part) if isinstance(node, dict) else None
+                total_pages = int(node or 1)
+            page_no += 1
+            if page_no > total_pages:
+                return
+            sep = "&" if "?" in url else "?"
+            current = f"{url}{sep}page={page_no}"
+    raise RuntimeError(f"pagination exceeded {page_limit} pages — loop?")
+
+
+def json_pages_to_df(spark: SparkSession, pages: Iterator[str] | list[str]) -> DataFrame:
+    """Parse JSON page bodies into one DataFrame via balanced unionByName.
+
+    ``allowMissingColumns=True`` because later pages can carry extra keys
+    (the reference casts everything to string to force union-ability —
+    Rushmore `ModuleFunctions.scala:225-231`; schema union is strictly
+    better)."""
+    dfs = [
+        spark.read.json(spark.sparkContext.parallelize([p]))
+        for p in pages
+    ]
+    if not dfs:
+        raise ValueError("no pages")
+
+    def union2(a: DataFrame, b: DataFrame) -> DataFrame:
+        return a.unionByName(b, allowMissingColumns=True)
+
+    # balanced reduce keeps the plan log-depth instead of a linear chain
+    while len(dfs) > 1:
+        dfs = [reduce(union2, dfs[i : i + 2]) for i in range(0, len(dfs), 2)]
+    return dfs[0]
+
+
+def fetch_per_id(
+    ids: DataFrame,
+    url_template: str,
+    transport_factory: Callable[[], Transport] = lambda: urllib_transport,
+    token_generator: Callable[[], str] | None = None,
+    refresh_minutes: float = 25.0,
+    retries: int = 3,
+    retry_sleep_sec: float = 60.0,
+) -> DataFrame:
+    """Distributed per-ID REST fan-out (S10) — one HTTP call per row,
+    executor-side, via mapInPandas.
+
+    ``ids`` supplies the template fields (e.g. ``{curveId}``/``{fileId}``
+    columns). Output: the id columns + ``body`` (response text, NULL on
+    failure) + ``error``. Failures feed the FAILURES_ONLY retry ladder.
+    Transport/token objects are created once per partition (per-partition
+    auth, token window per the reference's 25-min curve rule).
+    """
+    id_cols = ids.columns
+    out_schema = ", ".join(f"`{c}` {t}" for c, t in ids.dtypes) + ", body STRING, error STRING"
+
+    def fetch(batches):
+        import pandas as pd
+
+        transport = transport_factory()
+        tp = (
+            TokenProvider(token_generator, refresh_minutes)
+            if token_generator is not None
+            else None
+        )
+        for pdf in batches:
+            bodies, errors = [], []
+            for _, row in pdf.iterrows():
+                url = url_template.format(**{c: row[c] for c in id_cols})
+                hdrs = tp.auth_headers() if tp else {}
+                try:
+                    resp = with_retries(
+                        lambda: transport(url, "GET", hdrs, None),
+                        retries=retries,
+                        sleep_sec=retry_sleep_sec,
+                    )
+                    bodies.append(resp.body if resp.ok else None)
+                    errors.append(None if resp.ok else f"HTTP {resp.status}")
+                except Exception as ex:
+                    bodies.append(None)
+                    errors.append(str(ex))
+            pdf = pdf.copy()
+            pdf["body"] = bodies
+            pdf["error"] = errors
+            yield pdf
+
+    return ids.mapInPandas(fetch, out_schema)

@@ -1,0 +1,117 @@
+"""SOAP/XML extraction (SURVEY §2.1 S11, §2.8 N5; FIXTURES F7).
+
+The reference parses SOAP responses by descending a ``;``-separated node
+path and emitting one row per innermost node — one column per attribute,
+or per child-element text for the ``GetDRQueryResultDataTableXMLResponse``
+variant (`PSS WHI (XML)/ModuleFunctions.scala:483-526`, `dataSource bp/
+ModuleFunctions.scala:688-717`). Bodies may arrive entity-escaped
+(``&lt;…&gt;``).
+
+Engine design: parsing runs executor-side in ``mapInPandas`` with
+ElementTree (stdlib — spark-xml jars are not available here); one XML
+document per input row, so a million SOAP responses parse in parallel.
+All-STRING output schema like the reference (casts come later via the
+cast-spec transform).
+"""
+
+from __future__ import annotations
+
+import html
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _strip_ns(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _descend(root: ET.Element, path: list[str]) -> Iterator[ET.Element]:
+    """Walk the node path (namespace-insensitive), yielding innermost nodes."""
+    if _strip_ns(root.tag) == path[0]:
+        nodes = [root]
+        rest = path[1:]
+    else:
+        nodes = [root]
+        rest = path
+    for part in rest:
+        nodes = [c for n in nodes for c in n if _strip_ns(c.tag) == part]
+    yield from nodes
+
+
+def parse_xml_rows(
+    body: str,
+    node_path: str,
+    columns: list[str],
+    values_from: str = "attributes",
+) -> list[dict[str, str | None]]:
+    """Pure-Python core: one dict per innermost node.
+
+    ``values_from``: 'attributes' (reference default) or 'children'
+    (child-element text, the GetDRQueryResult variant). Unknown columns
+    come back None; entity-escaped bodies are unescaped first.
+    """
+    body = body.strip()
+    if body.startswith("&lt;") or "&lt;" in body[:200]:
+        body = html.unescape(body)
+    root = ET.fromstring(body)
+    path = [p.strip() for p in node_path.split(";") if p.strip()]
+    rows: list[dict[str, str | None]] = []
+    for node in _descend(root, path):
+        if values_from == "attributes":
+            vals = {k: v for k, v in node.attrib.items()}
+        else:
+            vals = {_strip_ns(c.tag): (c.text or "") for c in node}
+        rows.append({c: vals.get(c) for c in columns})
+    return rows
+
+
+def xml_bodies_to_df(
+    bodies: DataFrame,
+    node_path: str,
+    columns: list[str],
+    body_col: str = "body",
+    keep_cols: list[str] | None = None,
+    values_from: str = "attributes",
+) -> DataFrame:
+    """Distributed XML extraction: one row per innermost node per body.
+
+    ``bodies`` is a DataFrame with an XML-string column (e.g. the output
+    of ``fetch_per_id``); ``keep_cols`` pass through (job/ID tags).
+    """
+    keep_cols = keep_cols or []
+    keep_types = dict(bodies.dtypes)
+    schema = ", ".join(
+        [f"`{c}` {keep_types[c]}" for c in keep_cols] + [f"`{c}` STRING" for c in columns]
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                body = row[body_col]
+                if body is None:
+                    continue
+                for rec in parse_xml_rows(body, node_path, columns, values_from):
+                    rec.update({c: row[c] for c in keep_cols})
+                    out.append(rec)
+            yield pd.DataFrame(out, columns=keep_cols + columns)
+
+    return bodies.mapInPandas(parse, schema)
+
+
+def parse_xml_string(
+    spark: SparkSession,
+    body: str,
+    node_path: str,
+    columns: list[str],
+    values_from: str = "attributes",
+) -> DataFrame:
+    """Driver convenience for a single SOAP response (reference
+    ``parseXMLtoDF`` shape): rows → createDataFrame, all-string schema."""
+    rows = parse_xml_rows(body, node_path, columns, values_from)
+    schema = ", ".join(f"`{c}` STRING" for c in columns)
+    return spark.createDataFrame([tuple(r[c] for c in columns) for r in rows], schema)

@@ -1,0 +1,3 @@
+from .incremental import incremental_batch_stream, windowed_event_aggregate
+
+__all__ = ["incremental_batch_stream", "windowed_event_aggregate"]

@@ -1,0 +1,131 @@
+"""Structured Streaming surface (SURVEY §2.9, §7 step 8).
+
+The reference has no streaming code — its incrementality is batch
+watermarking (I1-I4) plus one consumed streaming table (I5,
+`bp-bentley-idms/AGT_Chirag_Platform.py`). The engine maps that surface
+to Structured Streaming:
+
+- ``incremental_batch_stream``: file-source ``readStream`` +
+  ``Trigger.AvailableNow`` — processes exactly the files that arrived
+  since the last checkpoint, then stops. This subsumes the reference's
+  watermark read-modify-write (I4): the checkpoint IS the watermark, and
+  it commits atomically with the sink (SURVEY §7 hard-part c).
+- ``windowed_event_aggregate``: tumbling/sliding event-time windows with
+  a lateness watermark — the engine-extension analytics surface. The
+  reference's −1h re-ingest skew guard (I3) becomes
+  ``withWatermark(ts, '1 hour')``: an explicit bound on how late data may
+  arrive instead of an ad-hoc clock offset.
+- ``foreach_batch_upsert``: merge each micro-batch into a target via the
+  engine's merge (I5's batch export becomes an idempotent upsert sink).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def incremental_batch_stream(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    fmt: str = "parquet",
+    schema=None,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """Incremental batch: new files since last run → transform → append.
+
+    ``Trigger.AvailableNow`` drains everything currently available in
+    bounded micro-batches and exits — the streaming engine's replacement
+    for hand-rolled watermark loops. Re-running is a no-op until new
+    files land.
+    """
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # file streams need a schema; steal it from a batch peek
+        reader = reader.schema(spark.read.format(fmt).load(source_path).schema)
+    df = reader.load(source_path)
+    if transform is not None:
+        df = transform(df)
+    return (
+        df.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint_path)
+        .option("path", sink_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_aggregate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark_delay: str = "1 hour",
+    group_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling/sliding window counts+sums with late-data watermark.
+
+    Works on both a streaming DataFrame (stateful, emits finalized
+    windows) and a batch one (plain groupBy) — the same plan serves the
+    I5 batch export and its streaming upgrade.
+    """
+    group_cols = group_cols or []
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark_delay)
+    win = F.window(ts_col, window_duration, slide) if slide else F.window(ts_col, window_duration)
+    return (
+        events.groupBy(win.alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(38,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    checkpoint_path: str,
+    order_col: str | None = None,
+) -> StreamingQuery:
+    """Streaming sink that MERGEs each micro-batch into a target table.
+
+    Idempotent under micro-batch replay when ``order_col`` is set (the
+    merge is keep-latest). Parquet fallback rewrites the snapshot — on
+    Delta this is a file-level MERGE.
+    """
+    from ..sinks.writers import load_dataframe
+    from ..specs import LoadType
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        load_dataframe(
+            batch_df,
+            target_path,
+            load_type=LoadType.INC,
+            pk_columns=keys,
+            order_col=order_col,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

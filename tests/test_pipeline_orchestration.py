@@ -1,0 +1,129 @@
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.classify import ExclusionRules
+from data_ingestion_pipelines_spark.operators.multimodal import (
+    decode_images,
+    with_media_metadata,
+)
+from data_ingestion_pipelines_spark.orchestration.runner import JobRunner
+from data_ingestion_pipelines_spark.pipelines.file_inventory import FileInventoryPipeline
+from data_ingestion_pipelines_spark.sinks.runlog import RunLog
+from data_ingestion_pipelines_spark.sources.pandas_bridge import pandas_to_spark, rows_to_spark
+from data_ingestion_pipelines_spark.specs import JobSpec, LoadType
+
+
+def test_job_runner_retries_and_runlog(spark, tmp_path):
+    attempts = {}
+
+    def job(spec: JobSpec) -> int:
+        attempts[spec.job_num] = attempts.get(spec.job_num, 0) + 1
+        if spec.job_num == 2 and attempts[2] < 3:
+            raise RuntimeError("flaky")
+        if spec.job_num == 3:
+            raise RuntimeError("always fails")
+        return 100
+
+    log = RunLog(spark, str(tmp_path / "runlog"))
+    runner = JobRunner(job, pool_size=3, rerun_budget=4, runlog=log)
+    specs = [JobSpec(job_group=1, job_order=1, job_num=i) for i in (1, 2, 3)]
+    results = runner.run_group(specs)
+
+    by_num = {r.spec.job_num: r for r in results}
+    assert by_num[1].status == "S" and by_num[1].attempts == 1
+    assert by_num[2].status == "S" and attempts[2] == 3  # retried to success
+    assert by_num[3].status == "F" and attempts[3] == 4  # budget exhausted
+    with pytest.raises(RuntimeError, match="1 job"):
+        runner.raise_on_failure()
+    # runlog captured every attempt
+    assert spark.read.parquet(str(tmp_path / "runlog")).count() == 1 + 3 + 4
+
+
+def test_job_runner_skips_inactive(spark):
+    ran = []
+    runner = JobRunner(lambda s: ran.append(s.job_num) or 1, pool_size=2)
+    runner.run_group([
+        JobSpec(job_group=1, job_order=1, job_num=1),
+        JobSpec(job_group=1, job_order=1, job_num=2, is_active="N"),
+    ])
+    assert ran == [1]
+
+
+def test_file_inventory_end_to_end(spark, tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "keep.dat").write_bytes(b"A" * 100)
+    (src / "skip.tmp").write_text("junk")
+    (src / "sub" / "deep.dat").write_bytes(b"B" * 50)
+    tgt = tmp_path / "tgt"
+
+    pipe = FileInventoryPipeline(
+        spark, str(tmp_path / "control"), job_group=1, job_order=1
+    )
+    failures = pipe.refresh_inventory([str(src)], str(tgt))
+    assert failures.count() == 0
+    inv = pipe.read_control()
+    assert inv.count() == 3
+    assert {r["isAtSource"] for r in inv.collect()} == {"Y"}
+
+    pipe.classify_inventory(ExclusionRules(extensions={"tmp"}))
+    inv = {r["sourceFilePath"]: r for r in pipe.read_control().collect()}
+    assert inv[str(src / "skip.tmp")]["toBeExcluded"] == "Y"
+    assert inv[str(src / "keep.dat")]["toBeExcluded"] == "N"
+
+    assert pipe.copy_candidates().count() == 2
+    results = pipe.copy_files(parallelism=2)
+    assert {(r["status"]) for r in results.collect()} == {"S"}
+    assert (tgt / "keep.dat").read_bytes() == b"A" * 100
+    assert (tgt / "deep.dat").exists()
+
+    # second pass: everything fresh → nothing to copy (I2 predicate)
+    assert pipe.copy_candidates().count() == 0
+
+    # touch a file → modified > copyStatus → candidate again
+    import os, time
+
+    time.sleep(0.05)
+    (src / "keep.dat").write_bytes(b"A" * 120)
+    pipe.refresh_inventory([str(src)], str(tgt))
+    pipe.classify_inventory(ExclusionRules(extensions={"tmp"}))
+    cands = [r["sourceFilePath"] for r in pipe.copy_candidates().collect()]
+    assert cands == [str(src / "keep.dat")]
+
+
+def test_multimodal_metadata_and_decode(spark):
+    rows = [
+        ("a.png", bytearray(b"\x89PNG\r\n" + b"x" * 50)),
+        ("b.jpg", bytearray(b"\xff\xd8\xff\xe0" + b"y" * 30)),
+        ("c.bin", bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "path string, content binary")
+    meta = {r["path"]: r for r in with_media_metadata(df).collect()}
+    assert meta["a.png"]["media_type"] == "image/png"
+    assert meta["b.jpg"]["media_type"] == "image/jpeg"
+    assert meta["a.png"]["media_size_bytes"] == 56
+
+    feats = {r["path"]: r for r in decode_images(df, keep_cols=["path"]).collect()}
+    assert feats["a.png"]["width"] >= 64 and feats["a.png"]["decode_error"] is None
+    assert feats["c.bin"]["decode_error"] is not None  # empty content → error row
+    # determinism: same bytes → same features
+    feats2 = {r["path"]: r for r in decode_images(df, keep_cols=["path"]).collect()}
+    assert feats2["a.png"]["width"] == feats["a.png"]["width"]
+
+
+def test_pandas_bridge(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1, 2], "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]), "o": [{"x": 1}, None]})
+    df = pandas_to_spark(spark, pdf)
+    assert dict(df.dtypes)["a"] == "bigint"
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    assert dict(df.dtypes)["o"] == "string"  # unknown object → stringified
+
+    allstr = pandas_to_spark(spark, pd.DataFrame({"a": [1]}), infer_schema=False)
+    assert dict(allstr.dtypes) == {"a": "string"}
+
+    df2 = rows_to_spark(spark, [{"k": 1, "v": "x"}], "k int, v string")
+    assert df2.collect()[0]["v"] == "x"

@@ -1,0 +1,182 @@
+import json
+
+import pytest
+
+from data_ingestion_pipelines_spark.sources.rest import (
+    Response,
+    TokenProvider,
+    fetch_per_id,
+    json_pages_to_df,
+    paginate,
+    with_retries,
+)
+from data_ingestion_pipelines_spark.sources.xml import (
+    parse_xml_rows,
+    parse_xml_string,
+    xml_bodies_to_df,
+)
+from data_ingestion_pipelines_spark.specs import PaginationType
+
+
+def test_with_retries_retries_then_succeeds():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        return Response(503, "busy") if len(calls) < 3 else Response(200, "ok")
+
+    resp = with_retries(flaky, retries=3, sleeper=lambda s: None)
+    assert resp.ok and len(calls) == 3
+
+
+def test_with_retries_exhausts():
+    resp = with_retries(lambda: Response(500, "boom"), retries=2, sleeper=lambda s: None)
+    assert resp.status == 500
+
+
+def test_token_provider_refresh():
+    counter = {"n": 0}
+
+    def gen():
+        counter["n"] += 1
+        return f"tok{counter['n']}"
+
+    tp = TokenProvider(gen, refresh_minutes=0)  # always stale → regen each call
+    assert tp.token() == "tok1"
+    assert tp.token() == "tok2"
+    tp2 = TokenProvider(gen, refresh_minutes=50)
+    t = tp2.token()
+    assert tp2.token() == t  # cached within window
+
+
+def _fake_transport(pages):
+    def transport(url, method, headers, body):
+        return pages[url]
+
+    return transport
+
+
+def test_paginate_header_mode():
+    pages = {
+        "u1": Response(200, '{"rows":[1]}', {"next": "u2"}),
+        "u2": Response(200, '{"rows":[2]}', {"next": "u3"}),
+        "u3": Response(200, '{"rows":[3]}', {}),
+    }
+    got = list(paginate("u1", _fake_transport(pages), PaginationType.HEADER, keyword="next"))
+    assert [json.loads(g)["rows"][0] for g in got] == [1, 2, 3]
+
+
+def test_paginate_query_param_mode():
+    pages = {
+        "u?offset=0": Response(200, '[{"a":1}]'),
+        "u?offset=500": Response(200, '[{"a":2}]'),
+        "u?offset=1000": Response(200, "[]"),
+    }
+    got = list(
+        paginate(
+            "u?offset=0",
+            _fake_transport(pages),
+            PaginationType.QUERY_PARAM,
+            keyword="offset",
+            offset_step=500,
+        )
+    )
+    # empty page terminates (and is yielded — reference accumulates it too)
+    assert len(got) == 3
+
+
+def test_paginate_relative_url_and_page_count():
+    rel_pages = {
+        "http://h/a": Response(200, '{"d":[1],"next":{"url":"/b"}}'),
+        "http://h/b": Response(200, '{"d":[2]}'),
+    }
+    got = list(
+        paginate(
+            "http://h/a",
+            _fake_transport(rel_pages),
+            PaginationType.RELATIVE_URL,
+            keyword="next.url",
+            base_url="http://h",
+        )
+    )
+    assert len(got) == 2
+
+    pc_pages = {
+        "u": Response(200, '{"PageInfo":{"Last":{"Page":3}},"rows":[1]}'),
+        "u?page=2": Response(200, '{"rows":[2]}'),
+        "u?page=3": Response(200, '{"rows":[3]}'),
+    }
+    got = list(
+        paginate(
+            "u",
+            _fake_transport(pc_pages),
+            PaginationType.PAGE_COUNT,
+            keyword="PageInfo.Last.Page",
+        )
+    )
+    assert len(got) == 3
+
+
+def test_json_pages_to_df_union_missing_columns(spark):
+    pages = ['{"a": 1}', '{"a": 2, "b": "x"}', '{"a": 3}']
+    df = json_pages_to_df(spark, pages)
+    assert set(df.columns) == {"a", "b"}
+    assert df.count() == 3
+
+
+def test_fetch_per_id_distributed(spark):
+    ids = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "curveId int, fileId int")
+
+    def transport_factory():
+        def transport(url, method, headers, body):
+            if "2/file" in url:
+                return Response(404, "missing")
+            return Response(200, json.dumps({"url": url}))
+
+        return transport
+
+    out = fetch_per_id(ids, "http://api/{curveId}/file/{fileId}", transport_factory).collect()
+    by_id = {r["curveId"]: r for r in out}
+    assert json.loads(by_id[1]["body"])["url"] == "http://api/1/file/10"
+    assert by_id[2]["body"] is None and "404" in by_id[2]["error"]
+    assert by_id[3]["error"] is None
+
+
+SOAP = """
+<Envelope><Body><Response>
+  <Row Action="I" Tag="T1" TimeStamp="2024-01-01" Value="1.5"/>
+  <Row Action="U" Tag="T2" TimeStamp="2024-01-02" Value="2.5"/>
+</Response></Body></Envelope>
+"""
+
+
+def test_parse_xml_attributes():
+    rows = parse_xml_rows(SOAP, "Envelope;Body;Response;Row", ["Action", "Tag", "Value", "Nope"])
+    assert rows == [
+        {"Action": "I", "Tag": "T1", "Value": "1.5", "Nope": None},
+        {"Action": "U", "Tag": "T2", "Value": "2.5", "Nope": None},
+    ]
+
+
+def test_parse_xml_escaped_and_children():
+    escaped = "&lt;R&gt;&lt;Item&gt;&lt;Name&gt;n1&lt;/Name&gt;&lt;Qty&gt;5&lt;/Qty&gt;&lt;/Item&gt;&lt;/R&gt;"
+    rows = parse_xml_rows(escaped, "R;Item", ["Name", "Qty"], values_from="children")
+    assert rows == [{"Name": "n1", "Qty": "5"}]
+
+
+def test_parse_xml_namespaced():
+    body = '<s:Envelope xmlns:s="http://x"><s:Body><Row A="1"/></s:Body></s:Envelope>'
+    rows = parse_xml_rows(body, "Envelope;Body;Row", ["A"])
+    assert rows == [{"A": "1"}]
+
+
+def test_xml_bodies_to_df(spark):
+    bodies = spark.createDataFrame([(7, SOAP), (8, None)], "jobNum int, body string")
+    out = xml_bodies_to_df(
+        bodies, "Envelope;Body;Response;Row", ["Tag", "Value"], keep_cols=["jobNum"]
+    )
+    rows = {(r["jobNum"], r["Tag"], r["Value"]) for r in out.collect()}
+    assert rows == {(7, "T1", "1.5"), (7, "T2", "2.5")}
+
+    single = parse_xml_string(spark, SOAP, "Envelope;Body;Response;Row", ["Tag"])
+    assert {r["Tag"] for r in single.collect()} == {"T1", "T2"}

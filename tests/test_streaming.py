@@ -1,0 +1,96 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.streaming.incremental import (
+    foreach_batch_upsert,
+    incremental_batch_stream,
+    windowed_event_aggregate,
+)
+
+
+def test_incremental_batch_stream_picks_up_new_files(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(src)
+    q = incremental_batch_stream(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 1
+
+    # second batch of files → only the delta is processed
+    spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string").write.mode("append").parquet(src)
+    q = incremental_batch_stream(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 3
+
+    # no new files → no-op
+    q = incremental_batch_stream(spark, src, sink, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 3
+
+
+def test_incremental_stream_with_transform(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, 5.0), (2, 6.0)], "k int, x double").write.parquet(src)
+    q = incremental_batch_stream(
+        spark, src, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        transform=lambda df: df.withColumn("x2", F.col("x") * 2),
+    )
+    q.awaitTermination(120)
+    got = {r["k"]: r["x2"] for r in spark.read.parquet(str(tmp_path / "sink")).collect()}
+    assert got == {1: 10.0, 2: 12.0}
+
+
+def test_windowed_aggregate_batch_and_stream_agree(spark, tmp_path):
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (dt.datetime(2024, 1, 1, 10, 55), "click", 2.0),
+        (dt.datetime(2024, 1, 1, 11, 5), "click", 4.0),
+        (dt.datetime(2024, 1, 1, 10, 30), "view", 8.0),
+    ]
+    batch = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_aggregate(batch, group_cols=["event_type"]).collect()
+    }
+    assert got[(10, "click")] == (2, 3.0)
+    assert got[(11, "click")] == (1, 4.0)
+    assert got[(10, "view")] == (1, 8.0)
+
+    # same plan as a stream (AvailableNow over files)
+    src = str(tmp_path / "events")
+    batch.write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(src)
+    )
+    agg = windowed_event_aggregate(stream, group_cols=["event_type"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert streamed == got
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    target = str(tmp_path / "target")
+    spark.createDataFrame([(1, "old", 0)], "k int, v string, ver int").write.parquet(target)
+
+    src = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(1, "new", 2), (1, "mid", 1), (2, "ins", 1)], "k int, v string, ver int"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k int, v string, ver int").parquet(src)
+    q = foreach_batch_upsert(stream, target, keys=["k"], checkpoint_path=str(tmp_path / "ck"), order_col="ver")
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "new"), (2, "ins")}
