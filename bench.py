@@ -54,17 +54,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = plans.queries()
-    # JVM/codegen warmup on a small scan (not timed)
-    plans.load(spark, sf_dir, "region").count()
+    # JVM/codegen warmup (not timed): run a real scan+agg+regex plan at the
+    # smallest SF so the first timed query doesn't pay JIT compilation
+    warm_dir = "/root/testdata/sf0.001"
+    try:
+        registry["pricing_summary"](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        registry["classify_exclusions"](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    except Exception:
+        plans.load(spark, sf_dir, "region").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        n = df.count()
+        # noop sink executes the FULL plan (count() would let Catalyst
+        # prune every projection and undercount the real work)
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -28,8 +28,17 @@ from pyspark.sql import functions as F
 
 from .text import with_fingerprint
 
-# 64-bit FNV-ish mixing constants for deterministic re-hashing of xxhash64
-# outputs into k independent hash families: h_i(x) = xxhash64(x, seed=i).
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a thin input up to the cluster's parallelism before a
+    CPU-heavy per-row stage. A small parquet file scans as 1-2 partitions,
+    which would serialize the hashing work on 2 cores; the narrow shuffle
+    of raw rows is negligible next to the compute it unlocks. No-op when
+    the input already has enough partitions (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(
@@ -39,14 +48,19 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep the lowest-id document per normalized-content fingerprint.
 
-    groupBy on md5 → uniform shuffle; the winner id comes back via min().
-    Returns the surviving rows (all original columns).
+    ONE shuffle on the md5 key (uniform, skew-free): min-id per
+    fingerprint via a window, filter to the winner. (A groupBy+semi-join
+    formulation costs a second shuffle of the full rows; the window keeps
+    the row payload attached through the single exchange.)
     """
+    from pyspark.sql import Window
+
     fp = with_fingerprint(df, text_col, out="_fp")
-    winners = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    w = Window.partitionBy("_fp")
     return (
-        fp.join(winners, on=["_fp", id_col], how="left_semi")
-        .drop("_fp")
+        fp.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .drop("_fp", "_min_id")
     )
 
 
@@ -72,24 +86,73 @@ def minhash_signatures(
 ) -> DataFrame:
     """One row per (doc, band): ``(id, band, band_sig)``.
 
-    Each of the band×rows hash functions is xxhash64(shingle, seed=i); the
-    min over shingles approximates Jaccard. The band signature packs its
-    rows' minima into one string — equal band_sig ⇒ LSH candidate bucket.
-    Pure Column algebra: the per-seed min is `array_min(transform(...))`.
+    Hash plan (built for interpreted-HOF cost, the Spark reality for
+    array lambdas):
+      1. hash each TOKEN once with xxhash64 — the only string hashing;
+      2. shingle hashes are two polynomial combinations (independent odd
+         multipliers) of the k consecutive token hashes — pure arithmetic;
+      3. the k hash families come from double hashing
+         ``h_i = h1 + i*h2`` and all k minima fold in ONE aggregate pass
+         with an elementwise `least`.
+    Versus hashing every shingle string k times, this cuts per-doc work
+    from O(shingles·k·len) string hashing to O(tokens) hashing +
+    O(shingles·k) adds. Same LSH guarantees (uniform 64-bit families).
     """
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh"))
+    k = num_bands * rows_per_band
+    max_long = (1 << 63) - 1
+    MASK31 = (1 << 31) - 1
+    A1, A2 = 0x45EBCA6B, 0x27D4EB4F  # odd 31-bit multipliers
 
-    def min_hash(seed: int) -> Column:
-        # arity-1 lambda required: a 2-arg lambda becomes (element, index)
-        return F.array_min(F.transform("_sh", lambda s: F.xxhash64(s, F.lit(seed))))
+    df = _spread(df)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    # 31-bit token hashes: every later product stays < 2^62, so the math
+    # never overflows (ANSI mode throws on long overflow — no wraparound).
+    # Materialized as a REAL column behind a barrier first: inside an
+    # interpreted HOF lambda, `element_at(<expression>, i)` re-evaluates
+    # the whole expression per access — against a bound attribute it's an
+    # O(1) array index. Without this barrier the poly pass is ~100× slower.
+    tokens = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(MASK31))).alias("_th"),
+    ).localCheckpoint(eager=False)
+
+    def poly(mult: int) -> Column:
+        """Rolling polynomial hashes of consecutive ``shingle_k`` token
+        hashes from the materialized ``_th`` column, masked to 31 bits."""
+        th = F.col("_th")
+        n = F.size(th)
+        idx = F.sequence(F.lit(1), F.greatest(n - shingle_k + 1, F.lit(1)))
+        m = F.lit(mult).cast("long")
+
+        def shingle_hash(i: Column) -> Column:
+            acc = F.element_at(th, i)
+            for j in range(1, shingle_k):
+                nxt = F.coalesce(F.element_at(th, i + j), F.lit(0).cast("long"))
+                acc = (acc * m + nxt).bitwiseAND(F.lit(MASK31))
+            return acc
+
+        return F.transform(idx, shingle_hash)
+
+    # second barrier: the k min expressions below reference both hash
+    # arrays; without it projection collapse would inline the poly
+    # transforms k times
+    hashed = tokens.select(
+        F.col(id_col), poly(A1).alias("_h1"), poly(A2).alias("_h2")
+    ).localCheckpoint(eager=False)
+
+    def min_for(seed: int) -> Column:
+        s = F.lit(seed).cast("long")
+        return F.array_min(F.zip_with("_h1", "_h2", lambda a, b: a + s * b))
 
     band_cols = []
     for b in range(num_bands):
-        mins = [min_hash(b * rows_per_band + r) for r in range(rows_per_band)]
+        mins = [
+            min_for(b * rows_per_band + r).cast("string") for r in range(rows_per_band)
+        ]
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws(":", *[m.cast("string") for m in mins]).alias("band_sig"))
+            F.struct(F.lit(b).alias("band"), F.concat_ws(":", *mins).alias("band_sig"))
         )
-    return sh.select(
+    return hashed.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("_b")
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig"))
 
@@ -118,6 +181,9 @@ def minhash_dedup_pairs(
     documents truly collide.
     """
     sig = minhash_signatures(df, text_col, id_col, num_bands, rows_per_band, shingle_k)
+    # the self-join consumes signatures twice — materialize once (on a
+    # cluster this is the persisted signature table)
+    sig = sig.localCheckpoint(eager=False)
     a = sig.alias("a")
     b = sig.alias("b")
     cand = (
@@ -126,11 +192,19 @@ def minhash_dedup_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh"))
+    # shingle ONLY the candidate docs: join texts to the (small) pair
+    # set first, then compute the exact Jaccard on that slice — never
+    # shingling the whole corpus a second time
+    texts = df.select(F.col(id_col), F.col(text_col))
     cand = (
-        cand.join(sh.withColumnsRenamed({id_col: "id_a", "_sh": "_sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "_sh": "_sh_b"}), "id_b")
-        .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
+        cand.join(
+            texts.withColumnsRenamed({id_col: "id_a", text_col: "_t_a"}), "id_a"
+        )
+        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "_t_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            jaccard(shingles(F.col("_t_a"), shingle_k), shingles(F.col("_t_b"), shingle_k)),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -149,6 +223,7 @@ def simhash_signatures(
     hashes are xxhash64; bit extraction via shiftright & 1. Hamming-near
     signatures indicate near-duplicates.
     """
+    df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
 
@@ -183,6 +258,7 @@ def ngram_jaccard_pairs(
     being O(n²); at 100 TB swap the bucket key for a MinHash band. Output
     ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard ≥ threshold.
     """
+    df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     grams = df.select(
         F.col(id_col),

@@ -89,21 +89,29 @@ def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id for one hash table (bits = len(planes))."""
-    bucket = F.lit(0)
-    for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(p) for p in plane]),
-                lambda x, p: x.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+def _plane_matrix(dim: int, bits: int, num_tables: int):
+    """(num_tables*bits, dim) numpy matrix of deterministic hyperplanes."""
+    import numpy as np
+
+    rows = [
+        _hyperplane(dim, b, t) for t in range(num_tables) for b in range(bits)
+    ]
+    return np.asarray(rows, dtype="float64")
+
+
+def _bucket_rows(pdf, vec_col: str, planes, bits: int, num_tables: int):
+    """Vectorized sign-pattern bucketing: one matmul for the whole batch."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+    signs = (vecs @ planes.T) >= 0  # (n, tables*bits)
+    weights = np.tile(1 << np.arange(bits, dtype="int64"), num_tables)
+    per_table = (signs * weights).reshape(len(pdf), num_tables, bits).sum(axis=2)
+    out = pdf.loc[pdf.index.repeat(num_tables)].reset_index(drop=True)
+    out["tbl"] = np.tile(np.arange(num_tables, dtype="int64"), len(pdf))
+    out["bucket"] = per_table.reshape(-1)
+    return out
 
 
 def lsh_topk(
@@ -119,37 +127,59 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH + exact re-rank.
 
-    Corpus is hashed once per table (projection only); the candidate join
-    is on (table, bucket) — small int keys. Recall rises with num_tables;
-    probed fraction ≈ num_tables / 2^bits of the corpus per query.
+    Bucketing and scoring are numpy matmuls inside Arrow-batched
+    ``mapInPandas`` (a 24-plane projection per vector in interpreted
+    Column HOFs costs ~100× a batched matmul). Candidate join is on
+    (table, bucket) small-int keys; recall rises with num_tables; probed
+    fraction ≈ num_tables / 2^bits of the corpus per query.
     """
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
-    tables = []
-    for t in range(num_tables):
-        planes = [_hyperplane(dim, b, t) for b in range(bits)]
-        tables.append(
-            F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-        )
-    bucketed = F.explode(F.array(*tables)).alias("_t")
+    planes = _plane_matrix(dim, bits, num_tables)
 
-    c = corpus.select(F.col(id_col), F.col(vec_col), bucketed).select(
-        id_col, vec_col, F.col("_t.tbl").alias("tbl"), F.col("_t.bucket").alias("bucket")
-    )
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec"), bucketed
-    ).select(query_id_col, "_qvec", F.col("_t.tbl").alias("tbl"), F.col("_t.bucket").alias("bucket"))
+    c_types = dict(corpus.dtypes)
+    c_schema = f"`{id_col}` {c_types[id_col]}, `{vec_col}` {c_types[vec_col]}, tbl BIGINT, bucket BIGINT"
+    q_types = dict(queries.dtypes)
+    q_schema = f"`{query_id_col}` {q_types[query_id_col]}, `{vec_col}` {q_types[vec_col]}, tbl BIGINT, bucket BIGINT"
+
+    def bucket_iter(cols):
+        def run(batches):
+            for pdf in batches:
+                yield _bucket_rows(pdf[cols], vec_col, planes, bits, num_tables)
+
+        return run
+
+    c = corpus.select(id_col, vec_col).mapInPandas(bucket_iter([id_col, vec_col]), c_schema)
+    q = queries.select(query_id_col, vec_col).mapInPandas(
+        bucket_iter([query_id_col, vec_col]), q_schema
+    ).withColumnRenamed(vec_col, "_qvec")
 
     cand = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
         .select(query_id_col, id_col, "_qvec", vec_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
-    )
+
+    score_schema = f"`{query_id_col}` {q_types[query_id_col]}, `{id_col}` {c_types[id_col]}, score DOUBLE"
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[query_id_col, id_col, "score"])
+                continue
+            a = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            b = np.asarray([np.asarray(v, dtype="float64") for v in pdf["_qvec"]])
+            dots = np.einsum("ij,ij->i", a, b)
+            denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            s = np.where(denom > 0, dots / np.where(denom == 0, 1, denom), 0.0)
+            yield pd.DataFrame(
+                {query_id_col: pdf[query_id_col], id_col: pdf[id_col], "score": np.round(s, 6)}
+            )
+
+    scored = cand.mapInPandas(score, score_schema)
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
