@@ -1,0 +1,79 @@
+"""Control-table catalog: persist/load JobSpecs (SURVEY §1.1 item 1).
+
+The reference keeps job specs in SQL Server (``audit.tblJobQueue`` ⋈
+``tblJobQueueExtn``) read over JDBC. The engine accepts any Spark-readable
+store: this module round-trips specs through a parquet/Delta table with
+the reference's camelCase column names (so an actual tblJobQueue JDBC
+read — sources/jdbc.py — drops straight in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .specs import JobSpec
+
+CONTROL_COLUMNS = [
+    "pkTblJobQueue", "jobGroup", "jobOrder", "jobNum", "jobStepNum",
+    "fkLoadType", "fkSourceApplication", "sourceURL", "sourceTblName",
+    "sourcePKCols", "sourceChangeKeyCols", "excludeColumns",
+    "inscopeColumnList", "transformedColumnsInTarget",
+    "additionalColumnsInTarget", "sourceChgKeyLatestValues",
+    "sourceTimestampFormat", "targetDBName", "targetTblName",
+    "fkTargetFileFormat", "filterQuery", "isActive",
+]
+
+CONTROL_DDL = (
+    "pkTblJobQueue INT, jobGroup INT, jobOrder INT, jobNum INT, jobStepNum INT, "
+    "fkLoadType STRING, fkSourceApplication STRING, sourceURL STRING, "
+    "sourceTblName STRING, sourcePKCols STRING, sourceChangeKeyCols STRING, "
+    "excludeColumns STRING, inscopeColumnList STRING, "
+    "transformedColumnsInTarget STRING, additionalColumnsInTarget STRING, "
+    "sourceChgKeyLatestValues STRING, sourceTimestampFormat STRING, "
+    "targetDBName STRING, targetTblName STRING, fkTargetFileFormat STRING, "
+    "filterQuery STRING, isActive STRING"
+)
+
+
+def spec_to_row(spec: JobSpec, pk: int = 0) -> tuple:
+    return (
+        pk, spec.job_group, spec.job_order, spec.job_num, spec.job_step_num,
+        spec.load_type.value, spec.source_application, spec.source_url,
+        spec.source_table, spec.source_pk_cols, spec.source_change_key_cols,
+        spec.exclude_columns, spec.inscope_column_list,
+        spec.transformed_columns_in_target, spec.additional_columns_in_target,
+        spec.source_chg_key_latest_values, spec.source_timestamp_format,
+        spec.target_db_name, spec.target_tbl_name, spec.target_file_format,
+        spec.filter_query, spec.is_active,
+    )
+
+
+def save_specs(spark: SparkSession, specs: list[JobSpec], path: str) -> None:
+    rows = [spec_to_row(s, pk=i + 1) for i, s in enumerate(specs)]
+    spark.createDataFrame(rows, CONTROL_DDL).write.mode("overwrite").parquet(path)
+
+
+def load_specs(
+    spark: SparkSession,
+    path: str,
+    job_group: int | None = None,
+    job_order: int | None = None,
+    active_only: bool = True,
+) -> list[JobSpec]:
+    """Read specs back, filtered like the reference's job-queue query
+    (``WHERE jobGroup=? AND jobOrder=? AND isActive='Y'``)."""
+    df = spark.read.parquet(path)
+    if job_group is not None:
+        df = df.filter(df.jobGroup == job_group)
+    if job_order is not None:
+        df = df.filter(df.jobOrder == job_order)
+    if active_only:
+        df = df.filter(df.isActive == "Y")
+    rows = df.orderBy("jobGroup", "jobOrder", "jobNum", "jobStepNum").collect()
+    return [JobSpec.from_row(r.asDict()) for r in rows]
+
+
+def specs_dataframe(spark: SparkSession, specs: list[JobSpec]) -> DataFrame:
+    return spark.createDataFrame(
+        [spec_to_row(s, pk=i + 1) for i, s in enumerate(specs)], CONTROL_DDL
+    )

@@ -1,0 +1,108 @@
+"""External-table DDL projection + maintenance (SURVEY §2.2 K11/K9/K14).
+
+- ``synapse_external_table_ddl``: the reference rewrites a Spark schema
+  into a Synapse ``CREATE EXTERNAL TABLE`` (STRING→NVARCHAR(MAX),
+  DOUBLE→FLOAT, TIMESTAMP→DATETIME, BOOLEAN→BIT; `dataSource bp/
+  ModuleFunctions.scala:67-103`). Generated from the DataFrame schema
+  directly — no SHOW CREATE TABLE parse.
+- ``export_secondary_copy``: parquet copy to a second location plus a
+  ``ready.txt`` sentinel (the Palantir handshake, `Rushmore Reviews/
+  ModuleFunctions.scala:810-836`).
+- ``maintain_table``: OPTIMIZE/VACUUM hooks — real SQL when the catalog
+  supports it (Delta), logged no-ops otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BooleanType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    TimestampType,
+)
+
+_TYPE_MAP: list[tuple[type, str]] = [
+    (StringType, "NVARCHAR(MAX)"),
+    (DoubleType, "FLOAT"),
+    (FloatType, "REAL"),
+    (LongType, "BIGINT"),
+    (IntegerType, "INT"),
+    (TimestampType, "DATETIME"),
+    (DateType, "DATE"),
+    (BooleanType, "BIT"),
+]
+
+
+def _sql_type(dt: DataType) -> str:
+    s = dt.simpleString()
+    if s.startswith("decimal"):
+        return s.upper()
+    for py_t, sql_t in _TYPE_MAP:
+        if isinstance(dt, py_t):
+            return sql_t
+    # nested/array types don't project to Synapse — stringify
+    return "NVARCHAR(MAX)"
+
+
+def synapse_external_table_ddl(
+    df: DataFrame,
+    table: str,
+    location: str,
+    data_source: str,
+    file_format: str = "Parquet",
+    schema: str = "dbo",
+) -> str:
+    cols = ",\n  ".join(f"[{f.name}] {_sql_type(f.dataType)}" for f in df.schema.fields)
+    return (
+        f"CREATE EXTERNAL TABLE [{schema}].[{table}] (\n  {cols}\n)\n"
+        f"WITH (LOCATION = '{location}', DATA_SOURCE = [{data_source}], "
+        f"FILE_FORMAT = [{file_format}])"
+    )
+
+
+def export_secondary_copy(
+    df: DataFrame, path: str, ready_marker: str | None = "_ready.txt"
+) -> None:
+    """Overwrite a parquet copy + write the consumer-handshake sentinel.
+
+    The marker defaults to an underscore-prefixed name: Spark/Hadoop
+    readers ignore ``_*`` files, so the sentinel doesn't poison later
+    parquet reads of the same directory (the reference's bare
+    ``ready.txt`` would — pass that name only for consumers that demand
+    it and never re-read the directory with Spark).
+    """
+    df.write.mode("overwrite").parquet(path)
+    if ready_marker:
+        if path.startswith(("/", "file:")):
+            local = path.replace("file:", "", 1)
+            with open(os.path.join(local, ready_marker), "w") as f:
+                f.write("ready")
+        else:  # object stores: single-row text file via Spark
+            spark = df.sparkSession
+            spark.createDataFrame([("ready",)], "v string").coalesce(1).write.mode(
+                "overwrite"
+            ).text(path.rstrip("/") + "/" + ready_marker)
+
+
+def maintain_table(spark: SparkSession, table: str, vacuum_retain_hours: int | None = None) -> list[str]:
+    """OPTIMIZE + VACUUM when the catalog supports them (Delta); returns
+    the statements attempted. Parquet-only deployments no-op safely."""
+    stmts = [f"OPTIMIZE {table}"]
+    if vacuum_retain_hours is not None:
+        stmts.append(f"VACUUM {table} RETAIN {vacuum_retain_hours} HOURS")
+    executed = []
+    for s in stmts:
+        try:
+            spark.sql(s)
+            executed.append(s)
+        except Exception:
+            pass  # non-Delta catalog: maintenance is a no-op
+    return executed

@@ -1,0 +1,148 @@
+import json
+
+from data_ingestion_pipelines_spark.catalog import load_specs, save_specs, specs_dataframe
+from data_ingestion_pipelines_spark.operators.incremental import WatermarkStore
+from data_ingestion_pipelines_spark.pipelines.api_ingestion import (
+    build_fetch_url,
+    run_api_job,
+    transform_for_spec,
+)
+from data_ingestion_pipelines_spark.sinks.ddl import (
+    export_secondary_copy,
+    synapse_external_table_ddl,
+)
+from data_ingestion_pipelines_spark.sinks.runlog import RunLog
+from data_ingestion_pipelines_spark.sources.rest import Response
+from data_ingestion_pipelines_spark.specs import JobSpec, LoadType, PaginationType
+
+
+def _spec(**kw):
+    base = dict(
+        job_group=1, job_order=1, job_num=1,
+        load_type=LoadType.SNP,
+        source_url="http://api/items",
+        source_change_key_cols="Data",
+        target_db_name="stg", target_tbl_name="items",
+        pagination=PaginationType.HEADER, pagination_keyword="next",
+    )
+    base.update(kw)
+    return JobSpec(**base)
+
+
+PAGE1 = json.dumps(
+    {"Data": [
+        {"Id": 1, "Attrs": {"Name": "a", "Extra": "x"}, "ModifiedAt": "2024-01-05"},
+        {"Id": 2, "Attrs": {"Name": "b", "Extra": "y"}, "ModifiedAt": "2024-01-06"},
+    ]}
+)
+PAGE2 = json.dumps(
+    {"Data": [{"Id": 3, "Attrs": {"Name": "c", "Extra": "z"}, "ModifiedAt": "2024-01-07"}]}
+)
+
+
+def _transport(pages):
+    def t(url, method, headers, body):
+        return pages[url]
+
+    return t
+
+
+def test_build_fetch_url_inc_watermark():
+    spec = _spec(load_type=LoadType.INC, source_pk_cols="Id", options={"inc_param": "since"})
+    assert build_fetch_url(spec, "2024-01-01") == "http://api/items?since='2024-01-01'"
+    assert build_fetch_url(spec, None) == "http://api/items"
+    assert build_fetch_url(_spec(), "2024-01-01") == "http://api/items"  # SNP ignores
+
+
+def test_run_api_job_end_to_end(spark, tmp_path):
+    pages = {
+        "http://api/items": Response(200, PAGE1, {"next": "http://api/items?p=2"}),
+        "http://api/items?p=2": Response(200, PAGE2, {}),
+    }
+    spec = _spec(
+        exclude_columns="Attrs_Extra",
+        options={"change_key_col": "ModifiedAt"},
+    )
+    wm = WatermarkStore(spark, str(tmp_path / "wm"))
+    log = RunLog(spark, str(tmp_path / "runlog"))
+    n = run_api_job(
+        spark, spec, str(tmp_path / "data"),
+        transport=_transport(pages), watermarks=wm, runlog=log,
+    )
+    assert n == 3
+    out = spark.read.parquet(str(tmp_path / "data/stg/items"))
+    assert set(out.columns) == {"Id", "Attrs_Name", "ModifiedAt"}  # Extra dropped, flattened
+    assert {r["Attrs_Name"] for r in out.collect()} == {"a", "b", "c"}
+    assert wm.get("1/1/1") == "2024-01-07"
+    log.flush()
+    assert log.read().count() == 1
+
+
+def test_run_api_job_inc_merges(spark, tmp_path):
+    spec = _spec(
+        load_type=LoadType.INC, source_pk_cols="Id",
+        options={"change_key_col": "ModifiedAt", "inc_param": "since"},
+    )
+    wm = WatermarkStore(spark, str(tmp_path / "wm"))
+    pages1 = {"http://api/items": Response(200, PAGE1, {})}
+    run_api_job(spark, spec, str(tmp_path / "d"), transport=_transport(pages1), watermarks=wm)
+    assert wm.get("1/1/1") == "2024-01-06"
+
+    # next run fetches only new/changed rows via the watermark URL
+    upd = json.dumps(
+        {"Data": [
+            {"Id": 2, "Attrs": {"Name": "B2", "Extra": "y"}, "ModifiedAt": "2024-01-08"},
+            {"Id": 9, "Attrs": {"Name": "new", "Extra": "n"}, "ModifiedAt": "2024-01-09"},
+        ]}
+    )
+    pages2 = {"http://api/items?since='2024-01-06'": Response(200, upd, {})}
+    n = run_api_job(spark, spec, str(tmp_path / "d"), transport=_transport(pages2), watermarks=wm)
+    assert n == 3  # 1 untouched, 2 updated, 9 inserted
+    out = {r["Id"]: r["Attrs_Name"] for r in spark.read.parquet(str(tmp_path / "d/stg/items")).collect()}
+    assert out == {1: "a", 2: "B2", 9: "new"}
+    assert wm.get("1/1/1") == "2024-01-09"
+
+
+def test_transform_for_spec_rename_cast(spark):
+    df = spark.read.json(spark.sparkContext.parallelize([PAGE1]))
+    spec = _spec(
+        transformed_columns_in_target="Id:bigint;ModifiedAt:timestamp:modified_ts",
+        options={"rename_spec": "Attrs_Name&name"},
+        additional_columns_in_target="load_ts",
+    )
+    out = transform_for_spec(df, spec, load_ts="2024-06-01 00:00:00")
+    assert dict(out.dtypes)["Id"] == "bigint"
+    assert dict(out.dtypes)["modified_ts"] == "timestamp"
+    assert "name" in out.columns and "load_ts" in out.columns
+
+
+def test_catalog_roundtrip(spark, tmp_path):
+    specs = [
+        JobSpec(job_group=1, job_order=1, job_num=1, load_type=LoadType.SNP,
+                target_tbl_name="t1"),
+        JobSpec(job_group=1, job_order=1, job_num=2, load_type=LoadType.INC,
+                source_pk_cols="id", target_tbl_name="t2"),
+        JobSpec(job_group=1, job_order=1, job_num=3, is_active="N", target_tbl_name="t3"),
+        JobSpec(job_group=2, job_order=1, job_num=1, target_tbl_name="t4"),
+    ]
+    save_specs(spark, specs, str(tmp_path / "jobqueue"))
+    loaded = load_specs(spark, str(tmp_path / "jobqueue"), job_group=1, job_order=1)
+    assert [s.job_num for s in loaded] == [1, 2]  # inactive + other group filtered
+    assert loaded[1].load_type == LoadType.INC and loaded[1].pk_columns == ["id"]
+    assert specs_dataframe(spark, specs).count() == 4
+
+
+def test_synapse_ddl_and_secondary_export(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", 1.5, True)], "id bigint, name string, score double, ok boolean"
+    )
+    ddl = synapse_external_table_ddl(df, "tbl", "/data/tbl", "ds")
+    assert "[id] BIGINT" in ddl and "[name] NVARCHAR(MAX)" in ddl
+    assert "[score] FLOAT" in ddl and "[ok] BIT" in ddl
+    assert "CREATE EXTERNAL TABLE [dbo].[tbl]" in ddl
+
+    out = str(tmp_path / "export")
+    export_secondary_copy(df, out)
+    # underscore marker is invisible to parquet readers of the same dir
+    assert spark.read.parquet(out).count() == 1
+    assert (tmp_path / "export" / "_ready.txt").read_text() == "ready"
