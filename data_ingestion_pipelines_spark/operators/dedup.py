@@ -76,6 +76,66 @@ def shingles(text: Column, k: int = 5) -> Column:
     )
 
 
+def _minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_bands: int,
+    rows_per_band: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Vectorized signature path: tokenize + crc32 token hashes in Python,
+    rolling polynomial + banded minima as numpy matrix ops, Arrow-batched.
+
+    ~10× the Column-algebra path on prose-sized documents (interpreted
+    HOF lambdas are the bottleneck there). Hash family differs from the
+    column path (crc32 vs xxhash64 base) — both are valid LSH families;
+    each implementation is individually deterministic.
+    """
+    k = num_bands * rows_per_band
+    MASK31 = (1 << 31) - 1
+    A1, A2 = 0x45EBCA6B, 0x27D4EB4F
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, band INT, band_sig STRING"
+
+    def sigs(batches):
+        import re
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        token_re = re.compile(r"[a-z0-9]+")
+        seeds = np.arange(k, dtype=np.int64)
+
+        for pdf in batches:
+            ids, bands, band_sigs = [], [], []
+            for ident, text in zip(pdf[id_col], pdf[text_col]):
+                toks = token_re.findall((text or "").lower())
+                th = np.array(
+                    [zlib.crc32(t.encode()) & MASK31 for t in toks], dtype=np.int64
+                )
+                if len(th) == 0:
+                    th = np.zeros(1, dtype=np.int64)
+                w = min(shingle_k, len(th))
+                win = np.lib.stride_tricks.sliding_window_view(th, w)
+                h1 = win[:, 0].copy()
+                h2 = win[:, 0].copy()
+                for j in range(1, w):
+                    h1 = (h1 * A1 + win[:, j]) & MASK31
+                    h2 = (h2 * A2 + win[:, j]) & MASK31
+                mins = (h1[:, None] + seeds[None, :] * h2[:, None]).min(axis=0)
+                for b in range(num_bands):
+                    ids.append(ident)
+                    bands.append(b)
+                    band_sigs.append(
+                        ":".join(str(v) for v in mins[b * rows_per_band : (b + 1) * rows_per_band])
+                    )
+            yield pd.DataFrame({id_col: ids, "band": bands, "band_sig": band_sigs})
+
+    return _spread(df.select(id_col, text_col)).mapInPandas(sigs, schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -83,6 +143,7 @@ def minhash_signatures(
     num_bands: int = 8,
     rows_per_band: int = 4,
     shingle_k: int = 5,
+    implementation: str = "arrow",
 ) -> DataFrame:
     """One row per (doc, band): ``(id, band, band_sig)``.
 
@@ -97,7 +158,15 @@ def minhash_signatures(
     Versus hashing every shingle string k times, this cuts per-doc work
     from O(shingles·k·len) string hashing to O(tokens) hashing +
     O(shingles·k) adds. Same LSH guarantees (uniform 64-bit families).
+
+    ``implementation='arrow'`` (default) routes to the vectorized
+    numpy/mapInPandas path — ~10× faster on prose; ``'column'`` keeps the
+    pure-JVM Column-algebra plan (no Python workers).
     """
+    if implementation == "arrow":
+        return _minhash_signatures_arrow(
+            df, text_col, id_col, num_bands, rows_per_band, shingle_k
+        )
     k = num_bands * rows_per_band
     max_long = (1 << 63) - 1
     MASK31 = (1 << 31) - 1
@@ -164,6 +233,51 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(un > 0, inter / un).otherwise(F.lit(0.0))
 
 
+def _pair_jaccard(
+    pairs: DataFrame,
+    text_a: str,
+    text_b: str,
+    shingle_k: int,
+    keep: list[str],
+) -> DataFrame:
+    """Exact word-k-shingle Jaccard per candidate pair, computed in an
+    Arrow batch (the Column form re-evaluates the tokenizer per array
+    element under interpreted HOF eval — quadratic per document).
+
+    Python float division of the exact set sizes is the same IEEE double
+    as Spark's/DuckDB's int-division, so results stay hash-identical.
+    """
+    keep_types = dict(pairs.dtypes)
+    schema = ", ".join(f"`{c}` {keep_types[c]}" for c in keep) + ", jaccard DOUBLE"
+
+    def run(batches):
+        import re
+
+        import pandas as pd
+
+        token_re = re.compile(r"[a-z0-9]+")
+
+        def sh_set(text: str) -> frozenset:
+            toks = token_re.findall((text or "").lower())
+            if len(toks) < shingle_k:
+                return frozenset([" ".join(toks)])
+            return frozenset(
+                " ".join(toks[i : i + shingle_k]) for i in range(len(toks) - shingle_k + 1)
+            )
+
+        for pdf in batches:
+            js = []
+            for ta, tb in zip(pdf[text_a], pdf[text_b]):
+                a, b = sh_set(ta), sh_set(tb)
+                un = len(a | b)
+                js.append(len(a & b) / un if un else 0.0)
+            out = pdf[keep].copy()
+            out["jaccard"] = js
+            yield out
+
+    return pairs.mapInPandas(run, schema)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -196,19 +310,15 @@ def minhash_dedup_pairs(
     # set first, then compute the exact Jaccard on that slice — never
     # shingling the whole corpus a second time
     texts = df.select(F.col(id_col), F.col(text_col))
-    cand = (
+    joined = (
         cand.join(
             texts.withColumnsRenamed({id_col: "id_a", text_col: "_t_a"}), "id_a"
         )
         .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "_t_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            jaccard(shingles(F.col("_t_a"), shingle_k), shingles(F.col("_t_b"), shingle_k)),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
-    return cand
+    return _pair_jaccard(joined, "_t_a", "_t_b", shingle_k, keep=["id_a", "id_b"]).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def simhash_signatures(
@@ -254,25 +364,49 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over cheap candidate buckets.
 
-    Bucketing by the document's first tokens keeps the self-join from
-    being O(n²); at 100 TB swap the bucket key for a MinHash band. Output
+    Exploded-gram formulation: one row per (doc, distinct gram), self-join
+    on (bucket, gram), count matches = |A∩B|, and |A∪B| = |A|+|B|−|A∩B|
+    from per-doc set sizes. Everything stays JVM-side as shuffles on
+    uniform keys — no per-pair document payload ever moves (a pairwise
+    text join ships O(pairs·doclen) bytes; this ships O(grams)).
+    Bucketing by the document's first tokens bounds the candidate space;
+    at 100 TB swap the bucket key for a MinHash band. Output
     ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard ≥ threshold.
     """
     df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    grams = df.select(
-        F.col(id_col),
-        shingles(F.col(text_col), n).alias("_g"),
-        F.concat_ws(" ", F.slice(toks, 1, bucket_prefix_tokens)).alias("_bucket"),
+    # materialize tokens behind a barrier: slicing a bound array column is
+    # O(k) per element; slicing the regexp EXPRESSION re-evaluates the
+    # tokenizer per element under interpreted HOF eval
+    toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)))
+    sh = F.when(F.size("_toks") >= n, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", "_toks"))
     )
-    a, b = grams.alias("a"), grams.alias("b")
+    grams = toks_df.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice("_toks", 1, bucket_prefix_tokens)).alias("_bucket"),
+        F.explode(sh).alias("_g"),
+    ).localCheckpoint(eager=False)  # consumed by both join sides + sizes
+
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = grams.withColumnRenamed(id_col, "id_a")
+    b = grams.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, on=["_bucket", "_g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
     return (
-        a.join(b, on="_bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            jaccard(F.col("a._g"), F.col("b._g")).alias("jaccard"),
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_sz": "_sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "_sz": "_sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter")
+            / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
