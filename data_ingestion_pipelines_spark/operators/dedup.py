@@ -334,12 +334,19 @@ def simhash_signatures(
     signatures indicate near-duplicates.
     """
     df = _spread(df)
+    df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    hashes = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+    # materialize token hashes once behind a barrier: each of the `bits`
+    # aggregates below re-evaluates its input array expression per row,
+    # which would re-run tokenize+hash `bits` times
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t)).alias("_th"),
+    ).localCheckpoint(eager=False)
 
     def bit_contrib(i: int) -> Column:
         return F.aggregate(
-            hashes,
+            F.col("_th"),
             F.lit(0).cast("long"),
             lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
         )
@@ -351,7 +358,7 @@ def simhash_signatures(
     sig = bit_cols[0]
     for c in bit_cols[1:]:
         sig = sig + c
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

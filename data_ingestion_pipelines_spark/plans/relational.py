@@ -606,8 +606,32 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# S15-adjacent: JSON property extraction from a string column (API bodies
+# land as JSON strings; the engine pulls typed fields without a full parse)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.when(F.get_json_object("props", "$.k").cast("bigint") >= 50, "high")
+        .otherwise("low")
+        .alias("k_band"),
+    )
+
+
+JSON_PROPS_EXTRACT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "json_props_extract": (json_props_extract, JSON_PROPS_EXTRACT_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "big_customers": (big_customers, BIG_CUSTOMERS_SQL),
     "outer_coalesce_refresh": (outer_coalesce_refresh, OUTER_COALESCE_REFRESH_SQL),
