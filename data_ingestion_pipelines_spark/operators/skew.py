@@ -1,0 +1,46 @@
+"""Skew-aware join utilities.
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in session.py) splits oversized partitions at runtime and is the
+first line of defense. Salting is the explicit fallback for the cases AQE
+can't fix — e.g. one hot key in a shuffle join where the other side must
+be replicated.
+
+``salted_join``: equi-join where the LEFT side gets a random-ish salt in
+[0, salt) derived deterministically from a unique column (no rand() —
+deterministic retries/replays), and the RIGHT side is exploded ``salt``
+times so every (key, salt) bucket finds its match. Turns one hot key's
+single reducer into ``salt`` reducers at the cost of replicating the
+right side ``salt``×. Use when the right side is small-ish but too big to
+broadcast outright.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    left_unique_col: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left side salted and the right side replicated.
+
+    ``left_unique_col``: column whose hash spreads the salt (defaults to
+    the first join key — fine unless that key IS the hot key, in which
+    case pass something with per-row variance like an id/timestamp).
+    """
+    spread_col = left_unique_col or on[0]
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(spread_col)), F.lit(salt)).cast("int")
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l.join(r, on=on + ["_salt"], how=how)
+    return out.drop("_salt")

@@ -1,0 +1,66 @@
+"""Notification hooks (SURVEY §2.10 X6).
+
+The reference sends MS Graph emails on failures/illegal folders
+(`bp-unstructured-sharepoint-ingestion/EmailNotifications.py:10-57`).
+The engine's runner takes any ``Notifier`` callable; this module provides
+a formatter plus two implementations — logging (default-safe) and a
+Graph-API poster over the pluggable REST transport (deployment wiring,
+needs a token provider; no network in tests).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from collections.abc import Callable
+
+from ..sources.rest import Transport, urllib_transport
+
+logger = logging.getLogger(__name__)
+
+
+def format_report(status: str, results: list) -> str:
+    """Human-readable job-group report (the reference's mail body)."""
+    lines = [f"Job group {status}: {len(results)} job(s)"]
+    for r in sorted(results, key=lambda r: r.key):
+        lines.append(
+            f"  {r.key}: {r.status} rows={r.rows} attempts={r.attempts}"
+            + (f" error={r.error.splitlines()[-1][:200]}" if r.error else "")
+        )
+    return "\n".join(lines)
+
+
+def logging_notifier(status: str, results: list) -> None:
+    (logger.error if status == "FAILED" else logger.info)(format_report(status, results))
+
+
+def graph_mail_notifier(
+    recipients: list[str],
+    token: Callable[[], str],
+    sender: str = "noreply@example.com",
+    transport: Transport = urllib_transport,
+    endpoint: str = "https://graph.microsoft.com/v1.0/users/{sender}/sendMail",
+):
+    """MS-Graph sendMail notifier factory (reference EmailNotifications.py
+    shape). Returns a Notifier; only fires on FAILED by default."""
+
+    def notify(status: str, results: list) -> None:
+        if status != "FAILED":
+            return
+        body = {
+            "message": {
+                "subject": f"Ingestion job group {status}",
+                "body": {"contentType": "Text", "content": format_report(status, results)},
+                "toRecipients": [{"emailAddress": {"address": a}} for a in recipients],
+            }
+        }
+        resp = transport(
+            endpoint.format(sender=sender),
+            "POST",
+            {"Authorization": f"Bearer {token()}", "Content-Type": "application/json"},
+            json.dumps(body),
+        )
+        if not resp.ok:
+            logger.error("notification send failed: HTTP %s", resp.status)
+
+    return notify

@@ -607,6 +607,33 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# I5 streaming twin: THE SAME windowed aggregate as event_hourly_windows,
+# executed through Structured Streaming (readStream + AvailableNow +
+# complete-mode memory sink). Hash-checked against the same SQL oracle —
+# proving batch/stream parity of the engine's windowed-aggregate plan.
+def event_hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..sources.files import read_parquet_stream
+    from ..streaming.incremental import windowed_event_aggregate
+
+    stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    agg = windowed_event_aggregate(stream, group_cols=["event_type"]).drop("window_end")
+    name = f"win_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("window_start", "event_type", "n_events", "total_value")
+
+
+# --------------------------------------------------------------------------
 # S15-adjacent: JSON property extraction from a string column (API bodies
 # land as JSON strings; the engine pulls typed fields without a full parse)
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,4 +679,8 @@ QUERIES = {
     "correlated_explode": (correlated_explode, CORRELATED_EXPLODE_SQL),
     "nested_drop": (nested_drop, NESTED_DROP_SQL),
     "event_hourly_windows": (event_hourly_windows, EVENT_HOURLY_WINDOWS_SQL),
+    "event_hourly_windows_streaming": (
+        event_hourly_windows_streaming,
+        EVENT_HOURLY_WINDOWS_SQL,
+    ),
 }

@@ -61,6 +61,27 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin of :func:`read_parquet_table`: file-source readStream
+    with the same TIMESTAMP(NANOS) tolerance (schema resolved as longs,
+    converted to microsecond timestamps after load)."""
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set(_NANOS_CONF, "true")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    # file-stream sources need a directory; a single-file path becomes
+    # its parent dir + a glob filter on the file name
+    local = path.replace("file:", "", 1)
+    if os.path.isfile(local):
+        reader = reader.option("pathGlobFilter", os.path.basename(local))
+        path = os.path.dirname(path)
+    df = reader.load(path)
+    return df.withColumns(
+        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos}
+    )
+
+
 def local_lister(root: str) -> Iterator[dict]:
     """Default lister: walk a local directory tree, one metadata dict per
     file. Swap for an SMB/SPO client with the same signature."""

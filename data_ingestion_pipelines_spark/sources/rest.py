@@ -229,6 +229,26 @@ def json_pages_to_df(spark: SparkSession, pages: Iterator[str] | list[str]) -> D
     return dfs[0]
 
 
+def csv_pages_to_df(
+    spark: SparkSession,
+    pages: Iterator[str] | list[str],
+    header: bool = True,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """Parse raw CSV/TEXT page bodies (S8, reference
+    ``getAllPagesTEXTData``) into one DataFrame. All-string by default,
+    like the reference; later pages must share the header."""
+    text = "\n".join(p.strip("\n") for p in pages)
+    if not text:
+        raise ValueError("no pages")
+    lines = text.split("\n")
+    if header:  # drop repeated header lines from subsequent pages
+        head, body = lines[0], [l for l in lines[1:] if l != lines[0]]
+        lines = [head] + body
+    ds = spark.sparkContext.parallelize(lines)
+    return spark.read.csv(ds, header=header, inferSchema=infer_schema)
+
+
 def fetch_per_id(
     ids: DataFrame,
     url_template: str,

@@ -1,0 +1,58 @@
+import json
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.skew import salted_join
+from data_ingestion_pipelines_spark.orchestration.notify import (
+    format_report,
+    graph_mail_notifier,
+)
+from data_ingestion_pipelines_spark.orchestration.runner import JobResult, JobRunner
+from data_ingestion_pipelines_spark.sources.rest import Response, csv_pages_to_df
+from data_ingestion_pipelines_spark.specs import JobSpec
+
+import datetime as dt
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", f"cold{i % 5}")], "k string, v int"
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold0", "C0"), ("cold3", "C3")], "k string, tag string"
+    )
+    plain = {(r["k"], r["v"], r["tag"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["v"], r["tag"]) for r in salted_join(left, right, ["k"], salt=8, left_unique_col="v").collect()}
+    assert salted == plain and len(salted) == 200 + 40 + 40
+
+
+def test_csv_pages_to_df(spark):
+    pages = ["a,b\n1,x\n2,y", "a,b\n3,z"]
+    df = csv_pages_to_df(spark, pages)
+    assert df.columns == ["a", "b"]
+    assert {(r["a"], r["b"]) for r in df.collect()} == {("1", "x"), ("2", "y"), ("3", "z")}
+
+
+def _result(num, status, error=None):
+    spec = JobSpec(job_group=1, job_order=1, job_num=num)
+    now = dt.datetime(2024, 1, 1)
+    return JobResult(spec, status, now, now, rows=5, error=error)
+
+
+def test_format_report_and_graph_notifier():
+    results = [_result(1, "S"), _result(2, "F", error="Boom\nlast line here")]
+    report = format_report("FAILED", results)
+    assert "1/1/2: F" in report and "last line here" in report
+
+    sent = {}
+
+    def transport(url, method, headers, body):
+        sent.update(url=url, body=json.loads(body), auth=headers["Authorization"])
+        return Response(202, "")
+
+    notify = graph_mail_notifier(["ops@x.com"], token=lambda: "tok", transport=transport)
+    notify("SUCCEEDED", results)
+    assert not sent  # only fires on FAILED
+    notify("FAILED", results)
+    assert sent["auth"] == "Bearer tok"
+    assert sent["body"]["message"]["toRecipients"][0]["emailAddress"]["address"] == "ops@x.com"
