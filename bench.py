@@ -60,6 +60,9 @@ def main() -> None:
     try:
         registry["pricing_summary"](spark, warm_dir).write.format("noop").mode("overwrite").save()
         registry["classify_exclusions"](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        # spawn + warm the Python workers (numpy/pandas imports) so
+        # mapInPandas queries don't pay worker startup in their timing
+        registry["minhash_pairs_docs"](spark, warm_dir).write.format("noop").mode("overwrite").save()
     except Exception:
         plans.load(spark, sf_dir, "region").count()
 

@@ -607,6 +607,66 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Conditional aggregation (TPC-H Q12-style): CASE-sum over a join — the
+# partial-aggregatable form of per-category counting
+def priority_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(urgent).alias("high_count"),
+            F.sum(F.lit(1) - urgent).alias("low_count"),
+        )
+    )
+
+
+PRIORITY_SHIPMODE_COUNTS_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Conditional ratio (TPC-H Q14-style): promo revenue share — one division
+# of two exact decimal sums
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(38,8)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(
+            (F.sum(promo).cast("double") / F.sum(rev).cast("double")).alias("promo_share"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                     THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))
+                     ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS promo_share,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # I5 streaming twin: THE SAME windowed aggregate as event_hourly_windows,
 # executed through Structured Streaming (readStream + AvailableNow +
 # complete-mode memory sink). Hash-checked against the same SQL oracle —
@@ -659,6 +719,8 @@ FROM events
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_EXTRACT_SQL),
+    "priority_shipmode_counts": (priority_shipmode_counts, PRIORITY_SHIPMODE_COUNTS_SQL),
+    "promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SHARE_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "big_customers": (big_customers, BIG_CUSTOMERS_SQL),
     "outer_coalesce_refresh": (outer_coalesce_refresh, OUTER_COALESCE_REFRESH_SQL),

@@ -30,6 +30,22 @@ def _read_existing(spark: SparkSession, path: str, fmt: str) -> DataFrame | None
         return None
 
 
+def replace_partitions(
+    df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet"
+) -> None:
+    """Partition-scoped replace (O5): overwrite ONLY the partitions present
+    in ``df``, leaving the rest of the table untouched — the reference's
+    ``DELETE WHERE jobGroup=… AND jobOrder=…`` + re-append, as one atomic
+    dynamic-partition-overwrite write (``replaceWhere`` on Delta)."""
+    (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .save(path)
+    )
+
+
 def load_dataframe(
     df: DataFrame,
     path: str,

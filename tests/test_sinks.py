@@ -50,6 +50,22 @@ def test_load_partitioned(spark, tmp_path):
     assert (tmp_path / "part_tbl" / "_year=2024").exists()
 
 
+def test_replace_partitions_touches_only_present(spark, tmp_path):
+    from data_ingestion_pipelines_spark.sinks.writers import replace_partitions
+
+    path = str(tmp_path / "pt")
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "jobGroup int, jobOrder int, v string"
+    )
+    base.write.partitionBy("jobGroup", "jobOrder").parquet(path)
+
+    update = spark.createDataFrame([(1, 2, "B2"), (1, 2, "B3")], "jobGroup int, jobOrder int, v string")
+    replace_partitions(update, path, ["jobGroup", "jobOrder"])
+    got = {(r["jobGroup"], r["jobOrder"], r["v"]) for r in spark.read.parquet(path).collect()}
+    # (1,1) and (2,1) untouched; (1,2) replaced wholesale
+    assert got == {(1, 1, "a"), (2, 1, "c"), (1, 2, "B2"), (1, 2, "B3")}
+
+
 def test_runlog_flush_and_partitioning(spark, tmp_path):
     path = str(tmp_path / "runlog")
     with RunLog(spark, path, flush_threshold=100) as log:
