@@ -184,6 +184,87 @@ def lsh_topk(
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
+def _score_pairs_numpy(
+    pairs: DataFrame,
+    vec_a: str,
+    vec_b: str,
+    keep: list[str],
+    round_dp: int = 6,
+) -> DataFrame:
+    """Cosine per row between two vector columns, vectorized per Arrow
+    batch; output keep-cols + ``score`` (rounded for cross-engine hash
+    stability)."""
+    keep_types = dict(pairs.dtypes)
+    schema = ", ".join(f"`{c}` {keep_types[c]}" for c in keep) + ", score DOUBLE"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=keep + ["score"])
+                continue
+            a = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_a]])
+            b = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_b]])
+            dots = np.einsum("ij,ij->i", a, b)
+            denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            s = np.where(denom > 0, dots / np.where(denom == 0, 1, denom), 0.0)
+            out = pdf[keep].copy()
+            out["score"] = np.round(s, round_dp)
+            yield out
+
+    return pairs.mapInPandas(run, schema)
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    num_tables: int = 8,
+    bits: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a, id_b, score)``,
+    id_a < id_b, score ≥ threshold.
+
+    ``method='lsh'`` (scale path): random-hyperplane buckets prune the
+    pair space — only same-bucket pairs in any table are scored; high-
+    cosine pairs collide with probability ``(1 - θ/π)^bits`` per table.
+    ``method='exact'``: full self-join — O(n²) scoring, for oracles and
+    small corpora only.
+    """
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    if method == "exact":
+        a = c.withColumnsRenamed({id_col: "id_a", vec_col: "_v_a"})
+        b = c.withColumnsRenamed({id_col: "id_b", vec_col: "_v_b"})
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            dim = len(c.select(vec_col).first()[0])
+        planes = _plane_matrix(dim, bits, num_tables)
+        id_type = dict(c.dtypes)[id_col]
+        vec_type = dict(c.dtypes)[vec_col]
+        schema = f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, tbl BIGINT, bucket BIGINT"
+
+        def run(batches):
+            for pdf in batches:
+                yield _bucket_rows(pdf, vec_col, planes, bits, num_tables)
+
+        bucketed = c.mapInPandas(run, schema)
+        a = bucketed.withColumnsRenamed({id_col: "id_a", vec_col: "_v_a"})
+        b = bucketed.withColumnsRenamed({id_col: "id_b", vec_col: "_v_b"})
+        pairs = (
+            a.join(b, on=["tbl", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    scored = _score_pairs_numpy(pairs, "_v_a", "_v_b", keep=["id_a", "id_b"])
+    return scored.filter(F.col("score") >= threshold)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,82 @@
+"""Corpus-curation pipeline: the training-data cleaning flow composed
+from the engine's text/dedup operators.
+
+Stages (each optional, config-driven), in the canonical order — cheap
+row-local filters first, shuffling dedup stages last, near-dup LSH only
+on the survivors:
+
+  1. quality filter      — token count bounds + signal thresholds
+                           (Gopher/C4-style), pure projection+filter
+  2. language filter     — heuristic language ID ∈ allowed set
+  3. exact dedup         — normalized-fingerprint keep-min-id (1 shuffle)
+  4. near-dup removal    — MinHash-LSH pairs; greedy survivor = drop the
+                           higher id of every confirmed pair
+
+At 100 TB the stage order is the cost model: filters prune before any
+shuffle; exact dedup shrinks the LSH input; LSH pair space stays bounded
+by banding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_dedup_pairs
+from ..operators.text import with_language_id, with_quality_signals
+
+
+@dataclass
+class CurationConfig:
+    min_tokens: int = 10
+    max_tokens: int = 100_000
+    max_punct_ratio: float = 0.3
+    min_stopword_ratio: float = 0.0
+    allowed_languages: set[str] = field(default_factory=lambda: {"en"})
+    exact_dedup: bool = True
+    near_dup_threshold: float | None = 0.85  # None disables the LSH stage
+
+
+def curate_corpus(
+    df: DataFrame,
+    config: CurationConfig = CurationConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Return the curated corpus (original columns + n_tokens)."""
+    orig_cols = df.columns
+    out = with_quality_signals(df, text_col)
+    out = out.filter(
+        (F.col("n_tokens") >= config.min_tokens)
+        & (F.col("n_tokens") <= config.max_tokens)
+        & (F.col("punct_ratio") <= config.max_punct_ratio)
+        & (F.col("stopword_ratio") >= config.min_stopword_ratio)
+    )
+    if config.allowed_languages:
+        out = with_language_id(out, text_col)
+        out = out.filter(F.col("lang_pred").isin(sorted(config.allowed_languages)))
+    out = out.select(*orig_cols, "n_tokens")
+    if config.exact_dedup:
+        out = exact_dedup(out, text_col, id_col)
+    if config.near_dup_threshold is not None:
+        pairs = minhash_dedup_pairs(out, text_col, id_col, threshold=config.near_dup_threshold)
+        # greedy survivor: the lower id of every near-dup pair wins
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        out = out.join(losers, on=id_col, how="left_anti")
+    return out
+
+
+def curation_stats(before: DataFrame, after: DataFrame, id_col: str = "doc_id") -> dict:
+    """Row/token accounting for the curation run (audit surface)."""
+    n_before = before.count()
+    row = after.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    return {
+        "docs_in": n_before,
+        "docs_out": row["n"],
+        "docs_removed": n_before - row["n"],
+        "tokens_out": row["tok"] or 0,
+    }

@@ -18,7 +18,7 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import brute_force_topk, embedding_dup_pairs, lsh_topk
 from ..operators.text import (
     with_fingerprint,
     with_language_id,
@@ -190,6 +190,52 @@ WHERE len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.
 
 
 # --------------------------------------------------------------------------
+# Corpus curation: quality filter → language filter → exact dedup, the
+# oracle-expressible slice of the curation pipeline (the LSH near-dup
+# stage is covered rows-only by minhash_pairs_docs)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.corpus_curation import CurationConfig, curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = CurationConfig(
+        min_tokens=30, max_tokens=100_000, max_punct_ratio=0.3,
+        allowed_languages={"en"}, exact_dedup=True, near_dup_threshold=None,
+    )
+    return curate_corpus(docs, cfg).select("doc_id", "n_tokens")
+
+
+CORPUS_CURATION_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, text,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+           / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['en']}, x))) AS s_en,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['de']}, x))) AS s_de,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['fr']}, x))) AS s_fr,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['es']}, x))) AS s_es
+  FROM documents
+), filtered AS (
+  SELECT doc_id, text, n_tokens FROM sig
+  WHERE n_tokens BETWEEN 30 AND 100000 AND punct_ratio <= 0.3
+    AND CASE WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+             WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+             WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+             ELSE 'und' END = 'en'
+)
+SELECT doc_id, n_tokens FROM (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           ORDER BY doc_id
+         ) AS rn
+  FROM filtered
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash LSH near-dup pairs — xxhash64-based, no SQL oracle (rows-only)
 def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -233,6 +279,22 @@ SELECT query_id, vec_id, score FROM (
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs — exact method so the full-pair-space
+# oracle matches (the LSH method is the scale path, exercised in tests)
+def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.45, method="exact")
+
+
+EMBEDDING_DEDUP_PAIRS_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
 # LSH-bucketed approximate top-k — deterministic hyperplanes, no SQL oracle
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -244,6 +306,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
+    "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
@@ -252,5 +315,6 @@ QUERIES = {
     "minhash_pairs_docs": (minhash_pairs_docs, None),
     "simhash_docs": (simhash_docs, None),
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
+    "embedding_dedup_pairs": (embedding_dedup_pairs, EMBEDDING_DEDUP_PAIRS_SQL),
     "similarity_lsh_topk": (similarity_lsh_topk, None),
 }

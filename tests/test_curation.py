@@ -1,0 +1,52 @@
+from data_ingestion_pipelines_spark.operators.similarity import embedding_dup_pairs
+from data_ingestion_pipelines_spark.pipelines.corpus_curation import (
+    CurationConfig,
+    curate_corpus,
+    curation_stats,
+)
+
+GOOD = "the quick brown fox jumps over the lazy dog and runs far away today again"
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),
+        (2, GOOD),                      # exact dup → dropped
+        (3, GOOD + " bonus"),           # near dup (J=11/12) → dropped by LSH
+        (4, "too short"),               # quality filter
+        (5, "der hund ist nicht mit der katze auf dem sofa und der maus im haus heute"),  # German → language filter
+        (6, "completely different content about spark query engines with many shuffles and partitions involved here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_curate_corpus_full_chain(spark):
+    cfg = CurationConfig(min_tokens=5, near_dup_threshold=0.5)
+    out = curate_corpus(_docs(spark), cfg)
+    assert {r["doc_id"] for r in out.collect()} == {1, 6}
+    assert "n_tokens" in out.columns
+
+
+def test_curate_corpus_stats_and_stage_toggles(spark):
+    docs = _docs(spark)
+    cfg = CurationConfig(min_tokens=5, near_dup_threshold=None)  # LSH off
+    out = curate_corpus(docs, cfg)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3, 6}  # near-dup kept
+    stats = curation_stats(docs, out)
+    assert stats["docs_in"] == 6 and stats["docs_out"] == 3
+    assert stats["docs_removed"] == 3 and stats["tokens_out"] > 0
+
+
+def test_embedding_dup_pairs_exact_vs_lsh(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),     # near dup of 2
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    exact = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(emb, 0.9, method="exact").collect()}
+    assert exact == {(0, 1), (2, 3)}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(emb, 0.9, method="lsh", num_tables=8, bits=2, dim=4).collect()}
+    assert lsh == exact  # high-cosine pairs collide in some table
