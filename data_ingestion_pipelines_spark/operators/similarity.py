@@ -280,43 +280,50 @@ def ivf_topk(
 
     Centroids are the first ``num_lists`` sampled vectors (k-means init
     without iterations — adequate as a partitioner; a production build
-    would run a few Lloyd rounds with `mapInPandas`). Corpus assignment is
-    one projection + small broadcast; the probe join is on a small int key.
+    would run a few Lloyd rounds with `mapInPandas`). List assignment is
+    one numpy matmul per Arrow batch; the probe join is on a small int
+    key and the re-rank reuses the shared numpy pair scorer.
     """
+    import numpy as np
+
     cent_rows = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(F.col(id_col))
         .limit(num_lists)
         .collect()
     )
-    centroids = [(i, list(r[vec_col])) for i, r in enumerate(cent_rows)]
+    cents = np.asarray([list(r[vec_col]) for r in cent_rows], dtype="float64")
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
-    def nearest_lists(vec: Column, n: int) -> Column:
-        sims = F.array(
-            *[
-                F.struct(
-                    cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in cvec])).alias("s"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cvec in centroids
-            ]
-        )
-        top = F.slice(F.reverse(F.array_sort(sims)), 1, n)
-        return F.transform(top, lambda s: s["cid"])
+    def assign(id_name: str, vec_name: str, n: int, types: dict):
+        schema = f"`{id_name}` {types[id_name]}, `{vec_name}` {types[vec_name]}, list_id BIGINT"
 
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col), F.element_at(nearest_lists(F.col(vec_col), 1), 1).alias("list_id")
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        F.explode(nearest_lists(F.col(vec_col), nprobe)).alias("list_id"),
-    )
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(columns=[id_name, vec_name, "list_id"])
+                    continue
+                vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_name]])
+                norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                sims = (vecs / norms) @ cents.T  # (rows, num_lists)
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+                out = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+                out["list_id"] = top.reshape(-1)
+                yield out
+
+        return run, schema
+
+    c_types = dict(corpus.dtypes)
+    q_in = queries.select(F.col(query_id_col), F.col(vec_col))
+    q_types = dict(q_in.dtypes)
+    run_c, schema_c = assign(id_col, vec_col, 1, c_types)
+    run_q, schema_q = assign(query_id_col, vec_col, nprobe, q_types)
+    c = corpus.select(id_col, vec_col).mapInPandas(run_c, schema_c)
+    q = q_in.mapInPandas(run_q, schema_q).withColumnRenamed(vec_col, "_qvec")
+
     cand = c.join(F.broadcast(q), on="list_id").dropDuplicates([query_id_col, id_col])
-    scored = cand.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
-    )
+    scored = _score_pairs_numpy(cand, vec_col, "_qvec", keep=[query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -18,7 +18,12 @@ from ..operators.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from ..operators.similarity import brute_force_topk, embedding_dup_pairs, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from ..operators.text import (
     with_fingerprint,
     with_language_id,
@@ -304,6 +309,16 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, num_tables=4, bits=6, dim=64)
 
 
+# --------------------------------------------------------------------------
+# IVF-bucketed approximate top-k — centroid probing, no SQL oracle
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4)
+
+
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
@@ -317,4 +332,5 @@ QUERIES = {
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
     "embedding_dedup_pairs": (embedding_dedup_pairs, EMBEDDING_DEDUP_PAIRS_SQL),
     "similarity_lsh_topk": (similarity_lsh_topk, None),
+    "similarity_ivf_topk": (similarity_ivf_topk, None),
 }

@@ -607,6 +607,75 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Analytic lead/lag + gap sessionization (engine extension over events):
+# session id = cumulative count of gaps > 30 min per user, in event order
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_gap = ev.select(
+        "user_id", "event_id", "ts",
+        (F.col("ts").cast("long") - prev_ts.cast("long")).alias("gap_sec"),
+        new_session.alias("_new"),
+    )
+    sess = with_gap.withColumn(
+        "session_num",
+        F.sum("_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+EVENT_SESSIONS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM g
+)
+SELECT user_id, session_num, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_num
+"""
+
+
+# --------------------------------------------------------------------------
+# ROLLUP aggregation (engine extension; subtotal rows with NULL group keys)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
 # Conditional aggregation (TPC-H Q12-style): CASE-sum over a join — the
 # partial-aggregatable form of per-category counting
 def priority_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,6 +790,8 @@ QUERIES = {
     "json_props_extract": (json_props_extract, JSON_PROPS_EXTRACT_SQL),
     "priority_shipmode_counts": (priority_shipmode_counts, PRIORITY_SHIPMODE_COUNTS_SQL),
     "promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SHARE_SQL),
+    "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "big_customers": (big_customers, BIG_CUSTOMERS_SQL),
     "outer_coalesce_refresh": (outer_coalesce_refresh, OUTER_COALESCE_REFRESH_SQL),
