@@ -607,6 +607,33 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Correlated aggregate (TPC-H Q2/Q17-style): rows above their group's
+# average — decorrelated into a window (one shuffle, no re-scan)
+def above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    brand_avg = (
+        F.sum(_dec("p_retailprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    return (
+        part.withColumn("brand_avg", brand_avg)
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+    )
+
+
+ABOVE_BRAND_AVERAGE_SQL = """
+SELECT p_partkey, p_brand, p_retailprice, brand_avg FROM (
+  SELECT p_partkey, p_brand, p_retailprice,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(38,4))) OVER (PARTITION BY p_brand) AS DOUBLE)
+           / CAST(COUNT(*) OVER (PARTITION BY p_brand) AS DOUBLE) AS brand_avg
+  FROM part
+) WHERE p_retailprice > brand_avg
+"""
+
+
+# --------------------------------------------------------------------------
 # Analytic lead/lag + gap sessionization (engine extension over events):
 # session id = cumulative count of gaps > 30 min per user, in event order
 def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,6 +818,7 @@ QUERIES = {
     "priority_shipmode_counts": (priority_shipmode_counts, PRIORITY_SHIPMODE_COUNTS_SQL),
     "promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SHARE_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "above_brand_average": (above_brand_average, ABOVE_BRAND_AVERAGE_SQL),
     "rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "big_customers": (big_customers, BIG_CUSTOMERS_SQL),

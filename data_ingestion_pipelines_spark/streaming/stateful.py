@@ -1,0 +1,106 @@
+"""Custom stateful streaming operators (`applyInPandasWithState`).
+
+The engine extension beyond the reference's batch watermarking: per-key
+state machines over unbounded streams. First operator: streaming
+sessionization — the stateful twin of the batch ``event_sessions`` plan
+(plans/relational.py): events group into sessions that CLOSE when no
+event arrives within the gap timeout; closed sessions emit downstream
+while open ones ride in the state store across micro-batches.
+
+State layout per user: (session_start, last_ts, n_events, total_value).
+Timeout handling uses processing-time timeouts relative to the batch —
+deterministic for AvailableNow replays of bounded data when the gap is
+event-time based (we close on event-time gaps within the data; the
+processing-time timeout only flushes the final open sessions).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events BIGINT, total_value DOUBLE, closed_by STRING"
+)
+SESSION_STATE_SCHEMA = (
+    "session_start TIMESTAMP, last_ts TIMESTAMP, n_events BIGINT, total_value DOUBLE"
+)
+
+
+def make_sessionizer(gap_seconds: int = 1800, use_timeout: bool = True):
+    """Build the applyInPandasWithState function for gap sessionization."""
+
+    def sessionize(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                s_start, s_last, n, tot = state.get
+                closed.append((user_id, s_start, s_last, n, tot, "timeout"))
+                state.remove()
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events",
+                         "total_value", "closed_by"],
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            s_start, s_last, n, tot = state.get
+        else:
+            s_start = s_last = None
+            n, tot = 0, 0.0
+
+        for ts, val in zip(rows["ts"], rows["value"]):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if s_last is not None and (ts - s_last).total_seconds() > gap_seconds:
+                closed.append((user_id, s_start, s_last, n, tot, "gap"))
+                s_start, n, tot = ts, 0, 0.0
+            if s_start is None:
+                s_start = ts
+            s_last = ts
+            n += 1
+            tot += float(val)
+
+        state.update((s_start, s_last, n, tot))
+        if use_timeout:
+            # flush the open session if nothing arrives for another gap
+            state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events",
+                     "total_value", "closed_by"],
+        )
+
+    return sessionize
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    use_timeout: bool = True,
+) -> DataFrame:
+    """Stateful gap sessionization over a streaming events DataFrame
+    (columns: user_id, event_id, ts, value). Emits CLOSED sessions.
+
+    ``use_timeout=False`` disables the processing-time flush of open
+    sessions — use for bounded AvailableNow replays, where a pending
+    timeout would keep the drained query alive for the full gap.
+    """
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout if use_timeout else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_sessionizer(gap_seconds, use_timeout),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for the merge/dedup/flatten kernels.
+
+Examples are kept small and few — each example round-trips through a
+Spark job; the properties, not the volume, carry the value.
+"""
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from data_ingestion_pipelines_spark.functions import coalesce_merge
+from data_ingestion_pipelines_spark.operators.flatten import explode_zipped
+from data_ingestion_pipelines_spark.operators.incremental import copy_needed_condition
+from data_ingestion_pipelines_spark.sinks.merge import merge_upsert
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=9)
+vals = st.one_of(st.none(), st.text(alphabet="abc", max_size=3))
+
+
+@given(
+    old=st.dictionaries(keys, vals, max_size=8),
+    new=st.dictionaries(keys, vals, max_size=8),
+)
+@SETTINGS
+def test_coalesce_merge_properties(spark, old, new):
+    old_df = spark.createDataFrame(list(old.items()) or [(99, "z")], "k int, v string")
+    new_df = spark.createDataFrame(list(new.items()) or [(98, "y")], "k int, v string")
+    old = dict(old) or {99: "z"}
+    new = dict(new) or {98: "y"}
+    got = {r["k"]: r["v"] for r in coalesce_merge(old_df, new_df, keys=["k"]).collect()}
+    assert set(got) == set(old) | set(new)  # keys = union
+    for k, v in got.items():
+        expected = new.get(k) if new.get(k) is not None else old.get(k)
+        assert v == expected  # new wins when non-null, else old
+
+
+@given(
+    target=st.dictionaries(keys, st.text(alphabet="ab", min_size=1, max_size=2), max_size=6),
+    source=st.dictionaries(keys, st.text(alphabet="cd", min_size=1, max_size=2), max_size=6),
+)
+@SETTINGS
+def test_merge_upsert_properties(spark, target, source):
+    t_df = spark.createDataFrame(list(target.items()) or [(99, "z")], "k int, v string")
+    s_df = spark.createDataFrame(list(source.items()) or [(98, "y")], "k int, v string")
+    target = dict(target) or {99: "z"}
+    source = dict(source) or {98: "y"}
+    got = {r["k"]: r["v"] for r in merge_upsert(t_df, s_df, keys=["k"]).collect()}
+    assert got == {**target, **source}  # source wins on match, all keys kept
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["S", "F", None]),
+            st.sampled_from([None, 0, 1, 2]),  # copy ts offset hours (None = null)
+            st.sampled_from([0, 1, 2]),  # modified ts offset hours
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SETTINGS
+def test_copy_needed_matches_python_reference(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, s, base + dt.timedelta(hours=c) if c is not None else None, base + dt.timedelta(hours=m))
+        for i, (s, c, m) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "i int, status string, copyStatusTimeStamp timestamp, modifiedTimeStamp timestamp"
+    )
+    got = {r["i"] for r in df.filter(copy_needed_condition()).collect()}
+
+    def reference(s, c, m):  # reference truth: skip only fresh successful copies
+        return not (s == "S" and c is not None and c > m)
+
+    expected = {i for i, (s, c, m) in enumerate(rows) if reference(s, c, m)}
+    assert got == expected
+
+
+@given(
+    arrays=st.lists(
+        st.tuples(st.integers(0, 100), st.lists(st.integers(-5, 5), max_size=5)),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda t: t[0],
+    )
+)
+@SETTINGS
+def test_explode_zipped_roundtrip(spark, arrays):
+    df = spark.createDataFrame(
+        [(k, xs, [x * 2 for x in xs]) for k, xs in arrays],
+        "k int, xs array<int>, ys array<int>",
+    )
+    out = explode_zipped(df, ["xs", "ys"], keep=["k"]).collect()
+    got = {(r["k"], r["pos"], r["xs"], r["ys"]) for r in out if r["pos"] is not None}
+    expected = {
+        (k, i, x, x * 2) for k, xs in arrays for i, x in enumerate(xs)
+    }
+    assert got == expected
+    # empty arrays still produce a null-padded row (explode_outer semantics)
+    empties = {r["k"] for r in out if r["pos"] is None}
+    assert empties == {k for k, xs in arrays if not xs}

@@ -1,0 +1,39 @@
+import datetime as dt
+
+from data_ingestion_pipelines_spark.streaming.stateful import sessionize_stream
+
+
+def test_stateful_sessionization_closes_on_gap(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        # user 1: two sessions separated by a 2h gap
+        (1, 1, base, 1.0),
+        (1, 2, base + dt.timedelta(minutes=10), 2.0),
+        (1, 3, base + dt.timedelta(hours=3), 4.0),
+        # user 2: one session, stays open (flushed only by timeout)
+        (2, 4, base, 8.0),
+    ]
+    src = str(tmp_path / "events")
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts timestamp, value double")
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800, use_timeout=False)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT * FROM closed_sessions").collect()
+    # user 1's first session closed by the in-data gap; the rest are open
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["total_value"] == 3.0 and r["closed_by"] == "gap"
+    assert r["session_start"] == base
+    assert r["session_end"] == base + dt.timedelta(minutes=10)
