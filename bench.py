@@ -66,16 +66,23 @@ def main() -> None:
     except Exception:
         plans.load(spark, sf_dir, "region").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink executes the FULL plan (count() would let Catalyst
-        # prune every projection and undercount the real work)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink executes the FULL plan (count() would let Catalyst
+            # prune every projection and undercount the real work)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        # best-of-N: JIT/GC/load noise on a shared host is one-sided, so
+        # the minimum is the stable estimate of the plan's real cost
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s (best of {runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

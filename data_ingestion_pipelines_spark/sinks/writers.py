@@ -30,6 +30,28 @@ def _read_existing(spark: SparkSession, path: str, fmt: str) -> DataFrame | None
         return None
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed saveAsTable: co-locates rows by hash(bucket_cols) so
+    joins/aggregations between tables bucketed on the same keys run with
+    NO shuffle exchange (see tests/test_bucketing.py for the plan proof).
+
+    At 100 TB this is the control-table/fact-join strategy: bucket the
+    big tables on their join keys once at write time; every downstream
+    merge/refresh reuses the layout instead of re-shuffling per query.
+    """
+    writer = df.write.format(fmt).mode("overwrite").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def replace_partitions(
     df: DataFrame, path: str, partition_by: list[str], fmt: str = "parquet"
 ) -> None:

@@ -1,0 +1,29 @@
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.sinks.writers import write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    write_bucketed(a, "bkt_a", buckets=8, bucket_cols=["k"], sort_cols=["k"])
+    write_bucketed(b, "bkt_b", buckets=8, bucket_cols=["k"], sort_cols=["k"])
+    try:
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # co-located bucketed join: sort-merge with NO shuffle exchange
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
