@@ -1,0 +1,121 @@
+"""Excel (XLSX) source (SURVEY §2.1 S12).
+
+The reference reads one sheet with `com.crealytics.spark.excel`, filters
+``_c0 == 'Completed'`` and extracts a watermark timestamp to build a
+delta URL (`bp-scala-api-ingestions/dataSource bp/Tables.scala:362-371`).
+No excel library ships in this container, and none is needed for that
+surface: XLSX is a zip of XML — this stdlib reader handles inline and
+shared strings, numbers, and A1-style cell addressing, which covers
+control/watermark sheets (not heavy styling/formula evaluation; plug in
+a real engine for those).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, SparkSession
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(ref: str) -> int:
+    """'C7' → 2 (0-based column)."""
+    letters = re.match(r"[A-Z]+", ref).group(0)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+def read_xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str | None]]:
+    """Rows of cell values (strings) from one sheet of an .xlsx file."""
+    with zipfile.ZipFile(path) as z:
+        # shared strings (optional part)
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+        # resolve sheet name → xml part via workbook + rels
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = wb.find(f"{_NS}sheets").findall(f"{_NS}sheet")
+        rels = ET.fromstring(z.read("xl/_rels/xl/workbook.xml.rels".replace("xl/_rels/xl/", "xl/_rels/")))
+        rel_map = {
+            r.get("Id"): r.get("Target")
+            for r in rels.iter("{http://schemas.openxmlformats.org/package/2006/relationships}Relationship")
+        }
+        if isinstance(sheet, int):
+            chosen = sheets[sheet]
+        else:
+            chosen = next(s for s in sheets if s.get("name") == sheet)
+        rid = chosen.get("{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id")
+        target = rel_map.get(rid, "worksheets/sheet1.xml")
+        part = target if target.startswith("xl/") else f"xl/{target}"
+
+        root = ET.fromstring(z.read(part))
+        rows: list[list[str | None]] = []
+        for row in root.iter(f"{_NS}row"):
+            cells: dict[int, str | None] = {}
+            for c in row.findall(f"{_NS}c"):
+                ref = c.get("r") or ""
+                ci = _col_index(ref) if ref else len(cells)
+                t = c.get("t")
+                v = c.find(f"{_NS}v")
+                if t == "inlineStr":
+                    is_el = c.find(f"{_NS}is")
+                    cells[ci] = "".join(x.text or "" for x in is_el.iter(f"{_NS}t")) if is_el is not None else None
+                elif v is None:
+                    cells[ci] = None
+                elif t == "s":
+                    cells[ci] = shared[int(v.text)]
+                else:
+                    cells[ci] = v.text
+            width = max(cells) + 1 if cells else 0
+            rows.append([cells.get(i) for i in range(width)])
+        # pad ragged rows to rectangular
+        width = max((len(r) for r in rows), default=0)
+        return [r + [None] * (width - len(r)) for r in rows]
+
+
+def read_excel_df(
+    spark: SparkSession,
+    path: str,
+    sheet: str | int = 0,
+    header: bool = True,
+) -> DataFrame:
+    """Sheet → all-string DataFrame (casts via apply_cast_spec later,
+    like every reference source)."""
+    rows = read_xlsx_rows(path, sheet)
+    if not rows:
+        raise ValueError(f"empty sheet {sheet!r} in {path}")
+    if header:
+        names = [c if c else f"_c{i}" for i, c in enumerate(rows[0])]
+        data = rows[1:]
+    else:
+        names = [f"_c{i}" for i in range(len(rows[0]))]
+        data = rows
+    schema = ", ".join(f"`{n}` STRING" for n in names)
+    return spark.createDataFrame([tuple(r) for r in data], schema)
+
+
+def extract_watermark(
+    spark: SparkSession,
+    path: str,
+    sheet: str | int = 0,
+    status_col: str = "_c0",
+    status_value: str = "Completed",
+    watermark_col: str = "_c1",
+) -> str | None:
+    """The reference's S12 use case: max watermark among 'Completed' rows."""
+    from pyspark.sql import functions as F
+
+    df = read_excel_df(spark, path, sheet, header=False)
+    row = (
+        df.filter(F.col(status_col) == status_value)
+        .agg(F.max(watermark_col).alias("wm"))
+        .collect()[0]
+    )
+    return row["wm"]

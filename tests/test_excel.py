@@ -1,0 +1,74 @@
+import zipfile
+
+import pytest
+
+from data_ingestion_pipelines_spark.sources.excel import (
+    extract_watermark,
+    read_excel_df,
+    read_xlsx_rows,
+)
+
+# A minimal hand-crafted xlsx: workbook with one sheet, shared strings,
+# inline strings, and numeric cells.
+_CONTENT_TYPES = """<?xml version="1.0"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+_ROOT_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+_WORKBOOK = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="Summary" sheetId="1" r:id="rId1"/></sheets>
+</workbook>"""
+_WB_RELS = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+_SHARED = """<?xml version="1.0"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+ <si><t>Completed</t></si><si><t>Running</t></si><si><t>status</t></si>
+</sst>"""
+_SHEET = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="s"><v>2</v></c><c r="B1" t="inlineStr"><is><t>watermark</t></is></c></row>
+  <row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="inlineStr"><is><t>2024-01-05 10:00:00</t></is></c></row>
+  <row r="3"><c r="A3" t="s"><v>1</v></c><c r="B3" t="inlineStr"><is><t>2024-02-01 10:00:00</t></is></c></row>
+  <row r="4"><c r="A4" t="s"><v>0</v></c><c r="B4" t="inlineStr"><is><t>2024-01-20 09:30:00</t></is></c><c r="C4"><v>42</v></c></row>
+ </sheetData>
+</worksheet>"""
+
+
+@pytest.fixture()
+def xlsx(tmp_path):
+    p = tmp_path / "summary.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _ROOT_RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        z.writestr("xl/sharedStrings.xml", _SHARED)
+        z.writestr("xl/worksheets/sheet1.xml", _SHEET)
+    return str(p)
+
+
+def test_read_xlsx_rows(xlsx):
+    rows = read_xlsx_rows(xlsx, "Summary")
+    assert rows[0][:2] == ["status", "watermark"]
+    assert rows[1] == ["Completed", "2024-01-05 10:00:00", None]
+    assert rows[3] == ["Completed", "2024-01-20 09:30:00", "42"]  # numeric cell as string
+
+
+def test_read_excel_df_and_watermark(spark, xlsx):
+    df = read_excel_df(spark, xlsx, "Summary")
+    assert df.columns[:2] == ["status", "watermark"]
+    assert df.count() == 3
+
+    # the reference's S12 flow: max watermark among 'Completed' rows
+    wm = extract_watermark(spark, xlsx, "Summary")
+    assert wm == "2024-01-20 09:30:00"
