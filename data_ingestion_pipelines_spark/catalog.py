@@ -21,6 +21,12 @@ CONTROL_COLUMNS = [
     "additionalColumnsInTarget", "sourceChgKeyLatestValues",
     "sourceTimestampFormat", "targetDBName", "targetTblName",
     "fkTargetFileFormat", "filterQuery", "isActive",
+    # tblJobQueueExtn (API) columns
+    "tokenURL", "fkSrcAuthType", "fkSrcResponseFormat",
+    "paginationType", "paginationURLKeyword", "paginationURLLocation",
+    "paginationAdditionalParams",
+    # engine-native: free-form options as JSON
+    "optionsJson",
 ]
 
 CONTROL_DDL = (
@@ -31,11 +37,17 @@ CONTROL_DDL = (
     "transformedColumnsInTarget STRING, additionalColumnsInTarget STRING, "
     "sourceChgKeyLatestValues STRING, sourceTimestampFormat STRING, "
     "targetDBName STRING, targetTblName STRING, fkTargetFileFormat STRING, "
-    "filterQuery STRING, isActive STRING"
+    "filterQuery STRING, isActive STRING, "
+    "tokenURL STRING, fkSrcAuthType STRING, fkSrcResponseFormat STRING, "
+    "paginationType STRING, paginationURLKeyword STRING, "
+    "paginationURLLocation STRING, paginationAdditionalParams STRING, "
+    "optionsJson STRING"
 )
 
 
 def spec_to_row(spec: JobSpec, pk: int = 0) -> tuple:
+    import json
+
     return (
         pk, spec.job_group, spec.job_order, spec.job_num, spec.job_step_num,
         spec.load_type.value, spec.source_application, spec.source_url,
@@ -45,6 +57,10 @@ def spec_to_row(spec: JobSpec, pk: int = 0) -> tuple:
         spec.source_chg_key_latest_values, spec.source_timestamp_format,
         spec.target_db_name, spec.target_tbl_name, spec.target_file_format,
         spec.filter_query, spec.is_active,
+        spec.token_url, spec.auth_type.value, spec.response_format.value,
+        spec.pagination.value, spec.pagination_keyword, spec.pagination_location,
+        spec.pagination_additional_params,
+        json.dumps(spec.options) if spec.options else None,
     )
 
 

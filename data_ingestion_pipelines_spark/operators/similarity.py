@@ -265,6 +265,60 @@ def embedding_dup_pairs(
     return scored.filter(F.col("score") >= threshold)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd k-means returning a (k, dim) numpy centroid matrix.
+
+    Deterministic init (first k rows by id); each iteration is ONE pass:
+    executors assign their batch to the nearest centroid and emit per-list
+    partial (sum, count) rows — k rows per partition, trivially collected
+    and combined on the driver. Cosine-space: centroids re-normalized each
+    round. Empty lists keep their previous centroid.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    cents = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        c_broadcast = cents
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+                norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax((vecs / norms) @ c_broadcast.T, axis=1)
+                out = []
+                for cid in np.unique(assign):
+                    mask = assign == cid
+                    out.append((int(cid), vecs[mask].sum(axis=0).tolist(), int(mask.sum())))
+                yield pd.DataFrame(out, columns=["cid", "vsum", "n"])
+
+        part = corpus.select(vec_col).mapInPandas(
+            partials, "cid INT, vsum ARRAY<DOUBLE>, n BIGINT"
+        ).collect()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in part:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -274,26 +328,22 @@ def ivf_topk(
     query_id_col: str = "query_id",
     num_lists: int = 16,
     nprobe: int = 4,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF: centroid lists from a deterministic corpus sample, probe the
     ``nprobe`` nearest lists per query, exact re-rank inside.
 
-    Centroids are the first ``num_lists`` sampled vectors (k-means init
-    without iterations — adequate as a partitioner; a production build
-    would run a few Lloyd rounds with `mapInPandas`). List assignment is
-    one numpy matmul per Arrow batch; the probe join is on a small int
-    key and the re-rank reuses the shared numpy pair scorer.
+    Centroids: deterministic first-``num_lists`` init, optionally refined
+    with ``lloyd_iters`` distributed k-means rounds (one corpus pass
+    each — see :func:`kmeans_centroids`). List assignment is one numpy
+    matmul per Arrow batch; the probe join is on a small int key and the
+    re-rank reuses the shared numpy pair scorer.
     """
     import numpy as np
 
-    cent_rows = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col))
-        .limit(num_lists)
-        .collect()
+    cents = kmeans_centroids(
+        corpus, vec_col=vec_col, k=num_lists, iters=lloyd_iters, id_col=id_col
     )
-    cents = np.asarray([list(r[vec_col]) for r in cent_rows], dtype="float64")
-    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
     def assign(id_name: str, vec_name: str, n: int, types: dict):
         schema = f"`{id_name}` {types[id_name]}, `{vec_name}` {types[vec_name]}, list_id BIGINT"

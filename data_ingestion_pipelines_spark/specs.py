@@ -149,10 +149,16 @@ class JobSpec:
 
         Accepts the reference's camelCase control-table column names.
         """
+        import json
+
         m = {k.lower(): v for k, v in dict(row).items() if v is not None}
 
         def g(key: str, default: Any = "") -> Any:
             return m.get(key.lower(), default)
+
+        options: dict[str, Any] = {}
+        if g("optionsJson"):
+            options = json.loads(g("optionsJson"))
 
         return cls(
             job_group=int(g("jobGroup", 0)),
@@ -176,4 +182,12 @@ class JobSpec:
             target_file_format=g("fkTargetFileFormat", "parquet") or "parquet",
             filter_query=g("filterQuery"),
             is_active=g("isActive", "Y") or "Y",
+            token_url=g("tokenURL"),
+            auth_type=AuthType(g("fkSrcAuthType", "No-Auth") or "No-Auth"),
+            response_format=ResponseFormat(g("fkSrcResponseFormat", "JSON") or "JSON"),
+            pagination=PaginationType(g("paginationType", "NONE") or "NONE"),
+            pagination_keyword=g("paginationURLKeyword"),
+            pagination_location=g("paginationURLLocation"),
+            pagination_additional_params=g("paginationAdditionalParams"),
+            options=options,
         )

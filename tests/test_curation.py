@@ -37,6 +37,21 @@ def test_curate_corpus_stats_and_stage_toggles(spark):
     assert stats["docs_removed"] == 3 and stats["tokens_out"] > 0
 
 
+def test_kmeans_centroids_separate_clusters(spark):
+    import numpy as np
+
+    from data_ingestion_pipelines_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [10.0 + (i % 7) * 0.1, 0.0]) for i in range(20)] + [
+        (100 + i, [0.0, 10.0 + (i % 7) * 0.1]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = kmeans_centroids(emb, k=2, iters=3)
+    # after Lloyd rounds the two centroids land on the two axes
+    axes = {tuple(np.round(c / np.linalg.norm(c)).astype(int)) for c in cents}
+    assert axes == {(1, 0), (0, 1)}
+
+
 def test_embedding_dup_pairs_exact_vs_lsh(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

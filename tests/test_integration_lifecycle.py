@@ -1,0 +1,73 @@
+"""End-to-end lifecycle: specs persisted to a control table → loaded →
+run as a job group (thread pool + retry) → API fetched (fake transport,
+paginated) → transformed → loaded per load-type → watermarks advanced →
+runlog written. This is the reference's §3.2 parent/child flow in one
+Spark application.
+"""
+
+import json
+
+from data_ingestion_pipelines_spark.catalog import load_specs, save_specs
+from data_ingestion_pipelines_spark.operators.incremental import WatermarkStore
+from data_ingestion_pipelines_spark.orchestration.runner import JobRunner
+from data_ingestion_pipelines_spark.pipelines.api_ingestion import run_api_job
+from data_ingestion_pipelines_spark.sinks.runlog import RunLog
+from data_ingestion_pipelines_spark.sources.rest import Response
+from data_ingestion_pipelines_spark.specs import JobSpec, LoadType, PaginationType
+
+
+def _page(ids):
+    return json.dumps({"Data": [{"Id": i, "Name": f"n{i}", "ModifiedAt": f"2024-01-{i:02d}"} for i in ids]})
+
+
+def test_job_group_lifecycle(spark, tmp_path):
+    specs = [
+        JobSpec(job_group=9, job_order=1, job_num=1, load_type=LoadType.SNP,
+                source_url="http://api/t1", source_change_key_cols="Data",
+                target_db_name="stg", target_tbl_name="t1",
+                pagination=PaginationType.HEADER, pagination_keyword="next"),
+        JobSpec(job_group=9, job_order=1, job_num=2, load_type=LoadType.INC,
+                source_url="http://api/t2", source_change_key_cols="Data",
+                source_pk_cols="Id", target_db_name="stg", target_tbl_name="t2",
+                options={"change_key_col": "ModifiedAt"}),
+        JobSpec(job_group=9, job_order=1, job_num=3, is_active="N",
+                target_tbl_name="skipped"),
+    ]
+    save_specs(spark, specs, str(tmp_path / "jobqueue"))
+
+    pages = {
+        "http://api/t1": Response(200, _page([1, 2]), {"next": "http://api/t1?p=2"}),
+        "http://api/t1?p=2": Response(200, _page([3]), {}),
+        "http://api/t2": Response(200, _page([10, 11]), {}),
+    }
+
+    def transport(url, method, headers, body):
+        return pages[url]
+
+    wm = WatermarkStore(spark, str(tmp_path / "wm"))
+    log = RunLog(spark, str(tmp_path / "runlog"))
+
+    def job_fn(spec: JobSpec) -> int:
+        return run_api_job(
+            spark, spec, str(tmp_path / "data"),
+            transport=transport, watermarks=wm, runlog=log,
+        )
+
+    loaded = load_specs(spark, str(tmp_path / "jobqueue"), job_group=9, job_order=1)
+    assert len(loaded) == 2  # inactive spec filtered
+
+    runner = JobRunner(job_fn, pool_size=2, runlog=log)
+    results = runner.run_group(loaded)
+    runner.raise_on_failure()
+    assert {r.status for r in results} == {"S"}
+
+    # SNP table: all 3 paginated rows
+    t1 = spark.read.parquet(str(tmp_path / "data/stg/t1"))
+    assert {r["Id"] for r in t1.collect()} == {1, 2, 3}
+    # INC table + advanced watermark
+    t2 = spark.read.parquet(str(tmp_path / "data/stg/t2"))
+    assert {r["Id"] for r in t2.collect()} == {10, 11}
+    assert wm.get("9/1/2") == "2024-01-11"
+    # runlog: one record per job from the pipeline + one per job from the runner
+    log.flush()
+    assert log.read().count() == 4
