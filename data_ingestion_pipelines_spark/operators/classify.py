@@ -88,6 +88,46 @@ def _extension(col: Column) -> Column:
     return F.when(name.contains("."), F.lower(F.substring_index(name, ".", -1))).otherwise(F.lit(""))
 
 
+def spo_include_exclude(
+    df: DataFrame,
+    files_to_exclude: str | None = None,
+    files_to_include_json: str | None = None,
+    path_col: str = "sourceFilePath",
+) -> DataFrame:
+    """SharePoint include/exclude semantics (reference
+    `bp-unstructured-sharepoint-ingestion/ModuleFunctions.py:312-412`;
+    control columns FIXTURES F5):
+
+    - ``FilesToExclude``: comma-separated case-insensitive substrings of
+      the file NAME — any match excludes.
+    - ``FilesToInclude``: JSON ``{"fileName": "…", "fileExt":
+      "pdf,txt,mp4"}`` — when present, a file must match the name
+      substring (if given) AND have one of the extensions (if given).
+
+    Returns rows that survive both rules, executor-side predicates only.
+    """
+    import json
+
+    p = F.col(path_col)
+    name = _filename(p)
+    keep: Column = F.lit(True)
+
+    excl_terms = [t.strip() for t in (files_to_exclude or "").split(",") if t.strip()]
+    if excl_terms:
+        pattern = "(?i)(" + "|".join(re.escape(t) for t in sorted(excl_terms)) + ")"
+        keep = keep & ~name.rlike(pattern)
+
+    if files_to_include_json:
+        inc = json.loads(files_to_include_json)
+        if inc.get("fileName"):
+            keep = keep & name.rlike("(?i)" + re.escape(inc["fileName"]))
+        exts = [e.strip().lower().lstrip(".") for e in (inc.get("fileExt") or "").split(",") if e.strip()]
+        if exts:
+            keep = keep & _extension(p).isin(exts)
+
+    return df.filter(keep)
+
+
 def classify(
     df: DataFrame,
     rules: ExclusionRules,

@@ -105,10 +105,10 @@ def decode_images(
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                rec = {c: row[c] for c in keep_cols}
+            for content, *keeps in zip(pdf[content_col], *[pdf[c] for c in keep_cols]):
+                rec = dict(zip(keep_cols, keeps))
                 try:
-                    feats = dec(bytes(row[content_col]))
+                    feats = dec(bytes(content))
                     rec.update(
                         {
                             "width": feats.get("width"),

@@ -41,7 +41,7 @@ from ..operators.flatten import drop_nested_column, flatten_dataframe
 from ..operators.incremental import WatermarkStore
 from ..sinks.runlog import RunLog, RunRecord
 from ..sinks.writers import load_dataframe
-from ..specs import JobSpec, LoadType, PaginationType
+from ..specs import JobSpec, LoadType, PaginationType, ResponseFormat
 from ..sources.rest import TokenProvider, Transport, json_pages_to_df, paginate, urllib_transport
 
 
@@ -109,7 +109,31 @@ def run_api_job(
             offset_step=spec.options.get("offset_step"),
         )
     )
-    df = json_pages_to_df(spark, pages)
+    # response-format dispatch (reference Tables.scala:232-334: Body+JSON /
+    # Body+CSV / Body+XML branches)
+    if spec.response_format in (ResponseFormat.CSV, ResponseFormat.TEXT):
+        from ..sources.rest import csv_pages_to_df
+
+        df = csv_pages_to_df(spark, pages)
+    elif spec.response_format == ResponseFormat.XML:
+        from ..sources.xml import parse_xml_string
+
+        node_path = spec.options.get("xml_node_path", "")
+        columns = spec.inscope_columns
+        if not node_path or not columns:
+            raise ValueError("XML jobs need options['xml_node_path'] + inscopeColumnList")
+        frames = [
+            parse_xml_string(
+                spark, body, node_path, columns,
+                values_from=spec.options.get("xml_values_from", "attributes"),
+            )
+            for body in pages
+        ]
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f)
+    else:
+        df = json_pages_to_df(spark, pages)
     df = transform_for_spec(df, spec, load_ts=load_ts)
 
     path = f"{base_path.rstrip('/')}/{spec.target_db_name or 'default'}/{spec.target_tbl_name}"

@@ -281,8 +281,9 @@ def fetch_per_id(
         )
         for pdf in batches:
             bodies, errors = [], []
-            for _, row in pdf.iterrows():
-                url = url_template.format(**{c: row[c] for c in id_cols})
+            for vals in zip(*[pdf[c] for c in id_cols]):
+                row = dict(zip(id_cols, vals))
+                url = url_template.format(**row)
                 hdrs = tp.auth_headers() if tp else {}
                 try:
                     resp = with_retries(

@@ -91,12 +91,14 @@ def xml_bodies_to_df(
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                body = row[body_col]
+            # column-zip iteration: iterrows() builds a Series per row and
+            # dominates the profile on large batches
+            for body, *keeps in zip(pdf[body_col], *[pdf[c] for c in keep_cols]):
                 if body is None:
                     continue
+                keep_vals = dict(zip(keep_cols, keeps))
                 for rec in parse_xml_rows(body, node_path, columns, values_from):
-                    rec.update({c: row[c] for c in keep_cols})
+                    rec.update(keep_vals)
                     out.append(rec)
             yield pd.DataFrame(out, columns=keep_cols + columns)
 

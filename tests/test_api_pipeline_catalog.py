@@ -103,6 +103,53 @@ def test_run_api_job_inc_merges(spark, tmp_path):
     assert wm.get("1/1/1") == "2024-01-09"
 
 
+def test_run_api_job_csv_and_xml_formats(spark, tmp_path):
+    from data_ingestion_pipelines_spark.specs import ResponseFormat
+
+    csv_spec = _spec(
+        source_url="http://api/csv", source_change_key_cols="",
+        target_tbl_name="csvt", response_format=ResponseFormat.CSV,
+        pagination=PaginationType.NONE,
+    )
+    pages = {"http://api/csv": Response(200, "id,name\n1,a\n2,b")}
+    n = run_api_job(spark, csv_spec, str(tmp_path / "d"), transport=_transport(pages))
+    assert n == 2
+    out = spark.read.parquet(str(tmp_path / "d/stg/csvt"))
+    assert {(r["id"], r["name"]) for r in out.collect()} == {("1", "a"), ("2", "b")}
+
+    xml_spec = _spec(
+        source_url="http://api/xml", source_change_key_cols="",
+        target_tbl_name="xmlt", response_format=ResponseFormat.XML,
+        pagination=PaginationType.NONE,
+        inscope_column_list="Tag,Value",
+        options={"xml_node_path": "Envelope;Body;Row"},
+    )
+    body = '<Envelope><Body><Row Tag="T1" Value="9"/><Row Tag="T2" Value="8"/></Body></Envelope>'
+    pages = {"http://api/xml": Response(200, body)}
+    n = run_api_job(spark, xml_spec, str(tmp_path / "d"), transport=_transport(pages))
+    assert n == 2
+    out = spark.read.parquet(str(tmp_path / "d/stg/xmlt"))
+    assert {(r["Tag"], r["Value"]) for r in out.collect()} == {("T1", "9"), ("T2", "8")}
+
+
+def test_spo_include_exclude(spark):
+    from data_ingestion_pipelines_spark.operators.classify import spo_include_exclude
+
+    df = spark.createDataFrame(
+        [("/s/report TAM.pdf",), ("/s/report.pdf",), ("/s/report.txt",), ("/s/video.mp4",)],
+        "sourceFilePath string",
+    )
+    # exclude by name term (case-insensitive), include by ext list
+    out = spo_include_exclude(
+        df, files_to_exclude="tam",
+        files_to_include_json='{"fileName": "report", "fileExt": "pdf,txt"}',
+    )
+    got = {r["sourceFilePath"] for r in out.collect()}
+    assert got == {"/s/report.pdf", "/s/report.txt"}
+    # no rules → everything passes
+    assert spo_include_exclude(df).count() == 4
+
+
 def test_transform_for_spec_rename_cast(spark):
     df = spark.read.json(spark.sparkContext.parallelize([PAGE1]))
     spec = _spec(
