@@ -37,6 +37,10 @@ HEADLINE = [
     "minhash_pairs_docs",
     "similarity_topk",
     "similarity_lsh_topk",
+    "xml_extract",
+    "corpus_curation",
+    "rest_fetch_per_id",
+    "event_sessions",
 ]
 
 
