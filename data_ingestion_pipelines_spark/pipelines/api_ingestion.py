@@ -72,6 +72,10 @@ def transform_for_spec(df: DataFrame, spec: JobSpec, load_ts: str | None = None)
     rename_spec = spec.options.get("rename_spec", "")
     if rename_spec:
         df = apply_rename_spec(df, rename_spec)
+    if spec.filter_query:
+        # config-driven WHERE (reference filterQuery column) — a SQL
+        # boolean expression over the flattened columns
+        df = df.filter(spec.filter_query)
     if spec.transformed_columns_in_target and ":" in spec.transformed_columns_in_target:
         df = apply_cast_spec(
             df, spec.transformed_columns_in_target, spec.source_timestamp_format or None

@@ -163,6 +163,13 @@ def test_transform_for_spec_rename_cast(spark):
     assert "name" in out.columns and "load_ts" in out.columns
 
 
+def test_transform_for_spec_filter_query(spark):
+    df = spark.read.json(spark.sparkContext.parallelize([PAGE1]))
+    spec = _spec(filter_query="Attrs_Name = 'a'")
+    out = transform_for_spec(df, spec)
+    assert [r["Id"] for r in out.collect()] == [1]
+
+
 def test_catalog_roundtrip(spark, tmp_path):
     specs = [
         JobSpec(job_group=1, job_order=1, job_num=1, load_type=LoadType.SNP,
