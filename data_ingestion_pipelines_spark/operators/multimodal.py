@@ -81,6 +81,94 @@ def with_media_metadata(df: DataFrame, content_col: str = "content") -> DataFram
     )
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    keep_cols: list[str] | None = None,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize binary images via mapInPandas → binary column out.
+
+    Default resizer is a deterministic fake (content-hash-derived bytes of
+    the right conceptual shape) — swap for Pillow in deployment
+    (``lambda b, w, h: pil_resize(b, w, h)``). Output: keep_cols +
+    ``resized`` BINARY + ``resize_error`` STRING.
+    """
+    keep_cols = keep_cols or []
+    keep_types = dict(df.dtypes)
+
+    def fake_resize(content: bytes, w: int, h: int) -> bytes:
+        if not content:
+            raise ValueError("empty content")
+        seed = hashlib.md5(content + f"{w}x{h}".encode()).digest()
+        return (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3]
+
+    rz = resizer or fake_resize
+    schema = ", ".join(
+        [f"`{c}` {keep_types[c]}" for c in keep_cols] + ["resized BINARY", "resize_error STRING"]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content, *keeps in zip(pdf[content_col], *[pdf[c] for c in keep_cols]):
+                rec = dict(zip(keep_cols, keeps))
+                try:
+                    rec.update(resized=rz(bytes(content), width, height), resize_error=None)
+                except Exception as ex:
+                    rec.update(resized=None, resize_error=str(ex))
+                out.append(rec)
+            yield pd.DataFrame(out, columns=keep_cols + ["resized", "resize_error"])
+
+    return df.mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    content_col: str = "content",
+    keep_cols: list[str] | None = None,
+    sampler: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Sample N frames per video: one OUTPUT ROW PER FRAME (explode-shaped
+    mapInPandas — the batch contract for frame extraction).
+
+    Default sampler deterministically slices the payload; swap for an
+    ffmpeg-based callable in deployment. Output: keep_cols + ``frame_idx``
+    INT + ``frame`` BINARY.
+    """
+    keep_cols = keep_cols or []
+    keep_types = dict(df.dtypes)
+
+    def fake_sampler(content: bytes, n: int) -> list[bytes]:
+        if not content:
+            return []
+        step = max(len(content) // n, 1)
+        return [content[i * step : (i + 1) * step] or content[-step:] for i in range(n)]
+
+    sp = sampler or fake_sampler
+    schema = ", ".join(
+        [f"`{c}` {keep_types[c]}" for c in keep_cols] + ["frame_idx INT", "frame BINARY"]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content, *keeps in zip(pdf[content_col], *[pdf[c] for c in keep_cols]):
+                base = dict(zip(keep_cols, keeps))
+                for i, frame in enumerate(sp(bytes(content), n_frames)):
+                    out.append({**base, "frame_idx": i, "frame": frame})
+            yield pd.DataFrame(out, columns=keep_cols + ["frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema)
+
+
 def decode_images(
     df: DataFrame,
     content_col: str = "content",

@@ -113,6 +113,27 @@ def test_multimodal_metadata_and_decode(spark):
     assert feats2["a.png"]["width"] == feats["a.png"]["width"]
 
 
+def test_multimodal_resize_and_frames(spark):
+    from data_ingestion_pipelines_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"x" * 300)), ("b", bytearray(b""))], "path string, content binary"
+    )
+    rz = {r["path"]: r for r in resize_images(df, 4, 4, keep_cols=["path"]).collect()}
+    assert len(rz["a"]["resized"]) == 4 * 4 * 3 and rz["a"]["resize_error"] is None
+    assert rz["b"]["resized"] is None and rz["b"]["resize_error"]
+
+    frames = sample_frames(df, 5, keep_cols=["path"]).collect()
+    by_path = {}
+    for r in frames:
+        by_path.setdefault(r["path"], []).append(r["frame_idx"])
+    assert sorted(by_path["a"]) == [0, 1, 2, 3, 4]  # one row per frame
+    assert "b" not in by_path  # empty payload → no frames
+
+
 def test_pandas_bridge(spark):
     import pandas as pd
 
