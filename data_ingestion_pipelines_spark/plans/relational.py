@@ -370,12 +370,17 @@ def cast_rename_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
     df = apply_cast_spec(part, "p_retailprice:decimal(12,2):retail_price;p_size:string:size_str")
     df = apply_rename_spec(df, "p_brand&brand|p_name&part_name")
+    # Canonicalize the decimal to DOUBLE for the cross-engine gate: DECIMAL
+    # survives Spark collect as decimal.Decimal but DuckDB's pandas/arrow
+    # bridge renders it float — emitting raw DECIMAL hash-mismatches in the
+    # driver even when values are identical.
+    df = df.withColumn("retail_price", F.col("retail_price").cast("double"))
     return df.select("p_partkey", "part_name", "brand", "retail_price", "size_str")
 
 
 CAST_RENAME_SPEC_SQL = """
 SELECT p_partkey, p_name AS part_name, p_brand AS brand,
-       CAST(p_retailprice AS DECIMAL(12,2)) AS retail_price,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail_price,
        CAST(p_size AS VARCHAR) AS size_str
 FROM part
 """
@@ -667,7 +672,9 @@ EVENT_SESSIONS_SQL = """
 WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS _new
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS _new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
@@ -676,7 +683,7 @@ WITH g AS (
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
   FROM g
 )
-SELECT user_id, session_num, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_num AS BIGINT) AS session_num, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM s GROUP BY user_id, session_num
 """
@@ -723,8 +730,8 @@ def priority_shipmode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRIORITY_SHIPMODE_COUNTS_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 """

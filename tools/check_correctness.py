@@ -85,6 +85,26 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        # Driver-parity type check: the driver's hasher renders DuckDB
+        # HUGEINT (SUM over ints) and DECIMAL as floats while Spark keeps
+        # int64/Decimal, so value-identical results still hash-mismatch.
+        # Flag any decimal-typed column on either side as a failure even
+        # when the local fetchall() comparison matches (round-1 lesson:
+        # 4 driver hash_match:false that this emulator used to miss).
+        try:
+            import pyarrow as pa
+            atbl = con.execute(oracles[name]).arrow()
+            bad_d = [
+                f"{n}:{t}" for n, t in zip(atbl.schema.names, atbl.schema.types)
+                if pa.types.is_decimal(t)
+            ]
+            if bad_d:
+                problems.append(f"duck unsafe types (HUGEINT/DECIMAL -> float in driver): {bad_d}")
+        except Exception as ex:  # pragma: no cover - arrow probe best-effort
+            print(f"      WARNING: arrow type probe failed for {name}: {ex}")
+        bad_s = [f.name for f in sdf.schema.fields if f.dataType.typeName().startswith("decimal")]
+        if bad_s:
+            problems.append(f"spark unsafe DECIMAL output columns: {bad_s}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
