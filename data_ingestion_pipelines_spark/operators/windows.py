@@ -30,6 +30,62 @@ def chunk_by_row_number(df: DataFrame, order_by: str, chunk_size: int = 200) -> 
     )
 
 
+def chunk_by_range(
+    df: DataFrame,
+    order_by: str,
+    chunk_size: int = 200,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe global chunking: same output as ``chunk_by_row_number``
+    (``rn`` 1-based, ``chunk_id`` 0-based) without funneling every row
+    through one task.
+
+    Two-pass distributed ranking:
+
+    1. ``repartitionByRange(order_by)`` — range-shuffles rows so partition
+       *i* holds a contiguous key range below partition *i+1*'s.
+    2. ``row_number`` partitioned by ``spark_partition_id()`` — a
+       partition-LOCAL window, runs in parallel on every task.
+    3. Per-partition counts (``num_partitions`` rows — control-plane
+       sized) get cumulative offsets via a window over that tiny set and
+       are broadcast-joined back: ``rn = local_rn + offset[pid]``.
+
+    Everything stays inside ONE plan — the range exchange feeds both the
+    local-window branch and the counts branch, so Spark's ReuseExchange
+    evaluates the shuffle once and both branches see identical partition
+    boundaries (no cross-job sampling-determinism hazard, no collect).
+    Exact parity with the global window requires ``order_by`` to be
+    unique (ties within a partition break arbitrarily — same caveat as
+    ``chunk_by_row_number``).
+
+    Reference parity: `bp-unstructured-netapp-ingestion/ModuleFunctions.py:
+    142-172` (row_number chunking); this is the default the copy fan-out
+    should use at scale.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, F.col(order_by))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(order_by))
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # Window over <= num_partitions rows: single-task is fine here, this
+    # is control-plane data, not the input.
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .withColumn("chunk_id", F.floor((F.col("rn") - 1) / chunk_size).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def keep_latest(
     df: DataFrame,
     keys: list[str],

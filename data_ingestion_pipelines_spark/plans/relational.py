@@ -18,7 +18,7 @@ from ..functions.column_specs import apply_cast_spec, apply_rename_spec, coalesc
 from ..operators.classify import ExclusionRules, classify
 from ..operators.flatten import drop_nested_column, explode_zipped, flatten_dataframe
 from ..operators.incremental import copy_needed_condition
-from ..operators.windows import chunk_by_row_number, keep_latest
+from ..operators.windows import chunk_by_range, chunk_by_row_number, keep_latest
 from ..sinks.merge import merge_upsert
 from ..sources.files import read_parquet_table
 
@@ -243,6 +243,20 @@ WITH chunked AS (
 SELECT chunk_id, COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
 FROM chunked GROUP BY chunk_id
 """
+
+
+# Scale-safe variant: identical answer via chunk_by_range's two-pass
+# distributed ranking (no global single-task window). This is the default
+# chunking the copy fan-out should use; chunk_assignment above retains the
+# reference-parity global-window form.
+def chunk_assignment_ranged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    chunked = chunk_by_range(orders, order_by="o_orderkey", chunk_size=200)
+    return chunked.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -834,6 +848,7 @@ QUERIES = {
     "watermark_minmax": (watermark_minmax, WATERMARK_MINMAX_SQL),
     "distinct_priorities": (distinct_priorities, DISTINCT_PRIORITIES_SQL),
     "chunk_assignment": (chunk_assignment, CHUNK_ASSIGNMENT_SQL),
+    "chunk_assignment_ranged": (chunk_assignment_ranged, CHUNK_ASSIGNMENT_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
     "union_pages": (union_pages, UNION_PAGES_SQL),
     "inc_merge_upsert": (inc_merge_upsert, INC_MERGE_UPSERT_SQL),

@@ -67,6 +67,22 @@ def test_chunk_by_row_number(spark):
     assert counts == {0: 200, 1: 200, 2: 50}
 
 
+def test_chunk_by_range_matches_global_window(spark):
+    from data_ingestion_pipelines_spark.operators.windows import chunk_by_range
+
+    # shuffled input so range partitioning has real work to do
+    df = spark.range(1237).select((F.col("id") * 7919 % 1237).alias("k"))
+    out = chunk_by_range(df, "k", chunk_size=100, num_partitions=8)
+    expected = chunk_by_row_number(df, "k", chunk_size=100)
+    got = {(r["k"], r["rn"], r["chunk_id"]) for r in out.collect()}
+    want = {(r["k"], r["rn"], r["chunk_id"]) for r in expected.collect()}
+    assert got == want
+    # the range exchange must be evaluated once (ReuseExchange), not twice
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REQUIRED_BY_STATEFUL_OPERATOR") == 0  # sanity: batch plan
+    assert "rangepartitioning" in plan.lower()
+
+
 def test_keep_latest_with_tiebreaker(spark):
     df = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1), 10), (1, dt.datetime(2024, 1, 2), 11),
