@@ -785,29 +785,33 @@ GROUP BY l_returnflag
 
 # --------------------------------------------------------------------------
 # I5 streaming twin: THE SAME windowed aggregate as event_hourly_windows,
-# executed through Structured Streaming (readStream + AvailableNow +
-# complete-mode memory sink). Hash-checked against the same SQL oracle —
-# proving batch/stream parity of the engine's windowed-aggregate plan.
+# executed through Structured Streaming (readStream + AvailableNow) and a
+# PRODUCTION sink: foreach_batch_upsert MERGEs each micro-batch into a
+# parquet target keyed on (window_start, event_type) — no driver-resident
+# state (the old complete-mode memory sink kept the whole aggregate on the
+# driver). The target is read back for the oracle, hash-checked against
+# the same SQL as the batch twin — batch/stream parity through the real
+# sink path.
 def event_hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
-    import uuid
 
     from ..sources.files import read_parquet_stream
-    from ..streaming.incremental import windowed_event_aggregate
+    from ..streaming.incremental import foreach_batch_upsert, windowed_event_aggregate
 
     stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
     agg = windowed_event_aggregate(stream, group_cols=["event_type"]).drop("window_end")
-    name = f"win_{uuid.uuid4().hex[:12]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    root = tempfile.mkdtemp(prefix="evtwin_")
+    target = f"{root}/windows"
+    q = foreach_batch_upsert(
+        agg,
+        target,
+        keys=["window_start", "event_type"],
+        checkpoint_path=f"{root}/_ckpt",
     )
     q.awaitTermination(300)
-    return spark.table(name).select("window_start", "event_type", "n_events", "total_value")
+    return spark.read.parquet(target).select(
+        "window_start", "event_type", "n_events", "total_value"
+    )
 
 
 # --------------------------------------------------------------------------

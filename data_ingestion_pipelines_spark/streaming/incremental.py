@@ -104,12 +104,20 @@ def foreach_batch_upsert(
     keys: list[str],
     checkpoint_path: str,
     order_col: str | None = None,
+    output_mode: str = "update",
 ) -> StreamingQuery:
     """Streaming sink that MERGEs each micro-batch into a target table.
 
     Idempotent under micro-batch replay when ``order_col`` is set (the
     merge is keep-latest). Parquet fallback rewrites the snapshot — on
     Delta this is a file-level MERGE.
+
+    ``output_mode='update'`` (default) is the right mode for windowed
+    aggregations feeding a MERGE: each micro-batch hands the function the
+    windows whose state changed (including not-yet-watermark-finalized
+    ones, so an availableNow run over a finite source emits the tail
+    windows too), and the key-merge makes re-emission idempotent. For
+    stateless streams update and append behave identically.
     """
     from ..sinks.writers import load_dataframe
     from ..specs import LoadType
@@ -125,6 +133,7 @@ def foreach_batch_upsert(
 
     return (
         stream_df.writeStream.foreachBatch(upsert)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
         .start()
