@@ -310,13 +310,15 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF-bucketed approximate top-k — centroid probing, no SQL oracle
+# IVF-bucketed approximate top-k — centroid probing with Lloyd-refined
+# centroids (2 distributed k-means passes), no SQL oracle. Recall vs the
+# exact answer is asserted in tests/test_llm_ops.py.
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4)
+    return ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4, lloyd_iters=2)
 
 
 QUERIES = {

@@ -127,3 +127,21 @@ def test_lsh_and_ivf_recall_self_and_near(spark):
     ivf = ivf_topk(corpus, queries, k=3, num_lists=3, nprobe=2).collect()
     ids = [r["vec_id"] for r in sorted(ivf, key=lambda r: -r["score"])]
     assert ids[0] == 0
+
+
+def test_ivf_lloyd_recall_floor_vs_exact(spark):
+    """Lloyd-refined IVF (lloyd_iters=2, the gate's configuration) must
+    reach >=0.8 recall@10 against the exact brute-force answer on the real
+    embeddings table."""
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4, lloyd_iters=2).collect()
+    exact_ids = {(r["query_id"], r["vec_id"]) for r in exact}
+    approx_ids = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.8, f"IVF recall@10 {recall:.2f} < 0.8"
