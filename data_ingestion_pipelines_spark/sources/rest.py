@@ -31,7 +31,6 @@ import json
 import time
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass, field
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -95,6 +94,18 @@ class TokenProvider:
 
     def auth_headers(self) -> dict[str, str]:
         return {"Authorization": f"Bearer {self.token()}"}
+
+
+def basic_auth_headers(username: str, password: str) -> dict[str, str]:
+    """RFC 7617 Basic auth header (S9 — the reference shells out to
+    ``curl -u user:pass --ntlm``, `dataSource bp/ModuleFunctions.scala:
+    565-618`). Basic covers the credentialed-fetch path with stdlib only;
+    true NTLM is a multi-roundtrip handshake — supply a Transport that
+    performs it (e.g. wrapping requests-ntlm) where a server demands it."""
+    import base64
+
+    cred = base64.b64encode(f"{username}:{password}".encode()).decode()
+    return {"Authorization": f"Basic {cred}"}
 
 
 def with_retries(
@@ -178,7 +189,18 @@ def paginate(
                 return
             current = nxt
         elif pagination == PaginationType.QUERY_PARAM:
-            if not json.loads(resp.body):  # empty page ends QueryParam mode
+            # Reference terminates on an EMPTY body (response.body.isEmpty,
+            # `dataSource bp/ModuleFunctions.scala:478-561`) — that check
+            # must come first so raw CSV/TEXT pages (which don't parse as
+            # JSON) page correctly. The JSON empty-collection check is a
+            # fallback for APIs that return `[]`/`{}` instead of nothing.
+            if not resp.body.strip():
+                return
+            try:
+                doc = json.loads(resp.body)
+            except ValueError:
+                doc = None  # non-JSON page: only the empty-body check ends paging
+            if doc is not None and not doc:
                 return
             step = offset_step or 1
             offset += step
@@ -207,26 +229,22 @@ def paginate(
 
 
 def json_pages_to_df(spark: SparkSession, pages: Iterator[str] | list[str]) -> DataFrame:
-    """Parse JSON page bodies into one DataFrame via balanced unionByName.
+    """Parse JSON page bodies into one DataFrame with ONE ``read.json``.
 
-    ``allowMissingColumns=True`` because later pages can carry extra keys
-    (the reference casts everything to string to force union-ability —
-    Rushmore `ModuleFunctions.scala:225-231`; schema union is strictly
-    better)."""
-    dfs = [
-        spark.read.json(spark.sparkContext.parallelize([p]))
-        for p in pages
-    ]
-    if not dfs:
+    All page bodies go into a single distributed read: one Spark job total
+    (the round-1 per-page ``spark.read.json`` + balanced union launched one
+    job per page — 10k pages meant 10k tiny jobs). Schema is inferred
+    across ALL pages at once, which subsumes ``unionByName(allowMissing
+    Columns=True)``: keys missing from some pages become nulls, and type
+    conflicts unify during inference instead of failing the union (the
+    reference casts everything to string to force union-ability — Rushmore
+    `ModuleFunctions.scala:225-231`; inferred schema union is strictly
+    better). Top-level JSON arrays expand to one row per element."""
+    pages = [p for p in pages if p and p.strip()]
+    if not pages:
         raise ValueError("no pages")
-
-    def union2(a: DataFrame, b: DataFrame) -> DataFrame:
-        return a.unionByName(b, allowMissingColumns=True)
-
-    # balanced reduce keeps the plan log-depth instead of a linear chain
-    while len(dfs) > 1:
-        dfs = [reduce(union2, dfs[i : i + 2]) for i in range(0, len(dfs), 2)]
-    return dfs[0]
+    slices = max(1, min(len(pages), spark.sparkContext.defaultParallelism))
+    return spark.read.json(spark.sparkContext.parallelize(pages, slices))
 
 
 def csv_pages_to_df(
@@ -237,16 +255,34 @@ def csv_pages_to_df(
 ) -> DataFrame:
     """Parse raw CSV/TEXT page bodies (S8, reference
     ``getAllPagesTEXTData``) into one DataFrame. All-string by default,
-    like the reference; later pages must share the header."""
-    text = "\n".join(p.strip("\n") for p in pages)
-    if not text:
+    like the reference; later pages must share the header.
+
+    Each subsequent page repeats the header once at its start — only that
+    first line is dropped (a global "remove every header-equal line" would
+    silently delete legitimate data rows whose content matches the header
+    text)."""
+    chunks = [p.strip("\n") for p in pages if p and p.strip("\n")]
+    if not chunks:
         raise ValueError("no pages")
-    lines = text.split("\n")
-    if header:  # drop repeated header lines from subsequent pages
-        head, body = lines[0], [l for l in lines[1:] if l != lines[0]]
-        lines = [head] + body
-    ds = spark.sparkContext.parallelize(lines)
-    return spark.read.csv(ds, header=header, inferSchema=infer_schema)
+    lines = chunks[0].split("\n")
+    head = lines[0]
+    for p in chunks[1:]:
+        page_lines = p.split("\n")
+        if header and page_lines and page_lines[0] == head:
+            page_lines = page_lines[1:]
+        lines.extend(page_lines)
+    if not header:
+        return spark.read.csv(
+            spark.sparkContext.parallelize(lines), header=False, inferSchema=infer_schema
+        )
+    # Parse the header line separately: Spark's header=True over a string
+    # dataset drops EVERY line equal to the header, which would also eat
+    # legitimate data rows whose content matches the header text.
+    cols = spark.read.csv(spark.sparkContext.parallelize([head]), header=True).columns
+    body = spark.read.csv(
+        spark.sparkContext.parallelize(lines[1:]), header=False, inferSchema=infer_schema
+    )
+    return body.toDF(*cols)
 
 
 def fetch_per_id(

@@ -85,6 +85,43 @@ def test_paginate_query_param_mode():
     assert len(got) == 3
 
 
+def test_paginate_query_param_text_pages():
+    """Raw CSV/TEXT bodies must page on the empty-body rule (the reference
+    getAllPagesTEXTData check) instead of crashing in json.loads."""
+    pages = {
+        "u?offset=0": Response(200, "h1,h2\na,1\nb,2"),
+        "u?offset=2": Response(200, "h1,h2\nc,3"),
+        "u?offset=4": Response(200, ""),
+    }
+    got = list(
+        paginate(
+            "u?offset=0",
+            _fake_transport(pages),
+            PaginationType.QUERY_PARAM,
+            keyword="offset",
+            offset_step=2,
+        )
+    )
+    assert len(got) == 3 and got[1] == "h1,h2\nc,3"
+
+
+def test_csv_pages_header_only_stripped_at_page_start(spark):
+    from data_ingestion_pipelines_spark.sources.rest import csv_pages_to_df
+
+    # page 2's first line is a repeated header (dropped); its LAST line is a
+    # legitimate data row that happens to equal the header text (kept)
+    df = csv_pages_to_df(spark, ["h1,h2\na,1", "h1,h2\nb,2\nh1,h2"])
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {("a", "1"), ("b", "2"), ("h1", "h2")}
+
+
+def test_basic_auth_headers():
+    from data_ingestion_pipelines_spark.sources.rest import basic_auth_headers
+
+    h = basic_auth_headers("user", "pa:ss")
+    assert h == {"Authorization": "Basic dXNlcjpwYTpzcw=="}
+
+
 def test_paginate_relative_url_and_page_count():
     rel_pages = {
         "http://h/a": Response(200, '{"d":[1],"next":{"url":"/b"}}'),
