@@ -17,6 +17,11 @@ job run (MERGE when Delta is available, conditional overwrite otherwise).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import threading
+import uuid
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -60,14 +65,26 @@ def modified_since_condition(
 
 
 class WatermarkStore:
-    """Key→value watermark table with read-modify-write per job (I4).
+    """Key→value watermark table, one parquet FILE per job_key (I4).
 
-    Stored as a single small parquet table ``(job_key, watermark)``; the
-    update pattern is read → fetch with ``watermark`` in the source
+    The update pattern is read → fetch with ``watermark`` in the source
     predicate → compute ``max(change_key)`` of the ingested batch → write
-    back. On Delta this becomes a MERGE; on parquet we rewrite the tiny
-    table (it is O(#jobs) rows).
+    back. Round-1 design rewrote ONE table for all keys, a non-atomic
+    read-modify-write: two thread-pool jobs advancing different keys could
+    lose each other's update, and a crash mid-overwrite lost the store.
+    Now each key owns its own file, written temp-then-``os.replace`` (an
+    atomic swap on a local/POSIX filesystem):
+
+    - concurrent jobs on different keys touch disjoint files — no lost
+      updates, no lock contention;
+    - same-key writes additionally serialize on a process lock;
+    - a crash leaves either the old or the new file, never a torn store.
+
+    This is the container-runnable fallback; on a real deployment the
+    store is a Delta table and ``set`` is a MERGE keyed on ``job_key``.
     """
+
+    _lock = threading.Lock()
 
     def __init__(self, spark, path: str):
         self.spark = spark
@@ -75,25 +92,35 @@ class WatermarkStore:
 
     def _read(self) -> DataFrame:
         try:
-            return self.spark.read.parquet(self.path)
+            df = self.spark.read.parquet(self.path)
+            if df.columns:
+                return df
         except Exception:
-            return self.spark.createDataFrame([], "job_key string, watermark string")
+            pass
+        return self.spark.createDataFrame([], "job_key string, watermark string")
+
+    def _key_file(self, job_key: str) -> str:
+        digest = hashlib.md5(job_key.encode()).hexdigest()
+        return os.path.join(self.path, f"wm_{digest}.parquet")
 
     def get(self, job_key: str) -> str | None:
         rows = self._read().filter(F.col("job_key") == job_key).limit(1).collect()
         return rows[0]["watermark"] if rows else None
 
     def set(self, job_key: str, watermark: str) -> None:
-        # materialize the O(#jobs) rows on the driver before overwriting
-        # the directory the plan reads from; Delta MERGE replaces this
-        # rewrite when available.
-        rows = [
-            (r["job_key"], r["watermark"])
-            for r in self._read().filter(F.col("job_key") != job_key).collect()
-        ]
-        rows.append((job_key, watermark))
-        updated = self.spark.createDataFrame(rows, "job_key string, watermark string")
-        updated.coalesce(1).write.mode("overwrite").parquet(self.path)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table({"job_key": [job_key], "watermark": [watermark]})
+        with self._lock:
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f"_tmp_{uuid.uuid4().hex}.parquet")
+            try:
+                pq.write_table(table, tmp)
+                os.replace(tmp, self._key_file(job_key))
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
     def advance_from(self, job_key: str, df: DataFrame, change_col: str) -> str | None:
         """Compute max(change_col) of the ingested batch and persist it."""

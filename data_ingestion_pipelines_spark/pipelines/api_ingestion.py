@@ -144,10 +144,20 @@ def run_api_job(
     load_type = spec.load_type
     if load_type == LoadType.FAILURES_ONLY:
         load_type = LoadType.INC if spec.pk_columns else LoadType.APPEND
+    batch_rows = df.count()
     load_dataframe(
         df, path, load_type=load_type, pk_columns=spec.pk_columns or None
     )
-    ingested = spark.read.parquet(path).count()
+    # recIngested = rows landed THIS run. For SNP the target is exactly
+    # this batch, so a re-read doubles as write verification; for
+    # APPEND/INC a target re-read would return the CUMULATIVE table count
+    # (wrong for reconciliation, and a full scan of a potentially huge
+    # target), so the transformed batch count is the right figure.
+    if load_type == LoadType.SNP:
+        fmt = spec.target_file_format or "parquet"
+        ingested = spark.read.format(fmt).load(path).count()
+    else:
+        ingested = batch_rows
 
     change_col = spec.options.get("change_key_col")
     if watermarks is not None and change_col and change_col in df.columns:
@@ -161,7 +171,7 @@ def run_api_job(
                 startTime=start,
                 endTime=dt.datetime.now(dt.timezone.utc).replace(tzinfo=None),
                 status="S",
-                recInSource=df.count(),
+                recInSource=batch_rows,
                 recIngested=ingested,
                 targetFilePath=path,
             )

@@ -97,7 +97,7 @@ def test_run_api_job_inc_merges(spark, tmp_path):
     )
     pages2 = {"http://api/items?since='2024-01-06'": Response(200, upd, {})}
     n = run_api_job(spark, spec, str(tmp_path / "d"), transport=_transport(pages2), watermarks=wm)
-    assert n == 3  # 1 untouched, 2 updated, 9 inserted
+    assert n == 2  # rows ingested THIS run (2 updated/inserted), not cumulative
     out = {r["Id"]: r["Attrs_Name"] for r in spark.read.parquet(str(tmp_path / "d/stg/items")).collect()}
     assert out == {1: "a", 2: "B2", 9: "new"}
     assert wm.get("1/1/1") == "2024-01-09"

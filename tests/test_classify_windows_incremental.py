@@ -137,3 +137,16 @@ def test_watermark_store_roundtrip(spark, tmp_path):
     assert store.get("job2") == "2024-06-01"
     df = spark.createDataFrame([("2024-09-09",)], "chg string")
     assert store.advance_from("job1", df, "chg") == "2024-09-09"
+
+
+def test_watermark_store_concurrent_keys_no_lost_update(spark, tmp_path):
+    """Thread-pool jobs advancing DIFFERENT keys must not clobber each
+    other (round-1 single-table read-modify-write lost updates)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    keys = [f"job{i}" for i in range(12)]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(lambda k: store.set(k, f"wm-{k}"), keys))
+    for k in keys:
+        assert store.get(k) == f"wm-{k}"
