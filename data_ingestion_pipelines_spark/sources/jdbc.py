@@ -4,9 +4,10 @@ The reference reads control tables from SQL Server with pushdown
 subqueries aliased ``(…) as tab`` and a large fetchsize, and appends
 run-log rows back over JDBC (`dataSource bp/Tables.scala:101-114`,
 fetchsize `:48-64`; `bp-structured-sharepoint-list-online/main.py:32-34,
-215`). These wrappers keep that surface; no JDBC driver jar ships in this
-container, so they are exercised in integration environments only (the
-parquet control-table path covers tests here — catalog.py).
+215`). These wrappers keep that surface and are exercised end-to-end in
+this container against embedded Derby (tests/test_jdbc.py — Spark ships
+the Derby jars): pushdown subquery, partitioned range read, DB-side
+join, and append all run through the real spark.read/write JDBC path.
 
 The stored-proc audit write (K7, `[audit].[SP_LOG_RUN_DETAILS_NEW]`) is
 deliberately NOT reproduced: the engine's RunLog table (sinks/runlog.py)

@@ -1,0 +1,79 @@
+"""Real JDBC round-trip for S2/K6/J5 against embedded Derby.
+
+Spark's distribution ships Derby (the Hive-metastore store), which is a
+full JDBC database — so the ACTUAL ``spark.read.format("jdbc")`` path
+(pushdown subquery, fetchsize, partitioned range read, append write) is
+exercised here, not a mock. Reference surface: control-table reads with
+``(…) as tab`` subqueries + fetchsize (`dataSource bp/Tables.scala:
+101-114,48-64`) and the runlog JDBC append (K6).
+"""
+
+import pytest
+
+from data_ingestion_pipelines_spark.sources.jdbc import append_jdbc, read_jdbc_query
+
+DRIVER = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+def test_append_and_pushdown_read(spark, derby_url):
+    df = spark.createDataFrame(
+        [(i, f"grp{i % 3}", i * 10.0) for i in range(1, 101)],
+        "id int, grp string, val double",
+    )
+    append_jdbc(df, derby_url, "control_rows", properties=DRIVER)
+
+    # pushdown subquery: WHERE + projection execute database-side
+    out = read_jdbc_query(
+        spark,
+        derby_url,
+        'SELECT "id", "grp" FROM control_rows WHERE "id" <= 10',
+        properties=DRIVER,
+    )
+    assert out.count() == 10 and set(out.columns) == {"id", "grp"}
+
+    # partitioned range read: Spark issues parallel bounded cursors
+    part = read_jdbc_query(
+        spark,
+        derby_url,
+        'SELECT "id", "val" FROM control_rows',
+        properties=DRIVER,
+        partition_column='"id"',
+        num_partitions=4,
+        lower_bound=1,
+        upper_bound=101,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+
+
+def test_pushdown_join_executes_source_side(spark, derby_url):
+    dims = spark.createDataFrame([("grp0", "zero"), ("grp1", "one")], "grp string, label string")
+    append_jdbc(dims, derby_url, "dim_rows", properties=DRIVER)
+    # J5: the JOIN itself is inside the pushdown subquery → runs in the DB
+    joined = read_jdbc_query(
+        spark,
+        derby_url,
+        # Derby stores Spark strings as CLOB, which is not directly
+        # comparable — cast the join keys (DB-side, still pushed down)
+        'SELECT c."id", d."label" FROM control_rows c '
+        'JOIN dim_rows d ON CAST(c."grp" AS VARCHAR(64)) = CAST(d."grp" AS VARCHAR(64)) '
+        'WHERE c."id" <= 6',
+        properties=DRIVER,
+    )
+    rows = {(r["id"], r["label"]) for r in joined.collect()}
+    assert len(rows) == 4  # ids 1..6 with grp in (grp0, grp1): 3,6 -> zero; 1,4 -> one
+    assert rows == {(3, "zero"), (6, "zero"), (1, "one"), (4, "one")}
+
+
+def test_partitioned_read_requires_bounds(spark, derby_url):
+    with pytest.raises(ValueError):
+        read_jdbc_query(
+            spark, derby_url, 'SELECT "id" FROM control_rows',
+            properties=DRIVER, partition_column="id",
+        )
