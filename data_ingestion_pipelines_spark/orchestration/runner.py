@@ -82,18 +82,50 @@ class JobRunner:
 
     def run_group(self, specs: Iterable[JobSpec]) -> list[JobResult]:
         """Run active specs in a bounded pool; retry failures up to the
-        rerun budget (FAILURES_ONLY semantics at job granularity)."""
+        rerun budget (FAILURES_ONLY semantics at job granularity).
+
+        ``spec.depends_on`` ('group/order/num' keys) forms a job graph:
+        a job runs only after every dependency SUCCEEDED (the reference's
+        PSS-WHI pipelines seed SOAP envelopes from previously-ingested
+        tables — `PSS WHI (XML)/Tables.scala:355-357`). Independent jobs
+        run concurrently in waves; a job whose dependency failed stays
+        pending (the dependency may succeed on a later attempt round) and
+        is marked failed only when the budget is exhausted.
+        """
         pending = [s for s in specs if (s.is_active or "Y").upper() == "Y"]
         final: dict[str, JobResult] = {}
         attempt = 1
         while pending and attempt <= self.rerun_budget:
-            with ThreadPoolExecutor(max_workers=self.pool_size) as pool:
-                futures = {pool.submit(self._run_one, s, attempt): s for s in pending}
-                round_results = [f.result() for f in as_completed(futures)]
-            for r in round_results:
-                final[r.key] = r
-            pending = [r.spec for r in round_results if r.status == "F"]
+            round_results: list[JobResult] = []
+            remaining = list(pending)
+            while remaining:
+                ready = [
+                    s for s in remaining
+                    if all(
+                        final.get(d) is not None and final[d].status == "S"
+                        for d in s.dependency_keys
+                    )
+                ]
+                if not ready:  # deps unsatisfied this round → next attempt
+                    break
+                with ThreadPoolExecutor(max_workers=self.pool_size) as pool:
+                    futures = {pool.submit(self._run_one, s, attempt): s for s in ready}
+                    wave = [f.result() for f in as_completed(futures)]
+                for r in wave:
+                    final[r.key] = r
+                round_results.extend(wave)
+                done = {s.key for s in ready}
+                remaining = [s for s in remaining if s.key not in done]
+            pending = [r.spec for r in round_results if r.status == "F"] + remaining
             attempt += 1
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        for s in pending:  # budget exhausted with deps never satisfied
+            if s.key not in final:
+                final[s.key] = JobResult(
+                    s, "F", now, now,
+                    error=f"dependencies never satisfied: {s.dependency_keys}",
+                    attempts=0,
+                )
         self.results = list(final.values())
         if self.runlog is not None:
             self.runlog.flush()

@@ -98,6 +98,11 @@ class JobSpec:
     target_file_format: str = "parquet"
     filter_query: str = ""
     is_active: str = "Y"
+    # ','-separated upstream job keys 'group/order/num' that must SUCCEED
+    # before this job runs (PSS-WHI-style inter-table seeding: SOAP
+    # envelopes built from previously-ingested tables — reference
+    # `PSS WHI (XML)/Tables.scala:355-357,398-400`)
+    depends_on: str = ""
     # API extension (tblJobQueueExtn)
     auth_type: AuthType = AuthType.NO_AUTH
     token_url: str = ""
@@ -127,6 +132,14 @@ class JobSpec:
     @property
     def additional_columns(self) -> list[str]:
         return _split(self.additional_columns_in_target, ",")
+
+    @property
+    def key(self) -> str:
+        return f"{self.job_group}/{self.job_order}/{self.job_num}"
+
+    @property
+    def dependency_keys(self) -> list[str]:
+        return _split(self.depends_on, ",")
 
     @property
     def target_fqn(self) -> str:
@@ -182,6 +195,7 @@ class JobSpec:
             target_file_format=g("fkTargetFileFormat", "parquet") or "parquet",
             filter_query=g("filterQuery"),
             is_active=g("isActive", "Y") or "Y",
+            depends_on=g("dependsOn"),
             token_url=g("tokenURL"),
             auth_type=AuthType(g("fkSrcAuthType", "No-Auth") or "No-Auth"),
             response_format=ResponseFormat(g("fkSrcResponseFormat", "JSON") or "JSON"),

@@ -51,6 +51,48 @@ def test_job_runner_skips_inactive(spark):
     assert ran == [1]
 
 
+def test_job_runner_dependency_graph(spark, tmp_path):
+    """depends_on ordering: the downstream job reads the table its
+    upstream wrote (PSS-WHI inter-table seeding)."""
+    up_path = str(tmp_path / "upstream")
+
+    def job(spec: JobSpec) -> int:
+        if spec.job_num == 1:
+            spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").write.mode(
+                "overwrite"
+            ).parquet(up_path)
+            return 2
+        # downstream: must see the upstream's output
+        return spark.read.parquet(up_path).count()
+
+    runner = JobRunner(job, pool_size=4)
+    results = runner.run_group([
+        JobSpec(job_group=1, job_order=1, job_num=2, depends_on="1/1/1"),
+        JobSpec(job_group=1, job_order=1, job_num=1),
+    ])
+    by_num = {r.spec.job_num: r for r in results}
+    assert by_num[1].status == "S" and by_num[2].status == "S"
+    assert by_num[2].rows == 2
+    assert by_num[2].started_at >= by_num[1].ended_at  # ran strictly after
+
+
+def test_job_runner_dep_on_failing_upstream_marks_failed():
+    def job(spec: JobSpec) -> int:
+        if spec.job_num == 1:
+            raise RuntimeError("upstream down")
+        return 1
+
+    runner = JobRunner(job, pool_size=2, rerun_budget=2)
+    results = runner.run_group([
+        JobSpec(job_group=1, job_order=1, job_num=1),
+        JobSpec(job_group=1, job_order=1, job_num=2, depends_on="1/1/1"),
+    ])
+    by_num = {r.spec.job_num: r for r in results}
+    assert by_num[1].status == "F"
+    assert by_num[2].status == "F" and "never satisfied" in by_num[2].error
+    assert by_num[2].attempts == 0  # never executed
+
+
 def test_file_inventory_end_to_end(spark, tmp_path):
     src = tmp_path / "src"
     (src / "sub").mkdir(parents=True)
