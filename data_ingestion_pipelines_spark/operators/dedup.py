@@ -33,9 +33,15 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition a thin input up to the cluster's parallelism before a
     CPU-heavy per-row stage. A small parquet file scans as 1-2 partitions,
     which would serialize the hashing work on 2 cores; the narrow shuffle
-    of raw rows is negligible next to the compute it unlocks. No-op when
-    the input already has enough partitions (the 100 TB case)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    of raw rows is negligible next to the compute it unlocks.
+
+    Local masters only: ``df.rdd`` forces a plan translation per call, and
+    on a real cluster the inputs are already parallel — there the function
+    is an identity, so no probe cost ships to production plans."""
+    sc = df.sparkSession.sparkContext
+    if not sc.master.startswith("local"):
+        return df
+    target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -333,7 +339,6 @@ def simhash_signatures(
     hashes are xxhash64; bit extraction via shiftright & 1. Hamming-near
     signatures indicate near-duplicates.
     """
-    df = _spread(df)
     df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     # materialize token hashes once behind a barrier: each of the `bits`
