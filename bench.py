@@ -70,7 +70,7 @@ def main() -> None:
     except Exception:
         plans.load(spark, sf_dir, "region").count()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
