@@ -41,6 +41,8 @@ HEADLINE = [
     "corpus_curation",
     "rest_fetch_per_id",
     "event_sessions",
+    "asof_view_before_purchase",
+    "price_band_lookup",
 ]
 
 

@@ -1,0 +1,123 @@
+"""As-of and range joins — engine extensions beyond the reference.
+
+Spark has no ASOF JOIN; the naive encoding (left join on key + inequality,
+then keep-latest) degenerates to a BroadcastNestedLoop or an exploding
+range join. Both operators here reduce to ONE equi-shuffle:
+
+- ``asof_join``: the union-sort-window trick. Tag right rows 0 / left
+  rows 1, union, ONE window over (by-keys ORDER BY ts, side) carrying
+  ``last(right_payload, ignorenulls=True)`` forward, keep left rows.
+  Cost = one shuffle on the by-keys + a sorted window — the same price as
+  a groupBy over the union, at any scale. (kdb+ aj / pandas merge_asof
+  semantics, backward direction by default.)
+- ``range_join_points``: point-in-interval join via bucketing. Intervals
+  explode into the fixed-width buckets they cover (``sequence``), points
+  map to exactly one bucket, equi-join on the bucket id, then the exact
+  bound predicate filters. Shuffle is on a uniform int key instead of a
+  cross product; interval skew is bounded by interval_len/bucket_width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_matched",
+    direction: str = "backward",
+    tolerance_sec: int | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.on <= left.on`` (backward) / earliest with ``>=`` (forward),
+    per ``by`` group. Left rows with no candidate get nulls.
+
+    Right rows should be unique per (by, on) — pre-aggregate ties first
+    (equal-key ties would be picked arbitrarily). ``tolerance_sec``
+    nulls the match when the gap exceeds it (pandas merge_asof
+    tolerance).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = by or []
+    right_cols = right_cols or [c for c in right.columns if c not in [*by, on]]
+    matched_on = f"{on}{suffix}"
+
+    payload = F.struct(
+        F.col(on).alias(matched_on),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    left_cols = [c for c in left.columns]
+    r2 = right.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_rp"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in by],
+    )
+    l2 = left.select(
+        *by,
+        F.col(on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r2.schema["_rp"].dataType).alias("_rp"),
+        *[F.col(c) for c in left_cols if c not in by],
+    )
+    order_t = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(order_t, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    unioned = r2.unionByName(l2.select(*r2.columns))
+    carried = unioned.withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_sec is not None:
+        gap = F.abs(F.col("_t").cast("long") - F.col("_m")[matched_on].cast("long"))
+        out = out.withColumn("_m", F.when(gap <= tolerance_sec, F.col("_m")))
+    result_cols = (
+        [F.col(c) for c in by]
+        + [F.col(c) for c in left_cols if c not in by]
+        + [F.col("_m")[matched_on].alias(matched_on)]
+        + [F.col("_m")[f"{c}{suffix}"].alias(f"{c}{suffix}") for c in right_cols]
+    )
+    return out.select(*result_cols)
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to the interval rows with
+    ``lo <= point < hi`` (half-open), via fixed-width bucketing.
+
+    Every interval is emitted once per bucket it overlaps; a point lives
+    in exactly one bucket, so no post-join dedup is needed. Pick
+    ``bucket_width`` near the median interval length: too small multiplies
+    the interval side, too large widens the post-join filter.
+    """
+    if how != "inner":
+        raise ValueError(
+            f"how must be 'inner', got {how!r} — for a left outer, anti-join "
+            "the points against the inner result on a point id and union"
+        )
+
+    def bucket(col):
+        return F.floor(F.col(col) / F.lit(bucket_width)).cast("bigint")
+
+    # hi is exclusive: an interval ending exactly on a bucket boundary
+    # does not reach into the next bucket
+    hi_bucket = F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)).cast("bigint")
+    iv = intervals.withColumn("_bucket", F.explode(F.sequence(bucket(lo_col), hi_bucket)))
+    pt = points.withColumn("_bucket", bucket(point_col))
+    cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    return pt.join(iv, on="_bucket", how="inner").filter(cond).drop("_bucket")

@@ -815,6 +815,86 @@ def event_hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# As-of join (engine extension; kdb aj / pandas merge_asof semantics):
+# each purchase event picks up the latest view at-or-before it per user.
+# One shuffle on user_id via the union-sort-window trick — no inequality
+# join. Oracle: DuckDB's native ASOF LEFT JOIN.
+def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side made unique per (user_id, ts) so the match is deterministic
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    return asof_join(
+        purchases, views, on="ts", by=["user_id"], right_cols=["view_value"],
+        suffix="_view",
+    ).select("event_id", "user_id", "ts", "ts_view", "view_value_view")
+
+
+ASOF_VIEW_BEFORE_PURCHASE_SQL = """
+WITH v AS (
+  SELECT user_id, ts, MAX(value) AS view_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS ts_view, v.view_value AS view_value_view
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join (engine extension): point-in-interval lookup of lineitem
+# prices against irregular price bands, bucketed to an equi-join instead
+# of a cross product. Oracle: DuckDB inequality join.
+_PRICE_BANDS = [
+    (0, 0.0, 1_000.0),
+    (1, 1_000.0, 2_500.0),
+    (2, 2_500.0, 5_000.0),
+    (3, 5_000.0, 10_000.0),
+    (4, 10_000.0, 25_000.0),
+    (5, 25_000.0, 50_000.0),
+    (6, 50_000.0, 200_000.0),
+]
+
+
+def price_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_joins import range_join_points
+
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band_id int, lo double, hi double")
+    joined = range_join_points(
+        li, bands, point_col="l_extendedprice", lo_col="lo", hi_col="hi",
+        bucket_width=1_000.0,
+    )
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(38,4)")).cast("double").alias("total_qty"),
+    )
+
+
+_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT {b} AS band_id, {lo} AS lo, {hi} AS hi" for b, lo, hi in _PRICE_BANDS
+)
+PRICE_BAND_LOOKUP_SQL = f"""
+WITH bands AS ({_BANDS_SQL})
+SELECT band_id, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_id
+"""
+
+
+# --------------------------------------------------------------------------
 # S15-adjacent: JSON property extraction from a string column (API bodies
 # land as JSON strings; the engine pulls typed fields without a full parse)
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +933,8 @@ QUERIES = {
     "distinct_priorities": (distinct_priorities, DISTINCT_PRIORITIES_SQL),
     "chunk_assignment": (chunk_assignment, CHUNK_ASSIGNMENT_SQL),
     "chunk_assignment_ranged": (chunk_assignment_ranged, CHUNK_ASSIGNMENT_SQL),
+    "asof_view_before_purchase": (asof_view_before_purchase, ASOF_VIEW_BEFORE_PURCHASE_SQL),
+    "price_band_lookup": (price_band_lookup, PRICE_BAND_LOOKUP_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
     "union_pages": (union_pages, UNION_PAGES_SQL),
     "inc_merge_upsert": (inc_merge_upsert, INC_MERGE_UPSERT_SQL),

@@ -1,0 +1,87 @@
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.temporal_joins import (
+    asof_join,
+    range_join_points,
+)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [("A", _ts(0), 10.0), ("A", _ts(5), 11.0), ("B", _ts(3), 20.0)],
+        "sym string, ts timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", _ts(1), 1), ("A", _ts(5), 2), ("A", _ts(9), 3),
+         ("B", _ts(2), 4), ("C", _ts(4), 5)],
+        "sym string, ts timestamp, qty int",
+    )
+
+
+def test_asof_backward(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["px"])
+    got = {r["qty"]: (r["ts_matched"], r["px_matched"]) for r in out.collect()}
+    assert got[1] == (_ts(0), 10.0)   # latest quote <= 00:01
+    assert got[2] == (_ts(5), 11.0)   # equal timestamps match
+    assert got[3] == (_ts(5), 11.0)
+    assert got[4] == (None, None)     # B's quote is later than the trade
+    assert got[5] == (None, None)     # no quotes for C at all
+    assert out.count() == trades.count()  # left rows preserved 1:1
+
+
+def test_asof_forward_and_tolerance(spark, trades, quotes):
+    fwd = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["px"],
+                    direction="forward")
+    got = {r["qty"]: r["px_matched"] for r in fwd.collect()}
+    assert got[1] == 11.0 and got[2] == 11.0  # earliest quote >= trade ts
+    assert got[3] is None                     # nothing after 00:09
+    assert got[4] == 20.0
+
+    tol = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["px"],
+                    tolerance_sec=60)
+    got = {r["qty"]: r["px_matched"] for r in tol.collect()}
+    assert got[1] == 10.0   # 60s gap, inside tolerance
+    assert got[3] is None   # 4-minute gap, nulled
+
+
+def test_asof_single_shuffle_plan(spark, trades, quotes):
+    out = asof_join(trades, quotes, on="ts", by=["sym"], right_cols=["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the union-window trick shuffles ONCE on the by-keys; any join-based
+    # encoding would show a Join node here
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(sym") == 1
+
+
+def test_range_join_points_inner(spark):
+    points = spark.createDataFrame(
+        [(1, 0.5), (2, 999.9), (3, 1000.0), (4, 7777.0), (5, -3.0)],
+        "pid int, v double",
+    )
+    bands = spark.createDataFrame(
+        [(0, 0.0, 1000.0), (1, 1000.0, 5000.0), (2, 5000.0, 10000.0)],
+        "band int, lo double, hi double",
+    )
+    out = range_join_points(points, bands, "v", "lo", "hi", bucket_width=1000.0)
+    got = {r["pid"]: r["band"] for r in out.collect()}
+    # hi-exclusive: 1000.0 falls in band 1, not band 0; -3.0 matches nothing
+    assert got == {1: 0, 2: 0, 3: 1, 4: 2}
+
+
+def test_range_join_rejects_outer(spark):
+    df = spark.range(1).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError, match="inner"):
+        range_join_points(df, df.select(F.col("v").alias("lo"), (F.col("v") + 1).alias("hi")),
+                          "v", "lo", "hi", 1.0, how="left")
