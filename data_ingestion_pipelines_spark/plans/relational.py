@@ -895,6 +895,163 @@ GROUP BY band_id
 
 
 # --------------------------------------------------------------------------
+# Correlated EXISTS subquery (TPC-H Q4 shape): orders with at least one
+# line shipped >60 days after the order date. Expressed through spark.sql
+# so Catalyst's decorrelation (rewrite to a left-semi join) is what runs —
+# the declarative path, not a hand-built semi join.
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_v")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_late_orders
+        FROM _orders_v o
+        WHERE EXISTS (
+          SELECT 1 FROM _lineitem_v l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+LATE_SHIPMENT_ORDERS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide conditional aggregation): order counts by priority × status.
+# Spark's groupBy().pivot() compiles to one pass of conditional aggregates;
+# the oracle spells out the same CASE sums.
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(f"n_{c}") for c in ("F", "O", "P")],
+    )
+
+
+PIVOT_STATUS_COUNTS_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE aggregation (all grouping-set combinations, rollup_revenue's bigger
+# sibling)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+CUBE_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# Moving window aggregate: 3-day trailing revenue per event type. Daily
+# sums stay DECIMAL-exact through the window frame; one DOUBLE cast at the
+# end (cross-engine float rule). Day emitted as a string — raw DATE
+# columns normalize differently across the two engines' client bridges.
+def moving_revenue_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(_dec("value")).alias("_rev"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-2, 0)
+    )
+    return daily.select(
+        "event_type", "day",
+        F.sum("_rev").over(w).cast("double").alias("rev_3d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days_in_window"),
+    )
+
+
+MOVING_REVENUE_3D_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         SUM(CAST(value AS DECIMAL(38,4))) AS _rev
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       CAST(SUM(_rev) OVER w AS DOUBLE) AS rev_3d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Date-spine gap fill: every day in each event type's [min, max] activity
+# range, zero-filled — sequence()+explode vs generate_series. The pattern
+# behind calendar-complete reporting tables.
+def daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+        )
+    )
+    return (
+        spine.join(daily, on=["event_type", "d"], how="left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+DAILY_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT s.event_type, strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d
+"""
+
+
+# --------------------------------------------------------------------------
 # S15-adjacent: JSON property extraction from a string column (API bodies
 # land as JSON strings; the engine pulls typed fields without a full parse)
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,6 +1092,11 @@ QUERIES = {
     "chunk_assignment_ranged": (chunk_assignment_ranged, CHUNK_ASSIGNMENT_SQL),
     "asof_view_before_purchase": (asof_view_before_purchase, ASOF_VIEW_BEFORE_PURCHASE_SQL),
     "price_band_lookup": (price_band_lookup, PRICE_BAND_LOOKUP_SQL),
+    "late_shipment_orders": (late_shipment_orders, LATE_SHIPMENT_ORDERS_SQL),
+    "pivot_status_counts": (pivot_status_counts, PIVOT_STATUS_COUNTS_SQL),
+    "cube_order_stats": (cube_order_stats, CUBE_ORDER_STATS_SQL),
+    "moving_revenue_3d": (moving_revenue_3d, MOVING_REVENUE_3D_SQL),
+    "daily_gap_fill": (daily_gap_fill, DAILY_GAP_FILL_SQL),
     "latest_event_per_user": (latest_event_per_user, LATEST_EVENT_PER_USER_SQL),
     "union_pages": (union_pages, UNION_PAGES_SQL),
     "inc_merge_upsert": (inc_merge_upsert, INC_MERGE_UPSERT_SQL),

@@ -92,6 +92,34 @@ def export_secondary_copy(
             ).text(path.rstrip("/") + "/" + ready_marker)
 
 
+def put_text_file(spark: SparkSession, text: str, path: str) -> None:
+    """K10: raw API text → one file (reference ``dbutils.fs.put``,
+    `dataSource bp/Tables.scala:322-334`, `PSS WHI (XML)/Tables.scala:
+    235-246`). Local paths write directly; otherwise a single-row
+    ``coalesce(1).write.text`` lands one part file under ``path``."""
+    if path.startswith(("/", "file:")):
+        local = path.replace("file:", "", 1)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        with open(local, "w") as f:
+            f.write(text)
+    else:
+        spark.createDataFrame([(text,)], "v string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(path)
+
+
+def create_table_over_location(
+    spark: SparkSession, table: str, location: str, file_format: str = "parquet"
+) -> str:
+    """K13: register an external table over an existing data path
+    (reference `basic/Create DBX Table from ADL.py:48-56` —
+    ``CREATE TABLE db.t USING parquet LOCATION '…'``). Returns the DDL it
+    executed."""
+    ddl = f"CREATE TABLE IF NOT EXISTS {table} USING {file_format} LOCATION '{location}'"
+    spark.sql(ddl)
+    return ddl
+
+
 def maintain_table(spark: SparkSession, table: str, vacuum_retain_hours: int | None = None) -> list[str]:
     """OPTIMIZE + VACUUM when the catalog supports them (Delta); returns
     the statements attempted. Parquet-only deployments no-op safely."""

@@ -200,3 +200,26 @@ def test_synapse_ddl_and_secondary_export(spark, tmp_path):
     # underscore marker is invisible to parquet readers of the same dir
     assert spark.read.parquet(out).count() == 1
     assert (tmp_path / "export" / "_ready.txt").read_text() == "ready"
+
+
+def test_put_text_and_create_table_over_location(spark, tmp_path):
+    from data_ingestion_pipelines_spark.sinks.ddl import (
+        create_table_over_location,
+        put_text_file,
+    )
+
+    # K10: raw API text to a single file
+    dest = str(tmp_path / "raw" / "page.csv")
+    put_text_file(spark, "a,b\n1,2\n", dest)
+    assert (tmp_path / "raw" / "page.csv").read_text() == "a,b\n1,2\n"
+
+    # K13: external table registered over an existing parquet location
+    data = str(tmp_path / "loc_data")
+    spark.createDataFrame([(1, "x"), (2, "y")], "id int, v string").write.parquet(data)
+    tbl = "ext_over_loc_test"
+    try:
+        ddl = create_table_over_location(spark, tbl, data)
+        assert f"USING parquet LOCATION '{data}'" in ddl
+        assert spark.table(tbl).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
