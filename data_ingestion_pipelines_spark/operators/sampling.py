@@ -1,0 +1,102 @@
+"""Deterministic sampling + document chunking for training-data curation.
+
+A 100 TB corpus pipeline needs REPRODUCIBLE sampling: rand()-based
+``df.sample`` changes membership per run/partitioning, which breaks
+resumable curation and ablation comparisons. These operators key every
+decision off a content hash, so membership is a pure function of the row:
+
+- ``hash_sample``: keep rows whose ``md5(key)`` falls below a hex
+  threshold — md5 is uniform, so a threshold at ``frac`` of the hex space
+  keeps ~frac of rows, deterministically, on any engine that has md5
+  (which makes the operator oracle-able cross-engine, unlike xxhash64).
+- ``mixture_sample``: per-source target fractions (a training-mixture
+  spec: {source: weight}); one scan, no shuffle — the filter is a pure
+  projection.
+- ``chunk_documents``: split token arrays into fixed-size context-window
+  chunks via sequence()+transform(slice) → posexplode. The array is
+  materialized behind a barrier first (interpreted HOF eval re-runs
+  argument expressions per element otherwise).
+
+No equivalent exists in the reference (it moves tables, not corpora) —
+these are engine extensions for the LLM-data use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(frac: float, digits: int = 8) -> str:
+    """String such that a uniform ``digits``-hex-char prefix compares
+    below it (lexicographically) with probability ``frac``.
+
+    frac >= 1 returns 'g' — one char above the hex alphabet, so every
+    prefix passes (a 2^digits threshold would be digits+1 chars and
+    lexicographic compare would silently break)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"frac must be in [0, 1], got {frac}")
+    n = int(frac * (16 ** digits))
+    if n >= 16 ** digits:
+        return "g"
+    return format(n, f"0{digits}x")
+
+
+def hash_sample(df: DataFrame, key_col: str, frac: float, salt: str = "") -> DataFrame:
+    """Keep ~``frac`` of rows, deterministically by content hash.
+
+    ``salt`` yields independent samples from the same keys (e.g. train /
+    holdout splits: same salt ⇒ same membership forever, different salt ⇒
+    fresh draw)."""
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+    return df.filter(prefix < F.lit(_hex_threshold(frac)))
+
+
+def mixture_sample(
+    df: DataFrame, source_col: str, fractions: dict[str, float], key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Training-mixture sampling: per-source keep fractions in one pass.
+
+    Sources absent from ``fractions`` are dropped (explicit mixture spec).
+    Pure projection+filter — no shuffle, fully pushdown-friendly."""
+    prefix = F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8)
+    cond = F.lit(False)
+    for source, frac in sorted(fractions.items()):
+        cond = cond | (
+            (F.col(source_col) == source) & (prefix < F.lit(_hex_threshold(frac)))
+        )
+    return df.filter(cond)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Split each document into consecutive ``max_tokens``-token chunks
+    (context-window packing). Output: id, chunk_id (0-based), chunk_text,
+    n_chunk_tokens. Tokens = lowercase [a-z0-9]+ runs, consistent with
+    operators/text.py.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    # barrier: k slice() calls below must not re-run tokenization k times
+    base = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
+    n_chunks = F.ceil(F.size("_toks") / F.lit(max_tokens)).cast("int")
+    chunks = base.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.slice(F.col("_toks"), i * max_tokens + 1, max_tokens),
+        ).alias("_chunks"),
+    )
+    exploded = chunks.select(
+        id_col, F.posexplode("_chunks").alias("chunk_id", "_chunk")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+        F.size("_chunk").cast("bigint").alias("n_chunk_tokens"),
+    )

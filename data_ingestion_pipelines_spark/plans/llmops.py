@@ -241,6 +241,74 @@ SELECT doc_id, n_tokens FROM (
 
 
 # --------------------------------------------------------------------------
+# Deterministic hash sampling (reproducible curation: membership is a
+# pure function of the row, unlike rand()-based df.sample)
+def sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, key_col="doc_id", frac=0.25).select("doc_id", "source")
+
+
+SAMPLED_DOCS_SQL = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-mixture sampling: per-source keep fractions in one projection
+_MIXTURE = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0625}
+
+
+def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, source_col="source", fractions=_MIXTURE, key_col="doc_id", salt="mix1"
+    ).select("doc_id", "source")
+
+
+def _mix_cases() -> str:
+    from ..operators.sampling import _hex_threshold
+
+    return " OR ".join(
+        f"(source = '{s}' AND substr(md5('mix1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{_hex_threshold(f)}')"
+        for s, f in sorted(_MIXTURE.items())
+    )
+
+
+MIXTURE_SAMPLED_DOCS_SQL = f"SELECT doc_id, source FROM documents WHERE {_mix_cases()}"
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking: fixed-size token chunks per document
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=64)
+
+
+DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_id, toks[(i*64+1):((i+1)*64)] AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(
+      0, GREATEST(CAST(ceil(len(toks)/64.0) AS INT) - 1, 0))) AS i
+  )
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       array_to_string(chunk, ' ') AS chunk_text,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash LSH near-dup pairs — xxhash64-based, no SQL oracle (rows-only)
 def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -329,6 +397,9 @@ QUERIES = {
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
+    "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
+    "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "minhash_pairs_docs": (minhash_pairs_docs, None),
     "simhash_docs": (simhash_docs, None),
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),

@@ -1,0 +1,64 @@
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.sampling import (
+    chunk_documents,
+    hash_sample,
+    mixture_sample,
+)
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(4000).select(F.col("id").alias("k"))
+
+
+def test_hash_sample_deterministic_and_calibrated(spark, ids):
+    a = hash_sample(ids, "k", 0.25)
+    b = hash_sample(ids, "k", 0.25)
+    got_a = {r["k"] for r in a.collect()}
+    got_b = {r["k"] for r in b.collect()}
+    assert got_a == got_b  # same membership every run
+    assert 0.20 < len(got_a) / 4000 < 0.30  # ~frac of rows kept
+
+    # smaller frac is a strict subset (threshold semantics → nested samples)
+    sub = {r["k"] for r in hash_sample(ids, "k", 0.1).collect()}
+    assert sub < got_a
+
+
+def test_hash_sample_salt_independence(spark, ids):
+    a = {r["k"] for r in hash_sample(ids, "k", 0.5, salt="s1").collect()}
+    b = {r["k"] for r in hash_sample(ids, "k", 0.5, salt="s2").collect()}
+    assert a != b
+    overlap = len(a & b) / 4000
+    assert 0.15 < overlap < 0.35  # independent draws → ~0.25 joint
+
+
+def test_mixture_sample_per_source(spark):
+    rows = [(i, "web" if i % 2 else "wiki") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = mixture_sample(
+        df, "source", {"web": 1.0, "wiki": 0.25}, key_col="doc_id"
+    ).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in out}
+    assert got["web"] == 1000  # frac 1.0 keeps everything
+    assert 180 < got["wiki"] < 320
+    # sources outside the mixture spec are dropped entirely
+    out2 = mixture_sample(df, "source", {"web": 0.5}, key_col="doc_id")
+    assert out2.filter(F.col("source") == "wiki").count() == 0
+
+
+def test_chunk_documents_reassembles(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "solo"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(df, max_tokens=4).orderBy("doc_id", "chunk_id").collect()
+    d1 = [r for r in out if r["doc_id"] == 1]
+    assert [r["n_chunk_tokens"] for r in d1] == [4, 4, 2]
+    assert " ".join(r["chunk_text"] for r in d1) == " ".join(f"w{i}" for i in range(10))
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "solo"
+    d3 = [r for r in out if r["doc_id"] == 3]
+    assert len(d3) == 1 and d3[0]["n_chunk_tokens"] == 0  # empty doc → empty chunk
