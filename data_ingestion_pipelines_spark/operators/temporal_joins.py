@@ -96,6 +96,7 @@ def range_join_points(
     hi_col: str,
     bucket_width: float,
     how: str = "inner",
+    broadcast_intervals: bool = True,
 ) -> DataFrame:
     """Join each point row to the interval rows with
     ``lo <= point < hi`` (half-open), via fixed-width bucketing.
@@ -104,6 +105,13 @@ def range_join_points(
     in exactly one bucket, so no post-join dedup is needed. Pick
     ``bucket_width`` near the median interval length: too small multiplies
     the interval side, too large widens the post-join filter.
+
+    ``broadcast_intervals=True`` (default) hints the exploded interval
+    side: the operator's sweet spot is dim-sized interval tables (bands,
+    calendars, IP blocks), where the right 100 TB plan broadcasts the
+    intervals and streams the points with no shuffle at all. Pass False
+    for interval tables too big to broadcast — the equi-join then
+    shuffles both sides on the uniform bucket key.
     """
     if how != "inner":
         raise ValueError(
@@ -118,6 +126,8 @@ def range_join_points(
     # does not reach into the next bucket
     hi_bucket = F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)).cast("bigint")
     iv = intervals.withColumn("_bucket", F.explode(F.sequence(bucket(lo_col), hi_bucket)))
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
     pt = points.withColumn("_bucket", bucket(point_col))
     cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     return pt.join(iv, on="_bucket", how="inner").filter(cond).drop("_bucket")

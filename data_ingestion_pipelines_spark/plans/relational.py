@@ -929,6 +929,55 @@ GROUP BY o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# Correlated SCALAR subquery (TPC-H Q2 shape): parts priced at their
+# brand's minimum. Equality against a correlated MIN — no FP arithmetic,
+# so the twins agree exactly. Catalyst decorrelates to an aggregate+join.
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM _part_v p
+        WHERE p_retailprice = (
+          SELECT MIN(p2.p_retailprice) FROM _part_v p2 WHERE p2.p_brand = p.p_brand
+        )
+        """
+    )
+
+
+CHEAPEST_PART_PER_BRAND_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Ranking functions: quartile bucket + percent_rank per customer segment
+# by account balance (deterministic: unique tiebreak on custkey; one
+# division for percent_rank, identical formula in both engines)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+CUSTOMER_BALANCE_RANKS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
 # Pivot (wide conditional aggregation): order counts by priority × status.
 # Spark's groupBy().pivot() compiles to one pass of conditional aggregates;
 # the oracle spells out the same CASE sums.
@@ -1093,6 +1142,8 @@ QUERIES = {
     "asof_view_before_purchase": (asof_view_before_purchase, ASOF_VIEW_BEFORE_PURCHASE_SQL),
     "price_band_lookup": (price_band_lookup, PRICE_BAND_LOOKUP_SQL),
     "late_shipment_orders": (late_shipment_orders, LATE_SHIPMENT_ORDERS_SQL),
+    "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_PER_BRAND_SQL),
+    "customer_balance_ranks": (customer_balance_ranks, CUSTOMER_BALANCE_RANKS_SQL),
     "pivot_status_counts": (pivot_status_counts, PIVOT_STATUS_COUNTS_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_ORDER_STATS_SQL),
     "moving_revenue_3d": (moving_revenue_3d, MOVING_REVENUE_3D_SQL),
