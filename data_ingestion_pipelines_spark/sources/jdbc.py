@@ -60,6 +60,40 @@ def read_jdbc_query(
     return reader.load()
 
 
+def execute_jdbc_statements(
+    spark: SparkSession,
+    url: str,
+    statements: list[str],
+    properties: dict[str, str] | None = None,
+) -> list[str]:
+    """Execute DDL/DML statements over a raw JDBC connection (K11: the
+    reference runs Synapse external-table DDL through
+    ``java.sql.DriverManager`` — `dataSource bp/ModuleFunctions.scala:
+    67-103`). Uses the JVM already attached to the SparkSession; no
+    Python-side driver needed. Returns the statements executed; raises on
+    the first failure (DDL must not half-apply silently)."""
+    jvm = spark.sparkContext._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    driver = (properties or {}).get("driver")
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    executed = []
+    try:
+        stmt = conn.createStatement()
+        try:
+            for s in statements:
+                stmt.execute(s)
+                executed.append(s)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+    return executed
+
+
 def append_jdbc(
     df: DataFrame,
     url: str,

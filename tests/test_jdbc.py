@@ -71,6 +71,31 @@ def test_pushdown_join_executes_source_side(spark, derby_url):
     assert rows == {(3, "zero"), (6, "zero"), (1, "one"), (4, "one")}
 
 
+def test_execute_ddl_over_jdbc(spark, derby_url):
+    """K11 execution path: DDL runs through java.sql.DriverManager (the
+    reference's Synapse external-table flow), then the table is usable
+    from the Spark JDBC reader."""
+    from data_ingestion_pipelines_spark.sources.jdbc import execute_jdbc_statements
+
+    done = execute_jdbc_statements(
+        spark,
+        derby_url,
+        [
+            'CREATE TABLE ddl_made (id INT PRIMARY KEY, name VARCHAR(32))',
+            "INSERT INTO ddl_made VALUES (1, 'alpha'), (2, 'beta')",
+        ],
+        properties=DRIVER,
+    )
+    assert len(done) == 2
+    out = read_jdbc_query(
+        spark, derby_url, "SELECT id, name FROM ddl_made", properties=DRIVER
+    )
+    assert {(r["ID"], r["NAME"]) for r in out.collect()} == {(1, "alpha"), (2, "beta")}
+
+    with pytest.raises(Exception):  # failing DDL surfaces, nothing swallowed
+        execute_jdbc_statements(spark, derby_url, ["CREATE BOGUS SYNTAX"], properties=DRIVER)
+
+
 def test_partitioned_read_requires_bounds(spark, derby_url):
     with pytest.raises(ValueError):
         read_jdbc_query(
