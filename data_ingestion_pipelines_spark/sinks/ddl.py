@@ -120,6 +120,65 @@ def create_table_over_location(
     return ddl
 
 
+def compact_parquet_path(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Parquet small-files compaction — the OPTIMIZE analog for
+    parquet-only deployments (K14; on Delta use ``maintain_table``).
+
+    Incremental ingestion (APPEND / per-chunk copies / streaming
+    foreachBatch) accretes many small files; at scale the scan cost is
+    dominated by file-open overhead and tiny row groups. This rewrites
+    the directory into ~``target_file_mb`` files. ``sort_cols`` applies
+    ZORDER-lite clustering: ``repartitionByRange`` on the sort keys +
+    ``sortWithinPartitions``, so each output file covers a narrow,
+    mostly-disjoint key range and min/max row-group statistics prune
+    file scans for predicates on those columns.
+
+    Local-filesystem atomic swap: the rewrite lands in a sibling temp
+    dir, then directory renames exchange old for new (readers see old or
+    new, never a mix). On object stores run the Delta path instead.
+    Returns {files_before, files_after, bytes}.
+    """
+    import shutil
+    import uuid
+
+    local = path.replace("file:", "", 1)
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(local)
+        for f in fs
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        from pyspark.sql import functions as F
+
+        df = df.repartitionByRange(int(n_out), *[F.col(c) for c in sort_cols])
+        df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(int(n_out))
+    tmp = f"{local.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{local.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old)
+    out_files = [
+        f for f in os.listdir(local) if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "bytes": int(total_bytes),
+    }
+
+
 def maintain_table(spark: SparkSession, table: str, vacuum_retain_hours: int | None = None) -> list[str]:
     """OPTIMIZE + VACUUM when the catalog supports them (Delta); returns
     the statements attempted. Parquet-only deployments no-op safely."""

@@ -1,4 +1,5 @@
 import datetime as dt
+import os
 
 from data_ingestion_pipelines_spark.sinks.merge import keep_latest_then_merge, merge_upsert
 from data_ingestion_pipelines_spark.sinks.runlog import RunLog, RunRecord
@@ -96,3 +97,41 @@ def test_jobspec_roundtrip_and_validation(spark):
 
     with pytest.raises(ValueError):
         JobSpec(job_group=1, job_order=1, load_type=LoadType.INC).validate()
+
+
+def test_compact_parquet_path_reduces_files_and_clusters(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.sinks.ddl import compact_parquet_path
+
+    path = str(tmp_path / "accreted")
+    # simulate incremental accretion: 20 tiny appends → >=20 files
+    df = spark.range(20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    for i in range(20):
+        df.filter(F.col("k") % 20 == i).write.mode("append").parquet(path)
+    before = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before) >= 20
+
+    stats = compact_parquet_path(spark, path, target_file_mb=128, sort_cols=["k"])
+    assert stats["files_before"] == len(before)
+    assert stats["files_after"] < len(before)
+
+    out = spark.read.parquet(path)
+    assert out.count() == 20_000
+    assert out.agg(F.sum("k")).collect()[0][0] == sum(range(20_000))
+
+    # sort-clustering: per-file [min,max] ranges of k must not overlap
+    ranges = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(path, f))
+            col = md.row_group(0).column(0)  # k is the first column
+            lo = col.statistics.min
+            hi = pq.read_metadata(os.path.join(path, f)).row_group(md.num_row_groups - 1).column(0).statistics.max
+            ranges.append((lo, hi))
+    ranges.sort()
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi <= blo  # disjoint → min/max stats prune file scans
