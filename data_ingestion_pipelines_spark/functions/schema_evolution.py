@@ -1,0 +1,70 @@
+"""Schema-drift harmonization for append-over-time sources.
+
+Long-lived ingestion jobs see source schemas drift: columns appear,
+integer ids widen into longs, numerics become floats, enums become free
+text. The reference forces union-ability by casting EVERY column to
+string (Rushmore `ModuleFunctions.scala:225-231`) — which destroys types
+for downstream consumers. Instead: compute the WIDEST type per column
+across all inputs along a standard numeric ladder, cast each input once,
+and union by name with missing columns as nulls.
+
+Widening is lossless along byte→short→int→long and float→double;
+long+fractional promotes to double (the standard SQL resolution — may
+round above 2^53, same as Spark's own union coercion); anything else
+falls back to string, the universal sink type.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC_LADDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def widest_type(t1: str, t2: str) -> str:
+    """Widest common simpleString type for two input types."""
+    if t1 == t2:
+        return t1
+    if t1 in _NUMERIC_LADDER and t2 in _NUMERIC_LADDER:
+        return _NUMERIC_LADDER[max(_NUMERIC_LADDER.index(t1), _NUMERIC_LADDER.index(t2))]
+    ts = {t1, t2}
+    if "date" in ts and "timestamp" in ts:
+        return "timestamp"
+    return "string"
+
+
+def harmonize_schemas(dfs: list[DataFrame]) -> DataFrame:
+    """Union DataFrames with drifted schemas under widest-type coercion.
+
+    Column order follows first appearance across the inputs; columns
+    missing from an input come back null. One projection per input — no
+    shuffle, no data pass beyond the union itself.
+    """
+    if not dfs:
+        raise ValueError("no dataframes")
+    types: dict[str, str] = {}
+    order: list[str] = []
+    for df in dfs:
+        for name, t in df.dtypes:
+            if name not in types:
+                types[name] = t
+                order.append(name)
+            else:
+                types[name] = widest_type(types[name], t)
+
+    def conform(df: DataFrame) -> DataFrame:
+        have = dict(df.dtypes)
+        cols = []
+        for name in order:
+            if name not in have:
+                cols.append(F.lit(None).cast(types[name]).alias(name))
+            elif have[name] != types[name]:
+                cols.append(F.col(name).cast(types[name]).alias(name))
+            else:
+                cols.append(F.col(name))
+        return df.select(*cols)
+
+    return reduce(lambda a, b: a.unionByName(b), (conform(df) for df in dfs))

@@ -74,3 +74,24 @@ def test_coalesce_merge(spark):
     ]
     out_old = coalesce_merge(old, new, keys=["k"], prefer="old").orderBy("k").collect()
     assert [(r["k"], r["v"]) for r in out_old] == [(1, "a"), (2, "b"), (3, "C")]
+
+
+def test_harmonize_schemas_widening_union(spark):
+    from data_ingestion_pipelines_spark.functions.schema_evolution import (
+        harmonize_schemas,
+        widest_type,
+    )
+
+    assert widest_type("int", "bigint") == "bigint"
+    assert widest_type("bigint", "double") == "double"
+    assert widest_type("int", "string") == "string"
+    assert widest_type("date", "timestamp") == "timestamp"
+    assert widest_type("boolean", "int") == "string"
+
+    v1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    v2 = spark.createDataFrame([(2_000_000_000_000, "b", 1.5)], "id bigint, name string, score double")
+    v3 = spark.createDataFrame([("legacy-3", 7)], "id string, score int")
+    out = harmonize_schemas([v1, v2, v3])
+    assert dict(out.dtypes) == {"id": "string", "name": "string", "score": "double"}
+    rows = {(r["id"], r["name"], r["score"]) for r in out.collect()}
+    assert rows == {("1", "a", None), ("2000000000000", "b", 1.5), ("legacy-3", None, 7.0)}
