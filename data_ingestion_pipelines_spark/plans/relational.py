@@ -1101,6 +1101,59 @@ FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.
 
 
 # --------------------------------------------------------------------------
+# Schema-drift union: two eras of the same feed (ids widened to strings,
+# a column added, another dropped) harmonized under widest-type coercion
+# instead of the reference's cast-all-to-string union.
+def schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.schema_evolution import harmonize_schemas
+
+    part = _t(spark, sf_dir, "part")
+    era1 = part.select("p_partkey", "p_name")
+    era2 = part.select(
+        F.col("p_partkey").cast("string").alias("p_partkey"),
+        F.col("p_retailprice").alias("score"),
+    )
+    return harmonize_schemas([era1, era2])
+
+
+SCHEMA_DRIFT_UNION_SQL = """
+SELECT CAST(p_partkey AS VARCHAR) AS p_partkey, p_name,
+       CAST(NULL AS DOUBLE) AS score
+FROM part
+UNION ALL
+SELECT CAST(p_partkey AS VARCHAR), CAST(NULL AS VARCHAR), p_retailprice
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# Stateful streaming dedup: distinct event types computed by a STREAMING
+# dropDuplicates (state store keyed on the value), merged through the
+# production foreachBatch sink, hash-checked against the batch DISTINCT —
+# a second batch/stream parity proof beyond the windowed aggregate.
+def streaming_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.files import read_parquet_stream
+    from ..streaming.incremental import foreach_batch_upsert
+
+    stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    distinct = stream.select("event_type").dropDuplicates()
+    root = tempfile.mkdtemp(prefix="evdistinct_")
+    q = foreach_batch_upsert(
+        distinct,
+        f"{root}/types",
+        keys=["event_type"],
+        checkpoint_path=f"{root}/_ckpt",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{root}/types")
+
+
+STREAMING_DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# --------------------------------------------------------------------------
 # S15-adjacent: JSON property extraction from a string column (API bodies
 # land as JSON strings; the engine pulls typed fields without a full parse)
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,6 +1197,8 @@ QUERIES = {
     "late_shipment_orders": (late_shipment_orders, LATE_SHIPMENT_ORDERS_SQL),
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_PER_BRAND_SQL),
     "customer_balance_ranks": (customer_balance_ranks, CUSTOMER_BALANCE_RANKS_SQL),
+    "schema_drift_union": (schema_drift_union, SCHEMA_DRIFT_UNION_SQL),
+    "streaming_distinct_types": (streaming_distinct_types, STREAMING_DISTINCT_TYPES_SQL),
     "pivot_status_counts": (pivot_status_counts, PIVOT_STATUS_COUNTS_SQL),
     "cube_order_stats": (cube_order_stats, CUBE_ORDER_STATS_SQL),
     "moving_revenue_3d": (moving_revenue_3d, MOVING_REVENUE_3D_SQL),
