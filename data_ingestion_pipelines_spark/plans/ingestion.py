@@ -48,7 +48,8 @@ def xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return xml_bodies_to_df(
-        bodies, "Envelope;Body;Response;Row", ["Tag", "Value"], keep_cols=["l_orderkey"]
+        bodies, "Envelope;Body;Response;Row", ["Tag", "Value"], keep_cols=["l_orderkey"],
+        spread_to=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -74,13 +74,23 @@ def xml_bodies_to_df(
     body_col: str = "body",
     keep_cols: list[str] | None = None,
     values_from: str = "attributes",
+    spread_to: int | None = None,
 ) -> DataFrame:
     """Distributed XML extraction: one row per innermost node per body.
 
     ``bodies`` is a DataFrame with an XML-string column (e.g. the output
     of ``fetch_per_id``); ``keep_cols`` pass through (job/ID tags).
+
+    ``spread_to``: repartition the bodies to this many partitions before
+    parsing. AQE coalesces upstream shuffle output by BYTE size, but the
+    Python parse cost per byte dwarfs the exchange cost — a byte-balanced
+    coalesce can serialize the parse on a fraction of the cores. Pass
+    ``spark.sparkContext.defaultParallelism`` when the bodies come out of
+    an aggregation; leave None when they arrive from an already-wide scan.
     """
     keep_cols = keep_cols or []
+    if spread_to:
+        bodies = bodies.repartition(spread_to)
     keep_types = dict(bodies.dtypes)
     schema = ", ".join(
         [f"`{c}` {keep_types[c]}" for c in keep_cols] + [f"`{c}` STRING" for c in columns]
