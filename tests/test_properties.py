@@ -107,3 +107,76 @@ def test_explode_zipped_roundtrip(spark, arrays):
     # empty arrays still produce a null-padded row (explode_outer semantics)
     empties = {r["k"] for r in out if r["pos"] is None}
     assert empties == {k for k, xs in arrays if not xs}
+
+
+# --- as-of join vs pandas merge_asof (independent reference implementation)
+_asof_left = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=10
+)
+_asof_right = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(0, 99)),
+    min_size=1, max_size=10,
+)
+
+
+@given(left=_asof_left, right=_asof_right)
+@SETTINGS
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    import pandas as pd
+
+    from data_ingestion_pipelines_spark.operators.temporal_joins import asof_join
+
+    # unique (key, t) on the right (documented operator requirement)
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(k, base + dt.timedelta(seconds=t), i) for i, (k, t) in enumerate(left)]
+    rrows = [(k, base + dt.timedelta(seconds=t), v) for k, t, v in right]
+    ldf = spark.createDataFrame(lrows, "k int, ts timestamp, rowid int")
+    rdf = spark.createDataFrame(rrows, "k int, ts timestamp, v int")
+
+    got = {
+        r["rowid"]: r["v_matched"]
+        for r in asof_join(ldf, rdf, on="ts", by=["k"], right_cols=["v"]).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "rowid"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts", kind="stable")
+    ref = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    want = {
+        int(row.rowid): (None if pd.isna(row.v) else int(row.v))
+        for row in ref.itertuples()
+    }
+    assert got == want
+
+
+# --- range join vs brute-force inequality join
+_points = st.lists(st.floats(-10, 110, allow_nan=False), min_size=1, max_size=12)
+_intervals = st.lists(
+    st.tuples(st.floats(-10, 100, allow_nan=False), st.floats(0.1, 30)),
+    min_size=1, max_size=6,
+)
+
+
+@given(points=_points, intervals=_intervals)
+@SETTINGS
+def test_range_join_matches_bruteforce(spark, points, intervals):
+    from data_ingestion_pipelines_spark.operators.temporal_joins import range_join_points
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid int, v double"
+    )
+    idf = spark.createDataFrame(
+        [(j, lo, lo + w) for j, (lo, w) in enumerate(intervals)],
+        "iid int, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_points(pdf, idf, "v", "lo", "hi", bucket_width=7.3).collect()
+    }
+    want = {
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= p < lo + w
+    }
+    assert got == want
