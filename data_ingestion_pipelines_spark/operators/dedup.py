@@ -422,3 +422,77 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (node, cluster) with
+    cluster = the MIN node id reachable from each node.
+
+    Near-dup detection emits PAIRS (MinHash/LSH/embedding); curation needs
+    CLUSTERS so one representative survives per group. Min-label
+    propagation: every node starts as its own label; each round a node
+    takes the minimum label among itself and its neighbors; fixpoint in
+    O(component diameter) rounds. Each round is one equi-join + one
+    groupBy on uniform node-id keys — no driver-side graph. Real corpora
+    have tiny diameters (duplicate groups are near-cliques), so the
+    default ``max_iters`` is generous; a RuntimeError (not silently-wrong
+    output) signals non-convergence.
+
+    Output columns: ``node`` (bigint), ``cluster`` (bigint).
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("bigint").alias("a"), F.col(id_b).cast("bigint").alias("b")
+    )
+    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)  # iterated over; cut the lineage once
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # bound plan growth per iteration
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("label").alias("cluster"))
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iters} iterations")
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster plus every
+    unpaired document — the standard post-LSH curation step."""
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    losers = clusters.filter(F.col("node") != F.col("cluster")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")

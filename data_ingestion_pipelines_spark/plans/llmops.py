@@ -368,6 +368,35 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 
 
 # --------------------------------------------------------------------------
+# Near-dup clustering: embedding pairs → connected components (min-label
+# propagation) — the step that turns pair detection into keep-one-per-
+# group curation. Oracle: DuckDB recursive CTE transitive closure.
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, threshold=0.45, method="exact")
+    return dedup_clusters(pairs)
+
+
+EMBEDDING_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+), edges AS (
+  SELECT pa AS a, pb AS b FROM pairs UNION ALL SELECT pb, pa FROM pairs
+), reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT node, CAST(MIN(src) AS BIGINT) AS cluster FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
 # LSH-bucketed approximate top-k — deterministic hyperplanes, no SQL oracle
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -404,6 +433,7 @@ QUERIES = {
     "simhash_docs": (simhash_docs, None),
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
     "embedding_dedup_pairs": (embedding_dedup_pairs, EMBEDDING_DEDUP_PAIRS_SQL),
+    "embedding_dup_clusters": (embedding_dup_clusters, EMBEDDING_DUP_CLUSTERS_SQL),
     "similarity_lsh_topk": (similarity_lsh_topk, None),
     "similarity_ivf_topk": (similarity_ivf_topk, None),
 }

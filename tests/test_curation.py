@@ -65,3 +65,49 @@ def test_embedding_dup_pairs_exact_vs_lsh(spark):
     assert exact == {(0, 1), (2, 3)}
     lsh = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(emb, 0.9, method="lsh", num_tables=8, bits=2, dim=4).collect()}
     assert lsh == exact  # high-cosine pairs collide in some table
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        cluster_representatives,
+        dedup_clusters,
+    )
+
+    # chain (worst-case diameter), triangle, isolated pair
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pdf = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["cluster"] for r in dedup_clusters(pdf).collect()}
+
+    # reference: pure-python union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    assert got[5] == 1 and got[12] == 10 and got[21] == 20
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 99]], "doc_id bigint")
+    kept = {r["doc_id"] for r in cluster_representatives(docs, pdf).collect()}
+    assert kept == {1, 10, 20, 99}  # one per cluster + the unpaired doc
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    from data_ingestion_pipelines_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 0, -1)], "id_a bigint, id_b bigint"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_clusters(chain, max_iters=1)
