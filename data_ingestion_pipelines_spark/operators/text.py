@@ -120,3 +120,45 @@ def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pre
     for lang in sorted(_LANG_MARKERS, reverse=True):
         pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
     return df.withColumn(out, pred)
+
+
+# Regexes shared with the SQL twins: plain character classes only (no
+# lookarounds/backrefs), so Java regex (Spark) and RE2 (DuckDB) agree.
+# Order matters: IPv4 before phone, or the looser phone pattern consumes
+# dotted IPs first.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text", out: str = "redacted") -> DataFrame:
+    """Replace emails / phone numbers / IPv4 addresses with placeholder
+    tokens — the standard pre-training scrub pass. Pure regexp_replace
+    chain (codegen, no UDF); patterns deliberately use only constructs
+    with identical semantics in Java regex and RE2 so the operator is
+    oracle-able cross-engine."""
+    col = F.col(text_col)
+    for _, pattern, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, token)
+    return df.withColumn(out, col)
+
+
+def with_repetition_ratio(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "rep_ratio"
+) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word
+    n-grams = 1 − distinct/total. High values flag boilerplate/spam.
+    One division of exact integer counts — deterministic cross-engine.
+    Documents with fewer than ``n`` tokens score 0.0."""
+    toks = word_tokens(F.col(text_col))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ratio = F.when(
+        cnt >= n,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn(out, ratio)

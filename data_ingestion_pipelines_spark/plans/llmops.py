@@ -241,6 +241,54 @@ SELECT doc_id, n_tokens FROM (
 
 
 # --------------------------------------------------------------------------
+# PII scrub: email/phone/IPv4 → placeholder tokens (codegen regex chain)
+def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_pii_redacted
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_pii_redacted(docs).select("doc_id", "redacted")
+
+
+PII_REDACTED_DOCS_SQL = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+         '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g'
+       ) AS redacted
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signal: duplicate 3-gram fraction
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_repetition_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_repetition_ratio(docs, n=3).select("doc_id", "rep_ratio")
+
+
+DOC_REPETITION_RATIO_SQL = f"""
+WITH g AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+r AS (
+  SELECT doc_id, len(toks) AS cnt,
+         list_transform(generate_series(0, GREATEST(len(toks) - 3, 0)),
+                        i -> array_to_string(toks[(i+1):(i+3)], ' ')) AS grams
+  FROM g
+)
+SELECT doc_id,
+       CASE WHEN cnt >= 3
+            THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / CAST(len(grams) AS DOUBLE)
+            ELSE 0.0 END AS rep_ratio
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic hash sampling (reproducible curation: membership is a
 # pure function of the row, unlike rand()-based df.sample)
 def sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,6 +474,8 @@ QUERIES = {
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
+    "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
+    "doc_repetition_ratio": (doc_repetition_ratio, DOC_REPETITION_RATIO_SQL),
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),

@@ -145,3 +145,37 @@ def test_ivf_lloyd_recall_floor_vs_exact(spark):
     approx_ids = {(r["query_id"], r["vec_id"]) for r in approx}
     recall = len(exact_ids & approx_ids) / len(exact_ids)
     assert recall >= 0.8, f"IVF recall@10 {recall:.2f} < 0.8"
+
+
+def test_pii_redaction_actually_redacts(spark):
+    from data_ingestion_pipelines_spark.operators.text import with_pii_redacted
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact jo.doe+x@example.co.uk or +1 (555) 123-4567 now"),
+            (2, "server at 192.168.1.100 responded"),
+            (3, "clean text with no identifiers"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["redacted"] for r in with_pii_redacted(df).collect()}
+    assert got[1] == "contact <EMAIL> or <PHONE> now"
+    assert got[2] == "server at <IP> responded"
+    assert got[3] == "clean text with no identifiers"
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from data_ingestion_pipelines_spark.operators.text import with_repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),                        # heavy repetition
+            (2, " ".join(f"w{i}" for i in range(100))),  # all distinct
+            (3, "too short"),                            # < n tokens
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["rep_ratio"] for r in with_repetition_ratio(df, n=3).collect()}
+    assert got[1] > 0.9
+    assert got[2] == 0.0
+    assert got[3] == 0.0
