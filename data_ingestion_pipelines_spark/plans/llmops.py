@@ -92,7 +92,7 @@ def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_STATS_BY_SOURCE_SQL = f"""
 WITH tok AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents)
 SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-       CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
+       CAST(CAST(SUM(n_tokens) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens,
        MAX(n_tokens) AS max_tokens
 FROM tok GROUP BY source
 """

@@ -62,11 +62,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,8))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -100,7 +100,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REVENUE_BY_NATION_SQL = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue,
        COUNT(DISTINCT o_orderkey) AS n_orders
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -129,7 +129,7 @@ def big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIG_CUSTOMERS_SQL = """
 SELECT c_custkey, c_name, c_mktsegment,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_spend,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_spend,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name, c_mktsegment
@@ -619,7 +619,7 @@ def event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_HOURLY_WINDOWS_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -645,7 +645,7 @@ def above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 ABOVE_BRAND_AVERAGE_SQL = """
 SELECT p_partkey, p_brand, p_retailprice, brand_avg FROM (
   SELECT p_partkey, p_brand, p_retailprice,
-         CAST(SUM(CAST(p_retailprice AS DECIMAL(38,4))) OVER (PARTITION BY p_brand) AS DOUBLE)
+         CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,4))) OVER (PARTITION BY p_brand) AS VARCHAR) AS DOUBLE)
            / CAST(COUNT(*) OVER (PARTITION BY p_brand) AS DOUBLE) AS brand_avg
   FROM part
 ) WHERE p_retailprice > brand_avg
@@ -718,7 +718,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_REVENUE_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -773,11 +773,11 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROMO_REVENUE_SHARE_SQL = """
 SELECT l_returnflag,
-       CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+       CAST(CAST(SUM(CASE WHEN p_type = 'ECONOMY'
                      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))
-                     ELSE CAST(0 AS DECIMAL(38,8)) END) AS DOUBLE)
-         / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS promo_share,
-       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS total_revenue
+                     ELSE CAST(0 AS DECIMAL(38,8)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS promo_share,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY l_returnflag
 """
@@ -887,7 +887,7 @@ _BANDS_SQL = " UNION ALL ".join(
 PRICE_BAND_LOOKUP_SQL = f"""
 WITH bands AS ({_BANDS_SQL})
 SELECT band_id, COUNT(*) AS n_items,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_qty
 FROM lineitem JOIN bands
   ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY band_id
@@ -1016,7 +1016,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUBE_ORDER_STATS_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
@@ -1050,7 +1050,7 @@ WITH daily AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, day,
-       CAST(SUM(_rev) OVER w AS DOUBLE) AS rev_3d,
+       CAST(CAST(SUM(_rev) OVER w AS VARCHAR) AS DOUBLE) AS rev_3d,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_days_in_window
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
