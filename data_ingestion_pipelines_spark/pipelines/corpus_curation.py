@@ -34,9 +34,20 @@ class CurationConfig:
     max_tokens: int = 100_000
     max_punct_ratio: float = 0.3
     min_stopword_ratio: float = 0.0
+    # Gopher repetition signal: drop docs whose duplicate-3-gram fraction
+    # exceeds this (None disables)
+    max_repetition_ratio: float | None = None
+    # replace emails/IPs/phones with placeholder tokens before anything
+    # else (redaction changes token counts, so it runs first)
+    pii_redact: bool = False
     allowed_languages: set[str] = field(default_factory=lambda: {"en"})
     exact_dedup: bool = True
     near_dup_threshold: float | None = 0.85  # None disables the LSH stage
+    # survivor selection for near-dup pairs: 'greedy' drops the higher id
+    # of every pair (one anti-join, but non-transitive: pairs (1,3),(2,3)
+    # keep BOTH 1 and 2); 'cluster' runs connected components and keeps
+    # one representative per group (iterative, transitively correct)
+    near_dup_survivor: str = "greedy"
 
 
 def curate_corpus(
@@ -47,6 +58,12 @@ def curate_corpus(
 ) -> DataFrame:
     """Return the curated corpus (original columns + n_tokens)."""
     orig_cols = df.columns
+    if config.pii_redact:
+        from ..operators.text import with_pii_redacted
+
+        df = with_pii_redacted(df, text_col, out="_redacted").withColumn(
+            text_col, F.col("_redacted")
+        ).drop("_redacted")
     out = with_quality_signals(df, text_col)
     out = out.filter(
         (F.col("n_tokens") >= config.min_tokens)
@@ -54,6 +71,11 @@ def curate_corpus(
         & (F.col("punct_ratio") <= config.max_punct_ratio)
         & (F.col("stopword_ratio") >= config.min_stopword_ratio)
     )
+    if config.max_repetition_ratio is not None:
+        from ..operators.text import with_repetition_ratio
+
+        out = with_repetition_ratio(out, text_col)
+        out = out.filter(F.col("rep_ratio") <= config.max_repetition_ratio)
     if config.allowed_languages:
         out = with_language_id(out, text_col)
         out = out.filter(F.col("lang_pred").isin(sorted(config.allowed_languages)))
@@ -62,9 +84,14 @@ def curate_corpus(
         out = exact_dedup(out, text_col, id_col)
     if config.near_dup_threshold is not None:
         pairs = minhash_dedup_pairs(out, text_col, id_col, threshold=config.near_dup_threshold)
-        # greedy survivor: the lower id of every near-dup pair wins
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        out = out.join(losers, on=id_col, how="left_anti")
+        if config.near_dup_survivor == "cluster":
+            from ..operators.dedup import cluster_representatives
+
+            out = cluster_representatives(out, pairs, id_col=id_col)
+        else:
+            # greedy survivor: the lower id of every near-dup pair wins
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+            out = out.join(losers, on=id_col, how="left_anti")
     return out
 
 

@@ -111,3 +111,33 @@ def test_dedup_clusters_nonconvergence_raises(spark):
 
     with pytest.raises(RuntimeError, match="converge"):
         dedup_clusters(chain, max_iters=1)
+
+
+def test_curation_pii_repetition_and_cluster_options(spark):
+    from data_ingestion_pipelines_spark.pipelines.corpus_curation import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward today"
+    rows = [
+        (1, base),
+        (2, "reach me at a.b@example.com please " + base),       # PII → redacted, kept
+        (3, "spam spam spam " * 20),                             # repetition → dropped
+        (4, base + " with a small twist at the end here now"),   # near dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cfg = CurationConfig(
+        min_tokens=5,
+        max_punct_ratio=0.5,
+        pii_redact=True,
+        max_repetition_ratio=0.5,
+        allowed_languages=set(),       # language stage off for this corpus
+        near_dup_threshold=0.5,
+        near_dup_survivor="cluster",
+    )
+    out = curate_corpus(df, cfg)
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert 3 not in kept                       # boilerplate filtered
+    assert 1 in kept and 4 not in kept         # cluster keeps min id
+    assert "<EMAIL>" in kept[2] and "@" not in kept[2]
