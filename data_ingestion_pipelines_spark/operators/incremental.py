@@ -130,3 +130,21 @@ class WatermarkStore:
         wm = str(row["wm"])
         self.set(job_key, wm)
         return wm
+
+
+def split_quarantine(
+    df: DataFrame, valid_condition: Column, reason: str = "validation_failed"
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: (valid_rows, quarantined_rows_with_reason).
+
+    The reference aborts or retries whole jobs on bad rows; at 100 TB a
+    single malformed record must not kill a load. Both outputs derive
+    from one scan (Spark evaluates the predicate twice but reads once
+    under cache-less plans — the filter is a pure projection either way);
+    quarantined rows carry ``_quarantine_reason`` for the audit sink.
+    """
+    valid = df.filter(valid_condition)
+    bad = df.filter(~F.coalesce(valid_condition, F.lit(False))).withColumn(
+        "_quarantine_reason", F.lit(reason)
+    )
+    return valid, bad

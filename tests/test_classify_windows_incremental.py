@@ -150,3 +150,17 @@ def test_watermark_store_concurrent_keys_no_lost_update(spark, tmp_path):
         list(pool.map(lambda k: store.set(k, f"wm-{k}"), keys))
     for k in keys:
         assert store.get(k) == f"wm-{k}"
+
+
+def test_split_quarantine_null_safe(spark):
+    from data_ingestion_pipelines_spark.operators.incremental import split_quarantine
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, -1), (3, None)], "id int, qty int"
+    )
+    valid, bad = split_quarantine(df, F.col("qty") >= 0, reason="neg_or_null_qty")
+    assert {r["id"] for r in valid.collect()} == {1}
+    got = {r["id"]: r["_quarantine_reason"] for r in bad.collect()}
+    # NULL predicate rows are quarantined, not silently dropped
+    assert got == {2: "neg_or_null_qty", 3: "neg_or_null_qty"}
+    assert valid.count() + bad.count() == df.count()

@@ -180,3 +180,36 @@ def test_range_join_matches_bruteforce(spark, points, intervals):
         if lo <= p < lo + w
     }
     assert got == want
+
+
+# --- chunk_documents: lossless token partition at any max_tokens
+_texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=5
+)
+
+
+@given(texts=_texts, max_tokens=st.integers(1, 7))
+@SETTINGS
+def test_chunk_documents_is_lossless_partition(spark, texts, max_tokens):
+    import re
+
+    from data_ingestion_pipelines_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    out = chunk_documents(df, max_tokens=max_tokens).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in enumerate(texts):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        # chunk ids are dense from 0; every chunk <= max_tokens; exactly
+        # one (empty) chunk for empty docs; concatenation restores tokens
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        assert all(r["n_chunk_tokens"] <= max_tokens for r in rows)
+        rebuilt = " ".join(r["chunk_text"] for r in rows if r["chunk_text"])
+        assert rebuilt.split() == toks
+        if not toks:
+            assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 0
+        else:
+            assert all(r["n_chunk_tokens"] == max_tokens for r in rows[:-1])
