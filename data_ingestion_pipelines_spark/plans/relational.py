@@ -1176,6 +1176,294 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q7-style bilateral trade flows: fact joined to two role-playing
+# copies of the nation dim (supplier side vs customer side), both
+# broadcast, grouped by nation pair and order year. The fact table is
+# never shuffled before the final pair aggregation.
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+NATION_TRADE_FLOWS_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11-style value concentration: per-part inventory value vs a
+# multiple of the MEAN per-part value (scale-invariant — a fixed share
+# of the global total empties at higher SF). The scalar (total, n) is
+# re-aggregated from the grouped result (no second fact scan) and
+# broadcast — at 100 TB the fact is read and shuffled exactly once.
+# Threshold compare happens on identically-derived doubles both engines.
+def important_parts_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,4)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("val_dec"))
+    total = per_part.agg(
+        F.sum("val_dec").alias("total_dec"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_dec").cast("double")
+            > F.col("total_dec").cast("double")
+            / F.col("n_parts").cast("double")
+            * F.lit(1.2)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+IMPORTANT_PARTS_BY_VALUE_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,4))) AS val_dec
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(CAST(SUM(val_dec) AS VARCHAR) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS n_parts
+  FROM per_part
+)
+SELECT p.p_partkey, CAST(CAST(p.val_dec AS VARCHAR) AS DOUBLE) AS part_value
+FROM per_part p, tot t
+WHERE CAST(CAST(p.val_dec AS VARCHAR) AS DOUBLE) > t.total / t.n_parts * 1.2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15-style argmax: revenue per supplier over one quarter, keep the
+# supplier(s) whose revenue EQUALS the global max. Equality is tested on
+# exact decimals (never doubles), so ties are deterministic cross-engine.
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("rev_dec"))
+    max_rev = per_supp.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_REVENUE_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(CAST(p.rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21-style "only late supplier": for finished multi-supplier
+# orders, suppliers whose item shipped late (>60d after order) while NO
+# other supplier on the order was late. Expressed as left-semi (another
+# supplier exists) + left-anti (no other late supplier) self-joins on the
+# pre-joined fact slice — Catalyst's decorrelated plan, written directly.
+def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    lo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    others = lo.select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_suppkey").alias("r_suppkey"),
+        F.col("is_late").alias("r_late"),
+    )
+    l1 = lo.filter(F.col("is_late"))
+    waiting = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_semi",
+    ).join(
+        others.filter(F.col("r_late")),
+        (F.col("l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l_suppkey") != F.col("r_suppkey")),
+        "left_anti",
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+LONELY_LATE_SUPPLIERS_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM lo l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22-style dormant high-balance customers: balance above the
+# global positive-balance average (scalar subquery → broadcast) AND no
+# orders since 1998 (anti join on a pushed-down date slice), rolled up
+# by market segment. The average is derived from exact-decimal
+# sum / count identically in both engines.
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH thr AS (
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+       CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS total_balance
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Year-over-year revenue deltas per order priority: lag() over yearly
+# aggregates. The delta is a difference of identically-derived doubles,
+# so first-year NULLs and values hash-match cross-engine.
+def order_value_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        "o_orderpriority",
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("rev_dec"))
+    w = Window.partitionBy("o_orderpriority").orderBy("order_year")
+    rev = F.col("rev_dec").cast("double")
+    return yearly.select(
+        "order_year",
+        "o_orderpriority",
+        rev.alias("revenue"),
+        (rev - F.lag(rev).over(w)).alias("yoy_delta"),
+    )
+
+
+ORDER_VALUE_YOY_SQL = """
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderpriority,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT order_year, o_orderpriority, revenue,
+       revenue - LAG(revenue) OVER (PARTITION BY o_orderpriority ORDER BY order_year) AS yoy_delta
+FROM yearly
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_EXTRACT_SQL),
@@ -1195,6 +1483,12 @@ QUERIES = {
     "asof_view_before_purchase": (asof_view_before_purchase, ASOF_VIEW_BEFORE_PURCHASE_SQL),
     "price_band_lookup": (price_band_lookup, PRICE_BAND_LOOKUP_SQL),
     "late_shipment_orders": (late_shipment_orders, LATE_SHIPMENT_ORDERS_SQL),
+    "nation_trade_flows": (nation_trade_flows, NATION_TRADE_FLOWS_SQL),
+    "important_parts_by_value": (important_parts_by_value, IMPORTANT_PARTS_BY_VALUE_SQL),
+    "top_revenue_suppliers": (top_revenue_suppliers, TOP_REVENUE_SUPPLIERS_SQL),
+    "lonely_late_suppliers": (lonely_late_suppliers, LONELY_LATE_SUPPLIERS_SQL),
+    "idle_rich_customers": (idle_rich_customers, IDLE_RICH_CUSTOMERS_SQL),
+    "order_value_yoy": (order_value_yoy, ORDER_VALUE_YOY_SQL),
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_PER_BRAND_SQL),
     "customer_balance_ranks": (customer_balance_ranks, CUSTOMER_BALANCE_RANKS_SQL),
     "schema_drift_union": (schema_drift_union, SCHEMA_DRIFT_UNION_SQL),
