@@ -29,6 +29,7 @@ from ..operators.text import (
     with_language_id,
     with_quality_signals,
     with_token_count,
+    with_word_tokens,
 )
 from ..sources.files import read_parquet_table
 
@@ -466,12 +467,74 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4, lloyd_iters=2)
 
 
+# --------------------------------------------------------------------------
+# Per-language document-length percentiles. EXACT percentile: both
+# engines implement the type-7 (linear-interpolation) quantile over
+# doubles, verified bit-equal, so the gate needs no tolerance. At 100 TB
+# exact percentile sorts every group — swap in approx_percentile
+# (t-digest sketch, mergeable map-side) and keep this form for parity
+# tests on samples.
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("p50_chars"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90_chars"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+DOC_LENGTH_PERCENTILES_SQL = """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Vocabulary head per source: explode tokens → count → top-5 via
+# row_number with a deterministic (count DESC, token ASC) tie-break.
+# The shuffle keys are (source, token) — uniform, skew-free; the window
+# runs per source over the already-aggregated counts, not raw tokens.
+def top_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode("tokens").alias("token")).filter(
+        F.length("token") >= 3
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        tok.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+TOP_TOKENS_BY_SOURCE_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS token FROM documents
+), cnt AS (
+  SELECT source, token, COUNT(*) AS n FROM tok WHERE len(token) >= 3 GROUP BY 1, 2
+), rk AS (
+  SELECT source, token, n,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, token ASC) AS BIGINT) AS rk
+  FROM cnt
+)
+SELECT source, token, n, rk FROM rk WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
+    "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PERCENTILES_SQL),
+    "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
