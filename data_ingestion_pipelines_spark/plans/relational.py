@@ -1179,8 +1179,10 @@ FROM events
 # --------------------------------------------------------------------------
 # TPC-H Q7-style bilateral trade flows: fact joined to two role-playing
 # copies of the nation dim (supplier side vs customer side), both
-# broadcast, grouped by nation pair and order year. The fact table is
-# never shuffled before the final pair aggregation.
+# broadcast, grouped by nation pair and order year. nation is O(25) so
+# it is broadcast unconditionally; supplier/customer scale with SF, so
+# their join strategy is left to AQE (broadcast at test scale,
+# shuffle-hash at 100 TB).
 def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
@@ -1199,7 +1201,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -1294,7 +1296,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.crossJoin(F.broadcast(max_rev))
         .filter(F.col("rev_dec") == F.col("max_dec"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1321,42 +1323,34 @@ WHERE p.rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
 # --------------------------------------------------------------------------
 # TPC-H Q21-style "only late supplier": for finished multi-supplier
 # orders, suppliers whose item shipped late (>60d after order) while NO
-# other supplier on the order was late. Expressed as left-semi (another
-# supplier exists) + left-anti (no other late supplier) self-joins on the
-# pre-joined fact slice — Catalyst's decorrelated plan, written directly.
+# other supplier on the order was late. The EXISTS / NOT EXISTS pair is
+# algebraically a per-order aggregate — (distinct suppliers ≥ 2 AND
+# distinct LATE suppliers = 1) — so instead of two self-joins (which
+# shuffle the fact three times) the plan computes one groupBy(orderkey)
+# and joins it back: two shuffles total on the same key, AQE-friendly.
 def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     supp = _t(spark, sf_dir, "supplier")
-    lo = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ).alias("is_late"),
-        )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
     )
-    others = lo.select(
-        F.col("l_orderkey").alias("r_orderkey"),
-        F.col("l_suppkey").alias("r_suppkey"),
-        F.col("is_late").alias("r_late"),
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
     )
-    l1 = lo.filter(F.col("is_late"))
-    waiting = l1.join(
-        others,
-        (F.col("l_orderkey") == F.col("r_orderkey"))
-        & (F.col("l_suppkey") != F.col("r_suppkey")),
-        "left_semi",
-    ).join(
-        others.filter(F.col("r_late")),
-        (F.col("l_orderkey") == F.col("r_orderkey"))
-        & (F.col("l_suppkey") != F.col("r_suppkey")),
-        "left_anti",
+    lonely = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    waiting = lo.filter(F.col("is_late")).join(
+        lonely.select("l_orderkey"), on="l_orderkey", how="left_semi"
     )
     return (
-        waiting.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        waiting.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
