@@ -43,6 +43,9 @@ HEADLINE = [
     "event_sessions",
     "asof_view_before_purchase",
     "price_band_lookup",
+    "nation_trade_flows",
+    "lonely_late_suppliers",
+    "top_tokens_by_source",
 ]
 
 
