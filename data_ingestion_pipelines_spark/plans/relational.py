@@ -1427,6 +1427,159 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q8-style market share: the share of EUROPE-region revenue won by
+# NATION_3 suppliers, per order year. One pass over the joined fact with
+# a conditional decimal sum — no second scan, no self-join; the share is
+# one division of identically-derived doubles.
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    n_cust = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).filter(F.col("r_name") == "EUROPE").select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    total = F.sum(rev).cast("double")
+    focal = F.coalesce(
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)).cast("double"),
+        F.lit(0.0),
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            focal.alias("nation_rev"),
+            total.alias("total_rev"),
+            (focal / total).alias("mkt_share"),
+        )
+    )
+
+
+MARKET_SHARE_BY_YEAR_SQL = """
+WITH joined AS (
+  SELECT year(o.o_orderdate) AS yr,
+         CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,8)) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE c.c_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+)
+SELECT CAST(yr AS BIGINT) AS order_year,
+       COALESCE(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev END) AS VARCHAR) AS DOUBLE), 0.0) AS nation_rev,
+       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_rev,
+       COALESCE(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev END) AS VARCHAR) AS DOUBLE), 0.0)
+         / CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS mkt_share
+FROM joined GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9-style profit by supplier nation and year. The dataset has no
+# partsupp/supplycost, so cost is the deterministic synthetic
+# p_retailprice * l_quantity * 0.6 — the JOIN SHAPE (fact × part ×
+# supplier × nation star with two linearly-scaling dims left to AQE) is
+# what this query exercises. Per-row profit is double arithmetic in the
+# same association order in both engines, then an exact decimal sum.
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.6)
+    ).cast("decimal(38,8)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+PROFIT_BY_NATION_YEAR_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                          - p.p_retailprice * l.l_quantity * 0.6 AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19-style disjunctive predicate: three (brand, size-range,
+# quantity-range) arms OR-ed together. Catalyst extracts the common
+# p_partkey equi-join and pushes `p_size <= 15` / brand IN (...) to the
+# part scan; the full disjunction evaluates post-join in codegen.
+def promo_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & (F.col("l_quantity").between(qlo, qhi))
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#3", 15, 20, 30)
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+PROMO_PARTS_REVENUE_SQL = """
+SELECT p.p_brand,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Year-over-year revenue deltas per order priority: lag() over yearly
 # aggregates. The delta is a difference of identically-derived doubles,
 # so first-year NULLs and values hash-match cross-engine.
@@ -1483,6 +1636,9 @@ QUERIES = {
     "lonely_late_suppliers": (lonely_late_suppliers, LONELY_LATE_SUPPLIERS_SQL),
     "idle_rich_customers": (idle_rich_customers, IDLE_RICH_CUSTOMERS_SQL),
     "order_value_yoy": (order_value_yoy, ORDER_VALUE_YOY_SQL),
+    "market_share_by_year": (market_share_by_year, MARKET_SHARE_BY_YEAR_SQL),
+    "profit_by_nation_year": (profit_by_nation_year, PROFIT_BY_NATION_YEAR_SQL),
+    "promo_parts_revenue": (promo_parts_revenue, PROMO_PARTS_REVENUE_SQL),
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_PER_BRAND_SQL),
     "customer_balance_ranks": (customer_balance_ranks, CUSTOMER_BALANCE_RANKS_SQL),
     "schema_drift_union": (schema_drift_union, SCHEMA_DRIFT_UNION_SQL),
