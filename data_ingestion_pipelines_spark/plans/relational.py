@@ -1427,6 +1427,144 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q17-style small-quantity revenue: lineitems of one brand whose
+# quantity is below 20% of that part's average quantity. The correlated
+# AVG subquery is a per-part aggregate joined back on partkey (both
+# sides shuffle-partitioned on the same key); the brand slice reaches
+# the part scan as a pushed filter.
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    avg_q = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+        .join(avg_q, on="l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(38,2)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH avg_q AS (
+  SELECT l_partkey,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN avg_q a ON l.l_partkey = a.l_partkey
+WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
+  AND l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18-style large-volume orders: orders whose total quantity
+# exceeds 220, with customer attribution. The HAVING-IN subquery is a
+# grouped aggregate semi-joined back to the fact — orderkey → orderkey,
+# one co-partitioned shuffle pair, then dims attach.
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec").cast("double") > 220.0)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+LARGE_VOLUME_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,2))) AS qty_dec
+  FROM lineitem GROUP BY 1
+  HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) > 220.0
+)
+SELECT c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       CAST(CAST(b.qty_dec AS VARCHAR) AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big b      ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20-style dominant suppliers: suppliers who shipped more than
+# 10% of some Brand#12 part's total volume (volume is spread thin
+# across suppliers in this data, so 10% flags genuine concentration). Two nested aggregates
+# ((part, supplier) → part) plus a semi-join chain up to the supplier
+# dim — the deepest subquery nesting in the suite, expressed as plain
+# co-partitioned aggregates instead of correlated IN/EXISTS.
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    branded = li.join(part, li.l_partkey == part.p_partkey, "left_semi")
+    per_ps = branded.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty_ps")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_p"))
+    dominant = (
+        per_ps.join(per_p, on="l_partkey")
+        .filter(
+            F.col("qty_ps").cast("double") > F.lit(0.1) * F.col("qty_p").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+DOMINANT_PART_SUPPLIERS_SQL = """
+WITH branded AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(38,2))) AS qty_ps
+  FROM branded GROUP BY 1, 2
+), per_p AS (
+  SELECT l_partkey, SUM(qty_ps) AS qty_p FROM per_ps GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT ps.l_suppkey FROM per_ps ps JOIN per_p p ON ps.l_partkey = p.l_partkey
+  WHERE CAST(CAST(ps.qty_ps AS VARCHAR) AS DOUBLE) > 0.1 * CAST(CAST(p.qty_p AS VARCHAR) AS DOUBLE)
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q8-style market share: the share of EUROPE-region revenue won by
 # NATION_3 suppliers, per order year. One pass over the joined fact with
 # a conditional decimal sum — no second scan, no self-join; the share is
@@ -1639,6 +1777,9 @@ QUERIES = {
     "market_share_by_year": (market_share_by_year, MARKET_SHARE_BY_YEAR_SQL),
     "profit_by_nation_year": (profit_by_nation_year, PROFIT_BY_NATION_YEAR_SQL),
     "promo_parts_revenue": (promo_parts_revenue, PROMO_PARTS_REVENUE_SQL),
+    "small_quantity_revenue": (small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
+    "large_volume_orders": (large_volume_orders, LARGE_VOLUME_ORDERS_SQL),
+    "dominant_part_suppliers": (dominant_part_suppliers, DOMINANT_PART_SUPPLIERS_SQL),
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_PER_BRAND_SQL),
     "customer_balance_ranks": (customer_balance_ranks, CUSTOMER_BALANCE_RANKS_SQL),
     "schema_drift_union": (schema_drift_union, SCHEMA_DRIFT_UNION_SQL),
