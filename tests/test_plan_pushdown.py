@@ -1,0 +1,63 @@
+"""Physical-plan evidence for the scale claims: filters and projections
+must reach the parquet scan, partition filters must prune directories,
+and dim joins in the star queries must be broadcast, not shuffled.
+
+These asserts read `executedPlan` text — the same artifact a human
+`.explain("formatted")` audit inspects — so a regression that silently
+turns a pruned scan into a full scan fails CI, not just the bench.
+"""
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.plans import relational as R
+from data_ingestion_pipelines_spark.sinks.writers import load_dataframe
+from data_ingestion_pipelines_spark.specs import LoadType
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_data_filter_and_projection_reach_parquet_scan(spark):
+    df = R.pricing_summary(spark, SF)
+    plan = _plan(df)
+    # Date predicate pushed to the reader, not applied post-scan only.
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+    # Column pruning: the 16-column table scans only the 7 used columns.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_orderkey" not in read_schema  # unused by Q1
+    assert "l_quantity" in read_schema
+
+
+def test_partitioned_write_then_filtered_read_prunes_partitions(spark, tmp_path):
+    src = spark.range(0, 100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+    )
+    target = str(tmp_path / "parts")
+    load_dataframe(src, target, LoadType.APPEND, partition_by=["bucket"])
+    back = spark.read.parquet(target).filter(F.col("bucket") == "2")
+    plan = _plan(back)
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters:")[1][:200]
+    assert back.count() == 25
+
+
+def test_star_join_broadcasts_constant_dims(spark):
+    plan = _plan(R.revenue_by_nation(spark, SF))
+    # nation/region are forced broadcasts; the fact side must never be
+    # broadcast and the pre-agg fact must not hash-shuffle before joins.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_shape_is_aggregate_not_self_join(spark):
+    plan = _plan(R.lonely_late_suppliers(spark, SF))
+    # The EXISTS/NOT-EXISTS pair compiles to ONE per-order aggregate and
+    # a semi join — a literal decorrelation would show >=2 extra joins.
+    assert plan.count("HashAggregate") >= 2
+    assert "LeftSemi" in plan
