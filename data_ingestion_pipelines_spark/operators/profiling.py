@@ -1,0 +1,112 @@
+"""Column profiling and SCD2 dimension building.
+
+``profile_table`` answers the operational question every ingestion run
+asks first — "what landed?" — as ONE aggregate job over the table:
+null rates, exact distinct counts, and min/max per requested column.
+The reference gathers the same facts imperatively per pipeline (row
+counts into run logs, ad-hoc ``SELECT COUNT(*)`` reconciliation in
+`bp-scala-api-ingestions/dataSource bp/ModuleFunctions.scala` audit
+writes); here it's a single declarative pass any table can reuse.
+
+``scd2_from_events`` turns an append-only change stream into a type-2
+slowly-changing dimension (valid_from / valid_to / is_current) with one
+window over the change key — the warehouse-side complement of the
+engine's INC merge (K3/K4): MERGE keeps only the latest row, SCD2 keeps
+the full history with validity intervals.
+
+Scale notes:
+- profile: one shuffle for the global aggregate. Exact distinct counts
+  use Spark's multi-distinct rewrite (expand ×N columns); for very wide
+  profiles or 100 TB inputs, pass ``approx=True`` to switch to
+  HyperLogLog sketches (approx_count_distinct), which aggregate
+  map-side and never expand.
+- scd2: one shuffle on the entity key; lead() runs inside each key's
+  partition. Keys are entity ids — high cardinality, uniform; no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, columns: list[str], approx: bool = False
+) -> DataFrame:
+    """One-pass per-column profile: rows, nulls, distincts, min/max.
+
+    Returns one row per profiled column:
+    ``column, n_rows, n_null, n_distinct, min_str, max_str``.
+    min/max are canonicalized to strings so heterogeneous column types
+    fit one output schema (numeric order is preserved per column because
+    the aggregation happens on the native type BEFORE the cast).
+    """
+    n_distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__null"))
+        aggs.append(n_distinct(F.col(c)).alias(f"{c}__distinct"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+    wide = df.agg(*aggs)
+    # Pivot the single wide row to one row per column with stack() —
+    # stays a Column expression, no driver collect.
+    parts = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max" for c in columns
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(columns)}, {parts}) AS "
+            "(column, n_null, n_distinct, min_str, max_str)"
+        ),
+        F.col("n_rows"),
+    ).select("column", "n_rows", "n_null", "n_distinct", "min_str", "max_str")
+
+
+def scd2_from_events(
+    df: DataFrame,
+    key_cols: list[str],
+    change_cols: list[str],
+    ts_col: str,
+    end_of_time: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Build a type-2 dimension from an append-only change stream.
+
+    Each input row is a observed state of the entity identified by
+    ``key_cols``; output rows carry ``valid_from`` (the row's own
+    timestamp), ``valid_to`` (the NEXT change's timestamp, or
+    ``end_of_time``) and ``is_current``. Consecutive rows with an
+    identical state (all ``change_cols`` equal) are collapsed so a
+    re-delivered unchanged record does not split an interval.
+
+    Ties on (key, ts) are broken deterministically by the change columns
+    so re-runs produce identical histories.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc_nulls_first() for c in change_cols]
+    )
+    state = F.struct(*[F.col(c) for c in change_cols])
+    # Drop rows whose state equals the previous state for the same key.
+    changed = (
+        df.withColumn("_prev_state", F.lag(state).over(w))
+        .filter(
+            F.col("_prev_state").isNull() | (state != F.col("_prev_state"))
+        )
+        .drop("_prev_state")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc_nulls_first() for c in change_cols]
+    )
+    nxt = F.lead(F.col(ts_col)).over(w2)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn(
+            "valid_to", F.coalesce(nxt, F.lit(end_of_time).cast("timestamp"))
+        )
+        .withColumn("is_current", nxt.isNull())
+        .select(*key_cols, *change_cols, "valid_from", "valid_to", "is_current")
+    )

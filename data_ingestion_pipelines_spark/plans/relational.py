@@ -1749,6 +1749,74 @@ FROM yearly
 """
 
 
+# --------------------------------------------------------------------------
+# One-pass column profile over the events stream: null rate, exact
+# distinct count, min/max per column in a single aggregate job (the
+# "what landed?" audit every ingestion run performs). String-typed
+# profile columns only in the gate — double/timestamp min/max stringify
+# with engine-specific formatting; bigint and string are canonical.
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(ev, ["event_type", "user_id", "props"])
+
+
+EVENTS_PROFILE_SQL = """
+SELECT 'event_type' AS "column", COUNT(*) AS n_rows,
+       COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS n_null,
+       COUNT(DISTINCT event_type) AS n_distinct,
+       CAST(MIN(event_type) AS VARCHAR) AS min_str,
+       CAST(MAX(event_type) AS VARCHAR) AS max_str
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*),
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END),
+       COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'props', COUNT(*),
+       COUNT(CASE WHEN props IS NULL THEN 1 END),
+       COUNT(DISTINCT props),
+       CAST(MIN(props) AS VARCHAR), CAST(MAX(props) AS VARCHAR)
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# SCD2 dimension built from the event stream: each user's event_type
+# history as (valid_from, valid_to, is_current) intervals, consecutive
+# identical states collapsed. One window over the entity key.
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import scd2_from_events
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_from_events(
+        ev.select("user_id", "event_type", "ts"),
+        key_cols=["user_id"],
+        change_cols=["event_type"],
+        ts_col="ts",
+    )
+
+
+USER_STATE_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+  FROM events
+), changed AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type, ts AS valid_from,
+       COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
+                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL AS is_current
+FROM changed
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "json_props_extract": (json_props_extract, JSON_PROPS_EXTRACT_SQL),
@@ -1780,6 +1848,8 @@ QUERIES = {
     "small_quantity_revenue": (small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
     "large_volume_orders": (large_volume_orders, LARGE_VOLUME_ORDERS_SQL),
     "dominant_part_suppliers": (dominant_part_suppliers, DOMINANT_PART_SUPPLIERS_SQL),
+    "events_profile": (events_profile, EVENTS_PROFILE_SQL),
+    "user_state_scd2": (user_state_scd2, USER_STATE_SCD2_SQL),
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_PER_BRAND_SQL),
     "customer_balance_ranks": (customer_balance_ranks, CUSTOMER_BALANCE_RANKS_SQL),
     "schema_drift_union": (schema_drift_union, SCHEMA_DRIFT_UNION_SQL),

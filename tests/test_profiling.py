@@ -1,0 +1,77 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.profiling import (
+    profile_table,
+    scd2_from_events,
+)
+
+
+def test_profile_counts_nulls_distincts_minmax(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("a", 3), (None, 3)],
+        "name string, v int",
+    )
+    rows = {r["column"]: r for r in profile_table(df, ["name", "v"]).collect()}
+    assert rows["name"]["n_rows"] == 4
+    assert rows["name"]["n_null"] == 1
+    assert rows["name"]["n_distinct"] == 2  # distinct ignores NULL
+    assert rows["name"]["min_str"] == "a" and rows["name"]["max_str"] == "b"
+    assert rows["v"]["n_null"] == 1
+    assert rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_str"] == "1" and rows["v"]["max_str"] == "3"
+
+
+def test_profile_approx_mode_close_on_small_data(spark):
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 10).alias("m"))
+    rows = {
+        r["column"]: r
+        for r in profile_table(df, ["id", "m"], approx=True).collect()
+    }
+    # HLL is exact-ish at tiny cardinalities and within 5% at 1000.
+    assert abs(rows["id"]["n_distinct"] - 1000) <= 50
+    assert rows["m"]["n_distinct"] == 10
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "bronze", _ts("2024-01-01T00:00:00")),
+            (1, "bronze", _ts("2024-02-01T00:00:00")),  # unchanged → collapsed
+            (1, "gold", _ts("2024-03-01T00:00:00")),
+            (2, "silver", _ts("2024-01-15T00:00:00")),
+        ],
+        "user_id int, tier string, ts timestamp",
+    )
+    out = scd2_from_events(df, ["user_id"], ["tier"], "ts").collect()
+    by_key = {(r["user_id"], r["tier"]): r for r in out}
+    assert len(out) == 3  # the unchanged redelivery did not split
+    b = by_key[(1, "bronze")]
+    assert b["valid_from"] == _ts("2024-01-01T00:00:00")
+    assert b["valid_to"] == _ts("2024-03-01T00:00:00")  # next CHANGE, not redelivery
+    assert not b["is_current"]
+    g = by_key[(1, "gold")]
+    assert g["is_current"] and g["valid_to"].year == 9999
+    assert by_key[(2, "silver")]["is_current"]
+
+
+def test_scd2_deterministic_on_ts_ties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "b", _ts("2024-01-01T00:00:00")),
+            (1, "a", _ts("2024-01-01T00:00:00")),  # same ts — tie-break on state
+        ],
+        "user_id int, tier string, ts timestamp",
+    )
+    out = sorted(
+        scd2_from_events(df, ["user_id"], ["tier"], "ts").collect(),
+        key=lambda r: r["tier"],
+    )
+    assert [r["tier"] for r in out] == ["a", "b"]
+    assert out[0]["valid_to"] == _ts("2024-01-01T00:00:00")  # 'a' closed by 'b'
+    assert out[1]["is_current"]
