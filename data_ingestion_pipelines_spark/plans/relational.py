@@ -626,6 +626,45 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# SLIDING windows (1h window, 15min slide): every event lands in 4
+# overlapping windows. Spark materializes the window set per row inside
+# the aggregate (no explode stage visible to the user); the oracle
+# reconstructs the same windows arithmetically — starts are the 15-min
+# bucket of ts minus 0/15/30/45 min (epoch-aligned in both engines;
+# 1970 and 2000 origins coincide on 15-min boundaries).
+def event_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+EVENT_SLIDING_WINDOWS_SQL = """
+WITH placed AS (
+  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+           - i * INTERVAL '15 minutes' AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM placed GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Correlated aggregate (TPC-H Q2/Q17-style): rows above their group's
 # average — decorrelated into a window (one shuffle, no re-scan)
 def above_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1871,6 +1910,7 @@ QUERIES = {
     "correlated_explode": (correlated_explode, CORRELATED_EXPLODE_SQL),
     "nested_drop": (nested_drop, NESTED_DROP_SQL),
     "event_hourly_windows": (event_hourly_windows, EVENT_HOURLY_WINDOWS_SQL),
+    "event_sliding_windows": (event_sliding_windows, EVENT_SLIDING_WINDOWS_SQL),
     "event_hourly_windows_streaming": (
         event_hourly_windows_streaming,
         EVENT_HOURLY_WINDOWS_SQL,
