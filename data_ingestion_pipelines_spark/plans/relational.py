@@ -1789,6 +1789,44 @@ FROM yearly
 
 
 # --------------------------------------------------------------------------
+# Delete-aware CDC apply: a deterministic synthetic change log (every
+# 3rd order: delete if also divisible by 9, else update with a price
+# bump) applied to a stale snapshot (orders not divisible by 7). One
+# anti join + union on the key — deletes ride the same anti join that
+# removes updated keys, so D costs no extra stage.
+def cdc_orders_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.merge import apply_cdc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snapshot = orders.filter(F.col("o_orderkey") % 7 != 0)
+    changes = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 9 == 0, "D").otherwise("U").alias("op"),
+    )
+    return apply_cdc(snapshot, changes, keys=["o_orderkey"])
+
+
+CDC_ORDERS_SNAPSHOT_SQL = """
+WITH snapshot AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+), changes AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+         CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+FROM snapshot s
+WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM changes WHERE op <> 'D'
+"""
+
+
+# --------------------------------------------------------------------------
 # One-pass column profile over the events stream: null rate, exact
 # distinct count, min/max per column in a single aggregate job (the
 # "what landed?" audit every ingestion run performs). String-typed
@@ -1887,6 +1925,7 @@ QUERIES = {
     "small_quantity_revenue": (small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
     "large_volume_orders": (large_volume_orders, LARGE_VOLUME_ORDERS_SQL),
     "dominant_part_suppliers": (dominant_part_suppliers, DOMINANT_PART_SUPPLIERS_SQL),
+    "cdc_orders_snapshot": (cdc_orders_snapshot, CDC_ORDERS_SNAPSHOT_SQL),
     "events_profile": (events_profile, EVENTS_PROFILE_SQL),
     "user_state_scd2": (user_state_scd2, USER_STATE_SCD2_SQL),
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_PER_BRAND_SQL),

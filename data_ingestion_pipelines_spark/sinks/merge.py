@@ -80,3 +80,37 @@ def keep_latest_then_merge(
     """O4 keep-latest dedup feeding a merge — reference RANK+DELETE
     (`bp-unstructured-netapp-ingestion/ModuleFunctions.py:639-679`)."""
     return merge_upsert(target, source, keys, order_col=ts_col)
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Apply an insert/update/delete change log to a snapshot.
+
+    The delete-aware MERGE (Delta's ``whenMatchedDelete`` arm,
+    `PSS WHI (XML)/Tables.scala:579-605` runs the two-arm variant):
+    the LATEST op per key wins — ``'D'`` removes the row, anything else
+    ('I'/'U') upserts the change row's values. Keys untouched by the log
+    pass through.
+
+    Plan shape: one keep-latest window on the change log (skipped when
+    ``order_col`` is None, i.e. the log is already key-unique), then one
+    left-anti + union on the same key — identical exchange reuse as
+    ``merge_upsert``; deletes cost nothing extra because the anti join
+    removes BOTH updated and deleted keys and only non-delete rows come
+    back via the union.
+    """
+    if order_col is not None:
+        from ..operators.windows import keep_latest
+
+        changes = keep_latest(changes, keys, order_col)
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    if order_col is not None:
+        upserts = upserts.drop(order_col)
+    upserts = upserts.select(*snapshot.columns)
+    untouched = snapshot.join(changes.select(*keys), on=keys, how="left_anti")
+    return untouched.unionByName(upserts)

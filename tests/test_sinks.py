@@ -135,3 +135,34 @@ def test_compact_parquet_path_reduces_files_and_clusters(spark, tmp_path):
     ranges.sort()
     for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
         assert ahi <= blo  # disjoint → min/max stats prune file scans
+
+
+def test_apply_cdc_latest_op_wins_and_deletes(spark):
+    from data_ingestion_pipelines_spark.sinks.merge import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),
+            (2, None, "D", 2),   # later delete wins over the update
+            (3, "c9", "U", 5),
+            (4, "d", "I", 1),    # insert of a new key
+        ],
+        "k int, v string, op string, seq int",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in apply_cdc(snap, log, keys=["k"], order_col="seq").collect()
+    }
+    assert got == {(1, "a"), (3, "c9"), (4, "d")}
+
+
+def test_apply_cdc_no_order_col_key_unique_log(spark):
+    from data_ingestion_pipelines_spark.sinks.merge import apply_cdc
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    log = spark.createDataFrame([(1, None, "D")], "k int, v string, op string")
+    got = {(r["k"], r["v"]) for r in apply_cdc(snap, log, keys=["k"]).collect()}
+    assert got == {(2, "b")}
