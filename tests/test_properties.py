@@ -213,3 +213,78 @@ def test_chunk_documents_is_lossless_partition(spark, texts, max_tokens):
             assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 0
         else:
             assert all(r["n_chunk_tokens"] == max_tokens for r in rows[:-1])
+
+
+@given(
+    snap=st.dictionaries(keys, st.text(alphabet="ab", min_size=1, max_size=2), max_size=6),
+    log=st.lists(
+        st.tuples(keys, st.text(alphabet="cd", min_size=1, max_size=2),
+                  st.sampled_from(["I", "U", "D"])),
+        max_size=8,
+    ),
+)
+@SETTINGS
+def test_apply_cdc_matches_dict_replay(spark, snap, log):
+    from data_ingestion_pipelines_spark.sinks.merge import apply_cdc
+
+    snap = dict(snap) or {99: "z"}
+    seq_log = [(k, v, op, i) for i, (k, v, op) in enumerate(log)] or [(98, "c", "I", 0)]
+    s_df = spark.createDataFrame(list(snap.items()), "k int, v string")
+    l_df = spark.createDataFrame(seq_log, "k int, v string, op string, seq int")
+
+    expect = dict(snap)
+    latest = {}
+    for k, v, op, i in seq_log:  # latest op per key wins (seq ascending)
+        latest[k] = (v, op)
+    for k, (v, op) in latest.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+
+    got = {
+        r["k"]: r["v"]
+        for r in apply_cdc(s_df, l_df, keys=["k"], order_col="seq").collect()
+    }
+    assert got == expect
+
+
+_scd_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),                   # entity
+        st.sampled_from(["s1", "s2", "s3"]),                     # state
+        st.integers(min_value=0, max_value=20),                  # minute offset
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(events=_scd_events)
+@SETTINGS
+def test_scd2_invariants(spark, events):
+    from data_ingestion_pipelines_spark.operators.profiling import scd2_from_events
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (k, s, base + dt.timedelta(minutes=m)) for k, s, m in events
+    ]
+    df = spark.createDataFrame(rows, "user_id int, state string, ts timestamp")
+    out = scd2_from_events(df, ["user_id"], ["state"], "ts").collect()
+
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["user_id"], []).append(r)
+    for k, intervals in by_key.items():
+        intervals.sort(key=lambda r: (r["valid_from"], r["state"]))
+        # exactly one open (is_current) interval per key, and it's the last
+        assert sum(1 for r in intervals if r["is_current"]) == 1
+        assert intervals[-1]["is_current"]
+        for r in intervals:
+            assert r["valid_from"] <= r["valid_to"]
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(intervals, intervals[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        # collapse guarantee: consecutive intervals never repeat a state
+        for a, b in zip(intervals, intervals[1:]):
+            assert a["state"] != b["state"]
