@@ -1789,6 +1789,89 @@ FROM yearly
 
 
 # --------------------------------------------------------------------------
+# Ordered conversion funnel view → click → purchase: per-user
+# conditional MIN timestamps in ONE aggregate (no per-step self-joins —
+# the naive funnel is 3 joins of the event table), then step membership
+# as boolean comparisons. Output: per-step user counts.
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    step1 = F.col("t_view").isNotNull()
+    step2 = step1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    step3 = (
+        step2
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_click"))
+    )
+    return per_user.agg(
+        F.count(F.when(step1, 1)).alias("n_viewed"),
+        F.count(F.when(step2, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(step3, 1)).alias("n_purchased_after_click"),
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY 1
+)
+SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_viewed,
+       COUNT(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click > t_view THEN 1 END) AS n_clicked_after_view,
+       COUNT(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                   AND t_click > t_view AND t_purchase IS NOT NULL
+                   AND t_purchase > t_click THEN 1 END) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
+# Weekly retention cohorts: users grouped by first-activity week
+# (cohort), activity bucketed by whole weeks since that first event.
+# Two aggregates on the SAME user_id key — the second groupBy reuses
+# the first shuffle's partitioning for the join back. Week arithmetic
+# is integer day-diff division, identical in both engines.
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(first, on="user_id")
+    week_n = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.col("cohort_week").cast("date"))
+        / F.lit(7)
+    ).cast("bigint")
+    return (
+        joined.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            week_n.alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+WEEKLY_RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY 1
+)
+SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort,
+       CAST(floor(date_diff('day', CAST(f.cohort_week AS DATE), CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_n,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Delete-aware CDC apply: a deterministic synthetic change log (every
 # 3rd order: delete if also divisible by 9, else update with a price
 # bump) applied to a stale snapshot (orders not divisible by 7). One
@@ -1926,6 +2009,8 @@ QUERIES = {
     "large_volume_orders": (large_volume_orders, LARGE_VOLUME_ORDERS_SQL),
     "dominant_part_suppliers": (dominant_part_suppliers, DOMINANT_PART_SUPPLIERS_SQL),
     "cdc_orders_snapshot": (cdc_orders_snapshot, CDC_ORDERS_SNAPSHOT_SQL),
+    "conversion_funnel": (conversion_funnel, CONVERSION_FUNNEL_SQL),
+    "weekly_retention_cohorts": (weekly_retention_cohorts, WEEKLY_RETENTION_COHORTS_SQL),
     "events_profile": (events_profile, EVENTS_PROFILE_SQL),
     "user_state_scd2": (user_state_scd2, USER_STATE_SCD2_SQL),
     "cheapest_part_per_brand": (cheapest_part_per_brand, CHEAPEST_PART_PER_BRAND_SQL),
