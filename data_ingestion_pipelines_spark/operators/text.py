@@ -162,3 +162,27 @@ def with_repetition_ratio(
         - F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double"),
     ).otherwise(F.lit(0.0))
     return df.withColumn(out, ratio)
+
+
+def with_contamination(
+    df: DataFrame,
+    needles: list[str],
+    text_col: str = "text",
+    out: str = "matched_needles",
+) -> DataFrame:
+    """Benchmark decontamination signal: which of ``needles`` (eval-set
+    phrases) appear verbatim in the document. Adds ``out`` (sorted array
+    of matched needles) and ``{out}_n`` (match count); filter on
+    ``F.col(f"{out}_n") == 0`` to keep a training corpus eval-clean.
+
+    The needle list is a literal array baked into the plan (broadcast to
+    every task — fine up to ~10k phrases). For benchmark suites with
+    millions of n-gram needles, swap to the MinHash/LSH path
+    (operators/dedup.py) or an Aho-Corasick automaton in mapInPandas;
+    exact substring semantics here are the oracle for those.
+    """
+    arr = F.array(*[F.lit(n) for n in sorted(needles)])
+    matched = F.filter(arr, lambda n: F.contains(F.col(text_col), n))
+    return df.withColumn(out, matched).withColumn(
+        f"{out}_n", F.size(matched).cast("bigint")
+    )

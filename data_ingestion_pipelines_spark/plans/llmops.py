@@ -495,6 +495,41 @@ FROM documents GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination: flag documents containing any eval-set
+# phrase verbatim. The needle set is a plan literal evaluated in
+# codegen (no join, no shuffle — a pure projection + filter); the
+# output keeps only contaminated docs with their matched phrases.
+_NEEDLES = ["fast merge batch", "slow filter value", "window spark order"]
+
+
+def contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = with_contamination(docs, _NEEDLES)
+    return (
+        flagged.filter(F.col("matched_needles_n") > 0)
+        .select(
+            "doc_id",
+            F.array_join("matched_needles", ",").alias("matched_csv"),
+            F.col("matched_needles_n").alias("n_matches"),
+        )
+    )
+
+
+CONTAMINATED_DOCS_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         list_filter({sorted(_NEEDLES)!r}, n -> contains(text, n)) AS mm
+  FROM documents
+)
+SELECT doc_id, array_to_string(mm, ',') AS matched_csv,
+       CAST(len(mm) AS BIGINT) AS n_matches
+FROM m WHERE len(mm) > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # Vocabulary head per source: explode tokens → count → top-5 via
 # row_number with a deterministic (count DESC, token ASC) tie-break.
 # The shuffle keys are (source, token) — uniform, skew-free; the window
@@ -534,6 +569,7 @@ QUERIES = {
     "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
     "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PERCENTILES_SQL),
+    "contaminated_docs": (contaminated_docs, CONTAMINATED_DOCS_SQL),
     "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
