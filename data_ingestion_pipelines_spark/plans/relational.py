@@ -1789,6 +1789,143 @@ FROM yearly
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: revenue of orders not yet shipped at
+# the cutoff, top-10 by revenue with a DETERMINISTIC (revenue DESC,
+# orderkey ASC) rank instead of a bare LIMIT — ties cannot flake the
+# result across engines or retries.
+def urgent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(rev).alias("rev_dec"))
+    )
+    # Distributed top-k: orderBy().limit() compiles to
+    # TakeOrderedAndProject (per-partition heaps + driver merge of 10
+    # rows) — NOT a global sort or a one-task window. The unique
+    # o_orderkey tiebreak makes the cut deterministic; the rank column
+    # is then a window over just the 10 surviving rows.
+    top = agg.orderBy(F.col("rev_dec").desc(), F.col("o_orderkey").asc()).limit(10)
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("o_orderkey").asc())
+    return top.select(
+        "o_orderkey",
+        "order_date",
+        "o_orderpriority",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+
+
+URGENT_OPEN_ORDERS_SQL = """
+WITH agg AS (
+  SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+         o.o_orderpriority,
+         SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,8))) AS rev_dec
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_shipdate > TIMESTAMP '1997-03-15'
+    AND o.o_orderdate < TIMESTAMP '1997-03-15'
+    AND o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderkey, order_date, o_orderpriority,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       CAST(row_number() OVER (ORDER BY rev_dec DESC, o_orderkey ASC) AS BIGINT) AS rk
+FROM agg QUALIFY rk <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10-style returned-item losses: revenue a customer generated on
+# RETURNED lineitems in one quarter — the "who should we call" report.
+# Group keys are the customer attributes (functionally dependent on
+# c_custkey, grouped directly as TPC-H does).
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            F.sum(rev).cast("double").alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+
+
+RETURNED_ITEM_LOSSES_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_mktsegment,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS lost_revenue,
+       COUNT(*) AS n_returned_items
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13-style order-count distribution: LEFT join so zero-order
+# customers survive, per-customer count, then a histogram over the
+# counts — two aggregations at different grains, the second trivially
+# cheap because the first collapsed cardinality.
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                     AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Ordered conversion funnel view → click → purchase: per-user
 # conditional MIN timestamps in ONE aggregate (no per-step self-joins —
 # the naive funnel is 3 joins of the event table), then step membership
@@ -2010,6 +2147,12 @@ QUERIES = {
     "dominant_part_suppliers": (dominant_part_suppliers, DOMINANT_PART_SUPPLIERS_SQL),
     "cdc_orders_snapshot": (cdc_orders_snapshot, CDC_ORDERS_SNAPSHOT_SQL),
     "conversion_funnel": (conversion_funnel, CONVERSION_FUNNEL_SQL),
+    "urgent_open_orders": (urgent_open_orders, URGENT_OPEN_ORDERS_SQL),
+    "returned_item_losses": (returned_item_losses, RETURNED_ITEM_LOSSES_SQL),
+    "customer_order_distribution": (
+        customer_order_distribution,
+        CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    ),
     "weekly_retention_cohorts": (weekly_retention_cohorts, WEEKLY_RETENTION_COHORTS_SQL),
     "events_profile": (events_profile, EVENTS_PROFILE_SQL),
     "user_state_scd2": (user_state_scd2, USER_STATE_SCD2_SQL),
