@@ -1926,6 +1926,45 @@ SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q16-style supplier variety: distinct suppliers able to ship
+# each (brand, size-band) part class, excluding one brand and a
+# "complaint list" of suppliers (every 13th — the reference pattern is
+# a NOT IN subquery, which Spark plans as a null-aware anti join; keys
+# are non-null here so it degenerates to a regular anti join).
+def supplier_variety_by_part_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    supp_bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 13 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp_bad, li.l_suppkey == supp_bad.s_suppkey, "left_anti")
+        .groupBy(
+            "p_brand",
+            (F.floor(F.col("p_size") / F.lit(10)) * 10).cast("bigint").alias(
+                "size_band"
+            ),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_VARIETY_SQL = """
+SELECT p.p_brand,
+       CAST(FLOOR(p.p_size / 10.0) * 10 AS BIGINT) AS size_band,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Ordered conversion funnel view → click → purchase: per-user
 # conditional MIN timestamps in ONE aggregate (no per-step self-joins —
 # the naive funnel is 3 joins of the event table), then step membership
@@ -2152,6 +2191,10 @@ QUERIES = {
     "customer_order_distribution": (
         customer_order_distribution,
         CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    ),
+    "supplier_variety_by_part_class": (
+        supplier_variety_by_part_class,
+        SUPPLIER_VARIETY_SQL,
     ),
     "weekly_retention_cohorts": (weekly_retention_cohorts, WEEKLY_RETENTION_COHORTS_SQL),
     "events_profile": (events_profile, EVENTS_PROFILE_SQL),
