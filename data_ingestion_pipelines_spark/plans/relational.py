@@ -1926,6 +1926,43 @@ SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Snapshot diff (ingestion QA): rows added / removed between two loads
+# of the same table, as EXCEPT ALL both ways tagged with a change type.
+# The two sides here are deterministic slices of orders (the "old" load
+# is missing every 7th order; the "new" one re-prices every 11th), so
+# the diff is stable. Multiset semantics (exceptAll, not except)
+# preserve duplicate-row counts — a dropped duplicate IS a change.
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + F.lit(500.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = new.exceptAll(old).withColumn("change", F.lit("added"))
+    removed = old.exceptAll(new).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+SNAPSHOT_DIFF_REPORT_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+)
+SELECT *, 'added' AS change FROM (SELECT * FROM new EXCEPT ALL SELECT * FROM old)
+UNION ALL
+SELECT *, 'removed' AS change FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM new)
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q16-style supplier variety: distinct suppliers able to ship
 # each (brand, size-band) part class, excluding one brand and a
 # "complaint list" of suppliers (every 13th — the reference pattern is
@@ -2196,6 +2233,7 @@ QUERIES = {
         supplier_variety_by_part_class,
         SUPPLIER_VARIETY_SQL,
     ),
+    "snapshot_diff_report": (snapshot_diff_report, SNAPSHOT_DIFF_REPORT_SQL),
     "weekly_retention_cohorts": (weekly_retention_cohorts, WEEKLY_RETENTION_COHORTS_SQL),
     "events_profile": (events_profile, EVENTS_PROFILE_SQL),
     "user_state_scd2": (user_state_scd2, USER_STATE_SCD2_SQL),
