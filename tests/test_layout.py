@@ -1,0 +1,88 @@
+"""Z-order layout: interleave correctness + the actual pruning benefit
+(per-file min/max spans shrink on BOTH dimensions vs a 1-D sort)."""
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.layout import (
+    with_zorder_key,
+    zorder_write,
+)
+
+
+def test_interleave_bits_known_values(spark):
+    # 2 cols, 2 bits, stats fixed to [0,3]: cell == raw value.
+    # Convention: output bit (i*ncols + j) = bit i of column j.
+    df = spark.createDataFrame(
+        [(0, 0), (3, 3), (2, 1), (1, 2)], "x int, y int"
+    )
+    rows = {
+        (r["x"], r["y"]): r["_zkey"]
+        for r in with_zorder_key(
+            df, ["x", "y"], bits=2, stats={"x": (0, 3), "y": (0, 3)}
+        ).collect()
+    }
+    assert rows[(0, 0)] == 0
+    assert rows[(3, 3)] == 0b1111
+    # x=2 (10₂): bit1→out bit 2; y=1 (01₂): bit0→out bit 1 → 0b0110
+    assert rows[(2, 1)] == 0b0110
+    # x=1 → out bit 0; y=2 → out bit 3 → 0b1001
+    assert rows[(1, 2)] == 0b1001
+
+
+def test_zorder_key_monotone_in_locality(spark):
+    # Points in the same quadrant share high key bits: the key's top
+    # bits partition space into quadrants.
+    df = spark.createDataFrame(
+        [(i, j) for i in range(16) for j in range(16)], "x int, y int"
+    )
+    keyed = with_zorder_key(df, ["x", "y"], bits=4, stats={"x": (0, 15), "y": (0, 15)})
+    rows = keyed.collect()
+    for r in rows:
+        quad = (r["x"] >= 8, r["y"] >= 8)
+        top_bits = (r["_zkey"] >> 6) & 0b11  # bits 7..6 = top bit of each dim
+        assert (bool(top_bits & 0b01), bool(top_bits & 0b10)) == quad
+
+
+def _file_spans(path, col):
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        ci = names.index(col)
+        stats = [
+            md.row_group(i).column(ci).statistics for i in range(md.num_row_groups)
+        ]
+        spans.append(max(s.max for s in stats) - min(s.min for s in stats))
+    return spans
+
+
+def test_zorder_write_shrinks_spans_on_both_dims(spark, tmp_path):
+    n = 64
+    df = (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.floor(F.col("id") / n)).alias("y"),
+        )
+        # shuffle input order so neither dim is accidentally sorted
+        .orderBy(F.md5(F.col("id").cast("string")))
+    )
+    z_path = str(tmp_path / "zorder")
+    lin_path = str(tmp_path / "linear")
+    zorder_write(df, z_path, ["x", "y"], bits=6, num_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+    # Linear sort: x spans are tiny but y spans cover ~everything.
+    # Z-order: BOTH dims' average span is a fraction of the domain.
+    z_x = sum(_file_spans(z_path, "x")) / 16
+    z_y = sum(_file_spans(z_path, "y")) / 16
+    lin_y = sum(_file_spans(lin_path, "y")) / 16
+    assert lin_y > n * 0.9  # 1-D sort leaves y unpruned
+    assert z_x <= n * 0.5 and z_y <= n * 0.5  # hypercubes bound both dims
