@@ -1,0 +1,65 @@
+"""Fuzzy string matching via symmetric-delete blocking (SymSpell).
+
+Entity resolution over dirty text (vendor names, file titles, document
+headers) needs "equal up to one typo" joins. A naive fuzzy join is
+O(n×m) edit-distance evaluations; the symmetric-delete trick makes it
+an EQUI-join: two strings are within edit distance 1 iff they share a
+member of each other's {self} ∪ {all length-1 deletions} neighborhoods.
+Explode both sides' neighborhoods, hash-join on the variant, then
+verify with the exact ``levenshtein`` built-in on the (tiny) candidate
+set — the same candidates-then-verify shape as the MinHash/LSH dedup
+path (operators/dedup.py), at word scale instead of document scale.
+
+Scale notes: neighborhood size is O(len) per row, join keys are
+near-uniform (string variants), and the expensive exact distance only
+runs on blocked candidates. All expressions are built-in Column ops —
+no UDFs. For edit distance ≤2 apply deletes twice (neighborhood
+O(len²)); beyond that use q-gram LSH instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_neighborhood(col: Column) -> Column:
+    """{s} ∪ {s with one character deleted} as a distinct array.
+
+    Built from a 0..len-1 index sequence transformed into
+    substr(0,i) || substr(i+1) — pure codegen, no UDF.
+    """
+    idx = F.sequence(F.lit(1), F.length(col))
+    dels = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.substring(col, 1, i - 1),
+            col.substr(i + 1, F.length(col)),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(col), dels))
+
+
+def fuzzy_join_edit1(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Pairs of rows whose strings are within edit distance 1.
+
+    Returns left ∪ right columns plus ``edit_dist``; identical strings
+    (distance 0) are included. Callers wanting only true near-misses
+    filter ``edit_dist == 1``.
+    """
+    lk = left.withColumn("_variant", F.explode(deletion_neighborhood(F.col(left_col))))
+    rk = right.withColumn(
+        "_variant", F.explode(deletion_neighborhood(F.col(right_col)))
+    )
+    # A pair can match through several shared variants → dedupe on the
+    # full output row before the exact-distance verify.
+    cand = lk.join(rk, on="_variant").drop("_variant").distinct()
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    return cand.filter(dist <= 1).withColumn(
+        "edit_dist", dist.cast("bigint")
+    )

@@ -495,6 +495,42 @@ FROM documents GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Fuzzy entity matching: part names vs deterministically-typo'd copies
+# (3rd char deleted), matched through symmetric-delete blocking + exact
+# levenshtein verify. The oracle is the O(n²) literal inequality join —
+# feasible only because the slice is absolute-size (p_partkey < 500 at
+# every SF); the engine path stays an equi-join at any scale.
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_join_edit1
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    left = part.select(
+        F.col("p_partkey").alias("src_id"), F.col("p_name").alias("src_name")
+    )
+    right = part.select(
+        F.col("p_partkey").alias("cand_id"),
+        F.concat(
+            F.substring("p_name", 1, 2), F.expr("substring(p_name, 4)")
+        ).alias("cand_name"),
+    )
+    return fuzzy_join_edit1(left, right, "src_name", "cand_name")
+
+
+FUZZY_PART_MATCHES_SQL = """
+WITH l AS (
+  SELECT p_partkey AS src_id, p_name AS src_name FROM part WHERE p_partkey < 500
+), r AS (
+  SELECT p_partkey AS cand_id, substr(p_name, 1, 2) || substr(p_name, 4) AS cand_name
+  FROM part WHERE p_partkey < 500
+)
+SELECT l.src_id, l.src_name, r.cand_id, r.cand_name,
+       CAST(levenshtein(l.src_name, r.cand_name) AS BIGINT) AS edit_dist
+FROM l, r
+WHERE levenshtein(l.src_name, r.cand_name) <= 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: flag documents containing any eval-set
 # phrase verbatim. The needle set is a plan literal evaluated in
 # codegen (no join, no shuffle — a pure projection + filter); the
@@ -570,6 +606,7 @@ QUERIES = {
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
     "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PERCENTILES_SQL),
     "contaminated_docs": (contaminated_docs, CONTAMINATED_DOCS_SQL),
+    "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_PART_MATCHES_SQL),
     "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),

@@ -179,3 +179,30 @@ def test_repetition_ratio_flags_boilerplate(spark):
     assert got[1] > 0.9
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_deletion_neighborhood_and_fuzzy_join(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.fuzzy import (
+        deletion_neighborhood,
+        fuzzy_join_edit1,
+    )
+
+    df = spark.createDataFrame([("abc",)], "s string")
+    (nbh,) = df.select(deletion_neighborhood(F.col("s")).alias("n")).first()
+    assert set(nbh) == {"abc", "bc", "ac", "ab"}
+
+    left = spark.createDataFrame(
+        [(1, "kitten"), (2, "spark"), (3, "ab")], "lid int, lname string"
+    )
+    right = spark.createDataFrame(
+        [(10, "sitten"), (11, "sparkx"), (12, "ba"), (13, "kitten")],
+        "rid int, rname string",
+    )
+    got = {
+        (r["lid"], r["rid"], r["edit_dist"])
+        for r in fuzzy_join_edit1(left, right, "lname", "rname").collect()
+    }
+    # substitution, insertion, exact match — NOT the distance-2 swap ab/ba
+    assert got == {(1, 10, 1), (2, 11, 1), (1, 13, 0)}
