@@ -48,6 +48,11 @@ class CurationConfig:
     # keep BOTH 1 and 2); 'cluster' runs connected components and keeps
     # one representative per group (iterative, transitively correct)
     near_dup_survivor: str = "greedy"
+    # benchmark decontamination: drop docs containing any of these
+    # phrases verbatim (empty disables). Runs with the cheap row-local
+    # filters — a pure shuffle-free projection (operators/text.py
+    # with_contamination).
+    decontaminate_phrases: tuple[str, ...] = ()
 
 
 def curate_corpus(
@@ -71,6 +76,14 @@ def curate_corpus(
         & (F.col("punct_ratio") <= config.max_punct_ratio)
         & (F.col("stopword_ratio") >= config.min_stopword_ratio)
     )
+    if config.decontaminate_phrases:
+        from ..operators.text import with_contamination
+
+        out = (
+            with_contamination(out, list(config.decontaminate_phrases), text_col)
+            .filter(F.col("matched_needles_n") == 0)
+            .drop("matched_needles", "matched_needles_n")
+        )
     if config.max_repetition_ratio is not None:
         from ..operators.text import with_repetition_ratio
 

@@ -141,3 +141,27 @@ def test_curation_pii_repetition_and_cluster_options(spark):
     assert 3 not in kept                       # boilerplate filtered
     assert 1 in kept and 4 not in kept         # cluster keeps min id
     assert "<EMAIL>" in kept[2] and "@" not in kept[2]
+
+
+def test_curation_decontaminates(spark):
+    from data_ingestion_pipelines_spark.pipelines.corpus_curation import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    clean = "the and of to a in is that for it " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, clean + "general prose with no overlap", "en"),
+            (2, clean + "contains the secret eval phrase here", "en"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    cfg = CurationConfig(
+        min_tokens=1,
+        exact_dedup=False,
+        near_dup_threshold=None,
+        decontaminate_phrases=("secret eval phrase",),
+    )
+    got = [r["doc_id"] for r in curate_corpus(docs, cfg).collect()]
+    assert got == [1]
