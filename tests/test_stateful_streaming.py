@@ -37,3 +37,54 @@ def test_stateful_sessionization_closes_on_gap(spark, tmp_path):
     assert r["total_value"] == 3.0 and r["closed_by"] == "gap"
     assert r["session_start"] == base
     assert r["session_end"] == base + dt.timedelta(minutes=10)
+
+
+def test_stateful_sessionizer_parity_with_pandas_model(spark, tmp_path):
+    """Closed sessions from the streaming state machine over REAL test
+    data must equal an independent pandas replay of the same gap rule
+    (open sessions — each user's last — are excluded on both sides)."""
+    import pandas as pd
+
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = read_parquet_table(spark, src).select("user_id", "event_id", "ts", "value")
+    ev.write.parquet(str(tmp_path / "in"))
+    stream = spark.readStream.schema(ev.schema).parquet(str(tmp_path / "in"))
+
+    sessions = sessionize_stream(stream, gap_seconds=1800, use_timeout=False)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("parity_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM parity_sessions").collect()
+    }
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    expect = set()
+    for uid, grp in pdf.groupby("user_id"):
+        start = last = None
+        n, tot = 0, 0.0
+        sessions_u = []
+        for ts, val in zip(grp["ts"], grp["value"]):
+            ts = ts.to_pydatetime()
+            if last is not None and (ts - last).total_seconds() > 1800:
+                sessions_u.append((uid, start, last, n, round(tot, 6)))
+                start, n, tot = None, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            tot += float(val)
+        expect.update(sessions_u)  # final (open) session intentionally dropped
+
+    assert got == expect and len(got) > 0
