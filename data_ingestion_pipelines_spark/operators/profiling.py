@@ -110,3 +110,77 @@ def scd2_from_events(
         .withColumn("is_current", nxt.isNull())
         .select(*key_cols, *change_cols, "valid_from", "valid_to", "is_current")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier clamping: values outside
+    [q1 − k·IQR, q3 + k·IQR] are clamped to the fence (per group when
+    ``group_cols`` given, else globally).
+
+    Adds ``{value_col}_w`` (clamped) and ``is_outlier``. Quartiles come
+    from one exact-percentile aggregate joined back on the group key
+    (broadcast when global); exact percentile sorts each group — at
+    100 TB swap in approx_percentile exactly as in profile_table.
+    """
+    q = F.percentile(value_col, F.array(F.lit(0.25), F.lit(0.75)))
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(q.alias("_q"))
+    else:
+        bounds = df.agg(q.alias("_q"))
+    bounds = bounds.select(
+        *(group_cols or []),
+        (F.col("_q")[0] - (F.col("_q")[1] - F.col("_q")[0]) * k).alias("_lo"),
+        (F.col("_q")[1] + (F.col("_q")[1] - F.col("_q")[0]) * k).alias("_hi"),
+    )
+    joined = (
+        df.join(bounds, on=group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col)
+    return joined.select(
+        *df.columns,
+        F.least(F.greatest(v, F.col("_lo")), F.col("_hi")).alias(f"{value_col}_w"),
+        ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("is_outlier"),
+    )
+
+
+def equi_width_histogram(
+    df: DataFrame, value_col: str, n_buckets: int = 20
+) -> DataFrame:
+    """Equal-width histogram: one stats aggregate (min/max, broadcast)
+    + one bucket-index groupBy. Bucket = floor((v−min)/width), top edge
+    folded into the last bucket. Returns (bucket, lo, hi, n)."""
+    stats = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+    )
+    with_b = df.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col(value_col).cast("double") - F.col("_mn"))
+                / ((F.col("_mx") - F.col("_mn")) / F.lit(float(n_buckets)))
+            ),
+            F.lit(n_buckets - 1),
+        )
+        .cast("bigint")
+        .alias("bucket"),
+        F.col("_mn"),
+        F.col("_mx"),
+    )
+    width = (F.col("_mx") - F.col("_mn")) / F.lit(float(n_buckets))
+    return (
+        with_b.groupBy("bucket", "_mn", "_mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("_mn") + F.col("bucket") * width).alias("lo"),
+            (F.col("_mn") + (F.col("bucket") + 1) * width).alias("hi"),
+            "n",
+        )
+    )

@@ -1926,6 +1926,69 @@ SELECT n_orders, COUNT(*) AS n_customers FROM per_cust GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Tukey-fence winsorization per event type: clamp values outside
+# [q1−1.5·IQR, q3+1.5·IQR]. Quartiles are exact percentiles (bit-equal
+# to DuckDB quantile_cont); the clamped sum goes through decimal so the
+# aggregate is order-independent.
+def value_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize(ev, "value", group_cols=["event_type"], k=1.5)
+    return w.groupBy("event_type").agg(
+        F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+        F.sum(F.col("value_w").cast("decimal(38,6)")).cast("double").alias(
+            "sum_winsorized"
+        ),
+    )
+
+
+VALUE_WINSORIZED_STATS_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+), j AS (
+  SELECT e.event_type, e.value,
+         b.q1 - (b.q3 - b.q1) * 1.5 AS lo,
+         b.q3 + (b.q3 - b.q1) * 1.5 AS hi
+  FROM events e JOIN b USING (event_type)
+)
+SELECT event_type,
+       COUNT(CASE WHEN value < lo OR value > hi THEN 1 END) AS n_outliers,
+       CAST(CAST(SUM(CAST(LEAST(GREATEST(value, lo), hi) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_winsorized
+FROM j GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Equal-width histogram of order totals: global min/max broadcast, one
+# bucket-index aggregate. FLOOR-then-cast (never bare double→BIGINT,
+# which rounds in DuckDB but truncates in Spark).
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import equi_width_histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    return equi_width_histogram(orders, "o_totalprice", n_buckets=20)
+
+
+TOTALPRICE_HISTOGRAM_SQL = """
+WITH s AS (
+  SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+), b AS (
+  SELECT LEAST(CAST(FLOOR((o_totalprice - s.mn) / ((s.mx - s.mn) / 20.0)) AS BIGINT), 19) AS bucket,
+         s.mn, s.mx
+  FROM orders, s
+)
+SELECT bucket,
+       mn + bucket * ((mx - mn) / 20.0) AS lo,
+       mn + (bucket + 1) * ((mx - mn) / 20.0) AS hi,
+       COUNT(*) AS n
+FROM b GROUP BY bucket, mn, mx
+"""
+
+
+# --------------------------------------------------------------------------
 # Snapshot diff (ingestion QA): rows added / removed between two loads
 # of the same table, as EXCEPT ALL both ways tagged with a change type.
 # The two sides here are deterministic slices of orders (the "old" load
@@ -2234,6 +2297,8 @@ QUERIES = {
         SUPPLIER_VARIETY_SQL,
     ),
     "snapshot_diff_report": (snapshot_diff_report, SNAPSHOT_DIFF_REPORT_SQL),
+    "value_winsorized_stats": (value_winsorized_stats, VALUE_WINSORIZED_STATS_SQL),
+    "totalprice_histogram": (totalprice_histogram, TOTALPRICE_HISTOGRAM_SQL),
     "weekly_retention_cohorts": (weekly_retention_cohorts, WEEKLY_RETENTION_COHORTS_SQL),
     "events_profile": (events_profile, EVENTS_PROFILE_SQL),
     "user_state_scd2": (user_state_scd2, USER_STATE_SCD2_SQL),
