@@ -1364,9 +1364,10 @@ WHERE p.rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
 # orders, suppliers whose item shipped late (>60d after order) while NO
 # other supplier on the order was late. The EXISTS / NOT EXISTS pair is
 # algebraically a per-order aggregate — (distinct suppliers ≥ 2 AND
-# distinct LATE suppliers = 1) — so instead of two self-joins (which
-# shuffle the fact three times) the plan computes one groupBy(orderkey)
-# and joins it back: two shuffles total on the same key, AQE-friendly.
+# distinct LATE suppliers = 1) — computed in a SINGLE pass with bounded
+# collect_set/collect_list (≤ lineitems-per-order elements), so the
+# fact is scanned once and shuffled once; the literal decorrelation
+# costs three fact-wide self-join shuffles.
 def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -1378,20 +1379,29 @@ def lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("is_late"),
     )
+    # Single pass over the fact: per order, the supplier SET and the
+    # multiset of late rows. size(set)>=2 ∧ one distinct late supplier
+    # replaces both EXISTS arms; the surviving order contributes
+    # (its unique late supplier, its late-row count) — no second fact
+    # scan, no semi join, no distinct-expand. Sets are bounded by
+    # lineitems-per-order (≤7), so collect_set never skews.
     per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
+        F.collect_set("l_suppkey").alias("supp_set"),
+        F.collect_list(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "late_rows"
         ),
     )
-    lonely = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-    waiting = lo.filter(F.col("is_late")).join(
-        lonely.select("l_orderkey"), on="l_orderkey", how="left_semi"
+    lonely = per_order.filter(
+        (F.size("supp_set") >= 2)
+        & (F.size(F.array_distinct("late_rows")) == 1)
+    ).select(
+        F.col("late_rows")[0].alias("l_suppkey"),
+        F.size("late_rows").alias("n_late_rows"),
     )
     return (
-        waiting.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        lonely.join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
     )
 
 

@@ -55,9 +55,11 @@ def test_star_join_broadcasts_constant_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q21_shape_is_aggregate_not_self_join(spark):
+def test_q21_shape_is_single_pass_aggregate(spark):
     plan = _plan(R.lonely_late_suppliers(spark, SF))
-    # The EXISTS/NOT-EXISTS pair compiles to ONE per-order aggregate and
-    # a semi join — a literal decorrelation would show >=2 extra joins.
-    assert plan.count("HashAggregate") >= 2
-    assert "LeftSemi" in plan
+    # The EXISTS/NOT-EXISTS pair compiles to ONE per-order
+    # collect_set/collect_list aggregate — the fact appears ONCE and
+    # there is no self-join (a literal decorrelation scans it 3×).
+    assert plan.count("lineitem.parquet") <= 2  # scan node + its location string
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
