@@ -570,6 +570,40 @@ FROM m WHERE len(mm) > 0
 # row_number with a deterministic (count DESC, token ASC) tie-break.
 # The shuffle keys are (source, token) — uniform, skew-free; the window
 # runs per source over the already-aggregated counts, not raw tokens.
+# --------------------------------------------------------------------------
+# Inverted index (token → posting list): the retrieval-side counterpart of
+# top_tokens. Per-doc distinct tokens explode once, then ONE shuffle on the
+# token key builds df + a CAPPED posting head (first 20 doc ids, sorted) —
+# the cap is what makes this survive 100 TB, where a stopword's full
+# posting list is billions of ids; full lists would need df-banded output
+# (drop tokens above a df ceiling) plus bucketed posting shards.
+def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("token")
+    ).filter(F.length("token") >= 3)
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+TOKEN_POSTINGS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+)
+SELECT token, COUNT(*) AS df,
+       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+FROM tok WHERE len(token) >= 3 GROUP BY token
+"""
+
+
 def top_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_word_tokens(_t(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode("tokens").alias("token")).filter(
@@ -608,6 +642,7 @@ QUERIES = {
     "contaminated_docs": (contaminated_docs, CONTAMINATED_DOCS_SQL),
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_PART_MATCHES_SQL),
     "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
+    "token_postings": (token_postings, TOKEN_POSTINGS_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),

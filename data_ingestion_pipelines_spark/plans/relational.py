@@ -2263,8 +2263,118 @@ FROM changed
 """
 
 
+# --------------------------------------------------------------------------
+# Q6 shape: the pure scan-side query — every predicate (date range, discount
+# band, quantity cap) pushes to the parquet scan, so at 100 TB this reads
+# only row groups whose min/max stats overlap the band; the aggregate is a
+# single partial-sum with no shuffle beyond the final 1-row combine.
+# Exact-decimal route: 2dp×2dp product is a 4dp rational (decimal(38,8)
+# holds it exactly); sum exact, one cast to double at the end.
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,8)")
+    return li.agg(
+        F.sum(rev).cast("double").alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+         AS promo_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity QA report: the post-load audit the reference's
+# recInSource/recIngested reconciliation implies but never generalizes.
+# Orphans are INJECTED (a copy of every 100th order pointed at a
+# nonexistent customer) so the check is self-verifying: one row must be
+# non-zero and the clean checks must report exactly zero. Each check is a
+# LEFT ANTI join on the FK — at 100 TB these shuffle-hash on the key with
+# AQE free to broadcast whichever side turns out small; a zero-violation
+# check costs one pass over the child table.
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    corrupted = orders.unionByName(
+        orders.filter(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + F.lit(90_000_000)).alias("o_orderkey"),
+            (F.col("o_custkey") + F.lit(10_000_000)).alias("o_custkey"),
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def check(name: str, child: DataFrame, parent: DataFrame, cond) -> DataFrame:
+        return child.join(parent, cond, "left_anti").agg(
+            F.lit(name).alias("check"), F.count(F.lit(1)).alias("violations")
+        )
+
+    return (
+        check(
+            "orders_missing_customer",
+            corrupted,
+            cust,
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .unionByName(
+            check(
+                "lineitem_missing_order",
+                li,
+                orders,
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        .unionByName(
+            check(
+                "customer_missing_nation",
+                cust,
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+        )
+    )
+
+
+REFERENTIAL_INTEGRITY_REPORT_SQL = """
+WITH corrupted AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  UNION ALL
+  SELECT o_orderkey + 90000000, o_custkey + 10000000
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT 'orders_missing_customer' AS "check", COUNT(*) AS violations
+FROM corrupted o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_missing_order', COUNT(*)
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'customer_missing_nation', COUNT(*)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "forecast_revenue_change": (forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL),
+    "referential_integrity_report": (
+        referential_integrity_report,
+        REFERENTIAL_INTEGRITY_REPORT_SQL,
+    ),
     "json_props_extract": (json_props_extract, JSON_PROPS_EXTRACT_SQL),
     "priority_shipmode_counts": (priority_shipmode_counts, PRIORITY_SHIPMODE_COUNTS_SQL),
     "promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SHARE_SQL),
