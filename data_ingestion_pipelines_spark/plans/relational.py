@@ -2368,8 +2368,22 @@ WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
 """
 
 
+# --------------------------------------------------------------------------
+# t-digest quantile sketch (rows-only: estimates are partition-dependent by
+# construction; the pytest bounds rank error vs the exact answer instead).
+# The 100 TB path for percentiles: bounded O(delta) partials, one shuffle.
+def tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import tdigest_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return tdigest_quantiles(
+        li, "l_extendedprice", by=["l_returnflag"], quantiles=(0.5, 0.95, 0.99)
+    )
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "tdigest_price_quantiles": (tdigest_price_quantiles, None),
     "forecast_revenue_change": (forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL),
     "referential_integrity_report": (
         referential_integrity_report,

@@ -1,0 +1,72 @@
+"""t-digest sketch: rank-error bound vs exact percentiles, mergeability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.sketches import tdigest_quantiles
+from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+SF_DIR = "/root/testdata/sf0.001"
+QS = [0.25, 0.5, 0.75, 0.95, 0.99]
+RANK_TOL = 0.02  # estimate must sit between exact q-tol and q+tol quantiles
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return read_parquet_table(spark, f"{SF_DIR}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+
+
+def exact_bounds(df, by, col):
+    """Per group: exact quantiles at q-tol / q+tol bracketing each q."""
+    lo = [max(q - RANK_TOL, 0.0) for q in QS]
+    hi = [min(q + RANK_TOL, 1.0) for q in QS]
+    rows = (
+        df.groupBy(*by)
+        .agg(
+            F.percentile(col, F.lit(lo)).alias("lo"),
+            F.percentile(col, F.lit(hi)).alias("hi"),
+        )
+        .collect()
+    )
+    return {
+        tuple(r[k] for k in by): dict(zip(QS, zip(r["lo"], r["hi"]))) for r in rows
+    }
+
+
+def test_grouped_rank_error_bound(lineitem):
+    est = tdigest_quantiles(
+        lineitem, "l_extendedprice", by=["l_returnflag"], quantiles=QS
+    ).collect()
+    bounds = exact_bounds(lineitem, ["l_returnflag"], "l_extendedprice")
+    assert len(est) == len(bounds) * len(QS)
+    for r in est:
+        lo, hi = bounds[(r["l_returnflag"],)][r["quantile"]]
+        assert lo <= r["value"] <= hi, (
+            f"{r['l_returnflag']} q={r['quantile']}: {r['value']} not in [{lo}, {hi}]"
+        )
+
+
+def test_ungrouped_and_merge_invariance(lineitem):
+    """Estimates from 2 vs 16 input partitions agree within the rank band —
+    the digest merge is associative enough that partitioning is immaterial."""
+    bounds = exact_bounds(lineitem, [], "l_extendedprice")[()]
+    for parts in (2, 16):
+        est = tdigest_quantiles(
+            lineitem.repartition(parts), "l_extendedprice", quantiles=QS
+        ).collect()
+        assert len(est) == len(QS)
+        for r in est:
+            lo, hi = bounds[r["quantile"]]
+            assert lo <= r["value"] <= hi
+
+
+def test_nulls_ignored(spark):
+    df = spark.createDataFrame(
+        [(None,)] * 50 + [(float(i),) for i in range(1, 101)], "v double"
+    )
+    est = {r["quantile"]: r["value"] for r in tdigest_quantiles(df, "v", quantiles=[0.5]).collect()}
+    assert est[0.5] == pytest.approx(50.5, abs=2.0)
