@@ -145,3 +145,49 @@ def tdigest_quantiles(
     return grouped.applyInPandas(
         lambda pdf: merge(pdf.drop(columns=["_g"])), schema=out_schema
     )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
+    """Exact counts for every key whose global share exceeds ``1/m``,
+    without shuffling the full key universe.
+
+    Two passes:
+      1. ``mapInPandas`` local top-``m`` per Arrow batch (numpy
+         ``value_counts`` head) — a space-saving-style bounded summary.
+         Pigeonhole guarantee: a key with global share > 1/m has share
+         > 1/m in at least one batch (weighted average), and at most m
+         keys can each hold > 1/m of a batch, so the key ranks in that
+         batch's top-m and survives as a candidate.
+      2. Exact recount restricted to the candidate set via a broadcast
+         LEFT SEMI join (candidates ≤ m × batches, tiny), then keep keys
+         with exact ``count > N/m``.
+
+    The full-vocabulary ``groupBy(key).count()`` alternative shuffles
+    every distinct key (billions of tokens at 100 TB); here the only
+    wide key-space op is batch-local. Output: ``key_col, cnt, share``
+    (exact — hence oracle-able despite the sketchy pass 1).
+    """
+    key_field = df.schema[key_col]
+    summary_schema = StructType([key_field])
+
+    def local_top(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            top = pdf[key_col].value_counts(sort=True).head(m)
+            yield pd.DataFrame({key_col: top.index.to_numpy()})
+
+    candidates = (
+        df.select(key_col).mapInPandas(local_top, schema=summary_schema).distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * m > F.col("_n"))
+        .select(
+            key_col,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("_n").cast("double")).alias("share"),
+        )
+    )

@@ -604,6 +604,36 @@ FROM tok WHERE len(token) >= 3 GROUP BY token
 """
 
 
+# --------------------------------------------------------------------------
+# Heavy hitters WITHOUT a full-vocabulary shuffle: batch-local top-m
+# summaries nominate candidates (pigeonhole-complete for share > 1/m),
+# then one broadcast-semi-join recount is exact — so the sketchy first
+# pass is still oracle-able against plain GROUP BY + HAVING.
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import heavy_hitters
+
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode("tokens").alias("token")).filter(
+        F.length("token") >= 3
+    )
+    return heavy_hitters(tok, "token", m=64)
+
+
+HEAVY_HITTER_TOKENS_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS token FROM documents
+), f AS (
+  SELECT token FROM tok WHERE len(token) >= 3
+), n AS (
+  SELECT COUNT(*) AS total FROM f
+), c AS (
+  SELECT token, COUNT(*) AS cnt FROM f GROUP BY token
+)
+SELECT token, cnt, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM c, n WHERE cnt * 64 > total
+"""
+
+
 def top_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_word_tokens(_t(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode("tokens").alias("token")).filter(
@@ -643,6 +673,7 @@ QUERIES = {
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_PART_MATCHES_SQL),
     "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
     "token_postings": (token_postings, TOKEN_POSTINGS_SQL),
+    "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_TOKENS_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),

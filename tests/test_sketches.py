@@ -64,6 +64,27 @@ def test_ungrouped_and_merge_invariance(lineitem):
             assert lo <= r["value"] <= hi
 
 
+def test_heavy_hitters_matches_exact(spark):
+    """Candidate pass is complete for share > 1/m, recount is exact — the
+    result must equal the brute-force GROUP BY answer on skewed data."""
+    from data_ingestion_pipelines_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"k{i}",) for i in range(200) for _ in range(1000 // (i + 1))]
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    m = 8
+    got = {
+        r["key"]: r["cnt"] for r in heavy_hitters(df, "key", m=m).collect()
+    }
+    total = len(rows)
+    exact = {
+        r["key"]: r["cnt"]
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        if r["cnt"] * m > total
+    }
+    assert got == exact
+    assert len(exact) > 0
+
+
 def test_nulls_ignored(spark):
     df = spark.createDataFrame(
         [(None,)] * 50 + [(float(i),) for i in range(1, 101)], "v double"
