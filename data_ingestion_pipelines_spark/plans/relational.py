@@ -2381,9 +2381,53 @@ def tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Market-basket pair mining: co-purchased part pairs WITHOUT a self-join.
+# Baskets aggregate once (sorted distinct parts per order, bounded by
+# lineitems-per-order ≈ 7), pairs come from a double explode of that
+# bounded array — O(k²) per order, never O(|lineitem|²) — then the pair
+# aggregate and a TakeOrderedAndProject top-20 (per-partition heaps, not
+# a one-task global window; ties fully broken by the pair key).
+def copurchased_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        basket.select(F.explode("parts").alias("pa"), F.col("parts").alias("_p"))
+        .select("pa", F.explode("_p").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+    )
+    counts = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("pa").asc(), F.col("pb").asc()
+    ).limit(20)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pa").asc(), F.col("pb").asc())
+    return top.select(
+        "pa", "pb", "cnt", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+
+
+COPURCHASED_PART_PAIRS_SQL = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS cnt
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), rk AS (
+  SELECT pa, pb, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, pa ASC, pb ASC) AS BIGINT) AS rk
+  FROM p
+)
+SELECT pa, pb, cnt, rk FROM rk WHERE rk <= 20
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "tdigest_price_quantiles": (tdigest_price_quantiles, None),
+    "copurchased_part_pairs": (copurchased_part_pairs, COPURCHASED_PART_PAIRS_SQL),
     "forecast_revenue_change": (forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL),
     "referential_integrity_report": (
         referential_integrity_report,

@@ -5,6 +5,7 @@ from data_ingestion_pipelines_spark.operators.sampling import (
     chunk_documents,
     hash_sample,
     mixture_sample,
+    stratified_sample,
 )
 
 
@@ -46,6 +47,22 @@ def test_mixture_sample_per_source(spark):
     # sources outside the mixture spec are dropped entirely
     out2 = mixture_sample(df, "source", {"web": 0.5}, key_col="doc_id")
     assert out2.filter(F.col("source") == "wiki").count() == 0
+
+
+def test_stratified_sample_fixed_size_and_prefilter_equivalence(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(400)], "doc_id int, source string"
+    )
+    full = stratified_sample(df, "source", "doc_id", n=5)
+    pre = stratified_sample(df, "source", "doc_id", n=5, prefilter_frac=0.5)
+    rows_full = sorted((r["source"], r["doc_id"]) for r in full.collect())
+    rows_pre = sorted((r["source"], r["doc_id"]) for r in pre.collect())
+    # exactly n per stratum, and the prefilter changes nothing (it keeps a
+    # prefix of the ranking order with ~50 survivors per 100-row stratum)
+    assert rows_full == rows_pre
+    from collections import Counter
+
+    assert Counter(s for s, _ in rows_full) == {f"s{i}": 5 for i in range(4)}
 
 
 def test_chunk_documents_reassembles(spark):
