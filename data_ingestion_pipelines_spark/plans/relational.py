@@ -2424,10 +2424,58 @@ SELECT pa, pb, cnt, rk FROM rk WHERE rk <= 20
 """
 
 
+# --------------------------------------------------------------------------
+# Benford leading-digit audit: the fraud/corruption smoke test a QA layer
+# runs over money columns. Digit extraction is FLOOR-then-string (Spark's
+# bigint cast truncates while DuckDB's rounds — explicit FLOOR both
+# sides); shares divide exact bigints over the 9-row aggregate.
+def leading_digit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    agg = orders.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return agg.select(
+        "digit",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+LEADING_DIGIT_DISTRIBUTION_SQL = """
+WITH d AS (
+  SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+         COUNT(*) AS cnt
+  FROM orders GROUP BY 1
+)
+SELECT digit, cnt,
+       CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE) AS share
+FROM d
+"""
+
+
+# Rows-only twin of events_profile: the approx=True path swaps exact
+# countDistinct (expand ×N) for mergeable HLL sketches — the 100 TB
+# profile. Estimates aren't cross-engine-comparable, hence no oracle.
+def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(ev, ["event_type", "user_id", "props"], approx=True)
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "tdigest_price_quantiles": (tdigest_price_quantiles, None),
     "copurchased_part_pairs": (copurchased_part_pairs, COPURCHASED_PART_PAIRS_SQL),
+    "leading_digit_distribution": (
+        leading_digit_distribution,
+        LEADING_DIGIT_DISTRIBUTION_SQL,
+    ),
+    "events_profile_approx": (events_profile_approx, None),
     "forecast_revenue_change": (forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL),
     "referential_integrity_report": (
         referential_integrity_report,
