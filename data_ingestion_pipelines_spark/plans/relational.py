@@ -854,6 +854,88 @@ def event_hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # --------------------------------------------------------------------------
+# Stream-static join: the streaming event feed enriched against a static
+# broadcast dimension, then a streaming aggregate MERGEd out through
+# foreachBatch — the canonical "enrich the firehose" topology. The dim is
+# broadcast into every micro-batch (no stream-side shuffle for the join);
+# counts are exact bigints (a double sum across nondeterministic
+# micro-batch order would not hash stably). Oracle = the same join+agg as
+# one batch SQL statement: batch/stream parity proof for joins, like
+# event_hourly_windows_streaming proves it for windows.
+def stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.files import read_parquet_stream
+    from ..streaming.incremental import foreach_batch_upsert
+
+    stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    root = tempfile.mkdtemp(prefix="evtseg_")
+    target = f"{root}/segments"
+    q = foreach_batch_upsert(
+        agg,
+        target,
+        keys=["c_mktsegment", "event_type"],
+        checkpoint_path=f"{root}/_ckpt",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target).select(
+        "c_mktsegment", "event_type", "n_events"
+    )
+
+
+STREAM_ENRICHED_SEGMENTS_SQL = """
+SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# SQL-API parity: the same engine surface driven entirely through
+# spark.sql over registered temp views (S14's table/SQL entry path) —
+# proving a reference user can keep writing SQL verbatim and get the
+# same Catalyst plan (broadcasts, pushdown, partial aggs) as the
+# DataFrame API produces.
+def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT r.r_name AS region,
+               CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM v_lineitem l
+        JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+SQL_API_REGION_REVENUE_SQL = """
+SELECT r.r_name AS region,
+       CAST(CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# --------------------------------------------------------------------------
 # As-of join (engine extension; kdb aj / pandas merge_asof semantics):
 # each purchase event picks up the latest view at-or-before it per user.
 # One shuffle on user_id via the union-sort-window trick — no inequality
@@ -2554,4 +2636,9 @@ QUERIES = {
         event_hourly_windows_streaming,
         EVENT_HOURLY_WINDOWS_SQL,
     ),
+    "stream_enriched_segments": (
+        stream_enriched_segments,
+        STREAM_ENRICHED_SEGMENTS_SQL,
+    ),
+    "sql_api_region_revenue": (sql_api_region_revenue, SQL_API_REGION_REVENUE_SQL),
 }
