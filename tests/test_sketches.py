@@ -85,6 +85,43 @@ def test_heavy_hitters_matches_exact(spark):
     assert len(exact) > 0
 
 
+def test_digest_core_rank_error_property():
+    """Pure-function property: for arbitrary value distributions, the
+    digest's estimate at q has rank error ≤ 0.03 (delta=200). No Spark —
+    exercises _compress/_estimate directly on adversarial inputs."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        _compress,
+        _estimate,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            min_size=10,
+            max_size=2000,
+        ),
+        st.sampled_from([0.1, 0.5, 0.9, 0.99]),
+    )
+    def check(values, q):
+        arr = np.asarray(values, dtype="float64")
+        m, w = _compress(arr, np.ones(len(arr)), delta=200)
+        est = _estimate(m, w, q)
+        s = np.sort(arr)
+        # rank of the estimate among the true values
+        rank = np.searchsorted(s, est, side="right") / len(s)
+        lo_rank = np.searchsorted(s, est, side="left") / len(s)
+        # 0.03 continuous rank error + 1/n discreteness (tiny inputs)
+        tol = 0.03 + 1.0 / len(s)
+        assert lo_rank - tol <= q <= rank + tol
+
+    check()
+
+
 def test_nulls_ignored(spark):
     df = spark.createDataFrame(
         [(None,)] * 50 + [(float(i),) for i in range(1, 101)], "v double"
