@@ -898,6 +898,68 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# Cumulative unique users per day WITHOUT running-distinct state: a user
+# contributes on exactly their first-seen day (one agg on user_id), days
+# collapse to ~O(calendar) rows, and the running total is a window over
+# that tiny aggregate — never over raw events. The naive encoding
+# (COUNT(DISTINCT) OVER growing frames) holds every user id in window
+# state; this form shuffles user_id once and walks days once.
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+), daily AS (
+  SELECT day, COUNT(*) AS new_users FROM first_seen GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix (Markov counts): consecutive event-type pairs
+# per user via lag() over the user's time-ordered stream — the window is
+# partitioned by user_id (bounded per-user state), then pairs collapse in
+# one aggregate. Tie-break on event_id makes the ordering total.
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+  FROM events
+)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+# --------------------------------------------------------------------------
 # SQL-API parity: the same engine surface driven entirely through
 # spark.sql over registered temp views (S14's table/SQL entry path) —
 # proving a reference user can keep writing SQL verbatim and get the
@@ -2641,4 +2703,6 @@ QUERIES = {
         STREAM_ENRICHED_SEGMENTS_SQL,
     ),
     "sql_api_region_revenue": (sql_api_region_revenue, SQL_API_REGION_REVENUE_SQL),
+    "cumulative_unique_users": (cumulative_unique_users, CUMULATIVE_UNIQUE_USERS_SQL),
+    "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL),
 }
