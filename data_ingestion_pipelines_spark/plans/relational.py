@@ -1337,6 +1337,49 @@ STREAMING_DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
 
 
 # --------------------------------------------------------------------------
+# Bounded-state streaming dedup: the stream unioned with itself (every
+# event arrives twice) → ``dropDuplicatesWithinWatermark`` on the event
+# key. Unlike plain streaming dropDuplicates (whose key state grows
+# forever), within-watermark state is evicted once event time passes the
+# watermark — the form that survives an unbounded 100 TB feed. The
+# deduped stream MERGEs on event_id (idempotent under replay); counts per
+# type must equal the single-copy batch answer.
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.files import read_parquet_stream
+    from ..streaming.incremental import foreach_batch_upsert
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    doubled = (
+        read_parquet_stream(spark, path)
+        .unionByName(read_parquet_stream(spark, path))
+        .withWatermark("ts", "1 hour")
+    )
+    dedup = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="evdedup_")
+    q = foreach_batch_upsert(
+        dedup,
+        f"{root}/events",
+        keys=["event_id"],
+        checkpoint_path=f"{root}/_ckpt",
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{root}/events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+STREAMING_DEDUP_WATERMARKED_SQL = """
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # S15-adjacent: JSON property extraction from a string column (API bodies
 # land as JSON strings; the engine pulls typed fields without a full parse)
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2703,6 +2746,10 @@ QUERIES = {
         STREAM_ENRICHED_SEGMENTS_SQL,
     ),
     "sql_api_region_revenue": (sql_api_region_revenue, SQL_API_REGION_REVENUE_SQL),
+    "streaming_dedup_watermarked": (
+        streaming_dedup_watermarked,
+        STREAMING_DEDUP_WATERMARKED_SQL,
+    ),
     "cumulative_unique_users": (cumulative_unique_users, CUMULATIVE_UNIQUE_USERS_SQL),
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL),
 }
