@@ -663,6 +663,53 @@ FROM c, n WHERE cnt * 64 > total
 """
 
 
+# --------------------------------------------------------------------------
+# Bigram collocations (phrase-mining head): adjacent token pairs from the
+# SAME zip_with(slice, slice) algebra a collocation/PMI pipeline uses —
+# all codegen, no Python. The token array materializes once behind a
+# barrier (two slice() projections would otherwise inline the regex
+# tokenization twice per row); top-20 via TakeOrderedAndProject.
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    base = docs.select(F.col("tokens").alias("_t")).filter(
+        F.size("_t") >= 2
+    ).localCheckpoint(eager=False)
+    n = F.size("_t")
+    bigram = F.explode(
+        F.zip_with(
+            F.slice("_t", 1, n - 1),
+            F.slice(F.col("_t"), F.lit(2), n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    ).alias("bigram")
+    counts = base.select(bigram).groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    top = counts.orderBy(F.col("n_xy").desc(), F.col("bigram").asc()).limit(20)
+    w = Window.orderBy(F.col("n_xy").desc(), F.col("bigram").asc())
+    return top.select(
+        "bigram", "n_xy", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+
+
+BIGRAM_COLLOCATIONS_SQL = f"""
+WITH t AS (
+  SELECT {_TOKS} AS toks FROM documents
+), b AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+  WHERE len(toks) >= 2
+), c AS (
+  SELECT bigram, COUNT(*) AS n_xy FROM b GROUP BY 1
+), rk AS (
+  SELECT bigram, n_xy,
+         CAST(row_number() OVER (ORDER BY n_xy DESC, bigram ASC) AS BIGINT) AS rk
+  FROM c
+)
+SELECT bigram, n_xy, rk FROM rk WHERE rk <= 20
+"""
+
+
 def top_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_word_tokens(_t(spark, sf_dir, "documents"))
     tok = docs.select("source", F.explode("tokens").alias("token")).filter(
@@ -703,6 +750,7 @@ QUERIES = {
     "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
     "token_postings": (token_postings, TOKEN_POSTINGS_SQL),
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_TOKENS_SQL),
+    "bigram_collocations": (bigram_collocations, BIGRAM_COLLOCATIONS_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
