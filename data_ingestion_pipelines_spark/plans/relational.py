@@ -960,6 +960,48 @@ GROUP BY from_type, to_type
 
 
 # --------------------------------------------------------------------------
+# Format round-trip proof (S8/K10/K12 surface in the gate, not just
+# pytest): orders written to CSV and ORC, read back, and aggregated with
+# the decimal-exact route — if either format lost precision or rows, the
+# sums would diverge from the oracle computed off the original parquet.
+# (CSV doubles survive because Spark writes shortest-round-trip reprs.)
+def format_roundtrip_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="fmtrt_")
+    orders.write.mode("overwrite").option("header", True).csv(f"{root}/csv")
+    orders.write.mode("overwrite").orc(f"{root}/orc")
+    csv_back = (
+        spark.read.schema(orders.schema).option("header", True).csv(f"{root}/csv")
+    )
+    orc_back = spark.read.orc(f"{root}/orc")
+    both = csv_back.withColumn("fmt", F.lit("csv")).unionByName(
+        orc_back.withColumn("fmt", F.lit("orc"))
+    )
+    dec = F.col("o_totalprice").cast("decimal(38,4)")
+    return both.groupBy("fmt", "o_orderstatus").agg(
+        F.sum(dec).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+FORMAT_ROUNDTRIP_TOTALS_SQL = """
+WITH agg AS (
+  SELECT o_orderstatus,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT 'csv' AS fmt, o_orderstatus, total, n_orders FROM agg
+UNION ALL
+SELECT 'orc', o_orderstatus, total, n_orders FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # SQL-API parity: the same engine surface driven entirely through
 # spark.sql over registered temp views (S14's table/SQL entry path) —
 # proving a reference user can keep writing SQL verbatim and get the
@@ -2752,4 +2794,5 @@ QUERIES = {
     ),
     "cumulative_unique_users": (cumulative_unique_users, CUMULATIVE_UNIQUE_USERS_SQL),
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL),
+    "format_roundtrip_totals": (format_roundtrip_totals, FORMAT_ROUNDTRIP_TOTALS_SQL),
 }
