@@ -47,6 +47,26 @@ def test_partitioned_write_then_filtered_read_prunes_partitions(spark, tmp_path)
     assert back.count() == 25
 
 
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """A filter on the DIM side must prune the partitioned FACT's
+    directories at runtime (dynamic partition pruning) — at 100 TB this
+    is the difference between scanning one date partition and all of
+    them when the cut arrives via a join instead of a literal."""
+    fact = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 8).cast("string").alias("bucket")
+    )
+    target = str(tmp_path / "dpp_fact")
+    fact.write.partitionBy("bucket").parquet(target)
+    back = spark.read.parquet(target)
+    dim = spark.createDataFrame(
+        [(str(i), i % 4) for i in range(8)], "bucket string, grp int"
+    ).filter(F.col("grp") == 0)
+    joined = back.join(dim, "bucket")
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 250  # 2 of 8 buckets survive
+
+
 def test_star_join_broadcasts_constant_dims(spark):
     plan = _plan(R.revenue_by_nation(spark, SF))
     # nation/region are forced broadcasts; the fact side must never be
