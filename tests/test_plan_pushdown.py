@@ -67,6 +67,44 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert joined.count() == 250  # 2 of 8 buckets survive
 
 
+def test_runtime_bloom_filter_injects_on_selective_join(tmp_path):
+    """Spark's runtime bloom-filter join pruning: a selective dim-side
+    filter plants a bloom_filter_agg on the fact side of a shuffle join,
+    discarding non-matching fact rows BEFORE the shuffle. At 100 TB the
+    default thresholds (creation side < 10 MB, application side > 10 GB)
+    trigger this naturally; the test lowers the application-side floor
+    because local test data is tiny."""
+    from data_ingestion_pipelines_spark.session import get_spark
+
+    spark = get_spark(
+        "bloom-test",
+        extra_conf={
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+        spark.range(0, 200_000).select(
+            F.col("id"), (F.col("id") % 1000).alias("k")
+        ).write.parquet(fact_p)
+        spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("g")
+        ).write.parquet(dim_p)
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("g") == 3)
+        joined = fact.join(dim, "k")
+        plan = _plan(joined)
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert joined.count() == 2000  # 10 dim keys × 200 fact rows each
+    finally:
+        # restore the session the other tests share (conf is per-session)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_star_join_broadcasts_constant_dims(spark):
     plan = _plan(R.revenue_by_nation(spark, SF))
     # nation/region are forced broadcasts; the fact side must never be
