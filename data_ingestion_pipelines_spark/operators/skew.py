@@ -44,3 +44,37 @@ def salted_join(
     )
     out = l.join(r, on=on + ["_salt"], how=how)
     return out.drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    salt_from: str,
+    sum_cols: list[str] | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for HOT group keys: pre-aggregate on
+    (group, salt) so one hot key's rows spread over ``salt_buckets``
+    reducers, then combine the bounded partials on the group alone.
+
+    Spark's hash aggregate already does map-side partial aggregation, so
+    this matters when the FIRST shuffle would still concentrate a hot
+    key — e.g. aggregation over a freshly-shuffled join output, or
+    high-cardinality partial states (collect_set/distinct buffers) where
+    per-mapper combining is weak. Salt derives deterministically from
+    ``salt_from`` (no ``rand()`` — replays and retries must agree).
+
+    Counts are exact. ``sum_cols`` must already be EXACT types (bigint /
+    decimal-cast) — re-associating double sums would change results.
+    Output: ``group_cols..., n_rows, sum_<col>...``.
+    """
+    sums = list(sum_cols or [])
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_buckets)).alias("_salt")
+    partial = df.groupBy(*group_cols, salt).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(c).alias(f"_s_{c}") for c in sums],
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("_cnt").cast("bigint").alias("n_rows"),
+        *[F.sum(f"_s_{c}").alias(f"sum_{c}") for c in sums],
+    )

@@ -960,6 +960,25 @@ GROUP BY from_type, to_type
 
 
 # --------------------------------------------------------------------------
+# Skew-safe aggregation through the gate: event_type is the textbook hot
+# key space (5 values over the whole fact). salted_aggregate spreads each
+# hot key over 32 (key, salt) partials before combining — same exact
+# counts, no single-reducer key. Oracle is the plain GROUP BY.
+def skewed_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return salted_aggregate(
+        ev, group_cols=["event_type"], salt_from="event_id", salt_buckets=32
+    )
+
+
+SKEWED_EVENT_TYPE_COUNTS_SQL = """
+SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Format round-trip proof (S8/K10/K12 surface in the gate, not just
 # pytest): orders written to CSV and ORC, read back, and aggregated with
 # the decimal-exact route — if either format lost precision or rows, the
@@ -2795,4 +2814,8 @@ QUERIES = {
     "cumulative_unique_users": (cumulative_unique_users, CUMULATIVE_UNIQUE_USERS_SQL),
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL),
     "format_roundtrip_totals": (format_roundtrip_totals, FORMAT_ROUNDTRIP_TOTALS_SQL),
+    "skewed_event_type_counts": (
+        skewed_event_type_counts,
+        SKEWED_EVENT_TYPE_COUNTS_SQL,
+    ),
 }

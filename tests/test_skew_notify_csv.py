@@ -26,6 +26,28 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain and len(salted) == 200 + 40 + 40
 
 
+def test_salted_aggregate_matches_plain_groupby(spark):
+    from data_ingestion_pipelines_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"cold{i}", i % 7) for i in range(1, 501)],
+        "id bigint, key string, v bigint",
+    ).withColumn("v_dec", F.col("v").cast("decimal(38,4)"))
+    got = {
+        r["key"]: (r["n_rows"], r["sum_v_dec"])
+        for r in salted_aggregate(
+            df, ["key"], salt_from="id", sum_cols=["v_dec"], salt_buckets=8
+        ).collect()
+    }
+    want = {
+        r["key"]: (r["n"], r["s"])
+        for r in df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_dec").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_csv_pages_to_df(spark):
     pages = ["a,b\n1,x\n2,y", "a,b\n3,z"]
     df = csv_pages_to_df(spark, pages)
