@@ -960,6 +960,80 @@ GROUP BY from_type, to_type
 
 
 # --------------------------------------------------------------------------
+# Equi-depth (quantile-bucketed) histogram — the partner of the
+# equal-width totalprice_histogram: bucket edges are the exact quartiles
+# (one percentile aggregate, bit-exact cross-engine per the type-7 rule),
+# broadcast into a pure projection; one aggregate on the bucket index.
+def totalprice_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    qs = orders.agg(
+        F.percentile("o_totalprice", F.lit([0.25, 0.5, 0.75])).alias("q")
+    ).select(
+        F.col("q")[0].alias("q1"), F.col("q")[1].alias("q2"), F.col("q")[2].alias("q3")
+    )
+    bucket = (
+        (F.col("o_totalprice") > F.col("q1")).cast("int")
+        + (F.col("o_totalprice") > F.col("q2")).cast("int")
+        + (F.col("o_totalprice") > F.col("q3")).cast("int")
+    ).cast("bigint")
+    return (
+        orders.crossJoin(F.broadcast(qs))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+TOTALPRICE_EQUIDEPTH_HISTOGRAM_SQL = """
+WITH q AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.5)  AS q2,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders
+)
+SELECT CAST(CAST(o_totalprice > q1 AS INT) + CAST(o_totalprice > q2 AS INT)
+            + CAST(o_totalprice > q3 AS INT) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders
+FROM orders, q
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Null-safe join semantics (<=> / IS NOT DISTINCT FROM): a nullable
+# derived key (every 7th event's parity is NULLed) joined to a broadcast
+# mapping whose NULL row must catch exactly the NULL keys — the lookup
+# idiom where NULL means 'missing' and must still classify, not drop.
+def nullsafe_parity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("event_id") % 2)
+        .cast("bigint")
+        .alias("parity")
+    )
+    mapping = spark.createDataFrame(
+        [(None, "missing"), (0, "even"), (1, "odd")], "parity bigint, label string"
+    )
+    joined = ev.join(
+        F.broadcast(mapping), ev.parity.eqNullSafe(mapping.parity), "left"
+    )
+    return joined.groupBy("label").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+NULLSAFE_PARITY_LABELS_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id % 2 END AS parity
+  FROM events
+), map AS (
+  SELECT NULL AS parity, 'missing' AS label
+  UNION ALL SELECT 0, 'even' UNION ALL SELECT 1, 'odd'
+)
+SELECT m.label, COUNT(*) AS n_events
+FROM ev e LEFT JOIN map m ON e.parity IS NOT DISTINCT FROM m.parity
+GROUP BY m.label
+"""
+
+
+# --------------------------------------------------------------------------
 # Skew-safe aggregation through the gate: event_type is the textbook hot
 # key space (5 values over the whole fact). salted_aggregate spreads each
 # hot key over 32 (key, salt) partials before combining — same exact
@@ -2818,4 +2892,9 @@ QUERIES = {
         skewed_event_type_counts,
         SKEWED_EVENT_TYPE_COUNTS_SQL,
     ),
+    "totalprice_equidepth_histogram": (
+        totalprice_equidepth_histogram,
+        TOTALPRICE_EQUIDEPTH_HISTOGRAM_SQL,
+    ),
+    "nullsafe_parity_labels": (nullsafe_parity_labels, NULLSAFE_PARITY_LABELS_SQL),
 }
