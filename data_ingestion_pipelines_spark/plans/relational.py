@@ -1170,6 +1170,55 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 
 
 # --------------------------------------------------------------------------
+# As-of join, FORWARD direction with a tolerance: each view attaches the
+# EARLIEST purchase at-or-after it per user, nulled when the gap exceeds
+# one day. Exercises the other half of the operator (the backward gate is
+# asof_view_before_purchase). Gap math truncates epochs on both sides
+# (Spark long-cast truncates; DuckDB FLOOR(epoch()) mirrors it — the
+# events timestamps all carry fractional seconds).
+def asof_next_purchase_after_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        views,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        right_cols=["purchase_value"],
+        suffix="_p",
+        direction="forward",
+        tolerance_sec=86400,
+    ).select("event_id", "user_id", "ts", "ts_p", "purchase_value_p")
+
+
+ASOF_NEXT_PURCHASE_SQL = """
+WITH p AS (
+  SELECT user_id, ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+), v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), m AS (
+  SELECT v.event_id, v.user_id, v.ts, p.ts AS ts_p, p.purchase_value,
+         abs(CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(v.ts)) AS BIGINT)) AS gap
+  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN gap <= 86400 THEN ts_p END AS ts_p,
+       CASE WHEN gap <= 86400 THEN purchase_value END AS purchase_value_p
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # Range join (engine extension): point-in-interval lookup of lineitem
 # prices against irregular price bands, bucketed to an equi-join instead
 # of a cross product. Oracle: DuckDB inequality join.
@@ -2818,6 +2867,10 @@ QUERIES = {
     "chunk_assignment": (chunk_assignment, CHUNK_ASSIGNMENT_SQL),
     "chunk_assignment_ranged": (chunk_assignment_ranged, CHUNK_ASSIGNMENT_SQL),
     "asof_view_before_purchase": (asof_view_before_purchase, ASOF_VIEW_BEFORE_PURCHASE_SQL),
+    "asof_next_purchase_after_view": (
+        asof_next_purchase_after_view,
+        ASOF_NEXT_PURCHASE_SQL,
+    ),
     "price_band_lookup": (price_band_lookup, PRICE_BAND_LOOKUP_SQL),
     "late_shipment_orders": (late_shipment_orders, LATE_SHIPMENT_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, NATION_TRADE_FLOWS_SQL),
