@@ -76,7 +76,11 @@ def _estimate(means: np.ndarray, weights: np.ndarray, q: float) -> float:
         return float(means[-1])
     i = int(np.searchsorted(cum, target))
     frac = (target - cum[i - 1]) / (cum[i] - cum[i - 1])
-    return float(means[i - 1] + frac * (means[i] - means[i - 1]))
+    # Endpoint-exact lerp: a + f*(b-a) can misround catastrophically when
+    # |b-a| rounds up to |a| (e.g. a=-1, b=-5.6e-17 gives b-a == 1.0, so
+    # f=1 lands on 0.0 instead of b — a full rank position off on tied
+    # data). a*(1-f) + b*f is exact at f∈{0,1}.
+    return float(means[i - 1] * (1.0 - frac) + means[i] * frac)
 
 
 def tdigest_quantiles(
