@@ -186,3 +186,55 @@ def with_contamination(
     return df.withColumn(out, matched).withColumn(
         f"{out}_n", F.size(matched).cast("bigint")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` salient terms per document by TF-IDF.
+
+    ``tf = count(term in doc) / tokens(doc)`` and ``idf = N / df`` — a pure
+    ratio, no log, so the score is a fixed chain of four correctly-rounded
+    IEEE ops over exact integer counts and any SQL engine reproduces it
+    bit-exactly (log() is libm-dependent and would break the hash oracle;
+    the ranking it induces per document is identical since x↦ln x is
+    monotone). English stopwords are dropped before counting.
+
+    Scale shape (reference keeps tf-idf driver-side in pandas; here every
+    stage is distributed): explode → (doc,term) counts partial-aggregate
+    map-side before the shuffle; document frequency is a vocabulary-sized
+    aggregate; the tf⋈df join shuffles both sides on the uniform ``term``
+    key; corpus size N is a 1-row aggregate broadcast in; final top-k is a
+    per-document window. No all-pairs stage, no driver collect.
+
+    Returns ``id_col, term, rank, tfidf, tf, df`` — rank 1..k ordered by
+    (tfidf desc, term asc).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    ).filter(~F.col("term").isin(_STOPWORDS))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf").cast("double") / F.col("doc_len").cast("double"))
+            * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tfidf", "tf", "df")
+    )

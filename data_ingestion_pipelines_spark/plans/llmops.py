@@ -738,8 +738,48 @@ SELECT source, token, n, rk FROM rk WHERE rk <= 5
 """
 
 
+# --------------------------------------------------------------------------
+# TF-IDF salient terms: top-3 per document. idf stays the pure ratio N/df
+# (no log — libm ln() is not bit-reproducible across engines; the induced
+# per-document ranking is identical because ln is monotone). Score is a
+# fixed chain of correctly-rounded IEEE ops over exact integer counts, so
+# the DOUBLE hashes match DuckDB's.
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+TFIDF_TOP_TERMS_DOCS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), kept AS (
+  SELECT doc_id, term FROM tok WHERE NOT list_contains({_STOPWORDS_SQL}, term)
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM kept GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+         (CAST(tf.tf AS DOUBLE) / CAST(dl.doc_len AS DOUBLE))
+           * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+), rk AS (
+  SELECT doc_id, term, tfidf, tf, df,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank, tfidf, tf, df FROM rk WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
+    "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),

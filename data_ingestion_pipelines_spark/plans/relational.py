@@ -2838,8 +2838,165 @@ def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(ev, ["event_type", "user_id", "props"], approx=True)
 
 
+# --------------------------------------------------------------------------
+# Trailing-window anomaly detection on daily revenue, fully exact: work in
+# integer cents, keep the z-test in the integer domain. Instead of
+# |x−μ| > 2σ over floats (σ needs sqrt and the mean accumulates rounding),
+# flag (n·x − Σ)²·(n−1) > 4·n·(n·Σx² − Σ²) — the same predicate cleared of
+# divisions, evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so the
+# boolean is exact. The window is a global ORDER BY day — safe because it
+# runs over the pre-aggregated daily frame (O(days) rows at any SF, ~2.4k
+# here and bounded by calendar length even at 100 TB).
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("decimal(19,0)")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    d = daily.select(
+        "day",
+        "rev_c",
+        (F.col("rev_c") * F.col("rev_c")).alias("sq"),  # (19,0)² → capped (38,0), exact
+    ).select(
+        "day",
+        "rev_c",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.sum("rev_c").over(w).cast("decimal(19,0)").alias("s"),
+        F.sum("sq").over(w).alias("ssq"),
+    )
+    diff = (F.lit(7) * F.col("rev_c") - F.col("s")).cast("decimal(19,0)")
+    lhs = diff * diff * F.lit(6)
+    rhs = F.lit(28) * (F.lit(7) * F.col("ssq") - F.col("s") * F.col("s"))
+    return d.select(
+        "day",
+        (F.col("rev_c").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.when(F.col("n_prior") == 7, F.col("s").cast("double") / F.lit(700.0)).alias(
+            "trailing_mean"
+        ),
+        F.col("n_prior").cast("bigint").alias("n_prior_days"),
+        ((F.col("n_prior") == 7) & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
+DAILY_REVENUE_ANOMALIES_SQL = """
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(18,0))) AS HUGEINT) AS rev_c
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT day, rev_c,
+         COUNT(*) OVER w AS n_prior,
+         CAST(SUM(rev_c) OVER w AS HUGEINT) AS s,
+         CAST(SUM(rev_c * rev_c) OVER w AS HUGEINT) AS ssq
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day,
+       CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+       CASE WHEN n_prior = 7 THEN CAST(s AS DOUBLE) / 700.0 END AS trailing_mean,
+       CAST(n_prior AS BIGINT) AS n_prior_days,
+       COALESCE(n_prior = 7 AND (7*rev_c - s)*(7*rev_c - s)*6 > 28*(7*ssq - s*s), FALSE) AS is_anomaly
+FROM win
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact distributed Pearson correlation (qty vs line revenue, per ship
+# year) from the five sufficient sums — the map-side-combinable form that
+# replaces a driver-side corr() at 100 TB. All sums are exact integers
+# (cents), so the final double arithmetic is the same fixed chain of
+# correctly-rounded ops on both engines (integer→double conversion is
+# IEEE-correctly-rounded even past 2^53).
+def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.year("l_shipdate").cast("bigint").alias("year"),
+        F.col("l_quantity").cast("bigint").alias("x"),  # integral doubles: exact
+        (F.col("l_extendedprice") * 100).cast("decimal(18,0)").alias("y"),
+    )
+    a = d.groupBy("year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(19,0)") * F.col("sy")
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")  # bigint-safe
+    den2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (den1 > 0) & (den2 > 0),
+        num.cast("double") / (F.sqrt(den1.cast("double")) * F.sqrt(den2.cast("double"))),
+    )
+    return a.select("year", F.col("n").cast("bigint").alias("n"), corr.alias("qty_price_corr"))
+
+
+QUANTITY_PRICE_CORRELATION_SQL = """
+WITH d AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS HUGEINT) AS y
+  FROM lineitem
+), a AS (
+  SELECT year, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+  FROM d GROUP BY 1
+)
+SELECT year, CAST(n AS BIGINT) AS n,
+       CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+         CAST(n*sxy - sx*sy AS DOUBLE)
+           / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+       END AS qty_price_corr
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# Wide→long melt (P-family inverse of pivot_status_counts) via the native
+# unpivot/stack path — no explode-of-struct detour. Values unify to DOUBLE
+# (counts < 2^53 stay exact).
+def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        F.max("o_totalprice").alias("max_value"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_value", "max_value"],
+        "metric",
+        "value",
+    )
+
+
+UNPIVOT_PRIORITY_METRICS_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS total_value,
+         MAX(o_totalprice) AS max_value
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL SELECT o_orderpriority, 'total_value', total_value FROM wide
+UNION ALL SELECT o_orderpriority, 'max_value', max_value FROM wide
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "daily_revenue_anomalies": (daily_revenue_anomalies, DAILY_REVENUE_ANOMALIES_SQL),
+    "quantity_price_correlation": (
+        quantity_price_correlation,
+        QUANTITY_PRICE_CORRELATION_SQL,
+    ),
+    "unpivot_priority_metrics": (unpivot_priority_metrics, UNPIVOT_PRIORITY_METRICS_SQL),
     "tdigest_price_quantiles": (tdigest_price_quantiles, None),
     "copurchased_part_pairs": (copurchased_part_pairs, COPURCHASED_PART_PAIRS_SQL),
     "leading_digit_distribution": (

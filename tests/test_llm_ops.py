@@ -206,3 +206,29 @@ def test_deletion_neighborhood_and_fuzzy_join(spark):
     }
     # substitution, insertion, exact match — NOT the distance-2 swap ab/ba
     assert got == {(1, 10, 1), (2, 11, 1), (1, 13, 0)}
+
+
+def test_tfidf_top_terms(spark):
+    from data_ingestion_pipelines_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry date"),
+            (3, "apple apple apple zebra"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets exactly k=2 ranked terms, rank 1..2
+    assert all(sorted(x["rank"] for x in v) == [1, 2] for v in by_doc.values())
+    # zebra is unique to doc 3 (df=1) with tf 1/4 -> score (1/4)*(3/1)=0.75
+    # apple in doc 3: tf 3/4, df=2 -> (3/4)*(3/2)=1.125 -> apple ranks first
+    d3 = {r["term"]: r for r in by_doc[3]}
+    assert d3["apple"]["rank"] == 1 and abs(d3["apple"]["tfidf"] - 1.125) < 1e-12
+    assert d3["zebra"]["rank"] == 2 and abs(d3["zebra"]["tfidf"] - 0.75) < 1e-12
+    # stopwords never appear
+    assert all(r["term"] not in {"the", "and", "of"} for r in out)
