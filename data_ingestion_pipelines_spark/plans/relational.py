@@ -2989,8 +2989,97 @@ UNION ALL SELECT o_orderpriority, 'max_value', max_value FROM wide
 """
 
 
+# --------------------------------------------------------------------------
+# LOCF gap fill: daily_gap_fill's zero-fill sibling using last-observation-
+# carried-forward — F.last(ignorenulls) vs last_value(x IGNORE NULLS).
+# Revenue stays DECIMAL-exact through the carry; the window runs over the
+# O(event_types × days) pre-aggregated spine, not raw rows.
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_dec("value")).alias("rev")
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("d"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, on=["event_type", "d"], how="left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("rev", ignorenulls=True).over(w).cast("double").alias("rev_locf"),
+            F.col("n").isNotNull().alias("is_observed"),
+        )
+    )
+
+
+GAP_FILL_LOCF_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(38,4))) AS rev
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+)
+SELECT s.event_type, strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events,
+       CAST(CAST(last_value(daily.rev IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS rev_locf,
+       daily.n IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-customer order-sequence features: row_number / lag-datediff /
+# running DECIMAL spend over a HIGH-cardinality partition key (o_custkey)
+# — the window shape that still scales when per-key frames are small and
+# keys are many (contrast: the day-ordered global windows above lean on
+# pre-aggregation instead).
+def order_sequence_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("bigint").alias("seq"),
+        F.datediff(F.col("o_orderdate").cast("date"), prev).cast("bigint").alias("days_since_prev"),
+        F.sum(_dec("o_totalprice")).over(run).cast("double").alias("cum_spend"),
+    )
+
+
+ORDER_SEQUENCE_FEATURES_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       CAST(date_diff('day',
+            lag(CAST(o_orderdate AS DATE)) OVER w,
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS cum_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "gap_fill_locf": (gap_fill_locf, GAP_FILL_LOCF_SQL),
+    "order_sequence_features": (order_sequence_features, ORDER_SEQUENCE_FEATURES_SQL),
     "daily_revenue_anomalies": (daily_revenue_anomalies, DAILY_REVENUE_ANOMALIES_SQL),
     "quantity_price_correlation": (
         quantity_price_correlation,
