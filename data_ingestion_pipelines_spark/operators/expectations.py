@@ -1,0 +1,63 @@
+"""Declarative data-quality expectations evaluated in ONE pass.
+
+The reference's pipelines reconcile loads with ad-hoc audit counts
+(recInSource vs recIngested stored-proc writes — `dataSource bp/
+ModuleFunctions.scala` audit helpers); this generalizes that into a
+rule-set → report operator, Great-Expectations-style but fully
+distributed:
+
+- every row-level rule compiles to ``SUM(CASE WHEN pred THEN 1 END)``
+  inside a SINGLE aggregate over one scan — N rules cost one job, not N;
+- uniqueness rules need a distinct count and ride the same scan via
+  ``count_distinct``;
+- the wide 1-row result melts to one row per rule (stack — no shuffle:
+  the input to the melt is a single row).
+
+Output schema: ``rule, n_rows, n_pass, n_fail, pass_ratio, ok``.
+Exact integer counts; ``pass_ratio`` is one division of exact operands
+(cross-engine bit-stable); NULL predicate results count as failures
+(SQL three-valued logic would silently drop them from both buckets).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_expectations(
+    df: DataFrame,
+    rules: Sequence[tuple[str, Column]],
+    unique_keys: Sequence[tuple[str, Sequence[str]]] = (),
+) -> DataFrame:
+    """Evaluate named row-level ``rules`` and ``unique_keys`` constraints.
+
+    ``rules``: (name, boolean Column) — a row passes iff the predicate is
+    TRUE (NULL fails). ``unique_keys``: (name, key columns) — passes are
+    distinct key combinations, failures are surplus duplicate rows.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0))).alias(f"_p_{name}")
+        )
+    for name, keys in unique_keys:
+        aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias(f"_p_{name}"))
+    wide = df.agg(*aggs)
+
+    names = [name for name, _ in rules] + [name for name, _ in unique_keys]
+    stack_args = ", ".join(f"'{n}', _p_{n}" for n in names)
+    long = wide.select(
+        F.col("_n"),
+        F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_pass)"),
+    )
+    return long.select(
+        "rule",
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        (F.col("_n") - F.col("n_pass")).cast("bigint").alias("n_fail"),
+        (F.col("n_pass").cast("double") / F.col("_n").cast("double")).alias("pass_ratio"),
+        (F.col("_n") - F.col("n_pass") == 0).alias("ok"),
+    )

@@ -3076,8 +3076,57 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# --------------------------------------------------------------------------
+# Declarative data-quality expectations: N rules + a uniqueness check in
+# ONE aggregate over one scan (operators/expectations.py). The tight-range
+# price rule is deliberately failing so the report is non-vacuous at
+# every SF.
+def order_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import check_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        rules=[
+            ("orderkey_not_null", F.col("o_orderkey").isNotNull()),
+            ("positive_price", F.col("o_totalprice") > 0),
+            ("known_status", F.col("o_orderstatus").isin("F", "O", "P")),
+            ("price_under_100k", F.col("o_totalprice") < 100000),
+        ],
+        unique_keys=[("unique_orderkey", ["o_orderkey"])],
+    )
+
+
+ORDER_QUALITY_EXPECTATIONS_SQL = """
+WITH wide AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS p_orderkey_not_null,
+         SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS p_positive_price,
+         SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END) AS p_known_status,
+         SUM(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS p_price_under_100k,
+         COUNT(DISTINCT o_orderkey) AS p_unique_orderkey
+  FROM orders
+), long AS (
+  SELECT n, 'orderkey_not_null' AS rule, p_orderkey_not_null AS n_pass FROM wide
+  UNION ALL SELECT n, 'positive_price', p_positive_price FROM wide
+  UNION ALL SELECT n, 'known_status', p_known_status FROM wide
+  UNION ALL SELECT n, 'price_under_100k', p_price_under_100k FROM wide
+  UNION ALL SELECT n, 'unique_orderkey', p_unique_orderkey FROM wide
+)
+SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n - n_pass AS BIGINT) AS n_fail,
+       CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS pass_ratio,
+       (n - n_pass) = 0 AS ok
+FROM long
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "order_quality_expectations": (
+        order_quality_expectations,
+        ORDER_QUALITY_EXPECTATIONS_SQL,
+    ),
     "gap_fill_locf": (gap_fill_locf, GAP_FILL_LOCF_SQL),
     "order_sequence_features": (order_sequence_features, ORDER_SEQUENCE_FEATURES_SQL),
     "daily_revenue_anomalies": (daily_revenue_anomalies, DAILY_REVENUE_ANOMALIES_SQL),

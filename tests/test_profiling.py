@@ -75,3 +75,30 @@ def test_scd2_deterministic_on_ts_ties(spark):
     assert [r["tier"] for r in out] == ["a", "b"]
     assert out[0]["valid_to"] == _ts("2024-01-01T00:00:00")  # 'a' closed by 'b'
     assert out[1]["is_current"]
+
+
+def test_check_expectations_nulls_and_uniqueness(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.expectations import (
+        check_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (2, -5.0), (4, 3.0)],
+        "id bigint, v double",
+    )
+    out = {
+        r["rule"]: r
+        for r in check_expectations(
+            df,
+            rules=[("v_positive", F.col("v") > 0)],
+            unique_keys=[("unique_id", ["id"])],
+        ).collect()
+    }
+    # NULL predicate counts as a failure, not a third bucket
+    assert out["v_positive"]["n_pass"] == 2 and out["v_positive"]["n_fail"] == 2
+    assert out["v_positive"]["pass_ratio"] == 0.5 and not out["v_positive"]["ok"]
+    # duplicate id=2 -> 3 distinct over 4 rows
+    assert out["unique_id"]["n_pass"] == 3 and out["unique_id"]["n_fail"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
