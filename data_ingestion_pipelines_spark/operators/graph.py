@@ -1,0 +1,83 @@
+"""Iterative graph algorithms as DataFrame fixpoint loops.
+
+Connected components lives in ``operators/dedup.py`` (dedup_clusters);
+this module holds PageRank — the canonical "iterate joins to a fixpoint"
+workload, here as an importance score over co-occurrence graphs (parts
+co-purchased in the same order, documents linked by near-dup pairs, …).
+
+Scale shape: each iteration is one equi-join of the rank vector against
+the edge list on ``src`` plus one aggregate on ``dst`` — both shuffles on
+uniform vertex-id keys, no driver-side adjacency. The edge list is
+re-used every round, so callers on a real cluster should persist it (and
+bucket it by ``src`` to make the per-round join co-partitioned). Dangling
+mass (sinks with no out-edges) is a 1-row aggregate collected per round —
+bounded driver traffic like the k-means centroid reads
+(``operators/similarity.py``).
+
+Float caveat: contribution sums are IEEE doubles, so the last few ulps
+depend on partition merge order — results are deterministic in topology
+but not bit-reproducible across cluster layouts. Gate entries using this
+are rows-only; parity is pytest vs a numpy power iteration (tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a directed edge list → ``(node, rank)``.
+
+    ``edges`` rows are distinct directed (src, dst) pairs; duplicate rows
+    would double-count an edge, so callers dedupe first. Every vertex
+    (appearing on either side) gets ranked; ranks sum to 1.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg, "node", "left")
+        # mass parked on sinks (out_deg null) redistributes uniformly
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            with_deg.join(e, "node")
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
+            ).alias("rank"),
+        )
+        # Truncate lineage: the per-round dangling collect() would otherwise
+        # replay every previous round (O(iters²) recompute).
+        ranks = ranks.localCheckpoint()
+    return ranks

@@ -3121,8 +3121,40 @@ FROM long
 """
 
 
+# --------------------------------------------------------------------------
+# PageRank over the part co-purchase graph (operators/graph.py): the
+# iterative-fixpoint exemplar next to k-means (similarity.py) and
+# connected components (dedup.py). Rows-only: contribution sums are IEEE
+# doubles whose last ulps depend on partition merge order, so there is no
+# cross-engine hash; parity is pytest vs numpy power iteration.
+def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    basket = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    und = (
+        basket.select(F.explode("parts").alias("pa"), F.col("parts").alias("_p"))
+        .select("pa", F.explode("_p").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .distinct()
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    ranks = pagerank(edges, iterations=5)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select(F.col("node").alias("part"), "rank", "rk")
+    )
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "part_copurchase_pagerank": (part_copurchase_pagerank, None),
     "order_quality_expectations": (
         order_quality_expectations,
         ORDER_QUALITY_EXPECTATIONS_SQL,

@@ -1,0 +1,41 @@
+import numpy as np
+
+
+def _numpy_pagerank(edges, n, iters, d):
+    out_deg = np.zeros(n)
+    for s, _ in edges:
+        out_deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[out_deg == 0].sum()
+        nxt = np.full(n, (1 - d) / n) + d * dangling / n
+        for s, t in edges:
+            nxt[t] += d * r[s] / out_deg[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_power_iteration(spark):
+    from data_ingestion_pipelines_spark.operators.graph import pagerank
+
+    # 5 nodes, one sink (4), one hub (0)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 0), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    want = _numpy_pagerank(edges, 5, 8, 0.85)
+    assert set(got) == set(range(5))
+    for i in range(5):
+        assert abs(got[i] - want[i]) < 1e-9, (i, got[i], want[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_sink_mass_redistributes(spark):
+    from data_ingestion_pipelines_spark.operators.graph import pagerank
+
+    # pure chain into a sink: without dangling redistribution ranks leak
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src bigint, dst bigint")
+    got = pagerank(df, iterations=20).collect()
+    total = sum(r["rank"] for r in got)
+    assert abs(total - 1.0) < 1e-9
+    by = {r["node"]: r["rank"] for r in got}
+    assert by[2] > by[1] > by[0]
