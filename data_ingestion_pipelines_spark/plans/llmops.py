@@ -777,9 +777,70 @@ SELECT doc_id, term, rank, tfidf, tf, df FROM rk WHERE rank <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus-level boilerplate detection (C4-style): word 5-grams shared by ≥3
+# documents are boilerplate; score each doc by its boilerplate-gram
+# fraction. Grams materialize behind a localCheckpoint barrier (the
+# interpreted-HOF rule: lambdas re-evaluate argument EXPRESSIONS per
+# element), distinct per doc, shuffle on the uniform gram key. The exact
+# single-division fraction keeps the oracle hashable.
+def boilerplate_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    base = (
+        docs.select("doc_id", F.col("tokens").alias("_t"))
+        .filter(F.size("_t") >= 5)
+        .localCheckpoint(eager=False)
+    )
+    n = F.size("_t")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, 5)),
+        )
+    )
+    exploded = base.select("doc_id", F.explode(grams).alias("gram"))
+    dfreq = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        exploded.join(dfreq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 3, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_boiler").cast("bigint").alias("n_boiler"),
+            (F.col("n_boiler").cast("double") / F.col("n_grams").cast("double")).alias(
+                "boiler_frac"
+            ),
+        )
+    )
+
+
+BOILERPLATE_NGRAM_DOCS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+  WHERE len(t) >= 5
+), dfreq AS (
+  SELECT gram, COUNT(*) AS df FROM g GROUP BY 1
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(SUM(CASE WHEN dfreq.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+FROM g JOIN dfreq USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),
+    "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),

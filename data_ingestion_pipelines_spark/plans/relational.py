@@ -3152,9 +3152,32 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# INTERSECT set op (completes the O-family: union_pages covers UNION,
+# snapshot_diff_report covers EXCEPT ALL): customers who ordered in BOTH
+# 1995 and 1996. Catalyst plans this as a distinct semi-style aggregate —
+# one shuffle on the key, no pairwise join.
+def repeat_customers_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+REPEAT_CUSTOMERS_BOTH_YEARS_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
+    "repeat_customers_both_years": (
+        repeat_customers_both_years,
+        REPEAT_CUSTOMERS_BOTH_YEARS_SQL,
+    ),
     "order_quality_expectations": (
         order_quality_expectations,
         ORDER_QUALITY_EXPECTATIONS_SQL,
