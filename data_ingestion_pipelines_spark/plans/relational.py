@@ -3171,9 +3171,71 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 """
 
 
+# --------------------------------------------------------------------------
+# Robust outlier stats per brand: median + MAD (median absolute
+# deviation) + count beyond 5×MAD. Two exact-percentile passes (Spark
+# F.percentile and DuckDB quantile_cont are both type-7 — bit-exact), the
+# deviation |x−med| is one correctly-rounded subtraction of identical
+# operands, so even the DOUBLE medians hash-match. Complements the
+# Tukey-fence winsorization (`value_winsorized_stats`) with the
+# breakdown-point-0.5 estimator.
+def brand_price_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    med = part.groupBy("p_brand").agg(
+        F.percentile("p_retailprice", 0.5).alias("median_price")
+    )
+    dev = part.join(F.broadcast(med), "p_brand").withColumn(
+        "adev", F.abs(F.col("p_retailprice") - F.col("median_price"))
+    )
+    mad = dev.groupBy("p_brand").agg(F.percentile("adev", 0.5).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.first("median_price").alias("median_price"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 5 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "p_brand",
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            "median_price",
+            "mad",
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+BRAND_PRICE_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT p_brand, quantile_cont(p_retailprice, 0.5) AS median_price
+  FROM part GROUP BY 1
+), dev AS (
+  SELECT p.p_brand, p.p_retailprice, med.median_price,
+         abs(p.p_retailprice - med.median_price) AS adev
+  FROM part p JOIN med USING (p_brand)
+), mad AS (
+  SELECT p_brand, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ANY_VALUE(dev.median_price) AS median_price,
+       ANY_VALUE(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN dev.adev > 5 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (p_brand)
+GROUP BY dev.p_brand
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
+    "brand_price_robust_outliers": (
+        brand_price_robust_outliers,
+        BRAND_PRICE_ROBUST_OUTLIERS_SQL,
+    ),
     "repeat_customers_both_years": (
         repeat_customers_both_years,
         REPEAT_CUSTOMERS_BOTH_YEARS_SQL,
