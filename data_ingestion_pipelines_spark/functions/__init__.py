@@ -9,8 +9,10 @@ from .column_specs import (
     select_inscope,
     strip_prefix,
 )
+from .datetime_utils import epoch_seconds
 
 __all__ = [
+    "epoch_seconds",
     "add_audit_columns",
     "apply_cast_spec",
     "apply_rename_spec",

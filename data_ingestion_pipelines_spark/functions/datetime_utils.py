@@ -1,0 +1,28 @@
+"""Drift-proof epoch arithmetic.
+
+PySpark 4 rejects ``TIMESTAMP_NTZ.cast("long")`` (``cannot cast
+TIMESTAMP_NTZ to BIGINT``), while plain TIMESTAMP casts fine — so a plan
+written against one parquet vintage crashes on the other (exactly what
+voided round 2's bench when testdata drifted NANOS→MICROS/NTZ).
+``epoch_seconds`` is the one sanctioned way to get epoch seconds from a
+timestamp column: the intermediate ``timestamp`` (session-zone, pinned
+UTC in ``session.py``) cast is legal FROM both NTZ and LTZ and a no-op
+on LTZ, so the expression is type-drift-proof and stays in whole-stage
+codegen (two casts, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds (bigint) from a timestamp column, NTZ- or LTZ-typed.
+
+    With the session TZ pinned to UTC, an NTZ wall-clock is reinterpreted
+    as a UTC instant — matching DuckDB's ``epoch()`` on its naive
+    TIMESTAMP, so oracle parity holds either way.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.datetime_utils import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -77,7 +79,9 @@ def asof_join(
     carried = unioned.withColumn("_m", F.last("_rp", ignorenulls=True).over(w))
     out = carried.filter(F.col("_side") == 1)
     if tolerance_sec is not None:
-        gap = F.abs(F.col("_t").cast("long") - F.col("_m")[matched_on].cast("long"))
+        on_is_ts = dict(left.dtypes)[on].startswith("timestamp")
+        _ep = epoch_seconds if on_is_ts else (lambda c: c.cast("long"))
+        gap = F.abs(_ep(F.col("_t")) - _ep(F.col("_m")[matched_on]))
         out = out.withColumn("_m", F.when(gap <= tolerance_sec, F.col("_m")))
     result_cols = (
         [F.col(c) for c in by]

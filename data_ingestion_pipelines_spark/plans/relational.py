@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.column_specs import apply_cast_spec, apply_rename_spec, coalesce_merge
+from ..functions.datetime_utils import epoch_seconds
 from ..operators.classify import ExclusionRules, classify
 from ..operators.flatten import drop_nested_column, explode_zipped, flatten_dataframe
 from ..operators.incremental import copy_needed_condition
@@ -698,13 +699,14 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(order)
+    gap_sec = epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts)
     new_session = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800),
+        prev_ts.isNull() | (gap_sec > 1800),
         F.lit(1),
     ).otherwise(F.lit(0))
     with_gap = ev.select(
         "user_id", "event_id", "ts",
-        (F.col("ts").cast("long") - prev_ts.cast("long")).alias("gap_sec"),
+        gap_sec.alias("gap_sec"),
         new_session.alias("_new"),
     )
     sess = with_gap.withColumn(

@@ -8,6 +8,17 @@ footer (pyarrow — metadata only, no data read), read as longs via the
 integer division (exact — double division would lose precision above
 2^53 ns ≈ 1970+104 days).
 
+The reader also normalizes the engine's timestamp surface: parquet files
+written without ``isAdjustedToUTC`` read back as TIMESTAMP_NTZ under
+PySpark 4, which rejects direct epoch casts (``cannot cast TIMESTAMP_NTZ
+to BIGINT``) and breaks epoch arithmetic downstream. Every
+``TimestampNTZType`` column is cast to the session-zone timestamp
+(session TZ is pinned to UTC in ``session.py``, so the wall-clock values
+are reinterpreted as UTC instants — the same convention DuckDB's
+``epoch()`` applies to its naive TIMESTAMP, keeping oracles comparable).
+One canonical type at the read boundary means no plan ever branches on
+NTZ-vs-LTZ.
+
 ``list_files_distributed`` replaces the reference's driver-side SMB
 recursion (`bp-unstructured-netapp-ingestion/Step 1 - NetApp Listing.py:
 100-154`): seed directories become a DataFrame, each partition lists its
@@ -49,15 +60,30 @@ def _nanos_columns(path: str) -> list[str]:
         return []
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to the session-zone timestamp (UTC
+    session TZ — value reinterpreted as a UTC instant). Canonicalizes the
+    timestamp surface so epoch casts are always legal downstream."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet read that tolerates nanosecond timestamps."""
+    """Parquet read that tolerates nanosecond timestamps and normalizes
+    TIMESTAMP_NTZ columns to the canonical session-zone timestamp."""
     nanos = _nanos_columns(path)
     if not nanos:
-        return spark.read.parquet(path)
+        return _normalize_ntz(spark.read.parquet(path))
     spark.conf.set(_NANOS_CONF, "true")
     df = spark.read.parquet(path)
-    return df.withColumns(
-        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos}
+    return _normalize_ntz(
+        df.withColumns(
+            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos}
+        )
     )
 
 
@@ -77,8 +103,10 @@ def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(local))
         path = os.path.dirname(path)
     df = reader.load(path)
-    return df.withColumns(
-        {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos}
+    return _normalize_ntz(
+        df.withColumns(
+            {c: F.timestamp_micros(F.expr(f"`{c}` div 1000")) for c in nanos}
+        )
     )
 
 

@@ -6,8 +6,10 @@ from data_ingestion_pipelines_spark.sources.files import (
 )
 
 
-def test_read_parquet_nanos_timestamps(spark):
-    # events.parquet is TIMESTAMP(NANOS): stock reader rejects it
+def test_read_parquet_canonical_timestamps(spark):
+    # events.parquet has drifted across rounds (TIMESTAMP(NANOS), then
+    # TIMESTAMP(MICROS) without isAdjustedToUTC → TIMESTAMP_NTZ on read);
+    # the reader must yield the canonical session-zone timestamp either way
     df = read_parquet_table(spark, "/root/testdata/sf0.001/events.parquet")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
@@ -32,3 +34,39 @@ def test_list_files_distributed(spark, tmp_path):
     assert names == {"f1.txt", "f2.txt", "f3.bin"}
     assert all(r["listError"] is None for r in rows)
     assert all(r["modifiedTimeStamp"] is not None for r in rows)
+
+
+def test_timestamp_drift_net(spark):
+    """Regression net for the NTZ drift class that voided round 2.
+
+    Every timestamp-typed column in every testdata table must arrive as
+    the canonical session-zone 'timestamp' (never timestamp_ntz), and
+    epoch subtraction — the exact expression that crashed — must run on
+    each one.
+    """
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.functions.datetime_utils import epoch_seconds
+
+    tables = sorted(glob.glob("/root/testdata/sf0.001/*.parquet"))
+    assert tables, "testdata missing"
+    saw_ts = False
+    for path in tables:
+        df = read_parquet_table(spark, path)
+        ts_cols = [c for c, t in df.dtypes if t.startswith("timestamp")]
+        for c in ts_cols:
+            assert dict(df.dtypes)[c] == "timestamp", (
+                f"{os.path.basename(path)}.{c} is {dict(df.dtypes)[c]}, not canonical"
+            )
+            saw_ts = True
+            # the round-2 crash expression, via the sanctioned helper
+            row = (
+                df.select((epoch_seconds(F.col(c)) - epoch_seconds(F.col(c))).alias("d"))
+                .where(F.col(c).isNotNull()).first()
+            )
+            if row is not None:
+                assert row["d"] == 0
+    assert saw_ts, "no timestamp columns found anywhere — drift net is vacuous"
