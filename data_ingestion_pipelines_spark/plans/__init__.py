@@ -23,11 +23,88 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import ingestion, llmops, relational
 
+# The external driver gate verifies the FIRST 50 registry entries (dict
+# order), so the registry is a curated interleave, not module order: the
+# priority window covers every subsystem — previously-failing fixes first,
+# then LLM-ops (dedup/similarity/tfidf/sketches/curation), all ingestion
+# gates, streaming, sketches/graph, and the relational spine — with the
+# long tail (the rest, in module order) after position 50.
+_PRIORITY = [
+    # round-1 hash-mismatch fixes, driver-unverified until a green row exists
+    "cast_rename_spec",
+    "token_stats_by_source",
+    # round-2 crash fixes (TIMESTAMP_NTZ)
+    "event_sessions",
+    "asof_next_purchase_after_view",
+    # LLM-ops: dedup family
+    "dedup_exact_docs",
+    "minhash_pairs_docs",
+    "simhash_docs",
+    "ngram_jaccard_docs",
+    "embedding_dedup_pairs",
+    "embedding_dup_clusters",
+    # LLM-ops: similarity search
+    "similarity_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    # LLM-ops: text analysis + curation
+    "tfidf_top_terms_docs",
+    "heavy_hitter_tokens",
+    "boilerplate_ngram_docs",
+    "corpus_curation",
+    "doc_quality_signals",
+    "doc_language_id",
+    "doc_fingerprints",
+    "pii_redacted_docs",
+    "doc_repetition_ratio",
+    "contaminated_docs",
+    "doc_chunks",
+    "token_postings",
+    "bigram_collocations",
+    "stratified_docs_sample",
+    "mixture_sampled_docs",
+    # ingestion gates
+    "xml_extract",
+    "rest_fetch_per_id",
+    "multimodal_decode",
+    # streaming + incremental
+    "event_hourly_windows_streaming",
+    "streaming_dedup_watermarked",
+    "inc_merge_upsert",
+    "inc_copy_candidates",
+    # sketches / graph / skew / expectations
+    "tdigest_price_quantiles",
+    "events_profile_approx",
+    "part_copurchase_pagerank",
+    "skewed_event_type_counts",
+    "order_quality_expectations",
+    "totalprice_equidepth_histogram",
+    # temporal / windows / flatten
+    "asof_view_before_purchase",
+    "price_band_lookup",
+    "chunk_assignment_ranged",
+    "latest_event_per_user",
+    "flatten_roundtrip",
+    "correlated_explode",
+    # relational spine
+    "pricing_summary",
+    "revenue_by_nation",
+    "outer_coalesce_refresh",
+]
+
 # name -> (spark_fn, oracle_sql_or_None)
-REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
-REGISTRY.update(relational.QUERIES)
-REGISTRY.update(llmops.QUERIES)
-REGISTRY.update(ingestion.QUERIES)
+_ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+_ALL.update(relational.QUERIES)
+_ALL.update(llmops.QUERIES)
+_ALL.update(ingestion.QUERIES)
+
+_missing = [n for n in _PRIORITY if n not in _ALL]
+assert not _missing, f"priority window names not in registry: {_missing}"
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    **{n: _ALL[n] for n in _PRIORITY},
+    **{n: q for n, q in _ALL.items() if n not in set(_PRIORITY)},
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
