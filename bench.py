@@ -75,37 +75,50 @@ def main() -> None:
     except Exception:
         plans.load(spark, sf_dir, "region").count()
 
+    # Per-query fault isolation: one broken query must never void the whole
+    # artifact (round 2's bench died mid-list and shipped no numbers). A
+    # failing query reports {"err": ...} and the summary line ALWAYS prints
+    # — mirroring the reference's per-child failure tally
+    # (dataSource bp/Concurrent.scala:173-228).
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name]
         best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink executes the FULL plan (count() would let Catalyst
-            # prune every projection and undercount the real work)
-            df.write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                # noop sink executes the FULL plan (count() would let Catalyst
+                # prune every projection and undercount the real work)
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+        except Exception as ex:
+            # first + last of the message: keep the exception class AND the
+            # call site even under downstream truncation
+            msg = f"{type(ex).__name__}: {ex}"
+            errors[name] = msg if len(msg) <= 500 else msg[:250] + " ... " + msg[-250:]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         # best-of-N: JIT/GC/load noise on a shared host is one-sided, so
         # the minimum is the stable estimate of the plan's real cost
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s (best of {runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": int(cpus),
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {**timings, **{n: {"err": e} for n, e in errors.items()}},
+        "n_ok": len(timings),
+        "n_err": len(errors),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": int(cpus),
+    }
+    print(json.dumps(summary))
     spark.stop()
 
 
