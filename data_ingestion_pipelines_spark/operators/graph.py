@@ -10,9 +10,10 @@ the edge list on ``src`` plus one aggregate on ``dst`` — both shuffles on
 uniform vertex-id keys, no driver-side adjacency. The edge list is
 re-used every round, so callers on a real cluster should persist it (and
 bucket it by ``src`` to make the per-round join co-partitioned). Dangling
-mass (sinks with no out-edges) is a 1-row aggregate collected per round —
-bounded driver traffic like the k-means centroid reads
-(``operators/similarity.py``).
+mass (sinks with no out-edges) stays inside the plan: a 1-row lazy
+aggregate broadcast-cross-joined onto the rank update, so the iteration
+loop issues ZERO driver round-trips — the only eager step is the
+per-round ``localCheckpoint`` that truncates lineage.
 
 Float caveat: contribution sums are IEEE doubles, so the last few ulps
 depend on partition merge order — results are deterministic in topology
@@ -54,11 +55,12 @@ def pagerank(
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):
         with_deg = ranks.join(out_deg, "node", "left")
-        # mass parked on sinks (out_deg null) redistributes uniformly
-        dangling = (
+        # mass parked on sinks (out_deg null) redistributes uniformly;
+        # kept as a 1-row LAZY aggregate broadcast onto the update below —
+        # no collect(), no driver round-trip per iteration
+        dangling_df = (
             with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         contribs = (
             with_deg.join(e, "node")
@@ -69,15 +71,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping)
-                * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n_nodes))
-            ).alias("rank"),
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling_df))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
         )
-        # Truncate lineage: the per-round dangling collect() would otherwise
-        # replay every previous round (O(iters²) recompute).
+        # Truncate lineage: without this each round's plan would replay
+        # every previous round (O(iters²) recompute).
         ranks = ranks.localCheckpoint()
     return ranks
