@@ -39,3 +39,37 @@ def test_pagerank_sink_mass_redistributes(spark):
     assert abs(total - 1.0) < 1e-9
     by = {r["node"]: r["rank"] for r in got}
     assert by[2] > by[1] > by[0]
+
+
+def test_part_copurchase_pagerank_gate_exact(spark):
+    """The gate query is rows-only in the driver (xxhash-free but float
+    ranks have no DuckDB twin); this pins its EXACT output at sf0.001
+    against an independent duckdb-edge-list + numpy power iteration."""
+    import duckdb
+
+    from data_ingestion_pipelines_spark.plans.relational import (
+        part_copurchase_pagerank,
+    )
+
+    got = part_copurchase_pagerank(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == 20
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        """
+        WITH b AS (SELECT l_orderkey, list_distinct(list(l_partkey)) parts
+                   FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')
+                   GROUP BY l_orderkey)
+        SELECT DISTINCT a.p pa, c.p pb
+        FROM b, unnest(b.parts) AS a(p), unnest(b.parts) AS c(p)
+        WHERE a.p < c.p
+        """
+    ).fetchall()
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    want = _numpy_pagerank([(idx[s], idx[t]) for s, t in edges], len(nodes), 5, 0.85)
+    ranked = sorted(zip(nodes, want), key=lambda p: (-p[1], p[0]))[:20]
+    for row, (part, rank) in zip(sorted(got, key=lambda r: r["rk"]), ranked):
+        assert row["part"] == part, (row, part, rank)
+        assert abs(row["rank"] - rank) < 1e-9

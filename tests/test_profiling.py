@@ -102,3 +102,30 @@ def test_check_expectations_nulls_and_uniqueness(spark):
     # duplicate id=2 -> 3 distinct over 4 rows
     assert out["unique_id"]["n_pass"] == 3 and out["unique_id"]["n_fail"] == 1
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_events_profile_approx_hll_epsilon(spark):
+    """events_profile_approx is a rows-only gate (HLL estimates have no
+    deterministic oracle); quantitative local check: every approx
+    n_distinct within 3x the documented HLL rsd (5%) of the exact count,
+    and the non-estimate columns exactly equal to the exact profile."""
+    from data_ingestion_pipelines_spark.plans.relational import (
+        events_profile_approx,
+    )
+    from data_ingestion_pipelines_spark.operators.profiling import profile_table
+    from data_ingestion_pipelines_spark.plans import load
+
+    sf = "/root/testdata/sf0.001"
+    approx = {r["column"]: r for r in events_profile_approx(spark, sf).collect()}
+    ev = load(spark, sf, "events")
+    exact = {
+        r["column"]: r
+        for r in profile_table(ev, ["event_type", "user_id", "props"]).collect()
+    }
+    assert set(approx) == set(exact)
+    for col in exact:
+        a, e = approx[col], exact[col]
+        assert a["n_rows"] == e["n_rows"] and a["n_null"] == e["n_null"]
+        assert a["min_str"] == e["min_str"] and a["max_str"] == e["max_str"]
+        rel = abs(a["n_distinct"] - e["n_distinct"]) / max(e["n_distinct"], 1)
+        assert rel <= 0.15, (col, a["n_distinct"], e["n_distinct"], rel)

@@ -166,3 +166,67 @@ def test_apply_cdc_no_order_col_key_unique_log(spark):
     log = spark.createDataFrame([(1, None, "D")], "k int, v string, op string")
     got = {(r["k"], r["v"]) for r in apply_cdc(snap, log, keys=["k"]).collect()}
     assert got == {(2, "b")}
+
+
+def test_merge_upsert_delta_semantics_truth_table(spark):
+    """Contract: the parquet fallback's row-level outcome must equal the
+    documented Delta MERGE (whenMatchedUpdateAll / whenNotMatchedInsertAll,
+    reference dataSource bp/ModuleFunctions.scala:375-408) on the full
+    matched / unmatched / duplicate-source-key matrix."""
+    from data_ingestion_pipelines_spark.sinks.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [
+            (1, "t-keep", 10),   # key untouched by source -> passes through
+            (2, "t-old", 20),    # matched -> source row replaces ALL columns
+            (3, "t-old3", 30),   # matched by a duplicated source key
+        ],
+        "k bigint, name string, v bigint",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "s-new", 200, 1),   # update
+            (3, "s-old3", 300, 1),  # duplicate key, older
+            (3, "s-new3", 301, 2),  # duplicate key, latest wins (dedupe)
+            (4, "s-ins", 400, 1),   # unmatched -> insert
+        ],
+        "k bigint, name string, v bigint, seq bigint",
+    )
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_upsert(target, source, ["k"], order_col="seq").collect()
+    }
+    # Delta truth table: (1) not-matched-by-source kept verbatim,
+    # (2) matched updated-all, (3) matched via deduped latest source row,
+    # (4) not-matched inserted-all
+    assert got == {
+        1: ("t-keep", 10),
+        2: ("s-new", 200),
+        3: ("s-new3", 301),
+        4: ("s-ins", 400),
+    }
+    # row count: no duplicates introduced by the union path
+    assert merge_upsert(target, source, ["k"], order_col="seq").count() == 4
+
+
+def test_apply_cdc_delete_arm_truth_table(spark):
+    """Delete-aware MERGE contract (Delta whenMatchedDelete arm): latest
+    op per key wins; D removes, I/U upsert, untouched keys pass through."""
+    from data_ingestion_pipelines_spark.sinks.merge import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, val string"
+    )
+    log = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),
+            (2, None, "D", 2),   # latest op for k=2 is delete
+            (3, "c2", "U", 5),
+            (3, "c3", "U", 6),   # latest update wins
+            (4, "d", "I", 1),    # insert new key
+            (5, "e", "D", 1),    # delete of a key not in snapshot: no-op
+        ],
+        "k bigint, val string, op string, seq bigint",
+    )
+    got = {r["k"]: r["val"] for r in apply_cdc(snap, log, ["k"], order_col="seq").collect()}
+    assert got == {1: "a", 3: "c3", 4: "d"}
