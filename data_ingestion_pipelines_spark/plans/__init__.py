@@ -60,9 +60,9 @@ _PRIORITY = [
     "contaminated_docs",
     "doc_chunks",
     "token_postings",
-    "bigram_collocations",
+    "doc_rare_bigram_rate",
+    "benchmark_decontamination",
     "stratified_docs_sample",
-    "mixture_sampled_docs",
     # ingestion gates
     "xml_extract",
     "rest_fetch_per_id",

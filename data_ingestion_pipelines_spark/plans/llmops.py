@@ -837,7 +837,122 @@ GROUP BY g.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# LM-quality proxy (CCNet-style perplexity filter, integer-exact): a doc's
+# rare-bigram rate — the fraction of its bigram OCCURRENCES whose corpus
+# frequency is ≤ 2. High rate ≈ unusual word transitions ≈ low-quality or
+# OOD text, without any float log-prob accumulation (sums of logs are
+# partition-order-dependent and would break cross-engine hashing; the
+# rare-occurrence ratio is exact integers + ONE division). Scale shape:
+# bigram counts partial-aggregate map-side, the instance↔count join keys
+# on the uniform-hash bigram string, then one per-doc aggregate.
+def doc_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    base = (
+        docs.select("doc_id", F.col("tokens").alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    n = F.size("_t")
+    bigrams = F.zip_with(
+        F.slice("_t", 1, n - 1),
+        F.slice(F.col("_t"), F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    inst = base.select("doc_id", F.explode(bigrams).alias("bigram"))
+    cnt = inst.groupBy("bigram").agg(F.count(F.lit(1)).alias("corpus_n"))
+    return (
+        inst.join(cnt, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum(F.when(F.col("corpus_n") <= 2, 1).otherwise(0)).alias("_nr"),
+        )
+        .select(
+            "doc_id",
+            F.col("_nb").cast("bigint").alias("n_bigrams"),
+            F.col("_nr").cast("bigint").alias("n_rare"),
+            (F.col("_nr").cast("double") / F.col("_nb").cast("double")).alias(
+                "rare_rate"
+            ),
+        )
+    )
+
+
+DOC_RARE_BIGRAM_RATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), b AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+  WHERE len(t) >= 2
+), c AS (
+  SELECT bigram, COUNT(*) AS corpus_n FROM b GROUP BY 1
+)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c.corpus_n <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN c.corpus_n <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS rare_rate
+FROM b JOIN c USING (bigram)
+GROUP BY b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (the pre-training hygiene step): flag training
+# docs sharing any word 5-gram with a held-out benchmark set (here:
+# source 'src0' plays the benchmark; the rest is the training corpus).
+# The benchmark gram set is eval-suite-sized at any corpus scale, so it
+# BROADCASTS — the 100 TB plan streams the training grams with no shuffle
+# on the big side. Distinct grams per doc → n_shared_grams is the count
+# of distinct contaminated grams.
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    base = (
+        docs.select("doc_id", "source", F.col("tokens").alias("_t"))
+        .filter(F.size("_t") >= 5)
+        .localCheckpoint(eager=False)
+    )
+    n = F.size("_t")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 4),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, 5)),
+        )
+    )
+    exploded = base.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = exploded.filter(F.col("source") == "src0").select("gram").distinct()
+    train = exploded.filter(F.col("source") != "src0")
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_grams"))
+    )
+
+
+BENCHMARK_DECONTAMINATION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS gram
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i)
+  WHERE len(t) >= 5
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE source = 'src0'
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM g JOIN bench USING (gram)
+WHERE g.source <> 'src0'
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
+    "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
+    "benchmark_decontamination": (
+        benchmark_decontamination,
+        BENCHMARK_DECONTAMINATION_SQL,
+    ),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
