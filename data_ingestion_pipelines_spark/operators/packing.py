@@ -1,0 +1,77 @@
+"""Sequence packing: concat-and-chunk documents into fixed token budgets.
+
+The standard pretraining batch-prep step (GPT-style): within a shard,
+documents concatenate into one token stream which is split into
+fixed-size chunks; a chunk may span multiple documents and a document
+may straddle chunks. The operator emits the chunk MANIFEST — one row per
+(document × chunk it overlaps) with exact token slice offsets — which is
+what a downstream tokenizer/loader needs to materialize training
+sequences without ever re-scanning the corpus.
+
+All math is integer-exact (prefix sums and floor division), so the
+manifest is deterministic and cross-engine hashable.
+
+Scale shape: the prefix sum is a window per SHARD (source / file / date
+partition — thousands of independent shards at 100 TB), so packing
+parallelizes across shards while staying sequential within one, which is
+exactly the contract concat-packing requires. No global ordering, no
+driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    budget: int,
+    shard_cols: list[str],
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Chunk manifest for concat-and-chunk packing.
+
+    Documents order by ``id_col`` within each shard; ``budget`` is the
+    chunk size in tokens. Output, one row per (doc, chunk) overlap:
+
+    - ``chunk_id``   — 0-based chunk index within the shard
+    - ``doc_offset`` — token offset of the doc's start in the shard stream
+    - ``slice_start``/``slice_len`` — the doc-relative token slice that
+      lands in this chunk
+
+    Zero-token docs are dropped (they occupy no stream positions).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = F.lit(budget)
+    n = F.col(token_col)
+    with_off = (
+        df.filter(n > 0)
+        .withColumn("doc_offset", (F.sum(token_col).over(w) - n).cast("bigint"))
+    )
+    first_c = F.floor(F.col("doc_offset") / b)
+    last_c = F.floor((F.col("doc_offset") + n - 1) / b)
+    out = with_off.select(
+        *shard_cols,
+        id_col,
+        "doc_offset",
+        n.alias("_n"),
+        F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
+    )
+    slice_start = F.greatest(F.lit(0), F.col("chunk_id") * b - F.col("doc_offset"))
+    slice_end = F.least(F.col("_n"), (F.col("chunk_id") + 1) * b - F.col("doc_offset"))
+    return out.select(
+        *shard_cols,
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "doc_offset",
+        slice_start.cast("bigint").alias("slice_start"),
+        (slice_end - slice_start).cast("bigint").alias("slice_len"),
+    )

@@ -59,7 +59,7 @@ _PRIORITY = [
     "doc_repetition_ratio",
     "contaminated_docs",
     "doc_chunks",
-    "token_postings",
+    "packed_doc_chunks",
     "doc_rare_bigram_rate",
     "benchmark_decontamination",
     "stratified_docs_sample",

@@ -947,8 +947,45 @@ GROUP BY g.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Sequence packing manifest (concat-and-chunk, 256-token budget, sharded
+# by source): the exact (doc × chunk) slice map a training loader needs.
+# Integer prefix sums + floor division only — deterministic, hashable.
+def packed_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_concat_chunks
+    from ..operators.text import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    return pack_concat_chunks(
+        docs.select("source", "doc_id", "n_tokens"),
+        budget=256,
+        shard_cols=["source"],
+    )
+
+
+PACKED_DOC_CHUNKS_SQL = f"""
+WITH tok AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+), off AS (
+  SELECT source, doc_id, n,
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+              AS BIGINT) AS doc_offset
+  FROM tok WHERE n > 0
+)
+SELECT source, doc_id, CAST(c AS BIGINT) AS chunk_id, doc_offset,
+       CAST(greatest(0, c * 256 - doc_offset) AS BIGINT) AS slice_start,
+       CAST(least(n, (c + 1) * 256 - doc_offset)
+            - greatest(0, c * 256 - doc_offset) AS BIGINT) AS slice_len
+FROM off, LATERAL (
+  SELECT unnest(generate_series(doc_offset // 256, (doc_offset + n - 1) // 256)) AS c
+)
+"""
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
+    "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     "benchmark_decontamination": (
         benchmark_decontamination,
         BENCHMARK_DECONTAMINATION_SQL,

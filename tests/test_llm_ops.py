@@ -232,3 +232,44 @@ def test_tfidf_top_terms(spark):
     assert d3["zebra"]["rank"] == 2 and abs(d3["zebra"]["tfidf"] - 0.75) < 1e-12
     # stopwords never appear
     assert all(r["term"] not in {"the", "and", "of"} for r in out)
+
+
+def test_pack_concat_chunks_manifest(spark):
+    from data_ingestion_pipelines_spark.operators.packing import pack_concat_chunks
+
+    docs = spark.createDataFrame(
+        [
+            ("a", 1, 100),  # chunk 0, offset 0
+            ("a", 2, 200),  # offset 100 -> straddles chunks 0 and 1 (budget 256)
+            ("a", 3, 0),    # zero tokens: dropped
+            ("a", 4, 300),  # offset 300 -> chunks 1 and 2
+            ("b", 9, 10),   # separate shard packs independently from offset 0
+        ],
+        "source string, doc_id bigint, n_tokens bigint",
+    )
+    rows = {
+        (r["source"], r["doc_id"], r["chunk_id"]): r
+        for r in pack_concat_chunks(docs, 256, ["source"]).collect()
+    }
+    assert set(rows) == {
+        ("a", 1, 0), ("a", 2, 0), ("a", 2, 1), ("a", 4, 1), ("a", 4, 2), ("b", 9, 0),
+    }
+    # doc 2: tokens [0,156) land in chunk 0, [156,200) in chunk 1
+    assert (rows[("a", 2, 0)]["slice_start"], rows[("a", 2, 0)]["slice_len"]) == (0, 156)
+    assert (rows[("a", 2, 1)]["slice_start"], rows[("a", 2, 1)]["slice_len"]) == (156, 44)
+    # doc 4 starts at offset 300 (doc 3 contributed nothing)
+    assert rows[("a", 4, 1)]["doc_offset"] == 300
+    # slices of each doc tile the doc exactly
+    for (src, did, _), r in rows.items():
+        total = sum(
+            x["slice_len"] for k, x in rows.items() if k[0] == src and k[1] == did
+        )
+        n = {1: 100, 2: 200, 4: 300, 9: 10}[did]
+        assert total == n
+    # every chunk except each shard's last is exactly full
+    from collections import defaultdict
+    per_chunk = defaultdict(int)
+    for (src, _, cid), r in rows.items():
+        per_chunk[(src, cid)] += r["slice_len"]
+    assert per_chunk[("a", 0)] == 256 and per_chunk[("a", 1)] == 256
+    assert per_chunk[("a", 2)] == 88 and per_chunk[("b", 0)] == 10
