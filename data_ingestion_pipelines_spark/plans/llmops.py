@@ -983,8 +983,112 @@ FROM off, LATERAL (
 """
 
 
+# --------------------------------------------------------------------------
+# Curation attrition funnel: cumulative survivor counts for each curation
+# stage — total → quality filter → language filter → exact-dedup unique —
+# in ONE scan and ONE aggregate (conditional sums + one conditional
+# count-distinct), the expectations-style pattern: adding stages never
+# adds scans. The operational readout a 100 TB curation run reports.
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = with_quality_signals(_t(spark, sf_dir, "documents"))
+    sig = with_language_id(sig)
+    sig = with_fingerprint(sig)
+    q = (
+        (F.col("n_tokens") >= 30)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("punct_ratio") <= 0.3)
+    )
+    ql = q & (F.col("lang_pred") == "en")
+    agg = sig.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(q.cast("bigint")).alias("n_quality"),
+        F.sum(ql.cast("bigint")).alias("n_lang"),
+        F.countDistinct(F.when(ql, F.col("fingerprint"))).alias("n_unique"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'all', n_total, 'quality', n_quality, "
+            "'lang_en', n_lang, 'dedup_unique', n_unique) AS (stage, n_pass)"
+        )
+    ).select("stage", F.col("n_pass").cast("bigint").alias("n_pass"))
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+           / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['en']}, x))) AS s_en,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['de']}, x))) AS s_de,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['fr']}, x))) AS s_fr,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['es']}, x))) AS s_es
+  FROM documents
+), p AS (
+  SELECT fp,
+         (n_tokens BETWEEN 30 AND 100000 AND punct_ratio <= 0.3) AS q,
+         (n_tokens BETWEEN 30 AND 100000 AND punct_ratio <= 0.3
+          AND CASE WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                   WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                   WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+                   WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                   ELSE 'und' END = 'en') AS ql
+  FROM sig
+)
+SELECT 'all' AS stage, CAST(COUNT(*) AS BIGINT) AS n_pass FROM p
+UNION ALL
+SELECT 'quality', CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) FROM p
+UNION ALL
+SELECT 'lang_en', CAST(SUM(CASE WHEN ql THEN 1 ELSE 0 END) AS BIGINT) FROM p
+UNION ALL
+SELECT 'dedup_unique', CAST(COUNT(DISTINCT CASE WHEN ql THEN fp END) AS BIGINT) FROM p
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate mining: the first step of byte-pair-encoding
+# vocabulary induction — corpus-wide counts of adjacent character pairs
+# INSIDE word tokens, top-20 with a full (count DESC, pair ASC) tiebreak.
+# Two explodes then one map-side-combinable count on a uniform short-string
+# key; no Python.
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode("tokens").alias("tok")).filter(F.length("tok") >= 2)
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.col("tok").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    counts = tok.select(pair).groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    top = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(20)
+    return top.select("pair", "n", F.row_number().over(w).cast("bigint").alias("rk"))
+
+
+BPE_MERGE_CANDIDATES_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS t FROM documents
+), p AS (
+  SELECT substr(t, i, 2) AS pair
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, length(t) - 1)) AS i)
+  WHERE length(t) >= 2
+), c AS (
+  SELECT pair, COUNT(*) AS n FROM p GROUP BY 1
+), rk AS (
+  SELECT pair, n,
+         CAST(row_number() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rk
+  FROM c
+)
+SELECT pair, n, rk FROM rk WHERE rk <= 20
+"""
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
+    "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
+    "bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     "benchmark_decontamination": (
         benchmark_decontamination,
