@@ -481,7 +481,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, queries, k=10, num_tables=4, bits=6, dim=64)
+    return lsh_topk(emb, queries, k=10, num_tables=16, bits=6, dim=64)
 
 
 # --------------------------------------------------------------------------
@@ -1085,10 +1085,47 @@ SELECT pair, n, rk FROM rk WHERE rk <= 20
 """
 
 
+# --------------------------------------------------------------------------
+# ANN quality readout: recall@10 of each approximate index (LSH, IVF)
+# against the exact brute-force answer, per query — the operational
+# metric an ANN deployment monitors. Rows-only (the approximate sides
+# hash with xxhash64, no DuckDB twin); the recall FLOOR is asserted in
+# tests/test_llm_ops.py. One semi-join per method on (query_id, vec_id),
+# broadcast (k rows per query).
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    out = []
+    for method, approx in (
+        ("lsh", lsh_topk(emb, queries, k=10, num_tables=16, bits=6, dim=64)),
+        ("ivf", ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4, lloyd_iters=2)),
+    ):
+        hits = exact.join(
+            F.broadcast(approx.select("query_id", "vec_id")),
+            ["query_id", "vec_id"],
+            "left_semi",
+        )
+        out.append(
+            hits.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.col("n_hit").cast("bigint").alias("n_hit"),
+                (F.col("n_hit").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL),
+    "ann_recall_report": (ann_recall_report, None),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     "benchmark_decontamination": (
         benchmark_decontamination,

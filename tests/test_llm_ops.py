@@ -273,3 +273,18 @@ def test_pack_concat_chunks_manifest(spark):
         per_chunk[(src, cid)] += r["slice_len"]
     assert per_chunk[("a", 0)] == 256 and per_chunk[("a", 1)] == 256
     assert per_chunk[("a", 2)] == 88 and per_chunk[("b", 0)] == 10
+
+
+def test_ann_recall_report_floor(spark):
+    from data_ingestion_pipelines_spark.plans.llmops import ann_recall_report
+
+    rows = ann_recall_report(spark, "/root/testdata/sf0.001").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["method"], []).append(r["recall_at_10"])
+    assert set(by) == {"lsh", "ivf"}
+    floors = {"lsh": 0.5, "ivf": 0.8}
+    for method, recalls in by.items():
+        assert len(recalls) == 5
+        mean = sum(recalls) / len(recalls)
+        assert mean >= floors[method], (method, recalls)
