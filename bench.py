@@ -46,6 +46,12 @@ HEADLINE = [
     "nation_trade_flows",
     "lonely_late_suppliers",
     "top_tokens_by_source",
+    # round-3 flagship LLM-ops additions
+    "packed_doc_chunks",
+    "doc_rare_bigram_rate",
+    "benchmark_decontamination",
+    "bpe_merge_candidates",
+    "curation_funnel",
 ]
 
 
