@@ -288,3 +288,42 @@ def test_scd2_invariants(spark, events):
         # collapse guarantee: consecutive intervals never repeat a state
         for a, b in zip(intervals, intervals[1:]):
             assert a["state"] != b["state"]
+
+
+@given(left=_asof_left, right=_asof_right,
+       direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 0, 5, 50, 1000]))
+@SETTINGS
+def test_asof_join_direction_tolerance_matches_pandas(spark, left, right, direction, tol):
+    """The forward + tolerance paths (the round-2 NTZ crash site) against
+    pandas merge_asof, which implements the reference semantics."""
+    import pandas as pd
+
+    from data_ingestion_pipelines_spark.operators.temporal_joins import asof_join
+
+    right = list({(k, t): (k, t, v) for k, t, v in right}.values())
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(k, base + dt.timedelta(seconds=t), i) for i, (k, t) in enumerate(left)]
+    rrows = [(k, base + dt.timedelta(seconds=t), v) for k, t, v in right]
+    ldf = spark.createDataFrame(lrows, "k int, ts timestamp, rowid int")
+    rdf = spark.createDataFrame(rrows, "k int, ts timestamp, v int")
+
+    got = {
+        r["rowid"]: r["v_matched"]
+        for r in asof_join(
+            ldf, rdf, on="ts", by=["k"], right_cols=["v"],
+            direction=direction, tolerance_sec=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "rowid"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts", kind="stable")
+    ref = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    want = {
+        int(row.rowid): (None if pd.isna(row.v) else int(row.v))
+        for row in ref.itertuples()
+    }
+    assert got == want
