@@ -70,6 +70,31 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingest dedup: new-batch docs that are NOT already in
+    the corpus (by normalized-content fingerprint), intra-batch deduped
+    to the lowest id first.
+
+    The corpus side reduces to its distinct fingerprint set before the
+    anti-join — at 100 TB that fingerprint index is the thing a curation
+    service keeps hot (32 bytes/doc), and the join keys on the uniform
+    md5 hash, so the new batch (the small side) shuffles cheaply against
+    it. This is the per-delivery complement of the full-corpus
+    ``exact_dedup``.
+    """
+    batch = exact_dedup(new_batch, text_col, id_col)
+    batch_fp = with_fingerprint(batch, text_col, out="_fp")
+    corpus_fp = with_fingerprint(
+        corpus.select(text_col), text_col, out="_fp"
+    ).select("_fp").distinct()
+    return batch_fp.join(corpus_fp, "_fp", "left_anti").drop("_fp")
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles as strings (distinct), from lowercase word tokens."""
     toks = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)

@@ -1121,11 +1121,58 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1])
 
 
+# --------------------------------------------------------------------------
+# Incremental-ingest dedup: a new delivery (sources src16–19 plus
+# re-delivered copies of corpus docs under shifted ids) deduped against
+# the existing corpus's fingerprint index. The re-delivered copies must
+# ALL drop; genuinely-new docs survive. The corpus side is its distinct
+# 32-byte fingerprint set — the thing a curation service keeps hot.
+_NEW_SOURCES = ("src16", "src17", "src18", "src19")
+
+
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.filter(~F.col("source").isin(*_NEW_SOURCES))
+    fresh = docs.filter(F.col("source").isin(*_NEW_SOURCES))
+    redelivered = corpus.select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"), "source", "text"
+    )
+    new_batch = fresh.unionByName(redelivered)
+    return incremental_dedup(new_batch, corpus).select("doc_id")
+
+
+INCREMENTAL_DEDUP_NEW_DOCS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE source NOT IN {_NEW_SOURCES!r}
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE source IN {_NEW_SOURCES!r}
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text FROM corpus
+), batch_dedup AS (
+  SELECT MIN(doc_id) AS doc_id,
+         md5(regexp_replace(lower(MIN_BY(text, doc_id)), '[^a-z0-9]', '', 'g')) AS fp
+  FROM batch
+  GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+)
+SELECT doc_id FROM batch_dedup b
+WHERE NOT EXISTS (
+  SELECT 1 FROM corpus c
+  WHERE md5(regexp_replace(lower(c.text), '[^a-z0-9]', '', 'g')) = b.fp
+)
+"""
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL),
     "ann_recall_report": (ann_recall_report, None),
+    "incremental_dedup_new_docs": (
+        incremental_dedup_new_docs,
+        INCREMENTAL_DEDUP_NEW_DOCS_SQL,
+    ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     "benchmark_decontamination": (
         benchmark_decontamination,
