@@ -66,7 +66,9 @@ def urllib_transport(
     )
     try:
         with urllib.request.urlopen(req, timeout=timeout_sec) as resp:
-            return Response(resp.status, resp.read().decode(), dict(resp.headers))
+            # non-HTTP schemes (file://) report status None on success
+            status = resp.status if resp.status is not None else 200
+            return Response(status, resp.read().decode(), dict(resp.headers))
     except urllib.error.HTTPError as ex:
         return Response(ex.code, ex.read().decode(errors="replace"), dict(ex.headers or {}))
 

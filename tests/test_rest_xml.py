@@ -217,3 +217,42 @@ def test_xml_bodies_to_df(spark):
 
     single = parse_xml_string(spark, SOAP, "Envelope;Body;Response;Row", ["Tag"])
     assert {r["Tag"] for r in single.collect()} == {"T1", "T2"}
+
+
+def test_rest_datasource_paged_read(spark, tmp_path):
+    """spark.read.format('rest'): one task per page range, executor-side
+    fetch via file:// URLs (same urllib transport as http)."""
+    import json as _json
+
+    from data_ingestion_pipelines_spark.sources.datasource import RestDataSource
+
+    for p in range(1, 4):
+        (tmp_path / f"page{p}.json").write_text(
+            _json.dumps([{"id": p * 10 + i, "name": f"n{p}-{i}"} for i in range(4)])
+        )
+    spark.dataSource.register(RestDataSource)
+    url = f"file://{tmp_path}/page{{page}}.json"
+
+    df = (
+        spark.read.format("rest")
+        .schema("id INT, name STRING")
+        .option("url", url)
+        .option("pages", "3")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one task per page
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert len(rows) == 12 and rows[21] == "n2-1"
+
+    # default schema: raw JSON strings in `value`
+    raw = (
+        spark.read.format("rest")
+        .option("url", url)
+        .option("pages", "3")
+        .option("pages_per_task", "2")
+        .load()
+    )
+    assert raw.columns == ["value"]
+    assert raw.rdd.getNumPartitions() == 2  # ceil(3/2) page ranges
+    assert raw.count() == 12
+    assert all('"id"' in r["value"] for r in raw.collect())
