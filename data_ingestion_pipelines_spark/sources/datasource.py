@@ -26,7 +26,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _DEFAULT_SCHEMA = "value STRING"
@@ -62,6 +67,60 @@ class RestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _RestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "SimpleDataSourceStreamReader":
+        return _RestStreamReader(schema, self.options)
+
+
+class _RestStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch page tailer: offset = next unread page number.
+
+    Each batch polls forward from the checkpointed page until a page is
+    missing/404 (the "no new data yet" signal) or ``max_pages_per_batch``
+    is hit, so a continuously-published page feed streams incrementally
+    with exactly-once pages (offsets ride Spark's checkpoint, mirroring
+    the engine's watermark RMW for batch INC loads)."""
+
+    def __init__(self, schema: StructType, options: dict):
+        url = options.get("url")
+        if not url or "{page}" not in url:
+            raise ValueError("rest stream requires option 'url' with '{page}'")
+        self._url = url
+        self._start = int(options.get("start_page", "1"))
+        self._max_per_batch = int(options.get("max_pages_per_batch", "10"))
+        self._names = [f.name for f in schema.fields]
+        self._raw = self._names == ["value"] and (
+            schema.fields[0].dataType.simpleString() == "string"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"page": self._start}
+
+    def read(self, start: dict):
+        from .rest import urllib_transport
+
+        page = int(start["page"])
+        rows: list[tuple] = []
+        for _ in range(self._max_per_batch):
+            try:
+                resp = urllib_transport(self._url.format(page=page))
+            except Exception:
+                break  # unreachable endpoint this poll — retry next batch
+            if not resp.ok:
+                break  # page not published yet
+            records = json.loads(resp.body)
+            if not isinstance(records, list):
+                records = [records]
+            for rec in records:
+                if self._raw:
+                    rows.append((json.dumps(rec, sort_keys=True),))
+                else:
+                    rows.append(tuple(rec.get(n) for n in self._names))
+            page += 1
+        return iter(rows), {"page": page}
+
+    def commit(self, end: dict) -> None:
+        pass  # no source-side bookkeeping; the checkpoint owns progress
 
 
 class _RestReader(DataSourceReader):

@@ -94,3 +94,49 @@ def test_foreach_batch_upsert(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got == {(1, "new"), (2, "ins")}
+
+
+def test_rest_datasource_stream_tails_pages(spark, tmp_path):
+    """spark.readStream.format('rest'): micro-batch page tailer — pages
+    published between batches are picked up; offsets checkpoint as the
+    next unread page."""
+    import json as _json
+    import time as _time
+
+    from data_ingestion_pipelines_spark.sources.datasource import RestDataSource
+
+    def publish(p):
+        (tmp_path / f"page{p}.json").write_text(
+            _json.dumps([{"id": p * 10 + i} for i in range(3)])
+        )
+
+    publish(1)
+    publish(2)
+    spark.dataSource.register(RestDataSource)
+    stream = (
+        spark.readStream.format("rest")
+        .schema("id INT")
+        .option("url", f"file://{tmp_path}/page{{page}}.json")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_tail")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM rest_tail").first()["c"] >= 6:
+                break
+            _time.sleep(0.5)
+        publish(3)  # lands after the stream started
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM rest_tail").first()["c"] >= 9:
+                break
+            _time.sleep(0.5)
+        got = {r["id"] for r in spark.sql("SELECT id FROM rest_tail").collect()}
+    finally:
+        q.stop()
+    assert got == {10, 11, 12, 20, 21, 22, 30, 31, 32}
