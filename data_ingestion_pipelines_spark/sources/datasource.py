@@ -26,11 +26,15 @@ from __future__ import annotations
 
 import json
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -70,6 +74,71 @@ class RestDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "SimpleDataSourceStreamReader":
         return _RestStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "DataSourceWriter":
+        return _RestWriter(schema, self.options)
+
+
+@dataclass
+class _PostCommit(WriterCommitMessage):
+    n_rows: int
+    n_batches: int
+
+
+class _RestWriter(DataSourceWriter):
+    """Executor-side JSON POST sink (``df.write.format("rest")``).
+
+    Rows batch into JSON arrays of ``batch_size`` records, each POSTed to
+    ``url`` from the executors — distributed write-back with no driver
+    collect, the DataSource-API form of the reference's notify/export
+    webhooks. Per-task commit messages report row/batch counts; a non-2xx
+    response fails the task, so Spark's retry machinery drives
+    at-least-once delivery (receivers should dedupe on a payload key,
+    same contract as the engine's runlog appends).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        url = options.get("url")
+        if not url:
+            raise ValueError("rest writer requires option 'url'")
+        self._url = url
+        self._batch = max(int(options.get("batch_size", "500")), 1)
+        self._names = [f.name for f in schema.fields]
+
+    def write(self, rows) -> _PostCommit:
+        from .rest import urllib_transport
+
+        n_rows = n_batches = 0
+        buf: list[dict] = []
+
+        def flush():
+            nonlocal n_batches
+            if not buf:
+                return
+            resp = urllib_transport(
+                self._url,
+                method="POST",
+                headers={"Content-Type": "application/json"},
+                body=json.dumps(buf),
+            )
+            if not resp.ok:
+                raise RuntimeError(f"POST {self._url}: HTTP {resp.status}")
+            n_batches += 1
+            buf.clear()
+
+        for row in rows:
+            buf.append({n: row[i] for i, n in enumerate(self._names)})
+            n_rows += 1
+            if len(buf) >= self._batch:
+                flush()
+        flush()
+        return _PostCommit(n_rows=n_rows, n_batches=n_batches)
+
+    def commit(self, messages) -> None:
+        pass  # nothing to finalize — POSTs are already delivered
+
+    def abort(self, messages) -> None:
+        pass  # partial POSTs stand; receivers dedupe (at-least-once)
 
 
 class _RestStreamReader(SimpleDataSourceStreamReader):

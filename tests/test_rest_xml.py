@@ -256,3 +256,48 @@ def test_rest_datasource_paged_read(spark, tmp_path):
     assert raw.rdd.getNumPartitions() == 2  # ceil(3/2) page ranges
     assert raw.count() == 12
     assert all('"id"' in r["value"] for r in raw.collect())
+
+
+def test_rest_datasource_writer_posts_batches(spark, tmp_path):
+    """df.write.format('rest'): executor-side batched JSON POSTs against
+    a local HTTP server; all rows arrive, batched per batch_size."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from data_ingestion_pipelines_spark.sources.datasource import RestDataSource
+
+    received: list[list[dict]] = []
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                received.append(_json.loads(body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        spark.dataSource.register(RestDataSource)
+        df = spark.createDataFrame(
+            [(i, f"n{i}") for i in range(10)], "id int, name string"
+        ).repartition(2)
+        (
+            df.write.format("rest")
+            .option("url", f"http://127.0.0.1:{server.server_port}/ingest")
+            .option("batch_size", "3")
+            .mode("append")
+            .save()
+        )
+        flat = {r["id"]: r["name"] for batch in received for r in batch}
+        assert flat == {i: f"n{i}" for i in range(10)}
+        assert all(len(b) <= 3 for b in received)
+        assert len(received) >= 4  # 10 rows / batch 3 across 2 partitions
+    finally:
+        server.shutdown()
