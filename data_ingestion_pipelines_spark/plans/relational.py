@@ -3237,8 +3237,50 @@ GROUP BY dev.p_brand
 """
 
 
+# --------------------------------------------------------------------------
+# Z-order clustering keys (operators/layout.py) under the oracle gate:
+# the interleaved-bits key is pure integer/double math, so DuckDB can
+# recompute it bit-for-bit — min/max normalize (exact doubles, identical
+# IEEE rounding in both engines), 8-bit cells, round-robin interleave.
+def part_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import with_zorder_key
+
+    part = _t(spark, sf_dir, "part")
+    return with_zorder_key(
+        part.select("p_partkey", "p_retailprice", "p_size"),
+        cols=["p_retailprice", "p_size"],
+        bits=8,
+        out="zkey",
+    ).select("p_partkey", "zkey")
+
+
+def _zorder_sql_terms(bits: int, ncols: int) -> str:
+    terms = []
+    for j in range(ncols):
+        for i in range(bits):
+            terms.append(f"(((c{j} >> {i}) & 1) << {i * ncols + j})")
+    return " + ".join(terms)
+
+
+PART_ZORDER_KEYS_SQL = f"""
+WITH stats AS (
+  SELECT min(CAST(p_retailprice AS DOUBLE)) AS mn0, max(CAST(p_retailprice AS DOUBLE)) AS mx0,
+         min(CAST(p_size AS DOUBLE)) AS mn1, max(CAST(p_size AS DOUBLE)) AS mx1
+  FROM part
+), cells AS (
+  SELECT p_partkey,
+         CAST(floor(least(greatest((CAST(p_retailprice AS DOUBLE) - mn0) / (mx0 - mn0), 0.0), 1.0) * 255.0) AS BIGINT) AS c0,
+         CAST(floor(least(greatest((CAST(p_size AS DOUBLE) - mn1) / (mx1 - mn1), 0.0), 1.0) * 255.0) AS BIGINT) AS c1
+  FROM part, stats
+)
+SELECT p_partkey, CAST({_zorder_sql_terms(8, 2)} AS BIGINT) AS zkey
+FROM cells
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
     "brand_price_robust_outliers": (
         brand_price_robust_outliers,
