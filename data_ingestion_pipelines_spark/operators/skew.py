@@ -78,3 +78,44 @@ def salted_aggregate(
         F.sum("_cnt").cast("bigint").alias("n_rows"),
         *[F.sum(f"_s_{c}").alias(f"sum_{c}") for c in sums],
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostics: the readout that decides between a
+    plain shuffle, AQE skew splitting, and explicit salting.
+
+    One count aggregate on the key (map-side combinable), one 1-row
+    global summary broadcast onto the top rows. Output, one row per
+    top-N key (count DESC, keys ASC tiebreak): the key columns, ``n``,
+    ``share`` (exact single division), ``rank``, plus the global
+    ``n_rows``/``n_keys``/``avg_per_key`` context. A top key with
+    share ≫ 1/n_keys is the salting signal.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in key_cols])
+    top = (
+        counts.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in key_cols])
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        *key_cols,
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("n_rows").cast("double")).alias("share"),
+        "rank",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")).alias(
+            "avg_per_key"
+        ),
+    )

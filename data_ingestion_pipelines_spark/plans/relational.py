@@ -3278,9 +3278,38 @@ FROM cells
 """
 
 
+# --------------------------------------------------------------------------
+# Skew diagnostics on the events key distribution: the readout that
+# decides plain-shuffle vs AQE skew split vs explicit salting.
+def event_type_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, ["event_type"], top_n=10)
+
+
+EVENT_TYPE_SKEW_REPORT_SQL = """
+WITH c AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys FROM c
+), rk AS (
+  SELECT event_type, n,
+         CAST(row_number() OVER (ORDER BY n DESC, event_type ASC) AS BIGINT) AS rank
+  FROM c
+)
+SELECT rk.event_type, CAST(rk.n AS BIGINT) AS n,
+       CAST(rk.n AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS share,
+       rk.rank, t.n_rows, t.n_keys,
+       CAST(t.n_rows AS DOUBLE) / CAST(t.n_keys AS DOUBLE) AS avg_per_key
+FROM rk, t WHERE rk.rank <= 10
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
+    "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
     "brand_price_robust_outliers": (
         brand_price_robust_outliers,

@@ -1,0 +1,57 @@
+"""Stream-stream joins: correlating two live event streams.
+
+Engine extension beyond the reference (whose only streaming consumption
+is a single table); the canonical use is attribution — match each
+purchase to the same user's view within a bounded look-back, while BOTH
+sides are unbounded streams.
+
+The semantics Spark requires (and this module packages):
+- both sides carry an event-time watermark, which bounds how long a
+  buffered row waits for its match — that bound is what lets the state
+  store evict, so state stays O(watermark × rate) at any runtime length;
+- the join condition pairs an equi-key (user_id) with an event-time
+  interval (view.ts ∈ [purchase.ts − lookback, purchase.ts]), giving the
+  planner the range it needs to garbage-collect both buffers.
+
+At 100 TB-rate streams the shuffle keys on the equi-column (uniform,
+high-cardinality user ids) and state is partitioned the same way — the
+same shape as the batch as-of join, continuously maintained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_sec: int = 3600,
+    watermark: str = "10 minutes",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Inner-join two streams on ``key`` where the left event precedes
+    the right event by at most ``lookback_sec``.
+
+    Columns come back prefixed (``l_``/``r_``) so both sides' payloads
+    survive the join unambiguously.
+    """
+    l = left.withWatermark(left_ts, watermark).select(
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    )
+    lk, rk = f"{left_prefix}{key}", f"{right_prefix}{key}"
+    lt, rt = f"{left_prefix}{left_ts}", f"{right_prefix}{right_ts}"
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(lt) <= F.col(rt))
+        & (F.col(lt) >= F.col(rt) - F.expr(f"INTERVAL {lookback_sec} SECONDS"))
+    )
+    return l.join(r, cond, "inner")

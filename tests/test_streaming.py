@@ -140,3 +140,52 @@ def test_rest_datasource_stream_tails_pages(spark, tmp_path):
     finally:
         q.stop()
     assert got == {10, 11, 12, 20, 21, 22, 30, 31, 32}
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Two file streams (views, purchases) joined on user within a 1-hour
+    look-back: each purchase matches only preceding, in-window views."""
+    import datetime as dt
+
+    from data_ingestion_pipelines_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    views = [
+        (1, base, "v1"),
+        (1, base + dt.timedelta(minutes=90), "v2"),
+        (2, base, "v3"),
+    ]
+    purchases = [
+        (1, base + dt.timedelta(minutes=30), "p1"),   # matches v1 only
+        (1, base + dt.timedelta(minutes=100), "p2"),  # matches v2 only (v1 out of window)
+        (3, base + dt.timedelta(minutes=10), "p3"),   # no view -> drops
+    ]
+    vdir, pdir = tmp_path / "views", tmp_path / "purch"
+    spark.createDataFrame(views, "user_id bigint, ts timestamp, view_id string") \
+        .write.parquet(str(vdir))
+    spark.createDataFrame(purchases, "user_id bigint, ts timestamp, purchase_id string") \
+        .write.parquet(str(pdir))
+
+    vschema = "user_id bigint, ts timestamp, view_id string"
+    pschema = "user_id bigint, ts timestamp, purchase_id string"
+    vs = spark.readStream.schema(vschema).parquet(str(vdir))
+    ps = spark.readStream.schema(pschema).parquet(str(pdir))
+
+    joined = stream_stream_interval_join(
+        vs, ps, key="user_id", lookback_sec=3600, watermark="10 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["r_purchase_id"], r["l_view_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got == {("p1", "v1"), ("p2", "v2")}
