@@ -57,12 +57,12 @@ _PRIORITY = [
     "doc_fingerprints",
     "pii_redacted_docs",
     "doc_repetition_ratio",
-    "contaminated_docs",
-    "doc_chunks",
+    "bpe_merge_candidates",
+    "incremental_dedup_new_docs",
     "packed_doc_chunks",
     "doc_rare_bigram_rate",
     "benchmark_decontamination",
-    "stratified_docs_sample",
+    "curation_funnel",
     # ingestion gates
     "xml_extract",
     "rest_fetch_per_id",
@@ -88,8 +88,8 @@ _PRIORITY = [
     "correlated_explode",
     # relational spine
     "pricing_summary",
-    "revenue_by_nation",
-    "outer_coalesce_refresh",
+    "part_zorder_keys",
+    "event_type_skew_report",
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)
