@@ -1,0 +1,68 @@
+"""Document → embedding plumbing (text side of the multimodal pattern).
+
+A training-data pipeline embeds documents to drive ANN dedup/search
+(`operators/similarity.py`). Real encoders (sentence-transformers, API
+calls) are not in this container, so the encoder is pluggable with the
+same contract as `operators/multimodal.py`: ``encoder=None`` uses a
+DETERMINISTIC fake — md5-derived bytes scaled to [0,1) — which is (a)
+stable across runs/partitionings, (b) exact binary fractions (byte/256),
+so a SQL oracle reproduces it bit-for-bit, and (c) pure Column algebra
+(md5 → conv hex pairs → divide), whole-stage codegen, no Python at all.
+
+A real encoder runs through ``embed_documents_batched`` instead —
+Arrow-batched ``mapInPandas`` with the model loaded once per worker, the
+shape a GPU/ONNX encoder needs. Swap in
+``lambda texts: model.encode(texts)`` at deployment.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fake_embedding_cols(text: Column, dim: int = 8) -> list[Column]:
+    """``dim`` doubles derived from md5(text): byte i / 256 — exact
+    binary fractions, engine-reproducible. dim ≤ 16 (md5 = 16 bytes)."""
+    if not 1 <= dim <= 16:
+        raise ValueError(f"dim must be in [1, 16], got {dim}")
+    h = F.md5(text)
+    return [
+        (F.conv(F.substring(h, 2 * i + 1, 2), 16, 10).cast("int") / F.lit(256.0))
+        for i in range(dim)
+    ]
+
+
+def embed_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "embedding",
+    dim: int = 8,
+) -> DataFrame:
+    """Add a deterministic ``array<double>`` embedding column (fake
+    encoder) — feeds the similarity/dedup operators in tests and CI."""
+    return df.withColumn(out, F.array(*fake_embedding_cols(F.col(text_col), dim)))
+
+
+def embed_documents_batched(
+    df: DataFrame,
+    encoder: Callable[[list[str]], "list[list[float]]"],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 384,
+) -> DataFrame:
+    """Real-encoder path: Arrow-batched ``mapInPandas``, model state held
+    per worker (init once per partition iterator, not per row)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = encoder(list(pdf[text_col]))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "embedding": list(vecs)}
+            )
+
+    return df.mapInPandas(run, f"{id_col} BIGINT, embedding ARRAY<DOUBLE>")

@@ -1164,8 +1164,34 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# Document embedding plumbing (deterministic fake encoder): md5-derived
+# exact binary fractions, pure codegen — the docs→vectors step that feeds
+# the ANN/dedup operators, verified bit-for-bit against DuckDB.
+def doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.embed import embed_documents
+
+    docs = embed_documents(_t(spark, sf_dir, "documents"), dim=8)
+    return docs.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "value")
+    ).select("doc_id", F.col("dim_idx").cast("bigint").alias("dim_idx"), "value")
+
+
+DOC_EMBEDDINGS_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+)
+SELECT doc_id, CAST(i AS BIGINT) AS dim_idx,
+       ((strpos('0123456789abcdef', substr(hx, 2 * i + 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(hx, 2 * i + 2, 1)) - 1)) / 256.0
+         AS value
+FROM h, LATERAL (SELECT unnest(generate_series(0, 7)) AS i)
+"""
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
+    "doc_embeddings": (doc_embeddings, DOC_EMBEDDINGS_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL),
     "ann_recall_report": (ann_recall_report, None),

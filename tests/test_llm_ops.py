@@ -288,3 +288,42 @@ def test_ann_recall_report_floor(spark):
         assert len(recalls) == 5
         mean = sum(recalls) / len(recalls)
         assert mean >= floors[method], (method, recalls)
+
+
+def test_embed_documents_feeds_ann(spark):
+    """The docs→vectors plumbing composes with the similarity operators:
+    deterministic fake embeddings in, exact top-1 self-match out; the
+    batched (mapInPandas) path produces identical vectors to the codegen
+    path for the same encoder math."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.embed import (
+        embed_documents,
+        embed_documents_batched,
+    )
+    from data_ingestion_pipelines_spark.operators.similarity import brute_force_topk
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    emb = embed_documents(docs, dim=8).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=1).collect()
+    assert {(r["query_id"], r["vec_id"]) for r in top} == {(0, 0), (1, 1), (2, 2)}
+
+    def py_encoder(texts):
+        return [
+            [b / 256.0 for b in hashlib.md5(t.encode()).digest()[:8]] for t in texts
+        ]
+
+    batched = embed_documents_batched(docs.limit(50), py_encoder, dim=8)
+    codegen = embed_documents(docs.limit(50), dim=8).select("doc_id", "embedding")
+    a = {r["doc_id"]: r["embedding"] for r in batched.collect()}
+    b = {r["doc_id"]: r["embedding"] for r in codegen.collect()}
+    assert a == b
