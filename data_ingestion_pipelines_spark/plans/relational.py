@@ -3306,10 +3306,33 @@ FROM rk, t WHERE rk.rank <= 10
 """
 
 
+# --------------------------------------------------------------------------
+# Mergeable HLL sketch columns (Datasketches, Spark 3.5+): per-day user
+# sketches UNION-merged into weekly estimates — the precomputed-sketch-
+# table pattern that answers distinct-count rollups at 100 TB without
+# re-scanning raw events (daily sketches persist; any date-range distinct
+# is a cheap union of sketch blobs). Estimates are approximate → rows-only
+# gate; the relative-error bound vs exact is asserted in pytest.
+def weekly_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "day").cast("date").alias("week"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint")
+            .alias("approx_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
+    "weekly_user_sketch_rollup": (weekly_user_sketch_rollup, None),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
     "brand_price_robust_outliers": (
         brand_price_robust_outliers,

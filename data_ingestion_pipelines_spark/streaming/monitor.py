@@ -1,0 +1,75 @@
+"""Streaming observability: a StreamingQueryListener that folds progress
+events into the engine's run-log shape.
+
+The reference's operational readout is its RunLog table (K7 — row counts
+and statuses appended per pipeline step); a streaming deployment needs
+the same facts continuously: rows/sec, batch durations, state size, and
+watermark lag per query. ``ProgressRecorder`` captures each
+micro-batch's progress as one flat dict (the streaming twin of a runlog
+row); ``progress_df`` lifts the buffer into a DataFrame so the same
+reporting queries run over batch and streaming runs alike.
+
+Listener callbacks fire on the driver — recording is a bounded in-memory
+append (one dict per micro-batch), flushed by the caller to a runlog
+sink on whatever cadence suits (the reference flushes per 10k rows /
+hourly; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQueryListener
+
+PROGRESS_SCHEMA = (
+    "query_id STRING, run_id STRING, name STRING, batch_id BIGINT, "
+    "timestamp STRING, num_input_rows BIGINT, input_rows_per_second DOUBLE, "
+    "process_rows_per_second DOUBLE, batch_duration_ms BIGINT, "
+    "state_rows BIGINT, watermark STRING"
+)
+
+
+class ProgressRecorder(StreamingQueryListener):
+    """Buffers one row per micro-batch progress event."""
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+        self.terminated: list[str] = []
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        state = p.stateOperators
+        self.rows.append(
+            {
+                "query_id": str(p.id),
+                "run_id": str(p.runId),
+                "name": p.name,
+                "batch_id": p.batchId,
+                "timestamp": p.timestamp,
+                "num_input_rows": p.numInputRows,
+                "input_rows_per_second": float(p.inputRowsPerSecond or 0.0),
+                "process_rows_per_second": float(p.processedRowsPerSecond or 0.0),
+                "batch_duration_ms": int(p.batchDuration),
+                "state_rows": int(sum(s.numRowsTotal for s in state)) if state else 0,
+                "watermark": p.eventTime.get("watermark") if p.eventTime else None,
+            }
+        )
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        self.terminated.append(str(event.id))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+
+def progress_df(spark: SparkSession, recorder: ProgressRecorder) -> DataFrame:
+    """The buffered progress rows as a DataFrame (runlog-joinable)."""
+    names = [
+        "query_id", "run_id", "name", "batch_id", "timestamp",
+        "num_input_rows", "input_rows_per_second", "process_rows_per_second",
+        "batch_duration_ms", "state_rows", "watermark",
+    ]
+    rows = [tuple(r[n] for n in names) for r in recorder.rows]
+    return spark.createDataFrame(rows, PROGRESS_SCHEMA)

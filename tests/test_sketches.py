@@ -128,3 +128,34 @@ def test_nulls_ignored(spark):
     )
     est = {r["quantile"]: r["value"] for r in tdigest_quantiles(df, "v", quantiles=[0.5]).collect()}
     assert est[0.5] == pytest.approx(50.5, abs=2.0)
+
+
+def test_weekly_user_sketch_rollup_epsilon(spark):
+    """Merged daily HLL sketches estimate weekly distinct users within
+    the documented Datasketches error (lgK=12 -> ~1.6% rsd; assert 5%),
+    and merging sketches loses nothing vs sketching the week directly."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.plans.relational import (
+        weekly_user_sketch_rollup,
+    )
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["week"]: r["approx_users"]
+        for r in weekly_user_sketch_rollup(spark, sf).collect()
+    }
+    ev = read_parquet_table(spark, f"{sf}/events.parquet")
+    exact = {
+        r["week"]: r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) >= 2
+    for wk, n in exact.items():
+        rel = abs(approx[wk] - n) / max(n, 1)
+        assert rel <= 0.05, (wk, approx[wk], n, rel)

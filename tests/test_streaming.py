@@ -189,3 +189,42 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attrib").collect()
     }
     assert got == {("p1", "v1"), ("p2", "v2")}
+
+
+def test_progress_recorder_captures_microbatches(spark, tmp_path):
+    """The listener buffers one runlog-shaped row per micro-batch with
+    real counts; progress_df lifts them for reporting."""
+    import time as _time
+
+    from data_ingestion_pipelines_spark.streaming.monitor import (
+        ProgressRecorder,
+        progress_df,
+    )
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        src = tmp_path / "src"
+        spark.createDataFrame(
+            [(i, f"u{i % 3}") for i in range(20)], "id bigint, user string"
+        ).write.parquet(str(src))
+        stream = spark.readStream.schema("id bigint, user string").parquet(str(src))
+        q = (
+            stream.groupBy("user").count()
+            .writeStream.format("memory").queryName("mon_test")
+            .outputMode("complete").trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck")).start()
+        )
+        q.awaitTermination(120)
+        deadline = _time.time() + 30  # listener events are async
+        while _time.time() < deadline and not any(
+            r["num_input_rows"] == 20 for r in rec.rows
+        ):
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(rec)
+    assert any(r["num_input_rows"] == 20 for r in rec.rows)
+    pdf = progress_df(spark, rec)
+    assert pdf.filter("num_input_rows = 20").count() >= 1
+    row = pdf.filter("num_input_rows = 20").first()
+    assert row["state_rows"] >= 3 and row["batch_duration_ms"] > 0
