@@ -1189,9 +1189,123 @@ FROM h, LATERAL (SELECT unnest(generate_series(0, 7)) AS i)
 """
 
 
+# --------------------------------------------------------------------------
+# Mixture token plan: the sampling-epochs config a pretraining data mix
+# compiles to. Per-source weights (config) + a global token budget →
+# target token allocation (largest-remainder-free floor split, integer
+# exact) and epoch count (ceil of target/available — >1 means the source
+# repeats). All BIGINT math, no floats anywhere.
+_MIX_WEIGHTS = {f"src{i}": (i % 4) + 1 for i in range(20)}  # config stand-in
+_MIX_BUDGET = 1_000_000
+
+
+def mixture_token_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    weights = F.create_map(
+        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
+    )
+    sum_w = sum(_MIX_WEIGHTS.values())
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+    w = weights[F.col("source")].cast("bigint")
+    target = (F.lit(_MIX_BUDGET) * w - (F.lit(_MIX_BUDGET) * w) % F.lit(sum_w)) / F.lit(sum_w)
+    target = target.cast("bigint")
+    epochs = ((target + F.col("total_tokens") - 1) - (target + F.col("total_tokens") - 1) % F.col("total_tokens")) / F.col("total_tokens")
+    return per_src.select(
+        "source",
+        "total_tokens",
+        w.alias("weight"),
+        target.alias("target_tokens"),
+        epochs.cast("bigint").alias("epochs"),
+    )
+
+
+_MIX_W_SQL = "MAP " + str({k: v for k, v in _MIX_WEIGHTS.items()})
+
+MIXTURE_TOKEN_PLAN_SQL = f"""
+WITH tok AS (
+  SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+), per_src AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens FROM tok GROUP BY 1
+), ww AS (
+  SELECT source, total_tokens,
+         CAST(({_MIX_W_SQL})[source][1] AS BIGINT) AS weight
+  FROM per_src
+), tt AS (
+  SELECT source, total_tokens, weight,
+         CAST(({_MIX_BUDGET} * weight) // {sum(_MIX_WEIGHTS.values())} AS BIGINT)
+           AS target_tokens
+  FROM ww
+)
+SELECT source, total_tokens, weight, target_tokens,
+       CAST((target_tokens + total_tokens - 1) // total_tokens AS BIGINT) AS epochs
+FROM tt
+"""
+
+
+# --------------------------------------------------------------------------
+# Quality-aware near-dup survivor selection: for each confirmed near-dup
+# pair, DROP the lower-quality side (keep-min-id keeps whichever arrived
+# first; a curation pipeline keeps the better document). Tiebreak on id
+# so re-runs are identical. Composes two already-oracled pieces — exact
+# n-gram Jaccard pairs and the exact token-count quality proxy — so the
+# whole decision is hash-verifiable.
+def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, bucket_prefix_tokens=1)
+    q = with_token_count(docs).select(
+        F.col("doc_id"), F.col("n_tokens").alias("_q")
+    )
+    qa = q.select(F.col("doc_id").alias("id_a"), F.col("_q").alias("_qa"))
+    qb = q.select(F.col("doc_id").alias("id_b"), F.col("_q").alias("_qb"))
+    scored = pairs.join(F.broadcast(qa), "id_a").join(F.broadcast(qb), "id_b")
+    keep_a = (F.col("_qa") > F.col("_qb")) | (
+        (F.col("_qa") == F.col("_qb")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.when(keep_a, F.col("id_a")).otherwise(F.col("id_b")).alias("keep_id"),
+        F.when(keep_a, F.col("id_b")).otherwise(F.col("id_a")).alias("drop_id"),
+        "jaccard",
+    )
+
+
+NEAR_DUP_QUALITY_SURVIVORS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g,
+         array_to_string(t[1:1], ' ') AS bucket,
+         CAST(len(t) AS BIGINT) AS q
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.q AS qa, b.q AS qb,
+         len(list_intersect(a.g, b.g))
+           / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
+  FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CASE WHEN qa > qb OR (qa = qb AND id_a < id_b) THEN id_a ELSE id_b END AS keep_id,
+       CASE WHEN qa > qb OR (qa = qb AND id_a < id_b) THEN id_b ELSE id_a END AS drop_id,
+       jaccard
+FROM pairs WHERE jaccard >= 0.05
+"""
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
     "doc_embeddings": (doc_embeddings, DOC_EMBEDDINGS_SQL),
+    "mixture_token_plan": (mixture_token_plan, MIXTURE_TOKEN_PLAN_SQL),
+    "near_dup_quality_survivors": (
+        near_dup_quality_survivors,
+        NEAR_DUP_QUALITY_SURVIVORS_SQL,
+    ),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_CANDIDATES_SQL),
     "ann_recall_report": (ann_recall_report, None),
