@@ -3307,6 +3307,47 @@ FROM rk, t WHERE rk.rank <= 10
 
 
 # --------------------------------------------------------------------------
+# Key-level CDC generation (inverse of apply_cdc): diff two order
+# snapshots into an I/U/D log — one full-outer join on the key, log size
+# tracks the change rate. Roundtrip (apply_cdc ∘ diff == new) is pinned
+# by a property test in tests/test_properties.py.
+def orders_cdc_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.merge import diff_snapshots
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + F.lit(500.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return diff_snapshots(old, new, ["o_orderkey"])
+
+
+ORDERS_CDC_LOG_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       n.o_orderstatus, n.o_totalprice,
+       CASE WHEN o.o_orderkey IS NULL THEN 'I'
+            WHEN n.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op
+FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+"""
+
+
+# --------------------------------------------------------------------------
 # Mergeable HLL sketch columns (Datasketches, Spark 3.5+): per-day user
 # sketches UNION-merged into weekly estimates — the precomputed-sketch-
 # table pattern that answers distinct-count rollups at 100 TB without
@@ -3333,6 +3374,7 @@ QUERIES = {
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
     "weekly_user_sketch_rollup": (weekly_user_sketch_rollup, None),
+    "orders_cdc_log": (orders_cdc_log, ORDERS_CDC_LOG_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
     "brand_price_robust_outliers": (
         brand_price_robust_outliers,

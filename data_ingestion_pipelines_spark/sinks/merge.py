@@ -114,3 +114,39 @@ def apply_cdc(
     upserts = upserts.select(*snapshot.columns)
     untouched = snapshot.join(changes.select(*keys), on=keys, how="left_anti")
     return untouched.unionByName(upserts)
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Key-level change log between two snapshots — the inverse of
+    :func:`apply_cdc`: ``apply_cdc(old, diff_snapshots(old, new)) == new``.
+
+    One full-outer join on the keys (single shuffle, same key
+    partitioning both sides): keys only in ``new`` → 'I' with the new
+    payload, only in ``old`` → 'D' (payload null), present in both with
+    any payload column differing (null-safe) → 'U'. Unchanged keys emit
+    nothing, so the log size tracks the real change rate — the artifact
+    to ship when a downstream consumer replays deltas instead of
+    re-reading 100 TB snapshots.
+    """
+    payload = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*payload).alias("_old"))
+    n = new.select(*keys, F.struct(*payload).alias("_new"))
+    j = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("_old").isNull(), F.lit("I"))
+        .when(F.col("_new").isNull(), F.lit("D"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keys,
+            *[F.col(f"_new.{c}").alias(c) for c in payload],
+            "op",
+        )
+    )

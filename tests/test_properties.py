@@ -327,3 +327,35 @@ def test_asof_join_direction_tolerance_matches_pandas(spark, left, right, direct
         for row in ref.itertuples()
     }
     assert got == want
+
+
+@given(
+    old=st.dictionaries(keys, st.one_of(st.none(), st.text(alphabet="ab", max_size=2)), max_size=8),
+    new=st.dictionaries(keys, st.one_of(st.none(), st.text(alphabet="bc", max_size=2)), max_size=8),
+)
+@SETTINGS
+def test_diff_snapshots_apply_cdc_roundtrip(spark, old, new):
+    """diff_snapshots is the exact inverse of apply_cdc:
+    apply_cdc(old, diff_snapshots(old, new)) == new, including null
+    payloads and delete/insert/update mixes."""
+    from data_ingestion_pipelines_spark.sinks.merge import apply_cdc, diff_snapshots
+
+    old_df = spark.createDataFrame(list(old.items()) or [(99, "z")], "k int, v string")
+    new_df = spark.createDataFrame(list(new.items()) or [(98, "y")], "k int, v string")
+    old = dict(old) or {99: "z"}
+    new = dict(new) or {98: "y"}
+
+    log = diff_snapshots(old_df, new_df, ["k"])
+    ops = {r["k"]: r["op"] for r in log.collect()}
+    for k in set(old) | set(new):
+        if k in old and k not in new:
+            assert ops[k] == "D"
+        elif k not in old and k in new:
+            assert ops[k] == "I"
+        elif old[k] != new[k]:
+            assert ops[k] == "U"
+        else:
+            assert k not in ops  # unchanged keys emit nothing
+
+    got = {r["k"]: r["v"] for r in apply_cdc(old_df, log, ["k"]).collect()}
+    assert got == new
