@@ -1,0 +1,94 @@
+"""Pretraining-data preparation pipeline: the end-to-end composition a
+training run actually executes, built from the engine's operators.
+
+    curate (quality/lang/exact-dedup, pipelines/corpus_curation.py)
+      → incremental dedup vs an existing corpus (operators/dedup.py)
+      → sequence packing manifest (operators/packing.py)
+      → mixture token plan (per-source weights + budget)
+
+Each stage is a DataFrame→DataFrame composition — the whole pipeline is
+ONE lazy plan per output, so Catalyst sees across stage boundaries
+(filters push into the scan; the curation projection prunes columns the
+packer never reads). Stage order is the cost model: row-local filters
+before any shuffle, dedup before packing (manifests of dropped docs are
+wasted work), packing per shard so the prefix sums parallelize.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import incremental_dedup
+from ..operators.packing import pack_concat_chunks
+from ..operators.text import with_token_count
+from .corpus_curation import CurationConfig, curate_corpus
+
+
+@dataclass
+class PretrainDataConfig:
+    curation: CurationConfig = field(default_factory=CurationConfig)
+    chunk_budget_tokens: int = 2048
+    shard_cols: tuple[str, ...] = ("source",)
+    mixture_weights: dict[str, int] = field(default_factory=dict)
+    token_budget: int = 0  # 0 disables the mixture plan
+
+
+@dataclass
+class PretrainDataOutputs:
+    curated: DataFrame           # surviving docs (+ n_tokens)
+    pack_manifest: DataFrame     # (doc × chunk) token-slice map
+    mixture_plan: DataFrame | None  # per-source targets/epochs (or None)
+
+
+def prepare_pretraining_data(
+    new_docs: DataFrame,
+    existing_corpus: DataFrame | None = None,
+    config: PretrainDataConfig = PretrainDataConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> PretrainDataOutputs:
+    """Compose curation → incremental dedup → packing → mixture plan.
+
+    ``existing_corpus``: pass the already-ingested corpus to drop
+    re-deliveries by content fingerprint; None skips that stage (first
+    load). All outputs stay lazy — callers write/collect what they need.
+    """
+    curated = curate_corpus(new_docs, config.curation, text_col, id_col)
+    if existing_corpus is not None:
+        curated = incremental_dedup(curated, existing_corpus, text_col, id_col)
+
+    if "n_tokens" not in curated.columns:
+        curated = with_token_count(curated, text_col)
+    manifest = pack_concat_chunks(
+        curated.select(*config.shard_cols, id_col, "n_tokens"),
+        budget=config.chunk_budget_tokens,
+        shard_cols=list(config.shard_cols),
+        id_col=id_col,
+    )
+
+    plan = None
+    if config.token_budget and config.mixture_weights:
+        sum_w = sum(config.mixture_weights.values())
+        wmap = F.create_map(
+            *[F.lit(x) for kv in config.mixture_weights.items() for x in kv]
+        )
+        per_src = curated.groupBy(*config.shard_cols).agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens")
+        )
+        w = F.coalesce(wmap[F.col(config.shard_cols[0])], F.lit(0)).cast("bigint")
+        budget_w = F.lit(config.token_budget) * w
+        target = ((budget_w - budget_w % F.lit(sum_w)) / F.lit(sum_w)).cast("bigint")
+        ep_num = target + F.col("total_tokens") - 1
+        plan = per_src.select(
+            *config.shard_cols,
+            "total_tokens",
+            w.alias("weight"),
+            target.alias("target_tokens"),
+            ((ep_num - ep_num % F.col("total_tokens")) / F.col("total_tokens"))
+            .cast("bigint")
+            .alias("epochs"),
+        )
+    return PretrainDataOutputs(curated, manifest, plan)

@@ -165,3 +165,58 @@ def test_curation_decontaminates(spark):
     )
     got = [r["doc_id"] for r in curate_corpus(docs, cfg).collect()]
     assert got == [1]
+
+
+def test_prepare_pretraining_data_end_to_end(spark):
+    """The composed pipeline: curated survivors are packed exactly (chunk
+    slices tile every survivor), re-delivered corpus docs drop, and the
+    mixture plan covers every surviving source with exact integer math."""
+    from data_ingestion_pipelines_spark.pipelines.corpus_curation import (
+        CurationConfig,
+    )
+    from data_ingestion_pipelines_spark.pipelines.pretraining_data import (
+        PretrainDataConfig,
+        prepare_pretraining_data,
+    )
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+    from pyspark.sql import functions as F
+
+    docs = read_parquet_table(spark, "/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)  # "already ingested"
+    new = docs.withColumn("doc_id", F.col("doc_id") + 10000)  # redelivery batch
+
+    cfg = PretrainDataConfig(
+        curation=CurationConfig(
+            min_tokens=10, allowed_languages={"en"}, near_dup_threshold=None
+        ),
+        chunk_budget_tokens=128,
+        mixture_weights={f"src{i}": 1 + (i % 3) for i in range(20)},
+        token_budget=100_000,
+    )
+    out = prepare_pretraining_data(new, existing_corpus=corpus, config=cfg)
+
+    curated = out.curated.select("doc_id", "source", "n_tokens").collect()
+    assert curated, "everything was filtered out"
+    # no curated doc may be a re-delivery of the existing corpus
+    corpus_ids = {r["doc_id"] + 10000 for r in corpus.select("doc_id").collect()}
+    assert not ({r["doc_id"] for r in curated} & corpus_ids)
+
+    # the pack manifest tiles every curated doc exactly
+    slices = out.pack_manifest.groupBy("doc_id").agg(
+        F.sum("slice_len").alias("covered")
+    )
+    joined = (
+        out.curated.select("doc_id", "n_tokens")
+        .join(slices, "doc_id", "left")
+        .collect()
+    )
+    for r in joined:
+        assert r["covered"] == r["n_tokens"], r
+
+    plan = {r["source"]: r for r in out.mixture_plan.collect()}
+    assert set(plan) == {r["source"] for r in curated}
+    for src, r in plan.items():
+        assert r["target_tokens"] == (100_000 * r["weight"]) // sum(
+            1 + (i % 3) for i in range(20)
+        )
+        assert r["epochs"] >= 1
