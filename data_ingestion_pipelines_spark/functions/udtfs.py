@@ -1,0 +1,54 @@
+"""Python UDTFs (Spark 4): SQL-callable table functions over the
+engine's row-expanding operators.
+
+The DataFrame API surfaces (``sampling.chunk_documents``,
+``sources/xml.xml_bodies_to_df``) stay the scale path — they run
+Arrow-batched with schemas fixed at plan time. These UDTFs expose the
+same logic to the SQL-only user (``LATERAL chunk_text(...)``), the way
+the reference's notebook users called helper functions inline; register
+once per session via :func:`register_udtfs`.
+
+UDTF output schemas are static, so the XML extractor emits long-form
+``(row_idx, attr, value)`` rows — ``PIVOT``/``map_from_entries`` widen
+them when columns are wanted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import udtf
+
+
+@udtf(returnType="chunk_idx INT, chunk STRING")
+class ChunkText:
+    """``LATERAL chunk_text(text, max_chars)`` → fixed-width character
+    chunks, 0-indexed. NULL text yields no rows."""
+
+    def eval(self, text: str, max_chars: int):
+        if text is None or max_chars is None or max_chars <= 0:
+            return
+        for i in range(0, len(text), max_chars):
+            yield i // max_chars, text[i : i + max_chars]
+
+
+@udtf(returnType="row_idx INT, attr STRING, value STRING")
+class ExtractXml:
+    """``LATERAL extract_xml(body, 'A;B;C', 'attr1,attr2')`` → long-form
+    attribute rows per innermost node (namespace-insensitive node-path
+    descent, same semantics as sources/xml.parse_xml_rows)."""
+
+    def eval(self, body: str, node_path: str, columns: str):
+        if body is None:
+            return
+        from ..sources.xml import parse_xml_rows
+
+        cols = [c.strip() for c in columns.split(",") if c.strip()]
+        for i, rec in enumerate(parse_xml_rows(body, node_path, cols)):
+            for c in cols:
+                yield i, c, rec.get(c)
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    """Register the engine's UDTFs under their SQL names."""
+    spark.udtf.register("chunk_text", ChunkText)
+    spark.udtf.register("extract_xml", ExtractXml)

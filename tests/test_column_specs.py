@@ -95,3 +95,34 @@ def test_harmonize_schemas_widening_union(spark):
     assert dict(out.dtypes) == {"id": "string", "name": "string", "score": "double"}
     rows = {(r["id"], r["name"], r["score"]) for r in out.collect()}
     assert rows == {("1", "a", None), ("2000000000000", "b", 1.5), ("legacy-3", None, 7.0)}
+
+
+def test_udtfs_sql_surface(spark):
+    """chunk_text and extract_xml as SQL LATERAL table functions."""
+    from data_ingestion_pipelines_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "abcdefghij"), (2, None)], "id int, t string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT id, c.chunk_idx, c.chunk FROM udtf_docs, LATERAL chunk_text(t, 4) AS c"
+    ).collect()
+    assert [(r["id"], r["chunk_idx"], r["chunk"]) for r in rows] == [
+        (1, 0, "abcd"), (1, 1, "efgh"), (1, 2, "ij"),
+    ]
+
+    xml = (
+        '<Envelope><Body><Response>'
+        '<Row Tag="a" Value="1"/><Row Tag="b" Value="2"/>'
+        '</Response></Body></Envelope>'
+    )
+    spark.createDataFrame([(xml,)], "body string").createOrReplaceTempView("udtf_xml")
+    out = spark.sql(
+        "SELECT x.row_idx, x.attr, x.value FROM udtf_xml, "
+        "LATERAL extract_xml(body, 'Envelope;Body;Response;Row', 'Tag,Value') AS x "
+        "ORDER BY row_idx, attr"
+    ).collect()
+    assert [(r["row_idx"], r["attr"], r["value"]) for r in out] == [
+        (0, "Tag", "a"), (0, "Value", "1"), (1, "Tag", "b"), (1, "Value", "2"),
+    ]
