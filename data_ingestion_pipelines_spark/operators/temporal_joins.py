@@ -92,6 +92,63 @@ def asof_join(
     return out.select(*result_cols)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    id_col: str = "id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+    self_join: bool = False,
+) -> DataFrame:
+    """Interval × interval overlap join (half-open ``[lo, hi)``) via the
+    same fixed-width bucketing as :func:`range_join_points` — the
+    reservation-conflict / concurrent-session shape.
+
+    Both sides explode into covered buckets and equi-join on
+    ``(by…, bucket)``; a pair overlapping several shared buckets would
+    match once per bucket, so the join keeps only the FIRST shared
+    bucket (``bucket == floor(max(lo_a, lo_b) / width)``) — exactly-once
+    without any post-join dedup shuffle. ``self_join=True`` dedups
+    mirror pairs via ``id_a < id_b``. Output: ``by…, id_a, id_b,
+    overlap_lo, overlap_hi``.
+    """
+    def prep(df: DataFrame, suffix: str) -> DataFrame:
+        hi_bucket = F.floor(
+            (F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)
+        ).cast("bigint")
+        lo_bucket = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("bigint")
+        return df.select(
+            *by,
+            F.col(id_col).alias(f"id{suffix}"),
+            F.col(lo_col).alias(f"lo{suffix}"),
+            F.col(hi_col).alias(f"hi{suffix}"),
+            F.explode(F.sequence(lo_bucket, hi_bucket)).alias("_bucket"),
+        )
+
+    a = prep(left, "_a")
+    b = prep(right, "_b")
+    overlap = (F.col("lo_a") < F.col("hi_b")) & (F.col("lo_b") < F.col("hi_a"))
+    first_shared = F.col("_bucket") == F.floor(
+        F.greatest(F.col("lo_a"), F.col("lo_b")) / F.lit(bucket_width)
+    ).cast("bigint")
+    cond = overlap & first_shared
+    if self_join:
+        cond = cond & (F.col("id_a") < F.col("id_b"))
+    return (
+        a.join(b, on=[*by, "_bucket"], how="inner")
+        .filter(cond)
+        .select(
+            *by,
+            "id_a",
+            "id_b",
+            F.greatest("lo_a", "lo_b").alias("overlap_lo"),
+            F.least("hi_a", "hi_b").alias("overlap_hi"),
+        )
+    )
+
+
 def range_join_points(
     points: DataFrame,
     intervals: DataFrame,

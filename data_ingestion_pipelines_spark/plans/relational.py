@@ -3307,6 +3307,54 @@ FROM rk, t WHERE rk.rank <= 10
 
 
 # --------------------------------------------------------------------------
+# Interval-overlap self-join: orders become per-customer activity windows
+# [orderdate, orderdate + (1 + okey % 14) days); find same-customer
+# overlapping pairs. Bucketed equi-join (14-day buckets) with the
+# first-shared-bucket trick — exactly-once, no post-join dedup. Exact
+# integer day math keeps the oracle hashable.
+def overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal_joins import interval_overlap_join
+
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("id"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("lo"),
+    ).withColumn(
+        "hi", F.col("lo") + 1 + F.pmod(F.col("id"), F.lit(14)).cast("double")
+    )
+    out = interval_overlap_join(
+        iv, iv, by=["o_custkey"], bucket_width=14.0, self_join=True
+    )
+    return out.select(
+        "o_custkey",
+        "id_a",
+        "id_b",
+        F.col("overlap_lo").cast("bigint").alias("overlap_lo_day"),
+        F.col("overlap_hi").cast("bigint").alias("overlap_hi_day"),
+    )
+
+
+OVERLAPPING_ORDER_WINDOWS_SQL = """
+WITH iv AS (
+  SELECT o_custkey, o_orderkey AS id,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS lo,
+         datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + 1 + (o_orderkey % 14) AS hi
+  FROM orders
+)
+SELECT a.o_custkey, a.id AS id_a, b.id AS id_b,
+       CAST(GREATEST(a.lo, b.lo) AS BIGINT) AS overlap_lo_day,
+       CAST(LEAST(a.hi, b.hi) AS BIGINT) AS overlap_hi_day
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.id < b.id
+ AND a.lo < b.hi AND b.lo < a.hi
+"""
+
+
+# --------------------------------------------------------------------------
 # Key-level CDC generation (inverse of apply_cdc): diff two order
 # snapshots into an I/U/D log — one full-outer join on the key, log size
 # tracks the change rate. Roundtrip (apply_cdc ∘ diff == new) is pinned
@@ -3375,6 +3423,10 @@ QUERIES = {
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
     "weekly_user_sketch_rollup": (weekly_user_sketch_rollup, None),
     "orders_cdc_log": (orders_cdc_log, ORDERS_CDC_LOG_SQL),
+    "overlapping_order_windows": (
+        overlapping_order_windows,
+        OVERLAPPING_ORDER_WINDOWS_SQL,
+    ),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
     "brand_price_robust_outliers": (
         brand_price_robust_outliers,

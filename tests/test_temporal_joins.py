@@ -85,3 +85,30 @@ def test_range_join_rejects_outer(spark):
     with pytest.raises(ValueError, match="inner"):
         range_join_points(df, df.select(F.col("v").alias("lo"), (F.col("v") + 1).alias("hi")),
                           "v", "lo", "hi", 1.0, how="left")
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """Pairs sharing MULTIPLE buckets must emit exactly once (first-
+    shared-bucket trick), non-overlapping and cross-group pairs never."""
+    from data_ingestion_pipelines_spark.operators.temporal_joins import (
+        interval_overlap_join,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            ("g", 1, 0.0, 25.0),   # spans buckets 0,1,2 (width 10)
+            ("g", 2, 5.0, 22.0),   # overlaps id 1 in buckets 0,1,2 -> ONE row
+            ("g", 3, 24.0, 30.0),  # overlaps 1 only ([24,25)), not 2
+            ("g", 4, 40.0, 50.0),  # overlaps nothing
+            ("h", 5, 0.0, 25.0),   # other group: never pairs with g
+        ],
+        "grp string, id bigint, lo double, hi double",
+    )
+    out = interval_overlap_join(
+        iv, iv, by=["grp"], bucket_width=10.0, self_join=True
+    ).collect()
+    pairs = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert pairs == [(1, 2), (1, 3)]  # each exactly once
+    by_pair = {(r["id_a"], r["id_b"]): (r["overlap_lo"], r["overlap_hi"]) for r in out}
+    assert by_pair[(1, 2)] == (5.0, 22.0)
+    assert by_pair[(1, 3)] == (24.0, 25.0)
