@@ -56,8 +56,11 @@ def pack_concat_chunks(
         df.filter(n > 0)
         .withColumn("doc_offset", (F.sum(token_col).over(w) - n).cast("bigint"))
     )
-    first_c = F.floor(F.col("doc_offset") / b)
-    last_c = F.floor((F.col("doc_offset") + n - 1) / b)
+    # `div` is Spark's integer division — exact for any BIGINT prefix-sum
+    # magnitude, unlike floor(a / b) which routes through a double and
+    # loses exactness past 2^53.
+    first_c = F.expr(f"doc_offset div {int(budget)}")
+    last_c = F.expr(f"(doc_offset + `{token_col}` - 1) div {int(budget)}")
     out = with_off.select(
         *shard_cols,
         id_col,

@@ -113,13 +113,24 @@ def interval_overlap_join(
     without any post-join dedup shuffle. ``self_join=True`` dedups
     mirror pairs via ``id_a < id_b``. Output: ``by…, id_a, id_b,
     overlap_lo, overlap_hi``.
+
+    Degenerate intervals (``hi <= lo``) are empty under half-open
+    semantics and are filtered out before bucketing — without the guard
+    their descending bucket range would misfire ``F.sequence``. The last
+    covered bucket comes exactly from the half-open bound
+    (``floor(hi/w)`` minus one when ``hi`` lands on a bucket boundary),
+    not from an epsilon subtraction, so overlaps of any positive length
+    resolve; the residual limit is float division precision when
+    ``hi / bucket_width`` itself rounds (integer-valued inputs exact).
     """
     def prep(df: DataFrame, suffix: str) -> DataFrame:
-        hi_bucket = F.floor(
-            (F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)
-        ).cast("bigint")
+        hi_div = F.col(hi_col) / F.lit(bucket_width)
+        hi_floor = F.floor(hi_div).cast("bigint")
+        hi_bucket = F.when(
+            hi_div == hi_floor.cast("double"), hi_floor - F.lit(1)
+        ).otherwise(hi_floor)
         lo_bucket = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("bigint")
-        return df.select(
+        return df.filter(F.col(hi_col) > F.col(lo_col)).select(
             *by,
             F.col(id_col).alias(f"id{suffix}"),
             F.col(lo_col).alias(f"lo{suffix}"),

@@ -46,7 +46,7 @@ class PretrainDataOutputs:
 def prepare_pretraining_data(
     new_docs: DataFrame,
     existing_corpus: DataFrame | None = None,
-    config: PretrainDataConfig = PretrainDataConfig(),
+    config: PretrainDataConfig | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> PretrainDataOutputs:
@@ -55,7 +55,18 @@ def prepare_pretraining_data(
     ``existing_corpus``: pass the already-ingested corpus to drop
     re-deliveries by content fingerprint; None skips that stage (first
     load). All outputs stay lazy — callers write/collect what they need.
+
+    The mixture plan keys its weight map on a single shard column; a
+    multi-column shard config may still pack per sub-shard but cannot
+    take per-source weights (each sub-shard would get the full source
+    budget), so that combination raises.
     """
+    config = config or PretrainDataConfig()
+    if config.token_budget and config.mixture_weights and len(config.shard_cols) != 1:
+        raise ValueError(
+            "mixture_weights requires exactly one shard column (weights key on "
+            f"shard_cols[0]); got shard_cols={config.shard_cols!r}"
+        )
     curated = curate_corpus(new_docs, config.curation, text_col, id_col)
     if existing_corpus is not None:
         curated = incremental_dedup(curated, existing_corpus, text_col, id_col)

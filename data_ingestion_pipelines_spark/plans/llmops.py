@@ -1108,14 +1108,20 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["query_id", "vec_id"],
             "left_semi",
         )
+        hit_counts = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+        # Left-join back onto the FULL query set so a query whose index
+        # returns zero true-top-10 hits still appears (recall_at_10 =
+        # 0.0) instead of silently vanishing and inflating any mean.
         out.append(
-            hits.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
+            queries.select("query_id")
+            .join(F.broadcast(hit_counts), "query_id", "left")
             .select(
                 F.lit(method).alias("method"),
                 "query_id",
-                F.col("n_hit").cast("bigint").alias("n_hit"),
-                (F.col("n_hit").cast("double") / F.lit(10.0)).alias("recall_at_10"),
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+                (
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(10.0)
+                ).alias("recall_at_10"),
             )
         )
     return out[0].unionByName(out[1])
