@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 
 def profile_table(
-    df: DataFrame, columns: list[str], approx: bool = False
+    df: DataFrame,
+    columns: list[str],
+    approx: bool = False,
+    verify_eps: float | None = None,
 ) -> DataFrame:
     """One-pass per-column profile: rows, nulls, distincts, min/max.
 
@@ -40,21 +43,60 @@ def profile_table(
     min/max are canonicalized to strings so heterogeneous column types
     fit one output schema (numeric order is preserved per column because
     the aggregation happens on the native type BEFORE the cast).
+
+    ``verify_eps`` (verdict-row mode, requires ``approx=True``): compute
+    BOTH the HLL estimate and the exact distinct count in the same
+    aggregate pass; ``n_distinct`` stays exact and an extra boolean
+    column ``approx_within_eps`` records whether the sketch landed
+    within ``eps`` relative error. An exact-SQL oracle can then emit
+    constant-true rows and the cross-engine hash verifies the BOUND —
+    the accuracy contract — rather than the partition-dependent
+    estimate itself.
     """
+    if verify_eps is not None and not approx:
+        raise ValueError("verify_eps requires approx=True")
+    verify = approx and verify_eps is not None
     n_distinct = (
         (lambda c: F.approx_count_distinct(c))
-        if approx
+        if approx and not verify
         else (lambda c: F.countDistinct(c))
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__null"))
         aggs.append(n_distinct(F.col(c)).alias(f"{c}__distinct"))
+        if verify:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__approx"))
         aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
         aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
     wide = df.agg(*aggs)
     # Pivot the single wide row to one row per column with stack() —
     # stays a Column expression, no driver collect.
+    if verify:
+        parts = ", ".join(
+            f"'{c}', {c}__null, {c}__distinct, {c}__approx, {c}__min, {c}__max"
+            for c in columns
+        )
+        out = wide.select(
+            F.expr(
+                f"stack({len(columns)}, {parts}) AS "
+                "(column, n_null, n_distinct, n_approx, min_str, max_str)"
+            ),
+            F.col("n_rows"),
+        )
+        within = (
+            F.abs(F.col("n_approx") - F.col("n_distinct")).cast("double")
+            <= F.lit(float(verify_eps)) * F.col("n_distinct").cast("double")
+        )
+        return out.select(
+            "column",
+            "n_rows",
+            "n_null",
+            "n_distinct",
+            "min_str",
+            "max_str",
+            within.alias("approx_within_eps"),
+        )
     parts = ", ".join(
         f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max" for c in columns
     )

@@ -2748,16 +2748,47 @@ WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
 
 
 # --------------------------------------------------------------------------
-# t-digest quantile sketch (rows-only: estimates are partition-dependent by
-# construction; the pytest bounds rank error vs the exact answer instead).
-# The 100 TB path for percentiles: bounded O(delta) partials, one shuffle.
+# t-digest quantile sketch, verdict-row gate: the estimate itself is
+# partition-dependent by construction, so the plan joins each estimate
+# back against the data (broadcast — groups × 3 rows), computes the
+# exact rank interval [#(x<v)/n, #(x≤v)/n] the estimate lands in, and
+# emits a `rank_error_le_eps` boolean (ε = 0.02, the same bound the
+# pytest asserts). The DuckDB oracle emits constant-true rows per
+# (group × quantile), so the cross-engine hash enforces the sketch's
+# accuracy contract. The 100 TB path for percentiles: bounded O(delta)
+# partials, one shuffle; the verdict join adds one broadcast pass.
 def tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import tdigest_quantiles
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    return tdigest_quantiles(
+    est = tdigest_quantiles(
         li, "l_extendedprice", by=["l_returnflag"], quantiles=(0.5, 0.95, 0.99)
     )
+    v = F.col("value")
+    x = F.col("l_extendedprice")
+    ranks = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag", "quantile")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(x < v, 1)).alias("_n_lt"),
+            F.count(F.when(x <= v, 1)).alias("_n_le"),
+        )
+    )
+    q = F.col("quantile")
+    lo = F.col("_n_lt").cast("double") / F.col("_n").cast("double")
+    hi = F.col("_n_le").cast("double") / F.col("_n").cast("double")
+    err = F.when(q < lo, lo - q).when(q > hi, q - hi).otherwise(F.lit(0.0))
+    return ranks.select(
+        "l_returnflag", "quantile", (err <= F.lit(0.02)).alias("rank_error_le_eps")
+    )
+
+
+TDIGEST_PRICE_QUANTILES_SQL = """
+SELECT l_returnflag, CAST(q AS DOUBLE) AS quantile, TRUE AS rank_error_le_eps
+FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2836,14 +2867,44 @@ FROM d
 """
 
 
-# Rows-only twin of events_profile: the approx=True path swaps exact
+# Verdict-row twin of events_profile: the approx=True path swaps exact
 # countDistinct (expand ×N) for mergeable HLL sketches — the 100 TB
-# profile. Estimates aren't cross-engine-comparable, hence no oracle.
+# profile. The estimate itself is partition-dependent and has no DuckDB
+# twin, so the plan computes sketch AND exact in ONE aggregate pass and
+# emits exact counts plus an `approx_within_eps` boolean; the oracle
+# recomputes the exact profile with constant-true verdicts, so the
+# cross-engine hash enforces the HLL accuracy CONTRACT (|est − exact| ≤
+# 15% ≈ 3σ at default rsd 0.05) instead of skipping verification.
 def events_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.profiling import profile_table
 
     ev = _t(spark, sf_dir, "events")
-    return profile_table(ev, ["event_type", "user_id", "props"], approx=True)
+    return profile_table(
+        ev, ["event_type", "user_id", "props"], approx=True, verify_eps=0.15
+    )
+
+
+EVENTS_PROFILE_APPROX_SQL = """
+SELECT 'event_type' AS "column", COUNT(*) AS n_rows,
+       COUNT(CASE WHEN event_type IS NULL THEN 1 END) AS n_null,
+       COUNT(DISTINCT event_type) AS n_distinct,
+       CAST(MIN(event_type) AS VARCHAR) AS min_str,
+       CAST(MAX(event_type) AS VARCHAR) AS max_str,
+       TRUE AS approx_within_eps
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*),
+       COUNT(CASE WHEN user_id IS NULL THEN 1 END),
+       COUNT(DISTINCT user_id),
+       CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR), TRUE
+FROM events
+UNION ALL
+SELECT 'props', COUNT(*),
+       COUNT(CASE WHEN props IS NULL THEN 1 END),
+       COUNT(DISTINCT props),
+       CAST(MIN(props) AS VARCHAR), CAST(MAX(props) AS VARCHAR), TRUE
+FROM events
+"""
 
 
 # --------------------------------------------------------------------------
@@ -3448,13 +3509,13 @@ QUERIES = {
         QUANTITY_PRICE_CORRELATION_SQL,
     ),
     "unpivot_priority_metrics": (unpivot_priority_metrics, UNPIVOT_PRIORITY_METRICS_SQL),
-    "tdigest_price_quantiles": (tdigest_price_quantiles, None),
+    "tdigest_price_quantiles": (tdigest_price_quantiles, TDIGEST_PRICE_QUANTILES_SQL),
     "copurchased_part_pairs": (copurchased_part_pairs, COPURCHASED_PART_PAIRS_SQL),
     "leading_digit_distribution": (
         leading_digit_distribution,
         LEADING_DIGIT_DISTRIBUTION_SQL,
     ),
-    "events_profile_approx": (events_profile_approx, None),
+    "events_profile_approx": (events_profile_approx, EVENTS_PROFILE_APPROX_SQL),
     "forecast_revenue_change": (forecast_revenue_change, FORECAST_REVENUE_CHANGE_SQL),
     "referential_integrity_report": (
         referential_integrity_report,
