@@ -357,13 +357,33 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """32-bit SimHash per document, Column-only.
 
-    For each bit i: sign of Σ_tokens (bit_i(hash(tok)) ? +1 : −1). Token
-    hashes are xxhash64; bit extraction via shiftright & 1. Hamming-near
-    signatures indicate near-duplicates.
+    For each bit i: sign of Σ_tokens (bit_i(hash(tok)) ? +1 : −1). Bit
+    extraction via shiftright & 1. Hamming-near signatures indicate
+    near-duplicates.
+
+    ``hash_fn`` picks the per-token hash primitive:
+
+    - ``"xxhash64"`` (default) — JVM-native, the fast path at scale;
+      no cross-engine twin exists, so results are Spark-only.
+    - ``"md5"`` — first 8 hex chars of md5 parsed as a 32-bit int
+      (``conv(substr(md5(t),1,8),16,10)``), bit-identical to DuckDB's
+      ``('0x' || substr(md5(t),1,8))::UBIGINT`` — the oracle-verifiable
+      mode (same primitive as ``text.with_fingerprint``). Requires
+      ``bits <= 32``.
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    if hash_fn == "md5" and bits > 32:
+        raise ValueError("md5 mode derives 32 hash bits; bits must be <= 32")
+    tok_hash = (
+        (lambda t: F.xxhash64(t))
+        if hash_fn == "xxhash64"
+        else (lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    )
     df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     # materialize token hashes once behind a barrier: each of the `bits`
@@ -371,7 +391,7 @@ def simhash_signatures(
     # which would re-run tokenize+hash `bits` times
     hashed = df.select(
         F.col(id_col),
-        F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform(F.array_distinct(toks), tok_hash).alias("_th"),
     ).localCheckpoint(eager=False)
 
     def bit_contrib(i: int) -> Column:

@@ -399,9 +399,37 @@ def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash signatures — xxhash64-based, no SQL oracle (rows-only)
+# SimHash signatures. The gate runs the md5 bit-source mode so DuckDB can
+# recompute every signature exactly (the default xxhash64 fast path has
+# no SQL twin and stays covered by the operator's pytest); same sign-of-
+# bit-contribution algorithm either way, only the per-token hash differs.
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_signatures(_t(spark, sf_dir, "documents"))
+    return simhash_signatures(_t(spark, sf_dir, "documents"), hash_fn="md5")
+
+
+SIMHASH_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS ts
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(u.t), 1, 8))::UBIGINT AS BIGINT) AS h
+  FROM toks, LATERAL (SELECT unnest(ts) AS t) u
+), contrib AS (
+  SELECT doc_id, i.i,
+         SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i
+  GROUP BY doc_id, i.i
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM contrib GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM toks t LEFT JOIN sig s ON t.doc_id = s.doc_id
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1347,7 +1375,7 @@ QUERIES = {
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "minhash_pairs_docs": (minhash_pairs_docs, None),
-    "simhash_docs": (simhash_docs, None),
+    "simhash_docs": (simhash_docs, SIMHASH_DOCS_SQL),
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
     "embedding_dedup_pairs": (embedding_dedup_pairs, EMBEDDING_DEDUP_PAIRS_SQL),
     "embedding_dup_clusters": (embedding_dup_clusters, EMBEDDING_DUP_CLUSTERS_SQL),
