@@ -1279,6 +1279,147 @@ FROM tt
 
 
 # --------------------------------------------------------------------------
+# Flagship end-to-end gate: the full pretraining-data pipeline
+# (pipelines/pretraining_data.py) — curate (quality+lang+exact-dedup) →
+# pack into 512-token chunks per source shard → mixture token plan —
+# reduced to a per-source MANIFEST the driver can hash: docs in, docs
+# surviving curation, curated tokens, packed slice/chunk counts, packed
+# tokens (invariant: equals curated tokens — the hash proves the packer
+# loses nothing), and the mixture weight/target/epochs. The DuckDB
+# oracle chains the already-proven stage oracles as CTEs. The LSH
+# near-dup stage stays off here (xxhash64 has no SQL twin; its exact-
+# Jaccard twin is gated separately as ngram_jaccard_docs).
+def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.corpus_curation import CurationConfig
+    from ..pipelines.pretraining_data import (
+        PretrainDataConfig,
+        prepare_pretraining_data,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = PretrainDataConfig(
+        curation=CurationConfig(
+            min_tokens=30,
+            max_tokens=100_000,
+            max_punct_ratio=0.3,
+            allowed_languages={"en"},
+            exact_dedup=True,
+            near_dup_threshold=None,
+        ),
+        chunk_budget_tokens=512,
+        shard_cols=("source",),
+        mixture_weights=_MIX_WEIGHTS,
+        token_budget=_MIX_BUDGET,
+    )
+    out = prepare_pretraining_data(docs, config=cfg)
+    docs_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs_in"))
+    cur = out.curated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_curated"),
+        F.sum("n_tokens").cast("bigint").alias("curated_tokens"),
+    )
+    pack = out.pack_manifest.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.countDistinct("chunk_id").alias("n_chunks"),
+        F.sum("slice_len").cast("bigint").alias("packed_tokens"),
+    )
+    plan = out.mixture_plan.select("source", "weight", "target_tokens", "epochs")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("bigint")  # noqa: E731
+    return (
+        docs_in.join(cur, "source", "left")
+        .join(pack, "source", "left")
+        .join(plan, "source", "left")
+        .select(
+            "source",
+            F.col("docs_in").cast("bigint").alias("docs_in"),
+            z("docs_curated").alias("docs_curated"),
+            z("curated_tokens").alias("curated_tokens"),
+            z("n_slices").alias("n_slices"),
+            z("n_chunks").alias("n_chunks"),
+            z("packed_tokens").alias("packed_tokens"),
+            z("weight").alias("weight"),
+            z("target_tokens").alias("target_tokens"),
+            z("epochs").alias("epochs"),
+        )
+    )
+
+
+PRETRAINING_MANIFEST_SQL = f"""
+WITH sig AS (
+  SELECT doc_id, source, text,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+           / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['en']}, x))) AS s_en,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['de']}, x))) AS s_de,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['fr']}, x))) AS s_fr,
+         len(list_filter({_TOKS}, x -> list_contains({_MARKERS_SQL['es']}, x))) AS s_es
+  FROM documents
+), filtered AS (
+  SELECT doc_id, source, text, n_tokens FROM sig
+  WHERE n_tokens BETWEEN 30 AND 100000 AND punct_ratio <= 0.3
+    AND CASE WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+             WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+             WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+             ELSE 'und' END = 'en'
+), curated AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             ORDER BY doc_id
+           ) AS rn
+    FROM filtered
+  ) WHERE rn = 1
+), off AS (
+  SELECT source, doc_id, n_tokens AS n,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS doc_offset
+  FROM curated WHERE n_tokens > 0
+), slices AS (
+  SELECT source, doc_id, CAST(c AS BIGINT) AS chunk_id,
+         CAST(least(n, (c + 1) * 512 - doc_offset)
+              - greatest(0, c * 512 - doc_offset) AS BIGINT) AS slice_len
+  FROM off, LATERAL (
+    SELECT unnest(generate_series(doc_offset // 512, (doc_offset + n - 1) // 512)) AS c
+  )
+), d_in AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_in FROM documents GROUP BY 1
+), cur AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_curated,
+         CAST(SUM(n_tokens) AS BIGINT) AS curated_tokens
+  FROM curated GROUP BY 1
+), pack AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_slices,
+         CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+         CAST(SUM(slice_len) AS BIGINT) AS packed_tokens
+  FROM slices GROUP BY 1
+), plan AS (
+  SELECT source, curated_tokens,
+         CAST(({_MIX_W_SQL})[source][1] AS BIGINT) AS weight,
+         CAST(({_MIX_BUDGET} * ({_MIX_W_SQL})[source][1])
+              // {sum(_MIX_WEIGHTS.values())} AS BIGINT) AS target_tokens
+  FROM cur
+)
+SELECT d.source, d.docs_in,
+       COALESCE(c.docs_curated, 0) AS docs_curated,
+       COALESCE(c.curated_tokens, 0) AS curated_tokens,
+       COALESCE(p.n_slices, 0) AS n_slices,
+       COALESCE(p.n_chunks, 0) AS n_chunks,
+       COALESCE(p.packed_tokens, 0) AS packed_tokens,
+       COALESCE(pl.weight, 0) AS weight,
+       COALESCE(pl.target_tokens, 0) AS target_tokens,
+       COALESCE(CAST((pl.target_tokens + pl.curated_tokens - 1)
+                     // pl.curated_tokens AS BIGINT), 0) AS epochs
+FROM d_in d
+LEFT JOIN cur c ON d.source = c.source
+LEFT JOIN pack p ON d.source = p.source
+LEFT JOIN plan pl ON d.source = pl.source
+"""
+
+
+# --------------------------------------------------------------------------
 # Quality-aware near-dup survivor selection: for each confirmed near-dup
 # pair, DROP the lower-quality side (keep-min-id keeps whichever arrived
 # first; a curation pipeline keeps the better document). Tiebreak on id
@@ -1356,6 +1497,7 @@ QUERIES = {
     "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
+    "pretraining_manifest": (pretraining_manifest, PRETRAINING_MANIFEST_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
