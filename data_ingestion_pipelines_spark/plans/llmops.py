@@ -387,6 +387,34 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# SQL-registration path for the Python UDTF surface (functions/udtfs.py):
+# the gate goes through spark.udtf.register + a LATERAL call in
+# spark.sql — the exact route a SQL-only user takes — not the DataFrame
+# API. Character-chunking semantics, so the DuckDB twin is substr
+# slicing. chunk_idx stays INT (the UDTF's declared return type).
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_gate_docs")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.chunk "
+        "FROM _udtf_gate_docs, LATERAL chunk_text(text, 200) AS c"
+    )
+
+
+UDTF_CHUNK_TEXT_SQL = """
+SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+       substr(text, i.i * 200 + 1, 200) AS chunk
+FROM documents, LATERAL (
+  SELECT unnest(generate_series(
+    0, GREATEST(CAST(ceil(length(text) / 200.0) AS INT) - 1, 0))) AS i
+) i
+WHERE text IS NOT NULL AND length(text) > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash LSH near-dup pairs — xxhash64-based, no SQL oracle (rows-only)
 def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1516,6 +1544,7 @@ QUERIES = {
     "stratified_docs_sample": (stratified_docs_sample, STRATIFIED_DOCS_SAMPLE_SQL),
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "udtf_chunk_text": (udtf_chunk_text, UDTF_CHUNK_TEXT_SQL),
     "minhash_pairs_docs": (minhash_pairs_docs, None),
     "simhash_docs": (simhash_docs, SIMHASH_DOCS_SQL),
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
