@@ -24,72 +24,80 @@ from pyspark.sql import DataFrame, SparkSession
 from . import ingestion, llmops, relational
 
 # The external driver gate verifies the FIRST 50 registry entries (dict
-# order), so the registry is a curated interleave, not module order: the
-# priority window covers every subsystem — previously-failing fixes first,
-# then LLM-ops (dedup/similarity/tfidf/sketches/curation), all ingestion
-# gates, streaming, sketches/graph, and the relational spine — with the
-# long tail (the rest, in module order) after position 50.
+# order), so the registry is a curated interleave, not module order.
+#
+# ROTATION POLICY (round 4+): every round the window is rebuilt as
+#   1. gates that have NEVER received a driver row in any
+#      CORRECTNESS_r*.json (the "dark" tail), oldest additions first;
+#   2. gates added or semantically changed this round;
+#   3. remaining slots: re-checks of the highest-churn driver-greens
+#      (merge, as-of, XML, the relational flagship).
+# Driver-green classics rotate OUT to the tail — pytest and the local
+# check_correctness sweep keep them regression-netted between driver
+# visits. Goal: every registry gate holds a driver-verified row within
+# two rounds of being added.
+#
+# Round-4 window: positions 1-40 are the 40 gates dark after r1-r3
+# (judge spot-checked 12/40 green locally; the full local sweep runs
+# before each round lands), 41-46 are this round's new/changed gates,
+# 47-50 the high-churn re-checks.
 _PRIORITY = [
-    # round-1 hash-mismatch fixes, driver-unverified until a green row exists
-    "cast_rename_spec",
-    "token_stats_by_source",
-    # round-2 crash fixes (TIMESTAMP_NTZ)
-    "event_sessions",
-    "asof_next_purchase_after_view",
-    # LLM-ops: dedup family
-    "dedup_exact_docs",
-    "minhash_pairs_docs",
+    # -- dark after r1-r3: relational / windows / temporal
+    "overlapping_order_windows",
+    "orders_cdc_log",
+    "user_state_scd2",
+    "customer_order_distribution",
+    "supplier_variety_by_part_class",
+    "snapshot_diff_report",
+    "value_winsorized_stats",
+    "totalprice_histogram",
+    "weekly_retention_cohorts",
+    "events_profile",
+    "cheapest_part_per_brand",
+    "customer_balance_ranks",
+    "schema_drift_union",
+    "pivot_status_counts",
+    "cube_order_stats",
+    "moving_revenue_3d",
+    "daily_gap_fill",
+    "event_sliding_windows",
+    "cumulative_unique_users",
+    "event_transition_matrix",
+    "format_roundtrip_totals",
+    "nullsafe_parity_labels",
+    "sql_api_region_revenue",
+    # -- dark: streaming
+    "streaming_distinct_types",
+    "stream_enriched_segments",
+    # -- dark: LLM-ops (embeddings / sampling / tokens / dedup)
+    "doc_embeddings",
+    "mixture_token_plan",
+    "near_dup_quality_survivors",
+    "ann_recall_report",
+    "doc_length_percentiles",
+    "contaminated_docs",
+    "fuzzy_part_matches",
+    "top_tokens_by_source",
+    "token_postings",
+    "bigram_collocations",
+    "sampled_docs",
+    "stratified_docs_sample",
+    "mixture_sampled_docs",
+    "doc_chunks",
+    "weekly_user_sketch_rollup",
+    # -- new this round
+    "pretraining_manifest",
+    "udtf_chunk_text",
+    # -- changed this round (rows-only → oracled, or operator edits)
     "simhash_docs",
-    "ngram_jaccard_docs",
-    "embedding_dedup_pairs",
-    "embedding_dup_clusters",
-    # LLM-ops: similarity search
-    "similarity_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    # LLM-ops: text analysis + curation
-    "tfidf_top_terms_docs",
-    "heavy_hitter_tokens",
-    "boilerplate_ngram_docs",
-    "corpus_curation",
-    "doc_quality_signals",
-    "doc_language_id",
-    "doc_fingerprints",
-    "pii_redacted_docs",
-    "doc_repetition_ratio",
-    "bpe_merge_candidates",
-    "incremental_dedup_new_docs",
-    "packed_doc_chunks",
-    "doc_rare_bigram_rate",
-    "benchmark_decontamination",
-    "curation_funnel",
-    # ingestion gates
-    "xml_extract",
-    "rest_fetch_per_id",
-    "multimodal_decode",
-    # streaming + incremental
-    "event_hourly_windows_streaming",
-    "streaming_dedup_watermarked",
-    "inc_merge_upsert",
-    "inc_copy_candidates",
-    # sketches / graph / skew / expectations
-    "tdigest_price_quantiles",
     "events_profile_approx",
-    "part_copurchase_pagerank",
-    "skewed_event_type_counts",
-    "order_quality_expectations",
-    "totalprice_equidepth_histogram",
-    # temporal / windows / flatten
+    "tdigest_price_quantiles",
+    "packed_doc_chunks",
+    # -- high-churn green re-checks
+    "inc_merge_upsert",
     "asof_view_before_purchase",
-    "price_band_lookup",
-    "chunk_assignment_ranged",
-    "latest_event_per_user",
-    "flatten_roundtrip",
-    "correlated_explode",
-    # relational spine
+    "xml_extract",
     "pricing_summary",
-    "part_zorder_keys",
-    "event_type_skew_report",
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)
