@@ -52,6 +52,12 @@ HEADLINE = [
     "benchmark_decontamination",
     "bpe_merge_candidates",
     "curation_funnel",
+    # round-4: the temporal family's forward/tolerance as-of (the r2
+    # crasher) and interval×interval overlap now carry tracked wall-times,
+    # plus the end-to-end pretraining pipeline flagship
+    "asof_next_purchase_after_view",
+    "overlapping_order_windows",
+    "pretraining_manifest",
 ]
 
 
