@@ -70,3 +70,63 @@ def test_timestamp_drift_net(spark):
             if row is not None:
                 assert row["d"] == 0
     assert saw_ts, "no timestamp columns found anywhere — drift net is vacuous"
+
+
+# Frozen post-canonicalization schema of every testdata table (round 4).
+# The parquet vintage has drifted twice between rounds (NANOS, then
+# MICROS-as-NTZ timestamps); the timestamp net above catches that class,
+# this one catches EVERYTHING else — a regenerated column, a widened
+# int, a renamed field — before it silently voids a round's gates. If it
+# fires after a legitimate testdata regeneration, re-freeze deliberately.
+_EXPECTED_SCHEMAS = {
+    "customer": [("c_custkey", "bigint"), ("c_name", "string"),
+                 ("c_nationkey", "int"), ("c_acctbal", "double"),
+                 ("c_mktsegment", "string")],
+    "documents": [("doc_id", "bigint"), ("text", "string"), ("lang", "string"),
+                  ("source", "string"), ("n_chars", "bigint")],
+    "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"),
+                   ("label", "int")],
+    "events": [("event_id", "bigint"), ("ts", "timestamp"),
+               ("user_id", "bigint"), ("event_type", "string"),
+               ("value", "double"), ("props", "string")],
+    "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"),
+                 ("l_suppkey", "bigint"), ("l_linenumber", "int"),
+                 ("l_quantity", "double"), ("l_extendedprice", "double"),
+                 ("l_discount", "double"), ("l_tax", "double"),
+                 ("l_returnflag", "string"), ("l_linestatus", "string"),
+                 ("l_shipdate", "timestamp")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"),
+               ("n_regionkey", "int")],
+    "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+               ("o_orderstatus", "string"), ("o_totalprice", "double"),
+               ("o_orderdate", "timestamp"), ("o_orderpriority", "string")],
+    "part": [("p_partkey", "bigint"), ("p_name", "string"),
+             ("p_brand", "string"), ("p_type", "string"),
+             ("p_size", "int"), ("p_retailprice", "double")],
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "supplier": [("s_suppkey", "bigint"), ("s_name", "string"),
+                 ("s_nationkey", "int"), ("s_acctbal", "double")],
+}
+
+
+def test_schema_snapshot_drift_net(spark):
+    """Full-schema drift net: every testdata table, at every generated
+    SF, must read back (through the canonicalizing reader) with exactly
+    the frozen column names, order, and Spark dtypes."""
+    import glob
+
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "testdata missing"
+    for sf_dir in sf_dirs:
+        seen = {}
+        for path in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+            name = os.path.basename(path).removesuffix(".parquet")
+            seen[name] = read_parquet_table(spark, path).dtypes
+        assert set(seen) == set(_EXPECTED_SCHEMAS), (
+            f"{sf_dir}: table set drifted: {sorted(set(seen) ^ set(_EXPECTED_SCHEMAS))}"
+        )
+        for name, dtypes in seen.items():
+            assert dtypes == _EXPECTED_SCHEMAS[name], (
+                f"{sf_dir}/{name} schema drifted:\n  got      {dtypes}\n"
+                f"  expected {_EXPECTED_SCHEMAS[name]}"
+            )
