@@ -3464,25 +3464,53 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
 # is a cheap union of sketch blobs). Estimates are approximate → rows-only
 # gate; the relative-error bound vs exact is asserted in pytest.
 def weekly_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL rollup, verdict-row gate: daily user sketches union
+    into weekly estimates (the 100 TB path — daily sketches persist and
+    any coarser rollup is a cheap union, never a re-scan). The estimate
+    is sketch-state-dependent, so the gate hashes the MERGEABILITY
+    CONTRACT instead: the plan also computes the exact weekly distinct
+    (one extra aggregate over the same scan) and emits
+    ``union_within_eps`` (5%, the pytest bound ×3 margin at lgConfigK=12
+    where rsd ≈ 1.6%); the oracle recomputes the exact side and emits
+    constant-true verdicts."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    return (
-        daily.groupBy(F.date_trunc("week", "day").cast("date").alias("week"))
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint")
-            .alias("approx_users"),
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        )
+    weekly_approx = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint")
+        .alias("_approx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
     )
+    weekly_exact = ev.groupBy(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    within = (
+        F.abs(F.col("_approx") - F.col("exact_users")).cast("double")
+        <= F.lit(0.05) * F.col("exact_users").cast("double")
+    )
+    return weekly_approx.join(weekly_exact, "week").select(
+        "week", "n_days", "exact_users", within.alias("union_within_eps")
+    )
+
+
+WEEKLY_USER_SKETCH_ROLLUP_SQL = """
+WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS union_within_eps
+FROM d GROUP BY 1
+"""
 
 
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
-    "weekly_user_sketch_rollup": (weekly_user_sketch_rollup, None),
+    "weekly_user_sketch_rollup": (weekly_user_sketch_rollup, WEEKLY_USER_SKETCH_ROLLUP_SQL),
     "orders_cdc_log": (orders_cdc_log, ORDERS_CDC_LOG_SQL),
     "overlapping_order_windows": (
         overlapping_order_windows,
