@@ -415,15 +415,39 @@ WHERE text IS NOT NULL AND length(text) > 0
 
 
 # --------------------------------------------------------------------------
-# MinHash LSH near-dup pairs — xxhash64-based, no SQL oracle (rows-only)
+# MinHash LSH near-dup pairs, verdict-row gate. The pair list itself is
+# xxhash64-derived (no SQL twin), but LSH has one exact guarantee an
+# oracle CAN check: identical texts produce identical signatures, so a
+# planted verbatim copy collides in every band and MUST surface as a
+# pair — 100% recall on exact duplicates, no probability involved. The
+# gate plants a copy of every doc_id%10==0 document (shifted +100000),
+# runs the full banded pipeline, and emits per planted doc whether its
+# copy-pair (id gap exactly 100000, which only planted pairs can have)
+# was found; expected = the doc shingles at all (n_tokens >= k=5). The
+# organic near-dup pairs the run also finds stay covered by the exact-
+# Jaccard twin gate (ngram_jaccard_docs) and pytest.
 def minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"
     )
-    return minhash_dedup_pairs(
+    pairs = minhash_dedup_pairs(
         docs.unionByName(copies), threshold=0.5, num_bands=8, rows_per_band=4
     )
+    hits = (
+        pairs.filter(F.col("id_b") - F.col("id_a") == 100000)
+        .select(F.col("id_a").alias("doc_id"), F.lit(True).alias("_found"))
+    )
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return planted.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("_found"), F.lit(False)).alias("planted_copy_found")
+    )
+
+
+MINHASH_PAIRS_DOCS_SQL = f"""
+SELECT doc_id, len({_TOKS}) >= 5 AS planted_copy_found
+FROM documents WHERE doc_id % 10 = 0
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1580,7 +1604,7 @@ QUERIES = {
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "udtf_chunk_text": (udtf_chunk_text, UDTF_CHUNK_TEXT_SQL),
-    "minhash_pairs_docs": (minhash_pairs_docs, None),
+    "minhash_pairs_docs": (minhash_pairs_docs, MINHASH_PAIRS_DOCS_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_DOCS_SQL),
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
     "embedding_dedup_pairs": (embedding_dedup_pairs, EMBEDDING_DEDUP_PAIRS_SQL),
