@@ -137,3 +137,43 @@ def chunk_documents(
         F.array_join("_chunk", " ").alias("chunk_text"),
         F.size("_chunk").cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+def deterministic_shuffle_order(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: str = "0",
+    out: str = "order_rank",
+) -> DataFrame:
+    """Seeded deterministic global training order (1-based rank).
+
+    The data-loading step before a training run: every row gets a
+    pseudorandom but fully reproducible position — re-running with the
+    same seed yields the identical order on any cluster layout; a new
+    seed (e.g. the epoch number) yields an uncorrelated order, which is
+    exactly how epoch reshuffling should work without materializing a
+    permutation table.
+
+    The shuffle key is ``md5(seed | key values)`` — engine-portable and
+    deterministic, unlike ``rand()``. Ranking rides on
+    :func:`..operators.windows.chunk_by_range`'s two-pass distributed
+    ranking (range exchange + partition-local window + broadcast
+    offsets), so no global single-task window exists at any scale.
+    ``key_cols`` must uniquely identify rows (md5 of distinct strings
+    is collision-free at any realistic corpus size); values should not
+    contain ``|``, which would only perturb order, never correctness.
+    """
+    from .windows import chunk_by_range
+
+    key = F.md5(
+        F.concat_ws(
+            "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    ranked = chunk_by_range(
+        df.withColumn("_shuffle_key", key), "_shuffle_key", chunk_size=1 << 31
+    )
+    return (
+        ranked.drop("chunk_id", "_shuffle_key")
+        .withColumnRenamed("rn", out)
+    )

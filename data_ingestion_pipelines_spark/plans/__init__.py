@@ -93,11 +93,11 @@ _PRIORITY = [
     "events_profile_approx",
     "tdigest_price_quantiles",
     "packed_doc_chunks",
+    "training_order_docs",
     # -- high-churn green re-checks
     "inc_merge_upsert",
     "asof_view_before_purchase",
     "xml_extract",
-    "pricing_summary",
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -362,6 +362,30 @@ MIXTURE_SAMPLED_DOCS_SQL = f"SELECT doc_id, source FROM documents WHERE {_mix_ca
 
 
 # --------------------------------------------------------------------------
+# Deterministic training order: the seeded global shuffle a training
+# run applies before batching. Ranks come from the scale-safe two-pass
+# ranking (range exchange + local windows + broadcast offsets), never a
+# global single-task window; DuckDB recomputes the same md5-keyed
+# permutation with a plain row_number, so the gate proves the
+# distributed ranking equals the global answer ON a pseudorandom key
+# (chunk_assignment_ranged proves it on a natural key).
+def training_order_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import deterministic_shuffle_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle_order(docs, ["doc_id"], seed="epoch0")
+
+
+TRAINING_ORDER_DOCS_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR))
+       ) AS BIGINT) AS order_rank
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Context-window chunking: fixed-size token chunks per document
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import chunk_documents
@@ -1603,6 +1627,7 @@ QUERIES = {
     "stratified_docs_sample": (stratified_docs_sample, STRATIFIED_DOCS_SAMPLE_SQL),
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "training_order_docs": (training_order_docs, TRAINING_ORDER_DOCS_SQL),
     "udtf_chunk_text": (udtf_chunk_text, UDTF_CHUNK_TEXT_SQL),
     "minhash_pairs_docs": (minhash_pairs_docs, MINHASH_PAIRS_DOCS_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_DOCS_SQL),

@@ -79,3 +79,27 @@ def test_chunk_documents_reassembles(spark):
     assert len(d2) == 1 and d2[0]["chunk_text"] == "solo"
     d3 = [r for r in out if r["doc_id"] == 3]
     assert len(d3) == 1 and d3[0]["n_chunk_tokens"] == 0  # empty doc → empty chunk
+
+
+def test_deterministic_shuffle_order(spark):
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        deterministic_shuffle_order,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = deterministic_shuffle_order(df, ["doc_id"], seed="e0").collect()
+    # a true permutation: ranks are exactly 1..n
+    assert sorted(r["order_rank"] for r in a) == list(range(1, 501))
+    # deterministic: identical on re-run and under a different layout
+    b = deterministic_shuffle_order(
+        df.repartition(7), ["doc_id"], seed="e0"
+    ).collect()
+    assert {r["doc_id"]: r["order_rank"] for r in a} == {
+        r["doc_id"]: r["order_rank"] for r in b
+    }
+    # a new seed (epoch) produces an uncorrelated order over the same set
+    c = deterministic_shuffle_order(df, ["doc_id"], seed="e1").collect()
+    order_a = {r["doc_id"]: r["order_rank"] for r in a}
+    order_c = {r["doc_id"]: r["order_rank"] for r in c}
+    assert sorted(order_c.values()) == list(range(1, 501))
+    assert order_a != order_c
