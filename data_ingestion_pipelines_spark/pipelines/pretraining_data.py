@@ -38,7 +38,8 @@ class PretrainDataConfig:
 
 @dataclass
 class PretrainDataOutputs:
-    curated: DataFrame           # surviving docs (+ n_tokens)
+    curated: DataFrame           # surviving docs (+ n_tokens), fully lazy
+    curated_slim: DataFrame      # (shard_cols, id, n_tokens) only — shared
     pack_manifest: DataFrame     # (doc × chunk) token-slice map
     mixture_plan: DataFrame | None  # per-source targets/epochs (or None)
 
@@ -73,8 +74,19 @@ def prepare_pretraining_data(
 
     if "n_tokens" not in curated.columns:
         curated = with_token_count(curated, text_col)
+    # Everything downstream of curation (packing, mixture, audit aggs)
+    # needs only (shard, id, n_tokens) — never the text. Materialize that
+    # slim projection ONCE (lazy local checkpoint): without it each
+    # consumer re-runs the full regex-heavy curation subtree per branch
+    # (measured 4 documents-scans / 51 repeated tokenizations in the
+    # manifest gate's plan). The narrow columns make the materialization
+    # O(rows), not O(corpus bytes); `curated` itself stays fully lazy so
+    # a caller writing the surviving text pays one curation pass, fused.
+    slim = curated.select(*config.shard_cols, id_col, "n_tokens").localCheckpoint(
+        eager=False
+    )
     manifest = pack_concat_chunks(
-        curated.select(*config.shard_cols, id_col, "n_tokens"),
+        slim,
         budget=config.chunk_budget_tokens,
         shard_cols=list(config.shard_cols),
         id_col=id_col,
@@ -86,7 +98,7 @@ def prepare_pretraining_data(
         wmap = F.create_map(
             *[F.lit(x) for kv in config.mixture_weights.items() for x in kv]
         )
-        per_src = curated.groupBy(*config.shard_cols).agg(
+        per_src = slim.groupBy(*config.shard_cols).agg(
             F.sum("n_tokens").cast("bigint").alias("total_tokens")
         )
         w = F.coalesce(wmap[F.col(config.shard_cols[0])], F.lit(0)).cast("bigint")
@@ -102,4 +114,4 @@ def prepare_pretraining_data(
             .cast("bigint")
             .alias("epochs"),
         )
-    return PretrainDataOutputs(curated, manifest, plan)
+    return PretrainDataOutputs(curated, slim, manifest, plan)

@@ -1424,7 +1424,9 @@ def pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = prepare_pretraining_data(docs, config=cfg)
     docs_in = docs.groupBy("source").agg(F.count(F.lit(1)).alias("docs_in"))
-    cur = out.curated.groupBy("source").agg(
+    # aggregate from the pipeline's shared slim projection — the full
+    # curation subtree runs once, not once per consumer
+    cur = out.curated_slim.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs_curated"),
         F.sum("n_tokens").cast("bigint").alias("curated_tokens"),
     )
