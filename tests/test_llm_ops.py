@@ -327,3 +327,55 @@ def test_embed_documents_feeds_ann(spark):
     a = {r["doc_id"]: r["embedding"] for r in batched.collect()}
     b = {r["doc_id"]: r["embedding"] for r in codegen.collect()}
     assert a == b
+
+
+def test_pack_concat_chunks_exact_past_double_precision(spark):
+    """Round-4 advisor fix: chunk ids use integer `div`, not
+    floor(double/double). A stream past 2^53 tokens cannot be
+    materialized row-wise in a test, so pin the fix in two parts:
+    (1) the double path provably misrounds exactly where `div` stays
+    exact, and (2) the operator's plan uses `div`."""
+    from data_ingestion_pipelines_spark.operators.packing import pack_concat_chunks
+
+    base = (1 << 53) + 3  # rounds to 2^53+4 as a double (ties-to-even)
+    row = spark.sql(
+        f"SELECT CAST({base} AS BIGINT) div 2 AS exact, "
+        f"CAST(FLOOR(CAST({base} AS BIGINT) / 2) AS BIGINT) AS via_double"
+    ).first()
+    assert row["exact"] == base // 2
+    assert row["via_double"] != row["exact"]  # the bug the fix removes
+
+    docs = spark.createDataFrame(
+        [("s", 1, 5), ("s", 2, 3)], "source string, doc_id int, n_tokens long"
+    )
+    df = pack_concat_chunks(docs, budget=2, shard_cols=["source"])
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert " div " in plan and "FLOOR((doc_offset" not in plan
+    # and the small-number manifest is still the expected one
+    got = {(r["doc_id"], r["chunk_id"]): (r["slice_start"], r["slice_len"])
+           for r in df.collect()}
+    assert got[(1, 0)] == (0, 2) and got[(1, 2)] == (4, 1)
+    assert got[(2, 2)] == (0, 1) and got[(2, 3)] == (1, 2)
+
+
+def test_pretrain_mixture_requires_single_shard_col(spark):
+    """Round-4 advisor fix: weights key on one shard column; a
+    multi-column shard config with mixture weights must raise."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.pipelines.pretraining_data import (
+        PretrainDataConfig,
+        prepare_pretraining_data,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox " * 10, "s", "a")],
+        "doc_id int, text string, source string, sub string",
+    )
+    cfg = PretrainDataConfig(
+        shard_cols=("source", "sub"),
+        mixture_weights={"s": 1},
+        token_budget=100,
+    )
+    with pytest.raises(ValueError, match="shard column"):
+        prepare_pretraining_data(docs, config=cfg)

@@ -112,3 +112,35 @@ def test_interval_overlap_join_exactly_once(spark):
     by_pair = {(r["id_a"], r["id_b"]): (r["overlap_lo"], r["overlap_hi"]) for r in out}
     assert by_pair[(1, 2)] == (5.0, 22.0)
     assert by_pair[(1, 3)] == (24.0, 25.0)
+
+
+def test_interval_overlap_join_degenerate_and_tiny(spark):
+    """Round-4 advisor fix: degenerate (hi <= lo) intervals are empty
+    under half-open semantics and must vanish (not explode a descending
+    bucket sequence); sub-epsilon overlaps resolve because the last
+    covered bucket comes exactly from the half-open bound, and a hi
+    landing exactly on a bucket boundary does not leak into the next
+    bucket."""
+    from data_ingestion_pipelines_spark.operators.temporal_joins import (
+        interval_overlap_join,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            ("g", 1, 5.0, 5.0),          # degenerate: empty, pairs with nothing
+            ("g", 2, 7.0, 3.0),          # inverted: empty, pairs with nothing
+            ("g", 3, 0.0, 10.0),         # hi exactly on the bucket-1 boundary
+            ("g", 4, 10.0, 20.0),        # starts at 10: NO overlap with 3
+            ("g", 5, 9.9999999, 10.0),   # 1e-7-long sliver inside 3
+        ],
+        "grp string, id bigint, lo double, hi double",
+    )
+    out = interval_overlap_join(
+        iv, iv, by=["grp"], bucket_width=10.0, self_join=True
+    ).collect()
+    pairs = sorted((r["id_a"], r["id_b"]) for r in out)
+    # 3-4 touch only at the open boundary (no overlap); 3-5 share the
+    # sub-bucket sliver; 1 and 2 are empty sets
+    assert pairs == [(3, 5)]
+    (row,) = out
+    assert abs(row["overlap_hi"] - row["overlap_lo"] - 1e-7) < 1e-9
