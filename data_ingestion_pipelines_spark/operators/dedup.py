@@ -541,3 +541,76 @@ def cluster_representatives(
         F.col("node").alias(id_col)
     )
     return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (substring dedup).
+
+    The modern pretraining-dedup shape (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): find every n-token
+    gram that occurs in ≥ ``min_docs`` distinct documents, then merge
+    per document the overlapping/adjacent duplicated grams into MAXIMAL
+    spans — the exact token ranges a curation pass would cut or
+    down-weight. Output, one row per (doc × maximal span):
+    ``id, span_start, span_len, n_grams`` (token offsets, 0-based).
+
+    Fully deterministic and engine-portable (grams join on their md5;
+    span merging is gaps-and-islands over a per-doc window), so the
+    whole operator is SQL-oracle-verifiable — unlike MinHash it involves
+    no randomized structure at all.
+
+    Scale shape: grams explode ≈ tokens-per-corpus rows but immediately
+    partial-aggregate on the uniform md5 gram key (one shuffle); the
+    duplicated-gram set is corpus-repetition-sized, usually ≪ corpus, and
+    semi-joins back on the same uniform key; span merging windows per
+    document (high-cardinality key, tiny frames). No all-pairs stage
+    exists at any size.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= n)
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.md5(F.array_join(F.slice(F.col("_t"), i + 1, n), " ")),
+            )
+        ).alias("pos", "_g"),
+    )
+    dup_grams = (
+        grams.groupBy("_g")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    hits = grams.join(dup_grams, "_g", "left_semi")
+    # gaps-and-islands: a duplicated gram at pos covers [pos, pos+n);
+    # merge grams whose covered ranges overlap or touch. Running max of
+    # prior span-ends decides whether a new island starts.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "_new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + n - F.min("pos")).cast("bigint").alias("span_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .select(id_col, "span_start", "span_len", "n_grams")
+    )

@@ -94,9 +94,9 @@ _PRIORITY = [
     "tdigest_price_quantiles",
     "packed_doc_chunks",
     "training_order_docs",
+    "duplicate_text_spans",
     # -- high-churn green re-checks
     "inc_merge_upsert",
-    "asof_view_before_purchase",
     "xml_extract",
 ]
 

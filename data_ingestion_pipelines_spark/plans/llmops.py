@@ -362,6 +362,50 @@ MIXTURE_SAMPLED_DOCS_SQL = f"SELECT doc_id, source FROM documents WHERE {_mix_ca
 
 
 # --------------------------------------------------------------------------
+# Exact substring dedup (Lee et al.): maximal cross-document duplicated
+# token spans — the token ranges a curation pass cuts or down-weights.
+# Deterministic end to end (md5 gram keys + gaps-and-islands merging),
+# so unlike MinHash the whole operator hash-verifies against SQL.
+def duplicate_text_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_ngram_spans(docs, n=5, min_docs=2)
+
+
+DUPLICATE_TEXT_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id, i.i AS pos,
+         md5(array_to_string(t[(i.i + 1):(i.i + 5)], ' ')) AS gh
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 5)) AS i) i
+  WHERE len(t) >= 5
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), isl2 AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 5 - MIN(pos) AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic training order: the seeded global shuffle a training
 # run applies before batching. Ranks come from the scale-safe two-pass
 # ranking (range exchange + local windows + broadcast offsets), never a
@@ -1630,6 +1674,7 @@ QUERIES = {
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "training_order_docs": (training_order_docs, TRAINING_ORDER_DOCS_SQL),
+    "duplicate_text_spans": (duplicate_text_spans, DUPLICATE_TEXT_SPANS_SQL),
     "udtf_chunk_text": (udtf_chunk_text, UDTF_CHUNK_TEXT_SQL),
     "minhash_pairs_docs": (minhash_pairs_docs, MINHASH_PAIRS_DOCS_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_DOCS_SQL),

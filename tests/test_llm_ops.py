@@ -379,3 +379,33 @@ def test_pretrain_mixture_requires_single_shard_col(spark):
     )
     with pytest.raises(ValueError, match="shard column"):
         prepare_pretraining_data(docs, config=cfg)
+
+
+def test_duplicate_ngram_spans_maximal_merge(spark):
+    """Two docs share one 7-token run and one separate 5-token run; the
+    7-token run must merge its three overlapping 5-grams into ONE
+    maximal span, and unique text must produce no spans."""
+    from data_ingestion_pipelines_spark.operators.dedup import duplicate_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta"        # 7 tokens
+    run2 = "one two three four five"                          # 5 tokens
+    d1 = f"{shared} filler1 uniqword1 {run2}"
+    d2 = f"prefixx {shared} andthen {run2} tailword"
+    d3 = "totally different words with no repeats here at all"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id int, text string"
+    )
+    out = duplicate_ngram_spans(df, n=5, min_docs=2).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_len"], r["n_grams"])
+        )
+    for v in spans.values():
+        v.sort()
+    # doc 1: tokens 0-6 = shared (3 grams -> one span of 7), tokens
+    # 9-13 = run2 (1 gram -> span of 5)
+    assert spans[1] == [(0, 7, 3), (9, 5, 1)]
+    # doc 2: shared at 1-7, run2 at 9-13
+    assert spans[2] == [(1, 7, 3), (9, 5, 1)]
+    assert 3 not in spans
