@@ -58,6 +58,7 @@ HEADLINE = [
     "asof_next_purchase_after_view",
     "overlapping_order_windows",
     "pretraining_manifest",
+    "duplicate_text_spans",
 ]
 
 
