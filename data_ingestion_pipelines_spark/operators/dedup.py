@@ -565,13 +565,16 @@ def duplicate_ngram_spans(
     whole operator is SQL-oracle-verifiable — unlike MinHash it involves
     no randomized structure at all.
 
-    Scale shape: grams explode ≈ tokens-per-corpus rows but immediately
-    partial-aggregate on the uniform md5 gram key (one shuffle); the
-    duplicated-gram set is corpus-repetition-sized, usually ≪ corpus, and
-    semi-joins back on the same uniform key; span merging windows per
-    document (high-cardinality key, tiny frames). No all-pairs stage
-    exists at any size.
+    Scale shape: grams explode ≈ tokens-per-corpus rows and shuffle ONCE
+    on the uniform md5 gram key; the distinct-doc count per gram is two
+    window functions over that sort (dense_rank then max — the classic
+    windowed count-distinct), NOT a groupBy + semi-join, which would
+    re-run the scan→tokenize→explode subtree for each side of the join.
+    Span merging then windows per document (high-cardinality key, tiny
+    frames). No all-pairs stage and no corpus-sized cache at any size.
     """
+    from pyspark.sql import Window
+
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= n)
     grams = base.select(
@@ -583,18 +586,18 @@ def duplicate_ngram_spans(
             )
         ).alias("pos", "_g"),
     )
-    dup_grams = (
-        grams.groupBy("_g")
-        .agg(F.countDistinct(id_col).alias("_nd"))
+    w_gram = Window.partitionBy("_g")
+    hits = (
+        grams.withColumn(
+            "_dr", F.dense_rank().over(w_gram.orderBy(id_col))
+        )
+        .withColumn("_nd", F.max("_dr").over(w_gram))
         .filter(F.col("_nd") >= min_docs)
-        .select("_g")
+        .select(id_col, "pos")
     )
-    hits = grams.join(dup_grams, "_g", "left_semi")
     # gaps-and-islands: a duplicated gram at pos covers [pos, pos+n);
     # merge grams whose covered ranges overlap or touch. Running max of
     # prior span-ends decides whether a new island starts.
-    from pyspark.sql import Window
-
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + n).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
