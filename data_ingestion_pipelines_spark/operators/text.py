@@ -205,10 +205,14 @@ def tfidf_top_terms(
 
     Scale shape (reference keeps tf-idf driver-side in pandas; here every
     stage is distributed): explode → (doc,term) counts partial-aggregate
-    map-side before the shuffle; document frequency is a vocabulary-sized
-    aggregate; the tf⋈df join shuffles both sides on the uniform ``term``
-    key; corpus size N is a 1-row aggregate broadcast in; final top-k is a
-    per-document window. No all-pairs stage, no driver collect.
+    map-side before the shuffle; doc length and document frequency are
+    WINDOW aggregates over that one (doc,term) frame — partitioned by
+    doc then by term — not groupBy+join branches, which would re-run the
+    scan→explode→count subtree once per branch (Catalyst reuses
+    exchanges, not arbitrary subtrees; measured 4 corpus scans in the
+    join formulation vs 2 here). Corpus size N is a 1-row aggregate
+    broadcast in; final top-k is a per-document window. No all-pairs
+    stage, no driver collect.
 
     Returns ``id_col, term, rank, tfidf, tf, df`` — rank 1..k ordered by
     (tfidf desc, term asc).
@@ -219,12 +223,10 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
     ).filter(~F.col("term").isin(_STOPWORDS))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(doc_len, id_col)
-        .join(dfreq, "term")
+        tf.withColumn("doc_len", F.sum("tf").over(Window.partitionBy(id_col)))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
