@@ -1242,10 +1242,21 @@ SELECT pair, n, rk FROM rk WHERE rk <= 20
 # broadcast (k rows per query).
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
+    # queries (5 rows) and the exact answer (50 rows) are consumed by
+    # every method branch — pin both behind lazy checkpoints or each of
+    # the 6 consumers re-runs its subtree (the exact scorer twice!);
+    # measured 10 embeddings-scans without them, 3 with (one per index
+    # structure, the irreducible set)
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+        .localCheckpoint(eager=False)
     )
-    exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    exact = (
+        brute_force_topk(emb, queries, k=10)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     out = []
     for method, approx in (
         ("lsh", lsh_topk(emb, queries, k=10, num_tables=16, bits=6, dim=64)),

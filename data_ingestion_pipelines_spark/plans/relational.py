@@ -2395,9 +2395,28 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + F.lit(500.0)
         ).otherwise(F.col("o_totalprice")),
     )
-    added = new.exceptAll(old).withColumn("change", F.lit("added"))
-    removed = old.exceptAll(new).withColumn("change", F.lit("removed"))
-    return added.unionByName(removed)
+    # multiset diff in ONE pass: tag sides ±1, count per row value, and
+    # the sign of the sum is the change direction (explode restores
+    # multiplicity). The twin exceptAll formulation scans each snapshot
+    # twice (4 orders-scans) and runs two wide set-op shuffles; this is
+    # one union + one aggregate on the row value — the shape that holds
+    # when the snapshots are 100 TB and the diff is small.
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    tagged = new.withColumn("_w", F.lit(1)).unionByName(
+        old.withColumn("_w", F.lit(-1))
+    )
+    counts = tagged.groupBy(*cols).agg(F.sum("_w").alias("_d"))
+    return (
+        counts.filter(F.col("_d") != 0)
+        .select(
+            *cols,
+            F.when(F.col("_d") > 0, F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("change"),
+            F.explode(F.sequence(F.lit(1), F.abs(F.col("_d")))).alias("_i"),
+        )
+        .drop("_i")
+    )
 
 
 SNAPSHOT_DIFF_REPORT_SQL = """
@@ -3249,17 +3268,22 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
 # Tukey-fence winsorization (`value_winsorized_stats`) with the
 # breakdown-point-0.5 estimator.
 def brand_price_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # median and MAD as WINDOW aggregates over one brand-partitioned
+    # shuffle — the groupBy+broadcast-join formulation recomputed the
+    # deviation subtree per consumer (4 part-scans; now 1). MAD's
+    # two-pass nature (median of deviations FROM the median) collapses
+    # into two stacked windows over the same exchange.
     part = _t(spark, sf_dir, "part")
-    med = part.groupBy("p_brand").agg(
-        F.percentile("p_retailprice", 0.5).alias("median_price")
+    w = Window.partitionBy("p_brand")
+    dev = (
+        part.withColumn(
+            "median_price", F.percentile("p_retailprice", 0.5).over(w)
+        )
+        .withColumn("adev", F.abs(F.col("p_retailprice") - F.col("median_price")))
+        .withColumn("mad", F.percentile("adev", 0.5).over(w))
     )
-    dev = part.join(F.broadcast(med), "p_brand").withColumn(
-        "adev", F.abs(F.col("p_retailprice") - F.col("median_price"))
-    )
-    mad = dev.groupBy("p_brand").agg(F.percentile("adev", 0.5).alias("mad"))
     return (
-        dev.join(F.broadcast(mad), "p_brand")
-        .groupBy("p_brand")
+        dev.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
             F.first("median_price").alias("median_price"),
