@@ -617,3 +617,43 @@ def duplicate_ngram_spans(
         )
         .select(id_col, "span_start", "span_len", "n_grams")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "deduped_text",
+) -> DataFrame:
+    """Apply :func:`duplicate_ngram_spans`: rebuild each document's text
+    with the duplicated token ranges cut out (tokens re-joined with
+    single spaces — the same canonicalization the detector tokenized
+    with). Documents with no spans pass through with their full token
+    stream. Output: all columns of ``df`` plus ``out``.
+
+    One broadcast-friendly join: spans aggregate to a per-doc array
+    (bounded by spans-per-doc, not corpus size) and each token keeps
+    itself unless some span covers its position — a Column-level
+    ``exists`` over the tiny span array, no Python.
+    """
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    joined = df.join(span_arr, id_col, "left")
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: F.struct(t.alias("t"), (i - 1).alias("pos")),
+        ),
+        lambda e: ~F.exists(
+            F.coalesce(F.col("_spans"), F.array()),
+            lambda s: (e["pos"] >= s["span_start"])
+            & (e["pos"] < s["span_start"] + s["span_len"]),
+        ),
+    )
+    return joined.withColumn(
+        out, F.array_join(F.transform(kept, lambda e: e["t"]), " ")
+    ).drop("_spans")

@@ -95,8 +95,8 @@ _PRIORITY = [
     "packed_doc_chunks",
     "training_order_docs",
     "duplicate_text_spans",
+    "span_deduped_docs",
     # -- high-churn green re-checks
-    "inc_merge_upsert",
     "xml_extract",
 ]
 

@@ -406,6 +406,64 @@ FROM isl2 GROUP BY doc_id, island
 
 
 # --------------------------------------------------------------------------
+# The apply side of substring dedup: rebuild every document with its
+# cross-document duplicated spans cut out (detect + remove as one
+# hash-verified pipeline; lowercased tokens re-joined by single spaces,
+# the detector's canonical form).
+def span_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_ngram_spans, remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = duplicate_ngram_spans(docs, n=5, min_docs=2)
+    return remove_duplicate_spans(docs, spans).select("doc_id", "deduped_text")
+
+
+SPAN_DEDUPED_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), g AS (
+  SELECT doc_id, i.i AS pos,
+         md5(array_to_string(t[(i.i + 1):(i.i + 5)], ' ')) AS gh
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 5)) AS i) i
+  WHERE len(t) >= 5
+), dup AS (
+  SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), isl2 AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+  FROM isl2 GROUP BY doc_id, island
+), tokpos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS pos
+  FROM toks
+), kept AS (
+  SELECT tp.doc_id, tp.tok, tp.pos
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.pos >= s.s AND tp.pos < s.e
+  )
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS deduped_text
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic training order: the seeded global shuffle a training
 # run applies before batching. Ranks come from the scale-safe two-pass
 # ranking (range exchange + local windows + broadcast offsets), never a
@@ -1686,6 +1744,7 @@ QUERIES = {
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "training_order_docs": (training_order_docs, TRAINING_ORDER_DOCS_SQL),
     "duplicate_text_spans": (duplicate_text_spans, DUPLICATE_TEXT_SPANS_SQL),
+    "span_deduped_docs": (span_deduped_docs, SPAN_DEDUPED_DOCS_SQL),
     "udtf_chunk_text": (udtf_chunk_text, UDTF_CHUNK_TEXT_SQL),
     "minhash_pairs_docs": (minhash_pairs_docs, MINHASH_PAIRS_DOCS_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_DOCS_SQL),

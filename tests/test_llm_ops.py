@@ -409,3 +409,31 @@ def test_duplicate_ngram_spans_maximal_merge(spark):
     # doc 2: shared at 1-7, run2 at 9-13
     assert spans[2] == [(1, 7, 3), (9, 5, 1)]
     assert 3 not in spans
+
+
+def test_remove_duplicate_spans_roundtrip(spark):
+    """Cutting the detected spans removes exactly the shared runs and
+    keeps everything else in order; span-free docs keep their full
+    token stream."""
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} keepone keeptwo"),
+            (2, f"pre {shared} post"),
+            (3, "all unique tokens in this doc stay put"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = duplicate_ngram_spans(df, n=5, min_docs=2)
+    out = {
+        r["doc_id"]: r["deduped_text"]
+        for r in remove_duplicate_spans(df, spans).collect()
+    }
+    assert out[1] == "keepone keeptwo"
+    assert out[2] == "pre post"
+    assert out[3] == "all unique tokens in this doc stay put"
