@@ -1,0 +1,124 @@
+"""Byte-pair-encoding merge training, Spark-first.
+
+Industrial BPE trainers (sentencepiece, HF tokenizers) run in two phases:
+one pass over the corpus to build the word-frequency table, then a merge
+loop over that BOUNDED vocabulary — the corpus is never re-read. This
+module keeps that shape distributed:
+
+- the word count is ONE shuffle over exploded tokens (uniform keys,
+  map-side combine), persisted once;
+- each merge iteration is an aggregate over the O(|vocab|) word table —
+  independent of corpus size — plus a 1-row argmax ``collect`` (the same
+  bounded control-plane class as watermark reads: k iterations → k
+  single-row reads, never data rows).
+
+Symbol representation: every symbol is wrapped as ``<sym>`` and symbols
+are concatenated, e.g. ``hello`` → ``<h><e><l><l><o>``. A pair occurrence
+is the exact substring ``<x><y>`` — fully delimited, so plain
+left-to-right ``replace`` (identical semantics in Spark and DuckDB/ANSI)
+applies a merge greedily without false sub-symbol matches (``<ab><c>``
+can never match the pair ``(b, c)``) and without adjacent matches sharing
+boundary characters (``a a a`` + merge ``(a,a)`` → ``[aa, a]``, the
+classic greedy result). Tokens are ``[a-z0-9]+`` so ``<``/``>`` never
+occur inside a symbol. The same construction expressed in SQL gives a
+DuckDB oracle (chained CTEs with scalar-subquery argmaxes) — the trainer
+is hash-verifiable end to end, rare for an iterative algorithm.
+
+Replaces nothing in the reference (it has no tokenizer tooling); this is
+part of the LLM-training-data surface built on top of the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: regex wrapping every character of a word into ``<c>`` markers
+_WRAP_SPARK = ("(.)", "<$1>")
+
+
+def words_to_symbols(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Add the wrapped initial symbol representation (one symbol per char)."""
+    return words.withColumn(
+        "repr", F.regexp_replace(F.col(word_col), _WRAP_SPARK[0], _WRAP_SPARK[1])
+    )
+
+
+def _pair_weights(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair weights over the current representation.
+
+    O(|vocab| × word-length) exploded rows, one aggregate on uniform
+    string keys — never touches the corpus.
+    """
+    syms = F.regexp_extract_all(F.col("repr"), F.lit("<([a-z0-9]+)>"), 1)
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.lit("<"), F.element_at(syms, i), F.lit("><"),
+                F.element_at(syms, i + 1), F.lit(">"),
+            ),
+        )
+    ).alias("pair")
+    return (
+        vocab.filter(F.size(syms) >= 2)
+        .select(pair, F.col("n"))
+        .groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("weight"))
+    )
+
+
+def train_bpe_merges(
+    words: DataFrame, n_merges: int, word_col: str = "word", count_col: str = "n"
+) -> list[tuple[int, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, count) vocabulary.
+
+    Returns ``[(rank, pair, weight), …]`` with ``pair`` in wrapped form
+    (``<x><y>``). Deterministic: argmax ties break on pair ASC.
+    """
+    vocab = words_to_symbols(
+        words.select(F.col(word_col).alias("word"), F.col(count_col).alias("n"))
+    ).persist()
+    vocab.count()  # materialize once; iterations must not re-run the corpus scan
+    merges: list[tuple[int, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                _pair_weights(vocab)
+                .orderBy(F.col("weight").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, weight = top[0]["pair"], int(top[0]["weight"])
+            merges.append((rank, pair, weight))
+            merged = pair.replace("><", "")
+            nxt = vocab.withColumn(
+                "repr", F.replace(F.col("repr"), F.lit(pair), F.lit(merged))
+            ).persist()
+            nxt.count()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def merges_df(spark: SparkSession, merges: list[tuple[int, str, int]]) -> DataFrame:
+    """Lift the (bounded, k-row) merge table back into a DataFrame."""
+    return spark.createDataFrame(merges, "rk bigint, pair string, weight bigint")
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: list[tuple[int, str, int]],
+    word_col: str = "word",
+    out: str = "pieces",
+) -> DataFrame:
+    """Tokenize words with a learned merge list: replay the merges in rank
+    order (pure codegen column chain — no UDF), then unwrap the symbols."""
+    repr_col = F.regexp_replace(F.col(word_col), _WRAP_SPARK[0], _WRAP_SPARK[1])
+    for _, pair, _ in sorted(merges):
+        repr_col = F.replace(repr_col, F.lit(pair), F.lit(pair.replace("><", "")))
+    return df.withColumn(out, F.regexp_extract_all(repr_col, F.lit("<([a-z0-9]+)>"), 1))

@@ -52,6 +52,40 @@ def hash_sample(df: DataFrame, key_col: str, frac: float, salt: str = "") -> Dat
     return df.filter(prefix < F.lit(_hex_threshold(frac)))
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, float]],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Disjoint deterministic partition of rows into named splits
+    (train/val/test): the md5 hex space is carved into cumulative
+    intervals, one per split, so every row lands in EXACTLY one split and
+    membership never changes across runs, repartitions, or engines.
+
+    ``splits`` is ``[(name, frac), …]``; fracs must sum to ~1 (the last
+    split absorbs rounding). Pure projection — no shuffle; downstream
+    consumers filter on ``out`` and the predicate pushes to the scan.
+    """
+    total = sum(f for _, f in splits)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    cum = 0.0
+    conds = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        conds.append((name, _hex_threshold(cum)))
+    expr = F.lit(splits[-1][0])  # last split is the ELSE arm
+    # chain so the FIRST declared split (smallest threshold) tests first
+    for name, threshold in reversed(conds):
+        expr = F.when(prefix < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
 def mixture_sample(
     df: DataFrame, source_col: str, fractions: dict[str, float], key_col: str,
     salt: str = "",

@@ -88,16 +88,20 @@ _PRIORITY = [
     # -- new this round
     "pretraining_manifest",
     "udtf_chunk_text",
+    "bpe_trained_merges",
+    "stream_stream_attribution",
     # -- changed this round (rows-only → oracled, or operator edits)
     "simhash_docs",
     "events_profile_approx",
     "tdigest_price_quantiles",
-    "packed_doc_chunks",
     "training_order_docs",
     "duplicate_text_spans",
     "span_deduped_docs",
-    # -- high-churn green re-checks
-    "xml_extract",
+    # Out this round to stay at 50: xml_extract (re-check only — three
+    # driver-green rounds) and packed_doc_chunks (r3-green; the
+    # integer-div refactor is pinned by pytest + the local sweep).
+    # Next-round rotation: train_val_test_split, salted_hot_join,
+    # packed_doc_chunks, xml_extract.
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

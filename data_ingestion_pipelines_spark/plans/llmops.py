@@ -362,6 +362,41 @@ MIXTURE_SAMPLED_DOCS_SQL = f"SELECT doc_id, source FROM documents WHERE {_mix_ca
 
 
 # --------------------------------------------------------------------------
+# Deterministic train/val/test split: the md5 hex space carved into
+# cumulative intervals — every row lands in exactly one split, membership
+# is a pure function of (salt, key) so ablations and resumes agree
+# forever, and the engine twin is plain SQL. Pure projection, no shuffle.
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, key_col="doc_id", splits=_SPLITS, salt="split1").select(
+        "doc_id", "source", "split"
+    )
+
+
+def _split_cases() -> str:
+    from ..operators.sampling import _hex_threshold
+
+    cum, arms = 0.0, []
+    for name, frac in _SPLITS[:-1]:
+        cum += frac
+        arms.append(
+            f"WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f" < '{_hex_threshold(cum)}' THEN '{name}'"
+        )
+    return "CASE " + " ".join(arms) + f" ELSE '{_SPLITS[-1][0]}' END"
+
+
+TRAIN_VAL_TEST_SPLIT_SQL = (
+    f"SELECT doc_id, source, {_split_cases()} AS split FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
 # Exact substring dedup (Lee et al.): maximal cross-document duplicated
 # token spans — the token ranges a curation pass cuts or down-weights.
 # Deterministic end to end (md5 gram keys + gaps-and-islands merging),
@@ -1292,6 +1327,65 @@ SELECT pair, n, rk FROM rk WHERE rk <= 20
 
 
 # --------------------------------------------------------------------------
+# BPE merge TRAINING (the iterative loop, not just the candidate scan):
+# word counts are ONE shuffle over the corpus, then each merge iteration
+# aggregates the bounded vocabulary — corpus never re-read (the
+# sentencepiece/HF trainer shape, distributed). The wrapped-symbol
+# ``<x><y>`` encoding makes greedy merge application a plain string
+# replace with identical semantics in Spark and DuckDB, so even this
+# iterative algorithm hash-verifies: the oracle replays the same k
+# argmax+replace rounds as chained CTEs with scalar subqueries.
+_BPE_N_MERGES = 6
+
+
+def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import merges_df, train_bpe_merges
+
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return merges_df(spark, train_bpe_merges(words, n_merges=_BPE_N_MERGES))
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    ctes = [
+        f"""WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+         regexp_replace(word, '(.)', '<\\1>', 'g') AS repr
+  FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f""", p{i} AS (
+  SELECT '<' || syms[j] || '><' || syms[j + 1] || '>' AS pair,
+         CAST(SUM(n) AS BIGINT) AS weight
+  FROM (SELECT n, regexp_extract_all(repr, '<([a-z0-9]+)>', 1) AS syms
+        FROM w{i - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS j)
+  GROUP BY 1
+), t{i} AS (
+  SELECT pair, weight, replace(pair, '><', '') AS merged
+  FROM p{i} ORDER BY weight DESC, pair ASC LIMIT 1
+), w{i} AS (
+  SELECT word, n,
+         replace(repr, (SELECT pair FROM t{i}), (SELECT merged FROM t{i})) AS repr
+  FROM w{i - 1}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rk, pair, weight FROM t{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(ctes) + "\n" + union
+
+
+BPE_TRAINED_MERGES_SQL = _bpe_oracle_sql(_BPE_N_MERGES)
+
+
+# --------------------------------------------------------------------------
 # ANN quality readout: recall@10 of each approximate index (LSH, IVF)
 # against the exact brute-force answer, per query — the operational
 # metric an ANN deployment monitors. Rows-only (the approximate sides
@@ -1739,6 +1833,8 @@ QUERIES = {
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
     "doc_repetition_ratio": (doc_repetition_ratio, DOC_REPETITION_RATIO_SQL),
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
+    "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
+    "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "stratified_docs_sample": (stratified_docs_sample, STRATIFIED_DOCS_SAMPLE_SQL),
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),

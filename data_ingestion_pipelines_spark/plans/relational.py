@@ -1061,6 +1061,87 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Skew-safe JOIN through the gate (salted_aggregate's sibling): enriching
+# the fact on its 5-value hot key would put every row of a key on one
+# reducer in a shuffle join; salted_join spreads each key over 8 (key,
+# salt) buckets, replicating the (tiny) enrich side 8×. The salt column
+# is internal — results are salt-invariant, so the oracle is the plain
+# join. Exact bigint payloads only (salting must not reorder double sums).
+def salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    return salted_join(
+        ev, dim, on=["event_type"], salt=8, left_unique_col="event_id"
+    ).select("event_id", "event_type", "type_n")
+
+
+SALTED_HOT_JOIN_SQL = """
+SELECT e.event_id, e.event_type, d.type_n
+FROM events e
+JOIN (SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY 1) d
+  ON e.event_type = d.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Stream-STREAM interval join through the gate: view and purchase events
+# arrive as two independent watermarked streams; each purchase joins the
+# same user's views from the preceding hour. State for both sides is
+# evicted as the watermark advances (the raw-stream twin of the batch
+# as-of family). Sinked via append-mode parquet — the production path for
+# an attribution feed. Oracle = the same interval join as batch SQL:
+# batch/stream parity proof for stream-stream joins, completing the set
+# (windows: event_hourly_windows_streaming; stream-static joins:
+# stream_enriched_segments).
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.files import read_parquet_stream
+    from ..streaming.joins import stream_stream_interval_join
+
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    views = (
+        read_parquet_stream(spark, path)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", "ts", F.col("event_id").alias("view_id"))
+    )
+    purchases = (
+        read_parquet_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    joined = stream_stream_interval_join(
+        views, purchases, key="user_id", lookback_sec=3600, watermark="10 minutes"
+    )
+    root = tempfile.mkdtemp(prefix="ssattr_")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{root}/out").select(
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_view_id").alias("view_id"),
+        F.col("r_purchase_id").alias("purchase_id"),
+    )
+
+
+STREAM_STREAM_ATTRIBUTION_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 3600 SECOND
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
 # Format round-trip proof (S8/K10/K12 surface in the gate, not just
 # pytest): orders written to CSV and ORC, read back, and aggregated with
 # the decimal-exact route — if either format lost precision or rows, the
@@ -3662,6 +3743,11 @@ QUERIES = {
     "cumulative_unique_users": (cumulative_unique_users, CUMULATIVE_UNIQUE_USERS_SQL),
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL),
     "format_roundtrip_totals": (format_roundtrip_totals, FORMAT_ROUNDTRIP_TOTALS_SQL),
+    "salted_hot_join": (salted_hot_join, SALTED_HOT_JOIN_SQL),
+    "stream_stream_attribution": (
+        stream_stream_attribution,
+        STREAM_STREAM_ATTRIBUTION_SQL,
+    ),
     "skewed_event_type_counts": (
         skewed_event_type_counts,
         SKEWED_EVENT_TYPE_COUNTS_SQL,

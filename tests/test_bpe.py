@@ -1,0 +1,99 @@
+"""BPE trainer: parity against a pure-Python greedy reference, plus the
+split operator's partition invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.bpe import (
+    apply_bpe_merges,
+    train_bpe_merges,
+)
+from data_ingestion_pipelines_spark.operators.sampling import hash_split
+
+
+def _ref_bpe(vocab: dict[str, int], k: int) -> list[tuple[int, str, int]]:
+    """Textbook greedy BPE on a word-frequency dict (ties: pair ASC)."""
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + vocab[w]
+        if not counts:
+            break
+        wrapped = {f"<{a}><{b}>": n for (a, b), n in counts.items()}
+        pair = min(wrapped, key=lambda p: (-wrapped[p], p))
+        merges.append((rank, pair, wrapped[pair]))
+        a, b = pair[1:-1].split("><")
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+VOCAB = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaa": 4}
+
+
+def test_trainer_matches_reference_bpe(spark):
+    words = spark.createDataFrame(list(VOCAB.items()), "word string, n bigint")
+    got = train_bpe_merges(words, n_merges=8)
+    assert got == _ref_bpe(VOCAB, 8)
+
+
+def test_greedy_overlap_semantics(spark):
+    # 'aaaa' with merge (a,a) must become [aa, aa] (left-to-right
+    # non-overlapping), and the next round merges (aa, aa).
+    words = spark.createDataFrame([("aaaa", 1)], "word string, n bigint")
+    got = train_bpe_merges(words, n_merges=2)
+    assert got == [(1, "<a><a>", 3), (2, "<aa><aa>", 1)]
+
+
+def test_apply_replays_merges(spark):
+    words = spark.createDataFrame(list(VOCAB.items()), "word string, n bigint")
+    merges = train_bpe_merges(words, n_merges=6)
+    pieces = {
+        r["word"]: r["pieces"]
+        for r in apply_bpe_merges(words, merges).collect()
+    }
+    # pieces always reassemble the word, for every word
+    assert all("".join(p) == w for w, p in pieces.items())
+    # and the hot word is fully merged into one piece within 6 rounds
+    assert pieces["newest"] == ["newest"] or len(pieces["newest"]) <= 3
+
+
+def test_hash_split_partition_invariants(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = hash_split(df, "k", splits, salt="s1")
+    rows = out.groupBy("split").count().collect()
+    got = {r["split"]: r["count"] for r in rows}
+    # disjoint + exhaustive: counts sum to the input
+    assert sum(got.values()) == 2000
+    assert set(got) == {"train", "val", "test"}
+    # roughly proportional (md5 is uniform; 2000 keys, loose bounds)
+    assert 1500 < got["train"] < 1700
+    assert 120 < got["val"] < 280
+    assert 120 < got["test"] < 280
+    # deterministic under repartitioning
+    a = {(r["k"], r["split"]) for r in out.collect()}
+    b = {(r["k"], r["split"]) for r in hash_split(df.repartition(13), "k", splits, salt="s1").collect()}
+    assert a == b
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    try:
+        hash_split(df, "k", [("a", 0.5), ("b", 0.2)])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("fractions summing to 0.7 must be rejected")
