@@ -657,3 +657,76 @@ def remove_duplicate_spans(
     return joined.withColumn(
         out, F.array_join(F.transform(kept, lambda e: e["t"]), " ")
     ).drop("_spans")
+
+
+def _gram_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    bucket_prefix_tokens: int,
+) -> DataFrame:
+    """(id, _bucket, _g): one row per (doc, distinct word-n-gram), with
+    the first-tokens candidate bucket. Same construction as
+    ngram_jaccard_pairs (short docs collapse to a single whole-text gram);
+    factored for the incremental (batch × corpus) variant where the two
+    sides are different frames."""
+    df = _spread(df)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)))
+    sh = F.when(F.size("_toks") >= n, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", "_toks"))
+    )
+    return toks_df.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice("_toks", 1, bucket_prefix_tokens)).alias("_bucket"),
+        F.explode(sh).alias("_g"),
+    ).localCheckpoint(eager=False)  # join side + size aggregate both consume
+
+
+def incremental_neardup_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    bucket_prefix_tokens: int = 1,
+) -> DataFrame:
+    """Drop batch docs that are NEAR-duplicates (word-n-gram Jaccard ≥
+    ``threshold``) of any doc already in ``corpus`` — the near-dup twin of
+    :func:`incremental_dedup` (which only catches byte-identical
+    redeliveries; real feeds redeliver lightly-edited copies).
+
+    Same exploded-gram shape as ngram_jaccard_pairs, but batch × corpus
+    instead of self-join: candidates come from a (bucket, gram) equi-join
+    on uniform keys, intersections aggregate per pair, and surviving ids
+    anti-join back. The historical corpus side is O(corpus grams) but at
+    production scale its gram table is computed once and appended per
+    batch, not rebuilt — only batch grams are fresh work. Never ships
+    document payloads between pairs.
+    """
+    bg = _gram_rows(batch, text_col, id_col, n, bucket_prefix_tokens)
+    cg = _gram_rows(corpus, text_col, id_col, n, bucket_prefix_tokens)
+    b_sizes = bg.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz_b"))
+    c_sizes = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz_c"))
+    inter = (
+        bg.withColumnRenamed(id_col, "_bid")
+        .join(cg.withColumnRenamed(id_col, "_cid"), on=["_bucket", "_g"])
+        .groupBy("_bid", "_cid")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    dup_ids = (
+        inter.join(b_sizes.withColumnRenamed(id_col, "_bid"), "_bid")
+        .join(c_sizes.withColumnRenamed(id_col, "_cid"), "_cid")
+        .filter(
+            F.col("_inter")
+            / (F.col("_sz_b") + F.col("_sz_c") - F.col("_inter")).cast("double")
+            >= threshold
+        )
+        .select(F.col("_bid").alias(id_col))
+        .distinct()
+    )
+    return batch.join(dup_ids, on=id_col, how="left_anti")

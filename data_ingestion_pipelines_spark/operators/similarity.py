@@ -377,3 +377,96 @@ def ivf_topk(
     scored = _score_pairs_numpy(cand, vec_col, "_qvec", keep=[query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization: the standard memory/bandwidth lever for
+# billion-vector search (4x smaller than float32, integer SIMD dot
+# products). Per-dimension global (min, max) is ONE aggregate — 2*dim
+# partial-combined scalars, no explode, no shuffle of vectors — broadcast
+# back as two array literals folded into a pure codegen projection.
+# Deterministic end to end (floor(x + 0.5) midpoint rule, identical IEEE
+# arithmetic in any engine), so quantized vectors AND integer-exact
+# quantized dot products hash-verify against SQL.
+
+
+def quantization_stats(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """1-row frame: ``mins`` / ``maxs`` arrays of per-dimension bounds."""
+    aggs = []
+    for d in range(1, dim + 1):
+        x = F.element_at(F.col(vec_col), d).cast("double")
+        aggs.append(F.min(x).alias(f"_mn{d}"))
+        aggs.append(F.max(x).alias(f"_mx{d}"))
+    row = df.agg(*aggs)
+    return row.select(
+        F.array(*[F.col(f"_mn{d}") for d in range(1, dim + 1)]).alias("mins"),
+        F.array(*[F.col(f"_mx{d}") for d in range(1, dim + 1)]).alias("maxs"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out: str = "qvec",
+    levels: int = 256,
+) -> DataFrame:
+    """Add ``out``: the vector quantized to integer codes in [0, levels).
+
+    code_d = floor((x_d - min_d) * (levels-1) / (max_d - min_d) + 0.5);
+    degenerate dimensions (max == min) map to 0. The stats row rides a
+    broadcast join — no driver collect in the plan.
+    """
+    stats = quantization_stats(df, vec_col, dim)
+    top = F.lit(float(levels - 1))
+    with_stats = df.crossJoin(F.broadcast(stats))
+    code = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda d: F.when(
+            F.element_at("maxs", d) > F.element_at("mins", d),
+            F.floor(
+                (F.element_at(F.col(vec_col), d).cast("double") - F.element_at("mins", d))
+                * top
+                / (F.element_at("maxs", d) - F.element_at("mins", d))
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+    return with_stats.withColumn(out, code).drop("mins", "maxs")
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k by INTEGER dot product over shared-codebook quantized
+    vectors: (query_id, vec_id, qdot). Exact bigint scores — no float
+    ties, so ranking is bit-deterministic (the float-cosine twin needs a
+    rounding rule). Queries must come from the same quantized frame
+    (shared codebook), selected by id from ``queries``."""
+    q = corpus.join(
+        F.broadcast(queries.select(F.col(query_id_col))),
+        on=F.col(id_col) == F.col(query_id_col),
+    ).select(query_id_col, F.col(vec_col).alias("_qvec"))
+    joined = corpus.select(id_col, vec_col).crossJoin(F.broadcast(q))
+    qdot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_qvec"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(query_id_col, id_col, qdot.alias("qdot"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("qdot").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -671,6 +671,96 @@ SELECT query_id, vec_id, score FROM (
 
 
 # --------------------------------------------------------------------------
+# int8 scalar quantization of the embedding corpus: per-dimension global
+# (min,max) from ONE partial-combined aggregate (2×dim scalars, vectors
+# never shuffled), broadcast into a pure projection. 4× memory/bandwidth
+# vs float32 — the standard first lever for billion-vector ANN serving.
+# Deterministic midpoint rule (floor(x+0.5)), so the codes hash-verify
+# exactly; the output carries an md5 digest of each code vector plus its
+# integer sum (arrays themselves don't hash portably across engines).
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", dim=64, out="qvec")
+    return q.select(
+        "vec_id",
+        F.md5(F.array_join(F.col("qvec").cast("array<string>"), ",")).alias("q_digest"),
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+    )
+
+
+QUANTIZED_EMBEDDINGS_SQL = """
+WITH dims AS (
+  SELECT i AS d, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY i
+), stats AS (
+  SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM dims
+), q AS (
+  SELECT vec_id,
+         list_transform(range(1, 65), i ->
+           CASE WHEN maxs[i] > mins[i]
+                THEN CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0
+                                / (maxs[i] - mins[i]) + 0.5) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END) AS qvec
+  FROM embeddings, stats
+)
+SELECT vec_id, md5(array_to_string(qvec, ',')) AS q_digest,
+       CAST(list_sum(qvec) AS BIGINT) AS q_sum
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-k search over the quantized corpus: INTEGER dot products — exact
+# bigint scores, no float-tie rounding rule needed (the float-cosine twin
+# rounds to 6dp). Shares similarity_topk's query convention so the two
+# gates are directly comparable.
+def quantized_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings, quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", dim=64, out="qvec").select(
+        "vec_id", "qvec"
+    )
+    queries = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return quantized_topk(q, queries, k=10, vec_col="qvec")
+
+
+QUANTIZED_SIMILARITY_TOPK_SQL = """
+WITH dims AS (
+  SELECT i AS d, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY i
+), stats AS (
+  SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM dims
+), q AS (
+  SELECT vec_id,
+         list_transform(range(1, 65), i ->
+           CASE WHEN maxs[i] > mins[i]
+                THEN CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0
+                                / (maxs[i] - mins[i]) + 0.5) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END) AS qvec
+  FROM embeddings, stats
+), scored AS (
+  SELECT qq.vec_id AS query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> c.qvec[i] * qq.qvec[i])) AS BIGINT) AS qdot
+  FROM q c CROSS JOIN (SELECT vec_id, qvec FROM q WHERE vec_id < 5) qq
+)
+SELECT query_id, vec_id, qdot FROM (
+  SELECT query_id, vec_id, qdot,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs — exact method so the full-pair-space
 # oracle matches (the LSH method is the scale path, exercised in tests)
 def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1517,6 +1607,62 @@ WHERE NOT EXISTS (
 
 
 # --------------------------------------------------------------------------
+# Incremental NEAR-dup dedup: the exact-fingerprint variant above only
+# catches byte-identical redeliveries; real feeds redeliver lightly
+# EDITED copies. New batch = fresh sources + every corpus doc with two
+# tokens appended (the planted edits); a batch doc is dropped if its
+# 3-gram Jaccard vs ANY historical doc clears the threshold. Batch ×
+# corpus gram join — at production scale the corpus gram table is an
+# append-maintained index, so per-batch work is O(batch grams).
+def incremental_neardup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import incremental_neardup_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.filter(~F.col("source").isin(*_NEW_SOURCES))
+    fresh = docs.filter(F.col("source").isin(*_NEW_SOURCES))
+    edited = corpus.select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" qq17 zz42")).alias("text"),
+    )
+    batch = fresh.unionByName(edited)
+    return incremental_neardup_dedup(batch, corpus, threshold=0.5).select("doc_id")
+
+
+INCREMENTAL_NEARDUP_NEW_DOCS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE source NOT IN {_NEW_SOURCES!r}
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE source IN {_NEW_SOURCES!r}
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text || ' qq17 zz42' AS text FROM corpus
+), cg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g,
+         array_to_string(t[1:1], ' ') AS bucket
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM corpus)
+), bg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g,
+         array_to_string(t[1:1], ' ') AS bucket
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM batch)
+), dups AS (
+  SELECT DISTINCT bg.doc_id
+  FROM bg JOIN cg ON bg.bucket = cg.bucket
+  WHERE len(list_intersect(bg.g, cg.g))
+        / CAST(len(list_distinct(list_concat(bg.g, cg.g))) AS DOUBLE) >= 0.5
+)
+SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
+# --------------------------------------------------------------------------
 # Document embedding plumbing (deterministic fake encoder): md5-derived
 # exact binary fractions, pure codegen — the docs→vectors step that feeds
 # the ANN/dedup operators, verified bit-for-bit against DuckDB.
@@ -1808,6 +1954,10 @@ QUERIES = {
         incremental_dedup_new_docs,
         INCREMENTAL_DEDUP_NEW_DOCS_SQL,
     ),
+    "incremental_neardup_new_docs": (
+        incremental_neardup_new_docs,
+        INCREMENTAL_NEARDUP_NEW_DOCS_SQL,
+    ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     "benchmark_decontamination": (
         benchmark_decontamination,
@@ -1845,6 +1995,11 @@ QUERIES = {
     "minhash_pairs_docs": (minhash_pairs_docs, MINHASH_PAIRS_DOCS_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_DOCS_SQL),
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
+    "quantized_embeddings": (quantized_embeddings, QUANTIZED_EMBEDDINGS_SQL),
+    "quantized_similarity_topk": (
+        quantized_similarity_topk,
+        QUANTIZED_SIMILARITY_TOPK_SQL,
+    ),
     "embedding_dedup_pairs": (embedding_dedup_pairs, EMBEDDING_DEDUP_PAIRS_SQL),
     "embedding_dup_clusters": (embedding_dup_clusters, EMBEDDING_DUP_CLUSTERS_SQL),
     "similarity_lsh_topk": (similarity_lsh_topk, None),

@@ -1,0 +1,104 @@
+"""int8 embedding quantization + incremental near-dup dedup."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.dedup import incremental_neardup_dedup
+from data_ingestion_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    quantize_embeddings,
+    quantized_topk,
+)
+
+
+def _toy_embeddings(spark, n=40, dim=8):
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{i}:{d}".encode()).digest()
+            vec.append(int.from_bytes(h[:4], "big") / float(1 << 32) * 2 - 1)
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_quantization_bounds_and_determinism(spark):
+    emb = _toy_embeddings(spark)
+    q = quantize_embeddings(emb, dim=8)
+    rows = q.select("vec_id", "qvec", "embedding").collect()
+    codes = [c for r in rows for c in r["qvec"]]
+    assert min(codes) == 0 and max(codes) == 255  # min/max hit the range ends
+    # reconstruction error bounded by half a quantization step per dim
+    mins = [min(r["embedding"][d] for r in rows) for d in range(8)]
+    maxs = [max(r["embedding"][d] for r in rows) for d in range(8)]
+    for r in rows:
+        for d in range(8):
+            step = (maxs[d] - mins[d]) / 255.0
+            recon = mins[d] + r["qvec"][d] * step
+            assert abs(recon - r["embedding"][d]) <= step / 2 + 1e-12
+    # repartitioning must not change codes (global stats, not per-partition)
+    again = {
+        r["vec_id"]: r["qvec"]
+        for r in quantize_embeddings(emb.repartition(7), dim=8).collect()
+    }
+    assert all(again[r["vec_id"]] == r["qvec"] for r in rows)
+
+
+def test_quantized_topk_tracks_exact_topk(spark):
+    emb = _toy_embeddings(spark, n=60)
+    q = quantize_embeddings(emb, dim=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=10, vec_col="embedding")
+    approx = quantized_topk(
+        q.select("vec_id", "qvec"),
+        q.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id")),
+        k=10,
+        vec_col="qvec",
+    )
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # int8 dot-product ranking is NOT cosine (no normalization), but on
+    # roughly-isotropic data top-10 overlap should stay high
+    assert len(ex & ap) >= 15  # >= 0.5 recall over 30 slots
+
+
+def test_incremental_neardup_drops_edited_redeliveries(spark):
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "spark engines shuffle data across the cluster for wide joins"),
+        (3, "completely different content about cooking pasta with tomato sauce"),
+    ]
+    batch_rows = [
+        # light edit of doc 1 -> near-dup, must drop
+        (101, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        # byte-identical to doc 2 -> drop
+        (102, "spark engines shuffle data across the cluster for wide joins"),
+        # genuinely new -> keep
+        (103, "the weather forecast predicts heavy snowfall in the mountains"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id bigint, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    kept = {
+        r["doc_id"]
+        for r in incremental_neardup_dedup(batch, corpus, threshold=0.5).collect()
+    }
+    assert kept == {103}
+
+
+def test_incremental_neardup_keeps_batch_without_corpus_match(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "one two three four five six seven eight")],
+        "doc_id bigint, text string",
+    )
+    assert incremental_neardup_dedup(batch, corpus, threshold=0.3).count() == 1
