@@ -59,6 +59,8 @@ HEADLINE = [
     "overlapping_order_windows",
     "pretraining_manifest",
     "duplicate_text_spans",
+    # round-4 session B: int8-quantized ANN search
+    "quantized_similarity_topk",
 ]
 
 

@@ -362,6 +362,36 @@ MIXTURE_SAMPLED_DOCS_SQL = f"SELECT doc_id, source FROM documents WHERE {_mix_ca
 
 
 # --------------------------------------------------------------------------
+# Gzipped-JSONL round trip: THE corpus interchange format for LLM
+# training data (one JSON object per line, gzip per file — splittable at
+# the file level, which is why corpora ship as many medium gz files).
+# The corpus is written out and read back through the real source/sink
+# path, then per-doc content fingerprints are taken off the ROUND-TRIPPED
+# frame and hash-compared against fingerprints the oracle computes from
+# the original parquet: any escaping/encoding loss in the JSON path would
+# flip an md5. (CSV/ORC get the same proof in format_roundtrip_totals.)
+def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="jsonl_")
+    docs.write.mode("overwrite").option("compression", "gzip").json(f"{root}/docs")
+    back = spark.read.schema(docs.schema).json(f"{root}/docs")
+    return back.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+JSONL_ROUNDTRIP_DOCS_SQL = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS text_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split: the md5 hex space carved into
 # cumulative intervals — every row lands in exactly one split, membership
 # is a pure function of (salt, key) so ablations and resumes agree
@@ -1984,6 +2014,7 @@ QUERIES = {
     "doc_repetition_ratio": (doc_repetition_ratio, DOC_REPETITION_RATIO_SQL),
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
+    "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "stratified_docs_sample": (stratified_docs_sample, STRATIFIED_DOCS_SAMPLE_SQL),
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
