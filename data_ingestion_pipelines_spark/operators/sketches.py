@@ -195,3 +195,60 @@ def heavy_hitters(df: DataFrame, key_col: str, m: int = 256) -> DataFrame:
             (F.col("cnt").cast("double") / F.col("_n").cast("double")).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch: the mergeable frequency sketch (Cormode-Muthukrishnan).
+# Estimates only ever OVERcount (est >= true), width bounds the error to
+# ~total/width per row, and sketches union by cell-wise addition — daily
+# sketches roll up to weekly exactly like the HLL rollup. Hash rows use
+# md5-derived buckets (the engine's sanctioned cross-engine hash), so the
+# whole sketch AND its estimates are deterministic and SQL-recomputable —
+# a fully oracled sketch, unlike probabilistic-seed implementations.
+
+CMS_SEEDS = ("cms0", "cms1", "cms2")
+
+
+def _cms_bucket(seed_col, item_col, width: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(seed_col, item_col)), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(width),
+    )
+
+
+def count_min_sketch(
+    counts: DataFrame,
+    item_col: str = "token",
+    count_col: str = "n",
+    width: int = 1024,
+    seeds: tuple[str, ...] = CMS_SEEDS,
+) -> DataFrame:
+    """Build the (seed, bucket, cnt) sketch table — ≤ depth×width rows —
+    from a PRE-AGGREGATED (item, count) frame: expand ×depth on the
+    bounded distinct-item table (never on raw rows), then one aggregate
+    on uniform (seed, bucket) keys."""
+    seed = F.explode(F.array(*[F.lit(s) for s in seeds])).alias("seed")
+    expanded = counts.select(F.col(item_col), F.col(count_col), seed)
+    return expanded.groupBy(
+        "seed", _cms_bucket(F.col("seed"), F.col(item_col), width).alias("bucket")
+    ).agg(F.sum(count_col).cast("bigint").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str = "token",
+    width: int = 1024,
+    seeds: tuple[str, ...] = CMS_SEEDS,
+) -> DataFrame:
+    """Point-query the sketch: min over hash rows of the hit cells.
+    The sketch (≤ depth×width rows) broadcasts; ``items`` can be any
+    size — per item this is a broadcast join + a min aggregate."""
+    seed = F.explode(F.array(*[F.lit(s) for s in seeds])).alias("seed")
+    probes = items.select(F.col(item_col), seed).withColumn(
+        "bucket", _cms_bucket(F.col("seed"), F.col(item_col), width)
+    )
+    hit = probes.join(F.broadcast(sketch), on=["seed", "bucket"])
+    return hit.groupBy(item_col).agg(F.min("cnt").alias("cms_est"))

@@ -807,6 +807,114 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embeddi
 
 
 # --------------------------------------------------------------------------
+# SEMANTIC benchmark decontamination (SemDeDup-style): the 5-gram pass
+# (benchmark_decontamination) misses paraphrases; this one flags corpus
+# vectors whose embedding cosine vs ANY eval-set vector clears the
+# threshold. Eval sets are small → broadcast; the exact scorer is the
+# oracle-able baseline (the LSH-bucketed variant in
+# similarity.embedding_dup_pairs is the 100 TB path). Scores follow the
+# engine's 6-dp rounding rule; max/count are order-independent.
+def semantic_contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evals = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("_evec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    scored = corpus.crossJoin(F.broadcast(evals)).select(
+        "vec_id",
+        F.round(cosine_similarity(F.col("embedding"), F.col("_evec")), 6).alias(
+            "score"
+        ),
+    )
+    return (
+        scored.filter(F.col("score") >= 0.4)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+SEMANTIC_CONTAMINATED_DOCS_SQL = """
+WITH hits AS (
+  SELECT c.vec_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS score
+  FROM embeddings c
+  JOIN embeddings e ON e.vec_id < 20 AND c.vec_id >= 20
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits, MAX(score) AS max_score
+FROM hits WHERE score >= 0.4 GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching: group docs of similar token length into
+# fixed-size batches so padding waste (batch_max − doc_len per doc) stays
+# small — the standard inference/training batcher. Sharding keeps the
+# per-bucket ordering window bounded (PARTITION BY bucket alone funnels a
+# whole length class through one task at 100 TB); batch membership is
+# deterministic (doc_id order within (bucket, shard)). All integer math.
+_LEN_BOUNDS = (64, 128, 256)
+_BATCH_SIZE = 16
+
+
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    bucket = F.lit(len(_LEN_BOUNDS))
+    for i, bound in reversed(list(enumerate(_LEN_BOUNDS))):
+        bucket = F.when(F.col("n_tokens") < bound, F.lit(i)).otherwise(bucket)
+    sharded = docs.select(
+        "doc_id",
+        "n_tokens",
+        bucket.cast("bigint").alias("len_bucket"),
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("bigint").alias("shard"),
+    )
+    batched = sharded.withColumn(
+        "batch_id", F.expr(f"(row_number() OVER (PARTITION BY len_bucket, shard ORDER BY doc_id) - 1) div {_BATCH_SIZE}")
+    )
+    return batched.groupBy("len_bucket", "shard", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tokens").cast("bigint").alias("batch_max_tokens"),
+        F.sum("n_tokens").cast("bigint").alias("batch_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("bigint")
+        .alias("padded_tokens"),
+    )
+
+
+LENGTH_BUCKETED_BATCHES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), sharded AS (
+  SELECT doc_id, n_tokens,
+         CAST(CASE WHEN n_tokens < 64 THEN 0
+                   WHEN n_tokens < 128 THEN 1
+                   WHEN n_tokens < 256 THEN 2
+                   ELSE 3 END AS BIGINT) AS len_bucket,
+         CAST(doc_id % 8 AS BIGINT) AS shard
+  FROM tok
+), batched AS (
+  SELECT doc_id, n_tokens, len_bucket, shard,
+         (row_number() OVER (PARTITION BY len_bucket, shard ORDER BY doc_id) - 1)
+           // {_BATCH_SIZE} AS batch_id
+  FROM sharded
+)
+SELECT len_bucket, shard, CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tokens) AS BIGINT) AS batch_max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padded_tokens
+FROM batched GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering: embedding pairs → connected components (min-label
 # propagation) — the step that turns pair detection into keep-one-per-
 # group curation. Oracle: DuckDB recursive CTE transitive closure.
@@ -1447,6 +1555,69 @@ SELECT pair, n, rk FROM rk WHERE rk <= 20
 
 
 # --------------------------------------------------------------------------
+# Count-min sketch over the token stream: the mergeable frequency sketch
+# — md5-derived buckets make it deterministic, so the sketch AND its
+# estimates hash-verify against a DuckDB twin (a fully oracled sketch;
+# the no_undercount column additionally pins the CMS guarantee est ≥
+# true into the hash). Token counts aggregate ONCE (the only corpus
+# shuffle); the ×depth expansion runs on the bounded distinct-token
+# table; the ≤3×1024-row sketch broadcasts for estimation.
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_estimate, count_min_sketch
+
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    tokc = (
+        docs.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # consumed by sketch + top-30 branches
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    top = (
+        tokc.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 30)
+        .drop("_rk")
+    )
+    sketch = count_min_sketch(tokc)
+    est = cms_estimate(sketch, top.select("token"))
+    return top.join(est, "token").select(
+        "token",
+        F.col("n").cast("bigint").alias("true_n"),
+        "cms_est",
+        (F.col("cms_est") >= F.col("n")).alias("no_undercount"),
+    )
+
+
+CMS_TOKEN_COUNTS_SQL = f"""
+WITH tokc AS (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+  GROUP BY 1
+), seeds AS (
+  SELECT unnest(['cms0', 'cms1', 'cms2']) AS seed
+), sk AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(seed || token), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bucket,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM tokc, seeds
+  GROUP BY 1, 2
+), top AS (
+  SELECT token, n FROM (
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk FROM tokc
+  ) WHERE rk <= 30
+), est AS (
+  SELECT t.token, t.n, MIN(sk.cnt) AS cms_est
+  FROM top t
+  CROSS JOIN seeds s
+  JOIN sk ON sk.seed = s.seed
+         AND sk.bucket = CAST(('0x' || substr(md5(s.seed || t.token), 1, 8))::UBIGINT % 1024 AS BIGINT)
+  GROUP BY 1, 2
+)
+SELECT token, n AS true_n, cms_est, cms_est >= n AS no_undercount FROM est
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE merge TRAINING (the iterative loop, not just the candidate scan):
 # word counts are ONE shuffle over the corpus, then each merge iteration
 # aggregates the bounded vocabulary — corpus never re-read (the
@@ -2016,6 +2187,15 @@ QUERIES = {
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
+    "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
+    "semantic_contaminated_docs": (
+        semantic_contaminated_docs,
+        SEMANTIC_CONTAMINATED_DOCS_SQL,
+    ),
+    "length_bucketed_batches": (
+        length_bucketed_batches,
+        LENGTH_BUCKETED_BATCHES_SQL,
+    ),
     "stratified_docs_sample": (stratified_docs_sample, STRATIFIED_DOCS_SAMPLE_SQL),
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),

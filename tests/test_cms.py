@@ -1,0 +1,56 @@
+"""Count-min sketch: guarantee + mergeability properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.sketches import (
+    cms_estimate,
+    count_min_sketch,
+)
+
+
+def _counts(spark, rows):
+    return spark.createDataFrame(rows, "token string, n bigint")
+
+
+def test_cms_never_undercounts(spark):
+    rows = [(f"tok{i}", (i % 7) + 1) for i in range(300)]
+    counts = _counts(spark, rows)
+    sketch = count_min_sketch(counts, width=64)  # narrow -> forced collisions
+    est = cms_estimate(sketch, counts.select("token"), width=64)
+    joined = counts.join(est, "token")
+    bad = joined.filter(F.col("cms_est") < F.col("n")).count()
+    assert bad == 0
+    # and with collisions forced, at least some estimate strictly overcounts
+    assert joined.filter(F.col("cms_est") > F.col("n")).count() > 0
+
+
+def test_cms_exact_when_wide(spark):
+    rows = [(f"t{i}", i + 1) for i in range(20)]
+    counts = _counts(spark, rows)
+    sketch = count_min_sketch(counts, width=4096)
+    est = cms_estimate(sketch, counts.select("token"), width=4096)
+    diffs = (
+        counts.join(est, "token")
+        .filter(F.col("cms_est") != F.col("n"))
+        .count()
+    )
+    assert diffs == 0  # 20 keys in 3x4096 cells: collision-free min
+
+
+def test_cms_merges_by_cell_addition(spark):
+    day1 = _counts(spark, [("a", 3), ("b", 5), ("c", 2)])
+    day2 = _counts(spark, [("a", 4), ("c", 1), ("d", 7)])
+    union = _counts(spark, [("a", 7), ("b", 5), ("c", 3), ("d", 7)])
+    s1 = count_min_sketch(day1, width=64)
+    s2 = count_min_sketch(day2, width=64)
+    merged = (
+        s1.unionByName(s2)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    direct = count_min_sketch(union, width=64)
+    a = {(r["seed"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    b = {(r["seed"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert a == b  # cell-wise union == sketch of the unioned stream
