@@ -1641,7 +1641,41 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_df(spark, train_bpe_merges(words, n_merges=_BPE_N_MERGES))
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained merges corpus-wide: per-doc BPE piece counts (the
+    compression readout a tokenizer team tracks). The merge list is k
+    bounded rows collected once; application is a pure codegen transform
+    over each doc's token array — replace-chain per element, sum of piece
+    counts, NO explode/shuffle. Oracle replays training via the chained
+    CTEs, then applies the same replace chain with scalar subqueries."""
+    from ..operators.bpe import train_bpe_merges
+
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = train_bpe_merges(words, n_merges=_BPE_N_MERGES)
+
+    def pieces(tok):
+        expr = F.regexp_replace(tok, "(.)", "<$1>")
+        for _, pair, _ in sorted(merges):
+            expr = F.replace(expr, F.lit(pair), F.lit(pair.replace("><", "")))
+        return F.size(F.regexp_extract_all(expr, F.lit("<([a-z0-9]+)>"), 1))
+
+    return docs.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            F.transform("tokens", pieces), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("n_pieces"),
+    )
+
+
+def _bpe_cte_sql(k: int) -> str:
+    """The shared training prefix: w0 (wrapped word counts) plus k rounds
+    of (pair weights → argmax → replace) as chained CTEs."""
     ctes = [
         f"""WITH w0 AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1666,14 +1700,41 @@ def _bpe_oracle_sql(k: int) -> str:
          replace(repr, (SELECT pair FROM t{i}), (SELECT merged FROM t{i})) AS repr
   FROM w{i - 1}
 )""")
+    return "".join(ctes)
+
+
+def _bpe_oracle_sql(k: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({i} AS BIGINT) AS rk, pair, weight FROM t{i}"
         for i in range(1, k + 1)
     )
-    return "".join(ctes) + "\n" + union
+    return _bpe_cte_sql(k) + "\n" + union
+
+
+def _bpe_apply_oracle_sql(k: int) -> str:
+    # DuckDB forbids subqueries inside lambdas: hoist the k merge pairs
+    # into a 1-row CTE and reference them as plain correlated columns.
+    merge_cols = ", ".join(
+        f"(SELECT pair FROM t{i}) AS p{i}, (SELECT merged FROM t{i}) AS g{i}"
+        for i in range(1, k + 1)
+    )
+    chain = "regexp_replace(t, '(.)', '<\\1>', 'g')"
+    for i in range(1, k + 1):
+        chain = f"replace({chain}, p{i}, g{i})"
+    return _bpe_cte_sql(k) + f""", m AS (
+  SELECT {merge_cols}
+)
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(list_sum(list_transform({_TOKS},
+            t -> len(regexp_extract_all({chain}, '<([a-z0-9]+)>', 1)))), 0) AS BIGINT)
+         AS n_pieces
+FROM documents, m
+"""
 
 
 BPE_TRAINED_MERGES_SQL = _bpe_oracle_sql(_BPE_N_MERGES)
+BPE_TOKENIZED_DOCS_SQL = _bpe_apply_oracle_sql(_BPE_N_MERGES)
 
 
 # --------------------------------------------------------------------------
@@ -2188,6 +2249,7 @@ QUERIES = {
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
+    "bpe_tokenized_docs": (bpe_tokenized_docs, BPE_TOKENIZED_DOCS_SQL),
     "semantic_contaminated_docs": (
         semantic_contaminated_docs,
         SEMANTIC_CONTAMINATED_DOCS_SQL,
