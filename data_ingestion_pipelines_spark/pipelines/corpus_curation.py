@@ -57,11 +57,17 @@ class CurationConfig:
 
 def curate_corpus(
     df: DataFrame,
-    config: CurationConfig = CurationConfig(),
+    config: CurationConfig | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Return the curated corpus (original columns + n_tokens)."""
+    """Return the curated corpus (original columns + n_tokens).
+
+    The row-local stages (1-2) are stateless projections, so with
+    ``exact_dedup=False, near_dup_threshold=None`` the function is also
+    safe to apply to a STREAMING DataFrame (see
+    plans.llmops.streaming_corpus_ingest)."""
+    config = config or CurationConfig()
     orig_cols = df.columns
     if config.pii_redact:
         from ..operators.text import with_pii_redacted

@@ -1618,6 +1618,56 @@ SELECT token, n AS true_n, cms_est, cms_est >= n AS no_undercount FROM est
 
 
 # --------------------------------------------------------------------------
+# STREAMING corpus ingestion: the curation pipeline's row-local stages
+# (quality + language filters — stateless projections) applied to a
+# document STREAM, with cross-batch exact dedup done per micro-batch in
+# foreachBatch (incremental_dedup vs the target built so far — the
+# fingerprint-index pattern a live curation service runs; in production
+# the index is the 32-byte/doc fingerprint table, not the full target).
+# Oracle: the SAME SQL string as the batch corpus_curation gate —
+# batch/stream parity for the LLM-ops pipeline itself, completing the
+# parity set (windows, stream-static join, stream-stream join, now the
+# curation flow).
+def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import exact_dedup, incremental_dedup
+    from ..pipelines.corpus_curation import CurationConfig, curate_corpus
+    from ..sources.files import read_parquet_stream
+
+    stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
+    cfg = CurationConfig(
+        min_tokens=30, max_tokens=100_000, max_punct_ratio=0.3,
+        allowed_languages={"en"}, exact_dedup=False, near_dup_threshold=None,
+    )
+    filtered = curate_corpus(stream, cfg).select("doc_id", "text", "n_tokens")
+    root = tempfile.mkdtemp(prefix="scing_")
+    target = f"{root}/corpus"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            existing = s.read.parquet(target)
+        except Exception:
+            existing = None
+        fresh = (
+            incremental_dedup(batch_df, existing)
+            if existing is not None
+            else exact_dedup(batch_df, "text", "doc_id")
+        )
+        fresh.write.mode("append").parquet(target)
+
+    q = (
+        filtered.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target).select("doc_id", "n_tokens")
+
+
+# --------------------------------------------------------------------------
 # BPE merge TRAINING (the iterative loop, not just the candidate scan):
 # word counts are ONE shuffle over the corpus, then each merge iteration
 # aggregates the bounded vocabulary — corpus never re-read (the
@@ -2229,6 +2279,8 @@ QUERIES = {
     "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
+    # streaming twin, verified against the SAME oracle string
+    "streaming_corpus_ingest": (streaming_corpus_ingest, CORPUS_CURATION_SQL),
     "pretraining_manifest": (pretraining_manifest, PRETRAINING_MANIFEST_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),
