@@ -392,6 +392,45 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Malformed-feed DLQ through the JSON source: every doc_id % 10 == 3
+# line is truncated before write (guaranteed-invalid JSON), then the
+# file is read back PERMISSIVE with a corrupt-record column — bad lines
+# surface as quarantine rows instead of killing the read (the
+# dead-letter pattern for third-party feeds; split_quarantine covers the
+# null-fields case, this covers unparsable bytes). One aggregate keyed
+# on coalesce(source, '_dlq') counts both populations; the oracle
+# recomputes the planted corruption from the original parquet.
+def json_corrupt_record_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "source", "n_chars"))
+    corrupted = F.when(
+        F.col("doc_id") % 10 == 3, F.substring(line, 1, F.length(line) - 2)
+    ).otherwise(line)
+    root = tempfile.mkdtemp(prefix="dlq_")
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(f"{root}/feed")
+    back = (
+        spark.read.schema("doc_id bigint, source string, n_chars bigint, _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(f"{root}/feed")
+    )
+    return back.groupBy(
+        F.coalesce(F.col("source"), F.lit("_dlq")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+JSON_CORRUPT_RECORD_DLQ_SQL = """
+SELECT source AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents WHERE doc_id % 10 <> 3 GROUP BY 1
+UNION ALL
+SELECT '_dlq' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents WHERE doc_id % 10 = 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split: the md5 hex space carved into
 # cumulative intervals — every row lands in exactly one split, membership
 # is a pure function of (salt, key) so ablations and resumes agree
@@ -2299,6 +2338,10 @@ QUERIES = {
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),
+    "json_corrupt_record_dlq": (
+        json_corrupt_record_dlq,
+        JSON_CORRUPT_RECORD_DLQ_SQL,
+    ),
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "bpe_tokenized_docs": (bpe_tokenized_docs, BPE_TOKENIZED_DOCS_SQL),

@@ -97,3 +97,28 @@ def test_hash_split_rejects_bad_fractions(spark):
         pass
     else:
         raise AssertionError("fractions summing to 0.7 must be rejected")
+
+
+def test_trainer_matches_reference_on_random_vocabs(spark):
+    """Property: on arbitrary small vocabularies (tie-heavy two-letter
+    alphabet), the distributed trainer replays the textbook greedy
+    algorithm exactly, merge for merge."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    vocab_st = st.dictionaries(word, st.integers(1, 9), min_size=1, max_size=8)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(vocab=vocab_st)
+    def check(vocab):
+        words = spark.createDataFrame(
+            list(vocab.items()), "word string, n bigint"
+        )
+        assert train_bpe_merges(words, n_merges=3) == _ref_bpe(vocab, 3)
+
+    check()
