@@ -592,6 +592,42 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# Multi-epoch training order: epoch reshuffling = the SAME seeded
+# permutation operator with the epoch number folded into the seed —
+# uncorrelated order per epoch, nothing materialized, any epoch
+# reconstructible independently (a resume at epoch 3 never replays
+# epochs 1-2). One range-exchange pass per epoch over the id projection.
+def multi_epoch_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.sampling import deterministic_shuffle_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    epochs = [
+        deterministic_shuffle_order(docs, ["doc_id"], seed=f"epoch{e}").select(
+            F.lit(e).cast("bigint").alias("epoch"), "doc_id", "order_rank"
+        )
+        for e in range(2)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), epochs)
+
+
+MULTI_EPOCH_TRAINING_ORDER_SQL = """
+SELECT CAST(0 AS BIGINT) AS epoch, doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR))
+       ) AS BIGINT) AS order_rank
+FROM documents
+UNION ALL
+SELECT CAST(1 AS BIGINT) AS epoch, doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('epoch1|' || CAST(doc_id AS VARCHAR))
+       ) AS BIGINT) AS order_rank
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Context-window chunking: fixed-size token chunks per document
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import chunk_documents
@@ -2357,6 +2393,10 @@ QUERIES = {
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "training_order_docs": (training_order_docs, TRAINING_ORDER_DOCS_SQL),
+    "multi_epoch_training_order": (
+        multi_epoch_training_order,
+        MULTI_EPOCH_TRAINING_ORDER_SQL,
+    ),
     "duplicate_text_spans": (duplicate_text_spans, DUPLICATE_TEXT_SPANS_SQL),
     "span_deduped_docs": (span_deduped_docs, SPAN_DEDUPED_DOCS_SQL),
     "udtf_chunk_text": (udtf_chunk_text, UDTF_CHUNK_TEXT_SQL),
