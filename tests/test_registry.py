@@ -1,0 +1,40 @@
+"""Gate-registry invariants: the driver verifies the FIRST 50 registry
+entries, so window mistakes (dupes, ghosts, wrong size) silently shrink
+coverage — pin them here."""
+
+from __future__ import annotations
+
+from data_ingestion_pipelines_spark import plans
+
+
+def test_priority_window_is_exactly_fifty_unique_known_names():
+    assert len(plans._PRIORITY) == 50
+    assert len(set(plans._PRIORITY)) == 50, "duplicate window entries"
+    missing = [n for n in plans._PRIORITY if n not in plans._ALL]
+    assert not missing, f"window names not in registry: {missing}"
+
+
+def test_registry_order_starts_with_the_window():
+    names = list(plans.REGISTRY)
+    assert names[:50] == plans._PRIORITY
+
+
+def test_every_gate_has_callable_and_sql_or_documented_rows_only():
+    rows_only = {n for n, (_, sql) in plans.REGISTRY.items() if sql is None}
+    # the only sanctioned no-oracle entries: randomized-structure recall
+    # (LSH/IVF) and iterative PageRank — everything else must ship SQL
+    assert rows_only == {
+        "similarity_lsh_topk",
+        "similarity_ivf_topk",
+        "part_copurchase_pagerank",
+    }, f"unexpected rows-only gates: {rows_only}"
+    for name, (fn, _) in plans.REGISTRY.items():
+        assert callable(fn), name
+
+
+def test_oracle_sql_strings_are_nonempty_and_single_statement():
+    for name, sql in plans.oracle_sql().items():
+        assert sql.strip(), name
+        # a trailing semicolon (second statement) breaks some runners;
+        # semicolons INSIDE string/regex literals are fine
+        assert not sql.strip().endswith(";"), f"{name}: trailing semicolon"
