@@ -53,8 +53,13 @@ def pagerank(
 
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
     base = (1.0 - damping) / n_nodes
+    # Graph-scale joins are pinned to shuffle-hash: ranks/out_deg/edges
+    # all grow with the graph, so letting AQE pick broadcast at a small
+    # SF plants a strategy that OOMs the moment the graph outgrows the
+    # driver (observed at the sf0.1 sweep with a default-heap JVM). The
+    # only broadcast in the loop stays the 1-row dangling-mass frame.
     for _ in range(iterations):
-        with_deg = ranks.join(out_deg, "node", "left")
+        with_deg = ranks.join(out_deg.hint("shuffle_hash"), "node", "left")
         # mass parked on sinks (out_deg null) redistributes uniformly;
         # kept as a 1-row LAZY aggregate broadcast onto the update below —
         # no collect(), no driver round-trip per iteration
@@ -63,7 +68,7 @@ def pagerank(
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         contribs = (
-            with_deg.join(e, "node")
+            with_deg.join(e.hint("shuffle_hash"), "node")
             .select(
                 F.col("_dst").alias("node"),
                 (F.col("rank") / F.col("out_deg")).alias("c"),
@@ -72,7 +77,7 @@ def pagerank(
             .agg(F.sum("c").alias("c"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
             .crossJoin(F.broadcast(dangling_df))
             .select(
                 "node",

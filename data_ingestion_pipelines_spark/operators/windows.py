@@ -50,10 +50,16 @@ def chunk_by_range(
        sized) get cumulative offsets via a window over that tiny set and
        are broadcast-joined back: ``rn = local_rn + offset[pid]``.
 
-    Everything stays inside ONE plan — the range exchange feeds both the
-    local-window branch and the counts branch, so Spark's ReuseExchange
-    evaluates the shuffle once and both branches see identical partition
-    boundaries (no cross-job sampling-determinism hazard, no collect).
+    The counts are derived from the CHECKPOINTED (pid, local-rank) frame,
+    not from a second read of the range exchange: AQE optimizes each
+    reader stage of a reused exchange independently, so two consumers can
+    see DIFFERENT partition coalescing and ``spark_partition_id()`` then
+    disagrees between the branches — offsets computed from one pid
+    assignment applied to another silently shift global ranks (caught by
+    the sf0.1 oracle sweep, round 4). The lazy localCheckpoint pins one
+    pid/rank assignment for both consumers; correctness needs only that
+    pids are range-ordered (AQE coalescing merges ADJACENT partitions, so
+    contiguity survives) and that offsets come from the same assignment.
     Exact parity with the global window requires ``order_by`` to be
     unique (ties within a partition break arbitrarily — same caveat as
     ``chunk_by_row_number``).
@@ -70,8 +76,8 @@ def chunk_by_range(
     )
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(order_by))
-    )
-    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    ).localCheckpoint(eager=False)  # pin ONE pid/rank assignment (see above)
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     # Window over <= num_partitions rows: single-task is fine here, this
     # is control-plane data, not the input.
     woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

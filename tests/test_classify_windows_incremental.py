@@ -77,10 +77,31 @@ def test_chunk_by_range_matches_global_window(spark):
     got = {(r["k"], r["rn"], r["chunk_id"]) for r in out.collect()}
     want = {(r["k"], r["rn"], r["chunk_id"]) for r in expected.collect()}
     assert got == want
-    # the range exchange must be evaluated once (ReuseExchange), not twice
+    # one pinned (pid, local-rank) assignment feeds both the output and
+    # the offsets branch: the visible plan reads the checkpointed RDD
+    # (two independent reads of the range exchange can see DIFFERENT AQE
+    # partition coalescing, which shifts offsets — the round-4 sf0.1 bug)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("REQUIRED_BY_STATEFUL_OPERATOR") == 0  # sanity: batch plan
-    assert "rangepartitioning" in plan.lower()
+    assert "existingrdd" in plan.lower()
+    assert "rangepartitioning" not in plan.lower()  # no SECOND range exchange
+
+
+def test_chunk_by_range_parity_at_hash_key_scale(spark):
+    """Regression net for the AQE reader-divergence bug: md5 keys at the
+    row count where the sf0.1 sweep caught offsets drifting."""
+    from data_ingestion_pipelines_spark.operators.windows import chunk_by_range
+
+    df = spark.range(5000).select(
+        F.md5(F.concat(F.lit("s|"), F.col("id").cast("string"))).alias("k")
+    )
+    out = chunk_by_range(df, "k", chunk_size=1 << 31, num_partitions=8)
+    want = {
+        (r["k"], r["rn"])
+        for r in chunk_by_row_number(df, "k", chunk_size=1 << 31).collect()
+    }
+    got = {(r["k"], r["rn"]) for r in out.collect()}
+    assert got == want
 
 
 def test_keep_latest_with_tiebreaker(spark):

@@ -50,7 +50,13 @@ def main() -> int:
     import __spark_entry__ as e
     from data_ingestion_pipelines_spark.session import get_spark
 
-    spark = get_spark("correctness-check", master="local[8]", shuffle_partitions=8)
+    spark = get_spark(
+        "correctness-check",
+        master="local[8]",
+        shuffle_partitions=8,
+        # default 1g JVM heap dies on iterative/cached plans at sf0.1
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
