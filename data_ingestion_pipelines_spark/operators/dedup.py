@@ -500,14 +500,17 @@ def dedup_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # node/edge-scale joins pinned to shuffle_hash: letting AQE broadcast
+    # a side that grows with the graph plants a driver-heap OOM at scale
+    # (same hazard class as the PageRank loop — see operators/graph.py)
     for _ in range(max_iters):
         neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
+            sym.join(labels.hint("shuffle_hash"), sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("_nmin"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            labels.join(neighbor_min.hint("shuffle_hash"), labels.node == neighbor_min.a, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias("label"),
