@@ -1743,6 +1743,71 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# STREAMING count-min sketch: the event feed re-laid as 4 files and
+# streamed with maxFilesPerTrigger=1 → 4 real micro-batches; each batch
+# appends its own CMS partial and the final cells are the cell-wise sum.
+# CMS mergeability means the multi-batch union must equal the one-shot
+# batch sketch EXACTLY — which is what the DuckDB oracle computes. The
+# hash therefore verifies sketch mergeability itself through the gate
+# (pytest proves it in-process; this proves it across micro-batch
+# boundaries and a real sink).
+def streaming_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.sketches import count_min_sketch
+    from ..sources.files import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "event_type"
+    )
+    root = tempfile.mkdtemp(prefix="scms_")
+    feed, target = f"{root}/feed", f"{root}/cells"
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
+
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+
+    def add_partial(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy(F.col("event_type").alias("item")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        count_min_sketch(counts, item_col="item", count_col="n", width=64).write.mode(
+            "append"
+        ).parquet(target)
+
+    q = (
+        stream.writeStream.foreachBatch(add_partial)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+STREAMING_CMS_EVENT_TYPES_SQL = """
+WITH c AS (
+  SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), seeds AS (
+  SELECT unnest(['cms0', 'cms1', 'cms2']) AS seed
+)
+SELECT seed,
+       CAST(('0x' || substr(md5(seed || item), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+       CAST(SUM(n) AS BIGINT) AS cnt
+FROM c, seeds
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # BPE merge TRAINING (the iterative loop, not just the candidate scan):
 # word counts are ONE shuffle over the corpus, then each merge iteration
 # aggregates the bounded vocabulary — corpus never re-read (the
@@ -2381,6 +2446,10 @@ QUERIES = {
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "bpe_tokenized_docs": (bpe_tokenized_docs, BPE_TOKENIZED_DOCS_SQL),
+    "streaming_cms_event_types": (
+        streaming_cms_event_types,
+        STREAMING_CMS_EVENT_TYPES_SQL,
+    ),
     "semantic_contaminated_docs": (
         semantic_contaminated_docs,
         SEMANTIC_CONTAMINATED_DOCS_SQL,
