@@ -250,5 +250,10 @@ def cms_estimate(
     probes = items.select(F.col(item_col), seed).withColumn(
         "bucket", _cms_bucket(F.col("seed"), F.col(item_col), width)
     )
-    hit = probes.join(F.broadcast(sketch), on=["seed", "bucket"])
-    return hit.groupBy(item_col).agg(F.min("cnt").alias("cms_est"))
+    # LEFT join: a (seed, bucket) cell absent from the sketch means no
+    # item ever hashed there — its count is 0, so an unseen probe
+    # correctly estimates 0 instead of vanishing from the output
+    hit = probes.join(F.broadcast(sketch), on=["seed", "bucket"], how="left")
+    return hit.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est")
+    )

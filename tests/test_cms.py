@@ -54,3 +54,11 @@ def test_cms_merges_by_cell_addition(spark):
     a = {(r["seed"], r["bucket"]): r["cnt"] for r in merged.collect()}
     b = {(r["seed"], r["bucket"]): r["cnt"] for r in direct.collect()}
     assert a == b  # cell-wise union == sketch of the unioned stream
+
+
+def test_cms_unseen_probe_estimates_zero(spark):
+    counts = _counts(spark, [("a", 3), ("b", 5)])
+    sketch = count_min_sketch(counts, width=4096)
+    probes = spark.createDataFrame([("zzz_unseen",)], "token string")
+    rows = cms_estimate(sketch, probes, width=4096).collect()
+    assert len(rows) == 1 and rows[0]["cms_est"] == 0
