@@ -990,6 +990,75 @@ FROM batched GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# Corpus drift monitor: per-source token-length distribution of the
+# current snapshot vs the previous one (planted as the doc_id%2==0
+# half). Both populations aggregate in ONE pass (conditional counts);
+# shares are single divisions of exact counts and the drift delta a
+# single subtraction — no log/chi-square accumulations whose float
+# summation order would break the cross-engine hash. Per-bucket rows,
+# thresholding left to the consumer (a monitor alerts on |delta|).
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "n_tokens"
+    )
+    bucket = F.lit(len(_LEN_BOUNDS))
+    for i, bound in reversed(list(enumerate(_LEN_BOUNDS))):
+        bucket = F.when(F.col("n_tokens") < bound, F.lit(i)).otherwise(bucket)
+    agg = docs.groupBy("source", bucket.cast("bigint").alias("len_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_now"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_prev"),
+    )
+    w = Window.partitionBy("source")
+    tot_now = F.sum("n_now").over(w)
+    tot_prev = F.sum("n_prev").over(w)
+    share_now = F.col("n_now").cast("double") / tot_now.cast("double")
+    share_prev = F.when(
+        tot_prev > 0, F.col("n_prev").cast("double") / tot_prev.cast("double")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        "len_bucket",
+        "n_prev",
+        "n_now",
+        share_prev.alias("share_prev"),
+        share_now.alias("share_now"),
+        (share_now - share_prev).alias("share_delta"),
+    )
+
+
+SOURCE_LENGTH_DRIFT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+), agg AS (
+  SELECT source,
+         CAST(CASE WHEN n_tokens < 64 THEN 0
+                   WHEN n_tokens < 128 THEN 1
+                   WHEN n_tokens < 256 THEN 2
+                   ELSE 3 END AS BIGINT) AS len_bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_now,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prev
+  FROM tok GROUP BY 1, 2
+)
+SELECT source, len_bucket, n_prev, n_now,
+       CASE WHEN SUM(n_prev) OVER (PARTITION BY source) > 0
+            THEN CAST(n_prev AS DOUBLE)
+                 / CAST(SUM(n_prev) OVER (PARTITION BY source) AS DOUBLE)
+            ELSE 0.0 END AS share_prev,
+       CAST(n_now AS DOUBLE)
+         / CAST(SUM(n_now) OVER (PARTITION BY source) AS DOUBLE) AS share_now,
+       CAST(n_now AS DOUBLE)
+         / CAST(SUM(n_now) OVER (PARTITION BY source) AS DOUBLE)
+       - CASE WHEN SUM(n_prev) OVER (PARTITION BY source) > 0
+              THEN CAST(n_prev AS DOUBLE)
+                   / CAST(SUM(n_prev) OVER (PARTITION BY source) AS DOUBLE)
+              ELSE 0.0 END AS share_delta
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering: embedding pairs → connected components (min-label
 # propagation) — the step that turns pair detection into keep-one-per-
 # group curation. Oracle: DuckDB recursive CTE transitive closure.
@@ -2458,6 +2527,7 @@ QUERIES = {
         length_bucketed_batches,
         LENGTH_BUCKETED_BATCHES_SQL,
     ),
+    "source_length_drift": (source_length_drift, SOURCE_LENGTH_DRIFT_SQL),
     "stratified_docs_sample": (stratified_docs_sample, STRATIFIED_DOCS_SAMPLE_SQL),
     "mixture_sampled_docs": (mixture_sampled_docs, MIXTURE_SAMPLED_DOCS_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
