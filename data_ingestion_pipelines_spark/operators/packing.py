@@ -50,12 +50,24 @@ def pack_concat_chunks(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    b = F.lit(budget)
     n = F.col(token_col)
     with_off = (
         df.filter(n > 0)
         .withColumn("doc_offset", (F.sum(token_col).over(w) - n).cast("bigint"))
     )
+    return _chunk_rows(with_off, budget, shard_cols, id_col, token_col)
+
+
+def _chunk_rows(
+    with_off: DataFrame,
+    budget: int,
+    shard_cols: list[str],
+    id_col: str,
+    token_col: str,
+) -> DataFrame:
+    """(doc × overlapping chunk) rows from a frame carrying doc_offset."""
+    b = F.lit(budget)
+    n = F.col(token_col)
     # `div` is Spark's integer division — exact for any BIGINT prefix-sum
     # magnitude, unlike floor(a / b) which routes through a double and
     # loses exactness past 2^53.
@@ -78,3 +90,51 @@ def pack_concat_chunks(
         slice_start.cast("bigint").alias("slice_start"),
         (slice_end - slice_start).cast("bigint").alias("slice_len"),
     )
+
+
+def extend_pack_manifest(
+    new_docs: DataFrame,
+    budget: int,
+    prior_manifest: DataFrame,
+    shard_cols: list[str],
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Append NEW documents to an existing pack manifest without
+    repacking: each shard's token stream continues where the prior
+    manifest left off (per-shard packed-token totals recovered by summing
+    ``slice_len`` — no side state), so chunk ids and offsets keep
+    counting and ``prior ∪ extension`` is IDENTICAL to packing everything
+    at once, provided new ids sort after the shard's packed ids (append
+    semantics — the natural case for monotonic ingest ids; violating it
+    reorders the stream, which one-shot packing would too).
+
+    Per-batch cost is O(new docs) plus one tiny per-shard aggregate of
+    the prior manifest — at production scale that aggregate is the
+    manifest's own footer stats, not a corpus scan.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    prior = prior_manifest.groupBy(*shard_cols).agg(
+        F.sum("slice_len").cast("bigint").alias("_base")
+    )
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.col(token_col)
+    with_off = (
+        new_docs.filter(n > 0)
+        .join(prior, shard_cols, "left")
+        .withColumn(
+            "doc_offset",
+            (
+                F.coalesce(F.col("_base"), F.lit(0))
+                + F.sum(token_col).over(w)
+                - n
+            ).cast("bigint"),
+        )
+        .drop("_base")
+    )
+    return _chunk_rows(with_off, budget, shard_cols, id_col, token_col)

@@ -1597,6 +1597,33 @@ FROM off, LATERAL (
 
 
 # --------------------------------------------------------------------------
+# Incremental packing: docs arrive in two deliveries (doc_id < 250,
+# then the rest — both halves non-empty at every test SF); the second
+# delivery EXTENDS the first manifest —
+# per-shard streams continue from the prior packed totals. The union
+# must be bit-identical to packing everything at once, so the oracle is
+# the SAME SQL as the one-shot packed_doc_chunks gate: append-equals-
+# repack, proven by hash.
+def incremental_pack_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import extend_pack_manifest, pack_concat_chunks
+    from ..operators.text import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents")).select(
+        "source", "doc_id", "n_tokens"
+    )
+    first = pack_concat_chunks(
+        docs.filter(F.col("doc_id") < 250), budget=256, shard_cols=["source"]
+    )
+    second = extend_pack_manifest(
+        docs.filter(F.col("doc_id") >= 250),
+        budget=256,
+        prior_manifest=first,
+        shard_cols=["source"],
+    )
+    return first.unionByName(second)
+
+
+# --------------------------------------------------------------------------
 # Curation attrition funnel: cumulative survivor counts for each curation
 # stage — total → quality filter → language filter → exact-dedup unique —
 # in ONE scan and ONE aggregate (conditional sums + one conditional
@@ -2480,6 +2507,11 @@ QUERIES = {
         INCREMENTAL_NEARDUP_NEW_DOCS_SQL,
     ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
+    # append-equals-repack: verified against the SAME one-shot oracle
+    "incremental_pack_extension": (
+        incremental_pack_extension,
+        PACKED_DOC_CHUNKS_SQL,
+    ),
     "benchmark_decontamination": (
         benchmark_decontamination,
         BENCHMARK_DECONTAMINATION_SQL,

@@ -160,3 +160,26 @@ def test_weekly_user_sketch_rollup_epsilon(spark):
     assert gate_exact == exact
     for wk, ok in verdicts.items():
         assert ok, (wk, gate_exact[wk])
+
+
+def test_extend_pack_manifest_equals_one_shot(spark):
+    """append-equals-repack: prior + extension == packing all at once."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.packing import (
+        extend_pack_manifest,
+        pack_concat_chunks,
+    )
+
+    rows = [("s%d" % (i % 3), i, (i * 37) % 90 + 1) for i in range(200)]
+    docs = spark.createDataFrame(rows, "source string, doc_id bigint, n_tokens bigint")
+    whole = pack_concat_chunks(docs, budget=64, shard_cols=["source"])
+    first = pack_concat_chunks(
+        docs.filter(F.col("doc_id") < 120), budget=64, shard_cols=["source"]
+    )
+    second = extend_pack_manifest(
+        docs.filter(F.col("doc_id") >= 120), 64, first, shard_cols=["source"]
+    )
+    a = {tuple(r) for r in whole.collect()}
+    b = {tuple(r) for r in first.unionByName(second).collect()}
+    assert a == b
