@@ -228,3 +228,54 @@ def test_progress_recorder_captures_microbatches(spark, tmp_path):
     assert pdf.filter("num_input_rows = 20").count() >= 1
     row = pdf.filter("num_input_rows = 20").first()
     assert row["state_rows"] >= 3 and row["batch_duration_ms"] > 0
+
+
+def test_streaming_ingest_dedups_across_microbatches(spark, tmp_path):
+    """Cross-batch dedup through the foreachBatch fingerprint path: a doc
+    redelivered in a LATER micro-batch must not land twice."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+    )
+
+    rows1 = [(1, "alpha beta gamma delta"), (2, "one two three four")]
+    rows2 = [(3, "alpha beta gamma delta"),  # cross-batch dup of doc 1
+             (4, "fresh content entirely new")]
+    feed = tmp_path / "feed"
+    spark.createDataFrame(rows1, "doc_id bigint, text string").coalesce(1) \
+        .write.mode("append").parquet(str(feed))
+    spark.createDataFrame(rows2, "doc_id bigint, text string").coalesce(1) \
+        .write.mode("append").parquet(str(feed))
+
+    target = str(tmp_path / "corpus")
+
+    def ingest(batch_df, batch_id):
+        s = batch_df.sparkSession
+        try:
+            existing = s.read.parquet(target)
+        except Exception:
+            existing = None
+        fresh = (
+            incremental_dedup(batch_df, existing)
+            if existing is not None
+            else exact_dedup(batch_df, "text", "doc_id")
+        )
+        fresh.write.mode("append").parquet(target)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+    # 2 batches ran; doc 3 (redelivered content) must be absent
+    assert got == {1, 2, 4}
