@@ -1,0 +1,48 @@
+"""CLI front door: run any registered gate query by name.
+
+    python -m data_ingestion_pipelines_spark <query> [sf_dir] [--explain] [--limit N]
+
+Lists all registered queries when called without arguments. Uses the
+engine session defaults (AQE, Arrow, UTC) on local[*] unless
+SPARK_GRAFT_CPUS is set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> int:
+    from . import plans
+    from .session import get_spark
+
+    registry = plans.queries()
+    ap = argparse.ArgumentParser(prog="python -m data_ingestion_pipelines_spark")
+    ap.add_argument("query", nargs="?", help="gate query name (omit to list)")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--explain", action="store_true", help="print the physical plan")
+    ap.add_argument("--limit", type=int, default=20, help="rows to show")
+    args = ap.parse_args()
+
+    if not args.query:
+        for name in registry:
+            print(name)
+        return 0
+    if args.query not in registry:
+        print(f"unknown query {args.query!r}; run without arguments to list",
+              file=sys.stderr)
+        return 2
+
+    spark = get_spark(f"run-{args.query}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = registry[args.query](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+    print(f"({df.count()} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,85 @@
+"""Suggest the next driver verification window (plans._PRIORITY).
+
+The external driver hash-checks only the FIRST 50 registry entries, so
+the window is rotated every round by the policy documented in
+``plans/__init__.py``:
+
+  1. gates with NO driver row in any ``CORRECTNESS_r*.json`` (dark),
+  2. gates added or semantically changed this round (``--changed``),
+  3. remaining slots: re-checks of high-churn driver-greens.
+
+Usage:
+    python tools/rotate_window.py [--changed name ...]
+
+Prints a ready-to-paste Python list literal plus a coverage summary.
+Purely driver-history-driven — run it at round start, paste the list,
+then run ``tools/check_correctness.py`` to pre-verify locally.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+WINDOW = 50
+# high-churn greens to re-check when slots remain, most valuable first
+RECHECKS = [
+    "inc_merge_upsert",
+    "asof_view_before_purchase",
+    "xml_extract",
+    "pricing_summary",
+    "corpus_curation",
+    "pretraining_manifest",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changed", nargs="*", default=[])
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from data_ingestion_pipelines_spark import plans
+
+    seen: dict[str, str] = {}  # name -> best driver evidence
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        for name, row in rows.items():
+            if row.get("hash_match"):
+                seen[name] = f"green {path}"
+            elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
+                seen.setdefault(name, f"rows-only {path}")
+            else:
+                seen.setdefault(name, f"ran {path}")
+
+    registry = list(plans.REGISTRY)
+    dark = [n for n in registry if n not in seen]
+    changed = [n for n in args.changed if n in registry]
+    window: list[str] = []
+    for group in (dark, changed, RECHECKS):
+        for n in group:
+            if n not in window and len(window) < WINDOW:
+                window.append(n)
+    # top up with the longest-unverified greens (oldest evidence first)
+    if len(window) < WINDOW:
+        stale = sorted(
+            (n for n in registry if n not in window),
+            key=lambda n: seen.get(n, ""),
+        )
+        window.extend(stale[: WINDOW - len(window)])
+
+    print(f"# dark: {len(dark)}, changed: {len(changed)}, "
+          f"registry: {len(registry)}, driver-evidenced: {len(seen)}")
+    print("_PRIORITY = [")
+    for n in window:
+        note = "" if n in dark else f"  # {('changed' if n in changed else seen.get(n, 're-check'))}"
+        print(f'    "{n}",{note}')
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
