@@ -1959,6 +1959,65 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ARTIFACT: contiguous token ids for base symbols
+    (corpus alphabet, sorted) followed by merged symbols in merge order —
+    what a trainer/loader actually consumes. Base alphabet and merge
+    list are both bounded (≤36 + k rows), so the id assignment windows
+    are control-plane sized."""
+    from ..operators.bpe import train_bpe_merges
+
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = train_bpe_merges(words, n_merges=_BPE_N_MERGES)
+    base = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]"), 0)
+            ).alias("token")
+        )
+        .distinct()
+    )
+    w = Window.orderBy("token")
+    base_ids = base.select(
+        (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),
+        "token",
+        F.lit("base").alias("kind"),
+    )
+    n_base = base.count()  # ≤ |alphabet| — bounded control-plane read
+    merge_rows = [
+        (n_base + rk - 1, pair.replace("><", "")[1:-1], "merge")
+        for rk, pair, _ in merges
+    ]
+    merge_ids = spark.createDataFrame(
+        merge_rows, "token_id bigint, token string, kind string"
+    )
+    return base_ids.unionByName(merge_ids)
+
+
+def _bpe_vocab_oracle_sql(k: int) -> str:
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST((SELECT COUNT(*) FROM base) + {i} - 1 AS BIGINT) AS token_id,"
+        f" replace(replace(replace(pair, '><', ''), '<', ''), '>', '') AS token,"
+        f" 'merge' AS kind FROM t{i}"
+        for i in range(1, k + 1)
+    )
+    return _bpe_cte_sql(k) + """, base AS (
+  SELECT DISTINCT t AS token
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]')) AS t
+        FROM documents)
+)
+SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id,
+       token, 'base' AS kind
+FROM base
+UNION ALL
+""" + merge_rows
+
+
 def _bpe_cte_sql(k: int) -> str:
     """The shared training prefix: w0 (wrapped word counts) plus k rounds
     of (pair weights → argmax → replace) as chained CTEs."""
@@ -2020,6 +2079,7 @@ FROM documents, m
 
 
 BPE_TRAINED_MERGES_SQL = _bpe_oracle_sql(_BPE_N_MERGES)
+BPE_VOCAB_TABLE_SQL = _bpe_vocab_oracle_sql(_BPE_N_MERGES)
 BPE_TOKENIZED_DOCS_SQL = _bpe_apply_oracle_sql(_BPE_N_MERGES)
 
 
@@ -2547,6 +2607,7 @@ QUERIES = {
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "bpe_tokenized_docs": (bpe_tokenized_docs, BPE_TOKENIZED_DOCS_SQL),
+    "bpe_vocab_table": (bpe_vocab_table, BPE_VOCAB_TABLE_SQL),
     "streaming_cms_event_types": (
         streaming_cms_event_types,
         STREAMING_CMS_EVENT_TYPES_SQL,
