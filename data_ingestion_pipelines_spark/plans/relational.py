@@ -1061,6 +1061,61 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Incremental aggregate maintenance: the pricing rollup kept as an
+# additive state table across two deliveries (l_orderkey parity split).
+# Each delivery contributes only its own partial aggregate; the states
+# fold by keyed addition (decimal-exact sums — doubles would re-associate
+# across deliveries). The folded state must equal the one-shot aggregate,
+# so the oracle is a plain whole-table GROUP BY: refresh ≡ recompute,
+# proven by hash. This is the materialized-rollup counterpart of the
+# reference's INC loads (row-level MERGE: inc_merge_upsert).
+def incremental_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.merge import merge_additive_state
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(38,8)").alias("_qty"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(38,8)")
+        .alias("_rev"),
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("_qty").alias("sum_qty"),
+            F.sum("_rev").alias("revenue"),
+        )
+
+    state = partial(li.filter(F.col("l_orderkey") % 2 == 0))
+    state = merge_additive_state(
+        state,
+        partial(li.filter(F.col("l_orderkey") % 2 == 1)),
+        keys,
+        ["n_items", "sum_qty", "revenue"],
+    )
+    return state.select(
+        *keys,
+        "n_items",
+        F.col("sum_qty").cast("string").cast("double").alias("sum_qty"),
+        F.col("revenue").cast("string").cast("double").alias("revenue"),
+    )
+
+
+INCREMENTAL_AGG_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Skew-safe JOIN through the gate (salted_aggregate's sibling): enriching
 # the fact on its 5-value hot key would put every row of a key on one
 # reducer in a shuffle join; salted_join spreads each key over 8 (key,
@@ -3744,6 +3799,11 @@ QUERIES = {
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL),
     "format_roundtrip_totals": (format_roundtrip_totals, FORMAT_ROUNDTRIP_TOTALS_SQL),
     "salted_hot_join": (salted_hot_join, SALTED_HOT_JOIN_SQL),
+    # refresh-equals-recompute: folded state vs the one-shot aggregate
+    "incremental_agg_pricing": (
+        incremental_agg_pricing,
+        INCREMENTAL_AGG_PRICING_SQL,
+    ),
     "stream_stream_attribution": (
         stream_stream_attribution,
         STREAM_STREAM_ATTRIBUTION_SQL,

@@ -150,3 +150,30 @@ def diff_snapshots(
             "op",
         )
     )
+
+
+def merge_additive_state(
+    prior: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    add_cols: list[str],
+) -> DataFrame:
+    """Incremental-aggregate maintenance: fold a new delivery's PARTIAL
+    aggregate into the running state by keyed addition — the
+    materialized-rollup counterpart of row-level MERGE (counts, exact
+    DECIMAL sums, CMS/HLL cells are all additive states; averages/ratios
+    must be stored as their sufficient sums and divided at read time).
+
+    ``add_cols`` must be exact types (BIGINT / DECIMAL): re-associating
+    double sums across deliveries would change results. One shuffle on
+    the group keys per refresh, state-sized — the fact table is touched
+    only by the delta's own partial aggregate.
+    """
+    if prior is None:
+        return delta
+    return (
+        prior.select(*keys, *add_cols)
+        .unionByName(delta.select(*keys, *add_cols))
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in add_cols])
+    )

@@ -230,3 +230,24 @@ def test_apply_cdc_delete_arm_truth_table(spark):
     )
     got = {r["k"]: r["val"] for r in apply_cdc(snap, log, ["k"], order_col="seq").collect()}
     assert got == {1: "a", 3: "c3", 4: "d"}
+
+
+def test_merge_additive_state_folds_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.sinks.merge import merge_additive_state
+
+    d1 = spark.createDataFrame(
+        [("a", 2, "1.50"), ("b", 1, "2.25")], "k string, n bigint, amt string"
+    ).withColumn("amt", F.col("amt").cast("decimal(38,8)"))
+    d2 = spark.createDataFrame(
+        [("a", 3, "0.50"), ("c", 1, "9.00")], "k string, n bigint, amt string"
+    ).withColumn("amt", F.col("amt").cast("decimal(38,8)"))
+    s0 = merge_additive_state(None, d1, ["k"], ["n", "amt"])
+    s1 = merge_additive_state(s0, d2, ["k"], ["n", "amt"])
+    got = {(r["k"], r["n"], str(r["amt"])) for r in s1.collect()}
+    assert got == {
+        ("a", 5, "2.00000000"),
+        ("b", 1, "2.25000000"),
+        ("c", 1, "9.00000000"),
+    }
