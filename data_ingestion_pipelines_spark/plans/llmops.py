@@ -431,6 +431,31 @@ FROM documents WHERE doc_id % 10 = 3
 
 
 # --------------------------------------------------------------------------
+# Versioned snapshot sink: the SNP load published through the atomic
+# pointer (sinks/versioned.py) instead of an in-place overwrite — v1 is
+# the full corpus, v2 the curated subset; the gate reads whatever
+# _CURRENT points at after a publish → rollback → republish cycle, so
+# the hash verifies the pointer discipline end to end, not just a write.
+def versioned_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.versioned import read_current, rollback, write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    root = tempfile.mkdtemp(prefix="vsnap_") + "/docs"
+    write_snapshot(docs, root)
+    write_snapshot(docs.filter(F.col("lang") == "en"), root)
+    rollback(root, 1)  # operator error: back out the curated publish
+    write_snapshot(docs.filter(F.col("lang") == "en"), root)  # re-publish
+    return read_current(spark, root).select("doc_id", "n_chars")
+
+
+VERSIONED_SNAPSHOT_READ_SQL = """
+SELECT doc_id, n_chars FROM documents WHERE lang = 'en'
+"""
+
+
+# --------------------------------------------------------------------------
 # Deterministic train/val/test split: the md5 hex space carved into
 # cumulative intervals — every row lands in exactly one split, membership
 # is a pure function of (salt, key) so ablations and resumes agree
@@ -2603,6 +2628,10 @@ QUERIES = {
     "json_corrupt_record_dlq": (
         json_corrupt_record_dlq,
         JSON_CORRUPT_RECORD_DLQ_SQL,
+    ),
+    "versioned_snapshot_read": (
+        versioned_snapshot_read,
+        VERSIONED_SNAPSHOT_READ_SQL,
     ),
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),

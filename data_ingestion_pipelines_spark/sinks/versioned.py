@@ -1,0 +1,101 @@
+"""Versioned parquet snapshots: atomic publish + rollback without Delta.
+
+The reference's SNP loads overwrite their target in place
+(`ModuleFunctions.scala` save with mode=overwrite), so a failed write
+leaves a broken table and yesterday's data is gone. Delta fixes that
+with the transaction log, but delta-spark is unavailable in this
+container (COVERAGE.md §Delta) — this module provides the load-bearing
+subset on plain parquet:
+
+- every write lands in a fresh ``v=<n>/`` directory (never touching the
+  published one);
+- publication is a single atomic rename of a pointer file
+  (``_CURRENT``), so readers see the old snapshot or the new one,
+  never a half-written mix;
+- rollback is re-pointing ``_CURRENT`` — old snapshots stay on disk
+  until pruned, giving bounded time travel.
+
+On a real deployment the same layout works on any store with atomic
+rename of a small file (HDFS, ABFS, and POSIX all qualify; S3 needs a
+conditional PUT, which its SDK exposes).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_CURRENT"
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, _POINTER)
+
+
+def list_snapshots(root: str) -> list[int]:
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_version(root: str) -> int | None:
+    try:
+        with open(_pointer_path(root)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
+def write_snapshot(df: DataFrame, root: str) -> int:
+    """Write ``df`` as the next snapshot and atomically publish it.
+    Returns the new version number."""
+    os.makedirs(root, exist_ok=True)
+    version = (max(list_snapshots(root), default=0)) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(root, f"v={version}"))
+    _publish(root, version)
+    return version
+
+
+def _publish(root: str, version: int) -> None:
+    # write-then-rename: readers never observe a partial pointer
+    fd, tmp = tempfile.mkstemp(dir=root, prefix="._current_")
+    with os.fdopen(fd, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, _pointer_path(root))
+
+
+def rollback(root: str, version: int) -> None:
+    if version not in list_snapshots(root):
+        raise ValueError(f"no snapshot v={version} under {root}")
+    _publish(root, version)
+
+
+def read_current(spark: SparkSession, root: str) -> DataFrame:
+    version = current_version(root)
+    if version is None:
+        raise FileNotFoundError(f"no published snapshot under {root}")
+    return spark.read.parquet(os.path.join(root, f"v={version}"))
+
+
+def prune_snapshots(root: str, keep: int = 3) -> list[int]:
+    """Drop all but the newest ``keep`` snapshots (never the published
+    one). Returns the pruned version numbers."""
+    import shutil
+
+    versions = list_snapshots(root)
+    published = current_version(root)
+    victims = [
+        v for v in versions[:-keep] if v != published
+    ] if keep > 0 else []
+    for v in victims:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
+    return victims

@@ -1,0 +1,60 @@
+"""Versioned parquet snapshots: atomic publish, rollback, pruning."""
+
+from __future__ import annotations
+
+from data_ingestion_pipelines_spark.sinks.versioned import (
+    current_version,
+    list_snapshots,
+    prune_snapshots,
+    read_current,
+    rollback,
+    write_snapshot,
+)
+
+
+def test_publish_rollback_prune(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    v1 = write_snapshot(spark.range(0, 10), root)
+    v2 = write_snapshot(spark.range(0, 5), root)
+    assert (v1, v2) == (1, 2)
+    assert current_version(root) == 2
+    assert read_current(spark, root).count() == 5
+
+    rollback(root, 1)
+    assert read_current(spark, root).count() == 10
+    # snapshots are immutable: v2 still intact after rollback
+    assert list_snapshots(root) == [1, 2]
+
+    v3 = write_snapshot(spark.range(0, 7), root)
+    assert v3 == 3 and current_version(root) == 3
+    # prune keeps the newest N and never the published version
+    pruned = prune_snapshots(root, keep=1)
+    assert pruned == [1, 2] and list_snapshots(root) == [3]
+
+
+def test_rollback_to_missing_version_rejected(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_snapshot(spark.range(3), root)
+    try:
+        rollback(root, 99)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("rollback to a missing snapshot must fail")
+
+
+def test_failed_write_leaves_published_snapshot_intact(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_snapshot(spark.range(4), root)
+
+    class Boom(Exception):
+        pass
+
+    # a crashing write must not disturb the published pointer
+    bad = spark.range(10).selectExpr("assert_true(id < 5) as chk", "id")
+    try:
+        write_snapshot(bad, root)
+    except Exception:
+        pass
+    assert current_version(root) == 1
+    assert read_current(spark, root).count() == 4
