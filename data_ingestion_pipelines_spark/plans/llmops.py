@@ -431,6 +431,62 @@ FROM documents WHERE doc_id % 10 = 3
 
 
 # --------------------------------------------------------------------------
+# Data-quality contract for the corpus table: text-specific expectations
+# (non-empty text, metadata consistency, language domain, token
+# presence) + the fingerprint-uniqueness rate, all in ONE aggregate —
+# the pre-curation health check an ingest DAG runs before spending
+# compute on a broken delivery.
+def doc_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import check_expectations
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_fp", F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    )
+    return check_expectations(
+        docs,
+        rules=[
+            ("doc_id_not_null", F.col("doc_id").isNotNull()),
+            ("text_nonempty", F.length("text") > 0),
+            ("n_chars_matches_text", F.length("text") == F.col("n_chars")),
+            ("known_lang", F.col("lang").isin("en", "de", "fr", "es")),
+            ("has_tokens", F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)) > 0),
+        ],
+        unique_keys=[
+            ("unique_doc_id", ["doc_id"]),
+            ("unique_fingerprint", ["_fp"]),
+        ],
+    )
+
+
+DOC_QUALITY_EXPECTATIONS_SQL = """
+WITH wide AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS p_doc_id_not_null,
+         SUM(CASE WHEN LENGTH(text) > 0 THEN 1 ELSE 0 END) AS p_text_nonempty,
+         SUM(CASE WHEN LENGTH(text) = n_chars THEN 1 ELSE 0 END) AS p_n_chars_matches_text,
+         SUM(CASE WHEN lang IN ('en','de','fr','es') THEN 1 ELSE 0 END) AS p_known_lang,
+         SUM(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0 THEN 1 ELSE 0 END) AS p_has_tokens,
+         COUNT(DISTINCT doc_id) AS p_unique_doc_id,
+         COUNT(DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))) AS p_unique_fingerprint
+  FROM documents
+), long AS (
+  SELECT n, 'doc_id_not_null' AS rule, p_doc_id_not_null AS n_pass FROM wide
+  UNION ALL SELECT n, 'text_nonempty', p_text_nonempty FROM wide
+  UNION ALL SELECT n, 'n_chars_matches_text', p_n_chars_matches_text FROM wide
+  UNION ALL SELECT n, 'known_lang', p_known_lang FROM wide
+  UNION ALL SELECT n, 'has_tokens', p_has_tokens FROM wide
+  UNION ALL SELECT n, 'unique_doc_id', p_unique_doc_id FROM wide
+  UNION ALL SELECT n, 'unique_fingerprint', p_unique_fingerprint FROM wide
+)
+SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(n_pass AS BIGINT) AS n_pass,
+       CAST(n - n_pass AS BIGINT) AS n_fail,
+       CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS pass_ratio,
+       (n - n_pass) = 0 AS ok
+FROM long
+"""
+
+
+# --------------------------------------------------------------------------
 # Versioned snapshot sink: the SNP load published through the atomic
 # pointer (sinks/versioned.py) instead of an in-place overwrite — v1 is
 # the full corpus, v2 the curated subset; the gate reads whatever
@@ -2632,6 +2688,10 @@ QUERIES = {
     "versioned_snapshot_read": (
         versioned_snapshot_read,
         VERSIONED_SNAPSHOT_READ_SQL,
+    ),
+    "doc_quality_expectations": (
+        doc_quality_expectations,
+        DOC_QUALITY_EXPECTATIONS_SQL,
     ),
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
