@@ -100,13 +100,11 @@ _PRIORITY = [
     # Out this round to stay at 50: xml_extract (re-check only — three
     # driver-green rounds) and packed_doc_chunks (r3-green; the
     # integer-div refactor is pinned by pytest + the local sweep).
-    # Next-round (r5) rotation queue — session-B gates not in this
-    # window (all locally hash-green at sf0.001 + sf0.01):
-    # train_val_test_split, salted_hot_join, quantized_embeddings,
-    # quantized_similarity_topk, incremental_neardup_new_docs,
-    # jsonl_roundtrip_docs, cms_token_counts, bpe_tokenized_docs,
-    # semantic_contaminated_docs, length_bucketed_batches,
-    # streaming_corpus_ingest, packed_doc_chunks, xml_extract.
+    # Next-round (r5) rotation: run `python tools/rotate_window.py`
+    # — it rebuilds this list from the CORRECTNESS_r*.json history
+    # (never-driver-checked gates first; the round-4 session-B gates
+    # will dominate). Every session-B gate is locally hash-green at
+    # sf0.001, sf0.01 AND sf0.1.
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)
