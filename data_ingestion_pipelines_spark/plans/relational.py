@@ -1061,6 +1061,77 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Streaming fact enriched against an SCD2 dimension with AS-OF semantics:
+# every purchase gets the user's state AT purchase time (not the current
+# state — the classic late-arriving-fact correctness trap). The dim's
+# validity windows come from scd2_from_events; per micro-batch the fact
+# slice as-of joins the (user_id, valid_from) version table — the
+# union-sort-window operator, so each batch costs ONE shuffle on
+# user_id and no inequality join. Oracle: the equivalent BETWEEN join
+# against the reconstructed SCD2 table in batch SQL (equivalence needs
+# unique (user_id, ts), which holds in events at every SF).
+def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.profiling import scd2_from_events
+    from ..operators.temporal_joins import asof_join
+    from ..sources.files import read_parquet_stream
+
+    ev = _t(spark, sf_dir, "events")
+    dim = scd2_from_events(
+        ev.select("user_id", "event_type", "ts"),
+        key_cols=["user_id"],
+        change_cols=["event_type"],
+        ts_col="ts",
+    ).select(
+        "user_id", F.col("event_type").alias("state"), F.col("valid_from").alias("ts")
+    )
+    stream = (
+        read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    root = tempfile.mkdtemp(prefix="scd2en_")
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        out = asof_join(batch_df, dim, on="ts", by=["user_id"], right_cols=["state"])
+        out.select(
+            "event_id", "user_id", F.col("state_matched").alias("state_at_purchase")
+        ).write.mode("append").parquet(f"{root}/out")
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{root}/out")
+
+
+STREAM_SCD2_ENRICHMENT_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+  FROM events
+), changed AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE prev IS NULL OR event_type <> prev
+), scd AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
+                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+  FROM changed
+)
+SELECT p.event_id, p.user_id, s.event_type AS state_at_purchase
+FROM events p
+JOIN scd s ON p.user_id = s.user_id
+          AND p.ts >= s.valid_from AND p.ts < s.valid_to
+WHERE p.event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
 # Incremental aggregate maintenance: the pricing rollup kept as an
 # additive state table across two deliveries (l_orderkey parity split).
 # Each delivery contributes only its own partial aggregate; the states
@@ -3799,6 +3870,10 @@ QUERIES = {
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL),
     "format_roundtrip_totals": (format_roundtrip_totals, FORMAT_ROUNDTRIP_TOTALS_SQL),
     "salted_hot_join": (salted_hot_join, SALTED_HOT_JOIN_SQL),
+    "stream_scd2_enrichment": (
+        stream_scd2_enrichment,
+        STREAM_SCD2_ENRICHMENT_SQL,
+    ),
     # refresh-equals-recompute: folded state vs the one-shot aggregate
     "incremental_agg_pricing": (
         incremental_agg_pricing,
