@@ -1061,6 +1061,44 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Partitioned sink + partition pruning through the gate: events written
+# with partitionBy(event_type) (the K2 sink path — hive-style layout),
+# read back with a partition-column predicate that must prune to 2 of 5
+# directories at planning time, then aggregated decimal-exact. Verifies
+# the partition column round-trips losslessly out of directory names AND
+# that values survive the split/re-read. (Pruning itself is plan-asserted
+# in tests/test_plan_pushdown.py; the hash here pins the data path.)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.writers import load_dataframe
+    from ..specs import LoadType
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="partw_") + "/events"
+    load_dataframe(ev, root, LoadType.SNP, partition_by=["event_type"])
+    back = spark.read.parquet(root).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,8)"))
+        .cast("string")
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+PARTITIONED_WRITE_PRUNE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type IN ('view', 'purchase')
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Streaming fact enriched against an SCD2 dimension with AS-OF semantics:
 # every purchase gets the user's state AT purchase time (not the current
 # state — the classic late-arriving-fact correctness trap). The dim's
@@ -3870,6 +3908,10 @@ QUERIES = {
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_MATRIX_SQL),
     "format_roundtrip_totals": (format_roundtrip_totals, FORMAT_ROUNDTRIP_TOTALS_SQL),
     "salted_hot_join": (salted_hot_join, SALTED_HOT_JOIN_SQL),
+    "partitioned_write_prune": (
+        partitioned_write_prune,
+        PARTITIONED_WRITE_PRUNE_SQL,
+    ),
     "stream_scd2_enrichment": (
         stream_scd2_enrichment,
         STREAM_SCD2_ENRICHMENT_SQL,
