@@ -177,3 +177,23 @@ def merge_additive_state(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in add_cols])
     )
+
+
+def merge_max_state(
+    prior: DataFrame | None,
+    delta: DataFrame,
+    keys: list[str],
+    max_cols: list[str],
+) -> DataFrame:
+    """Keyed MAX-fold for states that merge by maximum rather than
+    addition: per-key watermarks, HLL registers, latest-timestamp
+    trackers. Same refresh shape as :func:`merge_additive_state` —
+    union of bounded states, one shuffle on the keys."""
+    if prior is None:
+        return delta
+    return (
+        prior.select(*keys, *max_cols)
+        .unionByName(delta.select(*keys, *max_cols))
+        .groupBy(*keys)
+        .agg(*[F.max(c).alias(c) for c in max_cols])
+    )

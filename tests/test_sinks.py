@@ -251,3 +251,21 @@ def test_merge_additive_state_folds_exactly(spark):
         ("b", 1, "2.25000000"),
         ("c", 1, "9.00000000"),
     }
+
+
+def test_merge_max_state_folds_watermarks(spark):
+    import datetime as dt
+
+    from data_ingestion_pipelines_spark.sinks.merge import merge_max_state
+
+    d1 = spark.createDataFrame(
+        [("t1", dt.datetime(2024, 1, 2)), ("t2", dt.datetime(2024, 1, 5))],
+        "tbl string, wm timestamp",
+    )
+    d2 = spark.createDataFrame(
+        [("t1", dt.datetime(2024, 1, 9)), ("t3", dt.datetime(2024, 1, 1))],
+        "tbl string, wm timestamp",
+    )
+    s = merge_max_state(merge_max_state(None, d1, ["tbl"], ["wm"]), d2, ["tbl"], ["wm"])
+    got = {(r["tbl"], r["wm"].day) for r in s.collect()}
+    assert got == {("t1", 9), ("t2", 5), ("t3", 1)}
