@@ -50,10 +50,15 @@ def main() -> int:
     import __spark_entry__ as e
     from data_ingestion_pipelines_spark.session import get_spark
 
+    # CPUS/shuffle overridable so the sweep can ALSO run under a skewed
+    # partitioning (results must be partition-layout-invariant — the
+    # chunk_by_range bug class): SPARK_CHECK_CPUS=4 SPARK_CHECK_SHUFFLE=5
+    import os as _os
+
     spark = get_spark(
         "correctness-check",
-        master="local[8]",
-        shuffle_partitions=8,
+        master=f"local[{_os.environ.get('SPARK_CHECK_CPUS', '8')}]",
+        shuffle_partitions=int(_os.environ.get("SPARK_CHECK_SHUFFLE", "8")),
         # default 1g JVM heap dies on iterative/cached plans at sf0.1
         extra_conf={"spark.driver.memory": "8g"},
     )
