@@ -60,7 +60,9 @@ def main() -> int:
         master=f"local[{_os.environ.get('SPARK_CHECK_CPUS', '8')}]",
         shuffle_partitions=int(_os.environ.get("SPARK_CHECK_SHUFFLE", "8")),
         # default 1g JVM heap dies on iterative/cached plans at sf0.1
-        extra_conf={"spark.driver.memory": "8g"},
+        extra_conf={
+            "spark.driver.memory": _os.environ.get("SPARK_CHECK_DRIVER_MEM", "8g")
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
