@@ -279,6 +279,11 @@ def kmeans_centroids(
     partial (sum, count) rows — k rows per partition, trivially collected
     and combined on the driver. Cosine-space: centroids re-normalized each
     round. Empty lists keep their previous centroid.
+
+    Layout note: the per-list float sums combine in partition order, so
+    centroids can differ in final ulps across partitionings (inherent to
+    any distributed float k-means) — which is why IVF search is a
+    rows-only gate with a pytest recall floor rather than a hash oracle.
     """
     import numpy as np
 
