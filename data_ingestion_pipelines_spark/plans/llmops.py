@@ -1140,6 +1140,70 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Contrastive training-pair mining (for training the embedding model
+# itself): positives = exact near-dup pairs (cos ≥ 0.45); negatives =
+# a deterministic derangement (partner id = (id + 257) mod N) filtered
+# to clear non-matches (cos < 0.2) — reproducible, no rand(), and the
+# accidental-positive filter keeps labels clean. N rides a broadcast
+# 1-row count, so the negative pairing is a pure projection + equi-join.
+# Relies on contiguous vec_ids (holds for the test tables; production
+# would substitute a hash-derived partner).
+def embedding_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = embedding_dup_pairs(emb, threshold=0.45, method="exact").select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("other_id"),
+        "score",
+        F.lit(1).cast("bigint").alias("label"),
+    )
+    n_row = emb.agg(F.count(F.lit(1)).alias("_n"))
+    a = emb.select(F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("_av"))
+    partner = a.crossJoin(F.broadcast(n_row)).withColumn(
+        "other_id", (F.col("anchor_id") + F.lit(257)) % F.col("_n")
+    )
+    b = emb.select(F.col("vec_id").alias("other_id"), F.col("embedding").alias("_bv"))
+    neg = (
+        partner.join(b, "other_id")
+        .filter(F.col("anchor_id") != F.col("other_id"))
+        .select(
+            "anchor_id",
+            "other_id",
+            F.round(cosine_similarity(F.col("_av"), F.col("_bv")), 6).alias("score"),
+            F.lit(0).cast("bigint").alias("label"),
+        )
+        .filter(F.col("score") < 0.2)
+    )
+    return pos.unionByName(neg)
+
+
+EMBEDDING_TRAINING_PAIRS_SQL = """
+WITH pos AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS other_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS score,
+         CAST(1 AS BIGINT) AS label
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+), neg AS (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS other_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS score,
+         CAST(0 AS BIGINT) AS label
+  FROM embeddings a
+  JOIN embeddings b
+    ON b.vec_id = (a.vec_id + 257) % (SELECT COUNT(*) FROM embeddings)
+  WHERE a.vec_id <> b.vec_id
+    AND ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) < 0.2
+)
+SELECT * FROM pos UNION ALL SELECT * FROM neg
+"""
+
+
+# --------------------------------------------------------------------------
 # Near-dup clustering: embedding pairs → connected components (min-label
 # propagation) — the step that turns pair detection into keep-one-per-
 # group curation. Oracle: DuckDB recursive CTE transitive closure.
@@ -2730,6 +2794,10 @@ QUERIES = {
         QUANTIZED_SIMILARITY_TOPK_SQL,
     ),
     "embedding_dedup_pairs": (embedding_dedup_pairs, EMBEDDING_DEDUP_PAIRS_SQL),
+    "embedding_training_pairs": (
+        embedding_training_pairs,
+        EMBEDDING_TRAINING_PAIRS_SQL,
+    ),
     "embedding_dup_clusters": (embedding_dup_clusters, EMBEDDING_DUP_CLUSTERS_SQL),
     "similarity_lsh_topk": (similarity_lsh_topk, None),
     "similarity_ivf_topk": (similarity_ivf_topk, None),
