@@ -1,0 +1,27 @@
+"""CLI front door: list mode and unknown-query handling (no Spark)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def test_cli_lists_all_registered_queries():
+    from data_ingestion_pipelines_spark import plans
+
+    r = subprocess.run(
+        [sys.executable, "-m", "data_ingestion_pipelines_spark"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0
+    names = [l for l in r.stdout.splitlines() if l.strip()]
+    assert set(names) == set(plans.REGISTRY)
+
+
+def test_cli_rejects_unknown_query():
+    r = subprocess.run(
+        [sys.executable, "-m", "data_ingestion_pipelines_spark", "nope_xyz"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr
