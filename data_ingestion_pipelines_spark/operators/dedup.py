@@ -411,13 +411,45 @@ def simhash_signatures(
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _gram_array(toks_col: str, n: int):
+    """Distinct word-n-gram array from a bound token-array column (short
+    docs collapse to one whole-text gram)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks_col) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks_col, i + 1, n)))
+    return F.when(F.size(toks_col) >= n, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks_col))
+    )
+
+
+def _bucket_col(grams_col, toks_col: str, bucket_prefix_tokens: int | None):
+    """Candidate-bucket key for the gram self-join.
+
+    Default (``bucket_prefix_tokens=None``): a one-row MinHash band —
+    ``min(md5(gram))`` over the doc's distinct grams. Uniformly
+    distributed (the min of per-gram hashes), so no key is hot unless
+    the docs genuinely share gram sets, and a pair with Jaccard J
+    collides with probability exactly J — recall ≥ threshold at the
+    thresholds dedup uses. Engine-portable: DuckDB's
+    ``list_min(list_transform(g, x -> md5(x)))`` computes the identical
+    key, so the whole operator stays hash-oracle-verifiable.
+
+    Opt-in (``bucket_prefix_tokens=k``): the document's first k tokens.
+    Cheaper (no per-gram hash) but Zipf-skewed at web scale — every
+    "the …" document lands in one bucket, making one (bucket, gram)
+    join key hot. Kept for corpora with known-diverse prefixes only.
+    """
+    if bucket_prefix_tokens is not None:
+        return F.concat_ws(" ", F.slice(toks_col, 1, bucket_prefix_tokens))
+    return F.array_min(F.transform(grams_col, F.md5))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    bucket_prefix_tokens: int = 2,
+    bucket_prefix_tokens: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over cheap candidate buckets.
 
@@ -426,9 +458,10 @@ def ngram_jaccard_pairs(
     from per-doc set sizes. Everything stays JVM-side as shuffles on
     uniform keys — no per-pair document payload ever moves (a pairwise
     text join ships O(pairs·doclen) bytes; this ships O(grams)).
-    Bucketing by the document's first tokens bounds the candidate space;
-    at 100 TB swap the bucket key for a MinHash band. Output
-    ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard ≥ threshold.
+    Candidates are bucketed by a MinHash band by default (uniform keys;
+    see :func:`_bucket_col` — first-token prefixes are opt-in and
+    Zipf-hot at scale). Output ``(id_a, id_b, jaccard)``, id_a < id_b,
+    jaccard ≥ threshold.
     """
     df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
@@ -436,14 +469,10 @@ def ngram_jaccard_pairs(
     # O(k) per element; slicing the regexp EXPRESSION re-evaluates the
     # tokenizer per element under interpreted HOF eval
     toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
-    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)))
-    sh = F.when(F.size("_toks") >= n, F.array_distinct(sh)).otherwise(
-        F.array(F.concat_ws(" ", "_toks"))
-    )
+    sh = _gram_array("_toks", n)
     grams = toks_df.select(
         F.col(id_col),
-        F.concat_ws(" ", F.slice("_toks", 1, bucket_prefix_tokens)).alias("_bucket"),
+        _bucket_col(sh, "_toks", bucket_prefix_tokens).alias("_bucket"),
         F.explode(sh).alias("_g"),
     ).localCheckpoint(eager=False)  # consumed by both join sides + sizes
 
@@ -538,12 +567,19 @@ def cluster_representatives(
     id_b: str = "id_b",
 ) -> DataFrame:
     """Keep one representative (min id) per near-dup cluster plus every
-    unpaired document — the standard post-LSH curation step."""
+    unpaired document — the standard post-LSH curation step.
+
+    The anti-join is pinned to ``shuffle_hash``: ``losers`` is every
+    non-representative duplicate, which grows with the dup rate (at web
+    scale roughly half the corpus) — NOT a dimension table, so a
+    broadcast here is a driver/executor OOM at 100×. Same hazard class
+    as the PageRank / connected-components loop joins above.
+    """
     clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
     losers = clusters.filter(F.col("node") != F.col("cluster")).select(
         F.col("node").alias(id_col)
     )
-    return docs.join(F.broadcast(losers), on=id_col, how="left_anti")
+    return docs.join(losers.hint("shuffle_hash"), on=id_col, how="left_anti")
 
 
 def duplicate_ngram_spans(
@@ -667,24 +703,21 @@ def _gram_rows(
     text_col: str,
     id_col: str,
     n: int,
-    bucket_prefix_tokens: int,
+    bucket_prefix_tokens: int | None,
 ) -> DataFrame:
     """(id, _bucket, _g): one row per (doc, distinct word-n-gram), with
-    the first-tokens candidate bucket. Same construction as
-    ngram_jaccard_pairs (short docs collapse to a single whole-text gram);
-    factored for the incremental (batch × corpus) variant where the two
-    sides are different frames."""
+    the candidate bucket (MinHash band by default — see
+    :func:`_bucket_col`). Same construction as ngram_jaccard_pairs
+    (short docs collapse to a single whole-text gram); factored for the
+    incremental (batch × corpus) variant where the two sides are
+    different frames."""
     df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
-    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, n)))
-    sh = F.when(F.size("_toks") >= n, F.array_distinct(sh)).otherwise(
-        F.array(F.concat_ws(" ", "_toks"))
-    )
+    sh = _gram_array("_toks", n)
     return toks_df.select(
         F.col(id_col),
-        F.concat_ws(" ", F.slice("_toks", 1, bucket_prefix_tokens)).alias("_bucket"),
+        _bucket_col(sh, "_toks", bucket_prefix_tokens).alias("_bucket"),
         F.explode(sh).alias("_g"),
     ).localCheckpoint(eager=False)  # join side + size aggregate both consume
 
@@ -696,7 +729,7 @@ def incremental_neardup_dedup(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.6,
-    bucket_prefix_tokens: int = 1,
+    bucket_prefix_tokens: int | None = None,
 ) -> DataFrame:
     """Drop batch docs that are NEAR-duplicates (word-n-gram Jaccard ≥
     ``threshold``) of any doc already in ``corpus`` — the near-dup twin of

@@ -114,14 +114,19 @@ def scd2_from_events(
     key_cols: list[str],
     change_cols: list[str],
     ts_col: str,
-    end_of_time: str = "9999-12-31 00:00:00",
+    end_of_time: str = "2260-12-31 00:00:00",
 ) -> DataFrame:
     """Build a type-2 dimension from an append-only change stream.
 
     Each input row is a observed state of the entity identified by
     ``key_cols``; output rows carry ``valid_from`` (the row's own
     timestamp), ``valid_to`` (the NEXT change's timestamp, or
-    ``end_of_time``) and ``is_current``. Consecutive rows with an
+    ``end_of_time``) and ``is_current``. The default sentinel is
+    2260-12-31 — NOT the classic 9999-12-31 — because open rows must
+    survive Arrow/pandas bridges whose ``datetime64[ns]`` ceiling is
+    2262-04-11; a 9999 sentinel raises OutOfBoundsDatetime the moment a
+    consumer calls ``toPandas`` (or an external harness hashes via
+    pandas). Consecutive rows with an
     identical state (all ``change_cols`` equal) are collapsed so a
     re-delivered unchanged record does not split an interval.
 

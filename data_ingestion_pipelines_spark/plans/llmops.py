@@ -173,20 +173,23 @@ FROM scored
 # Exact n-gram Jaccard near-dup pairs (bucketed self-join)
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.05, bucket_prefix_tokens=1)
+    # default bucketing = MinHash band (min(md5(gram))) — uniform keys;
+    # the oracle below reproduces the identical bucket in DuckDB
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.05)
 
 
 NGRAM_JACCARD_DOCS_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-), grams AS (
+), gsets AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 3 THEN
            list_distinct(list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g,
-         array_to_string(t[1:1], ' ') AS bucket
+         ELSE [array_to_string(t, ' ')] END AS g
   FROM toks
+), grams AS (
+  SELECT doc_id, g, list_min(list_transform(g, x -> md5(x))) AS bucket FROM gsets
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
@@ -2390,21 +2393,21 @@ WITH corpus AS (
   UNION ALL
   SELECT doc_id + 500000 AS doc_id, text || ' qq17 zz42' AS text FROM corpus
 ), cg AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                        i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g,
-         array_to_string(t[1:1], ' ') AS bucket
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM corpus)
+  SELECT doc_id, g, list_min(list_transform(g, x -> md5(x))) AS bucket
+  FROM (SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                 list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS g
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM corpus))
 ), bg AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                        i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g,
-         array_to_string(t[1:1], ' ') AS bucket
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM batch)
+  SELECT doc_id, g, list_min(list_transform(g, x -> md5(x))) AS bucket
+  FROM (SELECT doc_id,
+               CASE WHEN len(t) >= 3 THEN
+                 list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+2], ' ')))
+               ELSE [array_to_string(t, ' ')] END AS g
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM batch))
 ), dups AS (
   SELECT DISTINCT bg.doc_id
   FROM bg JOIN cg ON bg.bucket = cg.bucket
@@ -2647,7 +2650,7 @@ LEFT JOIN plan pl ON d.source = pl.source
 # whole decision is hash-verifiable.
 def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, bucket_prefix_tokens=1)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
     q = with_token_count(docs).select(
         F.col("doc_id"), F.col("n_tokens").alias("_q")
     )
@@ -2669,15 +2672,16 @@ def near_dup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEAR_DUP_QUALITY_SURVIVORS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
-), grams AS (
+), gsets AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 3 THEN
            list_distinct(list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')))
          ELSE [array_to_string(t, ' ')] END AS g,
-         array_to_string(t[1:1], ' ') AS bucket,
          CAST(len(t) AS BIGINT) AS q
   FROM toks
+), grams AS (
+  SELECT doc_id, g, q, list_min(list_transform(g, x -> md5(x))) AS bucket FROM gsets
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.q AS qa, b.q AS qb,
          len(list_intersect(a.g, b.g))

@@ -1158,7 +1158,7 @@ WITH ordered AS (
 ), scd AS (
   SELECT user_id, event_type, ts AS valid_from,
          COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
-                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+                  TIMESTAMP '2260-12-31 00:00:00') AS valid_to
   FROM changed
 )
 SELECT p.event_id, p.user_id, s.event_type AS state_at_purchase
@@ -2900,7 +2900,7 @@ WITH ordered AS (
 )
 SELECT user_id, event_type, ts AS valid_from,
        COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type),
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                TIMESTAMP '2260-12-31 00:00:00') AS valid_to,
        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_type) IS NULL AS is_current
 FROM changed
 """

@@ -63,11 +63,49 @@ def test_simhash_close_for_near_dups(spark):
     assert ham_near < ham_far
 
 
-def test_ngram_jaccard_pairs(spark):
+def test_ngram_jaccard_pairs_prefix_bucket_opt_in(spark):
     pairs = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5, bucket_prefix_tokens=1)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
     assert got[(1, 2)] == 1.0
     assert (1, 4) in got and got[(1, 4)] < 1.0
+
+
+def test_ngram_jaccard_pairs_default_minhash_bucket(spark):
+    # default bucketing = min(md5(gram)): identical gram sets share a
+    # bucket by construction, so exact + formatting dups always pair
+    pairs = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0  # prefix bucketing would ALSO find this; parity
+
+
+def test_ngram_bucket_not_zipf_hot_on_same_prefix_corpus(spark):
+    """Adversarial corpus: every doc opens with the same two tokens —
+    the web-scale reality ("the", "in the", boilerplate headers). The
+    prefix bucket collapses ALL docs onto one hot (bucket, gram) join
+    key; the default MinHash-band bucket must spread unrelated docs
+    across buckets while still colliding true duplicates."""
+    from data_ingestion_pipelines_spark.operators.dedup import _bucket_col, _gram_array
+
+    rows = [(i, "the report " + " ".join(f"tok{i}x{j}" for j in range(12))) for i in range(40)]
+    rows.append((100, rows[0][1]))  # one true exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    toks_df = docs.select("doc_id", toks.alias("_toks"))
+    sh = _gram_array("_toks", 3)
+    prefix_buckets = toks_df.select(
+        _bucket_col(sh, "_toks", 2).alias("b")
+    ).distinct().count()
+    minhash_buckets = toks_df.select(
+        _bucket_col(sh, "_toks", None).alias("b")
+    ).distinct().count()
+    assert prefix_buckets == 1            # the hot-key disease
+    assert minhash_buckets >= 30          # uniform spread, no hot key
+
+    got = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()}
+    assert (0, 100) in got                # the true dup still collides
 
 
 def test_token_count_and_quality(spark):

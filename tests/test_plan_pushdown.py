@@ -121,3 +121,25 @@ def test_q21_shape_is_single_pass_aggregate(spark):
     assert plan.count("lineitem.parquet") <= 2  # scan node + its location string
     assert "LeftSemi" not in plan and "LeftAnti" not in plan
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_cluster_representatives_never_broadcasts_losers(spark):
+    """The losers side of the representative anti-join grows with the
+    dup rate (~half a web corpus) — it must shuffle, never broadcast.
+    Plan-asserted like the as-of join: one regression back to
+    F.broadcast(losers) is a driver OOM at 100×."""
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        cluster_representatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id bigint"
+    )
+    kept = cluster_representatives(docs, pairs)
+    plan = _plan(kept)
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert {r["doc_id"] for r in kept.collect()} == {1, 10, 99}

@@ -56,7 +56,10 @@ def test_scd2_intervals_collapse_and_current(spark):
     assert b["valid_to"] == _ts("2024-03-01T00:00:00")  # next CHANGE, not redelivery
     assert not b["is_current"]
     g = by_key[(1, "gold")]
-    assert g["is_current"] and g["valid_to"].year == 9999
+    # Sentinel is 2260 (not the classic 9999): it must stay inside the
+    # pandas datetime64[ns] range (max 2262-04-11) so Arrow/pandas bridges
+    # can represent open rows — the driver's hash bridge chokes on 9999.
+    assert g["is_current"] and g["valid_to"].year == 2260
     assert by_key[(2, "silver")]["is_current"]
 
 

@@ -52,8 +52,9 @@ def main() -> int:
                 seen[name] = f"green {path}"
             elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
                 seen.setdefault(name, f"rows-only {path}")
-            else:
-                seen.setdefault(name, f"ran {path}")
+            # A row whose run ERRORED (err holds a traceback) or that
+            # hash-MISMATCHED is NOT evidence — the gate stays dark so the
+            # rotation re-prioritizes it until a clean row lands.
 
     registry = list(plans.REGISTRY)
     dark = [n for n in registry if n not in seen]
