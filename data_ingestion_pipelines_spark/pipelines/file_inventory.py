@@ -41,6 +41,7 @@ from ..operators.classify import ExclusionRules, classify
 from ..operators.incremental import copy_needed_condition
 from ..operators.windows import keep_latest
 from ..sinks.runlog import RunLog
+from ..sinks.writers import replace_partitions
 from ..sources.files import list_files_distributed
 
 CONTROL_SCHEMA = (
@@ -96,20 +97,35 @@ class FileInventoryPipeline:
         )
 
     def _write_control(self, df: DataFrame) -> None:
-        full = df
-        try:
-            others = self.spark.read.parquet(self.control_path).filter(
-                ~((F.col("jobGroup") == self.job_group) & (F.col("jobOrder") == self.job_order))
+        """Partition-targeted write: replace ONLY this pipeline's
+        (jobGroup, jobOrder) slice — dynamic partition overwrite, the
+        parquet form of the reference's ``DELETE WHERE jobGroup=… AND
+        jobOrder=…`` + re-insert (``replaceWhere`` on Delta). Every other
+        job's partition files are left byte-untouched; a full-table
+        read-union-rewrite here would re-copy the entire control tree ×3
+        steps per run — a scale-killer once the inventory is large.
+
+        ``df`` may read from ``control_path`` itself (refresh/classify
+        read-modify-write), so it is materialized before the overwrite.
+        """
+        df = df.localCheckpoint(eager=True)
+        if df.isEmpty():
+            # dynamic overwrite of zero partitions is a no-op, but the
+            # reference's DELETE clears the slice: drop it explicitly.
+            try:
+                others = self.spark.read.parquet(self.control_path).filter(
+                    ~(
+                        (F.col("jobGroup") == self.job_group)
+                        & (F.col("jobOrder") == self.job_order)
+                    )
+                ).localCheckpoint(eager=True)
+            except Exception:
+                return
+            others.write.mode("overwrite").partitionBy("jobGroup", "jobOrder").parquet(
+                self.control_path
             )
-            full = others.unionByName(df)
-        except Exception:
-            pass
-        # parquet fallback: slice-scoped rewrite, partitioned like the
-        # reference; on Delta this is replaceWhere on the partition.
-        full = full.localCheckpoint(eager=True)
-        full.write.mode("overwrite").partitionBy("jobGroup", "jobOrder").parquet(
-            self.control_path
-        )
+            return
+        replace_partitions(df, self.control_path, ["jobGroup", "jobOrder"])
 
     # -- step 1: listing + refresh -----------------------------------------
     def refresh_inventory(self, seed_dirs: list[str], target_root: str) -> DataFrame:

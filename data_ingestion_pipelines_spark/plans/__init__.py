@@ -42,69 +42,69 @@ from . import ingestion, llmops, relational
 # before each round lands), 41-46 are this round's new/changed gates,
 # 47-50 the high-churn re-checks.
 _PRIORITY = [
-    # -- dark after r1-r3: relational / windows / temporal
-    "overlapping_order_windows",
-    "orders_cdc_log",
+    # -- round-5 window. Positions 1-24: ALL gates still dark after
+    # r1-r4 (the r4 session-B additions plus user_state_scd2, whose r4
+    # driver row ERRORED on the pandas sentinel bridge and therefore
+    # counts as dark — tools/rotate_window.py treats errored rows as
+    # no-evidence since r5). 25-30: gates semantically changed this
+    # round (ANN verdict-row conversion; MinHash-band bucketing in the
+    # n-gram Jaccard family; BPE vocab-join apply; SCD2 sentinel;
+    # shuffle-pinned cluster representatives). 31-50: high-churn
+    # re-checks, oldest driver evidence first. Every entry verified
+    # hash-green locally (tools/check_correctness.py) at sf0.001 and
+    # sf0.01 before landing.
     "user_state_scd2",
-    "customer_order_distribution",
-    "supplier_variety_by_part_class",
-    "snapshot_diff_report",
-    "value_winsorized_stats",
-    "totalprice_histogram",
-    "weekly_retention_cohorts",
-    "events_profile",
-    "cheapest_part_per_brand",
-    "customer_balance_ranks",
-    "schema_drift_union",
-    "pivot_status_counts",
-    "cube_order_stats",
-    "moving_revenue_3d",
-    "daily_gap_fill",
-    "event_sliding_windows",
-    "cumulative_unique_users",
-    "event_transition_matrix",
-    "format_roundtrip_totals",
-    "nullsafe_parity_labels",
-    "sql_api_region_revenue",
-    # -- dark: streaming
-    "streaming_distinct_types",
-    "stream_enriched_segments",
-    # -- dark: LLM-ops (embeddings / sampling / tokens / dedup)
-    "doc_embeddings",
-    "mixture_token_plan",
+    "salted_hot_join",
+    "partitioned_write_prune",
+    "stream_scd2_enrichment",
+    "incremental_agg_pricing",
+    "incremental_neardup_new_docs",
+    "incremental_pack_extension",
+    "streaming_corpus_ingest",
+    "train_val_test_split",
+    "jsonl_roundtrip_docs",
+    "json_corrupt_record_dlq",
+    "versioned_snapshot_read",
+    "doc_quality_expectations",
+    "cms_token_counts",
+    "bpe_tokenized_docs",
+    "bpe_vocab_table",
+    "streaming_cms_event_types",
+    "semantic_contaminated_docs",
+    "length_bucketed_batches",
+    "source_length_drift",
+    "multi_epoch_training_order",
+    "quantized_embeddings",
+    "quantized_similarity_topk",
+    "embedding_training_pairs",
+    # -- changed this round
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "ngram_jaccard_docs",
     "near_dup_quality_survivors",
-    "ann_recall_report",
-    "doc_length_percentiles",
-    "contaminated_docs",
-    "fuzzy_part_matches",
-    "top_tokens_by_source",
-    "token_postings",
-    "bigram_collocations",
-    "sampled_docs",
-    "stratified_docs_sample",
-    "mixture_sampled_docs",
-    "doc_chunks",
-    "weekly_user_sketch_rollup",
-    # -- new this round
-    "pretraining_manifest",
-    "udtf_chunk_text",
     "bpe_trained_merges",
-    "stream_stream_attribution",
-    # -- changed this round (rows-only → oracled, or operator edits)
-    "simhash_docs",
-    "events_profile_approx",
-    "tdigest_price_quantiles",
-    "training_order_docs",
-    "duplicate_text_spans",
-    "span_deduped_docs",
-    # Out this round to stay at 50: xml_extract (re-check only — three
-    # driver-green rounds) and packed_doc_chunks (r3-green; the
-    # integer-div refactor is pinned by pytest + the local sweep).
-    # Next-round (r5) rotation: run `python tools/rotate_window.py`
-    # — it rebuilds this list from the CORRECTNESS_r*.json history
-    # (never-driver-checked gates first; the round-4 session-B gates
-    # will dominate). Every session-B gate is locally hash-green at
-    # sf0.001, sf0.01 AND sf0.1.
+    "embedding_dup_clusters",
+    # -- re-checks (oldest driver evidence first)
+    "inc_merge_upsert",
+    "asof_view_before_purchase",
+    "xml_extract",
+    "pricing_summary",
+    "corpus_curation",
+    "pretraining_manifest",
+    "union_pages",
+    "conditional_flags",
+    "string_funcs",
+    "date_arith",
+    "classify_exclusions",
+    "nested_drop",
+    "event_hourly_windows",
+    "brand_price_robust_outliers",
+    "repeat_customers_both_years",
+    "gap_fill_locf",
+    "order_sequence_features",
+    "daily_revenue_anomalies",
+    "quantity_price_correlation",
+    "unpivot_priority_metrics",
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -1236,25 +1236,68 @@ SELECT node, CAST(MIN(src) AS BIGINT) AS cluster FROM reach GROUP BY node
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed approximate top-k — deterministic hyperplanes, no SQL oracle
+# ANN top-k gates, verdict-row form (hash-oracled since r5). The top-k
+# STRUCTURE is partition-dependent (LSH bucketing and IVF k-means seeds
+# shift with layout), so the raw rows can't hash-match SQL — but the
+# accuracy floor IS SQL-expressible: run the full approximate index, run
+# the exact brute-force twin (itself exact and oracled as
+# similarity_topk), and emit per query ``recall@10 >= floor`` — a
+# constant-TRUE table DuckDB reproduces trivially. Per-query floors are
+# conservative (lsh 0.2, ivf 0.4 — observed per-query minima across
+# SFs/layouts are 0.4 and 0.7); the tight data-specific floors stay in
+# tests/test_llm_ops.py and the mean-based readout in ann_recall_report.
+def _ann_topk_verdict(
+    spark: SparkSession, sf_dir: str, method: str, floor: float
+) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+        .localCheckpoint(eager=False)
+    )
+    if method == "lsh":
+        approx = lsh_topk(emb, queries, k=10, num_tables=16, bits=6, dim=64)
+    else:
+        approx = ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4, lloyd_iters=2)
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    hits = exact.join(
+        F.broadcast(approx.select("query_id", "vec_id")),
+        ["query_id", "vec_id"],
+        "left_semi",
+    )
+    hit_counts = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        queries.select("query_id")
+        .join(F.broadcast(hit_counts), "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(floor).alias("recall_floor"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(10.0)
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return lsh_topk(emb, queries, k=10, num_tables=16, bits=6, dim=64)
+    return _ann_topk_verdict(spark, sf_dir, "lsh", 0.2)
 
 
-# --------------------------------------------------------------------------
-# IVF-bucketed approximate top-k — centroid probing with Lloyd-refined
-# centroids (2 distributed k-means passes), no SQL oracle. Recall vs the
-# exact answer is asserted in tests/test_llm_ops.py.
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4, lloyd_iters=2)
+    return _ann_topk_verdict(spark, sf_dir, "ivf", 0.4)
+
+
+def _ann_verdict_oracle(floor: float) -> str:
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST({floor} AS DOUBLE) AS recall_floor, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+SIMILARITY_LSH_TOPK_SQL = _ann_verdict_oracle(0.2)
+SIMILARITY_IVF_TOPK_SQL = _ann_verdict_oracle(0.4)
 
 
 # --------------------------------------------------------------------------
@@ -2078,10 +2121,20 @@ def bpe_trained_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY the trained merges corpus-wide: per-doc BPE piece counts (the
     compression readout a tokenizer team tracks). The merge list is k
-    bounded rows collected once; application is a pure codegen transform
-    over each doc's token array — replace-chain per element, sum of piece
-    counts, NO explode/shuffle. Oracle replays training via the chained
-    CTEs, then applies the same replace chain with scalar subqueries."""
+    bounded rows collected once.
+
+    Tokenize-by-vocab shape: the replace chain (regexp wrap + k replaces
+    + extract, whose cost grows with k as expression depth) is evaluated
+    ONCE PER DISTINCT WORD over the bounded vocabulary — the same
+    ``words`` frame training already aggregated — never per corpus
+    token. The corpus side is then a plain explode → vocab join (vocab
+    is Heaps'-law sublinear in corpus size; AQE broadcasts it while it
+    fits, no forced hint) → one partial-combined sum per doc. The
+    earlier form inlined the chain in a per-element ``transform`` lambda
+    — interpreted HOF eval, re-running the regex chain for every token
+    occurrence: 28× slower at sf0.01 and growing with corpus size.
+    Oracle replays training via the chained CTEs, then applies the same
+    replace chain with scalar subqueries."""
     from ..operators.bpe import train_bpe_merges
 
     docs = with_word_tokens(_t(spark, sf_dir, "documents"))
@@ -2092,18 +2145,26 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = train_bpe_merges(words, n_merges=_BPE_N_MERGES)
 
-    def pieces(tok):
-        expr = F.regexp_replace(tok, "(.)", "<$1>")
-        for _, pair, _ in sorted(merges):
-            expr = F.replace(expr, F.lit(pair), F.lit(pair.replace("><", "")))
-        return F.size(F.regexp_extract_all(expr, F.lit("<([a-z0-9]+)>"), 1))
+    expr = F.regexp_replace(F.col("word"), "(.)", "<$1>")
+    for _, pair, _ in sorted(merges):
+        expr = F.replace(expr, F.lit(pair), F.lit(pair.replace("><", "")))
+    word_pieces = words.select(
+        "word",
+        F.size(F.regexp_extract_all(expr, F.lit("<([a-z0-9]+)>"), 1))
+        .cast("bigint")
+        .alias("_wp"),
+    )
 
-    return docs.select(
+    tok = docs.select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_tokens"),
-        F.aggregate(
-            F.transform("tokens", pieces), F.lit(0).cast("bigint"), lambda a, x: a + x
-        ).alias("n_pieces"),
+        F.explode_outer("tokens").alias("word"),  # keep empty docs (0 pieces)
+    )
+    return (
+        tok.join(word_pieces, "word", "left")
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum(F.coalesce(F.col("_wp"), F.lit(0))).alias("n_pieces"))
+        .select("doc_id", "n_tokens", "n_pieces")
     )
 
 
@@ -2168,9 +2229,14 @@ UNION ALL
 
 def _bpe_cte_sql(k: int) -> str:
     """The shared training prefix: w0 (wrapped word counts) plus k rounds
-    of (pair weights → argmax → replace) as chained CTEs."""
+    of (pair weights → argmax → replace) as chained CTEs.
+
+    Every CTE is ``AS MATERIALIZED``: each w{i} is referenced twice
+    (p{i+1} and w{i+1}), and without the hint DuckDB may inline and
+    re-execute the chain — 2^k blow-up of the w0 scan (measured 17 s →
+    0.1 s at sf0.01, k=6)."""
     ctes = [
-        f"""WITH w0 AS (
+        f"""WITH w0 AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
          regexp_replace(word, '(.)', '<\\1>', 'g') AS repr
   FROM (SELECT unnest({_TOKS}) AS word FROM documents)
@@ -2178,17 +2244,17 @@ def _bpe_cte_sql(k: int) -> str:
 )"""
     ]
     for i in range(1, k + 1):
-        ctes.append(f""", p{i} AS (
+        ctes.append(f""", p{i} AS MATERIALIZED (
   SELECT '<' || syms[j] || '><' || syms[j + 1] || '>' AS pair,
          CAST(SUM(n) AS BIGINT) AS weight
   FROM (SELECT n, regexp_extract_all(repr, '<([a-z0-9]+)>', 1) AS syms
         FROM w{i - 1}),
        LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS j)
   GROUP BY 1
-), t{i} AS (
+), t{i} AS MATERIALIZED (
   SELECT pair, weight, replace(pair, '><', '') AS merged
   FROM p{i} ORDER BY weight DESC, pair ASC LIMIT 1
-), w{i} AS (
+), w{i} AS MATERIALIZED (
   SELECT word, n,
          replace(repr, (SELECT pair FROM t{i}), (SELECT merged FROM t{i})) AS repr
   FROM w{i - 1}
@@ -2205,24 +2271,24 @@ def _bpe_oracle_sql(k: int) -> str:
 
 
 def _bpe_apply_oracle_sql(k: int) -> str:
-    # DuckDB forbids subqueries inside lambdas: hoist the k merge pairs
-    # into a 1-row CTE and reference them as plain correlated columns.
-    merge_cols = ", ".join(
-        f"(SELECT pair FROM t{i}) AS p{i}, (SELECT merged FROM t{i}) AS g{i}"
-        for i in range(1, k + 1)
-    )
-    chain = "regexp_replace(t, '(.)', '<\\1>', 'g')"
-    for i in range(1, k + 1):
-        chain = f"replace({chain}, p{i}, g{i})"
-    return _bpe_cte_sql(k) + f""", m AS (
-  SELECT {merge_cols}
+    # Tokenize-by-vocab, mirroring the Spark plan: after the k training
+    # rounds w{k}.repr IS each word's fully-merged representation, so
+    # per-word piece counts come straight off the bounded vocab — no
+    # per-corpus-token replace chain (which made this oracle ~30 s at
+    # sf0.01, 6× the Spark side).
+    return _bpe_cte_sql(k) + f""", wp AS (
+  SELECT word, CAST(len(regexp_extract_all(repr, '<([a-z0-9]+)>', 1)) AS BIGINT) AS wp
+  FROM w{k}
+), toks AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, {_TOKS} AS tl FROM documents),
+       LATERAL (SELECT unnest(tl) AS t)
 )
-SELECT doc_id,
-       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-       CAST(COALESCE(list_sum(list_transform({_TOKS},
-            t -> len(regexp_extract_all({chain}, '<([a-z0-9]+)>', 1)))), 0) AS BIGINT)
-         AS n_pieces
-FROM documents, m
+SELECT d.doc_id, d.n_tokens, CAST(COALESCE(SUM(wp.wp), 0) AS BIGINT) AS n_pieces
+FROM (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents) d
+LEFT JOIN toks ON d.doc_id = toks.doc_id
+LEFT JOIN wp ON toks.t = wp.word
+GROUP BY d.doc_id, d.n_tokens
 """
 
 
@@ -2803,6 +2869,6 @@ QUERIES = {
         EMBEDDING_TRAINING_PAIRS_SQL,
     ),
     "embedding_dup_clusters": (embedding_dup_clusters, EMBEDDING_DUP_CLUSTERS_SQL),
-    "similarity_lsh_topk": (similarity_lsh_topk, None),
-    "similarity_ivf_topk": (similarity_ivf_topk, None),
+    "similarity_lsh_topk": (similarity_lsh_topk, SIMILARITY_LSH_TOPK_SQL),
+    "similarity_ivf_topk": (similarity_ivf_topk, SIMILARITY_IVF_TOPK_SQL),
 }

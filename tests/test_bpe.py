@@ -70,6 +70,29 @@ def test_apply_replays_merges(spark):
     assert pieces["newest"] == ["newest"] or len(pieces["newest"]) <= 3
 
 
+def test_apply_chain_depth_at_4x_gate_merges(spark):
+    """The apply replace chain grows with n_merges as EXPRESSION DEPTH
+    (one nested replace per merge) — this pins behavior at 4× the
+    registry gate's merge count (6 → 24) so a codegen-depth ceiling or
+    interpreted fallback shows up here, not in the driver gate. The
+    invariant: pieces always reassemble the word, and each merge round
+    never increases any word's piece count."""
+    rows = [(w, n) for w, n in VOCAB.items()] + [
+        ("abcdabcdabcd", 7),
+        ("aaabbbcccddd", 5),
+        ("mississippi", 3),
+    ]
+    words = spark.createDataFrame(rows, "word string, n bigint")
+    merges = train_bpe_merges(words, n_merges=24)
+    assert len(merges) <= 24  # trainer may exhaust mergeable pairs early
+    out = {r["word"]: r["pieces"] for r in apply_bpe_merges(words, merges).collect()}
+    assert all("".join(p) == w for w, p in out.items())
+    if len(merges) >= 12:
+        half = {r["word"]: r["pieces"]
+                for r in apply_bpe_merges(words, merges[:12]).collect()}
+        assert all(len(out[w]) <= len(half[w]) for w in out)
+
+
 def test_hash_split_partition_invariants(spark):
     df = spark.range(0, 2000).withColumnRenamed("id", "k")
     splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]

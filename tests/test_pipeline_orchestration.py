@@ -135,6 +135,44 @@ def test_file_inventory_end_to_end(spark, tmp_path):
     assert cands == [str(src / "keep.dat")]
 
 
+def test_file_inventory_writes_only_its_own_partition(spark, tmp_path):
+    """Scale contract: a job's 3-step lifecycle must rewrite ONLY its
+    (jobGroup, jobOrder) partition of the shared control table. Every
+    other job's parquet files must be byte-identical afterwards — a
+    full-table read-union-rewrite (the scale-killer this pins against)
+    would re-copy the whole tree and change every file's mtime/name."""
+    import pathlib
+
+    src_a, src_b = tmp_path / "a", tmp_path / "b"
+    src_a.mkdir(), src_b.mkdir()
+    (src_a / "one.dat").write_bytes(b"A" * 10)
+    (src_b / "two.dat").write_bytes(b"B" * 20)
+    control = str(tmp_path / "control")
+
+    other = FileInventoryPipeline(spark, control, job_group=9, job_order=9)
+    other.refresh_inventory([str(src_b)], str(tmp_path / "tgt_b"))
+    other_dir = pathlib.Path(control) / "jobGroup=9" / "jobOrder=9"
+    before = {
+        p.name: (p.stat().st_mtime_ns, p.read_bytes())
+        for p in other_dir.glob("*.parquet")
+    }
+    assert before  # the other job's slice exists
+
+    mine = FileInventoryPipeline(spark, control, job_group=1, job_order=1)
+    mine.refresh_inventory([str(src_a)], str(tmp_path / "tgt_a"))
+    mine.classify_inventory(ExclusionRules(extensions={"tmp"}))
+    mine.copy_files(parallelism=1)
+
+    after = {
+        p.name: (p.stat().st_mtime_ns, p.read_bytes())
+        for p in other_dir.glob("*.parquet")
+    }
+    assert after == before  # byte- and mtime-untouched across all 3 steps
+    # and both slices still read back correctly
+    assert other.read_control().count() == 1
+    assert mine.read_control().count() == 1
+
+
 def test_multimodal_metadata_and_decode(spark):
     rows = [
         ("a.png", bytearray(b"\x89PNG\r\n" + b"x" * 50)),
