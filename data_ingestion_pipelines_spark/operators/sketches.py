@@ -228,12 +228,22 @@ def count_min_sketch(
     """Build the (seed, bucket, cnt) sketch table — ≤ depth×width rows —
     from a PRE-AGGREGATED (item, count) frame: expand ×depth on the
     bounded distinct-item table (never on raw rows), then one aggregate
-    on uniform (seed, bucket) keys."""
+    on uniform (seed, bucket) keys.
+
+    The build parameters are stamped as metadata on the ``bucket``
+    column (survives select/join/parquet round-trips): a probe with a
+    DIFFERENT width/seed set maps to the wrong cells and silently
+    returns arbitrary estimates — :func:`cms_estimate` validates the
+    stamp so that failure mode raises instead.
+    """
     seed = F.explode(F.array(*[F.lit(s) for s in seeds])).alias("seed")
     expanded = counts.select(F.col(item_col), F.col(count_col), seed)
-    return expanded.groupBy(
-        "seed", _cms_bucket(F.col("seed"), F.col(item_col), width).alias("bucket")
-    ).agg(F.sum(count_col).cast("bigint").alias("cnt"))
+    bucket = _cms_bucket(F.col("seed"), F.col(item_col), width).alias(
+        "bucket", metadata={"cms_width": width, "cms_seeds": list(seeds)}
+    )
+    return expanded.groupBy("seed", bucket).agg(
+        F.sum(count_col).cast("bigint").alias("cnt")
+    )
 
 
 def cms_estimate(
@@ -245,7 +255,29 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch: min over hash rows of the hit cells.
     The sketch (≤ depth×width rows) broadcasts; ``items`` can be any
-    size — per item this is a broadcast join + a min aggregate."""
+    size — per item this is a broadcast join + a min aggregate.
+
+    Raises ``ValueError`` when the sketch's stamped build parameters
+    (see :func:`count_min_sketch`) disagree with the probe's — a
+    mismatched width/seed set hashes probes into the wrong cells and
+    would otherwise return estimates that can even violate the
+    ``est >= true`` guarantee. Sketches without a stamp (hand-built
+    frames) skip the check.
+    """
+    try:
+        meta = sketch.schema["bucket"].metadata or {}
+    except Exception:
+        meta = {}
+    if "cms_width" in meta and int(meta["cms_width"]) != width:
+        raise ValueError(
+            f"cms_estimate width={width} but sketch was built with "
+            f"width={meta['cms_width']}"
+        )
+    if "cms_seeds" in meta and list(meta["cms_seeds"]) != list(seeds):
+        raise ValueError(
+            f"cms_estimate seeds={list(seeds)} but sketch was built with "
+            f"seeds={list(meta['cms_seeds'])}"
+        )
     seed = F.explode(F.array(*[F.lit(s) for s in seeds])).alias("seed")
     probes = items.select(F.col(item_col), seed).withColumn(
         "bucket", _cms_bucket(F.col("seed"), F.col(item_col), width)

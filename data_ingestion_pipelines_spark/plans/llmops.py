@@ -2006,7 +2006,19 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="scing_")
     target = f"{root}/corpus"
 
+    # PARITY ASSUMPTION (load-bearing): cross-batch dedup keeps the
+    # FIRST-ARRIVED copy of a fingerprint (what a live service does),
+    # while the batch oracle (CORPUS_CURATION_SQL) keeps the MIN doc_id.
+    # The two agree only while the source yields ONE micro-batch — true
+    # here (a single parquet file under availableNow). If the source is
+    # ever split into multiple files/batches with ids out of batch
+    # order, first-seen ≠ min-id; the batch counter below turns that
+    # silent hash mismatch into a loud failure at the gate.
+    n_batches = 0
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
         s = batch_df.sparkSession
         try:
             existing = s.read.parquet(target)
@@ -2026,6 +2038,11 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    if n_batches != 1:
+        raise AssertionError(
+            f"streaming_corpus_ingest parity holds only for a single "
+            f"micro-batch (first-seen == min-id); source produced {n_batches}"
+        )
     return spark.read.parquet(target).select("doc_id", "n_tokens")
 
 

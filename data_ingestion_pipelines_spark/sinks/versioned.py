@@ -88,14 +88,19 @@ def read_current(spark: SparkSession, root: str) -> DataFrame:
 
 def prune_snapshots(root: str, keep: int = 3) -> list[int]:
     """Drop all but the newest ``keep`` snapshots (never the published
-    one). Returns the pruned version numbers."""
+    one). Returns the pruned version numbers.
+
+    ``keep`` must be >= 1: retention that deletes every snapshot is
+    never what a caller means (the published one survives anyway), and
+    with ``keep <= 0`` the ``versions[:-keep]`` slice silently flips
+    meaning — so it raises instead."""
     import shutil
 
+    if keep < 1:
+        raise ValueError(f"prune_snapshots requires keep >= 1, got {keep}")
     versions = list_snapshots(root)
     published = current_version(root)
-    victims = [
-        v for v in versions[:-keep] if v != published
-    ] if keep > 0 else []
+    victims = [v for v in versions[:-keep] if v != published]
     for v in victims:
         shutil.rmtree(os.path.join(root, f"v={v}"))
     return victims

@@ -62,3 +62,22 @@ def test_cms_unseen_probe_estimates_zero(spark):
     probes = spark.createDataFrame([("zzz_unseen",)], "token string")
     rows = cms_estimate(sketch, probes, width=4096).collect()
     assert len(rows) == 1 and rows[0]["cms_est"] == 0
+
+
+def test_cms_rejects_mismatched_build_params(spark):
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    counts = spark.createDataFrame([("a", 5), ("b", 2)], "token string, n bigint")
+    sketch = count_min_sketch(counts, width=64)
+    items = counts.select("token")
+    with _pytest.raises(ValueError, match="width"):
+        cms_estimate(sketch, items, width=128)
+    with _pytest.raises(ValueError, match="seeds"):
+        cms_estimate(sketch, items, width=64, seeds=("x0", "x1", "x2"))
+    # matching params still work, and the stamp survives a parquet trip
+    assert cms_estimate(sketch, items, width=64).count() == 2

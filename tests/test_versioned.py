@@ -58,3 +58,18 @@ def test_failed_write_leaves_published_snapshot_intact(spark, tmp_path):
         pass
     assert current_version(root) == 1
     assert read_current(spark, root).count() == 4
+
+
+def test_prune_rejects_nonpositive_keep(spark, tmp_path):
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.sinks.versioned import (
+        prune_snapshots,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "vt")
+    write_snapshot(spark.range(3), root)
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="keep >= 1"):
+            prune_snapshots(root, keep=bad)
