@@ -411,6 +411,69 @@ def simhash_signatures(
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the Manku et
+    al. (WWW'07, Google web dedup) band trick, fully deterministic.
+
+    Pigeonhole: two signatures within ``max_hamming`` bit flips of each
+    other must agree EXACTLY on at least one of ``bands`` disjoint bit
+    slices whenever ``bands > max_hamming`` — so candidates come from a
+    self-join on the uniform (band_idx, band_value) key (one shuffle,
+    same scale shape as MinHash LSH), and only candidates pay the exact
+    ``bit_count(xor)`` verify. Never all-pairs.
+
+    With ``hash_fn="md5"`` the whole operator (signature, banding,
+    Hamming verify) is bit-identical in DuckDB SQL → hash-oracle-able.
+    Caveat: token-less documents all carry signature 0 and therefore
+    pair with each other at distance 0 (vacuously identical); filter
+    empties upstream if that's not wanted. Output
+    ``(id_a, id_b, hamming)``, id_a < id_b, hamming <= max_hamming.
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs bands > max_hamming (got {bands} <= {max_hamming})"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    sigs = simhash_signatures(df, text_col, id_col, bits, hash_fn)
+    band_vals = F.array(
+        *[
+            F.shiftright("simhash", width * b).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(band_vals).alias("_b", "_v")
+    ).localCheckpoint(eager=False)  # both join sides read it
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "_b", "_v"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "_b", "_v"
+    )
+    cand = (
+        a.join(b, on=["_b", "_v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()  # a pair may collide in several bands — count once
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("bigint")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def _gram_array(toks_col: str, n: int):
     """Distinct word-n-gram array from a bound token-array column (short
     docs collapse to one whole-text gram)."""

@@ -84,6 +84,7 @@ _PRIORITY = [
     "near_dup_quality_survivors",
     "bpe_trained_merges",
     "embedding_dup_clusters",
+    "simhash_neardup_docs",  # new this round
     # -- re-checks (oldest driver evidence first)
     "inc_merge_upsert",
     "asof_view_before_purchase",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "order_sequence_features",
     "daily_revenue_anomalies",
     "quantity_price_correlation",
-    "unpivot_priority_metrics",
+    # unpivot_priority_metrics rotated out (r2-green) for the new gate
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

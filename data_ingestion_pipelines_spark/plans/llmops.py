@@ -835,6 +835,46 @@ FROM toks t LEFT JOIN sig s ON t.doc_id = s.doc_id
 
 
 # --------------------------------------------------------------------------
+# SimHash Hamming near-dup pairs (Manku et al. band trick): candidates
+# from a self-join on disjoint signature slices (pigeonhole-complete
+# for hamming <= 1 with 2 bands of 16 bits), exact bit_count(xor)
+# verify on candidates only. md5 bit source so DuckDB recomputes
+# signatures, bands AND Hamming distances bit-identically. The gate
+# runs hamming <= 1: the oracle-able signature is 32-bit (md5 head) and
+# SATURATES on short synthetic docs (dist<=3 matched 12% of all pairs
+# at sf0.01); production uses the xxhash64 source at wider bits with
+# the operator's default hamming<=3 / 4-band setting.
+def simhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=1, bands=2, hash_fn="md5"
+    )
+
+
+_SIMHASH_SIG_CTES = SIMHASH_DOCS_SQL.split("SELECT t.doc_id")[0].rstrip()
+
+SIMHASH_NEARDUP_DOCS_SQL = (
+    _SIMHASH_SIG_CTES
+    + """, sig2 AS (
+  SELECT t.doc_id, COALESCE(s.simhash, 0) AS simhash
+  FROM toks t LEFT JOIN sig s ON t.doc_id = s.doc_id
+), banded AS (
+  SELECT doc_id, simhash, b.b, (simhash >> (16 * b.b)) & 65535 AS v
+  FROM sig2 CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS b) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         a.simhash AS sa, b2.simhash AS sb
+  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.v = b2.v
+                              AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Brute-force exact cosine top-k (ANN baseline)
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -2874,6 +2914,7 @@ QUERIES = {
     "udtf_chunk_text": (udtf_chunk_text, UDTF_CHUNK_TEXT_SQL),
     "minhash_pairs_docs": (minhash_pairs_docs, MINHASH_PAIRS_DOCS_SQL),
     "simhash_docs": (simhash_docs, SIMHASH_DOCS_SQL),
+    "simhash_neardup_docs": (simhash_neardup_docs, SIMHASH_NEARDUP_DOCS_SQL),
     "similarity_topk": (similarity_topk, SIMILARITY_TOPK_SQL),
     "quantized_embeddings": (quantized_embeddings, QUANTIZED_EMBEDDINGS_SQL),
     "quantized_similarity_topk": (

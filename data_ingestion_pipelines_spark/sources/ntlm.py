@@ -1,0 +1,329 @@
+"""NTLM (NTLMv2) authentication transport — the multi-roundtrip
+handshake the reference drives through ``curl -u user:pass --ntlm``
+(reference ``dataSource bp/ModuleFunctions.scala:565-618``,
+``buildCURL``). Implemented from the public MS-NLMP specification with
+stdlib only; no requests-ntlm dependency.
+
+Message flow (MS-NLMP §3.1-3.2, carried in HTTP ``Authorization`` /
+``WWW-Authenticate`` headers per RFC 4559 style):
+
+  1. client → ``Authorization: NTLM <b64(NEGOTIATE)>``   (type 1)
+  2. server → 401 ``WWW-Authenticate: NTLM <b64(CHALLENGE)>`` (type 2,
+     carries the 8-byte server challenge + target info)
+  3. client → ``Authorization: NTLM <b64(AUTHENTICATE)>`` (type 3,
+     carries the NTLMv2 proof: HMAC-MD5 keyed by NTOWFv2 over
+     server challenge ‖ client blob)
+
+Crypto chain (MS-NLMP §3.3.2):
+  NT hash  = MD4(UTF-16LE(password))                 (MD4 per RFC 1320 —
+             pure-python below; OpenSSL 3 ships it only as "legacy")
+  NTOWFv2  = HMAC-MD5(NT hash, UTF-16LE(UPPER(user) + domain))
+  proof    = HMAC-MD5(NTOWFv2, server_challenge + blob)
+  response = proof + blob
+
+IMPORTANT connection caveat: NTLM authenticates a TCP CONNECTION, not a
+request — the three messages must ride the same keep-alive connection.
+The engine's ``Transport`` abstraction is stateless per call, so
+``NtlmTransport`` requires an inner transport with connection affinity
+(a requests.Session-backed transport, a single-server test double, or
+any pooled client pinned to one connection). The stdlib
+``urllib_transport`` opens a fresh connection per call and is therefore
+NOT a valid inner transport against a real NTLM server; the class
+exists so deployments can supply a session transport and get the full
+handshake without touching pipeline code.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import os
+import struct
+import time
+from dataclasses import dataclass, field
+
+from .rest import Response, Transport
+
+# ---------------------------------------------------------------------------
+# MD4 (RFC 1320) — pure python. OpenSSL 3 moved md4 to the legacy
+# provider, so hashlib.new("md4") raises on most modern builds; NTLM is
+# the one place the engine still needs it (NT hash = MD4 of the
+# UTF-16LE password).
+
+
+def _lrot(x: int, n: int) -> int:
+    x &= 0xFFFFFFFF
+    return ((x << n) | (x >> (32 - n))) & 0xFFFFFFFF
+
+
+def md4(data: bytes) -> bytes:
+    try:  # native if the platform still ships it
+        return hashlib.new("md4", data).digest()
+    except Exception:
+        pass
+
+    a, b, c, d = 0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476
+    msg = data + b"\x80"
+    msg += b"\x00" * ((56 - len(msg) % 64) % 64)
+    msg += struct.pack("<Q", len(data) * 8)
+
+    for off in range(0, len(msg), 64):
+        x = struct.unpack("<16I", msg[off : off + 64])
+        aa, bb, cc, dd = a, b, c, d
+
+        def f(x_, y, z):
+            return (x_ & y) | (~x_ & z)
+
+        def g(x_, y, z):
+            return (x_ & y) | (x_ & z) | (y & z)
+
+        def h(x_, y, z):
+            return x_ ^ y ^ z
+
+        # round 1
+        for i, s in zip(range(16), (3, 7, 11, 19) * 4):
+            if i % 4 == 0:
+                a = _lrot(a + f(b, c, d) + x[i], s)
+            elif i % 4 == 1:
+                d = _lrot(d + f(a, b, c) + x[i], s)
+            elif i % 4 == 2:
+                c = _lrot(c + f(d, a, b) + x[i], s)
+            else:
+                b = _lrot(b + f(c, d, a) + x[i], s)
+        # round 2
+        order2 = (0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15)
+        for i, (k, s) in enumerate(zip(order2, (3, 5, 9, 13) * 4)):
+            if i % 4 == 0:
+                a = _lrot(a + g(b, c, d) + x[k] + 0x5A827999, s)
+            elif i % 4 == 1:
+                d = _lrot(d + g(a, b, c) + x[k] + 0x5A827999, s)
+            elif i % 4 == 2:
+                c = _lrot(c + g(d, a, b) + x[k] + 0x5A827999, s)
+            else:
+                b = _lrot(b + g(c, d, a) + x[k] + 0x5A827999, s)
+        # round 3
+        order3 = (0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
+        for i, (k, s) in enumerate(zip(order3, (3, 9, 11, 15) * 4)):
+            if i % 4 == 0:
+                a = _lrot(a + h(b, c, d) + x[k] + 0x6ED9EBA1, s)
+            elif i % 4 == 1:
+                d = _lrot(d + h(a, b, c) + x[k] + 0x6ED9EBA1, s)
+            elif i % 4 == 2:
+                c = _lrot(c + h(d, a, b) + x[k] + 0x6ED9EBA1, s)
+            else:
+                b = _lrot(b + h(c, d, a) + x[k] + 0x6ED9EBA1, s)
+
+        a = (a + aa) & 0xFFFFFFFF
+        b = (b + bb) & 0xFFFFFFFF
+        c = (c + cc) & 0xFFFFFFFF
+        d = (d + dd) & 0xFFFFFFFF
+
+    return struct.pack("<4I", a, b, c, d)
+
+
+# ---------------------------------------------------------------------------
+# NTLMv2 crypto (MS-NLMP §3.3.2)
+
+
+def nt_hash(password: str) -> bytes:
+    return md4(password.encode("utf-16-le"))
+
+
+def ntowf_v2(user: str, domain: str, password: str) -> bytes:
+    return hmac.new(
+        nt_hash(password), (user.upper() + domain).encode("utf-16-le"), "md5"
+    ).digest()
+
+
+def ntlmv2_blob(
+    timestamp_filetime: int, client_challenge: bytes, target_info: bytes
+) -> bytes:
+    """The client temp blob: version, 8-byte Windows FILETIME, 8-byte
+    client challenge, the server's target-info block echoed back."""
+    return (
+        b"\x01\x01\x00\x00"  # Resp/HiResp version
+        + b"\x00" * 4
+        + struct.pack("<Q", timestamp_filetime)
+        + client_challenge
+        + b"\x00" * 4
+        + target_info
+        + b"\x00" * 4
+    )
+
+
+def ntlmv2_response(
+    user: str,
+    domain: str,
+    password: str,
+    server_challenge: bytes,
+    client_challenge: bytes,
+    timestamp_filetime: int,
+    target_info: bytes,
+) -> bytes:
+    key = ntowf_v2(user, domain, password)
+    blob = ntlmv2_blob(timestamp_filetime, client_challenge, target_info)
+    proof = hmac.new(key, server_challenge + blob, "md5").digest()
+    return proof + blob
+
+
+# ---------------------------------------------------------------------------
+# Message packing/parsing
+
+_SIGNATURE = b"NTLMSSP\x00"
+# UNICODE | REQUEST_TARGET | NTLM | ALWAYS_SIGN | EXTENDED_SESSIONSECURITY
+#  | TARGET_INFO | VERSION-less
+_NEG_FLAGS = 0x00088207
+
+
+def _sec_buf(payload_off: int, data: bytes) -> tuple[bytes, int]:
+    """(len, maxlen, offset) security-buffer header; returns header bytes
+    and the next free payload offset."""
+    return struct.pack("<HHI", len(data), len(data), payload_off), payload_off + len(data)
+
+
+def negotiate_message(domain: str = "", workstation: str = "") -> bytes:
+    dom = domain.upper().encode("ascii", "ignore")
+    wks = workstation.upper().encode("ascii", "ignore")
+    off = 32 + 8  # fixed part (+8-byte version slot kept zeroed)
+    dom_hdr, off = _sec_buf(off, dom)
+    wks_hdr, off = _sec_buf(off, wks)
+    return (
+        _SIGNATURE
+        + struct.pack("<I", 1)
+        + struct.pack("<I", _NEG_FLAGS | (0x00001000 if dom else 0) | (0x00002000 if wks else 0))
+        + dom_hdr
+        + wks_hdr
+        + b"\x00" * 8
+        + dom
+        + wks
+    )
+
+
+@dataclass
+class Challenge:
+    server_challenge: bytes
+    target_info: bytes
+    flags: int
+
+
+def parse_challenge(msg: bytes) -> Challenge:
+    if msg[:8] != _SIGNATURE or struct.unpack("<I", msg[8:12])[0] != 2:
+        raise ValueError("not an NTLM CHALLENGE message")
+    flags = struct.unpack("<I", msg[20:24])[0]
+    server_challenge = msg[24:32]
+    ti = b""
+    if len(msg) >= 48:
+        ti_len, _, ti_off = struct.unpack("<HHI", msg[40:48])
+        ti = msg[ti_off : ti_off + ti_len]
+    return Challenge(server_challenge, ti, flags)
+
+
+def authenticate_message(
+    user: str,
+    domain: str,
+    password: str,
+    challenge: Challenge,
+    client_challenge: bytes,
+    timestamp_filetime: int,
+    workstation: str = "",
+) -> bytes:
+    nt_resp = ntlmv2_response(
+        user,
+        domain,
+        password,
+        challenge.server_challenge,
+        client_challenge,
+        timestamp_filetime,
+        challenge.target_info,
+    )
+    lm_resp = b"\x00" * 24  # v2 clients send Z(24) (MS-NLMP §3.3.2)
+    dom = domain.encode("utf-16-le")
+    usr = user.encode("utf-16-le")
+    wks = workstation.encode("utf-16-le")
+
+    off = 64 + 8  # fixed part + zeroed version slot
+    lm_hdr, off = _sec_buf(off, lm_resp)
+    nt_hdr, off = _sec_buf(off, nt_resp)
+    dom_hdr, off = _sec_buf(off, dom)
+    usr_hdr, off = _sec_buf(off, usr)
+    wks_hdr, off = _sec_buf(off, wks)
+    sk_hdr, off = _sec_buf(off, b"")  # no session key (no signing/sealing)
+    return (
+        _SIGNATURE
+        + struct.pack("<I", 3)
+        + lm_hdr
+        + nt_hdr
+        + dom_hdr
+        + usr_hdr
+        + wks_hdr
+        + sk_hdr
+        + struct.pack("<I", challenge.flags)
+        + b"\x00" * 8
+        + lm_resp
+        + nt_resp
+        + dom
+        + usr
+        + wks
+    )
+
+
+# ---------------------------------------------------------------------------
+# Transport wrapper
+
+
+def _unix_to_filetime(unix_sec: float) -> int:
+    return int((unix_sec + 11644473600) * 10_000_000)
+
+
+@dataclass
+class NtlmTransport:
+    """Wrap a connection-sticky ``Transport`` with the NTLM handshake.
+
+    Per call: send NEGOTIATE; on 401 + ``WWW-Authenticate: NTLM <b64>``
+    parse the CHALLENGE and resend with the AUTHENTICATE proof; any
+    other response passes through untouched (server didn't demand NTLM).
+    ``clock``/``rng`` are injectable for deterministic tests.
+    """
+
+    inner: Transport
+    user: str
+    password: str
+    domain: str = ""
+    workstation: str = ""
+    clock: object = time.time
+    rng: object = field(default=os.urandom)
+
+    def __call__(
+        self,
+        url: str,
+        method: str = "GET",
+        headers: dict[str, str] | None = None,
+        body: str | None = None,
+    ) -> Response:
+        headers = dict(headers or {})
+        h1 = dict(headers)
+        h1["Authorization"] = "NTLM " + base64.b64encode(
+            negotiate_message(self.domain, self.workstation)
+        ).decode()
+        resp = self.inner(url, method, h1, body)
+        www = next(
+            (v for k, v in (resp.headers or {}).items()
+             if k.lower() == "www-authenticate"),
+            "",
+        )
+        if resp.status != 401 or not www.upper().startswith("NTLM "):
+            return resp
+        challenge = parse_challenge(base64.b64decode(www[5:].strip()))
+        auth = authenticate_message(
+            self.user,
+            self.domain,
+            self.password,
+            challenge,
+            self.rng(8),
+            _unix_to_filetime(self.clock()),
+            self.workstation,
+        )
+        h3 = dict(headers)
+        h3["Authorization"] = "NTLM " + base64.b64encode(auth).decode()
+        return self.inner(url, method, h3, body)

@@ -102,8 +102,10 @@ def basic_auth_headers(username: str, password: str) -> dict[str, str]:
     """RFC 7617 Basic auth header (S9 — the reference shells out to
     ``curl -u user:pass --ntlm``, `dataSource bp/ModuleFunctions.scala:
     565-618`). Basic covers the credentialed-fetch path with stdlib only;
-    true NTLM is a multi-roundtrip handshake — supply a Transport that
-    performs it (e.g. wrapping requests-ntlm) where a server demands it."""
+    for servers that demand true NTLM, wrap a connection-sticky inner
+    transport in :class:`..sources.ntlm.NtlmTransport` — the full
+    MS-NLMP negotiate/challenge/authenticate handshake, stdlib-only,
+    spec-vector tested (tests/test_ntlm.py)."""
     import base64
 
     cred = base64.b64encode(f"{username}:{password}".encode()).decode()

@@ -108,6 +108,39 @@ def test_ngram_bucket_not_zipf_hot_on_same_prefix_corpus(spark):
     assert (0, 100) in got                # the true dup still collides
 
 
+def test_simhash_neardup_pairs_matches_brute_force(spark):
+    """Band candidates + exact verify must equal the literal all-pairs
+    Hamming filter (pigeonhole completeness for hamming <= max with
+    bands > max), and the parameter guards must hold."""
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    docs = _docs(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, max_hamming=3, bands=4).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert got[(1, 2)] == 0  # exact dup: identical signature
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(docs, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divisible"):
+        simhash_neardup_pairs(docs, bands=5)
+
+
 def test_token_count_and_quality(spark):
     df = with_token_count(_docs(spark))
     assert {r["doc_id"]: r["n_tokens"] for r in df.collect()}[1] == 14

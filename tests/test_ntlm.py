@@ -1,0 +1,140 @@
+"""NTLM transport: MS-NLMP §4.2 official test vectors (MD4 / NTOWFv2 /
+NTLMv2 proof) plus a full 401-challenge-authenticate handshake against
+an in-process fake server that RECOMPUTES the proof server-side."""
+
+import base64
+import hmac
+import struct
+
+from data_ingestion_pipelines_spark.sources.ntlm import (
+    Challenge,
+    NtlmTransport,
+    authenticate_message,
+    md4,
+    negotiate_message,
+    nt_hash,
+    ntlmv2_response,
+    ntowf_v2,
+    parse_challenge,
+)
+from data_ingestion_pipelines_spark.sources.rest import Response
+
+# MS-NLMP §4.2 common inputs
+USER, DOMAIN, PASSWORD = "User", "Domain", "Password"
+SERVER_CHALLENGE = bytes.fromhex("0123456789abcdef")
+CLIENT_CHALLENGE = bytes.fromhex("aaaaaaaaaaaaaaaa")
+# §4.2.1 target info: NetBIOS domain "Domain", NetBIOS server "Server"
+TARGET_INFO = (
+    bytes.fromhex("02000c00") + "Domain".encode("utf-16-le")
+    + bytes.fromhex("01000c00") + "Server".encode("utf-16-le")
+    + bytes.fromhex("00000000")
+)
+
+
+def test_md4_rfc1320_vectors():
+    assert md4(b"").hex() == "31d6cfe0d16ae931b73c59d7e0c089c0"
+    assert md4(b"abc").hex() == "a448017aaf21d8525fc10ae87aa6729d"
+    assert (
+        md4(b"abcdefghijklmnopqrstuvwxyz").hex()
+        == "d79e1c308aa5bbcdeea8ed63df412da9"
+    )
+
+
+def test_nt_hash_spec_vector():
+    # MS-NLMP §4.2.2.1.2 NTOWFv1("Password")
+    assert nt_hash(PASSWORD).hex() == "a4f49c406510bdcab6824ee7c30fd852"
+
+
+def test_ntowf_v2_spec_vector():
+    # MS-NLMP §4.2.4.1.1
+    assert (
+        ntowf_v2(USER, DOMAIN, PASSWORD).hex()
+        == "0c868a403bfd7a93a3001ef22ef02e3f"
+    )
+
+
+def test_ntlmv2_proof_spec_vector():
+    # MS-NLMP §4.2.4.2.2: the first 16 bytes (NTProofStr) with time=0
+    resp = ntlmv2_response(
+        USER, DOMAIN, PASSWORD, SERVER_CHALLENGE, CLIENT_CHALLENGE, 0, TARGET_INFO
+    )
+    assert resp[:16].hex() == "68cd0ab851e51c96aabc927bebef6a1c"
+
+
+def _challenge_message(flags: int = 0x00088207) -> bytes:
+    ti_off = 48
+    return (
+        b"NTLMSSP\x00"
+        + struct.pack("<I", 2)
+        + struct.pack("<HHI", 0, 0, ti_off)  # target name (empty)
+        + struct.pack("<I", flags)
+        + SERVER_CHALLENGE
+        + b"\x00" * 8
+        + struct.pack("<HHI", len(TARGET_INFO), len(TARGET_INFO), ti_off)
+        + TARGET_INFO
+    )
+
+
+def test_challenge_roundtrip():
+    ch = parse_challenge(_challenge_message())
+    assert ch.server_challenge == SERVER_CHALLENGE
+    assert ch.target_info == TARGET_INFO
+
+
+def _read_buf(msg: bytes, hdr_off: int) -> bytes:
+    ln, _, off = struct.unpack("<HHI", msg[hdr_off : hdr_off + 8])
+    return msg[off : off + ln]
+
+
+def test_full_handshake_against_recomputing_fake_server():
+    """The fake server issues the spec challenge and VERIFIES the type-3
+    proof by recomputing HMAC over the client's own blob with the known
+    password — exactly what a real NTLM server does, so a wrong blob
+    layout, flag, or key derivation fails here."""
+    calls = []
+
+    def fake_server(url, method, headers, body):
+        auth = headers.get("Authorization", "")
+        assert auth.startswith("NTLM ")
+        msg = base64.b64decode(auth[5:])
+        calls.append(msg)
+        msg_type = struct.unpack("<I", msg[8:12])[0]
+        if msg_type == 1:
+            assert msg[:8] == b"NTLMSSP\x00"
+            ch = base64.b64encode(_challenge_message()).decode()
+            return Response(401, "", {"WWW-Authenticate": f"NTLM {ch}"})
+        assert msg_type == 3
+        nt_resp = _read_buf(msg, 20)
+        user = _read_buf(msg, 36).decode("utf-16-le")
+        domain = _read_buf(msg, 28).decode("utf-16-le")
+        proof, blob = nt_resp[:16], nt_resp[16:]
+        key = ntowf_v2(user, domain, PASSWORD)
+        expect = hmac.new(key, SERVER_CHALLENGE + blob, "md5").digest()
+        if proof == expect:
+            return Response(200, "secret payload", {})
+        return Response(401, "bad proof", {})
+
+    t = NtlmTransport(
+        fake_server, USER, PASSWORD, domain=DOMAIN,
+        clock=lambda: 0.0, rng=lambda n: CLIENT_CHALLENGE[:n],
+    )
+    resp = t("http://example.test/x", "GET", {}, None)
+    assert resp.status == 200 and resp.body == "secret payload"
+    assert len(calls) == 2  # negotiate + authenticate, one connection
+
+
+def test_non_ntlm_server_passes_through():
+    def plain_server(url, method, headers, body):
+        return Response(200, "no auth needed", {})
+
+    t = NtlmTransport(plain_server, USER, PASSWORD, domain=DOMAIN)
+    assert t("http://example.test/x").body == "no auth needed"
+
+
+def test_authenticate_message_echoes_negotiated_flags():
+    ch = Challenge(SERVER_CHALLENGE, TARGET_INFO, 0x00088205)
+    msg = authenticate_message(USER, DOMAIN, PASSWORD, ch, CLIENT_CHALLENGE, 0)
+    assert struct.unpack("<I", msg[60:64])[0] == 0x00088205
+    # negotiate message carries domain flag only when a domain is given
+    neg = negotiate_message()
+    assert struct.unpack("<I", neg[12:16])[0] & 0x00001000 == 0
