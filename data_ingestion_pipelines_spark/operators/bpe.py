@@ -69,17 +69,30 @@ def _pair_weights(vocab: DataFrame) -> DataFrame:
 
 
 def train_bpe_merges(
-    words: DataFrame, n_merges: int, word_col: str = "word", count_col: str = "n"
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    count_col: str = "n",
+    rebase_every: int = 16,
 ) -> list[tuple[int, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, count) vocabulary.
 
     Returns ``[(rank, pair, weight), …]`` with ``pair`` in wrapped form
     (``<x><y>``). Deterministic: argmax ties break on pair ASC.
+
+    One Spark job per merge round (the 1-row argmax collect): the
+    round's ``replace`` is applied LAZILY on top of the persisted base
+    vocab — re-evaluating a k-deep replace chain over the bounded vocab
+    is far cheaper than materializing a new cached copy every round
+    (which doubles the job count). Every ``rebase_every`` rounds the
+    chain is persisted and the lineage rebased so expression depth and
+    replay cost stay bounded for large ``n_merges``.
     """
-    vocab = words_to_symbols(
+    pinned = words_to_symbols(
         words.select(F.col(word_col).alias("word"), F.col(count_col).alias("n"))
     ).persist()
-    vocab.count()  # materialize once; iterations must not re-run the corpus scan
+    pinned.count()  # materialize once; iterations must not re-run the corpus scan
+    vocab, depth = pinned, 0
     merges: list[tuple[int, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
@@ -94,14 +107,17 @@ def train_bpe_merges(
             pair, weight = top[0]["pair"], int(top[0]["weight"])
             merges.append((rank, pair, weight))
             merged = pair.replace("><", "")
-            nxt = vocab.withColumn(
+            vocab = vocab.withColumn(
                 "repr", F.replace(F.col("repr"), F.lit(pair), F.lit(merged))
-            ).persist()
-            nxt.count()
-            vocab.unpersist()
-            vocab = nxt
+            )
+            depth += 1
+            if depth >= rebase_every:
+                nxt = vocab.persist()
+                nxt.count()
+                pinned.unpersist()
+                pinned, vocab, depth = nxt, nxt, 0
     finally:
-        vocab.unpersist()
+        pinned.unpersist()
     return merges
 
 

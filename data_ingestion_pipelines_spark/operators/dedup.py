@@ -532,11 +532,18 @@ def ngram_jaccard_pairs(
     # O(k) per element; slicing the regexp EXPRESSION re-evaluates the
     # tokenizer per element under interpreted HOF eval
     toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
-    sh = _gram_array("_toks", n)
-    grams = toks_df.select(
+    # bind the gram ARRAY once: the bucket (array_min over md5s) and the
+    # explode both read it — inlining the gram expression would build the
+    # array twice per row
+    gram_df = toks_df.select(
         F.col(id_col),
-        _bucket_col(sh, "_toks", bucket_prefix_tokens).alias("_bucket"),
-        F.explode(sh).alias("_g"),
+        F.col("_toks"),
+        _gram_array("_toks", n).alias("_grams"),
+    ).localCheckpoint(eager=False)
+    grams = gram_df.select(
+        F.col(id_col),
+        _bucket_col(F.col("_grams"), "_toks", bucket_prefix_tokens).alias("_bucket"),
+        F.explode("_grams").alias("_g"),
     ).localCheckpoint(eager=False)  # consumed by both join sides + sizes
 
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
@@ -777,11 +784,15 @@ def _gram_rows(
     df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
-    sh = _gram_array("_toks", n)
-    return toks_df.select(
+    gram_df = toks_df.select(
         F.col(id_col),
-        _bucket_col(sh, "_toks", bucket_prefix_tokens).alias("_bucket"),
-        F.explode(sh).alias("_g"),
+        F.col("_toks"),
+        _gram_array("_toks", n).alias("_grams"),
+    ).localCheckpoint(eager=False)  # bucket + explode both read the array
+    return gram_df.select(
+        F.col(id_col),
+        _bucket_col(F.col("_grams"), "_toks", bucket_prefix_tokens).alias("_bucket"),
+        F.explode("_grams").alias("_g"),
     ).localCheckpoint(eager=False)  # join side + size aggregate both consume
 
 
