@@ -16,7 +16,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WORD_RE = "[a-z0-9]+"  # ASCII word pieces; explicit class so Spark (Java
@@ -239,4 +239,111 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "rank", "tfidf", "tf", "df")
+    )
+
+
+def gopher_repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher/Dolma repetition-filter suite that needs per-document
+    GROUP-BYs (the array-local ratio is :func:`with_repetition_ratio`):
+
+    - ``dup_line_frac``       — duplicate lines / lines
+    - ``dup_line_char_frac``  — characters sitting in duplicated lines /
+                                 characters in all lines
+    - ``top_bigram_char_frac`` — characters covered by the single most
+                                 frequent word bigram / characters in text
+
+    Lines are newline-split, trimmed, empties dropped; bigram counts are
+    over ALL occurrences (not distinct); the top bigram tie-breaks
+    lexicographically so re-runs are identical. Every ratio is a single
+    division of exact integer counts — deterministic cross-engine.
+
+    Scale shape: two shuffles on uniform (doc, line) / (doc, gram) keys
+    with map-side combine, then joins back on doc_id. The naive
+    array-local alternative for char-weighted line dedup is O(lines²)
+    per document — quadratic in exactly the spammy documents the filter
+    exists to catch.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                # arity-1 lambda REQUIRED: F.trim has an optional second
+                # parameter, so passing it bare makes transform call it
+                # as (element, index) — a silent no-op two-param TRIM
+                F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+                lambda x: x != "",
+            )
+        ).alias("_line"),
+    )
+    line_stats = (
+        lines.groupBy(id_col, "_line")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n_lines"),
+            F.count(F.lit(1)).alias("_n_distinct"),
+            F.sum(
+                F.when(F.col("_c") > 1, F.col("_c") * F.length("_line")).otherwise(0)
+            ).alias("_dup_chars"),
+            F.sum(F.col("_c") * F.length("_line")).alias("_line_chars"),
+        )
+    )
+
+    # bind tokens behind a barrier: slicing the regexp EXPRESSION inside
+    # the transform lambda re-runs the tokenizer per element under
+    # interpreted HOF eval (same trap as operators/dedup.py)
+    toks_df = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    idx = F.sequence(F.lit(1), F.greatest(F.size("_toks") - 1, F.lit(0)))
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_toks", i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks_df.select(F.col(id_col), F.explode(bigrams).alias("_g"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("_g"))
+    top_gram = (
+        grams.groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(id_col),
+            (F.col("_c") * F.length("_g")).alias("_top_chars"),
+        )
+    )
+
+    base = df.select(F.col(id_col), F.length(text_col).alias("_text_chars"))
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.join(line_stats, id_col, "left")
+        .join(top_gram, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n_lines"), zero).alias("n_lines"),
+            F.when(
+                F.coalesce(F.col("_n_lines"), zero) > 0,
+                (F.col("_n_lines") - F.col("_n_distinct")).cast("double")
+                / F.col("_n_lines").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_frac"),
+            F.when(
+                F.coalesce(F.col("_line_chars"), zero) > 0,
+                F.col("_dup_chars").cast("double")
+                / F.col("_line_chars").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_char_frac"),
+            F.when(
+                (F.col("_text_chars") > 0)
+                & F.col("_top_chars").isNotNull(),
+                F.col("_top_chars").cast("double")
+                / F.col("_text_chars").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_char_frac"),
+        )
     )

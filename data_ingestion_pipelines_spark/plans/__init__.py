@@ -85,6 +85,7 @@ _PRIORITY = [
     "bpe_trained_merges",
     "embedding_dup_clusters",
     "simhash_neardup_docs",  # new this round
+    "gopher_repetition_docs",  # new this round
     # -- re-checks (oldest driver evidence first)
     "inc_merge_upsert",
     "asof_view_before_purchase",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "gap_fill_locf",
     "order_sequence_features",
     "daily_revenue_anomalies",
-    "quantity_price_correlation",
+    # quantity_price_correlation rotated out (r2-green) for the new gate
     # unpivot_priority_metrics rotated out (r2-green) for the new gate
 ]
 

@@ -293,6 +293,70 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# Gopher/Dolma repetition-filter suite — the per-document group-by
+# signals (duplicate-line fraction by count and by character mass, top
+# word-bigram character coverage). Exact integer counts, single
+# divisions; DuckDB reproduces lines, bigram counts and the
+# lexicographic top-gram tie-break identically.
+def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import gopher_repetition_signals
+
+    return gopher_repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+GOPHER_REPETITION_DOCS_SQL = f"""
+WITH lines AS (
+  SELECT doc_id, l
+  FROM (SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)), x -> x <> '') AS ls
+        FROM documents),
+       LATERAL (SELECT unnest(ls) AS l)
+), line_stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(CASE WHEN c > 1 THEN c * LENGTH(l) ELSE 0 END) AS BIGINT) AS dup_chars,
+         CAST(SUM(c * LENGTH(l)) AS BIGINT) AS line_chars
+  FROM (SELECT doc_id, l, COUNT(*) AS c FROM lines GROUP BY doc_id, l)
+  GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), grams AS (
+  SELECT doc_id, g
+  FROM (SELECT doc_id,
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+1], ' '))
+               ELSE [] END AS gs
+        FROM toks),
+       LATERAL (SELECT unnest(gs) AS g)
+), top_gram AS (
+  SELECT doc_id, CAST(c * LENGTH(g) AS BIGINT) AS top_chars
+  FROM (SELECT doc_id, g, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g ASC) AS rk
+        FROM grams GROUP BY doc_id, g)
+  WHERE rk = 1
+)
+SELECT d.doc_id,
+       COALESCE(ls.n_lines, 0) AS n_lines,
+       CASE WHEN COALESCE(ls.n_lines, 0) > 0
+            THEN CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / CAST(ls.n_lines AS DOUBLE)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN COALESCE(ls.line_chars, 0) > 0
+            THEN CAST(ls.dup_chars AS DOUBLE) / CAST(ls.line_chars AS DOUBLE)
+            ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN LENGTH(d.text) > 0 AND tg.top_chars IS NOT NULL
+            THEN CAST(tg.top_chars AS DOUBLE) / CAST(LENGTH(d.text) AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_char_frac
+FROM documents d
+LEFT JOIN line_stats ls ON d.doc_id = ls.doc_id
+LEFT JOIN top_gram tg ON d.doc_id = tg.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Stratified fixed-size sampling: exactly 10 docs per source, membership
 # = smallest md5(doc_id) within the stratum. The prefilter (0.7 of hash
 # space) discards 30% before the per-stratum window — identical result
@@ -2869,6 +2933,7 @@ QUERIES = {
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
     "doc_repetition_ratio": (doc_repetition_ratio, DOC_REPETITION_RATIO_SQL),
+    "gopher_repetition_docs": (gopher_repetition_docs, GOPHER_REPETITION_DOCS_SQL),
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),

@@ -508,3 +508,37 @@ def test_remove_duplicate_spans_roundtrip(spark):
     assert out[1] == "keepone keeptwo"
     assert out[2] == "pre post"
     assert out[3] == "all unique tokens in this doc stay put"
+
+
+def test_gopher_repetition_signals(spark):
+    from data_ingestion_pipelines_spark.operators.text import (
+        gopher_repetition_signals,
+    )
+
+    rows = [
+        # 4 lines with one duplicated -> dup_line_frac 1/4; dup chars
+        # 2*9=18 of 9+9+5+5=28. Bigrams tokenize the WHOLE text (they
+        # cross line boundaries, the Gopher definition): tokens
+        # [spam,spam,spam,spam,alpha,gamma] -> "spam spam" count 3,
+        # covering 3*9=27 of the 31 text chars.
+        (1, "spam spam\nspam spam\nalpha\ngamma"),
+        (2, "one two three"),        # no dups anywhere
+        (3, ""),                      # empty doc -> all zeros
+        (4, "  \n \n"),               # whitespace-only lines dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition_signals(docs).collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac"] == (4 - 3) / 4
+    assert r1["dup_line_char_frac"] == 18 / 28
+    assert r1["top_bigram_char_frac"] == (3 * 9) / len(rows[0][1])
+
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0 and r2["dup_line_char_frac"] == 0.0
+    # every bigram unique -> top bigram covers len("one two")=7 chars once
+    assert r2["top_bigram_char_frac"] == 7 / len("one two three")
+
+    assert out[3]["n_lines"] == 0 and out[3]["top_bigram_char_frac"] == 0.0
+    assert out[4]["n_lines"] == 0 and out[4]["dup_line_frac"] == 0.0
