@@ -347,3 +347,115 @@ def gopher_repetition_signals(
             .alias("top_bigram_char_frac"),
         )
     )
+
+
+class AhoCorasick:
+    """Multi-pattern substring automaton (Aho-Corasick 1975): matches
+    ALL patterns in one O(len(text) + matches) pass, independent of
+    pattern count. Dict-based goto/fail/output tables; built once on
+    the driver in O(total pattern chars)."""
+
+    def __init__(self, patterns: list[str]):
+        from collections import deque
+
+        self.goto: list[dict[str, int]] = [{}]
+        self.fail: list[int] = [0]
+        self.out: list[frozenset[str]] = [frozenset()]
+        outs: list[set[str]] = [set()]
+        for p in patterns:
+            s = 0
+            for ch in p:
+                nxt = self.goto[s].get(ch)
+                if nxt is None:
+                    self.goto.append({})
+                    self.fail.append(0)
+                    outs.append(set())
+                    nxt = len(self.goto) - 1
+                    self.goto[s][ch] = nxt
+                s = nxt
+            outs[s].add(p)
+        q = deque()
+        for s in self.goto[0].values():
+            q.append(s)
+        while q:
+            r = q.popleft()
+            for ch, s in self.goto[r].items():
+                q.append(s)
+                f = self.fail[r]
+                while f and ch not in self.goto[f]:
+                    f = self.fail[f]
+                cand = self.goto[f].get(ch, 0)
+                self.fail[s] = cand if cand != s else 0
+                outs[s] |= outs[self.fail[s]]
+        self.out = [frozenset(o) for o in outs]
+
+    def scan(self, text: str) -> set[str]:
+        s, hits = 0, set()
+        goto, fail, out = self.goto, self.fail, self.out
+        for ch in text:
+            while s and ch not in goto[s]:
+                s = fail[s]
+            s = goto[s].get(ch, 0)
+            if out[s]:
+                hits |= out[s]
+        return hits
+
+
+def with_contamination_scan(
+    df: DataFrame,
+    needles: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "matched_needles",
+) -> DataFrame:
+    """The SCALE path :func:`with_contamination`'s docstring promises:
+    one Aho-Corasick pass per document in Arrow-batched ``mapInPandas``
+    — O(text + matches) regardless of needle count, where the
+    Column-literal form compiles a per-needle ``contains`` chain and
+    stops being viable past ~10k phrases. Output schema and match
+    semantics are identical (sorted distinct matched needles + count),
+    so the literal form IS this operator's oracle.
+
+    The automaton is built once per executor python worker (lazily,
+    from the needle list captured in the closure). For needle sets too
+    big for task-closure shipping (~GBs), move the list into
+    ``spark.sparkContext.broadcast`` and build from the broadcast value
+    — the scan loop is unchanged.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [
+            id_field,
+            StructField(out, ArrayType(StringType()), False),
+            StructField(f"{out}_n", LongType(), False),
+        ]
+    )
+    needle_list = sorted(needles)
+    state: dict[str, AhoCorasick] = {}
+
+    def scan_batches(batches):
+        ac = state.get("ac")
+        if ac is None:
+            ac = state["ac"] = AhoCorasick(needle_list)
+        for pdf in batches:
+            texts = pdf[text_col].fillna("")
+            matched = [sorted(ac.scan(t)) for t in texts]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out: matched,
+                    f"{out}_n": [len(m) for m in matched],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(scan_batches, schema=schema)

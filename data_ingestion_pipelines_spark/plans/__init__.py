@@ -86,6 +86,7 @@ _PRIORITY = [
     "embedding_dup_clusters",
     "simhash_neardup_docs",  # new this round
     "gopher_repetition_docs",  # new this round
+    "contaminated_docs_scan",  # new this round
     # -- re-checks (oldest driver evidence first)
     "inc_merge_upsert",
     "asof_view_before_purchase",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "repeat_customers_both_years",
     "gap_fill_locf",
     "order_sequence_features",
-    "daily_revenue_anomalies",
+    # daily_revenue_anomalies rotated out (r2-green) for the new gate
     # quantity_price_correlation rotated out (r2-green) for the new gate
     # unpivot_priority_metrics rotated out (r2-green) for the new gate
 ]

@@ -1502,6 +1502,22 @@ FROM m WHERE len(mm) > 0
 """
 
 
+# The Aho-Corasick twin: identical output through the one-pass
+# multi-pattern automaton (operators/text.py with_contamination_scan) —
+# the needle-count-independent scale path. Same oracle SQL: exact
+# substring semantics must agree with the Column-literal form.
+def contaminated_docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_contamination_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = with_contamination_scan(docs, _NEEDLES)
+    return flagged.filter(F.col("matched_needles_n") > 0).select(
+        "doc_id",
+        F.array_join("matched_needles", ",").alias("matched_csv"),
+        F.col("matched_needles_n").alias("n_matches"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Vocabulary head per source: explode tokens → count → top-5 via
 # row_number with a deterministic (count DESC, token ASC) tie-break.
@@ -2924,6 +2940,7 @@ QUERIES = {
     "doc_quality_signals": (doc_quality_signals, DOC_QUALITY_SIGNALS_SQL),
     "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PERCENTILES_SQL),
     "contaminated_docs": (contaminated_docs, CONTAMINATED_DOCS_SQL),
+    "contaminated_docs_scan": (contaminated_docs_scan, CONTAMINATED_DOCS_SQL),
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_PART_MATCHES_SQL),
     "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
     "token_postings": (token_postings, TOKEN_POSTINGS_SQL),

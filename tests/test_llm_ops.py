@@ -542,3 +542,46 @@ def test_gopher_repetition_signals(spark):
 
     assert out[3]["n_lines"] == 0 and out[3]["top_bigram_char_frac"] == 0.0
     assert out[4]["n_lines"] == 0 and out[4]["dup_line_frac"] == 0.0
+
+
+def test_aho_corasick_matches_literal_contains(spark):
+    """The AC automaton must agree with the Column-literal contains()
+    form on every doc — including nested needles (one a substring of
+    another), overlapping occurrences, and needles spanning fail-link
+    transitions (the classic AC bug surface)."""
+    from data_ingestion_pipelines_spark.operators.text import (
+        AhoCorasick,
+        with_contamination,
+        with_contamination_scan,
+    )
+
+    needles = ["aba", "ba", "ab", "abab", "she", "he", "hers", "his"]
+    rows = [
+        (1, "ababab"),          # overlapping aba/ab/ba/abab
+        (2, "ushers"),          # she, he, hers via fail links
+        (3, "x" * 50),          # no match
+        (4, "his here ab"),     # his, he, ab
+        (5, ""),                # empty text
+        (6, None),              # NULL text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lit = {
+        r["doc_id"]: (list(r["matched_needles"]), r["matched_needles_n"])
+        for r in with_contamination(docs.na.fill({"text": ""}), needles).collect()
+    }
+    ac = {
+        r["doc_id"]: (list(r["matched_needles"]), r["matched_needles_n"])
+        for r in with_contamination_scan(docs, needles).collect()
+    }
+    assert ac == lit
+    assert ac[1][0] == ["ab", "aba", "abab", "ba"]
+    assert ac[2][0] == ["he", "hers", "she"]
+
+    # automaton-level exhaustive parity on random strings over {a,b,h,e}
+    import random
+
+    rng = random.Random(7)
+    auto = AhoCorasick(needles)
+    for _ in range(200):
+        s = "".join(rng.choice("abhers ") for _ in range(rng.randint(0, 30)))
+        assert auto.scan(s) == {n for n in needles if n in s}, s
