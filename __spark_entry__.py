@@ -33,9 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    Only the LSH/IVF top-k and PageRank entries ship without an oracle
-    (randomized-structure recall has no SQL twin; their floors are
-    pytest-enforced) → the driver records rows-only checks there.
-    MinHash and SimHash verify via verdict-row / md5-bit-source oracles.
+    Only PageRank ships without an oracle (float-ulp-sensitive iterative
+    structure; its numpy parity is pytest-enforced) → the driver records
+    a rows-only check there. Everything else — including MinHash,
+    SimHash, t-digest, HLL and the LSH/IVF ANN top-k — verifies via
+    exact SQL or verdict-row oracles.
     """
     return plans.oracle_sql()
