@@ -104,3 +104,81 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+def sessionize_stream_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """The Spark-4-native twin of :func:`sessionize_stream`: the same
+    gap sessionization as a ``StatefulProcessor`` driven through
+    ``transformWithStateInPandas`` — Spark's successor API to
+    ``applyInPandasWithState`` (typed state handles, timers, TTL).
+    Emits CLOSED sessions with the identical schema/semantics, so the
+    two APIs are parity-testable against each other on the same input
+    (tests/test_stateful_streaming.py). No timers are registered
+    (timeMode "None"): open sessions stay in the store, matching
+    ``sessionize_stream(use_timeout=False)`` on bounded replays.
+
+    ENVIRONMENT NOTE: transformWithStateInPandas drives its state
+    server over protobuf, which this container does not ship and cannot
+    fetch (``pip download protobuf`` → no-network index failure,
+    probed 2026-08-14 — same blocker class as delta-spark, see
+    COVERAGE.md §Delta); the worker crashes with
+    ``ImportError: google.protobuf``. The parity test skips unless
+    protobuf imports, so it activates the moment the dependency lands;
+    ``sessionize_stream`` (applyInPandasWithState, no protobuf) is the
+    proven production path meanwhile.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap = gap_seconds
+
+    class _GapSessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._session = handle.getValueState("session", SESSION_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            closed: list[tuple] = []
+            pdfs = [pdf for pdf in rows]
+            batch = pd.concat(pdfs).sort_values(["ts", "event_id"])
+
+            if self._session.exists():
+                s_start, s_last, n, tot = self._session.get()
+            else:
+                s_start = s_last = None
+                n, tot = 0, 0.0
+
+            for ts, val in zip(batch["ts"], batch["value"]):
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                if s_last is not None and (ts - s_last).total_seconds() > gap:
+                    closed.append((user_id, s_start, s_last, n, tot, "gap"))
+                    s_start, n, tot = ts, 0, 0.0
+                if s_start is None:
+                    s_start = ts
+                s_last = ts
+                n += 1
+                tot += float(val)
+
+            self._session.update((s_start, s_last, n, tot))
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "total_value", "closed_by"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _GapSessionProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
