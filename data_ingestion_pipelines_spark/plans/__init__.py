@@ -87,6 +87,8 @@ _PRIORITY = [
     "simhash_neardup_docs",  # new this round
     "gopher_repetition_docs",  # new this round
     "contaminated_docs_scan",  # new this round
+    "top_revenue_suppliers",  # new this round
+    "rich_idle_customers",  # new this round
     # -- re-checks (oldest driver evidence first)
     "inc_merge_upsert",
     "asof_view_before_purchase",
@@ -103,8 +105,7 @@ _PRIORITY = [
     "event_hourly_windows",
     "brand_price_robust_outliers",
     "repeat_customers_both_years",
-    "gap_fill_locf",
-    "order_sequence_features",
+    # gap_fill_locf / order_sequence_features rotated out (r2-green)
     # daily_revenue_anomalies rotated out (r2-green) for the new gate
     # quantity_price_correlation rotated out (r2-green) for the new gate
     # unpivot_priority_metrics rotated out (r2-green) for the new gate

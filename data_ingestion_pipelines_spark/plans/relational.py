@@ -3775,8 +3775,107 @@ FROM d GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Q15 shape: top supplier(s) by quarterly revenue — the decorrelated
+# scalar-subquery-max pattern. Per-supplier DECIMAL revenue (exact at
+# any grouping), the global max as a broadcast 1-row frame, ties kept by
+# EXACT decimal equality (a double round-trip could split a true tie);
+# one shuffle on l_suppkey, the max is a 1-row combine. At 100 TB the
+# quarter predicate prunes at the scan before anything shuffles.
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(38,8)"
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum(rev).alias("_rev"))
+    mx = per_supp.agg(F.max("_rev").alias("_mx"))
+    top = per_supp.crossJoin(F.broadcast(mx)).filter(F.col("_rev") == F.col("_mx"))
+    return (
+        sup.join(F.broadcast(top), sup.s_suppkey == top.l_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+TOP_REVENUE_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(p.rev AS DOUBLE) AS total_revenue
+FROM supplier s JOIN per_supp p ON s.s_suppkey = p.l_suppkey
+WHERE p.rev = (SELECT MAX(rev) FROM per_supp)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22 shape: above-average-balance customers with no orders IN 1995
+# (the synthetic data has near-total customer-order coverage overall, so
+# the window keeps the predicate non-vacuous), rolled up per nation.
+# The global average arrives as a broadcast 1-row (sum, n) frame and the
+# threshold compares MULTIPLICATIVELY (bal × n > sum) so no division
+# ever leaves the exact decimal domain — an avg-then-compare on doubles
+# could flip customers sitting on the boundary. The no-orders probe is
+# a left-anti join on the uniform customer key; the date predicate
+# pushes to the orders scan.
+def rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    bal = F.col("c_acctbal").cast("decimal(38,8)")
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal).alias("_s"), F.count(F.lit(1)).alias("_n")
+    )
+    o95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    idle = cust.join(
+        o95.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    rich = idle.crossJoin(F.broadcast(stats)).filter(bal * F.col("_n") > F.col("_s"))
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.sum(bal).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+RICH_IDLE_CUSTOMERS_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(38,8))) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+), idle AS (
+  SELECT c.* FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
+)
+SELECT nn.n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(i.c_acctbal AS DECIMAL(38,8))) AS DOUBLE) AS total_acctbal
+FROM idle i JOIN nation nn ON i.c_nationkey = nn.n_nationkey, stats
+WHERE CAST(i.c_acctbal AS DECIMAL(38,8)) * stats.n > stats.s
+GROUP BY nn.n_name
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "top_revenue_suppliers": (top_revenue_suppliers, TOP_REVENUE_SUPPLIERS_SQL),
+    "rich_idle_customers": (rich_idle_customers, RICH_IDLE_CUSTOMERS_SQL),
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
     "weekly_user_sketch_rollup": (weekly_user_sketch_rollup, WEEKLY_USER_SKETCH_ROLLUP_SQL),
