@@ -840,3 +840,51 @@ def incremental_neardup_dedup(
         .distinct()
     )
     return batch.join(dup_ids, on=id_col, how="left_anti")
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer-Wilkerson-Aiken, the
+    MOSS algorithm): hash every k-gram, then keep the MINIMUM hash of
+    each sliding window of ``window`` consecutive gram hashes. The
+    selected minima are position-independent local features — two
+    documents sharing any sufficiently long passage share fingerprints
+    no matter where the passage moved — with guaranteed density ~2/(w+1)
+    (at least one fingerprint per window, unlike "mod p == 0" sampling
+    which can starve adversarial inputs).
+
+    Hashes are the md5-head-as-int primitive (the engine's sanctioned
+    cross-engine hash), so the whole operator is SQL-oracle-able.
+    Column-only: no shuffle, no UDF — O(window × grams) array work per
+    document. Output: one row per (doc, distinct fingerprint),
+    ``(id, fp BIGINT)`` — join-ready for overlap detection the same way
+    the gram/LSH operators consume their keys.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1 (got k={k}, window={window})")
+    df = _spread(df)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k)))
+    sh = F.when(F.size("_toks") >= k, sh).otherwise(
+        F.array(F.concat_ws(" ", "_toks"))
+    )
+    hashed = toks_df.select(
+        F.col(id_col),
+        F.transform(
+            sh, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        ).alias("_h"),
+    ).localCheckpoint(eager=False)  # window minima slice the bound array
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_h") - window + 1, F.lit(1))
+    )
+    minima = F.transform(starts, lambda i: F.array_min(F.slice("_h", i, window)))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
+    )

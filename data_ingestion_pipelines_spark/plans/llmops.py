@@ -1502,6 +1502,43 @@ FROM m WHERE len(mm) > 0
 """
 
 
+# Winnowing fingerprints (Schleimer et al. / MOSS): k-gram hashes →
+# sliding-window minima → distinct local fingerprints per doc. Pure
+# Column algebra on the md5-head hash, so DuckDB recomputes every
+# fingerprint bit-identically.
+def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"), k=5, window=4)
+
+
+WINNOWING_FINGERPRINTS_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5 THEN
+           list_transform(generate_series(1, len(t) - 4),
+                          i -> array_to_string(t[i:i+4], ' '))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), hashes AS (
+  SELECT doc_id,
+         list_transform(g, x ->
+           CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT AS BIGINT)) AS h
+  FROM grams
+), minima AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(h) - 3, 1)),
+           i -> list_min(h[i:i+3]))) AS fps
+  FROM hashes
+)
+SELECT doc_id, CAST(u.fp AS BIGINT) AS fp
+FROM minima, LATERAL (SELECT unnest(fps) AS fp) u
+"""
+
+
 # The Aho-Corasick twin: identical output through the one-pass
 # multi-pattern automaton (operators/text.py with_contamination_scan) —
 # the needle-count-independent scale path. Same oracle SQL: exact
@@ -2941,6 +2978,10 @@ QUERIES = {
     "doc_length_percentiles": (doc_length_percentiles, DOC_LENGTH_PERCENTILES_SQL),
     "contaminated_docs": (contaminated_docs, CONTAMINATED_DOCS_SQL),
     "contaminated_docs_scan": (contaminated_docs_scan, CONTAMINATED_DOCS_SQL),
+    "winnowing_fingerprints_docs": (
+        winnowing_fingerprints_docs,
+        WINNOWING_FINGERPRINTS_DOCS_SQL,
+    ),
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_PART_MATCHES_SQL),
     "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
     "token_postings": (token_postings, TOKEN_POSTINGS_SQL),

@@ -585,3 +585,36 @@ def test_aho_corasick_matches_literal_contains(spark):
     for _ in range(200):
         s = "".join(rng.choice("abhers ") for _ in range(rng.randint(0, 30)))
         assert auto.scan(s) == {n for n in needles if n in s}, s
+
+
+def test_winnowing_fingerprints_properties(spark):
+    """Winnowing guarantees: (1) at least one fingerprint per window of
+    w consecutive gram hashes — density never collapses; (2) position
+    independence — a shared passage yields shared fingerprints wherever
+    it sits in the doc; (3) short docs degrade to one whole-text gram."""
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    passage = " ".join(f"core{i}" for i in range(30))
+    rows = [
+        (1, passage + " tail one two three"),
+        (2, "intro words here first and then " + passage),  # moved passage
+        (3, "tiny doc"),                                    # < k tokens
+        (4, " ".join(f"u{i}" for i in range(100))),         # all-unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fps = {}
+    for r in winnowing_fingerprints(docs, k=5, window=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    shared = fps[1] & fps[2]
+    assert len(shared) >= 5  # the moved passage still collides
+    assert len(fps[3]) == 1  # single whole-text gram
+    # density: doc4 has 96 grams -> 93 windows; distinct minima must be
+    # at least windows/(window param) (every window contributes its min)
+    assert len(fps[4]) >= 93 // 4
+    with _pytest.raises(ValueError, match=">= 1"):
+        winnowing_fingerprints(docs, k=0)
