@@ -143,3 +143,20 @@ def test_cluster_representatives_never_broadcasts_losers(spark):
     assert "BroadcastHashJoin" not in plan, plan[:2000]
     assert "ShuffledHashJoin" in plan, plan[:2000]
     assert {r["doc_id"] for r in kept.collect()} == {1, 10, 99}
+
+
+def test_q15_top_supplier_pushes_quarter_and_broadcasts_top(spark):
+    """The quarter predicate must reach the lineitem scan (row-group
+    pruning at 100 TB) and the tiny tied-top frame must broadcast into
+    the supplier join — never a shuffle of supplier."""
+    df = R.top_revenue_suppliers(spark, SF)
+    plan = _plan(df)
+    # the lineitem scan (any of the several scans) carries the pushed
+    # quarter predicate
+    assert any(
+        "l_shipdate" in seg[:300] for seg in plan.split("PushedFilters:")[1:]
+    ), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert len(rows) >= 1 and all(r["total_revenue"] > 0 for r in rows)
