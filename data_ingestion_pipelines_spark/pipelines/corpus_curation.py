@@ -37,6 +37,13 @@ class CurationConfig:
     # Gopher repetition signal: drop docs whose duplicate-3-gram fraction
     # exceeds this (None disables)
     max_repetition_ratio: float | None = None
+    # Gopher GROUP-BY repetition signals (operators/text.py
+    # gopher_repetition_signals): duplicate-line fraction and top-bigram
+    # character coverage ceilings (None disables each). Unlike the
+    # row-local signals these cost one join per curation run (the
+    # signals aggregate per doc), so they're opt-in.
+    max_dup_line_frac: float | None = None
+    max_top_bigram_char_frac: float | None = None
     # replace emails/IPs/phones with placeholder tokens before anything
     # else (redaction changes token counts, so it runs first)
     pii_redact: bool = False
@@ -95,6 +102,21 @@ def curate_corpus(
 
         out = with_repetition_ratio(out, text_col)
         out = out.filter(F.col("rep_ratio") <= config.max_repetition_ratio)
+    if (
+        config.max_dup_line_frac is not None
+        or config.max_top_bigram_char_frac is not None
+    ):
+        from ..operators.text import gopher_repetition_signals
+
+        sig = gopher_repetition_signals(out, text_col, id_col)
+        keep = F.lit(True)
+        if config.max_dup_line_frac is not None:
+            keep = keep & (F.col("dup_line_frac") <= config.max_dup_line_frac)
+        if config.max_top_bigram_char_frac is not None:
+            keep = keep & (
+                F.col("top_bigram_char_frac") <= config.max_top_bigram_char_frac
+            )
+        out = out.join(sig.filter(keep).select(id_col), id_col, "left_semi")
     if config.allowed_languages:
         out = with_language_id(out, text_col)
         out = out.filter(F.col("lang_pred").isin(sorted(config.allowed_languages)))

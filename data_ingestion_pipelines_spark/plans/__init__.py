@@ -90,6 +90,7 @@ _PRIORITY = [
     "top_revenue_suppliers",  # new this round
     "rich_idle_customers",  # new this round
     "winnowing_fingerprints_docs",  # new this round
+    "corpus_curation_gopher",  # new this round
     # -- re-checks (oldest driver evidence first)
     "inc_merge_upsert",
     "asof_view_before_purchase",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "classify_exclusions",
     "nested_drop",
     "event_hourly_windows",
-    "brand_price_robust_outliers",
+    # brand_price_robust_outliers rotated out (r2-green)
     # repeat_customers_both_years rotated out (r2-green)
     # gap_fill_locf / order_sequence_features rotated out (r2-green)
     # daily_revenue_anomalies rotated out (r2-green) for the new gate

@@ -245,6 +245,79 @@ SELECT doc_id, n_tokens FROM (
 
 
 # --------------------------------------------------------------------------
+# Curation with the GROUP-BY Gopher stage: token bounds → top-bigram
+# character-coverage ceiling (the boilerplate/spam cut; dup-line frac
+# is also configured but vacuous on newline-free synthetic docs) →
+# exact dedup. Exercises the one-join signal stage end-to-end inside
+# the pipeline, not just the standalone signal gate.
+def corpus_curation_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..pipelines.corpus_curation import CurationConfig, curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = CurationConfig(
+        min_tokens=30, max_tokens=100_000, max_punct_ratio=1.0,
+        allowed_languages=set(), exact_dedup=True, near_dup_threshold=None,
+        max_dup_line_frac=0.5, max_top_bigram_char_frac=0.1,
+    )
+    return curate_corpus(docs, cfg).select("doc_id", "n_tokens")
+
+
+CORPUS_CURATION_GOPHER_SQL = f"""
+WITH filtered AS (
+  SELECT doc_id, text, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE len({_TOKS}) BETWEEN 30 AND 100000
+), lines AS (
+  SELECT doc_id, l
+  FROM (SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)), x -> x <> '') AS ls
+        FROM filtered),
+       LATERAL (SELECT unnest(ls) AS l)
+), line_stats AS (
+  SELECT doc_id, SUM(c) AS n_lines, COUNT(*) AS n_distinct
+  FROM (SELECT doc_id, l, COUNT(*) AS c FROM lines GROUP BY doc_id, l)
+  GROUP BY doc_id
+), grams AS (
+  SELECT doc_id, g
+  FROM (SELECT doc_id,
+               CASE WHEN len({_TOKS}) >= 2 THEN
+                 list_transform(generate_series(1, len({_TOKS}) - 1),
+                                i -> array_to_string(({_TOKS})[i:i+1], ' '))
+               ELSE [] END AS gs
+        FROM filtered),
+       LATERAL (SELECT unnest(gs) AS g)
+), top_gram AS (
+  SELECT doc_id, c * LENGTH(g) AS top_chars
+  FROM (SELECT doc_id, g, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY COUNT(*) DESC, g ASC) AS rk
+        FROM grams GROUP BY doc_id, g)
+  WHERE rk = 1
+), kept AS (
+  SELECT f.doc_id, f.text, f.n_tokens
+  FROM filtered f
+  LEFT JOIN line_stats ls ON f.doc_id = ls.doc_id
+  LEFT JOIN top_gram tg ON f.doc_id = tg.doc_id
+  WHERE (CASE WHEN COALESCE(ls.n_lines, 0) > 0
+              THEN CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / ls.n_lines
+              ELSE 0.0 END) <= 0.5
+    AND (CASE WHEN LENGTH(f.text) > 0 AND tg.top_chars IS NOT NULL
+              THEN CAST(tg.top_chars AS DOUBLE) / LENGTH(f.text)
+              ELSE 0.0 END) <= 0.1
+)
+SELECT doc_id, n_tokens FROM (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (
+           PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           ORDER BY doc_id
+         ) AS rn
+  FROM kept
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # PII scrub: email/phone/IPv4 → placeholder tokens (codegen regex chain)
 def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import with_pii_redacted
@@ -2969,6 +3042,7 @@ QUERIES = {
     "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
+    "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),
     # streaming twin, verified against the SAME oracle string
     "streaming_corpus_ingest": (streaming_corpus_ingest, CORPUS_CURATION_SQL),
     "pretraining_manifest": (pretraining_manifest, PRETRAINING_MANIFEST_SQL),

@@ -220,3 +220,33 @@ def test_prepare_pretraining_data_end_to_end(spark):
             1 + (i % 3) for i in range(20)
         )
         assert r["epochs"] >= 1
+
+
+def test_curation_gopher_stage_drops_boilerplate(spark):
+    from data_ingestion_pipelines_spark.pipelines.corpus_curation import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    spam = ("click here " * 30).strip() + " " + " ".join(f"x{i}" for i in range(10))
+    rows = [
+        (1, filler),                       # clean
+        (2, spam),                         # top bigram "click here" dominates
+        (3, "line\nline\nline\nline\n" + filler),  # duplicated lines
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cfg = CurationConfig(
+        min_tokens=1, max_tokens=10_000, max_punct_ratio=1.0,
+        allowed_languages=set(), exact_dedup=False, near_dup_threshold=None,
+        max_dup_line_frac=0.5, max_top_bigram_char_frac=0.3,
+    )
+    kept = {r["doc_id"] for r in curate_corpus(docs, cfg).collect()}
+    assert kept == {1}  # spam cut by bigram coverage, 3 by dup lines
+
+    # thresholds disabled -> stage is skipped entirely (no join planned)
+    cfg_off = CurationConfig(
+        min_tokens=1, max_tokens=10_000, max_punct_ratio=1.0,
+        allowed_languages=set(), exact_dedup=False, near_dup_threshold=None,
+    )
+    assert {r["doc_id"] for r in curate_corpus(docs, cfg_off).collect()} == {1, 2, 3}
