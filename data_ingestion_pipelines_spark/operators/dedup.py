@@ -888,3 +888,34 @@ def winnowing_fingerprints(
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp")
     )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Passage-overlap candidate pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints — the MOSS match step. Because
+    fingerprints are position-independent local minima, a copied
+    passage surfaces even when the rest of the documents differ
+    completely (where whole-document MinHash dilutes below threshold).
+
+    One self-join on the uniform fingerprint key (md5-derived — no hot
+    keys beyond genuinely shared passages), count per pair, threshold.
+    Output ``(id_a, id_b, n_shared)``, id_a < id_b.
+    """
+    fps = winnowing_fingerprints(df, text_col, id_col, k, window)
+    fps = fps.localCheckpoint(eager=False)  # both join sides
+    a = fps.withColumnRenamed(id_col, "id_a")
+    b = fps.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

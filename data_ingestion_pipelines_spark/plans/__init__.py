@@ -91,6 +91,7 @@ _PRIORITY = [
     "rich_idle_customers",  # new this round
     "winnowing_fingerprints_docs",  # new this round
     "corpus_curation_gopher",  # new this round
+    "winnowing_overlap_docs",  # new this round
     # -- re-checks (oldest driver evidence first)
     "inc_merge_upsert",
     "asof_view_before_purchase",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "date_arith",
     "classify_exclusions",
     "nested_drop",
-    "event_hourly_windows",
+    # event_hourly_windows rotated out (r1-green; streaming twin pytest-netted)
     # brand_price_robust_outliers rotated out (r2-green)
     # repeat_customers_both_years rotated out (r2-green)
     # gap_fill_locf / order_sequence_features rotated out (r2-green)

@@ -1612,6 +1612,31 @@ FROM minima, LATERAL (SELECT unnest(fps) AS fp) u
 """
 
 
+# MOSS match step: pairs sharing >= m fingerprints (passage overlap
+# survives where whole-doc MinHash dilutes). Same CTE chain + self-join.
+def winnowing_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnowing_overlap_pairs
+
+    return winnowing_overlap_pairs(
+        _t(spark, sf_dir, "documents"), k=5, window=4, min_shared=2
+    )
+
+
+# reuse the fingerprint CTE chain verbatim, append the pair join
+WINNOWING_OVERLAP_DOCS_SQL = WINNOWING_FINGERPRINTS_DOCS_SQL.replace(
+    """SELECT doc_id, CAST(u.fp AS BIGINT) AS fp
+FROM minima, LATERAL (SELECT unnest(fps) AS fp) u""",
+    """, fps AS (
+  SELECT doc_id, CAST(u.fp AS BIGINT) AS fp
+  FROM minima, LATERAL (SELECT unnest(fps) AS fp) u
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2""",
+)
+
+
 # The Aho-Corasick twin: identical output through the one-pass
 # multi-pattern automaton (operators/text.py with_contamination_scan) —
 # the needle-count-independent scale path. Same oracle SQL: exact
@@ -3056,6 +3081,7 @@ QUERIES = {
         winnowing_fingerprints_docs,
         WINNOWING_FINGERPRINTS_DOCS_SQL,
     ),
+    "winnowing_overlap_docs": (winnowing_overlap_docs, WINNOWING_OVERLAP_DOCS_SQL),
     "fuzzy_part_matches": (fuzzy_part_matches, FUZZY_PART_MATCHES_SQL),
     "top_tokens_by_source": (top_tokens_by_source, TOP_TOKENS_BY_SOURCE_SQL),
     "token_postings": (token_postings, TOKEN_POSTINGS_SQL),

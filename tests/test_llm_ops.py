@@ -618,3 +618,25 @@ def test_winnowing_fingerprints_properties(spark):
     assert len(fps[4]) >= 93 // 4
     with _pytest.raises(ValueError, match=">= 1"):
         winnowing_fingerprints(docs, k=0)
+
+
+def test_winnowing_overlap_pairs_finds_moved_passage(spark):
+    """A long passage copied between otherwise-unrelated docs must pair;
+    docs with no shared passage must not."""
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    passage = " ".join(f"core{i}" for i in range(30))
+    rows = [
+        (1, passage + " " + " ".join(f"a{i}" for i in range(20))),
+        (2, " ".join(f"b{i}" for i in range(20)) + " " + passage),
+        (3, " ".join(f"c{i}" for i in range(50))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 5
+    assert not any(3 in p for p in pairs)
