@@ -68,6 +68,10 @@ HEADLINE = [
     # the LSH index PLUS its exact brute-force twin), so its bench time
     # is not comparable to r4 and earlier.
     "bpe_tokenized_docs",
+    # round-5 additions: passage-level fingerprint dedup and the
+    # group-by Gopher repetition suite
+    "winnowing_overlap_docs",
+    "gopher_repetition_docs",
 ]
 
 
