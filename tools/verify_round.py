@@ -1,0 +1,68 @@
+"""One-command round verification: every axis the round ritual requires.
+
+    python tools/verify_round.py [--fast]
+
+Axes (each is the documented command from .claude/skills/verify):
+  1. full registry sweep, sf0.001 (fast correctness net)
+  2. full registry sweep, sf0.01 (the driver's gate scale)
+  3. 50-gate driver window, sf0.01, 1g driver heap (frugal-driver axis)
+  4. full registry sweep, sf0.1, skewed layout (CPUS=3 SHUFFLE=5 —
+     partition-layout invariance + scale-dependent bug net)   [skipped with --fast]
+  5. bench.py (one JSON line; compare vs the previous BENCH_r*.json)
+
+Exits non-zero on the first failing axis. Wall time: ~8 min (--fast) /
+~25 min (full).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(name: str, cmd: list[str], env: dict | None = None) -> None:
+    t = time.time()
+    print(f"== {name}: {' '.join(cmd)}", flush=True)
+    e = dict(os.environ)
+    e.update(env or {})
+    proc = subprocess.run(cmd, cwd=HERE, env=e)
+    if proc.returncode != 0:
+        print(f"FAILED axis: {name} (rc={proc.returncode})")
+        sys.exit(proc.returncode)
+    print(f"== {name} ok ({time.time() - t:.0f}s)", flush=True)
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    py = sys.executable
+    check = os.path.join(HERE, "tools", "check_correctness.py")
+
+    sys.path.insert(0, HERE)
+    from data_ingestion_pipelines_spark import plans
+
+    window = list(plans._PRIORITY)
+
+    run("sweep sf0.001", [py, check, "/root/testdata/sf0.001"])
+    run("sweep sf0.01", [py, check, "/root/testdata/sf0.01"])
+    run(
+        "window sf0.01 @1g driver",
+        [py, check, "/root/testdata/sf0.01", *window],
+        env={"SPARK_CHECK_DRIVER_MEM": "1g"},
+    )
+    if not fast:
+        run(
+            "sweep sf0.1 skewed layout",
+            [py, check, "/root/testdata/sf0.1"],
+            env={"SPARK_CHECK_CPUS": "3", "SPARK_CHECK_SHUFFLE": "5"},
+        )
+    run("bench", [py, os.path.join(HERE, "bench.py")])
+    print("ALL AXES GREEN")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
