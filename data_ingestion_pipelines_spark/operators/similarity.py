@@ -475,3 +475,199 @@ def quantized_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search"): split each (normalized) vector into m subvectors,
+# k-means each subspace independently, store only the m codeword ids —
+# dim×4 bytes → m bytes per vector (e.g. 64-dim float32 256 B → 8 B at
+# m=8). Queries score compressed vectors via ADC lookup tables: one
+# (m × k) table of subvector dot products per query, then
+# score ≈ Σ_s LUT[s, code_s] — no decompression, no float vector ever
+# read back. THE memory lever for billion-vector corpora; composes with
+# IVF (probe lists, then ADC inside) exactly like FAISS's IVF-PQ.
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    codebook_k: int = 16,
+    lloyd_iters: int = 2,
+):
+    """Per-subspace distributed Lloyd k-means → (m, codebook_k, dim/m)
+    numpy codebooks.
+
+    Vectors are unit-normalized first (the engine's similarity space is
+    cosine ≡ inner product on normalized vectors, and PQ of the
+    normalized vector makes ADC an IP estimate). Deterministic init
+    (subvectors of the first ``codebook_k`` rows by id); every Lloyd
+    round is ONE corpus pass emitting m×k per-partition partial
+    (sum, count) rows — bounded control-plane traffic, same contract as
+    :func:`kmeans_centroids`. Same float-ulp layout sensitivity too,
+    hence PQ search gates verdict-row recall floors, not raw hashes.
+    """
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(codebook_k).collect()
+    init = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
+    init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
+    dim = init.shape[1]
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack([init[:, s * dsub : (s + 1) * dsub] for s in range(m)])
+
+    for _ in range(lloyd_iters):
+        b_snapshot = books
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = np.asarray(
+                    [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+                )
+                vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                out = []
+                for s in range(m):
+                    sub = vecs[:, s * dsub : (s + 1) * dsub]
+                    d2 = (
+                        (sub * sub).sum(1, keepdims=True)
+                        - 2.0 * sub @ b_snapshot[s].T
+                        + (b_snapshot[s] * b_snapshot[s]).sum(1)[None, :]
+                    )
+                    assign = np.argmin(d2, axis=1)
+                    for cid in np.unique(assign):
+                        mask = assign == cid
+                        out.append(
+                            (s, int(cid), sub[mask].sum(axis=0).tolist(), int(mask.sum()))
+                        )
+                yield pd.DataFrame(out, columns=["sub", "cid", "vsum", "n"])
+
+        part = corpus.select(vec_col).mapInPandas(
+            partials, "sub INT, cid INT, vsum ARRAY<DOUBLE>, n BIGINT"
+        ).collect()
+        sums = np.zeros((m, codebook_k, dsub))
+        counts = np.zeros((m, codebook_k))
+        for r in part:
+            sums[r["sub"], r["cid"]] += np.asarray(r["vsum"])
+            counts[r["sub"], r["cid"]] += r["n"]
+        nonempty = counts > 0
+        books = books.copy()
+        books[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): nearest codeword per subspace of the
+    normalized vector. One Arrow pass, no shuffle; codes are the m-byte
+    compressed representation downstream search reads INSTEAD of the
+    float vectors."""
+    import numpy as np
+
+    m, _, dsub = codebooks.shape
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, codes ARRAY<INT>"
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, "codes"])
+                continue
+            vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(vecs), m), dtype="int64")
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(1, keepdims=True)
+                    - 2.0 * sub @ codebooks[s].T
+                    + (codebooks[s] * codebooks[s]).sum(1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes.tolist())})
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m: int = 8,
+    codebook_k: int = 16,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Flat-PQ search: ADC-score every COMPRESSED corpus vector against
+    each query's (m × k) lookup table, exact top-k on the approximate
+    scores. Queries are a bounded frame (collected once, like the IVF
+    centroid read); the corpus side streams codes — m ints per vector —
+    through one Arrow stage and never touches the float vectors again.
+    Output ``(query_id, vec_id, score)`` where score is the ADC inner
+    product (approximate — recall floors are the verification contract).
+    """
+    import numpy as np
+
+    books = train_pq_codebooks(
+        corpus, vec_col=vec_col, id_col=id_col, m=m,
+        codebook_k=codebook_k, lloyd_iters=lloyd_iters,
+    )
+    dsub = books.shape[2]
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    q_vecs = np.asarray([list(r[vec_col]) for r in q_rows], dtype="float64")
+    q_vecs /= np.maximum(np.linalg.norm(q_vecs, axis=1, keepdims=True), 1e-12)
+    # LUT[q, s, c] = <query_sub, codeword> ; ADC score = sum_s LUT[q, s, code_s]
+    luts = np.stack(
+        [q_vecs[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(books.shape[0])],
+        axis=1,
+    )
+
+    codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+    id_type = dict(corpus.dtypes)[id_col]
+    qid_type = dict(queries.dtypes)[query_id_col]
+    schema = f"`{query_id_col}` {qid_type}, `{id_col}` {id_type}, score DOUBLE"
+
+    def adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[query_id_col, id_col, "score"])
+                continue
+            cm = np.asarray(list(pdf["codes"]), dtype="int64")  # (rows, m)
+            out_ids, out_qids, out_scores = [], [], []
+            rows_idx = np.arange(cm.shape[1])
+            for qi, qid in enumerate(q_ids):
+                scores = luts[qi][rows_idx, cm].sum(axis=1)  # (rows,)
+                out_qids.extend([qid] * len(cm))
+                out_ids.extend(pdf[id_col].tolist())
+                out_scores.extend(scores.tolist())
+            yield pd.DataFrame(
+                {query_id_col: out_qids, id_col: out_ids, "score": out_scores}
+            )
+
+    scored = codes.mapInPandas(adc, schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -80,6 +80,7 @@ _PRIORITY = [
     # -- changed this round
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "similarity_pq_topk",  # new this round
     "ngram_jaccard_docs",
     "near_dup_quality_survivors",
     "bpe_trained_merges",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "string_funcs",
     "date_arith",
     "classify_exclusions",
-    "nested_drop",
+    # nested_drop rotated out (r1-green) for the new gate
     # event_hourly_windows rotated out (r1-green; streaming twin pytest-netted)
     # brand_price_robust_outliers rotated out (r2-green)
     # repeat_customers_both_years rotated out (r2-green)

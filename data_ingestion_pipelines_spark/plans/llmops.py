@@ -1434,6 +1434,13 @@ def _ann_topk_verdict(
     )
     if method == "lsh":
         approx = lsh_topk(emb, queries, k=10, num_tables=16, bits=6, dim=64)
+    elif method == "pq":
+        from ..operators.similarity import pq_topk
+
+        # m=16 × 6-bit codebooks: 96 bits/vector (21× smaller than the
+        # 64-dim float32), observed per-query recall@10 ≥ 0.4 across
+        # SFs/layouts — floor 0.2 leaves 2× margin
+        approx = pq_topk(emb, queries, k=10, m=16, codebook_k=64, lloyd_iters=2)
     else:
         approx = ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4, lloyd_iters=2)
     exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
@@ -1465,6 +1472,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_topk_verdict(spark, sf_dir, "ivf", 0.4)
 
 
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_topk_verdict(spark, sf_dir, "pq", 0.2)
+
+
 def _ann_verdict_oracle(floor: float) -> str:
     return f"""
 SELECT CAST(vec_id AS BIGINT) AS query_id,
@@ -1475,6 +1486,7 @@ FROM embeddings WHERE vec_id < 5
 
 SIMILARITY_LSH_TOPK_SQL = _ann_verdict_oracle(0.2)
 SIMILARITY_IVF_TOPK_SQL = _ann_verdict_oracle(0.4)
+SIMILARITY_PQ_TOPK_SQL = _ann_verdict_oracle(0.2)
 
 
 # --------------------------------------------------------------------------
@@ -3152,4 +3164,5 @@ QUERIES = {
     "embedding_dup_clusters": (embedding_dup_clusters, EMBEDDING_DUP_CLUSTERS_SQL),
     "similarity_lsh_topk": (similarity_lsh_topk, SIMILARITY_LSH_TOPK_SQL),
     "similarity_ivf_topk": (similarity_ivf_topk, SIMILARITY_IVF_TOPK_SQL),
+    "similarity_pq_topk": (similarity_pq_topk, SIMILARITY_PQ_TOPK_SQL),
 }

@@ -102,3 +102,51 @@ def test_incremental_neardup_keeps_batch_without_corpus_match(spark):
         "doc_id bigint, text string",
     )
     assert incremental_neardup_dedup(batch, corpus, threshold=0.3).count() == 1
+
+
+def test_pq_encode_compresses_and_is_deterministic(spark):
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, codebook_k=16, lloyd_iters=1)
+    assert books.shape == (8, 16, 8)  # 64-dim -> 8 subspaces of 8
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    assert all(len(c) == 8 for c in codes.values())
+    assert all(0 <= v < 16 for c in codes.values() for v in c)
+    codes2 = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    assert codes == codes2  # same codebooks -> identical codes
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        train_pq_codebooks(emb, m=7)
+
+
+def test_pq_topk_recall_floor(spark):
+    """Tight data-specific floor (the registry gate uses a conservative
+    0.2): flat-PQ ADC at m=16/k=64 must recover >= 40% of the exact
+    top-10 per query on the test embeddings."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in pq_topk(emb, q, k=10, m=16, codebook_k=64,
+                               lloyd_iters=2).collect()}
+    for qid in range(5):
+        hits = sum(1 for (a, b) in exact if a == qid and (a, b) in approx)
+        assert hits >= 4, f"query {qid}: recall {hits}/10"
