@@ -671,3 +671,118 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_lists: int = 16,
+    nprobe: int = 4,
+    lloyd_iters: int = 2,
+    m: int = 16,
+    codebook_k: int = 64,
+) -> DataFrame:
+    """IVF-PQ (the FAISS architecture): coarse centroids prune the
+    corpus to ``nprobe`` lists per query, then ADC scores only those
+    candidates from their m-byte PQ codes. At billion-vector scale this
+    is the only layout that fits: the float vectors exist once at
+    encode time; search touches lists (1/num_lists of the corpus ×
+    nprobe) × codes (m bytes), never full vectors.
+
+    Recall compounds both approximations (list pruning × code
+    quantization), so floors sit below either alone — the verification
+    contract, like every index here, is a verdict-row recall floor.
+    """
+    import numpy as np
+
+    cents = kmeans_centroids(
+        corpus, vec_col=vec_col, k=num_lists, iters=lloyd_iters, id_col=id_col
+    )
+    books = train_pq_codebooks(
+        corpus, vec_col=vec_col, id_col=id_col, m=m,
+        codebook_k=codebook_k, lloyd_iters=lloyd_iters,
+    )
+    dsub = books.shape[2]
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[query_id_col] for r in q_rows]
+    q_vecs = np.asarray([list(r[vec_col]) for r in q_rows], dtype="float64")
+    q_vecs /= np.maximum(np.linalg.norm(q_vecs, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(q_vecs @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    luts = {
+        qid: np.stack(
+            [q_vecs[i, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m)]
+        )
+        for i, qid in enumerate(q_ids)
+    }
+    # list_id -> [query ids probing it]; tiny (num_lists × nprobe entries)
+    probers: dict[int, list] = {}
+    for i, qid in enumerate(q_ids):
+        for lid in probe[i]:
+            probers.setdefault(int(lid), []).append(qid)
+
+    # one corpus pass: assign to its list AND encode — floats read once
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, list_id INT, codes ARRAY<INT>"
+
+    def assign_encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, "list_id", "codes"])
+                continue
+            vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            lists = np.argmax(vecs @ cents.T, axis=1)
+            codes = np.empty((len(vecs), m), dtype="int64")
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(1, keepdims=True)
+                    - 2.0 * sub @ books[s].T
+                    + (books[s] * books[s]).sum(1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "list_id": lists, "codes": list(codes.tolist())}
+            )
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(assign_encode, schema)
+
+    qid_type = dict(queries.dtypes)[query_id_col]
+    out_schema = f"`{query_id_col}` {qid_type}, `{id_col}` {id_type}, score DOUBLE"
+    sub_idx = np.arange(m)
+
+    def adc_probed(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_qids, out_ids, out_scores = [], [], []
+            for lid, grp in pdf.groupby("list_id"):
+                qids = probers.get(int(lid))
+                if not qids:
+                    continue
+                cm = np.asarray(list(grp["codes"]), dtype="int64")
+                for qid in qids:
+                    scores = luts[qid][sub_idx, cm].sum(axis=1)
+                    out_qids.extend([qid] * len(cm))
+                    out_ids.extend(grp[id_col].tolist())
+                    out_scores.extend(scores.tolist())
+            yield pd.DataFrame(
+                {query_id_col: out_qids, id_col: out_ids, "score": out_scores}
+            )
+
+    scored = encoded.mapInPandas(adc_probed, out_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

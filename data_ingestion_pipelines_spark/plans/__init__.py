@@ -81,6 +81,7 @@ _PRIORITY = [
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "similarity_pq_topk",  # new this round
+    "similarity_ivf_pq_topk",  # new this round
     "ngram_jaccard_docs",
     "near_dup_quality_survivors",
     "bpe_trained_merges",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "conditional_flags",
     "string_funcs",
     "date_arith",
-    "classify_exclusions",
+    # classify_exclusions rotated out (r1-green) for the new gate
     # nested_drop rotated out (r1-green) for the new gate
     # event_hourly_windows rotated out (r1-green; streaming twin pytest-netted)
     # brand_price_robust_outliers rotated out (r2-green)

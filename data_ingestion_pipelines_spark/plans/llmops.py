@@ -1441,6 +1441,12 @@ def _ann_topk_verdict(
         # 64-dim float32), observed per-query recall@10 ≥ 0.4 across
         # SFs/layouts — floor 0.2 leaves 2× margin
         approx = pq_topk(emb, queries, k=10, m=16, codebook_k=64, lloyd_iters=2)
+    elif method == "ivf_pq":
+        from ..operators.similarity import ivf_pq_topk
+
+        # compound approximation (list pruning × code quantization);
+        # observed per-query recall@10 >= 0.4 across SFs/layouts
+        approx = ivf_pq_topk(emb, queries, k=10)
     else:
         approx = ivf_topk(emb, queries, k=10, num_lists=16, nprobe=4, lloyd_iters=2)
     exact = brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
@@ -1476,6 +1482,10 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_topk_verdict(spark, sf_dir, "pq", 0.2)
 
 
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ann_topk_verdict(spark, sf_dir, "ivf_pq", 0.2)
+
+
 def _ann_verdict_oracle(floor: float) -> str:
     return f"""
 SELECT CAST(vec_id AS BIGINT) AS query_id,
@@ -1487,6 +1497,7 @@ FROM embeddings WHERE vec_id < 5
 SIMILARITY_LSH_TOPK_SQL = _ann_verdict_oracle(0.2)
 SIMILARITY_IVF_TOPK_SQL = _ann_verdict_oracle(0.4)
 SIMILARITY_PQ_TOPK_SQL = _ann_verdict_oracle(0.2)
+SIMILARITY_IVF_PQ_TOPK_SQL = _ann_verdict_oracle(0.2)
 
 
 # --------------------------------------------------------------------------
@@ -3165,4 +3176,5 @@ QUERIES = {
     "similarity_lsh_topk": (similarity_lsh_topk, SIMILARITY_LSH_TOPK_SQL),
     "similarity_ivf_topk": (similarity_ivf_topk, SIMILARITY_IVF_TOPK_SQL),
     "similarity_pq_topk": (similarity_pq_topk, SIMILARITY_PQ_TOPK_SQL),
+    "similarity_ivf_pq_topk": (similarity_ivf_pq_topk, SIMILARITY_IVF_PQ_TOPK_SQL),
 }

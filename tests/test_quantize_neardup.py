@@ -150,3 +150,27 @@ def test_pq_topk_recall_floor(spark):
     for qid in range(5):
         hits = sum(1 for (a, b) in exact if a == qid and (a, b) in approx)
         assert hits >= 4, f"query {qid}: recall {hits}/10"
+
+
+def test_ivf_pq_topk_recall_floor(spark):
+    """Compound approximation (IVF pruning x PQ codes) still clears a
+    0.4 per-query floor on the test embeddings (registry floor: 0.2)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in ivf_pq_topk(emb, q, k=10).collect()}
+    for qid in range(5):
+        hits = sum(1 for (a, b) in exact if a == qid and (a, b) in approx)
+        assert hits >= 4, f"query {qid}: recall {hits}/10"
