@@ -318,6 +318,27 @@ SELECT doc_id, n_tokens FROM (
 
 
 # --------------------------------------------------------------------------
+# WebDataset export plan: the (shard → samples/bytes/id-range) manifest
+# that drives the tar-shard writer (sinks/webdataset.py) — the
+# SQL-verifiable half of the export; the tar bytes themselves are
+# pytest-verified (member roundtrip + byte reproducibility).
+def webdataset_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.webdataset import webdataset_manifest
+
+    return webdataset_manifest(_t(spark, sf_dir, "documents"), num_shards=8)
+
+
+WEBDATASET_MANIFEST_DOCS_SQL = """
+SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # PII scrub: email/phone/IPv4 → placeholder tokens (codegen regex chain)
 def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import with_pii_redacted
@@ -3091,6 +3112,7 @@ QUERIES = {
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),
+    "webdataset_manifest_docs": (webdataset_manifest_docs, WEBDATASET_MANIFEST_DOCS_SQL),
     # streaming twin, verified against the SAME oracle string
     "streaming_corpus_ingest": (streaming_corpus_ingest, CORPUS_CURATION_SQL),
     "pretraining_manifest": (pretraining_manifest, PRETRAINING_MANIFEST_SQL),

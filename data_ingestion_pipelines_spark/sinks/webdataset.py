@@ -1,0 +1,121 @@
+"""WebDataset-style tar-shard export — the training-loader delivery
+format (one tar per shard; each sample is a set of same-basename
+members like ``000042.txt`` / ``000042.json``; loaders stream shards
+sequentially, so shard count = read parallelism at training time).
+
+Executor-side writing: samples are assigned a deterministic shard
+(``sample_id % num_shards`` — uniform, reproducible), repartitioned so
+each shard is ONE partition, and each partition writes its own
+``shard-{i:06d}.tar`` with stdlib ``tarfile``. No driver-side loops, no
+whole-dataset collect; at 100 TB each executor streams its shard to
+shared storage. Member mtimes/uids are zeroed so shard bytes are
+REPRODUCIBLE — re-running the export yields byte-identical tars (the
+property the manifest gate + pytest pin).
+
+The companion :func:`webdataset_manifest` computes the (shard, sample)
+assignment and per-shard accounting as a plain DataFrame — the
+SQL-oracle-able contract of the export (the tar bytes themselves are
+pytest-verified by reading members back).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def webdataset_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_shards: int = 8,
+) -> DataFrame:
+    """(shard, n_samples, total_bytes, min_id, max_id): the export plan.
+
+    Shard assignment is ``id % num_shards`` — stable across runs and
+    engines; byte accounting is UTF-8 payload length. This frame IS the
+    hash-verifiable half of the export: the tar writer consumes the
+    identical assignment.
+    """
+    shard = (F.col(id_col) % num_shards).cast("bigint").alias("shard")
+    return (
+        df.select(shard, F.col(id_col), F.col(text_col))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+            # octet_length: UTF-8 BYTES (what the tar actually stores),
+            # not characters
+            F.sum(F.octet_length(F.col(text_col)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_bytes"),
+            F.min(id_col).cast("bigint").alias("min_id"),
+            F.max(id_col).cast("bigint").alias("max_id"),
+        )
+    )
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+    num_shards: int = 8,
+) -> list[str]:
+    """Write ``shard-{i:06d}.tar`` files under ``out_dir``; returns the
+    shard paths. Each sample contributes ``{id:012d}.txt`` (UTF-8 text)
+    and, when ``meta_cols`` is given, ``{id:012d}.json``. Samples are
+    sorted by id within a shard so shard bytes are deterministic.
+    """
+    import json
+
+    meta_cols = meta_cols or []
+    os.makedirs(out_dir, exist_ok=True)
+    shard_col = (F.col(id_col) % num_shards).cast("int")
+    prepared = (
+        df.select(
+            shard_col.alias("_shard"), F.col(id_col), F.col(text_col), *meta_cols
+        )
+        # one partition per shard, ordered within — the writer streams
+        # rows in id order so the tar is byte-reproducible
+        .repartition(num_shards, "_shard")
+        .sortWithinPartitions("_shard", id_col)
+    )
+
+    def write_partition(rows) -> None:
+        tars: dict[int, tarfile.TarFile] = {}
+        try:
+            for row in rows:
+                sh = row["_shard"]
+                tf = tars.get(sh)
+                if tf is None:
+                    path = os.path.join(out_dir, f"shard-{sh:06d}.tar")
+                    tf = tars[sh] = tarfile.open(path, "w")
+                base = f"{row[id_col]:012d}"
+                payload = (row[text_col] or "").encode("utf-8")
+                info = tarfile.TarInfo(name=f"{base}.txt")
+                info.size = len(payload)
+                info.mtime = 0  # reproducible bytes
+                tf.addfile(info, io.BytesIO(payload))
+                if meta_cols:
+                    meta = json.dumps(
+                        {c: row[c] for c in meta_cols}, sort_keys=True
+                    ).encode("utf-8")
+                    minfo = tarfile.TarInfo(name=f"{base}.json")
+                    minfo.size = len(meta)
+                    minfo.mtime = 0
+                    tf.addfile(minfo, io.BytesIO(meta))
+        finally:
+            for tf in tars.values():
+                tf.close()
+
+    prepared.foreachPartition(write_partition)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("shard-") and f.endswith(".tar")
+    )
