@@ -138,3 +138,75 @@ def extend_pack_manifest(
         .drop("_base")
     )
     return _chunk_rows(with_off, budget, shard_cols, id_col, token_col)
+
+
+def bin_pack_documents(
+    df: DataFrame,
+    capacity: int,
+    shard_cols: list[str],
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Whole-document bin packing (first-fit-decreasing) — the NO-SPLIT
+    complement of :func:`pack_concat_chunks` for recipes that refuse to
+    cut documents across sequence boundaries (instruction tuning, long-
+    context curricula).
+
+    FFD runs per SHARD inside ``applyInPandas`` — shards are the
+    parallelism unit exactly as in concat-and-chunk, so no shard's doc
+    list ever leaves one task, and the greedy order
+    (tokens DESC, id ASC) makes assignments fully deterministic. FFD's
+    classic guarantee bounds waste: bins used ≤ 11/9·OPT + 1. Documents
+    LARGER than ``capacity`` get a dedicated overflow bin and
+    ``oversize = true`` — flagged, never silently truncated.
+
+    Output: shard cols + ``(id, n_tokens, bin_id, oversize)``; bin ids
+    are 0-based per shard. The packing structure is iterative (no SQL
+    twin) — the registry gates the verdict form
+    (plans/llmops.py packed_bins_verdict): per-shard invariant booleans
+    an exact oracle recomputes as constant-true.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+
+    out_fields = ", ".join(f"`{c}` {t}" for c, t in df.select(*shard_cols).dtypes)
+    id_t = dict(df.dtypes)[id_col]
+    schema = (
+        f"{out_fields}, `{id_col}` {id_t}, n_tokens BIGINT, "
+        "bin_id BIGINT, oversize BOOLEAN"
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([token_col, id_col], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per bin
+        assign, oversize = [], []
+        for tok in pdf[token_col]:
+            tok = int(tok)
+            if tok > capacity:
+                bins.append(0)  # dedicated, full
+                assign.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            for b, rem in enumerate(bins):
+                if rem >= tok:
+                    bins[b] = rem - tok
+                    assign.append(b)
+                    break
+            else:
+                bins.append(capacity - tok)
+                assign.append(len(bins) - 1)
+            oversize.append(False)
+        out = pdf[[*shard_cols, id_col]].copy()
+        out["n_tokens"] = pdf[token_col].astype("int64")
+        out["bin_id"] = pd.array(assign, dtype="int64")
+        out["oversize"] = pd.array(oversize, dtype="boolean")
+        return out
+
+    return (
+        df.filter(F.col(token_col) > 0)
+        .select(*shard_cols, id_col, token_col)
+        .groupBy(*shard_cols)
+        .applyInPandas(pack, schema=schema)
+    )

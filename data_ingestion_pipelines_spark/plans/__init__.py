@@ -83,6 +83,7 @@ _PRIORITY = [
     "similarity_pq_topk",  # new this round
     "similarity_ivf_pq_topk",  # new this round
     "webdataset_manifest_docs",  # new this round
+    "packed_bins_verdict",  # new this round
     "ngram_jaccard_docs",
     "near_dup_quality_survivors",
     "bpe_trained_merges",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "pretraining_manifest",
     "union_pages",
     "conditional_flags",
-    "string_funcs",
+    # string_funcs rotated out (r1-green) for the new gate
     # date_arith rotated out (r1-green) for the new gate
     # classify_exclusions rotated out (r1-green) for the new gate
     # nested_drop rotated out (r1-green) for the new gate

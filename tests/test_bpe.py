@@ -145,3 +145,52 @@ def test_trainer_matches_reference_on_random_vocabs(spark):
         assert train_bpe_merges(words, n_merges=3) == _ref_bpe(vocab, 3)
 
     check()
+
+
+def test_ffd_bin_packing_matches_reference_and_flags_oversize(spark):
+    """FFD assignment must equal a pure-python replay; oversize docs get
+    dedicated flagged bins; no regular bin exceeds capacity."""
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.operators.packing import (
+        bin_pack_documents,
+    )
+
+    rows = [
+        ("a", 1, 300), ("a", 2, 300), ("a", 3, 200), ("a", 4, 150),
+        ("a", 5, 60),  ("a", 6, 900),   # oversize at capacity 512
+        ("b", 7, 512), ("b", 8, 1),
+    ]
+    docs = spark.createDataFrame(rows, "source string, doc_id bigint, n_tokens bigint")
+    out = {
+        (r["source"], r["doc_id"]): (r["bin_id"], r["oversize"])
+        for r in bin_pack_documents(docs, 512, ["source"]).collect()
+    }
+
+    def ffd(items, cap):
+        bins, assign = [], {}
+        for tok, did in sorted(((t, d) for _, d, t in items), key=lambda x: (-x[0], x[1])):
+            if tok > cap:
+                bins.append(0); assign[did] = (len(bins) - 1, True); continue
+            for b, rem in enumerate(bins):
+                if rem >= tok:
+                    bins[b] = rem - tok; assign[did] = (b, False); break
+            else:
+                bins.append(cap - tok); assign[did] = (len(bins) - 1, False)
+        return assign
+
+    for src in ("a", "b"):
+        ref = ffd([r for r in rows if r[0] == src], 512)
+        got = {d: v for (s, d), v in out.items() if s == src}
+        assert got == ref, (src, got, ref)
+    assert out[("a", 6)][1] is True  # the 900-token doc is flagged
+    # capacity respected: tokens per regular bin
+    fill = {}
+    for (s, d), (b, ov) in out.items():
+        tok = next(t for ss, dd, t in rows if ss == s and dd == d)
+        if not ov:
+            fill[(s, b)] = fill.get((s, b), 0) + tok
+    assert all(v <= 512 for v in fill.values())
+
+    with _pytest.raises(ValueError, match="positive"):
+        bin_pack_documents(docs, 0, ["source"])
