@@ -9,8 +9,19 @@
                              (band, signature); verified with exact
                              shingle-set Jaccard.
 - ``simhash_signatures``   — 32-bit SimHash from token hashes, Column-only.
-- ``ngram_jaccard_pairs``  — exact n-gram Jaccard over candidate buckets.
+- ``simhash_neardup_pairs``— Hamming-band near-dup pairs (Manku et al.).
+- ``ngram_jaccard_pairs``  — exact n-gram Jaccard over candidate buckets
+                             (MinHash-band bucketing by default).
 - ``embedding_dup_pairs``  — cosine near-dup over an embedding column.
+- ``duplicate_ngram_spans``/``drop_duplicate_spans`` — substring (span)
+                             dedup, Lee-et-al shape.
+- ``incremental_dedup`` / ``incremental_neardup_dedup`` — per-delivery
+                             exact / near-dup against a corpus index.
+- ``dedup_clusters`` / ``cluster_representatives`` — connected
+                             components over pairs, keep-one curation.
+- ``winnowing_fingerprints`` / ``winnowing_overlap_pairs`` — MOSS
+                             rolling-hash window minima + passage
+                             overlap matching.
 
 Scale notes: every stage is (projection → one shuffle on a uniform hash
 key). The LSH self-join is the standard trick to avoid the O(n²) pairwise

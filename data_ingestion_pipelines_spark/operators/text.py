@@ -12,6 +12,13 @@ Operators:
   mean word length / non-alnum ratio, the classic C4/Gopher-style filters
 - ``with_fingerprint``   — normalized-text content fingerprint (exact-dup key)
 - ``with_language_id``   — stopword-overlap n-gram heuristic language ID
+- ``with_pii_redacted``  — email/phone/IPv4 placeholder scrub
+- ``with_repetition_ratio`` — duplicate-n-gram fraction (row-local)
+- ``gopher_repetition_signals`` — dup-line fractions + top-bigram char
+  coverage (per-doc group-bys)
+- ``with_contamination`` / ``with_contamination_scan`` — eval-phrase
+  matching (Column literal / Aho-Corasick automaton)
+- ``tfidf_top_terms``    — per-doc salient terms
 """
 
 from __future__ import annotations

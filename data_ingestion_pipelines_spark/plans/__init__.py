@@ -120,9 +120,10 @@ _PRIORITY = [
 
 # name -> (spark_fn, oracle_sql_or_None)
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
-_ALL.update(relational.QUERIES)
-_ALL.update(llmops.QUERIES)
-_ALL.update(ingestion.QUERIES)
+for _mod_queries in (relational.QUERIES, llmops.QUERIES, ingestion.QUERIES):
+    _dup = set(_mod_queries) & set(_ALL)
+    assert not _dup, f"gate name collision across plan modules: {sorted(_dup)}"
+    _ALL.update(_mod_queries)
 
 _missing = [n for n in _PRIORITY if n not in _ALL]
 assert not _missing, f"priority window names not in registry: {_missing}"
