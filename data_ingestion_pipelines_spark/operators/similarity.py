@@ -621,25 +621,43 @@ def pq_topk(
     Output ``(query_id, vec_id, score)`` where score is the ADC inner
     product (approximate — recall floors are the verification contract).
     """
-    import numpy as np
-
     books = train_pq_codebooks(
         corpus, vec_col=vec_col, id_col=id_col, m=m,
         codebook_k=codebook_k, lloyd_iters=lloyd_iters,
     )
-    dsub = books.shape[2]
+    codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+    return pq_search_codes(
+        codes, books, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def pq_search_codes(
+    codes: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The ADC scan over an ALREADY-ENCODED code table — the search half
+    of the build-once/search-many index lifecycle (see
+    :func:`save_pq_index` / :func:`load_pq_index`)."""
+    import numpy as np
+
+    m, _, dsub = codebooks.shape
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = [r[query_id_col] for r in q_rows]
     q_vecs = np.asarray([list(r[vec_col]) for r in q_rows], dtype="float64")
     q_vecs /= np.maximum(np.linalg.norm(q_vecs, axis=1, keepdims=True), 1e-12)
     # LUT[q, s, c] = <query_sub, codeword> ; ADC score = sum_s LUT[q, s, code_s]
     luts = np.stack(
-        [q_vecs[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(books.shape[0])],
+        [q_vecs[:, s * dsub : (s + 1) * dsub] @ codebooks[s].T for s in range(m)],
         axis=1,
     )
 
-    codes = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
-    id_type = dict(corpus.dtypes)[id_col]
+    id_type = dict(codes.dtypes)[id_col]
     qid_type = dict(queries.dtypes)[query_id_col]
     schema = f"`{query_id_col}` {qid_type}, `{id_col}` {id_type}, score DOUBLE"
 
@@ -662,7 +680,7 @@ def pq_topk(
                 {query_id_col: out_qids, id_col: out_ids, "score": out_scores}
             )
 
-    scored = codes.mapInPandas(adc, schema)
+    scored = codes.select(id_col, "codes").mapInPandas(adc, schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
@@ -671,6 +689,54 @@ def pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 16,
+    codebook_k: int = 64,
+    lloyd_iters: int = 2,
+) -> None:
+    """Build and PERSIST the PQ index: ``{path}/codes`` (one parquet row
+    per vector: id + m codeword ids) and ``{path}/codebooks`` (m×k rows
+    of (sub, cid, vec)). The float corpus is read once, here; every
+    later search runs from the persisted artifact — the build-once /
+    search-many lifecycle an embedding service actually operates
+    (re-encoding 100 TB of vectors per query batch is not a thing).
+    """
+    books = train_pq_codebooks(
+        corpus, vec_col=vec_col, id_col=id_col, m=m,
+        codebook_k=codebook_k, lloyd_iters=lloyd_iters,
+    )
+    spark = corpus.sparkSession
+    rows = [
+        (s, c, books[s, c].tolist())
+        for s in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(rows, "sub INT, cid INT, vec ARRAY<DOUBLE>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path.rstrip('/')}/codebooks")
+    pq_encode(corpus, books, vec_col=vec_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path.rstrip('/')}/codes")
+
+
+def load_pq_index(spark, path: str):
+    """(codes DataFrame, codebooks ndarray) from :func:`save_pq_index`."""
+    import numpy as np
+
+    book_rows = spark.read.parquet(f"{path.rstrip('/')}/codebooks").collect()
+    m = max(r["sub"] for r in book_rows) + 1
+    kk = max(r["cid"] for r in book_rows) + 1
+    dsub = len(book_rows[0]["vec"])
+    books = np.zeros((m, kk, dsub))
+    for r in book_rows:
+        books[r["sub"], r["cid"]] = r["vec"]
+    return spark.read.parquet(f"{path.rstrip('/')}/codes"), books
 
 
 def ivf_pq_topk(

@@ -174,3 +174,37 @@ def test_ivf_pq_topk_recall_floor(spark):
     for qid in range(5):
         hits = sum(1 for (a, b) in exact if a == qid and (a, b) in approx)
         assert hits >= 4, f"query {qid}: recall {hits}/10"
+
+
+def test_pq_index_persist_reload_search_parity(spark, tmp_path):
+    """Build-once/search-many: searching from the persisted index must
+    return EXACTLY what the in-memory build returns (same codebooks,
+    same codes, same ADC scores)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        load_pq_index,
+        pq_search_codes,
+        pq_topk,
+    )
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        save_pq_index,
+    )
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    emb = read_parquet_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 12)
+        for r in pq_topk(emb, q, k=10, m=16, codebook_k=64, lloyd_iters=2).collect()
+    }
+    path = str(tmp_path / "pqidx")
+    save_pq_index(emb, path, m=16, codebook_k=64, lloyd_iters=2)
+    codes, books = load_pq_index(spark, path)
+    reloaded = {
+        (r["query_id"], r["vec_id"]): round(r["score"], 12)
+        for r in pq_search_codes(codes, books, q, k=10).collect()
+    }
+    assert reloaded == direct
