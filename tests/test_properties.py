@@ -359,3 +359,87 @@ def test_diff_snapshots_apply_cdc_roundtrip(spark, old, new):
 
     got = {r["k"]: r["v"] for r in apply_cdc(old_df, log, ["k"]).collect()}
     assert got == new
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=20).map(
+            lambda ts: " ".join(ts)
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_simhash_band_pairs_match_bruteforce(spark, docs):
+    """Property: band candidates + exact verify ≡ the literal all-pairs
+    Hamming filter, on arbitrary tiny-alphabet corpora (maximally
+    tie/collision-prone — the worst case for banding bugs)."""
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        simhash_neardup_pairs,
+        simhash_signatures,
+    )
+
+    frame = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(frame, max_hamming=3, bands=4).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(frame).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want
+
+
+@given(
+    tokens=st.lists(st.integers(1, 400), min_size=1, max_size=12),
+    capacity=st.integers(50, 500),
+)
+@SETTINGS
+def test_ffd_bin_packing_invariants(spark, tokens, capacity):
+    """Property: every doc packed exactly once; regular bins never
+    exceed capacity; oversize flag ⇔ doc > capacity; bin count within
+    the 2×lower-bound guard the verdict gate enforces."""
+    import math
+
+    from data_ingestion_pipelines_spark.operators.packing import (
+        bin_pack_documents,
+    )
+
+    rows = [("s", i, t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "source string, doc_id bigint, n_tokens bigint")
+    out = bin_pack_documents(df, capacity, ["source"]).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(range(len(tokens)))
+    fill: dict[int, int] = {}
+    for r in out:
+        assert r["oversize"] == (tokens[r["doc_id"]] > capacity)
+        if not r["oversize"]:
+            fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + tokens[r["doc_id"]]
+    assert all(v <= capacity for v in fill.values())
+    n_bins = len({r["bin_id"] for r in out})
+    lb = math.ceil(sum(tokens) / capacity)
+    assert n_bins <= 2 * lb + 1
+
+
+@given(
+    needles=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=4), min_size=1, max_size=6
+    ),
+    texts=st.lists(st.text(alphabet="abc ", max_size=25), min_size=1, max_size=5),
+)
+@SETTINGS
+def test_aho_corasick_property_parity(spark, needles, texts):
+    """Property: automaton scan ≡ python substring membership for any
+    needle set (including prefix-nested needles) and any text."""
+    from data_ingestion_pipelines_spark.operators.text import AhoCorasick
+
+    auto = AhoCorasick(sorted(set(needles)))
+    for t in texts:
+        assert auto.scan(t) == {n for n in set(needles) if n in t}, (t, needles)
