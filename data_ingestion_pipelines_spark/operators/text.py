@@ -466,3 +466,46 @@ def with_contamination_scan(
             )
 
     return df.select(id_col, text_col).mapInPandas(scan_batches, schema=schema)
+
+
+def with_unicode_normalized(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out: str = "norm_text",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonicalization
+    step real multilingual curation runs before hashing or tokenizing
+    (C4/Dolma normalize to NFC: composed vs decomposed accents and
+    compatibility ligatures otherwise split exact-dedup keys and token
+    counts for byte-identical-looking text).
+
+    Spark ships no unicode-normalize expression, so this is an
+    Arrow-batched ``mapInPandas`` pass over ``unicodedata.normalize`` —
+    the sanctioned slow-path shape (vectorized batches, never
+    row-at-a-time UDF). Engine parity: DuckDB's ``nfc_normalize``
+    implements the same UAX #15 NFC, which the oracle gate hashes
+    against.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # NB: StructType.add MUTATES in place — calling it on df.schema
+    # corrupts the input DataFrame's cached schema; always build fresh
+    fields = [f for f in df.schema.fields if f.name != out]
+    schema = StructType(fields + [StructField(out, StringType())])
+
+    def normalize(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [
+                unicodedata.normalize(form, t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(normalize, schema=schema)

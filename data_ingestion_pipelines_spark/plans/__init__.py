@@ -84,6 +84,7 @@ _PRIORITY = [
     "similarity_ivf_pq_topk",  # new this round
     "webdataset_manifest_docs",  # new this round
     "packed_bins_verdict",  # new this round
+    "normalized_docs",  # new this round
     "ngram_jaccard_docs",
     "near_dup_quality_survivors",
     "bpe_trained_merges",
@@ -104,7 +105,7 @@ _PRIORITY = [
     "corpus_curation",
     "pretraining_manifest",
     "union_pages",
-    "conditional_flags",
+    # conditional_flags rotated out (r1-green) for the new gate
     # string_funcs rotated out (r1-green) for the new gate
     # date_arith rotated out (r1-green) for the new gate
     # classify_exclusions rotated out (r1-green) for the new gate

@@ -389,6 +389,24 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Unicode NFC canonicalization parity: Spark (unicodedata.normalize in
+# Arrow batches) vs DuckDB (nfc_normalize) must produce byte-identical
+# text — hashed per doc. Identity on the ASCII synthetic corpus, but
+# the gate pins ENGINE parity of the normalizer itself; the
+# accent/ligature semantics are pytest-pinned on real unicode fixtures.
+def normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_unicode_normalized
+
+    docs = with_unicode_normalized(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.md5("norm_text").alias("norm_md5"))
+
+
+NORMALIZED_DOCS_SQL = """
+SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # WebDataset export plan: the (shard → samples/bytes/id-range) manifest
 # that drives the tar-shard writer (sinks/webdataset.py) — the
 # SQL-verifiable half of the export; the tar bytes themselves are
@@ -3185,6 +3203,7 @@ QUERIES = {
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),
     "webdataset_manifest_docs": (webdataset_manifest_docs, WEBDATASET_MANIFEST_DOCS_SQL),
     "packed_bins_verdict": (packed_bins_verdict, PACKED_BINS_VERDICT_SQL),
+    "normalized_docs": (normalized_docs, NORMALIZED_DOCS_SQL),
     # streaming twin, verified against the SAME oracle string
     "streaming_corpus_ingest": (streaming_corpus_ingest, CORPUS_CURATION_SQL),
     "pretraining_manifest": (pretraining_manifest, PRETRAINING_MANIFEST_SQL),

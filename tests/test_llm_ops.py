@@ -640,3 +640,35 @@ def test_winnowing_overlap_pairs_finds_moved_passage(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 5
     assert not any(3 in p for p in pairs)
+
+
+def test_unicode_normalization_forms(spark):
+    """NFC merges decomposed accents; NFKC additionally folds
+    compatibility ligatures; exact-dedup keys unify after normalization
+    (the reason curation normalizes before fingerprinting)."""
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.operators.text import (
+        with_unicode_normalized,
+    )
+
+    decomposed = "éclair"   # e + COMBINING ACUTE
+    composed = "éclair"      # é precomposed
+    rows = [(1, decomposed), (2, composed), (3, "ﬁn"), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    nfc = {r["doc_id"]: r["norm_text"]
+           for r in with_unicode_normalized(docs).collect()}
+    assert nfc[1] == nfc[2] == composed  # both forms unify
+    assert nfc[3] == "ﬁn"           # NFC keeps the ligature
+    assert nfc[4] is None
+
+    nfkc = {r["doc_id"]: r["norm_text"]
+            for r in with_unicode_normalized(docs, form="NFKC").collect()}
+    assert nfkc[3] == "fin"              # NFKC folds it
+
+    # input frame is untouched (schema-mutation regression guard)
+    assert docs.columns == ["doc_id", "text"]
+
+    with _pytest.raises(ValueError, match="normalization form"):
+        with_unicode_normalized(docs, form="NFX")
