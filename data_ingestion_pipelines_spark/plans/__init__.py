@@ -37,22 +37,21 @@ from . import ingestion, llmops, relational
 # visits. Goal: every registry gate holds a driver-verified row within
 # two rounds of being added.
 #
-# Round-4 window: positions 1-40 are the 40 gates dark after r1-r3
-# (judge spot-checked 12/40 green locally; the full local sweep runs
-# before each round lands), 41-46 are this round's new/changed gates,
-# 47-50 the high-churn re-checks.
 _PRIORITY = [
-    # -- round-5 window. Positions 1-24: ALL gates still dark after
-    # r1-r4 (the r4 session-B additions plus user_state_scd2, whose r4
-    # driver row ERRORED on the pandas sentinel bridge and therefore
-    # counts as dark — tools/rotate_window.py treats errored rows as
-    # no-evidence since r5). 25-30: gates semantically changed this
-    # round (ANN verdict-row conversion; MinHash-band bucketing in the
-    # n-gram Jaccard family; BPE vocab-join apply; SCD2 sentinel;
-    # shuffle-pinned cluster representatives). 31-50: high-churn
-    # re-checks, oldest driver evidence first. Every entry verified
-    # hash-green locally (tools/check_correctness.py) at sf0.001 and
-    # sf0.01 before landing.
+    # -- round-5 window (50 = 24 dark + 6 changed + 13 new + 7 re-checks).
+    # Positions 1-24: ALL gates still dark after r1-r4 (the r4 session-B
+    # additions plus user_state_scd2, whose r4 driver row ERRORED on the
+    # pandas sentinel bridge and therefore counts as dark —
+    # tools/rotate_window.py treats errored rows as no-evidence since
+    # r5). Next: gates semantically changed this round (ANN verdict-row
+    # conversion; MinHash-band bucketing in the n-gram Jaccard family;
+    # BPE vocab-join apply; SCD2 sentinel) interleaved with the 13 gates
+    # ADDED this round (PQ / IVF-PQ, winnowing ×2, Gopher ×2, SimHash
+    # bands, Aho-Corasick scan, WebDataset manifest, FFD bins, unicode
+    # normalization, Q15/Q22). Tail: high-churn re-checks, oldest driver
+    # evidence first. Every entry verified hash-green locally
+    # (tools/check_correctness.py) at sf0.001, sf0.01 AND sf0.1
+    # (skewed + 1g-heap axes included) before landing.
     "user_state_scd2",
     "salted_hot_join",
     "partitioned_write_prune",
