@@ -2417,6 +2417,9 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             if existing is not None
             else exact_dedup(batch_df, "text", "doc_id")
         )
+        # replay-safe by construction: on a micro-batch re-run the
+        # target already holds this batch's fingerprints, so the
+        # incremental dedup yields zero fresh rows to append
         fresh.write.mode("append").parquet(target)
 
     q = (
@@ -2463,12 +2466,18 @@ def streaming_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def add_partial(batch_df: DataFrame, batch_id: int) -> None:
+        from ..streaming.incremental import idempotent_batch_append
+
         counts = batch_df.groupBy(F.col("event_type").alias("item")).agg(
             F.count(F.lit(1)).alias("n")
         )
-        count_min_sketch(counts, item_col="item", count_col="n", width=64).write.mode(
-            "append"
-        ).parquet(target)
+        # batch-id-keyed write: a replayed micro-batch overwrites its own
+        # partition instead of appending a second (double-counting) copy
+        idempotent_batch_append(
+            count_min_sketch(counts, item_col="item", count_col="n", width=64),
+            target,
+            batch_id,
+        )
 
     q = (
         stream.writeStream.foreachBatch(add_partial)

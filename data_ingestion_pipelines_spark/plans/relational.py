@@ -1132,10 +1132,17 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="scd2en_")
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        from ..streaming.incremental import idempotent_batch_append
+
         out = asof_join(batch_df, dim, on="ts", by=["user_id"], right_cols=["state"])
-        out.select(
-            "event_id", "user_id", F.col("state_matched").alias("state_at_purchase")
-        ).write.mode("append").parquet(f"{root}/out")
+        idempotent_batch_append(
+            out.select(
+                "event_id", "user_id",
+                F.col("state_matched").alias("state_at_purchase"),
+            ),
+            f"{root}/out",
+            batch_id,  # replay-safe: re-run overwrites its own partition
+        )
 
     q = (
         stream.writeStream.foreachBatch(enrich)
@@ -1144,7 +1151,8 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(f"{root}/out")
+    # _batch_id is sink plumbing (the exactly-once partition key), not data
+    return spark.read.parquet(f"{root}/out").drop("_batch_id")
 
 
 STREAM_SCD2_ENRICHMENT_SQL = """

@@ -138,3 +138,29 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def idempotent_batch_append(
+    batch_df: DataFrame, target_path: str, batch_id: int
+) -> None:
+    """Exactly-once append for ``foreachBatch`` sinks that ADD rows
+    (partials, logs) rather than MERGE by key.
+
+    Structured Streaming re-runs a micro-batch when failure lands
+    between the sink write and the checkpoint commit; a plain
+    ``mode("append")`` then DUPLICATES the batch's rows (for additive
+    partials like CMS cells that means silent overcounting — the
+    est >= true guarantee still holds, but the bound degrades, and sums
+    are simply wrong). The standard recipe: key the write by batch id —
+    each batch overwrites ONLY its own ``_batch_id={id}`` partition
+    (dynamic partition overwrite), so a replay rewrites the identical
+    partition instead of appending a second copy. Readers ignore the
+    partition column.
+    """
+    (
+        batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(target_path)
+    )
