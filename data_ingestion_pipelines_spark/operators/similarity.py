@@ -852,3 +852,60 @@ def ivf_pq_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "jl0",
+    out: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project vectors
+    through a dense ±1/√out_dim sign matrix — the cheap, data-independent
+    way to shrink embedding width before ANN indexing or pairwise work
+    (JL: pairwise geometry survives within 1±ε for
+    out_dim = O(log n / ε²), no training pass required, unlike PCA).
+
+    The matrix is DERIVED, not stored: entry (i, j) is the sign bit of
+    ``md5(seed:i:j)`` — every executor materializes the identical matrix
+    from the seed string, nothing ships, and re-runs (or other engines)
+    reproduce the projection bit-for-bit. One Arrow matmul pass, no
+    shuffle.
+    """
+    import hashlib
+
+    import numpy as np
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+
+    def build_matrix(in_dim: int) -> "np.ndarray":
+        scale = 1.0 / np.sqrt(out_dim)
+        mat = np.empty((in_dim, out_dim))
+        for i in range(in_dim):
+            for j in range(out_dim):
+                h = hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()
+                mat[i, j] = scale if (h[0] & 1) else -scale
+        return mat
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, `{out}` ARRAY<DOUBLE>"
+    state: dict[str, "np.ndarray"] = {}
+
+    def project(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_col, out])
+                continue
+            vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            mat = state.get("m")
+            if mat is None:
+                mat = state["m"] = build_matrix(vecs.shape[1])
+            proj = vecs @ mat
+            yield pd.DataFrame({id_col: pdf[id_col], out: list(proj.tolist())})
+
+    return df.select(id_col, vec_col).mapInPandas(project, schema)

@@ -84,6 +84,7 @@ _PRIORITY = [
     "webdataset_manifest_docs",  # new this round
     "packed_bins_verdict",  # new this round
     "normalized_docs",  # new this round
+    "jl_projection_verdict",  # new this round
     "ngram_jaccard_docs",
     "near_dup_quality_survivors",
     "bpe_trained_merges",
@@ -103,7 +104,7 @@ _PRIORITY = [
     "pricing_summary",
     "corpus_curation",
     "pretraining_manifest",
-    "union_pages",
+    # union_pages rotated out (r1-green) for the new gate
     # conditional_flags rotated out (r1-green) for the new gate
     # string_funcs rotated out (r1-green) for the new gate
     # date_arith rotated out (r1-green) for the new gate

