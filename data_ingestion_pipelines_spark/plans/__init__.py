@@ -38,7 +38,7 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-5 window (50 = 24 dark + 6 changed + 13 new + 7 re-checks).
+    # -- round-5 window (50 = 24 dark + 6 changed + 14 new + 6 re-checks).
     # Positions 1-24: ALL gates still dark after r1-r4 (the r4 session-B
     # additions plus user_state_scd2, whose r4 driver row ERRORED on the
     # pandas sentinel bridge and therefore counts as dark —
@@ -48,7 +48,7 @@ _PRIORITY = [
     # BPE vocab-join apply; SCD2 sentinel) interleaved with the 13 gates
     # ADDED this round (PQ / IVF-PQ, winnowing ×2, Gopher ×2, SimHash
     # bands, Aho-Corasick scan, WebDataset manifest, FFD bins, unicode
-    # normalization, Q15/Q22). Tail: high-churn re-checks, oldest driver
+    # normalization, JL projection, Q15/Q22). Tail: high-churn re-checks, oldest driver
     # evidence first. Every entry verified hash-green locally
     # (tools/check_correctness.py) at sf0.001, sf0.01 AND sf0.1
     # (skewed + 1g-heap axes included) before landing.
