@@ -38,7 +38,7 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-5 window (50 = 24 dark + 6 changed + 14 new + 6 re-checks).
+    # -- round-5 window (50 = 24 dark + 6 changed + 15 new + 5 re-checks).
     # Positions 1-24: ALL gates still dark after r1-r4 (the r4 session-B
     # additions plus user_state_scd2, whose r4 driver row ERRORED on the
     # pandas sentinel bridge and therefore counts as dark —
@@ -85,6 +85,7 @@ _PRIORITY = [
     "packed_bins_verdict",  # new this round
     "normalized_docs",  # new this round
     "jl_projection_verdict",  # new this round
+    "temperature_mixture_plan",  # new this round
     "ngram_jaccard_docs",
     "near_dup_quality_survivors",
     "bpe_trained_merges",
@@ -103,7 +104,7 @@ _PRIORITY = [
     "xml_extract",
     "pricing_summary",
     "corpus_curation",
-    "pretraining_manifest",
+    # pretraining_manifest rotated out (r4-green) for the new gate
     # union_pages rotated out (r1-green) for the new gate
     # conditional_flags rotated out (r1-green) for the new gate
     # string_funcs rotated out (r1-green) for the new gate

@@ -389,6 +389,66 @@ GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# Temperature-scaled mixture (T=2): sampling weight ∝ share^(1/T) —
+# the standard up-weighting of small sources in multilingual /
+# multi-source pretraining mixes. 1/T = 0.5 keeps every step IEEE-exact
+# cross-engine (sqrt is correctly rounded; pow with arbitrary exponents
+# is not). The weight NORMALIZER is a sum of per-source doubles whose
+# accumulation order would otherwise be nondeterministic — both engines
+# reduce over the SORTED weight list (sources are bounded, so the
+# collect is control-plane sized), making the normalized plan
+# hash-stable under any partitioning.
+_TEMP_MIX_BUDGET = 1_000_000
+
+
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens")
+    )
+    total = per_src.agg(F.sum("total_tokens").cast("bigint").alias("_tot"))
+    w = F.sqrt(F.col("total_tokens").cast("double") / F.col("_tot").cast("double"))
+    weighted = per_src.crossJoin(F.broadcast(total)).withColumn("_w", w)
+    norm = weighted.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("_w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_z")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "total_tokens",
+            (F.col("_w") / F.col("_z")).alias("mix_weight"),
+            F.floor(F.lit(_TEMP_MIX_BUDGET) * (F.col("_w") / F.col("_z")))
+            .cast("bigint")
+            .alias("target_tokens"),
+        )
+    )
+
+
+TEMPERATURE_MIXTURE_PLAN_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(total_tokens) AS BIGINT) AS t FROM per_src
+), weighted AS (
+  SELECT source, total_tokens,
+         sqrt(CAST(total_tokens AS DOUBLE) / CAST(tot.t AS DOUBLE)) AS w
+  FROM per_src, tot
+), z AS (
+  SELECT list_reduce(list_sort(list(w)), (a, b) -> a + b) AS z FROM weighted
+)
+SELECT source, total_tokens, w / z.z AS mix_weight,
+       CAST(FLOOR({_TEMP_MIX_BUDGET} * (w / z.z)) AS BIGINT) AS target_tokens
+FROM weighted, z
+"""
+
+
+# --------------------------------------------------------------------------
 # Johnson-Lindenstrauss projection verdict: the md5-derived sign-matrix
 # projection (operators/similarity.py random_projection) must preserve
 # pairwise squared Euclidean distances within a conservative band. At
@@ -3262,6 +3322,7 @@ QUERIES = {
     "packed_bins_verdict": (packed_bins_verdict, PACKED_BINS_VERDICT_SQL),
     "normalized_docs": (normalized_docs, NORMALIZED_DOCS_SQL),
     "jl_projection_verdict": (jl_projection_verdict, JL_PROJECTION_VERDICT_SQL),
+    "temperature_mixture_plan": (temperature_mixture_plan, TEMPERATURE_MIXTURE_PLAN_SQL),
     # streaming twin, verified against the SAME oracle string
     "streaming_corpus_ingest": (streaming_corpus_ingest, CORPUS_CURATION_SQL),
     "pretraining_manifest": (pretraining_manifest, PRETRAINING_MANIFEST_SQL),

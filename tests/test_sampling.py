@@ -103,3 +103,28 @@ def test_deterministic_shuffle_order(spark):
     order_c = {r["doc_id"]: r["order_rank"] for r in c}
     assert sorted(order_c.values()) == list(range(1, 501))
     assert order_a != order_c
+
+
+def test_temperature_mixture_upweights_small_sources(spark):
+    """T=2 mixture: smaller sources get a LARGER weight per token than
+    their raw share (the point of temperature sampling); weights are a
+    distribution; layout-invariant under repartitioning."""
+    from data_ingestion_pipelines_spark.plans.llmops import (
+        temperature_mixture_plan,
+    )
+
+    out = temperature_mixture_plan(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    total_tokens = sum(r["total_tokens"] for r in rows)
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        share = r["total_tokens"] / total_tokens
+        boost = r["mix_weight"] / share
+        if share < 1 / len(rows):
+            assert boost > 1.0  # below-average sources boosted
+        else:
+            assert boost <= 1.0 + 1e-9
+    # deterministic across runs (sorted reduction)
+    again = {r["source"]: r["mix_weight"]
+             for r in temperature_mixture_plan(spark, "/root/testdata/sf0.001").collect()}
+    assert again == {r["source"]: r["mix_weight"] for r in rows}
