@@ -481,12 +481,16 @@ def jl_projection_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("projected").alias("_pb"),
     )
     pairs = l.join(r, F.col("id_a") < F.col("id_b"))
-    ratio = d2(F.col("_pa"), F.col("_pb")) / d2(F.col("_ea"), F.col("_eb"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        ((ratio >= 0.25) & (ratio <= 4.0)).alias("ratio_ok"),
+    d2o = d2(F.col("_ea"), F.col("_eb"))
+    d2p = d2(F.col("_pa"), F.col("_pb"))
+    ratio = d2p / d2o
+    # identical input vectors (d2o = 0): linearity forces an identical
+    # projection, so the pair is vacuously preserved — guard the
+    # division instead of emitting a NULL verdict
+    ok = F.when(d2o == 0.0, d2p == 0.0).otherwise(
+        (ratio >= 0.25) & (ratio <= 4.0)
     )
+    return pairs.select("id_a", "id_b", ok.alias("ratio_ok"))
 
 
 JL_PROJECTION_VERDICT_SQL = """
