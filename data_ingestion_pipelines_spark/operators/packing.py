@@ -147,16 +147,17 @@ def bin_pack_documents(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
 ) -> DataFrame:
-    """Whole-document bin packing (first-fit-decreasing) — the NO-SPLIT
+    """Whole-document bin packing (best-fit-decreasing) — the NO-SPLIT
     complement of :func:`pack_concat_chunks` for recipes that refuse to
     cut documents across sequence boundaries (instruction tuning, long-
     context curricula).
 
-    FFD runs per SHARD inside ``applyInPandas`` — shards are the
+    BFD runs per SHARD inside ``applyInPandas`` — shards are the
     parallelism unit exactly as in concat-and-chunk, so no shard's doc
     list ever leaves one task, and the greedy order
-    (tokens DESC, id ASC) makes assignments fully deterministic. FFD's
-    classic guarantee bounds waste: bins used ≤ 11/9·OPT + 1. Documents
+    (tokens DESC, id ASC; tightest-fitting bin, ties to the lowest bin
+    id) makes assignments fully deterministic. BFD's classic guarantee
+    bounds waste: bins used ≤ 11/9·OPT + 1. Documents
     LARGER than ``capacity`` get a dedicated overflow bin and
     ``oversize = true`` — flagged, never silently truncated.
 
@@ -177,26 +178,37 @@ def bin_pack_documents(
     )
 
     def pack(pdf):
+        # Best-fit-decreasing with a bisect-maintained (remaining,
+        # bin_id) list: O(docs × log bins) probe + O(bins) memmove per
+        # insert (C-speed) — a naive first-fit linear scan is
+        # O(docs × bins) ≈ quadratic on exactly the huge shards packing
+        # exists for. BFD carries the same 11/9·OPT + 1 guarantee as
+        # FFD. Deterministic: tightest remaining wins, ties to the
+        # lowest bin id.
+        import bisect
+
         import pandas as pd
 
         pdf = pdf.sort_values([token_col, id_col], ascending=[False, True])
-        bins: list[int] = []  # remaining capacity per bin
+        open_bins: list[tuple[int, int]] = []  # sorted (remaining, bin_id)
+        n_bins = 0
         assign, oversize = [], []
         for tok in pdf[token_col]:
             tok = int(tok)
             if tok > capacity:
-                bins.append(0)  # dedicated, full
-                assign.append(len(bins) - 1)
+                assign.append(n_bins)  # dedicated, full — never reopened
+                n_bins += 1
                 oversize.append(True)
                 continue
-            for b, rem in enumerate(bins):
-                if rem >= tok:
-                    bins[b] = rem - tok
-                    assign.append(b)
-                    break
+            i = bisect.bisect_left(open_bins, (tok, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                bisect.insort(open_bins, (rem - tok, b))
+                assign.append(b)
             else:
-                bins.append(capacity - tok)
-                assign.append(len(bins) - 1)
+                bisect.insort(open_bins, (capacity - tok, n_bins))
+                assign.append(n_bins)
+                n_bins += 1
             oversize.append(False)
         out = pdf[[*shard_cols, id_col]].copy()
         out["n_tokens"] = pdf[token_col].astype("int64")

@@ -147,8 +147,8 @@ def test_trainer_matches_reference_on_random_vocabs(spark):
     check()
 
 
-def test_ffd_bin_packing_matches_reference_and_flags_oversize(spark):
-    """FFD assignment must equal a pure-python replay; oversize docs get
+def test_bfd_bin_packing_matches_reference_and_flags_oversize(spark):
+    """BFD assignment must equal a pure-python replay; oversize docs get
     dedicated flagged bins; no regular bin exceeds capacity."""
     import pytest as _pytest
 
@@ -167,20 +167,22 @@ def test_ffd_bin_packing_matches_reference_and_flags_oversize(spark):
         for r in bin_pack_documents(docs, 512, ["source"]).collect()
     }
 
-    def ffd(items, cap):
-        bins, assign = [], {}
+    def bfd(items, cap):
+        bins, assign, n = [], {}, 0  # bins: (remaining, bin_id), kept sorted
+        import bisect
         for tok, did in sorted(((t, d) for _, d, t in items), key=lambda x: (-x[0], x[1])):
             if tok > cap:
-                bins.append(0); assign[did] = (len(bins) - 1, True); continue
-            for b, rem in enumerate(bins):
-                if rem >= tok:
-                    bins[b] = rem - tok; assign[did] = (b, False); break
+                assign[did] = (n, True); n += 1; continue
+            i = bisect.bisect_left(bins, (tok, -1))
+            if i < len(bins):
+                rem, b = bins.pop(i)
+                bisect.insort(bins, (rem - tok, b)); assign[did] = (b, False)
             else:
-                bins.append(cap - tok); assign[did] = (len(bins) - 1, False)
+                bisect.insort(bins, (cap - tok, n)); assign[did] = (n, False); n += 1
         return assign
 
     for src in ("a", "b"):
-        ref = ffd([r for r in rows if r[0] == src], 512)
+        ref = bfd([r for r in rows if r[0] == src], 512)
         got = {d: v for (s, d), v in out.items() if s == src}
         assert got == ref, (src, got, ref)
     assert out[("a", 6)][1] is True  # the 900-token doc is flagged
