@@ -908,6 +908,7 @@ def winnowing_overlap_pairs(
     k: int = 5,
     window: int = 4,
     min_shared: int = 2,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Passage-overlap candidate pairs: documents sharing at least
     ``min_shared`` winnowing fingerprints — the MOSS match step. Because
@@ -915,12 +916,27 @@ def winnowing_overlap_pairs(
     passage surfaces even when the rest of the documents differ
     completely (where whole-document MinHash dilutes below threshold).
 
-    One self-join on the uniform fingerprint key (md5-derived — no hot
-    keys beyond genuinely shared passages), count per pair, threshold.
+    One self-join on the uniform fingerprint key, count per pair,
+    threshold. Fingerprint keys are md5-uniform EXCEPT for passages
+    genuinely shared by many documents — a site template or license
+    header present in millions of docs turns its fingerprints into hot
+    join keys with a quadratic pair fan-out. ``max_df`` drops
+    fingerprints whose document frequency exceeds the cap before the
+    self-join (ubiquitous boilerplate carries no pairing signal anyway
+    — MOSS applies the same cull); the default is high enough that
+    only pathological boilerplate trips it. ``None`` disables the cap.
     Output ``(id_a, id_b, n_shared)``, id_a < id_b.
     """
     fps = winnowing_fingerprints(df, text_col, id_col, k, window)
-    fps = fps.localCheckpoint(eager=False)  # both join sides
+    fps = fps.localCheckpoint(eager=False)  # df filter + both join sides
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(rare, "fp", "left_semi")
     a = fps.withColumnRenamed(id_col, "id_a")
     b = fps.withColumnRenamed(id_col, "id_b")
     return (

@@ -672,3 +672,21 @@ def test_unicode_normalization_forms(spark):
 
     with _pytest.raises(ValueError, match="normalization form"):
         with_unicode_normalized(docs, form="NFX")
+
+
+def test_winnowing_overlap_max_df_culls_boilerplate(spark):
+    """A passage present in EVERY doc (site template) must stop pairing
+    once max_df trips — otherwise one hot fingerprint key yields a
+    quadratic pair fan-out at corpus scale."""
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        winnowing_overlap_pairs,
+    )
+
+    boiler = " ".join(f"tmpl{i}" for i in range(20))
+    rows = [(i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(10)))
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = winnowing_overlap_pairs(docs, min_shared=2, max_df=None).count()
+    assert uncapped == 8 * 7 / 2  # every pair collides on the template
+    capped = winnowing_overlap_pairs(docs, min_shared=2, max_df=4).count()
+    assert capped == 0  # template fingerprints culled (df=8 > 4)
