@@ -33,6 +33,11 @@ RECHECKS = [
     "pricing_summary",
     "corpus_curation",
     "pretraining_manifest",
+    # round-5 high-churn families worth periodic driver re-visits
+    "bpe_tokenized_docs",
+    "similarity_pq_topk",
+    "winnowing_overlap_docs",
+    "corpus_curation_gopher",
 ]
 
 
