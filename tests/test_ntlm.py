@@ -138,3 +138,63 @@ def test_authenticate_message_echoes_negotiated_flags():
     # negotiate message carries domain flag only when a domain is given
     neg = negotiate_message()
     assert struct.unpack("<I", neg[12:16])[0] & 0x00001000 == 0
+
+
+def test_ntlm_transport_composes_with_pagination():
+    """The transport must plug into the engine's paginate() surface: an
+    NTLM-protected 3-page API (every page demands its own handshake —
+    the stateless-Transport model re-authenticates per call) yields all
+    pages; wrong credentials yield none."""
+    import json
+
+    from data_ingestion_pipelines_spark.sources.rest import paginate
+    from data_ingestion_pipelines_spark.specs import PaginationType
+
+    pages = {
+        "http://api.test/data": {"rows": [1, 2], "next": "http://api.test/data?p=2"},
+        "http://api.test/data?p=2": {"rows": [3], "next": "http://api.test/data?p=3"},
+        "http://api.test/data?p=3": {"rows": [4], "next": None},
+    }
+
+    def ntlm_api(url, method, headers, body):
+        auth = headers.get("Authorization", "")
+        assert auth.startswith("NTLM ")
+        msg = base64.b64decode(auth[5:])
+        if struct.unpack("<I", msg[8:12])[0] == 1:
+            ch = base64.b64encode(_challenge_message()).decode()
+            return Response(401, "", {"WWW-Authenticate": f"NTLM {ch}"})
+        nt_resp = _read_buf(msg, 20)
+        user = _read_buf(msg, 36).decode("utf-16-le")
+        domain = _read_buf(msg, 28).decode("utf-16-le")
+        proof, blob = nt_resp[:16], nt_resp[16:]
+        expect = hmac.new(
+            ntowf_v2(user, domain, PASSWORD), SERVER_CHALLENGE + blob, "md5"
+        ).digest()
+        if proof != expect:
+            return Response(401, "bad credentials", {})
+        return Response(200, json.dumps(pages[url]), {})
+
+    good = NtlmTransport(ntlm_api, USER, PASSWORD, domain=DOMAIN)
+    got = list(
+        paginate(
+            "http://api.test/data",
+            transport=good,
+            pagination=PaginationType.ABSOLUTE_URL,
+            keyword="next",
+        )
+    )
+    rows = [r for p in got for r in json.loads(p)["rows"]]
+    assert rows == [1, 2, 3, 4]
+
+    bad = NtlmTransport(ntlm_api, USER, "wrong-password", domain=DOMAIN)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="HTTP 401"):
+        list(
+            paginate(
+                "http://api.test/data",
+                transport=bad,
+                pagination=PaginationType.ABSOLUTE_URL,
+                keyword="next",
+            )
+        )
