@@ -194,10 +194,20 @@ def range_join_points(
     def bucket(col):
         return F.floor(F.col(col) / F.lit(bucket_width)).cast("bigint")
 
-    # hi is exclusive: an interval ending exactly on a bucket boundary
-    # does not reach into the next bucket
-    hi_bucket = F.floor((F.col(hi_col) - F.lit(1e-9)) / F.lit(bucket_width)).cast("bigint")
-    iv = intervals.withColumn("_bucket", F.explode(F.sequence(bucket(lo_col), hi_bucket)))
+    # Buckets are emitted INCLUSIVE of floor(hi/width) even though hi is
+    # exclusive: an interval ending exactly on a boundary emits one
+    # extra bucket whose candidates the exact lo <= v < hi filter then
+    # rejects — overcount-then-filter is always correct. (An earlier
+    # `hi - 1e-9` epsilon tried to skip that bucket and was WRONG twice
+    # over: a point can land in the boundary bucket through float
+    # underflow — hypothesis found v = -5e-324, whose v/width rounds to
+    # -0.0 and buckets to 0 while (hi=0.0 - ε)/width buckets to -1 —
+    # and for |hi| ≳ 1e7 the epsilon falls below one ulp and no-ops.
+    # The point side MUST use the identical floor(v/width) float
+    # expression so both sides agree on every edge case.)
+    iv = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(bucket(lo_col), bucket(hi_col)))
+    )
     if broadcast_intervals:
         iv = F.broadcast(iv)
     pt = points.withColumn("_bucket", bucket(point_col))
