@@ -116,19 +116,19 @@ def interval_overlap_join(
 
     Degenerate intervals (``hi <= lo``) are empty under half-open
     semantics and are filtered out before bucketing — without the guard
-    their descending bucket range would misfire ``F.sequence``. The last
-    covered bucket comes exactly from the half-open bound
-    (``floor(hi/w)`` minus one when ``hi`` lands on a bucket boundary),
-    not from an epsilon subtraction, so overlaps of any positive length
-    resolve; the residual limit is float division precision when
-    ``hi / bucket_width`` itself rounds (integer-valued inputs exact).
+    their descending bucket range would misfire ``F.sequence``. Buckets
+    run INCLUSIVE to ``floor(hi/w)`` even though ``hi`` is exclusive:
+    the boundary bucket's false candidates are rejected by the exact
+    overlap predicate (overcount-then-filter, the same r5 fix as
+    ``range_join_points`` — the earlier exact-boundary "minus one"
+    optimization lost overlaps whose float ``v/width`` rounds across
+    the boundary, e.g. an overlap ``[-5e-324, -0.0)``). First-shared-
+    bucket uniqueness is preserved: with inclusive bucketing, floor
+    monotonicity guarantees both sides of any true overlap cover
+    ``floor(max(lo_a, lo_b)/w)``.
     """
     def prep(df: DataFrame, suffix: str) -> DataFrame:
-        hi_div = F.col(hi_col) / F.lit(bucket_width)
-        hi_floor = F.floor(hi_div).cast("bigint")
-        hi_bucket = F.when(
-            hi_div == hi_floor.cast("double"), hi_floor - F.lit(1)
-        ).otherwise(hi_floor)
+        hi_bucket = F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("bigint")
         lo_bucket = F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("bigint")
         return df.filter(F.col(hi_col) > F.col(lo_col)).select(
             *by,

@@ -448,3 +448,44 @@ def test_aho_corasick_property_parity(spark, needles, texts):
     auto = AhoCorasick(sorted(set(needles)))
     for t in texts:
         assert auto.scan(t) == {n for n in set(needles) if n in t}, (t, needles)
+
+
+_iv = st.tuples(st.floats(-10, 100, allow_nan=False), st.floats(0.1, 30))
+
+
+@given(
+    left=st.lists(_iv, min_size=1, max_size=5),
+    right=st.lists(_iv, min_size=1, max_size=5),
+)
+# pinned adversarial example (r5): overlap [-5e-324, -0.0) is non-empty
+# under half-open semantics, but the old exact-boundary minus-one
+# bucketing never emitted bucket 0 for hi = -0.0 — the pair was lost
+@example(left=[(-1.0, 1.0)], right=[(-5e-324, 1.0)])
+@example(left=[(0.0, 7.3)], right=[(7.3, 1.0)])  # adjacent: must NOT pair
+@SETTINGS
+def test_interval_overlap_join_matches_bruteforce(spark, left, right):
+    from data_ingestion_pipelines_spark.operators.temporal_joins import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [("g", i, lo, lo + w) for i, (lo, w) in enumerate(left)],
+        "grp string, id int, lo double, hi double",
+    )
+    rdf = spark.createDataFrame(
+        [("g", j, lo, lo + w) for j, (lo, w) in enumerate(right)],
+        "grp string, id int, lo double, hi double",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(
+            ldf, rdf, by=["grp"], bucket_width=7.3
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (lo_a, wa) in enumerate(left)
+        for j, (lo_b, wb) in enumerate(right)
+        if lo_a < lo_b + wb and lo_b < lo_a + wa
+    }
+    assert got == want
