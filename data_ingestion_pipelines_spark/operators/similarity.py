@@ -5,7 +5,7 @@
   index-order summation.
 - ``brute_force_topk`` — baseline exact top-k: broadcast the (small) query
   set, cross-join against the corpus, rank per query. One pass over the
-  corpus, no corpus shuffle until the final per-query top-k (tiny).
+  corpus.
 - ``lsh_topk`` — scale path: random-hyperplane LSH. Corpus and queries are
   bucketed by sign-pattern hash; candidates = same-bucket pairs across any
   of `num_tables` hash tables; exact cosine re-rank inside buckets. Probes
@@ -17,6 +17,16 @@
 At 100 TB the brute-force path is only for oracle/testing; LSH/IVF keep
 the probed fraction constant as the corpus grows, and both are expressed
 as joins on small integer bucket keys (AQE-friendly, broadcastable).
+
+Top-k is a TWO-PHASE reduction everywhere: each Arrow scoring batch emits
+only its own per-query top-k (ordered by the exact same total order the
+final rank uses — score desc, id asc — so dropping the rest is lossless
+for global top-k), and only then does the global
+``Window.partitionBy(query_id)`` rank run. The window therefore sees at
+most k × n_batches rows per query instead of the whole scored candidate
+set — per-query work stays bounded as the corpus grows, no
+one-task-per-query straggler. ``tests/test_topk_prereduce.py`` asserts
+the bound on every family.
 """
 
 from __future__ import annotations
@@ -44,6 +54,75 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _batch_topk(pdf, query_col: str, id_col: str, k: int, score_col: str = "score"):
+    """Per-query top-k WITHIN one pandas batch, by the exact total order
+    the final window rank uses (score desc, id asc — stable mergesort so
+    boundary ties keep the smallest ids). Because the global top-k of a
+    union is contained in the union of per-batch top-ks under the same
+    total order, discarding the rest here is lossless."""
+    if len(pdf) <= k:
+        return pdf
+    ordered = pdf.sort_values(
+        [score_col, id_col], ascending=[False, True], kind="mergesort"
+    )
+    return ordered.groupby(query_col, sort=False).head(k)
+
+
+def _prereduce_topk(
+    scored: DataFrame, query_col: str, id_col: str, k: int, score_col: str
+) -> DataFrame:
+    """Insert a zero-shuffle Arrow filter stage that keeps only each
+    batch's per-query top-k. Pure row FILTER — score values round-trip
+    through Arrow bit-exactly, so hash-oracled gates are unaffected; only
+    the volume entering the final window shrinks (≤ k × n_batches rows
+    per query instead of the whole scored relation)."""
+    types = dict(scored.dtypes)
+    schema = ", ".join(f"`{c}` {types[c]}" for c in scored.columns)
+    cols = list(scored.columns)
+
+    def run(batches):
+        for pdf in batches:
+            yield _batch_topk(pdf[cols], query_col, id_col, k, score_col)
+
+    return scored.mapInPandas(run, schema)
+
+
+def _final_topk(
+    scored: DataFrame, query_col: str, id_col: str, k: int, score_col: str = "score"
+) -> DataFrame:
+    """Global per-query rank over an already pre-reduced scored relation."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _brute_force_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Pre-reduced exact-cosine scored relation (≤ k rows/query/batch).
+
+    Scores stay pure Column algebra (deterministic index-order summation,
+    6 dp rounding) — the pre-reduction stage only filters rows."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
+    )
+    return _prereduce_topk(scored, query_id_col, id_col, k, "score")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,25 +134,11 @@ def brute_force_topk(
     """Exact top-k neighbors per query: (query_id, vec_id, score).
 
     ``queries`` must be small (it is broadcast); score rounded to 6 dp,
-    ties broken by neighbor id so output is deterministic.
-    """
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
-    scored = joined.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias("score"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    ties broken by neighbor id so output is deterministic. Per-batch
+    top-k pre-reduction bounds the final window's input (see module
+    docstring)."""
+    scored = _brute_force_scored(corpus, queries, k, id_col, vec_col, query_id_col)
+    return _final_topk(scored, query_id_col, id_col, k)
 
 
 def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
@@ -114,10 +179,10 @@ def _bucket_rows(pdf, vec_col: str, planes, bits: int, num_tables: int):
     return out
 
 
-def lsh_topk(
+def _lsh_scored(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
+    k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -125,14 +190,8 @@ def lsh_topk(
     bits: int = 6,
     dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH + exact re-rank.
-
-    Bucketing and scoring are numpy matmuls inside Arrow-batched
-    ``mapInPandas`` (a 24-plane projection per vector in interpreted
-    Column HOFs costs ~100× a batched matmul). Candidate join is on
-    (table, bucket) small-int keys; recall rises with num_tables; probed
-    fraction ≈ num_tables / 2^bits of the corpus per query.
-    """
+    """LSH candidate generation + exact re-scoring, pre-reduced to each
+    batch's per-query top-k (the final window's input is bounded)."""
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
     planes = _plane_matrix(dim, bits, num_tables)
@@ -175,13 +234,39 @@ def lsh_topk(
             dots = np.einsum("ij,ij->i", a, b)
             denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
             s = np.where(denom > 0, dots / np.where(denom == 0, 1, denom), 0.0)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {query_id_col: pdf[query_id_col], id_col: pdf[id_col], "score": np.round(s, 6)}
             )
+            yield _batch_topk(out, query_id_col, id_col, k)
 
-    scored = cand.mapInPandas(score, score_schema)
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+    return cand.mapInPandas(score, score_schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_tables: int = 4,
+    bits: int = 6,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH + exact re-rank.
+
+    Bucketing and scoring are numpy matmuls inside Arrow-batched
+    ``mapInPandas`` (a 24-plane projection per vector in interpreted
+    Column HOFs costs ~100× a batched matmul). Candidate join is on
+    (table, bucket) small-int keys; recall rises with num_tables; probed
+    fraction ≈ num_tables / 2^bits of the corpus per query. Each scoring
+    batch emits only its per-query top-k (lossless — see module
+    docstring), so the final rank input is bounded.
+    """
+    scored = _lsh_scored(
+        corpus, queries, k, id_col, vec_col, query_id_col, num_tables, bits, dim
+    )
+    return _final_topk(scored, query_id_col, id_col, k)
 
 
 def _score_pairs_numpy(
