@@ -18,15 +18,16 @@ At 100 TB the brute-force path is only for oracle/testing; LSH/IVF keep
 the probed fraction constant as the corpus grows, and both are expressed
 as joins on small integer bucket keys (AQE-friendly, broadcastable).
 
-Top-k is a TWO-PHASE reduction everywhere: each Arrow scoring batch emits
-only its own per-query top-k (ordered by the exact same total order the
-final rank uses — score desc, id asc — so dropping the rest is lossless
-for global top-k), and only then does the global
-``Window.partitionBy(query_id)`` rank run. The window therefore sees at
-most k × n_batches rows per query instead of the whole scored candidate
-set — per-query work stays bounded as the corpus grows, no
-one-task-per-query straggler. ``tests/test_topk_prereduce.py`` asserts
-the bound on every family.
+Top-k is a TWO-PHASE reduction in every search family (brute-force, LSH,
+IVF, int8-quantized, flat-PQ/ADC, IVF-PQ): each Arrow scoring batch
+emits only its own per-query top-k (ordered by the exact same total
+order the final rank uses — score desc NULLS LAST, id asc NULLS FIRST —
+so dropping the rest is lossless for global top-k), and only then does
+the global ``Window.partitionBy(query_id)`` rank run. The window
+therefore sees at most k × n_batches rows per query instead of the
+whole scored candidate set — per-query work stays bounded as the corpus
+grows, no one-task-per-query straggler. ``tests/test_topk_prereduce.py``
+asserts the bound and boundary-tie losslessness for each family.
 """
 
 from __future__ import annotations
@@ -56,16 +57,22 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 
 def _batch_topk(pdf, query_col: str, id_col: str, k: int, score_col: str = "score"):
     """Per-query top-k WITHIN one pandas batch, by the exact total order
-    the final window rank uses (score desc, id asc — stable mergesort so
-    boundary ties keep the smallest ids). Because the global top-k of a
-    union is contained in the union of per-batch top-ks under the same
-    total order, discarding the rest here is lossless."""
+    the final window rank uses (score desc NULLS LAST, id asc NULLS
+    FIRST — Spark's defaults). Because the global top-k of a union is
+    contained in the union of per-batch top-ks under the same total
+    order, discarding the rest here is lossless.
+
+    Null semantics match the window exactly: two chained stable
+    mergesorts give lexicographic (score desc nulls-last, id asc
+    nulls-first) — a single ``sort_values`` can't place nulls
+    differently per key — and ``groupby(dropna=False)`` keeps null
+    query ids as their own partition, as ``Window.partitionBy`` does.
+    (No scorer here emits null scores, but null ids are legal.)"""
     if len(pdf) <= k:
         return pdf
-    ordered = pdf.sort_values(
-        [score_col, id_col], ascending=[False, True], kind="mergesort"
-    )
-    return ordered.groupby(query_col, sort=False).head(k)
+    ordered = pdf.sort_values(id_col, ascending=True, kind="mergesort", na_position="first")
+    ordered = ordered.sort_values(score_col, ascending=False, kind="mergesort", na_position="last")
+    return ordered.groupby(query_col, sort=False, dropna=False).head(k)
 
 
 def _prereduce_topk(
@@ -275,10 +282,13 @@ def _score_pairs_numpy(
     vec_b: str,
     keep: list[str],
     round_dp: int = 6,
+    topk: tuple[str, str, int] | None = None,
 ) -> DataFrame:
     """Cosine per row between two vector columns, vectorized per Arrow
     batch; output keep-cols + ``score`` (rounded for cross-engine hash
-    stability)."""
+    stability). ``topk=(query_col, id_col, k)`` applies the lossless
+    per-batch top-k pre-reduction inside the same Arrow stage (see
+    :func:`_batch_topk`) so downstream ranking sees a bounded relation."""
     keep_types = dict(pairs.dtypes)
     schema = ", ".join(f"`{c}` {keep_types[c]}" for c in keep) + ", score DOUBLE"
 
@@ -297,6 +307,8 @@ def _score_pairs_numpy(
             s = np.where(denom > 0, dots / np.where(denom == 0, 1, denom), 0.0)
             out = pdf[keep].copy()
             out["score"] = np.round(s, round_dp)
+            if topk is not None:
+                out = _batch_topk(out, topk[0], topk[1], topk[2])
             yield out
 
     return pairs.mapInPandas(run, schema)
@@ -373,6 +385,9 @@ def kmeans_centroids(
     import numpy as np
 
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if not rows:
+        raise ValueError("kmeans_centroids: corpus is empty")
+    k = min(k, len(rows))  # fewer rows than requested lists: clamp, don't crash
     cents = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
     dim = cents.shape[1]
@@ -464,9 +479,11 @@ def ivf_topk(
     q = q_in.mapInPandas(run_q, schema_q).withColumnRenamed(vec_col, "_qvec")
 
     cand = c.join(F.broadcast(q), on="list_id").dropDuplicates([query_id_col, id_col])
-    scored = _score_pairs_numpy(cand, vec_col, "_qvec", keep=[query_id_col, id_col])
-    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+    scored = _score_pairs_numpy(
+        cand, vec_col, "_qvec", keep=[query_id_col, id_col],
+        topk=(query_id_col, id_col, k),
+    )
+    return _final_topk(scored, query_id_col, id_col, k)
 
 
 # --------------------------------------------------------------------------
@@ -552,14 +569,10 @@ def quantized_topk(
         lambda acc, x: acc + x,
     )
     scored = joined.select(query_id_col, id_col, qdot.alias("qdot"))
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("qdot").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    # integer scores survive Arrow bit-exactly; pre-reduce bounds the
+    # final window to k rows per (query, batch) instead of the corpus
+    scored = _prereduce_topk(scored, query_id_col, id_col, k, "qdot")
+    return _final_topk(scored, query_id_col, id_col, k, score_col="qdot")
 
 
 # --------------------------------------------------------------------------
@@ -597,6 +610,14 @@ def train_pq_codebooks(
     import numpy as np
 
     rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(codebook_k).collect()
+    if not rows:
+        raise ValueError("train_pq_codebooks: corpus is empty")
+    if len(rows) < codebook_k:
+        # fewer vectors than requested codewords: a k-codeword codebook
+        # can't be seeded. Clamp to the corpus size (still a valid PQ,
+        # just a smaller codebook) instead of crashing in the Lloyd
+        # update with an init/(sums,counts) shape mismatch.
+        codebook_k = len(rows)
     init = np.asarray([list(r[vec_col]) for r in rows], dtype="float64")
     init /= np.maximum(np.linalg.norm(init, axis=1, keepdims=True), 1e-12)
     dim = init.shape[1]
@@ -698,11 +719,20 @@ def pq_topk(
     codebook_k: int = 16,
     lloyd_iters: int = 2,
 ) -> DataFrame:
-    """Flat-PQ search: ADC-score every COMPRESSED corpus vector against
-    each query's (m × k) lookup table, exact top-k on the approximate
-    scores. Queries are a bounded frame (collected once, like the IVF
-    centroid read); the corpus side streams codes — m ints per vector —
-    through one Arrow stage and never touches the float vectors again.
+    """Flat-PQ search (FAISS ``IndexPQ`` tier): ADC-score every
+    COMPRESSED corpus vector against each query's (m × k) lookup table,
+    exact top-k on the approximate scores. Queries are a bounded frame
+    (collected once, like the IVF centroid read); the corpus side
+    streams codes — m ints per vector — through one Arrow stage and
+    never touches the float vectors again.
+
+    TIERING: this is deliberately the FULL-SCAN compressed tier — it
+    reads 100% of the code table (m bytes/vector, so a 100 TB float
+    corpus scans as ~m/(4·dim) of that, e.g. ~3 TB at dim=64, m=8) with
+    no coarse pruning. Use it when recall must not compound a second
+    approximation, or as the exact-over-codes re-rank stage. When scan
+    cost dominates, use :func:`ivf_pq_topk`, which prunes to
+    ``nprobe/num_lists`` of the corpus before the same ADC scoring.
     Output ``(query_id, vec_id, score)`` where score is the ADC inner
     product (approximate — recall floors are the verification contract).
     """
@@ -761,19 +791,15 @@ def pq_search_codes(
                 out_qids.extend([qid] * len(cm))
                 out_ids.extend(pdf[id_col].tolist())
                 out_scores.extend(scores.tolist())
-            yield pd.DataFrame(
-                {query_id_col: out_qids, id_col: out_ids, "score": out_scores}
+            yield _batch_topk(
+                pd.DataFrame(
+                    {query_id_col: out_qids, id_col: out_ids, "score": out_scores}
+                ),
+                query_id_col, id_col, k,
             )
 
     scored = codes.select(id_col, "codes").mapInPandas(adc, schema)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _final_topk(scored, query_id_col, id_col, k)
 
 
 def save_pq_index(
@@ -924,19 +950,15 @@ def ivf_pq_topk(
                     out_qids.extend([qid] * len(cm))
                     out_ids.extend(grp[id_col].tolist())
                     out_scores.extend(scores.tolist())
-            yield pd.DataFrame(
-                {query_id_col: out_qids, id_col: out_ids, "score": out_scores}
+            yield _batch_topk(
+                pd.DataFrame(
+                    {query_id_col: out_qids, id_col: out_ids, "score": out_scores}
+                ),
+                query_id_col, id_col, k,
             )
 
     scored = encoded.mapInPandas(adc_probed, out_schema)
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    return _final_topk(scored, query_id_col, id_col, k)
 
 
 def random_projection(

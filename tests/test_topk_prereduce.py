@@ -1,0 +1,177 @@
+"""Per-batch top-k pre-reduction: bound + losslessness, every family.
+
+The similarity module promises (module docstring) that EVERY search
+family is a two-phase top-k: Arrow batches emit only their per-query
+top-k, so the final ``Window.partitionBy(query_id)`` sees at most
+k × n_batches rows per query. These tests observe the relation actually
+entering ``_final_topk`` (by monkeypatching it) and assert:
+
+  1. the bound holds for brute-force, LSH, IVF, quantized, PQ, IVF-PQ;
+  2. pre-reduction is lossless at k-boundary score ties (smallest ids
+     win, identical to the un-reduced global window);
+  3. ``_batch_topk`` matches the window's null semantics exactly
+     (null query ids keep their own partition; null ids sort first).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators import similarity as sim
+
+
+def _toy_embeddings(spark, n=200, dim=8, parts=8):
+    rows = []
+    for i in range(n):
+        vec = []
+        for d in range(dim):
+            h = hashlib.md5(f"{i}:{d}".encode()).digest()
+            vec.append(int.from_bytes(h[:4], "big") / float(1 << 32) * 2 - 1)
+        rows.append((i, vec))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(parts)
+
+
+def _queries(emb, n=3):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture()
+def capture_final(monkeypatch):
+    """Route _final_topk through a capturing wrapper; returns the list of
+    (scored_df, query_col, k) calls so tests can inspect the relation the
+    global window actually consumed."""
+    calls = []
+    orig = sim._final_topk
+
+    def wrapper(scored, query_col, id_col, k, score_col="score"):
+        calls.append((scored, query_col, k))
+        return orig(scored, query_col, id_col, k, score_col)
+
+    monkeypatch.setattr(sim, "_final_topk", wrapper)
+    return calls
+
+
+def _assert_bounded(calls, k):
+    assert calls, "family did not route through _final_topk"
+    scored, query_col, kk = calls[-1]
+    assert kk == k
+    n_parts = scored.rdd.getNumPartitions()
+    per_query = scored.groupBy(query_col).count().collect()
+    assert per_query, "empty scored relation"
+    for r in per_query:
+        assert r["count"] <= k * max(n_parts, 1), (
+            f"query {r[query_col]} fed {r['count']} rows into the final "
+            f"window; pre-reduce bound is k×n_batches = {k}×{n_parts}"
+        )
+
+
+def test_brute_force_bound(spark, capture_final):
+    emb = _toy_embeddings(spark)
+    out = sim.brute_force_topk(emb, _queries(emb), k=5)
+    assert out.groupBy("query_id").count().agg(F.max("count")).first()[0] == 5
+    _assert_bounded(capture_final, 5)
+
+
+def test_lsh_bound(spark, capture_final):
+    emb = _toy_embeddings(spark)
+    sim.lsh_topk(emb, _queries(emb), k=5, num_tables=4, bits=2, dim=8).collect()
+    _assert_bounded(capture_final, 5)
+
+
+def test_ivf_bound(spark, capture_final):
+    emb = _toy_embeddings(spark)
+    sim.ivf_topk(emb, _queries(emb), k=5, num_lists=4, nprobe=4).collect()
+    _assert_bounded(capture_final, 5)
+
+
+def test_quantized_bound(spark, capture_final):
+    emb = _toy_embeddings(spark)
+    q = sim.quantize_embeddings(emb, dim=8).select("vec_id", "qvec")
+    sim.quantized_topk(
+        q, _queries(emb), k=5, vec_col="qvec"
+    ).collect()
+    _assert_bounded(capture_final, 5)
+
+
+def test_pq_bound(spark, capture_final):
+    emb = _toy_embeddings(spark)
+    sim.pq_topk(emb, _queries(emb), k=5, m=4, codebook_k=16).collect()
+    _assert_bounded(capture_final, 5)
+
+
+def test_ivf_pq_bound(spark, capture_final):
+    emb = _toy_embeddings(spark)
+    sim.ivf_pq_topk(
+        emb, _queries(emb), k=5, num_lists=4, nprobe=2, m=4, codebook_k=16
+    ).collect()
+    _assert_bounded(capture_final, 5)
+
+
+def test_boundary_ties_lossless(spark):
+    """Many identical vectors (exact score ties at the k boundary) spread
+    across partitions: the pre-reduced result must equal the global-window
+    answer — the k smallest ids among the tied top scores."""
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(i, base) for i in range(20)] + [(100 + i, other) for i in range(20)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).repartition(8)
+    queries = spark.createDataFrame(
+        [(0, base)], "query_id bigint, embedding array<double>"
+    )
+    got = sorted(
+        (r["vec_id"], r["score"])
+        for r in sim.brute_force_topk(emb, queries, k=7).collect()
+    )
+    # 20 vectors tie at score 1.0; ties break by id asc → ids 0..6
+    assert got == [(i, 1.0) for i in range(7)]
+
+
+def test_batch_topk_null_semantics():
+    """dropna=False groupby + two-pass stable sort = the Spark window's
+    (score desc NULLS LAST, id asc NULLS FIRST) per-null-partition order."""
+    pdf = pd.DataFrame(
+        {
+            "query_id": [1, 1, 1, None, None, None],
+            "vec_id": [pd.NA, 10, 20, 5, pd.NA, 7],
+            "score": [0.9, 0.9, 0.5, 0.8, 0.8, 0.1],
+        },
+        dtype="object",
+    ).astype({"score": "float64"})
+    out = sim._batch_topk(pdf, "query_id", "vec_id", 2)
+    # null query_id rows survive as their own group (window semantics)
+    null_grp = out[out["query_id"].isna()]
+    assert len(null_grp) == 2
+    # among the null-query ties at 0.8, the null id sorts FIRST (asc
+    # NULLS FIRST), so (id=NA, 0.8) and (id=5, 0.8) are kept
+    assert list(null_grp["score"]) == [0.8, 0.8]
+    assert pd.isna(null_grp["vec_id"].iloc[0]) and null_grp["vec_id"].iloc[1] == 5
+    # in query 1, ties at 0.9: null id first, then id 10
+    grp1 = out[out["query_id"] == 1]
+    assert len(grp1) == 2
+    assert pd.isna(grp1["vec_id"].iloc[0]) and grp1["vec_id"].iloc[1] == 10
+
+
+def test_small_corpus_codebook_clamp(spark):
+    """rows < codebook_k with lloyd_iters>=1 used to IndexError in the
+    Lloyd update (init shaped by rows, mask shaped by codebook_k). Now
+    the codebook clamps to the corpus size and search still works."""
+    emb = _toy_embeddings(spark, n=6, parts=2)
+    books = sim.train_pq_codebooks(emb, m=4, codebook_k=16, lloyd_iters=2)
+    assert books.shape == (4, 6, 2)  # clamped to 6 codewords
+    out = sim.pq_topk(emb, _queries(emb, 2), k=3, m=4, codebook_k=16)
+    assert out.groupBy("query_id").count().agg(F.max("count")).first()[0] == 3
+    # kmeans clamps the same way
+    cents = sim.kmeans_centroids(emb, k=16, iters=2)
+    assert cents.shape == (6, 8)
+    with pytest.raises(ValueError, match="empty"):
+        sim.train_pq_codebooks(emb.filter(F.col("vec_id") < 0), m=4)
