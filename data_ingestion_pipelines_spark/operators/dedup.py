@@ -496,16 +496,19 @@ def _gram_array(toks_col: str, n: int):
 
 
 def _bucket_col(grams_col, toks_col: str, bucket_prefix_tokens: int | None):
-    """Candidate-bucket key for the gram self-join.
+    """Candidate-bucket key for the gram self-join (SINGLE band).
 
     Default (``bucket_prefix_tokens=None``): a one-row MinHash band —
     ``min(md5(gram))`` over the doc's distinct grams. Uniformly
     distributed (the min of per-gram hashes), so no key is hot unless
-    the docs genuinely share gram sets, and a pair with Jaccard J
-    collides with probability exactly J — recall ≥ threshold at the
-    thresholds dedup uses. Engine-portable: DuckDB's
-    ``list_min(list_transform(g, x -> md5(x)))`` computes the identical
-    key, so the whole operator stays hash-oracle-verifiable.
+    the docs genuinely share gram sets. HONEST RECALL: a pair with
+    Jaccard J collides with probability exactly J, i.e. a single band
+    MISSES a fraction (1−J) of true pairs — ~20% at J=0.8. Callers that
+    need amplified recall use :func:`_band_keys` (OR-construction over
+    salted bands: miss rate (1−J)^b), which is what
+    :func:`ngram_jaccard_pairs` does by default. Engine-portable:
+    DuckDB's ``list_min(list_transform(g, x -> md5(x)))`` computes the
+    identical key, so the operator stays hash-oracle-verifiable.
 
     Opt-in (``bucket_prefix_tokens=k``): the document's first k tokens.
     Cheaper (no per-gram hash) but Zipf-skewed at web scale — every
@@ -517,6 +520,35 @@ def _bucket_col(grams_col, toks_col: str, bucket_prefix_tokens: int | None):
     return F.array_min(F.transform(grams_col, F.md5))
 
 
+def _band_keys(grams_col, num_bands: int):
+    """OR-construction candidate bands: ``num_bands`` independent salted
+    one-row MinHash keys, band t's key = min(md5("t:" || gram)).
+
+    A pair at Jaccard J shares band t's key with probability J (each
+    salt is an independent uniform hash of the gram universe), so the
+    pair is a candidate in AT LEAST one band with probability
+    1 − (1−J)^num_bands: at J=0.8, 4 bands take the miss rate from 20%
+    to 0.16%. Keys stay uniform per band — amplification multiplies
+    gram rows by num_bands, never concentrates them. Returns an
+    ``array<struct<_t:int,_bucket:string>>`` to explode.
+    """
+    def _salted(t: int):
+        # arity-1 lambda factory: a 2-arg lambda (even with a default)
+        # would be called by PySpark as (element, index)
+        salt = f"{t}:"
+        return lambda g: F.md5(F.concat(F.lit(salt), g))
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("_t"),
+                F.array_min(F.transform(grams_col, _salted(t))).alias("_bucket"),
+            )
+            for t in range(num_bands)
+        ]
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -524,47 +556,73 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     bucket_prefix_tokens: int | None = None,
+    num_bands: int = 4,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over cheap candidate buckets.
 
-    Exploded-gram formulation: one row per (doc, distinct gram), self-join
-    on (bucket, gram), count matches = |A∩B|, and |A∪B| = |A|+|B|−|A∩B|
-    from per-doc set sizes. Everything stays JVM-side as shuffles on
-    uniform keys — no per-pair document payload ever moves (a pairwise
-    text join ships O(pairs·doclen) bytes; this ships O(grams)).
-    Candidates are bucketed by a MinHash band by default (uniform keys;
-    see :func:`_bucket_col` — first-token prefixes are opt-in and
-    Zipf-hot at scale). Output ``(id_a, id_b, jaccard)``, id_a < id_b,
-    jaccard ≥ threshold.
+    Exploded-gram formulation: one row per (doc, band, distinct gram),
+    self-join on (band, bucket, gram), distinct matched grams = |A∩B|,
+    and |A∪B| = |A|+|B|−|A∩B| from per-doc set sizes. Everything stays
+    JVM-side as shuffles on uniform keys — no per-pair document payload
+    ever moves (a pairwise text join ships O(pairs·doclen) bytes; this
+    ships O(grams·num_bands)).
+
+    Candidates come from ``num_bands`` OR-amplified salted MinHash bands
+    (:func:`_band_keys`): a pair at Jaccard J is a candidate with
+    probability 1 − (1−J)^num_bands (99.84% at J=0.8 with the default 4
+    bands, vs exactly J — an honest 20% miss — for a single band). The
+    Jaccard reported for surviving candidates is EXACT; only candidate
+    recall is probabilistic. ``bucket_prefix_tokens=k`` opts into the
+    legacy single first-k-tokens bucket (Zipf-hot at scale; see
+    :func:`_bucket_col`), ignoring ``num_bands``. Output
+    ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard ≥ threshold.
     """
+    if num_bands < 1:
+        raise ValueError(f"num_bands must be >= 1, got {num_bands}")
     df = _spread(df)
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
     # materialize tokens behind a barrier: slicing a bound array column is
     # O(k) per element; slicing the regexp EXPRESSION re-evaluates the
     # tokenizer per element under interpreted HOF eval
     toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
-    # bind the gram ARRAY once: the bucket (array_min over md5s) and the
-    # explode both read it — inlining the gram expression would build the
-    # array twice per row
+    # bind the gram ARRAY once: the band keys (array_min over md5s) and
+    # the explode both read it — inlining the gram expression would build
+    # the array once per consumer
     gram_df = toks_df.select(
         F.col(id_col),
         F.col("_toks"),
         _gram_array("_toks", n).alias("_grams"),
     ).localCheckpoint(eager=False)
-    grams = gram_df.select(
-        F.col(id_col),
-        _bucket_col(F.col("_grams"), "_toks", bucket_prefix_tokens).alias("_bucket"),
-        F.explode("_grams").alias("_g"),
-    ).localCheckpoint(eager=False)  # consumed by both join sides + sizes
+    if bucket_prefix_tokens is not None:
+        banded = gram_df.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("_t"),
+            _bucket_col(F.col("_grams"), "_toks", bucket_prefix_tokens).alias("_bucket"),
+            F.col("_grams"),
+        )
+    else:
+        banded = gram_df.select(
+            F.col(id_col), F.col("_grams"), F.explode(_band_keys(F.col("_grams"), num_bands)).alias("_band")
+        ).select(
+            F.col(id_col),
+            F.col("_band._t").alias("_t"),
+            F.col("_band._bucket").alias("_bucket"),
+            F.col("_grams"),
+        )
+    grams = banded.select(
+        F.col(id_col), "_t", "_bucket", F.explode("_grams").alias("_g")
+    ).localCheckpoint(eager=False)  # consumed by both join sides
 
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    sizes = gram_df.select(F.col(id_col), F.size("_grams").cast("bigint").alias("_sz"))
     a = grams.withColumnRenamed(id_col, "id_a")
     b = grams.withColumnRenamed(id_col, "id_b")
+    # countDistinct: a pair colliding in several bands must count each
+    # shared gram ONCE, not once per colliding band
     inter = (
-        a.join(b, on=["_bucket", "_g"])
+        a.join(b, on=["_t", "_bucket", "_g"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .agg(F.countDistinct("_g").alias("_inter"))
     )
     return (
         inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_sz": "_sz_a"}), "id_a")
@@ -908,7 +966,7 @@ def winnowing_overlap_pairs(
     k: int = 5,
     window: int = 4,
     min_shared: int = 2,
-    max_df: int | None = 100_000,
+    max_df: int | None = 1_000,
 ) -> DataFrame:
     """Passage-overlap candidate pairs: documents sharing at least
     ``min_shared`` winnowing fingerprints — the MOSS match step. Because
@@ -923,8 +981,11 @@ def winnowing_overlap_pairs(
     join keys with a quadratic pair fan-out. ``max_df`` drops
     fingerprints whose document frequency exceeds the cap before the
     self-join (ubiquitous boilerplate carries no pairing signal anyway
-    — MOSS applies the same cull); the default is high enough that
-    only pathological boilerplate trips it. ``None`` disables the cap.
+    — MOSS applies the same cull). The default of 1_000 bounds any one
+    fingerprint to ≤ ~500k pairs; a permissive cap (the old 100_000
+    default) legally admits ~5×10⁹ pairs from ONE template fingerprint,
+    which is a job-killer, not a tail risk, on web corpora. ``None``
+    disables the cap (oracle/small-corpus use only).
     Output ``(id_a, id_b, n_shared)``, id_a < id_b.
     """
     fps = winnowing_fingerprints(df, text_col, id_col, k, window)

@@ -173,11 +173,13 @@ FROM scored
 # Exact n-gram Jaccard near-dup pairs (bucketed self-join)
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    # default bucketing = MinHash band (min(md5(gram))) — uniform keys;
-    # the oracle below reproduces the identical bucket in DuckDB
+    # default bucketing = 4 OR-amplified salted MinHash bands (candidate
+    # recall 1-(1-J)^4); the oracle reproduces the identical band keys
     return ngram_jaccard_pairs(docs, n=3, threshold=0.05)
 
 
+# candidate generation mirrors _band_keys: 4 OR-amplified salted MinHash
+# bands, band t's key = min(md5('t:' || gram)) — bit-identical in DuckDB
 NGRAM_JACCARD_DOCS_SQL = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
@@ -188,13 +190,22 @@ WITH toks AS (
                                         i -> array_to_string(t[i:i+2], ' ')))
          ELSE [array_to_string(t, ' ')] END AS g
   FROM toks
-), grams AS (
-  SELECT doc_id, g, list_min(list_transform(g, x -> md5(x))) AS bucket FROM gsets
+), bands AS (
+  SELECT s.doc_id, s.g, t.band,
+         list_min(list_transform(s.g,
+           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
+  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
-FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.g, b.g)) / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.05
+SELECT c.id_a, c.id_b,
+       len(list_intersect(ga.g, gb.g)) / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN gsets ga ON ga.doc_id = c.id_a
+JOIN gsets gb ON gb.doc_id = c.id_b
+WHERE len(list_intersect(ga.g, gb.g)) / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.05
 """
 
 
@@ -1867,13 +1878,20 @@ def winnowing_overlap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# reuse the fingerprint CTE chain verbatim, append the pair join
+# reuse the fingerprint CTE chain verbatim, append the df cap + pair join
+# (the max_df=1000 cull mirrors winnowing_overlap_pairs' default so the
+# oracle stays semantics-identical at ANY corpus scale, not just where
+# no fingerprint is that frequent)
 WINNOWING_OVERLAP_DOCS_SQL = WINNOWING_FINGERPRINTS_DOCS_SQL.replace(
     """SELECT doc_id, CAST(u.fp AS BIGINT) AS fp
 FROM minima, LATERAL (SELECT unnest(fps) AS fp) u""",
-    """, fps AS (
+    """, fps_all AS (
   SELECT doc_id, CAST(u.fp AS BIGINT) AS fp
   FROM minima, LATERAL (SELECT unnest(fps) AS fp) u
+), fps AS (
+  SELECT f.doc_id, f.fp FROM fps_all f
+  JOIN (SELECT fp FROM fps_all GROUP BY fp HAVING COUNT(*) <= 1000) rare
+    ON f.fp = rare.fp
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -3272,13 +3290,22 @@ WITH toks AS (
          ELSE [array_to_string(t, ' ')] END AS g,
          CAST(len(t) AS BIGINT) AS q
   FROM toks
-), grams AS (
-  SELECT doc_id, g, q, list_min(list_transform(g, x -> md5(x))) AS bucket FROM gsets
+), bands AS (
+  SELECT s.doc_id, s.g, s.q, t.band,
+         list_min(list_transform(s.g,
+           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
+  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.q AS qa, b.q AS qb,
-         len(list_intersect(a.g, b.g))
-           / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS jaccard
-  FROM grams a JOIN grams b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  SELECT c.id_a, c.id_b, ga.q AS qa, gb.q AS qb,
+         len(list_intersect(ga.g, gb.g))
+           / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN gsets ga ON ga.doc_id = c.id_a
+  JOIN gsets gb ON gb.doc_id = c.id_b
 )
 SELECT id_a, id_b,
        CASE WHEN qa > qb OR (qa = qb AND id_a < id_b) THEN id_a ELSE id_b END AS keep_id,

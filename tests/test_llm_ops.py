@@ -108,6 +108,32 @@ def test_ngram_bucket_not_zipf_hot_on_same_prefix_corpus(spark):
     assert (0, 100) in got                # the true dup still collides
 
 
+def test_ngram_jaccard_band_amplification_recall(spark):
+    """OR-construction recall: a single MinHash band catches a pair at
+    Jaccard J with probability exactly J (an honest ~50% miss at J=0.5);
+    4 salted bands amplify that to 1-(1-J)^4 = 93.75%. 40 disjoint
+    pairs at exact token-Jaccard 0.5 (n=1 grams = token sets), md5 keys
+    fully deterministic — the observed counts are stable across runs."""
+    rows = []
+    for p in range(40):
+        rows.append((2 * p, " ".join(f"p{p}w{j}" for j in range(6))))
+        rows.append((2 * p + 1, " ".join(f"p{p}w{j}" for j in range(2, 8))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    found1 = {(r["id_a"], r["id_b"]) for r in
+              ngram_jaccard_pairs(docs, n=1, threshold=0.4, num_bands=1).collect()}
+    found4 = {(r["id_a"], r["id_b"]) for r in
+              ngram_jaccard_pairs(docs, n=1, threshold=0.4, num_bands=4).collect()}
+    true_pairs = {(2 * p, 2 * p + 1) for p in range(40)}
+    assert found1 <= true_pairs and found4 <= true_pairs  # exact verify: no false pairs
+    assert found1 <= found4 or len(found4) > len(found1)  # amplification only adds
+    assert len(found4) >= 32          # >= 80% observed (expected 93.75%)
+    assert len(found4) > len(found1)  # single band provably lossier here
+    # reported Jaccard is exact for every surviving candidate
+    vals = {r["jaccard"] for r in
+            ngram_jaccard_pairs(docs, n=1, threshold=0.4, num_bands=4).collect()}
+    assert vals == {0.5}
+
+
 def test_simhash_neardup_pairs_matches_brute_force(spark):
     """Band candidates + exact verify must equal the literal all-pairs
     Hamming filter (pigeonhole completeness for hamming <= max with
