@@ -541,7 +541,7 @@ def webdataset_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WEBDATASET_MANIFEST_DOCS_SQL = """
-SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+SELECT CAST(((doc_id % 8) + 8) % 8 AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_samples,
        CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
        CAST(MIN(doc_id) AS BIGINT) AS min_id,

@@ -36,12 +36,14 @@ def webdataset_manifest(
 ) -> DataFrame:
     """(shard, n_samples, total_bytes, min_id, max_id): the export plan.
 
-    Shard assignment is ``id % num_shards`` — stable across runs and
-    engines; byte accounting is UTF-8 payload length. This frame IS the
-    hash-verifiable half of the export: the tar writer consumes the
-    identical assignment.
+    Shard assignment is ``pmod(id, num_shards)`` — stable across runs
+    and engines, and non-negative even for negative ids (plain ``%``
+    follows the dividend's sign in both Spark and DuckDB, which yielded
+    a ``shard--00001`` file name); byte accounting is UTF-8 payload
+    length. This frame IS the hash-verifiable half of the export: the
+    tar writer consumes the identical assignment.
     """
-    shard = (F.col(id_col) % num_shards).cast("bigint").alias("shard")
+    shard = F.pmod(F.col(id_col), F.lit(num_shards)).cast("bigint").alias("shard")
     return (
         df.select(shard, F.col(id_col), F.col(text_col))
         .groupBy("shard")
@@ -75,7 +77,7 @@ def write_webdataset_shards(
 
     meta_cols = meta_cols or []
     os.makedirs(out_dir, exist_ok=True)
-    shard_col = (F.col(id_col) % num_shards).cast("int")
+    shard_col = F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
     prepared = (
         df.select(
             shard_col.alias("_shard"), F.col(id_col), F.col(text_col), *meta_cols
@@ -95,6 +97,14 @@ def write_webdataset_shards(
                 if tf is None:
                     path = os.path.join(out_dir, f"shard-{sh:06d}.tar")
                     tf = tars[sh] = tarfile.open(path, "w")
+                if row[id_col] < 0:
+                    # {id:012d} on a negative id yields a malformed
+                    # 13-char "-00000000001" member name; fail loudly
+                    # rather than write an unreadable shard
+                    raise ValueError(
+                        f"write_webdataset_shards: negative {id_col}="
+                        f"{row[id_col]} cannot form a 12-digit member name"
+                    )
                 base = f"{row[id_col]:012d}"
                 payload = (row[text_col] or "").encode("utf-8")
                 info = tarfile.TarInfo(name=f"{base}.txt")

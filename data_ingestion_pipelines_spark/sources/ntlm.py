@@ -171,9 +171,12 @@ def ntlmv2_response(
 # Message packing/parsing
 
 _SIGNATURE = b"NTLMSSP\x00"
-# UNICODE | REQUEST_TARGET | NTLM | ALWAYS_SIGN | EXTENDED_SESSIONSECURITY
-#  | TARGET_INFO | VERSION-less
-_NEG_FLAGS = 0x00088207
+# UNICODE (0x1) | OEM (0x2) | REQUEST_TARGET (0x4) | NTLM (0x200)
+#  | ALWAYS_SIGN (0x8000) | EXTENDED_SESSIONSECURITY (0x80000)
+#  | TARGET_INFO (0x800000), VERSION-less. TARGET_INFO must actually be
+#  set: a strict server only includes the AV-pair block (which the
+#  NTLMv2 blob echoes back) when the client negotiates it.
+_NEG_FLAGS = 0x00888207
 
 
 def _sec_buf(payload_off: int, data: bytes) -> tuple[bytes, int]:
@@ -280,10 +283,15 @@ def _unix_to_filetime(unix_sec: float) -> int:
 class NtlmTransport:
     """Wrap a connection-sticky ``Transport`` with the NTLM handshake.
 
-    Per call: send NEGOTIATE; on 401 + ``WWW-Authenticate: NTLM <b64>``
-    parse the CHALLENGE and resend with the AUTHENTICATE proof; any
-    other response passes through untouched (server didn't demand NTLM).
-    ``clock``/``rng`` are injectable for deterministic tests.
+    NTLM authenticates the CONNECTION, not the request (module
+    docstring): once the 3-leg handshake succeeds, every further
+    request on the same keep-alive connection is already authenticated.
+    This wrapper therefore does the handshake ONCE, then sends
+    subsequent requests bare; a later 401 (connection recycled by a
+    proxy/pool, server restart) transparently triggers ONE full
+    re-handshake for that call. A server that never demands NTLM passes
+    through untouched. ``clock``/``rng`` are injectable for
+    deterministic tests.
     """
 
     inner: Transport
@@ -293,6 +301,7 @@ class NtlmTransport:
     workstation: str = ""
     clock: object = time.time
     rng: object = field(default=os.urandom)
+    _authed: bool = field(default=False, init=False, repr=False)
 
     def __call__(
         self,
@@ -302,6 +311,12 @@ class NtlmTransport:
         body: str | None = None,
     ) -> Response:
         headers = dict(headers or {})
+        if self._authed:
+            resp = self.inner(url, method, dict(headers), body)
+            if resp.status != 401:
+                return resp
+            self._authed = False  # connection lost its auth → re-handshake
+
         h1 = dict(headers)
         h1["Authorization"] = "NTLM " + base64.b64encode(
             negotiate_message(self.domain, self.workstation)
@@ -326,4 +341,7 @@ class NtlmTransport:
         )
         h3 = dict(headers)
         h3["Authorization"] = "NTLM " + base64.b64encode(auth).decode()
-        return self.inner(url, method, h3, body)
+        final = self.inner(url, method, h3, body)
+        if final.status != 401:
+            self._authed = True  # connection authenticated from here on
+        return final

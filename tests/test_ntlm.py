@@ -141,10 +141,11 @@ def test_authenticate_message_echoes_negotiated_flags():
 
 
 def test_ntlm_transport_composes_with_pagination():
-    """The transport must plug into the engine's paginate() surface: an
-    NTLM-protected 3-page API (every page demands its own handshake —
-    the stateless-Transport model re-authenticates per call) yields all
-    pages; wrong credentials yield none."""
+    """Connection-affinity e2e: NTLM authenticates the CONNECTION, so a
+    3-page scan over one keep-alive connection handshakes exactly ONCE
+    (later pages go out bare and the server honors the authed
+    connection); a mid-stream connection reset costs exactly one more
+    handshake; wrong credentials still fail the scan."""
     import json
 
     from data_ingestion_pipelines_spark.sources.rest import paginate
@@ -155,12 +156,19 @@ def test_ntlm_transport_composes_with_pagination():
         "http://api.test/data?p=2": {"rows": [3], "next": "http://api.test/data?p=3"},
         "http://api.test/data?p=3": {"rows": [4], "next": None},
     }
+    conn = {"authed": False}  # the fake keep-alive connection's auth state
+    handshakes = []           # one entry per completed NEGOTIATE leg
 
     def ntlm_api(url, method, headers, body):
         auth = headers.get("Authorization", "")
+        if not auth:
+            if conn["authed"]:  # connection already authenticated
+                return Response(200, json.dumps(pages[url]), {})
+            return Response(401, "", {"WWW-Authenticate": "NTLM"})
         assert auth.startswith("NTLM ")
         msg = base64.b64decode(auth[5:])
         if struct.unpack("<I", msg[8:12])[0] == 1:
+            handshakes.append(url)
             ch = base64.b64encode(_challenge_message()).decode()
             return Response(401, "", {"WWW-Authenticate": f"NTLM {ch}"})
         nt_resp = _read_buf(msg, 20)
@@ -172,6 +180,7 @@ def test_ntlm_transport_composes_with_pagination():
         ).digest()
         if proof != expect:
             return Response(401, "bad credentials", {})
+        conn["authed"] = True
         return Response(200, json.dumps(pages[url]), {})
 
     good = NtlmTransport(ntlm_api, USER, PASSWORD, domain=DOMAIN)
@@ -185,8 +194,17 @@ def test_ntlm_transport_composes_with_pagination():
     )
     rows = [r for p in got for r in json.loads(p)["rows"]]
     assert rows == [1, 2, 3, 4]
+    assert len(handshakes) == 1  # ONE handshake for the whole scan
+
+    # connection recycled (proxy/pool/server restart) → the next bare
+    # request 401s and the transport re-handshakes exactly once
+    conn["authed"] = False
+    resp = good("http://api.test/data?p=2")
+    assert resp.status == 200 and json.loads(resp.body)["rows"] == [3]
+    assert len(handshakes) == 2
 
     bad = NtlmTransport(ntlm_api, USER, "wrong-password", domain=DOMAIN)
+    conn["authed"] = False
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="HTTP 401"):
