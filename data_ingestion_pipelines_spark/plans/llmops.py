@@ -2500,10 +2500,13 @@ SELECT token, n AS true_n, cms_est, cms_est >= n AS no_undercount FROM est
 # --------------------------------------------------------------------------
 # STREAMING corpus ingestion: the curation pipeline's row-local stages
 # (quality + language filters — stateless projections) applied to a
-# document STREAM, with cross-batch exact dedup done per micro-batch in
-# foreachBatch (incremental_dedup vs the target built so far — the
-# fingerprint-index pattern a live curation service runs; in production
-# the index is the 32-byte/doc fingerprint table, not the full target).
+# document STREAM, with cross-batch exact dedup maintained by the
+# min-id-per-fingerprint sink (streaming/incremental.py
+# min_id_dedup_ingest). Because min over the union is commutative /
+# associative / idempotent, the snapshot is BATCH-ORDER DETERMINISTIC —
+# the gate hash-matches the batch oracle for ANY micro-batch
+# decomposition, not just the single-file case (the old first-seen
+# append sink needed a single-batch assertion to stay honest).
 # Oracle: the SAME SQL string as the batch corpus_curation gate —
 # batch/stream parity for the LLM-ops pipeline itself, completing the
 # parity set (windows, stream-static join, stream-stream join, now the
@@ -2511,9 +2514,9 @@ SELECT token, n AS true_n, cms_est, cms_est >= n AS no_undercount FROM est
 def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    from ..operators.dedup import exact_dedup, incremental_dedup
     from ..pipelines.corpus_curation import CurationConfig, curate_corpus
     from ..sources.files import read_parquet_stream
+    from ..streaming.incremental import min_id_dedup_ingest
 
     stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
     cfg = CurationConfig(
@@ -2523,47 +2526,49 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = curate_corpus(stream, cfg).select("doc_id", "text", "n_tokens")
     root = tempfile.mkdtemp(prefix="scing_")
     target = f"{root}/corpus"
-
-    # PARITY ASSUMPTION (load-bearing): cross-batch dedup keeps the
-    # FIRST-ARRIVED copy of a fingerprint (what a live service does),
-    # while the batch oracle (CORPUS_CURATION_SQL) keeps the MIN doc_id.
-    # The two agree only while the source yields ONE micro-batch — true
-    # here (a single parquet file under availableNow). If the source is
-    # ever split into multiple files/batches with ids out of batch
-    # order, first-seen ≠ min-id; the batch counter below turns that
-    # silent hash mismatch into a loud failure at the gate.
-    n_batches = 0
-
-    def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        nonlocal n_batches
-        n_batches += 1
-        s = batch_df.sparkSession
-        try:
-            existing = s.read.parquet(target)
-        except Exception:
-            existing = None
-        fresh = (
-            incremental_dedup(batch_df, existing)
-            if existing is not None
-            else exact_dedup(batch_df, "text", "doc_id")
-        )
-        # replay-safe by construction: on a micro-batch re-run the
-        # target already holds this batch's fingerprints, so the
-        # incremental dedup yields zero fresh rows to append
-        fresh.write.mode("append").parquet(target)
-
     q = (
-        filtered.writeStream.foreachBatch(ingest)
+        filtered.writeStream.foreachBatch(min_id_dedup_ingest(target))
         .trigger(availableNow=True)
         .option("checkpointLocation", f"{root}/_ckpt")
         .start()
     )
     q.awaitTermination(300)
-    if n_batches != 1:
-        raise AssertionError(
-            f"streaming_corpus_ingest parity holds only for a single "
-            f"micro-batch (first-seen == min-id); source produced {n_batches}"
-        )
+    return spark.read.parquet(target).select("doc_id", "n_tokens")
+
+
+# The multi-batch twin: the SAME sink fed 4 REAL micro-batches
+# (documents re-laid as 4 hash-partitioned files + maxFilesPerTrigger=1,
+# so duplicate texts land in different batches and the min id frequently
+# arrives in a LATER batch than its duplicate). Verifies batch-order
+# determinism against the identical batch oracle — the case the old
+# first-seen sink could only refuse to run.
+def streaming_corpus_ingest_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..pipelines.corpus_curation import CurationConfig, curate_corpus
+    from ..streaming.incremental import min_id_dedup_ingest
+
+    docs = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="scimb_")
+    feed, target = f"{root}/feed", f"{root}/corpus"
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    cfg = CurationConfig(
+        min_tokens=30, max_tokens=100_000, max_punct_ratio=0.3,
+        allowed_languages={"en"}, exact_dedup=False, near_dup_threshold=None,
+    )
+    filtered = curate_corpus(stream, cfg).select("doc_id", "text", "n_tokens")
+    q = (
+        filtered.writeStream.foreachBatch(min_id_dedup_ingest(target))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
     return spark.read.parquet(target).select("doc_id", "n_tokens")
 
 
@@ -3356,6 +3361,10 @@ QUERIES = {
     "temperature_mixture_plan": (temperature_mixture_plan, TEMPERATURE_MIXTURE_PLAN_SQL),
     # streaming twin, verified against the SAME oracle string
     "streaming_corpus_ingest": (streaming_corpus_ingest, CORPUS_CURATION_SQL),
+    "streaming_corpus_ingest_multibatch": (
+        streaming_corpus_ingest_multibatch,
+        CORPUS_CURATION_SQL,
+    ),
     "pretraining_manifest": (pretraining_manifest, PRETRAINING_MANIFEST_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "token_stats_by_source": (token_stats_by_source, TOKEN_STATS_BY_SOURCE_SQL),

@@ -140,6 +140,58 @@ def foreach_batch_upsert(
     )
 
 
+def min_id_dedup_ingest(
+    target_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """``foreachBatch`` sink factory: maintain the exact-dedup corpus
+    snapshot — LOWEST id per normalized-content fingerprint — across all
+    micro-batches seen so far.
+
+    BATCH-ORDER DETERMINISM: the snapshot after any set of batches is
+    ``min_id per fingerprint over their union``, and min is commutative,
+    associative and idempotent — so the result is independent of how the
+    source was split into micro-batches and of the order they arrived
+    in, and a replayed batch (failure between sink write and checkpoint
+    commit) rewrites the identical snapshot. This is what makes the
+    streaming gate hash-equal to the batch oracle (min-id semantics)
+    for ANY file/batch decomposition; a first-seen-wins append sink
+    agrees with the batch answer only when ids happen to arrive in
+    order.
+
+    Plan per batch: fingerprint the batch (one projection), union with
+    the target snapshot, one window on the uniform md5 key, overwrite.
+    The parquet fallback rewrites the snapshot (materialized via
+    localCheckpoint before overwriting the path being read); on Delta
+    this is a keyed MERGE with ``whenMatched AND s.id < t.id`` — the
+    scale path, same contract as ``sinks/merge.py``. The stored ``_fp``
+    column is the 32-byte fingerprint index a curation service keeps
+    hot; readers drop it.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.text import with_fingerprint
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        fresh = with_fingerprint(batch_df, text_col, out="_fp")
+        try:
+            merged = s.read.parquet(target_path).unionByName(fresh)
+        except Exception:
+            merged = fresh
+        w = Window.partitionBy("_fp")
+        snap = (
+            merged.withColumn("_min_id", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("_min_id"))
+            .drop("_min_id")
+            .localCheckpoint(eager=True)
+        )
+        snap.write.mode("overwrite").parquet(target_path)
+
+    return ingest
+
+
 def idempotent_batch_append(
     batch_df: DataFrame, target_path: str, batch_id: int
 ) -> None:

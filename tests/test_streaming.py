@@ -312,3 +312,52 @@ def test_idempotent_batch_append_survives_replay(spark, tmp_path):
 
     parts = {p.name for p in pathlib.Path(target).iterdir() if p.is_dir()}
     assert parts == {"_batch_id=0", "_batch_id=1"}
+
+
+def test_min_id_dedup_ingest_batch_order_deterministic(spark, tmp_path):
+    """The corpus ingest sink's snapshot must be independent of how the
+    source splits into micro-batches AND of arrival order (min-id per
+    fingerprint over the union is order-free), and a replayed batch must
+    leave the snapshot unchanged."""
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        min_id_dedup_ingest,
+    )
+
+    # doc 7 and doc 2 share content; so do 9 and 4 — in both cases the
+    # SMALLER id is in the OTHER batch, so first-seen-wins would give
+    # order-dependent answers
+    b_early = spark.createDataFrame(
+        [(7, "alpha beta gamma"), (4, "delta epsilon zeta"), (1, "unique one")],
+        "doc_id bigint, text string",
+    )
+    b_late = spark.createDataFrame(
+        [(2, "alpha beta gamma"), (9, "delta epsilon zeta"), (8, "unique two")],
+        "doc_id bigint, text string",
+    )
+
+    def run(order, path):
+        sink = min_id_dedup_ingest(str(path))
+        for i, b in enumerate(order):
+            sink(b, i)
+        return {
+            (r["doc_id"], r["text"])
+            for r in spark.read.parquet(str(path)).select("doc_id", "text").collect()
+        }
+
+    fwd = run([b_early, b_late], tmp_path / "fwd")
+    rev = run([b_late, b_early], tmp_path / "rev")
+    expect = {(2, "alpha beta gamma"), (4, "delta epsilon zeta"),
+              (1, "unique one"), (8, "unique two")}
+    assert fwd == rev == expect  # min-id, regardless of batch order
+
+    # replay: re-running a batch rewrites the identical snapshot
+    sink = min_id_dedup_ingest(str(tmp_path / "replay"))
+    sink(b_early, 0)
+    sink(b_late, 1)
+    sink(b_late, 1)  # REPLAY
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(tmp_path / "replay"))
+        .select("doc_id", "text").collect()
+    }
+    assert got == expect
