@@ -131,10 +131,52 @@ def apply_bpe_merges(
     merges: list[tuple[int, str, int]],
     word_col: str = "word",
     out: str = "pieces",
+    max_chain_depth: int = 64,
 ) -> DataFrame:
-    """Tokenize words with a learned merge list: replay the merges in rank
-    order (pure codegen column chain — no UDF), then unwrap the symbols."""
-    repr_col = F.regexp_replace(F.col(word_col), _WRAP_SPARK[0], _WRAP_SPARK[1])
-    for _, pair, _ in sorted(merges):
-        repr_col = F.replace(repr_col, F.lit(pair), F.lit(pair.replace("><", "")))
-    return df.withColumn(out, F.regexp_extract_all(repr_col, F.lit("<([a-z0-9]+)>"), 1))
+    """Tokenize words with a learned merge list: replay the merges in
+    rank order, then unwrap the symbols.
+
+    Two execution paths, identical semantics (pytest-pinned equal):
+
+    - ``len(merges) <= max_chain_depth``: a pure codegen column chain of
+      nested ``replace`` — the SQL-parity path every oracle gate uses.
+    - beyond that: an Arrow-batched ``mapInPandas`` replay (one
+      vectorized ``str.replace`` pass per merge). Production merge lists
+      are 10k-50k deep, and a nested Column that deep CRASHES outright —
+      Spark 4's column-node→expression conversion recurses per node and
+      overflows the JVM stack somewhere past ~256 (verified at 512);
+      below that, codegen degrades well before semantics do. The replay
+      loop is per-BATCH (each str.replace scans the whole batch column
+      vectorized), so cost is O(merges × batch_bytes) with no expression
+      tree at all.
+    """
+    ordered = sorted(merges)
+    if len(ordered) <= max_chain_depth:
+        repr_col = F.regexp_replace(F.col(word_col), _WRAP_SPARK[0], _WRAP_SPARK[1])
+        for _, pair, _ in ordered:
+            repr_col = F.replace(repr_col, F.lit(pair), F.lit(pair.replace("><", "")))
+        return df.withColumn(
+            out, F.regexp_extract_all(repr_col, F.lit("<([a-z0-9]+)>"), 1)
+        )
+
+    types = dict(df.dtypes)
+    schema = ", ".join(f"`{c}` {types[c]}" for c in df.columns) + f", `{out}` array<string>"
+    cols = list(df.columns)
+    pairs = [(p, p.replace("><", "")) for _, p, _ in ordered]
+
+    def run(batches):
+        import re
+
+        sym_re = re.compile(r"<([a-z0-9]+)>")
+
+        for pdf in batches:
+            s = pdf[word_col].fillna("").astype(str).str.replace(
+                r"(.)", r"<\1>", regex=True
+            )
+            for pair, merged in pairs:
+                s = s.str.replace(pair, merged, regex=False)
+            pdf = pdf[cols].copy()
+            pdf[out] = [sym_re.findall(x) for x in s]
+            yield pdf
+
+    return df.mapInPandas(run, schema)

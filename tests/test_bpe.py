@@ -196,3 +196,36 @@ def test_bfd_bin_packing_matches_reference_and_flags_oversize(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         bin_pack_documents(docs, 0, ["source"])
+
+
+def test_apply_bpe_merges_deep_list_arrow_path_equivalence(spark):
+    """Production merge lists are 10k+ deep; a nested Column chain that
+    deep overflows the JVM stack at column-node conversion (verified at
+    512 on Spark 4). apply_bpe_merges must (a) auto-route deep lists
+    through the Arrow replay and (b) give byte-identical output on both
+    paths for the same merges."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.bpe import apply_bpe_merges
+
+    words = spark.range(500).select(
+        F.concat(F.lit("ab"), F.col("id").cast("string"), F.lit("cabab")).alias("word")
+    )
+    # merges that genuinely fire (ab, ab+c chains) + filler to depth 60
+    merges = [(1, "<a><b>", 9), (2, "<ab><c>", 8), (3, "<ab><ab>", 7)] + [
+        (i + 4, f"<x{i}><y{i}>", 1) for i in range(57)
+    ]
+    col_path = {r["word"]: r["pieces"] for r in apply_bpe_merges(words, merges).collect()}
+    arrow_path = {
+        r["word"]: r["pieces"]
+        for r in apply_bpe_merges(words, merges, max_chain_depth=1).collect()
+    }
+    assert col_path == arrow_path
+    # <a><b><0><c><a><b><a><b> -> (a,b): <ab><0><c><ab><ab>
+    # -> (ab,c) no adjacency -> (ab,ab): <ab><0><c><abab>
+    assert col_path["ab0cabab"] == ["ab", "0", "c", "abab"]
+
+    # >=512 merges: must run, not stack-overflow; greedy semantics intact
+    deep = merges + [(i + 100, f"<p{i}><q{i}>", 1) for i in range(520)]
+    out = {r["word"]: r["pieces"] for r in apply_bpe_merges(words, deep).collect()}
+    assert out == col_path  # filler merges never fire -> same tokens
