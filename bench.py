@@ -72,7 +72,26 @@ HEADLINE = [
     # group-by Gopher repetition suite
     "winnowing_overlap_docs",
     "gopher_repetition_docs",
+    # round-7: the two heaviest previously-unbenched gates — the Gopher
+    # stage running INSIDE the curation pipeline, and the two-level
+    # (coarse-prune + ADC) index build+search flagship
+    "corpus_curation_gopher",
+    "similarity_ivf_pq_topk",
 ]
+
+# Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
+# (quantized_similarity_topk +37% untouched): heavier queries get
+# best-of-5 so the minimum actually converges.
+EXTRA_RUNS = {
+    "quantized_similarity_topk",
+    "bpe_tokenized_docs",
+    "pretraining_manifest",
+    "similarity_ivf_pq_topk",
+    "corpus_curation_gopher",
+    "gopher_repetition_docs",
+    "similarity_lsh_topk",
+    "minhash_pairs_docs",
+}
 
 
 def main() -> None:
@@ -112,8 +131,9 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry[name]
         best = None
+        n_runs = max(runs, 5) if name in EXTRA_RUNS else runs
         try:
-            for _ in range(runs):
+            for _ in range(n_runs):
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 # noop sink executes the FULL plan (count() would let Catalyst
@@ -131,7 +151,7 @@ def main() -> None:
         # best-of-N: JIT/GC/load noise on a shared host is one-sided, so
         # the minimum is the stable estimate of the plan's real cost
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s (best of {runs})", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s (best of {n_runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     summary = {

@@ -38,86 +38,71 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-5 window (50 = 24 dark + 6 changed + 15 new + 5 re-checks).
-    # Positions 1-24: ALL gates still dark after r1-r4 (the r4 session-B
-    # additions plus user_state_scd2, whose r4 driver row ERRORED on the
-    # pandas sentinel bridge and therefore counts as dark —
-    # tools/rotate_window.py treats errored rows as no-evidence since
-    # r5). Next: gates semantically changed this round (ANN verdict-row
-    # conversion; MinHash-band bucketing in the n-gram Jaccard family;
-    # BPE vocab-join apply; SCD2 sentinel) interleaved with the 13 gates
-    # ADDED this round (PQ / IVF-PQ, winnowing ×2, Gopher ×2, SimHash
-    # bands, Aho-Corasick scan, WebDataset manifest, FFD bins, unicode
-    # normalization, JL projection, Q15/Q22). Tail: high-churn re-checks, oldest driver
-    # evidence first. Every entry verified hash-green locally
-    # (tools/check_correctness.py) at sf0.001, sf0.01 AND sf0.1
-    # (skewed + 1g-heap axes included) before landing.
-    "user_state_scd2",
-    "salted_hot_join",
-    "partitioned_write_prune",
-    "stream_scd2_enrichment",
-    "incremental_agg_pricing",
-    "incremental_neardup_new_docs",
-    "incremental_pack_extension",
-    "streaming_corpus_ingest",
-    "train_val_test_split",
-    "jsonl_roundtrip_docs",
-    "json_corrupt_record_dlq",
-    "versioned_snapshot_read",
-    "doc_quality_expectations",
-    "cms_token_counts",
-    "bpe_tokenized_docs",
-    "bpe_vocab_table",
-    "streaming_cms_event_types",
-    "semantic_contaminated_docs",
-    "length_bucketed_batches",
-    "source_length_drift",
-    "multi_epoch_training_order",
-    "quantized_embeddings",
-    "quantized_similarity_topk",
-    "embedding_training_pairs",
-    # -- changed this round
+    # -- round-7 window (50 = 1 dark + 13 changed + 36 re-checks).
+    # Position 1: the round's one dark gate (new multi-batch streaming
+    # dedup). Next: gates semantically changed or re-touched this round
+    # — the six ANN top-k families (per-batch pre-reduction finished
+    # everywhere), minhash_pairs_docs (the only oracled gate whose
+    # driver rows predate its oracle — first hash evidence), the
+    # OR-band-amplified n-gram Jaccard pair (operator + oracle), the
+    # max_df-capped winnowing overlap (oracle mirrored), pmod-sharded
+    # WebDataset manifest, the min-id streaming corpus sink, and the
+    # hybrid-path BPE apply. Tail: high-churn re-checks then the
+    # longest-unvisited r1/r2 greens. Every entry verified hash-green
+    # locally (tools/check_correctness.py) at sf0.001, sf0.01 AND sf0.1
+    # before landing.
+    "streaming_corpus_ingest_multibatch",
+    "bpe_source_fertility",
+    "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
-    "similarity_pq_topk",  # new this round
-    "similarity_ivf_pq_topk",  # new this round
-    "webdataset_manifest_docs",  # new this round
-    "packed_bins_verdict",  # new this round
-    "normalized_docs",  # new this round
-    "jl_projection_verdict",  # new this round
-    "temperature_mixture_plan",  # new this round
+    "quantized_similarity_topk",
+    "similarity_pq_topk",
+    "similarity_ivf_pq_topk",
+    "minhash_pairs_docs",
     "ngram_jaccard_docs",
     "near_dup_quality_survivors",
-    "bpe_trained_merges",
-    "embedding_dup_clusters",
-    "simhash_neardup_docs",  # new this round
-    "gopher_repetition_docs",  # new this round
-    "contaminated_docs_scan",  # new this round
-    "top_revenue_suppliers",  # new this round
-    "rich_idle_customers",  # new this round
-    "winnowing_fingerprints_docs",  # new this round
-    "corpus_curation_gopher",  # new this round
-    "winnowing_overlap_docs",  # new this round
-    # -- re-checks (oldest driver evidence first)
+    "winnowing_overlap_docs",
+    "webdataset_manifest_docs",
+    "streaming_corpus_ingest",
+    "bpe_tokenized_docs",
+    # -- re-checks (high-churn first, then oldest driver evidence)
     "inc_merge_upsert",
     "asof_view_before_purchase",
     "xml_extract",
     "pricing_summary",
     "corpus_curation",
-    # pretraining_manifest rotated out (r4-green) for the new gate
-    # union_pages rotated out (r1-green) for the new gate
-    # conditional_flags rotated out (r1-green) for the new gate
-    # string_funcs rotated out (r1-green) for the new gate
-    # date_arith rotated out (r1-green) for the new gate
-    # classify_exclusions rotated out (r1-green) for the new gate
-    # nested_drop rotated out (r1-green) for the new gate
-    # event_hourly_windows rotated out (r1-green; streaming twin pytest-netted)
-    # brand_price_robust_outliers rotated out (r2-green)
-    # repeat_customers_both_years rotated out (r2-green)
-    # gap_fill_locf / order_sequence_features rotated out (r2-green)
-    # daily_revenue_anomalies rotated out (r2-green) for the new gate
-    # quantity_price_correlation rotated out (r2-green) for the new gate
-    # unpivot_priority_metrics rotated out (r2-green) for the new gate
+    "pretraining_manifest",
+    "corpus_curation_gopher",
+    "union_pages",
+    "conditional_flags",
+    "string_funcs",
+    "date_arith",
+    "classify_exclusions",
+    "nested_drop",
+    "event_hourly_windows",
+    "brand_price_robust_outliers",
+    "repeat_customers_both_years",
+    "gap_fill_locf",
+    "order_sequence_features",
+    "daily_revenue_anomalies",
+    "quantity_price_correlation",
+    "unpivot_priority_metrics",
+    "copurchased_part_pairs",
+    "leading_digit_distribution",
+    "forecast_revenue_change",
+    "referential_integrity_report",
+    "json_props_extract",
+    "priority_shipmode_counts",
+    "promo_revenue_share",
+    "above_brand_average",
+    "rollup_revenue",
+    "revenue_by_nation",
+    "big_customers",
+    "outer_coalesce_refresh",
+    "semi_anti_customers",
+    "watermark_minmax",
+    # distinct_priorities rotated out (r2-green) for the new fertility gate
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -2847,6 +2847,76 @@ BPE_TOKENIZED_DOCS_SQL = _bpe_apply_oracle_sql(_BPE_N_MERGES)
 
 
 # --------------------------------------------------------------------------
+# Tokenizer FERTILITY per source: pieces/word and chars/piece — the two
+# numbers a tokenizer team tracks per domain when sizing a vocab (high
+# fertility on a domain = the merge table underfits it; chars/piece is
+# the inverse compression ratio). Same tokenize-by-vocab shape as
+# bpe_tokenized_docs: the replace chain runs once per distinct word,
+# the corpus side is explode → vocab join → one partial-combined
+# per-source aggregate. Ratios are ONE division of exact bigint
+# operands (cross-engine float rule).
+def bpe_source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import train_bpe_merges
+
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = train_bpe_merges(words, n_merges=_BPE_N_MERGES)
+
+    expr = F.regexp_replace(F.col("word"), "(.)", "<$1>")
+    for _, pair, _ in sorted(merges):
+        expr = F.replace(expr, F.lit(pair), F.lit(pair.replace("><", "")))
+    word_pieces = words.select(
+        "word",
+        F.size(F.regexp_extract_all(expr, F.lit("<([a-z0-9]+)>"), 1))
+        .cast("bigint")
+        .alias("_wp"),
+        F.length("word").cast("bigint").alias("_wc"),
+    )
+
+    tok = docs.select("source", F.explode("tokens").alias("word"))
+    return (
+        tok.join(word_pieces, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_wp").cast("bigint").alias("n_pieces"),
+            F.sum("_wc").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            (F.col("n_pieces") / F.col("n_words").cast("double")).alias("fertility"),
+            (F.col("n_chars") / F.col("n_pieces").cast("double")).alias("chars_per_piece"),
+        )
+    )
+
+
+BPE_SOURCE_FERTILITY_SQL = _bpe_cte_sql(_BPE_N_MERGES) + f""", wp AS (
+  SELECT word,
+         CAST(len(regexp_extract_all(repr, '<([a-z0-9]+)>', 1)) AS BIGINT) AS wp,
+         CAST(length(word) AS BIGINT) AS wc
+  FROM w{_BPE_N_MERGES}
+), toks AS (
+  SELECT source, t
+  FROM (SELECT source, {_TOKS} AS tl FROM documents),
+       LATERAL (SELECT unnest(tl) AS t)
+)
+SELECT toks.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wp.wp) AS BIGINT) AS n_pieces,
+       CAST(SUM(wp.wp) AS BIGINT) / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS fertility,
+       CAST(SUM(wp.wc) AS BIGINT) / CAST(CAST(SUM(wp.wp) AS BIGINT) AS DOUBLE) AS chars_per_piece
+FROM toks JOIN wp ON toks.t = wp.word
+GROUP BY toks.source
+"""
+
+
+# --------------------------------------------------------------------------
 # ANN quality readout: recall@10 of each approximate index (LSH, IVF)
 # against the exact brute-force answer, per query — the operational
 # metric an ANN deployment monitors. Rows-only (the approximate sides
@@ -3405,6 +3475,7 @@ QUERIES = {
     "bpe_trained_merges": (bpe_trained_merges, BPE_TRAINED_MERGES_SQL),
     "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "bpe_tokenized_docs": (bpe_tokenized_docs, BPE_TOKENIZED_DOCS_SQL),
+    "bpe_source_fertility": (bpe_source_fertility, BPE_SOURCE_FERTILITY_SQL),
     "bpe_vocab_table": (bpe_vocab_table, BPE_VOCAB_TABLE_SQL),
     "streaming_cms_event_types": (
         streaming_cms_event_types,
