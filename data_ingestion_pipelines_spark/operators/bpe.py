@@ -170,13 +170,18 @@ def apply_bpe_merges(
         sym_re = re.compile(r"<([a-z0-9]+)>")
 
         for pdf in batches:
+            null_mask = pdf[word_col].isna()
             s = pdf[word_col].fillna("").astype(str).str.replace(
                 r"(.)", r"<\1>", regex=True
             )
             for pair, merged in pairs:
                 s = s.str.replace(pair, merged, regex=False)
             pdf = pdf[cols].copy()
-            pdf[out] = [sym_re.findall(x) for x in s]
+            # null word -> null pieces, matching the column path
+            # (regexp_replace(NULL) is NULL), not an empty array
+            pdf[out] = [
+                None if m else sym_re.findall(x) for m, x in zip(null_mask, s)
+            ]
             yield pdf
 
     return df.mapInPandas(run, schema)

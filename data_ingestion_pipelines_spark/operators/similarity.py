@@ -27,7 +27,9 @@ the global ``Window.partitionBy(query_id)`` rank run. The window
 therefore sees at most k × n_batches rows per query instead of the
 whole scored candidate set — per-query work stays bounded as the corpus
 grows, no one-task-per-query straggler. ``tests/test_topk_prereduce.py``
-asserts the bound and boundary-tie losslessness for each family.
+asserts the k×n_batches bound separately for each of the six families,
+plus boundary-tie losslessness and window-null-semantics parity of the
+shared ``_batch_topk`` reducer every family routes through.
 """
 
 from __future__ import annotations
