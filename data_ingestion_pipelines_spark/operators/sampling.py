@@ -12,6 +12,10 @@ decision off a content hash, so membership is a pure function of the row:
 - ``mixture_sample``: per-source target fractions (a training-mixture
   spec: {source: weight}); one scan, no shuffle — the filter is a pure
   projection.
+- ``weighted_sample_topk``: weighted sampling WITHOUT replacement
+  (priority sampling, Duffield-Lund-Thorup) — top-k by ``w/u`` with the
+  uniform ``u`` md5-derived, so quality-weighted corpus downsampling is
+  reproducible and cross-engine exact (one IEEE division, no pow/ln).
 - ``chunk_documents``: split token arrays into fixed-size context-window
   chunks via sequence()+transform(slice) → posexplode. The array is
   materialized behind a barrier first (interpreted HOF eval re-runs
@@ -136,6 +140,65 @@ def stratified_sample(
     return (
         base.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    seed: str = "ws0",
+    out: str = "priority",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement — priority
+    sampling (Duffield-Lund-Thorup): keep the ``k`` rows (per stratum,
+    or globally) with the largest priority ``w / u``, where ``u`` is a
+    uniform (0, 1] variate derived from ``md5(seed:id)``. Higher-weight
+    rows are proportionally more likely to survive; a quality-scored
+    corpus downsampled this way keeps its best documents with exactly
+    reproducible membership.
+
+    Every decision is a pure function of (seed, id, weight) — no RNG
+    state, identical on any engine/partitioning. The priority is
+    computed EXACTLY on both engines: ``u = (h32 + 1) / 2^32`` where
+    ``h32`` is the first 8 md5 hex chars, so the only float op is one
+    correctly-rounded IEEE division of exact operands (the weight×2^32
+    scaling is a power-of-two, exact for weights < 2^21) — rankings and
+    the exported priority hash-verify against SQL, unlike a
+    ``pow(u, 1/w)`` exponential-key scheme (A-ES) whose transcendental
+    evaluation differs in ulps across libms.
+
+    Scale: stratified → one window per stratum key (high cardinality,
+    parallel). Global → ``orderBy().limit(k)``: Spark plans
+    TakeOrderedAndProject, a per-partition k-heap + driver merge of
+    k×partitions rows — never a one-task global window.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    pri = (
+        F.col(weight_col).cast("double") * F.lit(4294967296.0) / (h32 + F.lit(1.0))
+    )
+    scored = df.withColumn(out, pri)
+    if strata_col is None:
+        return scored.orderBy(F.col(out).desc(), F.col(id_col).asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(out).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
 

@@ -53,6 +53,7 @@ _PRIORITY = [
     # before landing.
     "streaming_corpus_ingest_multibatch",
     "bpe_source_fertility",
+    "weighted_sample_docs",
     "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
@@ -101,7 +102,7 @@ _PRIORITY = [
     "big_customers",
     "outer_coalesce_refresh",
     "semi_anti_customers",
-    "watermark_minmax",
+    # watermark_minmax rotated out (r2-green) for the new sampling gate
     # distinct_priorities rotated out (r2-green) for the new fertility gate
 ]
 

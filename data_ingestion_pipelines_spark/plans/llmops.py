@@ -920,6 +920,39 @@ TRAIN_VAL_TEST_SPLIT_SQL = (
 
 
 # --------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (priority sampling,
+# Duffield-Lund-Thorup): per-source top-5 documents by priority
+# w/u with w = n_chars and u the md5-derived uniform — the reproducible
+# quality-weighted downsampler. Priority is exact cross-engine (one IEEE
+# division of exact operands; power-of-two scaling), so even the float
+# priority column hash-verifies.
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs, k=5, weight_col="n_chars", id_col="doc_id",
+        strata_col="source", seed="ws0",
+    ).select("doc_id", "source", "n_chars", "priority")
+
+
+WEIGHTED_SAMPLE_DOCS_SQL = """
+WITH pri AS (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE) * 4294967296.0 /
+           (CAST(('0x' || substr(md5('ws0:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) + 1.0)
+           AS priority
+  FROM documents
+)
+SELECT doc_id, source, n_chars, priority FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY priority DESC, doc_id ASC
+  ) AS rn FROM pri
+) WHERE rn <= 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact substring dedup (Lee et al.): maximal cross-document duplicated
 # token spans — the token ranges a curation pass cuts or down-weights.
 # Deterministic end to end (md5 gram keys + gaps-and-islands merging),
@@ -3459,6 +3492,7 @@ QUERIES = {
     "gopher_repetition_docs": (gopher_repetition_docs, GOPHER_REPETITION_DOCS_SQL),
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),
     "json_corrupt_record_dlq": (
         json_corrupt_record_dlq,

@@ -128,3 +128,51 @@ def test_temperature_mixture_upweights_small_sources(spark):
     again = {r["source"]: r["mix_weight"]
              for r in temperature_mixture_plan(spark, "/root/testdata/sf0.001").collect()}
     assert again == {r["source"]: r["mix_weight"] for r in rows}
+
+
+def test_weighted_sample_topk_bias_and_determinism(spark):
+    """Priority sampling: membership is a pure function of
+    (seed, id, weight) — identical on any partitioning — and higher
+    weights must dominate the sample (100x-weight rows should take most
+    of the k slots against 1x-weight rows)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+
+    got = weighted_sample_topk(df, k=20, weight_col="w")
+    ids = {r["doc_id"] for r in got.collect()}
+    assert len(ids) == 20
+    heavy = sum(1 for i in ids if i < 50)
+    # 50 rows at weight 100 vs 450 at weight 1: heavy rows should win
+    # the overwhelming majority of slots (deterministic given md5)
+    assert heavy >= 15
+
+    # partition-layout invariance
+    ids_skew = {
+        r["doc_id"]
+        for r in weighted_sample_topk(df.repartition(13), k=20, weight_col="w").collect()
+    }
+    assert ids_skew == ids
+
+    # stratified: exactly k per stratum, same purity of determinism
+    df2 = df.withColumn("s", (F.col("doc_id") % 4).cast("string"))
+    strat = weighted_sample_topk(df2, k=5, weight_col="w", strata_col="s")
+    counts = {r["s"]: r["n"] for r in strat.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 5, "1": 5, "2": 5, "3": 5}
+
+    # a different seed yields a different (but still deterministic) sample
+    ids_seed2 = {
+        r["doc_id"]
+        for r in weighted_sample_topk(df, k=20, weight_col="w", seed="ws1").collect()
+    }
+    assert ids_seed2 != ids
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        weighted_sample_topk(df, k=0, weight_col="w")
