@@ -105,6 +105,46 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     return df.withColumn(out, F.md5(normalized))
 
 
+def char_diversity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-diversity stats: ``(id, n_alnum,
+    distinct_chars, collision_rate)`` over the ``[a-z0-9]`` alphabet.
+
+    ``collision_rate`` is the index of coincidence Σ p_c² — the
+    probability two randomly drawn characters match. It is the RATIONAL
+    twin of character entropy (H₂ = −log₂ Σ p_c²) and carries the same
+    garbage signal: repeated-character/boilerplate junk scores high
+    (→1), base64/hex blobs score near-uniform-low (≈1/36), prose sits in
+    a narrow band in between — but unlike entropy it needs no
+    transcendental, so it is EXACTLY computable (Σ n_c² and n are exact
+    bigints; the squared total is exact in a double below ~9·10⁷ chars;
+    one correctly-rounded division) and hash-verifies cross-engine,
+    which log2 does not (libm vs StrictMath ulps).
+
+    One shuffle on the uniform (id, char) key, then a per-id aggregate.
+    Documents with zero alphanumeric characters emit no row.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]"), 0)
+        ).alias("_c"),
+    )
+    per_char = chars.groupBy(id_col, "_c").agg(F.count(F.lit(1)).alias("_n"))
+    n_total = F.sum("_n").cast("bigint")
+    return per_char.groupBy(id_col).agg(
+        n_total.alias("n_alnum"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_chars"),
+        (
+            F.sum(F.col("_n") * F.col("_n")).cast("double")
+            / (n_total.cast("double") * n_total.cast("double"))
+        ).alias("collision_rate"),
+    )
+
+
 def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
     """Heuristic language ID: argmax of per-language stopword hit counts.
 

@@ -54,6 +54,7 @@ _PRIORITY = [
     "streaming_corpus_ingest_multibatch",
     "bpe_source_fertility",
     "weighted_sample_docs",
+    "doc_char_diversity",
     "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
@@ -101,7 +102,7 @@ _PRIORITY = [
     "revenue_by_nation",
     "big_customers",
     "outer_coalesce_refresh",
-    "semi_anti_customers",
+    # semi_anti_customers rotated out (r2-green) for the new diversity gate
     # watermark_minmax rotated out (r2-green) for the new sampling gate
     # distinct_priorities rotated out (r2-green) for the new fertility gate
 ]

@@ -920,6 +920,35 @@ TRAIN_VAL_TEST_SPLIT_SQL = (
 
 
 # --------------------------------------------------------------------------
+# Character-diversity garbage signal: index of coincidence Σp_c² per doc
+# — the rational (exactly-computable, hash-verifiable) twin of char
+# entropy. Flags repeated-char boilerplate (high) and base64/hex blobs
+# (uniform-low) that the ratio signals miss.
+def doc_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import char_diversity_stats
+
+    return char_diversity_stats(_t(spark, sf_dir, "documents"))
+
+
+DOC_CHAR_DIVERSITY_SQL = """
+WITH c AS (
+  SELECT doc_id, u.t
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]') AS cl
+        FROM documents),
+       LATERAL (SELECT unnest(cl) AS t) u
+), pc AS (
+  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_alnum,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       CAST(SUM(n * n) AS DOUBLE)
+         / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS collision_rate
+FROM pc GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Weighted sampling WITHOUT replacement (priority sampling,
 # Duffield-Lund-Thorup): per-source top-5 documents by priority
 # w/u with w = n_chars and u the md5-derived uniform — the reproducible
@@ -3493,6 +3522,7 @@ QUERIES = {
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL),
+    "doc_char_diversity": (doc_char_diversity, DOC_CHAR_DIVERSITY_SQL),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),
     "json_corrupt_record_dlq": (
         json_corrupt_record_dlq,

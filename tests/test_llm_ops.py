@@ -716,3 +716,32 @@ def test_winnowing_overlap_max_df_culls_boilerplate(spark):
     assert uncapped == 8 * 7 / 2  # every pair collides on the template
     capped = winnowing_overlap_pairs(docs, min_shared=2, max_df=4).count()
     assert capped == 0  # template fingerprints culled (df=8 > 4)
+
+
+def test_char_diversity_stats_flags_garbage(spark):
+    """Index of coincidence ordering: repeated-char junk -> high,
+    near-uniform alphabet blobs -> ~1/36, prose in between; alnum-free
+    docs emit no row; exactness pins 1.0 for a single-char doc."""
+    import string
+
+    from data_ingestion_pipelines_spark.operators.text import char_diversity_stats
+
+    uniform = " ".join(4 * [string.ascii_lowercase + string.digits])
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaa"),          # repeated-char junk
+        (2, uniform),                             # base64-ish uniform blob
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "!!! ??? --- ..."),                   # no alnum at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in char_diversity_stats(df).collect()}
+    assert set(got) == {1, 2, 3}                  # doc 4 emits no row
+    assert got[1]["collision_rate"] == 1.0        # exact, not approx
+    assert got[1]["distinct_chars"] == 1
+    assert abs(got[2]["collision_rate"] - 1 / 36) < 1e-9
+    assert got[2]["distinct_chars"] == 36
+    assert got[2]["collision_rate"] < got[3]["collision_rate"] < got[1]["collision_rate"]
+    # partition-layout invariance (exact integers + one division)
+    again = {r["doc_id"]: r["collision_rate"]
+             for r in char_diversity_stats(df.repartition(7)).collect()}
+    assert all(again[i] == got[i]["collision_rate"] for i in (1, 2, 3))
