@@ -932,14 +932,18 @@ def ivf_pq_topk(
         )
         for i, qid in enumerate(q_ids)
     }
-    # per-(query, list) scalar q·c_list — the residual ADC offset; zero
-    # when encoding raw vectors. Tiny: num_queries × num_lists floats.
-    q_cent = q_vecs @ cents.T if residual else np.zeros((len(q_ids), cents.shape[0]))
-    offsets = {
-        (qid, int(lid)): float(q_cent[i, lid])
-        for i, qid in enumerate(q_ids)
-        for lid in range(cents.shape[0])
-    }
+    # per-(query, probed list) scalar q·c_list — the residual ADC
+    # offset. None on the plain path (no zero-adds in the hot loop, no
+    # dict shipped in the closure); only probed pairs are materialized
+    # (num_queries × nprobe entries, not × num_lists).
+    offsets: dict[tuple, float] | None = None
+    if residual:
+        q_cent = q_vecs @ cents.T
+        offsets = {
+            (qid, int(lid)): float(q_cent[i, lid])
+            for i, qid in enumerate(q_ids)
+            for lid in probe[i]
+        }
     # list_id -> [query ids probing it]; tiny (num_lists × nprobe entries)
     probers: dict[int, list] = {}
     for i, qid in enumerate(q_ids):
@@ -991,7 +995,9 @@ def ivf_pq_topk(
                     continue
                 cm = np.asarray(list(grp["codes"]), dtype="int64")
                 for qid in qids:
-                    scores = luts[qid][sub_idx, cm].sum(axis=1) + offsets[(qid, int(lid))]
+                    scores = luts[qid][sub_idx, cm].sum(axis=1)
+                    if offsets is not None:
+                        scores = scores + offsets[(qid, int(lid))]
                     out_qids.extend([qid] * len(cm))
                     out_ids.extend(grp[id_col].tolist())
                     out_scores.extend(scores.tolist())

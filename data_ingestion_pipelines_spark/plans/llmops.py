@@ -2746,7 +2746,7 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence: 28× slower at sf0.01 and growing with corpus size.
     Oracle replays training via the chained CTEs, then applies the same
     replace chain with scalar subqueries."""
-    from ..operators.bpe import train_bpe_merges
+    from ..operators.bpe import apply_bpe_merges, train_bpe_merges
 
     docs = with_word_tokens(_t(spark, sf_dir, "documents"))
     words = (
@@ -2756,14 +2756,10 @@ def bpe_tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = train_bpe_merges(words, n_merges=_BPE_N_MERGES)
 
-    expr = F.regexp_replace(F.col("word"), "(.)", "<$1>")
-    for _, pair, _ in sorted(merges):
-        expr = F.replace(expr, F.lit(pair), F.lit(pair.replace("><", "")))
-    word_pieces = words.select(
-        "word",
-        F.size(F.regexp_extract_all(expr, F.lit("<([a-z0-9]+)>"), 1))
-        .cast("bigint")
-        .alias("_wp"),
+    # shared apply helper (owns the deep-merge-list escape hatch), over
+    # the bounded vocab only
+    word_pieces = apply_bpe_merges(words, merges, word_col="word").select(
+        "word", F.size("pieces").cast("bigint").alias("_wp")
     )
 
     tok = docs.select(
@@ -2918,7 +2914,7 @@ BPE_TOKENIZED_DOCS_SQL = _bpe_apply_oracle_sql(_BPE_N_MERGES)
 # per-source aggregate. Ratios are ONE division of exact bigint
 # operands (cross-engine float rule).
 def bpe_source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import train_bpe_merges
+    from ..operators.bpe import apply_bpe_merges, train_bpe_merges
 
     docs = with_word_tokens(_t(spark, sf_dir, "documents"))
     words = (
@@ -2928,14 +2924,11 @@ def bpe_source_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = train_bpe_merges(words, n_merges=_BPE_N_MERGES)
 
-    expr = F.regexp_replace(F.col("word"), "(.)", "<$1>")
-    for _, pair, _ in sorted(merges):
-        expr = F.replace(expr, F.lit(pair), F.lit(pair.replace("><", "")))
-    word_pieces = words.select(
+    # tokenize the bounded vocab through the shared apply helper (which
+    # owns the deep-merge-list escape hatch) — not an inline chain copy
+    word_pieces = apply_bpe_merges(words, merges, word_col="word").select(
         "word",
-        F.size(F.regexp_extract_all(expr, F.lit("<([a-z0-9]+)>"), 1))
-        .cast("bigint")
-        .alias("_wp"),
+        F.size("pieces").cast("bigint").alias("_wp"),
         F.length("word").cast("bigint").alias("_wc"),
     )
 

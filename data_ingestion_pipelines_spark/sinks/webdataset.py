@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _shard_col(id_col: str, num_shards: int):
+    """pmod shard id, REJECTING negative ids in-plan: a negative id has
+    no 12-digit member name, so both the manifest and the writer must
+    refuse it — consistently, and (for the writer) in the map stage,
+    BEFORE any tar file has been opened, never mid-write."""
+    return F.when(
+        F.col(id_col) < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("webdataset: negative id cannot form a member name: "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.pmod(F.col(id_col), F.lit(num_shards)).cast("bigint"))
+
+
 def webdataset_manifest(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -37,13 +53,14 @@ def webdataset_manifest(
     """(shard, n_samples, total_bytes, min_id, max_id): the export plan.
 
     Shard assignment is ``pmod(id, num_shards)`` — stable across runs
-    and engines, and non-negative even for negative ids (plain ``%``
-    follows the dividend's sign in both Spark and DuckDB, which yielded
-    a ``shard--00001`` file name); byte accounting is UTF-8 payload
-    length. This frame IS the hash-verifiable half of the export: the
-    tar writer consumes the identical assignment.
+    and engines; negative ids RAISE here exactly as they do in the
+    writer (a negative id has no 12-digit member name, and a manifest
+    that plans a shard the writer then refuses would break the
+    "writer consumes the identical assignment" contract). Byte
+    accounting is UTF-8 payload length. This frame IS the
+    hash-verifiable half of the export.
     """
-    shard = F.pmod(F.col(id_col), F.lit(num_shards)).cast("bigint").alias("shard")
+    shard = _shard_col(id_col, num_shards).alias("shard")
     return (
         df.select(shard, F.col(id_col), F.col(text_col))
         .groupBy("shard")
@@ -77,7 +94,9 @@ def write_webdataset_shards(
 
     meta_cols = meta_cols or []
     os.makedirs(out_dir, exist_ok=True)
-    shard_col = F.pmod(F.col(id_col), F.lit(num_shards)).cast("int")
+    # raises on negative ids in the MAP stage (before the shuffle, so
+    # before any tar is opened) — no partial shard files on bad input
+    shard_col = _shard_col(id_col, num_shards).cast("int")
     prepared = (
         df.select(
             shard_col.alias("_shard"), F.col(id_col), F.col(text_col), *meta_cols
@@ -98,9 +117,8 @@ def write_webdataset_shards(
                     path = os.path.join(out_dir, f"shard-{sh:06d}.tar")
                     tf = tars[sh] = tarfile.open(path, "w")
                 if row[id_col] < 0:
-                    # {id:012d} on a negative id yields a malformed
-                    # 13-char "-00000000001" member name; fail loudly
-                    # rather than write an unreadable shard
+                    # defensive backstop only: _shard_col already raised
+                    # in the map stage before any tar was opened
                     raise ValueError(
                         f"write_webdataset_shards: negative {id_col}="
                         f"{row[id_col]} cannot form a 12-digit member name"

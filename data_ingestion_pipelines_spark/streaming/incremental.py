@@ -174,17 +174,29 @@ def min_id_dedup_ingest(
     from ..operators.text import with_fingerprint
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         s = batch_df.sparkSession
         fresh = with_fingerprint(batch_df, text_col, out="_fp")
         try:
             merged = s.read.parquet(target_path).unionByName(fresh)
-        except Exception:
+        except AnalysisException as ex:
+            # ONLY the missing-target first batch may fall through to a
+            # fresh snapshot: any other read failure (transient IO, torn
+            # files) must propagate — swallowing it here would let the
+            # overwrite below silently destroy the accumulated corpus.
+            if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
+                raise
             merged = fresh
-        w = Window.partitionBy("_fp")
+        # row_number, not `id == min(id)`: a REPLAYED batch re-unions
+        # rows already in the snapshot, so the winner appears twice and
+        # a min-filter would keep both copies — row_number keeps exactly
+        # one row per fingerprint regardless of duplicates in the union
+        w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
         snap = (
-            merged.withColumn("_min_id", F.min(id_col).over(w))
-            .filter(F.col(id_col) == F.col("_min_id"))
-            .drop("_min_id")
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
             .localCheckpoint(eager=True)
         )
         snap.write.mode("overwrite").parquet(target_path)

@@ -122,3 +122,36 @@ def test_webdataset_shards_roundtrip_and_reproducible(spark, tmp_path):
         h1 = hashlib.md5(open(f"{out1}/shard-{i:06d}.tar", "rb").read()).hexdigest()
         h2 = hashlib.md5(open(f"{out2}/shard-{i:06d}.tar", "rb").read()).hexdigest()
         assert h1 == h2
+
+
+def test_webdataset_negative_ids_fail_loudly_and_consistently(spark, tmp_path):
+    """Manifest and writer must AGREE on negative ids: both raise (a
+    negative id has no 12-digit member name), and the writer fails in
+    the map stage — before any tar is opened — so no partial shard
+    files are left on disk."""
+    import os
+
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.sinks.webdataset import (
+        webdataset_manifest,
+        write_webdataset_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good doc"), (-7, "bad id"), (2, "another")],
+        "doc_id bigint, text string",
+    )
+    with _pytest.raises(Exception, match="negative id"):
+        webdataset_manifest(docs, num_shards=4).collect()
+
+    out_dir = str(tmp_path / "shards")
+    with _pytest.raises(Exception, match="negative id"):
+        write_webdataset_shards(docs, out_dir, num_shards=4)
+    leftover = [f for f in os.listdir(out_dir) if f.endswith(".tar")]
+    assert leftover == []  # no partial tar artifacts
+
+    # non-negative corpus still exports fine through the same path
+    ok = docs.filter("doc_id >= 0")
+    paths = write_webdataset_shards(ok, str(tmp_path / "ok"), num_shards=2)
+    assert len(paths) >= 1

@@ -350,14 +350,17 @@ def test_min_id_dedup_ingest_batch_order_deterministic(spark, tmp_path):
               (1, "unique one"), (8, "unique two")}
     assert fwd == rev == expect  # min-id, regardless of batch order
 
-    # replay: re-running a batch rewrites the identical snapshot
+    # replay: re-running a batch rewrites the identical snapshot —
+    # compare as a LIST, not a set: the replayed winner re-enters the
+    # union, and a min-filter (vs row_number) would keep BOTH copies,
+    # which a set comparison silently collapses
     sink = min_id_dedup_ingest(str(tmp_path / "replay"))
     sink(b_early, 0)
     sink(b_late, 1)
     sink(b_late, 1)  # REPLAY
-    got = {
+    rows = sorted(
         (r["doc_id"], r["text"])
         for r in spark.read.parquet(str(tmp_path / "replay"))
         .select("doc_id", "text").collect()
-    }
-    assert got == expect
+    )
+    assert rows == sorted(expect)  # exact row multiset: no duplicates
