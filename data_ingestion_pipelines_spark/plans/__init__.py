@@ -55,6 +55,7 @@ _PRIORITY = [
     "bpe_source_fertility",
     "weighted_sample_docs",
     "doc_char_diversity",
+    "webdataset_roundtrip_docs",
     "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
@@ -96,7 +97,7 @@ _PRIORITY = [
     "referential_integrity_report",
     "json_props_extract",
     "priority_shipmode_counts",
-    "promo_revenue_share",
+    # promo_revenue_share rotated out (r2-green) for the roundtrip gate
     "above_brand_average",
     "rollup_revenue",
     "revenue_by_nation",

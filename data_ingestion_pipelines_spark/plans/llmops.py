@@ -551,6 +551,32 @@ FROM documents GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# WebDataset ROUND TRIP: export documents as tar shards (the byte-
+# reproducible writer), read them back through the loader half
+# (read_webdataset_shards: binaryFile → executor-side un-archive), and
+# hash the payloads — proves export+load preserve every document byte
+# through the actual tar container, not just the manifest accounting.
+def webdataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.webdataset import read_webdataset_shards, write_webdataset_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out_dir = tempfile.mkdtemp(prefix="wdsrt_")
+    write_webdataset_shards(docs, out_dir, num_shards=8)
+    back = read_webdataset_shards(spark, out_dir)
+    return back.select(
+        F.col("sample_key").cast("bigint").alias("doc_id"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+WEBDATASET_ROUNDTRIP_DOCS_SQL = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # PII scrub: email/phone/IPv4 → placeholder tokens (codegen regex chain)
 def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import with_pii_redacted
@@ -3516,6 +3542,10 @@ QUERIES = {
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL),
     "doc_char_diversity": (doc_char_diversity, DOC_CHAR_DIVERSITY_SQL),
+    "webdataset_roundtrip_docs": (
+        webdataset_roundtrip_docs,
+        WEBDATASET_ROUNDTRIP_DOCS_SQL,
+    ),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),
     "json_corrupt_record_dlq": (
         json_corrupt_record_dlq,

@@ -147,3 +147,55 @@ def write_webdataset_shards(
         for f in os.listdir(out_dir)
         if f.startswith("shard-") and f.endswith(".tar")
     )
+
+
+def read_webdataset_shards(spark, shards_dir: str) -> DataFrame:
+    """The LOADER half of the shard lifecycle: ``shard-*.tar`` files →
+    one row per SAMPLE ``(shard_path, sample_key, text, meta_json)``,
+    same-basename members regrouped (``{key}.txt`` payload,
+    ``{key}.json`` optional metadata) — what a training loader consumes,
+    as a DataFrame.
+
+    Each shard reads as ONE binaryFile row and un-archives inside an
+    Arrow-batched ``mapInPandas`` — shard bytes never leave the
+    executor that read them, and parallelism = shard count (the same
+    knob training-time read parallelism uses; keep shards in the
+    0.1-1 GB range so a whole shard fits executor memory, the standard
+    WebDataset sizing). Corrupt members fail their shard's task loudly
+    rather than yielding silent partial samples.
+    """
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.tar")
+        .load(shards_dir)
+        .select("path", "content")
+    )
+    schema = "shard_path STRING, sample_key STRING, text STRING, meta_json STRING"
+
+    def run(batches):
+        import pandas as pd
+
+        cols = ["shard_path", "sample_key", "text", "meta_json"]
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    samples: dict[str, dict[str, bytes]] = {}
+                    for m in tf.getmembers():
+                        if not m.isfile() or "." not in m.name:
+                            continue
+                        base, ext = m.name.rsplit(".", 1)
+                        samples.setdefault(base, {})[ext] = tf.extractfile(m).read()
+                for base in sorted(samples):
+                    d = samples[base]
+                    out.append(
+                        {
+                            "shard_path": path,
+                            "sample_key": base,
+                            "text": d.get("txt", b"").decode("utf-8"),
+                            "meta_json": d["json"].decode("utf-8") if "json" in d else None,
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return bin_df.mapInPandas(run, schema)

@@ -155,3 +155,31 @@ def test_webdataset_negative_ids_fail_loudly_and_consistently(spark, tmp_path):
     ok = docs.filter("doc_id >= 0")
     paths = write_webdataset_shards(ok, str(tmp_path / "ok"), num_shards=2)
     assert len(paths) >= 1
+
+
+def test_webdataset_reader_roundtrip_with_metadata(spark, tmp_path):
+    """Writer -> reader roundtrip incl. the optional .json member: texts
+    byte-identical, metadata JSON parses back to the original columns,
+    sample keys are the zero-padded ids, one row per sample."""
+    import json
+
+    from data_ingestion_pipelines_spark.sinks.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text for doc {i}", f"src{i % 3}") for i in range(25)],
+        "doc_id bigint, text string, source string",
+    )
+    out = str(tmp_path / "shards")
+    write_webdataset_shards(docs, out, meta_cols=["source"], num_shards=4)
+    back = read_webdataset_shards(spark, out).collect()
+    assert len(back) == 25
+    by_id = {int(r["sample_key"]): r for r in back}
+    for i in range(25):
+        assert by_id[i]["text"] == f"text for doc {i}"
+        assert json.loads(by_id[i]["meta_json"]) == {"source": f"src{i % 3}"}
+        assert by_id[i]["sample_key"] == f"{i:012d}"
+    # 4 shards, parallelism = shard count
+    assert len({r["shard_path"] for r in back}) == 4
