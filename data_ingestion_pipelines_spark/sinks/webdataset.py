@@ -151,10 +151,14 @@ def write_webdataset_shards(
 
 def read_webdataset_shards(spark, shards_dir: str) -> DataFrame:
     """The LOADER half of the shard lifecycle: ``shard-*.tar`` files →
-    one row per SAMPLE ``(shard_path, sample_key, text, meta_json)``,
-    same-basename members regrouped (``{key}.txt`` payload,
-    ``{key}.json`` optional metadata) — what a training loader consumes,
-    as a DataFrame.
+    one row per SAMPLE ``(shard_path, sample_key, text, meta_json,
+    media)``, same-basename members regrouped — what a training loader
+    consumes, as a DataFrame. ``{key}.txt`` decodes into ``text``,
+    ``{key}.json`` into ``meta_json``; every OTHER extension (``.jpg``,
+    ``.wav``, ``.npy`` — the multimodal members real WebDataset shards
+    carry) lands in the ``media`` ``map<string, binary>`` keyed by
+    extension, ready for :mod:`operators.multimodal`'s decode /
+    resize / frame-sample stages (``F.element_at(media, 'jpg')``).
 
     Each shard reads as ONE binaryFile row and un-archives inside an
     Arrow-batched ``mapInPandas`` — shard bytes never leave the
@@ -170,12 +174,15 @@ def read_webdataset_shards(spark, shards_dir: str) -> DataFrame:
         .load(shards_dir)
         .select("path", "content")
     )
-    schema = "shard_path STRING, sample_key STRING, text STRING, meta_json STRING"
+    schema = (
+        "shard_path STRING, sample_key STRING, text STRING, "
+        "meta_json STRING, media MAP<STRING, BINARY>"
+    )
 
     def run(batches):
         import pandas as pd
 
-        cols = ["shard_path", "sample_key", "text", "meta_json"]
+        cols = ["shard_path", "sample_key", "text", "meta_json", "media"]
         for pdf in batches:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
@@ -188,12 +195,14 @@ def read_webdataset_shards(spark, shards_dir: str) -> DataFrame:
                         samples.setdefault(base, {})[ext] = tf.extractfile(m).read()
                 for base in sorted(samples):
                     d = samples[base]
+                    media = {k: v for k, v in d.items() if k not in ("txt", "json")}
                     out.append(
                         {
                             "shard_path": path,
                             "sample_key": base,
                             "text": d.get("txt", b"").decode("utf-8"),
                             "meta_json": d["json"].decode("utf-8") if "json" in d else None,
+                            "media": media or None,
                         }
                     )
             yield pd.DataFrame(out, columns=cols)

@@ -183,3 +183,43 @@ def test_webdataset_reader_roundtrip_with_metadata(spark, tmp_path):
         assert by_id[i]["sample_key"] == f"{i:012d}"
     # 4 shards, parallelism = shard count
     assert len({r["shard_path"] for r in back}) == 4
+
+
+def test_webdataset_reader_multimodal_members_feed_decode(spark, tmp_path):
+    """A hand-built shard with .jpg members (what real WebDataset shards
+    carry): the reader surfaces them in the media map, and the binary
+    plugs straight into operators.multimodal.decode_images — the full
+    shard -> sample -> decode loading path."""
+    import io
+    import os
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.multimodal import decode_images
+    from data_ingestion_pipelines_spark.sinks.webdataset import read_webdataset_shards
+
+    out = str(tmp_path / "mshards")
+    os.makedirs(out)
+    with tarfile.open(os.path.join(out, "shard-000000.tar"), "w") as tf:
+        for i in range(3):
+            for ext, payload in (
+                ("txt", f"caption {i}".encode()),
+                ("jpg", b"\xff\xd8\xff" + bytes([i]) * 32),
+            ):
+                info = tarfile.TarInfo(name=f"{i:012d}.{ext}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+
+    back = read_webdataset_shards(spark, out)
+    rows = back.collect()
+    assert len(rows) == 3
+    assert all(set(r["media"]) == {"jpg"} for r in rows)
+    assert rows[0]["text"].startswith("caption")
+
+    imgs = back.select(
+        "sample_key", F.element_at("media", "jpg").alias("content")
+    )
+    feats = decode_images(imgs, keep_cols=["sample_key"]).collect()
+    assert len(feats) == 3
+    assert all(r["decode_error"] is None and r["width"] > 0 for r in feats)
