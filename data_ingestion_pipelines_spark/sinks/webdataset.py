@@ -84,22 +84,36 @@ def write_webdataset_shards(
     text_col: str = "text",
     meta_cols: list[str] | None = None,
     num_shards: int = 8,
+    binary_cols: dict[str, str] | None = None,
 ) -> list[str]:
     """Write ``shard-{i:06d}.tar`` files under ``out_dir``; returns the
-    shard paths. Each sample contributes ``{id:012d}.txt`` (UTF-8 text)
-    and, when ``meta_cols`` is given, ``{id:012d}.json``. Samples are
-    sorted by id within a shard so shard bytes are deterministic.
+    shard paths. Each sample contributes ``{id:012d}.txt`` (UTF-8 text),
+    ``{id:012d}.json`` when ``meta_cols`` is given, and one
+    ``{id:012d}.{ext}`` member per ``binary_cols`` entry
+    (``{column: extension}`` — image/audio/tensor payloads, the
+    multimodal members :func:`read_webdataset_shards` regroups into its
+    ``media`` map; null payloads skip their member). Samples are sorted
+    by id within a shard so shard bytes are deterministic.
     """
     import json
 
     meta_cols = meta_cols or []
+    binary_cols = binary_cols or {}
+    reserved = {"txt", "json"}
+    bad_ext = sorted(set(binary_cols.values()) & reserved)
+    if bad_ext:
+        raise ValueError(
+            f"binary_cols extensions {bad_ext} collide with the reserved "
+            f"text/metadata members"
+        )
     os.makedirs(out_dir, exist_ok=True)
     # raises on negative ids in the MAP stage (before the shuffle, so
     # before any tar is opened) — no partial shard files on bad input
     shard_col = _shard_col(id_col, num_shards).cast("int")
     prepared = (
         df.select(
-            shard_col.alias("_shard"), F.col(id_col), F.col(text_col), *meta_cols
+            shard_col.alias("_shard"), F.col(id_col), F.col(text_col),
+            *meta_cols, *binary_cols,
         )
         # one partition per shard, ordered within — the writer streams
         # rows in id order so the tar is byte-reproducible
@@ -109,6 +123,13 @@ def write_webdataset_shards(
 
     def write_partition(rows) -> None:
         tars: dict[int, tarfile.TarFile] = {}
+
+        def add(tf, name: str, payload: bytes) -> None:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0  # reproducible bytes
+            tf.addfile(info, io.BytesIO(payload))
+
         try:
             for row in rows:
                 sh = row["_shard"]
@@ -124,19 +145,16 @@ def write_webdataset_shards(
                         f"{row[id_col]} cannot form a 12-digit member name"
                     )
                 base = f"{row[id_col]:012d}"
-                payload = (row[text_col] or "").encode("utf-8")
-                info = tarfile.TarInfo(name=f"{base}.txt")
-                info.size = len(payload)
-                info.mtime = 0  # reproducible bytes
-                tf.addfile(info, io.BytesIO(payload))
+                add(tf, f"{base}.txt", (row[text_col] or "").encode("utf-8"))
                 if meta_cols:
                     meta = json.dumps(
                         {c: row[c] for c in meta_cols}, sort_keys=True
                     ).encode("utf-8")
-                    minfo = tarfile.TarInfo(name=f"{base}.json")
-                    minfo.size = len(meta)
-                    minfo.mtime = 0
-                    tf.addfile(minfo, io.BytesIO(meta))
+                    add(tf, f"{base}.json", meta)
+                for col, ext in sorted(binary_cols.items()):
+                    payload = row[col]
+                    if payload is not None:
+                        add(tf, f"{base}.{ext}", bytes(payload))
         finally:
             for tf in tars.values():
                 tf.close()

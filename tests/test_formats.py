@@ -223,3 +223,33 @@ def test_webdataset_reader_multimodal_members_feed_decode(spark, tmp_path):
     feats = decode_images(imgs, keep_cols=["sample_key"]).collect()
     assert len(feats) == 3
     assert all(r["decode_error"] is None and r["width"] > 0 for r in feats)
+
+
+def test_webdataset_binary_cols_roundtrip(spark, tmp_path):
+    """Writer binary_cols -> reader media map: media payload bytes
+    survive the tar container exactly; null payloads skip their member;
+    reserved extensions are rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.sinks.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    rows = [
+        (0, "caption zero", b"\xff\xd8\xffimg0"),
+        (1, "caption one", None),            # null media: .txt only
+        (2, "caption two", b"\xff\xd8\xffimg2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, img binary")
+    out = str(tmp_path / "bshards")
+    write_webdataset_shards(docs, out, binary_cols={"img": "jpg"}, num_shards=2)
+    back = {int(r["sample_key"]): r for r in read_webdataset_shards(spark, out).collect()}
+    assert bytes(back[0]["media"]["jpg"]) == b"\xff\xd8\xffimg0"
+    assert bytes(back[2]["media"]["jpg"]) == b"\xff\xd8\xffimg2"
+    assert back[1]["media"] is None          # no media member written
+    assert back[1]["text"] == "caption one"
+
+    with _pytest.raises(ValueError, match="reserved"):
+        write_webdataset_shards(docs, out, binary_cols={"img": "txt"})
