@@ -823,6 +823,92 @@ def pq_search_codes(
     return _final_topk(scored, query_id_col, id_col, k)
 
 
+def save_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = 4,
+    bits: int = 6,
+    dim: int | None = None,
+) -> None:
+    """Build and PERSIST the LSH index: ``{path}/buckets`` (one row per
+    (vector, table): id, tbl, bucket) and ``{path}/vectors`` (id, vec —
+    stored ONCE, not per table, for the exact re-rank). The hyperplanes
+    are derived from (table, bit, j) hashes, so only the parameters ride
+    along (``{path}/params``) — any later session regenerates the
+    identical planes. The build-once/search-many lifecycle
+    :func:`save_pq_index` already provides for PQ, for the LSH tier.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _plane_matrix(dim, bits, num_tables)
+    id_type = dict(corpus.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, `{vec_col}` {dict(corpus.dtypes)[vec_col]}, tbl BIGINT, bucket BIGINT"
+
+    def run(batches):
+        for pdf in batches:
+            yield _bucket_rows(pdf, vec_col, planes, bits, num_tables)
+
+    base = path.rstrip("/")
+    spark = corpus.sparkSession
+    bucketed = corpus.select(id_col, vec_col).mapInPandas(run, schema)
+    bucketed.select(id_col, "tbl", "bucket").write.mode("overwrite").parquet(
+        f"{base}/buckets"
+    )
+    corpus.select(id_col, vec_col).write.mode("overwrite").parquet(f"{base}/vectors")
+    spark.createDataFrame(
+        [(num_tables, bits, dim)], "num_tables INT, bits INT, dim INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
+
+
+def lsh_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted LSH index (:func:`save_lsh_index`) without
+    re-bucketing the corpus: queries bucket through the regenerated
+    planes, candidates come from the stored (tbl, bucket) join, exact
+    cosine re-rank reads the stored vectors — per-batch pre-reduced
+    like every search family here."""
+    base = path.rstrip("/")
+    p = spark.read.parquet(f"{base}/params").first()
+    planes = _plane_matrix(p["dim"], p["bits"], p["num_tables"])
+    buckets = spark.read.parquet(f"{base}/buckets")
+    vectors = spark.read.parquet(f"{base}/vectors")
+
+    q_types = dict(queries.dtypes)
+    q_schema = (
+        f"`{query_id_col}` {q_types[query_id_col]}, "
+        f"`{vec_col}` {q_types[vec_col]}, tbl BIGINT, bucket BIGINT"
+    )
+
+    def bucket_q(batches):
+        for pdf in batches:
+            yield _bucket_rows(
+                pdf[[query_id_col, vec_col]], vec_col, planes, p["bits"], p["num_tables"]
+            )
+
+    q = queries.select(query_id_col, vec_col).mapInPandas(bucket_q, q_schema)
+    q = q.withColumnRenamed(vec_col, "_qvec")
+    cand = (
+        buckets.join(F.broadcast(q), on=["tbl", "bucket"])
+        .select(query_id_col, id_col, "_qvec")
+        .dropDuplicates([query_id_col, id_col])
+        .join(vectors, id_col)
+    )
+    scored = _score_pairs_numpy(
+        cand, vec_col, "_qvec", keep=[query_id_col, id_col],
+        topk=(query_id_col, id_col, k),
+    )
+    return _final_topk(scored, query_id_col, id_col, k)
+
+
 def save_pq_index(
     corpus: DataFrame,
     path: str,

@@ -275,3 +275,30 @@ def test_ivf_pq_residual_mode_recall_floor(spark):
     assert all(len(v) == 10 for v in per_q.values())
     approx = {(r["query_id"], r["vec_id"]) for r in rows}
     assert len(approx & exact) / len(exact) >= 0.2  # same verdict floor
+
+
+def test_lsh_index_persist_reload_search_parity(spark, tmp_path):
+    """save_lsh_index -> lsh_search_index must return EXACTLY what the
+    in-memory lsh_topk returns for the same parameters (same derived
+    planes, same buckets, same 6-dp cosine re-rank) - the
+    build-once/search-many lifecycle parity PQ already has."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        lsh_search_index,
+        lsh_topk,
+        save_lsh_index,
+    )
+
+    emb = _toy_embeddings(spark, n=120, dim=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    in_mem = {(r["query_id"], r["vec_id"], r["score"])
+              for r in lsh_topk(emb, queries, k=5, num_tables=4, bits=3, dim=8).collect()}
+
+    path = str(tmp_path / "lsh_index")
+    save_lsh_index(emb, path, num_tables=4, bits=3, dim=8)
+    from_index = {(r["query_id"], r["vec_id"], r["score"])
+                  for r in lsh_search_index(spark, path, queries, k=5).collect()}
+    assert from_index == in_mem and len(from_index) > 0
