@@ -77,6 +77,10 @@ HEADLINE = [
     # (coarse-prune + ADC) index build+search flagship
     "corpus_curation_gopher",
     "similarity_ivf_pq_topk",
+    # round-7 additions with distinctive execution surfaces: tar-shard
+    # export→binaryFile→un-archive roundtrip, and the (id, char) shuffle
+    "webdataset_roundtrip_docs",
+    "doc_char_diversity",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
