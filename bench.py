@@ -129,13 +129,17 @@ def main() -> None:
     # failing query reports {"err": ...} and the summary line ALWAYS prints
     # — mirroring the reference's per-child failure tally
     # (dataSource bp/Concurrent.scala:173-228).
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs_env = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
+    runs = int(runs_env) if runs_env else 3
+    # EXTRA_RUNS only raises the default; an EXPLICIT run count (e.g. a
+    # quick =1 smoke bench) is honored for every query
+    explicit_runs = runs_env is not None
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry[name]
         best = None
-        n_runs = max(runs, 5) if name in EXTRA_RUNS else runs
+        n_runs = runs if explicit_runs else (5 if name in EXTRA_RUNS else runs)
         try:
             for _ in range(n_runs):
                 t0 = time.perf_counter()

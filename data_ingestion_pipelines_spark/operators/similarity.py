@@ -839,24 +839,30 @@ def save_lsh_index(
     along (``{path}/params``) — any later session regenerates the
     identical planes. The build-once/search-many lifecycle
     :func:`save_pq_index` already provides for PQ, for the LSH tier.
+
+    Source-scan discipline: the (possibly expensive) corpus source is
+    read ONCE — the vectors artifact is written first, and the bucket
+    table (plus ``dim``) derives from reading that local parquet back,
+    instead of re-scanning the source per artifact.
     """
+    base = path.rstrip("/")
+    spark = corpus.sparkSession
+    corpus.select(id_col, vec_col).write.mode("overwrite").parquet(f"{base}/vectors")
+    vectors = spark.read.parquet(f"{base}/vectors")
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = len(vectors.select(vec_col).first()[0])
     planes = _plane_matrix(dim, bits, num_tables)
-    id_type = dict(corpus.dtypes)[id_col]
-    schema = f"`{id_col}` {id_type}, `{vec_col}` {dict(corpus.dtypes)[vec_col]}, tbl BIGINT, bucket BIGINT"
+    v_types = dict(vectors.dtypes)
+    schema = f"`{id_col}` {v_types[id_col]}, `{vec_col}` {v_types[vec_col]}, tbl BIGINT, bucket BIGINT"
 
     def run(batches):
         for pdf in batches:
             yield _bucket_rows(pdf, vec_col, planes, bits, num_tables)
 
-    base = path.rstrip("/")
-    spark = corpus.sparkSession
-    bucketed = corpus.select(id_col, vec_col).mapInPandas(run, schema)
+    bucketed = vectors.mapInPandas(run, schema)
     bucketed.select(id_col, "tbl", "bucket").write.mode("overwrite").parquet(
         f"{base}/buckets"
     )
-    corpus.select(id_col, vec_col).write.mode("overwrite").parquet(f"{base}/vectors")
     spark.createDataFrame(
         [(num_tables, bits, dim)], "num_tables INT, bits INT, dim INT"
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")

@@ -540,8 +540,12 @@ def webdataset_manifest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return webdataset_manifest(_t(spark, sf_dir, "documents"), num_shards=8)
 
 
+# both halves are defined only for NON-NEGATIVE ids: the Spark operator
+# raises in-plan on a negative id (no 12-digit member name exists), so
+# the oracle uses plain % rather than modeling a pmod assignment the
+# operator would refuse to execute
 WEBDATASET_MANIFEST_DOCS_SQL = """
-SELECT CAST(((doc_id % 8) + 8) % 8 AS BIGINT) AS shard,
+SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_samples,
        CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
        CAST(MIN(doc_id) AS BIGINT) AS min_id,
@@ -2604,7 +2608,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..pipelines.corpus_curation import CurationConfig, curate_corpus
     from ..sources.files import read_parquet_stream
-    from ..streaming.incremental import min_id_dedup_ingest
+    from ..streaming.incremental import min_id_dedup_ingest, read_min_id_snapshot
 
     stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/documents.parquet")
     cfg = CurationConfig(
@@ -2621,7 +2625,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(target).select("doc_id", "n_tokens")
+    return read_min_id_snapshot(spark, target).select("doc_id", "n_tokens")
 
 
 # The multi-batch twin: the SAME sink fed 4 REAL micro-batches
@@ -2634,7 +2638,7 @@ def streaming_corpus_ingest_multibatch(spark: SparkSession, sf_dir: str) -> Data
     import tempfile
 
     from ..pipelines.corpus_curation import CurationConfig, curate_corpus
-    from ..streaming.incremental import min_id_dedup_ingest
+    from ..streaming.incremental import min_id_dedup_ingest, read_min_id_snapshot
 
     docs = _t(spark, sf_dir, "documents")
     root = tempfile.mkdtemp(prefix="scimb_")
@@ -2657,7 +2661,7 @@ def streaming_corpus_ingest_multibatch(spark: SparkSession, sf_dir: str) -> Data
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(target).select("doc_id", "n_tokens")
+    return read_min_id_snapshot(spark, target).select("doc_id", "n_tokens")
 
 
 # --------------------------------------------------------------------------

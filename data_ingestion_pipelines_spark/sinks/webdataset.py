@@ -218,7 +218,10 @@ def read_webdataset_shards(spark, shards_dir: str) -> DataFrame:
                         {
                             "shard_path": path,
                             "sample_key": base,
-                            "text": d.get("txt", b"").decode("utf-8"),
+                            # an ABSENT .txt member is NULL, same as
+                            # meta_json — image-only samples must not
+                            # masquerade as empty captions downstream
+                            "text": d["txt"].decode("utf-8") if "txt" in d else None,
                             "meta_json": d["json"].decode("utf-8") if "json" in d else None,
                             "media": media or None,
                         }

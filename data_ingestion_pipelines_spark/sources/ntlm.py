@@ -40,6 +40,7 @@ import hashlib
 import hmac
 import os
 import struct
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -292,6 +293,16 @@ class NtlmTransport:
     re-handshake for that call. A server that never demands NTLM passes
     through untouched. ``clock``/``rng`` are injectable for
     deterministic tests.
+
+    SCOPE CONTRACT: the ``_authed`` state models EXACTLY ONE underlying
+    connection, so the inner transport must pin a single keep-alive
+    connection (a one-connection session, or a pool of size 1). Wrap a
+    multi-connection pool and each pool miss lands on an
+    unauthenticated connection → 401 → full re-handshake, wasting a
+    request plus three legs per miss: create one ``NtlmTransport`` per
+    pooled connection instead. An internal lock serializes calls so
+    concurrent callers cannot interleave the handshake legs; it does
+    not lift the one-connection requirement.
     """
 
     inner: Transport
@@ -302,8 +313,19 @@ class NtlmTransport:
     clock: object = time.time
     rng: object = field(default=os.urandom)
     _authed: bool = field(default=False, init=False, repr=False)
+    _lock: object = field(default_factory=threading.Lock, init=False, repr=False)
 
     def __call__(
+        self,
+        url: str,
+        method: str = "GET",
+        headers: dict[str, str] | None = None,
+        body: str | None = None,
+    ) -> Response:
+        with self._lock:
+            return self._call_locked(url, method, headers, body)
+
+    def _call_locked(
         self,
         url: str,
         method: str = "GET",

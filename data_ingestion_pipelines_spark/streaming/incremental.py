@@ -140,6 +140,28 @@ def foreach_batch_upsert(
     )
 
 
+def _read_current_pointer(base: str) -> str | None:
+    import os
+
+    cur = os.path.join(base, "_CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as fh:
+        name = fh.read().strip()
+    return name or None
+
+
+def read_min_id_snapshot(spark, target_path: str) -> DataFrame:
+    """Read the CURRENT snapshot written by :func:`min_id_dedup_ingest`
+    — resolves the atomic ``_CURRENT`` pointer, so readers never see a
+    half-written snapshot directory."""
+    base = target_path.rstrip("/")
+    name = _read_current_pointer(base)
+    if name is None:
+        raise FileNotFoundError(f"no snapshot pointer at {base}/_CURRENT")
+    return spark.read.parquet(f"{base}/{name}")
+
+
 def min_id_dedup_ingest(
     target_path: str,
     text_col: str = "text",
@@ -147,46 +169,58 @@ def min_id_dedup_ingest(
 ):
     """``foreachBatch`` sink factory: maintain the exact-dedup corpus
     snapshot — LOWEST id per normalized-content fingerprint — across all
-    micro-batches seen so far.
+    micro-batches seen so far. Read it back with
+    :func:`read_min_id_snapshot`.
 
     BATCH-ORDER DETERMINISM: the snapshot after any set of batches is
     ``min_id per fingerprint over their union``, and min is commutative,
     associative and idempotent — so the result is independent of how the
     source was split into micro-batches and of the order they arrived
     in, and a replayed batch (failure between sink write and checkpoint
-    commit) rewrites the identical snapshot. This is what makes the
-    streaming gate hash-equal to the batch oracle (min-id semantics)
-    for ANY file/batch decomposition; a first-seen-wins append sink
-    agrees with the batch answer only when ids happen to arrive in
+    commit) rewrites an identical snapshot. A first-seen-wins append
+    sink agrees with the batch answer only when ids happen to arrive in
     order.
 
+    CRASH DURABILITY (why snapshots are versioned): a bare
+    ``mode("overwrite")`` of one fixed directory deletes the old data
+    before the new commit — a crash in that window loses the whole
+    accumulated corpus, and the next replay would silently rebuild from
+    one batch. Instead each batch writes a NEW directory
+    (``snap-{batch_id}-{nonce}``) and then atomically flips the
+    ``_CURRENT`` pointer file (write-temp + ``os.replace``): a crash
+    mid-write leaves the pointer on the previous intact snapshot, and
+    the replay starts from it. Non-current snapshot dirs are pruned
+    best-effort after the flip. The pointer flip uses local-filesystem
+    rename atomicity; on an object store this role is played by a table
+    format's commit log (Delta/Iceberg) — same contract as
+    ``sinks/merge.py``'s Delta note, where this sink is a keyed MERGE
+    with ``whenMatched AND s.id < t.id``.
+
     Plan per batch: fingerprint the batch (one projection), union with
-    the target snapshot, one window on the uniform md5 key, overwrite.
-    The parquet fallback rewrites the snapshot (materialized via
-    localCheckpoint before overwriting the path being read); on Delta
-    this is a keyed MERGE with ``whenMatched AND s.id < t.id`` — the
-    scale path, same contract as ``sinks/merge.py``. The stored ``_fp``
-    column is the 32-byte fingerprint index a curation service keeps
-    hot; readers drop it.
+    the current snapshot, one window on the uniform md5 key, write. The
+    stored ``_fp`` column is the 32-byte fingerprint index a curation
+    service keeps hot; readers drop it.
     """
     from pyspark.sql import Window
 
     from ..operators.text import with_fingerprint
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
+        import os
+        import shutil
+        import uuid
 
         s = batch_df.sparkSession
+        base = target_path.rstrip("/")
+        os.makedirs(base, exist_ok=True)
+        current = _read_current_pointer(base)
         fresh = with_fingerprint(batch_df, text_col, out="_fp")
-        try:
-            merged = s.read.parquet(target_path).unionByName(fresh)
-        except AnalysisException as ex:
-            # ONLY the missing-target first batch may fall through to a
-            # fresh snapshot: any other read failure (transient IO, torn
-            # files) must propagate — swallowing it here would let the
-            # overwrite below silently destroy the accumulated corpus.
-            if "PATH_NOT_FOUND" not in str(ex) and "Path does not exist" not in str(ex):
-                raise
+        if current is not None:
+            # pointer guarantees this dir was fully committed; any read
+            # failure here is a REAL error and must propagate — falling
+            # back to `fresh` would silently drop the accumulated corpus
+            merged = s.read.parquet(f"{base}/{current}").unionByName(fresh)
+        else:
             merged = fresh
         # row_number, not `id == min(id)`: a REPLAYED batch re-unions
         # rows already in the snapshot, so the winner appears twice and
@@ -197,9 +231,17 @@ def min_id_dedup_ingest(
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .localCheckpoint(eager=True)
         )
-        snap.write.mode("overwrite").parquet(target_path)
+        name = f"snap-{int(batch_id)}-{uuid.uuid4().hex[:8]}"
+        snap.write.parquet(f"{base}/{name}")
+        tmp = os.path.join(base, "_CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, os.path.join(base, "_CURRENT"))  # atomic flip
+        # best-effort prune of superseded snapshot dirs
+        for entry in os.listdir(base):
+            if entry.startswith("snap-") and entry != name:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
     return ingest
 

@@ -321,6 +321,7 @@ def test_min_id_dedup_ingest_batch_order_deterministic(spark, tmp_path):
     leave the snapshot unchanged."""
     from data_ingestion_pipelines_spark.streaming.incremental import (
         min_id_dedup_ingest,
+        read_min_id_snapshot,
     )
 
     # doc 7 and doc 2 share content; so do 9 and 4 — in both cases the
@@ -341,7 +342,8 @@ def test_min_id_dedup_ingest_batch_order_deterministic(spark, tmp_path):
             sink(b, i)
         return {
             (r["doc_id"], r["text"])
-            for r in spark.read.parquet(str(path)).select("doc_id", "text").collect()
+            for r in read_min_id_snapshot(spark, str(path))
+            .select("doc_id", "text").collect()
         }
 
     fwd = run([b_early, b_late], tmp_path / "fwd")
@@ -360,7 +362,32 @@ def test_min_id_dedup_ingest_batch_order_deterministic(spark, tmp_path):
     sink(b_late, 1)  # REPLAY
     rows = sorted(
         (r["doc_id"], r["text"])
-        for r in spark.read.parquet(str(tmp_path / "replay"))
+        for r in read_min_id_snapshot(spark, str(tmp_path / "replay"))
         .select("doc_id", "text").collect()
     )
     assert rows == sorted(expect)  # exact row multiset: no duplicates
+
+    # crash-mid-write durability: simulate a torn snapshot write by
+    # crashing BEFORE the pointer flip (the window where the old design
+    # had already deleted the target) — the pointer still resolves to
+    # the intact previous snapshot
+    import os
+    import shutil
+
+    base = str(tmp_path / "crash")
+    sink = min_id_dedup_ingest(base)
+    sink(b_early, 0)
+    before = {(r["doc_id"], r["text"]) for r in
+              read_min_id_snapshot(spark, base).select("doc_id", "text").collect()}
+    # a torn write = a half-written new snapshot dir with no pointer flip
+    os.makedirs(os.path.join(base, "snap-1-deadbeef"))
+    with open(os.path.join(base, "snap-1-deadbeef", "part-00000.parquet"), "wb") as fh:
+        fh.write(b"torn")
+    after = {(r["doc_id"], r["text"]) for r in
+             read_min_id_snapshot(spark, base).select("doc_id", "text").collect()}
+    assert after == before  # reader never sees the torn dir
+    # and the replay of batch 1 proceeds from the intact snapshot
+    sink(b_late, 1)
+    final = {(r["doc_id"], r["text"]) for r in
+             read_min_id_snapshot(spark, base).select("doc_id", "text").collect()}
+    assert final == expect
