@@ -489,3 +489,68 @@ def test_interval_overlap_join_matches_bruteforce(spark, left, right):
         if lo_a < lo_b + wb and lo_b < lo_a + wa
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Top-k pre-reduction losslessness theorem (operators/similarity._batch_topk):
+# for ANY split of a scored relation into batches, the global top-k of the
+# union of per-batch top-ks equals the global top-k of the whole relation,
+# under the shared total order (score desc NULLS LAST, id asc NULLS FIRST).
+# Pure pandas property — no Spark session needed, so hypothesis can hammer
+# ties, nulls, and adversarial splits cheaply.
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),              # query_id
+            st.one_of(st.none(), st.integers(0, 50)),           # vec_id (nullable)
+            st.sampled_from([0.0, 0.25, 0.5, 0.5, 1.0]),        # score (tie-heavy)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_batches=st.integers(min_value=1, max_value=5),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_batch_topk_prereduction_is_lossless(rows, n_batches, k):
+    import pandas as pd
+
+    from data_ingestion_pipelines_spark.operators.similarity import _batch_topk
+
+    def frame(rs):
+        return pd.DataFrame(
+            {
+                "query_id": [r[0] for r in rs],
+                "vec_id": pd.array([r[1] for r in rs], dtype="Int64"),
+                "score": [r[2] for r in rs],
+            }
+        )
+
+    def global_topk(pdf):
+        """Reference: the window's total order, as sorted python tuples."""
+        out = []
+        for q, grp in pdf.groupby("query_id", dropna=False):
+            recs = [
+                (row["score"], row["vec_id"] if pd.notna(row["vec_id"]) else None)
+                for _, row in grp.iterrows()
+            ]
+            # score desc nulls-last / id asc nulls-first
+            recs.sort(key=lambda r: (-r[0], 0 if r[1] is None else 1, r[1] or 0))
+            out.extend((q, s, v) for s, v in recs[:k])
+        return sorted(out, key=str)
+
+    pdf = frame(rows)
+    whole = global_topk(pdf)
+
+    # arbitrary contiguous split into batches, pre-reduce each, re-concat
+    splits = [pdf.iloc[i::n_batches] for i in range(n_batches)]
+    reduced = pd.concat(
+        [_batch_topk(b.reset_index(drop=True), "query_id", "vec_id", k) for b in splits if len(b)],
+        ignore_index=True,
+    )
+    # the bound: each batch contributes <= k rows per query
+    per = reduced.groupby("query_id", dropna=False).size()
+    assert (per <= k * n_batches).all()
+    # losslessness: global top-k over the reduced union == over the whole
+    assert global_topk(reduced) == whole
