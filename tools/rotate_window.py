@@ -38,6 +38,11 @@ RECHECKS = [
     "similarity_pq_topk",
     "winnowing_overlap_docs",
     "corpus_curation_gopher",
+    # round-7 additions that re-touched deep machinery
+    "streaming_corpus_ingest_multibatch",
+    "webdataset_roundtrip_docs",
+    "ngram_jaccard_docs",
+    "similarity_ivf_pq_topk",
 ]
 
 
