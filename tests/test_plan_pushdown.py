@@ -160,3 +160,23 @@ def test_q15_top_supplier_pushes_quarter_and_broadcasts_top(spark):
     assert "SortMergeJoin" not in plan
     rows = df.collect()
     assert len(rows) >= 1 and all(r["total_revenue"] > 0 for r in rows)
+
+
+def test_weighted_sample_global_path_is_take_ordered(spark):
+    """Global (unstratified) weighted sampling must plan
+    TakeOrderedAndProject — per-partition k-heaps merged on the driver —
+    never a one-task global window sort."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    sampled = weighted_sample_topk(df, k=10, weight_col="w")
+    plan = _plan(sampled)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
+    assert sampled.count() == 10
