@@ -169,6 +169,67 @@ def sample_frames(
     return df.mapInPandas(run, schema)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "sample_rate INT, n_channels INT, duration_ms BIGINT, "
+    "codec STRING, decode_error STRING"
+)
+
+
+def fake_audio_decoder(content: bytes) -> dict:
+    """Deterministic stand-in for a real audio decoder (torchaudio /
+    soundfile / ffprobe in deployment). Derives pseudo-properties from a
+    content hash — stable across runs, engines, partitionings."""
+    if not content:
+        raise ValueError("empty content")
+    h = hashlib.md5(content).digest()
+    return {
+        "sample_rate": [8000, 16000, 22050, 44100, 48000][h[0] % 5],
+        "n_channels": 1 + h[1] % 2,
+        "duration_ms": 500 + int.from_bytes(h[2:4], "big") % 60_000,
+        "codec": ["pcm", "flac", "opus", "mp3"][h[4] % 4],
+    }
+
+
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    keep_cols: list[str] | None = None,
+    decoder: Decoder | None = None,
+) -> DataFrame:
+    """Audio decode/feature-extract via Arrow-batched ``mapInPandas`` —
+    the audio twin of :func:`decode_images`, same batch contract:
+    ``keep_cols`` + AUDIO_FEATURE_SCHEMA out, decode failures become
+    rows with ``decode_error`` set (one corrupt file never aborts a
+    100 TB scan). Swap ``decoder`` for a real probe in deployment
+    (``lambda b: {'sample_rate': info.samplerate, ...}``)."""
+    keep_cols = keep_cols or []
+    dec = decoder or fake_audio_decoder
+    keep_types = dict(df.dtypes)
+    schema = ", ".join(
+        [f"`{c}` {keep_types[c]}" for c in keep_cols] + [AUDIO_FEATURE_SCHEMA]
+    )
+    feat_cols = ["sample_rate", "n_channels", "duration_ms", "codec"]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for content, *keeps in zip(pdf[content_col], *[pdf[c] for c in keep_cols]):
+                rec = dict(zip(keep_cols, keeps))
+                try:
+                    feats = dec(bytes(content))
+                    rec.update({c: feats.get(c) for c in feat_cols})
+                    rec["decode_error"] = None
+                except Exception as ex:
+                    rec.update({c: None for c in feat_cols})
+                    rec["decode_error"] = str(ex)
+                out.append(rec)
+            yield pd.DataFrame(out, columns=keep_cols + feat_cols + ["decode_error"])
+
+    return df.mapInPandas(run, schema)
+
+
 def decode_images(
     df: DataFrame,
     content_col: str = "content",

@@ -56,6 +56,7 @@ _PRIORITY = [
     "weighted_sample_docs",
     "doc_char_diversity",
     "webdataset_roundtrip_docs",
+    "multimodal_audio_probe",
     "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
@@ -98,7 +99,7 @@ _PRIORITY = [
     "json_props_extract",
     "priority_shipmode_counts",
     # promo_revenue_share rotated out (r2-green) for the roundtrip gate
-    "above_brand_average",
+    # above_brand_average rotated out (r2-green) for the audio gate
     "rollup_revenue",
     "revenue_by_nation",
     "big_customers",

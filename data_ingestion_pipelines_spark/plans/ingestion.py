@@ -139,8 +139,48 @@ FROM m
 """
 
 
+# Audio twin of multimodal_decode: same binary-column batch contract,
+# audio-shaped features (sample_rate/channels/duration/codec), same
+# md5-derived fake decoder so DuckDB reproduces every value
+def multimodal_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    feats = extract_audio_features(docs, keep_cols=["doc_id"])
+    return feats.select(
+        "doc_id", "sample_rate", "n_channels", "duration_ms", "codec",
+        "decode_error",
+    )
+
+
+MULTIMODAL_AUDIO_PROBE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         {_BYTE.format(a=1, b=2)} AS h0,
+         {_BYTE.format(a=3, b=4)} AS h1,
+         {_BYTE.format(a=5, b=6)} AS h2,
+         {_BYTE.format(a=7, b=8)} AS h3,
+         {_BYTE.format(a=9, b=10)} AS h4,
+         length(text) = 0 AS is_empty
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN is_empty THEN NULL
+            ELSE CAST([8000, 16000, 22050, 44100, 48000][h0 % 5 + 1] AS INTEGER) END AS sample_rate,
+       CASE WHEN is_empty THEN NULL ELSE CAST(1 + h1 % 2 AS INTEGER) END AS n_channels,
+       CASE WHEN is_empty THEN NULL
+            ELSE CAST(500 + (h2 * 256 + h3) % 60000 AS BIGINT) END AS duration_ms,
+       CASE WHEN is_empty THEN NULL ELSE ['pcm', 'flac', 'opus', 'mp3'][h4 % 4 + 1] END AS codec,
+       CASE WHEN is_empty THEN 'empty content' ELSE NULL END AS decode_error
+FROM m
+"""
+
+
 QUERIES = {
     "xml_extract": (xml_extract, XML_EXTRACT_SQL),
     "rest_fetch_per_id": (rest_fetch_per_id, REST_FETCH_PER_ID_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "multimodal_audio_probe": (multimodal_audio_probe, MULTIMODAL_AUDIO_PROBE_SQL),
 }

@@ -253,3 +253,25 @@ def test_webdataset_binary_cols_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="reserved"):
         write_webdataset_shards(docs, out, binary_cols={"img": "txt"})
+
+
+def test_extract_audio_features_batch_contract(spark):
+    """Audio twin of decode_images: keep_cols + feature schema out,
+    corrupt/empty payloads become error ROWS (never task failures), and
+    features are deterministic functions of the bytes."""
+    from data_ingestion_pipelines_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    rows = [(1, b"RIFFxxxxWAVE" + b"a" * 50), (2, b""), (3, b"\x66\x4c\x61\x43data")]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r["doc_id"]: r for r in extract_audio_features(df, keep_cols=["doc_id"]).collect()}
+    assert got[2]["decode_error"] == "empty content" and got[2]["sample_rate"] is None
+    for i in (1, 3):
+        assert got[i]["decode_error"] is None
+        assert got[i]["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+        assert got[i]["n_channels"] in (1, 2)
+        assert 500 <= got[i]["duration_ms"] < 60500
+    again = {r["doc_id"]: r for r in
+             extract_audio_features(df.repartition(3), keep_cols=["doc_id"]).collect()}
+    assert all(again[k] == got[k] for k in got)
