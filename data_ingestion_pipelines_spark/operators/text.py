@@ -105,6 +105,27 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     return df.withColumn(out, F.md5(normalized))
 
 
+# GPT-2-style pre-tokenizer pattern, RE2-safe: the upstream pattern's
+# trailing-space lookahead `\s+(?!\S)` is dropped (RE2 — DuckDB — has no
+# lookahead; Java would accept it, and cross-engine parity wins over
+# byte-for-byte GPT-2 fidelity). Both engines run leftmost-first
+# alternation, so contraction suffixes must precede the letter branch.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def with_bpe_regex_tokens(
+    df: DataFrame, text_col: str = "text", out: str = "bpe_tokens"
+) -> DataFrame:
+    """Add GPT-2-style pre-tokens (case-preserving, space-prefixed words,
+    contraction suffixes split, punctuation runs separate) — the
+    "BPE-ish" token counter training-data budgeting actually uses, vs
+    the ``[a-z0-9]+`` word tokens quality signals use. Pure codegen
+    projection; identical matches in DuckDB (shared RE2-safe pattern)."""
+    return df.withColumn(
+        out, F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_RE), 0)
+    )
+
+
 def char_diversity_stats(
     df: DataFrame,
     text_col: str = "text",

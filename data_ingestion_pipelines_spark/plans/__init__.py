@@ -57,6 +57,7 @@ _PRIORITY = [
     "doc_char_diversity",
     "webdataset_roundtrip_docs",
     "multimodal_audio_probe",
+    "doc_bpe_regex_token_count",
     "similarity_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
@@ -100,7 +101,7 @@ _PRIORITY = [
     "priority_shipmode_counts",
     # promo_revenue_share rotated out (r2-green) for the roundtrip gate
     # above_brand_average rotated out (r2-green) for the audio gate
-    "rollup_revenue",
+    # rollup_revenue rotated out (r2-green) for the pre-tokenizer gate
     "revenue_by_nation",
     "big_customers",
     "outer_coalesce_refresh",

@@ -950,6 +950,37 @@ TRAIN_VAL_TEST_SPLIT_SQL = (
 
 
 # --------------------------------------------------------------------------
+# Token-count comparison: GPT-2-style pre-tokens (the BPE-ish counter a
+# token budget is denominated in) vs plain whitespace tokens per doc —
+# both as pure codegen regex counts, the pattern shared verbatim with
+# the DuckDB twin (RE2-safe — see operators/text.py BPE_PRETOKEN_RE).
+def doc_bpe_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_bpe_regex_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    return with_bpe_regex_tokens(docs).select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        ws.cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+DOC_BPE_REGEX_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+         AS BIGINT) AS n_bpe_tokens,
+       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+         AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # Character-diversity garbage signal: index of coincidence Σp_c² per doc
 # — the rational (exactly-computable, hash-verifiable) twin of char
 # entropy. Flags repeated-char boilerplate (high) and base64/hex blobs
@@ -3546,6 +3577,10 @@ QUERIES = {
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL),
     "doc_char_diversity": (doc_char_diversity, DOC_CHAR_DIVERSITY_SQL),
+    "doc_bpe_regex_token_count": (
+        doc_bpe_regex_token_count,
+        DOC_BPE_REGEX_TOKEN_COUNT_SQL,
+    ),
     "webdataset_roundtrip_docs": (
         webdataset_roundtrip_docs,
         WEBDATASET_ROUNDTRIP_DOCS_SQL,

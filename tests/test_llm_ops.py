@@ -745,3 +745,19 @@ def test_char_diversity_stats_flags_garbage(spark):
     again = {r["doc_id"]: r["collision_rate"]
              for r in char_diversity_stats(df.repartition(7)).collect()}
     assert all(again[i] == got[i]["collision_rate"] for i in (1, 2, 3))
+
+
+def test_bpe_regex_pretokens_gpt2_shapes(spark):
+    """GPT-2-ish pre-tokenizer behavior: contraction suffixes split,
+    words carry their leading space, punctuation runs separate, case
+    preserved — and the whole text reassembles from the tokens (the
+    pre-tokenizer is a partition of the input)."""
+    from data_ingestion_pipelines_spark.operators.text import with_bpe_regex_tokens
+
+    rows = [(1, "Don't stop!  It's 42 degrees..."), (2, ""), (3, "  ")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["bpe_tokens"] for r in with_bpe_regex_tokens(df).collect()}
+    assert got[1][:4] == ["Don", "'t", " stop", "!"]
+    assert "'s" in got[1] and " 42" in got[1]
+    assert "".join(got[1]) == rows[0][1]  # lossless partition of the text
+    assert got[2] == [] and got[3] == ["  "]
