@@ -175,3 +175,14 @@ def test_small_corpus_codebook_clamp(spark):
     assert cents.shape == (6, 8)
     with pytest.raises(ValueError, match="empty"):
         sim.train_pq_codebooks(emb.filter(F.col("vec_id") < 0), m=4)
+
+
+def test_lsh_persisted_index_search_bound(spark, capture_final, tmp_path):
+    """The persisted-index search path (save_lsh_index ->
+    lsh_search_index) must honor the same k x n_batches bound as the
+    in-memory families - it is a search family too."""
+    emb = _toy_embeddings(spark)
+    path = str(tmp_path / "idx")
+    sim.save_lsh_index(emb, path, num_tables=4, bits=2, dim=8)
+    sim.lsh_search_index(spark, path, _queries(emb), k=5).collect()
+    _assert_bounded(capture_final, 5)
