@@ -57,6 +57,17 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _infer_dim(df: DataFrame, vec_col: str, caller: str) -> int:
+    """Infer embedding dimensionality from the first row, with an explicit
+    error on an empty relation (``first()`` returns None) or a null
+    vector — matches the ValueError contract of ``kmeans_centroids`` /
+    ``train_pq_codebooks`` instead of an opaque TypeError."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(f"{caller}: corpus is empty (cannot infer dim)")
+    return len(row[0])
+
+
 def _batch_topk(pdf, query_col: str, id_col: str, k: int, score_col: str = "score"):
     """Per-query top-k WITHIN one pandas batch, by the exact total order
     the final window rank uses (score desc NULLS LAST, id asc NULLS
@@ -202,7 +213,7 @@ def _lsh_scored(
     """LSH candidate generation + exact re-scoring, pre-reduced to each
     batch's per-query top-k (the final window's input is bounded)."""
     if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+        dim = _infer_dim(queries, vec_col, "lsh_topk")
     planes = _plane_matrix(dim, bits, num_tables)
 
     c_types = dict(corpus.dtypes)
@@ -342,7 +353,7 @@ def embedding_dup_pairs(
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
-            dim = len(c.select(vec_col).first()[0])
+            dim = _infer_dim(c, vec_col, "embedding_dup_pairs")
         planes = _plane_matrix(dim, bits, num_tables)
         id_type = dict(c.dtypes)[id_col]
         vec_type = dict(c.dtypes)[vec_col]
@@ -850,7 +861,7 @@ def save_lsh_index(
     corpus.select(id_col, vec_col).write.mode("overwrite").parquet(f"{base}/vectors")
     vectors = spark.read.parquet(f"{base}/vectors")
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
+        dim = _infer_dim(vectors, vec_col, "save_lsh_index")
     planes = _plane_matrix(dim, bits, num_tables)
     v_types = dict(vectors.dtypes)
     schema = f"`{id_col}` {v_types[id_col]}, `{vec_col}` {v_types[vec_col]}, tbl BIGINT, bucket BIGINT"

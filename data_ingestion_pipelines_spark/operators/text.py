@@ -110,7 +110,16 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
 # lookahead; Java would accept it, and cross-engine parity wins over
 # byte-for-byte GPT-2 fidelity). Both engines run leftmost-first
 # alternation, so contraction suffixes must precede the letter branch.
-BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# Whitespace is spelled as an EXPLICIT class, not `\s`: Java's \s is
+# [ \t\n\x0B\f\r] (includes vertical tab) while RE2's is [ \t\n\f\r],
+# so a document containing U+000B would tokenize differently per engine
+# and break hash parity. With the explicit class, VT falls to the
+# punctuation branch in both engines.
+WS_CLASS = " \\t\\n\\f\\r"
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{WS_CLASS}\p{{L}}\p{{N}}]+|[{WS_CLASS}]+"
+)
 
 
 def with_bpe_regex_tokens(

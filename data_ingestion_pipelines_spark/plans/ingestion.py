@@ -99,13 +99,22 @@ FROM part
 
 
 # --------------------------------------------------------------------------
-# Multimodal: binary media column metadata + deterministic fake decode
+# Multimodal PLUMBING gate: binary media column metadata + the md5-fake
+# ORACLE-tier decoder (explicit opt-in — the in-container default is the
+# real stdlib tier, gated by multimodal_wav_decode_real /
+# multimodal_bmp_decode_real below, which parse genuine WAV/BMP bytes)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import fake_image_decoder
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     meta = with_media_metadata(docs)
-    feats = decode_images(meta, keep_cols=["doc_id", "media_size_bytes", "media_md5", "media_type"])
+    feats = decode_images(
+        meta,
+        keep_cols=["doc_id", "media_size_bytes", "media_md5", "media_type"],
+        decoder=fake_image_decoder,
+    )
     return feats.select(
         "doc_id", "media_size_bytes", "media_md5", "media_type",
         "width", "height", "n_channels", "format", "decode_error",
@@ -126,7 +135,7 @@ WITH m AS (
          {_BYTE.format(a=3, b=4)} AS h1,
          {_BYTE.format(a=5, b=6)} AS h2,
          {_BYTE.format(a=7, b=8)} AS h3,
-         length(text) = 0 AS is_empty
+         (text IS NULL OR length(text) = 0) AS is_empty
   FROM documents
 )
 SELECT doc_id, media_size_bytes, media_md5, media_type,
@@ -143,12 +152,14 @@ FROM m
 # audio-shaped features (sample_rate/channels/duration/codec), same
 # md5-derived fake decoder so DuckDB reproduces every value
 def multimodal_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import extract_audio_features
+    from ..operators.multimodal import extract_audio_features, fake_audio_decoder
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("content")
     )
-    feats = extract_audio_features(docs, keep_cols=["doc_id"])
+    feats = extract_audio_features(
+        docs, keep_cols=["doc_id"], decoder=fake_audio_decoder
+    )
     return feats.select(
         "doc_id", "sample_rate", "n_channels", "duration_ms", "codec",
         "decode_error",
@@ -163,7 +174,7 @@ WITH m AS (
          {_BYTE.format(a=5, b=6)} AS h2,
          {_BYTE.format(a=7, b=8)} AS h3,
          {_BYTE.format(a=9, b=10)} AS h4,
-         length(text) = 0 AS is_empty
+         (text IS NULL OR length(text) = 0) AS is_empty
   FROM documents
 )
 SELECT doc_id,
@@ -178,9 +189,139 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# REAL-decoder gates: synthesize genuine WAV/BMP bytes deterministically
+# from the documents table (parameters derived from doc_id, payload from
+# the UTF-8 text bytes), push them through the stdlib decoder tier's
+# REAL parsers (wave module / struct+numpy BMP), and emit features whose
+# every value the DuckDB oracle predicts arithmetically — so a hash
+# match proves actual container parsing (RIFF chunks; BMP stride
+# padding, bottom-up rows, BGR→RGB) round-tripped the bytes, not an
+# md5 fake.
+
+_WAV_RATES = (8000, 16000, 22050, 44100, 48000)
+
+
+def multimodal_wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import build_wav, probe_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    id_type = dict(docs.dtypes)["doc_id"]
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                pcm = ("" if text is None else text).encode("utf-8")
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "content": build_wav(pcm, _WAV_RATES[i % 5], 1 + i % 2, 2),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    built = docs.mapInPandas(synth, f"`doc_id` {id_type}, content BINARY")
+    return probe_wav(built, keep_cols=["doc_id"]).select(
+        "doc_id", "sample_rate", "n_channels", "sampwidth", "n_frames",
+        "duration_ms", "codec", "pcm_hex_md5", "decode_error",
+    )
+
+
+# empty/NULL text → a VALID zero-frame WAV (the container parses; md5 of
+# the empty hex string), so no error-path divergence to model
+MULTIMODAL_WAV_DECODE_REAL_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         [8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 AS INT) + 1] AS sr,
+         1 + CAST(doc_id % 2 AS INT) AS nch,
+         octet_length(encode(COALESCE(text, ''))) AS nbytes,
+         hex(encode(COALESCE(text, ''))) AS hx
+  FROM documents
+), f AS (
+  SELECT doc_id, sr, nch, hx, nbytes // (2 * nch) AS n_frames FROM m
+)
+SELECT doc_id,
+       CAST(sr AS INTEGER) AS sample_rate,
+       CAST(nch AS INTEGER) AS n_channels,
+       CAST(2 AS INTEGER) AS sampwidth,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST((n_frames * 1000) // sr AS BIGINT) AS duration_ms,
+       'pcm_s16le' AS codec,
+       md5(substr(hx, 1, CAST(n_frames * nch * 4 AS INT))) AS pcm_hex_md5,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM f
+"""
+
+
+def multimodal_bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import build_bmp, probe_image
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    id_type = dict(docs.dtypes)["doc_id"]
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w, h = 3 + i % 6, 1 + i % 4  # widths 3..8 cover all strides
+                tb = ("" if text is None else text).encode("utf-8")
+                if tb:
+                    need = w * h * 3
+                    reps = (need + len(tb) - 1) // len(tb)
+                    content = build_bmp((tb * reps)[:need], w, h)
+                else:
+                    content = None  # → 'empty content' decode_error row
+                out.append({"doc_id": doc_id, "content": content})
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    built = docs.mapInPandas(synth, f"`doc_id` {id_type}, content BINARY")
+    return probe_image(built, keep_cols=["doc_id"]).select(
+        "doc_id", "width", "height", "n_channels", "format",
+        "pixel_hex_md5", "decode_error",
+    )
+
+
+MULTIMODAL_BMP_DECODE_REAL_SQL = """
+WITH m AS (
+  SELECT doc_id, text,
+         3 + CAST(doc_id % 6 AS INT) AS w,
+         1 + CAST(doc_id % 4 AS INT) AS h,
+         octet_length(encode(text)) AS nbytes,
+         (text IS NULL OR length(text) = 0) AS is_empty
+  FROM documents
+), f AS (
+  SELECT doc_id, text, w, h, nbytes, is_empty, w * h * 3 AS need FROM m
+)
+SELECT doc_id,
+       CASE WHEN is_empty THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+       CASE WHEN is_empty THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+       CASE WHEN is_empty THEN NULL ELSE CAST(3 AS INTEGER) END AS n_channels,
+       CASE WHEN is_empty THEN NULL ELSE 'bmp' END AS format,
+       CASE WHEN is_empty THEN NULL
+            ELSE md5(substr(
+                   hex(encode(repeat(text, CAST((need + nbytes - 1) // nbytes AS INT)))),
+                   1, CAST(need * 2 AS INT))) END AS pixel_hex_md5,
+       CASE WHEN is_empty THEN 'empty content' ELSE NULL END AS decode_error
+FROM f
+"""
+
+
 QUERIES = {
     "xml_extract": (xml_extract, XML_EXTRACT_SQL),
     "rest_fetch_per_id": (rest_fetch_per_id, REST_FETCH_PER_ID_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_audio_probe": (multimodal_audio_probe, MULTIMODAL_AUDIO_PROBE_SQL),
+    "multimodal_wav_decode_real": (
+        multimodal_wav_decode_real, MULTIMODAL_WAV_DECODE_REAL_SQL,
+    ),
+    "multimodal_bmp_decode_real": (
+        multimodal_bmp_decode_real, MULTIMODAL_BMP_DECODE_REAL_SQL,
+    ),
 }

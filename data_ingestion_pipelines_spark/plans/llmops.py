@@ -955,12 +955,14 @@ TRAIN_VAL_TEST_SPLIT_SQL = (
 # both as pure codegen regex counts, the pattern shared verbatim with
 # the DuckDB twin (RE2-safe — see operators/text.py BPE_PRETOKEN_RE).
 def doc_bpe_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import with_bpe_regex_tokens
+    from ..operators.text import WS_CLASS, with_bpe_regex_tokens
 
     docs = _t(spark, sf_dir, "documents")
+    # explicit whitespace class (not \s) — Java \s includes U+000B,
+    # RE2's does not; the shared class keeps both engines identical
     ws = F.when(
         F.length(F.trim(F.col("text"))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), f"[{WS_CLASS}]+")))
     return with_bpe_regex_tokens(docs).select(
         "doc_id",
         F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
@@ -968,16 +970,22 @@ def doc_bpe_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_BPE_REGEX_TOKEN_COUNT_SQL = r"""
+def _bpe_token_count_sql() -> str:
+    # built FROM the shared Python constants so the pattern cannot drift
+    from ..operators.text import BPE_PRETOKEN_RE, WS_CLASS
+
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text,
-         '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
-         AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens,
        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                 ELSE len(regexp_split_to_array(trim(text), '[{WS_CLASS}]+')) END
          AS BIGINT) AS n_ws_tokens
 FROM documents
 """
+
+
+DOC_BPE_REGEX_TOKEN_COUNT_SQL = _bpe_token_count_sql()
 
 
 # --------------------------------------------------------------------------

@@ -145,7 +145,12 @@ def write_webdataset_shards(
                         f"{row[id_col]} cannot form a 12-digit member name"
                     )
                 base = f"{row[id_col]:012d}"
-                add(tf, f"{base}.txt", (row[text_col] or "").encode("utf-8"))
+                # NULL text → no .txt member (mirrors the binary_cols
+                # null-skip), so NULL round-trips as NULL through the
+                # reader's absent-member-is-NULL rule; "" still writes
+                # an empty member and round-trips as ""
+                if row[text_col] is not None:
+                    add(tf, f"{base}.txt", row[text_col].encode("utf-8"))
                 if meta_cols:
                     meta = json.dumps(
                         {c: row[c] for c in meta_cols}, sort_keys=True

@@ -166,6 +166,7 @@ def min_id_dedup_ingest(
     target_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    retain_snapshots: int = 2,
 ):
     """``foreachBatch`` sink factory: maintain the exact-dedup corpus
     snapshot — LOWEST id per normalized-content fingerprint — across all
@@ -189,8 +190,15 @@ def min_id_dedup_ingest(
     (``snap-{batch_id}-{nonce}``) and then atomically flips the
     ``_CURRENT`` pointer file (write-temp + ``os.replace``): a crash
     mid-write leaves the pointer on the previous intact snapshot, and
-    the replay starts from it. Non-current snapshot dirs are pruned
-    best-effort after the flip. The pointer flip uses local-filesystem
+    the replay starts from it. Superseded snapshot dirs are pruned
+    best-effort after the flip, but the ``retain_snapshots`` NEWEST
+    directories (current included; default 2) are always kept: Spark
+    reads are lazy, so a reader that resolved ``_CURRENT`` just before
+    the flip may still be scanning the previous snapshot — a one-
+    generation grace window covers it. Readers that hold a snapshot
+    across MULTIPLE batch commits must materialize
+    (``read_min_id_snapshot(...).localCheckpoint()`` or collect) or
+    raise ``retain_snapshots``. The pointer flip uses local-filesystem
     rename atomicity; on an object store this role is played by a table
     format's commit log (Delta/Iceberg) — same contract as
     ``sinks/merge.py``'s Delta note, where this sink is a keyed MERGE
@@ -238,9 +246,17 @@ def min_id_dedup_ingest(
         with open(tmp, "w") as fh:
             fh.write(name)
         os.replace(tmp, os.path.join(base, "_CURRENT"))  # atomic flip
-        # best-effort prune of superseded snapshot dirs
-        for entry in os.listdir(base):
-            if entry.startswith("snap-") and entry != name:
+        # best-effort prune with a grace window: keep the newest
+        # `retain_snapshots` dirs (current included) so an in-flight
+        # lazy reader of the just-superseded snapshot isn't yanked
+        snaps = sorted(
+            (e for e in os.listdir(base) if e.startswith("snap-")),
+            key=lambda e: os.path.getmtime(os.path.join(base, e)),
+            reverse=True,
+        )
+        keep = set(snaps[: max(int(retain_snapshots), 1)]) | {name}
+        for entry in snaps:
+            if entry not in keep:
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
     return ingest

@@ -186,26 +186,31 @@ def test_webdataset_reader_roundtrip_with_metadata(spark, tmp_path):
 
 
 def test_webdataset_reader_multimodal_members_feed_decode(spark, tmp_path):
-    """A hand-built shard with .jpg members (what real WebDataset shards
-    carry): the reader surfaces them in the media map, and the binary
-    plugs straight into operators.multimodal.decode_images — the full
-    shard -> sample -> decode loading path."""
+    """A hand-built shard with image members (what real WebDataset
+    shards carry): the reader surfaces them in the media map, and the
+    binary plugs straight into operators.multimodal.decode_images —
+    the full shard -> sample -> REAL-decode loading path (the members
+    are genuine BMPs parsed by the stdlib tier)."""
     import io
     import os
     import tarfile
 
     from pyspark.sql import functions as F
 
-    from data_ingestion_pipelines_spark.operators.multimodal import decode_images
+    from data_ingestion_pipelines_spark.operators.multimodal import (
+        build_bmp,
+        decode_images,
+    )
     from data_ingestion_pipelines_spark.sinks.webdataset import read_webdataset_shards
 
     out = str(tmp_path / "mshards")
     os.makedirs(out)
     with tarfile.open(os.path.join(out, "shard-000000.tar"), "w") as tf:
         for i in range(3):
+            w, h = 3 + i, 2  # odd widths exercise stride padding
             for ext, payload in (
                 ("txt", f"caption {i}".encode()),
-                ("jpg", b"\xff\xd8\xff" + bytes([i]) * 32),
+                ("bmp", build_bmp(bytes([i]) * (w * h * 3), w, h)),
             ):
                 info = tarfile.TarInfo(name=f"{i:012d}.{ext}")
                 info.size = len(payload)
@@ -214,15 +219,21 @@ def test_webdataset_reader_multimodal_members_feed_decode(spark, tmp_path):
     back = read_webdataset_shards(spark, out)
     rows = back.collect()
     assert len(rows) == 3
-    assert all(set(r["media"]) == {"jpg"} for r in rows)
+    assert all(set(r["media"]) == {"bmp"} for r in rows)
     assert rows[0]["text"].startswith("caption")
 
     imgs = back.select(
-        "sample_key", F.element_at("media", "jpg").alias("content")
+        "sample_key", F.element_at("media", "bmp").alias("content")
     )
-    feats = decode_images(imgs, keep_cols=["sample_key"]).collect()
+    feats = {
+        int(r["sample_key"]): r
+        for r in decode_images(imgs, keep_cols=["sample_key"]).collect()
+    }
     assert len(feats) == 3
-    assert all(r["decode_error"] is None and r["width"] > 0 for r in feats)
+    for i in range(3):
+        assert feats[i]["decode_error"] is None
+        assert feats[i]["width"] == 3 + i and feats[i]["height"] == 2
+        assert feats[i]["format"] == "bmp"
 
 
 def test_webdataset_binary_cols_roundtrip(spark, tmp_path):
@@ -258,20 +269,33 @@ def test_webdataset_binary_cols_roundtrip(spark, tmp_path):
 def test_extract_audio_features_batch_contract(spark):
     """Audio twin of decode_images: keep_cols + feature schema out,
     corrupt/empty payloads become error ROWS (never task failures), and
-    features are deterministic functions of the bytes."""
+    features are deterministic functions of the bytes. Uses the explicit
+    FAKE (oracle-tier) decoder — the md5-derived contract the
+    multimodal_audio_probe gate hashes; the real stdlib tier is covered
+    in tests/test_multimodal_real.py."""
     from data_ingestion_pipelines_spark.operators.multimodal import (
         extract_audio_features,
+        fake_audio_decoder,
     )
 
     rows = [(1, b"RIFFxxxxWAVE" + b"a" * 50), (2, b""), (3, b"\x66\x4c\x61\x43data")]
     df = spark.createDataFrame(rows, "doc_id bigint, content binary")
-    got = {r["doc_id"]: r for r in extract_audio_features(df, keep_cols=["doc_id"]).collect()}
+    got = {
+        r["doc_id"]: r
+        for r in extract_audio_features(
+            df, keep_cols=["doc_id"], decoder=fake_audio_decoder
+        ).collect()
+    }
     assert got[2]["decode_error"] == "empty content" and got[2]["sample_rate"] is None
     for i in (1, 3):
         assert got[i]["decode_error"] is None
         assert got[i]["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
         assert got[i]["n_channels"] in (1, 2)
         assert 500 <= got[i]["duration_ms"] < 60500
-    again = {r["doc_id"]: r for r in
-             extract_audio_features(df.repartition(3), keep_cols=["doc_id"]).collect()}
+    again = {
+        r["doc_id"]: r
+        for r in extract_audio_features(
+            df.repartition(3), keep_cols=["doc_id"], decoder=fake_audio_decoder
+        ).collect()
+    }
     assert all(again[k] == got[k] for k in got)

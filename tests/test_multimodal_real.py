@@ -1,0 +1,221 @@
+"""Golden-fixture tests for the REAL stdlib decoder tier
+(operators/multimodal.py): genuine WAV/BMP/PPM/PNG/GIF bytes are
+synthesized in-test and parsed by the actual stdlib parsers — no fake,
+no hash-derived features anywhere in this file.
+
+Reference behavior modeled: the container/codec probing a training-data
+pipeline runs before feature extraction; format specifics follow the
+public WAVE/BMP/PPM/PNG/GIF specs (RIFF chunks; BITMAPINFOHEADER with
+4-byte stride, bottom-up rows, BGR; P6 header grammar; IHDR; logical
+screen descriptor).
+"""
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+
+from data_ingestion_pipelines_spark.operators.multimodal import (
+    build_bmp,
+    build_wav,
+    decode_images,
+    extract_audio_features,
+    probe_image,
+    probe_wav,
+    stdlib_audio_decoder,
+    stdlib_image_decoder,
+)
+
+
+# ---------------------------------------------------------------- WAV
+def test_wav_roundtrip_mono_stereo_widths():
+    pcm = bytes(range(256)) * 2
+    for sr, nch, sw in [(8000, 1, 2), (44100, 2, 2), (16000, 1, 1), (48000, 2, 1)]:
+        wav = build_wav(pcm, sr, nch, sw)
+        d = stdlib_audio_decoder(wav)
+        block = nch * sw
+        expect_pcm = pcm[: (len(pcm) // block) * block]
+        assert d["sample_rate"] == sr
+        assert d["n_channels"] == nch
+        assert d["sampwidth"] == sw
+        assert d["pcm"] == expect_pcm  # byte-exact PCM back out
+        assert d["n_frames"] == len(expect_pcm) // block
+        assert d["duration_ms"] == (d["n_frames"] * 1000) // sr
+        assert d["codec"] == ("pcm_u8" if sw == 1 else f"pcm_s{8 * sw}le")
+
+
+def test_wav_golden_bytes_hand_assembled():
+    """Parse a RIFF/WAVE file assembled field-by-field with struct —
+    independent of build_wav, so a builder+parser that agreed on the
+    wrong layout would still fail here."""
+    pcm = b"\x01\x02\x03\x04\x05\x06\x07\x08"
+    sr, nch, sw = 22050, 1, 2
+    fmt = struct.pack("<HHIIHH", 1, nch, sr, sr * nch * sw, nch * sw, sw * 8)
+    data = pcm
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    d = stdlib_audio_decoder(wav)
+    assert (d["sample_rate"], d["n_channels"], d["sampwidth"]) == (sr, nch, sw)
+    assert d["n_frames"] == 4 and d["pcm"] == pcm
+
+
+def test_wav_zero_frames_and_errors():
+    d = stdlib_audio_decoder(build_wav(b"", 8000, 1, 2))
+    assert d["n_frames"] == 0 and d["duration_ms"] == 0 and d["pcm"] == b""
+    with pytest.raises(ValueError, match="empty content"):
+        stdlib_audio_decoder(b"")
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        stdlib_audio_decoder(b"fLaC" + b"\x00" * 40)
+    with pytest.raises(Exception):  # RIFF magic but truncated container
+        stdlib_audio_decoder(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+# ---------------------------------------------------------------- BMP
+def test_bmp_roundtrip_all_stride_paddings():
+    # widths 3..8 → row paddings 3,0,1,2,3,0 — every stride class
+    for w in range(3, 9):
+        for h in (1, 3):
+            rgb = bytes((i * 7 + w) % 256 for i in range(w * h * 3))
+            d = stdlib_image_decoder(build_bmp(rgb, w, h))
+            assert (d["width"], d["height"], d["n_channels"]) == (w, h, 3)
+            assert d["format"] == "bmp"
+            assert d["pixels"] == rgb  # stride/row-order/BGR all undone
+
+
+def test_bmp_golden_bytes_bottom_up_bgr_padding():
+    """Hand-assembled 2x2 24-bpp BMP: known pixel colors placed in
+    bottom-up BGR rows with 2 pad bytes — the decoder must return them
+    top-down RGB. Catches a decoder that 'works' only against its own
+    builder."""
+    # target top-down RGB rows: (R,G,B): row0 = red,green ; row1 = blue,white
+    red, green, blue, white = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    stride_pad = b"\x00\x00"  # 2*3=6 bytes → stride 8
+    row1_bgr = bytes((blue[2], blue[1], blue[0], white[2], white[1], white[0]))
+    row0_bgr = bytes((red[2], red[1], red[0], green[2], green[1], green[0]))
+    pixel_data = row1_bgr + stride_pad + row0_bgr + stride_pad  # bottom-up!
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 54)
+    d = stdlib_image_decoder(hdr + dib + pixel_data)
+    assert d["width"] == 2 and d["height"] == 2
+    assert d["pixels"] == bytes(red + green + blue + white)
+
+
+def test_bmp_top_down_negative_height():
+    rgb = bytes(range(2 * 2 * 3))
+    bmp = bytearray(build_bmp(rgb, 2, 2))
+    # flip height to -2 (top-down) and reorder rows to match
+    struct.pack_into("<i", bmp, 22, -2)
+    stride = 8
+    off = 54
+    r0 = bytes(bmp[off : off + stride])
+    r1 = bytes(bmp[off + stride : off + 2 * stride])
+    bmp[off : off + stride] = r1
+    bmp[off + stride : off + 2 * stride] = r0
+    d = stdlib_image_decoder(bytes(bmp))
+    assert d["height"] == 2 and d["pixels"] == rgb
+
+
+def test_bmp_error_paths():
+    rgb = bytes(range(12))
+    good = build_bmp(rgb, 2, 2)
+    with pytest.raises(ValueError, match="truncated BMP header"):
+        stdlib_image_decoder(good[:40])
+    with pytest.raises(ValueError, match="truncated BMP pixel data"):
+        stdlib_image_decoder(good[:-3])
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="unsupported BMP bpp"):
+        stdlib_image_decoder(bytes(bad_bpp))
+    bad_comp = bytearray(good)
+    struct.pack_into("<I", bad_comp, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="unsupported BMP compression"):
+        stdlib_image_decoder(bytes(bad_comp))
+    with pytest.raises(ValueError, match="need 12 RGB bytes"):
+        build_bmp(b"\x00" * 11, 2, 2)
+
+
+# ------------------------------------------------------- PPM/PNG/GIF
+def test_ppm_header_grammar_and_pixels():
+    pixels = bytes(range(3 * 2 * 3))
+    d = stdlib_image_decoder(b"P6\n# a comment\n 3  2\n255\n" + pixels)
+    assert (d["width"], d["height"], d["format"]) == (3, 2, "ppm")
+    assert d["pixels"] == pixels
+    with pytest.raises(ValueError, match="unsupported PPM maxval"):
+        stdlib_image_decoder(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="truncated PPM pixel data"):
+        stdlib_image_decoder(b"P6\n3 2\n255\n" + pixels[:-1])
+
+
+def test_png_ihdr_and_gif_screen_descriptor():
+    ihdr = struct.pack(">II5B", 640, 480, 8, 6, 0, 0, 0)  # RGBA
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    d = stdlib_image_decoder(png)
+    assert (d["width"], d["height"], d["n_channels"], d["format"]) == (640, 480, 4, "png")
+    assert "pixels" not in d  # header-only tier for compressed formats
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 6
+    d = stdlib_image_decoder(gif)
+    assert (d["width"], d["height"], d["format"]) == (320, 200, "gif")
+
+    with pytest.raises(ValueError, match="unsupported PNG color type"):
+        bad = struct.pack(">II5B", 1, 1, 8, 5, 0, 0, 0)
+        stdlib_image_decoder(b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + bad + b"\x00" * 4)
+    with pytest.raises(ValueError, match="unsupported image format"):
+        stdlib_image_decoder(b"\xff\xd8\xff\xe0JFIF")  # JPEG → library tier
+
+
+# ---------------------------------------------------- Spark operators
+def test_probe_wav_spark_real_parse(spark):
+    pcm = bytes(range(200))
+    rows = [
+        (1, build_wav(pcm, 16000, 2, 2)),
+        (2, None),  # NULL media → decode_error row, not a task failure
+        (3, b"junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r["doc_id"]: r for r in probe_wav(df, keep_cols=["doc_id"]).collect()}
+    assert got[1]["decode_error"] is None
+    assert got[1]["sample_rate"] == 16000 and got[1]["n_channels"] == 2
+    assert got[1]["n_frames"] == 50  # 200 bytes / (2ch * 2B)
+    expect_md5 = hashlib.md5(pcm.hex().upper().encode()).hexdigest()
+    assert got[1]["pcm_hex_md5"] == expect_md5
+    assert got[2]["decode_error"] == "empty content"
+    assert got[3]["decode_error"] == "unsupported audio format"
+
+
+def test_probe_image_spark_real_parse(spark):
+    rgb = bytes((i * 11) % 256 for i in range(5 * 3 * 3))
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II5B", 9, 7, 8, 2, 0, 0, 0) + b"\x00" * 4
+    )
+    rows = [(1, build_bmp(rgb, 5, 3)), (2, png), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r["doc_id"]: r for r in probe_image(df, keep_cols=["doc_id"]).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["format"]) == (5, 3, "bmp")
+    assert got[1]["pixel_hex_md5"] == hashlib.md5(rgb.hex().upper().encode()).hexdigest()
+    assert (got[2]["width"], got[2]["height"], got[2]["format"]) == (9, 7, "png")
+    assert got[2]["pixel_hex_md5"] is None  # header-only decode
+    assert got[3]["decode_error"] == "empty content"
+
+
+def test_default_tier_is_real_in_container(spark):
+    """decoder=None routes through default_*_decoder() → the stdlib
+    tier here (no PIL/soundfile in the container): real WAV/BMP bytes
+    decode with their true properties, not md5-derived fakes."""
+    wav = build_wav(b"\x00\x01" * 100, 44100, 1, 2)
+    adf = spark.createDataFrame([(1, wav)], "doc_id bigint, content binary")
+    arow = extract_audio_features(adf, keep_cols=["doc_id"]).collect()[0]
+    assert arow["sample_rate"] == 44100 and arow["codec"] == "pcm_s16le"
+    assert arow["duration_ms"] == (100 * 1000) // 44100
+
+    bmp = build_bmp(bytes(36), 4, 3)
+    idf = spark.createDataFrame([(1, bmp)], "doc_id bigint, content binary")
+    irow = decode_images(idf, keep_cols=["doc_id"]).collect()[0]
+    assert (irow["width"], irow["height"], irow["format"]) == (4, 3, "bmp")

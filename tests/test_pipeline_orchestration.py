@@ -174,10 +174,14 @@ def test_file_inventory_writes_only_its_own_partition(spark, tmp_path):
 
 
 def test_multimodal_metadata_and_decode(spark):
+    from data_ingestion_pipelines_spark.operators.multimodal import build_bmp
+
+    bmp = build_bmp(bytes(range(4 * 2 * 3)), 4, 2)
     rows = [
-        ("a.png", bytearray(b"\x89PNG\r\n" + b"x" * 50)),
+        ("a.png", bytearray(b"\x89PNG\r\n" + b"x" * 50)),  # bad signature
         ("b.jpg", bytearray(b"\xff\xd8\xff\xe0" + b"y" * 30)),
         ("c.bin", bytearray(b"")),
+        ("d.bmp", bytearray(bmp)),
     ]
     df = spark.createDataFrame(rows, "path string, content binary")
     meta = {r["path"]: r for r in with_media_metadata(df).collect()}
@@ -185,12 +189,17 @@ def test_multimodal_metadata_and_decode(spark):
     assert meta["b.jpg"]["media_type"] == "image/jpeg"
     assert meta["a.png"]["media_size_bytes"] == 56
 
+    # default tier is now the REAL stdlib parser: the genuine BMP
+    # decodes; the corrupt PNG-ish/JPEG payloads become error rows
     feats = {r["path"]: r for r in decode_images(df, keep_cols=["path"]).collect()}
-    assert feats["a.png"]["width"] >= 64 and feats["a.png"]["decode_error"] is None
+    assert feats["d.bmp"]["width"] == 4 and feats["d.bmp"]["height"] == 2
+    assert feats["d.bmp"]["format"] == "bmp" and feats["d.bmp"]["decode_error"] is None
+    assert feats["a.png"]["decode_error"] is not None  # truncated signature
+    assert feats["b.jpg"]["decode_error"] is not None  # JPEG needs library tier
     assert feats["c.bin"]["decode_error"] is not None  # empty content → error row
     # determinism: same bytes → same features
     feats2 = {r["path"]: r for r in decode_images(df, keep_cols=["path"]).collect()}
-    assert feats2["a.png"]["width"] == feats["a.png"]["width"]
+    assert feats2["d.bmp"]["width"] == feats["d.bmp"]["width"]
 
 
 def test_multimodal_resize_and_frames(spark):
