@@ -40,6 +40,14 @@ def pagerank(
     would double-count an edge, so callers dedupe first. Every vertex
     (appearing on either side) gets ranked; ranks sum to 1.
     """
+    # Pin the edge list once: it (and nodes/out_deg derived from it) is
+    # consumed every iteration, and without the checkpoint each of the
+    # ~3·iterations consumers replays the caller's whole upstream
+    # subtree (for the co-purchase gate: scan + groupBy + double
+    # explode + distinct, per iteration — measured 73 s → 8 s at
+    # sf0.01). On a real cluster this is the "persist the edge list"
+    # note below made unconditional.
+    edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -92,6 +100,87 @@ def pagerank(
             )
         )
         # Truncate lineage: without this each round's plan would replay
-        # every previous round (O(iters²) recompute).
-        ranks = ranks.localCheckpoint()
+        # every previous round (O(iters²) recompute). Lazy (eager=False):
+        # the cache still materializes exactly once per level on first
+        # use, but all levels run inside ONE job instead of one eager
+        # job per iteration (driver round-trips scale O(1), not
+        # O(iterations)).
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    scale: int = 10**15,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PageRank in EXACT integer arithmetic → ``(node, rank_scaled)``
+    with ``rank ≈ rank_scaled / scale``.
+
+    Same topology/damping semantics as :func:`pagerank`, but every
+    quantity is a BIGINT: ranks are scaled by ``scale``, the two
+    divisions (per-edge ``rank DIV out_deg``, the damping
+    ``· 85 DIV 100``) floor deterministically, and all sums are integer
+    sums — commutative, associative, and overflow-checked, so the result
+    is BIT-IDENTICAL across engines, partitionings, and merge orders.
+    That makes it hash-oracle-able in SQL (unrolled fixed iterations),
+    which the IEEE-double version never is: float contribution sums pick
+    up partition-order ulps. Approximation error vs the real-valued
+    recurrence is < (max_in_degree + 2) · iterations / scale per node —
+    ~1e-12 at scale=1e15 — far below any ranking-relevant gap; the float
+    twin stays the throughput path (one fused codegen multiply-add per
+    edge vs integer DIVs).
+
+    Same join strategy pinning as :func:`pagerank` (shuffle-hash on
+    graph-scale sides, broadcast only the 1-row dangling frame).
+    """
+    edges = edges.localCheckpoint(eager=False)  # reused every iteration
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n = nodes.count()
+    init = scale // n
+    base = (damping_den - damping_num) * scale // (damping_den * n)
+
+    ranks = nodes.withColumn("rank_scaled", F.lit(init).cast("bigint"))
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+    update = (
+        f"CAST({base} AS BIGINT) + (CAST({damping_num} AS BIGINT) * "
+        f"(COALESCE(c, CAST(0 AS BIGINT)) + _dangling DIV CAST({n} AS BIGINT)))"
+        f" DIV CAST({damping_den} AS BIGINT)"
+    )
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg.hint("shuffle_hash"), "node", "left")
+        dangling_df = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(
+                F.coalesce(F.sum("rank_scaled"), F.lit(0))
+                .cast("bigint")
+                .alias("_dangling")
+            )
+        )
+        contribs = (
+            with_deg.join(e.hint("shuffle_hash"), "node")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_scaled DIV out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
+            .crossJoin(F.broadcast(dangling_df))
+            .select("node", F.expr(update).alias("rank_scaled"))
+        )
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks

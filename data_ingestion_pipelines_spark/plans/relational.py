@@ -3465,11 +3465,21 @@ FROM long
 # --------------------------------------------------------------------------
 # PageRank over the part co-purchase graph (operators/graph.py): the
 # iterative-fixpoint exemplar next to k-means (similarity.py) and
-# connected components (dedup.py). Rows-only: contribution sums are IEEE
-# doubles whose last ulps depend on partition merge order, so there is no
-# cross-engine hash; parity is pytest vs numpy power iteration.
+# connected components (dedup.py). Hash-oracled since round 8 via the
+# EXACT integer-arithmetic twin (pagerank_exact): scaled-BIGINT ranks
+# are bit-identical across engines, so DuckDB replays the 5 iterations
+# as unrolled CTEs and the value hash covers node set, exact ranks and
+# rank order. The IEEE-double operator (the throughput path) is
+# verified in the same gate through the per-row verdict column
+# ``float_matches_exact`` (|float − exact/scale| < 1e-9 — ~1000×
+# headroom over the floor-division error bound), which the oracle
+# asserts as constant TRUE — the ann_recall_report pattern.
+_PR_SCALE = 10**15
+_PR_ITERS = 5
+
+
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import pagerank
+    from ..operators.graph import pagerank, pagerank_exact
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     basket = li.groupBy("l_orderkey").agg(
@@ -3484,13 +3494,83 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    ranks = pagerank(edges, iterations=5)
-    w = Window.orderBy(F.desc("rank"), F.asc("node"))
-    return (
-        ranks.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
-        .select(F.col("node").alias("part"), "rank", "rk")
+    exact = pagerank_exact(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+    flt = pagerank(edges, iterations=_PR_ITERS)
+    joined = exact.join(flt.hint("shuffle_hash"), "node")
+    w = Window.orderBy(F.desc("rank_scaled"), F.asc("node"))
+    agree = (
+        F.abs(
+            F.col("rank")
+            - F.col("rank_scaled").cast("double") / F.lit(float(_PR_SCALE))
+        )
+        < F.lit(1e-9)
     )
+    return (
+        joined.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("node").alias("part"),
+            "rank_scaled",
+            "rk",
+            agree.alias("float_matches_exact"),
+        )
+    )
+
+
+def _pagerank_oracle_sql(iterations: int = _PR_ITERS, scale: int = _PR_SCALE,
+                         top: int = 20) -> str:
+    """DuckDB replay of pagerank_exact: the fixed iteration count is
+    unrolled into CTE levels (no recursive CTE needed), every quantity
+    integer — floor divisions and exact sums mirror the Spark operator
+    term for term."""
+    steps = []
+    for i in range(iterations):
+        steps.append(f"""
+, d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0) AS dang
+  FROM r{i} r LEFT JOIN outdeg o ON r.node = o.node
+  WHERE o.node IS NULL
+), c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(r.rank // o.out_deg) AS c
+  FROM r{i} r JOIN outdeg o ON r.node = o.node JOIN edges e ON e.src = r.node
+  GROUP BY e.dst
+), r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         (SELECT base FROM consts)
+         + (85 * (COALESCE(c.c, 0)
+                  + (SELECT dang FROM d{i}) // (SELECT n FROM cnt))) // 100
+           AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.node
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+), outdeg AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src
+), cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+consts AS MATERIALIZED (
+  SELECT (15 * {scale}) // (100 * n) AS base, {scale} // n AS init FROM cnt
+),
+r0 AS MATERIALIZED (SELECT node, (SELECT init FROM consts) AS rank FROM nodes)
+{"".join(steps)}
+SELECT part, rank_scaled, rk, TRUE AS float_matches_exact FROM (
+  SELECT node AS part, CAST(rank AS BIGINT) AS rank_scaled,
+         CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node ASC) AS BIGINT) AS rk
+  FROM r{iterations}
+) WHERE rk <= {top}
+"""
+
+
+PART_COPURCHASE_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
 # --------------------------------------------------------------------------
@@ -3892,7 +3972,7 @@ QUERIES = {
         overlapping_order_windows,
         OVERLAPPING_ORDER_WINDOWS_SQL,
     ),
-    "part_copurchase_pagerank": (part_copurchase_pagerank, None),
+    "part_copurchase_pagerank": (part_copurchase_pagerank, PART_COPURCHASE_PAGERANK_SQL),
     "brand_price_robust_outliers": (
         brand_price_robust_outliers,
         BRAND_PRICE_ROBUST_OUTLIERS_SQL,

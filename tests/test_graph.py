@@ -41,10 +41,32 @@ def test_pagerank_sink_mass_redistributes(spark):
     assert by[2] > by[1] > by[0]
 
 
+def test_pagerank_exact_matches_float_and_is_layout_invariant(spark):
+    """The integer-arithmetic twin: agrees with the float operator to
+    ~1e-12 (floor-division error bound), and its scaled-BIGINT ranks are
+    BIT-identical under a different partition layout — the property that
+    makes the gate hash-oracle-able."""
+    from data_ingestion_pipelines_spark.operators.graph import pagerank, pagerank_exact
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 0), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    flt = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+    ext = {r["node"]: r["rank_scaled"] for r in pagerank_exact(df, iterations=8).collect()}
+    assert set(flt) == set(ext)
+    for n in flt:
+        assert abs(flt[n] - ext[n] / 1e15) < 1e-9, (n, flt[n], ext[n])
+    ext2 = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_exact(df.repartition(5), iterations=8).collect()
+    }
+    assert ext2 == ext  # bit-identical, not merely close
+
+
 def test_part_copurchase_pagerank_gate_exact(spark):
-    """The gate query is rows-only in the driver (xxhash-free but float
-    ranks have no DuckDB twin); this pins its EXACT output at sf0.001
-    against an independent duckdb-edge-list + numpy power iteration."""
+    """The gate is hash-oracled via pagerank_exact (unrolled DuckDB CTE
+    replay); this independently pins the scaled ranks and the float
+    verdict at sf0.001 against a duckdb-edge-list + numpy power
+    iteration."""
     import duckdb
 
     from data_ingestion_pipelines_spark.plans.relational import (
@@ -72,4 +94,5 @@ def test_part_copurchase_pagerank_gate_exact(spark):
     ranked = sorted(zip(nodes, want), key=lambda p: (-p[1], p[0]))[:20]
     for row, (part, rank) in zip(sorted(got, key=lambda r: r["rk"]), ranked):
         assert row["part"] == part, (row, part, rank)
-        assert abs(row["rank"] - rank) < 1e-9
+        assert abs(row["rank_scaled"] / 1e15 - rank) < 1e-9
+        assert row["float_matches_exact"] is True
