@@ -634,3 +634,77 @@ def probe_image(
             yield pd.DataFrame(out, columns=keep_cols + feat_cols + ["decode_error"])
 
     return df.mapInPandas(run, schema)
+
+
+DHASH_SCHEMA = "dhash_hi BIGINT, dhash_lo BIGINT, dhash_error STRING"
+
+
+def dhash_images(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded pixels →
+    ``(id_col, dhash_hi, dhash_lo, dhash_error)``.
+
+    Pipeline per image, all deterministic integer arithmetic so a SQL
+    oracle can replay it: stdlib-tier pixel decode (BMP/PPM) →
+    nearest-neighbor downsample to a 9×8 grey grid (grey = (r+g+b)//3,
+    sample (x,y) reads pixel (x·w//9, y·h//8)) → 64 bits, bit
+    ``y·8+x`` set iff grey[y][x] < grey[y][x+1]. The hash is carried as
+    two unsigned-32 halves in BIGINTs (``hi`` = bits 32..63) — a single
+    signed 64-bit column would go negative when bit 63 is set and SQL
+    twins diverge on the sign juggling. Near-dup pairing:
+    :func:`operators.dedup.hamming64_neardup_pairs`.
+
+    Nearest-neighbor (not area-mean) resampling is deliberate: it keeps
+    every sampled value a single decoded byte triple — exactly
+    reproducible cross-engine — and for near-dup detection the
+    robustness difference is marginal. Formats without a stdlib pixel
+    decode (PNG/GIF) error per-row, like corrupt bytes.
+    """
+    import numpy as np
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, {DHASH_SCHEMA}"
+
+    def one(content) -> tuple[int, int]:
+        feats = stdlib_image_decoder(_as_bytes(content))
+        pixels = feats.get("pixels")
+        if pixels is None:
+            raise ValueError(f"no pixel decode for format {feats['format']}")
+        w, h = feats["width"], feats["height"]
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+        grey = arr.astype(np.int64).sum(axis=2) // 3
+        xs = [x * w // 9 for x in range(9)]
+        ys = [y * h // 8 for y in range(8)]
+        g = grey[np.ix_(ys, xs)]
+        bits = 0
+        for y in range(8):
+            for x in range(8):
+                if g[y, x] < g[y, x + 1]:
+                    bits |= 1 << (y * 8 + x)
+        return bits >> 32, bits & 0xFFFFFFFF
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for ident, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    hi, lo = one(content)
+                    out.append(
+                        {id_col: ident, "dhash_hi": hi, "dhash_lo": lo,
+                         "dhash_error": None}
+                    )
+                except Exception as ex:
+                    out.append(
+                        {id_col: ident, "dhash_hi": None, "dhash_lo": None,
+                         "dhash_error": str(ex)}
+                    )
+            yield pd.DataFrame(
+                out, columns=[id_col, "dhash_hi", "dhash_lo", "dhash_error"]
+            )
+
+    return df.mapInPandas(run, schema)

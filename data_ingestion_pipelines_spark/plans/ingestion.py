@@ -313,6 +313,115 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------------
+# Image near-dup by perceptual dHash over REAL decoded pixels: two
+# genuine BMPs per document (the original and a planted near-duplicate
+# with its first pixel byte bumped by +64), dHashed through the stdlib
+# pixel decoder, paired with the Manku Hamming-band machinery
+# (dedup.hamming64_neardup_pairs — pigeonhole-COMPLETE, so the banded
+# output equals the all-pairs answer, which is exactly what the DuckDB
+# oracle computes by brute force, replaying the byte-level dHash
+# arithmetic from the text bytes). Ties the multimodal decode family to
+# the dedup family end-to-end.
+
+
+def image_dhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import hamming64_neardup_pairs
+    from ..operators.multimodal import build_bmp, dhash_images
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w, h = 16 + i % 7, 12 + i % 5
+                need = w * h * 3
+                tb = text.encode("utf-8")
+                reps = (need + len(tb) - 1) // len(tb)
+                pixels = (tb * reps)[:need]
+                tweaked = bytes([(pixels[0] + 64) % 256]) + pixels[1:]
+                out.append({"img_id": 2 * i, "content": build_bmp(pixels, w, h)})
+                out.append({"img_id": 2 * i + 1, "content": build_bmp(tweaked, w, h)})
+            yield pd.DataFrame(out, columns=["img_id", "content"])
+
+    built = docs.mapInPandas(synth, "img_id BIGINT, content BINARY")
+    dh = dhash_images(built, content_col="content", id_col="img_id")
+    return hamming64_neardup_pairs(dh, id_col="img_id", max_hamming=6, bands=8)
+
+
+def _dhash_oracle_sql(max_hamming: int = 6) -> str:
+    """Brute-force DuckDB replay of the dHash pipeline straight from the
+    text bytes (no BMP container in SQL — the container roundtrip is
+    proven by multimodal_bmp_decode_real; here the oracle recomputes the
+    pixel/grey/bit arithmetic and all-pairs Hamming filter)."""
+    hexd = "'0123456789ABCDEF'"
+
+    def raw(pos: str) -> str:
+        # byte value at pixel position `pos` (cyclic repeat of the text bytes)
+        return (
+            f"((strpos({hexd}, substr(hx, CAST(2 * (({pos}) % L) + 1 AS INT), 1)) - 1) * 16"
+            f" + (strpos({hexd}, substr(hx, CAST(2 * (({pos}) % L) + 2 AS INT), 1)) - 1))"
+        )
+
+    def byte_at(pos: str) -> str:
+        # variant v=1 bumps pixel byte 0 by +64 (mod 256)
+        return (
+            f"CASE WHEN v = 1 AND ({pos}) = 0 THEN ({raw('0')} + 64) % 256"
+            f" ELSE {raw(pos)} END"
+        )
+
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS L,
+         16 + CAST(doc_id % 7 AS INT) AS w, 12 + CAST(doc_id % 5 AS INT) AS h
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+), imgs AS MATERIALIZED (
+  SELECT doc_id * 2 + v AS img_id, hx, L, w, h, v
+  FROM docs, (VALUES (0), (1)) vv(v)
+), coords AS MATERIALIZED (
+  SELECT img_id, hx, L, v,
+         ys.y AS y, xs.x AS x,
+         (((ys.y * h) // 8) * w + ((xs.x * w) // 9)) * 3 AS q
+  FROM imgs, generate_series(0, 7) ys(y), generate_series(0, 8) xs(x)
+), grays AS MATERIALIZED (
+  SELECT img_id, y, x,
+         ({byte_at('q')} + {byte_at('q + 1')} + {byte_at('q + 2')}) // 3 AS gray
+  FROM coords
+), bits AS MATERIALIZED (
+  SELECT a.img_id, a.y * 8 + a.x AS bit_idx,
+         CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END AS bit
+  FROM grays a JOIN grays b
+    ON a.img_id = b.img_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+), hashes AS MATERIALIZED (
+  SELECT img_id,
+         CAST(SUM(CASE WHEN bit_idx >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (bit_idx - 32))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN bit_idx < 32
+                       THEN bit * (CAST(1 AS BIGINT) << bit_idx)
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY img_id
+)
+SELECT a.img_id AS id_a, b.img_id AS id_b,
+       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+         AS hamming
+FROM hashes a JOIN hashes b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
+"""
+
+
+IMAGE_DHASH_NEARDUP_DOCS_SQL = _dhash_oracle_sql()
+
+
 QUERIES = {
     "xml_extract": (xml_extract, XML_EXTRACT_SQL),
     "rest_fetch_per_id": (rest_fetch_per_id, REST_FETCH_PER_ID_SQL),
@@ -323,5 +432,8 @@ QUERIES = {
     ),
     "multimodal_bmp_decode_real": (
         multimodal_bmp_decode_real, MULTIMODAL_BMP_DECODE_REAL_SQL,
+    ),
+    "image_dhash_neardup_docs": (
+        image_dhash_neardup_docs, IMAGE_DHASH_NEARDUP_DOCS_SQL,
     ),
 }
