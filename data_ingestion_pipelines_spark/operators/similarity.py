@@ -879,6 +879,49 @@ def save_lsh_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
 
 
+def append_to_lsh_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted LSH index (:func:`save_lsh_index`)
+    with NEW vectors — encode and append only the delta, never rebuild.
+
+    Because the hyperplanes are derived purely from the saved params
+    (dim, bits, num_tables), the appended bucket rows are BIT-IDENTICAL
+    to what a full rebuild over the grown corpus would produce — so
+    append-then-search ≡ rebuild-then-search exactly (gated by
+    ``ann_index_append_verdict`` and pinned in pytest). That property is
+    the whole point: at 100 TB the corpus grows by deliveries, and
+    re-bucketing the world per delivery is not a thing.
+
+    Caller contract: ``new_vectors`` ids must be disjoint from the ids
+    already stored (same as any appending ingest here); duplicates would
+    double-count in search candidates. Dedupe deliveries upstream
+    (``operators.dedup.incremental_dedup``) when that isn't guaranteed.
+    """
+    base = path.rstrip("/")
+    spark = new_vectors.sparkSession
+    p = spark.read.parquet(f"{base}/params").first()
+    planes = _plane_matrix(p["dim"], p["bits"], p["num_tables"])
+    vecs = new_vectors.select(id_col, vec_col).localCheckpoint(eager=False)
+    v_types = dict(vecs.dtypes)
+    schema = (
+        f"`{id_col}` {v_types[id_col]}, `{vec_col}` {v_types[vec_col]}, "
+        "tbl BIGINT, bucket BIGINT"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield _bucket_rows(pdf, vec_col, planes, p["bits"], p["num_tables"])
+
+    vecs.write.mode("append").parquet(f"{base}/vectors")
+    vecs.mapInPandas(run, schema).select(id_col, "tbl", "bucket").write.mode(
+        "append"
+    ).parquet(f"{base}/buckets")
+
+
 def lsh_search_index(
     spark,
     path: str,
@@ -958,6 +1001,34 @@ def save_pq_index(
     pq_encode(corpus, books, vec_col=vec_col, id_col=id_col).write.mode(
         "overwrite"
     ).parquet(f"{path.rstrip('/')}/codes")
+
+
+def append_to_pq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted PQ index (:func:`save_pq_index`):
+    encode ONLY the new vectors with the STORED (frozen) codebooks and
+    append their code rows — the FAISS ``add()`` lifecycle.
+
+    Frozen-codebook drift note: appended vectors are quantized against
+    codebooks trained on the ORIGINAL corpus. Identical-distribution
+    deliveries lose nothing; if the embedding distribution shifts
+    (new model, new modality), quantization error on the new data grows
+    silently — schedule a full :func:`save_pq_index` retrain when the
+    appended fraction gets large or recall floors degrade. (LSH has no
+    such drift: its planes are data-independent.)
+
+    Caller contract: new ids disjoint from stored ids, as in
+    :func:`append_to_lsh_index`.
+    """
+    base = path.rstrip("/")
+    _, books = load_pq_index(new_vectors.sparkSession, base)
+    pq_encode(new_vectors, books, vec_col=vec_col, id_col=id_col).write.mode(
+        "append"
+    ).parquet(f"{base}/codes")
 
 
 def load_pq_index(spark, path: str):

@@ -1865,6 +1865,97 @@ SIMILARITY_IVF_PQ_TOPK_SQL = _ann_verdict_oracle(0.2)
 
 
 # --------------------------------------------------------------------------
+# Incremental ANN index maintenance (the operational half of
+# build-once/search-many at 100 TB): build each index on 3/4 of the
+# corpus, APPEND the remaining quarter (append_to_lsh_index /
+# append_to_pq_index — encode only the delta), and verify
+# append-then-search returns EXACTLY what encode-everything-with-the-
+# same-parameters-then-search returns. LSH planes are parameter-derived
+# and PQ comparisons share one loaded codebook, so equality is exact
+# set equality, row for row — the verdict booleans are
+# layout-independent and the oracle asserts them constant TRUE.
+def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.similarity import (
+        append_to_lsh_index,
+        append_to_pq_index,
+        load_pq_index,
+        lsh_search_index,
+        pq_encode,
+        pq_search_codes,
+        save_lsh_index,
+        save_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    root = tempfile.mkdtemp(prefix="annidx_")
+    # LSH: appended index vs fresh rebuild over the full corpus
+    save_lsh_index(old, f"{root}/lsh_a", num_tables=8, bits=6, dim=64)
+    append_to_lsh_index(delta, f"{root}/lsh_a")
+    save_lsh_index(emb, f"{root}/lsh_full", num_tables=8, bits=6, dim=64)
+    lsh_append = lsh_search_index(spark, f"{root}/lsh_a", queries, k=10)
+    lsh_rebuild = lsh_search_index(spark, f"{root}/lsh_full", queries, k=10)
+
+    # PQ: appended codes vs encoding the full corpus with the SAME
+    # frozen codebooks (a full retrain would legitimately differ —
+    # that's the documented drift contract, not an equality target)
+    save_pq_index(old, f"{root}/pq", m=8, codebook_k=16, lloyd_iters=2)
+    append_to_pq_index(delta, f"{root}/pq")
+    codes_appended, books = load_pq_index(spark, f"{root}/pq")
+    pq_append = pq_search_codes(codes_appended, books, queries, k=10)
+    pq_rebuild = pq_search_codes(
+        pq_encode(emb, books), books, queries, k=10
+    )
+
+    # The verdict reduction is a DRIVER-SIDE comparison of two BOUNDED
+    # result sets (k rows x |queries| each) — a control-plane read like
+    # the centroid/codebook collects, not a data-plane collect.
+    q_ids = sorted(r["query_id"] for r in queries.select("query_id").collect())
+
+    def verdict(method: str, a: DataFrame, b: DataFrame) -> list[tuple]:
+        def as_set(df):
+            return {
+                (r["query_id"], r["vec_id"], round(r["score"], 6))
+                for r in df.collect()
+            }
+
+        sa, sb = as_set(a), as_set(b)
+        diff_qids = {t[0] for t in sa.symmetric_difference(sb)}
+        n_by_q = {}
+        for qid, _, _ in sa:
+            n_by_q[qid] = n_by_q.get(qid, 0) + 1
+        return [
+            (method, int(qid), n_by_q.get(qid, 0), qid not in diff_qids)
+            for qid in q_ids
+        ]
+
+    rows = verdict("lsh", lsh_append, lsh_rebuild) + verdict(
+        "pq", pq_append, pq_rebuild
+    )
+    return spark.createDataFrame(
+        rows,
+        "method STRING, query_id BIGINT, n_results BIGINT, "
+        "append_equals_rebuild BOOLEAN",
+    )
+
+
+ANN_INDEX_APPEND_VERDICT_SQL = """
+SELECT m.method, CAST(e.vec_id AS BIGINT) AS query_id,
+       CAST(10 AS BIGINT) AS n_results, TRUE AS append_equals_rebuild
+FROM (SELECT 'lsh' AS method UNION ALL SELECT 'pq') m,
+     embeddings e
+WHERE e.vec_id < 5
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-language document-length percentiles. EXACT percentile: both
 # engines implement the type-7 (linear-interpolation) quantile over
 # doubles, verified bit-equal, so the gate needs no tolerance. At 100 TB
@@ -3654,4 +3745,7 @@ QUERIES = {
     "similarity_ivf_topk": (similarity_ivf_topk, SIMILARITY_IVF_TOPK_SQL),
     "similarity_pq_topk": (similarity_pq_topk, SIMILARITY_PQ_TOPK_SQL),
     "similarity_ivf_pq_topk": (similarity_ivf_pq_topk, SIMILARITY_IVF_PQ_TOPK_SQL),
+    "ann_index_append_verdict": (
+        ann_index_append_verdict, ANN_INDEX_APPEND_VERDICT_SQL,
+    ),
 }

@@ -302,3 +302,80 @@ def test_lsh_index_persist_reload_search_parity(spark, tmp_path):
     from_index = {(r["query_id"], r["vec_id"], r["score"])
                   for r in lsh_search_index(spark, path, queries, k=5).collect()}
     assert from_index == in_mem and len(from_index) > 0
+
+
+def test_lsh_index_append_equals_rebuild(spark, tmp_path):
+    """append_to_lsh_index(delta) then search == rebuild-over-everything
+    then search, EXACTLY (planes are parameter-derived, so the appended
+    bucket rows are bit-identical to a rebuild's) — the incremental
+    index-maintenance contract."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        append_to_lsh_index,
+        lsh_search_index,
+        save_lsh_index,
+    )
+
+    emb = _toy_embeddings(spark, n=120, dim=8)
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    pa = str(tmp_path / "appended")
+    save_lsh_index(old, pa, num_tables=4, bits=3, dim=8)
+    append_to_lsh_index(delta, pa)
+    pb = str(tmp_path / "rebuilt")
+    save_lsh_index(emb, pb, num_tables=4, bits=3, dim=8)
+
+    got_a = {(r["query_id"], r["vec_id"], r["score"])
+             for r in lsh_search_index(spark, pa, queries, k=5).collect()}
+    got_b = {(r["query_id"], r["vec_id"], r["score"])
+             for r in lsh_search_index(spark, pb, queries, k=5).collect()}
+    assert got_a == got_b and len(got_a) > 0
+    # and the stored bucket tables themselves are row-identical
+    ba = {tuple(r) for r in spark.read.parquet(f"{pa}/buckets").collect()}
+    bb = {tuple(r) for r in spark.read.parquet(f"{pb}/buckets").collect()}
+    assert ba == bb
+
+
+def test_pq_index_append_equals_frozen_encode(spark, tmp_path):
+    """append_to_pq_index(delta) encodes with the STORED codebooks: the
+    appended code table must equal encoding the grown corpus with those
+    same frozen codebooks (a retrain may differ — that's the documented
+    drift contract, not an equality target)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        append_to_pq_index,
+        load_pq_index,
+        pq_encode,
+        pq_search_codes,
+        save_pq_index,
+    )
+
+    emb = _toy_embeddings(spark, n=90, dim=8)
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    path = str(tmp_path / "pq")
+    save_pq_index(old, path, m=4, codebook_k=8, lloyd_iters=2)
+    append_to_pq_index(delta, path)
+    codes, books = load_pq_index(spark, path)
+
+    got_codes = {r["vec_id"]: tuple(r["codes"]) for r in codes.collect()}
+    want_codes = {
+        r["vec_id"]: tuple(r["codes"]) for r in pq_encode(emb, books).collect()
+    }
+    assert got_codes == want_codes and len(got_codes) == 90
+
+    got = {(r["query_id"], r["vec_id"], round(r["score"], 6))
+           for r in pq_search_codes(codes, books, queries, k=5).collect()}
+    want = {(r["query_id"], r["vec_id"], round(r["score"], 6))
+            for r in pq_search_codes(pq_encode(emb, books), books, queries, k=5).collect()}
+    assert got == want and len(got) == 15
