@@ -81,6 +81,16 @@ HEADLINE = [
     # export→binaryFile→un-archive roundtrip, and the (id, char) shuffle
     "webdataset_roundtrip_docs",
     "doc_char_diversity",
+    # round-8: the OR-amplified 4-band n-gram Jaccard pair search — the
+    # heaviest dedup gate (~10× its minhash sibling), tracked so its
+    # cost can't drift silently
+    "ngram_jaccard_docs",
+    # round-8: REAL-decoder multimodal surfaces (stdlib WAV parse; BMP
+    # pixel decode → dHash → Hamming-band pairs) and the now
+    # double-pagerank (float + exact integer twin) iterative gate
+    "multimodal_wav_decode_real",
+    "image_dhash_neardup_docs",
+    "part_copurchase_pagerank",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
@@ -98,7 +108,67 @@ EXTRA_RUNS = {
 }
 
 
+def _load_bench_json(path: str) -> dict:
+    """Read a bench artifact: either bench.py's own summary line or the
+    driver's BENCH_r{N}.json wrapper (summary under 'parsed')."""
+    with open(path) as fh:
+        data = json.load(fh)
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    if "queries" not in data:
+        raise ValueError(f"{path}: no 'queries' key — not a bench artifact")
+    return data
+
+
+def compare_benches(old: dict, new: dict) -> str:
+    """Shared-query-subset comparison — the ONLY number a perf claim may
+    quote (VERDICT r7: a closing commit cited a local total against the
+    driver's; this pins the arithmetic to committed artifacts). Queries
+    with an error on either side are excluded from the subset."""
+
+    def ok_timings(d: dict) -> dict[str, float]:
+        return {
+            k: v for k, v in d["queries"].items() if isinstance(v, (int, float))
+        }
+
+    t_old, t_new = ok_timings(old), ok_timings(new)
+    shared = sorted(set(t_old) & set(t_new))
+    so, sn = sum(t_old[q] for q in shared), sum(t_new[q] for q in shared)
+    lines = [
+        f"shared subset: {len(shared)} queries, "
+        f"old {so:.3f}s -> new {sn:.3f}s "
+        f"({(sn - so) / so * 100.0:+.1f}%)" if shared else "shared subset: EMPTY",
+    ]
+    for q in shared:
+        d = t_new[q] - t_old[q]
+        pct = d / t_old[q] * 100.0 if t_old[q] else float("inf")
+        lines.append(f"  {q}: {t_old[q]:.3f} -> {t_new[q]:.3f} ({pct:+.1f}%)")
+    only_new = sorted(set(t_new) - set(t_old))
+    only_old = sorted(set(t_old) - set(t_new))
+    if only_new:
+        lines.append(f"new-only ({len(only_new)}): "
+                     + ", ".join(f"{q}={t_new[q]:.3f}" for q in only_new))
+    if only_old:
+        lines.append(f"old-only ({len(only_old)}): " + ", ".join(only_old))
+    return "\n".join(lines)
+
+
 def main() -> None:
+    # --compare OLD.json [NEW.json]: with two files, print the
+    # shared-subset delta and exit (no Spark). With one, run the bench
+    # and compare the fresh result against OLD.
+    compare_path = None
+    args = sys.argv[1:]
+    if args and args[0] == "--compare":
+        if len(args) < 2:
+            print("usage: bench.py --compare OLD.json [NEW.json]", file=sys.stderr)
+            raise SystemExit(2)
+        compare_path = args[1]
+        if len(args) > 2:
+            print(compare_benches(_load_bench_json(compare_path),
+                                  _load_bench_json(args[2])))
+            return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -173,6 +243,10 @@ def main() -> None:
         "cpus": int(cpus),
     }
     print(json.dumps(summary))
+    if compare_path:
+        print(f"# --compare vs {compare_path}:", file=sys.stderr)
+        print(compare_benches(_load_bench_json(compare_path), summary),
+              file=sys.stderr)
     spark.stop()
 
 
