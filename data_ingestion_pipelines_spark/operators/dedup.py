@@ -106,6 +106,58 @@ def incremental_dedup(
     return batch_fp.join(corpus_fp, "_fp", "left_anti").drop("_fp")
 
 
+def bloom_incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 14,
+) -> DataFrame:
+    """:func:`incremental_dedup` semantics with a Bloom PRE-FILTER —
+    the 100 TB shape of per-delivery dedup. Returns the intra-batch
+    winners annotated ``(…, bloom_hit, is_new)``:
+
+    - ``bloom_hit`` false → the fingerprint is DEFINITELY not in the
+      corpus (Bloom has no false negatives): the doc is new WITHOUT
+      touching the fingerprint index — at scale that's most of a
+      delivery skipping the anti-join entirely.
+    - ``bloom_hit`` true → true duplicate OR false positive
+      (~(1−e^{−kn/m})^k of new docs); ONLY these pay the exact
+      fingerprint-index join, whose verdict is ``is_new``.
+
+    The result's ``is_new`` is therefore EXACTLY
+    ``incremental_dedup``'s answer (pytest-pinned), with the join input
+    reduced to the may-contain fraction. The corpus-side Bloom build is
+    one distinct+bit_or pass over the fingerprint index — the ~m/64-row
+    sparse bitmap is what a curation service keeps hot alongside (or
+    instead of, for the fast path) the 32-byte-per-doc index.
+    """
+    from .sketches import bloom_build, bloom_may_contain
+
+    batch = exact_dedup(new_batch, text_col, id_col)
+    batch_fp = with_fingerprint(batch, text_col, out="_fp")
+    corpus_fp = (
+        with_fingerprint(corpus.select(text_col), text_col, out="_fp")
+        .select("_fp")
+        .distinct()
+        .localCheckpoint(eager=False)  # read by the build AND the verify join
+    )
+    sketch = bloom_build(corpus_fp, "_fp", m_bits=m_bits)
+    probed = bloom_may_contain(
+        batch_fp, sketch, "_fp", id_col=id_col, m_bits=m_bits
+    )
+    # exact verify ONLY for the may-contain fraction
+    suspects = probed.filter(F.col("bloom_hit")).select(id_col, "_fp")
+    confirmed_dup = suspects.join(corpus_fp, "_fp", "left_semi").select(id_col)
+    return (
+        probed.join(
+            confirmed_dup.withColumn("_dup", F.lit(True)), id_col, "left"
+        )
+        .withColumn("is_new", F.coalesce(F.col("_dup"), F.lit(False)) == F.lit(False))
+        .drop("_dup", "_fp")
+    )
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles as strings (distinct), from lowercase word tokens."""
     toks = F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)

@@ -289,3 +289,115 @@ def cms_estimate(
     return hit.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cms_est")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter: the membership sketch for delivery-scale pre-filtering.
+
+BLOOM_SEEDS = ("b0", "b1", "b2", "b3", "b4")
+
+
+def _bloom_positions(value_col, m_bits: int, seeds) -> list:
+    """k bit positions per value: md5 with per-hash salt, first 8 hex
+    chars as a 32-bit int, mod m — the engine's standard cross-engine
+    hash primitive (same idiom as the simhash md5 mode), so a SQL
+    oracle replays every position with
+    ``('0x' || substr(md5(s || ':' || v), 1, 8))::UBIGINT % m``."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{s}:"), value_col)), 1, 8), 16, 10
+        ).cast("long")
+        % m_bits
+        for s in seeds
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 14,
+    seeds: Sequence[str] = BLOOM_SEEDS,
+) -> DataFrame:
+    """Build a Bloom filter over a column → SPARSE bitmap rows
+    ``(word_idx BIGINT, bits BIGINT)`` (64 bits per word; absent words
+    are all-zero).
+
+    Distributed build: positions are pure Column algebra, one
+    ``distinct`` shuffle on the uniform position key, then a bit_or per
+    word — no driver-side state. The sparse frame is at most
+    ``min(n·k, m/64)`` rows (a 2³⁰-bit filter is 16M words ≈ 128 MB
+    dense — broadcastable; size m so that's true). Parameters are
+    stamped into column metadata and checked by :func:`bloom_may_contain`
+    (the CMS width/seed-mismatch guard, same failure mode: wrong params
+    silently hash probes into the wrong cells).
+
+    The classic use at 100 TB: a delivery-dedup PRE-FILTER (see
+    ``dedup.bloom_incremental_dedup``) — definite-new docs (any unset
+    bit) skip the fingerprint-index anti-join entirely; only the
+    may-contain fraction (true dups + ~(1−e^(−kn/m))^k false positives)
+    pays the join.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), m_bits, seeds))).alias(
+        "_pos"
+    )
+    cells = df.select(pos).distinct()
+    words = cells.select(
+        F.shiftright("_pos", 6).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_mask"),
+    )
+    meta = {"bloom_m_bits": m_bits, "bloom_seeds": list(seeds)}
+    return words.groupBy("word_idx").agg(
+        F.bit_or("_mask").alias("bits", metadata=meta)
+    )
+
+
+def bloom_may_contain(
+    items: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    id_col: str,
+    m_bits: int = 1 << 14,
+    seeds: Sequence[str] = BLOOM_SEEDS,
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """Membership probe: ``items`` + ``out`` BOOLEAN (true = MAY be in
+    the built set; false = DEFINITELY not — Bloom's one-sided error).
+
+    Per item: k position probes against the broadcast sparse bitmap —
+    a broadcast join on the word index plus a bool_and, no shuffle of
+    the items beyond their own aggregate. ``id_col`` must uniquely key
+    ``items`` (the probe explodes to k rows per item and regroups).
+    """
+    try:
+        meta = sketch.schema["bits"].metadata or {}
+    except Exception:
+        meta = {}
+    if "bloom_m_bits" in meta and int(meta["bloom_m_bits"]) != m_bits:
+        raise ValueError(
+            f"bloom_may_contain m_bits={m_bits} but sketch was built with "
+            f"m_bits={meta['bloom_m_bits']}"
+        )
+    if "bloom_seeds" in meta and list(meta["bloom_seeds"]) != list(seeds):
+        raise ValueError(
+            f"bloom_may_contain seeds={list(seeds)} but sketch was built "
+            f"with seeds={meta['bloom_seeds']}"
+        )
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), m_bits, seeds))).alias(
+        "_pos"
+    )
+    probes = items.select(F.col(id_col), pos).select(
+        id_col,
+        F.shiftright("_pos", 6).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 64 AS INT))").alias("_mask"),
+    )
+    hit = probes.join(F.broadcast(sketch), "word_idx", "left").select(
+        id_col,
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask"))
+            == F.col("_mask")
+        ).alias("_hit"),
+    )
+    per_item = hit.groupBy(id_col).agg(F.bool_and("_hit").alias(out))
+    return items.join(per_item, id_col)

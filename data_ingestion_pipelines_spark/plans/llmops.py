@@ -3319,6 +3319,64 @@ SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 
 
 # --------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup: the 100 TB delivery shape —
+# definite-new docs (any unset bit) skip the fingerprint-index
+# anti-join; only the may-contain fraction pays the exact join. The
+# oracle replays the EXACT Bloom semantics (position set from the same
+# salted-md5 primitive, including false positives — Bloom is
+# deterministic, so even its mistakes hash-match) plus the final
+# is_new verdict.
+def bloom_prefilter_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import bloom_incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.filter(~F.col("source").isin(*_NEW_SOURCES))
+    fresh = docs.filter(F.col("source").isin(*_NEW_SOURCES))
+    redelivered = corpus.select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"), "source", "text"
+    )
+    new_batch = fresh.unionByName(redelivered)
+    out = bloom_incremental_dedup(new_batch, corpus, m_bits=1 << 14)
+    return out.select("doc_id", "bloom_hit", "is_new")
+
+
+BLOOM_PREFILTER_DEDUP_DOCS_SQL = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM documents WHERE source NOT IN {_NEW_SOURCES!r}
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE source IN {_NEW_SOURCES!r}
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text
+  FROM documents WHERE source NOT IN {_NEW_SOURCES!r}
+), batch_w AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM batch GROUP BY 2
+), cpos AS MATERIALIZED (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5(s.s || ':' || c.fp), 1, 8))::UBIGINT % 16384
+         AS BIGINT) AS pos
+  FROM corpus c,
+       (VALUES ('b0'), ('b1'), ('b2'), ('b3'), ('b4')) s(s)
+), bpos AS (
+  SELECT b.doc_id, b.fp,
+    CAST(('0x' || substr(md5(s.s || ':' || b.fp), 1, 8))::UBIGINT % 16384
+         AS BIGINT) AS pos
+  FROM batch_w b,
+       (VALUES ('b0'), ('b1'), ('b2'), ('b3'), ('b4')) s(s)
+), hits AS (
+  SELECT doc_id, fp,
+         bool_and(pos IN (SELECT pos FROM cpos)) AS bloom_hit
+  FROM bpos GROUP BY doc_id, fp
+)
+SELECT h.doc_id, h.bloom_hit,
+       h.fp NOT IN (SELECT fp FROM corpus) AS is_new
+FROM hits h
+"""
+
+
+# --------------------------------------------------------------------------
 # Document embedding plumbing (deterministic fake encoder): md5-derived
 # exact binary fractions, pure codegen — the docs→vectors step that feeds
 # the ANN/dedup operators, verified bit-for-bit against DuckDB.
@@ -3623,6 +3681,10 @@ QUERIES = {
     "incremental_neardup_new_docs": (
         incremental_neardup_new_docs,
         INCREMENTAL_NEARDUP_NEW_DOCS_SQL,
+    ),
+    "bloom_prefilter_dedup_docs": (
+        bloom_prefilter_dedup_docs,
+        BLOOM_PREFILTER_DEDUP_DOCS_SQL,
     ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     # append-equals-repack: verified against the SAME one-shot oracle

@@ -183,3 +183,79 @@ def test_extend_pack_manifest_equals_one_shot(spark):
     a = {tuple(r) for r in whole.collect()}
     b = {tuple(r) for r in first.unionByName(second).collect()}
     assert a == b
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(spark):
+    """Every inserted value probes true (Bloom's hard guarantee);
+    held-out values mostly probe false with FP rate near theory."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        bloom_build,
+        bloom_may_contain,
+    )
+
+    inserted = spark.range(0, 300).select(
+        F.col("id").alias("uid"), F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    sketch = bloom_build(inserted, "v", m_bits=1 << 13)
+    got_in = bloom_may_contain(inserted, sketch, "v", id_col="uid", m_bits=1 << 13)
+    assert all(r["bloom_hit"] for r in got_in.collect())  # no false negatives
+
+    held_out = spark.range(1000, 2000).select(
+        F.col("id").alias("uid"), F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    fp = [r["bloom_hit"] for r in
+          bloom_may_contain(held_out, sketch, "v", id_col="uid", m_bits=1 << 13).collect()]
+    # theory: (1 - e^(-kn/m))^k ~ (1-e^(-5*300/8192))^5 ~ 1e-4 — allow slack
+    assert sum(fp) <= 20, f"false-positive count {sum(fp)} way above theory"
+
+
+def test_bloom_param_mismatch_guard(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        bloom_build,
+        bloom_may_contain,
+    )
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("uid"), F.col("id").cast("string").alias("v")
+    )
+    sketch = bloom_build(df, "v", m_bits=1 << 10)
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_may_contain(df, sketch, "v", id_col="uid", m_bits=1 << 12)
+    with pytest.raises(ValueError, match="seeds"):
+        bloom_may_contain(df, sketch, "v", id_col="uid", m_bits=1 << 10,
+                          seeds=("x0", "x1"))
+
+
+def test_bloom_incremental_dedup_matches_exact(spark):
+    """bloom_incremental_dedup's is_new must EQUAL incremental_dedup's
+    verdict doc-for-doc (the pre-filter only changes who pays the join,
+    never the answer), and definite-new rows must carry bloom_hit=False."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        bloom_incremental_dedup,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i}") for i in range(80)],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        # 40 redelivered dups (shifted ids) + 40 genuinely new
+        [(1000 + i, f"corpus document number {i}") for i in range(40)]
+        + [(2000 + i, f"fresh delivery item {i}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in bloom_incremental_dedup(batch, corpus).collect()}
+    want_new = {r["doc_id"] for r in incremental_dedup(batch, corpus).collect()}
+    assert {d for d, r in got.items() if r["is_new"]} == want_new
+    # dups MUST bloom-hit (no false negatives); news are mostly misses
+    for d, r in got.items():
+        if not r["is_new"]:
+            assert r["bloom_hit"] is True
