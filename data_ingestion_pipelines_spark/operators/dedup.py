@@ -320,6 +320,118 @@ def minhash_signatures(
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.band_sig").alias("band_sig"))
 
 
+def save_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    shingle_k: int = 5,
+) -> None:
+    """Build and PERSIST the MinHash-LSH dedup index: ``{path}/bands``
+    (one row per (doc, band): id, band, band_sig), ``{path}/texts``
+    (id, text — the exact-Jaccard verify side), ``{path}/params``.
+
+    The dedup-family twin of :func:`similarity.save_lsh_index` — a
+    curation service dedupes every delivery against the SAME corpus, and
+    re-signing 100 TB of corpus per delivery is not a thing. Signatures
+    are a pure function of the text (crc32-based arrow path), so
+    :func:`append_to_minhash_index` rows are bit-identical to a
+    rebuild's — append-then-dedupe ≡ rebuild-then-dedupe exactly (gated
+    by ``minhash_index_dedup_docs`` + pytest).
+
+    Source-scan discipline: corpus is read once (texts written first,
+    signatures derive from reading that artifact back).
+    """
+    base = path.rstrip("/")
+    spark = corpus.sparkSession
+    corpus.select(id_col, text_col).write.mode("overwrite").parquet(f"{base}/texts")
+    texts = spark.read.parquet(f"{base}/texts")
+    minhash_signatures(
+        texts, text_col, id_col, num_bands, rows_per_band, shingle_k
+    ).write.mode("overwrite").parquet(f"{base}/bands")
+    spark.createDataFrame(
+        [(num_bands, rows_per_band, shingle_k)],
+        "num_bands INT, rows_per_band INT, shingle_k INT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
+
+
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally extend a persisted MinHash index: sign ONLY the new
+    docs with the stored parameters and append their band + text rows.
+    No drift caveat (unlike PQ codebooks): the signature family is
+    data-independent, so appended rows equal a full rebuild's. Caller
+    contract: new ids disjoint from stored ids."""
+    base = path.rstrip("/")
+    spark = new_docs.sparkSession
+    p = spark.read.parquet(f"{base}/params").first()
+    docs = new_docs.select(id_col, text_col).localCheckpoint(eager=False)
+    docs.write.mode("append").parquet(f"{base}/texts")
+    minhash_signatures(
+        docs, text_col, id_col, p["num_bands"], p["rows_per_band"], p["shingle_k"]
+    ).write.mode("append").parquet(f"{base}/bands")
+
+
+def neardup_against_minhash_index(
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedupe a delivery against a persisted MinHash index → the batch
+    rows + ``is_new`` (false = exact shingle-Jaccard ≥ threshold against
+    at least one INDEXED doc).
+
+    Per delivery: sign the batch (its size, not the corpus's), one
+    equi-join on the uniform (band, band_sig) key against the stored
+    band table, exact Jaccard verify on candidates only (never
+    all-pairs), max per batch doc. Batch ids must be disjoint from
+    indexed ids (delivery contract)."""
+    base = path.rstrip("/")
+    spark = batch.sparkSession
+    p = spark.read.parquet(f"{base}/params").first()
+    batch = batch.localCheckpoint(eager=False)  # signed AND joined below
+    sigs = minhash_signatures(
+        batch, text_col, id_col, p["num_bands"], p["rows_per_band"], p["shingle_k"]
+    )
+    idx_bands = spark.read.parquet(f"{base}/bands").withColumnsRenamed(
+        {id_col: "_idx_id"}
+    )
+    cand = (
+        sigs.join(idx_bands, on=["band", "band_sig"])
+        .select(F.col(id_col), F.col("_idx_id"))
+        .distinct()
+    )
+    idx_texts = spark.read.parquet(f"{base}/texts").withColumnsRenamed(
+        {id_col: "_idx_id", text_col: "_idx_text"}
+    )
+    pairs = (
+        cand.join(batch.select(id_col, F.col(text_col).alias("_b_text")), id_col)
+        .join(idx_texts, "_idx_id")
+    )
+    verified = _pair_jaccard(
+        pairs, "_b_text", "_idx_text", p["shingle_k"], keep=[id_col]
+    )
+    dups = (
+        verified.filter(F.col("jaccard") >= F.lit(threshold))
+        .select(id_col)
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        batch.join(dups, id_col, "left")
+        .withColumn("is_new", F.coalesce(F.col("_dup"), F.lit(False)) == F.lit(False))
+        .drop("_dup")
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard of two string-array columns (treated as sets)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")

@@ -3377,6 +3377,74 @@ FROM hits h
 
 
 # --------------------------------------------------------------------------
+# Persisted MinHash dedup index lifecycle (the dedup twin of
+# ann_index_append_verdict): build the index on half the corpus, APPEND
+# the other half, and dedupe a delivery (fresh docs + redelivered exact
+# copies) against it. Verdict rows per delivery doc:
+# - redelivered copies MUST be dropped (identical text → identical
+#   signatures → all bands collide → Jaccard 1 ≥ threshold) — a
+#   PREDICTABLE fact the oracle states directly;
+# - for every doc, the appended index and a fresh full rebuild must
+#   agree (signatures are pure functions of text → banding rows
+#   bit-identical), asserted as a constant-TRUE verdict.
+def minhash_index_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.dedup import (
+        append_to_minhash_index,
+        neardup_against_minhash_index,
+        save_minhash_index,
+    )
+
+    docs_full = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs_full.filter(~F.col("source").isin(*_NEW_SOURCES)).select(
+        "doc_id", "text"
+    )
+    fresh = docs_full.filter(F.col("source").isin(*_NEW_SOURCES)).select(
+        "doc_id", "text"
+    )
+    half_a = corpus.filter(F.col("doc_id") % 2 == 0)
+    half_b = corpus.filter(F.col("doc_id") % 2 == 1)
+    redelivered = corpus.select(
+        (F.col("doc_id") + F.lit(500000)).alias("doc_id"), "text"
+    )
+    delivery = fresh.unionByName(redelivered)
+
+    root = tempfile.mkdtemp(prefix="mhidx_")
+    save_minhash_index(half_a, f"{root}/appended")
+    append_to_minhash_index(half_b, f"{root}/appended")
+    save_minhash_index(corpus, f"{root}/rebuilt")
+
+    via_append = neardup_against_minhash_index(
+        delivery, f"{root}/appended", threshold=0.5
+    ).select("doc_id", F.col("is_new").alias("_new_a"))
+    via_rebuild = neardup_against_minhash_index(
+        delivery, f"{root}/rebuilt", threshold=0.5
+    ).select("doc_id", F.col("is_new").alias("_new_b"))
+    joined = via_append.join(via_rebuild, "doc_id")
+    return joined.select(
+        "doc_id",
+        (F.col("doc_id") >= 500000).alias("is_redelivery"),
+        F.when(F.col("doc_id") >= 500000, ~F.col("_new_a"))
+        .otherwise(F.col("_new_a") == F.col("_new_b"))
+        .alias("verdict_ok"),
+        (F.col("_new_a") == F.col("_new_b")).alias("append_equals_rebuild"),
+    )
+
+
+MINHASH_INDEX_DEDUP_DOCS_SQL = f"""
+SELECT d.doc_id, d.doc_id >= 500000 AS is_redelivery,
+       TRUE AS verdict_ok, TRUE AS append_equals_rebuild
+FROM (
+  SELECT doc_id FROM documents WHERE source IN {_NEW_SOURCES!r}
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id
+  FROM documents WHERE source NOT IN {_NEW_SOURCES!r}
+) d
+"""
+
+
+# --------------------------------------------------------------------------
 # Document embedding plumbing (deterministic fake encoder): md5-derived
 # exact binary fractions, pure codegen — the docs→vectors step that feeds
 # the ANN/dedup operators, verified bit-for-bit against DuckDB.
@@ -3685,6 +3753,10 @@ QUERIES = {
     "bloom_prefilter_dedup_docs": (
         bloom_prefilter_dedup_docs,
         BLOOM_PREFILTER_DEDUP_DOCS_SQL,
+    ),
+    "minhash_index_dedup_docs": (
+        minhash_index_dedup_docs,
+        MINHASH_INDEX_DEDUP_DOCS_SQL,
     ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     # append-equals-repack: verified against the SAME one-shot oracle

@@ -761,3 +761,50 @@ def test_bpe_regex_pretokens_gpt2_shapes(spark):
     assert "'s" in got[1] and " 42" in got[1]
     assert "".join(got[1]) == rows[0][1]  # lossless partition of the text
     assert got[2] == [] and got[3] == ["  "]
+
+
+def test_minhash_index_append_equals_rebuild(spark, tmp_path):
+    """save_minhash_index + append_to_minhash_index must leave the index
+    ROW-IDENTICAL to a fresh build over the grown corpus (signatures are
+    pure functions of text), and deduping a delivery against either
+    index must agree doc-for-doc — with exact redelivered copies always
+    dropped."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        append_to_minhash_index,
+        neardup_against_minhash_index,
+        save_minhash_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps over the lazy dog "
+             f"while document {i} rambles on about corpus things") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    pa = str(tmp_path / "appended")
+    save_minhash_index(corpus.filter(F.col("doc_id") % 2 == 0), pa)
+    append_to_minhash_index(corpus.filter(F.col("doc_id") % 2 == 1), pa)
+    pb = str(tmp_path / "rebuilt")
+    save_minhash_index(corpus, pb)
+
+    ba = {tuple(r) for r in spark.read.parquet(f"{pa}/bands").collect()}
+    bb = {tuple(r) for r in spark.read.parquet(f"{pb}/bands").collect()}
+    assert ba == bb and len(ba) == 40 * 8  # bit-identical band rows
+
+    delivery = spark.createDataFrame(
+        # 10 exact redeliveries + 10 fresh docs
+        [(1000 + i, f"the quick brown fox number {i} jumps over the lazy dog "
+                    f"while document {i} rambles on about corpus things")
+         for i in range(10)]
+        + [(2000 + i, f"completely unrelated fresh delivery text item {i} "
+                      f"with nothing shared at all whatsoever") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    got_a = {r["doc_id"]: r["is_new"]
+             for r in neardup_against_minhash_index(delivery, pa, 0.5).collect()}
+    got_b = {r["doc_id"]: r["is_new"]
+             for r in neardup_against_minhash_index(delivery, pb, 0.5).collect()}
+    assert got_a == got_b and len(got_a) == 20
+    assert all(got_a[1000 + i] is False for i in range(10))  # exact copies drop
+    assert all(got_a[2000 + i] is True for i in range(10))   # fresh survive
