@@ -161,6 +161,53 @@ def brute_force_topk(
     return _final_topk(scored, query_id_col, id_col, k)
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding corpus →
+    ``(query_id, predicted_label, n_votes)`` — the pseudo-labeling /
+    quality-classifier-by-neighbors step curation pipelines run (label a
+    few docs, propagate to the corpus by embedding similarity).
+
+    Neighbors default to the exact :func:`brute_force_topk` tier
+    (deterministic, oracle-able); pass ``neighbors`` (any
+    ``(query_id, vec_id)`` frame — ``lsh_topk``/``ivf_topk`` output) to
+    swap in an ANN tier at scale. The vote is one groupBy on
+    (query, label) over k·|queries| rows plus a rank; ties break to the
+    SMALLEST label — deterministic cross-engine.
+    """
+    top = (
+        neighbors.select(query_id_col, id_col)
+        if neighbors is not None
+        else brute_force_topk(corpus, queries, k, id_col, vec_col, query_id_col)
+        .select(query_id_col, id_col)
+    )
+    votes = (
+        top.join(corpus.select(F.col(id_col), F.col(label_col)), id_col)
+        .groupBy(query_id_col, label_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("n_votes"), F.asc(label_col)
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            F.col(label_col).alias("predicted_label"),
+            "n_votes",
+        )
+    )
+
+
 def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (hash-based signs
     and magnitudes — no RNG state, reproducible across runs/engines)."""

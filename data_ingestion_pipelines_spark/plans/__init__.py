@@ -38,39 +38,36 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-7 window (50 = 1 dark + 13 changed + 36 re-checks).
-    # Position 1: the round's one dark gate (new multi-batch streaming
-    # dedup). Next: gates semantically changed or re-touched this round
-    # — the six ANN top-k families (per-batch pre-reduction finished
-    # everywhere), minhash_pairs_docs (the only oracled gate whose
-    # driver rows predate its oracle — first hash evidence), the
-    # OR-band-amplified n-gram Jaccard pair (operator + oracle), the
-    # max_df-capped winnowing overlap (oracle mirrored), pmod-sharded
-    # WebDataset manifest, the min-id streaming corpus sink, and the
-    # hybrid-path BPE apply. Tail: high-churn re-checks then the
-    # longest-unvisited r1/r2 greens. Every entry verified hash-green
-    # locally (tools/check_correctness.py) at sf0.001, sf0.01 AND sf0.1
-    # before landing.
-    "streaming_corpus_ingest_multibatch",
-    "bpe_source_fertility",
-    "weighted_sample_docs",
-    "doc_char_diversity",
-    "webdataset_roundtrip_docs",
-    "multimodal_audio_probe",
+    # -- round-8 window (50 = 7 dark + 8 changed + 35 re-checks), from
+    # tools/rotate_window.py. Positions 1-7: this round's seven NEW gates
+    # (Bloom-prefiltered dedup, persisted MinHash index lifecycle, ANN
+    # index append verdict, the two REAL-stdlib-decoder multimodal
+    # gates, dHash image near-dup). Next: gates semantically changed
+    # this round — part_copurchase_pagerank (now hash-oracled via the
+    # exact integer twin — first value-hash evidence after 7 rows-only
+    # rounds), the explicit-whitespace-class BPE pre-tokenizer, the two
+    # fake-tier multimodal gates (explicit oracle-tier decoder + NULL
+    # handling), the null-skip WebDataset roundtrip, the
+    # grace-window-pruned streaming sinks, and the bench-tracked n-gram
+    # Jaccard. Tail: high-churn re-checks then the longest-unvisited
+    # r2/r3 greens. Every entry verified hash-green locally
+    # (tools/check_correctness.py) at sf0.001, sf0.01 AND sf0.1 before
+    # landing.
+    "bloom_prefilter_dedup_docs",
+    "minhash_index_dedup_docs",
+    "ann_index_append_verdict",
+    "multimodal_wav_decode_real",
+    "multimodal_bmp_decode_real",
+    "image_dhash_neardup_docs",
+    "knn_label_vote",
+    "part_copurchase_pagerank",
     "doc_bpe_regex_token_count",
-    "similarity_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "quantized_similarity_topk",
-    "similarity_pq_topk",
-    "similarity_ivf_pq_topk",
-    "minhash_pairs_docs",
-    "ngram_jaccard_docs",
-    "near_dup_quality_survivors",
-    "winnowing_overlap_docs",
-    "webdataset_manifest_docs",
+    "multimodal_decode",
+    "multimodal_audio_probe",
+    "webdataset_roundtrip_docs",
     "streaming_corpus_ingest",
-    "bpe_tokenized_docs",
+    "streaming_corpus_ingest_multibatch",
+    "ngram_jaccard_docs",
     # -- re-checks (high-churn first, then oldest driver evidence)
     "inc_merge_upsert",
     "asof_view_before_purchase",
@@ -78,36 +75,36 @@ _PRIORITY = [
     "pricing_summary",
     "corpus_curation",
     "pretraining_manifest",
+    "bpe_tokenized_docs",
+    "similarity_pq_topk",
+    "winnowing_overlap_docs",
     "corpus_curation_gopher",
-    "union_pages",
-    "conditional_flags",
-    "string_funcs",
-    "date_arith",
-    "classify_exclusions",
-    "nested_drop",
-    "event_hourly_windows",
-    "brand_price_robust_outliers",
-    "repeat_customers_both_years",
-    "gap_fill_locf",
-    "order_sequence_features",
-    "daily_revenue_anomalies",
-    "quantity_price_correlation",
-    "unpivot_priority_metrics",
-    "copurchased_part_pairs",
-    "leading_digit_distribution",
-    "forecast_revenue_change",
-    "referential_integrity_report",
-    "json_props_extract",
-    "priority_shipmode_counts",
-    # promo_revenue_share rotated out (r2-green) for the roundtrip gate
-    # above_brand_average rotated out (r2-green) for the audio gate
-    # rollup_revenue rotated out (r2-green) for the pre-tokenizer gate
-    "revenue_by_nation",
-    "big_customers",
-    "outer_coalesce_refresh",
-    # semi_anti_customers rotated out (r2-green) for the new diversity gate
-    # watermark_minmax rotated out (r2-green) for the new sampling gate
-    # distinct_priorities rotated out (r2-green) for the new fertility gate
+    "similarity_ivf_pq_topk",
+    "promo_revenue_share",
+    "above_brand_average",
+    "rollup_revenue",
+    "semi_anti_customers",
+    "watermark_minmax",
+    "distinct_priorities",
+    "chunk_assignment",
+    "late_shipment_orders",
+    "nation_trade_flows",
+    "important_parts_by_value",
+    "lonely_late_suppliers",
+    "idle_rich_customers",
+    "order_value_yoy",
+    "market_share_by_year",
+    "profit_by_nation_year",
+    "promo_parts_revenue",
+    "small_quantity_revenue",
+    "large_volume_orders",
+    "dominant_part_suppliers",
+    "cdc_orders_snapshot",
+    "conversion_funnel",
+    "urgent_open_orders",
+    "returned_item_losses",
+    "part_zorder_keys",
+    # event_type_skew_report rotated out (r3-green) for knn_label_vote
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -1385,6 +1385,52 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+# --------------------------------------------------------------------------
+# k-NN label-vote classification (pseudo-labeling by embedding
+# neighbors): 20 held-out queries classified by the majority label of
+# their exact top-10 neighbors in the labeled corpus. Fully oracled —
+# the neighbor set rides the proven 6-dp cosine machinery and the vote
+# is integer counting with a smallest-label tie-break.
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return knn_classify(corpus, queries, k=10)
+
+
+KNN_LABEL_VOTE_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id, c.label,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20) q
+  WHERE c.vec_id >= 20
+), top AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+), votes AS (
+  SELECT query_id, label, COUNT(*) AS n_votes
+  FROM top GROUP BY query_id, label
+)
+SELECT query_id, label AS predicted_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM (
+  SELECT query_id, label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_votes DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1
+"""
+
+
 SIMILARITY_TOPK_SQL = """
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id,
@@ -3758,6 +3804,7 @@ QUERIES = {
         minhash_index_dedup_docs,
         MINHASH_INDEX_DEDUP_DOCS_SQL,
     ),
+    "knn_label_vote": (knn_label_vote, KNN_LABEL_VOTE_SQL),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     # append-equals-repack: verified against the SAME one-shot oracle
     "incremental_pack_extension": (

@@ -379,3 +379,37 @@ def test_pq_index_append_equals_frozen_encode(spark, tmp_path):
     want = {(r["query_id"], r["vec_id"], round(r["score"], 6))
             for r in pq_search_codes(pq_encode(emb, books), books, queries, k=5).collect()}
     assert got == want and len(got) == 15
+
+
+def test_knn_classify_majority_and_pluggable_neighbors(spark):
+    """Majority label of the exact top-k neighbors wins, ties break to
+    the smallest label; a supplied ANN `neighbors` frame is honored
+    verbatim (the scale-tier plug point)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import knn_classify
+
+    # two tight clusters in 2-d: label 0 near (1,0), label 1 near (0,1)
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.01 * i], 0))
+    for i in range(10, 20):
+        rows.append((i, [0.01 * i, 1.0], 1))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.05]), (101, [0.05, 1.0])],
+        "query_id bigint, embedding array<double>",
+    )
+    got = {r["query_id"]: r for r in knn_classify(corpus, queries, k=5).collect()}
+    assert got[100]["predicted_label"] == 0 and got[100]["n_votes"] == 5
+    assert got[101]["predicted_label"] == 1 and got[101]["n_votes"] == 5
+
+    # pluggable neighbors: force a 2-2 tie -> smallest label wins
+    forced = spark.createDataFrame(
+        [(100, 0), (100, 1), (100, 10), (100, 11)], "query_id bigint, vec_id bigint"
+    )
+    tied = knn_classify(corpus, queries, neighbors=forced).collect()
+    assert len(tied) == 1
+    assert tied[0]["predicted_label"] == 0 and tied[0]["n_votes"] == 2
