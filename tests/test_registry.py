@@ -21,12 +21,11 @@ def test_registry_order_starts_with_the_window():
 
 def test_every_gate_has_callable_and_sql_or_documented_rows_only():
     rows_only = {n for n, (_, sql) in plans.REGISTRY.items() if sql is None}
-    # the only sanctioned no-oracle entry: iterative PageRank (float-ulp
-    # sensitive, numpy-parity pytest) — since r5 the LSH/IVF gates emit
-    # verdict rows (recall@10 >= floor vs the exact twin) and are oracled
-    assert rows_only == {
-        "part_copurchase_pagerank",
-    }, f"unexpected rows-only gates: {rows_only}"
+    # EVERY gate is oracled as of r8: the last rows-only entry
+    # (part_copurchase_pagerank — float-ulp-sensitive iterative sums)
+    # gained a hash oracle via the exact integer-arithmetic twin
+    # (operators/graph.py pagerank_exact + unrolled DuckDB CTE replay)
+    assert rows_only == set(), f"unexpected rows-only gates: {rows_only}"
     for name, (fn, _) in plans.REGISTRY.items():
         assert callable(fn), name
 
