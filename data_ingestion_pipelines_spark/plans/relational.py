@@ -3479,7 +3479,7 @@ _PR_ITERS = 5
 
 
 def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import pagerank, pagerank_exact
+    from ..operators.graph import pagerank_with_exact
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     basket = li.groupBy("l_orderkey").agg(
@@ -3494,9 +3494,9 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    exact = pagerank_exact(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
-    flt = pagerank(edges, iterations=_PR_ITERS)
-    joined = exact.join(flt.hint("shuffle_hash"), "node")
+    # fused loop: both recurrences over shared joins (halves the gate's
+    # iteration cost; standalone-operator equivalence is pytest-pinned)
+    joined = pagerank_with_exact(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
     w = Window.orderBy(F.desc("rank_scaled"), F.asc("node"))
     agree = (
         F.abs(

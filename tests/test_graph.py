@@ -96,3 +96,25 @@ def test_part_copurchase_pagerank_gate_exact(spark):
         assert row["part"] == part, (row, part, rank)
         assert abs(row["rank_scaled"] / 1e15 - rank) < 1e-9
         assert row["float_matches_exact"] is True
+
+
+def test_pagerank_fused_equals_standalone_operators(spark):
+    """pagerank_with_exact must reproduce BOTH standalone operators: the
+    integer column bit-equal to pagerank_exact, the float column within
+    accumulated-ulp tolerance of pagerank (partition merge order is the
+    only difference — the reason the exact twin exists)."""
+    from data_ingestion_pipelines_spark.operators.graph import (
+        pagerank,
+        pagerank_exact,
+        pagerank_with_exact,
+    )
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 0), (3, 4), (1, 4), (4, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    fused = {r["node"]: r for r in pagerank_with_exact(df, iterations=6).collect()}
+    flt = {r["node"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    ext = {r["node"]: r["rank_scaled"] for r in pagerank_exact(df, iterations=6).collect()}
+    assert set(fused) == set(flt) == set(ext)
+    for n in fused:
+        assert fused[n]["rank_scaled"] == ext[n]  # bit-equal
+        assert abs(fused[n]["rank"] - flt[n]) < 1e-12, (n, fused[n]["rank"], flt[n])
