@@ -139,6 +139,10 @@ def bloom_incremental_dedup(
     corpus_fp = (
         with_fingerprint(corpus.select(text_col), text_col, out="_fp")
         .select("_fp")
+        # NULL-text corpus rows have a NULL fingerprint: nothing can
+        # ever match them, and a NULL in the membership set poisons
+        # SQL-style NOT IN semantics — drop them from the index
+        .filter(F.col("_fp").isNotNull())
         .distinct()
         .localCheckpoint(eager=False)  # read by the build AND the verify join
     )

@@ -8,23 +8,143 @@ co-purchased in the same order, documents linked by near-dup pairs, …).
 Scale shape: each iteration is one equi-join of the rank vector against
 the edge list on ``src`` plus one aggregate on ``dst`` — both shuffles on
 uniform vertex-id keys, no driver-side adjacency. The edge list is
-re-used every round, so callers on a real cluster should persist it (and
-bucket it by ``src`` to make the per-round join co-partitioned). Dangling
-mass (sinks with no out-edges) stays inside the plan: a 1-row lazy
-aggregate broadcast-cross-joined onto the rank update, so the iteration
-loop issues ZERO driver round-trips — the only eager step is the
-per-round ``localCheckpoint`` that truncates lineage.
+pinned once on entry (lazy localCheckpoint) because every iteration
+re-reads it; dangling mass (sinks with no out-edges) stays inside the
+plan as a 1-row lazy aggregate broadcast-cross-joined onto the rank
+update, so the iteration loop issues ZERO driver round-trips.
 
-Float caveat: contribution sums are IEEE doubles, so the last few ulps
-depend on partition merge order — results are deterministic in topology
-but not bit-reproducible across cluster layouts. Gate entries using this
-are rows-only; parity is pytest vs a numpy power iteration (tolerance).
+Float caveat and the exact twin: the IEEE variant's contribution sums
+pick up partition-merge-order ulps, so its raw ranks can never
+value-hash across engines. :func:`pagerank_exact` runs the SAME
+recurrence in scaled-BIGINT arithmetic (floor divisions, exact sums) —
+bit-identical across engines and layouts — which is what lets the
+``part_copurchase_pagerank`` gate be hash-oracled (unrolled DuckDB CTE
+replay) with the float path verified through a per-row
+``float_matches_exact`` verdict. All three entry points share ONE
+parameterized iteration (:func:`_pagerank_loop`); the fused form exists
+because verification queries needing both columns should not pay the
+joins twice.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pagerank_loop(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int,
+    emit_float: bool,
+    emit_int: bool,
+    damping: float,
+    scale: int,
+    damping_num: int,
+    damping_den: int,
+) -> DataFrame:
+    """The single shared iteration skeleton. Emits ``rank`` (DOUBLE)
+    and/or ``rank_scaled`` (BIGINT) per ``emit_*``; both recurrences ride
+    the same joins, dangling aggregate and lineage checkpoints, so the
+    three public entry points cannot drift apart structurally."""
+    assert emit_float or emit_int
+    # Pin the edge list once: it (and nodes/out_deg derived from it) is
+    # consumed every iteration, and without the checkpoint each of the
+    # ~3·iterations consumers replays the caller's whole upstream
+    # subtree (for the co-purchase gate: scan + groupBy + double
+    # explode + distinct, per iteration — measured 73 s → 15 s at
+    # sf0.01). On a real cluster this is "persist the edge list" made
+    # unconditional.
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    n = nodes.count()
+
+    init_cols = []
+    if emit_float:
+        init_cols.append(F.lit(1.0 / n).alias("rank"))
+    if emit_int:
+        init_cols.append(F.lit(scale // n).cast("bigint").alias("rank_scaled"))
+    ranks = nodes.select("node", *init_cols)
+
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+    base_f = (1.0 - damping) / n
+    base_i = (damping_den - damping_num) * scale // (damping_den * n)
+    update_i = (
+        f"CAST({base_i} AS BIGINT) + (CAST({damping_num} AS BIGINT) * "
+        f"(COALESCE(ci, CAST(0 AS BIGINT)) + _dang_i DIV CAST({n} AS BIGINT)))"
+        f" DIV CAST({damping_den} AS BIGINT)"
+    )
+    # Graph-scale joins are pinned to shuffle-hash: ranks/out_deg/edges
+    # all grow with the graph, so letting AQE pick broadcast at a small
+    # SF plants a strategy that OOMs the moment the graph outgrows the
+    # driver (observed at the sf0.1 sweep with a default-heap JVM). The
+    # only broadcast in the loop stays the 1-row dangling-mass frame.
+    for _ in range(iterations):
+        with_deg = ranks.join(out_deg.hint("shuffle_hash"), "node", "left")
+        # mass parked on sinks (out_deg null) redistributes uniformly;
+        # kept as a 1-row LAZY aggregate broadcast onto the update below
+        # — no collect(), no driver round-trip per iteration
+        dang_aggs = []
+        if emit_float:
+            dang_aggs.append(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang_f")
+            )
+        if emit_int:
+            dang_aggs.append(
+                F.coalesce(F.sum("rank_scaled"), F.lit(0))
+                .cast("bigint")
+                .alias("_dang_i")
+            )
+        dangling_df = with_deg.filter(F.col("out_deg").isNull()).agg(*dang_aggs)
+
+        contrib_cols, contrib_aggs = [], []
+        if emit_float:
+            contrib_cols.append((F.col("rank") / F.col("out_deg")).alias("cf"))
+            contrib_aggs.append(F.sum("cf").alias("cf"))
+        if emit_int:
+            contrib_cols.append(F.expr("rank_scaled DIV out_deg").alias("ci"))
+            contrib_aggs.append(F.sum("ci").cast("bigint").alias("ci"))
+        contribs = (
+            with_deg.join(e.hint("shuffle_hash"), "node")
+            .select(F.col("_dst").alias("node"), *contrib_cols)
+            .groupBy("node")
+            .agg(*contrib_aggs)
+        )
+
+        out_cols = []
+        if emit_float:
+            out_cols.append(
+                (
+                    F.lit(base_f)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("cf"), F.lit(0.0))
+                        + F.col("_dang_f") / F.lit(float(n))
+                    )
+                ).alias("rank")
+            )
+        if emit_int:
+            out_cols.append(F.expr(update_i).alias("rank_scaled"))
+        ranks = (
+            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
+            .crossJoin(F.broadcast(dangling_df))
+            .select("node", *out_cols)
+        )
+        # Truncate lineage: without this each round's plan would replay
+        # every previous round (O(iters²) recompute). Lazy (eager=False):
+        # the cache still materializes exactly once per level on first
+        # use, but all levels run inside ONE job instead of one eager
+        # job per iteration.
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
 
 
 def pagerank(
@@ -38,75 +158,16 @@ def pagerank(
 
     ``edges`` rows are distinct directed (src, dst) pairs; duplicate rows
     would double-count an edge, so callers dedupe first. Every vertex
-    (appearing on either side) gets ranked; ranks sum to 1.
+    (appearing on either side) gets ranked; ranks sum to 1. IEEE-double
+    throughput path (one fused multiply-add per edge) — see the module
+    docstring for why hash-verification goes through
+    :func:`pagerank_exact` instead.
     """
-    # Pin the edge list once: it (and nodes/out_deg derived from it) is
-    # consumed every iteration, and without the checkpoint each of the
-    # ~3·iterations consumers replays the caller's whole upstream
-    # subtree (for the co-purchase gate: scan + groupBy + double
-    # explode + distinct, per iteration — measured 73 s → 8 s at
-    # sf0.01). On a real cluster this is the "persist the edge list"
-    # note below made unconditional.
-    edges = edges.localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    return _pagerank_loop(
+        edges, src, dst, iterations,
+        emit_float=True, emit_int=False, damping=damping,
+        scale=10**15, damping_num=85, damping_den=100,
     )
-    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
-    n_nodes = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
-    base = (1.0 - damping) / n_nodes
-    # Graph-scale joins are pinned to shuffle-hash: ranks/out_deg/edges
-    # all grow with the graph, so letting AQE pick broadcast at a small
-    # SF plants a strategy that OOMs the moment the graph outgrows the
-    # driver (observed at the sf0.1 sweep with a default-heap JVM). The
-    # only broadcast in the loop stays the 1-row dangling-mass frame.
-    for _ in range(iterations):
-        with_deg = ranks.join(out_deg.hint("shuffle_hash"), "node", "left")
-        # mass parked on sinks (out_deg null) redistributes uniformly;
-        # kept as a 1-row LAZY aggregate broadcast onto the update below —
-        # no collect(), no driver round-trip per iteration
-        dangling_df = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
-        )
-        contribs = (
-            with_deg.join(e.hint("shuffle_hash"), "node")
-            .select(
-                F.col("_dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = (
-            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
-            .crossJoin(F.broadcast(dangling_df))
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("_dangling") / F.lit(float(n_nodes))
-                    )
-                ).alias("rank"),
-            )
-        )
-        # Truncate lineage: without this each round's plan would replay
-        # every previous round (O(iters²) recompute). Lazy (eager=False):
-        # the cache still materializes exactly once per level on first
-        # use, but all levels run inside ONE job instead of one eager
-        # job per iteration (driver round-trips scale O(1), not
-        # O(iterations)).
-        ranks = ranks.localCheckpoint(eager=False)
-    return ranks
 
 
 def pagerank_exact(
@@ -132,58 +193,14 @@ def pagerank_exact(
     up partition-order ulps. Approximation error vs the real-valued
     recurrence is < (max_in_degree + 2) · iterations / scale per node —
     ~1e-12 at scale=1e15 — far below any ranking-relevant gap; the float
-    twin stays the throughput path (one fused codegen multiply-add per
-    edge vs integer DIVs).
-
-    Same join strategy pinning as :func:`pagerank` (shuffle-hash on
-    graph-scale sides, broadcast only the 1-row dangling frame).
+    twin stays the throughput path.
     """
-    edges = edges.localCheckpoint(eager=False)  # reused every iteration
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    return _pagerank_loop(
+        edges, src, dst, iterations,
+        emit_float=False, emit_int=True,
+        damping=damping_num / damping_den,
+        scale=scale, damping_num=damping_num, damping_den=damping_den,
     )
-    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
-    n = nodes.count()
-    init = scale // n
-    base = (damping_den - damping_num) * scale // (damping_den * n)
-
-    ranks = nodes.withColumn("rank_scaled", F.lit(init).cast("bigint"))
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
-    update = (
-        f"CAST({base} AS BIGINT) + (CAST({damping_num} AS BIGINT) * "
-        f"(COALESCE(c, CAST(0 AS BIGINT)) + _dangling DIV CAST({n} AS BIGINT)))"
-        f" DIV CAST({damping_den} AS BIGINT)"
-    )
-    for _ in range(iterations):
-        with_deg = ranks.join(out_deg.hint("shuffle_hash"), "node", "left")
-        dangling_df = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(
-                F.coalesce(F.sum("rank_scaled"), F.lit(0))
-                .cast("bigint")
-                .alias("_dangling")
-            )
-        )
-        contribs = (
-            with_deg.join(e.hint("shuffle_hash"), "node")
-            .select(
-                F.col("_dst").alias("node"),
-                F.expr("rank_scaled DIV out_deg").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").cast("bigint").alias("c"))
-        )
-        ranks = (
-            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
-            .crossJoin(F.broadcast(dangling_df))
-            .select("node", F.expr(update).alias("rank_scaled"))
-        )
-        ranks = ranks.localCheckpoint(eager=False)
-    return ranks
 
 
 def pagerank_with_exact(
@@ -198,74 +215,18 @@ def pagerank_with_exact(
     """Both PageRank variants in ONE fused loop →
     ``(node, rank DOUBLE, rank_scaled BIGINT)``.
 
-    Runs the :func:`pagerank` (IEEE) and :func:`pagerank_exact`
-    (scaled-BIGINT) recurrences over SHARED per-iteration joins — the
-    rank vector carries both columns, the dangling aggregate sums both,
-    the contribution stage emits both. Halves the iteration cost of
-    verification queries that need the exact ranks AND the float-agrees
-    check (measured: 16.2 s → ~9 s for the co-purchase gate at sf0.1,
-    2.4M edges); equivalence with each standalone operator is
-    pytest-pinned (bit-equal for the integer column, ≤1e-12 for the
-    float column whose partition-order ulps are the reason the exact
-    twin exists).
+    The rank vector carries both columns through shared per-iteration
+    joins, the dangling aggregate sums both, the contribution stage
+    emits both — halving the cost of verification queries that need the
+    exact ranks AND the float-agrees check (measured: 16.2 s → ~8 s for
+    the co-purchase gate at sf0.1, 2.4M edges). Equivalence with the
+    standalone operators is pytest-pinned: bit-equal for the integer
+    column; ≤1e-12 for the float column, whose partition-order ulps are
+    the reason the exact twin exists.
     """
-    damping = damping_num / damping_den
-    edges = edges.localCheckpoint(eager=False)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    return _pagerank_loop(
+        edges, src, dst, iterations,
+        emit_float=True, emit_int=True,
+        damping=damping_num / damping_den,
+        scale=scale, damping_num=damping_num, damping_den=damping_den,
     )
-    out_deg = edges.groupBy(F.col(src).alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
-    )
-    n = nodes.count()
-    base_f = (1.0 - damping) / n
-    init_i = scale // n
-    base_i = (damping_den - damping_num) * scale // (damping_den * n)
-
-    ranks = nodes.select(
-        "node",
-        F.lit(1.0 / n).alias("rank"),
-        F.lit(init_i).cast("bigint").alias("rank_scaled"),
-    )
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
-    update_i = (
-        f"CAST({base_i} AS BIGINT) + (CAST({damping_num} AS BIGINT) * "
-        f"(COALESCE(ci, CAST(0 AS BIGINT)) + _dang_i DIV CAST({n} AS BIGINT)))"
-        f" DIV CAST({damping_den} AS BIGINT)"
-    )
-    for _ in range(iterations):
-        with_deg = ranks.join(out_deg.hint("shuffle_hash"), "node", "left")
-        dangling_df = with_deg.filter(F.col("out_deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang_f"),
-            F.coalesce(F.sum("rank_scaled"), F.lit(0)).cast("bigint").alias("_dang_i"),
-        )
-        contribs = (
-            with_deg.join(e.hint("shuffle_hash"), "node")
-            .select(
-                F.col("_dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).alias("cf"),
-                F.expr("rank_scaled DIV out_deg").alias("ci"),
-            )
-            .groupBy("node")
-            .agg(F.sum("cf").alias("cf"), F.sum("ci").cast("bigint").alias("ci"))
-        )
-        ranks = (
-            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
-            .crossJoin(F.broadcast(dangling_df))
-            .select(
-                "node",
-                (
-                    F.lit(base_f)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("cf"), F.lit(0.0))
-                        + F.col("_dang_f") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-                F.expr(update_i).alias("rank_scaled"),
-            )
-        )
-        ranks = ranks.localCheckpoint(eager=False)
-    return ranks

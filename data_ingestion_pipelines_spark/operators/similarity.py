@@ -64,7 +64,10 @@ def _infer_dim(df: DataFrame, vec_col: str, caller: str) -> int:
     ``train_pq_codebooks`` instead of an opaque TypeError."""
     row = df.select(vec_col).first()
     if row is None or row[0] is None:
-        raise ValueError(f"{caller}: corpus is empty (cannot infer dim)")
+        raise ValueError(
+            f"{caller}: vector relation '{vec_col}' is empty or starts "
+            "with a NULL vector (cannot infer dim)"
+        )
     return len(row[0])
 
 

@@ -3389,7 +3389,8 @@ def bloom_prefilter_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 BLOOM_PREFILTER_DEDUP_DOCS_SQL = f"""
 WITH corpus AS MATERIALIZED (
   SELECT DISTINCT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
-  FROM documents WHERE source NOT IN {_NEW_SOURCES!r}
+  FROM documents
+  WHERE text IS NOT NULL AND source NOT IN {_NEW_SOURCES!r}
 ), batch AS (
   SELECT doc_id, text FROM documents WHERE source IN {_NEW_SOURCES!r}
   UNION ALL
@@ -3417,7 +3418,9 @@ WITH corpus AS MATERIALIZED (
   FROM bpos GROUP BY doc_id, fp
 )
 SELECT h.doc_id, h.bloom_hit,
-       h.fp NOT IN (SELECT fp FROM corpus) AS is_new
+       -- NOT EXISTS, not NOT IN: a NULL fp on either side must yield a
+       -- plain boolean like the Spark operator, never SQL's NULL verdict
+       NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = h.fp) AS is_new
 FROM hits h
 """
 

@@ -145,21 +145,36 @@ def write_webdataset_shards(
                         f"{row[id_col]} cannot form a 12-digit member name"
                     )
                 base = f"{row[id_col]:012d}"
+                wrote_member = False
                 # NULL text → no .txt member (mirrors the binary_cols
                 # null-skip), so NULL round-trips as NULL through the
                 # reader's absent-member-is-NULL rule; "" still writes
                 # an empty member and round-trips as ""
                 if row[text_col] is not None:
                     add(tf, f"{base}.txt", row[text_col].encode("utf-8"))
+                    wrote_member = True
                 if meta_cols:
                     meta = json.dumps(
                         {c: row[c] for c in meta_cols}, sort_keys=True
                     ).encode("utf-8")
                     add(tf, f"{base}.json", meta)
+                    wrote_member = True
                 for col, ext in sorted(binary_cols.items()):
                     payload = row[col]
                     if payload is not None:
                         add(tf, f"{base}.{ext}", bytes(payload))
+                        wrote_member = True
+                if not wrote_member:
+                    # a sample IS its members in WebDataset — with every
+                    # field NULL there is nothing to regroup on the read
+                    # side and the row would silently vanish from the
+                    # shard (diverging from manifest counts). Fail loud;
+                    # callers drop or annotate fully-empty rows upstream.
+                    raise ValueError(
+                        f"write_webdataset_shards: sample {base} has no "
+                        "non-null members (text, meta and binaries all "
+                        "NULL) — it cannot be represented in a tar shard"
+                    )
         finally:
             for tf in tars.values():
                 tf.close()

@@ -246,12 +246,27 @@ def min_id_dedup_ingest(
         with open(tmp, "w") as fh:
             fh.write(name)
         os.replace(tmp, os.path.join(base, "_CURRENT"))  # atomic flip
+
         # best-effort prune with a grace window: keep the newest
         # `retain_snapshots` dirs (current included) so an in-flight
-        # lazy reader of the just-superseded snapshot isn't yanked
+        # lazy reader of the just-superseded snapshot isn't yanked.
+        # Recency comes from the BATCH ID embedded in the dir name, not
+        # filesystem mtime — mtime ties (coarse FS granularity, dir
+        # copies/restores) could otherwise rank the just-superseded
+        # snapshot below an older one and prune exactly the dir the
+        # grace window protects; mtime only tie-breaks replays of the
+        # same batch id.
+        def snap_order(entry: str) -> tuple[int, float]:
+            parts = entry.split("-")
+            try:
+                bid = int(parts[1])
+            except (IndexError, ValueError):
+                bid = -1
+            return (bid, os.path.getmtime(os.path.join(base, entry)))
+
         snaps = sorted(
             (e for e in os.listdir(base) if e.startswith("snap-")),
-            key=lambda e: os.path.getmtime(os.path.join(base, e)),
+            key=snap_order,
             reverse=True,
         )
         keep = set(snaps[: max(int(retain_snapshots), 1)]) | {name}
