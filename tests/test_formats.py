@@ -299,3 +299,33 @@ def test_extract_audio_features_batch_contract(spark):
         ).collect()
     }
     assert all(again[k] == got[k] for k in got)
+
+
+def test_webdataset_null_text_roundtrips_and_memberless_sample_raises(spark, tmp_path):
+    """NULL text round-trips as NULL when another member anchors the
+    sample (meta json here); a row with NO non-null members cannot be
+    represented in a tar shard and must fail loud instead of silently
+    vanishing from the export."""
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.sinks.webdataset import (
+        read_webdataset_shards,
+        write_webdataset_shards,
+    )
+
+    ok_docs = spark.createDataFrame(
+        [(0, None, "en"), (1, "real caption", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = str(tmp_path / "nullshards")
+    write_webdataset_shards(ok_docs, out, meta_cols=["lang"], num_shards=1)
+    back = {int(r["sample_key"]): r for r in read_webdataset_shards(spark, out).collect()}
+    assert len(back) == 2
+    assert back[0]["text"] is None and '"lang": "en"' in back[0]["meta_json"]
+    assert back[1]["text"] == "real caption"
+
+    bad_docs = spark.createDataFrame(
+        [(7, None)], "doc_id bigint, text string"
+    )
+    with _pytest.raises(Exception, match="no non-null members"):
+        write_webdataset_shards(bad_docs, str(tmp_path / "badshards"))
