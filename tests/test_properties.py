@@ -554,3 +554,95 @@ def test_batch_topk_prereduction_is_lossless(rows, n_batches, k):
     assert (per <= k * n_batches).all()
     # losslessness: global top-k over the reduced union == over the whole
     assert global_topk(reduced) == whole
+
+
+# ---------------------------------------------------------------- round 8
+_sig64 = st.integers(min_value=0, max_value=(1 << 64) - 1)
+
+
+@given(sigs=st.lists(_sig64, min_size=2, max_size=14, unique=True),
+       max_hamming=st.integers(min_value=0, max_value=6))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamming64_band_pairs_equal_bruteforce_property(spark, sigs, max_hamming):
+    """Pigeonhole completeness as a PROPERTY: for arbitrary 64-bit
+    signatures and any max_hamming < bands, the banded self-join output
+    equals the brute-force all-pairs Hamming filter exactly."""
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        hamming64_neardup_pairs,
+    )
+
+    rows = [(i, s >> 32, s & 0xFFFFFFFF) for i, s in enumerate(sigs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, dhash_hi bigint, dhash_lo bigint")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming64_neardup_pairs(
+            df, id_col="doc_id", max_hamming=max_hamming
+        ).collect()
+    }
+    want = set()
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            d = bin(a ^ sigs[j]).count("1")
+            if d <= max_hamming:
+                want.add((i, j, d))
+    assert got == want
+
+
+@given(inserted=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                        min_size=1, max_size=12),
+       probes=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                      min_size=1, max_size=12))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_never_false_negative_property(spark, inserted, probes):
+    """For ANY inserted set and ANY probe set: every inserted value
+    probes true (the Bloom guarantee has no data-dependent exceptions)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        bloom_build,
+        bloom_may_contain,
+    )
+
+    ins = spark.createDataFrame([(v,) for v in sorted(inserted)], "v string")
+    sketch = bloom_build(ins, "v", m_bits=1 << 8)  # tiny filter: max FP pressure
+    union = sorted(inserted | probes)
+    items = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(union)], "uid bigint, v string"
+    )
+    got = {
+        r["v"]: r["bloom_hit"]
+        for r in bloom_may_contain(items, sketch, "v", id_col="uid",
+                                   m_bits=1 << 8).collect()
+    }
+    for v in inserted:
+        assert got[v] is True, f"false negative for inserted {v!r}"
+
+
+@given(edges=st.sets(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                     min_size=1, max_size=16).map(
+           lambda es: [(a, b) for a, b in es if a != b]))
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_exact_mass_and_layout_invariance_property(spark, edges):
+    """For arbitrary small digraphs: the exact ranks are bit-identical
+    under a different partition layout, and total scaled mass stays
+    within the floor-division loss bound of the full scale."""
+    from hypothesis import assume
+
+    from data_ingestion_pipelines_spark.operators.graph import pagerank_exact
+
+    assume(edges)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    r1 = {r["node"]: r["rank_scaled"]
+          for r in pagerank_exact(df, iterations=3).collect()}
+    r2 = {r["node"]: r["rank_scaled"]
+          for r in pagerank_exact(df.repartition(4), iterations=3).collect()}
+    assert r1 == r2  # bit-identical across layouts
+    total = sum(r1.values())
+    n = len(r1)
+    # each floor division loses < 1 scaled unit per term; bound the
+    # per-iteration loss loosely by (edges + nodes + 2) terms
+    max_loss = 3 * (len(edges) + n + 2) * 2
+    assert 10**15 - max_loss <= total <= 10**15
