@@ -274,3 +274,40 @@ def deterministic_shuffle_order(
         ranked.drop("chunk_id", "_shuffle_key")
         .withColumnRenamed("rn", out)
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    score_col: str,
+    n_buckets: int = 4,
+    out: str = "curriculum_bucket",
+    boundaries: list[float] | None = None,
+) -> DataFrame:
+    """Percentile-threshold curriculum assignment: bucket 1..n by where
+    ``score_col`` falls against the score distribution's quantile
+    boundaries — the easy→hard ordering curriculum training consumes.
+
+    Deliberately NOT ``ntile``: a global NTILE is a one-task window (the
+    banned plan shape here). This is the two-pass scale form — one
+    distributed percentile AGGREGATE produces n−1 boundary scalars (a
+    control-plane read), then bucketing is a pure map-side projection
+    ``1 + Σ_i [score > b_i]``. Ties at a boundary all land in the lower
+    bucket (sizes can be uneven under heavy ties — the price of a
+    deterministic, layout-invariant rule; NTILE's equal sizes come from
+    arbitrary tie splitting). At 100 TB swap the exact percentile for
+    ``approx_percentile`` and pass the result via ``boundaries``; exact
+    Spark ``F.percentile`` and DuckDB ``quantile_cont`` are both type-7
+    and bit-equal, which is what lets the gate hash-verify.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if boundaries is None:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        row = df.agg(
+            F.percentile(score_col, F.lit(qs)).alias("_bs")
+        ).first()
+        boundaries = list(row["_bs"])
+    bucket = F.lit(1)
+    for bd in boundaries:
+        bucket = bucket + F.when(F.col(score_col) > F.lit(float(bd)), 1).otherwise(0)
+    return df.withColumn(out, bucket.cast("int"))

@@ -137,6 +137,39 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Quality-curriculum assignment: percentile-threshold buckets over the
+# (hash-exact) quality score — the easy→hard ordering curriculum
+# training consumes. The scale-correct two-pass form (boundary
+# aggregate + map-side projection), never a one-task global NTILE; the
+# oracle recomputes the identical type-7 quantiles.
+def curriculum_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import curriculum_buckets
+    from ..operators.text import with_quality_signals
+
+    docs = with_quality_signals(_t(spark, sf_dir, "documents"))
+    return curriculum_buckets(docs, "quality_score", n_buckets=4).select(
+        "doc_id", "quality_score", "curriculum_bucket"
+    )
+
+
+CURRICULUM_QUALITY_BUCKETS_SQL = f"""
+WITH qs AS MATERIALIZED ({DOC_QUALITY_SIGNALS_SQL}),
+b AS (
+  SELECT quantile_cont(quality_score, 0.25) AS b1,
+         quantile_cont(quality_score, 0.50) AS b2,
+         quantile_cont(quality_score, 0.75) AS b3
+  FROM qs
+)
+SELECT qs.doc_id, qs.quality_score,
+       CAST(1 + CASE WHEN qs.quality_score > b.b1 THEN 1 ELSE 0 END
+              + CASE WHEN qs.quality_score > b.b2 THEN 1 ELSE 0 END
+              + CASE WHEN qs.quality_score > b.b3 THEN 1 ELSE 0 END
+            AS INTEGER) AS curriculum_bucket
+FROM qs, b
+"""
+
+
+# --------------------------------------------------------------------------
 # Heuristic language ID (stopword-overlap argmax)
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_language_id(_t(spark, sf_dir, "documents"))
@@ -3808,6 +3841,9 @@ QUERIES = {
         MINHASH_INDEX_DEDUP_DOCS_SQL,
     ),
     "knn_label_vote": (knn_label_vote, KNN_LABEL_VOTE_SQL),
+    "curriculum_quality_buckets": (
+        curriculum_quality_buckets, CURRICULUM_QUALITY_BUCKETS_SQL,
+    ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     # append-equals-repack: verified against the SAME one-shot oracle
     "incremental_pack_extension": (

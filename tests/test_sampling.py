@@ -176,3 +176,31 @@ def test_weighted_sample_topk_bias_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="k must be"):
         weighted_sample_topk(df, k=0, weight_col="w")
+
+
+def test_curriculum_buckets_thresholds_and_ties(spark):
+    """Bucket = 1 + #boundaries strictly below the score: monotone in
+    the score, ties at a boundary land in the LOWER bucket, explicit
+    boundaries bypass the percentile pass, and n_buckets < 2 raises."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sampling import curriculum_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id bigint, score double"
+    )
+    got = {r["doc_id"]: r["curriculum_bucket"]
+           for r in curriculum_buckets(df, "score", n_buckets=4).collect()}
+    # quartile boundaries of 0..99 are 24.75/49.5/74.25 → 25/25/25/25
+    sizes = [sum(1 for b in got.values() if b == k) for k in (1, 2, 3, 4)]
+    assert sizes == [25, 25, 25, 25]
+    assert all(got[i] <= got[j] for i, j in [(0, 30), (30, 60), (60, 99)])
+
+    # explicit boundaries + boundary tie goes DOWN (score > b, strict)
+    ex = curriculum_buckets(df, "score", n_buckets=3, boundaries=[10.0, 20.0])
+    by = {r["doc_id"]: r["curriculum_bucket"] for r in ex.collect()}
+    assert by[10] == 1 and by[11] == 2 and by[20] == 2 and by[21] == 3
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        curriculum_buckets(df, "score", n_buckets=1)
