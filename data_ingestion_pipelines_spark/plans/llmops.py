@@ -614,6 +614,50 @@ SELECT doc_id, md5(text) AS text_md5 FROM documents
 
 
 # --------------------------------------------------------------------------
+# Megatron-style indexed binary dataset roundtrip: tokenize every doc
+# (word tokens → md5-derived 16-bit ids, the deterministic stand-in for
+# a trained vocab), export as .bin/.idx shard pairs, load them back,
+# and hash the ROUNDTRIPPED id sequences — the oracle computes the same
+# hash straight from the text, so a match proves the binary container
+# (uint32 packing, token offsets, per-doc index records, shard
+# assignment) round-tripped every document exactly.
+def indexed_dataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.indexed_dataset import read_indexed_dataset, write_indexed_dataset
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+    ids = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    tokenized = docs.select("doc_id", ids.alias("token_ids"))
+    out_dir = tempfile.mkdtemp(prefix="idxds_")
+    write_indexed_dataset(tokenized, out_dir, num_shards=8)
+    back = read_indexed_dataset(spark, out_dir)
+    return back.select(
+        "doc_id",
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.array_join(F.transform("token_ids", lambda x: x.cast("string")), ",")
+        ).alias("ids_md5"),
+    )
+
+
+INDEXED_DATASET_ROUNDTRIP_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+)
+SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+         list_transform(t, x ->
+           CAST(CAST(('0x' || substr(md5(x), 1, 4))::UBIGINT AS INTEGER) AS VARCHAR)),
+         ',')) AS ids_md5
+FROM toks
+"""
+
+
+# --------------------------------------------------------------------------
 # PII scrub: email/phone/IPv4 → placeholder tokens (codegen regex chain)
 def pii_redacted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import with_pii_redacted
@@ -3843,6 +3887,9 @@ QUERIES = {
     "knn_label_vote": (knn_label_vote, KNN_LABEL_VOTE_SQL),
     "curriculum_quality_buckets": (
         curriculum_quality_buckets, CURRICULUM_QUALITY_BUCKETS_SQL,
+    ),
+    "indexed_dataset_roundtrip_docs": (
+        indexed_dataset_roundtrip_docs, INDEXED_DATASET_ROUNDTRIP_DOCS_SQL,
     ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     # append-equals-repack: verified against the SAME one-shot oracle

@@ -1,0 +1,144 @@
+"""Indexed binary token-dataset export/load — the Megatron-LM-style
+``.bin``/``.idx`` shard pair a GPT training loader memory-maps.
+
+Layout (public Megatron-LM ``indexed_dataset`` shape, simplified to one
+dtype): per shard, ``shard-{i:06d}.bin`` is the little-endian uint32
+token ids of every document concatenated in id order, and
+``shard-{i:06d}.idx`` is::
+
+    8s  magic   b"SPKIDX01"
+    <q  n_docs
+    then per doc (id order): <qqq  doc_id, token_offset, n_tokens
+
+Offsets are in TOKENS (×4 for bytes). Executor-side writing mirrors
+:mod:`sinks.webdataset`: deterministic ``pmod(id, num_shards)``
+assignment, one partition per shard, stdlib ``struct`` serialization,
+no driver data path; shard bytes are byte-reproducible across runs
+(deterministic order, no timestamps — pytest-pinned). The loader reads
+each ``.idx`` through ``binaryFile`` and streams its sibling ``.bin``
+inside ``mapInPandas`` — documents never leave the executor that reads
+their shard, and read parallelism = shard count, the same knob the
+training job tunes. Sibling ``.bin`` access uses plain file I/O (local
+or mounted FS — the same contract as the streaming snapshot store; on
+an object store, mount or localize shards first, which is what training
+loaders do anyway).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAGIC = b"SPKIDX01"
+
+
+def write_indexed_dataset(
+    df: DataFrame,
+    out_dir: str,
+    tokens_col: str = "token_ids",
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+) -> list[str]:
+    """Write ``(id, array<int> token ids)`` rows as ``.bin``/``.idx``
+    shard pairs; returns the sorted ``.bin`` paths. Ids may repeat
+    across shards only if they repeat in the input (caller dedupes);
+    token ids must fit uint32 — out-of-range values raise in the
+    writer, before any bytes land."""
+    os.makedirs(out_dir, exist_ok=True)
+    prepared = (
+        df.select(
+            F.col(id_col),
+            F.col(tokens_col),
+            F.pmod(F.col(id_col), F.lit(num_shards)).cast("bigint").alias("_shard"),
+        )
+        .repartition(num_shards, "_shard")
+        .sortWithinPartitions("_shard", id_col)
+    )
+
+    def write_partition(rows) -> None:
+        open_files: dict[int, tuple] = {}
+        try:
+            for row in rows:
+                sh = int(row["_shard"])
+                entry = open_files.get(sh)
+                if entry is None:
+                    binf = open(os.path.join(out_dir, f"shard-{sh:06d}.bin"), "wb")
+                    entry = open_files[sh] = (binf, [], [0])  # (bin, idx rows, offset)
+                binf, idx_rows, off = entry
+                toks = list(row[tokens_col] or [])
+                for t in toks:
+                    if t < 0 or t > 0xFFFFFFFF:
+                        raise ValueError(
+                            f"write_indexed_dataset: token id {t} of doc "
+                            f"{row[id_col]} does not fit uint32"
+                        )
+                binf.write(struct.pack(f"<{len(toks)}I", *toks))
+                idx_rows.append((int(row[id_col]), off[0], len(toks)))
+                off[0] += len(toks)
+        finally:
+            for sh, (binf, idx_rows, _) in open_files.items():
+                binf.close()
+                with open(os.path.join(out_dir, f"shard-{sh:06d}.idx"), "wb") as ix:
+                    ix.write(_MAGIC)
+                    ix.write(struct.pack("<q", len(idx_rows)))
+                    for doc_id, offset, n in idx_rows:
+                        ix.write(struct.pack("<qqq", doc_id, offset, n))
+
+    prepared.foreachPartition(write_partition)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("shard-") and f.endswith(".bin")
+    )
+
+
+def read_indexed_dataset(spark, shards_dir: str) -> DataFrame:
+    """Load ``.bin``/``.idx`` shard pairs back → one row per document
+    ``(shard_path, doc_id, token_ids array<int>)``. Corrupt shards
+    (bad magic, truncated index or bin) fail their task loudly rather
+    than yielding silent partial documents."""
+    idx_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard-*.idx")
+        .load(shards_dir)
+        .select("path", "content")
+    )
+
+    def unpack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                if raw[:8] != _MAGIC:
+                    raise ValueError(f"bad indexed-dataset magic in {path}")
+                (n_docs,) = struct.unpack_from("<q", raw, 8)
+                need = 8 + 8 + 24 * n_docs
+                if len(raw) < need:
+                    raise ValueError(f"truncated index {path}")
+                local = path[len("file:"):] if path.startswith("file:") else path
+                bin_path = local[: -len(".idx")] + ".bin"
+                with open(bin_path, "rb") as bf:
+                    blob = bf.read()
+                for d in range(n_docs):
+                    doc_id, off, n = struct.unpack_from("<qqq", raw, 16 + 24 * d)
+                    start, end = off * 4, (off + n) * 4
+                    if end > len(blob):
+                        raise ValueError(
+                            f"truncated bin for doc {doc_id} in {bin_path}"
+                        )
+                    ids = list(struct.unpack(f"<{n}I", blob[start:end]))
+                    out.append(
+                        {"shard_path": bin_path, "doc_id": doc_id, "token_ids": ids}
+                    )
+            yield pd.DataFrame(
+                out, columns=["shard_path", "doc_id", "token_ids"]
+            )
+
+    return idx_df.mapInPandas(
+        unpack, "shard_path STRING, doc_id BIGINT, token_ids ARRAY<INT>"
+    )

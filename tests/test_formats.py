@@ -329,3 +329,62 @@ def test_webdataset_null_text_roundtrips_and_memberless_sample_raises(spark, tmp
     )
     with _pytest.raises(Exception, match="no non-null members"):
         write_webdataset_shards(bad_docs, str(tmp_path / "badshards"))
+
+
+def test_indexed_dataset_roundtrip_reproducible_and_corrupt_guard(spark, tmp_path):
+    """Megatron-style .bin/.idx shards: token sequences round-trip
+    byte-exactly (incl. empty docs), re-exports are byte-identical,
+    out-of-range token ids fail before bytes land, and corrupt
+    magic/truncated bins fail their task loudly."""
+    import os
+    import struct
+
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.sinks.indexed_dataset import (
+        read_indexed_dataset,
+        write_indexed_dataset,
+    )
+
+    rows = [(i, [i * 7 + j for j in range(i % 5)]) for i in range(23)]
+    rows.append((23, []))  # empty doc: zero-length index entry
+    docs = spark.createDataFrame(rows, "doc_id bigint, token_ids array<int>")
+    out1 = str(tmp_path / "ds1")
+    paths = write_indexed_dataset(docs, out1, num_shards=4)
+    assert [os.path.basename(p) for p in paths] == [
+        f"shard-{i:06d}.bin" for i in range(4)
+    ]
+    back = {r["doc_id"]: list(r["token_ids"])
+            for r in read_indexed_dataset(spark, out1).collect()}
+    assert back == {i: list(t) for i, t in rows}
+
+    # byte reproducibility across re-exports
+    out2 = str(tmp_path / "ds2")
+    write_indexed_dataset(docs, out2, num_shards=4)
+    for i in range(4):
+        for ext in (".bin", ".idx"):
+            b1 = open(f"{out1}/shard-{i:06d}{ext}", "rb").read()
+            b2 = open(f"{out2}/shard-{i:06d}{ext}", "rb").read()
+            assert b1 == b2, f"shard {i}{ext} not reproducible"
+
+    # uint32 range guard fires in the writer
+    bad = spark.createDataFrame([(1, [2**32])], "doc_id bigint, token_ids array<long>")
+    with _pytest.raises(Exception, match="does not fit uint32"):
+        write_indexed_dataset(bad, str(tmp_path / "bad"))
+
+    # corrupt magic / truncated bin fail loudly
+    out3 = str(tmp_path / "ds3")
+    write_indexed_dataset(docs, out3, num_shards=1)
+    idx_path = f"{out3}/shard-000000.idx"
+    raw = bytearray(open(idx_path, "rb").read())
+    raw[:8] = b"BADMAGIC"
+    open(idx_path, "wb").write(bytes(raw))
+    with _pytest.raises(Exception, match="bad indexed-dataset magic"):
+        read_indexed_dataset(spark, out3).collect()
+    raw[:8] = b"SPKIDX01"
+    open(idx_path, "wb").write(bytes(raw))
+    bin_path = f"{out3}/shard-000000.bin"
+    blob = open(bin_path, "rb").read()
+    open(bin_path, "wb").write(blob[:-4])  # chop one token
+    with _pytest.raises(Exception, match="truncated bin"):
+        read_indexed_dataset(spark, out3).collect()
