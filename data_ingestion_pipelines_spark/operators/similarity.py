@@ -507,41 +507,153 @@ def ivf_topk(
     matmul per Arrow batch; the probe join is on a small int key and the
     re-rank reuses the shared numpy pair scorer.
     """
-    import numpy as np
-
     cents = kmeans_centroids(
         corpus, vec_col=vec_col, k=num_lists, iters=lloyd_iters, id_col=id_col
     )
-
-    def assign(id_name: str, vec_name: str, n: int, types: dict):
-        schema = f"`{id_name}` {types[id_name]}, `{vec_name}` {types[vec_name]}, list_id BIGINT"
-
-        def run(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    yield pd.DataFrame(columns=[id_name, vec_name, "list_id"])
-                    continue
-                vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_name]])
-                norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-                sims = (vecs / norms) @ cents.T  # (rows, num_lists)
-                top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
-                out = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
-                out["list_id"] = top.reshape(-1)
-                yield out
-
-        return run, schema
-
-    c_types = dict(corpus.dtypes)
-    q_in = queries.select(F.col(query_id_col), F.col(vec_col))
-    q_types = dict(q_in.dtypes)
-    run_c, schema_c = assign(id_col, vec_col, 1, c_types)
-    run_q, schema_q = assign(query_id_col, vec_col, nprobe, q_types)
-    c = corpus.select(id_col, vec_col).mapInPandas(run_c, schema_c)
-    q = q_in.mapInPandas(run_q, schema_q).withColumnRenamed(vec_col, "_qvec")
+    # shared assignment primitive (also the persisted-IVF lifecycle's):
+    # nearest list per corpus vector, nearest-nprobe lists per query
+    c = _assign_lists(corpus.select(id_col, vec_col), id_col, vec_col, cents, 1)
+    q = _assign_lists(
+        queries.select(F.col(query_id_col), F.col(vec_col)),
+        query_id_col, vec_col, cents, nprobe,
+    ).withColumnRenamed(vec_col, "_qvec")
 
     cand = c.join(F.broadcast(q), on="list_id").dropDuplicates([query_id_col, id_col])
+    scored = _score_pairs_numpy(
+        cand, vec_col, "_qvec", keep=[query_id_col, id_col],
+        topk=(query_id_col, id_col, k),
+    )
+    return _final_topk(scored, query_id_col, id_col, k)
+
+
+def _assign_lists(df: DataFrame, id_name: str, vec_name: str, cents, n: int) -> DataFrame:
+    """Nearest-``n`` centroid assignment per row (stable numpy argsort in
+    one Arrow pass) — the shared primitive of the in-memory ivf_topk and
+    the persisted-IVF index lifecycle below."""
+    import numpy as np
+
+    types = dict(df.dtypes)
+    schema = (
+        f"`{id_name}` {types[id_name]}, `{vec_name}` {types[vec_name]}, "
+        "list_id BIGINT"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[id_name, vec_name, "list_id"])
+                continue
+            vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_name]])
+            norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            sims = (vecs / norms) @ cents.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+            out = pdf.loc[pdf.index.repeat(n)].reset_index(drop=True)
+            out["list_id"] = top.reshape(-1)
+            yield out
+
+    return df.select(id_name, vec_name).mapInPandas(run, schema)
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_lists: int = 16,
+    lloyd_iters: int = 2,
+    centroids=None,
+) -> None:
+    """Build and PERSIST the IVF index: ``{path}/vectors`` (id, vec,
+    list_id — the inverted lists), ``{path}/centroids`` (list_id, vec)
+    and ``{path}/params``. Completes the index-lifecycle matrix next to
+    :func:`save_lsh_index` and :func:`save_pq_index`.
+
+    Pass ``centroids`` (an ndarray) to skip training and encode against
+    a FIXED coarse quantizer — what :func:`append_to_ivf_index` does for
+    deltas, and what the append≡frozen-rebuild gate uses as its
+    reference path."""
+    import numpy as np
+
+    base = path.rstrip("/")
+    spark = corpus.sparkSession
+    cents = (
+        np.asarray(centroids, dtype="float64")
+        if centroids is not None
+        else kmeans_centroids(
+            corpus, vec_col=vec_col, k=num_lists, iters=lloyd_iters, id_col=id_col
+        )
+    )
+    _assign_lists(corpus, id_col, vec_col, cents, 1).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/vectors")
+    spark.createDataFrame(
+        [(i, cents[i].tolist()) for i in range(cents.shape[0])],
+        "list_id BIGINT, vec ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    spark.createDataFrame(
+        [(int(cents.shape[0]), int(cents.shape[1]))], "num_lists INT, dim INT"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
+
+
+def _load_ivf_centroids(spark, path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path.rstrip('/')}/centroids").collect()
+    k = max(r["list_id"] for r in rows) + 1
+    cents = np.zeros((k, len(rows[0]["vec"])))
+    for r in rows:
+        cents[r["list_id"]] = r["vec"]
+    return cents
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally extend a persisted IVF index: assign ONLY the new
+    vectors against the STORED (frozen) centroids and append their list
+    rows — the coarse-quantizer half of FAISS ``add()``.
+
+    Same drift contract as :func:`append_to_pq_index`: frozen centroids
+    are exact for same-distribution deliveries; a shifted embedding
+    distribution degrades list balance and probe recall silently —
+    retrain (full :func:`save_ivf_index`) when the appended fraction
+    grows large. Caller contract: new ids disjoint from stored ids."""
+    base = path.rstrip("/")
+    cents = _load_ivf_centroids(new_vectors.sparkSession, base)
+    _assign_lists(new_vectors, id_col, vec_col, cents, 1).write.mode(
+        "append"
+    ).parquet(f"{base}/vectors")
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted IVF index without re-assigning the corpus:
+    queries probe the stored centroids, candidates come from the stored
+    inverted lists (a join on the small int list key), and the exact
+    cosine re-rank is per-batch pre-reduced like every search family
+    here."""
+    base = path.rstrip("/")
+    cents = _load_ivf_centroids(spark, base)
+    vectors = spark.read.parquet(f"{base}/vectors")
+    q = _assign_lists(
+        queries.select(query_id_col, vec_col), query_id_col, vec_col, cents, nprobe
+    ).withColumnRenamed(vec_col, "_qvec")
+    cand = vectors.join(F.broadcast(q), on="list_id").dropDuplicates(
+        [query_id_col, id_col]
+    )
     scored = _score_pairs_numpy(
         cand, vec_col, "_qvec", keep=[query_id_col, id_col],
         topk=(query_id_col, id_col, k),

@@ -2001,12 +2001,16 @@ def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..operators.similarity import (
+        _load_ivf_centroids,
+        append_to_ivf_index,
         append_to_lsh_index,
         append_to_pq_index,
+        ivf_search_index,
         load_pq_index,
         lsh_search_index,
         pq_encode,
         pq_search_codes,
+        save_ivf_index,
         save_lsh_index,
         save_pq_index,
     )
@@ -2037,6 +2041,15 @@ def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode(emb, books), books, queries, k=10
     )
 
+    # IVF: appended inverted lists vs assigning the full corpus against
+    # the SAME frozen centroids (same drift contract as PQ)
+    save_ivf_index(old, f"{root}/ivf", num_lists=16, lloyd_iters=2)
+    append_to_ivf_index(delta, f"{root}/ivf")
+    cents = _load_ivf_centroids(spark, f"{root}/ivf")
+    save_ivf_index(emb, f"{root}/ivf_ref", centroids=cents)
+    ivf_append = ivf_search_index(spark, f"{root}/ivf", queries, k=10)
+    ivf_rebuild = ivf_search_index(spark, f"{root}/ivf_ref", queries, k=10)
+
     # The verdict reduction is a DRIVER-SIDE comparison of two BOUNDED
     # result sets (k rows x |queries| each) — a control-plane read like
     # the centroid/codebook collects, not a data-plane collect.
@@ -2059,8 +2072,10 @@ def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             for qid in q_ids
         ]
 
-    rows = verdict("lsh", lsh_append, lsh_rebuild) + verdict(
-        "pq", pq_append, pq_rebuild
+    rows = (
+        verdict("lsh", lsh_append, lsh_rebuild)
+        + verdict("pq", pq_append, pq_rebuild)
+        + verdict("ivf", ivf_append, ivf_rebuild)
     )
     return spark.createDataFrame(
         rows,
@@ -2072,7 +2087,8 @@ def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_INDEX_APPEND_VERDICT_SQL = """
 SELECT m.method, CAST(e.vec_id AS BIGINT) AS query_id,
        CAST(10 AS BIGINT) AS n_results, TRUE AS append_equals_rebuild
-FROM (SELECT 'lsh' AS method UNION ALL SELECT 'pq') m,
+FROM (SELECT 'lsh' AS method UNION ALL SELECT 'pq'
+      UNION ALL SELECT 'ivf') m,
      embeddings e
 WHERE e.vec_id < 5
 """

@@ -413,3 +413,44 @@ def test_knn_classify_majority_and_pluggable_neighbors(spark):
     tied = knn_classify(corpus, queries, neighbors=forced).collect()
     assert len(tied) == 1
     assert tied[0]["predicted_label"] == 0 and tied[0]["n_votes"] == 2
+
+
+def test_ivf_index_append_equals_frozen_assign(spark, tmp_path):
+    """append_to_ivf_index assigns deltas against the STORED centroids:
+    the appended inverted lists must equal assigning the grown corpus
+    with those same frozen centroids, and searches must agree
+    row-for-row (a centroid retrain may differ — the documented drift
+    contract, like PQ codebooks)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        _load_ivf_centroids,
+        append_to_ivf_index,
+        ivf_search_index,
+        save_ivf_index,
+    )
+
+    emb = _toy_embeddings(spark, n=90, dim=8)
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    delta = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    pa = str(tmp_path / "appended")
+    save_ivf_index(old, pa, num_lists=8, lloyd_iters=2)
+    append_to_ivf_index(delta, pa)
+    pb = str(tmp_path / "frozen_rebuild")
+    save_ivf_index(emb, pb, centroids=_load_ivf_centroids(spark, pa))
+
+    la = {r["vec_id"]: r["list_id"]
+          for r in spark.read.parquet(f"{pa}/vectors").collect()}
+    lb = {r["vec_id"]: r["list_id"]
+          for r in spark.read.parquet(f"{pb}/vectors").collect()}
+    assert la == lb and len(la) == 90  # identical inverted lists
+
+    got_a = {(r["query_id"], r["vec_id"], r["score"])
+             for r in ivf_search_index(spark, pa, queries, k=5, nprobe=3).collect()}
+    got_b = {(r["query_id"], r["vec_id"], r["score"])
+             for r in ivf_search_index(spark, pb, queries, k=5, nprobe=3).collect()}
+    assert got_a == got_b and len(got_a) == 15
