@@ -442,8 +442,9 @@ def kmeans_centroids(
 
     Layout note: the per-list float sums combine in partition order, so
     centroids can differ in final ulps across partitionings (inherent to
-    any distributed float k-means) — which is why IVF search is a
-    rows-only gate with a pytest recall floor rather than a hash oracle.
+    any distributed float k-means) — which is why the IVF search gate
+    hashes layout-invariant recall-floor VERDICT rows rather than the
+    partition-dependent scores, plus a pytest recall floor.
     """
     import numpy as np
 

@@ -2,9 +2,10 @@
 search, multimodal plumbing — declared over the `documents` and
 `embeddings` test tables.
 
-MinHash/SimHash use Spark's xxhash64 (no DuckDB equivalent) so those
-entries ship without an oracle — the driver records a rows-only check;
-everything else pairs with exact SQL.
+Every entry pairs with a DuckDB oracle (zero rows-only gates as of
+r8). Hash families with no SQL twin (xxhash64) stay the production
+default, while their GATES run the md5 bit-source modes or emit
+verdict rows the oracle reproduces exactly.
 """
 
 from __future__ import annotations
@@ -245,7 +246,8 @@ WHERE len(list_intersect(ga.g, gb.g)) / CAST(len(list_distinct(list_concat(ga.g,
 # --------------------------------------------------------------------------
 # Corpus curation: quality filter → language filter → exact dedup, the
 # oracle-expressible slice of the curation pipeline (the LSH near-dup
-# stage is covered rows-only by minhash_pairs_docs)
+# stage is gated separately by minhash_pairs_docs — oracled planted-copy
+# verdict rows since r4)
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipelines.corpus_curation import CurationConfig, curate_corpus
 

@@ -3818,8 +3818,9 @@ WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
 # sketches UNION-merged into weekly estimates — the precomputed-sketch-
 # table pattern that answers distinct-count rollups at 100 TB without
 # re-scanning raw events (daily sketches persist; any date-range distinct
-# is a cheap union of sketch blobs). Estimates are approximate → rows-only
-# gate; the relative-error bound vs exact is asserted in pytest.
+# is a cheap union of sketch blobs). Estimates are approximate → the
+# gate hashes verdict rows (union-within-5%-of-exact), not the
+# estimates; the relative-error bound is also asserted in pytest.
 def weekly_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL rollup, verdict-row gate: daily user sketches union
     into weekly estimates (the 100 TB path — daily sketches persist and
