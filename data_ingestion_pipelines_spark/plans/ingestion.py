@@ -422,6 +422,81 @@ WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {max_hamming}
 IMAGE_DHASH_NEARDUP_DOCS_SQL = _dhash_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# REAL resize gate: genuine BMPs (pixels from the text bytes) resized
+# through the stdlib tier's nearest-neighbor resample, the RESIZED
+# image decoded back — the oracle recomputes every resampled byte
+# (dst (x,y) ← src (x·w//5, y·h//4)) straight from the text, so a hash
+# match proves actual pixel resampling, not a fake.
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import build_bmp, probe_image, resize_images
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w, h = 10 + i % 5, 6 + i % 3
+                tb = ("" if text is None else text).encode("utf-8")
+                if tb:
+                    need = w * h * 3
+                    reps = (need + len(tb) - 1) // len(tb)
+                    content = build_bmp((tb * reps)[:need], w, h)
+                else:
+                    content = None  # → 'empty content' resize_error row
+                out.append({"doc_id": doc_id, "content": content})
+            yield pd.DataFrame(out, columns=["doc_id", "content"])
+
+    built = docs.mapInPandas(synth, "doc_id BIGINT, content BINARY")
+    resized = resize_images(built, 5, 4, keep_cols=["doc_id"])
+    ok = probe_image(
+        resized.filter(F.col("resize_error").isNull()),
+        content_col="resized", keep_cols=["doc_id"],
+    ).select("doc_id", "width", "height", "pixel_hex_md5")
+    err = resized.filter(F.col("resize_error").isNotNull()).select(
+        "doc_id",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("string").alias("pixel_hex_md5"),
+    )
+    return ok.unionByName(err)
+
+
+MULTIMODAL_RESIZE_REAL_SQL = """
+WITH m AS (
+  SELECT doc_id, text,
+         10 + CAST(doc_id % 5 AS INT) AS w,
+         6 + CAST(doc_id % 3 AS INT) AS h,
+         octet_length(encode(text)) AS nbytes,
+         (text IS NULL OR length(text) = 0) AS is_empty
+  FROM documents
+), f AS (
+  SELECT doc_id, w, h, is_empty,
+         CASE WHEN is_empty THEN NULL
+              ELSE hex(encode(repeat(text,
+                     CAST((w * h * 3 + nbytes - 1) // nbytes AS INT)))) END AS hx
+  FROM m
+)
+SELECT doc_id,
+       CASE WHEN is_empty THEN NULL ELSE CAST(5 AS INTEGER) END AS width,
+       CASE WHEN is_empty THEN NULL ELSE CAST(4 AS INTEGER) END AS height,
+       CASE WHEN is_empty THEN NULL
+            ELSE md5(array_to_string(
+                   list_transform(generate_series(0, 59), i ->
+                     substr(hx,
+                            CAST(2 * ((((((i // 3) // 5) * h // 4) * w
+                                        + (((i // 3) % 5) * w // 5)) * 3
+                                       + (i % 3))) + 1 AS INT),
+                            2)),
+                   '')) END AS pixel_hex_md5
+FROM f
+"""
+
+
 QUERIES = {
     "xml_extract": (xml_extract, XML_EXTRACT_SQL),
     "rest_fetch_per_id": (rest_fetch_per_id, REST_FETCH_PER_ID_SQL),
@@ -435,5 +510,8 @@ QUERIES = {
     ),
     "image_dhash_neardup_docs": (
         image_dhash_neardup_docs, IMAGE_DHASH_NEARDUP_DOCS_SQL,
+    ),
+    "multimodal_resize_real": (
+        multimodal_resize_real, MULTIMODAL_RESIZE_REAL_SQL,
     ),
 }

@@ -306,3 +306,32 @@ def test_dhash_decode_failures_become_error_rows(spark):
     assert got[1]["dhash_error"] is None and got[1]["dhash_hi"] is not None
     assert got[2]["dhash_error"] == "empty content"
     assert "no pixel decode" in got[3]["dhash_error"]  # PNG is header-only
+
+
+# --------------------------------------------------------------- resize
+def test_stdlib_resizer_nearest_neighbor_exact():
+    """Every output byte of the stdlib resizer is a COPIED input byte at
+    the documented nearest-neighbor coordinates — checked pixel by pixel
+    against an independent numpy replay, through the full BMP container
+    roundtrip (decode → resample → re-encode → decode)."""
+    import numpy as np
+
+    from data_ingestion_pipelines_spark.operators.multimodal import (
+        stdlib_image_resizer,
+    )
+
+    sw, sh, dw, dh = 11, 7, 4, 5  # non-divisible dims both directions
+    rgb = bytes((i * 13 + 5) % 256 for i in range(sw * sh * 3))
+    out = stdlib_image_decoder(stdlib_image_resizer(build_bmp(rgb, sw, sh), dw, dh))
+    assert (out["width"], out["height"]) == (dw, dh)
+    src = np.frombuffer(rgb, np.uint8).reshape(sh, sw, 3)
+    want = src[np.ix_([y * sh // dh for y in range(dh)],
+                      [x * sw // dw for x in range(dw)])].tobytes()
+    assert out["pixels"] == want
+
+    with pytest.raises(ValueError, match="no pixel decode"):
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">II5B", 4, 4, 8, 2, 0, 0, 0) + b"\x00" * 4)
+        stdlib_image_resizer(png, 2, 2)
+    with pytest.raises(ValueError, match="empty content"):
+        stdlib_image_resizer(b"", 2, 2)

@@ -204,16 +204,31 @@ def test_multimodal_metadata_and_decode(spark):
 
 def test_multimodal_resize_and_frames(spark):
     from data_ingestion_pipelines_spark.operators.multimodal import (
+        build_bmp,
+        fake_image_resizer,
         resize_images,
         sample_frames,
+        stdlib_image_decoder,
     )
 
+    bmp = build_bmp(bytes(i % 256 for i in range(6 * 4 * 3)), 6, 4)
     df = spark.createDataFrame(
-        [("a", bytearray(b"x" * 300)), ("b", bytearray(b""))], "path string, content binary"
+        [("a", bytearray(bmp)), ("b", bytearray(b"")), ("j", bytearray(b"x" * 300))],
+        "path string, content binary",
     )
+    # default tier is the REAL stdlib resizer: genuine BMP in → resized
+    # genuine BMP out; junk/empty inputs become error rows
     rz = {r["path"]: r for r in resize_images(df, 4, 4, keep_cols=["path"]).collect()}
-    assert len(rz["a"]["resized"]) == 4 * 4 * 3 and rz["a"]["resize_error"] is None
+    assert rz["a"]["resize_error"] is None
+    d = stdlib_image_decoder(bytes(rz["a"]["resized"]))
+    assert (d["width"], d["height"]) == (4, 4) and len(d["pixels"]) == 4 * 4 * 3
     assert rz["b"]["resized"] is None and rz["b"]["resize_error"]
+    assert rz["j"]["resized"] is None and "unsupported" in rz["j"]["resize_error"]
+
+    # explicit oracle tier keeps the old md5-derived contract
+    fz = {r["path"]: r for r in resize_images(
+        df, 4, 4, keep_cols=["path"], resizer=fake_image_resizer).collect()}
+    assert len(fz["j"]["resized"]) == 4 * 4 * 3 and fz["j"]["resize_error"] is None
 
     frames = sample_frames(df, 5, keep_cols=["path"]).collect()
     by_path = {}
