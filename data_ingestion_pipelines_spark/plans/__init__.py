@@ -38,11 +38,12 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-8 window (50 = 7 dark + 8 changed + 35 re-checks), from
-    # tools/rotate_window.py. Positions 1-7: this round's seven NEW gates
+    # -- round-8 window (50 = 9 dark + 8 changed + 33 re-checks), from
+    # tools/rotate_window.py. Positions 1-9: this round's nine NEW gates
     # (Bloom-prefiltered dedup, persisted MinHash index lifecycle, ANN
-    # index append verdict, the two REAL-stdlib-decoder multimodal
-    # gates, dHash image near-dup). Next: gates semantically changed
+    # index append verdict, the three REAL-stdlib-decoder multimodal
+    # gates incl. the resize/resample tier, dHash image near-dup, the
+    # streaming NEAR-dup lowest-id-wins sink). Next: gates semantically changed
     # this round — part_copurchase_pagerank (now hash-oracled via the
     # exact integer twin — first value-hash evidence after 7 rows-only
     # rounds), the explicit-whitespace-class BPE pre-tokenizer, the two
@@ -58,8 +59,10 @@ _PRIORITY = [
     "ann_index_append_verdict",
     "multimodal_wav_decode_real",
     "multimodal_bmp_decode_real",
+    "multimodal_resize_real",
     "image_dhash_neardup_docs",
     "knn_label_vote",
+    "streaming_neardup_ingest",
     "part_copurchase_pagerank",
     "doc_bpe_regex_token_count",
     "multimodal_decode",
@@ -102,9 +105,11 @@ _PRIORITY = [
     "cdc_orders_snapshot",
     "conversion_funnel",
     "urgent_open_orders",
-    "returned_item_losses",
-    "part_zorder_keys",
-    # event_type_skew_report rotated out (r3-green) for knn_label_vote
+    # event_type_skew_report rotated out (r3-green) for knn_label_vote;
+    # returned_item_losses + part_zorder_keys (both r2/r3-green,
+    # sweep-netted) rotated out late-round for the two newest gates
+    # (multimodal_resize_real, streaming_neardup_ingest) so no r8 gate
+    # stays driver-dark
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -2936,6 +2936,75 @@ def streaming_corpus_ingest_multibatch(spark: SparkSession, sf_dir: str) -> Data
 
 
 # --------------------------------------------------------------------------
+# STREAMING NEAR-dup ingest: 4 real micro-batches through the
+# lowest-id-wins near-dup sink (streaming/incremental.py
+# neardup_lowid_ingest) — a doc survives iff no LOWER-id doc anywhere
+# in the stream is a 3-gram-Jaccard near-duplicate. That predicate is a
+# property of the batch UNION (the dropped-flag set is monotone), so
+# the streamed result equals this ONE-SHOT SQL over the whole table —
+# the oracle — no matter how the feed was split into batches. The sink
+# signs only each batch's docs against its persisted banded gram index
+# (incremental work per batch), on the versioned-snapshot durability
+# machinery shared with the exact min-id sink.
+def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.incremental import neardup_lowid_ingest, read_neardup_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="snd_")
+    feed, target = f"{root}/feed", f"{root}/corpus"
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            neardup_lowid_ingest(target, n=3, threshold=0.5, num_bands=4)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    return read_neardup_corpus(spark, target).select("doc_id")
+
+
+STREAMING_NEARDUP_INGEST_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), gsets AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), bands AS MATERIALIZED (
+  SELECT s.doc_id, s.g, t.band,
+         list_min(list_transform(s.g,
+           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
+  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), flagged AS MATERIALIZED (
+  SELECT DISTINCT c.hi AS doc_id
+  FROM cand c
+  JOIN gsets ga ON ga.doc_id = c.lo
+  JOIN gsets gb ON gb.doc_id = c.hi
+  WHERE len(list_intersect(ga.g, gb.g))
+        / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.5
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # STREAMING count-min sketch: the event feed re-laid as 4 files and
 # streamed with maxFilesPerTrigger=1 → 4 real micro-batches; each batch
 # appends its own CMS partial and the final cells are the cell-wise sum.
@@ -3908,6 +3977,9 @@ QUERIES = {
     ),
     "indexed_dataset_roundtrip_docs": (
         indexed_dataset_roundtrip_docs, INDEXED_DATASET_ROUNDTRIP_DOCS_SQL,
+    ),
+    "streaming_neardup_ingest": (
+        streaming_neardup_ingest, STREAMING_NEARDUP_INGEST_SQL,
     ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     # append-equals-repack: verified against the SAME one-shot oracle

@@ -214,13 +214,8 @@ def min_id_dedup_ingest(
     from ..operators.text import with_fingerprint
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-        import uuid
-
         s = batch_df.sparkSession
         base = target_path.rstrip("/")
-        os.makedirs(base, exist_ok=True)
         current = _read_current_pointer(base)
         fresh = with_fingerprint(batch_df, text_col, out="_fp")
         if current is not None:
@@ -240,39 +235,13 @@ def min_id_dedup_ingest(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        name = f"snap-{int(batch_id)}-{uuid.uuid4().hex[:8]}"
-        snap.write.parquet(f"{base}/{name}")
-        tmp = os.path.join(base, "_CURRENT.tmp")
-        with open(tmp, "w") as fh:
-            fh.write(name)
-        os.replace(tmp, os.path.join(base, "_CURRENT"))  # atomic flip
-
-        # best-effort prune with a grace window: keep the newest
-        # `retain_snapshots` dirs (current included) so an in-flight
-        # lazy reader of the just-superseded snapshot isn't yanked.
-        # Recency comes from the BATCH ID embedded in the dir name, not
-        # filesystem mtime — mtime ties (coarse FS granularity, dir
-        # copies/restores) could otherwise rank the just-superseded
-        # snapshot below an older one and prune exactly the dir the
-        # grace window protects; mtime only tie-breaks replays of the
-        # same batch id.
-        def snap_order(entry: str) -> tuple[int, float]:
-            parts = entry.split("-")
-            try:
-                bid = int(parts[1])
-            except (IndexError, ValueError):
-                bid = -1
-            return (bid, os.path.getmtime(os.path.join(base, entry)))
-
-        snaps = sorted(
-            (e for e in os.listdir(base) if e.startswith("snap-")),
-            key=snap_order,
-            reverse=True,
+        # shared publish: versioned snap dir + atomic pointer flip +
+        # batch-id-ordered grace-window prune (see _publish_snapshot)
+        _publish_snapshot(
+            base, batch_id,
+            lambda snap_dir: snap.write.parquet(snap_dir),
+            retain_snapshots,
         )
-        keep = set(snaps[: max(int(retain_snapshots), 1)]) | {name}
-        for entry in snaps:
-            if entry not in keep:
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
     return ingest
 
@@ -301,3 +270,183 @@ def idempotent_batch_append(
         .partitionBy("_batch_id")
         .parquet(target_path)
     )
+
+
+def _publish_snapshot(base: str, batch_id: int, write_fn, retain_snapshots: int) -> None:
+    """Shared versioned-snapshot publish: write into a NEW ``snap-*``
+    dir via ``write_fn(snap_dir)``, atomically flip ``_CURRENT``, prune
+    superseded dirs with the batch-id-ordered grace window (the
+    :func:`min_id_dedup_ingest` durability recipe, factored out)."""
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(base, exist_ok=True)
+    name = f"snap-{int(batch_id)}-{uuid.uuid4().hex[:8]}"
+    write_fn(os.path.join(base, name))
+    tmp = os.path.join(base, "_CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(name)
+    os.replace(tmp, os.path.join(base, "_CURRENT"))
+
+    def snap_order(entry: str) -> tuple[int, float]:
+        parts = entry.split("-")
+        try:
+            bid = int(parts[1])
+        except (IndexError, ValueError):
+            bid = -1
+        return (bid, os.path.getmtime(os.path.join(base, entry)))
+
+    snaps = sorted(
+        (e for e in os.listdir(base) if e.startswith("snap-")),
+        key=snap_order,
+        reverse=True,
+    )
+    keep = set(snaps[: max(int(retain_snapshots), 1)]) | {name}
+    for entry in snaps:
+        if entry not in keep:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+
+def neardup_lowid_ingest(
+    target_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_bands: int = 4,
+    retain_snapshots: int = 2,
+):
+    """``foreachBatch`` sink factory: maintain a NEAR-dup-deduped corpus
+    across micro-batches — a document survives iff NO document with a
+    LOWER id anywhere in the stream is an n-gram-Jaccard near-duplicate
+    of it. Read survivors back with :func:`read_neardup_corpus`.
+
+    BATCH-ORDER DETERMINISM: "has a lower-id near-dup among all docs
+    seen" is a property of the UNION of batches, and the dropped-flag
+    set is MONOTONE (flags only ever get added, each justified by one
+    qualifying pair) — so like the min-id exact sink, the final corpus
+    is independent of how the stream was batched or ordered, and equals
+    a one-shot SQL predicate over the whole table (the oracle of the
+    ``streaming_neardup_ingest`` gate). An arrive-first-wins sink would
+    depend on arrival order; lowest-id-wins does not.
+
+    INCREMENTAL WORK PER BATCH: the banded gram index (one row per
+    (doc, band, gram), the ``ngram_jaccard_pairs`` machinery with its
+    4 OR-amplified salted-MinHash bands) persists in the snapshot, so a
+    batch signs ONLY its own documents and joins them against the
+    stored index — candidate generation is batch-sized, never
+    corpus². Replayed batches are no-ops (already-present ids are
+    anti-joined away before signing), making the sink replay-idempotent
+    on top of the versioned-snapshot + atomic-pointer crash durability
+    shared with :func:`min_id_dedup_ingest`.
+    """
+    from ..operators.dedup import _band_keys, _gram_array
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        base = target_path.rstrip("/")
+        current = _read_current_pointer(base)
+        if current is not None:
+            old_docs = s.read.parquet(f"{base}/{current}/docs")
+            old_grams = s.read.parquet(f"{base}/{current}/grams")
+            old_sizes = s.read.parquet(f"{base}/{current}/sizes")
+            old_flags = s.read.parquet(f"{base}/{current}/flags")
+        else:
+            old_docs = old_grams = old_sizes = old_flags = None
+
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        if old_docs is not None:
+            # replay-idempotence: ids already in the corpus are already
+            # signed and flagged — re-unioning them would be a no-op
+            # anyway, so skip the work entirely
+            batch = batch.join(old_docs.select(id_col), id_col, "left_anti")
+        batch = batch.localCheckpoint(eager=False)
+
+        toks = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        )
+        gram_df = (
+            batch.select(F.col(id_col), toks.alias("_toks"))
+            .select(F.col(id_col), _gram_array("_toks", n).alias("_grams"))
+            .localCheckpoint(eager=False)
+        )
+        banded = gram_df.select(
+            F.col(id_col),
+            F.explode(_band_keys(F.col("_grams"), num_bands)).alias("_band"),
+            F.col("_grams"),
+        ).select(
+            F.col(id_col),
+            F.col("_band._t").alias("_t"),
+            F.col("_band._bucket").alias("_bucket"),
+            F.explode("_grams").alias("_g"),
+        )
+        sizes_new = gram_df.select(
+            F.col(id_col), F.size("_grams").cast("bigint").alias("_sz")
+        )
+        grams_all = (
+            banded if old_grams is None else old_grams.unionByName(banded)
+        ).localCheckpoint(eager=False)
+        sizes_all = (
+            sizes_new if old_sizes is None else old_sizes.unionByName(sizes_new)
+        ).localCheckpoint(eager=False)
+
+        # candidate pairs: NEW docs' gram rows vs the WHOLE index (old +
+        # new) — batch-sized left side; old-old pairs were found when
+        # their younger member arrived
+        a = banded.withColumnsRenamed({id_col: "_ida"})
+        b = grams_all.withColumnsRenamed({id_col: "_idb"})
+        cand = (
+            a.join(b, on=["_t", "_bucket", "_g"])
+            .filter(F.col("_ida") != F.col("_idb"))
+            .select(
+                F.least("_ida", "_idb").alias("_lo"),
+                F.greatest("_ida", "_idb").alias("_hi"),
+                "_g",
+            )
+        )
+        inter = cand.groupBy("_lo", "_hi").agg(
+            F.countDistinct("_g").alias("_inter")
+        )
+        flagged_new = (
+            inter.join(
+                sizes_all.withColumnsRenamed({id_col: "_lo", "_sz": "_sza"}), "_lo"
+            )
+            .join(
+                sizes_all.withColumnsRenamed({id_col: "_hi", "_sz": "_szb"}), "_hi"
+            )
+            .filter(
+                F.col("_inter").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")).cast("double")
+                >= F.lit(threshold)
+            )
+            .select(F.col("_hi").alias(id_col))
+        )
+        flags_all = (
+            flagged_new
+            if old_flags is None
+            else old_flags.unionByName(flagged_new)
+        ).dropDuplicates([id_col])
+        docs_all = batch if old_docs is None else old_docs.unionByName(batch)
+
+        def write(snap: str) -> None:
+            docs_all.write.parquet(f"{snap}/docs")
+            grams_all.write.parquet(f"{snap}/grams")
+            sizes_all.write.parquet(f"{snap}/sizes")
+            flags_all.write.parquet(f"{snap}/flags")
+
+        _publish_snapshot(base, batch_id, write, retain_snapshots)
+
+    return ingest
+
+
+def read_neardup_corpus(spark, target_path: str) -> DataFrame:
+    """Surviving documents from :func:`neardup_lowid_ingest`'s current
+    snapshot: docs minus the dropped-flag set."""
+    base = target_path.rstrip("/")
+    name = _read_current_pointer(base)
+    if name is None:
+        raise FileNotFoundError(f"no snapshot pointer at {base}/_CURRENT")
+    docs = spark.read.parquet(f"{base}/{name}/docs")
+    flags = spark.read.parquet(f"{base}/{name}/flags")
+    return docs.join(flags, flags.columns, "left_anti")

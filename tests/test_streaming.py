@@ -391,3 +391,58 @@ def test_min_id_dedup_ingest_batch_order_deterministic(spark, tmp_path):
     final = {(r["doc_id"], r["text"]) for r in
              read_min_id_snapshot(spark, base).select("doc_id", "text").collect()}
     assert final == expect
+
+
+def test_neardup_lowid_ingest_batch_order_deterministic(spark, tmp_path):
+    """The NEAR-dup streaming sink (lowest-id-wins by 3-gram Jaccard)
+    must give the same survivor set regardless of batch order, flag the
+    HIGHER id of each near-dup pair even when the lower id arrives
+    later, and treat a replayed batch as a no-op."""
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    # 7 is a near-dup of 2 (one token changed in a 10-token sentence,
+    # 3-gram Jaccard 7/9 ≈ 0.78); 9 is a near-dup of 4 (one token
+    # appended, Jaccard 8/10 = 0.8). In both pairs the LOWER id is in
+    # the OTHER batch, so arrive-first-wins would be order-dependent.
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    base_b = "one two three four five six seven eight nine ten"
+    near_b = base_b + " eleven"
+    b_early = spark.createDataFrame(
+        [(7, near_a), (4, base_b), (1, "totally unrelated text here")],
+        "doc_id bigint, text string",
+    )
+    b_late = spark.createDataFrame(
+        [(2, base_a), (9, near_b), (8, "another completely different document")],
+        "doc_id bigint, text string",
+    )
+
+    def run(order, path):
+        sink = neardup_lowid_ingest(str(path), threshold=0.5)
+        for i, b in enumerate(order):
+            sink(b, i)
+        return sorted(
+            r["doc_id"]
+            for r in read_neardup_corpus(spark, str(path))
+            .select("doc_id").collect()
+        )
+
+    fwd = run([b_early, b_late], tmp_path / "fwd")
+    rev = run([b_late, b_early], tmp_path / "rev")
+    assert fwd == rev == [1, 2, 4, 8]  # lowest id of each pair survives
+
+    # replay idempotence: re-running a batch must not duplicate rows or
+    # change the survivor set (exact list, not set, to catch dup rows)
+    sink = neardup_lowid_ingest(str(tmp_path / "replay"), threshold=0.5)
+    sink(b_early, 0)
+    sink(b_late, 1)
+    sink(b_late, 1)  # REPLAY
+    rows = sorted(
+        r["doc_id"]
+        for r in read_neardup_corpus(spark, str(tmp_path / "replay"))
+        .select("doc_id").collect()
+    )
+    assert rows == [1, 2, 4, 8]
