@@ -315,7 +315,6 @@ def neardup_lowid_ingest(
     n: int = 3,
     threshold: float = 0.5,
     num_bands: int = 4,
-    retain_snapshots: int = 2,
 ):
     """``foreachBatch`` sink factory: maintain a NEAR-dup-deduped corpus
     across micro-batches — a document survives iff NO document with a
@@ -331,35 +330,51 @@ def neardup_lowid_ingest(
     ``streaming_neardup_ingest`` gate). An arrive-first-wins sink would
     depend on arrival order; lowest-id-wins does not.
 
+    MERGE-ON-READ LAYOUT — O(batch) writes per batch, never O(corpus):
+    because the flag set is monotone and docs/grams/sizes only ever gain
+    rows, NOTHING needs rewriting on ingest. Each batch appends four
+    batch-keyed DELTA dirs (``delta/batch-<id>/{docs,grams,sizes,
+    flags}``, overwrite mode so a crashed write is replay-overwritten)
+    and then atomically drops a ``_committed/batch-<id>`` marker;
+    readers union the committed deltas (plus the compaction snapshot,
+    below) and resolve survivors at read time (docs anti-join flags).
+    Contrast :func:`min_id_dedup_ingest`, which is copy-on-write: its
+    min-id winner set REPLACES rows, so it must republish a full
+    snapshot per batch. On Delta/Iceberg the deltas map to appends and
+    the marker to the table commit.
+
+    COMPACTION (:func:`compact_neardup_corpus`) folds committed deltas
+    into a versioned snapshot via the shared :func:`_publish_snapshot`
+    recipe (the snapshot name's batch-id slot carries the high-water
+    batch id) and prunes folded delta data dirs, bounding the
+    small-file count; readers merge snapshot + deltas-above-high-water,
+    so compacting at any point leaves results identical — the
+    LSM/Iceberg ``rewrite_data_files`` shape.
+
     INCREMENTAL WORK PER BATCH: the banded gram index (one row per
     (doc, band, gram), the ``ngram_jaccard_pairs`` machinery with its
-    4 OR-amplified salted-MinHash bands) persists in the snapshot, so a
+    4 OR-amplified salted-MinHash bands) persists across batches, so a
     batch signs ONLY its own documents and joins them against the
     stored index — candidate generation is batch-sized, never
-    corpus². Replayed batches are no-ops (already-present ids are
-    anti-joined away before signing), making the sink replay-idempotent
-    on top of the versioned-snapshot + atomic-pointer crash durability
-    shared with :func:`min_id_dedup_ingest`.
+    corpus². Replayed batches are no-ops: a committed marker short-
+    circuits the whole batch, and a replay racing the marker is
+    anti-joined down to nothing against the already-present ids.
     """
     from ..operators.dedup import _band_keys, _gram_array
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         s = batch_df.sparkSession
         base = target_path.rstrip("/")
-        current = _read_current_pointer(base)
-        if current is not None:
-            old_docs = s.read.parquet(f"{base}/{current}/docs")
-            old_grams = s.read.parquet(f"{base}/{current}/grams")
-            old_sizes = s.read.parquet(f"{base}/{current}/sizes")
-            old_flags = s.read.parquet(f"{base}/{current}/flags")
-        else:
-            old_docs = old_grams = old_sizes = old_flags = None
+        if os.path.exists(f"{base}/_committed/batch-{int(batch_id)}"):
+            return  # fully-committed batch replayed: whole-batch no-op
+        old_docs, old_grams, old_sizes, old_flags = _read_neardup_state(s, base)
 
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
         if old_docs is not None:
-            # replay-idempotence: ids already in the corpus are already
-            # signed and flagged — re-unioning them would be a no-op
-            # anyway, so skip the work entirely
+            # re-sent ids are already signed and flagged — re-unioning
+            # them would be a no-op anyway, so skip the work entirely
             batch = batch.join(old_docs.select(id_col), id_col, "left_anti")
         batch = batch.localCheckpoint(eager=False)
 
@@ -381,15 +396,16 @@ def neardup_lowid_ingest(
             F.col("_band._bucket").alias("_bucket"),
             F.explode("_grams").alias("_g"),
         )
+        banded = banded.localCheckpoint(eager=False)
         sizes_new = gram_df.select(
             F.col(id_col), F.size("_grams").cast("bigint").alias("_sz")
         )
         grams_all = (
             banded if old_grams is None else old_grams.unionByName(banded)
-        ).localCheckpoint(eager=False)
+        )
         sizes_all = (
             sizes_new if old_sizes is None else old_sizes.unionByName(sizes_new)
-        ).localCheckpoint(eager=False)
+        )
 
         # candidate pairs: NEW docs' gram rows vs the WHOLE index (old +
         # new) — batch-sized left side; old-old pairs were found when
@@ -421,32 +437,120 @@ def neardup_lowid_ingest(
                 >= F.lit(threshold)
             )
             .select(F.col("_hi").alias(id_col))
-        )
-        flags_all = (
-            flagged_new
-            if old_flags is None
-            else old_flags.unionByName(flagged_new)
         ).dropDuplicates([id_col])
-        docs_all = batch if old_docs is None else old_docs.unionByName(batch)
+        if old_flags is not None:
+            # lean deltas: a pair can re-justify an already-flagged id
+            flagged_new = flagged_new.join(old_flags, id_col, "left_anti")
 
-        def write(snap: str) -> None:
-            docs_all.write.parquet(f"{snap}/docs")
-            grams_all.write.parquet(f"{snap}/grams")
-            sizes_all.write.parquet(f"{snap}/sizes")
-            flags_all.write.parquet(f"{snap}/flags")
-
-        _publish_snapshot(base, batch_id, write, retain_snapshots)
+        # O(batch) delta writes (overwrite: a crashed attempt's partial
+        # dir is replaced wholesale on replay), then the atomic marker
+        delta = f"{base}/delta/batch-{int(batch_id)}"
+        batch.write.mode("overwrite").parquet(f"{delta}/docs")
+        banded.write.mode("overwrite").parquet(f"{delta}/grams")
+        sizes_new.write.mode("overwrite").parquet(f"{delta}/sizes")
+        flagged_new.write.mode("overwrite").parquet(f"{delta}/flags")
+        os.makedirs(f"{base}/_committed", exist_ok=True)
+        tmp = f"{base}/_committed/.batch-{int(batch_id)}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("ok")
+        os.replace(tmp, f"{base}/_committed/batch-{int(batch_id)}")
 
     return ingest
 
 
-def read_neardup_corpus(spark, target_path: str) -> DataFrame:
-    """Surviving documents from :func:`neardup_lowid_ingest`'s current
-    snapshot: docs minus the dropped-flag set."""
-    base = target_path.rstrip("/")
+def _neardup_committed_ids(base: str) -> list[int]:
+    import os
+
+    cdir = f"{base}/_committed"
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for e in os.listdir(cdir):
+        if e.startswith("batch-"):
+            try:
+                out.append(int(e.split("-", 1)[1]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _neardup_hwm(base: str) -> tuple[str | None, int]:
+    """(snapshot dir name, high-water batch id folded into it)."""
     name = _read_current_pointer(base)
     if name is None:
-        raise FileNotFoundError(f"no snapshot pointer at {base}/_CURRENT")
-    docs = spark.read.parquet(f"{base}/{name}/docs")
-    flags = spark.read.parquet(f"{base}/{name}/flags")
-    return docs.join(flags, flags.columns, "left_anti")
+        return None, -1
+    try:
+        return name, int(name.split("-")[1])
+    except (IndexError, ValueError):
+        return name, -1
+
+
+def _read_neardup_state(spark, base: str):
+    """Merged MOR view (docs, grams, sizes, flags): the compaction
+    snapshot, if any, plus every committed delta above its high-water
+    batch id. All None when nothing has committed yet. Delta data dirs
+    at-or-below the high-water mark are ignored even if still present,
+    so compaction's prune is pure garbage collection."""
+    import os
+
+    snap, hwm = _neardup_hwm(base)
+    ids = [i for i in _neardup_committed_ids(base) if i > hwm]
+    # a marker whose data dirs were pruned by compaction contributes
+    # nothing (its rows live in the snapshot) — guard against it
+    ids = [i for i in ids if os.path.isdir(f"{base}/delta/batch-{i}/docs")]
+    parts: dict[str, list[str]] = {k: [] for k in ("docs", "grams", "sizes", "flags")}
+    if snap is not None:
+        for k in parts:
+            parts[k].append(f"{base}/{snap}/{k}")
+    for i in ids:
+        for k in parts:
+            parts[k].append(f"{base}/delta/batch-{i}/{k}")
+    if not parts["docs"]:
+        return None, None, None, None
+    return tuple(spark.read.parquet(*parts[k]) for k in ("docs", "grams", "sizes", "flags"))
+
+
+def read_neardup_corpus(spark, target_path: str) -> DataFrame:
+    """Surviving documents from :func:`neardup_lowid_ingest`'s current
+    merged state: docs minus the dropped-flag set, resolved at read
+    time (merge-on-read)."""
+    base = target_path.rstrip("/")
+    docs, _, _, flags = _read_neardup_state(spark, base)
+    if docs is None:
+        raise FileNotFoundError(f"no committed batches under {base}")
+    return docs.join(flags.select(flags.columns[0]), flags.columns[0], "left_anti")
+
+
+def compact_neardup_corpus(
+    spark, target_path: str, retain_snapshots: int = 2
+) -> bool:
+    """Fold every committed delta into ONE versioned snapshot (the
+    LSM/Iceberg ``rewrite_data_files`` step for
+    :func:`neardup_lowid_ingest`): publishes via the shared
+    :func:`_publish_snapshot` atomic-pointer recipe with the high-water
+    batch id in the snapshot name, then prunes the folded delta data
+    dirs (markers stay, so a late replay of a folded batch still
+    short-circuits). Readers merge snapshot + deltas-above-high-water,
+    so compacting at any point is result-invariant. Returns False when
+    there is nothing new to fold."""
+    import shutil
+
+    base = target_path.rstrip("/")
+    _, hwm = _neardup_hwm(base)
+    fresh = [i for i in _neardup_committed_ids(base) if i > hwm]
+    if not fresh:
+        return False
+    docs, grams, sizes, flags = _read_neardup_state(spark, base)
+    new_hwm = max(fresh)
+
+    def write(snap_dir: str) -> None:
+        docs.write.parquet(f"{snap_dir}/docs")
+        grams.write.parquet(f"{snap_dir}/grams")
+        sizes.write.parquet(f"{snap_dir}/sizes")
+        flags.write.parquet(f"{snap_dir}/flags")
+
+    _publish_snapshot(base, new_hwm, write, retain_snapshots)
+    for i in _neardup_committed_ids(base):
+        if i <= new_hwm:
+            shutil.rmtree(f"{base}/delta/batch-{i}", ignore_errors=True)
+    return True

@@ -446,3 +446,62 @@ def test_neardup_lowid_ingest_batch_order_deterministic(spark, tmp_path):
         .select("doc_id").collect()
     )
     assert rows == [1, 2, 4, 8]
+
+
+def test_neardup_lowid_ingest_compaction_invariant(spark, tmp_path):
+    """compact_neardup_corpus folds committed deltas into a snapshot
+    without changing the survivor set, mid-stream or at the end; a
+    replay of a folded (pruned) batch still short-circuits; compacting
+    with nothing new is a no-op."""
+    import os
+
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        compact_neardup_corpus,
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    batches = [
+        spark.createDataFrame([(7, near_a), (1, "first unique doc")],
+                              "doc_id bigint, text string"),
+        spark.createDataFrame([(2, base_a), (8, "second unique doc")],
+                              "doc_id bigint, text string"),
+        spark.createDataFrame([(9, near_a), (3, "third unique doc")],
+                              "doc_id bigint, text string"),
+    ]
+    # 7 and 9 are near-dups of 2 → only 2 survives of {2, 7, 9}
+    expect = [1, 2, 3, 8]
+
+    def survivors(path):
+        return sorted(
+            r["doc_id"]
+            for r in read_neardup_corpus(spark, str(path))
+            .select("doc_id").collect()
+        )
+
+    # mid-stream compaction between batches 1 and 2
+    mid = tmp_path / "mid"
+    sink = neardup_lowid_ingest(str(mid), threshold=0.5)
+    sink(batches[0], 0)
+    assert compact_neardup_corpus(spark, str(mid)) is True
+    assert not os.path.isdir(mid / "delta" / "batch-0")  # folded + pruned
+    sink(batches[1], 1)
+    sink(batches[2], 2)
+    assert survivors(mid) == expect
+
+    # replay of the folded batch 0: marker survived the prune → no-op
+    sink(batches[0], 0)
+    assert survivors(mid) == expect
+
+    # end-of-stream compaction matches the uncompacted run
+    assert compact_neardup_corpus(spark, str(mid)) is True
+    assert survivors(mid) == expect
+    assert compact_neardup_corpus(spark, str(mid)) is False  # nothing new
+
+    plain = tmp_path / "plain"
+    sink2 = neardup_lowid_ingest(str(plain), threshold=0.5)
+    for i, b in enumerate(batches):
+        sink2(b, i)
+    assert survivors(plain) == expect
