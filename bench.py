@@ -91,6 +91,11 @@ HEADLINE = [
     "multimodal_wav_decode_real",
     "image_dhash_neardup_docs",
     "part_copurchase_pagerank",
+    # round-8 late addition: the streaming near-dup ingest flagship —
+    # 4 real micro-batches through the merge-on-read lowest-id-wins
+    # sink (banded gram signing + delta commit per batch), tracked so
+    # the streaming write path's cost can't drift silently
+    "streaming_neardup_ingest",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

@@ -646,3 +646,57 @@ def test_pagerank_exact_mass_and_layout_invariance_property(spark, edges):
     # per-iteration loss loosely by (edges + nodes + 2) terms
     max_loss = 3 * (len(edges) + n + 2) * 2
     assert 10**15 - max_loss <= total <= 10**15
+
+
+_ND_POOL = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    "alpha beta gamma delta epsilon zeta eta theta iota mu",  # near-dup of ^
+    "one two three four five six seven eight nine ten",
+    "one two three four five six seven eight nine ten eleven",  # near-dup of ^
+    "totally unrelated document with completely different words",
+    "another standalone text sharing no trigrams with the rest",
+]
+
+
+@given(
+    texts=st.lists(st.sampled_from(_ND_POOL), min_size=1, max_size=6),
+    assign=st.lists(st.integers(min_value=0, max_value=2), min_size=6, max_size=6),
+    order=st.permutations([0, 1, 2]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_neardup_streaming_equals_one_shot(spark, texts, assign, order):
+    """The streaming near-dup sink is invariant to HOW the corpus is
+    split into micro-batches and to their arrival order: any random
+    batching, streamed through the merge-on-read sink, yields the same
+    survivor set as feeding everything as ONE batch (the one-shot form
+    the gate's SQL oracle models)."""
+    import shutil
+    import tempfile
+
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    rows = [(i + 1, t) for i, t in enumerate(texts)]
+    schema = "doc_id bigint, text string"
+
+    def run(batches):
+        root = tempfile.mkdtemp(prefix="ndprop_")
+        try:
+            sink = neardup_lowid_ingest(root, threshold=0.5)
+            bid = 0
+            for b in batches:
+                if b:  # empty micro-batches simply don't fire
+                    sink(spark.createDataFrame(b, schema), bid)
+                    bid += 1
+            return sorted(
+                r["doc_id"]
+                for r in read_neardup_corpus(spark, root).select("doc_id").collect()
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    split = [[r for r, a in zip(rows, assign) if a == b] for b in order]
+    assert run(split) == run([rows])
