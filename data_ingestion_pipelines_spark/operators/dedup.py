@@ -782,6 +782,49 @@ def _band_keys(grams_col, num_bands: int):
     )
 
 
+def _sign_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Banded n-gram signing stage shared by :func:`ngram_jaccard_pairs`
+    and the streaming near-dup sink (``streaming/incremental.py
+    neardup_lowid_ingest``) — and mirrored token-for-token by both of
+    their DuckDB oracles, so tokenization/banding changes MUST land
+    here and in the oracle SQL together. Returns ``(grams, sizes)``:
+    one row per (doc, band, distinct gram) as ``(id, _t, _bucket,
+    _g)``, and per-doc gram-set sizes ``(id, _sz)``.
+
+    The intermediate token and gram ARRAYS are bound behind lazy
+    localCheckpoint barriers: slicing a bound array column is O(k) per
+    element, while slicing the regexp EXPRESSION re-evaluates the
+    tokenizer per element under interpreted HOF eval; the band keys
+    (array_min over md5s) and the explode both read the gram array.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
+    gram_df = toks_df.select(
+        F.col(id_col), _gram_array("_toks", n).alias("_grams")
+    ).localCheckpoint(eager=False)
+    banded = gram_df.select(
+        F.col(id_col),
+        F.col("_grams"),
+        F.explode(_band_keys(F.col("_grams"), num_bands)).alias("_band"),
+    ).select(
+        F.col(id_col),
+        F.col("_band._t").alias("_t"),
+        F.col("_band._bucket").alias("_bucket"),
+        F.col("_grams"),
+    )
+    grams = banded.select(
+        F.col(id_col), "_t", "_bucket", F.explode("_grams").alias("_g")
+    ).localCheckpoint(eager=False)  # consumed by both candidate join sides
+    sizes = gram_df.select(F.col(id_col), F.size("_grams").cast("bigint").alias("_sz"))
+    return grams, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -822,40 +865,28 @@ def ngram_jaccard_pairs(
     if num_bands < 1:
         raise ValueError(f"num_bands must be >= 1, got {num_bands}")
     df = _spread(df)
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    # materialize tokens behind a barrier: slicing a bound array column is
-    # O(k) per element; slicing the regexp EXPRESSION re-evaluates the
-    # tokenizer per element under interpreted HOF eval
-    toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
-    # bind the gram ARRAY once: the band keys (array_min over md5s) and
-    # the explode both read it — inlining the gram expression would build
-    # the array once per consumer
-    gram_df = toks_df.select(
-        F.col(id_col),
-        F.col("_toks"),
-        _gram_array("_toks", n).alias("_grams"),
-    ).localCheckpoint(eager=False)
     if bucket_prefix_tokens is not None:
+        # legacy single first-k-tokens bucket (not shared with the
+        # streaming sink): same barrier rationale as _sign_grams
+        toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
+        gram_df = toks_df.select(
+            F.col(id_col),
+            F.col("_toks"),
+            _gram_array("_toks", n).alias("_grams"),
+        ).localCheckpoint(eager=False)
         banded = gram_df.select(
             F.col(id_col),
             F.lit(0).cast("int").alias("_t"),
             _bucket_col(F.col("_grams"), "_toks", bucket_prefix_tokens).alias("_bucket"),
             F.col("_grams"),
         )
+        grams = banded.select(
+            F.col(id_col), "_t", "_bucket", F.explode("_grams").alias("_g")
+        ).localCheckpoint(eager=False)  # consumed by both join sides
+        sizes = gram_df.select(F.col(id_col), F.size("_grams").cast("bigint").alias("_sz"))
     else:
-        banded = gram_df.select(
-            F.col(id_col), F.col("_grams"), F.explode(_band_keys(F.col("_grams"), num_bands)).alias("_band")
-        ).select(
-            F.col(id_col),
-            F.col("_band._t").alias("_t"),
-            F.col("_band._bucket").alias("_bucket"),
-            F.col("_grams"),
-        )
-    grams = banded.select(
-        F.col(id_col), "_t", "_bucket", F.explode("_grams").alias("_g")
-    ).localCheckpoint(eager=False)  # consumed by both join sides
-
-    sizes = gram_df.select(F.col(id_col), F.size("_grams").cast("bigint").alias("_sz"))
+        grams, sizes = _sign_grams(df, text_col, id_col, n, num_bands)
     a = grams.withColumnRenamed(id_col, "id_a")
     b = grams.withColumnRenamed(id_col, "id_b")
     # countDistinct: a pair colliding in several bands must count each

@@ -359,8 +359,17 @@ def neardup_lowid_ingest(
     corpus². Replayed batches are no-ops: a committed marker short-
     circuits the whole batch, and a replay racing the marker is
     anti-joined down to nothing against the already-present ids.
+
+    PRECONDITION — one checkpoint lineage per target (the Delta
+    ``txnAppId``/``txnVersion`` contract): batch ids must be monotone
+    over the target's lifetime, which Spark guarantees per streaming
+    checkpoint. Pointing a FRESH checkpoint (ids restart at 0) at an
+    existing target is detected and refused when the id falls at or
+    below the compaction high-water mark; below that bar a colliding id
+    is indistinguishable from a legitimate replay and would be silently
+    skipped — use a fresh target dir for a fresh checkpoint.
     """
-    from ..operators.dedup import _band_keys, _gram_array
+    from ..operators.dedup import _sign_grams
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -369,6 +378,19 @@ def neardup_lowid_ingest(
         base = target_path.rstrip("/")
         if os.path.exists(f"{base}/_committed/batch-{int(batch_id)}"):
             return  # fully-committed batch replayed: whole-batch no-op
+        _, hwm = _neardup_hwm(base)
+        if int(batch_id) <= hwm:
+            # a delta at-or-below the compaction high-water mark would
+            # be INVISIBLE to readers — this is a new checkpoint
+            # lineage colliding with an old target, not a replay (a
+            # replay's marker short-circuits above). Fail loudly
+            # instead of silently dropping the batch.
+            raise ValueError(
+                f"batch_id {int(batch_id)} is at or below the compaction "
+                f"high-water mark {hwm} of {base}: the target is bound to "
+                "one streaming checkpoint lineage (monotone batch ids); "
+                "use a fresh target for a fresh checkpoint"
+            )
         old_docs, old_grams, old_sizes, old_flags = _read_neardup_state(s, base)
 
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
@@ -378,28 +400,10 @@ def neardup_lowid_ingest(
             batch = batch.join(old_docs.select(id_col), id_col, "left_anti")
         batch = batch.localCheckpoint(eager=False)
 
-        toks = F.regexp_extract_all(
-            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
-        )
-        gram_df = (
-            batch.select(F.col(id_col), toks.alias("_toks"))
-            .select(F.col(id_col), _gram_array("_toks", n).alias("_grams"))
-            .localCheckpoint(eager=False)
-        )
-        banded = gram_df.select(
-            F.col(id_col),
-            F.explode(_band_keys(F.col("_grams"), num_bands)).alias("_band"),
-            F.col("_grams"),
-        ).select(
-            F.col(id_col),
-            F.col("_band._t").alias("_t"),
-            F.col("_band._bucket").alias("_bucket"),
-            F.explode("_grams").alias("_g"),
-        )
-        banded = banded.localCheckpoint(eager=False)
-        sizes_new = gram_df.select(
-            F.col(id_col), F.size("_grams").cast("bigint").alias("_sz")
-        )
+        # the banded gram signing stage is SHARED with
+        # ngram_jaccard_pairs (and both oracles) via _sign_grams —
+        # tokenization/banding changes land in exactly one place
+        banded, sizes_new = _sign_grams(batch, text_col, id_col, n, num_bands)
         grams_all = (
             banded if old_grams is None else old_grams.unionByName(banded)
         )
@@ -532,7 +536,15 @@ def compact_neardup_corpus(
     dirs (markers stay, so a late replay of a folded batch still
     short-circuits). Readers merge snapshot + deltas-above-high-water,
     so compacting at any point is result-invariant. Returns False when
-    there is nothing new to fold."""
+    there is nothing new to fold.
+
+    GRACE WINDOW: like the snapshot prune itself, delta pruning is one
+    generation behind — this call removes only deltas already folded by
+    the PREVIOUS compaction (≤ the old high-water mark), leaving the
+    just-folded generation on disk for in-flight lazy readers whose
+    plans still reference those parquet paths. Results of
+    :func:`read_neardup_corpus` should be collected before the
+    second-next compaction."""
     import shutil
 
     base = target_path.rstrip("/")
@@ -551,6 +563,6 @@ def compact_neardup_corpus(
 
     _publish_snapshot(base, new_hwm, write, retain_snapshots)
     for i in _neardup_committed_ids(base):
-        if i <= new_hwm:
+        if i <= hwm:  # one-generation grace: just-folded deltas stay
             shutil.rmtree(f"{base}/delta/batch-{i}", ignore_errors=True)
     return True

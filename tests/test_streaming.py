@@ -405,7 +405,8 @@ def test_neardup_lowid_ingest_batch_order_deterministic(spark, tmp_path):
 
     # 7 is a near-dup of 2 (one token changed in a 10-token sentence,
     # 3-gram Jaccard 7/9 ≈ 0.78); 9 is a near-dup of 4 (one token
-    # appended, Jaccard 8/10 = 0.8). In both pairs the LOWER id is in
+    # appended: trigram sets of sizes 8 and 9 share 8, Jaccard 8/9 ≈
+    # 0.89). In both pairs the LOWER id is in
     # the OTHER batch, so arrive-first-wins would be order-dependent.
     base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     near_a = "alpha beta gamma delta epsilon zeta eta theta iota mu"
@@ -486,19 +487,39 @@ def test_neardup_lowid_ingest_compaction_invariant(spark, tmp_path):
     sink = neardup_lowid_ingest(str(mid), threshold=0.5)
     sink(batches[0], 0)
     assert compact_neardup_corpus(spark, str(mid)) is True
-    assert not os.path.isdir(mid / "delta" / "batch-0")  # folded + pruned
+    # one-generation grace: the just-folded delta survives THIS prune
+    # (in-flight lazy readers may still reference it) …
+    assert os.path.isdir(mid / "delta" / "batch-0")
     sink(batches[1], 1)
     sink(batches[2], 2)
     assert survivors(mid) == expect
 
-    # replay of the folded batch 0: marker survived the prune → no-op
+    # replay of the folded batch 0: marker → no-op
     sink(batches[0], 0)
     assert survivors(mid) == expect
 
-    # end-of-stream compaction matches the uncompacted run
+    # end-of-stream compaction matches the uncompacted run, and the
+    # previous generation's folded delta is NOW garbage-collected
     assert compact_neardup_corpus(spark, str(mid)) is True
+    assert not os.path.isdir(mid / "delta" / "batch-0")
     assert survivors(mid) == expect
     assert compact_neardup_corpus(spark, str(mid)) is False  # nothing new
+
+    # a fresh checkpoint lineage (ids restart at 0) pointed at a
+    # compacted target is refused loudly instead of silently writing an
+    # invisible delta: old lineage ran batches 5-6 (hwm 6 after
+    # compaction), the fresh lineage's batch 0 has no marker and is
+    # below the high-water mark
+    import pytest as _pytest
+
+    clash = tmp_path / "clash"
+    sink3 = neardup_lowid_ingest(str(clash), threshold=0.5)
+    sink3(batches[0], 5)
+    sink3(batches[1], 6)
+    assert compact_neardup_corpus(spark, str(clash)) is True
+    fresh = spark.createDataFrame([(99, "late arrival")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError, match="high-water"):
+        sink3(fresh, 0)
 
     plain = tmp_path / "plain"
     sink2 = neardup_lowid_ingest(str(plain), threshold=0.5)
