@@ -4029,7 +4029,6 @@ QUERIES = {
     "late_shipment_orders": (late_shipment_orders, LATE_SHIPMENT_ORDERS_SQL),
     "nation_trade_flows": (nation_trade_flows, NATION_TRADE_FLOWS_SQL),
     "important_parts_by_value": (important_parts_by_value, IMPORTANT_PARTS_BY_VALUE_SQL),
-    "top_revenue_suppliers": (top_revenue_suppliers, TOP_REVENUE_SUPPLIERS_SQL),
     "lonely_late_suppliers": (lonely_late_suppliers, LONELY_LATE_SUPPLIERS_SQL),
     "idle_rich_customers": (idle_rich_customers, IDLE_RICH_CUSTOMERS_SQL),
     "order_value_yoy": (order_value_yoy, ORDER_VALUE_YOY_SQL),

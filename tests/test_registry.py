@@ -36,3 +36,28 @@ def test_oracle_sql_strings_are_nonempty_and_single_statement():
         # a trailing semicolon (second statement) breaks some runners;
         # semicolons INSIDE string/regex literals are fine
         assert not sql.strip().endswith(";"), f"{name}: trailing semicolon"
+
+
+def test_no_duplicate_keys_inside_any_queries_literal():
+    """A duplicate key in a module's QUERIES dict literal silently
+    shadows the earlier entry (Python keeps the last) — the cross-module
+    collision assert in plans/__init__ can't see it. Parse each module's
+    source and reject within-literal duplicates."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path("data_ingestion_pipelines_spark/plans")
+    checked = 0
+    for mod in ("relational.py", "llmops.py", "ingestion.py"):
+        tree = ast.parse((pkg / mod).read_text())
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Assign)
+                    and any(getattr(t, "id", None) == "QUERIES" for t in node.targets)
+                    and isinstance(node.value, ast.Dict)):
+                continue
+            names = [k.value for k in node.value.keys
+                     if isinstance(k, ast.Constant)]
+            dupes = sorted({n for n in names if names.count(n) > 1})
+            assert not dupes, f"{mod}: duplicate QUERIES keys {dupes}"
+            checked += 1
+    assert checked == 3  # all three plan modules were actually parsed
