@@ -33,6 +33,8 @@ from ..operators.text import (
     with_word_tokens,
 )
 from ..sources.files import read_parquet_table
+from ..session import scratch_dir
+from ..streaming.incremental import await_or_raise
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -596,12 +598,11 @@ FROM documents GROUP BY 1
 # hash the payloads — proves export+load preserve every document byte
 # through the actual tar container, not just the manifest accounting.
 def webdataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sinks.webdataset import read_webdataset_shards, write_webdataset_shards
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out_dir = tempfile.mkdtemp(prefix="wdsrt_")
+    out_dir = scratch_dir(prefix="wdsrt_")
     write_webdataset_shards(docs, out_dir, num_shards=8)
     back = read_webdataset_shards(spark, out_dir)
     return back.select(
@@ -624,7 +625,6 @@ SELECT doc_id, md5(text) AS text_md5 FROM documents
 # (uint32 packing, token offsets, per-doc index records, shard
 # assignment) round-tripped every document exactly.
 def indexed_dataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sinks.indexed_dataset import read_indexed_dataset, write_indexed_dataset
 
@@ -634,7 +634,7 @@ def indexed_dataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFram
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
     )
     tokenized = docs.select("doc_id", ids.alias("token_ids"))
-    out_dir = tempfile.mkdtemp(prefix="idxds_")
+    out_dir = scratch_dir(prefix="idxds_")
     write_indexed_dataset(tokenized, out_dir, num_shards=8)
     back = read_indexed_dataset(spark, out_dir)
     return back.select(
@@ -853,10 +853,9 @@ MIXTURE_SAMPLED_DOCS_SQL = f"SELECT doc_id, source FROM documents WHERE {_mix_ca
 # the original parquet: any escaping/encoding loss in the JSON path would
 # flip an md5. (CSV/ORC get the same proof in format_roundtrip_totals.)
 def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="jsonl_")
+    root = scratch_dir(prefix="jsonl_")
     docs.write.mode("overwrite").option("compression", "gzip").json(f"{root}/docs")
     back = spark.read.schema(docs.schema).json(f"{root}/docs")
     return back.select(
@@ -883,14 +882,13 @@ FROM documents
 # on coalesce(source, '_dlq') counts both populations; the oracle
 # recomputes the planted corruption from the original parquet.
 def json_corrupt_record_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     docs = _t(spark, sf_dir, "documents")
     line = F.to_json(F.struct("doc_id", "source", "n_chars"))
     corrupted = F.when(
         F.col("doc_id") % 10 == 3, F.substring(line, 1, F.length(line) - 2)
     ).otherwise(line)
-    root = tempfile.mkdtemp(prefix="dlq_")
+    root = scratch_dir(prefix="dlq_")
     docs.select(corrupted.alias("value")).write.mode("overwrite").text(f"{root}/feed")
     back = (
         spark.read.schema("doc_id bigint, source string, n_chars bigint, _corrupt string")
@@ -975,12 +973,11 @@ FROM long
 # _CURRENT points at after a publish → rollback → republish cycle, so
 # the hash verifies the pointer discipline end to end, not just a write.
 def versioned_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sinks.versioned import read_current, rollback, write_snapshot
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    root = tempfile.mkdtemp(prefix="vsnap_") + "/docs"
+    root = scratch_dir(prefix="vsnap_") + "/docs"
     write_snapshot(docs, root)
     write_snapshot(docs.filter(F.col("lang") == "en"), root)
     rollback(root, 1)  # operator error: back out the curated publish
@@ -2000,7 +1997,6 @@ SIMILARITY_IVF_PQ_TOPK_SQL = _ann_verdict_oracle(0.2)
 # set equality, row for row — the verdict booleans are
 # layout-independent and the oracle asserts them constant TRUE.
 def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..operators.similarity import (
         _load_ivf_centroids,
@@ -2024,7 +2020,7 @@ def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
 
-    root = tempfile.mkdtemp(prefix="annidx_")
+    root = scratch_dir(prefix="annidx_")
     # LSH: appended index vs fresh rebuild over the full corpus
     save_lsh_index(old, f"{root}/lsh_a", num_tables=8, bits=6, dim=64)
     append_to_lsh_index(delta, f"{root}/lsh_a")
@@ -2875,7 +2871,6 @@ SELECT token, n AS true_n, cms_est, cms_est >= n AS no_undercount FROM est
 # parity set (windows, stream-static join, stream-stream join, now the
 # curation flow).
 def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..pipelines.corpus_curation import CurationConfig, curate_corpus
     from ..sources.files import read_parquet_stream
@@ -2887,7 +2882,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         allowed_languages={"en"}, exact_dedup=False, near_dup_threshold=None,
     )
     filtered = curate_corpus(stream, cfg).select("doc_id", "text", "n_tokens")
-    root = tempfile.mkdtemp(prefix="scing_")
+    root = scratch_dir(prefix="scing_")
     target = f"{root}/corpus"
     q = (
         filtered.writeStream.foreachBatch(min_id_dedup_ingest(target))
@@ -2895,7 +2890,7 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{root}/_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return read_min_id_snapshot(spark, target).select("doc_id", "n_tokens")
 
 
@@ -2906,13 +2901,12 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # determinism against the identical batch oracle — the case the old
 # first-seen sink could only refuse to run.
 def streaming_corpus_ingest_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..pipelines.corpus_curation import CurationConfig, curate_corpus
     from ..streaming.incremental import min_id_dedup_ingest, read_min_id_snapshot
 
     docs = _t(spark, sf_dir, "documents")
-    root = tempfile.mkdtemp(prefix="scimb_")
+    root = scratch_dir(prefix="scimb_")
     feed, target = f"{root}/feed", f"{root}/corpus"
     docs.repartition(4).write.mode("overwrite").parquet(feed)
     stream = (
@@ -2931,7 +2925,7 @@ def streaming_corpus_ingest_multibatch(spark: SparkSession, sf_dir: str) -> Data
         .option("checkpointLocation", f"{root}/_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return read_min_id_snapshot(spark, target).select("doc_id", "n_tokens")
 
 
@@ -2947,12 +2941,11 @@ def streaming_corpus_ingest_multibatch(spark: SparkSession, sf_dir: str) -> Data
 # (incremental work per batch), on the versioned-snapshot durability
 # machinery shared with the exact min-id sink.
 def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..streaming.incremental import neardup_lowid_ingest, read_neardup_corpus
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="snd_")
+    root = scratch_dir(prefix="snd_")
     feed, target = f"{root}/feed", f"{root}/corpus"
     docs.repartition(4).write.mode("overwrite").parquet(feed)
     stream = (
@@ -2968,7 +2961,7 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{root}/_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return read_neardup_corpus(spark, target).select("doc_id")
 
 
@@ -3014,7 +3007,6 @@ WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
 # (pytest proves it in-process; this proves it across micro-batch
 # boundaries and a real sink).
 def streaming_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..operators.sketches import count_min_sketch
     from ..sources.files import read_parquet_table
@@ -3022,7 +3014,7 @@ def streaming_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_parquet_table(spark, f"{sf_dir.rstrip('/')}/events.parquet").select(
         "event_type"
     )
-    root = tempfile.mkdtemp(prefix="scms_")
+    root = scratch_dir(prefix="scms_")
     feed, target = f"{root}/feed", f"{root}/cells"
     ev.repartition(4).write.mode("overwrite").parquet(feed)
 
@@ -3052,7 +3044,7 @@ def streaming_cms_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{root}/_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return (
         spark.read.parquet(target)
         .groupBy("seed", "bucket")
@@ -3601,7 +3593,6 @@ FROM hits h
 #   agree (signatures are pure functions of text → banding rows
 #   bit-identical), asserted as a constant-TRUE verdict.
 def minhash_index_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..operators.dedup import (
         append_to_minhash_index,
@@ -3623,7 +3614,7 @@ def minhash_index_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     delivery = fresh.unionByName(redelivered)
 
-    root = tempfile.mkdtemp(prefix="mhidx_")
+    root = scratch_dir(prefix="mhidx_")
     save_minhash_index(half_a, f"{root}/appended")
     append_to_minhash_index(half_b, f"{root}/appended")
     save_minhash_index(corpus, f"{root}/rebuilt")

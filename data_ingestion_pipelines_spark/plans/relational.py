@@ -22,6 +22,8 @@ from ..operators.incremental import copy_needed_condition
 from ..operators.windows import chunk_by_range, chunk_by_row_number, keep_latest
 from ..sinks.merge import merge_upsert
 from ..sources.files import read_parquet_table
+from ..session import scratch_dir
+from ..streaming.incremental import await_or_raise
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -840,14 +842,13 @@ GROUP BY l_returnflag
 # the same SQL as the batch twin — batch/stream parity through the real
 # sink path.
 def event_hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.files import read_parquet_stream
     from ..streaming.incremental import foreach_batch_upsert, windowed_event_aggregate
 
     stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
     agg = windowed_event_aggregate(stream, group_cols=["event_type"]).drop("window_end")
-    root = tempfile.mkdtemp(prefix="evtwin_")
+    root = scratch_dir(prefix="evtwin_")
     target = f"{root}/windows"
     q = foreach_batch_upsert(
         agg,
@@ -855,7 +856,7 @@ def event_hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFram
         keys=["window_start", "event_type"],
         checkpoint_path=f"{root}/_ckpt",
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.read.parquet(target).select(
         "window_start", "event_type", "n_events", "total_value"
     )
@@ -871,7 +872,6 @@ def event_hourly_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFram
 # one batch SQL statement: batch/stream parity proof for joins, like
 # event_hourly_windows_streaming proves it for windows.
 def stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.files import read_parquet_stream
     from ..streaming.incremental import foreach_batch_upsert
@@ -884,7 +884,7 @@ def stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("c_mktsegment", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    root = tempfile.mkdtemp(prefix="evtseg_")
+    root = scratch_dir(prefix="evtseg_")
     target = f"{root}/segments"
     q = foreach_batch_upsert(
         agg,
@@ -892,7 +892,7 @@ def stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["c_mktsegment", "event_type"],
         checkpoint_path=f"{root}/_ckpt",
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.read.parquet(target).select(
         "c_mktsegment", "event_type", "n_events"
     )
@@ -1069,13 +1069,12 @@ SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type
 # that values survive the split/re-read. (Pruning itself is plan-asserted
 # in tests/test_plan_pushdown.py; the hash here pins the data path.)
 def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sinks.writers import load_dataframe
     from ..specs import LoadType
 
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    root = tempfile.mkdtemp(prefix="partw_") + "/events"
+    root = scratch_dir(prefix="partw_") + "/events"
     load_dataframe(ev, root, LoadType.SNP, partition_by=["event_type"])
     back = spark.read.parquet(root).filter(
         F.col("event_type").isin("view", "purchase")
@@ -1109,7 +1108,6 @@ GROUP BY 1
 # against the reconstructed SCD2 table in batch SQL (equivalence needs
 # unique (user_id, ts), which holds in events at every SF).
 def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..operators.profiling import scd2_from_events
     from ..operators.temporal_joins import asof_join
@@ -1129,7 +1127,7 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts")
     )
-    root = tempfile.mkdtemp(prefix="scd2en_")
+    root = scratch_dir(prefix="scd2en_")
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         from ..streaming.incremental import idempotent_batch_append
@@ -1150,7 +1148,7 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("checkpointLocation", f"{root}/_ckpt")
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     # _batch_id is sink plumbing (the exactly-once partition key), not data
     return spark.read.parquet(f"{root}/out").drop("_batch_id")
 
@@ -1268,7 +1266,6 @@ JOIN (SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY 1) d
 # (windows: event_hourly_windows_streaming; stream-static joins:
 # stream_enriched_segments).
 def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.files import read_parquet_stream
     from ..streaming.joins import stream_stream_interval_join
@@ -1287,7 +1284,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(
         views, purchases, key="user_id", lookback_sec=3600, watermark="10 minutes"
     )
-    root = tempfile.mkdtemp(prefix="ssattr_")
+    root = scratch_dir(prefix="ssattr_")
     q = (
         joined.writeStream.format("parquet")
         .option("path", f"{root}/out")
@@ -1295,7 +1292,7 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.read.parquet(f"{root}/out").select(
         F.col("l_user_id").alias("user_id"),
         F.col("l_view_id").alias("view_id"),
@@ -1320,12 +1317,11 @@ WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 # sums would diverge from the oracle computed off the original parquet.
 # (CSV doubles survive because Spark writes shortest-round-trip reprs.)
 def format_roundtrip_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    root = tempfile.mkdtemp(prefix="fmtrt_")
+    root = scratch_dir(prefix="fmtrt_")
     orders.write.mode("overwrite").option("header", True).csv(f"{root}/csv")
     orders.write.mode("overwrite").orc(f"{root}/orc")
     csv_back = (
@@ -1760,21 +1756,20 @@ FROM part
 # production foreachBatch sink, hash-checked against the batch DISTINCT —
 # a second batch/stream parity proof beyond the windowed aggregate.
 def streaming_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.files import read_parquet_stream
     from ..streaming.incremental import foreach_batch_upsert
 
     stream = read_parquet_stream(spark, f"{sf_dir.rstrip('/')}/events.parquet")
     distinct = stream.select("event_type").dropDuplicates()
-    root = tempfile.mkdtemp(prefix="evdistinct_")
+    root = scratch_dir(prefix="evdistinct_")
     q = foreach_batch_upsert(
         distinct,
         f"{root}/types",
         keys=["event_type"],
         checkpoint_path=f"{root}/_ckpt",
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return spark.read.parquet(f"{root}/types")
 
 
@@ -1790,7 +1785,6 @@ STREAMING_DISTINCT_TYPES_SQL = "SELECT DISTINCT event_type FROM events"
 # deduped stream MERGEs on event_id (idempotent under replay); counts per
 # type must equal the single-copy batch answer.
 def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     from ..sources.files import read_parquet_stream
     from ..streaming.incremental import foreach_batch_upsert
@@ -1804,14 +1798,14 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "event_type"
     )
-    root = tempfile.mkdtemp(prefix="evdedup_")
+    root = scratch_dir(prefix="evdedup_")
     q = foreach_batch_upsert(
         dedup,
         f"{root}/events",
         keys=["event_id"],
         checkpoint_path=f"{root}/_ckpt",
     )
-    q.awaitTermination(300)
+    await_or_raise(q)
     return (
         spark.read.parquet(f"{root}/events")
         .groupBy("event_type")

@@ -54,3 +54,18 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def scratch_dir(prefix: str) -> str:
+    """A self-cleaning ``mkdtemp``: gate queries and demos write their
+    streaming feeds / roundtrip sinks here, and the dir is removed at
+    interpreter exit. Bare ``tempfile.mkdtemp`` leaked one dir per gate
+    invocation — a best-of-5 bench run of a streaming gate left five
+    full corpus copies under /tmp."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d

@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def await_or_raise(query: StreamingQuery, timeout_sec: int = 300) -> None:
+    """``awaitTermination`` with the silent-timeout footgun removed:
+    Spark returns ``False`` when the timeout expires with the query
+    still running, and a caller that ignores the return value proceeds
+    against whatever half-written sink state exists. Stop the query and
+    raise instead — a hung AvailableNow drain is a bug, never data."""
+    if not query.awaitTermination(timeout_sec):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} did not finish "
+            f"within {timeout_sec}s"
+        )
+
+
 def incremental_batch_stream(
     spark: SparkSession,
     source_path: str,
