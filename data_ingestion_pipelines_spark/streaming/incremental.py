@@ -503,16 +503,33 @@ def _neardup_hwm(base: str) -> tuple[str | None, int]:
         return name, -1
 
 
-def _read_neardup_state(spark, base: str):
+def _read_neardup_state(spark, base: str, as_of_batch: int | None = None):
     """Merged MOR view (docs, grams, sizes, flags): the compaction
     snapshot, if any, plus every committed delta above its high-water
     batch id. All None when nothing has committed yet. Delta data dirs
     at-or-below the high-water mark are ignored even if still present,
-    so compaction's prune is pure garbage collection."""
+    so compaction's prune is pure garbage collection.
+
+    ``as_of_batch`` time-travels: deltas are merged only through that
+    batch id, reconstructing the corpus exactly as it stood after that
+    micro-batch committed (flag deltas are cumulative-by-discovery, so
+    docs≤N minus flags≤N IS the one-shot predicate over batches 0..N).
+    Compaction bounds the horizon — a snapshot can't be unfolded, so
+    requesting a point below its high-water mark raises (the Iceberg
+    snapshot-expiry trade: compaction exchanges time-travel depth for
+    file count)."""
     import os
 
     snap, hwm = _neardup_hwm(base)
+    if as_of_batch is not None and hwm > int(as_of_batch):
+        raise ValueError(
+            f"as_of_batch {int(as_of_batch)} predates the compaction "
+            f"high-water mark {hwm} of {base}: folded deltas cannot be "
+            "unfolded — compact less often to keep a deeper horizon"
+        )
     ids = [i for i in _neardup_committed_ids(base) if i > hwm]
+    if as_of_batch is not None:
+        ids = [i for i in ids if i <= int(as_of_batch)]
     # a marker whose data dirs were pruned by compaction contributes
     # nothing (its rows live in the snapshot) — guard against it
     ids = [i for i in ids if os.path.isdir(f"{base}/delta/batch-{i}/docs")]
@@ -528,12 +545,17 @@ def _read_neardup_state(spark, base: str):
     return tuple(spark.read.parquet(*parts[k]) for k in ("docs", "grams", "sizes", "flags"))
 
 
-def read_neardup_corpus(spark, target_path: str) -> DataFrame:
-    """Surviving documents from :func:`neardup_lowid_ingest`'s current
-    merged state: docs minus the dropped-flag set, resolved at read
-    time (merge-on-read)."""
+def read_neardup_corpus(
+    spark, target_path: str, as_of_batch: int | None = None
+) -> DataFrame:
+    """Surviving documents from :func:`neardup_lowid_ingest`'s merged
+    state: docs minus the dropped-flag set, resolved at read time
+    (merge-on-read). ``as_of_batch=N`` time-travels to the corpus
+    exactly as it stood after micro-batch N committed — the
+    reproducibility handle for "which corpus did run X train on?"
+    (compaction bounds the horizon; see :func:`_read_neardup_state`)."""
     base = target_path.rstrip("/")
-    docs, _, _, flags = _read_neardup_state(spark, base)
+    docs, _, _, flags = _read_neardup_state(spark, base, as_of_batch)
     if docs is None:
         raise FileNotFoundError(f"no committed batches under {base}")
     return docs.join(flags.select(flags.columns[0]), flags.columns[0], "left_anti")

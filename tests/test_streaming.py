@@ -526,3 +526,61 @@ def test_neardup_lowid_ingest_compaction_invariant(spark, tmp_path):
     for i, b in enumerate(batches):
         sink2(b, i)
     assert survivors(plain) == expect
+
+
+def test_neardup_corpus_time_travel(spark, tmp_path):
+    """read_neardup_corpus(as_of_batch=N) reconstructs the corpus
+    exactly as it stood after batch N — equal to running only batches
+    0..N — and compaction bounds the horizon with a loud error."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        compact_neardup_corpus,
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    batches = [
+        spark.createDataFrame([(7, near_a), (1, "first unique doc")],
+                              "doc_id bigint, text string"),
+        spark.createDataFrame([(2, base_a), (8, "second unique doc")],
+                              "doc_id bigint, text string"),
+        spark.createDataFrame([(9, near_a), (3, "third unique doc")],
+                              "doc_id bigint, text string"),
+    ]
+
+    def survivors(path, as_of=None):
+        return sorted(
+            r["doc_id"]
+            for r in read_neardup_corpus(spark, str(path), as_of_batch=as_of)
+            .select("doc_id").collect()
+        )
+
+    full = tmp_path / "full"
+    sink = neardup_lowid_ingest(str(full), threshold=0.5)
+    for i, b in enumerate(batches):
+        sink(b, i)
+
+    # after batch 0 only 7 and 1 exist (no near-dup pair yet); after
+    # batch 1 doc 2 arrives and flags 7; batch 2's doc 9 gets flagged
+    assert survivors(full, as_of=0) == [1, 7]
+    assert survivors(full, as_of=1) == [1, 2, 8]
+    assert survivors(full, as_of=2) == [1, 2, 3, 8]
+    assert survivors(full) == [1, 2, 3, 8]  # default = latest
+
+    # prefix-run equivalence: as_of=1 equals a run that only ever saw
+    # batches 0 and 1
+    prefix = tmp_path / "prefix"
+    sink2 = neardup_lowid_ingest(str(prefix), threshold=0.5)
+    sink2(batches[0], 0)
+    sink2(batches[1], 1)
+    assert survivors(full, as_of=1) == survivors(prefix)
+
+    # compaction folds through batch 2 → points below its high-water
+    # mark are no longer reconstructable
+    assert compact_neardup_corpus(spark, str(full)) is True
+    with pytest.raises(ValueError, match="high-water"):
+        survivors(full, as_of=1)
+    assert survivors(full, as_of=2) == [1, 2, 3, 8]  # at the mark: fine
