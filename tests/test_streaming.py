@@ -448,6 +448,17 @@ def test_neardup_lowid_ingest_batch_order_deterministic(spark, tmp_path):
     )
     assert rows == [1, 2, 4, 8]
 
+    # re-SENT ids under a NEW batch id (not a replay: no marker) anti-
+    # join to an empty batch — four EMPTY deltas that readers must
+    # merge harmlessly
+    sink(b_late, 2)
+    rows = sorted(
+        r["doc_id"]
+        for r in read_neardup_corpus(spark, str(tmp_path / "replay"))
+        .select("doc_id").collect()
+    )
+    assert rows == [1, 2, 4, 8]
+
 
 def test_neardup_lowid_ingest_compaction_invariant(spark, tmp_path):
     """compact_neardup_corpus folds committed deltas into a snapshot
