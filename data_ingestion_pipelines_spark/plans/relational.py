@@ -1944,48 +1944,6 @@ WHERE CAST(CAST(p.val_dec AS VARCHAR) AS DOUBLE) > t.total / t.n_parts * 1.2
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q15-style argmax: revenue per supplier over one quarter, keep the
-# supplier(s) whose revenue EQUALS the global max. Equality is tested on
-# exact decimals (never doubles), so ties are deterministic cross-engine.
-def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        "decimal(38,8)"
-    )
-    per_supp = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("rev_dec"))
-    max_rev = per_supp.agg(F.max("rev_dec").alias("max_dec"))
-    return (
-        per_supp.crossJoin(F.broadcast(max_rev))
-        .filter(F.col("rev_dec") == F.col("max_dec"))
-        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
-        .select(
-            "s_suppkey",
-            "s_name",
-            F.col("rev_dec").cast("double").alias("total_revenue"),
-        )
-    )
-
-
-TOP_REVENUE_SUPPLIERS_SQL = """
-WITH per_supp AS (
-  SELECT l_suppkey,
-         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,8))) AS rev_dec
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
-  GROUP BY 1
-)
-SELECT s.s_suppkey, s.s_name,
-       CAST(CAST(p.rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
-FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
-WHERE p.rev_dec = (SELECT MAX(rev_dec) FROM per_supp)
-"""
-
-
-# --------------------------------------------------------------------------
 # TPC-H Q21-style "only late supplier": for finished multi-supplier
 # orders, suppliers whose item shipped late (>60d after order) while NO
 # other supplier on the order was late. The EXISTS / NOT EXISTS pair is

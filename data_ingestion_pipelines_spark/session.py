@@ -60,8 +60,10 @@ def scratch_dir(prefix: str) -> str:
     """A self-cleaning ``mkdtemp``: gate queries and demos write their
     streaming feeds / roundtrip sinks here, and the dir is removed at
     interpreter exit. Bare ``tempfile.mkdtemp`` leaked one dir per gate
-    invocation — a best-of-5 bench run of a streaming gate left five
-    full corpus copies under /tmp."""
+    invocation FOREVER; atexit bounds the leak to the process lifetime.
+    Peak usage within one process still accumulates (a best-of-5 bench
+    run holds 5 scratch dirs until exit) — acceptable at gate scale; a
+    long-lived service should pass its own managed directory instead."""
     import atexit
     import shutil
     import tempfile

@@ -32,10 +32,25 @@ def await_or_raise(query: StreamingQuery, timeout_sec: int = 300) -> None:
     """``awaitTermination`` with the silent-timeout footgun removed:
     Spark returns ``False`` when the timeout expires with the query
     still running, and a caller that ignores the return value proceeds
-    against whatever half-written sink state exists. Stop the query and
-    raise instead — a hung AvailableNow drain is a bug, never data."""
+    against whatever half-written sink state exists. Raise instead — a
+    hung AvailableNow drain is a bug, never data. The best-effort
+    ``stop()`` runs on a bounded daemon thread: under the default
+    ``spark.sql.streaming.stopTimeout`` (unbounded), ``stop()`` on a
+    drain wedged in an uninterruptible task would itself hang forever —
+    exactly the failure this helper exists to surface — and an
+    exception from ``stop()`` must not mask the TimeoutError either."""
     if not query.awaitTermination(timeout_sec):
-        query.stop()
+        import threading
+
+        def _stop() -> None:
+            try:
+                query.stop()
+            except Exception:
+                pass
+
+        t = threading.Thread(target=_stop, daemon=True)
+        t.start()
+        t.join(30)
         raise TimeoutError(
             f"streaming query {query.name or query.id} did not finish "
             f"within {timeout_sec}s"

@@ -42,14 +42,14 @@ def test_no_duplicate_keys_inside_any_queries_literal():
     """A duplicate key in a module's QUERIES dict literal silently
     shadows the earlier entry (Python keeps the last) — the cross-module
     collision assert in plans/__init__ can't see it. Parse each module's
-    source and reject within-literal duplicates."""
+    source and reject within-literal duplicates. Globbed, not a
+    hardcoded module list, so a future plans/*.py is covered too."""
     import ast
     import pathlib
 
-    pkg = pathlib.Path("data_ingestion_pipelines_spark/plans")
     checked = 0
-    for mod in ("relational.py", "llmops.py", "ingestion.py"):
-        tree = ast.parse((pkg / mod).read_text())
+    for mod in sorted(pathlib.Path("data_ingestion_pipelines_spark/plans").glob("*.py")):
+        tree = ast.parse(mod.read_text())
         for node in ast.walk(tree):
             if not (isinstance(node, ast.Assign)
                     and any(getattr(t, "id", None) == "QUERIES" for t in node.targets)
@@ -58,6 +58,29 @@ def test_no_duplicate_keys_inside_any_queries_literal():
             names = [k.value for k in node.value.keys
                      if isinstance(k, ast.Constant)]
             dupes = sorted({n for n in names if names.count(n) > 1})
-            assert not dupes, f"{mod}: duplicate QUERIES keys {dupes}"
+            assert not dupes, f"{mod.name}: duplicate QUERIES keys {dupes}"
             checked += 1
-    assert checked == 3  # all three plan modules were actually parsed
+    assert checked >= 3  # the three current plan modules at minimum
+
+
+def test_no_shadowed_top_level_defs_in_plan_modules():
+    """A module defining the same top-level function or CONSTANT twice
+    silently runs the LAST definition while reviewers read the first —
+    the exact failure that left a dead, materially-different
+    top_revenue_suppliers pair in relational.py. Reject duplicate
+    top-level def/assignment names in every plan module."""
+    import ast
+    import pathlib
+
+    for mod in sorted(pathlib.Path("data_ingestion_pipelines_spark/plans").glob("*.py")):
+        tree = ast.parse(mod.read_text())
+        names: list[str] = []
+        for node in tree.body:  # top level only
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                names.append(node.name)
+            elif isinstance(node, ast.Assign):
+                names.extend(
+                    t.id for t in node.targets if isinstance(t, ast.Name)
+                )
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        assert not dupes, f"{mod.name}: shadowed top-level names {dupes}"

@@ -1,5 +1,6 @@
 import datetime as dt
 
+from data_ingestion_pipelines_spark.streaming.incremental import await_or_raise
 from data_ingestion_pipelines_spark.streaming.stateful import sessionize_stream
 
 
@@ -27,7 +28,7 @@ def test_stateful_sessionization_closes_on_gap(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     q.stop()
     got = spark.sql("SELECT * FROM closed_sessions").collect()
     # user 1's first session closed by the in-data gap; the rest are open
@@ -61,7 +62,7 @@ def test_stateful_sessionizer_parity_with_pandas_model(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     q.stop()
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
@@ -135,7 +136,7 @@ def test_transform_with_state_twin_matches_applyinpandas(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         q.stop()
         return {
             tuple(r)

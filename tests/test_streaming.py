@@ -3,6 +3,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from data_ingestion_pipelines_spark.streaming.incremental import (
+    await_or_raise,
     foreach_batch_upsert,
     incremental_batch_stream,
     windowed_event_aggregate,
@@ -16,18 +17,18 @@ def test_incremental_batch_stream_picks_up_new_files(spark, tmp_path):
 
     spark.createDataFrame([(1, "a")], "k int, v string").write.parquet(src)
     q = incremental_batch_stream(spark, src, sink, ckpt)
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     assert spark.read.parquet(sink).count() == 1
 
     # second batch of files → only the delta is processed
     spark.createDataFrame([(2, "b"), (3, "c")], "k int, v string").write.mode("append").parquet(src)
     q = incremental_batch_stream(spark, src, sink, ckpt)
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     assert spark.read.parquet(sink).count() == 3
 
     # no new files → no-op
     q = incremental_batch_stream(spark, src, sink, ckpt)
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     assert spark.read.parquet(sink).count() == 3
 
 
@@ -38,7 +39,7 @@ def test_incremental_stream_with_transform(spark, tmp_path):
         spark, src, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
         transform=lambda df: df.withColumn("x2", F.col("x") * 2),
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {r["k"]: r["x2"] for r in spark.read.parquet(str(tmp_path / "sink")).collect()}
     assert got == {1: 10.0, 2: 12.0}
 
@@ -73,7 +74,7 @@ def test_windowed_aggregate_batch_and_stream_agree(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     streamed = {
         (r["window_start"].hour, r["event_type"]): (r["n_events"], r["total_value"])
         for r in spark.sql("SELECT * FROM win_agg").collect()
@@ -91,7 +92,7 @@ def test_foreach_batch_upsert(spark, tmp_path):
     ).write.parquet(src)
     stream = spark.readStream.schema("k int, v string, ver int").parquet(src)
     q = foreach_batch_upsert(stream, target, keys=["k"], checkpoint_path=str(tmp_path / "ck"), order_col="ver")
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {(r["k"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert got == {(1, "new"), (2, "ins")}
 
@@ -183,7 +184,7 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {
         (r["r_purchase_id"], r["l_view_id"])
         for r in spark.sql("SELECT * FROM attrib").collect()
@@ -215,7 +216,7 @@ def test_progress_recorder_captures_microbatches(spark, tmp_path):
             .outputMode("complete").trigger(availableNow=True)
             .option("checkpointLocation", str(tmp_path / "ck")).start()
         )
-        q.awaitTermination(120)
+        await_or_raise(q, 120)
         deadline = _time.time() + 30  # listener events are async
         while _time.time() < deadline and not any(
             r["num_input_rows"] == 20 for r in rec.rows
@@ -275,7 +276,7 @@ def test_streaming_ingest_dedups_across_microbatches(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
-    q.awaitTermination(120)
+    await_or_raise(q, 120)
     got = {r["doc_id"] for r in spark.read.parquet(target).collect()}
     # 2 batches ran; doc 3 (redelivered content) must be absent
     assert got == {1, 2, 4}
