@@ -63,24 +63,24 @@ def test_no_duplicate_keys_inside_any_queries_literal():
     assert checked >= 3  # the three current plan modules at minimum
 
 
-def test_no_shadowed_top_level_defs_in_plan_modules():
-    """A module defining the same top-level function or CONSTANT twice
-    silently runs the LAST definition while reviewers read the first —
-    the exact failure that left a dead, materially-different
+def test_no_shadowed_top_level_defs_in_package():
+    """A module defining the same top-level function/class/CONSTANT
+    twice silently runs the LAST definition while reviewers read the
+    first — the exact failure that left a dead, materially-different
     top_revenue_suppliers pair in relational.py. Reject duplicate
-    top-level def/assignment names in every plan module."""
+    top-level names across the ENTIRE package (verified clean today)."""
     import ast
     import pathlib
 
-    for mod in sorted(pathlib.Path("data_ingestion_pipelines_spark/plans").glob("*.py")):
+    for mod in sorted(pathlib.Path("data_ingestion_pipelines_spark").rglob("*.py")):
         tree = ast.parse(mod.read_text())
         names: list[str] = []
         for node in tree.body:  # top level only
-            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
                 names.append(node.name)
             elif isinstance(node, ast.Assign):
                 names.extend(
                     t.id for t in node.targets if isinstance(t, ast.Name)
                 )
         dupes = sorted({n for n in names if names.count(n) > 1})
-        assert not dupes, f"{mod.name}: shadowed top-level names {dupes}"
+        assert not dupes, f"{mod}: shadowed top-level names {dupes}"
