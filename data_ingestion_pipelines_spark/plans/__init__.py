@@ -38,12 +38,13 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-8 window (50 = 9 dark + 8 changed + 33 re-checks), from
-    # tools/rotate_window.py. Positions 1-9: this round's nine NEW gates
+    # -- round-8 window (50 = 10 dark + 8 changed + 32 re-checks), from
+    # tools/rotate_window.py. Positions 1-10: this round's ten NEW gates
     # (Bloom-prefiltered dedup, persisted MinHash index lifecycle, ANN
     # index append verdict, the three REAL-stdlib-decoder multimodal
     # gates incl. the resize/resample tier, dHash image near-dup, the
-    # streaming NEAR-dup lowest-id-wins sink). Next: gates semantically changed
+    # streaming NEAR-dup lowest-id-wins sink, the cross-split leakage
+    # audit). Next: gates semantically changed
     # this round — part_copurchase_pagerank (now hash-oracled via the
     # exact integer twin — first value-hash evidence after 7 rows-only
     # rounds), the explicit-whitespace-class BPE pre-tokenizer, the two
@@ -63,6 +64,7 @@ _PRIORITY = [
     "image_dhash_neardup_docs",
     "knn_label_vote",
     "streaming_neardup_ingest",
+    "split_leakage_report",
     "part_copurchase_pagerank",
     "doc_bpe_regex_token_count",
     "multimodal_decode",
@@ -104,12 +106,11 @@ _PRIORITY = [
     "dominant_part_suppliers",
     "cdc_orders_snapshot",
     "conversion_funnel",
-    "urgent_open_orders",
     # event_type_skew_report rotated out (r3-green) for knn_label_vote;
-    # returned_item_losses + part_zorder_keys (both r2/r3-green,
-    # sweep-netted) rotated out late-round for the two newest gates
-    # (multimodal_resize_real, streaming_neardup_ingest) so no r8 gate
-    # stays driver-dark
+    # returned_item_losses + part_zorder_keys + urgent_open_orders (all
+    # r2/r3-green, sweep-netted) rotated out late-round for the three
+    # newest gates (multimodal_resize_real, streaming_neardup_ingest,
+    # split_leakage_report) so no r8 gate stays driver-dark
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -1026,6 +1026,71 @@ TRAIN_VAL_TEST_SPLIT_SQL = (
 
 
 # --------------------------------------------------------------------------
+# Split-leakage audit: near-dup pairs that CROSS the train/val/test
+# hash-split boundary — the self-contamination a random split always
+# manufactures (a near-dup pair lands in different splits with
+# probability 1 − Σ fᵢ², ≈ 34% under 0.8/0.1/0.1), silently optimistic
+# eval if unaudited. Composes two already-oracled pieces verbatim — the
+# exact banded n-gram Jaccard pairs and the md5-interval hash split —
+# so the whole audit is hash-verifiable end to end. Scale shape: the
+# split is a shuffle-free projection joined onto the pair output by id
+# (uniform keys), so the audit costs the pair search + two cheap joins.
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    splits = hash_split(docs, key_col="doc_id", splits=_SPLITS, salt="split1")
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
+SPLIT_LEAKAGE_REPORT_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), gsets AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), bands AS MATERIALIZED (
+  SELECT s.doc_id, s.g, t.band,
+         list_min(list_transform(s.g,
+           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
+  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), pairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ga.g, gb.g))
+           / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN gsets ga ON ga.doc_id = c.id_a
+  JOIN gsets gb ON gb.doc_id = c.id_b
+  WHERE len(list_intersect(ga.g, gb.g))
+          / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.05
+), sp AS MATERIALIZED (
+  SELECT doc_id, {{split_cases}} AS split FROM documents
+)
+SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.id_a
+JOIN sp sb ON sb.doc_id = p.id_b
+WHERE sa.split <> sb.split
+""".replace("{split_cases}", _split_cases())
+
+
+# --------------------------------------------------------------------------
 # Token-count comparison: GPT-2-style pre-tokens (the BPE-ish counter a
 # token budget is denominated in) vs plain whitespace tokens per doc —
 # both as pure codegen regex counts, the pattern shared verbatim with
@@ -4022,6 +4087,7 @@ QUERIES = {
     "gopher_repetition_docs": (gopher_repetition_docs, GOPHER_REPETITION_DOCS_SQL),
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
+    "split_leakage_report": (split_leakage_report, SPLIT_LEAKAGE_REPORT_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL),
     "doc_char_diversity": (doc_char_diversity, DOC_CHAR_DIVERSITY_SQL),
     "doc_bpe_regex_token_count": (

@@ -204,3 +204,49 @@ def test_curriculum_buckets_thresholds_and_ties(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         curriculum_buckets(df, "score", n_buckets=1)
+
+
+def test_split_leakage_report_flags_only_cross_split_neardups(spark):
+    """The leakage audit must report exactly the near-dup pairs whose
+    endpoints hash into DIFFERENT splits — verified against an
+    independent recomputation from hash_split + the pair list."""
+    from data_ingestion_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+    from data_ingestion_pipelines_spark.operators.sampling import hash_split
+    from data_ingestion_pipelines_spark.plans.llmops import _SPLITS
+
+    # 12 verbatim copies: every unordered pair is a J=1 near-dup, so the
+    # expected report is ALL cross-split pairs among them
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1, 13)], "doc_id bigint, text string"
+    )
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", _SPLITS, salt="split1").collect()
+    }
+    assert len(set(split_of.values())) >= 2  # fixture spans splits
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.05).collect()
+    }
+    expected = {
+        (a, b, split_of[a], split_of[b])
+        for a, b in pairs
+        if split_of[a] != split_of[b]
+    }
+    assert expected  # fixture actually produces leakage
+
+    splits = hash_split(docs, "doc_id", _SPLITS, salt="split1")
+    from pyspark.sql import functions as F
+
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    report = {
+        (r["id_a"], r["id_b"], r["split_a"], r["split_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+        .join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .collect()
+    }
+    assert report == expected
