@@ -662,19 +662,22 @@ _ND_POOL = [
     texts=st.lists(st.sampled_from(_ND_POOL), min_size=1, max_size=6),
     assign=st.lists(st.integers(min_value=0, max_value=2), min_size=6, max_size=6),
     order=st.permutations([0, 1, 2]),
+    compact_after=st.lists(st.booleans(), min_size=3, max_size=3),
 )
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_neardup_streaming_equals_one_shot(spark, texts, assign, order):
+def test_neardup_streaming_equals_one_shot(spark, texts, assign, order, compact_after):
     """The streaming near-dup sink is invariant to HOW the corpus is
-    split into micro-batches and to their arrival order: any random
-    batching, streamed through the merge-on-read sink, yields the same
-    survivor set as feeding everything as ONE batch (the one-shot form
-    the gate's SQL oracle models)."""
+    split into micro-batches, to their arrival order AND to when
+    compaction runs: any random batching with compaction interleaved at
+    random points, streamed through the merge-on-read sink, yields the
+    same survivor set as feeding everything as ONE batch (the one-shot
+    form the gate's SQL oracle models)."""
     import shutil
     import tempfile
 
     from data_ingestion_pipelines_spark.streaming.incremental import (
+        compact_neardup_corpus,
         neardup_lowid_ingest,
         read_neardup_corpus,
     )
@@ -682,15 +685,17 @@ def test_neardup_streaming_equals_one_shot(spark, texts, assign, order):
     rows = [(i + 1, t) for i, t in enumerate(texts)]
     schema = "doc_id bigint, text string"
 
-    def run(batches):
+    def run(batches, compaction_mask=()):
         root = tempfile.mkdtemp(prefix="ndprop_")
         try:
             sink = neardup_lowid_ingest(root, threshold=0.5)
             bid = 0
-            for b in batches:
+            for i, b in enumerate(batches):
                 if b:  # empty micro-batches simply don't fire
                     sink(spark.createDataFrame(b, schema), bid)
                     bid += 1
+                if i < len(compaction_mask) and compaction_mask[i] and bid:
+                    compact_neardup_corpus(spark, root)
             return sorted(
                 r["doc_id"]
                 for r in read_neardup_corpus(spark, root).select("doc_id").collect()
@@ -699,4 +704,4 @@ def test_neardup_streaming_equals_one_shot(spark, texts, assign, order):
             shutil.rmtree(root, ignore_errors=True)
 
     split = [[r for r, a in zip(rows, assign) if a == b] for b in order]
-    assert run(split) == run([rows])
+    assert run(split, compact_after) == run([rows])
