@@ -38,13 +38,13 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-8 window (50 = 10 dark + 8 changed + 32 re-checks), from
-    # tools/rotate_window.py. Positions 1-10: this round's ten NEW gates
-    # (Bloom-prefiltered dedup, persisted MinHash index lifecycle, ANN
-    # index append verdict, the three REAL-stdlib-decoder multimodal
+    # -- round-8 window (50 = 11 dark + 8 changed + 31 re-checks), from
+    # tools/rotate_window.py. Positions 1-11: this round's eleven NEW
+    # gates (Bloom-prefiltered dedup, persisted MinHash index lifecycle,
+    # ANN index append verdict, the three REAL-stdlib-decoder multimodal
     # gates incl. the resize/resample tier, dHash image near-dup, the
     # streaming NEAR-dup lowest-id-wins sink, the cross-split leakage
-    # audit). Next: gates semantically changed
+    # audit + its cluster-split FIX). Next: gates semantically changed
     # this round — part_copurchase_pagerank (now hash-oracled via the
     # exact integer twin — first value-hash evidence after 7 rows-only
     # rounds), the explicit-whitespace-class BPE pre-tokenizer, the two
@@ -65,6 +65,7 @@ _PRIORITY = [
     "knn_label_vote",
     "streaming_neardup_ingest",
     "split_leakage_report",
+    "leakage_free_split",
     "part_copurchase_pagerank",
     "doc_bpe_regex_token_count",
     "multimodal_decode",
@@ -105,12 +106,12 @@ _PRIORITY = [
     "large_volume_orders",
     "dominant_part_suppliers",
     "cdc_orders_snapshot",
-    "conversion_funnel",
     # event_type_skew_report rotated out (r3-green) for knn_label_vote;
-    # returned_item_losses + part_zorder_keys + urgent_open_orders (all
-    # r2/r3-green, sweep-netted) rotated out late-round for the three
-    # newest gates (multimodal_resize_real, streaming_neardup_ingest,
-    # split_leakage_report) so no r8 gate stays driver-dark
+    # returned_item_losses + part_zorder_keys + urgent_open_orders +
+    # conversion_funnel (all r2/r3-green, sweep-netted) rotated out
+    # late-round for the four newest gates (multimodal_resize_real,
+    # streaming_neardup_ingest, split_leakage_report,
+    # leakage_free_split) so no r8 gate stays driver-dark
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

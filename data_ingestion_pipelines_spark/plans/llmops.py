@@ -1091,6 +1091,82 @@ WHERE sa.split <> sb.split
 
 
 # --------------------------------------------------------------------------
+# Leakage-FREE split: the fix operator paired with the audit above.
+# Split on the near-dup CLUSTER representative (min id of the connected
+# component; singletons are their own representative) instead of the
+# raw doc id — every near-dup cluster lands wholly in one split, so the
+# split_leakage_report audit is empty BY CONSTRUCTION under this
+# assignment (pytest-pinned). Composes three oracled pieces: banded
+# n-gram Jaccard pairs, min-label connected components (DuckDB twin =
+# recursive-CTE transitive closure, the embedding_dup_clusters
+# pattern), and the md5-interval hash split keyed on the
+# representative. Scale shape: components converge in O(cluster
+# diameter) join+groupBy rounds on uniform keys (near-dup groups are
+# near-cliques), then one broadcast-join of (node → rep) onto docs.
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+    from ..operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    comp = dedup_clusters(pairs)  # (node, cluster)
+    with_rep = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    return hash_split(
+        with_rep, key_col="cluster_rep", splits=_SPLITS, salt="split1"
+    ).select("doc_id", "cluster_rep", "split")
+
+
+LEAKAGE_FREE_SPLIT_SQL = f"""
+WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), gsets AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), bands AS MATERIALIZED (
+  SELECT s.doc_id, s.g, t.band,
+         list_min(list_transform(s.g,
+           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
+  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), pairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN gsets ga ON ga.doc_id = c.id_a
+  JOIN gsets gb ON gb.doc_id = c.id_b
+  WHERE len(list_intersect(ga.g, gb.g))
+          / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.05
+), edges AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(src, node) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+), comp AS MATERIALIZED (
+  SELECT node, MIN(src) AS cluster FROM reach GROUP BY node
+), rep AS MATERIALIZED (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.cluster, d.doc_id) AS BIGINT) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, cluster_rep, {{split_cases}} AS split FROM rep
+""".replace("{split_cases}", _split_cases().replace("doc_id", "cluster_rep"))
+
+
+# --------------------------------------------------------------------------
 # Token-count comparison: GPT-2-style pre-tokens (the BPE-ish counter a
 # token budget is denominated in) vs plain whitespace tokens per doc —
 # both as pure codegen regex counts, the pattern shared verbatim with
@@ -4088,6 +4164,7 @@ QUERIES = {
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),
     "train_val_test_split": (train_val_test_split, TRAIN_VAL_TEST_SPLIT_SQL),
     "split_leakage_report": (split_leakage_report, SPLIT_LEAKAGE_REPORT_SQL),
+    "leakage_free_split": (leakage_free_split, LEAKAGE_FREE_SPLIT_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_DOCS_SQL),
     "doc_char_diversity": (doc_char_diversity, DOC_CHAR_DIVERSITY_SQL),
     "doc_bpe_regex_token_count": (

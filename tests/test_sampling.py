@@ -250,3 +250,51 @@ def test_split_leakage_report_flags_only_cross_split_neardups(spark):
         .collect()
     }
     assert report == expected
+
+
+def test_leakage_free_split_closes_the_audit(spark):
+    """Splitting on the near-dup cluster representative puts every
+    cluster wholly in one split — the leakage audit must come back
+    EMPTY under this assignment (the fix closes its own audit), and the
+    assignment must still be a disjoint total split with intact
+    clusters."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from data_ingestion_pipelines_spark.operators.sampling import hash_split
+    from data_ingestion_pipelines_spark.plans.llmops import _SPLITS
+
+    # two near-dup families + singletons, ids chosen arbitrarily
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(i, a) for i in (1, 5, 9, 13)]
+        + [(i, b) for i in (2, 6, 10)]
+        + [(3, "standalone first text"), (4, "another lonely document")],
+        "doc_id bigint, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
+    comp = dedup_clusters(pairs)
+    with_rep = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_rep"),
+    )
+    assigned = hash_split(with_rep, "cluster_rep", _SPLITS, salt="split1")
+
+    rows = {r["doc_id"]: (r["cluster_rep"], r["split"]) for r in assigned.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 9, 10, 13}  # total + disjoint
+    # family members share rep AND split
+    assert len({rows[i] for i in (1, 5, 9, 13)}) == 1
+    assert len({rows[i] for i in (2, 6, 10)}) == 1
+
+    # the audit is empty by construction: no near-dup pair crosses
+    split_of = {d: s for d, (_, s) in rows.items()}
+    crossing = [
+        (r["id_a"], r["id_b"])
+        for r in pairs.collect()
+        if split_of[r["id_a"]] != split_of[r["id_b"]]
+    ]
+    assert crossing == []
