@@ -1007,14 +1007,14 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _split_cases() -> str:
+def _split_cases(key: str = "doc_id") -> str:
     from ..operators.sampling import _hex_threshold
 
     cum, arms = 0.0, []
     for name, frac in _SPLITS[:-1]:
         cum += frac
         arms.append(
-            f"WHEN substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 8)"
+            f"WHEN substr(md5('split1' || CAST({key} AS VARCHAR)), 1, 8)"
             f" < '{_hex_threshold(cum)}' THEN '{name}'"
         )
     return "CASE " + " ".join(arms) + f" ELSE '{_SPLITS[-1][0]}' END"
@@ -1024,6 +1024,32 @@ TRAIN_VAL_TEST_SPLIT_SQL = (
     f"SELECT doc_id, source, {_split_cases()} AS split FROM documents"
 )
 
+
+# Shared banded n-gram candidate CTEs (tokenize → 3-gram sets → 4
+# salted-MinHash bands → candidate id pairs) — the DuckDB twin of
+# dedup._sign_grams, used by BOTH split-governance oracles below so the
+# banding SQL has one copy to keep in lockstep with the Spark helper.
+_NGRAM_CAND_CTES = """
+toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), gsets AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), bands AS MATERIALIZED (
+  SELECT s.doc_id, s.g, t.band,
+         list_min(list_transform(s.g,
+           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
+  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+"""
 
 # --------------------------------------------------------------------------
 # Split-leakage audit: near-dup pairs that CROSS the train/val/test
@@ -1052,25 +1078,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPLIT_LEAKAGE_REPORT_SQL = f"""
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-), gsets AS MATERIALIZED (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                        i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g
-  FROM toks
-), bands AS MATERIALIZED (
-  SELECT s.doc_id, s.g, t.band,
-         list_min(list_transform(s.g,
-           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
-  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
-), cand AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), pairs AS MATERIALIZED (
+WITH {{cand_ctes}}, pairs AS MATERIALIZED (
   SELECT c.id_a, c.id_b,
          len(list_intersect(ga.g, gb.g))
            / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) AS jaccard
@@ -1087,7 +1095,9 @@ FROM pairs p
 JOIN sp sa ON sa.doc_id = p.id_a
 JOIN sp sb ON sb.doc_id = p.id_b
 WHERE sa.split <> sb.split
-""".replace("{split_cases}", _split_cases())
+""".replace("{cand_ctes}", _NGRAM_CAND_CTES.strip()).replace(
+    "{split_cases}", _split_cases()
+)
 
 
 # --------------------------------------------------------------------------
@@ -1103,11 +1113,14 @@ WHERE sa.split <> sb.split
 # representative. Scale shape: components converge in O(cluster
 # diameter) join+groupBy rounds on uniform keys (near-dup groups are
 # near-cliques), then one broadcast-join of (node → rep) onto docs.
-def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_free_assign(docs: DataFrame) -> DataFrame:
+    """The assignment body of the ``leakage_free_split`` gate, exposed
+    df-level so tests pin the SHIPPED composition (salt, threshold,
+    key) rather than a re-implementation: (doc_id, text) →
+    (doc_id, cluster_rep, split)."""
     from ..operators.dedup import dedup_clusters
     from ..operators.sampling import hash_split
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
     comp = dedup_clusters(pairs)  # (node, cluster)
     with_rep = (
@@ -1122,26 +1135,14 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_rep", "split")
 
 
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_free_assign(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 LEAKAGE_FREE_SPLIT_SQL = f"""
-WITH RECURSIVE toks AS MATERIALIZED (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-), gsets AS MATERIALIZED (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                        i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g
-  FROM toks
-), bands AS MATERIALIZED (
-  SELECT s.doc_id, s.g, t.band,
-         list_min(list_transform(s.g,
-           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
-  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
-), cand AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), pairs AS MATERIALIZED (
+WITH RECURSIVE {{cand_ctes}}, pairs AS MATERIALIZED (
   SELECT c.id_a, c.id_b
   FROM cand c
   JOIN gsets ga ON ga.doc_id = c.id_a
@@ -1163,7 +1164,9 @@ WITH RECURSIVE toks AS MATERIALIZED (
   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 )
 SELECT doc_id, cluster_rep, {{split_cases}} AS split FROM rep
-""".replace("{split_cases}", _split_cases().replace("doc_id", "cluster_rep"))
+""".replace("{cand_ctes}", _NGRAM_CAND_CTES.strip()).replace(
+    "{split_cases}", _split_cases(key="cluster_rep")
+)
 
 
 # --------------------------------------------------------------------------

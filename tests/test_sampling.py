@@ -258,14 +258,8 @@ def test_leakage_free_split_closes_the_audit(spark):
     EMPTY under this assignment (the fix closes its own audit), and the
     assignment must still be a disjoint total split with intact
     clusters."""
-    from pyspark.sql import functions as F
-
-    from data_ingestion_pipelines_spark.operators.dedup import (
-        dedup_clusters,
-        ngram_jaccard_pairs,
-    )
-    from data_ingestion_pipelines_spark.operators.sampling import hash_split
-    from data_ingestion_pipelines_spark.plans.llmops import _SPLITS
+    from data_ingestion_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+    from data_ingestion_pipelines_spark.plans.llmops import leakage_free_assign
 
     # two near-dup families + singletons, ids chosen arbitrarily
     a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -276,16 +270,12 @@ def test_leakage_free_split_closes_the_audit(spark):
         + [(3, "standalone first text"), (4, "another lonely document")],
         "doc_id bigint, text string",
     )
+    # drive the SHIPPED assignment (same salt/threshold/key as the gate)
+    collected = leakage_free_assign(docs).collect()
+    assert len(collected) == 9  # one row per doc: total AND disjoint
+    rows = {r["doc_id"]: (r["cluster_rep"], r["split"]) for r in collected}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 9, 10, 13}
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05)
-    comp = dedup_clusters(pairs)
-    with_rep = docs.join(comp, docs.doc_id == comp.node, "left").select(
-        "doc_id",
-        F.coalesce(F.col("cluster"), F.col("doc_id")).alias("cluster_rep"),
-    )
-    assigned = hash_split(with_rep, "cluster_rep", _SPLITS, salt="split1")
-
-    rows = {r["doc_id"]: (r["cluster_rep"], r["split"]) for r in assigned.collect()}
-    assert set(rows) == {1, 2, 3, 4, 5, 6, 9, 10, 13}  # total + disjoint
     # family members share rep AND split
     assert len({rows[i] for i in (1, 5, 9, 13)}) == 1
     assert len({rows[i] for i in (2, 6, 10)}) == 1
