@@ -45,6 +45,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','that','for','it']"
 
+# Shared banded n-gram candidate CTEs (tokenize → 3-gram sets → 4
+# salted-MinHash bands → candidate id pairs) — the DuckDB twin of
+# dedup._sign_grams. Every oracle that reproduces the banding composes
+# this ONE copy (ngram_jaccard_docs, streaming_neardup_ingest, the two
+# split-governance gates), so a tokenization/banding change lands in
+# exactly two places: the Spark helper and this constant.
+# (near_dup_quality_survivors inlines a variant that threads a quality
+# column through gsets — keep it in lockstep too.)
+_NGRAM_CAND_CTES = f"""
+toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), gsets AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), bands AS MATERIALIZED (
+  SELECT s.doc_id, s.g, t.band,
+         list_min(list_transform(s.g,
+           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
+  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+"""
+
 
 # --------------------------------------------------------------------------
 # Exact dedup: duplicate the corpus with shifted ids; the original (min id)
@@ -217,32 +247,14 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate generation mirrors _band_keys: 4 OR-amplified salted MinHash
 # bands, band t's key = min(md5('t:' || gram)) — bit-identical in DuckDB
 NGRAM_JACCARD_DOCS_SQL = """
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-), gsets AS (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                        i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g
-  FROM toks
-), bands AS (
-  SELECT s.doc_id, s.g, t.band,
-         list_min(list_transform(s.g,
-           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
-  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
+WITH {cand_ctes}
 SELECT c.id_a, c.id_b,
        len(list_intersect(ga.g, gb.g)) / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) AS jaccard
 FROM cand c
 JOIN gsets ga ON ga.doc_id = c.id_a
 JOIN gsets gb ON gb.doc_id = c.id_b
 WHERE len(list_intersect(ga.g, gb.g)) / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.05
-"""
+""".replace("{cand_ctes}", _NGRAM_CAND_CTES.strip())
 
 
 # --------------------------------------------------------------------------
@@ -1024,32 +1036,6 @@ TRAIN_VAL_TEST_SPLIT_SQL = (
     f"SELECT doc_id, source, {_split_cases()} AS split FROM documents"
 )
 
-
-# Shared banded n-gram candidate CTEs (tokenize → 3-gram sets → 4
-# salted-MinHash bands → candidate id pairs) — the DuckDB twin of
-# dedup._sign_grams, used by BOTH split-governance oracles below so the
-# banding SQL has one copy to keep in lockstep with the Spark helper.
-_NGRAM_CAND_CTES = """
-toks AS MATERIALIZED (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-), gsets AS MATERIALIZED (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                        i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g
-  FROM toks
-), bands AS MATERIALIZED (
-  SELECT s.doc_id, s.g, t.band,
-         list_min(list_transform(s.g,
-           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
-  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
-), cand AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-)
-"""
 
 # --------------------------------------------------------------------------
 # Split-leakage audit: near-dup pairs that CROSS the train/val/test
@@ -3110,35 +3096,17 @@ def streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_NEARDUP_INGEST_SQL = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
-), gsets AS MATERIALIZED (
-  SELECT doc_id,
-         CASE WHEN len(t) >= 3 THEN
-           list_distinct(list_transform(generate_series(1, len(t) - 2),
-                                        i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g
-  FROM toks
-), bands AS MATERIALIZED (
-  SELECT s.doc_id, s.g, t.band,
-         list_min(list_transform(s.g,
-           x -> md5(CAST(t.band AS VARCHAR) || ':' || x))) AS bucket
-  FROM gsets s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) t
-), cand AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-), flagged AS MATERIALIZED (
-  SELECT DISTINCT c.hi AS doc_id
+WITH {cand_ctes}, flagged AS MATERIALIZED (
+  SELECT DISTINCT c.id_b AS doc_id
   FROM cand c
-  JOIN gsets ga ON ga.doc_id = c.lo
-  JOIN gsets gb ON gb.doc_id = c.hi
+  JOIN gsets ga ON ga.doc_id = c.id_a
+  JOIN gsets gb ON gb.doc_id = c.id_b
   WHERE len(list_intersect(ga.g, gb.g))
         / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.5
 )
 SELECT d.doc_id FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
-"""
+""".replace("{cand_ctes}", _NGRAM_CAND_CTES.strip())
 
 
 # --------------------------------------------------------------------------
