@@ -33,10 +33,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins of ``queries()`` (same column names).
 
-    Only PageRank ships without an oracle (float-ulp-sensitive iterative
-    structure; its numpy parity is pytest-enforced) → the driver records
-    a rows-only check there. Everything else — including MinHash,
-    SimHash, t-digest, HLL and the LSH/IVF ANN top-k — verifies via
-    exact SQL or verdict-row oracles.
+    EVERY entry has one — zero rows-only gates. Exact-arithmetic queries
+    hash-match directly; float-sensitive structures go through exact
+    twins or verdict rows: PageRank via a scaled-BIGINT integer
+    recurrence (plus float-agrees verdict columns), the LSH/IVF/PQ ANN
+    top-k via recall-floor verdicts against the exact brute-force twin,
+    sketches (MinHash, SimHash, t-digest, HLL, CMS, Bloom) via
+    seed-pinned exact replays.
     """
     return plans.oracle_sql()
