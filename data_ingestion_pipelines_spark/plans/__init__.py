@@ -2,8 +2,10 @@
 
 Each entry pairs a Spark plan (a ``(spark, sf_dir) -> DataFrame`` callable,
 built on the engine's operators) with an equivalent ANSI-SQL oracle string
-for DuckDB (or None for non-SQL-expressible ops — the driver then records
-a weaker rows-only check).
+for DuckDB. The registry invariant (test-enforced) is that EVERY entry
+carries an oracle — the ``None`` escape hatch for non-SQL-expressible
+ops (driver falls back to a rows-only check) exists in the contract but
+has had zero occupants since the PageRank integer twin landed.
 
 Numeric determinism rules used throughout (so value hashes match across
 engines):
