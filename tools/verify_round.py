@@ -6,12 +6,15 @@ Axes (each is the documented command from .claude/skills/verify):
   1. full registry sweep, sf0.001 (fast correctness net)
   2. full registry sweep, sf0.01 (the driver's gate scale)
   3. 50-gate driver window, sf0.01, 1g driver heap (frugal-driver axis)
-  4. full registry sweep, sf0.1, skewed layout (CPUS=3 SHUFFLE=5 —
+  4. 50-gate driver window, sf0.01, DEGENERATE layout (CPUS=2
+     SHUFFLE=1 — the other partition-layout extreme; was a manual
+     per-gate step before round 8)                    [skipped with --fast]
+  5. full registry sweep, sf0.1, skewed layout (CPUS=3 SHUFFLE=5 —
      partition-layout invariance + scale-dependent bug net)   [skipped with --fast]
-  5. bench.py (one JSON line; compare vs the previous BENCH_r*.json)
+  6. bench.py (one JSON line; compare vs the previous BENCH_r*.json)
 
 Exits non-zero on the first failing axis. Wall time: ~8 min (--fast) /
-~25 min (full).
+~28 min (full).
 """
 
 from __future__ import annotations
@@ -54,6 +57,11 @@ def main() -> int:
         env={"SPARK_CHECK_DRIVER_MEM": "1g"},
     )
     if not fast:
+        run(
+            "window sf0.01 degenerate layout",
+            [py, check, "/root/testdata/sf0.01", *window],
+            env={"SPARK_CHECK_CPUS": "2", "SPARK_CHECK_SHUFFLE": "1"},
+        )
         run(
             "sweep sf0.1 skewed layout",
             [py, check, "/root/testdata/sf0.1"],
