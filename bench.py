@@ -96,6 +96,12 @@ HEADLINE = [
     # sink (banded gram signing + delta commit per batch), tracked so
     # the streaming write path's cost can't drift silently
     "streaming_neardup_ingest",
+    # round-8 closing addition: the previously-unbenched connected-
+    # components family, end to end (banded pairs → min-label
+    # propagation → cluster-keyed split). Needs more than a 1g heap at
+    # sf0.1/local[32] (iterative checkpoints + 32-task shuffle buffers)
+    # — fine under this harness's 16g driver
+    "leakage_free_split",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
