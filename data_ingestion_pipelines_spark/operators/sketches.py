@@ -369,8 +369,14 @@ def bloom_may_contain(
 
     Per item: k position probes against the broadcast sparse bitmap —
     a broadcast join on the word index plus a bool_and, no shuffle of
-    the items beyond their own aggregate. ``id_col`` must uniquely key
-    ``items`` (the probe explodes to k rows per item and regroups).
+    the items beyond their own aggregate. ``id_col`` must be a NON-NULL
+    unique key over ``items`` (the probe explodes to k rows per item
+    and regroups); NULL ids cannot be re-joined to their probes and
+    deterministically get ``out`` = false rather than being dropped.
+    NULL contract: a NULL probe value hashes nowhere, so its row gets
+    ``out`` = false (NULL is never inserted by :func:`bloom_build`
+    either — membership of NULL is not a meaningful question), never a
+    NULL boolean.
     """
     try:
         meta = sketch.schema["bits"].metadata or {}
@@ -401,5 +407,10 @@ def bloom_may_contain(
             == F.col("_mask")
         ).alias("_hit"),
     )
-    per_item = hit.groupBy(id_col).agg(F.bool_and("_hit").alias(out))
-    return items.join(per_item, id_col)
+    per_item = hit.groupBy(id_col).agg(F.bool_and("_hit").alias("_raw_hit"))
+    # left join + coalesce(false): NULL probe values propagate NULL
+    # through md5 → bool_and, and NULL ids never match the join — both
+    # resolve to an explicit false instead of a NULL flag / dropped row.
+    return items.join(per_item, id_col, "left").select(
+        *items.columns, F.coalesce(F.col("_raw_hit"), F.lit(False)).alias(out)
+    )

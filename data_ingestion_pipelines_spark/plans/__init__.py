@@ -40,26 +40,24 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-8 window (50 = 11 dark + 8 changed + 31 re-checks), from
-    # tools/rotate_window.py. Positions 1-11: this round's eleven NEW
-    # gates (Bloom-prefiltered dedup, persisted MinHash index lifecycle,
-    # ANN index append verdict, the three REAL-stdlib-decoder multimodal
-    # gates incl. the resize/resample tier, dHash image near-dup, the
-    # streaming NEAR-dup lowest-id-wins sink, the cross-split leakage
-    # audit + its cluster-split FIX). Next: gates semantically changed
-    # this round — part_copurchase_pagerank (now hash-oracled via the
-    # exact integer twin — first value-hash evidence after 7 rows-only
-    # rounds), the explicit-whitespace-class BPE pre-tokenizer, the two
-    # fake-tier multimodal gates (explicit oracle-tier decoder + NULL
-    # handling), the null-skip WebDataset roundtrip, the
-    # grace-window-pruned streaming sinks, and the bench-tracked n-gram
-    # Jaccard. Tail: high-churn re-checks then the longest-unvisited
-    # r2/r3 greens. Every entry verified hash-green locally
-    # (tools/check_correctness.py) at sf0.001, sf0.01 AND sf0.1 before
-    # landing.
+    # -- round-9 window. The r8 rotation left TWO of that round's late
+    # additions driver-dark (curriculum_quality_buckets,
+    # indexed_dataset_roundtrip_docs — flagged by the r8 verdict, which
+    # also caught an earlier revision of this comment overclaiming that
+    # no gate was dark). They lead this window, and
+    # `tools/rotate_window.py --check` now FAILS the verify ritual
+    # whenever any pre-current-round gate lacks a driver row and is not
+    # in the first 50 entries, so darkness can no longer be
+    # misreported. After the dark pair: gates new or semantically
+    # changed this round, then re-checks. Every entry verified
+    # hash-green locally (tools/check_correctness.py) before landing.
+    "curriculum_quality_buckets",
+    "indexed_dataset_roundtrip_docs",
+    # -- new / changed this round
+    "indexed_dataset_uint16_docs",
+    "ann_index_append_verdict",
     "bloom_prefilter_dedup_docs",
     "minhash_index_dedup_docs",
-    "ann_index_append_verdict",
     "multimodal_wav_decode_real",
     "multimodal_bmp_decode_real",
     "multimodal_resize_real",
@@ -105,15 +103,9 @@ _PRIORITY = [
     "profit_by_nation_year",
     "promo_parts_revenue",
     "small_quantity_revenue",
-    "large_volume_orders",
-    "dominant_part_suppliers",
-    "cdc_orders_snapshot",
-    # event_type_skew_report rotated out (r3-green) for knn_label_vote;
-    # returned_item_losses + part_zorder_keys + urgent_open_orders +
-    # conversion_funnel (all r2/r3-green, sweep-netted) rotated out
-    # late-round for the four newest gates (multimodal_resize_real,
-    # streaming_neardup_ingest, split_leakage_report,
-    # leakage_free_split) so no r8 gate stays driver-dark
+    # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
+    # (r2/r3-green, sweep-netted) rotated out for the two formerly-dark
+    # gates and the uint16 container variant
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

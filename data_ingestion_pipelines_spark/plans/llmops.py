@@ -636,8 +636,9 @@ SELECT doc_id, md5(text) AS text_md5 FROM documents
 # hash straight from the text, so a match proves the binary container
 # (uint32 packing, token offsets, per-doc index records, shard
 # assignment) round-tripped every document exactly.
-def indexed_dataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-
+def _indexed_dataset_roundtrip(
+    spark: SparkSession, sf_dir: str, dtype: str
+) -> DataFrame:
     from ..sinks.indexed_dataset import read_indexed_dataset, write_indexed_dataset
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -647,7 +648,7 @@ def indexed_dataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFram
     )
     tokenized = docs.select("doc_id", ids.alias("token_ids"))
     out_dir = scratch_dir(prefix="idxds_")
-    write_indexed_dataset(tokenized, out_dir, num_shards=8)
+    write_indexed_dataset(tokenized, out_dir, num_shards=8, dtype=dtype)
     back = read_indexed_dataset(spark, out_dir)
     return back.select(
         "doc_id",
@@ -658,9 +659,27 @@ def indexed_dataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def indexed_dataset_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indexed_dataset_roundtrip(spark, sf_dir, "uint32")
+
+
+# Same container, half the bytes: the md5-derived ids are 16-bit by
+# construction, so the uint16 shard pair must round-trip identically —
+# one oracle serves both dtypes, and a hash match here proves the
+# narrow packing (itemsize header byte, <H serialization, ×2 byte
+# offsets) as exactly as the wide one.
+def indexed_dataset_uint16_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _indexed_dataset_roundtrip(spark, sf_dir, "uint16")
+
+
 INDEXED_DATASET_ROUNDTRIP_DOCS_SQL = """
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+  -- COALESCE mirrors the writer, which coerces a NULL token array to an
+  -- empty doc (n_tokens=0, ids_md5=md5('')) rather than propagating NULL
+  SELECT doc_id,
+         COALESCE(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                  CAST([] AS VARCHAR[])) AS t
+  FROM documents
 )
 SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
        md5(array_to_string(
@@ -2195,8 +2214,14 @@ def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_by_q = {}
         for qid, _, _ in sa:
             n_by_q[qid] = n_by_q.get(qid, 0) + 1
+        # has_results (append-side candidates nonempty) rather than a
+        # pinned count: LSH/IVF candidate sets legitimately shrink
+        # below k under different SFs or parameters, and the equality
+        # contract is set equality, not cardinality-10. Emptiness still
+        # fails loudly — an empty result would make append==rebuild
+        # vacuously true.
         return [
-            (method, int(qid), n_by_q.get(qid, 0), qid not in diff_qids)
+            (method, int(qid), n_by_q.get(qid, 0) > 0, qid not in diff_qids)
             for qid in q_ids
         ]
 
@@ -2207,14 +2232,14 @@ def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         rows,
-        "method STRING, query_id BIGINT, n_results BIGINT, "
+        "method STRING, query_id BIGINT, has_results BOOLEAN, "
         "append_equals_rebuild BOOLEAN",
     )
 
 
 ANN_INDEX_APPEND_VERDICT_SQL = """
 SELECT m.method, CAST(e.vec_id AS BIGINT) AS query_id,
-       CAST(10 AS BIGINT) AS n_results, TRUE AS append_equals_rebuild
+       TRUE AS has_results, TRUE AS append_equals_rebuild
 FROM (SELECT 'lsh' AS method UNION ALL SELECT 'pq'
       UNION ALL SELECT 'ivf') m,
      embeddings e
@@ -4080,6 +4105,9 @@ QUERIES = {
     ),
     "indexed_dataset_roundtrip_docs": (
         indexed_dataset_roundtrip_docs, INDEXED_DATASET_ROUNDTRIP_DOCS_SQL,
+    ),
+    "indexed_dataset_uint16_docs": (
+        indexed_dataset_uint16_docs, INDEXED_DATASET_ROUNDTRIP_DOCS_SQL,
     ),
     "streaming_neardup_ingest": (
         streaming_neardup_ingest, STREAMING_NEARDUP_INGEST_SQL,

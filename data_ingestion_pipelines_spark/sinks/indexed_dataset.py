@@ -1,27 +1,36 @@
 """Indexed binary token-dataset export/load — the Megatron-LM-style
 ``.bin``/``.idx`` shard pair a GPT training loader memory-maps.
 
-Layout (public Megatron-LM ``indexed_dataset`` shape, simplified to one
-dtype): per shard, ``shard-{i:06d}.bin`` is the little-endian uint32
-token ids of every document concatenated in id order, and
-``shard-{i:06d}.idx`` is::
+Layout (public Megatron-LM ``indexed_dataset`` shape, simplified):
+per shard, ``shard-{i:06d}.bin`` is the little-endian token ids of
+every document concatenated in id order, and ``shard-{i:06d}.idx`` is::
 
-    8s  magic   b"SPKIDX01"
+    8s  magic   b"SPKIDX02"
+    <B  itemsize (4 = uint32 tokens, 2 = uint16 — vocab < 65k, the
+        common GPT-2-vocab case at half the bytes)
     <q  n_docs
     then per doc (id order): <qqq  doc_id, token_offset, n_tokens
 
-Offsets are in TOKENS (×4 for bytes). Executor-side writing mirrors
-:mod:`sinks.webdataset`: deterministic ``pmod(id, num_shards)``
-assignment, one partition per shard, stdlib ``struct`` serialization,
-no driver data path; shard bytes are byte-reproducible across runs
-(deterministic order, no timestamps — pytest-pinned). The loader reads
-each ``.idx`` through ``binaryFile`` and streams its sibling ``.bin``
-inside ``mapInPandas`` — documents never leave the executor that reads
-their shard, and read parallelism = shard count, the same knob the
-training job tunes. Sibling ``.bin`` access uses plain file I/O (local
-or mounted FS — the same contract as the streaming snapshot store; on
-an object store, mount or localize shards first, which is what training
-loaders do anyway).
+Offsets are in TOKENS (×itemsize for bytes). The loader also accepts
+the frozen v1 header (``SPKIDX01``, no itemsize byte, always uint32) —
+dtype dispatch is driven entirely by the header, never by the caller.
+
+Executor-side writing mirrors :mod:`sinks.webdataset`: deterministic
+``pmod(id, num_shards)`` assignment, one partition per shard, stdlib
+``struct`` serialization, no driver data path; shard bytes are
+byte-reproducible across runs (deterministic order, no timestamps —
+pytest-pinned). Each task writes to attempt-unique ``.tmp-*`` names and
+``os.replace``s into place at partition completion (``.bin`` before
+``.idx``, since readers discover shards through the index) — a
+speculative or retried attempt can no longer interleave bytes into a
+half-written shard. The loader reads each ``.idx`` through
+``binaryFile`` and streams its sibling ``.bin`` inside ``mapInPandas``
+— documents never leave the executor that reads their shard, and read
+parallelism = shard count, the same knob the training job tunes.
+Sibling ``.bin`` access uses plain file I/O (local or mounted FS — the
+same contract as the streaming snapshot store; on an object store,
+mount or localize shards first, which is what training loaders do
+anyway).
 """
 
 from __future__ import annotations
@@ -32,7 +41,10 @@ import struct
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_MAGIC = b"SPKIDX01"
+_MAGIC_V1 = b"SPKIDX01"  # frozen: uint32, no itemsize byte
+_MAGIC_V2 = b"SPKIDX02"  # itemsize byte follows the magic
+
+_DTYPES = {"uint32": ("I", 4), "uint16": ("H", 2)}
 
 
 def write_indexed_dataset(
@@ -41,12 +53,18 @@ def write_indexed_dataset(
     tokens_col: str = "token_ids",
     id_col: str = "doc_id",
     num_shards: int = 8,
+    dtype: str = "uint32",
 ) -> list[str]:
     """Write ``(id, array<int> token ids)`` rows as ``.bin``/``.idx``
     shard pairs; returns the sorted ``.bin`` paths. Ids may repeat
     across shards only if they repeat in the input (caller dedupes);
-    token ids must fit uint32 — out-of-range values raise in the
-    writer, before any bytes land."""
+    token ids must fit ``dtype`` (``uint32`` or ``uint16``) —
+    out-of-range values raise in the writer, before any bytes land.
+    NULL token arrays are coerced to empty documents."""
+    if dtype not in _DTYPES:
+        raise ValueError(f"write_indexed_dataset: unknown dtype {dtype!r}")
+    pack_char, itemsize = _DTYPES[dtype]
+    max_id = (1 << (8 * itemsize)) - 1
     os.makedirs(out_dir, exist_ok=True)
     prepared = (
         df.select(
@@ -59,33 +77,65 @@ def write_indexed_dataset(
     )
 
     def write_partition(rows) -> None:
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        token = (
+            f"{tc.stageId()}-{tc.taskAttemptId()}" if tc else uuid.uuid4().hex[:12]
+        )
         open_files: dict[int, tuple] = {}
         try:
             for row in rows:
                 sh = int(row["_shard"])
                 entry = open_files.get(sh)
                 if entry is None:
-                    binf = open(os.path.join(out_dir, f"shard-{sh:06d}.bin"), "wb")
+                    tmp_bin = os.path.join(
+                        out_dir, f".tmp-{token}-shard-{sh:06d}.bin"
+                    )
+                    binf = open(tmp_bin, "wb")
                     entry = open_files[sh] = (binf, [], [0])  # (bin, idx rows, offset)
                 binf, idx_rows, off = entry
                 toks = list(row[tokens_col] or [])
                 for t in toks:
-                    if t < 0 or t > 0xFFFFFFFF:
+                    if t < 0 or t > max_id:
                         raise ValueError(
                             f"write_indexed_dataset: token id {t} of doc "
-                            f"{row[id_col]} does not fit uint32"
+                            f"{row[id_col]} does not fit {dtype}"
                         )
-                binf.write(struct.pack(f"<{len(toks)}I", *toks))
+                binf.write(struct.pack(f"<{len(toks)}{pack_char}", *toks))
                 idx_rows.append((int(row[id_col]), off[0], len(toks)))
                 off[0] += len(toks)
-        finally:
-            for sh, (binf, idx_rows, _) in open_files.items():
+        except BaseException:
+            for sh, (binf, _, _) in open_files.items():
                 binf.close()
-                with open(os.path.join(out_dir, f"shard-{sh:06d}.idx"), "wb") as ix:
-                    ix.write(_MAGIC)
-                    ix.write(struct.pack("<q", len(idx_rows)))
-                    for doc_id, offset, n in idx_rows:
-                        ix.write(struct.pack("<qqq", doc_id, offset, n))
+                try:
+                    os.remove(
+                        os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}.bin")
+                    )
+                except OSError:
+                    pass
+            raise
+        # Publish: finish each temp pair, then atomically rename —
+        # .bin first, .idx last (readers glob .idx, so a visible index
+        # always has its data file in place). os.replace makes the
+        # last-finishing attempt win wholesale; attempts never share
+        # file handles, so no interleaved/corrupt shard is possible.
+        for sh, (binf, idx_rows, _) in sorted(open_files.items()):
+            binf.close()
+            tmp_idx = os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}.idx")
+            with open(tmp_idx, "wb") as ix:
+                ix.write(_MAGIC_V2)
+                ix.write(struct.pack("<B", itemsize))
+                ix.write(struct.pack("<q", len(idx_rows)))
+                for doc_id, offset, n in idx_rows:
+                    ix.write(struct.pack("<qqq", doc_id, offset, n))
+            os.replace(
+                os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}.bin"),
+                os.path.join(out_dir, f"shard-{sh:06d}.bin"),
+            )
+            os.replace(tmp_idx, os.path.join(out_dir, f"shard-{sh:06d}.idx"))
 
     prepared.foreachPartition(write_partition)
     return sorted(
@@ -97,9 +147,11 @@ def write_indexed_dataset(
 
 def read_indexed_dataset(spark, shards_dir: str) -> DataFrame:
     """Load ``.bin``/``.idx`` shard pairs back → one row per document
-    ``(shard_path, doc_id, token_ids array<int>)``. Corrupt shards
-    (bad magic, truncated index or bin) fail their task loudly rather
-    than yielding silent partial documents."""
+    ``(shard_path, doc_id, token_ids array<int>)``. Token width is
+    auto-dispatched from the index header (v1 = uint32; v2 carries an
+    itemsize byte). Corrupt shards (bad magic, bad itemsize, truncated
+    index or bin) fail their task loudly rather than yielding silent
+    partial documents."""
     idx_df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "shard-*.idx")
@@ -114,10 +166,23 @@ def read_indexed_dataset(spark, shards_dir: str) -> DataFrame:
             out = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
-                if raw[:8] != _MAGIC:
+                magic = raw[:8]
+                if magic == _MAGIC_V1:
+                    itemsize, body = 4, 8
+                elif magic == _MAGIC_V2:
+                    if len(raw) < 9:
+                        raise ValueError(f"truncated index {path}")
+                    (itemsize,) = struct.unpack_from("<B", raw, 8)
+                    if itemsize not in (2, 4):
+                        raise ValueError(
+                            f"bad indexed-dataset itemsize {itemsize} in {path}"
+                        )
+                    body = 9
+                else:
                     raise ValueError(f"bad indexed-dataset magic in {path}")
-                (n_docs,) = struct.unpack_from("<q", raw, 8)
-                need = 8 + 8 + 24 * n_docs
+                pack_char = "H" if itemsize == 2 else "I"
+                (n_docs,) = struct.unpack_from("<q", raw, body)
+                need = body + 8 + 24 * n_docs
                 if len(raw) < need:
                     raise ValueError(f"truncated index {path}")
                 local = path[len("file:"):] if path.startswith("file:") else path
@@ -125,13 +190,16 @@ def read_indexed_dataset(spark, shards_dir: str) -> DataFrame:
                 with open(bin_path, "rb") as bf:
                     blob = bf.read()
                 for d in range(n_docs):
-                    doc_id, off, n = struct.unpack_from("<qqq", raw, 16 + 24 * d)
-                    start, end = off * 4, (off + n) * 4
+                    doc_id, off, n = struct.unpack_from(
+                        "<qqq", raw, body + 8 + 24 * d
+                    )
+                    start = off * itemsize
+                    end = (off + n) * itemsize
                     if end > len(blob):
                         raise ValueError(
                             f"truncated bin for doc {doc_id} in {bin_path}"
                         )
-                    ids = list(struct.unpack(f"<{n}I", blob[start:end]))
+                    ids = list(struct.unpack(f"<{n}{pack_char}", blob[start:end]))
                     out.append(
                         {"shard_path": bin_path, "doc_id": doc_id, "token_ids": ids}
                     )

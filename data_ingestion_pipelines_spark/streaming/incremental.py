@@ -324,7 +324,15 @@ def _publish_snapshot(base: str, batch_id: int, write_fn, retain_snapshots: int)
             bid = int(parts[1])
         except (IndexError, ValueError):
             bid = -1
-        return (bid, os.path.getmtime(os.path.join(base, entry)))
+        # mtime only tiebreaks same-batch-id replays; a concurrent
+        # pruner may have removed a superseded dir between listdir and
+        # here — a vanished entry sorts oldest instead of failing the
+        # micro-batch (the prune is best-effort by design).
+        try:
+            mt = os.path.getmtime(os.path.join(base, entry))
+        except OSError:
+            mt = float("-inf")
+        return (bid, mt)
 
     snaps = sorted(
         (e for e in os.listdir(base) if e.startswith("snap-")),

@@ -377,14 +377,67 @@ def test_indexed_dataset_roundtrip_reproducible_and_corrupt_guard(spark, tmp_pat
     write_indexed_dataset(docs, out3, num_shards=1)
     idx_path = f"{out3}/shard-000000.idx"
     raw = bytearray(open(idx_path, "rb").read())
+    orig_magic = bytes(raw[:8])
     raw[:8] = b"BADMAGIC"
     open(idx_path, "wb").write(bytes(raw))
     with _pytest.raises(Exception, match="bad indexed-dataset magic"):
         read_indexed_dataset(spark, out3).collect()
-    raw[:8] = b"SPKIDX01"
+    raw[:8] = orig_magic
     open(idx_path, "wb").write(bytes(raw))
     bin_path = f"{out3}/shard-000000.bin"
     blob = open(bin_path, "rb").read()
     open(bin_path, "wb").write(blob[:-4])  # chop one token
     with _pytest.raises(Exception, match="truncated bin"):
         read_indexed_dataset(spark, out3).collect()
+
+    # no temp files survive a successful export
+    assert not [f for f in os.listdir(out1) if f.startswith(".tmp-")]
+
+
+def test_indexed_dataset_uint16_and_legacy_header(spark, tmp_path):
+    """uint16 dtype: identical roundtrip at exactly half the .bin
+    bytes, range guard at 65536, and the frozen v1 header (no itemsize
+    byte) still reads as uint32."""
+    import os
+    import struct
+
+    import pytest as _pytest
+
+    from data_ingestion_pipelines_spark.sinks.indexed_dataset import (
+        read_indexed_dataset,
+        write_indexed_dataset,
+    )
+
+    rows = [(i, [(i * 257 + j) % 65536 for j in range(i % 7)]) for i in range(31)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, token_ids array<int>")
+    out32 = str(tmp_path / "u32")
+    out16 = str(tmp_path / "u16")
+    write_indexed_dataset(docs, out32, num_shards=2, dtype="uint32")
+    write_indexed_dataset(docs, out16, num_shards=2, dtype="uint16")
+
+    back16 = {r["doc_id"]: list(r["token_ids"])
+              for r in read_indexed_dataset(spark, out16).collect()}
+    assert back16 == {i: list(t) for i, t in rows}
+    for i in range(2):
+        n32 = os.path.getsize(f"{out32}/shard-{i:06d}.bin")
+        n16 = os.path.getsize(f"{out16}/shard-{i:06d}.bin")
+        assert n32 == 2 * n16 and n32 > 0
+
+    with _pytest.raises(Exception, match="does not fit uint16"):
+        write_indexed_dataset(
+            spark.createDataFrame([(1, [65536])], "doc_id bigint, token_ids array<int>"),
+            str(tmp_path / "bad16"), dtype="uint16",
+        )
+    with _pytest.raises(Exception, match="unknown dtype"):
+        write_indexed_dataset(docs, str(tmp_path / "badd"), dtype="int8")
+
+    # frozen v1 header: strip the itemsize byte from a uint32 v2 index
+    outv1 = str(tmp_path / "v1")
+    write_indexed_dataset(docs, outv1, num_shards=1, dtype="uint32")
+    idx = f"{outv1}/shard-000000.idx"
+    raw = open(idx, "rb").read()
+    assert raw[:8] == b"SPKIDX02" and struct.unpack_from("<B", raw, 8)[0] == 4
+    open(idx, "wb").write(b"SPKIDX01" + raw[9:])
+    backv1 = {r["doc_id"]: list(r["token_ids"])
+              for r in read_indexed_dataset(spark, outv1).collect()}
+    assert backv1 == {i: list(t) for i, t in rows}

@@ -84,3 +84,68 @@ def test_no_shadowed_top_level_defs_in_package():
                 )
         dupes = sorted({n for n in names if names.count(n) > 1})
         assert not dupes, f"{mod}: shadowed top-level names {dupes}"
+
+
+def _rotate_window_mod():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "tools" / "rotate_window.py"
+    spec = importlib.util.spec_from_file_location("rotate_window", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_rotate_window_flags_stale_dark_gates():
+    """The round-8 failure mode: a gate added in a prior round with no
+    driver row in any CORRECTNESS file, sitting outside the 50-entry
+    window — --check must FAIL on it, must exempt gates declared
+    --changed (new this round), and must pass once the gate is
+    windowed."""
+    rw = _rotate_window_mod()
+
+    registry = [f"g{i}" for i in range(60)]
+    seen = {n: "green CORRECTNESS_r01.json" for n in registry}
+    del seen["g55"], seen["g58"]  # two dark gates beyond the window
+
+    # g55 predates the round -> violation; g58 is new this round -> exempt
+    stale = rw.stale_dark_gates(registry, seen, changed=["g58"])
+    assert stale == ["g55"]
+
+    committed = registry  # window = first 50 entries; g55 is at index 55
+    problems = rw.check_window(committed, registry, seen, changed=["g58"])
+    assert len(problems) == 2  # dark g55 + changed-but-unwindowed g58
+    assert any("g55" in p and "DARK" in p for p in problems)
+    assert any("g58" in p and "CHANGED" in p for p in problems)
+
+    # repair: rotation puts dark gates first, then changed
+    window = rw.build_window(registry, seen, changed=["g58"])
+    assert window[:2] == ["g55", "g58"] and len(window) == rw.WINDOW
+    repaired = window + [n for n in registry if n not in window]
+    assert rw.check_window(repaired, registry, seen, changed=["g58"]) == []
+
+
+def test_rotate_window_errored_rows_are_not_evidence(tmp_path):
+    """A driver row that errored or hash-mismatched must leave the gate
+    dark; only hash_match (or a rows-only no_oracle pass) counts."""
+    import json
+
+    rw = _rotate_window_mod()
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "good": {"rows_match": True, "schema_match": True, "hash_match": True,
+                 "spark_rows": 5, "oracle_rows": 5, "err": None},
+        "errored": {"rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": 0, "oracle_rows": 0,
+                    "err": "Traceback ..."},
+        "mismatched": {"rows_match": True, "schema_match": True,
+                       "hash_match": False, "spark_rows": 5, "oracle_rows": 5,
+                       "err": None},
+        "rows_only": {"rows_match": False, "schema_match": False,
+                      "hash_match": False, "spark_rows": 7, "oracle_rows": 0,
+                      "err": "no_oracle"},
+    }))
+    seen = rw.driver_evidence(str(tmp_path))
+    assert set(seen) == {"good", "rows_only"}
+    assert seen["good"].startswith("green")
+    assert seen["rows_only"].startswith("rows-only")

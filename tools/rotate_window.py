@@ -1,4 +1,4 @@
-"""Suggest the next driver verification window (plans._PRIORITY).
+"""Suggest and verify the driver verification window (plans._PRIORITY).
 
 The external driver hash-checks only the FIRST 50 registry entries, so
 the window is rotated every round by the policy documented in
@@ -9,11 +9,21 @@ the window is rotated every round by the policy documented in
   3. remaining slots: re-checks of high-churn driver-greens.
 
 Usage:
-    python tools/rotate_window.py [--changed name ...]
+    python tools/rotate_window.py [--changed name ...]        # suggest
+    python tools/rotate_window.py --check [--changed name ...]  # verify
 
-Prints a ready-to-paste Python list literal plus a coverage summary.
-Purely driver-history-driven — run it at round start, paste the list,
-then run ``tools/check_correctness.py`` to pre-verify locally.
+``--check`` is the loud guard the round-8 verdict asked for: it diffs
+the registry against the union of all ``CORRECTNESS_r*.json`` keys and
+FAILS (exit 1) if any gate that predates the current round (i.e. is
+dark but NOT listed in ``--changed``) is missing from the committed
+window — the exact failure mode that left two r8 gates driver-dark
+while a comment claimed otherwise. Run it from ``verify_round`` with
+the round's changed-gate list.
+
+Suggest mode prints a ready-to-paste Python list literal plus a
+coverage summary. Purely driver-history-driven — run it at round
+start, paste the list, then run ``tools/check_correctness.py`` to
+pre-verify locally.
 """
 
 from __future__ import annotations
@@ -46,31 +56,38 @@ RECHECKS = [
 ]
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--changed", nargs="*", default=[])
-    args = ap.parse_args()
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from data_ingestion_pipelines_spark import plans
-
-    seen: dict[str, str] = {}  # name -> best driver evidence
-    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+def driver_evidence(correctness_dir: str = ".") -> dict[str, str]:
+    """name -> best driver evidence across every CORRECTNESS_r*.json.
+    A row that ERRORED or hash-mismatched is NOT evidence — the gate
+    stays dark so the rotation re-prioritizes it until a clean row
+    lands."""
+    seen: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(correctness_dir, "CORRECTNESS_r*.json"))):
         rows = json.load(open(path))
+        tag = os.path.basename(path)
         for name, row in rows.items():
             if row.get("hash_match"):
-                seen[name] = f"green {path}"
+                seen[name] = f"green {tag}"
             elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
-                seen.setdefault(name, f"rows-only {path}")
-            # A row whose run ERRORED (err holds a traceback) or that
-            # hash-MISMATCHED is NOT evidence — the gate stays dark so the
-            # rotation re-prioritizes it until a clean row lands.
+                seen.setdefault(name, f"rows-only {tag}")
+    return seen
 
-    registry = list(plans.REGISTRY)
+
+def stale_dark_gates(
+    registry: list[str], seen: dict[str, str], changed: list[str]
+) -> list[str]:
+    """Gates with no driver evidence that are NOT new/changed this
+    round — each one is a previous round's rotation failure."""
+    fresh = set(changed)
+    return [n for n in registry if n not in seen and n not in fresh]
+
+
+def build_window(
+    registry: list[str], seen: dict[str, str], changed: list[str]
+) -> list[str]:
     dark = [n for n in registry if n not in seen]
-    changed = [n for n in args.changed if n in registry]
     window: list[str] = []
-    for group in (dark, changed, RECHECKS):
+    for group in (dark, [n for n in changed if n in registry], RECHECKS):
         for n in group:
             if n not in window and len(window) < WINDOW:
                 window.append(n)
@@ -81,7 +98,70 @@ def main() -> int:
             key=lambda n: seen.get(n, ""),
         )
         window.extend(stale[: WINDOW - len(window)])
+    return window
 
+
+def check_window(
+    committed: list[str],
+    registry: list[str],
+    seen: dict[str, str],
+    changed: list[str],
+) -> list[str]:
+    """Returns a list of violation messages (empty = pass)."""
+    problems = []
+    head = committed[:WINDOW]
+    for n in stale_dark_gates(registry, seen, changed):
+        if n not in head:
+            problems.append(
+                f"DARK GATE NOT WINDOWED: {n!r} has no driver row in any "
+                f"CORRECTNESS_r*.json, is not in --changed (so it predates "
+                f"this round), and is outside the first {WINDOW} registry "
+                f"entries — it will stay driver-dark another round"
+            )
+    for n in changed:
+        if n in registry and n not in head:
+            problems.append(
+                f"CHANGED GATE NOT WINDOWED: {n!r} is declared changed this "
+                f"round but sits outside the first {WINDOW} registry entries"
+            )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--changed", nargs="*", default=[])
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="verify the COMMITTED window instead of suggesting one; "
+        "exits 1 on any pre-current-round gate without a driver row "
+        "that is outside the window",
+    )
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from data_ingestion_pipelines_spark import plans
+
+    registry = list(plans.REGISTRY)
+    seen = driver_evidence()
+    dark = [n for n in registry if n not in seen]
+
+    if args.check:
+        problems = check_window(plans._PRIORITY, registry, seen, args.changed)
+        print(
+            f"# registry: {len(registry)}, driver-evidenced: {len(seen)}, "
+            f"dark: {len(dark)} ({sorted(dark)}), "
+            f"stale-dark: {stale_dark_gates(registry, seen, args.changed)}"
+        )
+        for p in problems:
+            print(f"FAIL: {p}")
+        if problems:
+            return 1
+        print("ok: every pre-current-round gate is driver-evidenced or windowed")
+        return 0
+
+    window = build_window(registry, seen, args.changed)
+    changed = [n for n in args.changed if n in registry]
     print(f"# dark: {len(dark)}, changed: {len(changed)}, "
           f"registry: {len(registry)}, driver-evidenced: {len(seen)}")
     print("_PRIORITY = [")

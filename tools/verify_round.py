@@ -12,9 +12,14 @@ Axes (each is the documented command from .claude/skills/verify):
   5. full registry sweep, sf0.1, skewed layout (CPUS=3 SHUFFLE=5 —
      partition-layout invariance + scale-dependent bug net)   [skipped with --fast]
   6. bench.py (one JSON line; compare vs the previous BENCH_r*.json)
+  7. rotate_window.py --check (no pre-current-round gate is
+     driver-dark outside the window; pass this round's new/changed
+     gate names via --changed so they're exempt)
 
 Exits non-zero on the first failing axis. Wall time: ~8 min (--fast) /
 ~28 min (full).
+
+Usage: python tools/verify_round.py [--fast] [--changed name ...]
 """
 
 from __future__ import annotations
@@ -44,11 +49,22 @@ def main() -> int:
     py = sys.executable
     check = os.path.join(HERE, "tools", "check_correctness.py")
 
+    changed: list[str] = []
+    if "--changed" in sys.argv:
+        changed = sys.argv[sys.argv.index("--changed") + 1 :]
+
     sys.path.insert(0, HERE)
     from data_ingestion_pipelines_spark import plans
 
     window = list(plans._PRIORITY)
 
+    # cheap structural axis first: fail before any Spark session spins
+    # up if a pre-current-round gate would stay driver-dark
+    run(
+        "window darkness check",
+        [py, os.path.join(HERE, "tools", "rotate_window.py"), "--check",
+         "--changed", *changed],
+    )
     run("sweep sf0.001", [py, check, "/root/testdata/sf0.001"])
     run("sweep sf0.01", [py, check, "/root/testdata/sf0.01"])
     run(
