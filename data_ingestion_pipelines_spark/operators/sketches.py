@@ -355,6 +355,80 @@ def bloom_build(
     )
 
 
+def _bloom_check_params(caller: str, sketch: DataFrame, m_bits: int, seeds) -> None:
+    """Refuse a probe whose (m, seeds) differ from the build-time values
+    stamped into the sketch's column metadata — a mismatch silently
+    hashes probes into the wrong cells (the CMS width/seed guard)."""
+    try:
+        meta = sketch.schema["bits"].metadata or {}
+    except Exception:
+        meta = {}
+    if "bloom_m_bits" in meta and int(meta["bloom_m_bits"]) != m_bits:
+        raise ValueError(
+            f"{caller} m_bits={m_bits} but sketch was built with "
+            f"m_bits={meta['bloom_m_bits']}"
+        )
+    if "bloom_seeds" in meta and list(meta["bloom_seeds"]) != list(seeds):
+        raise ValueError(
+            f"{caller} seeds={list(seeds)} but sketch was built "
+            f"with seeds={meta['bloom_seeds']}"
+        )
+
+
+def bloom_prefilter(
+    items: DataFrame,
+    sketch: DataFrame,
+    col: str,
+    m_bits: int = 1 << 14,
+    seeds: Sequence[str] = BLOOM_SEEDS,
+) -> DataFrame:
+    """Map-side may-contain FILTER: keep only rows of ``items`` whose
+    ``col`` MAY be in the built set (one-sided error — every true member
+    survives; a ~(1−e^(−kn/m))^k fraction of non-members leak through).
+
+    Shape matters here: :func:`bloom_may_contain` explodes k probes per
+    row and regroups, which costs one SHUFFLE of the probed frame — fine
+    when the probed side is a delivery batch, wrong when it is a
+    corpus-scale index. This variant instead chains k BROADCAST joins
+    against the sparse bitmap with an inline bit-test filter after each,
+    so the probed side is never shuffled and never widened: a row that
+    misses probe i is gone before probe i+1 touches it, and the whole
+    ladder stays inside one codegen'd scan stage. Use it to pre-filter
+    the BIG side of an equi-join by a sketch of the SMALL side's keys
+    (see ``streaming.incremental.neardup_lowid_ingest``): definite
+    non-matches skip the join's shuffle entirely.
+
+    NULL contract: a NULL ``col`` hashes nowhere and is DROPPED (it can
+    never equi-join a real key on the other side, which is the use this
+    filter exists for — different from :func:`bloom_may_contain`, which
+    keeps the row with a false flag).
+    """
+    _bloom_check_params("bloom_prefilter", sketch, m_bits, seeds)
+    out = items
+    for i, pos in enumerate(_bloom_positions(F.col(col), m_bits, seeds)):
+        w = sketch.select(
+            F.col("word_idx").alias(f"_bf_w{i}"), F.col("bits").alias(f"_bf_b{i}")
+        )
+        out = (
+            out.withColumn(f"_bf_p{i}", pos)
+            .join(
+                F.broadcast(w),
+                F.shiftright(F.col(f"_bf_p{i}"), 6) == F.col(f"_bf_w{i}"),
+                "left",
+            )
+            .filter(
+                F.col(f"_bf_b{i}").bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST(_bf_p{i} % 64 AS INT))"
+                    )
+                )
+                != 0
+            )
+            .drop(f"_bf_p{i}", f"_bf_w{i}", f"_bf_b{i}")
+        )
+    return out
+
+
 def bloom_may_contain(
     items: DataFrame,
     sketch: DataFrame,
@@ -378,20 +452,7 @@ def bloom_may_contain(
     either — membership of NULL is not a meaningful question), never a
     NULL boolean.
     """
-    try:
-        meta = sketch.schema["bits"].metadata or {}
-    except Exception:
-        meta = {}
-    if "bloom_m_bits" in meta and int(meta["bloom_m_bits"]) != m_bits:
-        raise ValueError(
-            f"bloom_may_contain m_bits={m_bits} but sketch was built with "
-            f"m_bits={meta['bloom_m_bits']}"
-        )
-    if "bloom_seeds" in meta and list(meta["bloom_seeds"]) != list(seeds):
-        raise ValueError(
-            f"bloom_may_contain seeds={list(seeds)} but sketch was built "
-            f"with seeds={meta['bloom_seeds']}"
-        )
+    _bloom_check_params("bloom_may_contain", sketch, m_bits, seeds)
     pos = F.explode(F.array(*_bloom_positions(F.col(col), m_bits, seeds))).alias(
         "_pos"
     )

@@ -352,6 +352,8 @@ def neardup_lowid_ingest(
     n: int = 3,
     threshold: float = 0.5,
     num_bands: int = 4,
+    prefilter: bool = True,
+    prefilter_m_bits: int = 1 << 20,
 ):
     """``foreachBatch`` sink factory: maintain a NEAR-dup-deduped corpus
     across micro-batches — a document survives iff NO document with a
@@ -396,6 +398,27 @@ def neardup_lowid_ingest(
     corpus². Replayed batches are no-ops: a committed marker short-
     circuits the whole batch, and a replay racing the marker is
     anti-joined down to nothing against the already-present ids.
+
+    READ-PATH BOUND (``prefilter``, default on): the candidate join's
+    probe side is the WHOLE accumulated gram index, and without help
+    every stored row pays the join's shuffle each batch — O(corpus)
+    shuffle work per batch even though writes are O(batch). The sink
+    therefore builds a Bloom sketch (:func:`~..operators.sketches.
+    bloom_build`) over THIS batch's (band, bucket, gram) keys and
+    map-side-filters the stored index through
+    :func:`~..operators.sketches.bloom_prefilter` (k chained broadcast
+    joins, zero shuffles of the index) before the equi-join: stored
+    rows whose key definitely isn't in the batch skip the join
+    entirely. Bloom's one-sided error makes this a pure read-path
+    optimization — no false negatives, so the surviving-pair set (and
+    the gate's oracle) is bit-identical with the filter on or off; the
+    false-positive leak-through only wastes a little join work. The
+    index SCAN remains a linear read (parquet has no value index), but
+    shuffle+join work per batch drops from O(corpus) to
+    O(batch + fp·corpus) — measured profile in SCALING.md. Size
+    ``prefilter_m_bits`` ≈ 10× the batch's distinct gram-key count for
+    ~1% fp; the default 2²⁰ bits (16 K-word ≈ 128 KB broadcast dense)
+    covers ~10⁵-key batches.
 
     PRECONDITION — one checkpoint lineage per target (the Delta
     ``txnAppId``/``txnVersion`` contract): batch ids must be monotone
@@ -450,9 +473,33 @@ def neardup_lowid_ingest(
 
         # candidate pairs: NEW docs' gram rows vs the WHOLE index (old +
         # new) — batch-sized left side; old-old pairs were found when
-        # their younger member arrived
+        # their younger member arrived. The probe side is Bloom-bounded:
+        # stored rows whose (band, bucket, gram) key can't equal any
+        # batch key are dropped map-side before the join's shuffle
+        # (exact — no false negatives — so results are unchanged).
+        probe = grams_all
+        if prefilter and old_grams is not None:
+            from ..operators.sketches import bloom_build, bloom_prefilter
+
+            key = F.concat_ws(
+                "\x1f",
+                F.col("_t").cast("string"),
+                F.col("_bucket").cast("string"),
+                F.col("_g").cast("string"),
+            )
+            # eager checkpoint: the sketch feeds k broadcast exchanges —
+            # materialize once instead of re-running the build per probe
+            sketch = bloom_build(
+                banded.select(key.alias("_bf_k")), "_bf_k", m_bits=prefilter_m_bits
+            ).localCheckpoint()
+            probe = bloom_prefilter(
+                grams_all.withColumn("_bf_k", key),
+                sketch,
+                "_bf_k",
+                m_bits=prefilter_m_bits,
+            ).drop("_bf_k")
         a = banded.withColumnsRenamed({id_col: "_ida"})
-        b = grams_all.withColumnsRenamed({id_col: "_idb"})
+        b = probe.withColumnsRenamed({id_col: "_idb"})
         cand = (
             a.join(b, on=["_t", "_bucket", "_g"])
             .filter(F.col("_ida") != F.col("_idb"))

@@ -259,3 +259,46 @@ def test_bloom_incremental_dedup_matches_exact(spark):
     for d, r in got.items():
         if not r["is_new"]:
             assert r["bloom_hit"] is True
+
+
+def test_bloom_prefilter_exact_superset_and_zero_shuffle(spark):
+    """bloom_prefilter keeps EVERY inserted value (no false negatives),
+    leaks held-out values at ~theory rate, agrees with bloom_may_contain
+    row-for-row on non-null keys, drops NULL keys, and — the reason it
+    exists — never shuffles the probed frame (broadcast exchanges only)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        bloom_build,
+        bloom_may_contain,
+        bloom_prefilter,
+    )
+
+    inserted = spark.range(0, 300).select(
+        F.col("id").alias("uid"), F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    sketch = bloom_build(inserted, "v", m_bits=1 << 13).localCheckpoint()
+
+    kept_in = bloom_prefilter(inserted, sketch, "v", m_bits=1 << 13)
+    assert sorted(r["uid"] for r in kept_in.collect()) == list(range(300))
+
+    held_out = spark.range(1000, 2000).select(
+        F.col("id").alias("uid"), F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    leaked = {r["uid"] for r in bloom_prefilter(held_out, sketch, "v", m_bits=1 << 13).collect()}
+    assert len(leaked) <= 20, f"false-positive leak {len(leaked)} way above theory"
+    flagged = {
+        r["uid"]
+        for r in bloom_may_contain(held_out, sketch, "v", id_col="uid", m_bits=1 << 13)
+        .filter("bloom_hit").collect()
+    }
+    assert leaked == flagged  # same verdicts as the explode+regroup probe
+
+    with_null = spark.createDataFrame(
+        [(1, "val-1"), (2, None)], "uid bigint, v string"
+    )
+    assert [r["uid"] for r in bloom_prefilter(with_null, sketch, "v", m_bits=1 << 13).collect()] == [1]
+
+    plan = kept_in._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffleExchange" not in plan, plan
+    assert "BroadcastExchange" in plan

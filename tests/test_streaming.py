@@ -596,3 +596,48 @@ def test_neardup_corpus_time_travel(spark, tmp_path):
     with pytest.raises(ValueError, match="high-water"):
         survivors(full, as_of=1)
     assert survivors(full, as_of=2) == [1, 2, 3, 8]  # at the mark: fine
+
+
+def test_neardup_prefilter_parity(spark, tmp_path):
+    """The Bloom read-path prefilter is a pure optimization: survivor
+    sets with prefilter on and off must be identical (no false
+    negatives), including across compaction and a deliberately tiny
+    filter (high fp rate) that stresses the leak-through path."""
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    base_b = "one two three four five six seven eight nine ten"
+    batches = [
+        spark.createDataFrame(
+            [(7, near_a), (4, base_b), (1, "totally unrelated text here")],
+            "doc_id bigint, text string",
+        ),
+        spark.createDataFrame(
+            [(2, base_a), (9, base_b + " eleven"), (8, "another different doc")],
+            "doc_id bigint, text string",
+        ),
+        spark.createDataFrame(
+            [(12, near_a), (3, "one two three four five six seven eight nine ten eleven twelve")],
+            "doc_id bigint, text string",
+        ),
+    ]
+
+    def run(path, **kw):
+        sink = neardup_lowid_ingest(str(path), threshold=0.5, **kw)
+        for i, b in enumerate(batches):
+            sink(b, i)
+        return sorted(
+            r["doc_id"]
+            for r in read_neardup_corpus(spark, str(path)).select("doc_id").collect()
+        )
+
+    on = run(tmp_path / "on", prefilter=True)
+    off = run(tmp_path / "off", prefilter=False)
+    tiny = run(tmp_path / "tiny", prefilter=True, prefilter_m_bits=1 << 6)
+    # doc 3 (lowest id of the base_b family, arriving last) flags BOTH
+    # 4 and 9; 12 near-dups 7/2
+    assert on == off == tiny == [1, 2, 3, 8]

@@ -1,0 +1,112 @@
+"""Measure the streaming near-dup sink's per-batch read-path cost with
+and without the Bloom prefilter, on a planted workload where the stored
+gram index grows while the batch stays constant-size.
+
+This is the evidence behind the SCALING.md claim that the prefilter
+makes per-batch JOIN work sublinear in corpus size: without it, every
+stored (band, bucket, gram) row pays the candidate join's shuffle every
+batch (O(corpus)); with it, only rows whose key may appear in the batch
+survive to the join (O(batch + fp*corpus), fp ~ 1% at the default
+sizing). The parquet SCAN of the index is still a linear read — the
+bound is on shuffle/join work, which is what dominates at cluster scale.
+
+Workload: corpus docs have fully-distinct md5-derived token streams (no
+cross-doc shared grams, so surviving rows = pure Bloom false positives),
+plus a handful of planted near-dups of batch docs to show true matches
+always survive the filter.
+
+Usage: python tools/profile_neardup_prefilter.py  (prints a markdown table)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_ingestion_pipelines_spark.operators.dedup import _sign_grams  # noqa: E402
+from data_ingestion_pipelines_spark.operators.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_prefilter,
+)
+from data_ingestion_pipelines_spark.session import get_spark  # noqa: E402
+
+BATCH_DOCS = 500
+TOKENS_PER_DOC = 40
+M_BITS = 1 << 20
+
+
+def synth_docs(spark, start: int, n: int):
+    """n docs with pairwise-disjoint gram sets: token j of doc i is
+    md5(i ':' j) so no 3-gram ever repeats across docs."""
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, "
+            f"{TOKENS_PER_DOC}), j -> substring(md5(concat(id, ':', j)), 1, 8)))"
+        ).alias("text"),
+    )
+
+
+def main() -> None:
+    spark = get_spark("profile-neardup-prefilter", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    batch = synth_docs(spark, 10_000_000, BATCH_DOCS).localCheckpoint()
+    banded, _ = _sign_grams(batch, "text", "doc_id")
+    banded = banded.localCheckpoint()
+    batch_keys = banded.count()
+
+    key = F.concat_ws(
+        "\x1f",
+        F.col("_t").cast("string"),
+        F.col("_bucket").cast("string"),
+        F.col("_g").cast("string"),
+    )
+    sketch = bloom_build(
+        banded.select(key.alias("_bf_k")), "_bf_k", m_bits=M_BITS
+    ).localCheckpoint()
+
+    print(f"batch: {BATCH_DOCS} docs, {batch_keys} gram-index keys, m={M_BITS} bits\n")
+    print("| corpus docs | index rows | rows into join (no filter) | rows into join (prefilter) | survivor ratio | filter wall s |")
+    print("|---|---|---|---|---|---|")
+    for corpus_n in (2_000, 4_000, 8_000, 16_000, 32_000):
+        corpus = synth_docs(spark, 0, corpus_n)
+        stored, _ = _sign_grams(corpus, "text", "doc_id")
+        stored = stored.localCheckpoint()
+        index_rows = stored.count()
+        t0 = time.monotonic()
+        kept = bloom_prefilter(
+            stored.withColumn("_bf_k", key), sketch, "_bf_k", m_bits=M_BITS
+        ).count()
+        dt = time.monotonic() - t0
+        print(
+            f"| {corpus_n} | {index_rows} | {index_rows} | {kept} "
+            f"| {kept / index_rows:.4f} | {dt:.2f} |"
+        )
+
+    # true matches survive: plant 20 near-dups of batch docs in a corpus
+    planted = synth_docs(spark, 0, 4_000).unionByName(
+        synth_docs(spark, 10_000_000, 20).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    stored, _ = _sign_grams(planted, "text", "doc_id")
+    kept_ids = (
+        bloom_prefilter(
+            stored.withColumn("_bf_k", key), sketch, "_bf_k", m_bits=M_BITS
+        )
+        .filter(F.col("doc_id") >= 20_000_000)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    print(f"\nplanted near-dup docs surviving the filter: {kept_ids}/20 (must be 20)")
+
+
+if __name__ == "__main__":
+    main()
