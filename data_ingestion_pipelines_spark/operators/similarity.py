@@ -596,6 +596,13 @@ def save_ivf_index(
     spark.createDataFrame(
         [(int(cents.shape[0]), int(cents.shape[1]))], "num_lists INT, dim INT"
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
+    # training-time coarse-quantizer figures for ivf_drift_report (the
+    # drift-retrain contract of append_to_ivf_index, made measurable)
+    n, dist, ent = _ivf_assign_stats(corpus, cents, vec_col)
+    spark.createDataFrame(
+        [(int(n), float(dist), float(ent))],
+        "n BIGINT, mean_dist DOUBLE, assign_entropy DOUBLE",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/stats")
 
 
 def _load_ivf_centroids(spark, path: str):
@@ -621,9 +628,10 @@ def append_to_ivf_index(
 
     Same drift contract as :func:`append_to_pq_index`: frozen centroids
     are exact for same-distribution deliveries; a shifted embedding
-    distribution degrades list balance and probe recall silently —
-    retrain (full :func:`save_ivf_index`) when the appended fraction
-    grows large. Caller contract: new ids disjoint from stored ids."""
+    distribution degrades list balance and probe recall silently — run
+    :func:`ivf_drift_report` on each append and retrain (full
+    :func:`save_ivf_index`) when it flags. Caller contract: new ids
+    disjoint from stored ids."""
     base = path.rstrip("/")
     cents = _load_ivf_centroids(new_vectors.sparkSession, base)
     _assign_lists(new_vectors, id_col, vec_col, cents, 1).write.mode(
@@ -1164,6 +1172,13 @@ def save_pq_index(
     pq_encode(corpus, books, vec_col=vec_col, id_col=id_col).write.mode(
         "overwrite"
     ).parquet(f"{path.rstrip('/')}/codes")
+    # training-time quantization error, persisted so pq_drift_report can
+    # compare frozen-codebook appends against it (the drift-retrain
+    # contract of append_to_pq_index, made measurable)
+    n, err = _pq_recon_stats(corpus, books, vec_col)
+    spark.createDataFrame(
+        [(int(n), float(err))], "n BIGINT, mean_sq_err DOUBLE"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/stats")
 
 
 def append_to_pq_index(
@@ -1180,9 +1195,10 @@ def append_to_pq_index(
     codebooks trained on the ORIGINAL corpus. Identical-distribution
     deliveries lose nothing; if the embedding distribution shifts
     (new model, new modality), quantization error on the new data grows
-    silently — schedule a full :func:`save_pq_index` retrain when the
-    appended fraction gets large or recall floors degrade. (LSH has no
-    such drift: its planes are data-independent.)
+    silently — run :func:`pq_drift_report` on each append (one Arrow
+    pass over the batch, compares against the persisted training-time
+    error) and schedule a full :func:`save_pq_index` retrain when it
+    flags. (LSH has no such drift: its planes are data-independent.)
 
     Caller contract: new ids disjoint from stored ids, as in
     :func:`append_to_lsh_index`.
@@ -1192,6 +1208,196 @@ def append_to_pq_index(
     pq_encode(new_vectors, books, vec_col=vec_col, id_col=id_col).write.mode(
         "append"
     ).parquet(f"{base}/codes")
+
+
+def _pq_recon_stats(corpus: DataFrame, books, vec_col: str):
+    """(n, mean squared reconstruction error) of ``corpus`` against the
+    codebooks: per vector, Σ over subspaces of the distance² to the
+    nearest codeword — the ADC quantization error. One Arrow pass
+    yielding one (sum, n) partial row per batch; the driver reduction is
+    a bounded control-plane read (≤ one row per Arrow batch)."""
+    import numpy as np
+
+    m, _, dsub = books.shape
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            err = np.zeros(len(vecs))
+            for s in range(m):
+                sub = vecs[:, s * dsub : (s + 1) * dsub]
+                d2 = (
+                    (sub * sub).sum(1, keepdims=True)
+                    - 2.0 * sub @ books[s].T
+                    + (books[s] * books[s]).sum(1)[None, :]
+                )
+                err += np.maximum(d2.min(axis=1), 0.0)
+            yield pd.DataFrame({"sum_err": [float(err.sum())], "n": [len(vecs)]})
+
+    part = corpus.select(vec_col).mapInPandas(run, "sum_err DOUBLE, n BIGINT").collect()
+    n = sum(r["n"] for r in part)
+    return n, (sum(r["sum_err"] for r in part) / n if n else 0.0)
+
+
+def _ivf_assign_stats(corpus: DataFrame, cents, vec_col: str):
+    """(n, mean 1−cosine to the assigned centroid, normalized assignment
+    entropy) — the coarse quantizer's error and list-balance figures.
+    Entropy is Shannon over the list-assignment distribution divided by
+    log(num_lists): 1.0 = perfectly balanced lists, → 0 = everything
+    crowding one list (the probe-recall killer). Partials are one row
+    per (batch, list) — bounded."""
+    import math
+
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            sims = vecs @ cents.T
+            best = np.argmax(sims, axis=1)
+            dist = 1.0 - sims[np.arange(len(vecs)), best]
+            rows = [
+                (int(lid), int((best == lid).sum()), float(dist[best == lid].sum()))
+                for lid in np.unique(best)
+            ]
+            yield pd.DataFrame(rows, columns=["list_id", "n", "sum_dist"])
+
+    part = corpus.select(vec_col).mapInPandas(
+        run, "list_id BIGINT, n BIGINT, sum_dist DOUBLE"
+    ).collect()
+    n = sum(r["n"] for r in part)
+    if not n:
+        return 0, 0.0, 0.0
+    mean_dist = sum(r["sum_dist"] for r in part) / n
+    per_list: dict[int, int] = {}
+    for r in part:
+        per_list[r["list_id"]] = per_list.get(r["list_id"], 0) + r["n"]
+    ent = -sum((c / n) * math.log(c / n) for c in per_list.values())
+    norm = math.log(cents.shape[0]) if cents.shape[0] > 1 else 1.0
+    return n, mean_dist, max(ent / norm, 0.0)
+
+
+_DRIFT_STATS_HINT = (
+    "no {kind} drift stats under {base}/stats — the index predates the "
+    "drift monitor; rebuild it with {builder} to enable drift reporting"
+)
+
+
+def pq_drift_report(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    retrain_ratio: float = 2.0,
+) -> DataFrame:
+    """Quantization-drift monitor for the frozen-codebook append
+    lifecycle (:func:`append_to_pq_index`): one verdict row comparing
+    the appended batch's mean ADC reconstruction error against the
+    training-time figure persisted by :func:`save_pq_index`.
+
+    ``drift_flagged`` is the retrain signal: appended error above
+    ``retrain_ratio`` × the training error means the frozen codebooks no
+    longer describe the incoming distribution (new embedding model, new
+    modality) and search recall is silently degrading — schedule a full
+    :func:`save_pq_index` retrain. Same-distribution deliveries sit at
+    ratio ≈ 1 (the 2.0 default leaves a wide margin); run the report on
+    each append, it costs one Arrow pass over the batch.
+    """
+    spark = new_vectors.sparkSession
+    base = path.rstrip("/")
+    _, books = load_pq_index(spark, base)
+    try:
+        st = spark.read.parquet(f"{base}/stats").collect()[0]
+    except Exception as exc:
+        raise FileNotFoundError(
+            _DRIFT_STATS_HINT.format(kind="PQ", base=base, builder="save_pq_index")
+        ) from exc
+    n_new, new_err = _pq_recon_stats(new_vectors, books, vec_col)
+    ratio = new_err / st["mean_sq_err"] if st["mean_sq_err"] > 0 else float("inf")
+    return spark.createDataFrame(
+        [
+            (
+                "pq",
+                int(st["n"]),
+                float(st["mean_sq_err"]),
+                int(n_new),
+                float(new_err),
+                float(ratio),
+                float(retrain_ratio),
+                bool(new_err > retrain_ratio * st["mean_sq_err"]),
+            )
+        ],
+        "method STRING, n_train BIGINT, train_err DOUBLE, n_appended BIGINT, "
+        "appended_err DOUBLE, err_ratio DOUBLE, retrain_ratio DOUBLE, "
+        "drift_flagged BOOLEAN",
+    )
+
+
+def ivf_drift_report(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    retrain_ratio: float = 2.0,
+    entropy_floor: float = 0.5,
+) -> DataFrame:
+    """Coarse-quantizer drift monitor for :func:`append_to_ivf_index`:
+    one verdict row comparing the appended batch's mean 1−cosine to its
+    assigned (frozen) centroid against the training-time figure from
+    :func:`save_ivf_index`, plus the normalized assignment entropies
+    (train vs appended). ``drift_flagged`` fires when EITHER the
+    distance ratio exceeds ``retrain_ratio`` OR the appended entropy
+    collapses below ``entropy_floor`` × the training entropy. The
+    entropy arm matters because 1−cosine saturates: on high-dimensional
+    data the training distance is already large, so a shifted batch
+    can't double it — but a shift that crowds every appended vector
+    into a few lists (the probe-recall killer: nprobe lists now hold
+    the whole batch) shows up as an entropy collapse long before the
+    distance ratio moves."""
+    spark = new_vectors.sparkSession
+    base = path.rstrip("/")
+    cents = _load_ivf_centroids(spark, base)
+    try:
+        st = spark.read.parquet(f"{base}/stats").collect()[0]
+    except Exception as exc:
+        raise FileNotFoundError(
+            _DRIFT_STATS_HINT.format(kind="IVF", base=base, builder="save_ivf_index")
+        ) from exc
+    n_new, new_dist, new_ent = _ivf_assign_stats(new_vectors, cents, vec_col)
+    ratio = new_dist / st["mean_dist"] if st["mean_dist"] > 0 else float("inf")
+    flagged = bool(
+        new_dist > retrain_ratio * st["mean_dist"]
+        or new_ent < entropy_floor * st["assign_entropy"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                "ivf",
+                int(st["n"]),
+                float(st["mean_dist"]),
+                float(st["assign_entropy"]),
+                int(n_new),
+                float(new_dist),
+                float(new_ent),
+                float(ratio),
+                float(retrain_ratio),
+                float(entropy_floor),
+                flagged,
+            )
+        ],
+        "method STRING, n_train BIGINT, train_err DOUBLE, train_entropy DOUBLE, "
+        "n_appended BIGINT, appended_err DOUBLE, appended_entropy DOUBLE, "
+        "err_ratio DOUBLE, retrain_ratio DOUBLE, entropy_floor DOUBLE, "
+        "drift_flagged BOOLEAN",
+    )
 
 
 def load_pq_index(spark, path: str):

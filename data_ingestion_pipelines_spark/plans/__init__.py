@@ -55,6 +55,8 @@ _PRIORITY = [
     "indexed_dataset_roundtrip_docs",
     # -- new / changed this round
     "indexed_dataset_uint16_docs",
+    "ann_index_drift_verdict",
+    "knn_label_vote_ann",
     "ann_index_append_verdict",
     "bloom_prefilter_dedup_docs",
     "minhash_index_dedup_docs",
@@ -101,11 +103,10 @@ _PRIORITY = [
     "order_value_yoy",
     "market_share_by_year",
     "profit_by_nation_year",
-    "promo_parts_revenue",
-    "small_quantity_revenue",
     # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
-    # (r2/r3-green, sweep-netted) rotated out for the two formerly-dark
-    # gates and the uint16 container variant
+    # + promo_parts_revenue + small_quantity_revenue (r2/r3-green,
+    # sweep-netted) rotated out for the two formerly-dark gates, the
+    # uint16 container variant, and the round-9 drift/ANN-vote gates
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

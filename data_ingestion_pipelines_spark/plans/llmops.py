@@ -1656,6 +1656,56 @@ FROM (
 """
 
 
+# k-NN vote through the documented ANN scale path: neighbors come from
+# a PERSISTED LSH index (save → search, the lifecycle a labeling service
+# runs) instead of the exact tier, proving knn_classify's pluggable
+# ``neighbors`` frame actually composes with the index machinery. Label
+# agreement with the exact tier is the verdict (the recall-floor
+# pattern): per-query predictions are layout-dependent through LSH
+# bucketing, but 10-class majority votes are robust to imperfect
+# neighbor recall — observed agreement 18–20/20 across sf0.001/0.01/0.1
+# at these parameters (32 tables × 4 bits), so the 0.6 floor leaves
+# ≥1.5× margin. n_predicted is hashed too: a query with zero ANN
+# candidates would silently vanish from the vote and make agreement
+# vacuous — the count pins every query to a prediction.
+def knn_label_vote_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        knn_classify,
+        lsh_search_index,
+        save_lsh_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    root = scratch_dir(prefix="knnann_")
+    save_lsh_index(corpus, f"{root}/lsh", num_tables=32, bits=4, dim=64)
+    neighbors = lsh_search_index(spark, f"{root}/lsh", queries, k=10)
+    ann = knn_classify(corpus, queries, k=10, neighbors=neighbors)
+    exact = knn_classify(corpus, queries, k=10)
+
+    # bounded driver-side verdict: 20 predictions per tier
+    a = {r["query_id"]: r["predicted_label"] for r in ann.collect()}
+    e = {r["query_id"]: r["predicted_label"] for r in exact.collect()}
+    n = len(e)
+    agree = sum(1 for q in e if a.get(q) == e[q])
+    return spark.createDataFrame(
+        [(n, len(a), 0.6, bool(n and agree / n >= 0.6))],
+        "n_queries BIGINT, n_predicted BIGINT, agreement_floor DOUBLE, "
+        "agreement_ok BOOLEAN",
+    )
+
+
+KNN_LABEL_VOTE_ANN_SQL = """
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_queries,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 20) AS n_predicted,
+       CAST(0.6 AS DOUBLE) AS agreement_floor,
+       TRUE AS agreement_ok
+"""
+
+
 SIMILARITY_TOPK_SQL = """
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id,
@@ -2244,6 +2294,72 @@ FROM (SELECT 'lsh' AS method UNION ALL SELECT 'pq'
       UNION ALL SELECT 'ivf') m,
      embeddings e
 WHERE e.vec_id < 5
+"""
+
+
+# Quantization-drift monitor gate: the frozen-codebook append lifecycle
+# (append_to_pq_index / append_to_ivf_index, FAISS add() semantics)
+# promises a drift-retrain contract — this gate proves the contract is
+# MEASURED, not just documented. Build each index on the full embeddings
+# table, then run the drift report on (a) the same distribution (must
+# not flag: PQ error ratio 1.0, IVF entropy ≈ train) and (b) a planted
+# shift chosen per method's failure mode: PQ gets a subspace-mass
+# concentration (first 4 dims ×100 → after normalization the first
+# subvector leaves the codeword ball; observed error ratio ≈ 4.2× vs
+# the 2.0 threshold at every SF), IVF gets a constant offset (+1.5 per
+# dim → normalized vectors crowd the all-ones direction; assignment
+# entropy collapses 0.99 → ≤0.25 vs the 0.5-of-train floor — the
+# distance ratio CAN'T trip on high-dim data because 1−cosine
+# saturates, which is exactly why the monitor has the entropy arm).
+# Flag margins ≥2× in both directions across sf0.001/0.01/0.1, so the
+# verdict table is constant and the oracle replays it with a
+# VALUES-shaped SELECT. Floats (error ratios, entropies) stay OUT of
+# the hashed columns.
+def ann_index_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ivf_drift_report,
+        pq_drift_report,
+        save_ivf_index,
+        save_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    mass_shift = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i < 4 THEN x * 100.0 ELSE x END)"
+        ).alias("embedding"),
+    )
+    offset_shift = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> x + 1.5)").alias("embedding")
+    )
+
+    root = scratch_dir(prefix="anndrift_")
+    save_pq_index(emb, f"{root}/pq", m=16, codebook_k=64, lloyd_iters=2)
+    save_ivf_index(emb, f"{root}/ivf", num_lists=16, lloyd_iters=2)
+
+    # bounded driver-side assembly: four 1-row report frames
+    rows = []
+    for method, cohort, rep in (
+        ("pq", "in_distribution", pq_drift_report(emb, f"{root}/pq")),
+        ("pq", "planted_shift", pq_drift_report(mass_shift, f"{root}/pq")),
+        ("ivf", "in_distribution", ivf_drift_report(emb, f"{root}/ivf")),
+        ("ivf", "planted_shift", ivf_drift_report(offset_shift, f"{root}/ivf")),
+    ):
+        r = rep.collect()[0]
+        rows.append((method, cohort, int(r["n_appended"]), bool(r["drift_flagged"])))
+    return spark.createDataFrame(
+        rows, "method STRING, cohort STRING, n_appended BIGINT, drift_flagged BOOLEAN"
+    )
+
+
+ANN_INDEX_DRIFT_VERDICT_SQL = """
+SELECT m.method, c.cohort,
+       (SELECT count(*) FROM embeddings) AS n_appended,
+       c.cohort = 'planted_shift' AS drift_flagged
+FROM (SELECT 'pq' AS method UNION ALL SELECT 'ivf') m,
+     (SELECT 'in_distribution' AS cohort UNION ALL SELECT 'planted_shift') c
 """
 
 
@@ -4100,6 +4216,7 @@ QUERIES = {
         MINHASH_INDEX_DEDUP_DOCS_SQL,
     ),
     "knn_label_vote": (knn_label_vote, KNN_LABEL_VOTE_SQL),
+    "knn_label_vote_ann": (knn_label_vote_ann, KNN_LABEL_VOTE_ANN_SQL),
     "curriculum_quality_buckets": (
         curriculum_quality_buckets, CURRICULUM_QUALITY_BUCKETS_SQL,
     ),
@@ -4237,5 +4354,8 @@ QUERIES = {
     "similarity_ivf_pq_topk": (similarity_ivf_pq_topk, SIMILARITY_IVF_PQ_TOPK_SQL),
     "ann_index_append_verdict": (
         ann_index_append_verdict, ANN_INDEX_APPEND_VERDICT_SQL,
+    ),
+    "ann_index_drift_verdict": (
+        ann_index_drift_verdict, ANN_INDEX_DRIFT_VERDICT_SQL,
     ),
 }

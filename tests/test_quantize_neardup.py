@@ -454,3 +454,81 @@ def test_ivf_index_append_equals_frozen_assign(spark, tmp_path):
     got_b = {(r["query_id"], r["vec_id"], r["score"])
              for r in ivf_search_index(spark, pb, queries, k=5, nprobe=3).collect()}
     assert got_a == got_b and len(got_a) == 15
+
+
+def _clustered_embeddings(spark, n, dim=8, n_clusters=5, start_id=0, noise=0.05):
+    """Deterministic clustered vectors: md5-derived cluster centers plus
+    small md5-derived noise — holdouts from the same clusters quantize
+    about as well as the training set (unlike uniform random vectors,
+    where a small codebook overfits and the holdout gap alone nears 2x)."""
+    import hashlib
+
+    def h(key, lo=-1.0, hi=1.0):
+        v = int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "big")
+        return lo + (hi - lo) * v / float(1 << 32)
+
+    centers = [[h(f"c{c}:{d}") for d in range(dim)] for c in range(n_clusters)]
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        vec = [centers[c][d] + noise * h(f"n{i}:{d}") for d in range(dim)]
+        rows.append((start_id + i, vec))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_drift_report_flags_planted_shift_only(spark, tmp_path):
+    """The quantization-drift monitor: an in-distribution holdout (same
+    clusters, unseen vectors) must NOT flag; a planted distribution
+    shift MUST flag — PQ via the reconstruction-error ratio, IVF via
+    either arm (here the offset shift collapses assignment entropy).
+    An index saved before the monitor existed raises a clear error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        ivf_drift_report,
+        pq_drift_report,
+        save_ivf_index,
+        save_pq_index,
+    )
+
+    train = _clustered_embeddings(spark, n=150, dim=8)
+    holdout = _clustered_embeddings(spark, n=60, dim=8, start_id=10_000)
+    pq_path, ivf_path = str(tmp_path / "pq"), str(tmp_path / "ivf")
+    save_pq_index(train, pq_path, m=4, codebook_k=8, lloyd_iters=2)
+    save_ivf_index(train, ivf_path, num_lists=8, lloyd_iters=2)
+
+    # subspace-mass shift for PQ; constant offset for IVF
+    mass = holdout.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i < 2 THEN x * 100.0 ELSE x END)"
+        ).alias("embedding"),
+    )
+    offset = holdout.select(
+        "vec_id", F.expr("transform(embedding, x -> x + 1.5)").alias("embedding")
+    )
+
+    pq_in = pq_drift_report(holdout, pq_path).collect()[0]
+    assert not pq_in["drift_flagged"] and pq_in["err_ratio"] < 1.8, pq_in
+    pq_sh = pq_drift_report(mass, pq_path).collect()[0]
+    assert pq_sh["drift_flagged"] and pq_sh["err_ratio"] > 2.0, pq_sh
+
+    ivf_in = ivf_drift_report(holdout, ivf_path).collect()[0]
+    assert not ivf_in["drift_flagged"], ivf_in
+    assert ivf_in["appended_entropy"] > 0.5 * ivf_in["train_entropy"]
+    ivf_sh = ivf_drift_report(offset, ivf_path).collect()[0]
+    assert ivf_sh["drift_flagged"], ivf_sh
+
+    # n bookkeeping flows through
+    assert pq_in["n_train"] == 150 and pq_in["n_appended"] == 60
+
+    # legacy index (no stats dir) refuses with a rebuild hint
+    import shutil
+
+    shutil.rmtree(f"{pq_path}/stats")
+    with pytest.raises(FileNotFoundError, match="rebuild"):
+        pq_drift_report(holdout, pq_path)
+    shutil.rmtree(f"{ivf_path}/stats")
+    with pytest.raises(FileNotFoundError, match="rebuild"):
+        ivf_drift_report(holdout, ivf_path)
