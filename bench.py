@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -184,6 +186,42 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # JVM-stderr capture (VERDICT r8: the bench artifact carried an
+    # unexplained DAGScheduler stack-trace fragment from an otherwise
+    # clean run). The JVM inherits fd 2 at LAUNCH, so redirecting later
+    # can't catch its noise — swap fd 2 to a log file BEFORE the session
+    # starts, keep a dup of the real stderr for our own reporting, and
+    # attribute each log segment to the query that was running. Python
+    # UDF workers are JVM children and inherit the same file.
+    sys.stderr.flush()
+    real_err = os.fdopen(os.dup(2), "w", buffering=1)
+    jvm_log = tempfile.NamedTemporaryFile(
+        prefix="bench_jvmerr_", suffix=".log", delete=False
+    )
+    os.dup2(jvm_log.fileno(), 2)
+    sys.stderr = real_err  # our '# ...' progress lines stay on the console
+
+    noise_re = re.compile(r"\b([A-Za-z][A-Za-z0-9_.$]*(?:Exception|Error))\b")
+
+    def _log_size() -> int:
+        return os.fstat(jvm_log.fileno()).st_size
+
+    def _read_segment(start: int, end: int) -> str:
+        if end <= start:
+            return ""
+        with open(jvm_log.name, "rb") as fh:
+            fh.seek(start)
+            return fh.read(end - start).decode(errors="replace")
+
+    def _noise_classes(segment: str) -> list[str]:
+        out: list[str] = []
+        for m in noise_re.finditer(segment):
+            if m.group(1) not in out:
+                out.append(m.group(1))
+            if len(out) >= 8:  # the leading classes identify the failure
+                break
+        return out
+
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
@@ -217,10 +255,12 @@ def main() -> None:
     explicit_runs = runs_env is not None
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    noise: dict[str, dict] = {}
     for name in HEADLINE:
         fn = registry[name]
         best = None
         n_runs = runs if explicit_runs else (5 if name in EXTRA_RUNS else runs)
+        seg_start = _log_size()
         try:
             for _ in range(n_runs):
                 t0 = time.perf_counter()
@@ -237,6 +277,24 @@ def main() -> None:
             errors[name] = msg if len(msg) <= 500 else msg[:250] + " ... " + msg[-250:]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
             continue
+        finally:
+            segment = _read_segment(seg_start, _log_size())
+            classes = _noise_classes(segment)
+            if classes:
+                # a query that SUCCEEDED but left exception traces in the
+                # JVM log = task retry / job-cancellation noise under
+                # local contention — annotate it so the artifact explains
+                # itself instead of carrying an orphaned stack fragment
+                noise[name] = {
+                    "classes": classes,
+                    "bytes": len(segment),
+                    "tail": segment[-2048:],
+                }
+                print(
+                    f"# {name}: jvm-stderr noise "
+                    f"({', '.join(classes)}; {len(segment)} bytes captured)",
+                    file=sys.stderr,
+                )
         # best-of-N: JIT/GC/load noise on a shared host is one-sided, so
         # the minimum is the stable estimate of the plan's real cost
         timings[name] = round(best, 3)
@@ -253,6 +311,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
     }
+    if noise:
+        # self-explaining artifact: per-query exception classes + a
+        # >=8 KB global tail of the captured JVM stderr
+        summary["stderr_noise"] = noise
+        summary["stderr_tail"] = _read_segment(
+            max(0, _log_size() - 8192), _log_size()
+        )
     print(json.dumps(summary))
     if compare_path:
         print(f"# --compare vs {compare_path}:", file=sys.stderr)
