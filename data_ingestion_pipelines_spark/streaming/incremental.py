@@ -354,6 +354,7 @@ def neardup_lowid_ingest(
     num_bands: int = 4,
     prefilter: bool = True,
     prefilter_m_bits: int = 1 << 20,
+    compact_every: int | None = None,
 ):
     """``foreachBatch`` sink factory: maintain a NEAR-dup-deduped corpus
     across micro-batches — a document survives iff NO document with a
@@ -388,7 +389,16 @@ def neardup_lowid_ingest(
     batch id) and prunes folded delta data dirs, bounding the
     small-file count; readers merge snapshot + deltas-above-high-water,
     so compacting at any point leaves results identical — the
-    LSM/Iceberg ``rewrite_data_files`` shape.
+    LSM/Iceberg ``rewrite_data_files`` shape. Pass ``compact_every=N``
+    to run it AUTOMATICALLY from inside the sink whenever the count of
+    committed-but-unfolded deltas reaches N (the Delta
+    ``autoOptimize.autoCompact`` shape): a long-lived stream then keeps
+    a bounded live-delta count — roughly one folded-but-grace-retained
+    generation plus one accumulating generation — with no operator in
+    the loop. Result-invariance is the same property the manual path
+    already guarantees (compaction at ANY point leaves survivors
+    identical); leave it ``None`` to keep compaction an explicit
+    operational call with a deeper time-travel horizon.
 
     INCREMENTAL WORK PER BATCH: the banded gram index (one row per
     (doc, band, gram), the ``ngram_jaccard_pairs`` machinery with its
@@ -542,6 +552,12 @@ def neardup_lowid_ingest(
         with open(tmp, "w") as fh:
             fh.write("ok")
         os.replace(tmp, f"{base}/_committed/batch-{int(batch_id)}")
+
+        if compact_every is not None:
+            _, cur_hwm = _neardup_hwm(base)
+            unfolded = [i for i in _neardup_committed_ids(base) if i > cur_hwm]
+            if len(unfolded) >= int(compact_every):
+                compact_neardup_corpus(s, base)
 
     return ingest
 

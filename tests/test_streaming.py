@@ -641,3 +641,54 @@ def test_neardup_prefilter_parity(spark, tmp_path):
     # doc 3 (lowest id of the base_b family, arriving last) flags BOTH
     # 4 and 9; 12 near-dups 7/2
     assert on == off == tiny == [1, 2, 3, 8]
+
+
+def test_neardup_auto_compaction_bounds_deltas(spark, tmp_path):
+    """compact_every=N runs compaction from inside the sink: a 12-batch
+    stream must keep the live delta-dir count bounded (one grace-retained
+    folded generation + one accumulating generation, never all 12) and
+    the snapshot count at the retain limit, with survivors identical to
+    an uncompacted run — the interleaving-invariance property, now
+    exercised by the automatic hook."""
+    import os
+
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    def batch(i):
+        # every batch: one fresh doc + one near-dup of batch 0's doc
+        base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(100 + i, f"unique document number {i} with its own words {i}")]
+        rows.append((500 + i, base_text + f" tail{i}")) if i else rows.append((1, base_text))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def live_deltas(path):
+        d = os.path.join(path, "delta")
+        return sorted(
+            e for e in os.listdir(d)
+            if os.path.isdir(os.path.join(d, e, "docs"))
+        ) if os.path.isdir(d) else []
+
+    auto, plain = str(tmp_path / "auto"), str(tmp_path / "plain")
+    sink_a = neardup_lowid_ingest(auto, threshold=0.5, compact_every=3)
+    sink_p = neardup_lowid_ingest(plain, threshold=0.5)
+    for i in range(12):
+        b = batch(i)
+        sink_a(b, i)
+        sink_p(b, i)
+
+    sa = sorted(r["doc_id"] for r in read_neardup_corpus(spark, auto).collect())
+    sp = sorted(r["doc_id"] for r in read_neardup_corpus(spark, plain).collect())
+    assert sa == sp and len(sa) > 0
+
+    assert len(live_deltas(plain)) == 12  # uncompacted baseline grows
+    n_live = len(live_deltas(auto))
+    assert n_live <= 9, f"auto-compaction failed to bound deltas: {n_live} live"
+    snaps = [e for e in os.listdir(auto) if e.startswith("snap-")]
+    assert 1 <= len(snaps) <= 3, snaps
+
+    # markers for folded batches survive (replay short-circuit intact)
+    markers = os.listdir(os.path.join(auto, "_committed"))
+    assert len(markers) == 12
