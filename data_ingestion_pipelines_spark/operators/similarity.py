@@ -425,6 +425,80 @@ def embedding_dup_pairs(
     return scored.filter(F.col("score") >= threshold)
 
 
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    k: int = 16,
+    threshold: float = 0.9,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs ``(id_a, id_b,
+    score)``, id_a < id_b, exact cosine ≥ threshold — candidates pruned
+    by k-means CLUSTER co-membership instead of LSH bucketing (Abbas et
+    al. 2023, "SemDeDup": cluster the embedding space, compare only
+    within clusters; semantic duplicates concentrate inside clusters by
+    construction of the clustering).
+
+    Complements :func:`embedding_dup_pairs`: LSH buckets give
+    per-pair collision PROBABILITY guarantees; clustering gives the
+    data-adaptive pruning the paper found sufficient at web scale, and
+    reuses centroids a pipeline usually already has (pass ``centroids``
+    to skip training — e.g. the IVF coarse quantizer's). Exact scoring
+    of surviving candidates means precision 1.0 against the exact tier;
+    clustering only trades RECALL (cross-cluster near-dups are missed —
+    identical vectors never are, they share an assignment by
+    determinism of the argmax).
+
+    Scale shape: one Arrow pass to assign (broadcast k×dim centroids),
+    one shuffle on the cluster key, Σ cᵢ² candidate scorings. Cluster
+    sizes are data-dependent — for skewed corpora raise ``k`` (the
+    paper's regime is k ≈ √n, keeping E[cᵢ] ≈ √n) and let AQE's
+    skew-join splitting handle stragglers; the within-cluster quadratic
+    is the documented SemDeDup trade, not an accident.
+    """
+    import numpy as np
+
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    cents = (
+        np.asarray(centroids, dtype="float64")
+        if centroids is not None
+        else kmeans_centroids(c, vec_col=vec_col, k=k, iters=iters, id_col=id_col)
+    )
+    assigned = _assign_lists(c, id_col, vec_col, cents, 1)
+    a = assigned.withColumnsRenamed({id_col: "id_a", vec_col: "_v_a"})
+    b = assigned.withColumnsRenamed({id_col: "id_b", vec_col: "_v_b"})
+    pairs = a.join(b, on="list_id").filter(F.col("id_a") < F.col("id_b"))
+    scored = _score_pairs_numpy(pairs, "_v_a", "_v_b", keep=["id_a", "id_b"])
+    return scored.filter(F.col("score") >= threshold)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 16,
+    threshold: float = 0.9,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """Corpus minus semantic near-duplicates: every row with a LOWER-id
+    neighbor at cosine ≥ threshold (within its cluster) is dropped —
+    lowest-id-wins, the same deterministic survivor rule as the
+    text-dedup family, so results are layout- and order-independent
+    given the pair set. Returns the surviving rows of ``corpus`` with
+    all original columns."""
+    flagged = (
+        semantic_dup_pairs(
+            corpus, k, threshold, iters, id_col, vec_col, centroids
+        )
+        .select(F.col("id_b").alias(id_col))
+        .dropDuplicates([id_col])
+    )
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str = "embedding",

@@ -57,6 +57,7 @@ _PRIORITY = [
     "indexed_dataset_uint16_docs",
     "ann_index_drift_verdict",
     "knn_label_vote_ann",
+    "semantic_dedup_docs",
     "ann_index_append_verdict",
     "bloom_prefilter_dedup_docs",
     "minhash_index_dedup_docs",
@@ -102,11 +103,11 @@ _PRIORITY = [
     "idle_rich_customers",
     "order_value_yoy",
     "market_share_by_year",
-    "profit_by_nation_year",
     # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
-    # + promo_parts_revenue + small_quantity_revenue (r2/r3-green,
-    # sweep-netted) rotated out for the two formerly-dark gates, the
-    # uint16 container variant, and the round-9 drift/ANN-vote gates
+    # + promo_parts_revenue + small_quantity_revenue + profit_by_nation_year
+    # (r2/r3-green, sweep-netted) rotated out for the two formerly-dark
+    # gates, the uint16 container variant, and the round-9 additions
+    # (drift verdict, ANN-path kNN vote, SemDeDup)
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

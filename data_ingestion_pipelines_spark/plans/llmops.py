@@ -1656,6 +1656,70 @@ FROM (
 """
 
 
+# SemDeDup (cluster-bucketed semantic dedup, Abbas et al. 2023): plant
+# 10 exact-duplicate vectors (copies of vec_id<10 under high ids) into
+# the embeddings corpus and drive semantic_dup_pairs + semantic_dedup.
+# The verdict is layout-invariant despite float k-means: an exact
+# duplicate shares its source's cluster by determinism of the argmax,
+# scores cosine 1.0, and is the HIGHER id → always caught and always
+# the dropped side; organic pairs can't reach the 0.9 threshold (the
+# corpus's max organic cosine is ≤0.60 across sf0.001/0.01/0.1,
+# measured), so n_pairs is exactly the planted count and the survivor
+# set is exactly the original corpus. Recall beyond same-cluster pairs
+# is the documented SemDeDup trade — pytest covers the precision-1.0
+# property against the exact tier.
+def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup, semantic_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+        )
+    ).localCheckpoint(eager=False)
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(planted, k=16, threshold=0.9).collect()
+    }  # bounded: organic cosines max out at 0.60, only planted pairs match
+    surv = semantic_dedup(planted, k=16, threshold=0.9)
+    n_surv = surv.count()
+    kept = {
+        r["vec_id"]
+        for r in surv.filter(
+            (F.col("vec_id") < 10) | (F.col("vec_id") >= 100_000)
+        ).collect()
+    }  # bounded: 20 planted-region ids
+    src_ids = sorted(
+        r["vec_id"] for r in emb.filter(F.col("vec_id") < 10).collect()
+    )
+    rows = [
+        (
+            int(i),
+            (i, i + 100_000) in pairs,
+            (i + 100_000) not in kept,
+            i in kept,
+            len(pairs),
+            int(n_surv),
+        )
+        for i in src_ids
+    ]
+    return spark.createDataFrame(
+        rows,
+        "planted_src BIGINT, caught BOOLEAN, dup_dropped BOOLEAN, "
+        "src_survives BOOLEAN, n_pairs BIGINT, n_survivors BIGINT",
+    )
+
+
+SEMANTIC_DEDUP_DOCS_SQL = """
+SELECT CAST(e.vec_id AS BIGINT) AS planted_src,
+       TRUE AS caught, TRUE AS dup_dropped, TRUE AS src_survives,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 10) AS n_pairs,
+       (SELECT count(*) FROM embeddings) AS n_survivors
+FROM embeddings e WHERE e.vec_id < 10
+"""
+
+
 # k-NN vote through the documented ANN scale path: neighbors come from
 # a PERSISTED LSH index (save → search, the lifecycle a labeling service
 # runs) instead of the exact tier, proving knn_classify's pluggable
@@ -4217,6 +4281,7 @@ QUERIES = {
     ),
     "knn_label_vote": (knn_label_vote, KNN_LABEL_VOTE_SQL),
     "knn_label_vote_ann": (knn_label_vote_ann, KNN_LABEL_VOTE_ANN_SQL),
+    "semantic_dedup_docs": (semantic_dedup_docs, SEMANTIC_DEDUP_DOCS_SQL),
     "curriculum_quality_buckets": (
         curriculum_quality_buckets, CURRICULUM_QUALITY_BUCKETS_SQL,
     ),

@@ -532,3 +532,52 @@ def test_drift_report_flags_planted_shift_only(spark, tmp_path):
     shutil.rmtree(f"{ivf_path}/stats")
     with pytest.raises(FileNotFoundError, match="rebuild"):
         ivf_drift_report(holdout, ivf_path)
+
+
+def test_semantic_dedup_precision_and_survivors(spark):
+    """SemDeDup cluster pruning: every reported pair must appear in the
+    exact all-pairs tier at the same threshold (precision 1.0 — exact
+    scoring of candidates), planted near-identical vectors are caught
+    with lowest-id-wins survivors, and passing precomputed centroids
+    skips training without changing results."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        embedding_dup_pairs,
+        kmeans_centroids,
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+
+    base = _clustered_embeddings(spark, n=120, dim=8, n_clusters=4, noise=0.3)
+    # near-identical twins of ids 0..4 (tiny perturbation, cosine ~1)
+    twins = _clustered_embeddings(
+        spark, n=5, dim=8, n_clusters=4, start_id=0, noise=0.3
+    ).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 1.001)").alias("embedding"),
+    )
+    corpus = base.unionByName(twins).localCheckpoint()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(corpus, k=8, threshold=0.95).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs(corpus, threshold=0.95, method="exact").collect()
+    }
+    assert got <= exact  # precision 1.0: clustering only prunes
+    for i in range(5):
+        assert (i, 1000 + i) in got  # near-identical twin lands in the
+        # same cluster (same argmax up to the perturbation) and is caught
+
+    surv = {r["vec_id"] for r in semantic_dedup(corpus, k=8, threshold=0.95).collect()}
+    assert all(i in surv and (1000 + i) not in surv for i in range(5))
+
+    cents = kmeans_centroids(corpus, vec_col="embedding", k=8, iters=2)
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(corpus, k=8, threshold=0.95, centroids=cents).collect()
+    }
+    assert got2 == got
