@@ -58,6 +58,8 @@ _PRIORITY = [
     "ann_index_drift_verdict",
     "knn_label_vote_ann",
     "semantic_dedup_docs",
+    "salted_join_revenue",
+    "salted_distinct_users",
     "ann_index_append_verdict",
     "bloom_prefilter_dedup_docs",
     "minhash_index_dedup_docs",
@@ -101,13 +103,12 @@ _PRIORITY = [
     "important_parts_by_value",
     "lonely_late_suppliers",
     "idle_rich_customers",
-    "order_value_yoy",
-    "market_share_by_year",
     # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
     # + promo_parts_revenue + small_quantity_revenue + profit_by_nation_year
-    # (r2/r3-green, sweep-netted) rotated out for the two formerly-dark
-    # gates, the uint16 container variant, and the round-9 additions
-    # (drift verdict, ANN-path kNN vote, SemDeDup)
+    # + order_value_yoy + market_share_by_year (r2/r3-green,
+    # sweep-netted) rotated out for the two formerly-dark gates, the
+    # uint16 container variant, and the round-9 additions (drift
+    # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair)
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

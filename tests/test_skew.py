@@ -1,0 +1,83 @@
+"""Skew-mitigation operators: result parity with the plain formulations
+(the whole point of salting is that ONLY the physical distribution
+changes), join-multiplicity preservation, and the refusal contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.skew import (
+    salted_count_distinct,
+    salted_join,
+)
+
+
+def _skewed(spark):
+    # hot key 1 (200 rows), cold keys, a key with no right match, plus
+    # duplicate right rows so multiplicity errors can't hide
+    left = spark.createDataFrame(
+        [(1, i) for i in range(200)]
+        + [(2, 900), (2, 901), (4, 950)],
+        "k bigint, x bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k bigint, tag string"
+    )
+    return left, right
+
+
+def test_salted_join_parity_inner_and_left(spark):
+    left, right = _skewed(spark)
+    for how in ("inner", "left"):
+        for salts in (1, 4, 7):
+            got = sorted(
+                (r["k"], r["x"], r["tag"])
+                for r in salted_join(left, right, ["k"], how, salts=salts).collect()
+            )
+            want = sorted(
+                (r["k"], r["x"], r["tag"])
+                for r in left.join(right, ["k"], how).collect()
+            )
+            assert got == want, (how, salts)
+
+
+def test_salted_join_refuses_outer_shapes(spark):
+    left, right = _skewed(spark)
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(left, right, ["k"], how)
+    with pytest.raises(ValueError, match="salts"):
+        salted_join(left, right, ["k"], salts=0)
+
+
+def test_salted_count_distinct_exact(spark):
+    # hot group: one event_type carries most rows AND most distinct users;
+    # NULL users must be ignored exactly like COUNT(DISTINCT)
+    rows = [("hot", i % 137) for i in range(1000)] + [
+        ("cold", 1),
+        ("cold", 1),
+        ("cold", 2),
+        ("nullish", None),
+        ("nullish", 5),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id bigint")
+    got = {
+        r["event_type"]: (r["n_distinct_user_id"], r["n_events"])
+        for r in salted_count_distinct(
+            df,
+            ["event_type"],
+            "user_id",
+            {"n_events": F.count(F.lit(1))},
+            salts=16,
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["nd"], r["n"])
+        for r in df.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert got["hot"] == (137, 1000) and got["nullish"] == (1, 2)
