@@ -1,20 +1,18 @@
-"""Skew-mitigation operators: salted joins and salted exact
-count-distinct.
+"""Skew-mitigation operators: salted joins, salted aggregation, salted
+exact count-distinct, and the key-distribution readout that decides
+between them.
 
-AQE's skew-join splitting (``spark.sql.adaptive.skewJoin``) is the
-first line of defense and is ON in the engine's session defaults — but
-it only fires for sort-merge joins whose skew is visible at shuffle-map
-time, and it cannot help a skewed ``COUNT(DISTINCT …)`` at all (Spark
-expands exact count-distinct into a single aggregation keyed by the
-group columns: one hot group = one straggler task no matter how many
-executors the cluster has). These operators implement the classic
-manual remedies, both RESULT-IDENTICAL to the plain formulations — the
-gate oracles are simply the unsalted SQL.
+AQE's skew handling (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in session.py) splits oversized partitions at runtime and is
+the first line of defense — but it only fires for sort-merge joins
+whose skew is visible at shuffle-map time, and it cannot help a skewed
+exact ``COUNT(DISTINCT …)`` at all (Spark plans that as one aggregation
+task per hot group no matter how many executors the cluster has). These
+operators are the classic manual remedies, all RESULT-IDENTICAL to the
+plain formulations — the gate oracles are simply the unsalted SQL.
 
-Reference pipelines hit this exact shape in their fan-out/summary
-stages (e.g. per-tag aggregation over crawl deliveries where one tag
-dominates); at 100 TB a single hot key is the difference between a
-10-minute and a 10-hour stage.
+Salts derive deterministically (xxhash64, never ``rand()``) so task
+retries and stream replays agree row-for-row.
 """
 
 from __future__ import annotations
@@ -28,50 +26,91 @@ from pyspark.sql import functions as F
 def salted_join(
     left: DataFrame,
     right: DataFrame,
-    on: Sequence[str],
+    on: list[str],
+    salt: int = 16,
+    left_unique_col: str | None = None,
     how: str = "inner",
-    salts: int = 8,
 ) -> DataFrame:
     """Equi-join with the hot-key salting pattern: every LEFT row gets a
-    deterministic salt in ``[0, salts)`` (xxhash64 of the whole row, so
-    rows of one hot key spread across ``salts`` shuffle partitions) and
-    the RIGHT side is replicated once per salt value; the join runs on
-    ``on + [salt]``. Row multiplicity is exactly the plain join's —
-    each left row meets each matching right row exactly once (in the
-    single replica carrying its salt) — so results are identical and
-    the plain join IS the oracle.
+    deterministic salt in ``[0, salt)`` and the RIGHT side is replicated
+    once per salt value (a generator ``explode`` before the exchange,
+    not a cached blow-up); the join runs on ``on + [salt]``. One hot
+    key's single reducer becomes ``salt`` reducers, at the cost of
+    shuffling the right side ``salt``×. Row multiplicity is exactly the
+    plain join's — each left row meets each matching right row exactly
+    once, in the single replica carrying its salt — so results are
+    identical and the plain join IS the oracle.
 
-    Cost model: the right side is shuffled ``salts``× (replication is
-    a generator ``explode`` before the exchange, not a cached blow-up),
-    in exchange for the left side's hot keys splitting into ``salts``
-    parallel tasks. Use when the skewed side is large, the other side
-    is modest but above the broadcast threshold, and AQE can't split
-    (shuffled-hash join, or skew created upstream of the join). With a
-    broadcastable right side just use ``F.broadcast`` — replication
-    would only multiply a build table that already ships whole.
+    ``left_unique_col``: column whose hash spreads the salt; defaults
+    to xxhash64 over ALL left columns (so even rows of one hot key
+    spread, without the caller having to know a unique column). Pass an
+    id/timestamp column when hashing the full row is needlessly wide.
 
-    ``how``: ``inner`` or ``left`` (an unmatched left row is unmatched
-    under every salt exactly once — its own). Right/full/semi/anti
-    would need the REPLICATED side's null-extension deduplicated;
-    refused rather than silently wrong.
+    ``how``: ``inner`` or ``left`` only (an unmatched left row is
+    null-extended exactly once — under its own salt). Right/full joins
+    would null-extend every unmatched RIGHT replica — ``salt`` copies
+    per missing key — and semi/anti have no payload to carry the salt
+    through; refused rather than silently wrong. Use the plain join or
+    AQE for those shapes.
+
+    Use when the skewed side is large and the other side is modest but
+    above the broadcast threshold; with a broadcastable right side just
+    use ``F.broadcast`` — replication would only multiply a build table
+    that already ships whole.
     """
     how_l = how.lower()
     if how_l not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(
-            f"salted_join supports inner/left joins, got {how!r}: outer/"
-            "semi/anti row semantics on the replicated side would need "
-            "null-extension dedup — use the plain join or AQE there"
+            f"salted_join supports inner/left joins, got {how!r}: outer "
+            "shapes null-extend the replicated side once per salt and "
+            "semi/anti can't carry the salt — use the plain join or AQE"
         )
-    if salts < 1:
-        raise ValueError(f"salts must be >= 1, got {salts}")
-    on = list(on)
-    l_salted = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    if salt < 1:
+        raise ValueError(f"salt must be >= 1, got {salt}")
+    spread = (
+        F.xxhash64(F.col(left_unique_col))
+        if left_unique_col is not None
+        else F.xxhash64(*[F.col(c) for c in left.columns])
     )
+    l_salted = left.withColumn("_salt", F.pmod(spread, F.lit(salt)).cast("int"))
     r_salted = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<bigint>"))
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    return l_salted.join(r_salted, on + ["_salt"], how_l).drop("_salt")
+    return l_salted.join(r_salted, on=list(on) + ["_salt"], how=how_l).drop("_salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    salt_from: str,
+    sum_cols: list[str] | None = None,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for HOT group keys: pre-aggregate on
+    (group, salt) so one hot key's rows spread over ``salt_buckets``
+    reducers, then combine the bounded partials on the group alone.
+
+    Spark's hash aggregate already does map-side partial aggregation, so
+    this matters when the FIRST shuffle would still concentrate a hot
+    key — e.g. aggregation over a freshly-shuffled join output, or
+    high-cardinality partial states (collect_set/distinct buffers) where
+    per-mapper combining is weak. Salt derives deterministically from
+    ``salt_from`` (no ``rand()`` — replays and retries must agree).
+
+    Counts are exact. ``sum_cols`` must already be EXACT types (bigint /
+    decimal-cast) — re-associating double sums would change results.
+    Output: ``group_cols..., n_rows, sum_<col>...``.
+    """
+    sums = list(sum_cols or [])
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_buckets)).alias("_salt")
+    partial = df.groupBy(*group_cols, salt).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(c).alias(f"_s_{c}") for c in sums],
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("_cnt").cast("bigint").alias("n_rows"),
+        *[F.sum(f"_s_{c}").alias(f"sum_{c}") for c in sums],
+    )
 
 
 def salted_count_distinct(
@@ -88,7 +127,9 @@ def salted_count_distinct(
     salt is a pure function of the DISTINCT VALUE, equal values always
     land in the same bucket — the partial distinct counts partition the
     true distinct set, so the sum is exact, and the plain
-    ``COUNT(DISTINCT)`` is the oracle.
+    ``COUNT(DISTINCT)`` is the oracle. (Contrast
+    :func:`salted_aggregate`, whose salt comes from a ROW id: that is
+    correct for decomposable sums but would double-count distincts.)
 
     Why this exists: Spark plans exact ``countDistinct`` as an Expand +
     aggregation keyed by the group columns alone, so one hot group is
@@ -101,7 +142,8 @@ def salted_count_distinct(
     ``agg_exprs``: optional additional SUM-DECOMPOSABLE aggregates
     (sums/counts over the original rows — anything whose total is the
     sum of its per-bucket partials) computed in the same pass, e.g.
-    ``{"n_events": F.count(F.lit(1))}``.
+    ``{"n_events": F.count(F.lit(1))}``. NULL distinct values hash to
+    one bucket and are ignored there, matching ``COUNT(DISTINCT)``.
     """
     group_cols = list(group_cols)
     out = out or f"n_distinct_{distinct_col}"
@@ -119,4 +161,45 @@ def salted_count_distinct(
     return stage1.groupBy(*group_cols).agg(
         F.sum("_partial_nd").cast("bigint").alias(out),
         *[F.sum(f"_partial_{k}").alias(k) for k in extras],
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostics: the readout that decides between a
+    plain shuffle, AQE skew splitting, and explicit salting.
+
+    One count aggregate on the key (map-side combinable), one 1-row
+    global summary broadcast onto the top rows. Output, one row per
+    top-N key (count DESC, keys ASC tiebreak): the key columns, ``n``,
+    ``share`` (exact single division), ``rank``, plus the global
+    ``n_rows``/``n_keys``/``avg_per_key`` context. A top key with
+    share ≫ 1/n_keys is the salting signal.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in key_cols])
+    top = (
+        counts.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in key_cols])
+        .limit(top_n)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        *key_cols,
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.col("n_rows").cast("double")).alias("share"),
+        "rank",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")).alias(
+            "avg_per_key"
+        ),
     )

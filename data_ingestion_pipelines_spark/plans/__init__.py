@@ -58,8 +58,9 @@ _PRIORITY = [
     "ann_index_drift_verdict",
     "knn_label_vote_ann",
     "semantic_dedup_docs",
-    "salted_join_revenue",
     "salted_distinct_users",
+    "salted_hot_join",  # re-check: exercises the merged salted_join's
+    # full-row default spread + outer-shape refusal hardening
     "ann_index_append_verdict",
     "bloom_prefilter_dedup_docs",
     "minhash_index_dedup_docs",

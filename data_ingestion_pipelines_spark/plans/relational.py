@@ -3914,42 +3914,10 @@ GROUP BY nn.n_name
 
 
 # --------------------------------------------------------------------------
-# Skew-mitigation operators, result-parity gates. Salting is result-
-# IDENTICAL to the plain formulation by construction (operators/skew.py:
-# the salt partitions either the left rows or the distinct-value set),
-# so the unsalted ANSI SQL is the oracle — the gate proves the rewrite
-# is sound, the operator docstrings carry the when-to-use cost model.
-def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.skew import salted_join
-
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
-    )
-    disc_price = (
-        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-    ).cast("decimal(38,8)")
-    return (
-        salted_join(li, orders, on=["l_orderkey"], how="inner", salts=8)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(disc_price).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-SALTED_JOIN_REVENUE_SQL = """
-SELECT o.o_orderpriority,
-       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,8))) AS DOUBLE) AS revenue,
-       CAST(COUNT(*) AS BIGINT) AS n_items
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-GROUP BY o.o_orderpriority
-"""
-
-
+# Exact count-distinct under a hot group (completes the skew family next
+# to salted_hot_join / skewed_event_type_counts / event_type_skew_report):
+# value-keyed salting partitions the distinct set, so the bucket counts
+# sum exactly and the plain COUNT(DISTINCT) is the oracle.
 def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_count_distinct
 
@@ -4131,6 +4099,5 @@ QUERIES = {
         TOTALPRICE_EQUIDEPTH_HISTOGRAM_SQL,
     ),
     "nullsafe_parity_labels": (nullsafe_parity_labels, NULLSAFE_PARITY_LABELS_SQL),
-    "salted_join_revenue": (salted_join_revenue, SALTED_JOIN_REVENUE_SQL),
     "salted_distinct_users": (salted_distinct_users, SALTED_DISTINCT_USERS_SQL),
 }

@@ -28,25 +28,31 @@ def _skewed(spark):
 def test_salted_join_parity_inner_and_left(spark):
     left, right = _skewed(spark)
     for how in ("inner", "left"):
-        for salts in (1, 4, 7):
-            got = sorted(
-                (r["k"], r["x"], r["tag"])
-                for r in salted_join(left, right, ["k"], how, salts=salts).collect()
-            )
-            want = sorted(
-                (r["k"], r["x"], r["tag"])
-                for r in left.join(right, ["k"], how).collect()
-            )
-            assert got == want, (how, salts)
+        for n_salt in (1, 4, 7):
+            # both spread modes: explicit unique column and the
+            # full-row-hash default
+            for spread in ("x", None):
+                got = sorted(
+                    (r["k"], r["x"], r["tag"])
+                    for r in salted_join(
+                        left, right, ["k"], salt=n_salt,
+                        left_unique_col=spread, how=how,
+                    ).collect()
+                )
+                want = sorted(
+                    (r["k"], r["x"], r["tag"])
+                    for r in left.join(right, ["k"], how).collect()
+                )
+                assert got == want, (how, n_salt, spread)
 
 
 def test_salted_join_refuses_outer_shapes(spark):
     left, right = _skewed(spark)
     for how in ("right", "full", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="inner/left"):
-            salted_join(left, right, ["k"], how)
-    with pytest.raises(ValueError, match="salts"):
-        salted_join(left, right, ["k"], salts=0)
+            salted_join(left, right, ["k"], how=how)
+    with pytest.raises(ValueError, match="salt"):
+        salted_join(left, right, ["k"], salt=0)
 
 
 def test_salted_count_distinct_exact(spark):
