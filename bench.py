@@ -324,6 +324,12 @@ def main() -> None:
         print(compare_benches(_load_bench_json(compare_path), summary),
               file=sys.stderr)
     spark.stop()
+    # the summary embeds everything worth keeping (per-query classes +
+    # 8 KB tail) — don't leak one capture file per bench run
+    try:
+        os.unlink(jvm_log.name)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

@@ -461,11 +461,18 @@ def semantic_dup_pairs(
     import numpy as np
 
     c = corpus.select(F.col(id_col), F.col(vec_col))
-    cents = (
-        np.asarray(centroids, dtype="float64")
-        if centroids is not None
-        else kmeans_centroids(c, vec_col=vec_col, k=k, iters=iters, id_col=id_col)
-    )
+    if centroids is not None:
+        # normalize caller-supplied centroids: _assign_lists argmaxes raw
+        # dot products, so unnormalized rows (e.g. raw cluster means)
+        # would bias assignment toward large-norm centroids — in the
+        # extreme crowding every vector into one cluster and turning the
+        # pruning quadratic. kmeans_centroids already returns unit rows.
+        cents = np.asarray(centroids, dtype="float64")
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+    else:
+        cents = kmeans_centroids(c, vec_col=vec_col, k=k, iters=iters, id_col=id_col)
     assigned = _assign_lists(c, id_col, vec_col, cents, 1)
     a = assigned.withColumnsRenamed({id_col: "id_a", vec_col: "_v_a"})
     b = assigned.withColumnsRenamed({id_col: "id_b", vec_col: "_v_b"})
@@ -1386,12 +1393,16 @@ def pq_drift_report(
     ratio ≈ 1 (the 2.0 default leaves a wide margin); run the report on
     each append, it costs one Arrow pass over the batch.
     """
+    from pyspark.errors import AnalysisException
+
     spark = new_vectors.sparkSession
     base = path.rstrip("/")
     _, books = load_pq_index(spark, base)
     try:
         st = spark.read.parquet(f"{base}/stats").collect()[0]
-    except Exception as exc:
+    except AnalysisException as exc:
+        # missing-path only — a transient FS error or corrupt stats file
+        # must surface as itself, not as a spurious "rebuild the index"
         raise FileNotFoundError(
             _DRIFT_STATS_HINT.format(kind="PQ", base=base, builder="save_pq_index")
         ) from exc
@@ -1436,12 +1447,15 @@ def ivf_drift_report(
     into a few lists (the probe-recall killer: nprobe lists now hold
     the whole batch) shows up as an entropy collapse long before the
     distance ratio moves."""
+    from pyspark.errors import AnalysisException
+
     spark = new_vectors.sparkSession
     base = path.rstrip("/")
     cents = _load_ivf_centroids(spark, base)
     try:
         st = spark.read.parquet(f"{base}/stats").collect()[0]
-    except Exception as exc:
+    except AnalysisException as exc:
+        # missing-path only, as in pq_drift_report
         raise FileNotFoundError(
             _DRIFT_STATS_HINT.format(kind="IVF", base=base, builder="save_ivf_index")
         ) from exc

@@ -1669,7 +1669,11 @@ FROM (
 # is the documented SemDeDup trade — pytest covers the precision-1.0
 # property against the exact tier.
 def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import semantic_dedup, semantic_dup_pairs
+    from ..operators.similarity import (
+        kmeans_centroids,
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.unionByName(
@@ -1678,11 +1682,18 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=False)
 
+    # one k-means training shared by both operator calls (also exercises
+    # the precomputed-centroids path the docstring advertises); the two
+    # cluster-scoring passes stay — the gate's job is driving BOTH the
+    # pair and the survivor operator end-to-end
+    cents = kmeans_centroids(planted, vec_col="embedding", k=16, iters=2)
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in semantic_dup_pairs(planted, k=16, threshold=0.9).collect()
+        for r in semantic_dup_pairs(
+            planted, k=16, threshold=0.9, centroids=cents
+        ).collect()
     }  # bounded: organic cosines max out at 0.60, only planted pairs match
-    surv = semantic_dedup(planted, k=16, threshold=0.9)
+    surv = semantic_dedup(planted, k=16, threshold=0.9, centroids=cents)
     n_surv = surv.count()
     kept = {
         r["vec_id"]

@@ -107,35 +107,45 @@ def write_indexed_dataset(
                 binf.write(struct.pack(f"<{len(toks)}{pack_char}", *toks))
                 idx_rows.append((int(row[id_col]), off[0], len(toks)))
                 off[0] += len(toks)
-        except BaseException:
-            for sh, (binf, _, _) in open_files.items():
+            # Publish: finish each temp pair, then atomically rename —
+            # .bin first, .idx last (readers glob .idx, so a visible
+            # index always has its data file in place). os.replace makes
+            # the last-finishing attempt win wholesale; attempts never
+            # share file handles, so no interleaved/corrupt shard is
+            # possible.
+            for sh, (binf, idx_rows, _) in sorted(open_files.items()):
                 binf.close()
+                tmp_idx = os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}.idx")
+                with open(tmp_idx, "wb") as ix:
+                    ix.write(_MAGIC_V2)
+                    ix.write(struct.pack("<B", itemsize))
+                    ix.write(struct.pack("<q", len(idx_rows)))
+                    for doc_id, offset, n in idx_rows:
+                        ix.write(struct.pack("<qqq", doc_id, offset, n))
+                os.replace(
+                    os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}.bin"),
+                    os.path.join(out_dir, f"shard-{sh:06d}.bin"),
+                )
+                os.replace(tmp_idx, os.path.join(out_dir, f"shard-{sh:06d}.idx"))
+        except BaseException:
+            # one cleanup for BOTH phases: a failed publish (disk-full
+            # mid-idx-write, failed rename) must not orphan this
+            # attempt's remaining temp files any more than a failed row
+            # loop — a retry uses a fresh token and would never reclaim
+            # them. close() is idempotent; already-replaced files no
+            # longer match the .tmp- prefix and are left alone.
+            for _sh, (binf, _, _) in open_files.items():
                 try:
-                    os.remove(
-                        os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}.bin")
-                    )
+                    binf.close()
                 except OSError:
                     pass
+            for leftover in os.listdir(out_dir):
+                if leftover.startswith(f".tmp-{token}-"):
+                    try:
+                        os.remove(os.path.join(out_dir, leftover))
+                    except OSError:
+                        pass
             raise
-        # Publish: finish each temp pair, then atomically rename —
-        # .bin first, .idx last (readers glob .idx, so a visible index
-        # always has its data file in place). os.replace makes the
-        # last-finishing attempt win wholesale; attempts never share
-        # file handles, so no interleaved/corrupt shard is possible.
-        for sh, (binf, idx_rows, _) in sorted(open_files.items()):
-            binf.close()
-            tmp_idx = os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}.idx")
-            with open(tmp_idx, "wb") as ix:
-                ix.write(_MAGIC_V2)
-                ix.write(struct.pack("<B", itemsize))
-                ix.write(struct.pack("<q", len(idx_rows)))
-                for doc_id, offset, n in idx_rows:
-                    ix.write(struct.pack("<qqq", doc_id, offset, n))
-            os.replace(
-                os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}.bin"),
-                os.path.join(out_dir, f"shard-{sh:06d}.bin"),
-            )
-            os.replace(tmp_idx, os.path.join(out_dir, f"shard-{sh:06d}.idx"))
 
     prepared.foreachPartition(write_partition)
     return sorted(

@@ -300,5 +300,16 @@ def test_bloom_prefilter_exact_superset_and_zero_shuffle(spark):
     assert [r["uid"] for r in bloom_prefilter(with_null, sketch, "v", m_bits=1 << 13).collect()] == [1]
 
     plan = kept_in._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffleExchange" not in plan, plan
+    # Spark prints shuffle nodes as "Exchange hashpartitioning(...)" /
+    # "Exchange rangepartitioning(...)" — NOT "ShuffleExchange" (the
+    # first cut of this test asserted the latter and was vacuous)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert "BroadcastExchange" in plan
+    # self-check that the probe substring is the one Spark actually
+    # prints: a groupBy over the same frame MUST show it
+    shuffling = inserted.groupBy("v").count()
+    assert (
+        "Exchange hashpartitioning"
+        in shuffling._jdf.queryExecution().executedPlan().toString()
+    )

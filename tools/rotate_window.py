@@ -147,7 +147,12 @@ def main() -> int:
     dark = [n for n in registry if n not in seen]
 
     if args.check:
-        problems = check_window(plans._PRIORITY, registry, seen, args.changed)
+        # validate the ACTUAL driver window — the first 50 REGISTRY
+        # entries — not _PRIORITY: REGISTRY back-fills from module order
+        # when _PRIORITY is short, so a windowed-by-backfill gate must
+        # count as windowed (and a <50 _PRIORITY must not mask slot
+        # 49/50 occupants)
+        problems = check_window(registry, registry, seen, args.changed)
         print(
             f"# registry: {len(registry)}, driver-evidenced: {len(seen)}, "
             f"dark: {len(dark)} ({sorted(dark)}), "

@@ -51,7 +51,12 @@ def main() -> int:
 
     changed: list[str] = []
     if "--changed" in sys.argv:
-        changed = sys.argv[sys.argv.index("--changed") + 1 :]
+        # gate names until the next flag — slicing to the end would
+        # forward e.g. a trailing --fast into rotate_window's argparse
+        for a in sys.argv[sys.argv.index("--changed") + 1 :]:
+            if a.startswith("-"):
+                break
+            changed.append(a)
 
     sys.path.insert(0, HERE)
     from data_ingestion_pipelines_spark import plans
