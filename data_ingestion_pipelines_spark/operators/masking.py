@@ -1,0 +1,105 @@
+"""Deterministic MLM-style token masking (BERT corpus prep).
+
+The 80/10/10 masked-language-model recipe (Devlin et al. 2018: of the
+selected ~15 % of positions, 80 % become [MASK], 10 % a random token,
+10 % stay unchanged, and only selected positions carry labels) — but
+with every "random" decision a PURE FUNCTION of (seed, doc id,
+position) via the engine's standard md5 idiom. No ``rand()``: the same
+corpus + seed yields byte-identical training data on any cluster
+layout, any retry, any engine — a DuckDB oracle replays the masking
+exactly, and regenerating epoch N's data months later for a training
+forensics question is a query, not an archaeology project. Different
+seeds give independent maskings (the multi-epoch story).
+
+Everything is Column algebra inside one ``transform`` — codegen'd,
+zero shuffles, zero Python. Decisions compare 32-bit md5 prefixes
+against INTEGER thresholds (floor(rate · 2³²)) so no float ever enters
+the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mlm_thresholds(mask_rate: float, mask_frac: float, random_frac: float):
+    """Integer decision thresholds on the 32-bit hash space — computed
+    once here and embedded as literals in BOTH the Spark expression and
+    any SQL oracle, so the two can never disagree on a boundary."""
+    if not 0.0 <= mask_rate <= 1.0:
+        raise ValueError(f"mask_rate must be in [0, 1], got {mask_rate}")
+    if mask_frac < 0 or random_frac < 0 or mask_frac + random_frac > 1.0:
+        raise ValueError(
+            f"mask_frac={mask_frac} and random_frac={random_frac} must be "
+            "non-negative and sum to at most 1 (the remainder is the "
+            "keep-unchanged fraction)"
+        )
+    scale = 1 << 32
+    return (
+        int(mask_rate * scale),
+        int(mask_frac * scale),
+        int((mask_frac + random_frac) * scale),
+    )
+
+
+def _u32(tag: str, seed: str, id_sql: str, pos_sql: str) -> str:
+    """SQL for the 32-bit uniform draw md5('{seed}:{tag}:{id}:{pos}')[:8]."""
+    return (
+        f"CAST(conv(substring(md5(concat('{seed}:{tag}:', {id_sql}, ':', "
+        f"{pos_sql})), 1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def mlm_mask_tokens(
+    df: DataFrame,
+    mask_token_id: int,
+    vocab_size: int,
+    tokens_col: str = "token_ids",
+    id_col: str = "doc_id",
+    mask_rate: float = 0.15,
+    mask_frac: float = 0.8,
+    random_frac: float = 0.1,
+    seed: str = "mlm",
+    ignore_label: int = -100,
+    out_inputs: str = "input_ids",
+    out_labels: str = "labels",
+) -> DataFrame:
+    """``df`` + ``input_ids`` (tokens with the masking applied) +
+    ``labels`` (the ORIGINAL token at selected positions,
+    ``ignore_label`` elsewhere — the HF loss-masking convention).
+
+    Selection draw and action draw use independent hash streams
+    (``:s:`` / ``:a:`` / ``:r:`` tags), so the selected set is
+    independent of what happens to each selected position. The random
+    replacement is uniform over ``[0, vocab_size)`` and may
+    coincidentally equal the original token or ``mask_token_id`` —
+    standard BERT behavior, kept for parity with reference
+    implementations.
+
+    ``tokens_col`` should be a MATERIALIZED array column (read from
+    parquet or behind a plan barrier), not a live tokenizer expression —
+    under interpreted higher-order-function evaluation Spark re-runs the
+    producing expression per element (the ``_sign_grams`` trap).
+    """
+    thr_sel, thr_mask, thr_rand = _mlm_thresholds(mask_rate, mask_frac, random_frac)
+    id_sql = f"CAST(`{id_col}` AS STRING)"
+    pos = "CAST(i AS STRING)"
+    u_sel = _u32("s", seed, id_sql, pos)
+    u_act = _u32("a", seed, id_sql, pos)
+    rand_id = f"({_u32('r', seed, id_sql, pos)} % {int(vocab_size)})"
+    masked = (
+        f"transform(`{tokens_col}`, (t, i) -> "
+        f"CASE WHEN {u_sel} < {thr_sel} THEN "
+        f"  CASE WHEN {u_act} < {thr_mask} THEN {int(mask_token_id)} "
+        f"       WHEN {u_act} < {thr_rand} THEN CAST({rand_id} AS INT) "
+        f"       ELSE t END "
+        f"ELSE t END)"
+    )
+    labels = (
+        f"transform(`{tokens_col}`, (t, i) -> "
+        f"CASE WHEN {u_sel} < {thr_sel} THEN t ELSE {int(ignore_label)} END)"
+    )
+    return df.withColumn(out_inputs, F.expr(masked)).withColumn(
+        out_labels, F.expr(labels)
+    )

@@ -672,6 +672,94 @@ def indexed_dataset_uint16_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_dataset_roundtrip(spark, sf_dir, "uint16")
 
 
+# Deterministic MLM masking (the BERT 80/10/10 recipe) over the same
+# md5-derived 16-bit token ids the indexed-dataset gates use. Every
+# selection/action/replacement draw is md5(seed:tag:doc:pos) compared
+# against an INTEGER threshold (floor(rate·2³²)) — no rand(), no float
+# comparisons — so the oracle replays the masking bit-for-bit and the
+# md5 of the masked stream hash-matches. The same property is the
+# operational story: epoch data is reproducible from (corpus, seed)
+# on any layout, and different seeds give independent epochs.
+def mlm_masked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.masking import mlm_mask_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.coalesce(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
+        F.array().cast("array<string>"),
+    )
+    ids = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int")
+    )
+    # materialize the token arrays behind a plan barrier: transform()
+    # over a live tokenizer expression re-runs it per element under
+    # interpreted HOF eval (the _sign_grams trap)
+    tokenized = docs.select("doc_id", ids.alias("token_ids")).localCheckpoint(
+        eager=False
+    )
+    masked = mlm_mask_tokens(
+        tokenized, mask_token_id=65535, vocab_size=65536, seed="epoch0"
+    )
+    return masked.select(
+        "doc_id",
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+        F.size(F.filter("labels", lambda l: l != F.lit(-100)))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.md5(
+            F.array_join(F.transform("input_ids", lambda x: x.cast("string")), ",")
+        ).alias("inputs_md5"),
+        F.md5(
+            F.array_join(F.transform("labels", lambda x: x.cast("string")), ",")
+        ).alias("labels_md5"),
+    )
+
+
+# thresholds must come from the SAME arithmetic as the operator
+def _mlm_sql() -> str:
+    from ..operators.masking import _mlm_thresholds
+
+    thr_sel, thr_mask, thr_rand = _mlm_thresholds(0.15, 0.8, 0.1)
+    u = (
+        "CAST(('0x' || substr(md5('epoch0:{tag}:' || CAST(doc_id AS VARCHAR) "
+        "|| ':' || CAST(i - 1 AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+    )
+    u_sel, u_act, u_rnd = u.format(tag="s"), u.format(tag="a"), u.format(tag="r")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         COALESCE(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                  CAST([] AS VARCHAR[])) AS t
+  FROM documents
+), ids AS (
+  SELECT doc_id,
+         list_transform(t, x ->
+           CAST(('0x' || substr(md5(x), 1, 4))::UBIGINT AS INTEGER)) AS tok
+  FROM toks
+), masked AS (
+  SELECT doc_id, tok,
+         list_transform(generate_series(1, len(tok)), i ->
+           CASE WHEN {u_sel} < {thr_sel} THEN
+             CASE WHEN {u_act} < {thr_mask} THEN 65535
+                  WHEN {u_act} < {thr_rand} THEN CAST({u_rnd} % 65536 AS INTEGER)
+                  ELSE tok[i] END
+           ELSE tok[i] END) AS input_ids,
+         list_transform(generate_series(1, len(tok)), i ->
+           CASE WHEN {u_sel} < {thr_sel} THEN tok[i] ELSE -100 END) AS labels
+  FROM ids
+)
+SELECT doc_id,
+       CAST(len(tok) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(labels, l -> l != -100)) AS BIGINT) AS n_masked,
+       md5(array_to_string(list_transform(input_ids, x -> CAST(x AS VARCHAR)), ',')) AS inputs_md5,
+       md5(array_to_string(list_transform(labels, x -> CAST(x AS VARCHAR)), ',')) AS labels_md5
+FROM masked
+"""
+
+
+MLM_MASKED_DOCS_SQL = _mlm_sql()
+
+
 INDEXED_DATASET_ROUNDTRIP_DOCS_SQL = """
 WITH toks AS (
   -- COALESCE mirrors the writer, which coerces a NULL token array to an
@@ -4302,6 +4390,7 @@ QUERIES = {
     "indexed_dataset_uint16_docs": (
         indexed_dataset_uint16_docs, INDEXED_DATASET_ROUNDTRIP_DOCS_SQL,
     ),
+    "mlm_masked_docs": (mlm_masked_docs, MLM_MASKED_DOCS_SQL),
     "streaming_neardup_ingest": (
         streaming_neardup_ingest, STREAMING_NEARDUP_INGEST_SQL,
     ),

@@ -808,3 +808,70 @@ def test_minhash_index_append_equals_rebuild(spark, tmp_path):
     assert got_a == got_b and len(got_a) == 20
     assert all(got_a[1000 + i] is False for i in range(10))  # exact copies drop
     assert all(got_a[2000 + i] is True for i in range(10))   # fresh survive
+
+
+def test_mlm_mask_tokens_semantics(spark):
+    """Deterministic MLM masking: selection rate near mask_rate, the
+    80/10/10 action split holds on selected positions, labels carry the
+    original token exactly at selected positions (ignore elsewhere),
+    the result is layout-independent and seed-sensitive, and invalid
+    fractions are refused."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.masking import mlm_mask_tokens
+
+    n_docs, doc_len, vocab, mask_id = 40, 200, 1000, 999
+    docs = spark.range(n_docs).selectExpr(
+        "id AS doc_id",
+        f"transform(sequence(0, {doc_len - 1}), "
+        f"j -> CAST((id * 31 + j) % {vocab} AS INT)) AS token_ids",
+    ).localCheckpoint()
+
+    out = mlm_mask_tokens(
+        docs, mask_token_id=mask_id, vocab_size=vocab, seed="t0"
+    ).collect()
+    n_tot = n_docs * doc_len
+    n_sel = n_masked_tok = n_rand_or_keep = 0
+    for r in out:
+        orig = [(r["doc_id"] * 31 + j) % vocab for j in range(doc_len)]
+        assert len(r["input_ids"]) == len(r["labels"]) == doc_len
+        for j, (inp, lab) in enumerate(zip(r["input_ids"], r["labels"])):
+            if lab == -100:
+                assert inp == orig[j]  # unselected: untouched
+            else:
+                n_sel += 1
+                assert lab == orig[j]  # label = original token
+                if inp == mask_id and orig[j] != mask_id:
+                    n_masked_tok += 1
+                else:
+                    n_rand_or_keep += 1
+    # selection ~ Binomial(8000, 0.15): 3.5 sigma ~ 110
+    assert abs(n_sel - 0.15 * n_tot) < 150, n_sel
+    # [MASK] fraction of selected ~ 0.8 (random replacement can also
+    # coincidentally produce mask_id, so allow generous slack)
+    assert 0.72 * n_sel < n_masked_tok < 0.88 * n_sel
+
+    # layout-independence: a different partitioning gives identical rows
+    re_part = {
+        (r["doc_id"], tuple(r["input_ids"]), tuple(r["labels"]))
+        for r in mlm_mask_tokens(
+            docs.repartition(7), mask_token_id=mask_id, vocab_size=vocab, seed="t0"
+        ).collect()
+    }
+    assert re_part == {
+        (r["doc_id"], tuple(r["input_ids"]), tuple(r["labels"])) for r in out
+    }
+
+    # seed-sensitivity: a different seed selects a different position set
+    other = {
+        (r["doc_id"], tuple(r["labels"]))
+        for r in mlm_mask_tokens(
+            docs, mask_token_id=mask_id, vocab_size=vocab, seed="t1"
+        ).collect()
+    }
+    assert other != {(r["doc_id"], tuple(r["labels"])) for r in out}
+
+    with pytest.raises(ValueError, match="mask_frac"):
+        mlm_mask_tokens(docs, mask_token_id=0, vocab_size=10, mask_frac=0.7, random_frac=0.4)
+    with pytest.raises(ValueError, match="mask_rate"):
+        mlm_mask_tokens(docs, mask_token_id=0, vocab_size=10, mask_rate=1.5)
