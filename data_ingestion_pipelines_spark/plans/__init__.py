@@ -59,6 +59,7 @@ _PRIORITY = [
     "knn_label_vote_ann",
     "semantic_dedup_docs",
     "mlm_masked_docs",
+    "tfrecord_roundtrip_docs",
     "salted_distinct_users",
     "salted_hot_join",  # re-check: exercises the merged salted_join's
     # full-row default spread + outer-shape refusal hardening
@@ -103,7 +104,6 @@ _PRIORITY = [
     "late_shipment_orders",
     "nation_trade_flows",
     "important_parts_by_value",
-    "lonely_late_suppliers",
     # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
     # + promo_parts_revenue + small_quantity_revenue + profit_by_nation_year
     # + order_value_yoy + market_share_by_year (r2/r3-green,

@@ -672,6 +672,40 @@ def indexed_dataset_uint16_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _indexed_dataset_roundtrip(spark, sf_dir, "uint16")
 
 
+# TFRecord completes the training-shard format triple (WebDataset tars,
+# Megatron .bin/.idx, tf.train.Example records): write documents as
+# framed hand-serialized proto, read them back through the CRC-verified
+# loader, and hash what survived. The oracle recomputes the same facts
+# from the source table — a hash match proves the whole container
+# (varint/length-delimited encoding, packed int64 lists, masked-CRC32C
+# framing, shard assignment) round-tripped every document exactly.
+# NULL text round-trips as NULL (empty feature list), mirrored by the
+# oracle's plain NULL propagation.
+def tfrecord_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.tfrecord import read_tfrecord_shards, write_tfrecord_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    out_dir = scratch_dir(prefix="tfrec_")
+    write_tfrecord_shards(docs, out_dir, num_shards=8)
+    back = read_tfrecord_shards(
+        spark, out_dir, "doc_id bigint, text string, n_chars bigint"
+    )
+    return back.select(
+        "doc_id",
+        "n_chars",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+TFRECORD_ROUNDTRIP_DOCS_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(length(text) AS BIGINT) AS text_len,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 # Deterministic MLM masking (the BERT 80/10/10 recipe) over the same
 # md5-derived 16-bit token ids the indexed-dataset gates use. Every
 # selection/action/replacement draw is md5(seed:tag:doc:pos) compared
@@ -4391,6 +4425,9 @@ QUERIES = {
         indexed_dataset_uint16_docs, INDEXED_DATASET_ROUNDTRIP_DOCS_SQL,
     ),
     "mlm_masked_docs": (mlm_masked_docs, MLM_MASKED_DOCS_SQL),
+    "tfrecord_roundtrip_docs": (
+        tfrecord_roundtrip_docs, TFRECORD_ROUNDTRIP_DOCS_SQL,
+    ),
     "streaming_neardup_ingest": (
         streaming_neardup_ingest, STREAMING_NEARDUP_INGEST_SQL,
     ),

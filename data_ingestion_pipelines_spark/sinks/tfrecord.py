@@ -1,0 +1,402 @@
+"""TFRecord shard export + loader — the TensorFlow training-delivery
+format, from scratch on the stdlib (no tensorflow, no protobuf package:
+``tf.train.Example`` is hand-serialized minimal proto, the record
+framing's CRC32C is table-driven Python with an import-gated
+``crc32c``-package fast path for deployment).
+
+Why it exists here: alongside WebDataset tars (`sinks/webdataset.py`)
+and the Megatron ``.bin``/``.idx`` pair (`sinks/indexed_dataset.py`),
+TFRecord completes the three training-shard formats a data platform is
+actually asked for. Same executor-side shape as its siblings: documents
+get a deterministic shard (``pmod(id, num_shards)``), one partition per
+shard, each partition streams its own ``shard-NNNNNN.tfrecord`` with
+attempt-unique temp names + atomic rename (task retries and speculative
+attempts can't interleave), rows sorted by id within the shard so the
+bytes are REPRODUCIBLE run-over-run.
+
+Format facts (public TFRecord/Example spec):
+- record frame: ``uint64le length, uint32le masked_crc32c(length
+  bytes), payload, uint32le masked_crc32c(payload)``; mask =
+  ``rotr15(crc) + 0xa282ead8``.
+- payload: ``Example{ Features{ map<string, Feature> } }`` where
+  Feature is one of BytesList (string/binary columns), Int64List
+  (packed varints — int/long and array<int/long> columns), FloatList
+  (packed float32 — float/double columns; NOTE float32 narrowing is
+  lossy for doubles, which is why the exactness gate sticks to
+  int64+bytes features).
+
+The loader re-parses frames (verifying both CRCs — corrupt shards fail
+loudly, never yield silent garbage) and decodes features against a
+caller-supplied Spark DDL schema; feature wire-kind mismatches raise.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- CRC32C
+_CRC_TABLE = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC_TABLE.append(_c)
+
+try:  # deployment fast path; the container has no crc32c package
+    from crc32c import crc32c as _crc32c  # type: ignore
+except Exception:  # pragma: no cover - environment-dependent
+
+    def _crc32c(data: bytes) -> int:
+        c = 0xFFFFFFFF
+        for b in data:
+            c = _CRC_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+        return c ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    c = _crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# ------------------------------------------------------- minimal protobuf
+def _varint(n: int) -> bytes:
+    if n < 0:  # proto int64: 10-byte two's-complement varint
+        n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    """Length-delimited field (wire type 2)."""
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _feature(kind: str, values) -> bytes:
+    if kind == "bytes":
+        inner = b"".join(_ld(1, v) for v in values)
+        return _ld(1, inner)  # Feature.bytes_list = 1
+    if kind == "int64":
+        packed = b"".join(_varint(int(v)) for v in values)
+        return _ld(3, _ld(1, packed))  # Feature.int64_list = 3, packed
+    if kind == "float":
+        packed = struct.pack(f"<{len(values)}f", *values)
+        return _ld(2, _ld(1, packed))  # Feature.float_list = 2, packed
+    raise ValueError(f"unknown feature kind {kind!r}")
+
+
+def _example(features: list[tuple[str, str, list]]) -> bytes:
+    """Serialize Example{Features{map}} with features in the GIVEN
+    order — proto maps are repeated entries, so fixing the order fixes
+    the bytes (reproducibility)."""
+    entries = b"".join(
+        _ld(1, _ld(1, name.encode()) + _ld(2, _feature(kind, vals)))
+        for name, kind, vals in features
+    )
+    return _ld(1, entries)
+
+
+def _frame(payload: bytes) -> bytes:
+    header = struct.pack("<Q", len(payload))
+    return (
+        header
+        + struct.pack("<I", _masked_crc(header))
+        + payload
+        + struct.pack("<I", _masked_crc(payload))
+    )
+
+
+_KINDS = {
+    "string": "bytes",
+    "binary": "bytes",
+    "int": "int64",
+    "bigint": "int64",
+    "smallint": "int64",
+    "tinyint": "int64",
+    "float": "float",
+    "double": "float",
+    "array<int>": "int64",
+    "array<bigint>": "int64",
+    "array<float>": "float",
+    "array<double>": "float",
+}
+
+
+def _col_kinds(df: DataFrame, cols: list[str]) -> list[tuple[str, str, bool]]:
+    types = dict(df.dtypes)
+    out = []
+    for c in cols:
+        t = types[c]
+        if t not in _KINDS:
+            raise ValueError(
+                f"write_tfrecord_shards: column {c!r} has type {t!r} — "
+                f"supported: {sorted(_KINDS)}"
+            )
+        out.append((c, _KINDS[t], t.startswith("array<")))
+    return out
+
+
+def write_tfrecord_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    cols: list[str] | None = None,
+) -> list[str]:
+    """Export rows as ``shard-NNNNNN.tfrecord`` files of tf.train.Example
+    records, one frame per row, features in ``cols`` order (default: all
+    columns, ``id_col`` first). Returns the shard paths. NULL scalar →
+    empty feature list (the TF convention for absent values); NULL array
+    → empty list. Requires a non-negative integral ``id_col`` for the
+    shard assignment, like the sibling sinks."""
+    cols = list(cols) if cols is not None else [id_col] + [
+        c for c in df.columns if c != id_col
+    ]
+    kinds = _col_kinds(df, cols)
+    os.makedirs(out_dir, exist_ok=True)
+    prepared = (
+        df.select(*cols)
+        .withColumn(
+            "_shard", F.pmod(F.col(id_col), F.lit(num_shards)).cast("bigint")
+        )
+        .repartition(num_shards, "_shard")
+        .sortWithinPartitions("_shard", id_col)
+    )
+
+    def write_partition(rows) -> None:
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        token = (
+            f"{tc.stageId()}-{tc.taskAttemptId()}" if tc else uuid.uuid4().hex[:12]
+        )
+        open_files: dict[int, object] = {}
+        try:
+            for row in rows:
+                sh = int(row["_shard"])
+                fh = open_files.get(sh)
+                if fh is None:
+                    fh = open_files[sh] = open(
+                        os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}"), "wb"
+                    )
+                feats = []
+                for name, kind, is_arr in kinds:
+                    v = row[name]
+                    if v is None:
+                        vals = []
+                    elif is_arr:
+                        vals = [x for x in v if x is not None]
+                    elif kind == "bytes":
+                        vals = [v.encode() if isinstance(v, str) else bytes(v)]
+                    else:
+                        vals = [v]
+                    feats.append((name, kind, vals))
+                fh.write(_frame(_example(feats)))
+            for sh, fh in sorted(open_files.items()):
+                fh.close()
+                os.replace(
+                    os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}"),
+                    os.path.join(out_dir, f"shard-{sh:06d}.tfrecord"),
+                )
+        except BaseException:
+            for fh in open_files.values():
+                try:
+                    fh.close()
+                except OSError:
+                    pass
+            for leftover in os.listdir(out_dir):
+                if leftover.startswith(f".tmp-{token}-"):
+                    try:
+                        os.remove(os.path.join(out_dir, leftover))
+                    except OSError:
+                        pass
+            raise
+
+    prepared.foreachPartition(write_partition)
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.startswith("shard-") and f.endswith(".tfrecord")
+    )
+
+
+# ---------------------------------------------------------------- reader
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _parse_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one message."""
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, pos = _read_varint(buf, pos)
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            v = buf[pos : pos + 4]
+            pos += 4
+        elif wt == 1:
+            v = buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"tfrecord: unsupported wire type {wt}")
+        yield field, wt, v
+
+
+def _signed64(n: int) -> int:
+    return n - (1 << 64) if n >= 1 << 63 else n
+
+
+def _decode_example(payload: bytes) -> dict[str, tuple[str, list]]:
+    """Example bytes → {feature name: (kind, values)}."""
+    out: dict[str, tuple[str, list]] = {}
+    for f1, _, features_buf in _parse_fields(payload):
+        if f1 != 1:
+            continue
+        for fe, _, entry in _parse_fields(features_buf):
+            if fe != 1:
+                continue
+            name, feat = None, None
+            for fk, _, v in _parse_fields(entry):
+                if fk == 1:
+                    name = v.decode()
+                elif fk == 2:
+                    feat = v
+            if name is None or feat is None:
+                continue
+            for kind_field, _, lst in _parse_fields(feat):
+                if kind_field == 1:  # bytes_list
+                    vals = [v for f, _, v in _parse_fields(lst) if f == 1]
+                    out[name] = ("bytes", vals)
+                elif kind_field == 3:  # int64_list (packed)
+                    vals = []
+                    for f, wt, v in _parse_fields(lst):
+                        if f != 1:
+                            continue
+                        if wt == 2:  # packed
+                            p = 0
+                            while p < len(v):
+                                n, p = _read_varint(v, p)
+                                vals.append(_signed64(n))
+                        else:
+                            vals.append(_signed64(v))
+                    out[name] = ("int64", vals)
+                elif kind_field == 2:  # float_list (packed)
+                    vals = []
+                    for f, wt, v in _parse_fields(lst):
+                        if f != 1:
+                            continue
+                        if wt == 2:
+                            vals.extend(struct.unpack(f"<{len(v) // 4}f", v))
+                        else:
+                            vals.extend(struct.unpack("<f", v))
+                    out[name] = ("float", vals)
+    return out
+
+
+def _iter_frames(path: str):
+    with open(path, "rb") as fh:
+        while True:
+            header = fh.read(8)
+            if not header:
+                return
+            if len(header) < 8:
+                raise ValueError(f"tfrecord: truncated length in {path}")
+            (want_hc,) = struct.unpack("<I", fh.read(4))
+            if _masked_crc(header) != want_hc:
+                raise ValueError(f"tfrecord: corrupt length crc in {path}")
+            (ln,) = struct.unpack("<Q", header)
+            payload = fh.read(ln)
+            if len(payload) < ln:
+                raise ValueError(f"tfrecord: truncated record in {path}")
+            (want_pc,) = struct.unpack("<I", fh.read(4))
+            if _masked_crc(payload) != want_pc:
+                raise ValueError(f"tfrecord: corrupt payload crc in {path}")
+            yield payload
+
+
+def read_tfrecord_shards(spark, shards_dir: str, schema: str) -> DataFrame:
+    """Load shards back → ``(shard_path, <schema columns>)``. ``schema``
+    is Spark DDL naming the features to decode (e.g. ``"doc_id bigint,
+    text string"``); scalar columns take the feature's single value
+    (NULL when the list is empty), array columns the whole list. A
+    feature stored with a different wire kind than the schema asks for
+    raises — silent coercion would hide producer bugs. Shard-per-task
+    parallelism, CRCs verified on every frame."""
+    paths = sorted(
+        os.path.join(shards_dir, f)
+        for f in os.listdir(shards_dir)
+        if f.endswith(".tfrecord")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no .tfrecord shards under {shards_dir}")
+    cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+    cols = [(n.strip().strip("`"), t.strip()) for n, t in cols]
+    for _, t in cols:
+        if t not in _KINDS:
+            raise ValueError(f"read_tfrecord_shards: unsupported type {t!r}")
+    full_schema = "shard_path string, " + schema
+    pdf = spark.createDataFrame([(p,) for p in paths], "shard_path string")
+
+    names = ["shard_path"] + [n for n, _ in cols]
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf_b in batches:
+            rows = []
+            for p in pdf_b["shard_path"]:
+                for payload in _iter_frames(p):
+                    feats = _decode_example(payload)
+                    out = [p]
+                    for name, t in cols:
+                        kind, is_arr = _KINDS[t], t.startswith("array<")
+                        got = feats.get(name)
+                        if got is None:
+                            out.append(None)
+                            continue
+                        gk, vals = got
+                        if gk != kind:
+                            raise ValueError(
+                                f"tfrecord: feature {name!r} is {gk}, schema "
+                                f"asks for {t!r}"
+                            )
+                        if kind == "bytes":
+                            vals = [
+                                v.decode() if t == "string" else bytes(v)
+                                for v in vals
+                            ]
+                        if is_arr:
+                            out.append(list(vals))
+                        else:
+                            out.append(vals[0] if vals else None)
+                    rows.append(out)
+            yield pd.DataFrame(rows, columns=names)
+
+    return pdf.repartition(len(paths), "shard_path").mapInPandas(
+        parse, full_schema
+    )

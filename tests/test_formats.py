@@ -441,3 +441,79 @@ def test_indexed_dataset_uint16_and_legacy_header(spark, tmp_path):
     backv1 = {r["doc_id"]: list(r["token_ids"])
               for r in read_indexed_dataset(spark, outv1).collect()}
     assert backv1 == {i: list(t) for i, t in rows}
+
+
+def test_tfrecord_roundtrip_reproducible_and_corrupt(spark, tmp_path):
+    """TFRecord shards: typed feature roundtrip (int64/bytes/string/
+    int64-array), byte-reproducible re-export, loud corrupt-shard and
+    wire-kind-mismatch errors, unsupported-type refusal."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from data_ingestion_pipelines_spark.sinks.tfrecord import (
+        read_tfrecord_shards,
+        write_tfrecord_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha", bytearray(b"\x00\x01"), [1, 2, 3]),
+            (1, None, bytearray(b""), []),
+            (2, "gamma", None, [7]),
+            (5, "delta", bytearray(b"\xff"), None),
+        ],
+        "doc_id bigint, text string, blob binary, toks array<bigint>",
+    )
+    out = str(tmp_path / "tfr")
+    paths = write_tfrecord_shards(docs, out, num_shards=3)
+    assert [os.path.basename(p) for p in paths] == [
+        "shard-000000.tfrecord", "shard-000001.tfrecord", "shard-000002.tfrecord",
+    ]
+
+    back = {
+        r["doc_id"]: (r["text"], bytes(r["blob"]) if r["blob"] is not None else None,
+                      r["toks"])
+        for r in read_tfrecord_shards(
+            spark, out, "doc_id bigint, text string, blob binary, toks array<bigint>"
+        ).collect()
+    }
+    # NULL scalar -> empty feature -> NULL on read; NULL array -> []
+    assert back == {
+        0: ("alpha", b"\x00\x01", [1, 2, 3]),
+        1: (None, b"", []),
+        2: ("gamma", None, [7]),
+        5: ("delta", b"\xff", []),
+    }
+
+    # byte-reproducible re-export
+    def digest(d):
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d)) if f.endswith(".tfrecord")
+        }
+
+    out2 = str(tmp_path / "tfr2")
+    write_tfrecord_shards(docs, out2, num_shards=3)
+    assert digest(out) == digest(out2)
+
+    # wire-kind mismatch is loud
+    with pytest.raises(Exception, match="schema asks"):
+        read_tfrecord_shards(spark, out, "text bigint").collect()
+
+    # corrupt a payload byte -> CRC failure, not silent garbage
+    victim = paths[0]
+    blob = bytearray(open(victim, "rb").read())
+    blob[14] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    with pytest.raises(Exception, match="corrupt"):
+        read_tfrecord_shards(
+            spark, out, "doc_id bigint"
+        ).collect()
+
+    # unsupported column type refused before any write
+    with pytest.raises(ValueError, match="supported"):
+        write_tfrecord_shards(
+            docs.selectExpr("doc_id", "named_struct('a', 1) AS s"), str(tmp_path / "x")
+        )
