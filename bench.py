@@ -104,6 +104,15 @@ HEADLINE = [
     # sf0.1/local[32] (iterative checkpoints + 32-task shuffle buffers)
     # — fine under this harness's 16g driver
     "leakage_free_split",
+    # round-9 additions with distinctive execution surfaces: SemDeDup
+    # (k-means + within-cluster quadratic), corpus-wide deterministic
+    # MLM masking (3 md5 draws per token, pure codegen), the TFRecord
+    # write→CRC-verified-read roundtrip, and the drift-monitor pair
+    # (index builds + four report passes)
+    "semantic_dedup_docs",
+    "mlm_masked_docs",
+    "tfrecord_roundtrip_docs",
+    "ann_index_drift_verdict",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

@@ -517,3 +517,54 @@ def test_tfrecord_roundtrip_reproducible_and_corrupt(spark, tmp_path):
         write_tfrecord_shards(
             docs.selectExpr("doc_id", "named_struct('a', 1) AS s"), str(tmp_path / "x")
         )
+
+
+def test_tfrecord_codec_roundtrip_property():
+    """Hypothesis: arbitrary feature sets round-trip through the
+    hand-rolled Example proto + frame codec (no Spark involved) —
+    int64s across the full signed range, arbitrary byte strings, and
+    float32-exact floats."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_ingestion_pipelines_spark.sinks.tfrecord import (
+        _decode_example,
+        _example,
+        _frame,
+        _iter_frames,
+    )
+
+    f32 = st.floats(
+        allow_nan=False, allow_infinity=False, width=32
+    )
+    feats = st.lists(
+        st.tuples(
+            st.text(min_size=1, max_size=8).filter(str.strip),
+            st.one_of(
+                st.tuples(st.just("int64"), st.lists(
+                    st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=6)),
+                st.tuples(st.just("bytes"), st.lists(st.binary(max_size=20), max_size=4)),
+                st.tuples(st.just("float"), st.lists(f32, max_size=6)),
+            ),
+        ),
+        max_size=5,
+        unique_by=lambda kv: kv[0],
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(feats)
+    def run(fs):
+        ex = _example([(n, k, v) for n, (k, v) in fs])
+        got = _decode_example(ex)
+        for n, (k, v) in fs:
+            gk, gv = got[n]
+            assert gk == k
+            if k == "float":
+                want = [struct.unpack("<f", struct.pack("<f", x))[0] for x in v]
+                assert list(gv) == want
+            else:
+                assert list(gv) == list(v)
+
+    run()
