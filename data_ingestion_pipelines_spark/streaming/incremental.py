@@ -352,8 +352,9 @@ def neardup_lowid_ingest(
     n: int = 3,
     threshold: float = 0.5,
     num_bands: int = 4,
-    prefilter: bool = True,
+    prefilter: bool | str = "auto",
     prefilter_m_bits: int = 1 << 20,
+    prefilter_min_index_bytes: int = 64 << 20,
     compact_every: int | None = None,
 ):
     """``foreachBatch`` sink factory: maintain a NEAR-dup-deduped corpus
@@ -409,16 +410,22 @@ def neardup_lowid_ingest(
     circuits the whole batch, and a replay racing the marker is
     anti-joined down to nothing against the already-present ids.
 
-    READ-PATH BOUND (``prefilter``, default on): the candidate join's
+    READ-PATH BOUND (``prefilter``, default ``"auto"``): the candidate join's
     probe side is the WHOLE accumulated gram index, and without help
     every stored row pays the join's shuffle each batch — O(corpus)
     shuffle work per batch even though writes are O(batch). The sink
     therefore builds a Bloom sketch (:func:`~..operators.sketches.
-    bloom_build`) over THIS batch's (band, bucket, gram) keys and
-    map-side-filters the stored index through
-    :func:`~..operators.sketches.bloom_prefilter` (k chained broadcast
-    joins, zero shuffles of the index) before the equi-join: stored
-    rows whose key definitely isn't in the batch skip the join
+    bloom_build`) over THIS batch's (band, bucket, gram) keys,
+    collects it into a dense bitmap (a bounded m/64-word driver read —
+    128 KB at the 2²⁰-bit default), and map-side-filters the stored
+    index through :func:`~..operators.sketches.bloom_prefilter_dense`:
+    the bitmap rides the scan as ONE array literal and each stored row
+    pays k bit tests inside whole-stage codegen — zero joins, zero
+    broadcast exchanges, zero shuffles of the index. (The first cut
+    used the k-broadcast-join :func:`~..operators.sketches.
+    bloom_prefilter`; its per-batch fixed cost of k broadcast builds
+    dominated at gate scale — the dense literal removes it.) Stored
+    rows whose key definitely isn't in the batch skip the equi-join
     entirely. Bloom's one-sided error makes this a pure read-path
     optimization — no false negatives, so the surviving-pair set (and
     the gate's oracle) is bit-identical with the filter on or off; the
@@ -427,8 +434,21 @@ def neardup_lowid_ingest(
     shuffle+join work per batch drops from O(corpus) to
     O(batch + fp·corpus) — measured profile in SCALING.md. Size
     ``prefilter_m_bits`` ≈ 10× the batch's distinct gram-key count for
-    ~1% fp; the default 2²⁰ bits (16 K-word ≈ 128 KB broadcast dense)
+    ~1% fp; the default 2²⁰ bits (16 K-word ≈ 128 KB literal)
     covers ~10⁵-key batches.
+
+    The filter is COST-GATED because it is not free: building the
+    batch sketch costs one extra aggregation job + a bounded collect
+    per batch (~1-2 s of fixed overhead on a busy local session,
+    measured via the bench gate — a 500-doc-batch stream over a toy
+    index slowed ~2× with it unconditionally on). ``"auto"`` (the
+    default) therefore enables it only once the stored gram index's
+    on-disk size reaches ``prefilter_min_index_bytes`` (64 MB default
+    — far past the crossover; checked from filesystem metadata, no
+    Spark job), i.e. exactly when O(corpus) join work starts to
+    matter. Pass ``True``/``False`` to force either path — results
+    are identical in all three modes (pinned by
+    ``test_neardup_prefilter_parity``).
 
     PRECONDITION — one checkpoint lineage per target (the Delta
     ``txnAppId``/``txnVersion`` contract): batch ids must be monotone
@@ -487,9 +507,23 @@ def neardup_lowid_ingest(
         # stored rows whose (band, bucket, gram) key can't equal any
         # batch key are dropped map-side before the join's shuffle
         # (exact — no false negatives — so results are unchanged).
+        if prefilter == "auto":
+            # cost gate: the sketch build is ~1-2 s of fixed per-batch
+            # overhead, worth paying only once the stored index is big
+            # enough that O(corpus) join work dominates — judged from
+            # fs metadata (no Spark job)
+            use_prefilter = (
+                _neardup_gram_bytes(base) >= prefilter_min_index_bytes
+            )
+        else:
+            use_prefilter = bool(prefilter)
         probe = grams_all
-        if prefilter and old_grams is not None:
-            from ..operators.sketches import bloom_build, bloom_prefilter
+        if use_prefilter and old_grams is not None:
+            from ..operators.sketches import (
+                bloom_build,
+                bloom_dense_bitmap,
+                bloom_prefilter_dense,
+            )
 
             key = F.concat_ws(
                 "\x1f",
@@ -497,14 +531,23 @@ def neardup_lowid_ingest(
                 F.col("_bucket").cast("string"),
                 F.col("_g").cast("string"),
             )
-            # eager checkpoint: the sketch feeds k broadcast exchanges —
-            # materialize once instead of re-running the build per probe
-            sketch = bloom_build(
-                banded.select(key.alias("_bf_k")), "_bf_k", m_bits=prefilter_m_bits
-            ).localCheckpoint()
-            probe = bloom_prefilter(
+            # dense-literal probe: ONE aggregation job builds the
+            # bitmap (bounded m/64-word collect), then the stored-index
+            # filter is pure codegen — no broadcast exchanges, no
+            # per-probe sketch re-evaluation (the first cut eager-
+            # checkpointed a sparse frame and paid k broadcast joins
+            # per batch; at gate scale that fixed cost dominated)
+            dense = bloom_dense_bitmap(
+                bloom_build(
+                    banded.select(key.alias("_bf_k")),
+                    "_bf_k",
+                    m_bits=prefilter_m_bits,
+                ),
+                m_bits=prefilter_m_bits,
+            )
+            probe = bloom_prefilter_dense(
                 grams_all.withColumn("_bf_k", key),
-                sketch,
+                dense,
                 "_bf_k",
                 m_bits=prefilter_m_bits,
             ).drop("_bf_k")
@@ -576,6 +619,25 @@ def _neardup_committed_ids(base: str) -> list[int]:
             except ValueError:
                 pass
     return sorted(out)
+
+
+def _neardup_gram_bytes(base: str) -> int:
+    """On-disk size of the stored gram index (every ``grams`` dir under
+    the target: snapshot + deltas) from filesystem metadata only — the
+    cost signal for ``prefilter="auto"``. Counting folded-but-unpruned
+    delta dirs overstates slightly, which only turns the filter on a
+    batch early — harmless (results are prefilter-invariant)."""
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(base):
+        if os.path.basename(root) == "grams":
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass  # concurrent prune/compaction — skip
+    return total
 
 
 def _neardup_hwm(base: str) -> tuple[str | None, int]:

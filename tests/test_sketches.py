@@ -313,3 +313,56 @@ def test_bloom_prefilter_exact_superset_and_zero_shuffle(spark):
         "Exchange hashpartitioning"
         in shuffling._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_bloom_prefilter_dense_parity_and_zero_exchange(spark):
+    """bloom_prefilter_dense must give IDENTICAL verdicts to the
+    broadcast-join bloom_prefilter (same hash family, same bitmap —
+    bit-for-bit), drop NULL keys the same way, guard a wrong-length
+    bitmap, and — its whole reason to exist — have ZERO exchange nodes
+    of any kind (not even broadcasts: the bitmap rides as a literal)."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        bloom_build,
+        bloom_dense_bitmap,
+        bloom_prefilter,
+        bloom_prefilter_dense,
+    )
+
+    inserted = spark.range(0, 300).select(
+        F.col("id").alias("uid"), F.concat(F.lit("val-"), F.col("id")).alias("v")
+    )
+    sketch = bloom_build(inserted, "v", m_bits=1 << 13).localCheckpoint()
+    dense = bloom_dense_bitmap(sketch, m_bits=1 << 13)
+    assert isinstance(dense, bytes) and len(dense) == (1 << 13) // 8
+
+    kept_in = bloom_prefilter_dense(inserted, dense, "v", m_bits=1 << 13)
+    assert sorted(r["uid"] for r in kept_in.collect()) == list(range(300))
+
+    probe = spark.range(0, 3000).select(
+        F.col("id").alias("uid"), F.concat(F.lit("x-"), F.col("id")).alias("v")
+    )
+    via_join = {r["uid"] for r in bloom_prefilter(probe, sketch, "v", m_bits=1 << 13).collect()}
+    via_dense = {
+        r["uid"] for r in bloom_prefilter_dense(probe, dense, "v", m_bits=1 << 13).collect()
+    }
+    assert via_dense == via_join  # bit-for-bit same verdicts
+
+    with_null = spark.createDataFrame(
+        [(1, "val-1"), (2, None)], "uid bigint, v string"
+    )
+    assert [
+        r["uid"]
+        for r in bloom_prefilter_dense(with_null, dense, "v", m_bits=1 << 13).collect()
+    ] == [1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bitmap has"):
+        bloom_prefilter_dense(probe, dense[:-1], "v", m_bits=1 << 13)
+
+    plan = kept_in._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan  # no shuffle AND no broadcast
+    # helper columns must not leak through
+    assert kept_in.columns == ["uid", "v"]

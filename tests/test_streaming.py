@@ -638,9 +638,14 @@ def test_neardup_prefilter_parity(spark, tmp_path):
     on = run(tmp_path / "on", prefilter=True)
     off = run(tmp_path / "off", prefilter=False)
     tiny = run(tmp_path / "tiny", prefilter=True, prefilter_m_bits=1 << 6)
+    # auto mode, both sides of the cost gate: min_index_bytes=1 turns
+    # the filter ON from the second batch; the 64 MB default leaves it
+    # OFF on this toy index
+    auto_on = run(tmp_path / "auto_on", prefilter="auto", prefilter_min_index_bytes=1)
+    auto_off = run(tmp_path / "auto_off", prefilter="auto")
     # doc 3 (lowest id of the base_b family, arriving last) flags BOTH
     # 4 and 9; 12 near-dups 7/2
-    assert on == off == tiny == [1, 2, 3, 8]
+    assert on == off == tiny == auto_on == auto_off == [1, 2, 3, 8]
 
 
 def test_neardup_auto_compaction_bounds_deltas(spark, tmp_path):

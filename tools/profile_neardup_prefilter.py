@@ -31,7 +31,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from data_ingestion_pipelines_spark.operators.dedup import _sign_grams  # noqa: E402
 from data_ingestion_pipelines_spark.operators.sketches import (  # noqa: E402
     bloom_build,
+    bloom_dense_bitmap,
     bloom_prefilter,
+    bloom_prefilter_dense,
 )
 from data_ingestion_pipelines_spark.session import get_spark  # noqa: E402
 
@@ -67,13 +69,21 @@ def main() -> None:
         F.col("_bucket").cast("string"),
         F.col("_g").cast("string"),
     )
+    t0 = time.monotonic()
     sketch = bloom_build(
         banded.select(key.alias("_bf_k")), "_bf_k", m_bits=M_BITS
     ).localCheckpoint()
+    t_sketch = time.monotonic() - t0
+    t0 = time.monotonic()
+    dense = bloom_dense_bitmap(sketch, m_bits=M_BITS)
+    t_dense = time.monotonic() - t0
 
-    print(f"batch: {BATCH_DOCS} docs, {batch_keys} gram-index keys, m={M_BITS} bits\n")
-    print("| corpus docs | index rows | rows into join (no filter) | rows into join (prefilter) | survivor ratio | filter wall s |")
-    print("|---|---|---|---|---|---|")
+    print(
+        f"batch: {BATCH_DOCS} docs, {batch_keys} gram-index keys, m={M_BITS} bits"
+        f" (sketch build {t_sketch:.2f}s, dense collect {t_dense:.2f}s)\n"
+    )
+    print("| corpus docs | index rows | rows into join (no filter) | survivors (join path) | survivors (dense path) | ratio | join-path wall s | dense-path wall s |")
+    print("|---|---|---|---|---|---|---|---|")
     for corpus_n in (2_000, 4_000, 8_000, 16_000, 32_000):
         corpus = synth_docs(spark, 0, corpus_n)
         stored, _ = _sign_grams(corpus, "text", "doc_id")
@@ -84,9 +94,15 @@ def main() -> None:
             stored.withColumn("_bf_k", key), sketch, "_bf_k", m_bits=M_BITS
         ).count()
         dt = time.monotonic() - t0
+        t0 = time.monotonic()
+        kept_dense = bloom_prefilter_dense(
+            stored.withColumn("_bf_k", key), dense, "_bf_k", m_bits=M_BITS
+        ).count()
+        dt_dense = time.monotonic() - t0
+        assert kept_dense == kept, (kept_dense, kept)  # bit-identical verdicts
         print(
-            f"| {corpus_n} | {index_rows} | {index_rows} | {kept} "
-            f"| {kept / index_rows:.4f} | {dt:.2f} |"
+            f"| {corpus_n} | {index_rows} | {index_rows} | {kept} | {kept_dense} "
+            f"| {kept / index_rows:.4f} | {dt:.2f} | {dt_dense:.2f} |"
         )
 
     # true matches survive: plant 20 near-dups of batch docs in a corpus
