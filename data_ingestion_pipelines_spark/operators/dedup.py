@@ -358,7 +358,7 @@ def save_minhash_index(
     spark.createDataFrame(
         [(num_bands, rows_per_band, shingle_k)],
         "num_bands INT, rows_per_band INT, shingle_k INT",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
 
 
 def append_to_minhash_index(

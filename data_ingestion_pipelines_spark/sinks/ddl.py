@@ -87,7 +87,7 @@ def export_secondary_copy(
                 f.write("ready")
         else:  # object stores: single-row text file via Spark
             spark = df.sparkSession
-            spark.createDataFrame([("ready",)], "v string").coalesce(1).write.mode(
+            spark.createDataFrame([("ready",)], "v string").repartition(1).write.mode(
                 "overwrite"
             ).text(path.rstrip("/") + "/" + ready_marker)
 
@@ -96,14 +96,14 @@ def put_text_file(spark: SparkSession, text: str, path: str) -> None:
     """K10: raw API text → one file (reference ``dbutils.fs.put``,
     `dataSource bp/Tables.scala:322-334`, `PSS WHI (XML)/Tables.scala:
     235-246`). Local paths write directly; otherwise a single-row
-    ``coalesce(1).write.text`` lands one part file under ``path``."""
+    ``repartition(1).write.text`` lands one part file under ``path``."""
     if path.startswith(("/", "file:")):
         local = path.replace("file:", "", 1)
         os.makedirs(os.path.dirname(local), exist_ok=True)
         with open(local, "w") as f:
             f.write(text)
     else:
-        spark.createDataFrame([(text,)], "v string").coalesce(1).write.mode(
+        spark.createDataFrame([(text,)], "v string").repartition(1).write.mode(
             "overwrite"
         ).text(path)
 
