@@ -737,7 +737,11 @@ def ivf_search_index(
     here."""
     base = path.rstrip("/")
     cents = _load_ivf_centroids(spark, base)
-    vectors = spark.read.parquet(f"{base}/vectors")
+    # deletion vectors: anti-join the inverted-list rows so a deleted
+    # id can never reach the re-rank (see delete_from_index)
+    vectors = _apply_tombstones(
+        spark.read.parquet(f"{base}/vectors"), spark, base, id_col
+    )
     q = _assign_lists(
         queries.select(query_id_col, vec_col), query_id_col, vec_col, cents, nprobe
     ).withColumnRenamed(vec_col, "_qvec")
@@ -1192,7 +1196,12 @@ def lsh_search_index(
     p = spark.read.parquet(f"{base}/params").first()
     planes = _plane_matrix(p["dim"], p["bits"], p["num_tables"])
     buckets = spark.read.parquet(f"{base}/buckets")
-    vectors = spark.read.parquet(f"{base}/vectors")
+    # deletion vectors: filtering the vectors side suffices — a deleted
+    # candidate from a stale bucket row dies at the vectors join, so
+    # the final top-k equals a rebuild on the remaining corpus
+    vectors = _apply_tombstones(
+        spark.read.parquet(f"{base}/vectors"), spark, base, id_col
+    )
 
     q_types = dict(queries.dtypes)
     q_schema = (
@@ -1295,6 +1304,76 @@ def append_to_pq_index(
     pq_encode(new_vectors, books, vec_col=vec_col, id_col=id_col).write.mode(
         "append"
     ).parquet(f"{base}/codes")
+
+
+def delete_from_index(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Logically DELETE vectors from a persisted index — any family
+    (:func:`save_lsh_index`, :func:`save_pq_index`,
+    :func:`save_ivf_index`): append the ids to ``{path}/tombstones``;
+    every search path anti-joins them at read time, so a deleted id can
+    never appear in results. This is the FAISS ``remove_ids`` /
+    lakehouse deletion-vector shape: O(|deleted|) write, no index
+    rewrite — :func:`vacuum_index` later folds the tombstones into the
+    data files physically.
+
+    Contracts: tombstones are permanent until :func:`vacuum_index`
+    clears them — RE-APPENDING a previously-deleted id leaves it
+    invisible (the anti-join cannot date-scope; vacuum first, then
+    append). Deletes are idempotent (the filter deduplicates). The
+    delete set is broadcast at search time, so keep it operationally
+    bounded (≲ millions of ids); past that, vacuum.
+    """
+    base = path.rstrip("/")
+    ids.select(id_col).dropDuplicates([id_col]).repartition(1).write.mode(
+        "append"
+    ).parquet(f"{base}/tombstones")
+
+
+def _apply_tombstones(df: DataFrame, spark, base: str, id_col: str) -> DataFrame:
+    """Anti-join ``{base}/tombstones`` into an index artifact read, if
+    any deletes were recorded. Broadcast: delete sets are control-plane
+    sized (see :func:`delete_from_index`)."""
+    import os
+
+    if not os.path.isdir(f"{base}/tombstones"):
+        return df
+    tomb = spark.read.parquet(f"{base}/tombstones").toDF(id_col)
+    return df.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def vacuum_index(spark, path: str, id_col: str = "vec_id") -> None:
+    """Physically fold tombstones into a persisted index: rewrite each
+    per-vector artifact (``vectors``, ``buckets``, ``codes`` — whichever
+    the family has) minus the deleted ids, then drop the tombstone dir.
+    Search results are unchanged (pinned in pytest); what changes is
+    that the bytes are gone and previously-deleted ids become
+    re-appendable. The swap is rename-based (new → live via a one-hop
+    ``__old`` hop), the same local-FS publish discipline as the
+    streaming snapshot sinks; on object storage run it under the
+    table-format transaction instead."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    if not os.path.isdir(f"{base}/tombstones"):
+        return
+    tomb = F.broadcast(
+        spark.read.parquet(f"{base}/tombstones").toDF(id_col)
+    )
+    for part in ("vectors", "buckets", "codes"):
+        live = f"{base}/{part}"
+        if not os.path.isdir(live):
+            continue
+        kept = spark.read.parquet(live).join(tomb, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(f"{live}__vac")
+        os.rename(live, f"{live}__old")
+        os.rename(f"{live}__vac", live)
+        shutil.rmtree(f"{live}__old")
+    shutil.rmtree(f"{base}/tombstones")
 
 
 def _pq_recon_stats(corpus: DataFrame, books, vec_col: str):
@@ -1505,7 +1584,11 @@ def load_pq_index(spark, path: str):
     books = np.zeros((m, kk, dsub))
     for r in book_rows:
         books[r["sub"], r["cid"]] = r["vec"]
-    return spark.read.parquet(f"{path.rstrip('/')}/codes"), books
+    codes = spark.read.parquet(f"{path.rstrip('/')}/codes")
+    # deletion vectors (delete_from_index): the id column is whatever
+    # the index was encoded with — first column of the codes schema
+    codes = _apply_tombstones(codes, spark, path.rstrip("/"), codes.columns[0])
+    return codes, books
 
 
 def ivf_pq_topk(

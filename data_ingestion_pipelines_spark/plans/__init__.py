@@ -63,6 +63,7 @@ _PRIORITY = [
     "salted_distinct_users",
     "salted_hot_join",  # re-check: exercises the merged salted_join's
     # full-row default spread + outer-shape refusal hardening
+    "ann_index_delete_verdict",
     "ann_index_append_verdict",
     "bloom_prefilter_dedup_docs",
     "minhash_index_dedup_docs",
@@ -103,13 +104,14 @@ _PRIORITY = [
     "chunk_assignment",
     "late_shipment_orders",
     "nation_trade_flows",
-    "important_parts_by_value",
     # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
     # + promo_parts_revenue + small_quantity_revenue + profit_by_nation_year
     # + order_value_yoy + market_share_by_year (r2/r3-green,
     # sweep-netted) rotated out for the two formerly-dark gates, the
     # uint16 container variant, and the round-9 additions (drift
-    # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair)
+    # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
+    # important_parts_by_value (r7-green) rotated out late-round for
+    # the index-delete verdict
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -2494,6 +2494,116 @@ WHERE e.vec_id < 5
 """
 
 
+# --------------------------------------------------------------------------
+# Index DELETE lifecycle (the other operational half: GDPR erasure,
+# retracted documents, bad deliveries). delete_from_index appends
+# tombstones — O(|deleted|), no rewrite, the FAISS remove_ids /
+# lakehouse deletion-vector shape — and every search path anti-joins
+# them, so delete-then-search must return EXACTLY what a rebuild over
+# the remaining corpus (same frozen planes/codebooks/centroids)
+# returns, and no deleted id may ever surface. Exact set equality for
+# the same reason as the append gate: parameters are shared, only the
+# row set differs.
+def ann_index_delete_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    from ..operators.similarity import (
+        _load_ivf_centroids,
+        delete_from_index,
+        ivf_search_index,
+        load_pq_index,
+        lsh_search_index,
+        pq_encode,
+        pq_search_codes,
+        save_ivf_index,
+        save_lsh_index,
+        save_pq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
+    doomed = emb.filter(F.col("vec_id") % 4 == 0)
+    doomed_ids = {r["vec_id"] for r in doomed.select("vec_id").collect()}
+    remaining = emb.filter(F.col("vec_id") % 4 != 0)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    root = scratch_dir(prefix="anndel_")
+    # LSH: full build + tombstones vs fresh build on the remaining rows
+    # (planes are parameter-derived, so the comparison is exact)
+    save_lsh_index(emb, f"{root}/lsh", num_tables=8, bits=6, dim=64)
+    delete_from_index(doomed, f"{root}/lsh")
+    save_lsh_index(remaining, f"{root}/lsh_ref", num_tables=8, bits=6, dim=64)
+    lsh_del = lsh_search_index(spark, f"{root}/lsh", queries, k=10)
+    lsh_ref = lsh_search_index(spark, f"{root}/lsh_ref", queries, k=10)
+
+    # PQ: codebooks trained on the FULL corpus stay frozen through the
+    # delete (the drift contract); the reference encodes the remaining
+    # rows with those same books
+    save_pq_index(emb, f"{root}/pq", m=8, codebook_k=16, lloyd_iters=2)
+    delete_from_index(doomed, f"{root}/pq")
+    codes_del, books = load_pq_index(spark, f"{root}/pq")
+    pq_del = pq_search_codes(codes_del, books, queries, k=10)
+    pq_ref = pq_search_codes(pq_encode(remaining, books), books, queries, k=10)
+
+    # IVF: frozen full-corpus centroids, reference assigns the
+    # remaining rows against them
+    save_ivf_index(emb, f"{root}/ivf", num_lists=16, lloyd_iters=2)
+    delete_from_index(doomed, f"{root}/ivf")
+    cents = _load_ivf_centroids(spark, f"{root}/ivf")
+    save_ivf_index(remaining, f"{root}/ivf_ref", centroids=cents)
+    ivf_del = ivf_search_index(spark, f"{root}/ivf", queries, k=10)
+    ivf_ref = ivf_search_index(spark, f"{root}/ivf_ref", queries, k=10)
+
+    # bounded driver-side verdict reduction, as in the append gate
+    q_ids = sorted(r["query_id"] for r in queries.select("query_id").collect())
+
+    def verdict(method: str, a: DataFrame, b: DataFrame) -> list[tuple]:
+        def as_set(df):
+            return {
+                (r["query_id"], r["vec_id"], round(r["score"], 6))
+                for r in df.collect()
+            }
+
+        sa, sb = as_set(a), as_set(b)
+        diff_qids = {t[0] for t in sa.symmetric_difference(sb)}
+        leaked_qids = {qid for qid, vid, _ in sa if vid in doomed_ids}
+        n_by_q = {}
+        for qid, _, _ in sa:
+            n_by_q[qid] = n_by_q.get(qid, 0) + 1
+        return [
+            (
+                method,
+                int(qid),
+                n_by_q.get(qid, 0) > 0,
+                qid not in diff_qids,
+                qid not in leaked_qids,
+            )
+            for qid in q_ids
+        ]
+
+    rows = (
+        verdict("lsh", lsh_del, lsh_ref)
+        + verdict("pq", pq_del, pq_ref)
+        + verdict("ivf", ivf_del, ivf_ref)
+    )
+    return spark.createDataFrame(
+        rows,
+        "method STRING, query_id BIGINT, has_results BOOLEAN, "
+        "delete_equals_rebuild BOOLEAN, no_deleted_hits BOOLEAN",
+    )
+
+
+ANN_INDEX_DELETE_VERDICT_SQL = """
+SELECT m.method, CAST(e.vec_id AS BIGINT) AS query_id,
+       TRUE AS has_results, TRUE AS delete_equals_rebuild,
+       TRUE AS no_deleted_hits
+FROM (SELECT 'lsh' AS method UNION ALL SELECT 'pq'
+      UNION ALL SELECT 'ivf') m,
+     embeddings e
+WHERE e.vec_id < 5
+"""
+
+
 # Quantization-drift monitor gate: the frozen-codebook append lifecycle
 # (append_to_pq_index / append_to_ivf_index, FAISS add() semantics)
 # promises a drift-retrain contract — this gate proves the contract is
@@ -4559,5 +4669,8 @@ QUERIES = {
     ),
     "ann_index_drift_verdict": (
         ann_index_drift_verdict, ANN_INDEX_DRIFT_VERDICT_SQL,
+    ),
+    "ann_index_delete_verdict": (
+        ann_index_delete_verdict, ANN_INDEX_DELETE_VERDICT_SQL,
     ),
 }

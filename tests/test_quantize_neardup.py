@@ -341,6 +341,68 @@ def test_lsh_index_append_equals_rebuild(spark, tmp_path):
     assert ba == bb
 
 
+def test_lsh_index_delete_vacuum_reappend(spark, tmp_path):
+    """delete_from_index: deleted ids vanish from search (== rebuild on
+    the remaining rows); vacuum_index leaves results identical while
+    physically removing the rows and the tombstone dir; after vacuum a
+    previously-deleted id can be re-appended and is found again."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        append_to_lsh_index,
+        delete_from_index,
+        lsh_search_index,
+        save_lsh_index,
+        vacuum_index,
+    )
+
+    emb = _toy_embeddings(spark, n=120, dim=8)
+    doomed = emb.filter(F.col("vec_id") % 3 == 0)
+    remaining = emb.filter(F.col("vec_id") % 3 != 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    pa = str(tmp_path / "deleted")
+    save_lsh_index(emb, pa, num_tables=4, bits=3, dim=8)
+    delete_from_index(doomed, pa)
+    # idempotent: deleting the same ids again changes nothing
+    delete_from_index(doomed, pa)
+    pb = str(tmp_path / "rebuilt")
+    save_lsh_index(remaining, pb, num_tables=4, bits=3, dim=8)
+
+    def got(path):
+        return {(r["query_id"], r["vec_id"], r["score"])
+                for r in lsh_search_index(spark, path, queries, k=5).collect()}
+
+    before_vac = got(pa)
+    assert before_vac == got(pb) and len(before_vac) > 0
+    doomed_ids = {r["vec_id"] for r in doomed.select("vec_id").collect()}
+    assert not {t[1] for t in before_vac} & doomed_ids
+
+    vacuum_index(spark, pa)
+    assert got(pa) == before_vac  # vacuum is invisible to search
+    assert not os.path.isdir(f"{pa}/tombstones")
+    stored = {r["vec_id"] for r in spark.read.parquet(f"{pa}/vectors").collect()}
+    assert not stored & doomed_ids  # bytes are gone, not just masked
+
+    # the documented contract: after vacuum, a deleted id is
+    # re-appendable and becomes searchable again
+    one = doomed.limit(1)
+    one_id = one.collect()[0]["vec_id"]
+    append_to_lsh_index(one, pa)
+    refound = {t[1] for t in got(pa)}
+    # it must at least be a candidate for its own vector as query
+    self_q = emb.filter(F.col("vec_id") == one_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    self_hits = {r["vec_id"]
+                 for r in lsh_search_index(spark, pa, self_q, k=5).collect()}
+    assert one_id in self_hits or one_id in refound
+
+
 def test_pq_index_append_equals_frozen_encode(spark, tmp_path):
     """append_to_pq_index(delta) encodes with the STORED codebooks: the
     appended code table must equal encoding the grown corpus with those
