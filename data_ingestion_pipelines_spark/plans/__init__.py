@@ -103,15 +103,16 @@ _PRIORITY = [
     "distinct_priorities",
     "chunk_assignment",
     "late_shipment_orders",
-    "nation_trade_flows",
+    "audience_overlap_hll",
     # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
     # + promo_parts_revenue + small_quantity_revenue + profit_by_nation_year
     # + order_value_yoy + market_share_by_year (r2/r3-green,
     # sweep-netted) rotated out for the two formerly-dark gates, the
     # uint16 container variant, and the round-9 additions (drift
     # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
-    # important_parts_by_value (r7-green) rotated out late-round for
-    # the index-delete verdict
+    # important_parts_by_value and nation_trade_flows (r7/r8-green)
+    # rotated out late-round for the index-delete verdict and the HLL
+    # overlap gate
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

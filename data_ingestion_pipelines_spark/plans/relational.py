@@ -3817,6 +3817,88 @@ FROM d GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# HLL set ALGEBRA: audience overlap via inclusion-exclusion.
+# |A∩B| ≈ est(A) + est(B) − est(A∪B) from three sketch reads — the
+# segment-overlap question ("how many purchase users also click?")
+# answered from the same persisted per-segment sketches the rollup gate
+# maintains, never a re-scan of raw events. Intersection error
+# compounds three estimates, each rsd≈1.6% at the default lgConfigK=12,
+# and is RELATIVE TO THE UNION (the known weakness of
+# inclusion-exclusion on sketches: a tiny overlap of two huge sets is
+# unrecoverable) — so the verdict bound is eps·|A∪B|, 8% ≈ 3σ·rsd
+# margin, and the gate hashes exact values + the verdict boolean only.
+def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("_sk"))
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("_sk").alias("_ska"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("_sk").alias("_skb"))
+    # 5 segments → 10 pairs: a broadcast self-join of a 5-row sketch frame
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        F.hll_sketch_estimate("_ska").alias("_ea"),
+        F.hll_sketch_estimate("_skb").alias("_eb"),
+        F.hll_sketch_estimate(F.hll_union("_ska", "_skb")).alias("_eu"),
+    )
+    du = ev.dropDuplicates(["event_type", "user_id"])
+    inter = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(
+            du.select(F.col("event_type").alias("type_b"), "user_id"), "user_id"
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_overlap"))
+    )
+    per_type = du.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("_n")
+    )
+    exact = (
+        inter.join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_a"),
+                                        F.col("_n").alias("_na"))), "type_a")
+        .join(
+            F.broadcast(per_type.select(F.col("event_type").alias("type_b"),
+                                        F.col("_n").alias("_nb"))), "type_b")
+        .withColumn(
+            "exact_union",
+            (F.col("_na") + F.col("_nb") - F.col("exact_overlap")).cast("bigint"),
+        )
+    )
+    approx_inter = F.col("_ea") + F.col("_eb") - F.col("_eu")
+    within = (
+        F.abs(approx_inter - F.col("exact_overlap").cast("double"))
+        <= F.lit(0.08) * F.col("exact_union").cast("double")
+    )
+    return (
+        pairs.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", "exact_overlap", "exact_union",
+            within.alias("overlap_within_eps"),
+        )
+    )
+
+
+AUDIENCE_OVERLAP_HLL_SQL = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, COUNT(DISTINCT user_id) AS n FROM du GROUP BY 1),
+i AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(DISTINCT a.user_id) AS exact_overlap
+  FROM du a JOIN du b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       CAST(i.exact_overlap AS BIGINT) AS exact_overlap,
+       CAST(na.n + nb.n - i.exact_overlap AS BIGINT) AS exact_union,
+       TRUE AS overlap_within_eps
+FROM i JOIN n na ON na.event_type = i.type_a
+       JOIN n nb ON nb.event_type = i.type_b
+"""
+
+
+# --------------------------------------------------------------------------
 # Q15 shape: top supplier(s) by quarterly revenue — the decorrelated
 # scalar-subquery-max pattern. Per-supplier DECIMAL revenue (exact at
 # any grouping), the global max as a broadcast 1-row frame, ties kept by
@@ -3946,6 +4028,7 @@ QUERIES = {
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
     "weekly_user_sketch_rollup": (weekly_user_sketch_rollup, WEEKLY_USER_SKETCH_ROLLUP_SQL),
+    "audience_overlap_hll": (audience_overlap_hll, AUDIENCE_OVERLAP_HLL_SQL),
     "orders_cdc_log": (orders_cdc_log, ORDERS_CDC_LOG_SQL),
     "overlapping_order_windows": (
         overlapping_order_windows,
