@@ -413,9 +413,15 @@ def neardup_against_minhash_index(
         .select(F.col(id_col), F.col("_idx_id"))
         .distinct()
     )
-    idx_texts = spark.read.parquet(f"{base}/texts").withColumnsRenamed(
-        {id_col: "_idx_id", text_col: "_idx_text"}
-    )
+    # deletion vectors (similarity.delete_from_index works on any
+    # per-doc-keyed index): filtering the texts side suffices — a
+    # deleted doc's stale band row creates a candidate that dies at
+    # this join, so verdicts equal a rebuild on the remaining corpus
+    from .similarity import _apply_tombstones
+
+    idx_texts = _apply_tombstones(
+        spark.read.parquet(f"{base}/texts"), spark, base, id_col
+    ).withColumnsRenamed({id_col: "_idx_id", text_col: "_idx_text"})
     pairs = (
         cand.join(batch.select(id_col, F.col(text_col).alias("_b_text")), id_col)
         .join(idx_texts, "_idx_id")

@@ -1364,7 +1364,9 @@ def vacuum_index(spark, path: str, id_col: str = "vec_id") -> None:
     tomb = F.broadcast(
         spark.read.parquet(f"{base}/tombstones").toDF(id_col)
     )
-    for part in ("vectors", "buckets", "codes"):
+    # texts/bands are the MinHash dedup index's per-doc artifacts
+    # (operators.dedup.save_minhash_index) — same lifecycle, same vacuum
+    for part in ("vectors", "buckets", "codes", "texts", "bands"):
         live = f"{base}/{part}"
         if not os.path.isdir(live):
             continue

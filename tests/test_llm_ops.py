@@ -810,6 +810,56 @@ def test_minhash_index_append_equals_rebuild(spark, tmp_path):
     assert all(got_a[2000 + i] is True for i in range(10))   # fresh survive
 
 
+def test_minhash_index_delete_and_vacuum(spark, tmp_path):
+    """delete_from_index works on the MinHash dedup index too: a
+    delivery that exactly matches a DELETED corpus doc comes back
+    is_new=True (== a rebuild on the remaining docs), and vacuum_index
+    physically removes the doc's text+band rows without changing
+    verdicts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        neardup_against_minhash_index,
+        save_minhash_index,
+    )
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        delete_from_index,
+        vacuum_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"the quick brown fox number {i} jumps over the lazy dog "
+             f"while document {i} rambles on about corpus things") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "mh")
+    save_minhash_index(corpus, path)
+    delete_from_index(corpus.filter(F.col("doc_id") < 5), path, id_col="doc_id")
+
+    delivery = spark.createDataFrame(
+        [(1000 + i, f"the quick brown fox number {i} jumps over the lazy dog "
+                    f"while document {i} rambles on about corpus things")
+         for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["is_new"]
+           for r in neardup_against_minhash_index(delivery, path, 0.5).collect()}
+    # copies of deleted docs 0-4 are new again; copies of live 5-9 drop
+    assert all(got[1000 + i] is True for i in range(5))
+    assert all(got[1000 + i] is False for i in range(5, 10))
+
+    vacuum_index(spark, path, id_col="doc_id")
+    assert not os.path.isdir(f"{path}/tombstones")
+    stored = {r["doc_id"] for r in spark.read.parquet(f"{path}/texts").collect()}
+    bands = {r["doc_id"] for r in spark.read.parquet(f"{path}/bands").collect()}
+    assert stored == bands == set(range(5, 20))  # bytes gone from BOTH artifacts
+    after = {r["doc_id"]: r["is_new"]
+             for r in neardup_against_minhash_index(delivery, path, 0.5).collect()}
+    assert after == got  # vacuum is invisible to verdicts
+
+
 def test_mlm_mask_tokens_semantics(spark):
     """Deterministic MLM masking: selection rate near mask_rate, the
     80/10/10 action split holds on selected positions, labels carry the
