@@ -1306,6 +1306,20 @@ def append_to_pq_index(
     ).parquet(f"{base}/codes")
 
 
+def _require_local_index_path(caller: str, path: str) -> str:
+    """The tombstone lifecycle's read probe is driver-filesystem based;
+    a remote scheme would WRITE tombstones Spark-side but never apply
+    them at search — silent un-deletion. Refuse loudly instead."""
+    base = path.rstrip("/")
+    if "://" in base and not base.startswith("file://"):
+        raise ValueError(
+            f"{caller}: only local filesystem index paths are supported "
+            f"(got {path!r}); on object storage use a table format's "
+            "deletion vectors"
+        )
+    return base.removeprefix("file://")
+
+
 def delete_from_index(
     ids: DataFrame,
     path: str,
@@ -1325,9 +1339,14 @@ def delete_from_index(
     invisible (the anti-join cannot date-scope; vacuum first, then
     append). Deletes are idempotent (the filter deduplicates). The
     delete set is broadcast at search time, so keep it operationally
-    bounded (≲ millions of ids); past that, vacuum.
+    bounded (≲ millions of ids); past that, vacuum. LOCAL paths only
+    (refused otherwise): the read-side tombstone probe is driver
+    ``os.path`` based, and a remote tombstone dir it cannot see would
+    mean deletes silently stop applying — the one failure mode a
+    deletion API must never have. On object storage, run deletes
+    under a table format's deletion vectors instead.
     """
-    base = path.rstrip("/")
+    base = _require_local_index_path("delete_from_index", path)
     ids.select(id_col).dropDuplicates([id_col]).repartition(1).write.mode(
         "append"
     ).parquet(f"{base}/tombstones")
@@ -1358,7 +1377,7 @@ def vacuum_index(spark, path: str, id_col: str = "vec_id") -> None:
     import os
     import shutil
 
-    base = path.rstrip("/")
+    base = _require_local_index_path("vacuum_index", path)
     if not os.path.isdir(f"{base}/tombstones"):
         return
     tomb = F.broadcast(

@@ -32,6 +32,7 @@ this operator adds groupwise mergeability and explicit partial reuse.
 from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -431,22 +432,34 @@ def bloom_prefilter(
     return out
 
 
+class DenseBloom(NamedTuple):
+    """A collected Bloom bitmap plus the parameters it was built with —
+    so the probe side can refuse a build/probe mismatch, which raw
+    bytes cannot express (wrong seeds hash probes into the wrong cells
+    and produce FALSE NEGATIVES, the one error Bloom must never make).
+    Byte layout: global bit ``p`` lives at byte ``p >> 3``, bit
+    ``p & 7`` (the sparse frame's 64-bit words, little-endian)."""
+
+    data: bytes
+    m_bits: int
+    seeds: tuple
+
+
 def bloom_dense_bitmap(
     sketch: DataFrame, m_bits: int = 1 << 14, seeds: Sequence[str] = BLOOM_SEEDS
-) -> bytes:
-    """Collect the sparse bitmap into a dense ``m/8``-byte string —
-    a bounded driver-side control-plane read (128 KB at the 2²⁰-bit
-    default, the ANN-codebook class of collect), for
-    :func:`bloom_prefilter_dense`'s literal probe path. Byte layout:
-    global bit ``p`` lives at byte ``p >> 3``, bit ``p & 7`` (the
-    sparse frame's 64-bit words serialized little-endian)."""
+) -> DenseBloom:
+    """Collect the sparse bitmap into a dense ``m/8``-byte
+    :class:`DenseBloom` — a bounded driver-side control-plane read
+    (128 KB at the 2²⁰-bit default, the ANN-codebook class of collect),
+    for :func:`bloom_prefilter_dense`'s literal probe path."""
     _bloom_check_params("bloom_dense_bitmap", sketch, m_bits, seeds)
     words = [0] * (m_bits // 64)
     for r in sketch.collect():
         words[int(r["word_idx"])] = int(r["bits"])
-    return b"".join(
+    data = b"".join(
         (w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for w in words
     )
+    return DenseBloom(data, m_bits, tuple(seeds))
 
 
 # masks[j] = 1 << j for the within-byte bit test; an 8-element array
@@ -456,7 +469,7 @@ _BYTE_MASKS = [1, 2, 4, 8, 16, 32, 64, 128]
 
 def bloom_prefilter_dense(
     items: DataFrame,
-    dense_bitmap: bytes,
+    dense_bitmap: "DenseBloom | bytes",
     col: str,
     m_bits: int = 1 << 14,
     seeds: Sequence[str] = BLOOM_SEEDS,
@@ -485,6 +498,22 @@ def bloom_prefilter_dense(
     ``min(n·k, m/64)``-row frame the broadcast ladder would have
     shipped, just collected once instead of re-broadcast per probe.
     """
+    if isinstance(dense_bitmap, DenseBloom):
+        # the build/probe mismatch guard the broadcast ladder gets from
+        # column metadata: wrong seeds/m_bits would silently produce
+        # false negatives (raw bytes are accepted but unguarded — for
+        # callers rehydrating a bitmap from external storage)
+        if dense_bitmap.m_bits != m_bits:
+            raise ValueError(
+                f"bloom_prefilter_dense m_bits={m_bits} but bitmap was "
+                f"built with m_bits={dense_bitmap.m_bits}"
+            )
+        if tuple(dense_bitmap.seeds) != tuple(seeds):
+            raise ValueError(
+                f"bloom_prefilter_dense seeds={list(seeds)} but bitmap "
+                f"was built with seeds={list(dense_bitmap.seeds)}"
+            )
+        dense_bitmap = dense_bitmap.data
     if len(dense_bitmap) != m_bits // 8:
         raise ValueError(
             f"bloom_prefilter_dense: bitmap has {len(dense_bitmap)} bytes, "

@@ -785,8 +785,11 @@ WITH toks AS (
 SELECT doc_id,
        CAST(len(tok) AS BIGINT) AS n_tokens,
        CAST(len(list_filter(labels, l -> l != -100)) AS BIGINT) AS n_masked,
-       md5(array_to_string(list_transform(input_ids, x -> CAST(x AS VARCHAR)), ',')) AS inputs_md5,
-       md5(array_to_string(list_transform(labels, x -> CAST(x AS VARCHAR)), ',')) AS labels_md5
+       -- COALESCE(..., ''): DuckDB array_to_string([]) is NULL while
+       -- Spark array_join([]) is '' — a zero-token doc (NULL text or no
+       -- [a-z0-9] chars) must hash as md5('') on both sides
+       md5(COALESCE(array_to_string(list_transform(input_ids, x -> CAST(x AS VARCHAR)), ','), '')) AS inputs_md5,
+       md5(COALESCE(array_to_string(list_transform(labels, x -> CAST(x AS VARCHAR)), ','), '')) AS labels_md5
 FROM masked
 """
 
@@ -804,10 +807,12 @@ WITH toks AS (
   FROM documents
 )
 SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-       md5(array_to_string(
+       -- outer COALESCE: array_to_string([]) is NULL in DuckDB, but the
+       -- writer emits md5('') for a token-less doc
+       md5(COALESCE(array_to_string(
          list_transform(t, x ->
            CAST(CAST(('0x' || substr(md5(x), 1, 4))::UBIGINT AS INTEGER) AS VARCHAR)),
-         ',')) AS ids_md5
+         ','), '')) AS ids_md5
 FROM toks
 """
 

@@ -197,7 +197,18 @@ def write_tfrecord_shards(
                     if v is None:
                         vals = []
                     elif is_arr:
-                        vals = [x for x in v if x is not None]
+                        # a NULL ELEMENT cannot ride an int64/float
+                        # proto list; silently dropping it would shift
+                        # positions against any parallel column —
+                        # refuse instead (whole-NULL arrays coerce to
+                        # empty above, which preserves nothing to align)
+                        if any(x is None for x in v):
+                            raise ValueError(
+                                f"tfrecord: NULL element inside array "
+                                f"column {name!r}; drop or impute NULLs "
+                                "upstream (whole-NULL arrays are fine)"
+                            )
+                        vals = list(v)
                     elif kind == "bytes":
                         vals = [v.encode() if isinstance(v, str) else bytes(v)]
                     else:
@@ -326,14 +337,20 @@ def _iter_frames(path: str):
                 return
             if len(header) < 8:
                 raise ValueError(f"tfrecord: truncated length in {path}")
-            (want_hc,) = struct.unpack("<I", fh.read(4))
+            hc = fh.read(4)
+            if len(hc) < 4:  # cut mid-CRC must diagnose, not struct.error
+                raise ValueError(f"tfrecord: truncated length crc in {path}")
+            (want_hc,) = struct.unpack("<I", hc)
             if _masked_crc(header) != want_hc:
                 raise ValueError(f"tfrecord: corrupt length crc in {path}")
             (ln,) = struct.unpack("<Q", header)
             payload = fh.read(ln)
             if len(payload) < ln:
                 raise ValueError(f"tfrecord: truncated record in {path}")
-            (want_pc,) = struct.unpack("<I", fh.read(4))
+            pc = fh.read(4)
+            if len(pc) < 4:
+                raise ValueError(f"tfrecord: truncated payload crc in {path}")
+            (want_pc,) = struct.unpack("<I", pc)
             if _masked_crc(payload) != want_pc:
                 raise ValueError(f"tfrecord: corrupt payload crc in {path}")
             yield payload
@@ -397,6 +414,7 @@ def read_tfrecord_shards(spark, shards_dir: str, schema: str) -> DataFrame:
                     rows.append(out)
             yield pd.DataFrame(rows, columns=names)
 
-    return pdf.repartition(len(paths), "shard_path").mapInPandas(
-        parse, full_schema
-    )
+    # round-robin repartition (no column): exactly one path per task by
+    # construction — hash-partitioning on shard_path can collide two
+    # shards into one task and leave another idle
+    return pdf.repartition(len(paths)).mapInPandas(parse, full_schema)

@@ -518,6 +518,23 @@ def test_tfrecord_roundtrip_reproducible_and_corrupt(spark, tmp_path):
             docs.selectExpr("doc_id", "named_struct('a', 1) AS s"), str(tmp_path / "x")
         )
 
+    # NULL ELEMENT inside an array is refused (silently dropping it
+    # would misalign positions against parallel columns)
+    holey = spark.createDataFrame(
+        [(9, [1, None, 2])], "doc_id bigint, toks array<bigint>"
+    )
+    with pytest.raises(Exception, match="NULL element"):
+        write_tfrecord_shards(holey, str(tmp_path / "holey"))
+
+    # truncation INSIDE a CRC field diagnoses with the shard path, not
+    # a bare struct.error (the partial-write case the loader exists for)
+    out3 = str(tmp_path / "tfr3")
+    [p3] = write_tfrecord_shards(docs.limit(1), out3, num_shards=1)
+    whole = open(p3, "rb").read()
+    open(p3, "wb").write(whole[:10])  # 8-byte length + 2 bytes of CRC
+    with pytest.raises(Exception, match="truncated length crc"):
+        read_tfrecord_shards(spark, out3, "doc_id bigint").collect()
+
 
 def test_tfrecord_codec_roundtrip_property():
     """Hypothesis: arbitrary feature sets round-trip through the

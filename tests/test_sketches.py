@@ -369,7 +369,8 @@ def test_bloom_prefilter_dense_parity_and_zero_exchange(spark):
     )
     sketch = bloom_build(inserted, "v", m_bits=1 << 13).localCheckpoint()
     dense = bloom_dense_bitmap(sketch, m_bits=1 << 13)
-    assert isinstance(dense, bytes) and len(dense) == (1 << 13) // 8
+    assert isinstance(dense.data, bytes) and len(dense.data) == (1 << 13) // 8
+    assert dense.m_bits == 1 << 13
 
     kept_in = bloom_prefilter_dense(inserted, dense, "v", m_bits=1 << 13)
     assert sorted(r["uid"] for r in kept_in.collect()) == list(range(300))
@@ -393,8 +394,17 @@ def test_bloom_prefilter_dense_parity_and_zero_exchange(spark):
 
     import pytest as _pytest
 
+    # raw-bytes escape path still length-guards
     with _pytest.raises(ValueError, match="bitmap has"):
-        bloom_prefilter_dense(probe, dense[:-1], "v", m_bits=1 << 13)
+        bloom_prefilter_dense(probe, dense.data[:-1], "v", m_bits=1 << 13)
+    # build/probe parameter mismatches are refused (wrong params would
+    # silently produce false negatives)
+    with _pytest.raises(ValueError, match="built with m_bits"):
+        bloom_prefilter_dense(probe, dense, "v", m_bits=1 << 14)
+    with _pytest.raises(ValueError, match="built with seeds"):
+        bloom_prefilter_dense(
+            probe, dense, "v", m_bits=1 << 13, seeds=("x0", "x1", "x2")
+        )
 
     plan = kept_in._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan  # no shuffle AND no broadcast
