@@ -102,7 +102,7 @@ _PRIORITY = [
     "watermark_minmax",
     "distinct_priorities",
     "chunk_assignment",
-    "late_shipment_orders",
+    "arrow_ipc_roundtrip_docs",
     "audience_overlap_hll",
     # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
     # + promo_parts_revenue + small_quantity_revenue + profit_by_nation_year
@@ -110,9 +110,10 @@ _PRIORITY = [
     # sweep-netted) rotated out for the two formerly-dark gates, the
     # uint16 container variant, and the round-9 additions (drift
     # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
-    # important_parts_by_value and nation_trade_flows (r7/r8-green)
-    # rotated out late-round for the index-delete verdict and the HLL
-    # overlap gate
+    # important_parts_by_value, nation_trade_flows and
+    # late_shipment_orders (r7/r8-green) rotated out late-round for the
+    # index-delete verdict, the HLL overlap gate and the Arrow IPC
+    # roundtrip
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

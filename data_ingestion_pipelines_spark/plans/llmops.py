@@ -706,6 +706,40 @@ FROM documents
 """
 
 
+# Arrow IPC (Feather V2) completes the format matrix as its
+# exactness-preserving member: NULLs and full-width values survive
+# verbatim (no TFRecord feature-list coercions, no float32 narrowing),
+# so the gate hashes text AND the lang/source columns straight through
+# the container. Write → structurally-validated read → hash; the
+# oracle recomputes from the source table. (Arrow IPC has no data-body
+# CRCs — TFRecord is the bit-rot-detecting member of the family.)
+def arrow_ipc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.arrow_ipc import read_arrow_shards, write_arrow_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out_dir = scratch_dir(prefix="arrowipc_")
+    write_arrow_shards(docs, out_dir, num_shards=8)
+    back = read_arrow_shards(spark, out_dir)
+    return back.select(
+        "doc_id",
+        "n_chars",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("text_len"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+ARROW_IPC_ROUNDTRIP_DOCS_SQL = """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, lang, source,
+       CAST(length(text) AS BIGINT) AS text_len,
+       md5(text) AS text_md5
+FROM documents
+"""
+
+
 # Deterministic MLM masking (the BERT 80/10/10 recipe) over the same
 # md5-derived 16-bit token ids the indexed-dataset gates use. Every
 # selection/action/replacement draw is md5(seed:tag:doc:pos) compared
@@ -4542,6 +4576,9 @@ QUERIES = {
     "mlm_masked_docs": (mlm_masked_docs, MLM_MASKED_DOCS_SQL),
     "tfrecord_roundtrip_docs": (
         tfrecord_roundtrip_docs, TFRECORD_ROUNDTRIP_DOCS_SQL,
+    ),
+    "arrow_ipc_roundtrip_docs": (
+        arrow_ipc_roundtrip_docs, ARROW_IPC_ROUNDTRIP_DOCS_SQL,
     ),
     "streaming_neardup_ingest": (
         streaming_neardup_ingest, STREAMING_NEARDUP_INGEST_SQL,

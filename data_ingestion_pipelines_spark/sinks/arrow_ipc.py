@@ -1,0 +1,238 @@
+"""Arrow IPC (Feather V2) shard export + loader — the zero-copy
+interchange format PyTorch/JAX data loaders, DuckDB, Polars, and Ray
+Datasets all read natively, completing the training-shard matrix next
+to WebDataset tars, the Megatron ``.bin``/``.idx`` pair, and TFRecord.
+
+Same executor-side conventions as the siblings: documents get a
+deterministic shard (``pmod(id, num_shards)``), rows sort by id within
+the shard so the bytes are REPRODUCIBLE run-over-run, each task writes
+attempt-unique temp names and atomically renames at completion (task
+retries and speculative attempts can't interleave bytes). Unlike
+TFRecord, Arrow IPC preserves NULLs (scalars AND array elements) and
+full float64 precision — it is the exactness-preserving member of the
+format family, which is why its roundtrip gate can hash text verbatim.
+
+Scale shape: one shard per task on write (hash-partitioned by shard
+key, multiple shards per task stream to separate writers), one shard
+per task on read (round-robin repartition over the file list — read
+parallelism = shard count, the Megatron loader's contract). The writer
+is ``mapInPandas`` → ``pyarrow.RecordBatchFileWriter``: Arrow batches
+arrive zero-copy from Spark's own Arrow transfer, so the write path
+never round-trips through Python objects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Spark DDL type -> pyarrow constructor name; explicit allow-list so an
+# unsupported type is refused before any write (struct/map columns need
+# a flatten first, the ``operators.flatten`` job)
+_PA_TYPES = {
+    "tinyint": "int8",
+    "smallint": "int16",
+    "int": "int32",
+    "bigint": "int64",
+    "float": "float32",
+    "double": "float64",
+    "boolean": "bool_",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+def _pa_schema(dtypes: list[tuple[str, str]]):
+    import pyarrow as pa
+
+    fields = []
+    for name, t in dtypes:
+        if t in _PA_TYPES:
+            fields.append(pa.field(name, getattr(pa, _PA_TYPES[t])()))
+        elif (
+            t.startswith("array<")
+            and t.endswith(">")
+            and t[6:-1] in _PA_TYPES
+        ):
+            fields.append(
+                pa.field(name, pa.list_(getattr(pa, _PA_TYPES[t[6:-1]])()))
+            )
+        else:
+            raise ValueError(
+                f"arrow_ipc: column {name!r} has type {t!r} — supported: "
+                f"{sorted(_PA_TYPES)} and array<> of those"
+            )
+    return pa.schema(fields)
+
+
+def write_arrow_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    cols: list[str] | None = None,
+) -> list[str]:
+    """Export rows as ``shard-NNNNNN.arrow`` IPC files (Feather V2,
+    uncompressed). Returns the shard paths. Requires a non-negative
+    integral ``id_col`` for the shard assignment, like the sibling
+    sinks; NULLs (scalar and array-element) round-trip faithfully."""
+    cols = list(cols) if cols is not None else [id_col] + [
+        c for c in df.columns if c != id_col
+    ]
+    picked = df.select(*cols)
+    dtypes = picked.dtypes
+    _pa_schema(dtypes)  # refuse unsupported types before any job runs
+    os.makedirs(out_dir, exist_ok=True)
+    prepared = (
+        picked.withColumn(
+            "_shard", F.pmod(F.col(id_col), F.lit(num_shards)).cast("bigint")
+        )
+        .repartition(num_shards, "_shard")
+        .sortWithinPartitions("_shard", id_col)
+    )
+
+    def write_shards(batches):
+        import uuid
+
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        schema = _pa_schema(dtypes)
+        tc = TaskContext.get()
+        token = (
+            f"{tc.stageId()}-{tc.taskAttemptId()}" if tc else uuid.uuid4().hex[:12]
+        )
+        writers: dict[int, tuple[object, object]] = {}  # shard -> (sink?, writer)
+        counts: dict[int, int] = {}
+        try:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                for sh, grp in pdf.groupby("_shard", sort=True):
+                    sh = int(sh)
+                    w = writers.get(sh)
+                    if w is None:
+                        tmp = os.path.join(
+                            out_dir, f".tmp-{token}-shard-{sh:06d}"
+                        )
+                        w = writers[sh] = pa.ipc.new_file(tmp, schema)
+                        counts[sh] = 0
+                    tbl = pa.Table.from_pandas(
+                        grp.drop(columns=["_shard"]),
+                        schema=schema,
+                        preserve_index=False,
+                    )
+                    w.write_table(tbl)
+                    counts[sh] += len(grp)
+            for sh in sorted(writers):
+                writers[sh].close()
+                os.replace(
+                    os.path.join(out_dir, f".tmp-{token}-shard-{sh:06d}"),
+                    os.path.join(out_dir, f"shard-{sh:06d}.arrow"),
+                )
+        except BaseException:
+            for w in writers.values():
+                try:
+                    w.close()
+                except Exception:
+                    pass
+            for leftover in os.listdir(out_dir):
+                if leftover.startswith(f".tmp-{token}-"):
+                    try:
+                        os.remove(os.path.join(out_dir, leftover))
+                    except OSError:
+                        pass
+            raise
+        yield pd.DataFrame(
+            {"shard": sorted(counts), "n_rows": [counts[s] for s in sorted(counts)]}
+        )
+
+    # bounded action: one (shard, n_rows) row per written shard
+    prepared.mapInPandas(write_shards, "shard BIGINT, n_rows BIGINT").collect()
+    return sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".arrow")
+    )
+
+
+def read_arrow_shards(
+    spark, shards_dir: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Load shards back → ``(shard_path, <shard columns>)``. The schema
+    comes from the first shard (driver-side metadata read); every other
+    shard must match it exactly — a mismatched or STRUCTURALLY corrupt
+    shard (truncation, bad magic/footer/metadata) raises with its path.
+    Format caveat: Arrow IPC carries no data-body checksums, so a
+    flipped byte inside a value buffer is NOT detectable here — when
+    bit-rot detection matters, use the TFRecord sink (CRC per record)
+    or verify file digests out of band. One shard per task."""
+    import pyarrow as pa
+
+    paths = sorted(
+        os.path.join(shards_dir, f)
+        for f in os.listdir(shards_dir)
+        if f.endswith(".arrow")
+    )
+    if not paths:
+        raise FileNotFoundError(f"no .arrow shards under {shards_dir}")
+
+    try:
+        with pa.ipc.open_file(paths[0]) as rd:
+            schema = rd.schema
+    except Exception as exc:
+        raise ValueError(
+            f"arrow_ipc: corrupt or unreadable shard {paths[0]}: {exc}"
+        ) from exc
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+
+    # pa type -> Spark DDL (inverse of _PA_TYPES, verified round-trip)
+    inv = {getattr(pa, v)(): k for k, v in _PA_TYPES.items()}
+
+    def ddl_of(field) -> str:
+        t = field.type
+        if pa.types.is_list(t):
+            return f"array<{inv[t.value_type]}>"
+        return inv[t]
+
+    try:
+        ddl = ", ".join(f"`{f.name}` {ddl_of(f)}" for f in schema)
+    except KeyError as exc:
+        raise ValueError(
+            f"arrow_ipc: shard {paths[0]} carries unsupported type {exc}"
+        ) from None
+    full_schema = "shard_path string, " + ddl
+
+    want_names = [f.name for f in schema]
+    want_schema = schema
+
+    def parse(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for pdf_b in batches:
+            for p in pdf_b["shard_path"]:
+                try:
+                    with pa.ipc.open_file(p) as rd:
+                        tbl = rd.read_all()
+                except Exception as exc:
+                    raise ValueError(
+                        f"arrow_ipc: corrupt or unreadable shard {p}: {exc}"
+                    ) from exc
+                tbl = tbl.select(want_names)
+                if tbl.schema != want_schema:
+                    raise ValueError(
+                        f"arrow_ipc: shard {p} schema {tbl.schema} != "
+                        f"expected {want_schema}"
+                    )
+                out = tbl.to_pandas()
+                out.insert(0, "shard_path", p)
+                yield out
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "shard_path string")
+    # round-robin: exactly one shard per task (see sinks/tfrecord.py)
+    return pdf.repartition(len(paths)).mapInPandas(parse, full_schema)
