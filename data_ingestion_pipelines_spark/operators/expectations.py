@@ -61,3 +61,84 @@ def check_expectations(
         (F.col("n_pass").cast("double") / F.col("_n").cast("double")).alias("pass_ratio"),
         (F.col("_n") - F.col("n_pass") == 0).alias("ok"),
     )
+
+
+def reconcile_tables(
+    source: DataFrame,
+    target: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Source-vs-target LOAD RECONCILIATION report — the generalized
+    form of the reference's recInSource/recIngested audit counts: a
+    per-key full-outer diff, reduced to one row per check.
+
+    Output (``check STRING, n BIGINT``):
+    ``missing_in_target`` / ``missing_in_source`` (key present on one
+    side only), ``value_mismatch`` (key on both sides, any compared
+    column differs null-safely), ``match``, plus one
+    ``col_mismatch:<col>`` row per compared column so a drifting
+    column is identified, not just detected. ``compare_cols`` defaults
+    to every shared non-key column.
+
+    Scale shape: ONE full-outer shuffle-hash join on the key (AQE may
+    broadcast a small side) carrying only keys + compared columns
+    (column-pruned at the scan), then one aggregate — counts are exact
+    and the whole report is a single pass over each table. NULL keys:
+    rows with any NULL key column never equi-join, so each side's
+    NULL-key rows surface as missing on the other side — dedupe or
+    filter them upstream if that is not the intent.
+    """
+    keys = list(keys)
+    if compare_cols is None:
+        shared = [c for c in source.columns if c in set(target.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    compare_cols = list(compare_cols)
+
+    # explicit presence flags, NOT the key columns: a row whose key is
+    # NULL still EXISTS on its side (it just can't match), and must be
+    # reported missing-on-the-other-side rather than silently vanish
+    s = source.select(
+        *[F.col(k).alias(f"_sk_{k}") for k in keys],
+        *[F.col(c).alias(f"_sv_{c}") for c in compare_cols],
+        F.lit(True).alias("_s_present"),
+    )
+    t = target.select(
+        *[F.col(k).alias(f"_tk_{k}") for k in keys],
+        *[F.col(c).alias(f"_tv_{c}") for c in compare_cols],
+        F.lit(True).alias("_t_present"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_sk_{k}") == F.col(f"_tk_{k}")
+        cond = eq if cond is None else cond & eq
+    joined = s.join(t, cond, "full_outer")
+
+    in_s = F.col("_s_present").isNotNull()
+    in_t = F.col("_t_present").isNotNull()
+    col_diff = {
+        c: ~F.col(f"_sv_{c}").eqNullSafe(F.col(f"_tv_{c}")) for c in compare_cols
+    }
+    any_diff = F.lit(False)
+    for d in col_diff.values():
+        any_diff = any_diff | d
+
+    aggs = [
+        F.sum(F.when(in_s & ~in_t, 1).otherwise(0)).alias("missing_in_target"),
+        F.sum(F.when(in_t & ~in_s, 1).otherwise(0)).alias("missing_in_source"),
+        F.sum(F.when(in_s & in_t & any_diff, 1).otherwise(0)).alias(
+            "value_mismatch"
+        ),
+        F.sum(F.when(in_s & in_t & ~any_diff, 1).otherwise(0)).alias("match"),
+    ] + [
+        F.sum(F.when(in_s & in_t & d, 1).otherwise(0)).alias(f"col_mismatch:{c}")
+        for c, d in col_diff.items()
+    ]
+    wide = joined.agg(*aggs)
+    names = ["missing_in_target", "missing_in_source", "value_mismatch", "match"] + [
+        f"col_mismatch:{c}" for c in compare_cols
+    ]
+    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.select(
+        F.expr(f"stack({len(names)}, {stack_args}) AS (check, n)")
+    ).select("check", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"))

@@ -95,7 +95,7 @@ _PRIORITY = [
     "winnowing_overlap_docs",
     "corpus_curation_gopher",
     "similarity_ivf_pq_topk",
-    "promo_revenue_share",
+    "load_reconciliation_report",
     "above_brand_average",
     "rollup_revenue",
     "semi_anti_customers",
@@ -110,10 +110,11 @@ _PRIORITY = [
     # sweep-netted) rotated out for the two formerly-dark gates, the
     # uint16 container variant, and the round-9 additions (drift
     # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
-    # important_parts_by_value, nation_trade_flows and
-    # late_shipment_orders (r7/r8-green) rotated out late-round for the
-    # index-delete verdict, the HLL overlap gate and the Arrow IPC
-    # roundtrip
+    # important_parts_by_value, nation_trade_flows,
+    # late_shipment_orders and promo_revenue_share (r7/r8-green)
+    # rotated out late-round for the index-delete verdict, the HLL
+    # overlap gate, the Arrow IPC roundtrip and the load-reconciliation
+    # report
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

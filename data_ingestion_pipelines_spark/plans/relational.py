@@ -2972,6 +2972,90 @@ WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
 
 
 # --------------------------------------------------------------------------
+# Per-key load reconciliation (expectations.reconcile_tables): the
+# generalized recInSource/recIngested audit — a full-outer diff of
+# source vs target reduced to exact per-check counts, with a
+# col_mismatch:<col> row per compared column so the DRIFTING column is
+# identified, not just detected. Mutations are PLANTED with coprime
+# moduli (drop %97, restate price %89 — ×2 is an exact IEEE exponent
+# bump, cross-engine stable — restate status %83, spurious extras
+# %101), so every check is provably non-zero and both engines derive
+# the same target. One full-outer shuffle on the key + one aggregate.
+def load_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import reconcile_tables
+
+    key = F.col("o_orderkey")
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tgt = (
+        src.filter(key % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(key % 83 == 0, F.lit("Z"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(key % 89 == 0, F.col("o_totalprice") * 2)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            src.filter(key % 101 == 0).select(
+                (key + F.lit(900_000_000)).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return reconcile_tables(
+        src, tgt, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+LOAD_RECONCILIATION_REPORT_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), tgt AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 83 = 0 THEN 'Z' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 900000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+), j AS (
+  SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+         (s.o_orderstatus IS DISTINCT FROM t.o_orderstatus) AS d_status,
+         (s.o_totalprice IS DISTINCT FROM t.o_totalprice) AS d_price
+  FROM src s FULL OUTER JOIN tgt t ON s.o_orderkey = t.o_orderkey
+)
+SELECT 'missing_in_target' AS "check",
+       CAST(COUNT(*) FILTER (WHERE sk IS NOT NULL AND tk IS NULL) AS BIGINT) AS n FROM j
+UNION ALL
+SELECT 'missing_in_source',
+       CAST(COUNT(*) FILTER (WHERE tk IS NOT NULL AND sk IS NULL) AS BIGINT) FROM j
+UNION ALL
+SELECT 'value_mismatch',
+       CAST(COUNT(*) FILTER (WHERE sk IS NOT NULL AND tk IS NOT NULL
+                             AND (d_status OR d_price)) AS BIGINT) FROM j
+UNION ALL
+SELECT 'match',
+       CAST(COUNT(*) FILTER (WHERE sk IS NOT NULL AND tk IS NOT NULL
+                             AND NOT (d_status OR d_price)) AS BIGINT) FROM j
+UNION ALL
+SELECT 'col_mismatch:o_orderstatus',
+       CAST(COUNT(*) FILTER (WHERE sk IS NOT NULL AND tk IS NOT NULL
+                             AND d_status) AS BIGINT) FROM j
+UNION ALL
+SELECT 'col_mismatch:o_totalprice',
+       CAST(COUNT(*) FILTER (WHERE sk IS NOT NULL AND tk IS NOT NULL
+                             AND d_price) AS BIGINT) FROM j
+"""
+
+
+# --------------------------------------------------------------------------
 # t-digest quantile sketch, verdict-row gate: the estimate itself is
 # partition-dependent by construction, so the plan joins each estimate
 # back against the data (broadcast — groups × 3 rows), computes the
@@ -4066,6 +4150,10 @@ QUERIES = {
     "referential_integrity_report": (
         referential_integrity_report,
         REFERENTIAL_INTEGRITY_REPORT_SQL,
+    ),
+    "load_reconciliation_report": (
+        load_reconciliation_report,
+        LOAD_RECONCILIATION_REPORT_SQL,
     ),
     "json_props_extract": (json_props_extract, JSON_PROPS_EXTRACT_SQL),
     "priority_shipmode_counts": (priority_shipmode_counts, PRIORITY_SHIPMODE_COUNTS_SQL),

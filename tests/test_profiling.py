@@ -132,3 +132,58 @@ def test_events_profile_approx_hll_epsilon(spark):
         assert a["min_str"] == e["min_str"] and a["max_str"] == e["max_str"]
         rel = abs(a["n_distinct"] - e["n_distinct"]) / max(e["n_distinct"], 1)
         assert rel <= 0.15, (col, a["n_distinct"], e["n_distinct"], rel)
+
+
+def test_reconcile_tables_statuses_and_null_semantics(spark):
+    """reconcile_tables: per-check counts are exact; value compare is
+    NULL-SAFE (NULL==NULL matches, NULL vs value mismatches); per-column
+    rows identify the drifting column; NULL-key rows surface as missing
+    on both sides; identical tables reconcile clean."""
+    from data_ingestion_pipelines_spark.operators.expectations import (
+        reconcile_tables,
+    )
+
+    src = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B", None),     # NULL value matches NULL on target
+            (3, "C", 30.0),     # dropped in target
+            (4, "D", 40.0),     # price drifts
+            (5, None, 50.0),    # status NULL vs value -> mismatch
+            (None, "X", 0.0),   # NULL key: never equi-joins
+        ],
+        "k bigint, status string, price double",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B", None),
+            (4, "D", 44.0),
+            (5, "E", 50.0),
+            (9, "Z", 90.0),     # spurious extra
+        ],
+        "k bigint, status string, price double",
+    )
+    got = {r["check"]: r["n"] for r in reconcile_tables(src, tgt, ["k"]).collect()}
+    assert got == {
+        "missing_in_target": 2,   # k=3 and the NULL-key source row
+        "missing_in_source": 1,   # k=9
+        "value_mismatch": 2,      # k=4 (price), k=5 (status NULL vs 'E')
+        "match": 2,               # k=1, k=2 (NULL price both sides)
+        "col_mismatch:status": 1,
+        "col_mismatch:price": 1,
+    }
+
+    clean = {r["check"]: r["n"] for r in reconcile_tables(src, src, ["k"]).collect()}
+    # the NULL-key row never joins, so even self-reconciliation reports
+    # it missing on BOTH sides (documented contract)
+    assert clean["value_mismatch"] == 0 and clean["match"] == 5
+    assert clean["missing_in_target"] == 1 and clean["missing_in_source"] == 1
+
+    # explicit compare_cols restricts the diff
+    only_status = {
+        r["check"]: r["n"]
+        for r in reconcile_tables(src, tgt, ["k"], ["status"]).collect()
+    }
+    assert only_status["value_mismatch"] == 1  # k=5 only; k=4 price ignored
+    assert "col_mismatch:price" not in only_status
