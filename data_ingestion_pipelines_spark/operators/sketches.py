@@ -86,6 +86,37 @@ def _estimate(means: np.ndarray, weights: np.ndarray, q: float) -> float:
     return float(means[i - 1] * (1.0 - frac) + means[i] * frac)
 
 
+def _tdigest_partials(
+    df: DataFrame, value_col: str, keys: list, delta: int, partial_schema
+) -> DataFrame:
+    """Stage 1 of every t-digest path: one (means, weights) partial per
+    (Arrow batch × group) — bounded at ``delta`` clusters each. Shared
+    by :func:`tdigest_quantiles` and :func:`save_tdigest_partials` so
+    the compression arithmetic exists exactly once."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = pdf[value_col].astype("float64")
+            mask = vals.notna().to_numpy()
+            if not mask.any():
+                continue
+            pdf = pdf.loc[mask]
+            vals = vals.to_numpy()[mask]
+            if keys:
+                rows = []
+                for kv, idx in pdf.groupby(keys, dropna=False, sort=False).indices.items():
+                    kv = kv if isinstance(kv, tuple) else (kv,)
+                    m, w = _compress(vals[idx], np.ones(len(idx)), delta)
+                    rows.append((*kv, list(m), list(w)))
+                yield pd.DataFrame(rows, columns=[*keys, "_means", "_weights"])
+            else:
+                m, w = _compress(vals, np.ones(len(vals)), delta)
+                yield pd.DataFrame({"_means": [list(m)], "_weights": [list(w)]})
+
+    cols = keys + [value_col]
+    return df.select(*cols).mapInPandas(partials, schema=partial_schema)
+
+
 def tdigest_quantiles(
     df: DataFrame,
     value_col: str,
@@ -115,27 +146,7 @@ def tdigest_quantiles(
         + [StructField("quantile", DoubleType()), StructField("value", DoubleType())]
     )
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            vals = pdf[value_col].astype("float64")
-            mask = vals.notna().to_numpy()
-            if not mask.any():
-                continue
-            pdf = pdf.loc[mask]
-            vals = vals.to_numpy()[mask]
-            if keys:
-                rows = []
-                for kv, idx in pdf.groupby(keys, dropna=False, sort=False).indices.items():
-                    kv = kv if isinstance(kv, tuple) else (kv,)
-                    m, w = _compress(vals[idx], np.ones(len(idx)), delta)
-                    rows.append((*kv, list(m), list(w)))
-                yield pd.DataFrame(rows, columns=[*keys, "_means", "_weights"])
-            else:
-                m, w = _compress(vals, np.ones(len(vals)), delta)
-                yield pd.DataFrame({"_means": [list(m)], "_weights": [list(w)]})
-
-    cols = keys + [value_col]
-    partial = df.select(*cols).mapInPandas(partials, schema=partial_schema)
+    partial = _tdigest_partials(df, value_col, keys, delta, partial_schema)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         means = np.concatenate([np.asarray(a) for a in pdf["_means"]])
@@ -149,6 +160,165 @@ def tdigest_quantiles(
     if keys:
         return partial.groupBy(*keys).applyInPandas(merge, schema=out_schema)
     grouped = partial.withColumn("_g", F.lit(1)).groupBy("_g")
+    return grouped.applyInPandas(
+        lambda pdf: merge(pdf.drop(columns=["_g"])), schema=out_schema
+    )
+
+
+def _digest_schema(df: DataFrame, keys: list) -> StructType:
+    return StructType(
+        [df.schema[k] for k in keys]
+        + [
+            StructField("_means", ArrayType(DoubleType())),
+            StructField("_weights", ArrayType(DoubleType())),
+        ]
+    )
+
+
+def _make_fold(keys: list, delta: int):
+    """One merged digest per group from stacked partials — the
+    t-digest combine step (concatenate cluster sets, re-compress)."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["_means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["_weights"]])
+        m, w = _compress(means, weights, delta)
+        head = {k: [pdf[k].iloc[0]] for k in keys}
+        return pd.DataFrame({**head, "_means": [list(m)], "_weights": [list(w)]})
+
+    return fold
+
+
+def save_tdigest_partials(
+    df: DataFrame,
+    path: str,
+    value_col: str,
+    by: Sequence[str],
+    delta: int = 200,
+) -> None:
+    """PERSIST one merged t-digest per ``by`` group — the quantile twin
+    of the HLL sketch-table pattern (``weekly_user_sketch_rollup``):
+    fine-grained digests (per day, per source) are computed ONCE from
+    raw data and any coarser quantile later is a cheap re-merge of
+    stored ``O(delta)``-cluster digests via :func:`tdigest_rollup`,
+    never a re-scan — t-digests are mergeable by construction (merging
+    the cluster sets and re-compressing IS the algorithm's combine
+    step). Layout: ``{path}/digests`` versioned parquet snapshots
+    (sinks/versioned.py: atomic ``_CURRENT`` pointer, so an append or
+    rewrite never leaves readers a half-written table) + ``{path}/params``
+    (delta, value_col, keys); a digest row's cluster count is sublinear
+    in n (empirically a few × delta for the single-pass k0 compressor —
+    ~570 clusters for 3 000 values, ~920 for 100 000 at delta=200), so
+    even a year of per-day-per-source digests is a broadcast-sized
+    table. New grain arriving later goes through
+    :func:`append_tdigest_partials` — no raw re-scan of old days."""
+    keys = list(by)
+    if not keys:
+        raise ValueError("save_tdigest_partials: 'by' must name ≥1 column")
+    from ..sinks.versioned import write_snapshot
+
+    partial_schema = _digest_schema(df, keys)
+    partial = _tdigest_partials(df, value_col, keys, delta, partial_schema)
+    folded = partial.groupBy(*keys).applyInPandas(
+        _make_fold(keys, delta), schema=partial_schema
+    )
+    base = path.rstrip("/")
+    write_snapshot(folded, f"{base}/digests")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(delta), value_col, ",".join(keys))],
+        "delta INT, value_col STRING, keys STRING",
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
+
+
+def append_tdigest_partials(df: DataFrame, path: str) -> int:
+    """Fold NEW rows into a persisted digest table (the sketch-table
+    append lifecycle, same contract family as ``append_to_lsh_index``):
+    groups present in ``df`` re-merge stored digest ∪ new partials;
+    groups absent from ``df`` pass through BYTE-IDENTICAL (anti-join on
+    the touched-key set, never re-folded — pytest-pinned). Publication
+    is a new versioned snapshot behind the atomic ``_CURRENT`` pointer,
+    so a crash mid-append leaves the previous table intact and rollback
+    is one pointer flip. Returns the published version.
+
+    Accuracy contract: a digest merged incrementally is NOT bit-equal
+    to one built from the concatenated raw data (cluster boundaries
+    depend on merge order — inherent to t-digest), but it satisfies the
+    same rank-error bound; the pytest asserts the bound after append,
+    not float equality."""
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    from ..sinks.versioned import read_current, write_snapshot
+
+    p = spark.read.parquet(f"{base}/params").first()
+    delta, value_col = int(p["delta"]), p["value_col"]
+    keys = p["keys"].split(",")
+
+    partial_schema = _digest_schema(df, keys)
+    partial = _tdigest_partials(
+        df, value_col, keys, delta, partial_schema
+    ).localCheckpoint(eager=False)
+    touched = partial.select(*keys).distinct()
+
+    stored = read_current(spark, f"{base}/digests")
+    untouched = stored.join(F.broadcast(touched), keys, "left_anti")
+    remerged = (
+        stored.join(F.broadcast(touched), keys, "left_semi")
+        .unionByName(partial)
+        .groupBy(*keys)
+        .applyInPandas(_make_fold(keys, delta), schema=partial_schema)
+    )
+    return write_snapshot(untouched.unionByName(remerged), f"{base}/digests")
+
+
+def tdigest_rollup(
+    spark,
+    path: str,
+    group_exprs: dict | None = None,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95, 0.99),
+) -> DataFrame:
+    """Re-merge PERSISTED digests (:func:`save_tdigest_partials`) at a
+    coarser grain and estimate quantiles — no raw-data scan. Pass
+    ``group_exprs`` as ``{out_name: Column-over-stored-keys}`` (e.g.
+    ``{"week": F.date_trunc("week", "day")}``); ``None`` folds
+    everything into one global digest. Output: group cols + one row per
+    quantile, the :func:`tdigest_quantiles` shape. The estimate is
+    digest-state-dependent like every t-digest figure — gate verdicts
+    bound the exact rank error instead of hashing the float."""
+    from ..sinks.versioned import read_current
+
+    base = path.rstrip("/")
+    p = spark.read.parquet(f"{base}/params").first()
+    delta = int(p["delta"])
+    qs = [float(q) for q in quantiles]
+    digests = read_current(spark, f"{base}/digests")
+
+    if group_exprs:
+        named = [expr.alias(name) for name, expr in group_exprs.items()]
+        out_keys = list(group_exprs)
+        work = digests.select(*named, "_means", "_weights")
+    else:
+        out_keys = []
+        work = digests.select("_means", "_weights")
+
+    key_fields = [work.schema[k] for k in out_keys]
+    out_schema = StructType(
+        key_fields
+        + [StructField("quantile", DoubleType()), StructField("value", DoubleType())]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["_means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["_weights"]])
+        m, w = _compress(means, weights, delta)
+        head = {k: [pdf[k].iloc[0]] * len(qs) for k in out_keys}
+        return pd.DataFrame(
+            {**head, "quantile": qs, "value": [_estimate(m, w, q) for q in qs]}
+        )
+
+    if out_keys:
+        return work.groupBy(*out_keys).applyInPandas(merge, schema=out_schema)
+    grouped = work.withColumn("_g", F.lit(1)).groupBy("_g")
     return grouped.applyInPandas(
         lambda pdf: merge(pdf.drop(columns=["_g"])), schema=out_schema
     )

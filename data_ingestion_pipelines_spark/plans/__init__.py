@@ -96,7 +96,7 @@ _PRIORITY = [
     "corpus_curation_gopher",
     "similarity_ivf_pq_topk",
     "load_reconciliation_report",
-    "above_brand_average",
+    "weekly_value_quantile_rollup",
     "rollup_revenue",
     "semi_anti_customers",
     "watermark_minmax",
@@ -111,10 +111,10 @@ _PRIORITY = [
     # uint16 container variant, and the round-9 additions (drift
     # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
     # important_parts_by_value, nation_trade_flows,
-    # late_shipment_orders and promo_revenue_share (r7/r8-green)
-    # rotated out late-round for the index-delete verdict, the HLL
-    # overlap gate, the Arrow IPC roundtrip and the load-reconciliation
-    # report
+    # late_shipment_orders, promo_revenue_share and above_brand_average
+    # (r7/r8-green) rotated out late-round for the index-delete
+    # verdict, the HLL overlap gate, the Arrow IPC roundtrip, the
+    # load-reconciliation report and the t-digest rollup
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

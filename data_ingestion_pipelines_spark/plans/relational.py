@@ -3100,6 +3100,65 @@ CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q)
 
 
 # --------------------------------------------------------------------------
+# Persisted t-digest rollup — the quantile twin of the HLL sketch-table
+# gate: per-DAY digests of event values persist once
+# (save_tdigest_partials), weekly quantiles re-merge the stored
+# O(delta)-cluster digests (tdigest_rollup) with NO raw re-scan, and
+# the verdict bounds the merged estimate's exact rank error (the same
+# rank-interval method as tdigest_price_quantiles; merging loses a
+# little accuracy vs a direct digest, so eps is 0.04 vs its 0.02).
+def weekly_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import save_tdigest_partials, tdigest_rollup
+    from ..session import scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    root = scratch_dir(prefix="tdrollup_")
+    save_tdigest_partials(ev, root, "value", by=["day"])
+    est = tdigest_rollup(
+        spark,
+        root,
+        {"week": F.date_trunc("week", "day").cast("date")},
+        quantiles=(0.5, 0.95),
+    )
+    weekly = ev.select(
+        F.date_trunc("week", "day").cast("date").alias("week"), "value"
+    )
+    v, x = F.col("value"), F.col("_x")
+    ranks = (
+        weekly.withColumnRenamed("value", "_x")
+        .join(F.broadcast(est), "week")
+        .groupBy("week", "quantile")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count(F.when(x < v, 1)).alias("_n_lt"),
+            F.count(F.when(x <= v, 1)).alias("_n_le"),
+        )
+    )
+    q = F.col("quantile")
+    lo = F.col("_n_lt").cast("double") / F.col("_n").cast("double")
+    hi = F.col("_n_le").cast("double") / F.col("_n").cast("double")
+    err = F.when(q < lo, lo - q).when(q > hi, q - hi).otherwise(F.lit(0.0))
+    return ranks.select(
+        "week",
+        "quantile",
+        F.col("_n").cast("bigint").alias("n_values"),
+        (err <= F.lit(0.04)).alias("rank_error_le_eps"),
+    )
+
+
+WEEKLY_VALUE_QUANTILE_ROLLUP_SQL = """
+SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+       CAST(q AS DOUBLE) AS quantile,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       TRUE AS rank_error_le_eps
+FROM events CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q)
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Market-basket pair mining: co-purchased part pairs WITHOUT a self-join.
 # Baskets aggregate once (sorted distinct parts per order, bounded by
 # lineitems-per-order ≈ 7), pairs come from a double explode of that
@@ -4140,6 +4199,10 @@ QUERIES = {
     ),
     "unpivot_priority_metrics": (unpivot_priority_metrics, UNPIVOT_PRIORITY_METRICS_SQL),
     "tdigest_price_quantiles": (tdigest_price_quantiles, TDIGEST_PRICE_QUANTILES_SQL),
+    "weekly_value_quantile_rollup": (
+        weekly_value_quantile_rollup,
+        WEEKLY_VALUE_QUANTILE_ROLLUP_SQL,
+    ),
     "copurchased_part_pairs": (copurchased_part_pairs, COPURCHASED_PART_PAIRS_SQL),
     "leading_digit_distribution": (
         leading_digit_distribution,

@@ -130,6 +130,127 @@ def test_nulls_ignored(spark):
     assert est[0.5] == pytest.approx(50.5, abs=2.0)
 
 
+def test_tdigest_persist_rollup_rank_accuracy(spark, tmp_path):
+    """save_tdigest_partials + tdigest_rollup: merged stored digests
+    estimate quantiles within a tight exact-rank bound, at the coarser
+    grain AND globally, with no raw re-scan (the rollup reads only the
+    digest parquet)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        save_tdigest_partials,
+        tdigest_rollup,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(d), float(v))
+        for d in range(10)
+        for v in rng.normal(loc=d * 10.0, scale=5.0, size=3000)
+    ]
+    df = spark.createDataFrame(rows, "day bigint, value double")
+    path = str(tmp_path / "td")
+    save_tdigest_partials(df, path, "value", by=["day"])
+    # stored digests are SUBLINEAR in n (empirically a few x delta for
+    # the single-pass k0 compressor: 3000 values -> ~570 clusters)
+    from data_ingestion_pipelines_spark.sinks.versioned import read_current
+
+    dig = read_current(spark, f"{path}/digests")
+    assert dig.count() == 10
+    assert all(len(r["_means"]) <= 800 for r in dig.collect())
+
+    # coarser grain: fold days into 2 halves
+    est = tdigest_rollup(
+        spark, path, {"half": (F.col("day") / 5).cast("int")},
+        quantiles=(0.5, 0.95),
+    )
+    vals_by_half = {
+        h: sorted(v for d, v in rows if (d // 5) == h) for h in (0, 1)
+    }
+    for r in est.collect():
+        arr = vals_by_half[r["half"]]
+        n_le = sum(1 for x in arr if x <= r["value"])
+        n_lt = sum(1 for x in arr if x < r["value"])
+        lo, hi = n_lt / len(arr), n_le / len(arr)
+        err = max(lo - r["quantile"], r["quantile"] - hi, 0.0)
+        assert err <= 0.03, (r, err)
+
+    # global rollup (group_exprs=None) covers everything
+    g = {r["quantile"]: r["value"] for r in tdigest_rollup(spark, path).collect()}
+    allv = sorted(v for _, v in rows)
+    med = g[0.5]
+    rank = sum(1 for x in allv if x <= med) / len(allv)
+    assert abs(rank - 0.5) <= 0.03
+
+
+def test_tdigest_append_lifecycle(spark, tmp_path):
+    """append_tdigest_partials: untouched groups pass through
+    BYTE-IDENTICAL (never re-folded), touched/new groups satisfy the
+    rank-error bound after the merge, publication is a new atomic
+    snapshot version, and rollback to the pre-append version still
+    works."""
+    import numpy as np
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        append_tdigest_partials,
+        save_tdigest_partials,
+        tdigest_rollup,
+    )
+    from data_ingestion_pipelines_spark.sinks.versioned import (
+        current_version,
+        read_current,
+        rollback,
+    )
+
+    rng = np.random.default_rng(11)
+    base_rows = [
+        (int(d), float(v))
+        for d in range(5)
+        for v in rng.normal(loc=d * 10.0, scale=4.0, size=2000)
+    ]
+    df = spark.createDataFrame(base_rows, "day bigint, value double")
+    path = str(tmp_path / "td")
+    save_tdigest_partials(df, path, "value", by=["day"])
+    v1 = current_version(f"{path}/digests")
+    before = {
+        r["day"]: (r["_means"], r["_weights"])
+        for r in read_current(spark, f"{path}/digests").collect()
+    }
+
+    # append: day 4 gets MORE data (touched), days 5-6 are new
+    extra_rows = [
+        (int(d), float(v))
+        for d in (4, 5, 6)
+        for v in rng.normal(loc=d * 10.0, scale=4.0, size=2000)
+    ]
+    v2 = append_tdigest_partials(
+        spark.createDataFrame(extra_rows, "day bigint, value double"), path
+    )
+    assert v2 == v1 + 1 and current_version(f"{path}/digests") == v2
+    after = {
+        r["day"]: (r["_means"], r["_weights"])
+        for r in read_current(spark, f"{path}/digests").collect()
+    }
+    assert set(after) == {0, 1, 2, 3, 4, 5, 6}
+    for d in (0, 1, 2, 3):  # untouched: byte-identical
+        assert after[d] == before[d]
+    assert after[4] != before[4]
+
+    # rank-error bound holds over the merged table (incl. merged day 4)
+    allv = sorted(
+        [v for _, v in base_rows] + [v for _, v in extra_rows]
+    )
+    g = {r["quantile"]: r["value"] for r in tdigest_rollup(spark, path).collect()}
+    for q in (0.25, 0.5, 0.75, 0.95, 0.99):
+        rank = sum(1 for x in allv if x <= g[q]) / len(allv)
+        assert abs(rank - q) <= 0.04, (q, rank)
+
+    # rollback: pointer flip restores the pre-append table
+    rollback(f"{path}/digests", v1)
+    assert read_current(spark, f"{path}/digests").count() == 5
+
+
 def test_audience_overlap_hll_bound_and_exactness(spark):
     """Inclusion-exclusion intersection from three HLL estimates lands
     within the verdict bound for every pair (booleans all TRUE — the
