@@ -3669,6 +3669,107 @@ PART_COPURCHASE_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# Label-propagation communities over the same co-purchase graph: the
+# community-detection member of the iterative family (pagerank =
+# importance, connected components = reachability, LPA = density).
+# Unlike pagerank, every quantity in synchronous LPA is an INTEGER
+# (vote counts, node-id labels, min-label tie-breaks), so the gate
+# hash-oracles the operator DIRECTLY — no scaled-integer twin needed;
+# DuckDB replays the fixed rounds as unrolled CTEs.
+_LPA_ITERS = 4
+
+
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    # Edges scoped to SAME-BRAND co-purchases: the unrestricted graph is
+    # a near-random expander (every TPC-H order draws parts uniformly)
+    # that LPA correctly collapses to 1-2 giant labels — true but
+    # uninteresting. Within-brand edges are sparse with genuine cluster
+    # structure, so the gate exercises the argmax/tie-break machinery
+    # over many communities. The brand lookup is a broadcast join
+    # (part is the small dim).
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    branded = li.join(F.broadcast(part), "l_partkey")
+    basket = branded.groupBy("l_orderkey", "p_brand").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    und = (
+        basket.select(F.explode("parts").alias("pa"), F.col("parts").alias("_p"))
+        .select("pa", F.explode("_p").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .distinct()
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    labels = label_propagation(edges, iterations=_LPA_ITERS)
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("size"), F.min("node").alias("min_member")
+    )
+    w = Window.orderBy(F.desc("size"), F.asc("community"))
+    return (
+        sizes.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select("community", F.col("size").cast("bigint").alias("size"),
+                "min_member", "rk")
+    )
+
+
+def _lpa_oracle_sql(iterations: int = _LPA_ITERS, top: int = 20) -> str:
+    """DuckDB replay of label_propagation: fixed synchronous rounds
+    unrolled into CTE levels, each one vote aggregation (neighbors +
+    self-vote) and an argmax with the min-label tie-break — integer
+    term for integer term the Spark operator."""
+    steps = []
+    for i in range(iterations):
+        steps.append(f"""
+, v{i} AS MATERIALIZED (
+  SELECT e.dst AS node, l.label FROM l{i} l JOIN edges e ON e.src = l.node
+  UNION ALL
+  SELECT node, label FROM l{i}
+), l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM (SELECT node, label, COUNT(*) AS c FROM v{i} GROUP BY node, label)
+  ) WHERE rn = 1
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN part ta ON a.l_partkey = ta.p_partkey
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN part tb ON b.l_partkey = tb.p_partkey AND ta.p_brand = tb.p_brand
+), edges AS MATERIALIZED (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)
+{"".join(steps)}
+SELECT community, size, min_member, rk FROM (
+  SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size,
+         MIN(node) AS min_member,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, label ASC) AS BIGINT) AS rk
+  FROM l{iterations}
+  GROUP BY label
+) WHERE rk <= {top}
+"""
+
+
+PART_COPURCHASE_COMMUNITIES_SQL = _lpa_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # INTERSECT set op (completes the O-family: union_pages covers UNION,
 # snapshot_diff_report covers EXCEPT ALL): customers who ordered in BOTH
 # 1995 and 1996. Catalyst plans this as a distinct semi-style aggregate —
@@ -4178,6 +4279,10 @@ QUERIES = {
         OVERLAPPING_ORDER_WINDOWS_SQL,
     ),
     "part_copurchase_pagerank": (part_copurchase_pagerank, PART_COPURCHASE_PAGERANK_SQL),
+    "part_copurchase_communities": (
+        part_copurchase_communities,
+        PART_COPURCHASE_COMMUNITIES_SQL,
+    ),
     "brand_price_robust_outliers": (
         brand_price_robust_outliers,
         BRAND_PRICE_ROBUST_OUTLIERS_SQL,

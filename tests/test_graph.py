@@ -118,3 +118,59 @@ def test_pagerank_fused_equals_standalone_operators(spark):
     for n in fused:
         assert fused[n]["rank_scaled"] == ext[n]  # bit-equal
         assert abs(fused[n]["rank"] - flt[n]) < 1e-12, (n, fused[n]["rank"], flt[n])
+
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_label_propagation_finds_planted_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each clique
+    one community (the min node id of the clique, given min-label
+    tie-breaks), and the bridge does not merge them."""
+    from data_ingestion_pipelines_spark.operators.graph import label_propagation
+
+    k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(
+        _sym(k1 + k2 + bridge), "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=5).collect()}
+    assert set(got) == set(range(4)) | set(range(10, 14))
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_label_propagation_deterministic_across_layouts(spark):
+    """Fixed-round synchronous LPA with integer tie-breaks is
+    partition-layout invariant — the property that lets the gate
+    hash-oracle the labels directly (no exact twin)."""
+    import random
+
+    from data_ingestion_pipelines_spark.operators.graph import label_propagation
+
+    rng = random.Random(3)
+    pairs = {(rng.randrange(40), rng.randrange(40)) for _ in range(120)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df1 = spark.createDataFrame(_sym(pairs), "src bigint, dst bigint")
+    df2 = df1.repartition(13, "dst")
+    r1 = sorted(map(tuple, label_propagation(df1, iterations=4).collect()))
+    r2 = sorted(map(tuple, label_propagation(df2, iterations=4).collect()))
+    assert r1 == r2
+
+
+def test_label_propagation_self_vote_keeps_singletons_and_breaks_ties(spark):
+    """A node with no in-edges keeps its own label via the self-vote;
+    a node hearing two equal-frequency labels adopts the smaller."""
+    from data_ingestion_pipelines_spark.operators.graph import label_propagation
+
+    # 5 -> 6 only: node 5 has no in-edges, must keep label 5.
+    # 7 and 8 both point at 9 (plus 9's self-vote): three labels {7,8,9}
+    # all frequency 1 -> 9 adopts min = 7.
+    df = spark.createDataFrame(
+        [(5, 6), (7, 9), (8, 9)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=1).collect()}
+    assert got[5] == 5
+    assert got[9] == 7
