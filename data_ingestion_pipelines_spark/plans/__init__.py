@@ -98,7 +98,7 @@ _PRIORITY = [
     "load_reconciliation_report",
     "weekly_value_quantile_rollup",
     "part_copurchase_communities",
-    "semi_anti_customers",
+    "part_copurchase_triangles",
     "watermark_minmax",
     "distinct_priorities",
     "chunk_assignment",
@@ -111,11 +111,11 @@ _PRIORITY = [
     # uint16 container variant, and the round-9 additions (drift
     # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
     # important_parts_by_value, nation_trade_flows,
-    # late_shipment_orders, promo_revenue_share, above_brand_average
-    # and rollup_revenue (r7/r8-green) rotated out late-round for the
-    # index-delete verdict, the HLL overlap gate, the Arrow IPC
-    # roundtrip, the load-reconciliation report, the t-digest rollup
-    # and the label-propagation communities gate
+    # late_shipment_orders, promo_revenue_share, above_brand_average,
+    # rollup_revenue and semi_anti_customers (r7/r8-green) rotated out
+    # late-round for the index-delete verdict, the HLL overlap gate,
+    # the Arrow IPC roundtrip, the load-reconciliation report, the
+    # t-digest rollup and the label-propagation/triangle graph gates
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3679,16 +3679,14 @@ PART_COPURCHASE_PAGERANK_SQL = _pagerank_oracle_sql()
 _LPA_ITERS = 4
 
 
-def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import label_propagation
-
-    # Edges scoped to SAME-BRAND co-purchases: the unrestricted graph is
-    # a near-random expander (every TPC-H order draws parts uniformly)
-    # that LPA correctly collapses to 1-2 giant labels — true but
-    # uninteresting. Within-brand edges are sparse with genuine cluster
-    # structure, so the gate exercises the argmax/tie-break machinery
-    # over many communities. The brand lookup is a broadcast join
-    # (part is the small dim).
+def _brand_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected distinct (pa < pb) part pairs co-purchased in the same
+    order AND sharing a brand. The unrestricted co-purchase graph is a
+    near-random expander (every TPC-H order draws parts uniformly);
+    within-brand edges are sparse with genuine cluster structure, which
+    is what the community/triangle gates need. The brand lookup is a
+    broadcast join (part is the small dim). ONE copy, mirrored by ONE
+    oracle CTE (_BRAND_PAIRS_CTE) — parity-drift guard."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
@@ -3697,12 +3695,28 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = branded.groupBy("l_orderkey", "p_brand").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
-    und = (
+    return (
         basket.select(F.explode("parts").alias("pa"), F.col("parts").alias("_p"))
         .select("pa", F.explode("_p").alias("pb"))
         .filter(F.col("pa") < F.col("pb"))
         .distinct()
     )
+
+
+_BRAND_PAIRS_CTE = """pairs AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a
+  JOIN part ta ON a.l_partkey = ta.p_partkey
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN part tb ON b.l_partkey = tb.p_partkey AND ta.p_brand = tb.p_brand
+)"""
+
+
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    und = _brand_copurchase_pairs(spark, sf_dir)
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -3739,14 +3753,7 @@ def _lpa_oracle_sql(iterations: int = _LPA_ITERS, top: int = 20) -> str:
   ) WHERE rn = 1
 )""")
     return f"""
-WITH pairs AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM lineitem a
-  JOIN part ta ON a.l_partkey = ta.p_partkey
-  JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  JOIN part tb ON b.l_partkey = tb.p_partkey AND ta.p_brand = tb.p_brand
-), edges AS MATERIALIZED (
+WITH {_BRAND_PAIRS_CTE}, edges AS MATERIALIZED (
   SELECT pa AS src, pb AS dst FROM pairs
   UNION ALL
   SELECT pb AS src, pa AS dst FROM pairs
@@ -3767,6 +3774,73 @@ SELECT community, size, min_member, rk FROM (
 
 
 PART_COPURCHASE_COMMUNITIES_SQL = _lpa_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient over the same
+# brand-scoped co-purchase graph (operators/graph.py triangle_counts:
+# degree-orientation, one wedge join + one closing join). Counts and
+# degrees are integers; the coefficient is ONE division of exact
+# operands (2·t / d·(d−1)) — hash-safe. Top-20 by (triangles desc,
+# node asc) keeps the output stable and bounded.
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    und = _brand_copurchase_pairs(spark, sf_dir)
+    tri = triangle_counts(und.select(F.col("pa").alias("src"), F.col("pb").alias("dst")))
+    w = Window.orderBy(F.desc("triangles"), F.asc("node"))
+    return (
+        tri.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("node").alias("part"), "degree", "triangles", "clustering", "rk"
+        )
+    )
+
+
+PART_COPURCHASE_TRIANGLES_SQL = f"""
+WITH {_BRAND_PAIRS_CTE}, deg AS MATERIALIZED (
+  SELECT node, COUNT(*) AS degree
+  FROM (SELECT pa AS node FROM pairs UNION ALL SELECT pb AS node FROM pairs)
+  GROUP BY node
+), oriented AS MATERIALIZED (
+  -- point each edge from the lower (degree, id) endpoint to the higher
+  SELECT CASE WHEN (da.degree < db.degree)
+               OR (da.degree = db.degree AND p.pa < p.pb)
+              THEN p.pa ELSE p.pb END AS u,
+         CASE WHEN (da.degree < db.degree)
+               OR (da.degree = db.degree AND p.pa < p.pb)
+              THEN p.pb ELSE p.pa END AS v
+  FROM pairs p
+  JOIN deg da ON p.pa = da.node
+  JOIN deg db ON p.pb = db.node
+), tri AS MATERIALIZED (
+  -- path wedge u->v->w closed by u->w: exactly once per triangle
+  SELECT e1.u AS u, e1.v AS v, e2.v AS w
+  FROM oriented e1
+  JOIN oriented e2 ON e1.v = e2.u
+  JOIN oriented e3 ON e3.u = e1.u AND e3.v = e2.v
+), per_node AS MATERIALIZED (
+  SELECT node, COUNT(*) AS triangles
+  FROM (SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+  GROUP BY node
+)
+SELECT part, degree, triangles, clustering, rk FROM (
+  SELECT d.node AS part,
+         CAST(d.degree AS BIGINT) AS degree,
+         CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+         CASE WHEN d.degree > 1
+              THEN CAST(2 * COALESCE(t.triangles, 0) AS DOUBLE)
+                   / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+              ELSE 0.0 END AS clustering,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY COALESCE(t.triangles, 0) DESC, d.node ASC
+         ) AS BIGINT) AS rk
+  FROM deg d LEFT JOIN per_node t ON d.node = t.node
+) WHERE rk <= 20
+"""
 
 
 # --------------------------------------------------------------------------
@@ -4282,6 +4356,10 @@ QUERIES = {
     "part_copurchase_communities": (
         part_copurchase_communities,
         PART_COPURCHASE_COMMUNITIES_SQL,
+    ),
+    "part_copurchase_triangles": (
+        part_copurchase_triangles,
+        PART_COPURCHASE_TRIANGLES_SQL,
     ),
     "brand_price_robust_outliers": (
         brand_price_robust_outliers,

@@ -174,3 +174,71 @@ def test_label_propagation_self_vote_keeps_singletons_and_breaks_ties(spark):
     got = {r["node"]: r["label"] for r in label_propagation(df, iterations=1).collect()}
     assert got[5] == 5
     assert got[9] == 7
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant: every K4 node sits in C(3,2)=3 triangles with
+    clustering 1.0; the pendant has none; the K4 node it hangs off
+    keeps 3 triangles but clustering drops to 2*3/(4*3)=0.5."""
+    from data_ingestion_pipelines_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    df = spark.createDataFrame(k4 + [(3, 9)], "src bigint, dst bigint")
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert set(got) == {0, 1, 2, 3, 9}
+    for n in (0, 1, 2):
+        assert (got[n]["degree"], got[n]["triangles"]) == (3, 3)
+        assert got[n]["clustering"] == 1.0
+    assert (got[3]["degree"], got[3]["triangles"]) == (4, 3)
+    assert got[3]["clustering"] == 0.5
+    assert (got[9]["degree"], got[9]["triangles"], got[9]["clustering"]) == (1, 0, 0.0)
+
+
+def test_triangle_counts_normalizes_input(spark):
+    """Duplicate edges, both orientations, and self-loops must not
+    change the count — the operator normalizes to distinct a<b pairs."""
+    from data_ingestion_pipelines_spark.operators.graph import triangle_counts
+
+    tri = [(0, 1), (1, 2), (2, 0)]
+    messy = tri + [(1, 0), (2, 1), (0, 2), (0, 1), (1, 1)]
+    clean = {
+        tuple(r)
+        for r in triangle_counts(
+            spark.createDataFrame(tri, "src bigint, dst bigint")
+        ).collect()
+    }
+    noisy = {
+        tuple(r)
+        for r in triangle_counts(
+            spark.createDataFrame(messy, "src bigint, dst bigint")
+        ).collect()
+    }
+    assert clean == noisy
+    assert all(t == 1 for _, _, t, _ in clean)
+
+
+def test_triangle_counts_matches_bruteforce_and_layout(spark):
+    """Random graph vs an O(n^3) brute force, and partition-layout
+    invariance of the full output."""
+    import itertools
+    import random
+
+    from data_ingestion_pipelines_spark.operators.graph import triangle_counts
+
+    rng = random.Random(5)
+    und = {(a, b) for a in range(18) for b in range(a + 1, 18) if rng.random() < 0.3}
+    adj = {n: set() for n in range(18)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = dict.fromkeys((n for n in adj if adj[n]), 0)
+    for x, y, z in itertools.combinations(range(18), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                want[n] += 1
+    df = spark.createDataFrame(sorted(und), "src bigint, dst bigint")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == want
+    r1 = sorted(map(tuple, triangle_counts(df).collect()))
+    r2 = sorted(map(tuple, triangle_counts(df.repartition(7, "dst")).collect()))
+    assert r1 == r2
