@@ -99,7 +99,7 @@ _PRIORITY = [
     "weekly_value_quantile_rollup",
     "part_copurchase_communities",
     "part_copurchase_triangles",
-    "watermark_minmax",
+    "event_native_session_windows",
     "distinct_priorities",
     "chunk_assignment",
     "arrow_ipc_roundtrip_docs",
@@ -112,10 +112,12 @@ _PRIORITY = [
     # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
     # important_parts_by_value, nation_trade_flows,
     # late_shipment_orders, promo_revenue_share, above_brand_average,
-    # rollup_revenue and semi_anti_customers (r7/r8-green) rotated out
+    # rollup_revenue, semi_anti_customers and watermark_minmax
+    # (r7/r8-green) rotated out
     # late-round for the index-delete verdict, the HLL overlap gate,
     # the Arrow IPC roundtrip, the load-reconciliation report, the
-    # t-digest rollup and the label-propagation/triangle graph gates
+    # t-digest rollup, the label-propagation/triangle graph gates and
+    # the native session-window gate
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

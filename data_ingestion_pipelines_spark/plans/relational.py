@@ -753,6 +753,54 @@ FROM s GROUP BY user_id, session_num
 
 
 # --------------------------------------------------------------------------
+# Native session windows: the same sessionization as event_sessions but
+# through Spark's built-in F.session_window — the idiomatic engine path
+# (Catalyst plans a dedicated merging aggregate, no two-pass
+# lag+cumulative-sum window chain, and the IDENTICAL expression drops
+# into a watermarked streaming aggregate unchanged). Boundary semantics
+# differ from the islands gate deliberately: session_window merges on
+# strict overlap, so a gap of EXACTLY 30 min starts a new session here
+# (oracle: ts >= prev + interval) while event_sessions keeps it (> 1800
+# s) — both pinned by their oracles. window.end is last_ts + gap by
+# definition; timestamps are microsecond-exact in both engines (the
+# test tables carry timestamp[us]), so interval arithmetic hashes.
+def event_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end_plus_gap"),
+            "n_events",
+        )
+    )
+
+
+EVENT_NATIVE_SESSION_WINDOWS_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         SUM(_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end_plus_gap,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
 # ROLLUP aggregation (engine extension; subtotal rows with NULL group keys)
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -4405,6 +4453,10 @@ QUERIES = {
     "priority_shipmode_counts": (priority_shipmode_counts, PRIORITY_SHIPMODE_COUNTS_SQL),
     "promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SHARE_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "event_native_session_windows": (
+        event_native_session_windows,
+        EVENT_NATIVE_SESSION_WINDOWS_SQL,
+    ),
     "above_brand_average": (above_brand_average, ABOVE_BRAND_AVERAGE_SQL),
     "rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
