@@ -113,6 +113,15 @@ HEADLINE = [
     "mlm_masked_docs",
     "tfrecord_roundtrip_docs",
     "ann_index_drift_verdict",
+    # round-9 session C: the new iterative-graph pair over the
+    # brand-scoped co-purchase graph (4-round synchronous LPA; degree-
+    # oriented triangle count), the persisted t-digest save→rollup
+    # lifecycle, and the native session-window aggregate next to its
+    # islands twin event_sessions
+    "part_copurchase_communities",
+    "part_copurchase_triangles",
+    "weekly_value_quantile_rollup",
+    "event_native_session_windows",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

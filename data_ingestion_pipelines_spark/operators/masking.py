@@ -103,3 +103,74 @@ def mlm_mask_tokens(
     return df.withColumn(out_inputs, F.expr(masked)).withColumn(
         out_labels, F.expr(labels)
     )
+
+
+def sft_pack_conversations(
+    convos: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "convo_id",
+    user_marker_id: int = 1,
+    assistant_marker_id: int = 2,
+) -> DataFrame:
+    """SFT (instruction-tuning) data prep: flatten a conversation into
+    one token-id sequence plus a LOSS MASK that trains only on the
+    assistant's tokens → ``(convo_id, n_turns, input_ids ARRAY<INT>,
+    loss_mask ARRAY<INT>)``.
+
+    ``turns_col`` is ``array<struct<role STRING, content STRING>>`` in
+    conversation order. Each turn contributes one role-marker id
+    (``user_marker_id`` / ``assistant_marker_id`` — stand-ins for the
+    chat-template header tokens of a real tokenizer) followed by its
+    content token ids (the engine's hash-token scheme: first 4 md5 hex
+    chars of each ``[a-z0-9]+`` word, the ``sinks/indexed_dataset``
+    convention, so oracles replay ids bit-identically). The mask
+    convention is pinned as: assistant turns carry 1 on the marker AND
+    every content token, all other roles carry 0 everywhere —
+    cross-entropy over ``input_ids × loss_mask`` then never trains on
+    user/system text, the standard SFT recipe (public: e.g. the
+    "train_on_inputs=False" convention of open instruction-tuning
+    stacks).
+
+    Shape: one ``posexplode`` per turn (token arrays MATERIALIZE per
+    turn row — the inner tokenizer expression is never the source of a
+    higher-order function, avoiding the interpreted-HOF re-evaluation
+    trap documented on :func:`mlm_mask_tokens`), then ONE shuffle
+    keyed on the conversation id reassembles turns in order via
+    ``sort_array(collect_list(struct(turn_idx, …)))`` + ``flatten`` —
+    no window, no driver round-trip; NULL content tokenizes to the
+    bare marker."""
+    um, am = int(user_marker_id), int(assistant_marker_id)
+    per_turn = convos.select(
+        F.col(id_col),
+        F.posexplode(F.col(turns_col)).alias("_ti", "_turn"),
+    ).select(
+        id_col,
+        "_ti",
+        F.expr(
+            "CASE WHEN _turn.role = 'assistant' THEN 1 ELSE 0 END"
+        ).alias("_m"),
+        F.expr(
+            "regexp_extract_all(lower(coalesce(_turn.content, '')), '[a-z0-9]+', 0)"
+        ).alias("_toks"),
+    )
+    ids = F.expr(
+        f"concat(array(CAST(IF(_m = 1, {am}, {um}) AS INT)), "
+        "transform(_toks, x -> "
+        "CAST(conv(substring(md5(x), 1, 4), 16, 10) AS INT)))"
+    )
+    mask = F.expr("array_repeat(CAST(_m AS INT), size(_toks) + 1)")
+    packed = (
+        per_turn.select(id_col, "_ti", ids.alias("_ids"), mask.alias("_mask"))
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("_ti", "_ids", "_mask"))
+            ).alias("_s")
+        )
+    )
+    return packed.select(
+        id_col,
+        F.size("_s").cast("bigint").alias("n_turns"),
+        F.expr("flatten(transform(_s, e -> e._ids))").alias("input_ids"),
+        F.expr("flatten(transform(_s, e -> e._mask))").alias("loss_mask"),
+    )

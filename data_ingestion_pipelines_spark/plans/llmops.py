@@ -831,6 +831,96 @@ FROM masked
 MLM_MASKED_DOCS_SQL = _mlm_sql()
 
 
+# --------------------------------------------------------------------------
+# SFT (instruction-tuning) packing: conversations flatten to one token
+# stream + a loss mask that trains only on assistant turns
+# (operators/masking.py sft_pack_conversations). Conversations are
+# built deterministically from the corpus — the first 8 documents of
+# each source (by doc_id) as alternating user/assistant turns — so
+# the oracle replays turn construction, tokenization, marker/mask
+# placement and the flattened order bit-for-bit; the gate hashes md5
+# summaries of both arrays plus exact counts.
+def sft_packed_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.masking import sft_pack_conversations
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    sel = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    turns = sel.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("rn"),
+                    F.when(F.col("rn") % 2 == 1, F.lit("user"))
+                    .otherwise(F.lit("assistant"))
+                    .alias("role"),
+                    F.col("text").alias("content"),
+                )
+            )
+        ).alias("_ordered")
+    )
+    convos = turns.select(
+        F.col("source").alias("convo_id"),
+        F.expr(
+            "transform(_ordered, e -> struct(e.role AS role, e.content AS content))"
+        ).alias("turns"),
+    )
+    packed = sft_pack_conversations(convos)
+    to_str = "x -> CAST(x AS STRING)"
+    return packed.select(
+        "convo_id",
+        "n_turns",
+        F.size("input_ids").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(aggregate(loss_mask, 0L, (a, x) -> a + x) AS BIGINT)"
+        ).alias("n_loss_tokens"),
+        F.md5(
+            F.expr(f"array_join(transform(input_ids, {to_str}), ',')")
+        ).alias("ids_md5"),
+        F.md5(
+            F.expr(f"array_join(transform(loss_mask, {to_str}), ',')")
+        ).alias("mask_md5"),
+    )
+
+
+SFT_PACKED_CONVERSATIONS_SQL = """
+WITH sel AS (
+  SELECT source, text,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+  QUALIFY rn <= 8
+), per AS (
+  SELECT source, rn,
+         CASE WHEN rn % 2 = 1 THEN 0 ELSE 1 END AS m,
+         COALESCE(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                  CAST([] AS VARCHAR[])) AS toks
+  FROM sel
+), arrs AS (
+  SELECT source, rn, m,
+         [CASE WHEN m = 1 THEN 2 ELSE 1 END]
+           || list_transform(toks, x ->
+                CAST(CAST(('0x' || substr(md5(x), 1, 4))::UBIGINT AS INTEGER)
+                     AS INTEGER)) AS ids,
+         [m] || list_transform(toks, x -> m) AS mask
+  FROM per
+), agg AS (
+  SELECT source AS convo_id,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         flatten(list(ids ORDER BY rn)) AS input_ids,
+         flatten(list(mask ORDER BY rn)) AS loss_mask
+  FROM arrs GROUP BY source
+)
+SELECT convo_id, n_turns,
+       CAST(len(input_ids) AS BIGINT) AS n_tokens,
+       CAST(list_sum(loss_mask) AS BIGINT) AS n_loss_tokens,
+       md5(array_to_string(list_transform(input_ids, x -> CAST(x AS VARCHAR)),
+                           ',')) AS ids_md5,
+       md5(array_to_string(list_transform(loss_mask, x -> CAST(x AS VARCHAR)),
+                           ',')) AS mask_md5
+FROM agg
+"""
+
+
 INDEXED_DATASET_ROUNDTRIP_DOCS_SQL = """
 WITH toks AS (
   -- COALESCE mirrors the writer, which coerces a NULL token array to an
@@ -4574,6 +4664,10 @@ QUERIES = {
         indexed_dataset_uint16_docs, INDEXED_DATASET_ROUNDTRIP_DOCS_SQL,
     ),
     "mlm_masked_docs": (mlm_masked_docs, MLM_MASKED_DOCS_SQL),
+    "sft_packed_conversations": (
+        sft_packed_conversations,
+        SFT_PACKED_CONVERSATIONS_SQL,
+    ),
     "tfrecord_roundtrip_docs": (
         tfrecord_roundtrip_docs, TFRECORD_ROUNDTRIP_DOCS_SQL,
     ),

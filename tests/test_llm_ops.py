@@ -925,3 +925,73 @@ def test_mlm_mask_tokens_semantics(spark):
         mlm_mask_tokens(docs, mask_token_id=0, vocab_size=10, mask_frac=0.7, random_frac=0.4)
     with pytest.raises(ValueError, match="mask_rate"):
         mlm_mask_tokens(docs, mask_token_id=0, vocab_size=10, mask_rate=1.5)
+
+
+def test_sft_pack_conversations_semantics(spark):
+    """Hand-built 3-turn conversation: marker + content ids in turn
+    order, loss mask 1 exactly on the assistant turn (marker included),
+    NULL content packs to the bare marker."""
+    import hashlib
+
+    from data_ingestion_pipelines_spark.operators.masking import (
+        sft_pack_conversations,
+    )
+
+    convos = spark.createDataFrame(
+        [
+            (
+                "c1",
+                [
+                    ("user", "hello world"),
+                    ("assistant", "hi"),
+                    ("user", None),
+                ],
+            )
+        ],
+        "convo_id string, turns array<struct<role string, content string>>",
+    )
+    out = sft_pack_conversations(convos).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def tok_id(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:4], 16)
+
+    want_ids = [1, tok_id("hello"), tok_id("world"), 2, tok_id("hi"), 1]
+    want_mask = [0, 0, 0, 1, 1, 0]
+    assert r["n_turns"] == 3
+    assert list(r["input_ids"]) == want_ids
+    assert list(r["loss_mask"]) == want_mask
+
+
+def test_sft_pack_loss_fraction_and_layout_invariance(spark):
+    """Across many conversations the mask length always equals the id
+    length, only assistant turns contribute loss tokens, and the packed
+    output is partition-layout invariant."""
+    from data_ingestion_pipelines_spark.operators.masking import (
+        sft_pack_conversations,
+    )
+
+    rows = []
+    for c in range(12):
+        turns = []
+        for t in range(6):
+            role = "user" if t % 2 == 0 else "assistant"
+            turns.append((role, f"w{c} t{t} alpha beta"))
+        rows.append((f"c{c}", turns))
+    df = spark.createDataFrame(
+        rows, "convo_id string, turns array<struct<role string, content string>>"
+    )
+    got = {r["convo_id"]: r for r in sft_pack_conversations(df).collect()}
+    for r in got.values():
+        assert len(r["input_ids"]) == len(r["loss_mask"])
+        # 6 turns x (1 marker + 4 tokens): half the turns are assistant
+        assert len(r["input_ids"]) == 30
+        assert sum(r["loss_mask"]) == 15
+    re = {
+        r["convo_id"]: r
+        for r in sft_pack_conversations(df.repartition(7)).collect()
+    }
+    for k in got:
+        assert list(got[k]["input_ids"]) == list(re[k]["input_ids"])
+        assert list(got[k]["loss_mask"]) == list(re[k]["loss_mask"])
