@@ -101,7 +101,7 @@ _PRIORITY = [
     "part_copurchase_triangles",
     "event_native_session_windows",
     "sft_packed_conversations",
-    "chunk_assignment",
+    "orc_roundtrip_docs",
     "arrow_ipc_roundtrip_docs",
     "audience_overlap_hll",
     # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
@@ -112,13 +112,14 @@ _PRIORITY = [
     # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
     # important_parts_by_value, nation_trade_flows,
     # late_shipment_orders, promo_revenue_share, above_brand_average,
-    # rollup_revenue, semi_anti_customers, watermark_minmax and
-    # distinct_priorities
+    # rollup_revenue, semi_anti_customers, watermark_minmax,
+    # distinct_priorities and chunk_assignment
     # (r7/r8-green) rotated out
     # late-round for the index-delete verdict, the HLL overlap gate,
     # the Arrow IPC roundtrip, the load-reconciliation report, the
     # t-digest rollup, the label-propagation/triangle graph gates and
-    # the native session-window gate and the SFT packing gate
+    # the native session-window gate, the SFT packing gate and the
+    # ORC roundtrip
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -1155,6 +1155,40 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# ORC roundtrip: the other columnar format Spark writes natively (the
+# warehouse-interchange member of the format matrix next to parquet /
+# Arrow IPC / TFRecord / WebDataset / Megatron .bin+.idx / JSONL).
+# Written partitioned by source with zlib compression and read back
+# through a doc_id pushdown filter — the scan must prune both partition
+# directories (source) and stripes (doc_id predicate reaches the ORC
+# reader), which is the property that matters at 100 TB; the oracle
+# applies the same predicates to the parquet truth.
+def orc_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+    docs = _t(spark, sf_dir, "documents")
+    root = scratch_dir(prefix="orc_")
+    docs.write.mode("overwrite").option("compression", "zlib").partitionBy(
+        "source"
+    ).orc(f"{root}/docs")
+    back = spark.read.orc(f"{root}/docs")
+    return back.filter(
+        (F.col("source") == "src1") & (F.col("doc_id") % 7 == 0)
+    ).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+ORC_ROUNDTRIP_DOCS_SQL = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS text_md5
+FROM documents
+WHERE source = 'src1' AND doc_id % 7 = 0
+"""
+
+
+# --------------------------------------------------------------------------
 # Malformed-feed DLQ through the JSON source: every doc_id % 10 == 3
 # line is truncated before write (guaranteed-invalid JSON), then the
 # file is read back PERMISSIVE with a corrupt-record column — bad lines
@@ -4740,6 +4774,7 @@ QUERIES = {
         WEBDATASET_ROUNDTRIP_DOCS_SQL,
     ),
     "jsonl_roundtrip_docs": (jsonl_roundtrip_docs, JSONL_ROUNDTRIP_DOCS_SQL),
+    "orc_roundtrip_docs": (orc_roundtrip_docs, ORC_ROUNDTRIP_DOCS_SQL),
     "json_corrupt_record_dlq": (
         json_corrupt_record_dlq,
         JSON_CORRUPT_RECORD_DLQ_SQL,

@@ -180,3 +180,29 @@ def test_weighted_sample_global_path_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
     assert sampled.count() == 10
+
+
+def test_orc_write_read_pushes_filters_and_prunes_partitions(spark, tmp_path):
+    """The ORC path must behave like the parquet path at scan time:
+    partition directories prune on the partition column and the row
+    predicate reaches the ORC reader as a pushed filter."""
+    src = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    target = str(tmp_path / "orc")
+    src.write.mode("overwrite").partitionBy("bucket").orc(target)
+    back = (
+        spark.read.orc(target)
+        .filter((F.col("bucket") == "2") & (F.col("payload") > 60))
+        .select("id", "payload")
+    )
+    plan = _plan(back)
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters:")[1][:200]
+    assert "PushedFilters: [" in plan
+    assert "payload" in plan.split("PushedFilters:")[1][:200]
+    # bucket 2 holds ids ≡ 2 (mod 4); payload > 60 keeps id > 20:
+    # 22, 26, …, 198 → 45 rows
+    assert back.count() == 45
