@@ -195,6 +195,7 @@ def save_tdigest_partials(
     value_col: str,
     by: Sequence[str],
     delta: int = 200,
+    commit_token: str | None = None,
 ) -> None:
     """PERSIST one merged t-digest per ``by`` group — the quantile twin
     of the HLL sketch-table pattern (``weekly_user_sketch_rollup``):
@@ -223,7 +224,7 @@ def save_tdigest_partials(
         _make_fold(keys, delta), schema=partial_schema
     )
     base = path.rstrip("/")
-    write_snapshot(folded, f"{base}/digests")
+    write_snapshot(folded, f"{base}/digests", commit_token=commit_token)
     spark = df.sparkSession
     spark.createDataFrame(
         [(int(delta), value_col, ",".join(keys))],
@@ -231,7 +232,9 @@ def save_tdigest_partials(
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
 
 
-def append_tdigest_partials(df: DataFrame, path: str) -> int:
+def append_tdigest_partials(
+    df: DataFrame, path: str, commit_token: str | None = None
+) -> int:
     """Fold NEW rows into a persisted digest table (the sketch-table
     append lifecycle, same contract family as ``append_to_lsh_index``):
     groups present in ``df`` re-merge stored digest ∪ new partials;
@@ -268,7 +271,9 @@ def append_tdigest_partials(df: DataFrame, path: str) -> int:
         .groupBy(*keys)
         .applyInPandas(_make_fold(keys, delta), schema=partial_schema)
     )
-    return write_snapshot(untouched.unionByName(remerged), f"{base}/digests")
+    return write_snapshot(
+        untouched.unionByName(remerged), f"{base}/digests", commit_token=commit_token
+    )
 
 
 def tdigest_rollup(

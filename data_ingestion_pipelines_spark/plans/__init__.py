@@ -91,7 +91,7 @@ _PRIORITY = [
     "corpus_curation",
     "pretraining_manifest",
     "bpe_tokenized_docs",
-    "similarity_pq_topk",
+    "streaming_value_digest_ingest",
     "winnowing_overlap_docs",
     "corpus_curation_gopher",
     "similarity_ivf_pq_topk",
@@ -113,13 +113,13 @@ _PRIORITY = [
     # important_parts_by_value, nation_trade_flows,
     # late_shipment_orders, promo_revenue_share, above_brand_average,
     # rollup_revenue, semi_anti_customers, watermark_minmax,
-    # distinct_priorities and chunk_assignment
+    # distinct_priorities, chunk_assignment and similarity_pq_topk
     # (r7/r8-green) rotated out
     # late-round for the index-delete verdict, the HLL overlap gate,
     # the Arrow IPC roundtrip, the load-reconciliation report, the
     # t-digest rollup, the label-propagation/triangle graph gates and
     # the native session-window gate, the SFT packing gate and the
-    # ORC roundtrip
+    # ORC roundtrip and the streaming t-digest sink
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3155,21 +3155,12 @@ CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS q)
 # the verdict bounds the merged estimate's exact rank error (the same
 # rank-interval method as tdigest_price_quantiles; merging loses a
 # little accuracy vs a direct digest, so eps is 0.04 vs its 0.02).
-def weekly_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketches import save_tdigest_partials, tdigest_rollup
-    from ..session import scratch_dir
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.to_date("ts").alias("day"), "value"
-    )
-    root = scratch_dir(prefix="tdrollup_")
-    save_tdigest_partials(ev, root, "value", by=["day"])
-    est = tdigest_rollup(
-        spark,
-        root,
-        {"week": F.date_trunc("week", "day").cast("date")},
-        quantiles=(0.5, 0.95),
-    )
+def _weekly_rank_error_verdict(
+    ev: DataFrame, est: DataFrame, eps: float
+) -> DataFrame:
+    """Verdict shared by the batch and streaming t-digest gates: for
+    each (week, quantile) estimate, the EXACT rank interval it lands in
+    must clear ``eps`` (the tdigest_price_quantiles method)."""
     weekly = ev.select(
         F.date_trunc("week", "day").cast("date").alias("week"), "value"
     )
@@ -3192,8 +3183,26 @@ def weekly_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         "quantile",
         F.col("_n").cast("bigint").alias("n_values"),
-        (err <= F.lit(0.04)).alias("rank_error_le_eps"),
+        (err <= F.lit(eps)).alias("rank_error_le_eps"),
     )
+
+
+def weekly_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import save_tdigest_partials, tdigest_rollup
+    from ..session import scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    root = scratch_dir(prefix="tdrollup_")
+    save_tdigest_partials(ev, root, "value", by=["day"])
+    est = tdigest_rollup(
+        spark,
+        root,
+        {"week": F.date_trunc("week", "day").cast("date")},
+        quantiles=(0.5, 0.95),
+    )
+    return _weekly_rank_error_verdict(ev, est, eps=0.04)
 
 
 WEEKLY_VALUE_QUANTILE_ROLLUP_SQL = """
@@ -3204,6 +3213,51 @@ SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
 FROM events CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q)
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# STREAMING t-digest maintenance: 4 real micro-batches fold per-day
+# value digests into ONE persisted sketch table through the
+# exactly-once commit-token sink (streaming/incremental.py
+# tdigest_append_ingest — the batch id rides the atomic snapshot
+# publish, so a replayed batch skips itself and weights never
+# double-count). The verdict re-merges the STORED digests at weekly
+# grain and bounds the exact rank error — eps 0.05 here vs the batch
+# gate's 0.04: four sequential folds lose a little more than one.
+def streaming_value_digest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import tdigest_rollup
+    from ..streaming.incremental import await_or_raise, tdigest_append_ingest
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    root = scratch_dir(prefix="tdstream_")
+    feed, target = f"{root}/feed", f"{root}/digest_table"
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema("day date, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            tdigest_append_ingest(target, "value", by=["day"])
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    await_or_raise(q)
+    est = tdigest_rollup(
+        spark,
+        target,
+        {"week": F.date_trunc("week", "day").cast("date")},
+        quantiles=(0.5, 0.95),
+    )
+    return _weekly_rank_error_verdict(ev, est, eps=0.05)
+
+
+STREAMING_VALUE_DIGEST_INGEST_SQL = WEEKLY_VALUE_QUANTILE_ROLLUP_SQL
 
 
 # --------------------------------------------------------------------------
@@ -4433,6 +4487,10 @@ QUERIES = {
     "weekly_value_quantile_rollup": (
         weekly_value_quantile_rollup,
         WEEKLY_VALUE_QUANTILE_ROLLUP_SQL,
+    ),
+    "streaming_value_digest_ingest": (
+        streaming_value_digest_ingest,
+        STREAMING_VALUE_DIGEST_INGEST_SQL,
     ),
     "copurchased_part_pairs": (copurchased_part_pairs, COPURCHASED_PART_PAIRS_SQL),
     "leading_digit_distribution": (

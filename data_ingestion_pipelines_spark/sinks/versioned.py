@@ -55,14 +55,40 @@ def current_version(root: str) -> int | None:
         return None
 
 
-def write_snapshot(df: DataFrame, root: str) -> int:
+def write_snapshot(df: DataFrame, root: str, commit_token: str | None = None) -> int:
     """Write ``df`` as the next snapshot and atomically publish it.
-    Returns the new version number."""
+    Returns the new version number.
+
+    ``commit_token`` (optional) is recorded INSIDE the new version dir
+    before the pointer flips, so "this data is published" and "this
+    token committed" are the same atomic event — the hook exactly-once
+    streaming writers need: a replayed micro-batch reads
+    :func:`current_commit_token` and skips itself if its id is already
+    folded into the published snapshot. A crash anywhere before the
+    pointer flip leaves the previous snapshot (and ITS token) current,
+    so the replay correctly re-runs."""
     os.makedirs(root, exist_ok=True)
     version = (max(list_snapshots(root), default=0)) + 1
-    df.write.mode("errorifexists").parquet(os.path.join(root, f"v={version}"))
+    vdir = os.path.join(root, f"v={version}")
+    df.write.mode("errorifexists").parquet(vdir)
+    if commit_token is not None:
+        with open(os.path.join(vdir, "_COMMIT_TOKEN"), "w") as fh:
+            fh.write(commit_token)
     _publish(root, version)
     return version
+
+
+def current_commit_token(root: str) -> str | None:
+    """The commit token recorded in the PUBLISHED snapshot, or None if
+    there is no published snapshot or it carries no token."""
+    version = current_version(root)
+    if version is None:
+        return None
+    try:
+        with open(os.path.join(root, f"v={version}", "_COMMIT_TOKEN")) as fh:
+            return fh.read()
+    except OSError:
+        return None
 
 
 def _publish(root: str, version: int) -> None:

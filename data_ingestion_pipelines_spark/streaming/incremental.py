@@ -750,3 +750,68 @@ def compact_neardup_corpus(
         if i <= hwm:  # one-generation grace: just-folded deltas stay
             shutil.rmtree(f"{base}/delta/batch-{i}", ignore_errors=True)
     return True
+
+
+def tdigest_append_ingest(
+    path: str,
+    value_col: str,
+    by: list,
+    delta: int = 200,
+    retain_snapshots: int = 2,
+):
+    """``foreachBatch`` sink factory: maintain a PERSISTED t-digest
+    sketch table (``operators/sketches.py`` save/append lifecycle) over
+    a stream — per-group value-distribution monitoring with NO raw
+    retention: each micro-batch folds into the stored
+    ``O(delta)``-cluster digests (touched groups re-merge, untouched
+    groups pass through byte-identical) and any reader calls
+    ``tdigest_rollup`` at any grain, any time.
+
+    EXACTLY-ONCE: the batch id rides the atomic snapshot publish as its
+    commit token (``sinks/versioned.write_snapshot(commit_token=...)``),
+    so "data folded" and "batch committed" are one pointer flip. A
+    replayed batch (crash between publish and checkpoint commit) sees
+    its own id as the published token and skips — digests never
+    double-count, which matters more here than for the min-id sinks:
+    folding is NOT idempotent (weights add), so replay protection must
+    be transactional, not algebraic. A batch id BELOW the published
+    token means a second checkpoint lineage is writing the same target
+    — refused loudly, same contract as the near-dup sink's lineage
+    guard. Superseded snapshot versions are pruned one generation late
+    (lazy readers hold parquet paths).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.sketches import (
+            append_tdigest_partials,
+            save_tdigest_partials,
+        )
+        from ..sinks.versioned import (
+            current_commit_token,
+            current_version,
+            prune_snapshots,
+        )
+
+        base = path.rstrip("/")
+        droot = f"{base}/digests"
+        token = current_commit_token(droot)
+        if token is not None:
+            committed = int(token)
+            if batch_id == committed:
+                return  # replay of the already-published batch
+            if batch_id < committed:
+                raise RuntimeError(
+                    f"tdigest_append_ingest: batch {batch_id} is below the "
+                    f"published commit token {committed} at {droot} — a "
+                    "second checkpoint lineage is writing this target"
+                )
+        if current_version(droot) is None:
+            save_tdigest_partials(
+                batch_df, base, value_col, by=by, delta=delta,
+                commit_token=str(batch_id),
+            )
+        else:
+            append_tdigest_partials(batch_df, base, commit_token=str(batch_id))
+        prune_snapshots(droot, keep=max(int(retain_snapshots), 1))
+
+    return sink

@@ -697,3 +697,59 @@ def test_neardup_auto_compaction_bounds_deltas(spark, tmp_path):
     # markers for folded batches survive (replay short-circuit intact)
     markers = os.listdir(os.path.join(auto, "_committed"))
     assert len(markers) == 12
+
+
+def test_tdigest_append_ingest_exactly_once_and_lineage_guard(spark, tmp_path):
+    """The commit-token sink: a REPLAYED batch id is a no-op (weights
+    never double-count — folding is not idempotent, so this is the
+    load-bearing property), a LOWER batch id (second checkpoint
+    lineage) is refused loudly, and the folded digests match a batch
+    build's rank accuracy."""
+    import numpy as np
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.sketches import tdigest_rollup
+    from data_ingestion_pipelines_spark.sinks.versioned import (
+        current_commit_token,
+        current_version,
+        read_current,
+    )
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        tdigest_append_ingest,
+    )
+
+    rng = np.random.default_rng(23)
+    batches = [
+        spark.createDataFrame(
+            [(int(d), float(v)) for d in (b, b + 1)
+             for v in rng.normal(d * 5.0, 2.0, size=1500)],
+            "day bigint, value double",
+        )
+        for b in range(3)
+    ]
+    path = str(tmp_path / "td")
+    sink = tdigest_append_ingest(path, "value", by=["day"], retain_snapshots=10)
+    for i, b in enumerate(batches):
+        sink(b, i)
+    droot = f"{path}/digests"
+    assert current_commit_token(droot) == "2"
+    v_after = current_version(droot)
+    snap = sorted(map(tuple, read_current(spark, droot).collect()))
+
+    # replay of the committed batch: byte-identical state, no new version
+    sink(batches[2], 2)
+    assert current_version(droot) == v_after
+    assert sorted(map(tuple, read_current(spark, droot).collect())) == snap
+
+    # a second lineage (lower batch id) is refused
+    with pytest.raises(RuntimeError, match="second checkpoint lineage"):
+        sink(batches[0], 1)
+
+    # the folded table still satisfies the rank bound globally
+    allv = sorted(
+        float(r["value"]) for b in batches for r in b.collect()
+    )
+    g = {r["quantile"]: r["value"] for r in tdigest_rollup(spark, path).collect()}
+    for q in (0.5, 0.95):
+        rank = sum(1 for x in allv if x <= g[q]) / len(allv)
+        assert abs(rank - q) <= 0.05, (q, rank)

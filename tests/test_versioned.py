@@ -73,3 +73,28 @@ def test_prune_rejects_nonpositive_keep(spark, tmp_path):
     for bad in (0, -1):
         with _pytest.raises(ValueError, match="keep >= 1"):
             prune_snapshots(root, keep=bad)
+
+
+def test_commit_token_rides_the_publish(spark, tmp_path):
+    """write_snapshot(commit_token=...) records the token inside the
+    published version dir (atomic with the pointer flip); readers see
+    the current snapshot's token, and versions without one report
+    None. The underscore file name keeps Spark's reader blind to it."""
+    from data_ingestion_pipelines_spark.sinks.versioned import (
+        current_commit_token,
+        read_current,
+        rollback,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "snaps")
+    df = spark.range(5)
+    v1 = write_snapshot(df, root)
+    assert current_commit_token(root) is None
+    v2 = write_snapshot(df, root, commit_token="batch-7")
+    assert current_commit_token(root) == "batch-7"
+    assert read_current(spark, root).count() == 5  # token file invisible
+    rollback(root, v1)
+    assert current_commit_token(root) is None
+    rollback(root, v2)
+    assert current_commit_token(root) == "batch-7"
