@@ -122,6 +122,11 @@ HEADLINE = [
     "part_copurchase_triangles",
     "weekly_value_quantile_rollup",
     "event_native_session_windows",
+    # round-9 session C closing additions: SFT packing (posexplode →
+    # one conversation-keyed reassembly) and the exactly-once streaming
+    # t-digest sink (4 real micro-batches through commit-token appends)
+    "sft_packed_conversations",
+    "streaming_value_digest_ingest",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
