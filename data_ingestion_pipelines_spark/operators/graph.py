@@ -182,7 +182,23 @@ def label_propagation(
     Public refs: Raghavan, Albert & Kumara, "Near linear time algorithm
     to detect community structures in large-scale networks"
     (arXiv:0709.2938); GraphX's LabelPropagation uses the same
-    synchronous Pregel shape."""
+    synchronous Pregel shape.
+
+    Node ids must be NUMERIC: the min-label tie-break rides a struct
+    max over ``-label``, and under non-ANSI evaluation negating a
+    string id silently casts to NULL — every label would come back
+    NULL after round 1. Refused loudly instead; hash string ids to
+    BIGINT first (``xxhash64``/``conv(md5)``), the standard practice
+    for graph vertex ids at scale."""
+    from pyspark.sql.types import NumericType
+
+    for c in (src, dst):
+        if not isinstance(edges.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"label_propagation: edge column '{c}' is "
+                f"{edges.schema[c].dataType.simpleString()}, not numeric — "
+                "hash string ids to BIGINT (xxhash64, conv(md5)) first"
+            )
     edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -229,12 +245,13 @@ def triangle_counts(
     1985; Suri & Vassilvitskii, "Counting triangles and the curse of the
     last reducer", WWW'11): orient every undirected edge from the
     endpoint with the LOWER ``(degree, id)`` toward the higher. Each
-    triangle then has exactly ONE wedge ``u→v, u→w`` at its
-    lowest-ranked corner closed by ``v→w``, so the count is one
-    self-equi-join of the oriented list (wedge build, fan-out per node
-    bounded by oriented out-degree ≤ O(√m) on any graph — the hub that
-    makes the naive undirected wedge join explode is always on the
-    receiving side) plus one composite-key equi-join to close. All
+    triangle ``x<y<z`` (by that rank) then contains exactly ONE
+    oriented PATH wedge ``x→y→z``, closed by ``x→z`` — so the count is
+    one self-equi-join of the oriented list on the middle vertex
+    (wedge work per vertex v is in(v)·out(v), with out(v) ≤ O(√m) on
+    any graph: the hub that makes the naive undirected wedge join
+    explode contributes only through its bounded OUT side) plus one
+    composite-key equi-join to close. All
     joins shuffle-hash-pinned (graph-scale sides, same AQE-broadcast
     hazard as the pagerank loop). Counts are integers; the clustering
     coefficient is ONE division of exact operands

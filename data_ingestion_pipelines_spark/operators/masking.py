@@ -138,11 +138,14 @@ def sft_pack_conversations(
     keyed on the conversation id reassembles turns in order via
     ``sort_array(collect_list(struct(turn_idx, …)))`` + ``flatten`` —
     no window, no driver round-trip; NULL content tokenizes to the
-    bare marker."""
+    bare marker, and a conversation whose ``turns`` array is empty or
+    NULL is PRESERVED as ``n_turns=0`` with empty arrays
+    (``posexplode_outer`` — a dropped conversation id would silently
+    break downstream joins keyed on it)."""
     um, am = int(user_marker_id), int(assistant_marker_id)
     per_turn = convos.select(
         F.col(id_col),
-        F.posexplode(F.col(turns_col)).alias("_ti", "_turn"),
+        F.posexplode_outer(F.col(turns_col)).alias("_ti", "_turn"),
     ).select(
         id_col,
         "_ti",
@@ -159,18 +162,27 @@ def sft_pack_conversations(
         "CAST(conv(substring(md5(x), 1, 4), 16, 10) AS INT)))"
     )
     mask = F.expr("array_repeat(CAST(_m AS INT), size(_toks) + 1)")
+    empty = F.expr("CAST(array() AS ARRAY<INT>)")
+    no_turn = F.col("_ti").isNull()  # posexplode_outer's empty/NULL row
     packed = (
-        per_turn.select(id_col, "_ti", ids.alias("_ids"), mask.alias("_mask"))
+        per_turn.select(
+            id_col,
+            F.coalesce(F.col("_ti"), F.lit(-1)).alias("_ti"),
+            F.when(no_turn, empty).otherwise(ids).alias("_ids"),
+            F.when(no_turn, empty).otherwise(mask).alias("_mask"),
+            F.when(no_turn, F.lit(0)).otherwise(F.lit(1)).alias("_one"),
+        )
         .groupBy(id_col)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("_ti", "_ids", "_mask"))
-            ).alias("_s")
+            ).alias("_s"),
+            F.sum("_one").cast("bigint").alias("n_turns"),
         )
     )
     return packed.select(
         id_col,
-        F.size("_s").cast("bigint").alias("n_turns"),
+        "n_turns",
         F.expr("flatten(transform(_s, e -> e._ids))").alias("input_ids"),
         F.expr("flatten(transform(_s, e -> e._mask))").alias("loss_mask"),
     )

@@ -147,15 +147,7 @@ def tdigest_quantiles(
     )
 
     partial = _tdigest_partials(df, value_col, keys, delta, partial_schema)
-
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        means = np.concatenate([np.asarray(a) for a in pdf["_means"]])
-        weights = np.concatenate([np.asarray(a) for a in pdf["_weights"]])
-        m, w = _compress(means, weights, delta)
-        head = {k: [pdf[k].iloc[0]] * len(qs) for k in keys}
-        return pd.DataFrame(
-            {**head, "quantile": qs, "value": [_estimate(m, w, q) for q in qs]}
-        )
+    merge = _make_merge(keys, delta, qs)
 
     if keys:
         return partial.groupBy(*keys).applyInPandas(merge, schema=out_schema)
@@ -187,6 +179,24 @@ def _make_fold(keys: list, delta: int):
         return pd.DataFrame({**head, "_means": [list(m)], "_weights": [list(w)]})
 
     return fold
+
+
+def _make_merge(keys: list, delta: int, qs: list):
+    """The merge-and-estimate stage shared by :func:`tdigest_quantiles`
+    and :func:`tdigest_rollup`: fold stacked partials into one digest
+    per group and interpolate each requested quantile — one copy so the
+    estimate path cannot drift between the live and persisted paths."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(a) for a in pdf["_means"]])
+        weights = np.concatenate([np.asarray(a) for a in pdf["_weights"]])
+        m, w = _compress(means, weights, delta)
+        head = {k: [pdf[k].iloc[0]] * len(qs) for k in keys}
+        return pd.DataFrame(
+            {**head, "quantile": qs, "value": [_estimate(m, w, q) for q in qs]}
+        )
+
+    return merge
 
 
 def save_tdigest_partials(
@@ -224,12 +234,17 @@ def save_tdigest_partials(
         _make_fold(keys, delta), schema=partial_schema
     )
     base = path.rstrip("/")
-    write_snapshot(folded, f"{base}/digests", commit_token=commit_token)
+    # params land BEFORE the tokened snapshot publish: the publish is
+    # the commit point the exactly-once streaming sink keys on, so a
+    # crash between the two must leave the table UNCOMMITTED (replay
+    # re-runs the save) — the reverse order would commit a table whose
+    # params never arrive, permanently unreadable by append/rollup.
     spark = df.sparkSession
     spark.createDataFrame(
         [(int(delta), value_col, ",".join(keys))],
         "delta INT, value_col STRING, keys STRING",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
+    write_snapshot(folded, f"{base}/digests", commit_token=commit_token)
 
 
 def append_tdigest_partials(
@@ -312,14 +327,7 @@ def tdigest_rollup(
         + [StructField("quantile", DoubleType()), StructField("value", DoubleType())]
     )
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        means = np.concatenate([np.asarray(a) for a in pdf["_means"]])
-        weights = np.concatenate([np.asarray(a) for a in pdf["_weights"]])
-        m, w = _compress(means, weights, delta)
-        head = {k: [pdf[k].iloc[0]] * len(qs) for k in out_keys}
-        return pd.DataFrame(
-            {**head, "quantile": qs, "value": [_estimate(m, w, q) for q in qs]}
-        )
+    merge = _make_merge(out_keys, delta, qs)
 
     if out_keys:
         return work.groupBy(*out_keys).applyInPandas(merge, schema=out_schema)

@@ -3170,7 +3170,11 @@ def _weekly_rank_error_verdict(
         .join(F.broadcast(est), "week")
         .groupBy("week", "quantile")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
+            # count(x), not count(*): digests ignore NULL values, so the
+            # rank denominator must too (and the oracle counts
+            # non-NULLs) — with count(*) a NULL-bearing week would
+            # shrink lo/hi and flip the verdict against a TRUE oracle
+            F.count(x).alias("_n"),
             F.count(F.when(x < v, 1)).alias("_n_lt"),
             F.count(F.when(x <= v, 1)).alias("_n_le"),
         )
@@ -3189,7 +3193,6 @@ def _weekly_rank_error_verdict(
 
 def weekly_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import save_tdigest_partials, tdigest_rollup
-    from ..session import scratch_dir
 
     ev = _t(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), "value"
@@ -3206,11 +3209,14 @@ def weekly_value_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WEEKLY_VALUE_QUANTILE_ROLLUP_SQL = """
+-- value IS NOT NULL mirrors the digests (NULLs never enter a sketch)
+-- AND drops all-NULL weeks, which have no digest row on the Spark side
 SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
        CAST(q AS DOUBLE) AS quantile,
        CAST(COUNT(*) AS BIGINT) AS n_values,
        TRUE AS rank_error_le_eps
 FROM events CROSS JOIN (SELECT unnest([0.5, 0.95]) AS q)
+WHERE value IS NOT NULL
 GROUP BY 1, 2
 """
 

@@ -811,6 +811,21 @@ def tdigest_append_ingest(
                 commit_token=str(batch_id),
             )
         else:
+            # append folds under the STORED params — refuse loudly if
+            # this sink was configured differently (restarting against
+            # an existing target with a changed column/grain/delta
+            # would otherwise silently produce digests of the wrong
+            # thing; the _bloom_check_params convention)
+            p = batch_df.sparkSession.read.parquet(f"{base}/params").first()
+            stored = (int(p["delta"]), p["value_col"], p["keys"].split(","))
+            mine = (int(delta), value_col, list(by))
+            if stored != mine:
+                raise ValueError(
+                    f"tdigest_append_ingest: sink configured as "
+                    f"(delta, value_col, by)={mine} but {base}/params "
+                    f"holds {stored} — appending would fold the wrong "
+                    "column/grain; use a new target or matching params"
+                )
             append_tdigest_partials(batch_df, base, commit_token=str(batch_id))
         prune_snapshots(droot, keep=max(int(retain_snapshots), 1))
 

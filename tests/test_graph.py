@@ -242,3 +242,15 @@ def test_triangle_counts_matches_bruteforce_and_layout(spark):
     r1 = sorted(map(tuple, triangle_counts(df).collect()))
     r2 = sorted(map(tuple, triangle_counts(df.repartition(7, "dst")).collect()))
     assert r1 == r2
+
+
+def test_label_propagation_refuses_non_numeric_ids(spark):
+    """String vertex ids would silently negate to NULL labels under
+    non-ANSI eval — refused loudly instead."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(TypeError, match="not numeric"):
+        label_propagation(df)

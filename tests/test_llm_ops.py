@@ -995,3 +995,24 @@ def test_sft_pack_loss_fraction_and_layout_invariance(spark):
     for k in got:
         assert list(got[k]["input_ids"]) == list(re[k]["input_ids"])
         assert list(got[k]["loss_mask"]) == list(re[k]["loss_mask"])
+
+
+def test_sft_pack_preserves_empty_and_null_conversations(spark):
+    """A conversation with an empty or NULL turns array must survive as
+    n_turns=0 with empty arrays — dropping the id would silently break
+    downstream joins."""
+    from data_ingestion_pipelines_spark.operators.masking import (
+        sft_pack_conversations,
+    )
+
+    df = spark.createDataFrame(
+        [("empty", []), ("nullt", None), ("real", [("assistant", "hi")])],
+        "convo_id string, turns array<struct<role string, content string>>",
+    )
+    got = {r["convo_id"]: r for r in sft_pack_conversations(df).collect()}
+    assert set(got) == {"empty", "nullt", "real"}
+    for k in ("empty", "nullt"):
+        assert got[k]["n_turns"] == 0
+        assert list(got[k]["input_ids"]) == []
+        assert list(got[k]["loss_mask"]) == []
+    assert got["real"]["n_turns"] == 1 and sum(got["real"]["loss_mask"]) == 2

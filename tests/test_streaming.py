@@ -753,3 +753,39 @@ def test_tdigest_append_ingest_exactly_once_and_lineage_guard(spark, tmp_path):
     for q in (0.5, 0.95):
         rank = sum(1 for x in allv if x <= g[q]) / len(allv)
         assert abs(rank - q) <= 0.05, (q, rank)
+
+
+def test_tdigest_append_ingest_params_guard_and_crash_order(spark, tmp_path):
+    """Restarting the sink with a different column/grain/delta against
+    an existing target is refused loudly; and because params land
+    BEFORE the tokened publish, a first-batch 'crash' between them
+    leaves the table uncommitted (replay re-runs the save) rather than
+    committed-but-unreadable."""
+    import os
+
+    import pytest
+
+    from data_ingestion_pipelines_spark.sinks.versioned import current_version
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        tdigest_append_ingest,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 2.0), (1, 3.0)], "day bigint, value double"
+    )
+    path = str(tmp_path / "td")
+    tdigest_append_ingest(path, "value", by=["day"])(df, 0)
+    # params exist alongside the committed v=1
+    assert current_version(f"{path}/digests") == 1
+    assert os.path.isdir(f"{path}/params")
+
+    wrong = tdigest_append_ingest(path, "value", by=["day", "extra"])
+    df2 = df.withColumn("extra", df.day)
+    with pytest.raises(ValueError, match="params"):
+        wrong(df2, 1)
+    wrong_delta = tdigest_append_ingest(path, "value", by=["day"], delta=400)
+    with pytest.raises(ValueError, match="params"):
+        wrong_delta(df, 1)
+    # matching config still appends fine
+    tdigest_append_ingest(path, "value", by=["day"])(df, 1)
+    assert current_version(f"{path}/digests") == 2
