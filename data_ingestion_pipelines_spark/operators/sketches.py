@@ -766,3 +766,111 @@ def bloom_may_contain(
     return items.join(per_item, id_col, "left").select(
         *items.columns, F.coalesce(F.col("_raw_hit"), F.lit(False)).alias(out)
     )
+
+
+# --------------------------------------------------------------------------
+# Persisted HLL sketch tables: the distinct-count twin of the t-digest
+# lifecycle above. Sketches are Spark's native Datasketches HLL binaries
+# (hll_sketch_agg / hll_union_agg / hll_sketch_estimate — pure JVM
+# aggregates, no Python in the data path); register-wise max makes the
+# union EXACT over set union, so append ≡ rebuild up to serialization
+# mode, and re-folding the same rows is a no-op (idempotent — unlike
+# t-digest folding, where weights add).
+
+
+def save_hll_sketches(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    by: Sequence[str],
+    lgk: int = 12,
+    commit_token: str | None = None,
+) -> None:
+    """PERSIST one HLL sketch of ``key_col``'s distinct values per
+    ``by`` group — fine-grained sketches (per day, per source) compute
+    ONCE and any coarser distinct-count later is a cheap union of
+    stored O(2^lgk)-byte states (:func:`hll_rollup`), never a re-scan.
+    Same layout contract as :func:`save_tdigest_partials`: versioned
+    ``{path}/sketches`` snapshots behind the atomic ``_CURRENT``
+    pointer (params land BEFORE the tokened publish — the publish is
+    the commit point)."""
+    keys = list(by)
+    if not keys:
+        raise ValueError("save_hll_sketches: 'by' must name ≥1 column")
+    from ..sinks.versioned import write_snapshot
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(lgk), key_col, ",".join(keys))],
+        "lgk INT, key_col STRING, keys STRING",
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
+    sk = df.groupBy(*keys).agg(
+        F.hll_sketch_agg(key_col, F.lit(int(lgk))).alias("sk")
+    )
+    write_snapshot(sk, f"{base}/sketches", commit_token=commit_token)
+
+
+def append_hll_sketches(
+    df: DataFrame, path: str, commit_token: str | None = None
+) -> int:
+    """Union NEW rows into a persisted HLL sketch table: groups present
+    in ``df`` re-union stored sketch ∪ batch sketch (EXACT over set
+    union — register-wise max), groups absent pass through
+    BYTE-IDENTICAL (anti-join, never re-serialized). Returns the
+    published snapshot version."""
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    from ..sinks.versioned import read_current, write_snapshot
+
+    p = spark.read.parquet(f"{base}/params").first()
+    lgk, key_col = int(p["lgk"]), p["key_col"]
+    keys = p["keys"].split(",")
+
+    batch = (
+        df.groupBy(*keys)
+        .agg(F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sk"))
+        .localCheckpoint(eager=False)
+    )
+    touched = batch.select(*keys).distinct()
+    stored = read_current(spark, f"{base}/sketches")
+    untouched = stored.join(F.broadcast(touched), keys, "left_anti")
+    remerged = (
+        stored.join(F.broadcast(touched), keys, "left_semi")
+        .unionByName(batch)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg("sk", F.lit(True)).alias("sk"))
+    )
+    return write_snapshot(
+        untouched.unionByName(remerged), f"{base}/sketches",
+        commit_token=commit_token,
+    )
+
+
+def hll_rollup(
+    spark,
+    path: str,
+    group_exprs: dict | None = None,
+    out: str = "distinct_estimate",
+) -> DataFrame:
+    """Estimate distinct counts at a coarser grain by UNIONING persisted
+    sketches (:func:`save_hll_sketches`) — no raw-data scan. Pass
+    ``group_exprs`` as ``{out_name: Column-over-stored-keys}``; ``None``
+    folds everything into one global estimate. Output: group cols +
+    ``out`` BIGINT (rounded estimate; sketch-state-dependent, so gates
+    verdict against the exact count rather than hashing it) +
+    ``n_sketches`` BIGINT."""
+    from ..sinks.versioned import read_current
+
+    base = path.rstrip("/")
+    sketches = read_current(spark, f"{base}/sketches")
+    est = F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True)))
+    aggs = [
+        est.cast("bigint").alias(out),
+        F.count(F.lit(1)).cast("bigint").alias("n_sketches"),
+    ]
+    if group_exprs:
+        named = [expr.alias(name) for name, expr in group_exprs.items()]
+        work = sketches.select(*named, "sk")
+        return work.groupBy(*group_exprs).agg(*aggs)
+    return sketches.agg(*aggs)

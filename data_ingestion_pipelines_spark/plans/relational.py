@@ -4243,6 +4243,63 @@ FROM d GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# STREAMING HLL sketch maintenance: the weekly_user_sketch_rollup
+# contract fed by 4 real micro-batches through the commit-token sink
+# (streaming/incremental.py hll_append_ingest): per-day user sketches
+# persist incrementally (touched days re-union, untouched pass through
+# byte-identical), then the verdict reads ONLY the stored table —
+# hll_rollup at weekly grain — against the exact distinct count. HLL
+# union is register-wise max, so unlike the t-digest twin the
+# incremental estimate equals the one-shot estimate exactly.
+def streaming_user_sketch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_rollup
+    from ..streaming.incremental import await_or_raise, hll_append_ingest
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    root = scratch_dir(prefix="hllstream_")
+    feed, target = f"{root}/feed", f"{root}/sketch_table"
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema("day date, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            hll_append_ingest(target, "user_id", by=["day"])
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    await_or_raise(q)
+    est = hll_rollup(
+        spark,
+        target,
+        {"week": F.date_trunc("week", "day").cast("date")},
+        out="_approx",
+    )
+    weekly_exact = ev.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("exact_users"))
+    within = (
+        F.abs(F.col("_approx") - F.col("exact_users")).cast("double")
+        <= F.lit(0.05) * F.col("exact_users").cast("double")
+    )
+    return est.join(weekly_exact, "week").select(
+        "week",
+        F.col("n_sketches").alias("n_days"),
+        "exact_users",
+        within.alias("union_within_eps"),
+    )
+
+
+STREAMING_USER_SKETCH_INGEST_SQL = WEEKLY_USER_SKETCH_ROLLUP_SQL
+
+
+# --------------------------------------------------------------------------
 # HLL set ALGEBRA: audience overlap via inclusion-exclusion.
 # |A∩B| ≈ est(A) + est(B) − est(A∪B) from three sketch reads — the
 # segment-overlap question ("how many purchase users also click?")
@@ -4453,6 +4510,10 @@ QUERIES = {
     "rich_idle_customers": (rich_idle_customers, RICH_IDLE_CUSTOMERS_SQL),
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
+    "streaming_user_sketch_ingest": (
+        streaming_user_sketch_ingest,
+        STREAMING_USER_SKETCH_INGEST_SQL,
+    ),
     "weekly_user_sketch_rollup": (weekly_user_sketch_rollup, WEEKLY_USER_SKETCH_ROLLUP_SQL),
     "audience_overlap_hll": (audience_overlap_hll, AUDIENCE_OVERLAP_HLL_SQL),
     "orders_cdc_log": (orders_cdc_log, ORDERS_CDC_LOG_SQL),

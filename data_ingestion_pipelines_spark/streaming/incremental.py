@@ -752,6 +752,28 @@ def compact_neardup_corpus(
     return True
 
 
+def _commit_token_skip_or_raise(caller: str, droot: str, batch_id: int) -> bool:
+    """Shared exactly-once guard for commit-token foreachBatch sinks:
+    True = this batch id is already folded into the published snapshot
+    (replay — skip); a batch id BELOW the published token means a second
+    checkpoint lineage is writing the same target — refused loudly."""
+    from ..sinks.versioned import current_commit_token
+
+    token = current_commit_token(droot)
+    if token is None:
+        return False
+    committed = int(token)
+    if batch_id == committed:
+        return True
+    if batch_id < committed:
+        raise RuntimeError(
+            f"{caller}: batch {batch_id} is below the published commit "
+            f"token {committed} at {droot} — a second checkpoint lineage "
+            "is writing this target"
+        )
+    return False
+
+
 def tdigest_append_ingest(
     path: str,
     value_col: str,
@@ -786,25 +808,12 @@ def tdigest_append_ingest(
             append_tdigest_partials,
             save_tdigest_partials,
         )
-        from ..sinks.versioned import (
-            current_commit_token,
-            current_version,
-            prune_snapshots,
-        )
+        from ..sinks.versioned import current_version, prune_snapshots
 
         base = path.rstrip("/")
         droot = f"{base}/digests"
-        token = current_commit_token(droot)
-        if token is not None:
-            committed = int(token)
-            if batch_id == committed:
-                return  # replay of the already-published batch
-            if batch_id < committed:
-                raise RuntimeError(
-                    f"tdigest_append_ingest: batch {batch_id} is below the "
-                    f"published commit token {committed} at {droot} — a "
-                    "second checkpoint lineage is writing this target"
-                )
+        if _commit_token_skip_or_raise("tdigest_append_ingest", droot, batch_id):
+            return
         if current_version(droot) is None:
             save_tdigest_partials(
                 batch_df, base, value_col, by=by, delta=delta,
@@ -827,6 +836,54 @@ def tdigest_append_ingest(
                     "column/grain; use a new target or matching params"
                 )
             append_tdigest_partials(batch_df, base, commit_token=str(batch_id))
+        prune_snapshots(droot, keep=max(int(retain_snapshots), 1))
+
+    return sink
+
+
+def hll_append_ingest(
+    path: str,
+    key_col: str,
+    by: list,
+    lgk: int = 12,
+    retain_snapshots: int = 2,
+):
+    """``foreachBatch`` sink factory: maintain a PERSISTED HLL sketch
+    table over a stream (``operators/sketches.py``
+    save/append_hll_sketches) — per-group distinct-count monitoring
+    with no raw retention; readers call ``hll_rollup`` at any grain,
+    any time.
+
+    Same commit-token contract as :func:`tdigest_append_ingest` —
+    though HLL union is idempotent (register-wise max), so unlike the
+    t-digest sink the token here prevents wasted replay WORK and
+    cross-lineage interleavings rather than double-counting."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.sketches import append_hll_sketches, save_hll_sketches
+        from ..sinks.versioned import current_version, prune_snapshots
+
+        base = path.rstrip("/")
+        droot = f"{base}/sketches"
+        if _commit_token_skip_or_raise("hll_append_ingest", droot, batch_id):
+            return
+        if current_version(droot) is None:
+            save_hll_sketches(
+                batch_df, base, key_col, by=by, lgk=lgk,
+                commit_token=str(batch_id),
+            )
+        else:
+            p = batch_df.sparkSession.read.parquet(f"{base}/params").first()
+            stored = (int(p["lgk"]), p["key_col"], p["keys"].split(","))
+            mine = (int(lgk), key_col, list(by))
+            if stored != mine:
+                raise ValueError(
+                    f"hll_append_ingest: sink configured as "
+                    f"(lgk, key_col, by)={mine} but {base}/params holds "
+                    f"{stored} — appending would union the wrong "
+                    "column/grain; use a new target or matching params"
+                )
+            append_hll_sketches(batch_df, base, commit_token=str(batch_id))
         prune_snapshots(droot, keep=max(int(retain_snapshots), 1))
 
     return sink

@@ -531,3 +531,48 @@ def test_bloom_prefilter_dense_parity_and_zero_exchange(spark):
     assert "Exchange" not in plan, plan  # no shuffle AND no broadcast
     # helper columns must not leak through
     assert kept_in.columns == ["uid", "v"]
+
+
+def test_hll_sketch_table_lifecycle(spark, tmp_path):
+    """save/append/rollup for persisted HLL sketch tables: untouched
+    groups pass through byte-identical, touched groups re-union, and —
+    because HLL union is register-wise max — the INCREMENTAL table's
+    estimates equal a one-shot build's estimates exactly; rollup reads
+    only the stored sketches."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        append_hll_sketches,
+        hll_rollup,
+        save_hll_sketches,
+    )
+    from data_ingestion_pipelines_spark.sinks.versioned import read_current
+
+    base_rows = [(d, d * 1000 + (u % 700)) for d in range(4) for u in range(2000)]
+    extra_rows = [(d, d * 1000 + (u % 900)) for d in (3, 4) for u in range(2000)]
+    df1 = spark.createDataFrame(base_rows, "day bigint, user_id bigint")
+    df2 = spark.createDataFrame(extra_rows, "day bigint, user_id bigint")
+
+    inc = str(tmp_path / "inc")
+    save_hll_sketches(df1, inc, "user_id", by=["day"])
+    before = {r["day"]: bytes(r["sk"]) for r in read_current(spark, f"{inc}/sketches").collect()}
+    append_hll_sketches(df2, inc)
+    after = {r["day"]: bytes(r["sk"]) for r in read_current(spark, f"{inc}/sketches").collect()}
+    assert set(after) == {0, 1, 2, 3, 4}
+    for d in (0, 1, 2):  # untouched: byte-identical
+        assert after[d] == before[d]
+    assert after[3] != before[3]
+
+    oneshot = str(tmp_path / "oneshot")
+    save_hll_sketches(df1.unionByName(df2), oneshot, "user_id", by=["day"])
+    a = {tuple(r)[:-1]: r["distinct_estimate"]
+         for r in hll_rollup(spark, inc, {"day": F.col("day")}).collect()}
+    b = {tuple(r)[:-1]: r["distinct_estimate"]
+         for r in hll_rollup(spark, oneshot, {"day": F.col("day")}).collect()}
+    assert a == b  # incremental == one-shot, exactly
+
+    # global estimate within HLL error of the true distinct count
+    truth = len({u for _, u in base_rows + extra_rows})
+    g = hll_rollup(spark, inc).collect()[0]
+    assert abs(g["distinct_estimate"] - truth) <= 0.05 * truth
+    assert g["n_sketches"] == 5
