@@ -127,6 +127,7 @@ HEADLINE = [
     # t-digest sink (4 real micro-batches through commit-token appends)
     "sft_packed_conversations",
     "streaming_value_digest_ingest",
+    "streaming_user_sketch_ingest",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
