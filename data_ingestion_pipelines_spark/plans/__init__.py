@@ -93,7 +93,7 @@ _PRIORITY = [
     "bpe_tokenized_docs",
     "streaming_value_digest_ingest",
     "streaming_user_sketch_ingest",
-    "corpus_curation_gopher",
+    "rfm_customer_segments",
     "similarity_ivf_pq_topk",
     "load_reconciliation_report",
     "weekly_value_quantile_rollup",
@@ -113,14 +113,15 @@ _PRIORITY = [
     # important_parts_by_value, nation_trade_flows,
     # late_shipment_orders, promo_revenue_share, above_brand_average,
     # rollup_revenue, semi_anti_customers, watermark_minmax,
-    # distinct_priorities, chunk_assignment, similarity_pq_topk and
-    # winnowing_overlap_docs
+    # distinct_priorities, chunk_assignment, similarity_pq_topk,
+    # winnowing_overlap_docs and corpus_curation_gopher
     # (r7/r8-green) rotated out
     # late-round for the index-delete verdict, the HLL overlap gate,
     # the Arrow IPC roundtrip, the load-reconciliation report, the
     # t-digest rollup, the label-propagation/triangle graph gates and
     # the native session-window gate, the SFT packing gate and the
-    # ORC roundtrip and the streaming t-digest + HLL sketch sinks
+    # ORC roundtrip, the streaming t-digest + HLL sketch sinks and the
+    # RFM segmentation gate
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

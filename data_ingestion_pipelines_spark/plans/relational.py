@@ -801,6 +801,78 @@ FROM s GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# RFM customer segmentation: the classic marketing-analytics triple
+# (Recency / Frequency / Monetary), each scored 1-5 by quintile.
+# Composes the scale-safe bucketing operator (sampling.curriculum_
+# buckets: one percentile AGGREGATE per metric + a map-side projection
+# — never a one-task global NTILE). Boundary comparisons are
+# cross-engine-safe for the same reason the curriculum gate hashes:
+# data values sit exactly ON order statistics, never strictly between
+# two consecutive ones, so an interpolated (type-7) boundary's ulps
+# can't flip any `>` comparison. Output: one row per occupied
+# (r, f, m) cell with its customer count and exact total monetary.
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import curriculum_buckets
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+        .cast("double")
+        .alias("_r"),
+        F.count(F.lit(1)).cast("double").alias("_f"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("_m"),
+    )
+    scored = base
+    for col, out in (("_r", "r_score"), ("_f", "f_score"), ("_m", "m_score")):
+        scored = curriculum_buckets(scored, col, n_buckets=5, out=out)
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("_m").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("total_monetary"),
+    )
+
+
+def _rfm_bucket_sql(col: str) -> str:
+    return (
+        "CAST(1 "
+        + " ".join(
+            f"+ CASE WHEN {col} > (SELECT b[{i}] FROM {col}_b) THEN 1 ELSE 0 END"
+            for i in (1, 2, 3, 4)
+        )
+        + " AS INTEGER)"
+    )
+
+
+RFM_CUSTOMER_SEGMENTS_SQL = f"""
+WITH base AS MATERIALIZED (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(max(o_orderdate) AS DATE)) AS DOUBLE) AS _r,
+         CAST(COUNT(*) AS DOUBLE) AS _f,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS _m
+  FROM orders GROUP BY o_custkey
+),
+_r_b AS (SELECT quantile_cont(_r, [0.2, 0.4, 0.6, 0.8]) AS b FROM base),
+_f_b AS (SELECT quantile_cont(_f, [0.2, 0.4, 0.6, 0.8]) AS b FROM base),
+_m_b AS (SELECT quantile_cont(_m, [0.2, 0.4, 0.6, 0.8]) AS b FROM base),
+scored AS (
+  SELECT {_rfm_bucket_sql("_r")} AS r_score,
+         {_rfm_bucket_sql("_f")} AS f_score,
+         {_rfm_bucket_sql("_m")} AS m_score,
+         _m
+  FROM base
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(_m AS DECIMAL(38,4))) AS DOUBLE) AS total_monetary
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+# --------------------------------------------------------------------------
 # ROLLUP aggregation (engine extension; subtotal rows with NULL group keys)
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
@@ -4578,6 +4650,7 @@ QUERIES = {
     "priority_shipmode_counts": (priority_shipmode_counts, PRIORITY_SHIPMODE_COUNTS_SQL),
     "promo_revenue_share": (promo_revenue_share, PROMO_REVENUE_SHARE_SQL),
     "event_sessions": (event_sessions, EVENT_SESSIONS_SQL),
+    "rfm_customer_segments": (rfm_customer_segments, RFM_CUSTOMER_SEGMENTS_SQL),
     "event_native_session_windows": (
         event_native_session_windows,
         EVENT_NATIVE_SESSION_WINDOWS_SQL,
