@@ -89,7 +89,7 @@ _PRIORITY = [
     "xml_extract",
     "pricing_summary",
     "corpus_curation",
-    "pretraining_manifest",
+    "association_rules",
     "bpe_tokenized_docs",
     "streaming_value_digest_ingest",
     "streaming_user_sketch_ingest",
@@ -114,14 +114,15 @@ _PRIORITY = [
     # late_shipment_orders, promo_revenue_share, above_brand_average,
     # rollup_revenue, semi_anti_customers, watermark_minmax,
     # distinct_priorities, chunk_assignment, similarity_pq_topk,
-    # winnowing_overlap_docs and corpus_curation_gopher
+    # winnowing_overlap_docs, corpus_curation_gopher and
+    # pretraining_manifest
     # (r7/r8-green) rotated out
     # late-round for the index-delete verdict, the HLL overlap gate,
     # the Arrow IPC roundtrip, the load-reconciliation report, the
     # t-digest rollup, the label-propagation/triangle graph gates and
     # the native session-window gate, the SFT packing gate and the
     # ORC roundtrip, the streaming t-digest + HLL sketch sinks and the
-    # RFM segmentation gate
+    # RFM segmentation and association-rules gates
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

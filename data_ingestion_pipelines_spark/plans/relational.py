@@ -3382,6 +3382,107 @@ SELECT pa, pb, cnt, rk FROM rk WHERE rk <= 20
 
 
 # --------------------------------------------------------------------------
+# Association rules over the co-purchase baskets: the classic
+# support/confidence/lift triple on top of the pair-mining machinery.
+# Both rule directions (a→b, b→a) are scored; confidence and lift are
+# each ONE correctly-rounded division whose operands are exact bigints
+# (pair count, antecedent/consequent basket counts, total baskets), so
+# the floats hash cross-engine. Antecedent/consequent basket counts
+# ride a broadcast (one row per distinct part — the part-dim size
+# class); top-20 by lift with a full integer tiebreak.
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_baskets = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("_n")
+    )
+    item_counts = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("item_cnt")
+    )
+    basket = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        basket.select(F.explode("parts").alias("pa"), F.col("parts").alias("_p"))
+        .select("pa", F.explode("_p").alias("pb"))
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "pair_cnt"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"),
+            "pair_cnt",
+        )
+    )
+    a_cnt = item_counts.select(
+        F.col("item").alias("antecedent"), F.col("item_cnt").alias("_ca")
+    )
+    c_cnt = item_counts.select(
+        F.col("item").alias("consequent"), F.col("item_cnt").alias("_cc")
+    )
+    scored = (
+        rules.join(F.broadcast(a_cnt), "antecedent")
+        .join(F.broadcast(c_cnt), "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            (F.col("pair_cnt").cast("double") / F.col("_ca").cast("double"))
+            .alias("confidence"),
+            (
+                (F.col("pair_cnt") * F.col("_n")).cast("double")
+                / (F.col("_ca") * F.col("_cc")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+ASSOCIATION_RULES_SQL = """
+WITH d AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS _n FROM d),
+ic AS MATERIALIZED (
+  SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS item_cnt
+  FROM d GROUP BY l_partkey
+), p AS MATERIALIZED (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), rules AS (
+  SELECT pa AS antecedent, pb AS consequent, pair_cnt FROM p
+  UNION ALL
+  SELECT pb AS antecedent, pa AS consequent, pair_cnt FROM p
+), scored AS (
+  SELECT r.antecedent, r.consequent, r.pair_cnt,
+         CAST(r.pair_cnt AS DOUBLE) / CAST(ca.item_cnt AS DOUBLE) AS confidence,
+         CAST(r.pair_cnt * (SELECT _n FROM n) AS DOUBLE)
+           / CAST(ca.item_cnt * cc.item_cnt AS DOUBLE) AS lift
+  FROM rules r
+  JOIN ic ca ON r.antecedent = ca.item
+  JOIN ic cc ON r.consequent = cc.item
+)
+SELECT antecedent, consequent, pair_cnt, confidence, lift, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY lift DESC, antecedent ASC, consequent ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Benford leading-digit audit: the fraud/corruption smoke test a QA layer
 # runs over money columns. Digit extraction is FLOOR-then-string (Spark's
 # bigint cast truncates while DuckDB's rounds — explicit FLOOR both
@@ -4632,6 +4733,7 @@ QUERIES = {
         STREAMING_VALUE_DIGEST_INGEST_SQL,
     ),
     "copurchased_part_pairs": (copurchased_part_pairs, COPURCHASED_PART_PAIRS_SQL),
+    "association_rules": (association_rules, ASSOCIATION_RULES_SQL),
     "leading_digit_distribution": (
         leading_digit_distribution,
         LEADING_DIGIT_DISTRIBUTION_SQL,
