@@ -222,3 +222,49 @@ def bin_pack_documents(
         .groupBy(*shard_cols)
         .applyInPandas(pack, schema=schema)
     )
+
+
+def chunk_cu_seqlens(
+    manifest: DataFrame,
+    budget: int,
+    shard_cols: list[str],
+) -> DataFrame:
+    """Per-chunk ``cu_seqlens`` from a :func:`pack_concat_chunks` /
+    :func:`extend_pack_manifest` manifest — the cumulative segment
+    boundary array varlen attention kernels consume (flash-attn's
+    ``cu_seqlens``: ``[0, l1, l1+l2, …]``), one row per packed chunk.
+    A "segment" is one (doc × chunk) slice; attention masked to
+    segments means packed documents never attend across boundaries.
+
+    Shape: segments of a chunk sort by their chunk-relative start
+    (``doc_offset + slice_start − chunk_id·budget``) inside ONE
+    chunk-keyed aggregate (sort_array over collect_list — bounded by
+    docs-per-chunk, which ``budget`` bounds); the prefix sum is a pure
+    array expression. Output: shard cols + ``chunk_id``,
+    ``n_segments`` BIGINT, ``cu_seqlens`` ARRAY<BIGINT> (last element
+    = chunk token count)."""
+    rel = (
+        F.col("doc_offset") + F.col("slice_start")
+        - F.col("chunk_id") * F.lit(int(budget))
+    )
+    seg = manifest.select(
+        *shard_cols,
+        "chunk_id",
+        rel.cast("bigint").alias("_rel"),
+        "slice_len",
+    )
+    g = seg.groupBy(*shard_cols, "chunk_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_rel"), F.col("slice_len")))
+        ).alias("_s")
+    )
+    cu = F.expr(
+        "aggregate(_s, array(CAST(0 AS BIGINT)), "
+        "(acc, e) -> array_append(acc, element_at(acc, -1) + e.slice_len))"
+    )
+    return g.select(
+        *shard_cols,
+        "chunk_id",
+        F.size("_s").cast("bigint").alias("n_segments"),
+        cu.alias("cu_seqlens"),
+    )

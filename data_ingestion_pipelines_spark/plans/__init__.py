@@ -88,7 +88,7 @@ _PRIORITY = [
     "asof_view_before_purchase",
     "xml_extract",
     "pricing_summary",
-    "corpus_curation",
+    "packed_chunk_cu_seqlens",
     "association_rules",
     "bpe_tokenized_docs",
     "streaming_value_digest_ingest",
@@ -114,15 +114,15 @@ _PRIORITY = [
     # late_shipment_orders, promo_revenue_share, above_brand_average,
     # rollup_revenue, semi_anti_customers, watermark_minmax,
     # distinct_priorities, chunk_assignment, similarity_pq_topk,
-    # winnowing_overlap_docs, corpus_curation_gopher and
-    # pretraining_manifest
+    # winnowing_overlap_docs, corpus_curation_gopher,
+    # pretraining_manifest and corpus_curation
     # (r7/r8-green) rotated out
     # late-round for the index-delete verdict, the HLL overlap gate,
     # the Arrow IPC roundtrip, the load-reconciliation report, the
     # t-digest rollup, the label-propagation/triangle graph gates and
     # the native session-window gate, the SFT packing gate and the
     # ORC roundtrip, the streaming t-digest + HLL sketch sinks and the
-    # RFM segmentation and association-rules gates
+    # RFM segmentation, association-rules and packed-cu_seqlens gates
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3406,6 +3406,69 @@ FROM off, LATERAL (
 
 
 # --------------------------------------------------------------------------
+# cu_seqlens for packed chunks: the varlen-attention boundary artifact
+# (flash-attn's cumulative segment lengths) emitted per chunk from the
+# same deterministic concat-and-chunk manifest — so the oracle replays
+# offsets with the identical window cumulative sum and rebuilds each
+# chunk's prefix-sum string in segment order. All integers; the md5 of
+# the joined array hashes the whole boundary structure.
+def packed_chunk_cu_seqlens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_cu_seqlens, pack_concat_chunks
+    from ..operators.text import with_token_count
+
+    docs = with_token_count(_t(spark, sf_dir, "documents"))
+    manifest = pack_concat_chunks(
+        docs.select("source", "doc_id", "n_tokens"),
+        budget=256,
+        shard_cols=["source"],
+    )
+    cu = chunk_cu_seqlens(manifest, budget=256, shard_cols=["source"])
+    return cu.select(
+        "source",
+        "chunk_id",
+        "n_segments",
+        F.element_at("cu_seqlens", -1).cast("bigint").alias("chunk_tokens"),
+        F.md5(
+            F.expr("array_join(transform(cu_seqlens, x -> CAST(x AS STRING)), ',')")
+        ).alias("cu_md5"),
+    )
+
+
+PACKED_CHUNK_CU_SEQLENS_SQL = f"""
+WITH tok AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+), off AS (
+  SELECT source, doc_id, n,
+         CAST(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+              AS BIGINT) AS doc_offset
+  FROM tok WHERE n > 0
+), sl AS (
+  SELECT source, CAST(c AS BIGINT) AS chunk_id,
+         CAST(doc_offset + greatest(0, c * 256 - doc_offset) - c * 256
+              AS BIGINT) AS rel_start,
+         CAST(least(n, (c + 1) * 256 - doc_offset)
+              - greatest(0, c * 256 - doc_offset) AS BIGINT) AS slice_len
+  FROM off, LATERAL (
+    SELECT unnest(generate_series(doc_offset // 256, (doc_offset + n - 1) // 256)) AS c
+  )
+), per AS (
+  SELECT source, chunk_id, rel_start, slice_len,
+         SUM(slice_len) OVER (PARTITION BY source, chunk_id ORDER BY rel_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM sl
+)
+SELECT source, chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(MAX(cum) AS BIGINT) AS chunk_tokens,
+       md5('0,' || string_agg(CAST(cum AS VARCHAR), ',' ORDER BY rel_start))
+         AS cu_md5
+FROM per GROUP BY source, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Incremental packing: docs arrive in two deliveries (doc_id < 250,
 # then the rest — both halves non-empty at every test SF); the second
 # delivery EXTENDS the first manifest —
@@ -4712,6 +4775,10 @@ QUERIES = {
         streaming_neardup_ingest, STREAMING_NEARDUP_INGEST_SQL,
     ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
+    "packed_chunk_cu_seqlens": (
+        packed_chunk_cu_seqlens,
+        PACKED_CHUNK_CU_SEQLENS_SQL,
+    ),
     # append-equals-repack: verified against the SAME one-shot oracle
     "incremental_pack_extension": (
         incremental_pack_extension,

@@ -1016,3 +1016,33 @@ def test_sft_pack_preserves_empty_and_null_conversations(spark):
         assert list(got[k]["input_ids"]) == []
         assert list(got[k]["loss_mask"]) == []
     assert got["real"]["n_turns"] == 1 and sum(got["real"]["loss_mask"]) == 2
+
+
+def test_chunk_cu_seqlens_structure(spark):
+    """cu_seqlens per packed chunk: starts at 0, strictly increasing,
+    last element = chunk token count, full chunks sum to the budget,
+    and a document spanning chunks contributes one segment per chunk."""
+    from data_ingestion_pipelines_spark.operators.packing import (
+        chunk_cu_seqlens,
+        pack_concat_chunks,
+    )
+
+    # shard s: docs of 6, 3, 9, 4 tokens, budget 8 ->
+    # stream offsets 0,6,9,18; chunks: [0:8)=doc1(6)+doc2(2-of-3),
+    # [8:16)=doc2(1)+doc3(7-of-9), [16:22)=doc3(2)+doc4(4)
+    df = spark.createDataFrame(
+        [("s", 1, 6), ("s", 2, 3), ("s", 3, 9), ("s", 4, 4)],
+        "source string, doc_id bigint, n_tokens bigint",
+    )
+    manifest = pack_concat_chunks(df, budget=8, shard_cols=["source"])
+    got = {
+        r["chunk_id"]: r
+        for r in chunk_cu_seqlens(manifest, budget=8, shard_cols=["source"]).collect()
+    }
+    assert list(got[0]["cu_seqlens"]) == [0, 6, 8]
+    assert list(got[1]["cu_seqlens"]) == [0, 1, 8]
+    assert list(got[2]["cu_seqlens"]) == [0, 2, 6]
+    for r in got.values():
+        cu = list(r["cu_seqlens"])
+        assert cu[0] == 0 and cu == sorted(cu) and len(set(cu)) == len(cu)
+        assert r["n_segments"] == len(cu) - 1
