@@ -86,7 +86,7 @@ _PRIORITY = [
     # -- re-checks (high-churn first, then oldest driver evidence)
     "inc_merge_upsert",
     "asof_view_before_purchase",
-    "xml_extract",
+    "purchase_view_attribution",
     "pricing_summary",
     "packed_chunk_cu_seqlens",
     "association_rules",
@@ -115,14 +115,15 @@ _PRIORITY = [
     # rollup_revenue, semi_anti_customers, watermark_minmax,
     # distinct_priorities, chunk_assignment, similarity_pq_topk,
     # winnowing_overlap_docs, corpus_curation_gopher,
-    # pretraining_manifest and corpus_curation
+    # pretraining_manifest, corpus_curation and xml_extract
     # (r7/r8-green) rotated out
     # late-round for the index-delete verdict, the HLL overlap gate,
     # the Arrow IPC roundtrip, the load-reconciliation report, the
     # t-digest rollup, the label-propagation/triangle graph gates and
     # the native session-window gate, the SFT packing gate and the
     # ORC roundtrip, the streaming t-digest + HLL sketch sinks and the
-    # RFM segmentation, association-rules and packed-cu_seqlens gates
+    # RFM segmentation, association-rules, packed-cu_seqlens and
+    # multi-touch-attribution gates
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3483,6 +3483,70 @@ SELECT antecedent, consequent, pair_cnt, confidence, lift, rk FROM (
 
 
 # --------------------------------------------------------------------------
+# Multi-touch attribution (linear model): each purchase's value splits
+# equally across that user's VIEW events in the preceding 7 days. The
+# join is equi on user_id with the time-range predicate as a residual
+# filter (uniform user keys — the asof-family shape); credit per touch
+# is ONE correctly-rounded division (the stored double value over an
+# exact touch count), and the output stays one row PER PURCHASE —
+# summing float credits per channel would be merge-order-dependent and
+# unhashable, the same reason money aggregates route through DECIMAL.
+def purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("_pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("_vts")
+    )
+    window_ok = (F.col("_vts") < F.col("_pts")) & (
+        F.col("_vts") >= F.col("_pts") - F.expr("INTERVAL 7 DAYS")
+    )
+    touched = purchases.join(views, "user_id", "left").withColumn(
+        "_hit", F.when(window_ok, 1).otherwise(0)
+    )
+    agg = touched.groupBy(
+        "purchase_id", "user_id", "_pts", "purchase_value"
+    ).agg(F.sum("_hit").cast("bigint").alias("n_touches"))
+    credit = F.when(
+        F.col("n_touches") > 0,
+        F.col("purchase_value") / F.col("n_touches").cast("double"),
+    )
+    return agg.select(
+        "purchase_id",
+        "user_id",
+        "purchase_value",
+        "n_touches",
+        credit.alias("credit_per_touch"),
+    )
+
+
+PURCHASE_VIEW_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+), agg AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_value,
+         CAST(COUNT(v.vts) FILTER (
+           WHERE v.vts < p.pts AND v.vts >= p.pts - INTERVAL 7 DAY
+         ) AS BIGINT) AS n_touches
+  FROM p LEFT JOIN v ON p.user_id = v.user_id
+  GROUP BY p.purchase_id, p.user_id, p.purchase_value
+)
+SELECT purchase_id, user_id, purchase_value, n_touches,
+       CASE WHEN n_touches > 0
+            THEN purchase_value / CAST(n_touches AS DOUBLE) END
+         AS credit_per_touch
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Benford leading-digit audit: the fraud/corruption smoke test a QA layer
 # runs over money columns. Digit extraction is FLOOR-then-string (Spark's
 # bigint cast truncates while DuckDB's rounds — explicit FLOOR both
@@ -4734,6 +4798,10 @@ QUERIES = {
     ),
     "copurchased_part_pairs": (copurchased_part_pairs, COPURCHASED_PART_PAIRS_SQL),
     "association_rules": (association_rules, ASSOCIATION_RULES_SQL),
+    "purchase_view_attribution": (
+        purchase_view_attribution,
+        PURCHASE_VIEW_ATTRIBUTION_SQL,
+    ),
     "leading_digit_distribution": (
         leading_digit_distribution,
         LEADING_DIGIT_DISTRIBUTION_SQL,
