@@ -308,11 +308,14 @@ def main() -> None:
                 # a query that SUCCEEDED but left exception traces in the
                 # JVM log = task retry / job-cancellation noise under
                 # local contention — annotate it so the artifact explains
-                # itself instead of carrying an orphaned stack fragment
+                # itself instead of carrying an orphaned stack fragment.
+                # Classes + byte counts ONLY: round 9's artifact embedded
+                # raw log tails here and the summary line grew past the
+                # driver's capture limit, truncating the JSON mid-string
+                # (BENCH_r09 parsed=null). Full tails go to the sidecar.
                 noise[name] = {
                     "classes": classes,
                     "bytes": len(segment),
-                    "tail": segment[-2048:],
                 }
                 print(
                     f"# {name}: jvm-stderr noise "
@@ -323,6 +326,18 @@ def main() -> None:
         # the minimum is the stable estimate of the plan's real cost
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s (best of {n_runs})", file=sys.stderr)
+
+    # ---- shutdown-then-publish ordering (VERDICT r9 What's-wrong #1) ----
+    # Round 9's driver artifact was parse-broken because the summary was
+    # printed BEFORE spark.stop(): the JVM's shutdown/progress stderr could
+    # land after the JSON line in a combined capture, and the embedded 8 KB
+    # stderr tail bloated the line past the driver's capture window. The
+    # contract now: stop Spark FIRST (its shutdown noise lands in the
+    # capture file), restore fd 2, flush everything, emit any comparison on
+    # stderr, and make the COMPACT summary JSON the absolute last stdout
+    # line of the process.
+    spark.stop()
+    os.dup2(real_err.fileno(), 2)  # restore the real stderr fd
 
     total = round(sum(timings.values()), 3)
     summary = {
@@ -336,24 +351,32 @@ def main() -> None:
         "cpus": int(cpus),
     }
     if noise:
-        # self-explaining artifact: per-query exception classes + a
-        # >=8 KB global tail of the captured JVM stderr
         summary["stderr_noise"] = noise
-        summary["stderr_tail"] = _read_segment(
-            max(0, _log_size() - 8192), _log_size()
-        )
-    print(json.dumps(summary))
+        # full per-run capture (progress bars, stack traces) stays in a
+        # sidecar the summary points at — never inside the JSON line
+        summary["stderr_log"] = jvm_log.name
     if compare_path:
         print(f"# --compare vs {compare_path}:", file=sys.stderr)
         print(compare_benches(_load_bench_json(compare_path), summary),
               file=sys.stderr)
-    spark.stop()
-    # the summary embeds everything worth keeping (per-query classes +
-    # 8 KB tail) — don't leak one capture file per bench run
-    try:
-        os.unlink(jvm_log.name)
-    except OSError:
-        pass
+    sys.stderr.flush()
+    line = json.dumps(summary)
+    # hard bound: a summary line the driver can't capture whole is worse
+    # than one with less detail (exactly how r9's evidence was lost)
+    if len(line) > 16384:
+        summary["stderr_noise"] = {
+            n: {"classes": v["classes"][:3], "bytes": v["bytes"]}
+            for n, v in noise.items()
+        }
+        line = json.dumps(summary)
+    sys.stdout.flush()
+    print(line, flush=True)
+    if not noise:
+        # clean run: nothing worth keeping in the capture file
+        try:
+            os.unlink(jvm_log.name)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

@@ -78,16 +78,28 @@ def reconcile_tables(
     side only), ``value_mismatch`` (key on both sides, any compared
     column differs null-safely), ``match``, plus one
     ``col_mismatch:<col>`` row per compared column so a drifting
-    column is identified, not just detected. ``compare_cols`` defaults
-    to every shared non-key column.
+    column is identified, not just detected, and
+    ``dup_keys_in_source`` / ``dup_keys_in_target`` (surplus duplicate
+    rows per side among joinable — all-keys-non-NULL — rows).
+    ``compare_cols`` defaults to every shared non-key column.
+
+    Duplicate-key semantics (ADVICE r9): when a key repeats on either
+    side, the full-outer join fans out and ``match`` /
+    ``value_mismatch`` / ``col_mismatch:*`` count joined row PAIRS for
+    those keys, not keys. The two ``dup_keys_*`` rows make that state
+    visible in the report itself — a reconciliation whose dup rows are
+    non-zero is telling you its per-key reading needs upstream
+    dedup (e.g. ``keep_latest``) first.
 
     Scale shape: ONE full-outer shuffle-hash join on the key (AQE may
     broadcast a small side) carrying only keys + compared columns
     (column-pruned at the scan), then one aggregate — counts are exact
-    and the whole report is a single pass over each table. NULL keys:
-    rows with any NULL key column never equi-join, so each side's
-    NULL-key rows surface as missing on the other side — dedupe or
-    filter them upstream if that is not the intent.
+    and the whole report is a single pass over each table (plus one
+    keys-only map-side-combinable aggregate per side for the dup
+    counters). NULL keys: rows with any NULL key column never
+    equi-join, so each side's NULL-key rows surface as missing on the
+    other side — dedupe or filter them upstream if that is not the
+    intent.
     """
     keys = list(keys)
     if compare_cols is None:
@@ -139,6 +151,21 @@ def reconcile_tables(
         f"col_mismatch:{c}" for c in compare_cols
     ]
     stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
-    return wide.select(
+    report = wide.select(
         F.expr(f"stack({len(names)}, {stack_args}) AS (check, n)")
     ).select("check", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"))
+
+    def _dup_row(df: DataFrame, label: str) -> DataFrame:
+        nonnull = F.lit(True)
+        for k in keys:
+            nonnull = nonnull & F.col(k).isNotNull()
+        return df.filter(nonnull).agg(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys])).alias("_d")
+        ).select(
+            F.lit(label).alias("check"),
+            F.coalesce(F.col("_d"), F.lit(0)).cast("bigint").alias("n"),
+        )
+
+    return report.unionByName(_dup_row(source, "dup_keys_in_source")).unionByName(
+        _dup_row(target, "dup_keys_in_target")
+    )

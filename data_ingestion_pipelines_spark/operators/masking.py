@@ -19,8 +19,33 @@ the comparison.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# seed and column names are interpolated into SQL expression strings —
+# restrict them to inert charsets so a quote/backtick can't break (or,
+# crafted, alter) the generated expression (ADVICE r9)
+_SEED_RE = re.compile(r"^[A-Za-z0-9_.:\-]+$")
+
+
+def _require_safe_seed(seed: str) -> str:
+    if not _SEED_RE.match(seed):
+        raise ValueError(
+            f"seed must match {_SEED_RE.pattern} (it is embedded in a SQL "
+            f"expression literal); got {seed!r}"
+        )
+    return seed
+
+
+def _require_safe_ident(name: str, what: str) -> str:
+    if "`" in name:
+        raise ValueError(
+            f"{what} may not contain backticks (it is embedded in a "
+            f"backtick-quoted SQL identifier); got {name!r}"
+        )
+    return name
 
 
 def _mlm_thresholds(mask_rate: float, mask_frac: float, random_frac: float):
@@ -83,6 +108,9 @@ def mlm_mask_tokens(
     producing expression per element (the ``_sign_grams`` trap).
     """
     thr_sel, thr_mask, thr_rand = _mlm_thresholds(mask_rate, mask_frac, random_frac)
+    _require_safe_seed(seed)
+    _require_safe_ident(id_col, "id_col")
+    _require_safe_ident(tokens_col, "tokens_col")
     id_sql = f"CAST(`{id_col}` AS STRING)"
     pos = "CAST(i AS STRING)"
     u_sel = _u32("s", seed, id_sql, pos)

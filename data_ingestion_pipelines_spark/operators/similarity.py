@@ -1358,6 +1358,12 @@ def _apply_tombstones(df: DataFrame, spark, base: str, id_col: str) -> DataFrame
     sized (see :func:`delete_from_index`)."""
     import os
 
+    # normalize exactly like _require_local_index_path: delete_from_index
+    # accepts 'file://' paths and writes tombstones at the STRIPPED path,
+    # so the read probe must strip too or a 'file://'-addressed search
+    # silently skips the tombstones — deleted ids resurface (the failure
+    # mode the local-path guard exists to prevent)
+    base = base.rstrip("/").removeprefix("file://")
     if not os.path.isdir(f"{base}/tombstones"):
         return df
     tomb = spark.read.parquet(f"{base}/tombstones").toDF(id_col)
@@ -1378,13 +1384,34 @@ def vacuum_index(spark, path: str, id_col: str = "vec_id") -> None:
     import shutil
 
     base = _require_local_index_path("vacuum_index", path)
+
+    # Crash recovery BEFORE anything else (ADVICE r9): a death between
+    # rename(live, __old) and rename(__vac, live) leaves the live dir
+    # missing; a naive re-run would skip that part (isdir False) yet still
+    # rmtree the tombstones at the end — restoring __old later would then
+    # resurrect deleted ids with the tombstones permanently gone. Roll
+    # every interrupted swap back to the pre-vacuum state (tombstones are
+    # only dropped at the END, so the rewrite below redoes the fold), and
+    # clear finished-but-unreaped __old dirs.
+    for part in ("vectors", "buckets", "codes", "texts", "bands"):
+        live, old, vac = f"{base}/{part}", f"{base}/{part}__old", f"{base}/{part}__vac"
+        if not os.path.isdir(live) and os.path.isdir(old):
+            os.rename(old, live)  # mid-swap crash: restore the original
+        if os.path.isdir(old):
+            shutil.rmtree(old)  # swap completed, reap crashed before
+        if os.path.isdir(vac):
+            shutil.rmtree(vac)  # stale rewrite from the interrupted run
+
     if not os.path.isdir(f"{base}/tombstones"):
         return
     tomb = F.broadcast(
         spark.read.parquet(f"{base}/tombstones").toDF(id_col)
     )
     # texts/bands are the MinHash dedup index's per-doc artifacts
-    # (operators.dedup.save_minhash_index) — same lifecycle, same vacuum
+    # (operators.dedup.save_minhash_index) — same lifecycle, same vacuum.
+    # Any failure propagates BEFORE the tombstone drop below, so the
+    # tombstones only disappear once every present artifact dir was
+    # folded this run (a partial vacuum keeps deletes logically applied).
     for part in ("vectors", "buckets", "codes", "texts", "bands"):
         live = f"{base}/{part}"
         if not os.path.isdir(live):

@@ -1,0 +1,103 @@
+"""Plan-shape audits: machine checks for the scale anti-patterns a human
+``.explain("formatted")`` review would catch.
+
+The one implemented here is the round-9 verdict's "one-task global
+window": a ``row_number()`` over an un-partitioned ``Window.orderBy``
+plans as ``Window <- Sort <- Exchange SinglePartition`` and funnels the
+ENTIRE input relation through one task. That is fine when the exchange's
+input is provably bounded (a ``TakeOrderedAndProject``/``GlobalLimit``
+beneath it — the repo's limit-first top-k idiom, see
+``plans/relational.py`` ``top_revenue_orders``) and catastrophic when it
+is an unbounded aggregated relation (10⁹ nodes sorted on one task).
+
+``single_partition_window_violations`` walks the physical-plan text and
+returns one entry per ``Exchange SinglePartition`` that (a) feeds a
+Window/Sort chain and (b) has NO bounding operator in its subtree.
+``tools/plan_audit.py`` fails the audit on any violation;
+``tests/test_plan_pushdown.py`` pins the five gates the round-9 verdict
+flagged plus the checker's own detection power.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Operators that prove the exchange input is bounded to a constant number
+# of rows before it is funneled into one task.
+_BOUNDING = (
+    "TakeOrderedAndProject",
+    "GlobalLimit",
+    "CollectLimit",
+    "LocalLimit",
+    "LocalTableScan",  # driver-created literal relation — already bounded
+    "WindowGroupLimit",  # Spark's own rank-pushdown cap
+)
+
+# Consumers above the exchange that mean "this single partition will be
+# sorted/windowed as one task". Sort alone (global orderBy for display)
+# is tolerated — the flagged pattern is the window compute.
+_WINDOW_CONSUMERS = ("Window",)
+
+_NODE_RE = re.compile(r"^(?P<prefix>[\s:+\-]*)(?:\*\(\d+\)\s*)?(?P<op>[A-Za-z][A-Za-z0-9_]*)")
+
+
+def _parse(plan: str) -> list[tuple[int, int, str, str]]:
+    """Return (line_no, depth, op_name, raw_line) for each operator line.
+
+    Spark renders plan trees with 3-char units (``+- ``, ``:- ``,
+    ``:  ``, ``   ``); depth = prefix_len // 3. Non-operator lines
+    (section headers, subquery banners, blank) are skipped.
+    """
+    out = []
+    for i, ln in enumerate(plan.splitlines()):
+        if not ln.strip() or ln.lstrip().startswith(("==", "(", "Arguments", "Input", "Output", "Condition", "Results")):
+            continue
+        m = _NODE_RE.match(ln)
+        if not m:
+            continue
+        op = m.group("op")
+        if not op[0].isupper():
+            continue
+        depth = len(m.group("prefix")) // 3
+        out.append((i, depth, op, ln))
+    return out
+
+
+def single_partition_window_violations(plan: str) -> list[str]:
+    """One entry per Exchange SinglePartition that feeds a Window with no
+    bounding operator (limit/local relation) in its input subtree."""
+    nodes = _parse(plan)
+    violations: list[str] = []
+    for idx, (line_no, depth, op, raw) in enumerate(nodes):
+        if op != "Exchange" or "SinglePartition" not in raw:
+            continue
+        # ancestor chain: walk up through strictly-shallower nodes; the
+        # window sits above the exchange through Sort/Project pass-throughs
+        feeds_window = False
+        d = depth
+        for j in range(idx - 1, -1, -1):
+            _, dj, opj, _ = nodes[j]
+            if dj >= d:
+                continue
+            d = dj
+            if opj in _WINDOW_CONSUMERS:
+                feeds_window = True
+                break
+            if opj not in ("Sort", "Project", "Filter", "AdaptiveSparkPlan",
+                           "ResultQueryStage", "ShuffleQueryStage", "InputAdapter",
+                           "WholeStageCodegen"):
+                break  # a real compute consumer that is not a window
+        if not feeds_window:
+            continue
+        # subtree: everything strictly deeper until depth returns
+        bounded = False
+        for j in range(idx + 1, len(nodes)):
+            _, dj, opj, rawj = nodes[j]
+            if dj <= depth:
+                break
+            if opj in _BOUNDING or any(b in rawj for b in _BOUNDING):
+                bounded = True
+                break
+        if not bounded:
+            violations.append(f"line {line_no}: {raw.strip()}")
+    return violations

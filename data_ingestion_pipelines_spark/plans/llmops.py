@@ -3615,12 +3615,10 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=False)  # consumed by sketch + top-30 branches
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    top = (
-        tokc.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 30)
-        .drop("_rk")
-    )
+    # limit-first top-k (VERDICT r9 #2): TakeOrderedAndProject over the
+    # vocab, not a one-task global window — vocab is "bounded" only by
+    # convention, and the idiom costs nothing
+    top = tokc.orderBy(F.col("n").desc(), F.col("token").asc()).limit(30)
     sketch = count_min_sketch(tokc)
     est = cms_estimate(sketch, top.select("token"))
     return top.join(est, "token").select(
@@ -3946,6 +3944,10 @@ def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # base is ≤36 rows by construction ([a-z0-9] single chars); the
+    # explicit limit makes that bound visible IN THE PLAN so the
+    # SinglePartition→Window audit can prove the window input is bounded
+    base = base.orderBy("token").limit(36)
     w = Window.orderBy("token")
     base_ids = base.select(
         (F.row_number().over(w) - 1).cast("bigint").alias("token_id"),

@@ -3099,8 +3099,10 @@ WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
 # identified, not just detected. Mutations are PLANTED with coprime
 # moduli (drop %97, restate price %89 — ×2 is an exact IEEE exponent
 # bump, cross-engine stable — restate status %83, spurious extras
-# %101), so every check is provably non-zero and both engines derive
-# the same target. One full-outer shuffle on the key + one aggregate.
+# %101, duplicated keys %103 — exercising the fan-out accounting the
+# dup_keys_* rows report), so every check is provably non-zero and
+# both engines derive the same target. One full-outer shuffle on the
+# key + one aggregate (+ keys-only dup counters per side).
 def load_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.expectations import reconcile_tables
 
@@ -3126,6 +3128,7 @@ def load_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_totalprice",
             )
         )
+        .unionByName(src.filter(key % 103 == 0))
     )
     return reconcile_tables(
         src, tgt, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
@@ -3145,6 +3148,9 @@ WITH src AS (
   UNION ALL
   SELECT o_orderkey + 900000000, o_orderstatus, o_totalprice
   FROM orders WHERE o_orderkey % 101 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0
 ), j AS (
   SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
          (s.o_orderstatus IS DISTINCT FROM t.o_orderstatus) AS d_status,
@@ -3172,6 +3178,14 @@ UNION ALL
 SELECT 'col_mismatch:o_totalprice',
        CAST(COUNT(*) FILTER (WHERE sk IS NOT NULL AND tk IS NOT NULL
                              AND d_price) AS BIGINT) FROM j
+UNION ALL
+SELECT 'dup_keys_in_source',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM src WHERE o_orderkey IS NOT NULL
+UNION ALL
+SELECT 'dup_keys_in_target',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+FROM tgt WHERE o_orderkey IS NOT NULL
 """
 
 
@@ -3439,13 +3453,15 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(
-        F.desc("lift"), F.asc("antecedent"), F.asc("consequent")
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
-    )
+    # Distributed top-k (VERDICT r9 What's-wrong #2): orderBy().limit()
+    # plans as TakeOrderedAndProject (per-partition heaps, driver merge of
+    # 20 rows) — the former global un-partitioned window sorted the ENTIRE
+    # rule relation in one task. The tiebreak is total, so the survivors
+    # and the rank over them are unchanged.
+    order = [F.desc("lift"), F.asc("antecedent"), F.asc("consequent")]
+    top = scored.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
 
 
 ASSOCIATION_RULES_SQL = """
@@ -3937,7 +3953,6 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused loop: both recurrences over shared joins (halves the gate's
     # iteration cost; standalone-operator equivalence is pytest-pinned)
     joined = pagerank_with_exact(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
-    w = Window.orderBy(F.desc("rank_scaled"), F.asc("node"))
     agree = (
         F.abs(
             F.col("rank")
@@ -3945,9 +3960,14 @@ def part_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         < F.lit(1e-9)
     )
+    # limit-first top-k (VERDICT r9 #2): TakeOrderedAndProject over the
+    # full node relation, then a window over just the 20 survivors — the
+    # former global window sorted every node in one task
+    order = [F.desc("rank_scaled"), F.asc("node")]
+    top = joined.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
     return (
-        joined.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .select(
             F.col("node").alias("part"),
             "rank_scaled",
@@ -4069,10 +4089,13 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("size"), F.min("node").alias("min_member")
     )
-    w = Window.orderBy(F.desc("size"), F.asc("community"))
+    # limit-first top-k (VERDICT r9 #2): heap-merge the top 20 communities,
+    # then rank only the survivors — never a one-task sort of all labels
+    order = [F.desc("size"), F.asc("community")]
+    top = sizes.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
     return (
-        sizes.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .select("community", F.col("size").cast("bigint").alias("size"),
                 "min_member", "rk")
     )
@@ -4133,10 +4156,13 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     und = _brand_copurchase_pairs(spark, sf_dir)
     tri = triangle_counts(und.select(F.col("pa").alias("src"), F.col("pb").alias("dst")))
-    w = Window.orderBy(F.desc("triangles"), F.asc("node"))
+    # limit-first top-k (VERDICT r9 #2): TakeOrderedAndProject, then rank
+    # the 20 survivors — never a one-task global sort of all nodes
+    order = [F.desc("triangles"), F.asc("node")]
+    top = tri.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
     return (
-        tri.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .select(
             F.col("node").alias("part"), "degree", "triangles", "clustering", "rk"
         )

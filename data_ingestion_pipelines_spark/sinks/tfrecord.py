@@ -132,7 +132,9 @@ _KINDS = {
 }
 
 
-def _col_kinds(df: DataFrame, cols: list[str]) -> list[tuple[str, str, bool]]:
+def _col_kinds(
+    df: DataFrame, cols: list[str], allow_f32_narrowing: bool = False
+) -> list[tuple[str, str, bool]]:
     types = dict(df.dtypes)
     out = []
     for c in cols:
@@ -141,6 +143,16 @@ def _col_kinds(df: DataFrame, cols: list[str]) -> list[tuple[str, str, bool]]:
             raise ValueError(
                 f"write_tfrecord_shards: column {c!r} has type {t!r} — "
                 f"supported: {sorted(_KINDS)}"
+            )
+        if t in ("double", "array<double>") and not allow_f32_narrowing:
+            # the FloatList wire format is float32-only; silently rounding
+            # a double roundtrip would be the one quiet lossy path in a
+            # sink family whose contracts are otherwise loud (ADVICE r9)
+            raise ValueError(
+                f"write_tfrecord_shards: column {c!r} is {t!r} but TFRecord "
+                "FloatList is float32 — pass allow_f32_narrowing=True to "
+                "accept the precision loss, or cast to float explicitly "
+                "(the Arrow IPC sink preserves doubles exactly)"
             )
         out.append((c, _KINDS[t], t.startswith("array<")))
     return out
@@ -152,17 +164,22 @@ def write_tfrecord_shards(
     id_col: str = "doc_id",
     num_shards: int = 8,
     cols: list[str] | None = None,
+    allow_f32_narrowing: bool = False,
 ) -> list[str]:
     """Export rows as ``shard-NNNNNN.tfrecord`` files of tf.train.Example
     records, one frame per row, features in ``cols`` order (default: all
     columns, ``id_col`` first). Returns the shard paths. NULL scalar →
     empty feature list (the TF convention for absent values); NULL array
     → empty list. Requires a non-negative integral ``id_col`` for the
-    shard assignment, like the sibling sinks."""
+    shard assignment, like the sibling sinks. ``double``/``array<double>``
+    columns are REFUSED unless ``allow_f32_narrowing=True``: the
+    FloatList wire format is float32, so a double roundtrip would come
+    back rounded — an explicit opt-in keeps the sink's exactness story
+    loud, matching the NULL-element and wire-kind-mismatch contracts."""
     cols = list(cols) if cols is not None else [id_col] + [
         c for c in df.columns if c != id_col
     ]
-    kinds = _col_kinds(df, cols)
+    kinds = _col_kinds(df, cols, allow_f32_narrowing=allow_f32_narrowing)
     os.makedirs(out_dir, exist_ok=True)
     prepared = (
         df.select(*cols)

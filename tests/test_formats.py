@@ -518,6 +518,21 @@ def test_tfrecord_roundtrip_reproducible_and_corrupt(spark, tmp_path):
             docs.selectExpr("doc_id", "named_struct('a', 1) AS s"), str(tmp_path / "x")
         )
 
+    # double narrowing is refused unless explicitly opted in: FloatList
+    # is float32, so a silent double roundtrip would come back rounded
+    dbl = spark.createDataFrame(
+        [(1, 1.0 + 2.0**-40)], "doc_id bigint, score double"
+    )
+    with pytest.raises(ValueError, match="allow_f32_narrowing"):
+        write_tfrecord_shards(dbl, str(tmp_path / "dbl"))
+    [pd_] = write_tfrecord_shards(
+        dbl, str(tmp_path / "dbl_ok"), num_shards=1, allow_f32_narrowing=True
+    )
+    got = read_tfrecord_shards(
+        spark, str(tmp_path / "dbl_ok"), "doc_id bigint, score float"
+    ).collect()
+    assert got[0]["score"] == 1.0  # the documented, now-explicit rounding
+
     # NULL ELEMENT inside an array is refused (silently dropping it
     # would misalign positions against parallel columns)
     holey = spark.createDataFrame(

@@ -925,6 +925,14 @@ def test_mlm_mask_tokens_semantics(spark):
         mlm_mask_tokens(docs, mask_token_id=0, vocab_size=10, mask_frac=0.7, random_frac=0.4)
     with pytest.raises(ValueError, match="mask_rate"):
         mlm_mask_tokens(docs, mask_token_id=0, vocab_size=10, mask_rate=1.5)
+    # seed/identifier injection guards (ADVICE r9): these strings are
+    # interpolated into SQL expressions — quotes/backticks must be refused
+    # at the API, not surface as analysis errors (or worse, parse)
+    with pytest.raises(ValueError, match="seed"):
+        mlm_mask_tokens(docs, mask_token_id=0, vocab_size=10, seed="x' , 1) --")
+    with pytest.raises(ValueError, match="backtick"):
+        mlm_mask_tokens(docs.withColumnRenamed("doc_id", "d`d"),
+                        mask_token_id=0, vocab_size=10, id_col="d`d")
 
 
 def test_sft_pack_conversations_semantics(spark):

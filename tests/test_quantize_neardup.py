@@ -403,6 +403,82 @@ def test_lsh_index_delete_vacuum_reappend(spark, tmp_path):
     assert one_id in self_hits or one_id in refound
 
 
+def test_delete_and_search_agree_on_file_uri_paths(spark, tmp_path):
+    """ADVICE r9 (medium): delete_from_index accepts 'file://' paths and
+    writes tombstones at the STRIPPED path; search via the raw
+    'file://' base must still APPLY them — the un-normalized isdir probe
+    used to skip tombstones silently, resurfacing deleted ids."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        delete_from_index,
+        lsh_search_index,
+        save_lsh_index,
+    )
+
+    emb = _toy_embeddings(spark, n=60, dim=8)
+    uri = "file://" + str(tmp_path / "uri_idx")
+    save_lsh_index(emb, uri, num_tables=4, bits=3, dim=8)
+    doomed = emb.filter(F.col("vec_id") % 2 == 0)
+    delete_from_index(doomed, uri)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = {r["vec_id"]
+            for r in lsh_search_index(spark, uri, queries, k=5).collect()}
+    doomed_ids = {r["vec_id"] for r in doomed.select("vec_id").collect()}
+    assert hits and not hits & doomed_ids
+
+
+def test_vacuum_index_recovers_interrupted_swap(spark, tmp_path):
+    """ADVICE r9: a crash between rename(live, __old) and rename(__vac,
+    live) leaves the live dir missing. A re-run must restore/redo the
+    fold — and must NOT drop the tombstones while any artifact is
+    un-vacuumed (which would permanently resurrect deleted ids)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        delete_from_index,
+        lsh_search_index,
+        save_lsh_index,
+        vacuum_index,
+    )
+
+    emb = _toy_embeddings(spark, n=60, dim=8)
+    path = str(tmp_path / "crash_idx")
+    save_lsh_index(emb, path, num_tables=4, bits=3, dim=8)
+    doomed = emb.filter(F.col("vec_id") % 3 == 0)
+    delete_from_index(doomed, path)
+
+    # simulate the mid-swap crash state for the 'vectors' artifact:
+    # rewrite happened (__vac exists), live was renamed to __old, and the
+    # process died before __vac -> live
+    live = f"{path}/vectors"
+    shutil.copytree(live, f"{live}__vac")  # stands in for the rewrite
+    os.rename(live, f"{live}__old")
+    assert not os.path.isdir(live)
+
+    vacuum_index(spark, path)
+
+    # recovered: live restored+folded, scratch dirs reaped, tombstones
+    # gone only after a FULL fold
+    assert os.path.isdir(live)
+    assert not os.path.isdir(f"{live}__old") and not os.path.isdir(f"{live}__vac")
+    assert not os.path.isdir(f"{path}/tombstones")
+    stored = {r["vec_id"] for r in spark.read.parquet(live).collect()}
+    doomed_ids = {r["vec_id"] for r in doomed.select("vec_id").collect()}
+    assert stored and not stored & doomed_ids
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = {r["vec_id"]
+            for r in lsh_search_index(spark, path, queries, k=5).collect()}
+    assert hits and not hits & doomed_ids
+
+
 def test_pq_index_append_equals_frozen_encode(spark, tmp_path):
     """append_to_pq_index(delta) encodes with the STORED codebooks: the
     appended code table must equal encoding the grown corpus with those

@@ -44,6 +44,43 @@ def run(name: str, cmd: list[str], env: dict | None = None) -> None:
     print(f"== {name} ok ({time.time() - t:.0f}s)", flush=True)
 
 
+def run_bench(cmd: list[str]) -> None:
+    """Bench axis with the artifact-parseability contract (VERDICT r9
+    What's-wrong #1: BENCH_r09.json shipped parsed=null because the
+    summary line wasn't the last thing on stdout / grew past the
+    driver's capture). Asserts, like the driver does: the LAST non-empty
+    stdout line json.loads cleanly, carries a 'queries' block, reports
+    zero errors, and stays within a capturable length."""
+    t = time.time()
+    print(f"== bench: {' '.join(cmd)}", flush=True)
+    proc = subprocess.run(cmd, cwd=HERE, stdout=subprocess.PIPE, text=True)
+    sys.stdout.write(proc.stdout)
+    if proc.returncode != 0:
+        print(f"FAILED axis: bench (rc={proc.returncode})")
+        sys.exit(proc.returncode)
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    last = lines[-1] if lines else ""
+    try:
+        import json
+
+        summary = json.loads(last)
+    except ValueError:
+        print(f"FAILED axis: bench (last stdout line is not JSON: {last[:200]!r})")
+        sys.exit(1)
+    if "queries" not in summary:
+        print("FAILED axis: bench (summary JSON has no 'queries' block)")
+        sys.exit(1)
+    if summary.get("n_err", 0):
+        print(f"FAILED axis: bench (n_err={summary['n_err']})")
+        sys.exit(1)
+    if len(last) > 16384:
+        print(f"FAILED axis: bench (summary line {len(last)} bytes > 16384)")
+        sys.exit(1)
+    print(f"== bench ok ({time.time() - t:.0f}s, "
+          f"{summary['n_ok']} queries, {summary['value']}s, "
+          f"line {len(last)} bytes)", flush=True)
+
+
 def main() -> int:
     fast = "--fast" in sys.argv
     py = sys.executable
@@ -88,7 +125,7 @@ def main() -> int:
             [py, check, "/root/testdata/sf0.1"],
             env={"SPARK_CHECK_CPUS": "3", "SPARK_CHECK_SHUFFLE": "5"},
         )
-    run("bench", [py, os.path.join(HERE, "bench.py")])
+    run_bench([py, os.path.join(HERE, "bench.py")])
     print("ALL AXES GREEN")
     return 0
 
