@@ -494,6 +494,32 @@ def neardup_lowid_ingest(
         # ngram_jaccard_pairs (and both oracles) via _sign_grams —
         # tokenization/banding changes land in exactly one place
         banded, sizes_new = _sign_grams(batch, text_col, id_col, n, num_bands)
+
+        # SCAN PRUNING: when the compaction snapshot's gram dir is
+        # band-partitioned (_t=<band>/_bp=<prefix> — see
+        # compact_neardup_corpus), re-read the stored index with the
+        # batch's own cell set as a partition filter: files of cells no
+        # batch key hashes into are never OPENED, so the per-batch scan
+        # tracks the batch's band/bucket footprint, not the corpus size
+        # (the Bloom prefilter below bounds join/shuffle work but still
+        # read every file). The cell list is a bounded control-plane
+        # collect (≤ num_bands × prefixes rows, distinct over the
+        # already-checkpointed banded frame). Exact, like the Bloom
+        # bound: a stored row can only match a batch row if they share
+        # (_t, _bucket), and the cell is a pure function of those.
+        if old_grams is not None:
+            prefixes = _neardup_gram_layout(base)
+            if prefixes:
+                cells = [
+                    r["_c"]
+                    for r in banded.select(_gram_cell(prefixes).alias("_c"))
+                    .distinct()
+                    .collect()
+                ]
+                snap_v, ids_v = _neardup_visible(base)
+                old_grams = _read_neardup_grams(
+                    s, base, snap_v, ids_v, gram_cells=cells
+                )
         grams_all = (
             banded if old_grams is None else old_grams.unionByName(banded)
         )
@@ -631,12 +657,16 @@ def _neardup_gram_bytes(base: str) -> int:
 
     total = 0
     for root, _dirs, files in os.walk(base):
-        if os.path.basename(root) == "grams":
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass  # concurrent prune/compaction — skip
+        # band-partitioned snapshots nest files under grams/_t=*/_bp=* —
+        # match any dir whose path contains a grams component, not just
+        # the top-level dir itself
+        if "grams" not in root.replace("\\", "/").split("/"):
+            continue
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass  # concurrent prune/compaction — skip
     return total
 
 
@@ -649,6 +679,93 @@ def _neardup_hwm(base: str) -> tuple[str | None, int]:
         return name, int(name.split("-")[1])
     except (IndexError, ValueError):
         return name, -1
+
+
+def _neardup_gram_layout(base: str, snap: str | None = None) -> int | None:
+    """Bucket-prefix partition count ``P`` of the CURRENT snapshot's gram
+    dir, or None when there is no snapshot / it predates band
+    partitioning. Pure filesystem metadata (the ``grams_layout.json``
+    the compactor writes next to the partitioned dir) — each snapshot
+    carries its OWN layout, so changing the default never corrupts an
+    existing target."""
+    import json
+    import os
+
+    if snap is None:
+        snap, _ = _neardup_hwm(base)
+    if snap is None:
+        return None
+    try:
+        with open(f"{base}/{snap}/grams_layout.json") as fh:
+            return int(json.load(fh)["bucket_prefixes"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _gram_cell(prefixes: int):
+    """The scan-prune key: band id × P + bucket prefix, where the prefix
+    is a deterministic xxhash64 of the band bucket (replay-safe — same
+    bucket always lands in the same partition directory)."""
+    return F.col("_t").cast("bigint") * F.lit(int(prefixes)) + F.pmod(
+        F.xxhash64(F.col("_bucket")), F.lit(int(prefixes))
+    )
+
+
+def _neardup_visible(base: str, as_of_batch: int | None = None) -> tuple[str | None, list[int]]:
+    """(snapshot name, committed delta batch ids) visible to a reader,
+    honoring the compaction high-water mark and optional time travel."""
+    import os
+
+    snap, hwm = _neardup_hwm(base)
+    if as_of_batch is not None and hwm > int(as_of_batch):
+        raise ValueError(
+            f"as_of_batch {int(as_of_batch)} predates the compaction "
+            f"high-water mark {hwm} of {base}: folded deltas cannot be "
+            "unfolded — compact less often to keep a deeper horizon"
+        )
+    ids = [i for i in _neardup_committed_ids(base) if i > hwm]
+    if as_of_batch is not None:
+        ids = [i for i in ids if i <= int(as_of_batch)]
+    # a marker whose data dirs were pruned by compaction contributes
+    # nothing (its rows live in the snapshot) — guard against it
+    return snap, [i for i in ids if os.path.isdir(f"{base}/delta/batch-{i}/docs")]
+
+
+def _read_neardup_grams(spark, base: str, snap: str | None, ids: list[int],
+                        gram_cells: list[int] | None = None):
+    """Merged gram-index view (snapshot + committed deltas), handling
+    both snapshot layouts: legacy flat dirs and the band-partitioned
+    layout (``_t=<band>/_bp=<prefix>`` directories). With ``gram_cells``
+    (a bounded list of ``_t·P + _bp`` cell ids — the cells THIS batch's
+    keys hash into), the partitioned snapshot read carries a
+    partition-column filter, so Spark's partition pruning never opens
+    untouched cells' files: the per-batch SCAN of the corpus-sized index
+    tracks the batch's band/bucket footprint instead of the corpus size
+    (the round-9 residual — the Bloom prefilter bounded join/shuffle
+    work but read every file). Delta gram dirs stay flat and unpruned:
+    they are O(recent batches) by construction. Pruning is exact, never
+    a recall trade: a stored row can only join a batch row if they share
+    ``(_t, _bucket)``, and the cell is a pure function of those."""
+    parts = []
+    if snap is not None:
+        g = spark.read.parquet(f"{base}/{snap}/grams")
+        if "_bp" in g.columns:
+            prefixes = _neardup_gram_layout(base, snap)
+            if gram_cells is not None and prefixes:
+                g = g.filter(_gram_cell(prefixes).isin([int(c) for c in gram_cells]))
+            idc = [c for c in g.columns if c not in ("_t", "_bucket", "_g", "_bp")][0]
+            g = g.select(
+                idc, F.col("_t").cast("int").alias("_t"), "_bucket", "_g"
+            )
+        parts.append(g)
+    for i in ids:
+        parts.append(spark.read.parquet(f"{base}/delta/batch-{i}/grams"))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _read_neardup_state(spark, base: str, as_of_batch: int | None = None):
@@ -666,22 +783,8 @@ def _read_neardup_state(spark, base: str, as_of_batch: int | None = None):
     requesting a point below its high-water mark raises (the Iceberg
     snapshot-expiry trade: compaction exchanges time-travel depth for
     file count)."""
-    import os
-
-    snap, hwm = _neardup_hwm(base)
-    if as_of_batch is not None and hwm > int(as_of_batch):
-        raise ValueError(
-            f"as_of_batch {int(as_of_batch)} predates the compaction "
-            f"high-water mark {hwm} of {base}: folded deltas cannot be "
-            "unfolded — compact less often to keep a deeper horizon"
-        )
-    ids = [i for i in _neardup_committed_ids(base) if i > hwm]
-    if as_of_batch is not None:
-        ids = [i for i in ids if i <= int(as_of_batch)]
-    # a marker whose data dirs were pruned by compaction contributes
-    # nothing (its rows live in the snapshot) — guard against it
-    ids = [i for i in ids if os.path.isdir(f"{base}/delta/batch-{i}/docs")]
-    parts: dict[str, list[str]] = {k: [] for k in ("docs", "grams", "sizes", "flags")}
+    snap, ids = _neardup_visible(base, as_of_batch)
+    parts: dict[str, list[str]] = {k: [] for k in ("docs", "sizes", "flags")}
     if snap is not None:
         for k in parts:
             parts[k].append(f"{base}/{snap}/{k}")
@@ -690,7 +793,14 @@ def _read_neardup_state(spark, base: str, as_of_batch: int | None = None):
             parts[k].append(f"{base}/delta/batch-{i}/{k}")
     if not parts["docs"]:
         return None, None, None, None
-    return tuple(spark.read.parquet(*parts[k]) for k in ("docs", "grams", "sizes", "flags"))
+    docs, sizes, flags = (
+        spark.read.parquet(*parts[k]) for k in ("docs", "sizes", "flags")
+    )
+    # grams go through the layout-aware reader: the snapshot gram dir may
+    # be band-partitioned and can't ride one multi-path read with the
+    # flat delta dirs
+    grams = _read_neardup_grams(spark, base, snap, ids)
+    return docs, grams, sizes, flags
 
 
 def read_neardup_corpus(
@@ -710,7 +820,8 @@ def read_neardup_corpus(
 
 
 def compact_neardup_corpus(
-    spark, target_path: str, retain_snapshots: int = 2
+    spark, target_path: str, retain_snapshots: int = 2,
+    bucket_prefixes: int | None = 64,
 ) -> bool:
     """Fold every committed delta into ONE versioned snapshot (the
     LSM/Iceberg ``rewrite_data_files`` step for
@@ -728,7 +839,23 @@ def compact_neardup_corpus(
     just-folded generation on disk for in-flight lazy readers whose
     plans still reference those parquet paths. Results of
     :func:`read_neardup_corpus` should be collected before the
-    second-next compaction."""
+    second-next compaction.
+
+    GRAM LAYOUT (``bucket_prefixes``, default 64): the snapshot's gram
+    dir — the corpus-sized artifact every future batch probes — is
+    written partitioned by ``(_t, _bp)`` where ``_bp =
+    xxhash64(_bucket) mod bucket_prefixes``, one file per cell
+    (``repartition`` on the cell key first, so the layout never
+    explodes into tasks × cells small files). The ingest's candidate
+    read then pushes the BATCH's cell set as a partition filter and
+    untouched cells' files are never opened (see
+    :func:`_read_neardup_grams`) — the scan finally prunes, closing the
+    round-9 residual where the Bloom prefilter bounded join work but
+    the scan stayed linear. ``grams_layout.json`` inside the snapshot
+    records the cell count, so every snapshot is self-describing and
+    mixed-layout histories read correctly. ``None`` keeps the legacy
+    flat layout."""
+    import json
     import shutil
 
     base = target_path.rstrip("/")
@@ -741,7 +868,20 @@ def compact_neardup_corpus(
 
     def write(snap_dir: str) -> None:
         docs.write.parquet(f"{snap_dir}/docs")
-        grams.write.parquet(f"{snap_dir}/grams")
+        if bucket_prefixes:
+            (
+                grams.withColumn(
+                    "_bp",
+                    F.pmod(F.xxhash64(F.col("_bucket")), F.lit(int(bucket_prefixes))).cast("int"),
+                )
+                .repartition(F.col("_t"), F.col("_bp"))
+                .write.partitionBy("_t", "_bp")
+                .parquet(f"{snap_dir}/grams")
+            )
+            with open(f"{snap_dir}/grams_layout.json", "w") as fh:
+                json.dump({"bucket_prefixes": int(bucket_prefixes)}, fh)
+        else:
+            grams.write.parquet(f"{snap_dir}/grams")
         sizes.write.parquet(f"{snap_dir}/sizes")
         flags.write.parquet(f"{snap_dir}/flags")
 

@@ -540,6 +540,98 @@ def test_neardup_lowid_ingest_compaction_invariant(spark, tmp_path):
     assert survivors(plain) == expect
 
 
+def test_neardup_band_partitioned_gram_snapshot_prunes_scan(spark, tmp_path):
+    """The compaction snapshot's gram dir is band-partitioned
+    (_t=<band>/_bp=<prefix> with one file per cell) and the ingest's
+    candidate read pushes the batch's cell set as a PARTITION filter —
+    so the stored-index scan prunes instead of reading every file
+    (VERDICT r9 #3). Legacy flat snapshots (bucket_prefixes=None) must
+    read identically, and survivor sets must match across layouts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        _gram_cell,
+        _neardup_gram_layout,
+        _neardup_visible,
+        _read_neardup_grams,
+        compact_neardup_corpus,
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    batches = [
+        spark.createDataFrame(
+            [(7, near_a), (1, "first unique doc"), (4, "ripe mango fruit bowl")],
+            "doc_id bigint, text string",
+        ),
+        spark.createDataFrame([(2, base_a), (8, "second unique doc")],
+                              "doc_id bigint, text string"),
+        spark.createDataFrame([(9, near_a), (3, "third unique doc")],
+                              "doc_id bigint, text string"),
+    ]
+    expect = [1, 2, 3, 4, 8]
+
+    def survivors(path):
+        return sorted(
+            r["doc_id"]
+            for r in read_neardup_corpus(spark, str(path))
+            .select("doc_id").collect()
+        )
+
+    # partitioned layout (default): compact after batch 0, ingest more
+    part = tmp_path / "part"
+    sink = neardup_lowid_ingest(str(part), threshold=0.5)
+    sink(batches[0], 0)
+    assert compact_neardup_corpus(spark, str(part)) is True
+    snap, ids = _neardup_visible(str(part))
+    # on-disk shape: _t=<band>/_bp=<prefix> cell dirs + the layout marker
+    assert _neardup_gram_layout(str(part)) == 64
+    tdirs = [e for e in os.listdir(part / snap / "grams") if e.startswith("_t=")]
+    assert tdirs, "gram snapshot is not band-partitioned"
+    sink(batches[1], 1)
+    sink(batches[2], 2)
+    assert survivors(part) == expect
+
+    # the pruned read carries a PartitionFilter and drops whole cells:
+    # probe with a single doc's cells and compare file-level selectivity
+    one = spark.createDataFrame([(99, base_a)], "doc_id bigint, text string")
+    from data_ingestion_pipelines_spark.operators.dedup import _sign_grams
+
+    banded, _ = _sign_grams(one, "text", "doc_id", 3, 4)
+    cells = [r["_c"] for r in banded.select(_gram_cell(64).alias("_c")).distinct().collect()]
+    pruned = _read_neardup_grams(spark, str(part), snap, [], gram_cells=cells)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # exactness: pruning only with the batch's own cells keeps every row
+    # whose cell is in the set
+    full = _read_neardup_grams(spark, str(part), snap, [])
+    kept_full = full.filter(_gram_cell(64).isin(cells)).count()
+    assert pruned.count() == kept_full
+
+    # legacy flat layout reads identically and yields the same corpus
+    flat = tmp_path / "flat"
+    sink2 = neardup_lowid_ingest(str(flat), threshold=0.5)
+    sink2(batches[0], 0)
+    assert compact_neardup_corpus(spark, str(flat), bucket_prefixes=None) is True
+    assert _neardup_gram_layout(str(flat)) is None
+    sink2(batches[1], 1)
+    sink2(batches[2], 2)
+    assert survivors(flat) == expect
+    snap_f, ids_f = _neardup_visible(str(flat))
+    snap_p, ids_p = _neardup_visible(str(part))  # re-list: batches 1-2 landed
+    g_part = _read_neardup_grams(spark, str(part), snap_p, ids_p)
+    g_flat = _read_neardup_grams(spark, str(flat), snap_f, ids_f)
+    key = [F.col(c).cast("string") for c in ("doc_id", "_t", "_bucket", "_g")]
+    assert (
+        g_part.select(*key).exceptAll(g_flat.select(*key)).count() == 0
+        and g_flat.select(*key).exceptAll(g_part.select(*key)).count() == 0
+    )
+
+
 def test_neardup_corpus_time_travel(spark, tmp_path):
     """read_neardup_corpus(as_of_batch=N) reconstructs the corpus
     exactly as it stood after batch N — equal to running only batches

@@ -124,6 +124,87 @@ def main() -> None:
     )
     print(f"\nplanted near-dup docs surviving the filter: {kept_ids}/20 (must be 20)")
 
+    # ---- scan pruning via the band-partitioned snapshot layout ----
+    # The Bloom sections above bound JOIN work; this section measures the
+    # round-10 rung: with the compaction snapshot's gram dir partitioned
+    # by (_t, _bp) cell, the candidate read pushes the batch's cell set
+    # as a partition filter and untouched cells' FILES are never opened.
+    # Files/bytes opened therefore track the BATCH's band/bucket
+    # footprint (its cell count), not the corpus size — small batches
+    # open a small fraction; a batch touching every cell degrades
+    # gracefully to the full scan. P is the per-snapshot knob
+    # (grams_layout.json): raise it at real scale so even large batches
+    # stay far below the cell universe.
+    import json
+    import shutil
+    import tempfile
+
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        _gram_cell,
+        _read_neardup_grams,
+    )
+
+    P = 64
+    base = tempfile.mkdtemp(prefix="neardup_scanprof_")
+    snap = "snap-0-prof"
+    corpus = synth_docs(spark, 0, 16_000)
+    stored, _ = _sign_grams(corpus, "text", "doc_id")
+    (
+        stored.withColumn("_bp", F.pmod(F.xxhash64(F.col("_bucket")), F.lit(P)).cast("int"))
+        .repartition(F.col("_t"), F.col("_bp"))
+        .write.partitionBy("_t", "_bp")
+        .parquet(f"{base}/{snap}/grams")
+    )
+    with open(f"{base}/{snap}/grams_layout.json", "w") as fh:
+        json.dump({"bucket_prefixes": P}, fh)
+    with open(f"{base}/_CURRENT", "w") as fh:
+        fh.write(snap)
+
+    def cell_stats():
+        out = {}
+        groot = f"{base}/{snap}/grams"
+        for tdir in os.listdir(groot):
+            if not tdir.startswith("_t="):
+                continue
+            t = int(tdir.split("=")[1])
+            for bdir in os.listdir(f"{groot}/{tdir}"):
+                if not bdir.startswith("_bp="):
+                    continue
+                bp = int(bdir.split("=")[1])
+                files = [
+                    os.path.join(groot, tdir, bdir, f)
+                    for f in os.listdir(f"{groot}/{tdir}/{bdir}")
+                    if f.endswith(".parquet")
+                ]
+                out[t * P + bp] = (len(files), sum(os.path.getsize(f) for f in files))
+        return out
+
+    stats = cell_stats()
+    tot_files = sum(v[0] for v in stats.values())
+    tot_bytes = sum(v[1] for v in stats.values())
+    print(
+        f"\nscan pruning (snapshot: 16000 docs, {len(stats)} cells, "
+        f"{tot_files} files, {tot_bytes/1e6:.1f} MB, P={P}):\n"
+    )
+    print("| batch docs | cells hit | files read | bytes read | scan fraction | pruned rows == full-filter rows |")
+    print("|---|---|---|---|---|---|")
+    for nb in (2, 20, 200):
+        b = synth_docs(spark, 30_000_000, nb)
+        bb, _ = _sign_grams(b, "text", "doc_id")
+        cells = [r["_c"] for r in bb.select(_gram_cell(P).alias("_c")).distinct().collect()]
+        pruned = _read_neardup_grams(spark, base, snap, [], gram_cells=cells)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan  # the prune is plan-real
+        full = _read_neardup_grams(spark, base, snap, [])
+        ok = pruned.count() == full.filter(_gram_cell(P).isin(cells)).count()
+        fr = sum(stats[c][0] for c in cells if c in stats)
+        by = sum(stats[c][1] for c in cells if c in stats)
+        print(
+            f"| {nb} | {len(cells)}/{len(stats)} | {fr}/{tot_files} "
+            f"| {by/1e6:.1f}/{tot_bytes/1e6:.1f} MB | {by/tot_bytes:.3f} | {ok} |"
+        )
+    shutil.rmtree(base, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main()
