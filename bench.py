@@ -142,6 +142,15 @@ EXTRA_RUNS = {
     "gopher_repetition_docs",
     "similarity_lsh_topk",
     "minhash_pairs_docs",
+    # r9 verdict flagged +58% with no code change behind it; quiet
+    # best-of-5 re-measure landed at 1.10s (vs 1.30s baseline) with a
+    # 4.1s cold first run — one-sided contention noise, so give the
+    # minimum more samples to converge
+    "winnowing_overlap_docs",
+    # the drift gate's first run builds the per-session index fixture
+    # (~15s cold); best-of-5 makes the recorded minimum the REPORT cost,
+    # which is what the gate measures (VERDICT r9 #3)
+    "ann_index_drift_verdict",
 }
 
 

@@ -432,6 +432,91 @@ def count_min_sketch(
     )
 
 
+def save_cms_table(
+    df: DataFrame,
+    path: str,
+    item_col: str,
+    width: int = 1024,
+    seeds: tuple[str, ...] = CMS_SEEDS,
+    commit_token: str | None = None,
+) -> None:
+    """PERSIST a count-min sketch of ``item_col``'s frequencies as a
+    versioned table — the frequency counterpart of
+    :func:`save_hll_sketches`: raw rows aggregate once into ≤
+    depth×width cells, any later batch folds in cell-wise
+    (:func:`append_cms_table`), and point queries
+    (:func:`cms_table_estimate`) never re-scan raw data. Same layout
+    contract as the t-digest/HLL tables: ``{path}/params`` lands BEFORE
+    the tokened publish of ``{path}/cells`` (the publish is the commit
+    point)."""
+    from ..sinks.versioned import write_snapshot
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(width), item_col, ",".join(seeds))],
+        "width INT, item_col STRING, seeds STRING",
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
+    counts = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sk = count_min_sketch(counts, item_col="item", count_col="n",
+                          width=width, seeds=seeds)
+    write_snapshot(sk, f"{base}/cells", commit_token=commit_token)
+
+
+def append_cms_table(
+    df: DataFrame, path: str, commit_token: str | None = None
+) -> int:
+    """Fold NEW rows into a persisted CMS table: the batch's own sketch
+    merges cell-wise (counts ADD — CMS mergeability) with the stored
+    cells. The whole state is ≤ depth×width rows, so the fold is one
+    bounded aggregate, never a raw-data re-scan. Returns the published
+    snapshot version. NOTE cell addition is NOT idempotent — stream
+    writers must ride a commit token (``cms_append_ingest``)."""
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    from ..sinks.versioned import read_current, write_snapshot
+
+    p = spark.read.parquet(f"{base}/params").first()
+    width, item_col = int(p["width"]), p["item_col"]
+    seeds = tuple(p["seeds"].split(","))
+
+    counts = df.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    batch = count_min_sketch(counts, item_col="item", count_col="n",
+                             width=width, seeds=seeds)
+    stored = read_current(spark, f"{base}/cells")
+    merged = (
+        stored.unionByName(batch)
+        .groupBy("seed", F.col("bucket").alias(
+            "bucket", metadata={"cms_width": width, "cms_seeds": list(seeds)}
+        ))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return write_snapshot(merged, f"{base}/cells", commit_token=commit_token)
+
+
+def cms_table_estimate(
+    spark, path: str, items: DataFrame, item_col: str = "item"
+) -> DataFrame:
+    """Point-query a persisted CMS table under its STORED params (the
+    stamp on the probe side comes from ``{path}/params``, so a caller
+    can't probe with a mismatched width/seed set)."""
+    from ..sinks.versioned import read_current
+
+    base = path.rstrip("/")
+    p = spark.read.parquet(f"{base}/params").first()
+    return cms_estimate(
+        read_current(spark, f"{base}/cells"),
+        items,
+        item_col=item_col,
+        width=int(p["width"]),
+        seeds=tuple(p["seeds"].split(",")),
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     items: DataFrame,

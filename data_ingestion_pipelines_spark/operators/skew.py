@@ -203,3 +203,73 @@ def skew_report(
             "avg_per_key"
         ),
     )
+
+
+def suggest_skew_strategy(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    hot_factor: int = 2,
+    aqe_share_den: int = 20,
+    max_salt: int = 64,
+) -> DataFrame:
+    """The decision the :func:`skew_report` readout exists to inform,
+    as a pure, ORACLE-ABLE function of three exact integers — connect
+    the diagnostic to the remedy (VERDICT r9 #7). One count aggregate
+    (map-side combinable) + a 1-row reduction; the verdict is Column
+    algebra over exact operands, so a DuckDB CASE replays it
+    bit-identically.
+
+    Output (one row): ``n_rows, n_keys, top_count BIGINT;
+    strategy STRING; salt BIGINT``. Decision table (documented in
+    SCALING.md):
+
+    - ``plain``  — hottest key ≤ ``hot_factor``× the average per-key
+      load (``top_count·n_keys ≤ hot_factor·n_rows``): no key is hot,
+      any shuffle layout is fine. ``salt=1``.
+    - ``aqe``    — hot relative to the average, but ≤ ``1/aqe_share_den``
+      of ALL rows (default 5%): one partition may overfill, which is
+      exactly the case AQE's skew-join/partition splitting fixes at
+      runtime without changing the plan. ``salt=1``.
+    - ``salt-N`` — the hot key alone is > 5% of the table: runtime
+      splitting of ONE reducer's input still funnels the build/probe of
+      that key through few tasks, so pre-spread it with
+      :func:`salted_join` / :func:`salted_aggregate`. ``N`` is the
+      hot-to-average ratio ``ceil(top_count·n_keys / n_rows)`` rounded
+      up to a power of two and capped at ``max_salt`` — enough replicas
+      that the hot key's per-replica load ≈ the average key's.
+
+    The thresholds are integer comparisons (never a float division), so
+    boundary cases hash identically cross-engine."""
+    keys = [F.col(k) for k in key_cols]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("top_count"),
+    )
+    hot = F.col("top_count") * F.col("n_keys") > F.lit(int(hot_factor)) * F.col("n_rows")
+    moderate = F.col("top_count") * F.lit(int(aqe_share_den)) <= F.col("n_rows")
+    # ceil(top*keys / rows) in exact integer arithmetic — SQL `div`, not
+    # `/` (float division + cast would round-trip big counts through
+    # float64 and could shift the ceiling)
+    ratio = F.expr("(top_count * n_keys + n_rows - 1) div n_rows")
+    salt_n = F.lit(2)
+    p = 2
+    while p < int(max_salt):
+        p *= 2
+        salt_n = F.when(ratio > F.lit(p // 2), F.lit(p)).otherwise(salt_n)
+    salt_n = F.least(salt_n, F.lit(int(max_salt)))
+    strategy = (
+        F.when(~hot, F.lit("plain"))
+        .when(moderate, F.lit("aqe"))
+        .otherwise(F.concat(F.lit("salt-"), salt_n.cast("string")))
+    )
+    return stats.select(
+        "n_rows",
+        "n_keys",
+        "top_count",
+        strategy.alias("strategy"),
+        F.when(hot & ~moderate, salt_n).otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("salt"),
+    )

@@ -4366,6 +4366,96 @@ FROM rk, t WHERE rk.rank <= 10
 
 
 # --------------------------------------------------------------------------
+# Skew-strategy auto-advisor (operators/skew.suggest_skew_strategy —
+# VERDICT r9 #7: connect the skew_report diagnostic to the remedy):
+# three PLANTED key distributions over lineitem, one per decision
+# branch, with thresholds far from every boundary at all SFs:
+# 'uniform' (mod-10 buckets, hottest ≈ average → plain), 'moderate'
+# (one hot key at ~0.7% of rows over otherwise-unique keys → hot
+# relative to avg but under the 5% AQE bar → aqe), 'severe' (one hot
+# key at ~33% of rows → salt; hot-to-average ratio caps the
+# power-of-two ladder at salt-64). All verdict inputs are exact
+# integers (counts, integer div), so the DuckDB CASE replays the
+# decision bit-identically — the decision table itself is in the hash.
+def skew_strategy_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import suggest_skew_strategy
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    uid = F.col("l_orderkey") * 10 + F.col("l_linenumber")  # unique per row
+    scenarios = [
+        ("uniform", (F.col("l_orderkey") % 10).cast("bigint")),
+        (
+            "moderate",
+            F.when(
+                (F.col("l_orderkey") % 33 == 0) & (F.col("l_linenumber") == 1),
+                F.lit(-1).cast("bigint"),
+            ).otherwise(uid.cast("bigint")),
+        ),
+        (
+            "severe",
+            F.when(F.col("l_orderkey") % 3 == 0, F.lit(-1).cast("bigint"))
+            .otherwise(uid.cast("bigint")),
+        ),
+    ]
+    out = None
+    for name, key in scenarios:
+        v = suggest_skew_strategy(li.select(key.alias("k")), ["k"]).select(
+            F.lit(name).alias("scenario"),
+            "n_rows",
+            "n_keys",
+            "top_count",
+            "strategy",
+            "salt",
+        )
+        out = v if out is None else out.unionByName(v)
+    return out
+
+
+SKEW_STRATEGY_VERDICTS_SQL = """
+WITH all_s AS (
+  SELECT 'uniform' AS scenario, CAST(l_orderkey % 10 AS BIGINT) AS k FROM lineitem
+  UNION ALL
+  SELECT 'moderate',
+         CASE WHEN l_orderkey % 33 = 0 AND l_linenumber = 1
+              THEN CAST(-1 AS BIGINT)
+              ELSE CAST(l_orderkey * 10 + l_linenumber AS BIGINT) END
+  FROM lineitem
+  UNION ALL
+  SELECT 'severe',
+         CASE WHEN l_orderkey % 3 = 0 THEN CAST(-1 AS BIGINT)
+              ELSE CAST(l_orderkey * 10 + l_linenumber AS BIGINT) END
+  FROM lineitem
+), c AS (
+  SELECT scenario, k, COUNT(*) AS n FROM all_s GROUP BY 1, 2
+), st AS (
+  SELECT scenario, CAST(SUM(n) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(n) AS BIGINT) AS top_count
+  FROM c GROUP BY 1
+), v AS (
+  SELECT scenario, n_rows, n_keys, top_count,
+         top_count * n_keys > 2 * n_rows AS hot,
+         top_count * 20 <= n_rows AS moderate,
+         LEAST(CASE WHEN (top_count * n_keys + n_rows - 1) // n_rows > 32 THEN 64
+                    WHEN (top_count * n_keys + n_rows - 1) // n_rows > 16 THEN 32
+                    WHEN (top_count * n_keys + n_rows - 1) // n_rows > 8 THEN 16
+                    WHEN (top_count * n_keys + n_rows - 1) // n_rows > 4 THEN 8
+                    WHEN (top_count * n_keys + n_rows - 1) // n_rows > 2 THEN 4
+                    ELSE 2 END, 64) AS salt_n
+  FROM st
+)
+SELECT scenario, n_rows, n_keys, top_count,
+       CASE WHEN NOT hot THEN 'plain'
+            WHEN moderate THEN 'aqe'
+            ELSE 'salt-' || CAST(salt_n AS VARCHAR) END AS strategy,
+       CAST(CASE WHEN hot AND NOT moderate THEN salt_n ELSE 1 END AS BIGINT) AS salt
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
 # Interval-overlap self-join: orders become per-customer activity windows
 # [orderdate, orderdate + (1 + okey % 14) days); find same-customer
 # overlapping pairs. Bucketed equi-join (14-day buckets) with the
@@ -4773,6 +4863,7 @@ QUERIES = {
     "rich_idle_customers": (rich_idle_customers, RICH_IDLE_CUSTOMERS_SQL),
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
+    "skew_strategy_verdicts": (skew_strategy_verdicts, SKEW_STRATEGY_VERDICTS_SQL),
     "streaming_user_sketch_ingest": (
         streaming_user_sketch_ingest,
         STREAMING_USER_SKETCH_INGEST_SQL,

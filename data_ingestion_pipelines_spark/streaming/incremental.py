@@ -914,6 +914,66 @@ def _commit_token_skip_or_raise(caller: str, droot: str, batch_id: int) -> bool:
     return False
 
 
+def _sketch_table_ingest(
+    caller: str,
+    path: str,
+    subdir: str,
+    params_of: "callable",
+    mine: tuple,
+    save_fn: "callable",
+    append_fn: "callable",
+    retain_snapshots: int,
+):
+    """THE commit-token sketch-sink core, shared by every persisted
+    sketch table (t-digest, HLL, CMS) so the transactional logic cannot
+    fork per sink (VERDICT r9 #6). One code path for:
+
+    EXACTLY-ONCE: the batch id rides the atomic snapshot publish as its
+    commit token (``sinks/versioned.write_snapshot(commit_token=...)``),
+    so "data folded" and "batch committed" are one pointer flip. A
+    replayed batch (crash between publish and checkpoint commit) sees
+    its own id as the published token and skips — non-idempotent folds
+    (t-digest weights, CMS cell counts) never double-count. A batch id
+    BELOW the published token means a second checkpoint lineage is
+    writing the same target — refused loudly, the near-dup sink's
+    lineage contract.
+
+    PARAMS GUARD: append folds under the STORED params — a sink
+    restarted against an existing target with a different
+    column/grain/width raises instead of silently folding the wrong
+    thing (``params_of`` extracts the stored tuple to compare with
+    ``mine``). Params land BEFORE the tokened publish, so a first-batch
+    crash between them leaves the table uncommitted, never
+    committed-but-unreadable.
+
+    PRUNE: superseded snapshot versions go one generation late (lazy
+    readers hold parquet paths)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sinks.versioned import current_version, prune_snapshots
+
+        base = path.rstrip("/")
+        droot = f"{base}/{subdir}"
+        if _commit_token_skip_or_raise(caller, droot, batch_id):
+            return
+        if current_version(droot) is None:
+            save_fn(batch_df, base, str(batch_id))
+        else:
+            p = batch_df.sparkSession.read.parquet(f"{base}/params").first()
+            stored = params_of(p)
+            if stored != mine:
+                raise ValueError(
+                    f"{caller}: sink configured as {mine} but "
+                    f"{base}/params holds {stored} — appending would fold "
+                    "the wrong column/grain; use a new target or matching "
+                    "params"
+                )
+            append_fn(batch_df, base, str(batch_id))
+        prune_snapshots(droot, keep=max(int(retain_snapshots), 1))
+
+    return sink
+
+
 def tdigest_append_ingest(
     path: str,
     value_col: str,
@@ -927,58 +987,24 @@ def tdigest_append_ingest(
     retention: each micro-batch folds into the stored
     ``O(delta)``-cluster digests (touched groups re-merge, untouched
     groups pass through byte-identical) and any reader calls
-    ``tdigest_rollup`` at any grain, any time.
+    ``tdigest_rollup`` at any grain, any time. Folding is NOT
+    idempotent (weights add), so the shared
+    :func:`_sketch_table_ingest` commit-token core is load-bearing
+    here, not an optimization."""
+    from ..operators.sketches import append_tdigest_partials, save_tdigest_partials
 
-    EXACTLY-ONCE: the batch id rides the atomic snapshot publish as its
-    commit token (``sinks/versioned.write_snapshot(commit_token=...)``),
-    so "data folded" and "batch committed" are one pointer flip. A
-    replayed batch (crash between publish and checkpoint commit) sees
-    its own id as the published token and skips — digests never
-    double-count, which matters more here than for the min-id sinks:
-    folding is NOT idempotent (weights add), so replay protection must
-    be transactional, not algebraic. A batch id BELOW the published
-    token means a second checkpoint lineage is writing the same target
-    — refused loudly, same contract as the near-dup sink's lineage
-    guard. Superseded snapshot versions are pruned one generation late
-    (lazy readers hold parquet paths).
-    """
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.sketches import (
-            append_tdigest_partials,
-            save_tdigest_partials,
-        )
-        from ..sinks.versioned import current_version, prune_snapshots
-
-        base = path.rstrip("/")
-        droot = f"{base}/digests"
-        if _commit_token_skip_or_raise("tdigest_append_ingest", droot, batch_id):
-            return
-        if current_version(droot) is None:
-            save_tdigest_partials(
-                batch_df, base, value_col, by=by, delta=delta,
-                commit_token=str(batch_id),
-            )
-        else:
-            # append folds under the STORED params — refuse loudly if
-            # this sink was configured differently (restarting against
-            # an existing target with a changed column/grain/delta
-            # would otherwise silently produce digests of the wrong
-            # thing; the _bloom_check_params convention)
-            p = batch_df.sparkSession.read.parquet(f"{base}/params").first()
-            stored = (int(p["delta"]), p["value_col"], p["keys"].split(","))
-            mine = (int(delta), value_col, list(by))
-            if stored != mine:
-                raise ValueError(
-                    f"tdigest_append_ingest: sink configured as "
-                    f"(delta, value_col, by)={mine} but {base}/params "
-                    f"holds {stored} — appending would fold the wrong "
-                    "column/grain; use a new target or matching params"
-                )
-            append_tdigest_partials(batch_df, base, commit_token=str(batch_id))
-        prune_snapshots(droot, keep=max(int(retain_snapshots), 1))
-
-    return sink
+    return _sketch_table_ingest(
+        "tdigest_append_ingest",
+        path,
+        "digests",
+        lambda p: (int(p["delta"]), p["value_col"], p["keys"].split(",")),
+        (int(delta), value_col, list(by)),
+        lambda df, base, tok: save_tdigest_partials(
+            df, base, value_col, by=by, delta=delta, commit_token=tok
+        ),
+        lambda df, base, tok: append_tdigest_partials(df, base, commit_token=tok),
+        retain_snapshots,
+    )
 
 
 def hll_append_ingest(
@@ -992,38 +1018,56 @@ def hll_append_ingest(
     table over a stream (``operators/sketches.py``
     save/append_hll_sketches) — per-group distinct-count monitoring
     with no raw retention; readers call ``hll_rollup`` at any grain,
-    any time.
+    any time. Same :func:`_sketch_table_ingest` contract — though HLL
+    union is idempotent (register-wise max), so the token here prevents
+    wasted replay WORK and cross-lineage interleavings rather than
+    double-counting."""
+    from ..operators.sketches import append_hll_sketches, save_hll_sketches
 
-    Same commit-token contract as :func:`tdigest_append_ingest` —
-    though HLL union is idempotent (register-wise max), so unlike the
-    t-digest sink the token here prevents wasted replay WORK and
-    cross-lineage interleavings rather than double-counting."""
+    return _sketch_table_ingest(
+        "hll_append_ingest",
+        path,
+        "sketches",
+        lambda p: (int(p["lgk"]), p["key_col"], p["keys"].split(",")),
+        (int(lgk), key_col, list(by)),
+        lambda df, base, tok: save_hll_sketches(
+            df, base, key_col, by=by, lgk=lgk, commit_token=tok
+        ),
+        lambda df, base, tok: append_hll_sketches(df, base, commit_token=tok),
+        retain_snapshots,
+    )
 
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.sketches import append_hll_sketches, save_hll_sketches
-        from ..sinks.versioned import current_version, prune_snapshots
 
-        base = path.rstrip("/")
-        droot = f"{base}/sketches"
-        if _commit_token_skip_or_raise("hll_append_ingest", droot, batch_id):
-            return
-        if current_version(droot) is None:
-            save_hll_sketches(
-                batch_df, base, key_col, by=by, lgk=lgk,
-                commit_token=str(batch_id),
-            )
-        else:
-            p = batch_df.sparkSession.read.parquet(f"{base}/params").first()
-            stored = (int(p["lgk"]), p["key_col"], p["keys"].split(","))
-            mine = (int(lgk), key_col, list(by))
-            if stored != mine:
-                raise ValueError(
-                    f"hll_append_ingest: sink configured as "
-                    f"(lgk, key_col, by)={mine} but {base}/params holds "
-                    f"{stored} — appending would union the wrong "
-                    "column/grain; use a new target or matching params"
-                )
-            append_hll_sketches(batch_df, base, commit_token=str(batch_id))
-        prune_snapshots(droot, keep=max(int(retain_snapshots), 1))
+def cms_append_ingest(
+    path: str,
+    item_col: str,
+    width: int = 1024,
+    seeds: tuple | None = None,
+    retain_snapshots: int = 2,
+):
+    """``foreachBatch`` sink factory: maintain a PERSISTED count-min
+    sketch table over a stream (``operators/sketches.py``
+    save/append_cms_table) — corpus-wide item-frequency monitoring with
+    no raw retention; readers call ``cms_table_estimate`` any time.
+    Cell counts ADD on fold (non-idempotent, like t-digest weights), so
+    this is the third sink that NEEDS the shared
+    :func:`_sketch_table_ingest` commit-token core — contrast the
+    batch-partial CMS sink in the ``streaming_cms_event_types`` gate,
+    which stays idempotent by keying partials by batch id and summing
+    at read time (O(batches) read state vs this sink's O(d·w) folded
+    table)."""
+    from ..operators.sketches import CMS_SEEDS, append_cms_table, save_cms_table
 
-    return sink
+    use_seeds = tuple(seeds) if seeds is not None else CMS_SEEDS
+    return _sketch_table_ingest(
+        "cms_append_ingest",
+        path,
+        "cells",
+        lambda p: (int(p["width"]), p["item_col"], tuple(p["seeds"].split(","))),
+        (int(width), item_col, use_seeds),
+        lambda df, base, tok: save_cms_table(
+            df, base, item_col, width=width, seeds=use_seeds, commit_token=tok
+        ),
+        lambda df, base, tok: append_cms_table(df, base, commit_token=tok),
+        retain_snapshots,
+    )

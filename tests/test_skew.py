@@ -87,3 +87,50 @@ def test_salted_count_distinct_exact(spark):
     }
     assert got == want
     assert got["hot"] == (137, 1000) and got["nullish"] == (1, 2)
+
+
+def test_suggest_skew_strategy_decision_table(spark):
+    """The advisor's decision table on PLANTED distributions, including
+    exact threshold boundaries (all inputs exact integers, so the
+    boundaries are sharp): hottest <= 2x average -> plain; hot but
+    <= 5% of all rows -> aqe; > 5% -> salt with the power-of-two
+    hot-to-average ratio, capped at 64."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.skew import (
+        suggest_skew_strategy,
+    )
+
+    def planted(top_count, n_other_keys):
+        """one hot key (-1) with top_count rows + n_other_keys singletons"""
+        hot = spark.range(top_count).select(F.lit(-1).cast("bigint").alias("k"))
+        rest = spark.range(n_other_keys).select((F.col("id") + 1).alias("k"))
+        return hot.unionByName(rest)
+
+    def verdict(df):
+        r = suggest_skew_strategy(df, ["k"]).collect()[0]
+        return (r["strategy"], r["salt"], r["n_rows"], r["n_keys"], r["top_count"])
+
+    # uniform: every key exactly once -> top == avg -> plain
+    s, salt, *_ = verdict(spark.range(100).select(F.col("id").alias("k")))
+    assert (s, salt) == ("plain", 1)
+
+    # boundary: top*keys == 2*rows is NOT hot (<= comparison) -> plain
+    # 2 keys x 2 rows + ... build: top=4, keys=3, rows=6 -> 12 == 12
+    b = spark.createDataFrame(
+        [(-1,)] * 4 + [(1,)] + [(2,)], "k bigint"
+    )
+    assert verdict(b)[0] == "plain"
+
+    # hot relative to average but exactly 5% of rows -> aqe
+    # top=5, rest=95 singletons: rows=100, top*20 == 100
+    s, salt, *_ = verdict(planted(5, 95))
+    assert (s, salt) == ("aqe", 1)
+
+    # one row past the 5% bar -> salt; ratio = ceil(6*95/100) = 6 -> 8
+    s, salt, *_ = verdict(planted(6, 94))
+    assert (s, salt) == ("salt-8", 8)
+
+    # extreme concentration caps the ladder at 64
+    s, salt, *_ = verdict(planted(500, 500))
+    assert (s, salt) == ("salt-64", 64)

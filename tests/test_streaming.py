@@ -881,3 +881,97 @@ def test_tdigest_append_ingest_params_guard_and_crash_order(spark, tmp_path):
     # matching config still appends fine
     tdigest_append_ingest(path, "value", by=["day"])(df, 1)
     assert current_version(f"{path}/digests") == 2
+
+
+def test_sketch_sink_core_replay_parity_all_three(spark, tmp_path):
+    """ONE code path for every commit-token sketch sink
+    (_sketch_table_ingest — VERDICT r9 #6): for t-digest, HLL and the
+    new CMS table alike, a replayed batch id is a byte-identical no-op,
+    a lower batch id (second checkpoint lineage) raises, a changed
+    config against an existing target raises, and the folded state
+    equals the one-shot build over the union of batches."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.sketches import (
+        cms_table_estimate,
+        count_min_sketch,
+        save_cms_table,
+    )
+    from data_ingestion_pipelines_spark.sinks.versioned import (
+        current_commit_token,
+        current_version,
+        read_current,
+    )
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        cms_append_ingest,
+        hll_append_ingest,
+        tdigest_append_ingest,
+    )
+
+    batches = [
+        spark.createDataFrame(
+            [(d, f"u{d}_{i}", float(d * 10 + i))
+             for d in (b, b + 1) for i in range(40)],
+            "day bigint, user string, value double",
+        )
+        for b in range(3)
+    ]
+
+    cases = [
+        ("td", "digests",
+         lambda p: tdigest_append_ingest(p, "value", by=["day"]),
+         lambda p: tdigest_append_ingest(p, "value", by=["day"], delta=400)),
+        ("hll", "sketches",
+         lambda p: hll_append_ingest(p, "user", by=["day"]),
+         lambda p: hll_append_ingest(p, "user", by=["day"], lgk=13)),
+        ("cms", "cells",
+         lambda p: cms_append_ingest(p, "user", width=64),
+         lambda p: cms_append_ingest(p, "user", width=128)),
+    ]
+    for name, subdir, mk, mk_wrong in cases:
+        path = str(tmp_path / name)
+        sink = mk(path)
+        for i, b in enumerate(batches):
+            sink(b, i)
+        droot = f"{path}/{subdir}"
+        assert current_commit_token(droot) == "2", name
+        v = current_version(droot)
+        state = sorted(map(tuple, read_current(spark, droot).collect()))
+
+        # replay: no new version, byte-identical state
+        sink(batches[2], 2)
+        assert current_version(droot) == v, name
+        assert sorted(map(tuple, read_current(spark, droot).collect())) == state, name
+
+        # second lineage refused
+        with pytest.raises(RuntimeError, match="second checkpoint lineage"):
+            sink(batches[0], 1)
+
+        # changed config against the existing target refused
+        with pytest.raises(ValueError, match="params"):
+            mk_wrong(path)(batches[0], 3)
+
+    # CMS-specific exactness: the folded table's cells equal the
+    # one-shot sketch over the union (mergeability through the sink),
+    # and estimates never undercount
+    union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    counts = union.groupBy(F.col("user").alias("item")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    oneshot = sorted(
+        map(tuple, count_min_sketch(counts, "item", "n", width=64).collect())
+    )
+    folded = sorted(
+        map(tuple, read_current(spark, str(tmp_path / "cms") + "/cells").collect())
+    )
+    assert folded == oneshot
+    true_n = {r["item"]: r["n"] for r in counts.collect()}
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_table_estimate(
+            spark, str(tmp_path / "cms"), counts.select("item")
+        ).collect()
+    }
+    assert all(est[k] >= v for k, v in true_n.items())
