@@ -400,3 +400,121 @@ def pagerank_with_exact(
         damping=damping_num / damping_den,
         scale=scale, damping_num=damping_num, damping_den=damping_den,
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    _with_stability: bool = False,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling → ``(node,
+    core_degree BIGINT)``: the nodes of the maximal subgraph in which
+    every node has degree ≥ k, with their degree inside it. The fourth
+    member of the graph family (components → communities → pagerank →
+    triangles → cores); cores are the standard "dense enough to matter"
+    cut for co-occurrence graphs before running anything quadratic on
+    them.
+
+    Input convention matches :func:`triangle_counts`: any directed edge
+    list; normalized to distinct undirected ``least < greatest`` pairs,
+    self-loops dropped.
+
+    Two modes sharing one round body (the LPA fixed-round discipline):
+
+    - ``rounds=None`` (default): peel to the FIXPOINT — repeat "drop
+      every node whose degree among surviving nodes is < k" until no
+      node drops. The convergence check is one bounded count per round
+      (a 1-row driver read — the honest cost of a run-to-convergence
+      loop; peeling converges in O(diameter)-ish rounds in practice).
+      The result is partition-layout-invariant: each round is pure set
+      arithmetic.
+    - ``rounds=R``: exactly R synchronous peels, whether or not stable —
+      deterministic and replayable as an UNROLLED SQL CTE chain, which
+      is what lets the gate hash-oracle the operator (same reason
+      ``label_propagation`` is fixed-round). With ``_with_stability``
+      (gate plumbing) the output carries a ``stable`` BOOLEAN — true iff
+      the Rth peel removed nothing (two lazy 1-row counts broadcast onto
+      the result, no driver read) — so a too-small R is visible in the
+      hashed output, never silent.
+
+    Scale shape per round: semi-join the pinned edge list against the
+    surviving node set on BOTH endpoints (shuffle-hash on uniform node
+    keys), one degree aggregate (map-side combinable), one filter.
+    Lineage truncates per round via lazy localCheckpoints exactly like
+    the pagerank/LPA loops — no driver-side adjacency ever.
+
+    Public refs: Seidman, "Network structure and minimum degree" (1983);
+    Batagelj & Zaveršnik's peeling algorithm (cs/0310049).
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+
+    def peel(e: DataFrame) -> DataFrame:
+        alive = degrees(e).filter(F.col("core_degree") >= k).select("node")
+        return (
+            e.join(alive.withColumnRenamed("node", "a").hint("shuffle_hash"),
+                   "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b").hint("shuffle_hash"),
+                  "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+
+    e = und
+    if rounds is not None:
+        prev = e
+        for _ in range(int(rounds)):
+            prev = e
+            e = peel(e)
+        if _with_stability:
+            # stable ⇔ the last peel removed nothing: e_R ⊆ e_{R-1}, so
+            # count equality IS set equality. Two lazy 1-row aggregates
+            # broadcast onto the output — zero driver reads, the
+            # too-small-R case surfaces as stable=false in the result
+            # (and in the gate's oracle hash) instead of silently
+            # shipping a non-core.
+            verdict = (
+                e.agg(F.count(F.lit(1)).alias("_c"))
+                .crossJoin(prev.agg(F.count(F.lit(1)).alias("_p")))
+                .select((F.col("_c") == F.col("_p")).alias("stable"))
+            )
+            return (
+                degrees(e)
+                .filter(F.col("core_degree") >= k)
+                .crossJoin(F.broadcast(verdict))
+                .select(
+                    "node",
+                    F.col("core_degree").cast("bigint").alias("core_degree"),
+                    "stable",
+                )
+            )
+    else:
+        prev_n = e.count()
+        while True:
+            e = peel(e)
+            cur = e.count()  # bounded: one scalar per round
+            if cur == prev_n:
+                break
+            prev_n = cur
+    return degrees(e).filter(F.col("core_degree") >= k).select(
+        "node", F.col("core_degree").cast("bigint").alias("core_degree")
+    )

@@ -96,3 +96,94 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def parquet_rowgroup_stats(
+    spark,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Footer-level layout introspection: one row per (file, row group,
+    column) with the parquet statistics a scan's min/max pruning runs
+    on — ``n_rows``, ``num_values``, ``null_count``, ``min_value`` /
+    ``max_value`` (string-rendered), compressed/uncompressed byte sizes.
+
+    This is the measurement side of the layout story: after
+    :func:`zorder_write` (or any clustering), the min/max SPANS per file
+    tell you whether pruning will actually fire — a row group whose
+    span covers the whole domain prunes nothing. Footers are read
+    EXECUTOR-SIDE via pyarrow (metadata only, never a data page): the
+    file list is a control-plane DataFrame and each task opens only its
+    own files' footers, so the audit scales with the cluster while the
+    driver touches no file at all. ``columns`` restricts the output
+    (the footer is still one read per file either way).
+
+    Statistics caveats owned by the caller: string min/max may be
+    TRUNCATED by writers (parquet allows it); float stats render via
+    repr. Integer/long columns are exact — gates hash those only.
+    """
+    import os
+
+    p = path.rstrip("/")
+    if os.path.isdir(p):
+        paths = sorted(
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    else:
+        paths = [p]
+    if not paths:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    want = set(columns) if columns else None
+    pdf = spark.createDataFrame([(x,) for x in paths], "path STRING").repartition(
+        min(len(paths), 32)
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            out = {
+                k: []
+                for k in (
+                    "file_name", "row_group", "column", "n_rows", "num_values",
+                    "null_count", "min_value", "max_value",
+                    "compressed_bytes", "uncompressed_bytes",
+                )
+            }
+            for fpath in b["path"]:
+                md = pq.ParquetFile(fpath).metadata
+                base = os.path.basename(fpath)
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        name = col.path_in_schema
+                        if want is not None and name not in want:
+                            continue
+                        st = col.statistics
+                        has_mm = st is not None and st.has_min_max
+                        out["file_name"].append(base)
+                        out["row_group"].append(rg)
+                        out["column"].append(name)
+                        out["n_rows"].append(g.num_rows)
+                        out["num_values"].append(col.num_values)
+                        out["null_count"].append(
+                            st.null_count
+                            if st is not None and st.has_null_count
+                            else None
+                        )
+                        out["min_value"].append(str(st.min) if has_mm else None)
+                        out["max_value"].append(str(st.max) if has_mm else None)
+                        out["compressed_bytes"].append(col.total_compressed_size)
+                        out["uncompressed_bytes"].append(col.total_uncompressed_size)
+            yield pd.DataFrame(out)
+
+    return pdf.mapInPandas(
+        read_footers,
+        "file_name STRING, row_group INT, column STRING, n_rows BIGINT, "
+        "num_values BIGINT, null_count BIGINT, min_value STRING, "
+        "max_value STRING, compressed_bytes BIGINT, uncompressed_bytes BIGINT",
+    )

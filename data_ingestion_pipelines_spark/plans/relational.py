@@ -4215,6 +4215,86 @@ SELECT part, degree, triangles, clustering, rk FROM (
 
 
 # --------------------------------------------------------------------------
+# k-core decomposition over the same brand-scoped co-purchase graph
+# (operators/graph.k_core: synchronous peeling — drop every node whose
+# degree among survivors is < k, repeat). Fixed R=8 rounds so the
+# DuckDB oracle replays the peel as an unrolled CTE chain (the LPA
+# discipline); measured convergence is ≤3/≤6/≤6 rounds at
+# sf0.001/0.01/0.1 (k=3), and the in-plan `stable` verdict (did round 8
+# remove nothing?) rides the hash, so a graph that ever needed more
+# rounds surfaces as stable=false in BOTH engines, never silently.
+# Output is bounded: top-20 by (core_degree desc, node asc) via the
+# limit-first idiom + the full core size and the stability flag.
+_KCORE_K, _KCORE_ROUNDS = 3, 8
+
+
+def part_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    und = _brand_copurchase_pairs(spark, sf_dir)
+    cores = k_core(
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+        k=_KCORE_K,
+        rounds=_KCORE_ROUNDS,
+        _with_stability=True,
+    )
+    n_core = cores.agg(F.count(F.lit(1)).cast("bigint").alias("n_core"))
+    order = [F.desc("core_degree"), F.asc("node")]
+    top = cores.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(n_core))
+        .select(
+            F.col("node").alias("part"), "core_degree", "rk", "n_core", "stable"
+        )
+    )
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled DuckDB replay of the fixed-round peel: round i computes
+    survivors of e_{i-1} (degree ≥ k) and the induced edge set e_i —
+    integer set arithmetic, term for term the Spark operator."""
+    steps = ["e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs)"]
+    for i in range(1, rounds + 1):
+        steps.append(f"""a{i} AS MATERIALIZED (
+  SELECT node FROM (SELECT a AS node FROM e{i - 1}
+                    UNION ALL SELECT b FROM e{i - 1})
+  GROUP BY node HAVING COUNT(*) >= {k}
+)""")
+        steps.append(f"""e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i - 1} e
+  JOIN a{i} x ON e.a = x.node
+  JOIN a{i} y ON e.b = y.node
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_BRAND_PAIRS_CTE},
+{chain},
+core AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree
+  FROM (SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+  GROUP BY node HAVING COUNT(*) >= {k}
+), nc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_core FROM core
+), st AS (
+  SELECT (SELECT COUNT(*) FROM e{rounds}) = (SELECT COUNT(*) FROM e{rounds - 1})
+         AS stable
+), rk AS (
+  SELECT node, core_degree,
+         CAST(ROW_NUMBER() OVER (ORDER BY core_degree DESC, node ASC) AS BIGINT)
+           AS rk
+  FROM core
+)
+SELECT rk.node AS part, rk.core_degree, rk.rk, nc.n_core, st.stable
+FROM rk, nc, st WHERE rk.rk <= 20
+"""
+
+
+PART_COPURCHASE_KCORE_SQL = _kcore_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # INTERSECT set op (completes the O-family: union_pages covers UNION,
 # snapshot_diff_report covers EXCEPT ALL): customers who ordered in BOTH
 # 1995 and 1996. Catalyst plans this as a distinct semi-style aggregate —
@@ -4334,6 +4414,46 @@ WITH stats AS (
 )
 SELECT p_partkey, CAST({_zorder_sql_terms(8, 2)} AS BIGINT) AS zkey
 FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
+# Parquet footer audit (operators/layout.parquet_rowgroup_stats): the
+# measurement side of the clustering story — the min/max statistics a
+# scan's pruning actually runs on, read executor-side from footers
+# only. The gate reduces the per-(file, row group, column) stats to
+# table-level invariants the DATA must agree with (total rows, null
+# count, min, max per bigint column): a footer that disagrees with its
+# own data pages is the corruption this audit exists to catch, so the
+# data-derived oracle IS the contract. The full per-row-group surface
+# (byte sizes, per-group spans) is pinned in pytest against DuckDB's
+# parquet_metadata() on a controlled file.
+def parquet_footer_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import parquet_rowgroup_stats
+
+    stats = parquet_rowgroup_stats(
+        spark, f"{sf_dir.rstrip('/')}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+    )
+    return stats.groupBy(F.col("column").alias("col_name")).agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.sum("null_count").cast("bigint").alias("total_nulls"),
+        F.min(F.col("min_value").cast("bigint")).alias("min_value"),
+        F.max(F.col("max_value").cast("bigint")).alias("max_value"),
+    )
+
+
+PARQUET_FOOTER_STATS_DOCS_SQL = """
+SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS total_nulls,
+       CAST(MIN(doc_id) AS BIGINT) AS min_value,
+       CAST(MAX(doc_id) AS BIGINT) AS max_value
+FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+       CAST(MIN(n_chars) AS BIGINT), CAST(MAX(n_chars) AS BIGINT)
+FROM documents
 """
 
 
@@ -4864,6 +4984,10 @@ QUERIES = {
     "part_zorder_keys": (part_zorder_keys, PART_ZORDER_KEYS_SQL),
     "event_type_skew_report": (event_type_skew_report, EVENT_TYPE_SKEW_REPORT_SQL),
     "skew_strategy_verdicts": (skew_strategy_verdicts, SKEW_STRATEGY_VERDICTS_SQL),
+    "parquet_footer_stats_docs": (
+        parquet_footer_stats_docs,
+        PARQUET_FOOTER_STATS_DOCS_SQL,
+    ),
     "streaming_user_sketch_ingest": (
         streaming_user_sketch_ingest,
         STREAMING_USER_SKETCH_INGEST_SQL,
@@ -4880,6 +5004,7 @@ QUERIES = {
         part_copurchase_communities,
         PART_COPURCHASE_COMMUNITIES_SQL,
     ),
+    "part_copurchase_kcore": (part_copurchase_kcore, PART_COPURCHASE_KCORE_SQL),
     "part_copurchase_triangles": (
         part_copurchase_triangles,
         PART_COPURCHASE_TRIANGLES_SQL,

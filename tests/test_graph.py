@@ -254,3 +254,67 @@ def test_label_propagation_refuses_non_numeric_ids(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(TypeError, match="not numeric"):
         label_propagation(df)
+
+
+def test_k_core_peeling_fixpoint_and_fixed_round(spark):
+    """k_core on a hand-built graph: a triangle+tail graph where the
+    2-core is exactly the triangle set; a 4-clique with pendant chains
+    where the 3-core is the clique; fixpoint mode equals fixed-round
+    mode once converged; python reference peeling agrees."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.graph import k_core
+
+    # chain 1-2-3 hanging off triangle 3-4-5(-3); node 0 isolated pair 0-9
+    edges1 = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 3), (0, 9)]
+    df1 = spark.createDataFrame(edges1, "src bigint, dst bigint")
+    got = {
+        (r["node"], r["core_degree"]) for r in k_core(df1, 2).collect()
+    }
+    assert got == {(3, 2), (4, 2), (5, 2)}
+
+    # 4-clique {10,11,12,13} + chains; 3-core = the clique, degree 3 each
+    clique = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    chains = [(13, 20), (20, 21), (10, 30)]
+    df2 = spark.createDataFrame(clique + chains, "src bigint, dst bigint")
+    got3 = {(r["node"], r["core_degree"]) for r in k_core(df2, 3).collect()}
+    assert got3 == {(10, 3), (11, 3), (12, 3), (13, 3)}
+    # 2-core of the same graph: clique + nothing else (chains peel away)
+    got2 = {r["node"] for r in k_core(df2, 2).collect()}
+    assert got2 == {10, 11, 12, 13}
+
+    # fixed-round == fixpoint once R >= convergence rounds; and the
+    # operator accepts unsymmetrized input with duplicate/reversed edges
+    noisy = df2.unionByName(
+        spark.createDataFrame([(11, 10), (20, 13)], "src bigint, dst bigint")
+    )
+    fix = sorted(map(tuple, k_core(noisy, 3).collect()))
+    unrolled = sorted(map(tuple, k_core(noisy, 3, rounds=6).collect()))
+    assert fix == unrolled
+
+    # python reference peel on a random-ish deterministic graph
+    import itertools
+
+    edges3 = [
+        (i, (i * i + 1) % 23) for i in range(23)
+    ] + [(i, (i + 7) % 23) for i in range(23)]
+    edges3 = [(min(a, b), max(a, b)) for a, b in edges3 if a != b]
+    edges3 = sorted(set(edges3))
+
+    def ref_k_core(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            kept = {(a, b) for a, b in es if a in alive and b in alive}
+            if kept == es:
+                return {(n, d) for n, d in deg.items() if d >= k}
+            es = kept
+
+    df3 = spark.createDataFrame(edges3, "src bigint, dst bigint")
+    for k in (2, 3, 4):
+        got = {(r["node"], r["core_degree"]) for r in k_core(df3, k).collect()}
+        assert got == ref_k_core(edges3, k), k

@@ -86,3 +86,71 @@ def test_zorder_write_shrinks_spans_on_both_dims(spark, tmp_path):
     lin_y = sum(_file_spans(lin_path, "y")) / 16
     assert lin_y > n * 0.9  # 1-D sort leaves y unpruned
     assert z_x <= n * 0.5 and z_y <= n * 0.5  # hypercubes bound both dims
+
+
+def test_parquet_rowgroup_stats_matches_duckdb_metadata(spark, tmp_path):
+    """parquet_rowgroup_stats (executor-side pyarrow footer read) must
+    agree with DuckDB's parquet_metadata() on every per-(row group,
+    column) fact for a controlled multi-row-group file: rows, values,
+    null counts, exact integer min/max, and byte sizes."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.layout import (
+        parquet_rowgroup_stats,
+    )
+
+    # 4 row groups of 250 rows, one nullable column with planted NULLs
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 1000
+    tbl = pa.table({
+        "k": pa.array(range(n), type=pa.int64()),
+        "v": pa.array(
+            [None if i % 7 == 0 else i * 3 for i in range(n)], type=pa.int64()
+        ),
+    })
+    fpath = str(tmp_path / "ctl.parquet")
+    pq.write_table(tbl, fpath, row_group_size=250)
+
+    got = {
+        (r["row_group"], r["column"]): (
+            r["n_rows"], r["num_values"], r["null_count"],
+            int(r["min_value"]), int(r["max_value"]),
+            r["compressed_bytes"], r["uncompressed_bytes"],
+        )
+        for r in parquet_rowgroup_stats(spark, fpath).collect()
+    }
+    want = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in duckdb.sql(
+            f"""
+            SELECT row_group_id, path_in_schema, row_group_num_rows,
+                   num_values, stats_null_count,
+                   CAST(stats_min_value AS BIGINT),
+                   CAST(stats_max_value AS BIGINT),
+                   total_compressed_size, total_uncompressed_size
+            FROM parquet_metadata('{fpath}')
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert len(got) == 8  # 4 row groups x 2 columns
+
+    # and the gate-side reduction equals the data itself
+    agg = (
+        parquet_rowgroup_stats(spark, fpath, columns=["v"])
+        .agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum("null_count").alias("nulls"),
+            F.min(F.col("min_value").cast("bigint")).alias("mn"),
+            F.max(F.col("max_value").cast("bigint")).alias("mx"),
+        )
+        .first()
+    )
+    back = spark.read.parquet(fpath)
+    assert agg["rows"] == n
+    assert agg["nulls"] == back.filter(F.col("v").isNull()).count()
+    assert agg["mn"] == back.agg(F.min("v")).first()[0]
+    assert agg["mx"] == back.agg(F.max("v")).first()[0]
