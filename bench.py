@@ -128,6 +128,19 @@ HEADLINE = [
     "sft_packed_conversations",
     "streaming_value_digest_ingest",
     "streaming_user_sketch_ingest",
+    # round-10 additions with distinctive execution surfaces: the
+    # fixed-round k-core peel (8 synchronous semi-join+aggregate rounds
+    # over the brand co-purchase graph), the commit-token CMS table sink
+    # (4 real micro-batches folding into one O(d·w) state), and the
+    # executor-side parquet footer audit (metadata-only file reads)
+    "part_copurchase_kcore",
+    "streaming_cms_table_ingest",
+    "parquet_footer_stats_docs",
+    # the near-dup sink through its FULL LSM lifecycle (auto-compaction
+    # mid-stream -> band-partitioned snapshot -> cell-pruned re-reads);
+    # tracked next to streaming_neardup_ingest so the lifecycle's cost
+    # delta is visible, not folded into one number
+    "streaming_neardup_compacted",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

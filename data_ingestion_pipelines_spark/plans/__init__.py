@@ -40,90 +40,56 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    # -- round-9 window. The r8 rotation left TWO of that round's late
-    # additions driver-dark (curriculum_quality_buckets,
-    # indexed_dataset_roundtrip_docs — flagged by the r8 verdict, which
-    # also caught an earlier revision of this comment overclaiming that
-    # no gate was dark). They lead this window, and
-    # `tools/rotate_window.py --check` now FAILS the verify ritual
-    # whenever any pre-current-round gate lacks a driver row and is not
-    # in the first 50 entries, so darkness can no longer be
-    # misreported. After the dark pair: gates new or semantically
-    # changed this round, then re-checks. Every entry verified
-    # hash-green locally (tools/check_correctness.py) before landing.
-    "curriculum_quality_buckets",
-    "indexed_dataset_roundtrip_docs",
-    # -- new / changed this round
-    "indexed_dataset_uint16_docs",
-    "ann_index_drift_verdict",
-    "knn_label_vote_ann",
-    "semantic_dedup_docs",
-    "mlm_masked_docs",
-    "tfrecord_roundtrip_docs",
-    "salted_distinct_users",
-    "salted_hot_join",  # re-check: exercises the merged salted_join's
-    # full-row default spread + outer-shape refusal hardening
-    "ann_index_delete_verdict",
-    "ann_index_append_verdict",
-    "bloom_prefilter_dedup_docs",
-    "minhash_index_dedup_docs",
-    "multimodal_wav_decode_real",
-    "multimodal_bmp_decode_real",
-    "multimodal_resize_real",
-    "image_dhash_neardup_docs",
-    "knn_label_vote",
-    "streaming_neardup_ingest",
-    "split_leakage_report",
-    "leakage_free_split",
-    "part_copurchase_pagerank",
-    "doc_bpe_regex_token_count",
-    "multimodal_decode",
-    "multimodal_audio_probe",
-    "webdataset_roundtrip_docs",
-    "streaming_corpus_ingest",
-    "streaming_corpus_ingest_multibatch",
-    "ngram_jaccard_docs",
-    # -- re-checks (high-churn first, then oldest driver evidence)
-    "inc_merge_upsert",
-    "asof_view_before_purchase",
-    "purchase_view_attribution",
-    "pricing_summary",
-    "packed_chunk_cu_seqlens",
-    "association_rules",
-    "bpe_tokenized_docs",
-    "streaming_value_digest_ingest",
-    "streaming_user_sketch_ingest",
-    "rfm_customer_segments",
-    "similarity_ivf_pq_topk",
-    "load_reconciliation_report",
-    "weekly_value_quantile_rollup",
-    "part_copurchase_communities",
-    "part_copurchase_triangles",
-    "event_native_session_windows",
-    "sft_packed_conversations",
-    "orc_roundtrip_docs",
-    "arrow_ipc_roundtrip_docs",
-    "audience_overlap_hll",
-    # large_volume_orders + dominant_part_suppliers + cdc_orders_snapshot
-    # + promo_parts_revenue + small_quantity_revenue + profit_by_nation_year
-    # + order_value_yoy + market_share_by_year (r2/r3-green,
-    # sweep-netted) rotated out for the two formerly-dark gates, the
-    # uint16 container variant, and the round-9 additions (drift
-    # verdict, ANN-path kNN vote, SemDeDup, the salted-skew pair);
-    # important_parts_by_value, nation_trade_flows,
-    # late_shipment_orders, promo_revenue_share, above_brand_average,
-    # rollup_revenue, semi_anti_customers, watermark_minmax,
-    # distinct_priorities, chunk_assignment, similarity_pq_topk,
-    # winnowing_overlap_docs, corpus_curation_gopher,
-    # pretraining_manifest, corpus_curation and xml_extract
-    # (r7/r8-green) rotated out
-    # late-round for the index-delete verdict, the HLL overlap gate,
-    # the Arrow IPC roundtrip, the load-reconciliation report, the
-    # t-digest rollup, the label-propagation/triangle graph gates and
-    # the native session-window gate, the SFT packing gate and the
-    # ORC roundtrip, the streaming t-digest + HLL sketch sinks and the
-    # RFM segmentation, association-rules, packed-cu_seqlens and
-    # multi-touch-attribution gates
+    "skew_strategy_verdicts",
+    "parquet_footer_stats_docs",
+    "part_copurchase_kcore",
+    "streaming_cms_table_ingest",
+    "streaming_neardup_compacted",
+    "association_rules",  # changed
+    "part_copurchase_pagerank",  # changed
+    "part_copurchase_communities",  # changed
+    "part_copurchase_triangles",  # changed
+    "cms_token_counts",  # changed
+    "bpe_vocab_table",  # changed
+    "load_reconciliation_report",  # changed
+    "ann_index_drift_verdict",  # changed
+    "streaming_neardup_ingest",  # changed
+    "ann_index_delete_verdict",  # changed
+    "mlm_masked_docs",  # changed
+    "tfrecord_roundtrip_docs",  # changed
+    "inc_merge_upsert",  # green CORRECTNESS_r09.json
+    "asof_view_before_purchase",  # green CORRECTNESS_r09.json
+    "xml_extract",  # green CORRECTNESS_r08.json
+    "pricing_summary",  # green CORRECTNESS_r09.json
+    "corpus_curation",  # green CORRECTNESS_r08.json
+    "pretraining_manifest",  # green CORRECTNESS_r08.json
+    "bpe_tokenized_docs",  # green CORRECTNESS_r09.json
+    "similarity_pq_topk",  # green CORRECTNESS_r08.json
+    "winnowing_overlap_docs",  # green CORRECTNESS_r08.json
+    "corpus_curation_gopher",  # green CORRECTNESS_r08.json
+    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r09.json
+    "webdataset_roundtrip_docs",  # green CORRECTNESS_r09.json
+    "ngram_jaccard_docs",  # green CORRECTNESS_r09.json
+    "similarity_ivf_pq_topk",  # green CORRECTNESS_r09.json
+    "conversion_funnel",  # green CORRECTNESS_r02.json
+    "urgent_open_orders",  # green CORRECTNESS_r02.json
+    "returned_item_losses",  # green CORRECTNESS_r02.json
+    "part_zorder_keys",  # green CORRECTNESS_r03.json
+    "event_type_skew_report",  # green CORRECTNESS_r03.json
+    "order_quality_expectations",  # green CORRECTNESS_r03.json
+    "event_sessions",  # green CORRECTNESS_r03.json
+    "chunk_assignment_ranged",  # green CORRECTNESS_r03.json
+    "asof_next_purchase_after_view",  # green CORRECTNESS_r03.json
+    "price_band_lookup",  # green CORRECTNESS_r03.json
+    "latest_event_per_user",  # green CORRECTNESS_r03.json
+    "inc_copy_candidates",  # green CORRECTNESS_r03.json
+    "cast_rename_spec",  # green CORRECTNESS_r03.json
+    "flatten_roundtrip",  # green CORRECTNESS_r03.json
+    "correlated_explode",  # green CORRECTNESS_r03.json
+    "event_hourly_windows_streaming",  # green CORRECTNESS_r03.json
+    "streaming_dedup_watermarked",  # green CORRECTNESS_r03.json
+    "skewed_event_type_counts",  # green CORRECTNESS_r03.json
+    "totalprice_equidepth_histogram",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3799,6 +3799,44 @@ WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
 """.replace("{cand_ctes}", _NGRAM_CAND_CTES.strip())
 
 
+# Same one-shot predicate, but the SINK is exercised through its full
+# LSM lifecycle INSIDE the gate: compact_every=2 triggers auto-
+# compaction mid-stream, so later micro-batches sign against a
+# BAND-PARTITIONED gram snapshot through the cell-pruned read path
+# (partition filters from the batch's own cell set — the round-10 scan
+# bound) and the final read merges snapshot + post-compaction deltas.
+# Compaction/pruning are result-invariant BY CONTRACT, so the oracle is
+# identical to streaming_neardup_ingest's — which is exactly the point:
+# the hash proves the whole layout machinery changes nothing.
+def streaming_neardup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.incremental import neardup_lowid_ingest, read_neardup_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = scratch_dir(prefix="sndc_")
+    feed, target = f"{root}/feed", f"{root}/corpus"
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            neardup_lowid_ingest(
+                target, n=3, threshold=0.5, num_bands=4, compact_every=2
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    await_or_raise(q)
+    return read_neardup_corpus(spark, target).select("doc_id")
+
+
+STREAMING_NEARDUP_COMPACTED_SQL = STREAMING_NEARDUP_INGEST_SQL
+
+
 # --------------------------------------------------------------------------
 # STREAMING count-min sketch: the event feed re-laid as 4 files and
 # streamed with maxFilesPerTrigger=1 → 4 real micro-batches; each batch
@@ -4837,6 +4875,9 @@ QUERIES = {
     ),
     "streaming_neardup_ingest": (
         streaming_neardup_ingest, STREAMING_NEARDUP_INGEST_SQL,
+    ),
+    "streaming_neardup_compacted": (
+        streaming_neardup_compacted, STREAMING_NEARDUP_COMPACTED_SQL,
     ),
     "packed_doc_chunks": (packed_doc_chunks, PACKED_DOC_CHUNKS_SQL),
     "packed_chunk_cu_seqlens": (

@@ -35,7 +35,30 @@ SKIP = {
     "stream_scd2_enrichment",  # streaming query + re-read
     "partitioned_write_prune",  # writes partitioned layout then re-reads
     "streaming_neardup_ingest",  # streaming query + merge-on-read re-read
+    "streaming_neardup_compacted",  # streaming query + merge-on-read re-read
     "indexed_dataset_roundtrip_docs",  # writes .bin/.idx then re-reads
+}
+
+
+# Gates whose Exchange SinglePartition -> Window is over a relation
+# BOUNDED BY CONSTRUCTION (not provable from the plan text): each entry
+# must say what bounds it. Everything else that trips the checker FAILS
+# the audit — add here only with a justification a reviewer can check.
+BOUNDED_WINDOW_OK = {
+    # reference-parity W1 form; the scale twin is chunk_by_range and the
+    # equivalence is pytest-pinned (tests/test_classify_windows_incremental)
+    "chunk_assignment": "documented parity form; chunk_by_range is the scale path",
+    # chunk_by_range's offsets window runs over <= num_partitions
+    # control rows (per-partition counts), never the input
+    "chunk_assignment_ranged": "offsets window over <= num_partitions rows",
+    "training_order_docs": "chunk_by_range offsets window (control-plane)",
+    "multi_epoch_training_order": "chunk_by_range offsets window x2 epochs",
+    # day-spine relations: one row per calendar day — grows with covered
+    # time span, not data volume (rolling/cumulative time series)
+    "daily_revenue_anomalies": "day-spine rolling window (rows = days)",
+    "cumulative_unique_users": "day-spine cumulative window (rows = days)",
+    # first-significant-digit distribution: exactly 9 rows
+    "leading_digit_distribution": "digit relation (9 rows)",
 }
 
 
@@ -91,7 +114,9 @@ def main() -> None:
         # SinglePartition feeding a Window must have a bounding limit in
         # its subtree — unbounded forms sort the whole relation in 1 task
         viol = single_partition_window_violations(plan)
-        if viol:
+        if viol and name in BOUNDED_WINDOW_OK:
+            note = f"bounded window ok ({BOUNDED_WINDOW_OK[name]}); " + note
+        elif viol:
             note = f"ERROR single-partition window x{len(viol)}; " + note
             bad_windows.append((name, viol))
         rows.append((name, shuffles, bcast, bhj, smj, py, note))
