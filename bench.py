@@ -382,14 +382,27 @@ def main() -> None:
         print(compare_benches(_load_bench_json(compare_path), summary),
               file=sys.stderr)
     sys.stderr.flush()
+    # hard bound, ENFORCED by a detail-shedding ladder (review r10: a
+    # single trim then print-regardless could still ship an oversized
+    # line — exactly how r9's evidence was lost). Order: trim noise
+    # classes → reduce error messages to their exception class → drop
+    # the noise block entirely. The survivors (per-query floats + short
+    # strings) are structurally far below the bound.
     line = json.dumps(summary)
-    # hard bound: a summary line the driver can't capture whole is worse
-    # than one with less detail (exactly how r9's evidence was lost)
-    if len(line) > 16384:
+    if len(line) > 16384 and noise:
         summary["stderr_noise"] = {
             n: {"classes": v["classes"][:3], "bytes": v["bytes"]}
             for n, v in noise.items()
         }
+        line = json.dumps(summary)
+    if len(line) > 16384 and errors:
+        summary["queries"] = {
+            **timings,
+            **{n: {"err": e.split(":", 1)[0][:80]} for n, e in errors.items()},
+        }
+        line = json.dumps(summary)
+    if len(line) > 16384:
+        summary.pop("stderr_noise", None)
         line = json.dumps(summary)
     sys.stdout.flush()
     print(line, flush=True)

@@ -63,6 +63,35 @@ def _parse(plan: str) -> list[tuple[int, int, str, str]]:
     return out
 
 
+def partition_filter_exprs(plan: str) -> list[str]:
+    """The NON-EMPTY ``PartitionFilters: [...]`` expressions in a plan.
+    An empty list means no scan prunes partitions — note that every
+    FileSourceScan PRINTS ``PartitionFilters: []``, so substring checks
+    for ``"PartitionFilters: ["`` are vacuous (a lesson from the
+    round-10 review: two guards passed green against a filter that
+    never pruned)."""
+    return [
+        m.group(1).strip()
+        for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if m.group(1).strip()
+    ]
+
+
+def scan_files_read(df) -> int:
+    """Total ``numFiles`` across the scan leaves of ``df``'s EXECUTED
+    plan — the ground truth for "did pruning actually skip files".
+    Call AFTER an action that ran df's own QueryExecution (``collect``
+    /``count``; a ``noop`` write executes a separate command QE and
+    leaves these metrics empty)."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            total += int(m.apply("numFiles").value())
+    return total
+
+
 def single_partition_window_violations(plan: str) -> list[str]:
     """One entry per Exchange SinglePartition that feeds a Window with no
     bounding operator (limit/local relation) in its input subtree."""

@@ -731,6 +731,34 @@ def _neardup_visible(base: str, as_of_batch: int | None = None) -> tuple[str | N
     return snap, [i for i in ids if os.path.isdir(f"{base}/delta/batch-{i}/docs")]
 
 
+def _write_gram_snapshot(grams, snap_dir: str, bucket_prefixes: int | None) -> None:
+    """THE band-partitioned gram-snapshot write recipe — one copy,
+    shared by :func:`compact_neardup_corpus` and the scan-pruning
+    profiler so layout changes can't diverge between the real compactor
+    and its measurement. ``bucket_prefixes=None`` keeps the legacy flat
+    layout. The cell-keyed ``repartition`` before ``partitionBy`` keeps
+    the output at one file per cell (never tasks × cells small files);
+    ``grams_layout.json`` makes the snapshot self-describing."""
+    import json
+
+    if bucket_prefixes:
+        (
+            grams.withColumn(
+                "_bp",
+                F.pmod(
+                    F.xxhash64(F.col("_bucket")), F.lit(int(bucket_prefixes))
+                ).cast("int"),
+            )
+            .repartition(F.col("_t"), F.col("_bp"))
+            .write.partitionBy("_t", "_bp")
+            .parquet(f"{snap_dir}/grams")
+        )
+        with open(f"{snap_dir}/grams_layout.json", "w") as fh:
+            json.dump({"bucket_prefixes": int(bucket_prefixes)}, fh)
+    else:
+        grams.write.parquet(f"{snap_dir}/grams")
+
+
 def _read_neardup_grams(spark, base: str, snap: str | None, ids: list[int],
                         gram_cells: list[int] | None = None):
     """Merged gram-index view (snapshot + committed deltas), handling
@@ -752,7 +780,18 @@ def _read_neardup_grams(spark, base: str, snap: str | None, ids: list[int],
         if "_bp" in g.columns:
             prefixes = _neardup_gram_layout(base, snap)
             if gram_cells is not None and prefixes:
-                g = g.filter(_gram_cell(prefixes).isin([int(c) for c in gram_cells]))
+                # the predicate MUST be over the PARTITION columns (_t,
+                # _bp): recomputing the cell from the _bucket data column
+                # (xxhash64) type-checks and returns identical rows, but
+                # Catalyst then classifies it as a data filter —
+                # PartitionFilters: [] — and every file is still opened
+                # (caught by this round's code review, verified against
+                # the executed plan; the pytest now asserts a NON-EMPTY
+                # partition filter so this can't regress silently)
+                cell = F.col("_t").cast("bigint") * F.lit(int(prefixes)) + F.col(
+                    "_bp"
+                ).cast("bigint")
+                g = g.filter(cell.isin([int(c) for c in gram_cells]))
             idc = [c for c in g.columns if c not in ("_t", "_bucket", "_g", "_bp")][0]
             g = g.select(
                 idc, F.col("_t").cast("int").alias("_t"), "_bucket", "_g"
@@ -855,7 +894,6 @@ def compact_neardup_corpus(
     records the cell count, so every snapshot is self-describing and
     mixed-layout histories read correctly. ``None`` keeps the legacy
     flat layout."""
-    import json
     import shutil
 
     base = target_path.rstrip("/")
@@ -868,20 +906,7 @@ def compact_neardup_corpus(
 
     def write(snap_dir: str) -> None:
         docs.write.parquet(f"{snap_dir}/docs")
-        if bucket_prefixes:
-            (
-                grams.withColumn(
-                    "_bp",
-                    F.pmod(F.xxhash64(F.col("_bucket")), F.lit(int(bucket_prefixes))).cast("int"),
-                )
-                .repartition(F.col("_t"), F.col("_bp"))
-                .write.partitionBy("_t", "_bp")
-                .parquet(f"{snap_dir}/grams")
-            )
-            with open(f"{snap_dir}/grams_layout.json", "w") as fh:
-                json.dump({"bucket_prefixes": int(bucket_prefixes)}, fh)
-        else:
-            grams.write.parquet(f"{snap_dir}/grams")
+        _write_gram_snapshot(grams, snap_dir, bucket_prefixes)
         sizes.write.parquet(f"{snap_dir}/sizes")
         flags.write.parquet(f"{snap_dir}/flags")
 

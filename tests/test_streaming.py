@@ -605,12 +605,31 @@ def test_neardup_band_partitioned_gram_snapshot_prunes_scan(spark, tmp_path):
     cells = [r["_c"] for r in banded.select(_gram_cell(64).alias("_c")).distinct().collect()]
     pruned = _read_neardup_grams(spark, str(part), snap, [], gram_cells=cells)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [" in plan
+    # NON-EMPTY partition filter — every FileSourceScan prints
+    # 'PartitionFilters: []', so a bare substring check is vacuous (the
+    # round-10 review caught exactly that: the first cut filtered on a
+    # recomputed data-column cell, pruned nothing, and this test stayed
+    # green). The filter expression must reference the partition cols.
+    from data_ingestion_pipelines_spark.plans.audit import (
+        partition_filter_exprs,
+        scan_files_read,
+    )
+
+    exprs = partition_filter_exprs(plan)
+    assert exprs and any("_bp" in x for x in exprs), plan[:1500]
     # exactness: pruning only with the batch's own cells keeps every row
     # whose cell is in the set
     full = _read_neardup_grams(spark, str(part), snap, [])
     kept_full = full.filter(_gram_cell(64).isin(cells)).count()
     assert pruned.count() == kept_full
+    # and files were ACTUALLY skipped: executed-plan scan metrics
+    # (collect() — count() runs a derived QueryExecution whose metrics
+    # don't land on these frames)
+    full.collect()
+    pruned.collect()
+    n_full = scan_files_read(full)
+    n_pruned = scan_files_read(pruned)
+    assert 0 < n_pruned < n_full, (n_pruned, n_full)
 
     # legacy flat layout reads identically and yields the same corpus
     flat = tmp_path / "flat"
