@@ -11,8 +11,12 @@ Axes (each is the documented command from .claude/skills/verify):
      per-gate step before round 8)                    [skipped with --fast]
   5. full registry sweep, sf0.1, skewed layout (CPUS=3 SHUFFLE=5 —
      partition-layout invariance + scale-dependent bug net)   [skipped with --fast]
-  6. bench.py (one JSON line; compare vs the previous BENCH_r*.json)
-  7. rotate_window.py --check (no pre-current-round gate is
+  6. plan audit: every static gate plan re-generated + the
+     single-partition-window guard (fails on a one-task global
+     sort/window over an unbounded relation)           [skipped with --fast]
+  7. bench.py (one JSON line, asserted to be the LAST stdout line and
+     to parse; compare vs the previous BENCH_r*.json)
+  8. rotate_window.py --check (no pre-current-round gate is
      driver-dark outside the window; pass this round's new/changed
      gate names via --changed so they're exempt)
 
@@ -124,6 +128,15 @@ def main() -> int:
             "sweep sf0.1 skewed layout",
             [py, check, "/root/testdata/sf0.1"],
             env={"SPARK_CHECK_CPUS": "3", "SPARK_CHECK_SHUFFLE": "5"},
+        )
+        # plan-shape axis (r10): executes every static gate plan and
+        # FAILS on an unbounded Exchange SinglePartition feeding a
+        # Window (the one-task global sort class) — regenerates
+        # PLAN_AUDIT.md as a side effect
+        run(
+            "plan audit (single-partition window guard)",
+            [py, os.path.join(HERE, "tools", "plan_audit.py"),
+             "/root/testdata/sf0.01"],
         )
     run_bench([py, os.path.join(HERE, "bench.py")])
     print("ALL AXES GREEN")
