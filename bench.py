@@ -141,6 +141,11 @@ HEADLINE = [
     # tracked next to streaming_neardup_ingest so the lifecycle's cost
     # delta is visible, not folded into one number
     "streaming_neardup_compacted",
+    # retrieval + model-inference surfaces: BM25 (broadcast query join +
+    # term-sorted deterministic fold) and the linear quality-classifier
+    # head (model-as-data compiled into one codegen projection)
+    "bm25_doc_ranking",
+    "linear_quality_scores",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

@@ -1,0 +1,59 @@
+"""Model-as-data scoring: apply a trained linear model to a corpus.
+
+The quality-filter inference shape (public: fastText/CCNet-style quality
+classifiers, DSIR importance weights): upstream training produces a
+small table of ``(feature, weight)`` rows; scoring 100 TB is then a
+single codegen projection — the model is CONTROL-PLANE data, the corpus
+never shuffles. This module keeps the engine's exactness discipline:
+integer features × integer weights → an exact BIGINT logit that any SQL
+engine replays bit-identically (a float sigmoid would be monotone
+decoration — thresholding the logit IS thresholding the probability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def score_with_linear_model(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: int = 0,
+    out: str = "logit",
+    features: dict[str, Column] | None = None,
+) -> DataFrame:
+    """``df`` + an exact-integer ``out`` column = ``bias + Σ weight·x``.
+
+    ``weights`` is a ``(feature STRING, weight BIGINT)`` table — the
+    model-registry shape. It is collected driver-side (a linear model is
+    bounded by its feature count — control-plane data, the same class as
+    k-means centroids or watermark rows) and compiled into ONE codegen
+    expression: zero joins, zero shuffles, zero Python in the hot path.
+
+    ``features`` optionally maps feature names to integer Column
+    expressions computed on the fly (e.g. token counts); names absent
+    from it must be existing integer columns of ``df``. NULL feature
+    values score as 0 (absent-feature convention). Duplicate feature
+    rows in ``weights`` are refused — silently summing them would hide a
+    registry bug. The deterministic feature-name ordering of the sum is
+    irrelevant for exact integers but kept anyway (replay hygiene)."""
+    rows = weights.select("feature", "weight").collect()
+    seen: dict[str, int] = {}
+    for r in rows:
+        f = r["feature"]
+        if f in seen:
+            raise ValueError(
+                f"score_with_linear_model: duplicate weight rows for "
+                f"feature {f!r} — fix the model table"
+            )
+        seen[f] = int(r["weight"])
+    expr: Column = F.lit(int(bias)).cast("bigint")
+    for feat in sorted(seen):
+        col = (features or {}).get(feat, None)
+        if col is None:
+            col = F.col(feat)
+        expr = expr + F.lit(seen[feat]) * F.coalesce(
+            col.cast("bigint"), F.lit(0)
+        )
+    return df.withColumn(out, expr.cast("bigint"))

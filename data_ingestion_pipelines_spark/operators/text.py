@@ -319,6 +319,110 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 document ranking against a query table → top-``top_k`` docs
+    per query: ``(query_id, doc_id, score DOUBLE, n_matched BIGINT,
+    rank BIGINT)``. ``queries`` is ``(query_id, terms ARRAY<STRING>)``.
+
+    The retrieval scorer for building RAG/eval corpora at scale
+    (public: Robertson & Zaragoza, "The Probabilistic Relevance
+    Framework: BM25 and Beyond"). IDF is the engine's RATIO convention
+    (``N/df`` — no libm log, same trade as :func:`tfidf_top_terms`: the
+    induced per-query ranking is preserved under the monotone map, and
+    the score stays a fixed chain of correctly-rounded IEEE ops that
+    any SQL engine replays bit-exactly).
+
+    Scale shape: one (doc, term) tf aggregate over the exploded corpus
+    (the only corpus shuffle — doc length and document frequency are
+    window aggregates over that same frame, the
+    :func:`tfidf_top_terms` no-extra-scan trick); the query table
+    explodes to (query, term) and BROADCASTS onto the tf frame (queries
+    are control-plane sized); per-(query, doc) totals then aggregate on
+    the composite key and each query's top-k is a per-query window —
+    partitioned, never global.
+
+    Cross-engine float determinism: the per-(query, doc) SUM over
+    matched terms is a sequential left fold over the TERM-SORTED score
+    list (``aggregate(sort_array(collect_list(...)))`` ↔ DuckDB
+    ``list_reduce(list_sort(...))``), never a bare SUM — shuffle-order
+    addition would hash differently per layout. List length is bounded
+    by query length (control-plane)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("term")
+    ).filter(~F.col("term").isin(_STOPWORDS))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = (
+        tf.withColumn("doc_len", F.sum("tf").over(Window.partitionBy(id_col)))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    # avgdl = one division of exact aggregates; broadcast with N
+    corpus = (
+        tf.groupBy(id_col).agg(F.sum("tf").alias("_dl"))
+        .agg(F.sum("_dl").alias("_toks"), F.count(F.lit(1)).alias("_d"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_docs",
+            (F.col("_toks").cast("double") / F.col("_d").cast("double")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    q = queries.select(
+        F.col("query_id"), F.explode("terms").alias("term")
+    ).dropDuplicates(["query_id", "term"])
+    per_term = (
+        stats.join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            F.col(id_col),
+            "term",
+            (
+                (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+                * (
+                    (F.col("tf").cast("double") * F.lit(float(k1) + 1.0))
+                    / (
+                        F.col("tf").cast("double")
+                        + F.lit(float(k1))
+                        * (
+                            F.lit(1.0 - float(b))
+                            + F.lit(float(b))
+                            * (F.col("doc_len").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("_s"),
+        )
+    )
+    totals = per_term.groupBy("query_id", id_col).agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "_s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_s"],
+        ).alias("score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= int(top_k))
+        .select("query_id", id_col, "score", "n_matched", "rank")
+    )
+
+
 def gopher_repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

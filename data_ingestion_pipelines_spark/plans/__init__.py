@@ -45,6 +45,8 @@ _PRIORITY = [
     "part_copurchase_kcore",
     "streaming_cms_table_ingest",
     "streaming_neardup_compacted",
+    "bm25_doc_ranking",
+    "linear_quality_scores",
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -88,8 +90,6 @@ _PRIORITY = [
     "correlated_explode",  # green CORRECTNESS_r03.json
     "event_hourly_windows_streaming",  # green CORRECTNESS_r03.json
     "streaming_dedup_watermarked",  # green CORRECTNESS_r03.json
-    "skewed_event_type_counts",  # green CORRECTNESS_r03.json
-    "totalprice_equidepth_histogram",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3190,6 +3190,143 @@ def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+# --------------------------------------------------------------------------
+# Linear quality-classifier inference (operators/scoring.py): a
+# fastText/CCNet-style quality filter head applied as model-as-data —
+# the (feature, weight) table collects driver-side (control-plane, like
+# centroids) and compiles into ONE codegen projection; the corpus never
+# shuffles. Integer features × integer weights → exact BIGINT logit,
+# so the verdict (keep = logit ≥ 0) and the logit itself ride the hash.
+# Weights are chosen to split the corpus non-trivially at every SF.
+def linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scoring import score_with_linear_model
+    from ..operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("n_chars", 3), ("n_tokens", 20), ("n_stop", -150)],
+        "feature string, weight bigint",
+    )
+    toks = word_tokens(F.col("text"))
+    feats = {
+        "n_tokens": F.size(toks),
+        "n_stop": F.size(
+            F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a"))
+        ),
+    }
+    scored = score_with_linear_model(
+        docs, weights, bias=-700, out="logit", features=feats
+    )
+    return scored.select(
+        "doc_id",
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        feats["n_stop"].cast("bigint").alias("n_stop"),
+        "logit",
+        (F.col("logit") >= 0).alias("keep"),
+    )
+
+
+LINEAR_QUALITY_SCORES_SQL = f"""
+WITH f AS (
+  SELECT doc_id, n_chars,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_TOKS},
+              t -> list_contains(['the','and','of','to','a'], t)))
+              AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stop,
+       CAST(-700 + 3 * n_chars + 20 * n_tokens + (-150) * n_stop AS BIGINT)
+         AS logit,
+       (-700 + 3 * n_chars + 20 * n_tokens + (-150) * n_stop) >= 0 AS keep
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval ranking (text.bm25_scores): three fixed queries over
+# the corpus vocabulary, top-10 docs each. Ratio IDF (N/df — the
+# engine's no-libm-log convention, ranking-preserving) keeps the score
+# a fixed chain of correctly-rounded IEEE ops; the per-(query, doc)
+# term sum is a SEQUENTIAL fold over the term-sorted score list on both
+# engines (aggregate(sort_array(...)) ↔ list_reduce(list_sort(...))) —
+# a bare SUM would add in shuffle order and hash differently per
+# layout. Literals are written as the same arithmetic on both sides
+# ((1.2 + 1.0), never a pre-folded 2.2: the two can differ by 1 ulp).
+_BM25_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["window", "sort", "merge"]),
+    (3, ["stream", "batch"]),
+]
+
+
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id bigint, terms array<string>"
+    )
+    return bm25_scores(docs, queries, top_k=10)
+
+
+_BM25_QUERY_ROWS = " UNION ALL ".join(
+    f"SELECT {qid} AS query_id, '{t}' AS term"
+    for qid, terms in _BM25_QUERIES
+    for t in terms
+)
+
+BM25_DOC_RANKING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), kept AS (
+  SELECT doc_id, term FROM tok WHERE NOT list_contains({_STOPWORDS_SQL}, term)
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM kept GROUP BY 1, 2
+), dl AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1
+), dfreq AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+corpus AS (
+  SELECT n.n_docs,
+         CAST(SUM(dl.doc_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl, n GROUP BY n.n_docs
+), q AS ({_BM25_QUERY_ROWS}),
+per_term AS (
+  SELECT q.query_id, tf.doc_id, tf.term,
+         (CAST(c.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+         * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(tf.tf AS DOUBLE)
+               + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * (CAST(dl.doc_len AS DOUBLE) / c.avgdl))))
+           AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN corpus c
+), totals AS (
+  SELECT query_id, doc_id,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(term := term, s := s))), x -> x.s
+           ),
+           (a, b) -> a + b
+         ) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_matched
+  FROM per_term GROUP BY 1, 2
+), rk AS (
+  SELECT query_id, doc_id, score, n_matched,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+         ) AS BIGINT) AS rank
+  FROM totals
+)
+SELECT query_id, doc_id, score, n_matched, rank FROM rk WHERE rank <= 10
+"""
+
+
 TFIDF_TOP_TERMS_DOCS_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -4898,6 +5035,8 @@ QUERIES = {
     ),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),
+    "bm25_doc_ranking": (bm25_doc_ranking, BM25_DOC_RANKING_SQL),
+    "linear_quality_scores": (linear_quality_scores, LINEAR_QUALITY_SCORES_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

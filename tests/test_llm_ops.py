@@ -1054,3 +1054,97 @@ def test_chunk_cu_seqlens_structure(spark):
         cu = list(r["cu_seqlens"])
         assert cu[0] == 0 and cu == sorted(cu) and len(set(cu)) == len(cu)
         assert r["n_segments"] == len(cu) - 1
+
+
+def test_bm25_scores_reference_and_fold_determinism(spark):
+    """BM25 on a hand corpus matches a python reference computed with
+    the same ratio-idf and op order; sums fold in term-sorted order so
+    the score is layout-independent; stopwords drop; top_k bounds."""
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join hash"),
+            (2, "the hash table build side"),
+            (3, "sort merge join of two tables"),
+            (4, "window functions and ranking"),
+        ],
+        "doc_id bigint, text string",
+    )
+    queries = spark.createDataFrame(
+        [(7, ["join", "hash"])], "query_id bigint, terms array<string>"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["n_matched"], r["rank"])
+        for r in bm25_scores(docs, queries, top_k=10).collect()
+    }
+
+    # python reference with identical arithmetic
+    import re as _re
+
+    stop = {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it"}
+    toks = {
+        r["doc_id"]: [
+            t for t in _re.findall(r"[a-z0-9]+", r["text"].lower())
+            if t not in stop
+        ]
+        for r in docs.collect()
+    }
+    tf = {(d, t): ts.count(t) for d, ts in toks.items() for t in set(ts)}
+    dl = {d: len(ts) for d, ts in toks.items()}
+    dfreq = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    n, avgdl = 4, sum(dl.values()) / len(dl)
+    k1, b = 1.2, 0.75
+
+    def s(d, t):
+        return (n / dfreq[t]) * (
+            (tf[(d, t)] * (k1 + 1.0))
+            / (tf[(d, t)] + k1 * ((1.0 - b) + b * (dl[d] / avgdl)))
+        )
+
+    for d in (1, 2, 3):
+        terms = sorted(t for t in ("join", "hash") if (d, t) in tf)
+        want = 0.0
+        for t in terms:
+            want = want + s(d, t)
+        assert got[d][0] == want, d
+        assert got[d][1] == len(terms)
+    assert 4 not in got  # no query term -> no row
+    assert got[1][2] == 1  # doc 1 has both terms, highest score
+
+
+def test_score_with_linear_model_semantics(spark):
+    """Exact-integer logit, NULL features score 0, computed-feature map
+    works, duplicate weight rows are refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.scoring import (
+        score_with_linear_model,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 2), (2, None, 5)], "id bigint, x bigint, y bigint"
+    )
+    w = spark.createDataFrame(
+        [("x", 3), ("y", -2), ("z", 100)], "feature string, weight bigint"
+    )
+    got = {
+        r["id"]: r["logit"]
+        for r in score_with_linear_model(
+            df, w, bias=7, features={"z": F.col("y") * F.col("y")}
+        ).collect()
+    }
+    # id1: 7 + 3*10 - 2*2 + 100*4 = 433; id2: 7 + 0 - 10 + 2500 = 2497
+    assert got == {1: 433, 2: 2497}
+
+    dup = spark.createDataFrame(
+        [("x", 1), ("x", 2)], "feature string, weight bigint"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        score_with_linear_model(df, dup)
