@@ -518,3 +518,85 @@ def k_core(
     return degrees(e).filter(F.col("core_degree") >= k).select(
         "node", F.col("core_degree").cast("bigint").alias("core_degree")
     )
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+    with_stability: bool = False,
+) -> DataFrame:
+    """FULL k-core decomposition — every node's CORENESS (the largest k
+    whose k-core contains it) — by synchronous h-index propagation →
+    ``(node, coreness BIGINT[, stable BOOLEAN])``.
+
+    Labels start at the degree; each round every node's label becomes
+    the H-INDEX of its neighbors' labels (the largest h such that ≥ h
+    neighbors have label ≥ h). Labels decrease monotonically and the
+    fixpoint is exactly the coreness (public: Montresor, De Pellegrini
+    & Miorandi, "Distributed k-Core Decomposition", arXiv:1103.5320 —
+    the locality theorem). One :func:`k_core` call answers "who is in
+    THE k-core"; this answers "what is every node's k" in one pass over
+    all k simultaneously.
+
+    Determinism/oracle: every quantity is an integer and rounds are
+    fixed, so the gate hash-replays as an unrolled SQL chain (the
+    LPA/k-core discipline). ``with_stability`` appends a ``stable``
+    flag — labels only ever DECREASE, so round-over-round equality of
+    ``SUM(label)`` is equality of every label (two lazy 1-row
+    aggregates broadcast onto the output; a too-small ``rounds``
+    surfaces in the hashed result, never silently).
+
+    Scale shape per round: one equi-join of the label vector against
+    the pinned symmetric edge list (shuffle-hash — both sides
+    graph-scale), then the h-index as a PER-NODE window rank over each
+    node's neighbor labels (partitioned by node — uniform vertex keys,
+    never a global window) and one max aggregate. Lineage truncates per
+    round with lazy localCheckpoints like every loop in this module.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("_nb"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("_nb")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    prev = labels
+    from pyspark.sql import Window
+
+    for _ in range(int(rounds)):
+        prev = labels
+        nb = sym.join(
+            labels.withColumnsRenamed({"node": "_nb", "label": "_nl"}).hint(
+                "shuffle_hash"
+            ),
+            "_nb",
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("_nl"))
+        labels = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("_rn"), F.col("_nl"))).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    out = labels.select("node", F.col("label").cast("bigint").alias("coreness"))
+    if not with_stability:
+        return out
+    verdict = (
+        labels.agg(F.sum("label").alias("_c"))
+        .crossJoin(prev.agg(F.sum("label").alias("_p")))
+        .select((F.col("_c") == F.col("_p")).alias("stable"))
+    )
+    return out.crossJoin(F.broadcast(verdict))

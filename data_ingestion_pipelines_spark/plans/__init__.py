@@ -47,6 +47,7 @@ _PRIORITY = [
     "streaming_neardup_compacted",
     "bm25_doc_ranking",
     "linear_quality_scores",
+    "part_copurchase_coreness",
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -89,7 +90,6 @@ _PRIORITY = [
     "flatten_roundtrip",  # green CORRECTNESS_r03.json
     "correlated_explode",  # green CORRECTNESS_r03.json
     "event_hourly_windows_streaming",  # green CORRECTNESS_r03.json
-    "streaming_dedup_watermarked",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -4295,6 +4295,79 @@ PART_COPURCHASE_KCORE_SQL = _kcore_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# Full coreness (operators/graph.core_numbers — synchronous h-index
+# propagation, Montresor et al.) on an ABSOLUTE-size slice of the
+# brand co-purchase graph (partkeys < 800 — the fuzzy_part_matches
+# trick): h-index convergence horizons grow with graph structure
+# (measured: > 32 rounds on the full sf0.1 graph), so the GATE runs
+# where a fixed 12-round unroll provably converges at every SF
+# (measured ≤ 8) and the in-hash `stable` flag would expose any future
+# data shape that broke that. The operator's scale story (per-round
+# shuffle shapes, per-node windows, lazy checkpoints) is documented on
+# the operator and pinned by the peeling-reference pytest; this gate
+# pins the cross-engine SEMANTICS, round for round.
+_CORENESS_ROUNDS, _CORENESS_CAP = 12, 800
+
+
+def part_copurchase_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import core_numbers
+
+    und = _brand_copurchase_pairs(spark, sf_dir).filter(
+        (F.col("pa") < _CORENESS_CAP) & (F.col("pb") < _CORENESS_CAP)
+    )
+    cores = core_numbers(
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+        rounds=_CORENESS_ROUNDS,
+        with_stability=True,
+    )
+    return cores.select(F.col("node").alias("part"), "coreness", "stable")
+
+
+def _coreness_oracle_sql(rounds: int = _CORENESS_ROUNDS, cap: int = _CORENESS_CAP) -> str:
+    """Unrolled DuckDB replay of core_numbers: labels start at the
+    degree; each round a node's label becomes the h-index of its
+    neighbors' labels (max over desc-sorted neighbor labels of
+    min(rank, label)) — integer term for integer term the Spark
+    operator. The h-index is tie-order-invariant, so the arbitrary
+    rank order among equal labels cannot diverge the engines."""
+    steps = [
+        f"""p AS MATERIALIZED (
+  SELECT pa, pb FROM pairs WHERE pa < {cap} AND pb < {cap}
+)""",
+        """sym AS MATERIALIZED (
+  SELECT pa AS node, pb AS nb FROM p UNION ALL SELECT pb, pa FROM p
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS label FROM sym GROUP BY node
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(f"""l{i} AS MATERIALIZED (
+  SELECT node, CAST(MAX(LEAST(rn, nl)) AS BIGINT) AS label FROM (
+    SELECT s.node, l.label AS nl,
+           CAST(row_number() OVER (
+             PARTITION BY s.node ORDER BY l.label DESC
+           ) AS BIGINT) AS rn
+    FROM sym s JOIN l{i - 1} l ON s.nb = l.node
+  ) GROUP BY node
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH {_BRAND_PAIRS_CTE},
+{chain},
+st AS (
+  SELECT (SELECT SUM(label) FROM l{rounds})
+         = (SELECT SUM(label) FROM l{rounds - 1}) AS stable
+)
+SELECT l{rounds}.node AS part, l{rounds}.label AS coreness, st.stable
+FROM l{rounds}, st
+"""
+
+
+PART_COPURCHASE_CORENESS_SQL = _coreness_oracle_sql()
+
+
+# --------------------------------------------------------------------------
 # INTERSECT set op (completes the O-family: union_pages covers UNION,
 # snapshot_diff_report covers EXCEPT ALL): customers who ordered in BOTH
 # 1995 and 1996. Catalyst plans this as a distinct semi-style aggregate —
@@ -5005,6 +5078,10 @@ QUERIES = {
         PART_COPURCHASE_COMMUNITIES_SQL,
     ),
     "part_copurchase_kcore": (part_copurchase_kcore, PART_COPURCHASE_KCORE_SQL),
+    "part_copurchase_coreness": (
+        part_copurchase_coreness,
+        PART_COPURCHASE_CORENESS_SQL,
+    ),
     "part_copurchase_triangles": (
         part_copurchase_triangles,
         PART_COPURCHASE_TRIANGLES_SQL,

@@ -318,3 +318,63 @@ def test_k_core_peeling_fixpoint_and_fixed_round(spark):
     for k in (2, 3, 4):
         got = {(r["node"], r["core_degree"]) for r in k_core(df3, k).collect()}
         assert got == ref_k_core(edges3, k), k
+
+
+def test_core_numbers_match_peeling_reference_and_k_core(spark):
+    """Coreness by h-index propagation equals the classic min-degree
+    peeling reference on a deterministic graph; consistency with
+    k_core: coreness(n) >= k iff n is in the k-core; stability verdict
+    is true once converged."""
+    from data_ingestion_pipelines_spark.operators.graph import (
+        core_numbers,
+        k_core,
+    )
+
+    edges3 = [
+        (i, (i * i + 1) % 23) for i in range(23)
+    ] + [(i, (i + 7) % 23) for i in range(23)]
+    edges3 = sorted({(min(a, b), max(a, b)) for a, b in edges3 if a != b})
+    df = spark.createDataFrame(edges3, "src bigint, dst bigint")
+
+    def ref_coreness(es):
+        """coreness via iterative peel per k: a node's coreness is k-1
+        when it first drops while peeling toward the k-core"""
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        core = {}
+        es_set = set(es)
+        k = 1
+        remaining = set(adj)
+        while remaining:
+            # peel everything below k
+            while True:
+                deg2 = {}
+                for a, b in es_set:
+                    deg2[a] = deg2.get(a, 0) + 1
+                    deg2[b] = deg2.get(b, 0) + 1
+                drop = {n for n in remaining if deg2.get(n, 0) < k}
+                if not drop:
+                    break
+                for n in drop:
+                    core[n] = k - 1
+                remaining -= drop
+                es_set = {(a, b) for a, b in es_set
+                          if a in remaining and b in remaining}
+            if not remaining:
+                break
+            k += 1
+        return core
+
+    want = ref_coreness(edges3)
+    got = {
+        r["node"]: (r["coreness"], r["stable"])
+        for r in core_numbers(df, rounds=10, with_stability=True).collect()
+    }
+    assert {n: c for n, (c, _) in got.items()} == want
+    assert all(s for _, s in got.values())  # converged
+
+    for k in (2, 3, 4):
+        in_core = {r["node"] for r in k_core(df, k).collect()}
+        assert in_core == {n for n, (c, _) in got.items() if c >= k}, k
