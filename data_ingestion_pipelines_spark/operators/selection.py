@@ -1,0 +1,266 @@
+"""Importance-resampling data selection (DSIR-style) over hashed n-grams.
+
+Implements the Data Selection via Importance Resampling recipe
+(Xie et al. 2023, arXiv:2302.03169): featurize every document into
+hashed n-gram bucket counts, estimate bag-of-hashed-ngrams
+distributions for a small TARGET corpus and the RAW corpus, weight each
+raw document by how target-like its grams are, and keep the top-k.
+
+Scale shape (the part that must survive 100 TB):
+
+- The two distributions are ONE partial-aggregated pass each over the
+  exploded grams — map-side combine collapses every task to at most
+  ``n_buckets`` rows before the (bounded, <= n_buckets-row) shuffle.
+- Scoring is MAP-ONLY: the per-bucket weight table (<= ``n_buckets``
+  rows) folds into a single broadcast map row, cross-joined onto the
+  corpus; each document's weight is an ``aggregate`` fold over its own
+  gram-bucket array. No shuffle ever touches the raw corpus rows.
+- Selection is the repo's limit-first top-k idiom
+  (``orderBy().limit(k)`` → TakeOrderedAndProject, then rank the <= k
+  survivors) — never a single-partition global window.
+
+Cross-engine determinism (the hash-oracle contract):
+
+- Bucketing is ``conv(substr(md5(gram),1,15),16,10) % n_buckets`` —
+  bit-identical to DuckDB's ``CAST('0x' || substr(md5(g),1,15) AS
+  BIGINT) % n_buckets`` (same idiom as operators/dedup.py minhash).
+- The per-bucket log-ratio is QUANTIZED to integers via floor-log2
+  (``length(bin(cnt + 1)) - 1``): the repo's no-libm-log convention —
+  ``ln()`` is not bit-reproducible across engines, integer bit-lengths
+  are. ``dsir_quantized_weights`` is therefore exactly hashable;
+  ``dsir_log_weights`` (the paper's real-valued weight, for production
+  ranking) is provided too but documented as not hash-oracled.
+
+Reference parity: the reference has no data-selection stage; this is
+part of the training-data-pipeline surface the build brief adds on top
+of SURVEY §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_tokens
+
+DEFAULT_BUCKETS = 4096
+
+
+def hashed_gram_buckets(
+    tokens: Column, n_buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """Unigram + bigram hashed bucket ids for a (materialized) token array.
+
+    ``tokens`` should reference a REAL column, not an inline expression:
+    Spark evaluates higher-order-function lambda arguments per element
+    when interpreted, so an inline ``regexp_extract_all`` would re-run
+    per gram (see plans/llmops.py boilerplate gate for the same rule).
+    """
+    bigrams = F.when(
+        F.size(tokens) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tokens, i), F.element_at(tokens, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(tokens, bigrams)
+    return F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ),
+    )
+
+
+def _floor_log2_plus1(cnt: Column) -> Column:
+    """floor(log2(cnt + 1)) as ``length(bin(cnt + 1)) - 1`` — pure integer
+    bit-length, identical in Spark and DuckDB (no libm)."""
+    return (F.length(F.bin(cnt + F.lit(1))) - F.lit(1)).cast("bigint")
+
+
+def bucket_distribution(
+    df: DataFrame, buckets_col: str = "buckets"
+) -> DataFrame:
+    """``(bucket bigint, cnt bigint)`` gram-occurrence counts; at most
+    ``n_buckets`` rows after the (map-side-combined) aggregation."""
+    return (
+        df.select(F.explode(buckets_col).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def _weight_map_row(
+    raw_dist: DataFrame,
+    target_dist: DataFrame,
+    n_buckets: int,
+    weight_expr,
+    const_expr,
+) -> DataFrame:
+    """One-row frame with a bucket -> per-occurrence weight map
+    (<= n_buckets entries) plus the per-gram normalization constant
+    ``const(T_total + B, R_total + B)`` — the ``log((R+B)/(T+B))`` term
+    of the smoothed likelihood ratio, which scales with each document's
+    GRAM COUNT (it is not doc-constant, so dropping it would bias the
+    ranking toward short documents). Bounded: the single-partition
+    aggregate folds at most n_buckets rows."""
+    joined = raw_dist.alias("r").join(
+        target_dist.alias("t").withColumnRenamed("cnt", "t_cnt"),
+        "bucket",
+        "left",
+    )
+    per_bucket = joined.select(
+        "bucket",
+        weight_expr(
+            F.coalesce(F.col("t_cnt"), F.lit(0)).cast("bigint"),
+            F.col("cnt").cast("bigint"),
+        ).alias("w"),
+        F.col("cnt").cast("bigint").alias("_r"),
+        F.coalesce(F.col("t_cnt"), F.lit(0)).cast("bigint").alias("_t"),
+    )
+    b = F.lit(n_buckets).cast("bigint")
+    return per_bucket.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "w")))
+        ).alias("_wmap"),
+        const_expr(
+            F.sum("_t").cast("bigint") + b, F.sum("_r").cast("bigint") + b
+        ).alias("_wconst"),
+    )
+
+
+def _score_against_map(
+    docs_with_buckets: DataFrame, wmap_row: DataFrame, out: str, zero
+) -> DataFrame:
+    """Map-only scoring: broadcast the one-row weight map, fold each
+    document's bucket array against it; the per-gram normalization
+    constant is added once per gram occurrence."""
+    scored = docs_with_buckets.crossJoin(F.broadcast(wmap_row))
+    return scored.withColumn(
+        out,
+        F.aggregate(
+            F.col("_buckets"),
+            zero,
+            lambda acc, b: acc
+            + F.coalesce(F.element_at(F.col("_wmap"), b), zero)
+            + F.col("_wconst"),
+        ),
+    ).drop("_wmap", "_wconst")
+
+
+def _with_buckets(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    # Materialization barrier before the HOFs (interpreted-lambda rule).
+    toks = df.withColumn(
+        "_toks",
+        F.coalesce(
+            word_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ),
+    ).localCheckpoint(eager=False)
+    return toks.withColumn(
+        "_buckets", hashed_gram_buckets(F.col("_toks"), n_buckets)
+    ).drop("_toks")
+
+
+def dsir_quantized_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    out: str = "qlw",
+) -> DataFrame:
+    """Integer-quantized DSIR importance weights (hash-oracle-safe).
+
+    Per bucket b: ``qlr[b] = floor_log2(target_cnt[b] + 1) -
+    floor_log2(raw_cnt[b] + 1)`` (add-one smoothing); per document:
+    ``qlw = sum over gram occurrences of (qlr[bucket(gram)] + wconst)``
+    where ``wconst = floor_log2(R + B) - floor_log2(T + B)`` is the
+    quantized normalization constant of the smoothed likelihood ratio
+    (R/T = total raw/target gram occurrences, B = n_buckets). The
+    constant scales with gram count, so it is part of the per-gram fold,
+    not a doc-level offset. Also emits ``n_grams``. Buckets never seen
+    in the raw corpus cannot occur in raw documents, so the left join
+    is complete.
+    """
+    bucketed = _with_buckets(raw, text_col, n_buckets)
+    raw_dist = bucket_distribution(bucketed, "_buckets")
+    target_dist = bucket_distribution(
+        _with_buckets(target, text_col, n_buckets), "_buckets"
+    )
+    wmap = _weight_map_row(
+        raw_dist,
+        target_dist,
+        n_buckets,
+        lambda t_cnt, r_cnt: _floor_log2_plus1(t_cnt) - _floor_log2_plus1(r_cnt),
+        # flog2(R+B) - flog2(T+B): same quantization as the per-bucket term
+        lambda tpb, rpb: (
+            (F.length(F.bin(rpb)) - F.lit(1))
+            - (F.length(F.bin(tpb)) - F.lit(1))
+        ).cast("bigint"),
+    )
+    scored = _score_against_map(
+        bucketed, wmap, out, F.lit(0).cast("bigint")
+    )
+    return scored.withColumn(
+        "n_grams", F.size("_buckets").cast("bigint")
+    ).drop("_buckets")
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    out: str = "log_w",
+) -> DataFrame:
+    """The paper's real-valued log importance weight — the exact log of
+    the smoothed likelihood ratio:
+    ``sum_b c_b * (ln(t_cnt[b] + 1) - ln(r_cnt[b] + 1))
+    + n_grams * (ln(R + B) - ln(T + B))``. Uses libm ``ln`` — correct
+    for production ranking, NOT hash-oracled (ulps differ across
+    engines); gate-level verification goes through
+    :func:`dsir_quantized_weights`.
+    """
+    bucketed = _with_buckets(raw, text_col, n_buckets)
+    raw_dist = bucket_distribution(bucketed, "_buckets")
+    target_dist = bucket_distribution(
+        _with_buckets(target, text_col, n_buckets), "_buckets"
+    )
+    wmap = _weight_map_row(
+        raw_dist,
+        target_dist,
+        n_buckets,
+        lambda t_cnt, r_cnt: F.log((t_cnt + F.lit(1)).cast("double"))
+        - F.log((r_cnt + F.lit(1)).cast("double")),
+        lambda tpb, rpb: F.log(rpb.cast("double"))
+        - F.log(tpb.cast("double")),
+    )
+    scored = _score_against_map(
+        bucketed, wmap, out, F.lit(0.0).cast("double")
+    )
+    return scored.withColumn(
+        "n_grams", F.size("_buckets").cast("bigint")
+    ).drop("_buckets")
+
+
+def dsir_select_topk(
+    weighted: DataFrame,
+    k: int,
+    weight_col: str = "qlw",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic resample: top-k by weight with a total tiebreak on
+    the id — the limit-first idiom (TakeOrderedAndProject plans the
+    global sort as a per-partition top-k + driver merge of k rows;
+    the rank window then only ever sees <= k rows)."""
+    from pyspark.sql import Window
+
+    top = weighted.orderBy(F.desc(weight_col), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc(weight_col), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    )

@@ -48,6 +48,7 @@ _PRIORITY = [
     "bm25_doc_ranking",
     "linear_quality_scores",
     "part_copurchase_coreness",
+    "dsir_selected_docs",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -89,7 +90,6 @@ _PRIORITY = [
     "cast_rename_spec",  # green CORRECTNESS_r03.json
     "flatten_roundtrip",  # green CORRECTNESS_r03.json
     "correlated_explode",  # green CORRECTNESS_r03.json
-    "event_hourly_windows_streaming",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3244,6 +3244,78 @@ FROM f
 
 
 # --------------------------------------------------------------------------
+# DSIR importance-resampling data selection (operators/selection.py —
+# Xie et al. 2023): hashed unigram+bigram bucket distributions for a
+# target slice (source src0/src1) vs the whole corpus; per-doc weight is
+# the integer floor-log2-quantized log-ratio sum (the no-libm-log
+# convention — bit-lengths are exact on both engines); top-100 kept via
+# the limit-first idiom. Scoring is map-only: the <=4096-row weight
+# table folds into one broadcast map row, so no shuffle ever touches
+# the corpus rows.
+_DSIR_TARGET_SOURCES = ("src0", "src1")
+_DSIR_K = 100
+
+
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import dsir_quantized_weights, dsir_select_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
+    weighted = dsir_quantized_weights(docs, target)
+    sel = dsir_select_topk(
+        weighted.filter(F.col("n_grams") >= 1), k=_DSIR_K
+    )
+    return sel.select("doc_id", "n_grams", "qlw", "rank")
+
+
+DSIR_SELECTED_DOCS_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), grams AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_concat(t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END)) AS g
+  FROM toks
+), b AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM grams
+), rcnt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM b GROUP BY 1
+), tcnt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS t_cnt
+  FROM b JOIN documents USING (doc_id)
+  WHERE source IN ('src0', 'src1') GROUP BY 1
+), qlr AS (
+  SELECT r.bucket,
+         CAST(length(bin(COALESCE(t.t_cnt, 0) + 1))
+              - length(bin(r.r_cnt + 1)) AS BIGINT) AS q
+  FROM rcnt r LEFT JOIN tcnt t USING (bucket)
+), wconst AS (
+  -- floor_log2(R + B) - floor_log2(T + B): the quantized normalization
+  -- constant of the smoothed likelihood ratio, applied per gram
+  SELECT CAST(length(bin((SELECT SUM(r_cnt) FROM rcnt) + 4096))
+              - length(bin(COALESCE((SELECT SUM(t_cnt) FROM tcnt), 0)
+                           + 4096)) AS BIGINT) AS w
+), scored AS (
+  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(q) + COUNT(*) * wconst.w AS BIGINT) AS qlw
+  FROM b JOIN qlr USING (bucket) CROSS JOIN wconst
+  GROUP BY b.doc_id, wconst.w
+), rk AS (
+  SELECT doc_id, n_grams, qlw,
+         CAST(row_number() OVER (ORDER BY qlw DESC, doc_id ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, n_grams, qlw, rank FROM rk WHERE rank <= 100
+"""
+
+
+# --------------------------------------------------------------------------
 # BM25 retrieval ranking (text.bm25_scores): three fixed queries over
 # the corpus vocabulary, top-10 docs each. Ratio IDF (N/df — the
 # engine's no-libm-log convention, ranking-preserving) keeps the score
@@ -5037,6 +5109,7 @@ QUERIES = {
     "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),
     "bm25_doc_ranking": (bm25_doc_ranking, BM25_DOC_RANKING_SQL),
     "linear_quality_scores": (linear_quality_scores, LINEAR_QUALITY_SCORES_SQL),
+    "dsir_selected_docs": (dsir_selected_docs, DSIR_SELECTED_DOCS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

@@ -1,0 +1,97 @@
+"""DSIR importance-resampling selection (operators/selection.py)."""
+
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.selection import (
+    dsir_log_weights,
+    dsir_quantized_weights,
+    dsir_select_topk,
+    hashed_gram_buckets,
+)
+
+
+_LEGAL = (
+    "the party hereby agrees that the contract terms govern "
+    "liability and indemnification of the party"
+)
+
+
+def _two_domain_corpus(spark):
+    """40 docs: 20 'legal' (distinct vocab), 20 'chat'."""
+    legal = [(i, _LEGAL) for i in range(20)]
+    chat = [
+        (100 + i, "lol ok see you later gonna grab food brb haha yeah")
+        for i in range(20)
+    ]
+    return spark.createDataFrame(legal + chat, "doc_id bigint, text string")
+
+
+def _legal_target(spark):
+    """A target sample whose gram distribution genuinely concentrates on
+    the legal domain (a one-doc target is flattened into near-uniform by
+    add-one smoothing over thousands of buckets — the paper's setting is
+    a sizeable target corpus)."""
+    return spark.createDataFrame(
+        [(1000 + i, _LEGAL) for i in range(5)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    raw = _two_domain_corpus(spark)
+    weighted = dsir_quantized_weights(raw, _legal_target(spark))
+    sel = dsir_select_topk(weighted, k=20)
+    picked = {r.doc_id for r in sel.select("doc_id").collect()}
+    assert picked == set(range(20)), "top-20 must be exactly the legal docs"
+
+
+def test_quantized_and_exact_weights_agree_on_direction(spark):
+    raw = _two_domain_corpus(spark)
+    target = _legal_target(spark)
+    q = {r.doc_id: r.qlw for r in dsir_quantized_weights(raw, target).collect()}
+    e = {
+        r.doc_id: r.log_w
+        for r in dsir_log_weights(raw, target).collect()
+    }
+    legal_q = min(q[i] for i in range(20))
+    chat_q = max(q[100 + i] for i in range(20))
+    assert legal_q > chat_q
+    legal_e = min(e[i] for i in range(20))
+    chat_e = max(e[100 + i] for i in range(20))
+    assert legal_e > chat_e
+
+
+def test_bucket_ids_bounded_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id bigint, text string"
+    ).withColumn("_toks", F.split("text", " "))
+    row1 = df.select(hashed_gram_buckets(F.col("_toks"), 64).alias("b")).first()
+    row2 = df.select(hashed_gram_buckets(F.col("_toks"), 64).alias("b")).first()
+    assert row1.b == row2.b
+    # 3 unigrams + 2 bigrams
+    assert len(row1.b) == 5
+    assert all(0 <= v < 64 for v in row1.b)
+
+
+def test_null_and_empty_text_rows_survive(spark):
+    raw = spark.createDataFrame(
+        [(1, "the contract party"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(9, "contract party")], "doc_id bigint, text string"
+    )
+    out = dsir_quantized_weights(raw, target).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1, 2, 3}
+    assert by_id[2].n_grams == 0 and by_id[2].qlw == 0
+    assert by_id[3].n_grams == 0 and by_id[3].qlw == 0
+
+
+def test_select_topk_plans_limit_first(spark):
+    raw = _two_domain_corpus(spark)
+    target = raw.limit(1)
+    sel = dsir_select_topk(dsir_quantized_weights(raw, target), k=5)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert sel.count() == 5
