@@ -1,0 +1,96 @@
+"""Preference-pair construction for reward-model / DPO training data.
+
+Given candidate items grouped by a context key (prompt id, source,
+topic bucket) and a per-item quality score, emit (chosen, rejected)
+pairs — the canonical RLHF/DPO data-prep step (Rafailov et al. 2023,
+arXiv:2305.18290 consumes exactly this shape; the construction itself
+is the standard reward-data recipe from Ouyang et al. 2022).
+
+Strategies:
+
+- ``best_worst`` — one pair per group: argmax vs argmin of the score.
+  Implemented as a single ``max_by``/``min_by`` aggregation: ONE
+  shuffle on the group key, no window, no join.
+- ``adjacent``   — rank items within each group and pair rank i
+  (chosen) with rank i+1 (rejected) via ``lead()``: one
+  group-partitioned window (never a global window), pairs bounded by
+  group size. Adjacent pairs give the densest signal per group while
+  keeping every comparison between closest-quality items.
+
+Both enforce ``margin = chosen_score - rejected_score >= margin_min``
+(strictly positive margins mean no tied pairs leak label noise into
+training). Ties inside a group are broken by the id column, so output
+is deterministic under any partitioning — scores equal ⇒ margin 0 ⇒
+dropped by default (``margin_min=1``).
+
+Scale: groups are prompts with a handful of candidates (or bounded
+corpus slices); the group-key shuffle is the only data movement. Skewed
+group sizes are the caller's concern — for pathological groups route
+through operators/skew.py salting on the DIAGNOSIS side; pairing
+itself stays per-group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_STRATEGIES = ("best_worst", "adjacent")
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    score_col: str,
+    strategy: str = "adjacent",
+    margin_min: int = 1,
+) -> DataFrame:
+    """Emit ``(group, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin)`` preference rows."""
+    if strategy not in _STRATEGIES:
+        raise ValueError(
+            f"unknown strategy {strategy!r}; expected one of {_STRATEGIES}"
+        )
+    g, i, s = F.col(group_col), F.col(id_col), F.col(score_col)
+    if strategy == "best_worst":
+        # Tiebreak is part of the ordered struct: (score, -id) max ⇒
+        # highest score, smallest id; (score, -id) min ⇒ lowest score,
+        # largest id — total order, deterministic.
+        agg = df.groupBy(group_col).agg(
+            F.max_by(i, F.struct(s, -i)).alias("chosen_id"),
+            F.max(s).alias("chosen_score"),
+            F.min_by(i, F.struct(s, -i)).alias("rejected_id"),
+            F.min(s).alias("rejected_score"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        pairs = agg.filter(F.col("_n") >= 2).drop("_n")
+    else:
+        w = Window.partitionBy(group_col).orderBy(s.desc(), i.asc())
+        ranked = df.select(group_col, id_col, score_col).withColumns(
+            {
+                "_next_id": F.lead(i).over(w),
+                "_next_score": F.lead(s).over(w),
+            }
+        )
+        pairs = ranked.filter(F.col("_next_id").isNotNull()).select(
+            g.alias(group_col),
+            i.alias("chosen_id"),
+            F.col("_next_id").alias("rejected_id"),
+            s.alias("chosen_score"),
+            F.col("_next_score").alias("rejected_score"),
+        )
+    return (
+        pairs.withColumn(
+            "margin", F.col("chosen_score") - F.col("rejected_score")
+        )
+        .filter(F.col("margin") >= F.lit(margin_min))
+        .select(
+            group_col,
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            "margin",
+        )
+    )

@@ -3316,6 +3316,52 @@ SELECT doc_id, n_grams, qlw, rank FROM rk WHERE rank <= 100
 
 
 # --------------------------------------------------------------------------
+# DPO/reward-model preference pairs (operators/preference.py): within
+# each source group, rank documents by an exact-integer quality logit
+# and pair adjacent ranks (chosen = better, rejected = next) with a
+# strictly positive margin. One group-key shuffle; the window is
+# group-partitioned, never global.
+def preference_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.preference import preference_pairs
+    from ..operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    score = (
+        F.lit(3) * F.col("n_chars")
+        + F.lit(20) * F.size(toks)
+        - F.lit(150)
+        * F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a")))
+    ).cast("bigint")
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    return preference_pairs(
+        scored, "source", "doc_id", "score", strategy="adjacent", margin_min=1
+    )
+
+
+PREFERENCE_PAIRS_DOCS_SQL = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         CAST(3 * n_chars + 20 * len({_TOKS})
+              - 150 * len(list_filter({_TOKS},
+                    t -> list_contains(['the','and','of','to','a'], t)))
+              AS BIGINT) AS score
+  FROM documents
+), r AS (
+  SELECT source, doc_id, score,
+         lead(doc_id) OVER w AS next_id,
+         lead(score) OVER w AS next_score
+  FROM f
+  WINDOW w AS (PARTITION BY source ORDER BY score DESC, doc_id ASC)
+)
+SELECT source, doc_id AS chosen_id, next_id AS rejected_id,
+       score AS chosen_score, next_score AS rejected_score,
+       CAST(score - next_score AS BIGINT) AS margin
+FROM r WHERE next_id IS NOT NULL AND score - next_score >= 1
+"""
+
+
+# --------------------------------------------------------------------------
 # BM25 retrieval ranking (text.bm25_scores): three fixed queries over
 # the corpus vocabulary, top-10 docs each. Ratio IDF (N/df — the
 # engine's no-libm-log convention, ranking-preserving) keeps the score
@@ -5110,6 +5156,7 @@ QUERIES = {
     "bm25_doc_ranking": (bm25_doc_ranking, BM25_DOC_RANKING_SQL),
     "linear_quality_scores": (linear_quality_scores, LINEAR_QUALITY_SCORES_SQL),
     "dsir_selected_docs": (dsir_selected_docs, DSIR_SELECTED_DOCS_SQL),
+    "preference_pairs_docs": (preference_pairs_docs, PREFERENCE_PAIRS_DOCS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

@@ -1,0 +1,59 @@
+"""Preference-pair construction (operators/preference.py)."""
+
+import pytest
+
+from data_ingestion_pipelines_spark.operators.preference import preference_pairs
+
+
+def _scored(spark):
+    rows = [
+        # group A: scores 30 > 20 > 10
+        ("A", 1, 30), ("A", 2, 20), ("A", 3, 10),
+        # group B: tie at the top (score 50: ids 4, 5), then 40
+        ("B", 4, 50), ("B", 5, 50), ("B", 6, 40),
+        # group C: singleton — no pair possible
+        ("C", 7, 99),
+    ]
+    return spark.createDataFrame(rows, "grp string, item_id bigint, score bigint")
+
+
+def test_adjacent_pairs_and_margins(spark):
+    out = preference_pairs(
+        _scored(spark), "grp", "item_id", "score", strategy="adjacent"
+    ).collect()
+    pairs = {(r.grp, r.chosen_id, r.rejected_id, r.margin) for r in out}
+    assert pairs == {
+        ("A", 1, 2, 10),
+        ("A", 2, 3, 10),
+        # B: the 4-5 tie (margin 0) is dropped; 5 (tiebreak rank 2) vs 6 stays
+        ("B", 5, 6, 10),
+    }
+
+
+def test_best_worst_one_pair_per_group(spark):
+    out = preference_pairs(
+        _scored(spark), "grp", "item_id", "score", strategy="best_worst"
+    ).collect()
+    pairs = {(r.grp, r.chosen_id, r.rejected_id, r.margin) for r in out}
+    assert pairs == {("A", 1, 3, 20), ("B", 4, 6, 10)}
+
+
+def test_margin_min_filters(spark):
+    out = preference_pairs(
+        _scored(spark), "grp", "item_id", "score",
+        strategy="adjacent", margin_min=11,
+    ).collect()
+    assert out == []
+
+
+def test_unknown_strategy_refused(spark):
+    with pytest.raises(ValueError, match="unknown strategy"):
+        preference_pairs(_scored(spark), "grp", "item_id", "score", strategy="x")
+
+
+def test_window_is_group_partitioned_not_global(spark):
+    sel = preference_pairs(
+        _scored(spark), "grp", "item_id", "score", strategy="adjacent"
+    )
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
