@@ -247,6 +247,143 @@ def dsir_log_weights(
     ).drop("_buckets")
 
 
+def ngram_lm_surprisal(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    out: str = "surprisal",
+) -> DataFrame:
+    """CCNet-style quality signal: per-document surprisal under a hashed
+    bigram language model trained on a reference corpus (Wenzek et al.
+    2020, arXiv:1911.00359 — there a KenLM 5-gram; here a hashed bigram
+    LM with the same role: fluent-looking text scores low, gibberish
+    scores high).
+
+    Per bigram (w1, w2), add-B-smoothed conditional surprisal,
+    floor-log2-quantized to stay integer-exact across engines:
+    ``flog2(ref_cnt(w1) + B) - flog2(ref_cnt(w1 w2) + 1)``.
+    Unseen w1 ⇒ ``flog2(B)``; unseen bigram ⇒ 0 subtracted (the
+    maximally surprising case). Per document: the sum over its bigrams
+    (``surprisal``), ``n_bigrams``, and ``avg_surprisal`` (ONE division
+    of exact integers — length-invariant ranking signal).
+
+    Scale shape mirrors :func:`dsir_quantized_weights`: the two
+    reference count tables partial-aggregate to <= n_buckets rows each,
+    fold into one broadcast map row, and scoring is a map-only zip-fold
+    over each document's own bigram array — no shuffle touches the
+    scored corpus.
+    """
+    bucketed = _with_pair_buckets(docs, text_col, n_buckets)
+    ref = _with_pair_buckets(reference, text_col, n_buckets)
+    uni_cnt = bucket_distribution(ref, "_uni")
+    bi_cnt = bucket_distribution(ref, "_bi")
+    b = F.lit(n_buckets).cast("bigint")
+    maps = (
+        uni_cnt.agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "bucket",
+                            _floor_log2(F.col("cnt") + b).alias("w"),
+                        )
+                    )
+                )
+            ).alias("_umap")
+        )
+        .crossJoin(
+            bi_cnt.agg(
+                F.map_from_entries(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                "bucket",
+                                _floor_log2(F.col("cnt") + F.lit(1)).alias("w"),
+                            )
+                        )
+                    )
+                ).alias("_bmap")
+            )
+        )
+    )
+    unseen_uni = _floor_log2(b)
+    zero = F.lit(0).cast("bigint")
+    scored = bucketed.crossJoin(F.broadcast(maps)).withColumn(
+        out,
+        F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_uni"), 1, F.greatest(F.size("_bi"), F.lit(0))),
+                F.col("_bi"),
+                lambda u, bi: F.coalesce(
+                    F.element_at(F.col("_umap"), u), unseen_uni
+                )
+                - F.coalesce(F.element_at(F.col("_bmap"), bi), zero),
+            ),
+            zero,
+            lambda acc, t: acc + t,
+        ),
+    )
+    return (
+        scored.withColumn("n_bigrams", F.size("_bi").cast("bigint"))
+        .withColumn(
+            "avg_surprisal",
+            F.when(
+                F.col("n_bigrams") >= 1,
+                F.col(out).cast("double") / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(None).cast("double")),
+        )
+        .drop("_uni", "_bi", "_umap", "_bmap")
+    )
+
+
+def _floor_log2(n: Column) -> Column:
+    """floor(log2(n)) for n >= 1, as bit length - 1 (exact, no libm)."""
+    return (F.length(F.bin(n)) - F.lit(1)).cast("bigint")
+
+
+def _with_pair_buckets(
+    df: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Aligned unigram / bigram bucket arrays: ``_uni[i]`` is the bucket
+    of token i, ``_bi[i]`` the bucket of ``token i + ' ' + token i+1``
+    (so ``_bi`` is one shorter; ``_uni[i]`` is bigram i's conditioning
+    context)."""
+    mod = F.lit(n_buckets)
+
+    def _h(g: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"), mod
+        )
+
+    toks = df.withColumn(
+        "_toks",
+        F.coalesce(
+            word_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ),
+    ).localCheckpoint(eager=False)
+    return (
+        toks.withColumn("_uni", F.transform(F.col("_toks"), _h))
+        .withColumn(
+            "_bi",
+            F.when(
+                F.size("_toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: _h(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("_toks"), i),
+                            F.element_at(F.col("_toks"), i + 1),
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+        .drop("_toks")
+    )
+
+
 def dsir_select_topk(
     weighted: DataFrame,
     k: int,

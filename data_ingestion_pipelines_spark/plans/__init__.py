@@ -50,6 +50,7 @@ _PRIORITY = [
     "part_copurchase_coreness",
     "dsir_selected_docs",  # new (round 10)
     "preference_pairs_docs",  # new (round 10)
+    "doc_lm_surprisal",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -89,7 +90,6 @@ _PRIORITY = [
     "latest_event_per_user",  # green CORRECTNESS_r03.json
     "inc_copy_candidates",  # green CORRECTNESS_r03.json
     "cast_rename_spec",  # green CORRECTNESS_r03.json
-    "flatten_roundtrip",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

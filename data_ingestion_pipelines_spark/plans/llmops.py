@@ -3316,6 +3316,71 @@ SELECT doc_id, n_grams, qlw, rank FROM rk WHERE rank <= 100
 
 
 # --------------------------------------------------------------------------
+# CCNet-style LM quality signal (operators/selection.ngram_lm_surprisal):
+# per-doc surprisal under a hashed bigram LM trained on the English
+# slice. Quantized floor-log2 conditionals (no libm); the two reference
+# count tables fold into broadcast maps; scoring is a map-only zip-fold
+# — no shuffle touches the scored corpus. avg_surprisal is ONE division
+# of exact integers (hash-safe).
+def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import ngram_lm_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    reference = docs.filter(F.col("lang") == "en")
+    return ngram_lm_surprisal(docs, reference).select(
+        "doc_id", "n_bigrams", "surprisal", "avg_surprisal"
+    )
+
+
+DOC_LM_SURPRISAL_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang, {_TOKS} AS t FROM documents
+), runi AS (
+  SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 8192 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS g FROM toks WHERE lang = 'en')
+  GROUP BY 1
+), rbi AS (
+  SELECT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 8192 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks WHERE lang = 'en')
+  GROUP BY 1
+), pairs0 AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> struct_pack(u := t[i], w := t[i] || ' ' || t[i + 1]))) AS p
+  FROM toks
+), pairs AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(p.u), 1, 15)) AS BIGINT) % 8192 AS u,
+         CAST(('0x' || substr(md5(p.w), 1, 15)) AS BIGINT) % 8192 AS b
+  FROM pairs0
+), per_pair AS (
+  -- flog2(uni_cnt + B) - flog2(bi_cnt + 1); the two "-1"s cancel
+  SELECT doc_id,
+         CAST(length(bin(COALESCE(ru.c, 0) + 8192))
+              - length(bin(COALESCE(rb.c, 0) + 1)) AS BIGINT) AS s
+  FROM pairs
+  LEFT JOIN runi ru ON pairs.u = ru.bucket
+  LEFT JOIN rbi rb ON pairs.b = rb.bucket
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(s) AS BIGINT) AS surprisal
+  FROM per_pair GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.surprisal, 0) AS surprisal,
+       CASE WHEN COALESCE(a.n_bigrams, 0) >= 1
+            THEN CAST(a.surprisal AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+       END AS avg_surprisal
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # DPO/reward-model preference pairs (operators/preference.py): within
 # each source group, rank documents by an exact-integer quality logit
 # and pair adjacent ranks (chosen = better, rejected = next) with a
@@ -5157,6 +5222,7 @@ QUERIES = {
     "linear_quality_scores": (linear_quality_scores, LINEAR_QUALITY_SCORES_SQL),
     "dsir_selected_docs": (dsir_selected_docs, DSIR_SELECTED_DOCS_SQL),
     "preference_pairs_docs": (preference_pairs_docs, PREFERENCE_PAIRS_DOCS_SQL),
+    "doc_lm_surprisal": (doc_lm_surprisal, DOC_LM_SURPRISAL_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

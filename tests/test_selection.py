@@ -95,3 +95,46 @@ def test_select_topk_plans_limit_first(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert sel.count() == 5
+
+
+# --- ngram LM surprisal (CCNet-style quality signal) ---------------------
+
+from data_ingestion_pipelines_spark.operators.selection import (  # noqa: E402
+    ngram_lm_surprisal,
+)
+
+_FLUENT = "the quick brown fox jumps over the lazy dog near the river bank"
+
+
+def test_lm_surprisal_separates_fluent_from_gibberish(spark):
+    reference = spark.createDataFrame(
+        [(100 + i, _FLUENT) for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, _FLUENT),  # in-distribution
+            (2, "zx9 qqv 7rj kpl m2x vv8 t0q zzz jjj qpx wvy 8xx"),  # gibberish
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm_surprisal(docs, reference).collect()}
+    assert out[1].avg_surprisal < out[2].avg_surprisal
+    # gibberish: every unigram and bigram unseen -> per-bigram cost is
+    # exactly flog2(B) - 0 = 13 at the default 8192 buckets
+    assert out[2].avg_surprisal == 13.0
+
+
+def test_lm_surprisal_empty_and_single_token_docs(spark):
+    reference = spark.createDataFrame(
+        [(10, _FLUENT)], "doc_id bigint, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "hello")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in ngram_lm_surprisal(docs, reference).collect()}
+    for d in (1, 2, 3):
+        assert out[d].n_bigrams == 0
+        assert out[d].surprisal == 0
+        assert out[d].avg_surprisal is None
