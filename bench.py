@@ -146,6 +146,15 @@ HEADLINE = [
     # head (model-as-data compiled into one codegen projection)
     "bm25_doc_ranking",
     "linear_quality_scores",
+    # round-10 continuation: full-coreness h-index propagation (12
+    # unrolled rounds), and the three data-selection surfaces — DSIR
+    # (two distribution passes + broadcast-map fold scoring), LM
+    # surprisal (two broadcast maps + zip-fold), and preference pairs
+    # (group-partitioned lead window)
+    "part_copurchase_coreness",
+    "dsir_selected_docs",
+    "doc_lm_surprisal",
+    "preference_pairs_docs",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
@@ -384,8 +393,15 @@ def main() -> None:
         summary["stderr_log"] = jvm_log.name
     if compare_path:
         print(f"# --compare vs {compare_path}:", file=sys.stderr)
-        print(compare_benches(_load_bench_json(compare_path), summary),
-              file=sys.stderr)
+        # never let a broken/absent compare target kill the run — the
+        # summary JSON line below is the artifact of record (round 9's
+        # driver artifact is parse-broken and must still be passable
+        # as a --compare arg without masking this run's numbers)
+        try:
+            print(compare_benches(_load_bench_json(compare_path), summary),
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# compare skipped: {exc}", file=sys.stderr)
     sys.stderr.flush()
     # hard bound, ENFORCED by a detail-shedding ladder (review r10: a
     # single trim then print-regardless could still ship an oversized

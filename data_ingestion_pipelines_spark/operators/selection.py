@@ -168,7 +168,7 @@ def _with_buckets(
 
 def dsir_quantized_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     out: str = "qlw",
@@ -185,12 +185,20 @@ def dsir_quantized_weights(
     not a doc-level offset. Also emits ``n_grams``. Buckets never seen
     in the raw corpus cannot occur in raw documents, so the left join
     is complete.
+
+    ``target`` is either a separate DataFrame or a BOOLEAN Column over
+    ``raw``'s columns (the common in-corpus-slice case) — the predicate
+    form reuses the single tokenize+bucketize pass for both
+    distributions instead of featurizing the slice twice.
     """
     bucketed = _with_buckets(raw, text_col, n_buckets)
     raw_dist = bucket_distribution(bucketed, "_buckets")
-    target_dist = bucket_distribution(
-        _with_buckets(target, text_col, n_buckets), "_buckets"
+    target_bucketed = (
+        bucketed.filter(target)
+        if isinstance(target, Column)
+        else _with_buckets(target, text_col, n_buckets)
     )
+    target_dist = bucket_distribution(target_bucketed, "_buckets")
     wmap = _weight_map_row(
         raw_dist,
         target_dist,
@@ -212,7 +220,7 @@ def dsir_quantized_weights(
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     text_col: str = "text",
     n_buckets: int = DEFAULT_BUCKETS,
     out: str = "log_w",
@@ -227,9 +235,12 @@ def dsir_log_weights(
     """
     bucketed = _with_buckets(raw, text_col, n_buckets)
     raw_dist = bucket_distribution(bucketed, "_buckets")
-    target_dist = bucket_distribution(
-        _with_buckets(target, text_col, n_buckets), "_buckets"
+    target_bucketed = (
+        bucketed.filter(target)
+        if isinstance(target, Column)
+        else _with_buckets(target, text_col, n_buckets)
     )
+    target_dist = bucket_distribution(target_bucketed, "_buckets")
     wmap = _weight_map_row(
         raw_dist,
         target_dist,
@@ -274,40 +285,68 @@ def ngram_lm_surprisal(
     over each document's own bigram array — no shuffle touches the
     scored corpus.
     """
-    bucketed = _with_pair_buckets(docs, text_col, n_buckets)
+    return score_with_frozen_lm(
+        docs,
+        frozen_lm_maps(reference, text_col=text_col, n_buckets=n_buckets),
+        text_col=text_col,
+        n_buckets=n_buckets,
+        out=out,
+    )
+
+
+def frozen_lm_maps(
+    reference: DataFrame, text_col: str = "text", n_buckets: int = 8192
+) -> DataFrame:
+    """Train the hashed bigram LM once: a ONE-ROW frame holding the two
+    bucket -> floor-log2 maps (``_umap`` over ``cnt + B``, ``_bmap``
+    over ``cnt + 1``). This is the frozen model artifact — persist or
+    cache it and apply to any number of (micro-)batches with
+    :func:`score_with_frozen_lm`; training never reruns per batch
+    (the same frozen-artifact contract as the ANN index family)."""
     ref = _with_pair_buckets(reference, text_col, n_buckets)
     uni_cnt = bucket_distribution(ref, "_uni")
     bi_cnt = bucket_distribution(ref, "_bi")
     b = F.lit(n_buckets).cast("bigint")
-    maps = (
-        uni_cnt.agg(
+    return uni_cnt.agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "bucket",
+                        _floor_log2(F.col("cnt") + b).alias("w"),
+                    )
+                )
+            )
+        ).alias("_umap")
+    ).crossJoin(
+        bi_cnt.agg(
             F.map_from_entries(
                 F.sort_array(
                     F.collect_list(
                         F.struct(
                             "bucket",
-                            _floor_log2(F.col("cnt") + b).alias("w"),
+                            _floor_log2(F.col("cnt") + F.lit(1)).alias("w"),
                         )
                     )
                 )
-            ).alias("_umap")
-        )
-        .crossJoin(
-            bi_cnt.agg(
-                F.map_from_entries(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                "bucket",
-                                _floor_log2(F.col("cnt") + F.lit(1)).alias("w"),
-                            )
-                        )
-                    )
-                ).alias("_bmap")
-            )
+            ).alias("_bmap")
         )
     )
-    unseen_uni = _floor_log2(b)
+
+
+def score_with_frozen_lm(
+    docs: DataFrame,
+    maps: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    out: str = "surprisal",
+) -> DataFrame:
+    """Apply a :func:`frozen_lm_maps` artifact to a document batch —
+    map-only (broadcast one-row maps + per-doc zip-fold). ``n_buckets``
+    must match the value the maps were trained with (it fixes the
+    hash modulus and the unseen-unigram cost)."""
+    bucketed = _with_pair_buckets(docs, text_col, n_buckets)
+    unseen_uni = _floor_log2(F.lit(n_buckets).cast("bigint"))
     zero = F.lit(0).cast("bigint")
     scored = bucketed.crossJoin(F.broadcast(maps)).withColumn(
         out,

@@ -51,6 +51,7 @@ _PRIORITY = [
     "dsir_selected_docs",  # new (round 10)
     "preference_pairs_docs",  # new (round 10)
     "doc_lm_surprisal",  # new (round 10)
+    "streaming_lm_scored_ingest",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -89,7 +90,6 @@ _PRIORITY = [
     "price_band_lookup",  # green CORRECTNESS_r03.json
     "latest_event_per_user",  # green CORRECTNESS_r03.json
     "inc_copy_candidates",  # green CORRECTNESS_r03.json
-    "cast_rename_spec",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3260,8 +3260,11 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.selection import dsir_quantized_weights, dsir_select_topk
 
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("source").isin(*_DSIR_TARGET_SOURCES))
-    weighted = dsir_quantized_weights(docs, target)
+    # predicate-form target: one tokenize+bucketize pass feeds both
+    # the corpus and the target-slice distributions
+    weighted = dsir_quantized_weights(
+        docs, F.col("source").isin(*_DSIR_TARGET_SOURCES)
+    )
     sel = dsir_select_topk(
         weighted.filter(F.col("n_grams") >= 1), k=_DSIR_K
     )
@@ -3378,6 +3381,47 @@ SELECT d.doc_id,
        END AS avg_surprisal
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# STREAMING frozen-model scoring: the bigram LM trains ONCE on the
+# static English slice (eager localCheckpoint pins the artifact), then
+# 4 real micro-batches are scored map-only and appended exactly-once
+# (idempotent_batch_append keys the write by batch id). Scoring is a
+# pure per-row function of the frozen maps, so the streamed union
+# equals the one-shot batch gate — the oracle IS the batch gate's SQL.
+def streaming_lm_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.selection import frozen_lm_maps, score_with_frozen_lm
+    from ..sources.files import read_parquet_table
+    from ..streaming.incremental import idempotent_batch_append
+
+    docs = _t(spark, sf_dir, "documents")
+    maps = frozen_lm_maps(docs.filter(F.col("lang") == "en")).localCheckpoint()
+    root = scratch_dir(prefix="slmi_")
+    feed, target = f"{root}/feed", f"{root}/scored"
+    docs.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_with_frozen_lm(batch_df, maps).select(
+            "doc_id", "n_bigrams", "surprisal", "avg_surprisal"
+        )
+        idempotent_batch_append(scored, target, batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    await_or_raise(q)
+    return read_parquet_table(spark, target).select(
+        "doc_id", "n_bigrams", "surprisal", "avg_surprisal"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -5223,6 +5267,8 @@ QUERIES = {
     "dsir_selected_docs": (dsir_selected_docs, DSIR_SELECTED_DOCS_SQL),
     "preference_pairs_docs": (preference_pairs_docs, PREFERENCE_PAIRS_DOCS_SQL),
     "doc_lm_surprisal": (doc_lm_surprisal, DOC_LM_SURPRISAL_SQL),
+    # frozen-model streaming twin, verified against the SAME oracle
+    "streaming_lm_scored_ingest": (streaming_lm_scored_ingest, DOC_LM_SURPRISAL_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

@@ -138,3 +138,20 @@ def test_lm_surprisal_empty_and_single_token_docs(spark):
         assert out[d].n_bigrams == 0
         assert out[d].surprisal == 0
         assert out[d].avg_surprisal is None
+
+
+def test_dsir_predicate_target_matches_dataframe_target(spark):
+    raw = _two_domain_corpus(spark).withColumn(
+        "is_target", F.col("doc_id") < 5
+    )
+    via_df = {
+        r.doc_id: r.qlw
+        for r in dsir_quantized_weights(
+            raw, raw.filter("is_target")
+        ).collect()
+    }
+    via_pred = {
+        r.doc_id: r.qlw
+        for r in dsir_quantized_weights(raw, F.col("is_target")).collect()
+    }
+    assert via_df == via_pred
