@@ -1,0 +1,104 @@
+"""Right-to-be-forgotten sweep across every artifact that stores a doc.
+
+A deletion request (GDPR art. 17 / CCPA) is only honored when the ids
+disappear from EVERY place the pipeline persisted them: the corpus
+snapshot AND each derived index (MinHash dedup index, ANN indexes).
+``forget_ids`` composes the repo's existing per-artifact deletion
+mechanisms into one audited sweep:
+
+- **corpus** (a ``sinks/versioned.py`` snapshot root): anti-join the
+  forget set and publish a NEW snapshot version — copy-on-write, the
+  old version stays for rollback/audit until pruned. The forget set is
+  broadcast (deletion requests are control-plane sized).
+- **indexes** (any ``save_minhash_index`` / ``save_lsh_index`` /
+  ``save_pq_index`` / ``save_ivf_index`` artifact):
+  :func:`~..operators.similarity.delete_from_index` tombstones — an
+  O(|deleted|) write; every search/dedup path already anti-joins
+  tombstones at read time, and ``vacuum_index`` folds them physically
+  later.
+
+The returned AUDIT frame is the compliance evidence: one row per
+artifact with ``requested`` ids, ``visible_before`` and
+``visible_after`` counts — ``visible_after`` is re-read from the
+artifact through its real read path (tombstone-filtered for indexes,
+the new snapshot for the corpus), not inferred, so a silently-skipped
+delete shows up as a non-zero count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import _apply_tombstones, delete_from_index
+from ..sinks import versioned
+
+
+def _count_matching(df: DataFrame, forget: DataFrame, id_col: str) -> int:
+    return df.join(
+        F.broadcast(forget.select(id_col).dropDuplicates([id_col])), id_col
+    ).count()
+
+
+def forget_ids(
+    spark: SparkSession,
+    forget: DataFrame,
+    corpus_root: str | None = None,
+    index_specs: tuple[tuple[str, str, str], ...] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Execute the sweep; return the audit frame.
+
+    ``index_specs``: ``(label, index_path, index_id_col)`` triples; the
+    primary per-id artifact is auto-detected (``texts`` for the MinHash
+    family, ``vectors`` for LSH/IVF/PQ) for the before/after counts.
+    The counts are bounded driver reads (|forget| is control-plane
+    sized); the deletes themselves are the artifacts' own mechanisms.
+    """
+    import os
+
+    rows: list[tuple[str, int, int, int]] = []
+    n_requested = forget.select(id_col).dropDuplicates([id_col]).count()
+
+    if corpus_root is not None:
+        current = versioned.read_current(spark, corpus_root)
+        before = _count_matching(current, forget, id_col)
+        kept = current.join(
+            F.broadcast(forget.select(id_col).dropDuplicates([id_col])),
+            id_col,
+            "left_anti",
+        )
+        versioned.write_snapshot(kept, corpus_root)
+        after = _count_matching(
+            versioned.read_current(spark, corpus_root), forget, id_col
+        )
+        rows.append(("corpus", n_requested, before, after))
+
+    for label, path, idx_id_col in index_specs:
+        base = path.removeprefix("file://").rstrip("/")
+        artifact = next(
+            (a for a in ("texts", "vectors") if os.path.isdir(f"{base}/{a}")),
+            None,
+        )
+        if artifact is None:
+            raise ValueError(
+                f"{label}: no per-id artifact (texts/ or vectors/) under {path}"
+            )
+        fset = forget.select(
+            F.col(id_col).alias(idx_id_col)
+        ).dropDuplicates([idx_id_col])
+        primary = spark.read.parquet(f"{base}/{artifact}")
+        before = _count_matching(primary, fset, idx_id_col)
+        delete_from_index(fset, path, id_col=idx_id_col)
+        after = _count_matching(
+            _apply_tombstones(primary, spark, base, idx_id_col),
+            fset,
+            idx_id_col,
+        )
+        rows.append((label, n_requested, before, after))
+
+    return spark.createDataFrame(
+        rows,
+        "artifact string, requested bigint, visible_before bigint, "
+        "visible_after bigint",
+    )

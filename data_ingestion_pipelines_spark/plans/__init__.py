@@ -52,6 +52,7 @@ _PRIORITY = [
     "preference_pairs_docs",  # new (round 10)
     "doc_lm_surprisal",  # new (round 10)
     "streaming_lm_scored_ingest",  # new (round 10)
+    "forget_sweep_verdict",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -89,7 +90,6 @@ _PRIORITY = [
     "asof_next_purchase_after_view",  # green CORRECTNESS_r03.json
     "price_band_lookup",  # green CORRECTNESS_r03.json
     "latest_event_per_user",  # green CORRECTNESS_r03.json
-    "inc_copy_candidates",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

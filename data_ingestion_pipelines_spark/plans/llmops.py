@@ -3425,6 +3425,66 @@ def streaming_lm_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Right-to-be-forgotten sweep (pipelines/forget.py): one deletion
+# request propagated through EVERY artifact that stores the ids —
+# copy-on-write corpus snapshot + tombstones on the MinHash and LSH
+# indexes. The verdict rows are the compliance audit: visible_after is
+# RE-READ through each artifact's real read path (new snapshot /
+# tombstone-filtered read), so a silently-skipped delete cannot hash
+# green. The oracle pins visible_before to the tables themselves
+# (non-vacuous: the ids existed) and visible_after to zero.
+_FORGET_IDS = (7, 13, 21)
+
+
+def forget_sweep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import save_minhash_index
+    from ..operators.similarity import save_lsh_index
+    from ..pipelines.forget import forget_ids
+    from ..sinks import versioned
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    root = scratch_dir(prefix="forget_")
+    corpus_root = f"{root}/corpus"
+    versioned.write_snapshot(docs, corpus_root)
+    mh_path, lsh_path = f"{root}/mh_idx", f"{root}/lsh_idx"
+    save_minhash_index(docs, mh_path)
+    save_lsh_index(emb, lsh_path)
+    forget = spark.createDataFrame(
+        [(i,) for i in _FORGET_IDS], "doc_id bigint"
+    )
+    return forget_ids(
+        spark,
+        forget,
+        corpus_root=corpus_root,
+        index_specs=(
+            ("minhash_index", mh_path, "doc_id"),
+            ("lsh_index", lsh_path, "vec_id"),
+        ),
+    )
+
+
+_FORGET_IN = ", ".join(str(i) for i in _FORGET_IDS)
+
+FORGET_SWEEP_VERDICT_SQL = f"""
+SELECT 'corpus' AS artifact, CAST(3 AS BIGINT) AS requested,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id IN ({_FORGET_IN})) AS visible_before,
+       CAST(0 AS BIGINT) AS visible_after
+UNION ALL
+SELECT 'minhash_index', CAST(3 AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+         WHERE doc_id IN ({_FORGET_IN})),
+       CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'lsh_index', CAST(3 AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+         WHERE vec_id IN ({_FORGET_IN})),
+       CAST(0 AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------------
 # DPO/reward-model preference pairs (operators/preference.py): within
 # each source group, rank documents by an exact-integer quality logit
 # and pair adjacent ranks (chosen = better, rejected = next) with a
@@ -5269,6 +5329,7 @@ QUERIES = {
     "doc_lm_surprisal": (doc_lm_surprisal, DOC_LM_SURPRISAL_SQL),
     # frozen-model streaming twin, verified against the SAME oracle
     "streaming_lm_scored_ingest": (streaming_lm_scored_ingest, DOC_LM_SURPRISAL_SQL),
+    "forget_sweep_verdict": (forget_sweep_verdict, FORGET_SWEEP_VERDICT_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

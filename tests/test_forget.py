@@ -1,0 +1,90 @@
+"""Right-to-be-forgotten sweep (pipelines/forget.py): the deletes must
+be visible through the artifacts' REAL read paths, not just the audit
+counts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.dedup import (
+    neardup_against_minhash_index,
+    save_minhash_index,
+)
+from data_ingestion_pipelines_spark.operators.similarity import (
+    lsh_search_index,
+    save_lsh_index,
+)
+from data_ingestion_pipelines_spark.pipelines.forget import forget_ids
+from data_ingestion_pipelines_spark.sinks import versioned
+
+_TEXT = (
+    "the quick brown fox jumps over the lazy dog and then naps in the "
+    "warm afternoon sun beside the quiet river"
+)
+
+
+def _corpus(spark):
+    rows = [(i, _TEXT if i == 3 else f"document number {i} " * 12)
+            for i in range(8)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _vectors(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_forget_audit_and_snapshot_rollforward(spark, tmp_path):
+    root = str(tmp_path / "corpus")
+    versioned.write_snapshot(_corpus(spark), root)
+    forget = spark.createDataFrame([(3,), (5,)], "doc_id bigint")
+    audit = {
+        r.artifact: r
+        for r in forget_ids(spark, forget, corpus_root=root).collect()
+    }
+    a = audit["corpus"]
+    assert (a.requested, a.visible_before, a.visible_after) == (2, 2, 0)
+    # copy-on-write: the previous version still holds the ids
+    versions = versioned.list_snapshots(root)
+    assert len(versions) >= 2
+    remaining = {r.doc_id for r in versioned.read_current(spark, root).collect()}
+    assert remaining == {0, 1, 2, 4, 6, 7}
+
+
+def test_forgotten_ids_never_surface_in_lsh_search(spark, tmp_path):
+    path = str(tmp_path / "lsh")
+    save_lsh_index(_vectors(spark), path)
+    forget = spark.createDataFrame([(3,)], "doc_id bigint")
+    audit = forget_ids(
+        spark, forget, index_specs=(("lsh_index", path, "vec_id"),)
+    ).collect()[0]
+    assert (audit.visible_before, audit.visible_after) == (1, 0)
+    # the forgotten vector's own direction as query: its exact twin must
+    # not come back
+    queries = spark.createDataFrame(
+        [(100, [float(j == 3) for j in range(8)])],
+        "query_id bigint, embedding array<float>",
+    )
+    hits = lsh_search_index(spark, path, queries, k=5).collect()
+    assert all(h.vec_id != 3 for h in hits)
+
+
+def test_redelivered_forgotten_doc_counts_as_new(spark, tmp_path):
+    path = str(tmp_path / "mh")
+    save_minhash_index(_corpus(spark), path)
+    forget = spark.createDataFrame([(3,)], "doc_id bigint")
+    forget_ids(spark, forget, index_specs=(("mh", path, "doc_id"),))
+    # redeliver doc 3's exact text under a fresh id: with the indexed
+    # twin tombstoned, the delivery must be NEW (verify side filtered)
+    redelivery = spark.createDataFrame(
+        [(1003, _TEXT)], "doc_id bigint, text string"
+    )
+    out = neardup_against_minhash_index(redelivery, path, threshold=0.5)
+    assert out.collect()[0].is_new is True
+
+
+def test_missing_artifact_dir_refused(spark, tmp_path):
+    path = str(tmp_path / "empty_idx")
+    (tmp_path / "empty_idx").mkdir()
+    forget = spark.createDataFrame([(1,)], "doc_id bigint")
+    with pytest.raises(ValueError, match="no per-id artifact"):
+        forget_ids(spark, forget, index_specs=(("x", path, "doc_id"),))
