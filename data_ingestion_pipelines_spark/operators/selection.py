@@ -93,9 +93,39 @@ def bucket_distribution(
     )
 
 
+def _joint_distribution(
+    bucketed: DataFrame,
+    target: DataFrame | Column,
+    text_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """``(bucket, cnt, t_cnt)`` — raw and target gram-occurrence counts.
+
+    Predicate-form target: ONE exploded pass computes both counts
+    (``count(*)`` + a conditional sum of the flag), halving the
+    distribution work vs two scans. DataFrame-form target: two passes
+    joined on the (<= n_buckets-row) bucket key.
+    """
+    if isinstance(target, Column):
+        ex = bucketed.select(
+            F.explode("_buckets").alias("bucket"),
+            F.coalesce(target, F.lit(False)).cast("int").alias("_t"),
+        )
+        return ex.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("_t").cast("bigint").alias("t_cnt"),
+        )
+    raw_dist = bucket_distribution(bucketed, "_buckets")
+    target_dist = bucket_distribution(
+        _with_buckets(target, text_col, n_buckets, shared=False), "_buckets"
+    )
+    return raw_dist.join(
+        target_dist.withColumnRenamed("cnt", "t_cnt"), "bucket", "left"
+    )
+
+
 def _weight_map_row(
-    raw_dist: DataFrame,
-    target_dist: DataFrame,
+    joint_dist: DataFrame,
     n_buckets: int,
     weight_expr,
     const_expr,
@@ -107,12 +137,7 @@ def _weight_map_row(
     GRAM COUNT (it is not doc-constant, so dropping it would bias the
     ranking toward short documents). Bounded: the single-partition
     aggregate folds at most n_buckets rows."""
-    joined = raw_dist.alias("r").join(
-        target_dist.alias("t").withColumnRenamed("cnt", "t_cnt"),
-        "bucket",
-        "left",
-    )
-    per_bucket = joined.select(
+    per_bucket = joint_dist.select(
         "bucket",
         weight_expr(
             F.coalesce(F.col("t_cnt"), F.lit(0)).cast("bigint"),
@@ -152,18 +177,23 @@ def _score_against_map(
 
 
 def _with_buckets(
-    df: DataFrame, text_col: str, n_buckets: int
+    df: DataFrame, text_col: str, n_buckets: int, shared: bool = True
 ) -> DataFrame:
-    # Materialization barrier before the HOFs (interpreted-lambda rule).
+    # First barrier: materialize tokens before the HOFs (interpreted-
+    # lambda rule — an inline regexp would re-run per element).
     toks = df.withColumn(
         "_toks",
         F.coalesce(
             word_tokens(F.col(text_col)), F.array().cast("array<string>")
         ),
     ).localCheckpoint(eager=False)
-    return toks.withColumn(
+    out = toks.withColumn(
         "_buckets", hashed_gram_buckets(F.col("_toks"), n_buckets)
     ).drop("_toks")
+    # Second barrier only when MULTIPLE consumers read the frame
+    # (distribution agg + scoring fold): without it each consumer
+    # re-hashes every gram; with one consumer it's pure write overhead.
+    return out.localCheckpoint(eager=False) if shared else out
 
 
 def dsir_quantized_weights(
@@ -192,16 +222,8 @@ def dsir_quantized_weights(
     distributions instead of featurizing the slice twice.
     """
     bucketed = _with_buckets(raw, text_col, n_buckets)
-    raw_dist = bucket_distribution(bucketed, "_buckets")
-    target_bucketed = (
-        bucketed.filter(target)
-        if isinstance(target, Column)
-        else _with_buckets(target, text_col, n_buckets)
-    )
-    target_dist = bucket_distribution(target_bucketed, "_buckets")
     wmap = _weight_map_row(
-        raw_dist,
-        target_dist,
+        _joint_distribution(bucketed, target, text_col, n_buckets),
         n_buckets,
         lambda t_cnt, r_cnt: _floor_log2_plus1(t_cnt) - _floor_log2_plus1(r_cnt),
         # flog2(R+B) - flog2(T+B): same quantization as the per-bucket term
@@ -234,16 +256,8 @@ def dsir_log_weights(
     :func:`dsir_quantized_weights`.
     """
     bucketed = _with_buckets(raw, text_col, n_buckets)
-    raw_dist = bucket_distribution(bucketed, "_buckets")
-    target_bucketed = (
-        bucketed.filter(target)
-        if isinstance(target, Column)
-        else _with_buckets(target, text_col, n_buckets)
-    )
-    target_dist = bucket_distribution(target_bucketed, "_buckets")
     wmap = _weight_map_row(
-        raw_dist,
-        target_dist,
+        _joint_distribution(bucketed, target, text_col, n_buckets),
         n_buckets,
         lambda t_cnt, r_cnt: F.log((t_cnt + F.lit(1)).cast("double"))
         - F.log((r_cnt + F.lit(1)).cast("double")),
@@ -303,7 +317,7 @@ def frozen_lm_maps(
     cache it and apply to any number of (micro-)batches with
     :func:`score_with_frozen_lm`; training never reruns per batch
     (the same frozen-artifact contract as the ANN index family)."""
-    ref = _with_pair_buckets(reference, text_col, n_buckets)
+    ref = _with_pair_buckets(reference, text_col, n_buckets, shared=True)
     uni_cnt = bucket_distribution(ref, "_uni")
     bi_cnt = bucket_distribution(ref, "_bi")
     b = F.lit(n_buckets).cast("bigint")
@@ -382,7 +396,7 @@ def _floor_log2(n: Column) -> Column:
 
 
 def _with_pair_buckets(
-    df: DataFrame, text_col: str, n_buckets: int
+    df: DataFrame, text_col: str, n_buckets: int, shared: bool = False
 ) -> DataFrame:
     """Aligned unigram / bigram bucket arrays: ``_uni[i]`` is the bucket
     of token i, ``_bi[i]`` the bucket of ``token i + ' ' + token i+1``
@@ -401,7 +415,10 @@ def _with_pair_buckets(
             word_tokens(F.col(text_col)), F.array().cast("array<string>")
         ),
     ).localCheckpoint(eager=False)
-    return (
+    # Second barrier when shared (the reference frame feeds BOTH count
+    # aggs — without it each re-hashes every gram); the scored frame
+    # has a single consumer and skips it.
+    out = (
         toks.withColumn("_uni", F.transform(F.col("_toks"), _h))
         .withColumn(
             "_bi",
@@ -421,6 +438,7 @@ def _with_pair_buckets(
         )
         .drop("_toks")
     )
+    return out.localCheckpoint(eager=False) if shared else out
 
 
 def dsir_select_topk(
