@@ -123,9 +123,9 @@ def sessionize_stream_tws(
     ENVIRONMENT NOTE: transformWithStateInPandas drives its state
     server over protobuf, which this container does not ship and cannot
     fetch (``pip download protobuf`` → no-network index failure,
-    probed 2026-08-14, re-probed 2026-08-15 (round 10: pip install
-    delta-spark AND pip download protobuf both fail with no-network
-    DNS errors) — same blocker class as delta-spark, see
+    probed 2026-08-14, re-probed 2026-08-15 and 2026-08-16 (round 10:
+    pip download protobuf AND delta-spark both fail — no matching
+    distribution, no network index) — same blocker class as delta-spark, see
     COVERAGE.md §Delta); the worker crashes with
     ``ImportError: google.protobuf``. The parity test skips unless
     protobuf imports, so it activates the moment the dependency lands;
