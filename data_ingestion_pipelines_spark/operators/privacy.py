@@ -1,0 +1,72 @@
+"""k-anonymity guards for analytics exports.
+
+Before a grouped extract leaves the platform (the reference's
+secondary-export surface, SURVEY §2 K9/K10), re-identification risk
+comes from QUASI-IDENTIFIER combinations that are rare: a
+(nation, segment, birth-year) cell with one member identifies that
+member. The standard remedy (Sweeney 2002, k-anonymity) is to ensure
+every released quasi-identifier combination is shared by at least k
+rows — by suppressing rarer cells and/or generalizing columns until
+cells merge.
+
+Scale shape: one shuffle on the quasi-identifier key (a
+group-partitioned window count — never a global window); suppression
+and generalization are pure projections. At 100 TB the quasi space is
+the shuffled cardinality, not the row count — the same partial-agg
+bound as any groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _group_counts(df: DataFrame, quasi_cols: list[str]) -> DataFrame:
+    w = Window.partitionBy(*quasi_cols)
+    return df.withColumn("_qcount", F.count(F.lit(1)).over(w))
+
+
+def k_anonymize(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Suppress every row whose quasi-identifier cell has fewer than k
+    members. Returns the releasable rows (original columns only)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        _group_counts(df, quasi_cols)
+        .filter(F.col("_qcount") >= F.lit(k))
+        .drop("_qcount")
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """One-row audit: total/violating cell counts, suppressed-row count,
+    and the smallest released cell (>= k, or NULL if nothing survives).
+    Exact integers only — the compliance evidence next to the export."""
+    cells = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum((F.col("n") < k).cast("bigint")).cast("bigint").alias(
+            "n_cells_suppressed"
+        ),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows_suppressed"),
+        F.min(F.when(F.col("n") >= k, F.col("n")))
+        .cast("bigint")
+        .alias("min_released_cell"),
+    ).withColumn("k", F.lit(int(k)).cast("bigint"))
+
+
+def generalize_number(col: Column, width: int) -> Column:
+    """Deterministic numeric generalization: the half-open bucket floor
+    (``floor(x / width) * width``) — coarser quasi-identifiers merge
+    small cells so fewer rows need suppression."""
+    w = F.lit(int(width))
+    return (F.floor(col / w) * w).cast("bigint")

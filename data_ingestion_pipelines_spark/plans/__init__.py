@@ -53,6 +53,8 @@ _PRIORITY = [
     "doc_lm_surprisal",  # new (round 10)
     "streaming_lm_scored_ingest",  # new (round 10)
     "forget_sweep_verdict",  # new (round 10)
+    "customer_k_anonymous_cells",  # new (round 10)
+    "k_anonymity_audit_report",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -87,9 +89,7 @@ _PRIORITY = [
     "order_quality_expectations",  # green CORRECTNESS_r03.json
     "event_sessions",  # green CORRECTNESS_r03.json
     "chunk_assignment_ranged",  # green CORRECTNESS_r03.json
-    "asof_next_purchase_after_view",  # green CORRECTNESS_r03.json
     "price_band_lookup",  # green CORRECTNESS_r03.json
-    "latest_event_per_user",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -3425,6 +3425,70 @@ def streaming_lm_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# k-anonymity export guard (operators/privacy.py): quasi-identifier =
+# (nation, segment, generalized balance band); cells with fewer than
+# k=5 members are suppressed before release. One quasi-key shuffle
+# (group-partitioned window); the audit row is the compliance evidence.
+_KANON_QUASI = ["c_nationkey", "c_mktsegment", "bal_band"]
+_KANON_K = 5
+
+
+def _kanon_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import generalize_number
+
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        generalize_number(F.col("c_acctbal"), 2000).alias("bal_band"),
+    )
+
+
+def customer_k_anonymous_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import k_anonymize
+
+    released = k_anonymize(_kanon_base(spark, sf_dir), _KANON_QUASI, _KANON_K)
+    return released.groupBy(*_KANON_QUASI).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+
+CUSTOMER_K_ANONYMOUS_CELLS_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 5
+"""
+
+
+def k_anonymity_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import k_anonymity_report
+
+    return k_anonymity_report(_kanon_base(spark, sf_dir), _KANON_QUASI, _KANON_K)
+
+
+K_ANONYMITY_AUDIT_REPORT_SQL = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_suppressed,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_suppressed,
+       CAST(MIN(CASE WHEN n >= 5 THEN n END) AS BIGINT)
+         AS min_released_cell,
+       CAST(5 AS BIGINT) AS k
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
 # Right-to-be-forgotten sweep (pipelines/forget.py): one deletion
 # request propagated through EVERY artifact that stores the ids —
 # copy-on-write corpus snapshot + tombstones on the MinHash and LSH
@@ -5330,6 +5394,14 @@ QUERIES = {
     # frozen-model streaming twin, verified against the SAME oracle
     "streaming_lm_scored_ingest": (streaming_lm_scored_ingest, DOC_LM_SURPRISAL_SQL),
     "forget_sweep_verdict": (forget_sweep_verdict, FORGET_SWEEP_VERDICT_SQL),
+    "customer_k_anonymous_cells": (
+        customer_k_anonymous_cells,
+        CUSTOMER_K_ANONYMOUS_CELLS_SQL,
+    ),
+    "k_anonymity_audit_report": (
+        k_anonymity_audit_report,
+        K_ANONYMITY_AUDIT_REPORT_SQL,
+    ),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

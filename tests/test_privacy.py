@@ -1,0 +1,61 @@
+"""k-anonymity export guard (operators/privacy.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.operators.privacy import (
+    generalize_number,
+    k_anonymize,
+    k_anonymity_report,
+)
+
+
+def _people(spark):
+    # cell (DE, M): 3 rows; (DE, F): 1 row; (FR, M): 2 rows
+    rows = [
+        (1, "DE", "M"), (2, "DE", "M"), (3, "DE", "M"),
+        (4, "DE", "F"),
+        (5, "FR", "M"), (6, "FR", "M"),
+    ]
+    return spark.createDataFrame(rows, "id bigint, country string, g string")
+
+
+def test_suppression_drops_small_cells(spark):
+    out = k_anonymize(_people(spark), ["country", "g"], k=2)
+    kept = {r.id for r in out.collect()}
+    assert kept == {1, 2, 3, 5, 6}  # the (DE, F) singleton is suppressed
+    assert out.columns == ["id", "country", "g"]  # helper column dropped
+
+
+def test_report_counts(spark):
+    r = k_anonymity_report(_people(spark), ["country", "g"], k=3).collect()[0]
+    assert (r.n_cells, r.n_cells_suppressed, r.n_rows_suppressed) == (3, 2, 3)
+    assert r.min_released_cell == 3 and r.k == 3
+
+
+def test_report_all_suppressed_min_is_null(spark):
+    r = k_anonymity_report(_people(spark), ["country", "g"], k=10).collect()[0]
+    assert r.n_cells_suppressed == 3 and r.min_released_cell is None
+
+
+def test_generalization_merges_cells(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 1990.0), (3, 2005.0), (4, -100.0)],
+        "id bigint, v double",
+    )
+    bands = {
+        r.id: r.b
+        for r in df.select("id", generalize_number(F.col("v"), 2000).alias("b")).collect()
+    }
+    assert bands == {1: 0, 2: 0, 3: 2000, 4: -2000}
+
+
+def test_k_below_one_refused(spark):
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        k_anonymize(_people(spark), ["country"], k=0)
+
+
+def test_window_is_group_partitioned(spark):
+    out = k_anonymize(_people(spark), ["country", "g"], k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
