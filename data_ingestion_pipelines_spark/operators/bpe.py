@@ -121,6 +121,18 @@ def train_bpe_merges(
     return merges
 
 
+def detokenize_pieces(df: DataFrame, pieces_col: str, out: str) -> DataFrame:
+    """Invert :func:`apply_bpe_merges`: concatenate the piece array back
+    into the word (``[he, ll, o]`` → ``hello``). Because merges only
+    ever concatenate ADJACENT symbols inside a word, the pieces always
+    partition the word left-to-right, so
+    ``detokenize(apply_bpe_merges(w)) == w`` for ANY merge list — the
+    lossless-roundtrip property every production tokenizer must hold
+    (pinned with a hypothesis property test). NULL pieces (a NULL input
+    word) detokenize back to NULL."""
+    return df.withColumn(out, F.array_join(F.col(pieces_col), ""))
+
+
 def merges_df(spark: SparkSession, merges: list[tuple[int, str, int]]) -> DataFrame:
     """Lift the (bounded, k-row) merge table back into a DataFrame."""
     return spark.createDataFrame(merges, "rk bigint, pair string, weight bigint")

@@ -169,3 +169,38 @@ def reconcile_tables(
     return report.unionByName(_dup_row(source, "dup_keys_in_source")).unionByName(
         _dup_row(target, "dup_keys_in_target")
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame, cols: Sequence[str], sep: str = "\x1f"
+) -> DataFrame:
+    """Order-insensitive content fingerprint of a dataset — the
+    export-integrity primitive: equal row MULTISETS ⇒ equal fingerprint,
+    regardless of partitioning, file order, or engine.
+
+    Per row: the first 60 bits of ``md5`` over the ``sep``-joined
+    canonical column strings (NULL → the literal ``\\0`` marker, which
+    ``concat_ws`` would otherwise silently drop). Rows combine by SUM —
+    commutative, so shuffle/file order can't change the result — into
+    an exact DECIMAL(38,0) (no 64-bit wraparound, which ANSI-mode Spark
+    would throw on and non-ANSI engines would wrap differently), then
+    reduce mod 2^61-1 to a BIGINT.
+
+    One scan, one partial-aggregated fold; at 100 TB this is the
+    cheapest possible full-content check (same cost class as COUNT(*)).
+    Columns must be string/integer-typed: float columns format
+    differently across engines — cast or quantize them first.
+    """
+    canon = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.pmod(
+            F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")),
+            F.lit(2305843009213693951).cast("decimal(38,0)"),
+        )
+        .cast("bigint")
+        .alias("fingerprint"),
+    )

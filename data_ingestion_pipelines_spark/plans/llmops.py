@@ -3425,6 +3425,34 @@ def streaming_lm_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Order-insensitive dataset content fingerprint
+# (expectations.dataset_fingerprint): equal row multisets => equal
+# fingerprint regardless of partitioning/file order/engine. One scan,
+# COUNT(*)-class cost — the export-integrity primitive.
+def documents_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import dataset_fingerprint
+
+    return dataset_fingerprint(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+DOCUMENTS_CONTENT_FINGERPRINT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(CAST(('0x' || substr(md5(
+           COALESCE(CAST(doc_id AS VARCHAR), chr(0)) || chr(31) ||
+           COALESCE(text, chr(0)) || chr(31) ||
+           COALESCE(lang, chr(0)) || chr(31) ||
+           COALESCE(source, chr(0)) || chr(31) ||
+           COALESCE(CAST(n_chars AS VARCHAR), chr(0))
+         ), 1, 15)) AS BIGINT) AS HUGEINT)), 0) % 2305843009213693951 AS BIGINT)
+         AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # k-anonymity export guard (operators/privacy.py): quasi-identifier =
 # (nation, segment, generalized balance band); cells with fewer than
 # k=5 members are suppressed before release. One quasi-key shuffle
@@ -5401,6 +5429,10 @@ QUERIES = {
     "k_anonymity_audit_report": (
         k_anonymity_audit_report,
         K_ANONYMITY_AUDIT_REPORT_SQL,
+    ),
+    "documents_content_fingerprint": (
+        documents_content_fingerprint,
+        DOCUMENTS_CONTENT_FINGERPRINT_SQL,
     ),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),

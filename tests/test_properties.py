@@ -705,3 +705,70 @@ def test_neardup_streaming_equals_one_shot(spark, texts, assign, order, compact_
 
     split = [[r for r, a in zip(rows, assign) if a == b] for b in order]
     assert run(split, compact_after) == run([rows])
+
+
+# --- dataset fingerprint + BPE detokenize properties ----------------------
+
+from data_ingestion_pipelines_spark.operators.expectations import (  # noqa: E402
+    dataset_fingerprint,
+)
+from data_ingestion_pipelines_spark.operators.bpe import (  # noqa: E402
+    apply_bpe_merges,
+    detokenize_pieces,
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 9), st.text(alphabet="abc \x00", max_size=6)),
+        max_size=8,
+    ),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fingerprint_is_order_and_layout_invariant(spark, rows, seed):
+    import random
+
+    df = spark.createDataFrame(rows or [(0, "")], "k bigint, v string")
+    base = dataset_fingerprint(df, ["k", "v"]).collect()[0]
+    shuffled = list(rows or [(0, "")])
+    random.Random(seed).shuffle(shuffled)
+    relaid = spark.createDataFrame(
+        shuffled, "k bigint, v string"
+    ).repartition(3)
+    again = dataset_fingerprint(relaid, ["k", "v"]).collect()[0]
+    assert (base.n_rows, base.fingerprint) == (again.n_rows, again.fingerprint)
+
+
+def test_fingerprint_distinguishes_null_from_empty_and_content(spark):
+    a = spark.createDataFrame([(1, None)], "k bigint, v string")
+    b = spark.createDataFrame([(1, "")], "k bigint, v string")
+    c = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    fps = {
+        dataset_fingerprint(d, ["k", "v"]).collect()[0].fingerprint
+        for d in (a, b, c)
+    }
+    assert len(fps) == 3
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        min_size=1, max_size=6, unique=True,
+    ),
+    pairs=st.lists(
+        st.tuples(st.text(alphabet="abcde", min_size=1, max_size=2),
+                  st.text(alphabet="abcde", min_size=1, max_size=2)),
+        max_size=4,
+    ),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_detokenize_roundtrips_under_any_merges(spark, words, pairs):
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    merges = [
+        (i + 1, f"<{a}><{b}>", 1) for i, (a, b) in enumerate(pairs)
+    ]
+    merged = apply_bpe_merges(wdf, merges)
+    out = detokenize_pieces(merged, "pieces", "roundtrip")
+    for r in out.select("word", "roundtrip").collect():
+        assert r.roundtrip == r.word
