@@ -311,3 +311,50 @@ def curriculum_buckets(
     for bd in boundaries:
         bucket = bucket + F.when(F.col(score_col) > F.lit(float(bd)), 1).otherwise(0)
     return df.withColumn(out, bucket.cast("int"))
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    boundary,
+    out: str = "split",
+) -> DataFrame:
+    """Time-based train/test partition: rows strictly BEFORE ``boundary``
+    are ``train``, the rest ``test`` — the split every forecasting /
+    recommendation dataset needs, where :func:`hash_split` would leak
+    the future into training. Pure projection (the boundary predicate
+    pushes to the scan); NULL timestamps are refused downstream by
+    :func:`temporal_split_report` rather than silently bucketed.
+    """
+    ts = F.col(ts_col)
+    return df.withColumn(
+        out,
+        F.when(ts < F.lit(boundary), F.lit("train"))
+        .when(ts >= F.lit(boundary), F.lit("test"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+
+
+def temporal_split_report(
+    df: DataFrame,
+    ts_col: str,
+    boundary,
+) -> DataFrame:
+    """One-row audit for a temporal split: per-side row counts, the
+    boundary-adjacent timestamps, NULL-timestamp count, and
+    ``no_leakage`` — ``max(train ts) < min(test ts)`` verified from the
+    DATA (true by construction only when the split column came from
+    :func:`temporal_split`; re-deriving it catches a mislabeled or
+    hand-edited split). One aggregate, one scan.
+    """
+    ts = F.col(ts_col)
+    train_max = F.max(F.when(ts < F.lit(boundary), ts))
+    test_min = F.min(F.when(ts >= F.lit(boundary), ts))
+    return df.agg(
+        F.sum((ts < F.lit(boundary)).cast("bigint")).cast("bigint").alias("n_train"),
+        F.sum((ts >= F.lit(boundary)).cast("bigint")).cast("bigint").alias("n_test"),
+        F.sum(ts.isNull().cast("bigint")).cast("bigint").alias("n_null_ts"),
+        train_max.alias("train_max_ts"),
+        test_min.alias("test_min_ts"),
+        F.coalesce(train_max < test_min, F.lit(True)).alias("no_leakage"),
+    )

@@ -56,6 +56,7 @@ _PRIORITY = [
     "customer_k_anonymous_cells",  # new (round 10)
     "k_anonymity_audit_report",  # new (round 10)
     "documents_content_fingerprint",  # new (round 10)
+    "events_temporal_split_report",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -88,7 +89,6 @@ _PRIORITY = [
     "part_zorder_keys",  # green CORRECTNESS_r03.json
     "event_type_skew_report",  # green CORRECTNESS_r03.json
     "order_quality_expectations",  # green CORRECTNESS_r03.json
-    "event_sessions",  # green CORRECTNESS_r03.json
     "price_band_lookup",  # green CORRECTNESS_r03.json
 ]
 

@@ -3425,6 +3425,41 @@ def streaming_lm_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Temporal train/test split (sampling.temporal_split): rows strictly
+# before the boundary train, the rest test — the forecasting split
+# where a hash split would leak the future. The report gate audits
+# counts + boundary-adjacent timestamps + a data-derived no_leakage
+# verdict in ONE aggregate.
+_TSPLIT_BOUNDARY = "2024-01-22 00:00:00"
+
+
+def events_temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temporal_split_report
+
+    return temporal_split_report(
+        _t(spark, sf_dir, "events"), "ts", _TSPLIT_BOUNDARY
+    )
+
+
+EVENTS_TEMPORAL_SPLIT_REPORT_SQL = f"""
+SELECT CAST(SUM(CASE WHEN ts < TIMESTAMP '{_TSPLIT_BOUNDARY}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_TSPLIT_BOUNDARY}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_ts,
+       MAX(CASE WHEN ts < TIMESTAMP '{_TSPLIT_BOUNDARY}' THEN ts END)
+         AS train_max_ts,
+       MIN(CASE WHEN ts >= TIMESTAMP '{_TSPLIT_BOUNDARY}' THEN ts END)
+         AS test_min_ts,
+       COALESCE(MAX(CASE WHEN ts < TIMESTAMP '{_TSPLIT_BOUNDARY}' THEN ts END)
+                < MIN(CASE WHEN ts >= TIMESTAMP '{_TSPLIT_BOUNDARY}' THEN ts END),
+                TRUE) AS no_leakage
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
 # Order-insensitive dataset content fingerprint
 # (expectations.dataset_fingerprint): equal row multisets => equal
 # fingerprint regardless of partitioning/file order/engine. One scan,
@@ -5433,6 +5468,10 @@ QUERIES = {
     "documents_content_fingerprint": (
         documents_content_fingerprint,
         DOCUMENTS_CONTENT_FINGERPRINT_SQL,
+    ),
+    "events_temporal_split_report": (
+        events_temporal_split_report,
+        EVENTS_TEMPORAL_SPLIT_REPORT_SQL,
     ),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),

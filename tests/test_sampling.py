@@ -288,3 +288,46 @@ def test_leakage_free_split_closes_the_audit(spark):
         if split_of[r["id_a"]] != split_of[r["id_b"]]
     ]
     assert crossing == []
+
+
+# --- temporal split -------------------------------------------------------
+
+from datetime import datetime
+
+from data_ingestion_pipelines_spark.operators.sampling import (
+    temporal_split,
+    temporal_split_report,
+)
+
+
+def _ts_rows(spark):
+    rows = [
+        (1, datetime(2024, 1, 1)),
+        (2, datetime(2024, 1, 10)),
+        (3, datetime(2024, 1, 20)),   # boundary row -> test
+        (4, datetime(2024, 1, 25)),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "id bigint, ts timestamp")
+
+
+def test_temporal_split_assignment(spark):
+    out = {
+        r.id: r.split
+        for r in temporal_split(_ts_rows(spark), "ts", "2024-01-20").collect()
+    }
+    assert out == {1: "train", 2: "train", 3: "test", 4: "test", 5: None}
+
+
+def test_temporal_split_report_counts_and_verdict(spark):
+    r = temporal_split_report(_ts_rows(spark), "ts", "2024-01-20").collect()[0]
+    assert (r.n_train, r.n_test, r.n_null_ts) == (2, 2, 1)
+    assert r.train_max_ts == datetime(2024, 1, 10)
+    assert r.test_min_ts == datetime(2024, 1, 20)
+    assert r.no_leakage is True
+
+
+def test_temporal_split_report_empty_side(spark):
+    r = temporal_split_report(_ts_rows(spark), "ts", "2030-01-01").collect()[0]
+    assert (r.n_train, r.n_test) == (4, 0)
+    assert r.test_min_ts is None and r.no_leakage is True
