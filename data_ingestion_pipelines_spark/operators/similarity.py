@@ -1835,3 +1835,71 @@ def random_projection(
             yield pd.DataFrame({id_col: pdf[id_col], out: list(proj.tolist())})
 
     return df.select(id_col, vec_col).mapInPandas(project, schema)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick k items maximizing ``lam * relevance - (1 - lam) *
+    max_sim_to_already_selected`` — the diversity step between ANN
+    retrieval and serving, so near-duplicate hits don't crowd the
+    result page.
+
+    The candidate set is BOUNDED (the ANN top-k output, tens to
+    hundreds of rows) — MMR is inherently sequential, so this runs k
+    bounded argmax rounds, each a ``limit(1).collect()`` single-row
+    read (the same control-plane class as the BPE trainer's per-merge
+    argmax; never data-plane rows). Selected vectors re-enter the plan
+    as literals; similarities use the 6-dp rounded cosine so the chain
+    is reproducible across engines; ties break on the id. Output:
+    ``(rank, id, rel, mmr_score)``.
+    """
+    spark = candidates.sparkSession
+    base = candidates.select(id_col, rel_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    selected: list[list[float]] = []
+    out_rows: list[tuple[int, int, float, float]] = []
+    remaining = base
+    for step in range(1, int(k) + 1):
+        if selected:
+            sims = [
+                F.round(
+                    cosine_similarity(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                    ),
+                    6,
+                )
+                for vec in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = (
+                F.lit(lam) * F.col(rel_col) - F.lit(1.0 - lam) * maxsim
+            )
+        else:
+            score = F.lit(lam) * F.col(rel_col)
+        pick = (
+            remaining.withColumn("_ms", score)
+            .orderBy(F.desc("_ms"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not pick:
+            break
+        p = pick[0]
+        selected.append([float(x) for x in p[vec_col]])
+        out_rows.append(
+            (step, p[id_col], float(p[rel_col]), float(p["_ms"]))
+        )
+        remaining = remaining.filter(F.col(id_col) != F.lit(p[id_col]))
+    return spark.createDataFrame(
+        out_rows,
+        f"rank bigint, {id_col} bigint, rel double, mmr_score double",
+    )

@@ -3425,6 +3425,96 @@ def streaming_lm_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# MMR diversified re-rank (similarity.mmr_rerank): 20 exact-cosine
+# candidates for one query, then 5 greedy maximal-marginal-relevance
+# selections (lam=0.7). Inherently sequential — 5 bounded argmax rounds
+# (single-row collects, the BPE-trainer control-plane class); the
+# DuckDB oracle UNROLLS the 5 steps as chained CTEs (the k-core
+# precedent for iterative algorithms). 6-dp rounded cosines and
+# same-arithmetic literals keep every double bit-identical across
+# engines — note the penalty weight must be the DOUBLE chain
+# CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE) (= Python's 1.0 - 0.7 =
+# 0.30000000000000004): bare `1.0 - 0.7` folds as exact DECIMAL in
+# DuckDB and yields a DIFFERENT double (0.3).
+def similarity_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_similarity, mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_q")
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("_q")), 6).alias(
+                "rel"
+            ),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(20)
+    )
+    return mmr_rerank(cand, k=5, lam=0.7)
+
+
+def _mmr_step_sql(step: int) -> str:
+    prev = [f"s{j}" for j in range(1, step)]
+    not_in = " AND ".join(
+        f"c.vec_id <> (SELECT vec_id FROM {p})" for p in prev
+    )
+    sims = ", ".join(
+        f"ROUND(list_cosine_similarity(c.v, (SELECT v FROM {p})), 6)"
+        for p in prev
+    )
+    maxsim = sims if len(prev) == 1 else f"GREATEST({sims})"
+    return f"""s{step} AS (
+  SELECT c.vec_id, c.rel, c.v,
+         CAST(0.7 AS DOUBLE) * c.rel
+         - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * {maxsim} AS ms
+  FROM cand c WHERE {not_in}
+  QUALIFY ROW_NUMBER() OVER (ORDER BY ms DESC, c.vec_id ASC) = 1
+)"""
+
+
+SIMILARITY_MMR_TOPK_SQL = (
+    """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = 0),
+cand0 AS (
+  SELECT c.vec_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv), 6)
+           AS rel,
+         CAST(c.embedding AS DOUBLE[]) AS v
+  FROM embeddings c, q
+), cand AS MATERIALIZED (
+  SELECT vec_id, rel, v FROM (
+    SELECT vec_id, rel, v,
+           ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+    FROM cand0
+  ) WHERE rn <= 20
+),
+s1 AS (
+  SELECT vec_id, rel, v, CAST(0.7 AS DOUBLE) * rel AS ms
+  FROM cand
+  QUALIFY ROW_NUMBER() OVER (ORDER BY CAST(0.7 AS DOUBLE) * rel DESC,
+                             vec_id ASC) = 1
+),
+"""
+    + ",\n".join(_mmr_step_sql(i) for i in range(2, 6))
+    + """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, ms AS mmr_score FROM s1
+  UNION ALL SELECT 2, vec_id, rel, ms FROM s2
+  UNION ALL SELECT 3, vec_id, rel, ms FROM s3
+  UNION ALL SELECT 4, vec_id, rel, ms FROM s4
+  UNION ALL SELECT 5, vec_id, rel, ms FROM s5
+)
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Temporal train/test split (sampling.temporal_split): rows strictly
 # before the boundary train, the rest test — the forecasting split
 # where a hash split would leak the future. The report gate audits
@@ -5473,6 +5563,7 @@ QUERIES = {
         events_temporal_split_report,
         EVENTS_TEMPORAL_SPLIT_REPORT_SQL,
     ),
+    "similarity_mmr_topk": (similarity_mmr_topk, SIMILARITY_MMR_TOPK_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

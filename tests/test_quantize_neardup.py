@@ -719,3 +719,39 @@ def test_semantic_dedup_precision_and_survivors(spark):
         for r in semantic_dup_pairs(corpus, k=8, threshold=0.95, centroids=cents).collect()
     }
     assert got2 == got
+
+
+# --- MMR diversified re-rank ----------------------------------------------
+
+from data_ingestion_pipelines_spark.operators.similarity import mmr_rerank
+
+
+def _mmr_cands(spark):
+    # query direction = x-axis; a1/a2 near-duplicates along x, b diagonal
+    rows = [
+        (1, 1.000000, [1.0, 0.0]),
+        (2, 0.999900, [0.9999, 0.0141]),
+        (3, 0.707107, [0.7, 0.7]),
+        (4, 0.500000, [0.5, 0.866]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, rel double, embedding array<float>")
+
+
+def test_mmr_diversifies_over_pure_relevance(spark):
+    # pure top-2 would be (1, 2); MMR at lam=0.5 penalizes 2 for being
+    # a near-duplicate of 1 and picks the diagonal vector instead
+    out = mmr_rerank(_mmr_cands(spark), k=2, lam=0.5)
+    picked = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert picked == [1, 3]
+
+
+def test_mmr_rank1_is_pure_relevance_argmax(spark):
+    out = mmr_rerank(_mmr_cands(spark), k=1, lam=0.7).collect()
+    assert len(out) == 1 and out[0].vec_id == 1 and out[0].rank == 1
+    assert abs(out[0].mmr_score - 0.7) < 1e-12
+
+
+def test_mmr_exhausts_small_candidate_sets(spark):
+    out = mmr_rerank(_mmr_cands(spark), k=10, lam=0.7).collect()
+    assert sorted(r.vec_id for r in out) == [1, 2, 3, 4]
+    assert sorted(r.rank for r in out) == [1, 2, 3, 4]
