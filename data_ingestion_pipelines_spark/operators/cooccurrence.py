@@ -1,0 +1,66 @@
+"""Skip-gram co-occurrence extraction from ordered event sequences.
+
+The word2vec/item2vec data-prep step (Mikolov et al. 2013; Barkan &
+Koenigstein 2016 for sessions): from each group's ordered item
+sequence, emit (center, context) pairs for every context within
+``window`` positions. Aggregated pair counts ARE the training
+distribution for embedding models and the co-occurrence matrix for
+PMI-style association mining.
+
+Scale shape: one shuffle on the group key for the position window, one
+self-equi-join on the group key with a position band filter (per-group
+fan-out bounded by ``2·window`` per item, never quadratic), then the
+pair-count aggregate with map-side combine. Hot groups (a user with
+millions of events) are the caller's salting concern — the join key is
+the group, so operators/skew.py composes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    item_col: str,
+    window: int = 2,
+    symmetric: bool = True,
+) -> DataFrame:
+    """``(center, context, cnt)`` aggregated skip-gram pairs.
+
+    ``order_cols`` must totally order rows within a group (add a
+    unique id as tiebreak) — otherwise positions, and therefore pairs,
+    are nondeterministic. ``symmetric=True`` counts each unordered
+    co-occurrence in both directions (the word2vec convention);
+    ``False`` keeps only forward (center before context) pairs.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    pos = df.withColumn("_pos", F.row_number().over(w)).select(
+        F.col(group_col).alias("_g"),
+        F.col(item_col).alias("_item"),
+        "_pos",
+    )
+    a = pos.select(
+        F.col("_g"), F.col("_item").alias("center"), F.col("_pos").alias("_pa")
+    )
+    b = pos.select(
+        F.col("_g"), F.col("_item").alias("context"), F.col("_pos").alias("_pb")
+    )
+    dist = F.col("_pb") - F.col("_pa")
+    band = (dist >= 1) & (dist <= F.lit(int(window)))
+    pairs = a.join(b, "_g").filter(band).select("center", "context")
+    if symmetric:
+        pairs = pairs.unionByName(
+            pairs.select(
+                F.col("context").alias("center"),
+                F.col("center").alias("context"),
+            )
+        )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )

@@ -58,6 +58,7 @@ _PRIORITY = [
     "documents_content_fingerprint",  # new (round 10)
     "events_temporal_split_report",  # new (round 10)
     "similarity_mmr_topk",  # new (round 10)
+    "event_skipgram_pairs",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -88,7 +89,6 @@ _PRIORITY = [
     "urgent_open_orders",  # green CORRECTNESS_r02.json
     "returned_item_losses",  # green CORRECTNESS_r02.json
     "part_zorder_keys",  # green CORRECTNESS_r03.json
-    "event_type_skew_report",  # green CORRECTNESS_r03.json
     "price_band_lookup",  # green CORRECTNESS_r03.json
 ]
 

@@ -3425,6 +3425,44 @@ def streaming_lm_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skip-gram co-occurrence pairs (cooccurrence.skipgram_pairs): per-user
+# event-type sequences, window 2, symmetric — the item2vec training
+# distribution. One group-key window + one banded self-equi-join
+# (fan-out <= 2·window per item), map-side-combined pair counts.
+def event_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cooccurrence import skipgram_pairs
+
+    return skipgram_pairs(
+        _t(spark, sf_dir, "events"),
+        group_col="user_id",
+        order_cols=["ts", "event_id"],
+        item_col="event_type",
+        window=2,
+        symmetric=True,
+    )
+
+
+EVENT_SKIPGRAM_PAIRS_SQL = """
+WITH pos AS MATERIALIZED (
+  SELECT user_id AS g, event_type AS item,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS p
+  FROM events
+), fwd AS (
+  SELECT a.item AS center, b.item AS context
+  FROM pos a JOIN pos b
+    ON a.g = b.g AND b.p - a.p BETWEEN 1 AND 2
+), sym AS (
+  SELECT center, context FROM fwd
+  UNION ALL
+  SELECT context AS center, center AS context FROM fwd
+)
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM sym GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # MMR diversified re-rank (similarity.mmr_rerank): 20 exact-cosine
 # candidates for one query, then 5 greedy maximal-marginal-relevance
 # selections (lam=0.7). Inherently sequential — 5 bounded argmax rounds
@@ -5564,6 +5602,7 @@ QUERIES = {
         EVENTS_TEMPORAL_SPLIT_REPORT_SQL,
     ),
     "similarity_mmr_topk": (similarity_mmr_topk, SIMILARITY_MMR_TOPK_SQL),
+    "event_skipgram_pairs": (event_skipgram_pairs, EVENT_SKIPGRAM_PAIRS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

@@ -1,0 +1,50 @@
+"""Skip-gram co-occurrence pairs (operators/cooccurrence.py)."""
+
+import pytest
+
+from data_ingestion_pipelines_spark.operators.cooccurrence import skipgram_pairs
+
+
+def _seq(spark):
+    # user 1 sequence: A B C D; user 2: A A
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "C"), (1, 4, "D"),
+        (2, 1, "A"), (2, 2, "A"),
+    ]
+    return spark.createDataFrame(rows, "u bigint, t bigint, item string")
+
+
+def test_forward_pairs_window_2(spark):
+    out = skipgram_pairs(
+        _seq(spark), "u", ["t"], "item", window=2, symmetric=False
+    ).collect()
+    got = {(r.center, r.context): r.cnt for r in out}
+    assert got == {
+        ("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1,
+        ("B", "D"): 1, ("C", "D"): 1,
+        ("A", "A"): 1,  # user 2
+    }
+
+
+def test_symmetric_doubles_each_direction(spark):
+    out = skipgram_pairs(
+        _seq(spark), "u", ["t"], "item", window=1, symmetric=True
+    ).collect()
+    got = {(r.center, r.context): r.cnt for r in out}
+    assert got == {
+        ("A", "B"): 1, ("B", "A"): 1,
+        ("B", "C"): 1, ("C", "B"): 1,
+        ("C", "D"): 1, ("D", "C"): 1,
+        ("A", "A"): 2,  # both directions of user 2's adjacent pair
+    }
+
+
+def test_window_must_be_positive(spark):
+    with pytest.raises(ValueError, match="window must be >= 1"):
+        skipgram_pairs(_seq(spark), "u", ["t"], "item", window=0)
+
+
+def test_groups_never_mix(spark):
+    rows = [(1, 1, "X"), (2, 2, "Y")]
+    df = spark.createDataFrame(rows, "u bigint, t bigint, item string")
+    assert skipgram_pairs(df, "u", ["t"], "item", window=5).count() == 0
