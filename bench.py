@@ -155,6 +155,16 @@ HEADLINE = [
     "dsir_selected_docs",
     "doc_lm_surprisal",
     "preference_pairs_docs",
+    # round-10 continuation: frozen-model streaming scoring (4 real
+    # micro-batches), the 5-round MMR argmax loop, the banded skip-gram
+    # self-join, the k-anonymity window, the one-scan content
+    # fingerprint, and the temporal-split audit
+    "streaming_lm_scored_ingest",
+    "similarity_mmr_topk",
+    "event_skipgram_pairs",
+    "customer_k_anonymous_cells",
+    "documents_content_fingerprint",
+    "events_temporal_split_report",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

@@ -53,14 +53,23 @@ def skipgram_pairs(
     )
     dist = F.col("_pb") - F.col("_pa")
     band = (dist >= 1) & (dist <= F.lit(int(window)))
-    pairs = a.join(b, "_g").filter(band).select("center", "context")
+    joined = a.join(b, "_g").filter(band)
     if symmetric:
-        pairs = pairs.unionByName(
-            pairs.select(
-                F.col("context").alias("center"),
-                F.col("center").alias("context"),
-            )
-        )
+        # both directions from ONE join pass (a union of the two
+        # orientations would execute the self-join twice)
+        pairs = joined.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("center"), F.col("context")),
+                    F.struct(
+                        F.col("context").alias("center"),
+                        F.col("center").alias("context"),
+                    ),
+                )
+            ).alias("_p")
+        ).select("_p.center", "_p.context")
+    else:
+        pairs = joined.select("center", "context")
     return pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
