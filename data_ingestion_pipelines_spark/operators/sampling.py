@@ -358,3 +358,60 @@ def temporal_split_report(
         test_min.alias("test_min_ts"),
         F.coalesce(train_max < test_min, F.lit(True)).alias("no_leakage"),
     )
+
+
+def sliding_chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping sliding-window chunks — the retrieval-indexing twin
+    of :func:`chunk_documents` (stride < size ⇒ consecutive chunks
+    share ``size - stride`` tokens, so a passage spanning a boundary is
+    fully contained in at least one chunk; stride == size degenerates
+    to the lossless partition).
+
+    Windows start at 0, stride, 2·stride, … while the start is inside
+    the document; the LAST window is the only one allowed to be short
+    (every non-final window has exactly ``size`` tokens). Same
+    tokenizer and checkpoint-barrier discipline as
+    :func:`chunk_documents`; output adds ``chunk_start`` (0-based
+    token offset).
+    """
+    if not 1 <= stride <= size:
+        raise ValueError(
+            f"stride must be in [1, size], got stride={stride} size={size}"
+        )
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    base = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(
+        eager=False
+    )
+    n = F.size("_toks")
+    # number of windows: 1 + floor((n - 1) / stride) for n >= 1, else 1.
+    # EXPLICIT floor — a bare double->int cast truncates in Spark but
+    # rounds in DuckDB, so the oracle would drift on .5 fractions.
+    n_win = (
+        F.when(n >= 1, F.floor((n - 1) / F.lit(stride))).otherwise(F.lit(0))
+    ).cast("int") + F.lit(1)
+    chunks = base.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.struct(
+                (i * stride).cast("bigint").alias("start"),
+                F.slice(F.col("_toks"), i * stride + 1, size).alias("win"),
+            ),
+        ).alias("_wins"),
+    )
+    exploded = chunks.select(
+        id_col, F.posexplode("_wins").alias("chunk_id", "_w")
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("_w.start").alias("chunk_start"),
+        F.array_join("_w.win", " ").alias("chunk_text"),
+        F.size("_w.win").cast("bigint").alias("n_chunk_tokens"),
+    )

@@ -59,6 +59,7 @@ _PRIORITY = [
     "events_temporal_split_report",  # new (round 10)
     "similarity_mmr_topk",  # new (round 10)
     "event_skipgram_pairs",  # new (round 10)
+    "doc_sliding_chunks",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -88,7 +89,6 @@ _PRIORITY = [
     "conversion_funnel",  # green CORRECTNESS_r02.json
     "urgent_open_orders",  # green CORRECTNESS_r02.json
     "returned_item_losses",  # green CORRECTNESS_r02.json
-    "part_zorder_keys",  # green CORRECTNESS_r03.json
     "price_band_lookup",  # green CORRECTNESS_r03.json
 ]
 

@@ -1748,6 +1748,38 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Overlapping sliding-window chunks (sampling.sliding_chunk_documents):
+# size 48 / stride 32 — consecutive chunks share 16 tokens so boundary-
+# spanning passages stay intact in at least one chunk (the retrieval-
+# indexing twin of doc_chunks' lossless partition).
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sliding_chunk_documents
+
+    return sliding_chunk_documents(
+        _t(spark, sf_dir, "documents"), size=48, stride=32
+    )
+
+
+DOC_SLIDING_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_id, CAST(i * 32 AS BIGINT) AS chunk_start,
+         toks[(i*32+1):(i*32+48)] AS chunk
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(
+      0, CASE WHEN len(toks) >= 1
+              THEN CAST(floor((len(toks) - 1) / 32.0) AS INT)
+              ELSE 0 END)) AS i
+  )
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_start,
+       array_to_string(chunk, ' ') AS chunk_text,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # SQL-registration path for the Python UDTF surface (functions/udtfs.py):
 # the gate goes through spark.udtf.register + a LATERAL call in
 # spark.sql — the exact route a SQL-only user takes — not the DataFrame
@@ -5603,6 +5635,7 @@ QUERIES = {
     ),
     "similarity_mmr_topk": (similarity_mmr_topk, SIMILARITY_MMR_TOPK_SQL),
     "event_skipgram_pairs": (event_skipgram_pairs, EVENT_SKIPGRAM_PAIRS_SQL),
+    "doc_sliding_chunks": (doc_sliding_chunks, DOC_SLIDING_CHUNKS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

@@ -331,3 +331,55 @@ def test_temporal_split_report_empty_side(spark):
     r = temporal_split_report(_ts_rows(spark), "ts", "2030-01-01").collect()[0]
     assert (r.n_train, r.n_test) == (4, 0)
     assert r.test_min_ts is None and r.no_leakage is True
+
+
+# --- sliding-window chunks --------------------------------------------------
+
+import pytest
+
+from data_ingestion_pipelines_spark.operators.sampling import (
+    sliding_chunk_documents,
+)
+
+
+def test_sliding_chunks_overlap_and_coverage(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    out = sorted(
+        sliding_chunk_documents(df, size=4, stride=2).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # windows at 0,2,4,6,8 — every non-final full, last short
+    assert [r.chunk_start for r in out] == [0, 2, 4, 6, 8]
+    assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 4, 2]
+    assert out[0].chunk_text == "w0 w1 w2 w3"
+    assert out[1].chunk_text == "w2 w3 w4 w5"  # 2-token overlap
+    # every token appears in at least one chunk
+    seen = set()
+    for r in out:
+        seen.update(r.chunk_text.split())
+    assert seen == {f"w{i}" for i in range(10)}
+
+
+def test_sliding_equals_partition_when_stride_is_size(spark):
+    from data_ingestion_pipelines_spark.operators.sampling import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(130))
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    a = {
+        (r.chunk_id, r.chunk_text)
+        for r in sliding_chunk_documents(df, size=64, stride=64).collect()
+    }
+    b = {
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(df, max_tokens=64).collect()
+    }
+    assert a == b
+
+
+def test_sliding_stride_bounds_refused(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="stride must be in"):
+        sliding_chunk_documents(df, size=4, stride=5)
+    with pytest.raises(ValueError, match="stride must be in"):
+        sliding_chunk_documents(df, size=4, stride=0)
