@@ -187,3 +187,71 @@ def parquet_rowgroup_stats(
         "num_values BIGINT, null_count BIGINT, min_value STRING, "
         "max_value STRING, compressed_bytes BIGINT, uncompressed_bytes BIGINT",
     )
+
+
+_FIXED_WIDTH_BYTES = {
+    "tinyint": 1, "smallint": 2, "int": 4, "integer": 4, "bigint": 8,
+    "long": 8, "float": 4, "double": 8, "boolean": 1, "date": 4,
+    "timestamp": 8, "timestamp_ntz": 8,
+}
+
+
+def estimate_write_layout(
+    df: DataFrame, target_mb: int = 128
+) -> DataFrame:
+    """One-row write plan against the small-files problem: estimate the
+    dataset's uncompressed byte volume from column types (fixed widths
+    for numerics/dates, byte length + 4 for strings/binary) and derive
+    ``n_files = max(1, ceil(bytes / target))`` — the repartition count
+    that lands output files near the target size instead of
+    one-file-per-task confetti or a single giant file.
+
+    ONE partial-combined aggregate (COUNT(*)-class cost); exact integer
+    arithmetic end to end, so the plan itself is oracle-verifiable.
+    Parquet compresses 2-10x, so ``target_mb`` should be the desired
+    on-disk size times your compression factor; the estimator is
+    deliberately a stable, engine-reproducible proxy, not a codec
+    predictor.
+    """
+    if target_mb < 1:
+        raise ValueError(f"target_mb must be >= 1, got {target_mb}")
+    per_row = F.lit(0).cast("bigint")
+    for name, dtype in df.dtypes:
+        if dtype in ("string", "binary"):
+            per_row = per_row + (
+                F.coalesce(F.octet_length(F.col(name)), F.lit(0)) + F.lit(4)
+            ).cast("bigint")
+        elif dtype in _FIXED_WIDTH_BYTES:
+            per_row = per_row + F.lit(_FIXED_WIDTH_BYTES[dtype]).cast("bigint")
+        else:
+            raise ValueError(
+                f"estimate_write_layout: unsupported column type "
+                f"{name}: {dtype} (cast or drop it first)"
+            )
+    target_bytes = F.lit(int(target_mb) * 1024 * 1024).cast("bigint")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(per_row), F.lit(0)).cast("bigint").alias("est_bytes"),
+    )
+    return agg.select(
+        "n_rows",
+        "est_bytes",
+        target_bytes.alias("target_bytes"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("est_bytes") / target_bytes.cast("double")).cast(
+                "bigint"
+            ),
+        ).alias("n_files"),
+    )
+
+
+def write_with_target_file_size(
+    df: DataFrame, path: str, target_mb: int = 128, fmt: str = "parquet"
+) -> int:
+    """Repartition to the :func:`estimate_write_layout` file count and
+    write. The single-row plan read is bounded control-plane; the
+    repartition is the one shuffle this op owns. Returns ``n_files``."""
+    n_files = int(estimate_write_layout(df, target_mb).first()["n_files"])
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(path)
+    return n_files

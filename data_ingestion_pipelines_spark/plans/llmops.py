@@ -1748,6 +1748,38 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Write-layout planning (layout.estimate_write_layout): the
+# anti-small-files plan — typed byte estimate (fixed widths + string
+# byte lengths + 4) => n_files = max(1, ceil(bytes/target)) at a 1 MB
+# target. Exact integers; one COUNT(*)-class aggregate.
+def documents_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import estimate_write_layout
+
+    return estimate_write_layout(_t(spark, sf_dir, "documents"), target_mb=1)
+
+
+DOCUMENTS_WRITE_PLAN_SQL = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(
+           8  -- doc_id
+           + COALESCE(strlen(text), 0) + 4
+           + COALESCE(strlen(lang), 0) + 4
+           + COALESCE(strlen(source), 0) + 4
+           + 8  -- n_chars
+         ), 0) AS BIGINT) AS est_bytes
+  FROM documents
+)
+SELECT n_rows, est_bytes,
+       CAST(1048576 AS BIGINT) AS target_bytes,
+       GREATEST(CAST(1 AS BIGINT),
+                CAST(ceil(est_bytes / CAST(1048576 AS DOUBLE)) AS BIGINT))
+         AS n_files
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Overlapping sliding-window chunks (sampling.sliding_chunk_documents):
 # size 48 / stride 32 — consecutive chunks share 16 tokens so boundary-
 # spanning passages stay intact in at least one chunk (the retrieval-
@@ -5636,6 +5668,7 @@ QUERIES = {
     "similarity_mmr_topk": (similarity_mmr_topk, SIMILARITY_MMR_TOPK_SQL),
     "event_skipgram_pairs": (event_skipgram_pairs, EVENT_SKIPGRAM_PAIRS_SQL),
     "doc_sliding_chunks": (doc_sliding_chunks, DOC_SLIDING_CHUNKS_SQL),
+    "documents_write_plan": (documents_write_plan, DOCUMENTS_WRITE_PLAN_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

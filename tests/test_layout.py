@@ -154,3 +154,51 @@ def test_parquet_rowgroup_stats_matches_duckdb_metadata(spark, tmp_path):
     assert agg["nulls"] == back.filter(F.col("v").isNull()).count()
     assert agg["mn"] == back.agg(F.min("v")).first()[0]
     assert agg["mx"] == back.agg(F.max("v")).first()[0]
+
+
+# --- write-layout planning --------------------------------------------------
+
+import pytest
+
+from data_ingestion_pipelines_spark.operators.layout import (
+    estimate_write_layout,
+    write_with_target_file_size,
+)
+
+
+def test_estimate_counts_and_file_math(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, None)], "id bigint, s string"
+    )
+    r = estimate_write_layout(df, target_mb=1).collect()[0]
+    # row1: 8 + 100 + 4; row2: 8 + 0 + 4
+    assert (r.n_rows, r.est_bytes) == (2, 124)
+    assert r.target_bytes == 1048576 and r.n_files == 1
+
+
+def test_estimate_scales_file_count(spark):
+    df = spark.createDataFrame(
+        [(i, "y" * 1000) for i in range(3000)], "id bigint, s string"
+    )
+    r = estimate_write_layout(df, target_mb=1).collect()[0]
+    # ~3.03 MB estimated -> 3 files at 1 MB target
+    assert r.n_files == 3
+
+
+def test_unsupported_type_refused(spark):
+    df = spark.createDataFrame([(1, [1, 2])], "id bigint, a array<bigint>")
+    with pytest.raises(ValueError, match="unsupported column type"):
+        estimate_write_layout(df)
+
+
+def test_write_with_target_file_size_writes_plan_count(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "z" * 1000) for i in range(3000)], "id bigint, s string"
+    )
+    out = str(tmp_path / "sized")
+    n = write_with_target_file_size(df, out, target_mb=1)
+    assert n == 3
+    import glob
+
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 3
