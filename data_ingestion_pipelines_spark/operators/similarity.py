@@ -1903,3 +1903,57 @@ def mmr_rerank(
         out_rows,
         f"rank bigint, {id_col} bigint, rel double, mmr_score double",
     )
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: fuse per-system rankings into
+    ``rrf = sum over systems of 1 / (k + rank)``, robust to
+    incomparable score scales (BM25 vs cosine) because only RANKS
+    enter. Items absent from a system contribute nothing.
+
+    Determinism: each contribution is ONE division of exact integers;
+    the cross-system sum folds in SYSTEM-NAME order via a sorted
+    sequential fold (the BM25 convention — a bare SUM would add in
+    shuffle order and drift ulps across layouts). One union + one
+    id-keyed aggregate; system count is bounded, so the fold is O(1)
+    per item. Output: ``(id, n_systems, rrf)``.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking required")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = []
+    for name, df in sorted(rankings.items()):
+        parts.append(
+            df.select(
+                F.col(id_col),
+                F.lit(name).alias("_sys"),
+                (
+                    F.lit(1.0)
+                    / (F.lit(int(k)) + F.col(rank_col)).cast("double")
+                ).alias("_contrib"),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_sys", "_contrib"))),
+                    lambda s: s["_contrib"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("rrf"),
+        )
+    )

@@ -61,6 +61,7 @@ _PRIORITY = [
     "event_skipgram_pairs",  # new (round 10)
     "doc_sliding_chunks",  # new (round 10)
     "documents_write_plan",  # new (round 10)
+    "hybrid_rrf_ranking",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -88,7 +89,6 @@ _PRIORITY = [
     "ngram_jaccard_docs",  # green CORRECTNESS_r09.json
     "similarity_ivf_pq_topk",  # green CORRECTNESS_r09.json
     "conversion_funnel",  # green CORRECTNESS_r02.json
-    "returned_item_losses",  # green CORRECTNESS_r02.json
     "price_band_lookup",  # green CORRECTNESS_r03.json
 ]
 

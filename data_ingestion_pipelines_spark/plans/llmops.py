@@ -3617,6 +3617,131 @@ SELECT * FROM (
 
 
 # --------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion (similarity.rrf_fuse,
+# Cormack et al. 2009): BM25 top-50 for a term query fused with the
+# exact-cosine top-50 for an embedding query (doc_id ≡ vec_id in the
+# test corpus), k=60. Only RANKS cross systems, so BM25-vs-cosine
+# scale mismatch is irrelevant; contributions are single exact-integer
+# divisions folded in system-name order (2-term chain — bit-identical).
+def hybrid_rrf_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine_similarity, rrf_fuse
+    from ..operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(1, ["hash", "join"])], "query_id bigint, terms array<string>"
+    )
+    bm = bm25_scores(docs, queries, top_k=50).select(
+        F.col("doc_id").alias("vec_id"), "rank"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_q"))
+    cos = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("_q")), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(50)
+    )
+    cosr = cos.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("vec_id")))
+        .cast("bigint"),
+    ).select("vec_id", "rank")
+    fused = rrf_fuse({"bm25": bm, "vector": cosr}, id_col="vec_id", k=60)
+    top = fused.orderBy(F.desc("rrf"), F.asc("vec_id")).limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf"), F.asc("vec_id")))
+        .cast("bigint"),
+    ).select("vec_id", "n_systems", "rrf", "rank")
+
+
+HYBRID_RRF_RANKING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), kept AS (
+  SELECT doc_id, term FROM tok WHERE NOT list_contains({_STOPWORDS_SQL}, term)
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM kept GROUP BY 1, 2
+), dl AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1
+), dfreq AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+corpus AS (
+  SELECT n.n_docs,
+         CAST(SUM(dl.doc_len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl, n GROUP BY n.n_docs
+), q AS (SELECT 'hash' AS term UNION ALL SELECT 'join'),
+per_term AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(c.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+         * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+            / (CAST(tf.tf AS DOUBLE)
+               + 1.2 * ((1.0 - 0.75)
+                        + 0.75 * (CAST(dl.doc_len AS DOUBLE) / c.avgdl))))
+           AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN corpus c
+), totals AS (
+  SELECT doc_id,
+         list_reduce(
+           list_transform(
+             list_sort(list(struct_pack(term := term, s := s))), x -> x.s
+           ),
+           (a, b) -> a + b
+         ) AS score
+  FROM per_term GROUP BY 1
+), bm AS (
+  SELECT doc_id AS vec_id, CAST(rn AS BIGINT) AS rank FROM (
+    SELECT doc_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM totals
+  ) WHERE rn <= 50
+), qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE vec_id = 0),
+cos0 AS (
+  SELECT c.vec_id,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), qv.v), 6)
+           AS score
+  FROM embeddings c, qv
+), cosr AS (
+  SELECT vec_id, CAST(rn AS BIGINT) AS rank FROM (
+    SELECT vec_id, score,
+           ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rn
+    FROM cos0
+  ) WHERE rn <= 50
+), fused AS (
+  SELECT COALESCE(b.vec_id, v.vec_id) AS vec_id,
+         CAST((CASE WHEN b.rank IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN v.rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_systems,
+         COALESCE(1.0 / CAST(60 + b.rank AS DOUBLE), 0.0)
+         + COALESCE(1.0 / CAST(60 + v.rank AS DOUBLE), 0.0) AS rrf
+  FROM bm b FULL OUTER JOIN cosr v ON b.vec_id = v.vec_id
+), rk AS (
+  SELECT vec_id, n_systems, rrf,
+         CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, vec_id ASC) AS BIGINT)
+           AS rank
+  FROM fused
+)
+SELECT vec_id, n_systems, rrf, rank FROM rk WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Temporal train/test split (sampling.temporal_split): rows strictly
 # before the boundary train, the rest test — the forecasting split
 # where a hash split would leak the future. The report gate audits
@@ -5669,6 +5794,7 @@ QUERIES = {
     "event_skipgram_pairs": (event_skipgram_pairs, EVENT_SKIPGRAM_PAIRS_SQL),
     "doc_sliding_chunks": (doc_sliding_chunks, DOC_SLIDING_CHUNKS_SQL),
     "documents_write_plan": (documents_write_plan, DOCUMENTS_WRITE_PLAN_SQL),
+    "hybrid_rrf_ranking": (hybrid_rrf_ranking, HYBRID_RRF_RANKING_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

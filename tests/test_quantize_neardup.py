@@ -755,3 +755,34 @@ def test_mmr_exhausts_small_candidate_sets(spark):
     out = mmr_rerank(_mmr_cands(spark), k=10, lam=0.7).collect()
     assert sorted(r.vec_id for r in out) == [1, 2, 3, 4]
     assert sorted(r.rank for r in out) == [1, 2, 3, 4]
+
+
+# --- reciprocal-rank fusion -------------------------------------------------
+
+import pytest as _pytest
+
+from data_ingestion_pipelines_spark.operators.similarity import rrf_fuse
+
+
+def test_rrf_fusion_math_and_membership(spark):
+    bm = spark.createDataFrame([(10, 1), (20, 2)], "id bigint, rank bigint")
+    vec = spark.createDataFrame([(20, 1), (30, 2)], "id bigint, rank bigint")
+    out = {
+        r.id: (r.n_systems, r.rrf)
+        for r in rrf_fuse({"bm25": bm, "vector": vec}, id_col="id").collect()
+    }
+    assert out[10] == (1, 1.0 / 61)
+    assert out[30] == (1, 1.0 / 62)
+    # doc 20: rank 2 in bm25, rank 1 in vector
+    assert out[20][0] == 2
+    assert abs(out[20][1] - (1.0 / 62 + 1.0 / 61)) < 1e-15
+    # consensus item outranks either single-system item
+    assert out[20][1] > max(out[10][1], out[30][1])
+
+
+def test_rrf_requires_rankings_and_positive_k(spark):
+    bm = spark.createDataFrame([(1, 1)], "id bigint, rank bigint")
+    with _pytest.raises(ValueError, match="at least one ranking"):
+        rrf_fuse({})
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        rrf_fuse({"a": bm}, id_col="id", k=0)
