@@ -165,6 +165,9 @@ HEADLINE = [
     "customer_k_anonymous_cells",
     "documents_content_fingerprint",
     "events_temporal_split_report",
+    "doc_sliding_chunks",
+    "documents_write_plan",
+    "hybrid_rrf_ranking",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
