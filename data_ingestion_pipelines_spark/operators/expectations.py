@@ -204,3 +204,56 @@ def dataset_fingerprint(
         .cast("bigint")
         .alias("fingerprint"),
     )
+
+
+def categorical_drift_chisq(
+    a: DataFrame, b: DataFrame, col: str
+) -> DataFrame:
+    """Two-sample chi-square drift table between two slices' categorical
+    distributions — the train-vs-test / yesterday-vs-today shift
+    monitor (PSI's ln() is libm and would break the hash oracle; the
+    chi-square statistic is the same test family in pure exact-operand
+    arithmetic).
+
+    Per category c with counts ``n_a, n_b`` and totals ``N_a, N_b, N``:
+    expected ``E_x = N_x * (n_a + n_b) / N`` and
+    ``contrib = (n_a - E_a)^2 / E_a + (n_b - E_b)^2 / E_b``. Every
+    contribution is a FIXED chain of correctly-rounded IEEE ops on
+    exact integers — bit-identical across engines — and rows stay
+    per-category (the caller sums for the statistic; no cross-category
+    float fold rides the hash).
+
+    Two partial-combined aggregates + one bounded (category-count-row)
+    outer join with the 1-row totals broadcast — COUNT(*)-class cost
+    at any scale.
+    """
+    ca = a.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a")
+    )
+    cb = b.groupBy(F.col(col).alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b")
+    )
+    j = (
+        ca.join(cb, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+        )
+    )
+    totals = j.agg(
+        F.sum("n_a").cast("bigint").alias("_na"),
+        F.sum("n_b").cast("bigint").alias("_nb"),
+    )
+    out = j.crossJoin(F.broadcast(totals))
+    nc = (F.col("n_a") + F.col("n_b")).cast("double")
+    n = (F.col("_na") + F.col("_nb")).cast("double")
+    e_a = F.col("_na").cast("double") * nc / n
+    e_b = F.col("_nb").cast("double") * nc / n
+    d_a = F.col("n_a").cast("double") - e_a
+    d_b = F.col("n_b").cast("double") - e_b
+    # an entirely empty side has E_x = 0 for every category: its term is
+    # 0, not NaN (the one-sample degenerate case contributes nothing)
+    t_a = F.when(e_a > 0, d_a * d_a / e_a).otherwise(F.lit(0.0))
+    t_b = F.when(e_b > 0, d_b * d_b / e_b).otherwise(F.lit(0.0))
+    return out.select("category", "n_a", "n_b", (t_a + t_b).alias("contrib"))

@@ -62,6 +62,7 @@ _PRIORITY = [
     "doc_sliding_chunks",  # new (round 10)
     "documents_write_plan",  # new (round 10)
     "hybrid_rrf_ranking",  # new (round 10)
+    "split_drift_chisq",  # new (round 10)
     "association_rules",  # changed
     "part_copurchase_pagerank",  # changed
     "part_copurchase_communities",  # changed
@@ -88,7 +89,6 @@ _PRIORITY = [
     "webdataset_roundtrip_docs",  # green CORRECTNESS_r09.json
     "ngram_jaccard_docs",  # green CORRECTNESS_r09.json
     "similarity_ivf_pq_topk",  # green CORRECTNESS_r09.json
-    "conversion_funnel",  # green CORRECTNESS_r02.json
     "price_band_lookup",  # green CORRECTNESS_r03.json
 ]
 

@@ -3777,6 +3777,60 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# Categorical drift between the temporal split's halves
+# (expectations.categorical_drift_chisq): two-sample chi-square per
+# event_type — the distribution-shift monitor in pure exact-operand
+# arithmetic (PSI's ln() is libm; chi-square hashes). Rows stay
+# per-category so no cross-category float fold rides the hash.
+def split_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import categorical_drift_chisq
+
+    ev = _t(spark, sf_dir, "events")
+    before = ev.filter(F.col("ts") < F.lit(_TSPLIT_BOUNDARY))
+    after = ev.filter(F.col("ts") >= F.lit(_TSPLIT_BOUNDARY))
+    return categorical_drift_chisq(before, after, "event_type")
+
+
+SPLIT_DRIFT_CHISQ_SQL = f"""
+WITH j AS (
+  SELECT event_type AS category,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '{_TSPLIT_BOUNDARY}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_TSPLIT_BOUNDARY}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS na, CAST(SUM(n_b) AS BIGINT) AS nb
+  FROM j
+)
+SELECT j.category, j.n_a, j.n_b,
+       (CASE WHEN CAST(t.na AS DOUBLE) * CAST(j.n_a + j.n_b AS DOUBLE)
+                  / CAST(t.na + t.nb AS DOUBLE) > 0
+             THEN (CAST(j.n_a AS DOUBLE)
+                   - CAST(t.na AS DOUBLE) * CAST(j.n_a + j.n_b AS DOUBLE)
+                     / CAST(t.na + t.nb AS DOUBLE))
+                  * (CAST(j.n_a AS DOUBLE)
+                     - CAST(t.na AS DOUBLE) * CAST(j.n_a + j.n_b AS DOUBLE)
+                       / CAST(t.na + t.nb AS DOUBLE))
+                  / (CAST(t.na AS DOUBLE) * CAST(j.n_a + j.n_b AS DOUBLE)
+                     / CAST(t.na + t.nb AS DOUBLE))
+             ELSE 0.0 END)
+       + (CASE WHEN CAST(t.nb AS DOUBLE) * CAST(j.n_a + j.n_b AS DOUBLE)
+                    / CAST(t.na + t.nb AS DOUBLE) > 0
+               THEN (CAST(j.n_b AS DOUBLE)
+                     - CAST(t.nb AS DOUBLE) * CAST(j.n_a + j.n_b AS DOUBLE)
+                       / CAST(t.na + t.nb AS DOUBLE))
+                    * (CAST(j.n_b AS DOUBLE)
+                       - CAST(t.nb AS DOUBLE) * CAST(j.n_a + j.n_b AS DOUBLE)
+                         / CAST(t.na + t.nb AS DOUBLE))
+                    / (CAST(t.nb AS DOUBLE) * CAST(j.n_a + j.n_b AS DOUBLE)
+                       / CAST(t.na + t.nb AS DOUBLE))
+               ELSE 0.0 END) AS contrib
+FROM j CROSS JOIN t
+"""
+
+
+# --------------------------------------------------------------------------
 # Order-insensitive dataset content fingerprint
 # (expectations.dataset_fingerprint): equal row multisets => equal
 # fingerprint regardless of partitioning/file order/engine. One scan,
@@ -5795,6 +5849,7 @@ QUERIES = {
     "doc_sliding_chunks": (doc_sliding_chunks, DOC_SLIDING_CHUNKS_SQL),
     "documents_write_plan": (documents_write_plan, DOCUMENTS_WRITE_PLAN_SQL),
     "hybrid_rrf_ranking": (hybrid_rrf_ranking, HYBRID_RRF_RANKING_SQL),
+    "split_drift_chisq": (split_drift_chisq, SPLIT_DRIFT_CHISQ_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

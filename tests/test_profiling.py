@@ -213,3 +213,50 @@ def test_reconcile_tables_reports_duplicate_key_fanout(spark):
     assert got["match"] == 3
     assert got["value_mismatch"] == 1
     assert got["missing_in_source"] == 1  # the NULL-key target row
+
+
+# --- categorical drift (two-sample chi-square) ------------------------------
+
+from data_ingestion_pipelines_spark.operators.expectations import (
+    categorical_drift_chisq,
+)
+
+
+def test_chisq_zero_for_identical_distributions(spark):
+    a = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 10, "c string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 10, "c string"
+    )
+    out = categorical_drift_chisq(a, b, "c").collect()
+    assert all(r.contrib == 0.0 for r in out)
+
+
+def test_chisq_flags_shifted_category(spark):
+    a = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "c string")
+    b = spark.createDataFrame([("x",)] * 90 + [("y",)] * 10, "c string")
+    out = {r.category: r for r in categorical_drift_chisq(a, b, "c").collect()}
+    # 2x2 chi-square: both categories carry positive contributions and
+    # the rarer shifted category carries the larger one
+    assert out["x"].contrib > 0 and out["y"].contrib > 0
+    assert out["y"].contrib > out["x"].contrib
+    assert (out["x"].n_a, out["x"].n_b) == (50, 90)
+
+
+def test_chisq_category_missing_on_one_side(spark):
+    a = spark.createDataFrame([("x",)] * 10, "c string")
+    b = spark.createDataFrame([("x",)] * 10 + [("z",)] * 5, "c string")
+    out = {r.category: r for r in categorical_drift_chisq(a, b, "c").collect()}
+    assert out["z"].n_a == 0 and out["z"].n_b == 5
+    assert out["z"].contrib > 0
+
+
+def test_chisq_empty_side_contributes_zero_not_nan(spark):
+    import math
+
+    a = spark.createDataFrame([("x",)] * 5, "c string")
+    b = spark.createDataFrame([], "c string")
+    out = categorical_drift_chisq(a, b, "c").collect()
+    assert len(out) == 1
+    assert not math.isnan(out[0].contrib)
