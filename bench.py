@@ -1,6 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE compact JSON line
+(hard-bounded ≤2,000 bytes so the driver's ~2 KB stdout tail capture
+never truncates it — VERDICT r10 #1):
+{"metric": ..., "value": total_sec, "unit": "sec", "n_ok": ...,
+ "n_err": ..., "sf": ..., "cpus": ..., "queries_file": "<sidecar>"}
+The full per-query map + error messages + JVM-noise summary live in the
+sidecar file (default BENCH_QUERIES.json at the repo root, committed per
+round); `--compare` and verify_round.py read through the pointer.
 
 Each query is timed end-to-end (plan + execute); results are drained with
 count() on a cached-nothing session so scan/shuffle/agg all run. Order is
@@ -199,12 +205,30 @@ EXTRA_RUNS = {
 
 
 def _load_bench_json(path: str) -> dict:
-    """Read a bench artifact: either bench.py's own summary line or the
-    driver's BENCH_r{N}.json wrapper (summary under 'parsed')."""
+    """Read a bench artifact: bench.py's own summary line, the driver's
+    BENCH_r{N}.json wrapper (summary under 'parsed'), or — since round 11
+    — a compact summary line whose per-query map lives in the sidecar
+    file it points at via 'queries_file' (VERDICT r10 #1: the driver
+    tail-captures ~2 KB of stdout, so the full 77-query map can never
+    ride the line itself)."""
     with open(path) as fh:
         data = json.load(fh)
     if "parsed" in data and isinstance(data["parsed"], dict):
         data = data["parsed"]
+    if "queries" not in data and data.get("queries_file"):
+        qf = data["queries_file"]
+        if not os.path.exists(qf):
+            # artifact recorded an absolute path from another checkout —
+            # fall back to the basename next to the artifact / repo root
+            for cand in (
+                os.path.join(os.path.dirname(os.path.abspath(path)), os.path.basename(qf)),
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), os.path.basename(qf)),
+            ):
+                if os.path.exists(cand):
+                    qf = cand
+                    break
+        with open(qf) as fh:
+            data = json.load(fh)
     if "queries" not in data:
         raise ValueError(f"{path}: no 'queries' key — not a bench artifact")
     return data
@@ -393,7 +417,7 @@ def main() -> None:
     os.dup2(real_err.fileno(), 2)  # restore the real stderr fd
 
     total = round(sum(timings.values()), 3)
-    summary = {
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -404,10 +428,42 @@ def main() -> None:
         "cpus": int(cpus),
     }
     if noise:
-        summary["stderr_noise"] = noise
+        detail["stderr_noise"] = noise
         # full per-run capture (progress bars, stack traces) stays in a
         # sidecar the summary points at — never inside the JSON line
-        summary["stderr_log"] = jvm_log.name
+        detail["stderr_log"] = jvm_log.name
+    # ---- split-channel publishing (VERDICT r10 What's-wrong #1) ----
+    # The driver tail-captures only ~2 KB of stdout, so the 77-query map
+    # (3+ KB) can NEVER ride the final line: rounds 9 and 10 both lost
+    # per-query evidence that way. The full detail (per-query timings,
+    # errors, noise) goes to a committed sidecar file; the final stdout
+    # line is a COMPACT pointer summary hard-bounded at 2,000 bytes.
+    queries_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_QUERIES.json"),
+    )
+    try:
+        with open(queries_file, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# sidecar write failed ({exc}); detail stays line-less",
+              file=sys.stderr)
+        queries_file = None
+    summary = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "n_ok": len(timings),
+        "n_err": len(errors),
+        "sf": detail["sf"],
+        "cpus": detail["cpus"],
+        "queries_file": queries_file,
+    }
+    if errors:
+        # names only — messages live in the sidecar
+        summary["error_queries"] = sorted(errors)[:10]
     if compare_path:
         print(f"# --compare vs {compare_path}:", file=sys.stderr)
         # never let a broken/absent compare target kill the run — the
@@ -415,32 +471,22 @@ def main() -> None:
         # driver artifact is parse-broken and must still be passable
         # as a --compare arg without masking this run's numbers)
         try:
-            print(compare_benches(_load_bench_json(compare_path), summary),
+            print(compare_benches(_load_bench_json(compare_path), detail),
                   file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             print(f"# compare skipped: {exc}", file=sys.stderr)
     sys.stderr.flush()
-    # hard bound, ENFORCED by a detail-shedding ladder (review r10: a
-    # single trim then print-regardless could still ship an oversized
-    # line — exactly how r9's evidence was lost). Order: trim noise
-    # classes → reduce error messages to their exception class → drop
-    # the noise block entirely. The survivors (per-query floats + short
-    # strings) are structurally far below the bound.
+    # hard bound at the driver's observed capture size: shed the only
+    # variable-size fields (error names, then the sidecar path) — the
+    # fixed fields alone are ~200 bytes
     line = json.dumps(summary)
-    if len(line) > 16384 and noise:
-        summary["stderr_noise"] = {
-            n: {"classes": v["classes"][:3], "bytes": v["bytes"]}
-            for n, v in noise.items()
-        }
+    if len(line) > 2000 and "error_queries" in summary:
+        summary["error_queries"] = summary["error_queries"][:3]
         line = json.dumps(summary)
-    if len(line) > 16384 and errors:
-        summary["queries"] = {
-            **timings,
-            **{n: {"err": e.split(":", 1)[0][:80]} for n, e in errors.items()},
-        }
-        line = json.dumps(summary)
-    if len(line) > 16384:
-        summary.pop("stderr_noise", None)
+    if len(line) > 2000:
+        summary["queries_file"] = (
+            os.path.basename(queries_file) if queries_file else None
+        )
         line = json.dumps(summary)
     sys.stdout.flush()
     print(line, flush=True)

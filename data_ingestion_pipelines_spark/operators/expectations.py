@@ -171,28 +171,35 @@ def reconcile_tables(
     )
 
 
-def dataset_fingerprint(
-    df: DataFrame, cols: Sequence[str], sep: str = "\x1f"
-) -> DataFrame:
+def dataset_fingerprint(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Order-insensitive content fingerprint of a dataset — the
     export-integrity primitive: equal row MULTISETS ⇒ equal fingerprint,
     regardless of partitioning, file order, or engine.
 
-    Per row: the first 60 bits of ``md5`` over the ``sep``-joined
-    canonical column strings (NULL → the literal ``\\0`` marker, which
-    ``concat_ws`` would otherwise silently drop). Rows combine by SUM —
-    commutative, so shuffle/file order can't change the result — into
-    an exact DECIMAL(38,0) (no 64-bit wraparound, which ANSI-mode Spark
-    would throw on and non-ANSI engines would wrap differently), then
-    reduce mod 2^61-1 to a BIGINT.
+    Per row: each column is hashed INDIVIDUALLY (``md5`` of its
+    canonical string; NULL → the literal token ``null``, which contains
+    non-hex characters so it can never collide with a real digest), the
+    fixed-width 32-hex digests are concatenated, and the first 60 bits
+    of the outer ``md5`` become the row hash. Per-column hashing makes
+    the serialization prefix-free — no separator/NULL-marker injection
+    can make distinct tuples serialize identically (ADVICE r10: the
+    previous ``\\x1f``-joined form collided ``('a\\x1fb','c')`` with
+    ``('a','b\\x1fc')``). Rows combine by SUM — commutative, so
+    shuffle/file order can't change the result — into an exact
+    DECIMAL(38,0) (no 64-bit wraparound, which ANSI-mode Spark would
+    throw on and non-ANSI engines would wrap differently), then reduce
+    mod 2^61-1 to a BIGINT.
 
     One scan, one partial-aggregated fold; at 100 TB this is the
     cheapest possible full-content check (same cost class as COUNT(*)).
     Columns must be string/integer-typed: float columns format
     differently across engines — cast or quantize them first.
     """
-    canon = F.concat_ws(
-        sep, *[F.coalesce(F.col(c).cast("string"), F.lit("\0")) for c in cols]
+    canon = F.concat(
+        *[
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("null"))
+            for c in cols
+        ]
     )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
     return df.agg(
@@ -223,23 +230,29 @@ def categorical_drift_chisq(
     per-category (the caller sums for the statistic; no cross-category
     float fold rides the hash).
 
-    Two partial-combined aggregates + one bounded (category-count-row)
-    outer join with the 1-row totals broadcast — COUNT(*)-class cost
-    at any scale.
+    One union + one partial-combined aggregate with the 1-row totals
+    broadcast — COUNT(*)-class cost at any scale. The side-flag union
+    (not a per-side groupBy + full_outer join) is deliberate: SQL join
+    equality never matches NULL keys, so a NULL category present on both
+    sides would split into two half-rows with wrong chi-square
+    contributions (ADVICE r10), while a single groupBy merges NULLs into
+    one group exactly like the oracle's GROUP BY — and costs one shuffle
+    instead of two.
     """
-    ca = a.groupBy(F.col(col).alias("category")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_a")
-    )
-    cb = b.groupBy(F.col(col).alias("category")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_b")
-    )
-    j = (
-        ca.join(cb, "category", "full_outer")
-        .select(
-            "category",
-            F.coalesce("n_a", F.lit(0)).cast("bigint").alias("n_a"),
-            F.coalesce("n_b", F.lit(0)).cast("bigint").alias("n_b"),
+    u = a.select(
+        F.col(col).alias("category"),
+        F.lit(1).alias("_sa"),
+        F.lit(0).alias("_sb"),
+    ).unionByName(
+        b.select(
+            F.col(col).alias("category"),
+            F.lit(0).alias("_sa"),
+            F.lit(1).alias("_sb"),
         )
+    )
+    j = u.groupBy("category").agg(
+        F.sum("_sa").cast("bigint").alias("n_a"),
+        F.sum("_sb").cast("bigint").alias("n_b"),
     )
     totals = j.agg(
         F.sum("n_a").cast("bigint").alias("_na"),

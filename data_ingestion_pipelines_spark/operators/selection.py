@@ -104,7 +104,12 @@ def _joint_distribution(
     Predicate-form target: ONE exploded pass computes both counts
     (``count(*)`` + a conditional sum of the flag), halving the
     distribution work vs two scans. DataFrame-form target: two passes
-    joined on the (<= n_buckets-row) bucket key.
+    FULL-OUTER joined on the (<= n_buckets-row) bucket key — target
+    vocabulary hashing to buckets unseen in raw must still count toward
+    ``T_total`` (ADVICE r10: a left join silently dropped those buckets
+    and biased the ``wconst`` normalization); scoring remains restricted
+    to raw-present buckets by construction (a raw document cannot hash
+    into a raw-absent bucket).
     """
     if isinstance(target, Column):
         ex = bucketed.select(
@@ -119,8 +124,17 @@ def _joint_distribution(
     target_dist = bucket_distribution(
         _with_buckets(target, text_col, n_buckets, shared=False), "_buckets"
     )
-    return raw_dist.join(
-        target_dist.withColumnRenamed("cnt", "t_cnt"), "bucket", "left"
+    return (
+        raw_dist.join(
+            target_dist.withColumnRenamed("cnt", "t_cnt"),
+            "bucket",
+            "full_outer",
+        )
+        .select(
+            "bucket",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+            F.coalesce("t_cnt", F.lit(0)).cast("bigint").alias("t_cnt"),
+        )
     )
 
 
@@ -212,9 +226,10 @@ def dsir_quantized_weights(
     quantized normalization constant of the smoothed likelihood ratio
     (R/T = total raw/target gram occurrences, B = n_buckets). The
     constant scales with gram count, so it is part of the per-gram fold,
-    not a doc-level offset. Also emits ``n_grams``. Buckets never seen
-    in the raw corpus cannot occur in raw documents, so the left join
-    is complete.
+    not a doc-level offset. Also emits ``n_grams``. T counts ALL target
+    gram occurrences — including buckets unseen in raw (full-outer
+    distribution merge); raw documents can only ever look up raw-present
+    buckets, so per-doc scoring is unaffected by the extra rows.
 
     ``target`` is either a separate DataFrame or a BOOLEAN Column over
     ``raw``'s columns (the common in-corpus-slice case) — the predicate
@@ -267,6 +282,49 @@ def dsir_log_weights(
     scored = _score_against_map(
         bucketed, wmap, out, F.lit(0.0).cast("double")
     )
+    return scored.withColumn(
+        "n_grams", F.size("_buckets").cast("bigint")
+    ).drop("_buckets")
+
+
+def dsir_weights_with_float(
+    raw: DataFrame,
+    target: DataFrame | Column,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    q_out: str = "qlw",
+    f_out: str = "log_w",
+) -> DataFrame:
+    """Both weight columns — quantized (:func:`dsir_quantized_weights`,
+    the hash-oracled ranking) and float (:func:`dsir_log_weights`, the
+    paper's real-valued production ranking) — from ONE shared
+    tokenize+bucketize pass and ONE joint-distribution aggregate (the
+    distribution frame is lineage-barriered because two weight maps
+    read it). Built for the ``dsir_float_rank_verdict`` gate: verifying
+    the un-oracled float path against its quantized twin should not pay
+    the corpus featurization twice."""
+    bucketed = _with_buckets(raw, text_col, n_buckets)
+    joint = _joint_distribution(
+        bucketed, target, text_col, n_buckets
+    ).localCheckpoint(eager=False)
+    wmap_q = _weight_map_row(
+        joint,
+        n_buckets,
+        lambda t_cnt, r_cnt: _floor_log2_plus1(t_cnt) - _floor_log2_plus1(r_cnt),
+        lambda tpb, rpb: (
+            (F.length(F.bin(rpb)) - F.lit(1))
+            - (F.length(F.bin(tpb)) - F.lit(1))
+        ).cast("bigint"),
+    )
+    wmap_f = _weight_map_row(
+        joint,
+        n_buckets,
+        lambda t_cnt, r_cnt: F.log((t_cnt + F.lit(1)).cast("double"))
+        - F.log((r_cnt + F.lit(1)).cast("double")),
+        lambda tpb, rpb: F.log(rpb.cast("double")) - F.log(tpb.cast("double")),
+    )
+    scored = _score_against_map(bucketed, wmap_q, q_out, F.lit(0).cast("bigint"))
+    scored = _score_against_map(scored, wmap_f, f_out, F.lit(0.0).cast("double"))
     return scored.withColumn(
         "n_grams", F.size("_buckets").cast("bigint")
     ).drop("_buckets")

@@ -740,6 +740,25 @@ def test_fingerprint_is_order_and_layout_invariant(spark, rows, seed):
     assert (base.n_rows, base.fingerprint) == (again.n_rows, again.fingerprint)
 
 
+def test_fingerprint_resists_separator_and_null_marker_injection(spark):
+    # ADVICE r10: the old \x1f-joined form collided ('a\x1fb','c') with
+    # ('a','b\x1fc') and a literal "\0" value with NULL. Per-column
+    # hashing makes the serialization prefix-free.
+    a = spark.createDataFrame([("a\x1fb", "c")], "x string, y string")
+    b = spark.createDataFrame([("a", "b\x1fc")], "x string, y string")
+    fa = dataset_fingerprint(a, ["x", "y"]).collect()[0].fingerprint
+    fb = dataset_fingerprint(b, ["x", "y"]).collect()[0].fingerprint
+    assert fa != fb
+    c = spark.createDataFrame([(1, "\x00")], "k bigint, v string")
+    d = spark.createDataFrame([(1, None)], "k bigint, v string")
+    e = spark.createDataFrame([(1, "null")], "k bigint, v string")
+    fps = {
+        dataset_fingerprint(x, ["k", "v"]).collect()[0].fingerprint
+        for x in (c, d, e)
+    }
+    assert len(fps) == 3
+
+
 def test_fingerprint_distinguishes_null_from_empty_and_content(spark):
     a = spark.createDataFrame([(1, None)], "k bigint, v string")
     b = spark.createDataFrame([(1, "")], "k bigint, v string")

@@ -49,12 +49,13 @@ def run(name: str, cmd: list[str], env: dict | None = None) -> None:
 
 
 def run_bench(cmd: list[str]) -> None:
-    """Bench axis with the artifact-parseability contract (VERDICT r9
-    What's-wrong #1: BENCH_r09.json shipped parsed=null because the
-    summary line wasn't the last thing on stdout / grew past the
-    driver's capture). Asserts, like the driver does: the LAST non-empty
-    stdout line json.loads cleanly, carries a 'queries' block, reports
-    zero errors, and stays within a capturable length."""
+    """Bench axis with the artifact-capture contract (VERDICT r10
+    What's-wrong #1: the driver tail-captures only ~2 KB of stdout, so
+    rounds 9 AND 10 both shipped head-truncated bench evidence).
+    Asserts, like the driver does: the LAST non-empty stdout line
+    json.loads cleanly, is ≤2,000 bytes, reports zero errors, and its
+    'queries_file' pointer resolves to a sidecar whose per-query map
+    covers every n_ok + n_err query."""
     t = time.time()
     print(f"== bench: {' '.join(cmd)}", flush=True)
     proc = subprocess.run(cmd, cwd=HERE, stdout=subprocess.PIPE, text=True)
@@ -71,18 +72,36 @@ def run_bench(cmd: list[str]) -> None:
     except ValueError:
         print(f"FAILED axis: bench (last stdout line is not JSON: {last[:200]!r})")
         sys.exit(1)
-    if "queries" not in summary:
-        print("FAILED axis: bench (summary JSON has no 'queries' block)")
+    if len(last) > 2000:
+        print(f"FAILED axis: bench (summary line {len(last)} bytes > 2000 — "
+              "the driver's tail capture would truncate it)")
         sys.exit(1)
     if summary.get("n_err", 0):
-        print(f"FAILED axis: bench (n_err={summary['n_err']})")
+        print(f"FAILED axis: bench (n_err={summary['n_err']}: "
+              f"{summary.get('error_queries')})")
         sys.exit(1)
-    if len(last) > 16384:
-        print(f"FAILED axis: bench (summary line {len(last)} bytes > 16384)")
+    for key in ("metric", "value", "n_ok", "queries_file"):
+        if key not in summary:
+            print(f"FAILED axis: bench (summary line missing {key!r})")
+            sys.exit(1)
+    qf = summary["queries_file"]
+    if not os.path.isabs(qf):
+        qf = os.path.join(HERE, qf)
+    try:
+        with open(qf) as fh:
+            detail = json.load(fh)
+    except (OSError, ValueError) as exc:
+        print(f"FAILED axis: bench (sidecar {qf} unreadable: {exc})")
+        sys.exit(1)
+    n_detail = len(detail.get("queries", {}))
+    if n_detail != summary["n_ok"] + summary.get("n_err", 0):
+        print(f"FAILED axis: bench (sidecar has {n_detail} queries, line "
+              f"claims {summary['n_ok']}+{summary.get('n_err', 0)})")
         sys.exit(1)
     print(f"== bench ok ({time.time() - t:.0f}s, "
           f"{summary['n_ok']} queries, {summary['value']}s, "
-          f"line {len(last)} bytes)", flush=True)
+          f"line {len(last)} bytes, sidecar {os.path.basename(qf)})",
+          flush=True)
 
 
 def main() -> int:
@@ -137,6 +156,15 @@ def main() -> int:
             "plan audit (single-partition window guard)",
             [py, os.path.join(HERE, "tools", "plan_audit.py"),
              "/root/testdata/sf0.01"],
+        )
+        # registry parity (VERDICT r10 #3): plan_audit iterates the live
+        # registry, so re-generating + diffing against the committed file
+        # catches both missing rows (new gates landed without an audit
+        # refresh) and stale counters (optimized plans still showing old
+        # shuffle counts)
+        run(
+            "plan audit parity (committed PLAN_AUDIT.md is fresh)",
+            ["git", "diff", "--exit-code", "--", "PLAN_AUDIT.md"],
         )
     run_bench([py, os.path.join(HERE, "bench.py")])
     print("ALL AXES GREEN")
