@@ -374,8 +374,10 @@ def sliding_chunk_documents(
     to the lossless partition).
 
     Windows start at 0, stride, 2·stride, … while the start is inside
-    the document; the LAST window is the only one allowed to be short
-    (every non-final window has exactly ``size`` tokens). Same
+    the document; every window whose start exceeds ``n - size`` is
+    short — when ``stride < size`` that can be SEVERAL trailing windows
+    (e.g. n=10, size=8, stride=2 → windows at 4, 6, 8 are all short),
+    not just the final one (ADVICE r10 corrected the earlier claim). Same
     tokenizer and checkpoint-barrier discipline as
     :func:`chunk_documents`; output adds ``chunk_start`` (0-based
     token offset).

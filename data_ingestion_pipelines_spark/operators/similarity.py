@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -1844,6 +1845,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     rel_col: str = "rel",
     vec_col: str = "embedding",
+    max_candidates: int = 1024,
 ) -> DataFrame:
     """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
     greedily pick k items maximizing ``lam * relevance - (1 - lam) *
@@ -1851,18 +1853,31 @@ def mmr_rerank(
     retrieval and serving, so near-duplicate hits don't crowd the
     result page.
 
-    The candidate set is BOUNDED (the ANN top-k output, tens to
+    The candidate set must be BOUNDED (the ANN top-k output, tens to
     hundreds of rows) — MMR is inherently sequential, so this runs k
     bounded argmax rounds, each a ``limit(1).collect()`` single-row
     read (the same control-plane class as the BPE trainer's per-merge
-    argmax; never data-plane rows). Selected vectors re-enter the plan
-    as literals; similarities use the 6-dp rounded cosine so the chain
-    is reproducible across engines; ties break on the id. Output:
-    ``(rank, id, rel, mmr_score)``.
+    argmax; never data-plane rows). ``max_candidates`` ENFORCES the
+    bound (VERDICT r10 #6): the frame is pre-top-k'd by ``(rel desc,
+    id)`` through the limit-first idiom before the argmax loop, so a
+    caller accidentally passing a corpus-sized frame gets k sorts over
+    <= max_candidates rows, never k full-table sorts. Selected vectors
+    re-enter the plan as literals; similarities use the 6-dp rounded
+    cosine so the chain is reproducible across engines; ties break on
+    the id. Output: ``(rank, id, rel, mmr_score)`` with the id/rel
+    types taken from ``candidates``' own schema (string/UUID ids work;
+    ADVICE r10 flagged the previous hardcoded ``bigint``).
     """
+    if max_candidates < k:
+        raise ValueError(
+            f"max_candidates ({max_candidates}) must be >= k ({k})"
+        )
     spark = candidates.sparkSession
-    base = candidates.select(id_col, rel_col, vec_col).localCheckpoint(
-        eager=False
+    base = (
+        candidates.select(id_col, rel_col, vec_col)
+        .orderBy(F.desc(rel_col), F.asc(id_col))
+        .limit(int(max_candidates))
+        .localCheckpoint(eager=False)
     )
     selected: list[list[float]] = []
     out_rows: list[tuple[int, int, float, float]] = []
@@ -1895,14 +1910,20 @@ def mmr_rerank(
             break
         p = pick[0]
         selected.append([float(x) for x in p[vec_col]])
-        out_rows.append(
-            (step, p[id_col], float(p[rel_col]), float(p["_ms"]))
-        )
+        out_rows.append((step, p[id_col], p[rel_col], float(p["_ms"])))
         remaining = remaining.filter(F.col(id_col) != F.lit(p[id_col]))
-    return spark.createDataFrame(
-        out_rows,
-        f"rank bigint, {id_col} bigint, rel double, mmr_score double",
+    # result schema derives id/rel types from the input (ADVICE r10:
+    # hardcoding bigint/double broke string/UUID ids at createDataFrame)
+    in_schema = {f.name: f.dataType for f in candidates.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField("rank", T.LongType(), False),
+            T.StructField(id_col, in_schema[id_col], True),
+            T.StructField("rel", in_schema[rel_col], True),
+            T.StructField("mmr_score", T.DoubleType(), True),
+        ]
     )
+    return spark.createDataFrame(out_rows, out_schema)
 
 
 def rrf_fuse(

@@ -9,7 +9,13 @@
   ``ready.txt`` sentinel (the Palantir handshake, `Rushmore Reviews/
   ModuleFunctions.scala:810-836`).
 - ``maintain_table``: OPTIMIZE/VACUUM hooks — real SQL when the catalog
-  supports it (Delta), logged no-ops otherwise.
+  supports it (Delta); every statement reports ok/failed + error.
+- ``alter_table_location`` / ``relocate_database_tables``: repoint
+  tables at new storage paths (`basic/Changing ADLS Location in DBX
+  Entities.py:40-66`), single-table DDL or the reference's whole-db
+  audit loop.
+- ``set_table_properties``: TBLPROPERTIES pinning — e.g. Serializable
+  isolation (`basic/Serialise a Table.sql:1`).
 """
 
 from __future__ import annotations
@@ -179,17 +185,113 @@ def compact_parquet_path(
     }
 
 
-def maintain_table(spark: SparkSession, table: str, vacuum_retain_hours: int | None = None) -> list[str]:
-    """OPTIMIZE + VACUUM when the catalog supports them (Delta); returns
-    the statements attempted. Parquet-only deployments no-op safely."""
+def maintain_table(
+    spark: SparkSession, table: str, vacuum_retain_hours: int | None = None
+) -> list[dict[str, str | None]]:
+    """OPTIMIZE + VACUUM when the catalog supports them (Delta).
+
+    Returns one ``{"stmt", "status", "error"}`` record per statement —
+    ``status`` is ``"ok"`` or ``"failed"``, ``error`` the exception
+    message (VERDICT r10 #4: the earlier ``except: pass`` meant a
+    deployment whose catalog DOES support OPTIMIZE would never learn it
+    failed). Parquet-only deployments see ``failed`` records with the
+    catalog's unsupported-statement error — a visible no-op, not a
+    silent one.
+    """
     stmts = [f"OPTIMIZE {table}"]
     if vacuum_retain_hours is not None:
         stmts.append(f"VACUUM {table} RETAIN {vacuum_retain_hours} HOURS")
-    executed = []
+    results: list[dict[str, str | None]] = []
     for s in stmts:
         try:
             spark.sql(s)
-            executed.append(s)
-        except Exception:
-            pass  # non-Delta catalog: maintenance is a no-op
-    return executed
+            results.append({"stmt": s, "status": "ok", "error": None})
+        except Exception as ex:  # noqa: BLE001 — caller decides severity
+            msg = str(ex)
+            results.append(
+                {
+                    "stmt": s,
+                    "status": "failed",
+                    "error": msg if len(msg) <= 500 else msg[:500],
+                }
+            )
+    return results
+
+
+def alter_table_location(spark: SparkSession, table: str, location: str) -> str:
+    """K14: repoint a catalog table at a new storage path (reference
+    `basic/Changing ADLS Location in DBX Entities.py:57-66` —
+    ``ALTER TABLE db.t SET LOCATION '<new>'``). Returns the DDL it
+    executed; raises on catalogs/views that don't support relocation
+    (the reference records those as errorMessage rows — see
+    :func:`relocate_database_tables` for that loop)."""
+    ddl = f"ALTER TABLE {table} SET LOCATION '{location}'"
+    spark.sql(ddl)
+    return ddl
+
+
+def set_table_properties(
+    spark: SparkSession, table: str, props: dict[str, str]
+) -> str:
+    """K14: set table properties — e.g. the reference's Serializable
+    isolation pin (`basic/Serialise a Table.sql:1` — ``ALTER TABLE t SET
+    TBLPROPERTIES ('delta.isolationLevel' = 'Serializable')``). Property
+    keys/values are embedded as single-quoted SQL literals (quotes
+    escaped). Returns the DDL it executed."""
+    if not props:
+        raise ValueError("set_table_properties: props must be non-empty")
+
+    def q(s: str) -> str:
+        return "'" + str(s).replace("'", "''") + "'"
+
+    pairs = ", ".join(f"{q(k)} = {q(v)}" for k, v in sorted(props.items()))
+    ddl = f"ALTER TABLE {table} SET TBLPROPERTIES ({pairs})"
+    spark.sql(ddl)
+    return ddl
+
+
+def relocate_database_tables(
+    spark: SparkSession,
+    database: str,
+    current_path_part: str,
+    replace_with_path_part: str,
+    dry_run: bool = False,
+) -> DataFrame:
+    """The reference's bulk-relocation loop (`basic/Changing ADLS
+    Location in DBX Entities.py:40-66`): for every table in ``database``,
+    read its current location from the catalog, substitute
+    ``current_path_part`` → ``replace_with_path_part``, and run
+    ``ALTER TABLE … SET LOCATION``. Returns the reference's audit frame
+    ``(dbTable, alterExecuted, errorMessage)`` — views and tables whose
+    location can't be read or altered become error rows instead of
+    aborting the sweep. ``dry_run`` records would-be DDL without
+    executing (the reference ships with the execute line commented the
+    same way).
+
+    Control-plane by construction: SHOW TABLES / DESCRIBE are
+    catalog-metadata reads, never data scans."""
+    rows: list[tuple[str, str, str]] = []
+    for r in spark.sql(f"SHOW TABLES IN {database}").collect():
+        t = r["tableName"]
+        full = f"{database}.{t}"
+        try:
+            detail = spark.sql(f"DESCRIBE EXTENDED {full}").collect()
+            loc = next(
+                (d["data_type"] for d in detail if d["col_name"] == "Location"),
+                None,
+            )
+            if loc is None:
+                rows.append((full, "NO", "no Location in catalog (view?)"))
+                continue
+            new_loc = loc.replace(current_path_part, replace_with_path_part)
+            ddl = f"ALTER TABLE {full} SET LOCATION '{new_loc}'"
+            if dry_run:
+                rows.append((full, "DRY_RUN", ddl))
+            else:
+                spark.sql(ddl)
+                rows.append((full, "YES", ""))
+        except Exception as ex:  # noqa: BLE001 — per-table fault isolation
+            rows.append((full, "NO", str(ex)[:500]))
+    return spark.createDataFrame(
+        rows, "dbTable string, alterExecuted string, errorMessage string"
+    )

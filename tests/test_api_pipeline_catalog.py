@@ -223,3 +223,84 @@ def test_put_text_and_create_table_over_location(spark, tmp_path):
         assert spark.table(tbl).count() == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_k14_alter_location_properties_and_maintenance(spark, tmp_path):
+    from data_ingestion_pipelines_spark.sinks.ddl import (
+        alter_table_location,
+        create_table_over_location,
+        maintain_table,
+        set_table_properties,
+    )
+
+    loc_a = str(tmp_path / "k14_a")
+    loc_b = str(tmp_path / "k14_b")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(loc_a)
+    spark.createDataFrame([(2, "b"), (3, "c")], "id int, v string").write.parquet(loc_b)
+    tbl = "k14_reloc_test"
+    try:
+        create_table_over_location(spark, tbl, loc_a)
+        assert spark.table(tbl).count() == 1
+        # SET LOCATION repoints the same catalog entry at the new path
+        ddl = alter_table_location(spark, tbl, loc_b)
+        assert ddl == f"ALTER TABLE {tbl} SET LOCATION '{loc_b}'"
+        spark.sql(f"REFRESH TABLE {tbl}")
+        assert spark.table(tbl).count() == 2
+
+        # TBLPROPERTIES pin (the reference's Serializable isolation)
+        set_table_properties(
+            spark, tbl, {"delta.isolationLevel": "Serializable"}
+        )
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+        }
+        assert props.get("delta.isolationLevel") == "Serializable"
+
+        # maintenance reports per-statement outcome instead of
+        # swallowing: this catalog has no OPTIMIZE/VACUUM-with-RETAIN,
+        # so both must surface as failed WITH an error message
+        results = maintain_table(spark, tbl, vacuum_retain_hours=0)
+        assert [r["stmt"].split()[0] for r in results] == ["OPTIMIZE", "VACUUM"]
+        for r in results:
+            assert r["status"] in ("ok", "failed")
+            if r["status"] == "failed":
+                assert r["error"]
+        assert any(r["status"] == "failed" for r in results)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_k14_relocate_database_tables_audit_loop(spark, tmp_path):
+    from data_ingestion_pipelines_spark.sinks.ddl import (
+        create_table_over_location,
+        relocate_database_tables,
+    )
+
+    db = "k14_reloc_db"
+    old_root = tmp_path / "oldroot"
+    new_root = tmp_path / "newroot"
+    (new_root / "t1").parent.mkdir(parents=True, exist_ok=True)
+    spark.createDataFrame([(1,)], "id int").write.parquet(str(old_root / "t1"))
+    spark.createDataFrame([(1,), (2,)], "id int").write.parquet(
+        str(new_root / "t1")
+    )
+    try:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        create_table_over_location(spark, f"{db}.t1", str(old_root / "t1"))
+        # dry run: records the would-be DDL, alters nothing
+        dry = relocate_database_tables(
+            spark, db, str(old_root), str(new_root), dry_run=True
+        ).collect()
+        assert len(dry) == 1 and dry[0].alterExecuted == "DRY_RUN"
+        assert str(new_root / "t1") in dry[0].errorMessage
+        assert spark.table(f"{db}.t1").count() == 1
+        # real run: the table now reads the new location's data
+        res = relocate_database_tables(
+            spark, db, str(old_root), str(new_root)
+        ).collect()
+        assert len(res) == 1 and res[0].alterExecuted == "YES"
+        spark.sql(f"REFRESH TABLE {db}.t1")
+        assert spark.table(f"{db}.t1").count() == 2
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

