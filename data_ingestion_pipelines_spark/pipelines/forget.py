@@ -16,6 +16,12 @@ mechanisms into one audited sweep:
   O(|deleted|) write; every search/dedup path already anti-joins
   tombstones at read time, and ``vacuum_index`` folds them physically
   later.
+- **streaming near-dup sinks** (a ``neardup_lowid_ingest`` target,
+  recognized by its ``_committed`` marker dir):
+  :func:`~..streaming.incremental.neardup_forget` tombstones — the
+  survivor read, the ingest's stored-index probe, and compaction all
+  anti-join them, so the ids vanish from results immediately and from
+  the gram snapshot physically at the next ``compact_neardup_corpus``.
 
 The returned AUDIT frame is the compliance evidence: one row per
 artifact with ``requested`` ids, ``visible_before`` and
@@ -76,17 +82,38 @@ def forget_ids(
 
     for label, path, idx_id_col in index_specs:
         base = path.removeprefix("file://").rstrip("/")
+        fset = forget.select(
+            F.col(id_col).alias(idx_id_col)
+        ).dropDuplicates([idx_id_col])
+        if os.path.isdir(f"{base}/_committed"):
+            # a neardup_lowid_ingest target (its commit-marker dir is
+            # the signature): tombstone via the sink's own forget
+            # mechanism; visible_after re-reads through the real
+            # merge-on-read survivor path. Physical purge of the gram
+            # snapshot happens at the next compact_neardup_corpus.
+            from ..streaming.incremental import (
+                neardup_forget,
+                read_neardup_corpus,
+            )
+
+            before = _count_matching(
+                read_neardup_corpus(spark, path), fset, idx_id_col
+            )
+            neardup_forget(spark, path, fset, id_col=idx_id_col)
+            after = _count_matching(
+                read_neardup_corpus(spark, path), fset, idx_id_col
+            )
+            rows.append((label, n_requested, before, after))
+            continue
         artifact = next(
             (a for a in ("texts", "vectors") if os.path.isdir(f"{base}/{a}")),
             None,
         )
         if artifact is None:
             raise ValueError(
-                f"{label}: no per-id artifact (texts/ or vectors/) under {path}"
+                f"{label}: no per-id artifact (texts/ or vectors/) under "
+                f"{path} and no neardup-sink commit markers"
             )
-        fset = forget.select(
-            F.col(id_col).alias(idx_id_col)
-        ).dropDuplicates([idx_id_col])
         primary = spark.read.parquet(f"{base}/{artifact}")
         before = _count_matching(primary, fset, idx_id_col)
         delete_from_index(fset, path, id_col=idx_id_col)

@@ -3978,6 +3978,7 @@ def forget_sweep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import save_lsh_index
     from ..pipelines.forget import forget_ids
     from ..sinks import versioned
+    from ..streaming.incremental import neardup_lowid_ingest
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
@@ -3987,6 +3988,14 @@ def forget_sweep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh_path, lsh_path = f"{root}/mh_idx", f"{root}/lsh_idx"
     save_minhash_index(docs, mh_path)
     save_lsh_index(emb, lsh_path)
+    # streaming near-dup sink artifact (VERDICT r10 #2): one direct
+    # batch call builds the merge-on-read target with the same banding
+    # params as the streaming_neardup_ingest gate, so the oracle can
+    # reuse its survivor CTEs for visible_before
+    nd_target = f"{root}/neardup"
+    neardup_lowid_ingest(nd_target, n=3, threshold=0.5, num_bands=4)(
+        docs.select("doc_id", "text"), 0
+    )
     forget = spark.createDataFrame(
         [(i,) for i in _FORGET_IDS], "doc_id bigint"
     )
@@ -3997,13 +4006,25 @@ def forget_sweep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_specs=(
             ("minhash_index", mh_path, "doc_id"),
             ("lsh_index", lsh_path, "vec_id"),
+            ("neardup_sink", nd_target, "doc_id"),
         ),
     )
 
 
 _FORGET_IN = ", ".join(str(i) for i in _FORGET_IDS)
 
+# the neardup_sink row's visible_before counts forget ids among the
+# sink's SURVIVORS (its real read path) — the same banded-Jaccard
+# survivor predicate as streaming_neardup_ingest's oracle
 FORGET_SWEEP_VERDICT_SQL = f"""
+WITH {{cand_ctes}}, flagged AS MATERIALIZED (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  JOIN gsets ga ON ga.doc_id = c.id_a
+  JOIN gsets gb ON gb.doc_id = c.id_b
+  WHERE len(list_intersect(ga.g, gb.g))
+        / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.5
+)
 SELECT 'corpus' AS artifact, CAST(3 AS BIGINT) AS requested,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
          WHERE doc_id IN ({_FORGET_IN})) AS visible_before,
@@ -4018,7 +4039,14 @@ SELECT 'lsh_index', CAST(3 AS BIGINT),
        (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
          WHERE vec_id IN ({_FORGET_IN})),
        CAST(0 AS BIGINT)
-"""
+UNION ALL
+SELECT 'neardup_sink', CAST(3 AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d
+         WHERE d.doc_id IN ({_FORGET_IN})
+           AND NOT EXISTS (SELECT 1 FROM flagged f
+                           WHERE f.doc_id = d.doc_id)),
+       CAST(0 AS BIGINT)
+""".replace("{cand_ctes}", _NGRAM_CAND_CTES.strip())
 
 
 # --------------------------------------------------------------------------

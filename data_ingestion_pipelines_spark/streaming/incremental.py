@@ -759,6 +759,77 @@ def _write_gram_snapshot(grams, snap_dir: str, bucket_prefixes: int | None) -> N
         grams.write.parquet(f"{snap_dir}/grams")
 
 
+def neardup_forget(spark, target_path: str, forget: DataFrame,
+                   id_col: str = "doc_id") -> None:
+    """Right-to-be-forgotten tombstones for a :func:`neardup_lowid_ingest`
+    target (VERDICT r10 #2: the sink's gram snapshot and doc rows are
+    content-derived artifacts a deletion request must reach).
+
+    Writes the distinct forget ids as a parquet tombstone delta under
+    ``<target>/_forget/`` — an O(|forget|) control-plane write. Every
+    read path (:func:`read_neardup_corpus`, the ingest's stored-index
+    probe, compaction's state read) anti-joins the broadcast tombstone
+    set, so forgotten ids disappear IMMEDIATELY from query results and
+    from future dedup decisions; the next :func:`compact_neardup_corpus`
+    then purges them PHYSICALLY (its snapshot is written from the
+    tombstone-filtered state). Tombstone files persist after compaction:
+    retained older snapshots still hold the rows on disk, so the filter
+    must keep guarding time-travel reads until those generations are
+    pruned.
+
+    Semantics note: survivors stay flagged even when their justifying
+    lower-id near-duplicate is forgotten — the flag set's monotonicity
+    (and batch-order invariance) is preserved; forgetting removes the
+    subject's content and its future influence, not historical dedup
+    decisions about OTHER documents. A forgotten id that is re-sent
+    later is treated as a brand-new document (the data subject can
+    return)."""
+    import uuid
+
+    base = target_path.rstrip("/")
+    ids = forget.select(F.col(id_col).alias("_forget_id")).dropDuplicates(
+        ["_forget_id"]
+    )
+    ids.write.mode("overwrite").parquet(
+        f"{base}/_forget/t-{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _neardup_forget_df(spark, base: str):
+    """Union of tombstone deltas (None when no forget request exists) —
+    checked from filesystem metadata first so the no-tombstone hot path
+    costs nothing."""
+    import os
+
+    fdir = f"{base}/_forget"
+    if not os.path.isdir(fdir):
+        return None
+    subs = [
+        os.path.join(fdir, d)
+        for d in sorted(os.listdir(fdir))
+        if os.path.isdir(os.path.join(fdir, d))
+    ]
+    if not subs:
+        return None
+    return spark.read.parquet(*subs).dropDuplicates(["_forget_id"])
+
+
+def _apply_neardup_forget(df, forget_df):
+    """Anti-join a state frame against the (broadcast, control-plane
+    sized) tombstone set. The id column is the frame's only
+    non-internal column (docs/sizes/flags/grams all lead with it)."""
+    if df is None or forget_df is None:
+        return df
+    idc = next(
+        c for c in df.columns if c not in ("_t", "_bucket", "_g", "_bp", "_sz")
+    )
+    return df.join(
+        F.broadcast(forget_df.select(F.col("_forget_id").alias(idc))),
+        idc,
+        "left_anti",
+    )
+
+
 def _read_neardup_grams(spark, base: str, snap: str | None, ids: list[int],
                         gram_cells: list[int] | None = None):
     """Merged gram-index view (snapshot + committed deltas), handling
@@ -804,7 +875,9 @@ def _read_neardup_grams(spark, base: str, snap: str | None, ids: list[int],
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    # forgotten ids' gram rows must not influence future dedup decisions
+    # (and must not be re-published by compaction)
+    return _apply_neardup_forget(out, _neardup_forget_df(spark, base))
 
 
 def _read_neardup_state(spark, base: str, as_of_batch: int | None = None):
@@ -832,12 +905,14 @@ def _read_neardup_state(spark, base: str, as_of_batch: int | None = None):
             parts[k].append(f"{base}/delta/batch-{i}/{k}")
     if not parts["docs"]:
         return None, None, None, None
+    forget_df = _neardup_forget_df(spark, base)
     docs, sizes, flags = (
-        spark.read.parquet(*parts[k]) for k in ("docs", "sizes", "flags")
+        _apply_neardup_forget(spark.read.parquet(*parts[k]), forget_df)
+        for k in ("docs", "sizes", "flags")
     )
     # grams go through the layout-aware reader: the snapshot gram dir may
     # be band-partitioned and can't ride one multi-path read with the
-    # flat delta dirs
+    # flat delta dirs (it applies the forget tombstones itself)
     grams = _read_neardup_grams(spark, base, snap, ids)
     return docs, grams, sizes, flags
 

@@ -540,6 +540,90 @@ def test_neardup_lowid_ingest_compaction_invariant(spark, tmp_path):
     assert survivors(plain) == expect
 
 
+def test_neardup_forget_tombstones_then_compaction_purges(spark, tmp_path):
+    """Right-to-be-forgotten on the streaming near-dup sink (VERDICT r10
+    #2): tombstoned ids vanish from the survivor read immediately, stop
+    influencing future dedup decisions, and are PHYSICALLY absent from
+    every artifact of the next compaction snapshot."""
+    import os
+
+    from data_ingestion_pipelines_spark.pipelines.forget import forget_ids
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        _neardup_hwm,
+        compact_neardup_corpus,
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    path = tmp_path / "forget_nd"
+    sink = neardup_lowid_ingest(str(path), threshold=0.5)
+    sink(
+        spark.createDataFrame(
+            [(7, near_a), (1, "totally unrelated text here")],
+            "doc_id bigint, text string",
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(2, base_a), (8, "another completely different document")],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+
+    def survivors():
+        return sorted(
+            r["doc_id"]
+            for r in read_neardup_corpus(spark, str(path))
+            .select("doc_id").collect()
+        )
+
+    assert survivors() == [1, 2, 8]  # 7 flagged by lower-id near-dup 2
+
+    # sweep via the pipeline: audit row proves before=1 (1 survived
+    # dedup) and after=0 through the real merge-on-read read path
+    audit = forget_ids(
+        spark,
+        spark.createDataFrame([(1,)], "doc_id bigint"),
+        index_specs=(("neardup_sink", str(path), "doc_id"),),
+    ).collect()
+    assert len(audit) == 1
+    row = audit[0]
+    assert (row.artifact, row.requested) == ("neardup_sink", 1)
+    assert (row.visible_before, row.visible_after) == (1, 0)
+    assert survivors() == [2, 8]
+
+    # influence removal: doc 12 duplicates forgotten 1's text — without
+    # the forget it would be flagged (Jaccard 1.0 vs a lower id); with
+    # 1's grams tombstoned it must survive as a brand-new document
+    sink(
+        spark.createDataFrame(
+            [(12, "totally unrelated text here")], "doc_id bigint, text string"
+        ),
+        2,
+    )
+    assert survivors() == [2, 8, 12]
+
+    # compaction publishes a snapshot with the forgotten id PHYSICALLY
+    # absent from docs/grams/sizes (read raw, not through the filter)
+    assert compact_neardup_corpus(spark, str(path)) is True
+    snap, _ = _neardup_hwm(str(path))
+    for artifact in ("docs", "grams", "sizes"):
+        raw = spark.read.parquet(f"{path}/{snap}/{artifact}")
+        idc = next(c for c in raw.columns if not c.startswith("_"))
+        assert raw.filter(raw[idc] == 1).count() == 0, artifact
+    assert survivors() == [2, 8, 12]
+    # flags of OTHER docs persist (7 stays flagged even though its
+    # justifying pair partner 2 is unaffected here)
+    raw_flags = spark.read.parquet(f"{path}/{snap}/flags")
+    assert {r[0] for r in raw_flags.collect()} == {7}
+    # tombstone dir persists as the guard for retained older snapshots
+    assert os.path.isdir(path / "_forget")
+
+
 def test_neardup_band_partitioned_gram_snapshot_prunes_scan(spark, tmp_path):
     """The compaction snapshot's gram dir is band-partitioned
     (_t=<band>/_bp=<prefix> with one file per cell) and the ingest's
