@@ -99,6 +99,69 @@ FROM part
 
 
 # --------------------------------------------------------------------------
+# X3 end-to-end: the Well Logs failures-table rerun ladder
+# (`Tables.scala:249-289` + `Tables_rerun.scala:43-85`) with PLANTED
+# failures — ids divisible by 31 fail TRANSIENTLY (503 on run 1 only,
+# recovered by the first rerun), ids divisible by 97 fail PERMANENTLY
+# (500 every run, surfacing as the FAILURES_ONLY residue stamped with
+# the last run attempted). The oracle predicts each row's body, error,
+# and RECOVERY RUN from the id alone — proving failures actually
+# re-ran, recovered on run 2 within the 4-run budget, and merged into
+# one cumulative result.
+_LADDER_MAX_RUNS = 4
+
+
+def _ladder_transport_factory_for_run(run: int):
+    def factory():
+        import json as _json
+
+        def transport(url: str, method, headers, body) -> Response:
+            ident = int(url.rsplit("/", 1)[-1])
+            if ident % 97 == 0:
+                return Response(500, "permanent backend error")
+            if ident % 31 == 0 and run == 1:
+                return Response(503, "transient — recovers on rerun")
+            return Response(200, _json.dumps({"status": "ok", "id": ident}))
+
+        return transport
+
+    return factory
+
+
+def rest_fetch_retry_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.rest import fetch_with_rerun_ladder
+
+    ids = _t(spark, sf_dir, "part").select("p_partkey")
+    fetched = fetch_with_rerun_ladder(
+        ids,
+        "http://api/v1/part/{p_partkey}",
+        _ladder_transport_factory_for_run,
+        max_runs=_LADDER_MAX_RUNS,
+        retries=0,
+        retry_sleep_sec=0.0,
+    )
+    return fetched.select(
+        "p_partkey",
+        F.get_json_object("body", "$.status").alias("status"),
+        F.get_json_object("body", "$.id").cast("bigint").alias("echo_id"),
+        "run",
+        "error",
+    )
+
+
+REST_FETCH_RETRY_LADDER_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE 'ok' END AS status,
+       CASE WHEN p_partkey % 97 = 0 THEN NULL ELSE p_partkey END AS echo_id,
+       CAST(CASE WHEN p_partkey % 97 = 0 THEN 4
+                 WHEN p_partkey % 31 = 0 THEN 2
+                 ELSE 1 END AS BIGINT) AS run,
+       CASE WHEN p_partkey % 97 = 0 THEN 'HTTP 500' ELSE NULL END AS error
+FROM part
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal PLUMBING gate: binary media column metadata + the md5-fake
 # ORACLE-tier decoder (explicit opt-in — the in-container default is the
 # real stdlib tier, gated by multimodal_wav_decode_real /
@@ -500,6 +563,10 @@ FROM f
 QUERIES = {
     "xml_extract": (xml_extract, XML_EXTRACT_SQL),
     "rest_fetch_per_id": (rest_fetch_per_id, REST_FETCH_PER_ID_SQL),
+    "rest_fetch_retry_ladder": (
+        rest_fetch_retry_ladder,
+        REST_FETCH_RETRY_LADDER_SQL,
+    ),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_audio_probe": (multimodal_audio_probe, MULTIMODAL_AUDIO_PROBE_SQL),
     "multimodal_wav_decode_real": (

@@ -342,3 +342,69 @@ def fetch_per_id(
             yield pdf
 
     return ids.mapInPandas(fetch, out_schema)
+
+
+def fetch_with_rerun_ladder(
+    ids: DataFrame,
+    url_template: str,
+    transport_factory_for_run: Callable[[int], Callable[[], Transport]],
+    max_runs: int = 4,
+    retries: int = 0,
+    retry_sleep_sec: float = 0.0,
+) -> DataFrame:
+    """The reference's failures-table rerun ladder, end to end
+    (`dataSource bp - Well Logs Curve Data/Tables.scala:249-289` +
+    `Tables_rerun.scala:43-85`): run 1 fetches every id; rows that
+    errored become the FAILURES set; while failures remain and fewer
+    than ``max_runs`` runs have executed, re-fetch ONLY the failed ids
+    and merge the recoveries into the accumulated target (the
+    reference's cumulative ``TARGET_TABLE`` across up to 4 child-
+    notebook reruns).
+
+    Output: the id columns + ``body`` + ``error`` + ``run`` — the run
+    number that produced each row (recoveries carry the run that
+    succeeded; ids that never succeeded surface once as failure rows
+    stamped with the LAST run attempted, the FAILURES_ONLY residue).
+
+    Scale shape: the ladder condition is a driver-side emptiness check
+    of the failures frame — control-plane, exactly the reference's
+    ``fail_d_ids.count() > 0`` — and each rerun's input is
+    O(|failures|), so total fetch work is |ids| + Σ|failure sets|,
+    never runs × corpus. Each run is eagerly checkpointed so the
+    ok/failure split and the next run's input never re-invoke the
+    side-effectful transport for rows already fetched.
+
+    ``transport_factory_for_run(run)`` returns the per-run transport
+    factory — production callers usually ignore ``run`` and pass the
+    same factory (the reference re-mints its API token per rerun, which
+    a factory can do internally); tests plant run-dependent transient
+    failures through it.
+    """
+    from pyspark.sql import functions as F
+
+    if max_runs < 1:
+        raise ValueError(f"max_runs must be >= 1, got {max_runs}")
+    id_cols = list(ids.columns)
+    pending = ids
+    merged: DataFrame | None = None
+    run = 1
+    while True:
+        fetched = (
+            fetch_per_id(
+                pending,
+                url_template,
+                transport_factory_for_run(run),
+                retries=retries,
+                retry_sleep_sec=retry_sleep_sec,
+            )
+            .withColumn("run", F.lit(run).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        ok = fetched.filter(F.col("error").isNull())
+        merged = ok if merged is None else merged.unionByName(ok)
+        failures = fetched.filter(F.col("error").isNotNull())
+        if run >= max_runs or failures.isEmpty():
+            # the residue keeps its failure rows (FAILURES_ONLY shape)
+            return merged.unionByName(failures)
+        pending = failures.select(*id_cols)
+        run += 1

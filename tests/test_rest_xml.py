@@ -179,6 +179,65 @@ def test_fetch_per_id_distributed(spark):
     assert by_id[3]["error"] is None
 
 
+def test_fetch_with_rerun_ladder(spark):
+    """The Well Logs failures-table ladder: transient failures re-run
+    and recover with the run number that succeeded; permanent failures
+    exhaust the budget and surface once as failure rows stamped with the
+    last attempted run; an all-green run 1 never reruns."""
+    from data_ingestion_pipelines_spark.sources.rest import (
+        fetch_with_rerun_ladder,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id int")
+
+    def factory_for_run(run):
+        def factory():
+            def transport(url, method, headers, body):
+                ident = int(url.rsplit("/", 1)[-1])
+                if ident == 4:  # permanent
+                    return Response(500, "always broken")
+                if ident == 2 and run < 3:  # recovers on run 3
+                    return Response(503, "flaky")
+                return Response(200, json.dumps({"id": ident}))
+
+            return transport
+
+        return factory
+
+    out = fetch_with_rerun_ladder(
+        ids, "http://api/{id}", factory_for_run, max_runs=4
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(out) == 4  # one row per id, no duplicates across runs
+    assert by_id[1]["run"] == 1 and by_id[1]["error"] is None
+    assert by_id[3]["run"] == 1 and by_id[3]["error"] is None
+    assert by_id[2]["run"] == 3 and by_id[2]["error"] is None
+    assert by_id[4]["run"] == 4 and "500" in by_id[4]["error"]
+    assert by_id[4]["body"] is None
+
+    # budget exhaustion below the recovery run: id 2 stays a failure
+    out2 = fetch_with_rerun_ladder(
+        ids, "http://api/{id}", factory_for_run, max_runs=2
+    ).collect()
+    by_id2 = {r["id"]: r for r in out2}
+    assert by_id2[2]["run"] == 2 and "503" in by_id2[2]["error"]
+
+    # all-green first run: single pass, everything run 1
+    def clean_factory_for_run(run):
+        def factory():
+            def transport(url, method, headers, body):
+                return Response(200, json.dumps({"ok": True}))
+
+            return transport
+
+        return factory
+
+    out3 = fetch_with_rerun_ladder(
+        ids, "http://api/{id}", clean_factory_for_run, max_runs=4
+    ).collect()
+    assert {r["run"] for r in out3} == {1} and len(out3) == 4
+
+
 SOAP = """
 <Envelope><Body><Response>
   <Row Action="I" Tag="T1" TimeStamp="2024-01-01" Value="1.5"/>
