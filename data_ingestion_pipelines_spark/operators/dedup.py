@@ -1286,3 +1286,90 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_gram_df: int = 10,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT ``|A∩B| / min(|A|, |B|)`` over
+    rare-gram-blocked candidate pairs — the subset/quotation detector
+    that Jaccard structurally misses: a short document fully contained
+    in a long one has containment 1.0 but Jaccard |A|/|B| → 0, so
+    near-dup sweeps keyed on Jaccard keep every quoted/excerpted copy
+    (Broder 1997 distinguishes resemblance from containment for exactly
+    this reason).
+
+    BLOCKING (the scale bound, mirrored bit-for-bit by the oracle):
+    only grams with corpus document frequency <= ``max_gram_df``
+    generate candidates, so the self-join volume is Σ_g df(g)² over
+    rare grams only — bounded by ``max_gram_df²`` per gram — instead of
+    the unbounded Σ df² a plain shared-gram join pays on stopword-like
+    grams. RECALL CONTRACT: a qualifying pair surfaces iff it shares at
+    least one rare gram. A contained copy almost always does (verbatim
+    runs of text are corpus-rare); pairs whose every shared gram is
+    corpus-common are missed by design — that is the trade that keeps
+    the join bounded at 100 TB.
+
+    VERIFY: candidates join back to the two docs' full distinct-gram
+    arrays and the intersection is exact (``array_intersect`` size);
+    containment is ONE division of exact integers (hash-safe). Payload
+    cost is O(candidates · doc grams) — the bounded verify step, same
+    shape as the SemDeDup within-cluster check. Output
+    ``(id_a, id_b, intersection, containment)``, id_a < id_b,
+    containment >= threshold.
+    """
+    if max_gram_df < 2:
+        raise ValueError(f"max_gram_df must be >= 2, got {max_gram_df}")
+    df = _spread(df)
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+    )
+    toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(
+        eager=False
+    )
+    gsets = toks_df.select(
+        F.col(id_col),
+        _gram_array("_toks", n).alias("_grams"),
+    ).localCheckpoint(eager=False)  # read by the explode AND both verify sides
+    exploded = gsets.select(F.col(id_col), F.explode("_grams").alias("_g"))
+    rare = (
+        exploded.join(
+            exploded.groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= F.lit(int(max_gram_df))),
+            "_g",
+        )
+    )
+    cand = (
+        rare.select(F.col(id_col).alias("_ida"), "_g")
+        .join(rare.select(F.col(id_col).alias("_idb"), "_g"), "_g")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    ga = gsets.select(
+        F.col(id_col).alias("_ida"), F.col("_grams").alias("_ga")
+    )
+    gb = gsets.select(
+        F.col(id_col).alias("_idb"), F.col("_grams").alias("_gb")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("bigint")
+    containment = inter.cast("double") / F.least(
+        F.size("_ga"), F.size("_gb")
+    ).cast("double")
+    return (
+        cand.join(ga, "_ida")
+        .join(gb, "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            inter.alias("intersection"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(float(threshold)))
+    )

@@ -600,3 +600,68 @@ def core_numbers(
         .select((F.col("_c") == F.col("_p")).alias("stable"))
     )
     return out.crossJoin(F.broadcast(verdict))
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_via_degree: int | None = None,
+    ra_scale: int = 10**9,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph — the
+    "customers who bought X also bought Y" candidate generator (and the
+    standard missing-edge completion primitive: Liben-Nowell & Kleinberg
+    2003). For every NON-adjacent pair (a, b) with at least one common
+    neighbor: ``common_neighbors`` (the CN index) and ``ra_scaled`` — a
+    resource-allocation index Σ_z 1/deg(z) computed as the EXACT integer
+    ``Σ_z ra_scale // deg(z)`` (Zhou et al. 2009; the float sum would
+    accumulate in shuffle order and drift ulps across engines/layouts,
+    the scaled-integer sum is bit-identical — the pagerank_exact
+    discipline).
+
+    Scale shape: the via-node join is the classic Σ deg(z)² blowup, so
+    ``max_via_degree`` caps it — hub nodes with more neighbors than the
+    cap are excluded as intermediaries (a deliberate, DOCUMENTED recall
+    trade: a hub shared by everything carries almost no signal anyway —
+    its RA contribution is ≤ scale/cap). With the cap the join is
+    bounded by nodes × cap²; keys are uniform vertex ids. One
+    deg aggregate + one z-keyed self-join + one (a,b) aggregate + one
+    anti-join against the existing edge set — no iteration.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # read by sym, deg, and the anti-join
+    )
+    sym = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("z").agg(F.count(F.lit(1)).alias("_deg"))
+    via = sym.join(deg, "z")
+    if max_via_degree is not None:
+        via = via.filter(F.col("_deg") <= F.lit(int(max_via_degree)))
+    e1 = via.select("z", F.col("n").alias("pa"), "_deg")
+    e2 = via.select("z", F.col("n").alias("pb"))
+    pairs = (
+        e1.join(e2, "z")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            # `div` = exact integer division (no double rounding in the
+            # chain, matching the oracle's `//`)
+            F.sum(F.expr(f"{int(ra_scale)} div _deg"))
+            .cast("bigint")
+            .alias("ra_scaled"),
+        )
+    )
+    return pairs.join(
+        und.withColumnsRenamed({"a": "pa", "b": "pb"}),
+        ["pa", "pb"],
+        "left_anti",
+    )

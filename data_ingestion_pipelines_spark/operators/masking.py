@@ -214,3 +214,69 @@ def sft_pack_conversations(
         F.expr("flatten(transform(_s, e -> e._ids))").alias("input_ids"),
         F.expr("flatten(transform(_s, e -> e._mask))").alias("loss_mask"),
     )
+
+
+def t5_span_corruption(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    span_tokens: int = 3,
+    corrupt_rate: float = 0.2,
+    seed: str = "t5",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020, §3.1.4): partition
+    each document's tokens into consecutive ``span_tokens``-sized spans,
+    select spans with the engine's deterministic md5 draw
+    (``u32 < floor(rate·2³²)`` — same integer-threshold discipline as
+    :func:`mlm_mask_tokens`), replace each selected span in the INPUT
+    with its sentinel ``<extra_id_i>``, and emit the TARGET as
+    ``sentinel + span tokens`` for the selected spans in order.
+
+    Two documented simplifications vs the paper, chosen so the whole
+    construction stays one codegen transform (zero shuffles, zero
+    Python, SQL-replayable): spans are FIXED-length and non-overlapping
+    (vs Poisson-3 lengths), and the sentinel index is the span's
+    POSITION rather than a running counter of corrupted spans — a pure
+    function of (doc, position), so an oracle can replay the mapping
+    without sequential state. Output adds ``n_spans``, ``n_corrupted``,
+    ``corrupted_text``, ``targets_text``.
+
+    ``tokens_col`` must be a MATERIALIZED array column (the
+    interpreted-HOF re-evaluation trap documented on
+    :func:`mlm_mask_tokens`).
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    if not 0.0 <= corrupt_rate <= 1.0:
+        raise ValueError(f"corrupt_rate must be in [0, 1], got {corrupt_rate}")
+    _require_safe_seed(seed)
+    _require_safe_ident(id_col, "id_col")
+    _require_safe_ident(tokens_col, "tokens_col")
+    thr = int(corrupt_rate * (1 << 32))
+    sp = int(span_tokens)
+    id_sql = f"CAST(`{id_col}` AS STRING)"
+    u = _u32("sc", seed, id_sql, "CAST(i AS STRING)")
+    n_spans = (
+        f"CAST(ceil(size(`{tokens_col}`) / CAST({sp} AS DOUBLE)) AS INT)"
+    )
+    seq = f"IF({n_spans} > 0, sequence(0, {n_spans} - 1), CAST(array() AS ARRAY<INT>))"
+    sel = f"{u} < {thr}"
+    span_text = f"array_join(slice(`{tokens_col}`, i * {sp} + 1, {sp}), ' ')"
+    sentinel = "concat('<extra_id_', CAST(i AS STRING), '>')"
+    corrupted = (
+        f"array_join(transform({seq}, i -> "
+        f"IF({sel}, {sentinel}, {span_text})), ' ')"
+    )
+    targets = (
+        f"array_join(transform(filter({seq}, i -> {sel}), i -> "
+        f"concat({sentinel}, ' ', {span_text})), ' ')"
+    )
+    return (
+        df.withColumn("n_spans", F.expr(n_spans).cast("bigint"))
+        .withColumn(
+            "n_corrupted",
+            F.expr(f"size(filter({seq}, i -> {sel}))").cast("bigint"),
+        )
+        .withColumn("corrupted_text", F.expr(corrupted))
+        .withColumn("targets_text", F.expr(targets))
+    )

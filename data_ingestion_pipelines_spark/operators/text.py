@@ -683,3 +683,45 @@ def with_unicode_normalized(
             yield pdf
 
     return df.mapInPandas(normalize, schema=schema)
+
+
+def structural_text_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Code-likeness / structural signals — the router that separates
+    prose from code-shaped text so each goes to the right downstream
+    pipeline (code corpora get code tokenizers and lighter natural-
+    language quality filters; public precedent: the code-vs-prose
+    routing stage of open pretraining stacks such as The Stack /
+    StarCoder data prep).
+
+    Per document, pure codegen character/pattern counts (``regexp_count``
+    — no UDF, no shuffle): ``n_braces`` (``{}``), ``n_parens``,
+    ``n_semicolons``, ``n_digits``, ``n_equals``, plus an integer
+    ``code_logit`` (weighted count sum, exact) and the ``is_codeish``
+    flag at logit >= threshold. Integer weights keep the score
+    hash-exact cross-engine; the weights favor statement-like
+    punctuation over digits (prose uses digits, rarely ``;{}``).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_braces = F.regexp_count(t, F.lit(r"[{}]")).cast("bigint")
+    n_parens = F.regexp_count(t, F.lit(r"[()]")).cast("bigint")
+    n_semis = F.regexp_count(t, F.lit(";")).cast("bigint")
+    n_digits = F.regexp_count(t, F.lit("[0-9]")).cast("bigint")
+    n_equals = F.regexp_count(t, F.lit("=")).cast("bigint")
+    logit = (
+        F.lit(4) * n_semis
+        + F.lit(3) * n_braces
+        + F.lit(2) * n_equals
+        + n_parens
+        + n_digits
+    ).cast("bigint")
+    return (
+        df.withColumn("n_braces", n_braces)
+        .withColumn("n_parens", n_parens)
+        .withColumn("n_semicolons", n_semis)
+        .withColumn("n_digits", n_digits)
+        .withColumn("n_equals", n_equals)
+        .withColumn("code_logit", logit)
+        .withColumn("is_codeish", logit >= F.lit(8))
+    )

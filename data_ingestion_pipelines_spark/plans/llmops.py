@@ -5815,6 +5815,306 @@ FROM pairs WHERE jaccard >= 0.05
 """
 
 
+# --------------------------------------------------------------------------
+# T5-style span corruption (operators/masking.t5_span_corruption —
+# Raffel et al. 2020): fixed 3-token spans, md5-selected at the integer
+# threshold floor(0.2·2³²), selected spans replaced by position-indexed
+# sentinels in the input and emitted as sentinel+span targets. One
+# codegen transform per doc — zero shuffles, zero Python; the oracle
+# replays every draw and slice.
+_T5_THR = int(0.2 * (1 << 32))
+
+
+def t5_span_corrupted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.masking import t5_span_corruption
+    from ..operators.text import word_tokens
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.coalesce(
+                word_tokens(F.col("text")), F.array().cast("array<string>")
+            ).alias("tokens"),
+        )
+        .localCheckpoint(eager=False)  # HOF lambdas over a materialized array
+    )
+    out = t5_span_corruption(
+        base, tokens_col="tokens", id_col="doc_id",
+        span_tokens=3, corrupt_rate=0.2, seed="t5",
+    )
+    return out.select(
+        "doc_id", "n_spans", "n_corrupted", "corrupted_text", "targets_text"
+    )
+
+
+T5_SPAN_CORRUPTED_DOCS_SQL = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), spans AS (
+  SELECT doc_id, t,
+         CAST(ceil(len(t) / CAST(3 AS DOUBLE)) AS INT) AS ns
+  FROM toks
+), seqd AS (
+  SELECT doc_id, t, ns,
+         CASE WHEN ns > 0 THEN generate_series(0, ns - 1)
+              ELSE CAST([] AS INT[]) END AS seq
+  FROM spans
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_spans,
+       CAST(len(list_filter(seq, i ->
+         CAST(('0x' || substr(md5('t5:sc:' || CAST(doc_id AS VARCHAR) || ':'
+                || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) < {_T5_THR}))
+         AS BIGINT) AS n_corrupted,
+       -- COALESCE: DuckDB's array_to_string over an EMPTY list yields
+       -- NULL where Spark's array_join yields '' — align on ''
+       COALESCE(array_to_string(list_transform(seq, i ->
+         CASE WHEN CAST(('0x' || substr(md5('t5:sc:' || CAST(doc_id AS VARCHAR)
+                || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) < {_T5_THR}
+              THEN '<extra_id_' || CAST(i AS VARCHAR) || '>'
+              ELSE array_to_string(t[i * 3 + 1 : i * 3 + 3], ' ') END), ' '),
+         '') AS corrupted_text,
+       COALESCE(array_to_string(list_transform(list_filter(seq, i ->
+         CAST(('0x' || substr(md5('t5:sc:' || CAST(doc_id AS VARCHAR) || ':'
+                || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) < {_T5_THR}), i ->
+         '<extra_id_' || CAST(i AS VARCHAR) || '>' || ' '
+           || array_to_string(t[i * 3 + 1 : i * 3 + 3], ' ')), ' '), '')
+         AS targets_text
+FROM seqd
+"""
+
+
+# --------------------------------------------------------------------------
+# Structural / code-likeness signals (operators/text.
+# structural_text_signals): the prose-vs-code router. The synthetic
+# corpus is pure prose, so the gate PLANTS a deterministic code-shaped
+# suffix on every third document (the dedup_exact planted-fixture
+# style) — the signal columns and the is_codeish verdict are then
+# non-vacuous and the oracle replays suffix and counts exactly.
+def doc_structural_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import structural_text_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" if (x) { return "),
+                F.col("n_chars").cast("string"),
+                F.lit("; }"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return structural_text_signals(mixed).select(
+        "doc_id", "n_braces", "n_parens", "n_semicolons", "n_digits",
+        "n_equals", "code_logit", "is_codeish",
+    )
+
+
+DOC_STRUCTURAL_SIGNALS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' if (x) { return ' || CAST(n_chars AS VARCHAR)
+                   || '; }'
+              ELSE text END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[{}]')) AS BIGINT) AS n_braces,
+         CAST(len(regexp_extract_all(t, '[()]')) AS BIGINT) AS n_parens,
+         CAST(len(regexp_extract_all(t, ';')) AS BIGINT) AS n_semicolons,
+         CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digits,
+         CAST(len(regexp_extract_all(t, '=')) AS BIGINT) AS n_equals
+  FROM m
+)
+SELECT doc_id, n_braces, n_parens, n_semicolons, n_digits, n_equals,
+       CAST(4 * n_semicolons + 3 * n_braces + 2 * n_equals + n_parens
+            + n_digits AS BIGINT) AS code_logit,
+       (4 * n_semicolons + 3 * n_braces + 2 * n_equals + n_parens
+            + n_digits) >= 8 AS is_codeish
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Pairwise source vocabulary overlap — the corpus-comparison primitive
+# behind mixture design ("how much does src3 add over src1?"): distinct
+# (source, token) pairs (vocabulary-bounded, tiny after the map-side-
+# combined distinct), one token-keyed self-join for intersections,
+# Jaccard as ONE division of exact integers.
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(word_tokens(F.col("text"))).alias("tok")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    inter = (
+        vocab.withColumnsRenamed({"source": "source_a"})
+        .join(vocab.withColumnsRenamed({"source": "source_b"}), "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"source": "source_a", "v": "v_a"}),
+            "source_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"source": "source_b", "v": "v_b"}),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "v_a",
+            "v_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = f"""
+WITH vocab AS MATERIALIZED (
+  SELECT DISTINCT source, unnest({_TOKS}) AS tok FROM documents
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, sa.v AS v_a, sb.v AS v_b, n_shared,
+       CAST(n_shared AS DOUBLE) / CAST(sa.v + sb.v - n_shared AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram CONTAINMENT pairs (operators/dedup.ngram_containment_pairs):
+# the subset/quotation detector Jaccard misses. The gate plants a
+# 12-token PREFIX excerpt of every fifth document under a shifted id
+# (the dedup_exact planted-copy style) — each excerpt's gram set is
+# fully contained in its parent, so containment 1.0 pairs must surface
+# while the parent's Jaccard to its excerpt stays far below any dedup
+# threshold. Rare-gram blocking (df <= 10) replayed bit-for-bit.
+def ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+    from ..operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.array_join(F.slice(word_tokens(F.col("text")), 1, 12), " ").alias(
+            "text"
+        ),
+    )
+    corpus = docs.unionByName(excerpts)
+    return ngram_containment_pairs(
+        corpus, n=3, threshold=0.9, max_gram_df=10
+    )
+
+
+NGRAM_CONTAINMENT_DOCS_SQL = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(({_TOKS})[1:12], ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+), toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM corpus
+), gsets AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3 THEN
+           list_distinct(list_transform(generate_series(1, len(t) - 2),
+                                        i -> array_to_string(t[i:i+2], ' ')))
+         ELSE [array_to_string(t, ' ')] END AS g
+  FROM toks
+), exploded AS MATERIALIZED (
+  SELECT doc_id, unnest(g) AS gram FROM gsets
+), rare AS MATERIALIZED (
+  SELECT e.doc_id, e.gram FROM exploded e
+  JOIN (SELECT gram FROM exploded GROUP BY gram HAVING COUNT(*) <= 10) r
+    ON e.gram = r.gram
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS intersection,
+       CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         / CAST(LEAST(len(ga.g), len(gb.g)) AS DOUBLE) AS containment
+FROM cand
+JOIN gsets ga ON ga.doc_id = id_a
+JOIN gsets gb ON gb.doc_id = id_b
+WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      / CAST(LEAST(len(ga.g), len(gb.g)) AS DOUBLE) >= 0.9
+"""
+
+
+# --------------------------------------------------------------------------
+# Within-source percentile-rank normalization of the quality logit —
+# how heterogeneous signals become comparable before cross-source
+# selection (raw fastText-style logits are not calibrated across
+# domains; rank-normalizing within source is the standard fix). One
+# group-scoped window (uniform source keys, never global);
+# percent_rank = (rank-1)/(n-1) is ONE division of exact integers.
+def source_normalized_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    logit = (
+        F.lit(-700)
+        + F.lit(3) * F.col("n_chars")
+        + F.lit(20) * F.size(toks)
+        + F.lit(-150)
+        * F.size(F.filter(toks, lambda t: t.isin("the", "and", "of", "to", "a")))
+    ).cast("bigint")
+    w = Window.partitionBy("source").orderBy("logit")
+    return (
+        docs.select("doc_id", "source", logit.alias("logit"))
+        .withColumn("q_pct", F.percent_rank().over(w))
+    )
+
+
+SOURCE_NORMALIZED_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id, source,
+         CAST(-700 + 3 * n_chars + 20 * len({_TOKS})
+              + (-150) * len(list_filter({_TOKS},
+                   t -> list_contains(['the','and','of','to','a'], t)))
+              AS BIGINT) AS logit
+  FROM documents
+)
+SELECT doc_id, source, logit,
+       percent_rank() OVER (PARTITION BY source ORDER BY logit) AS q_pct
+FROM f
+"""
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
     "doc_embeddings": (doc_embeddings, DOC_EMBEDDINGS_SQL),
@@ -5921,6 +6221,23 @@ QUERIES = {
     "documents_write_plan": (documents_write_plan, DOCUMENTS_WRITE_PLAN_SQL),
     "hybrid_rrf_ranking": (hybrid_rrf_ranking, HYBRID_RRF_RANKING_SQL),
     "split_drift_chisq": (split_drift_chisq, SPLIT_DRIFT_CHISQ_SQL),
+    "t5_span_corrupted_docs": (
+        t5_span_corrupted_docs,
+        T5_SPAN_CORRUPTED_DOCS_SQL,
+    ),
+    "doc_structural_signals": (
+        doc_structural_signals,
+        DOC_STRUCTURAL_SIGNALS_SQL,
+    ),
+    "source_vocab_overlap": (source_vocab_overlap, SOURCE_VOCAB_OVERLAP_SQL),
+    "ngram_containment_docs": (
+        ngram_containment_docs,
+        NGRAM_CONTAINMENT_DOCS_SQL,
+    ),
+    "source_normalized_quality": (
+        source_normalized_quality,
+        SOURCE_NORMALIZED_QUALITY_SQL,
+    ),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

@@ -4368,6 +4368,75 @@ PART_COPURCHASE_CORENESS_SQL = _coreness_oracle_sql()
 
 
 # --------------------------------------------------------------------------
+# Common-neighbor link prediction over the brand co-purchase graph
+# (operators/graph.link_prediction_scores — Liben-Nowell & Kleinberg
+# 2003): for every NON-adjacent pair with a shared neighbor, the CN
+# count and the resource-allocation index Σ 1/deg(z) as the exact
+# integer Σ (10^9 div deg) — a float sum would add in shuffle order and
+# drift ulps; the scaled-integer sum is bit-identical cross-engine.
+# The via-node join is Σ deg(z)²-bounded and additionally hub-capped
+# (max_via_degree=64 — a no-op on this graph, max deg 16 at sf0.1, but
+# the 100 TB guard the operator documents; the oracle mirrors the cap).
+# Top-20 by (cn desc, ra desc, pair) through the limit-first idiom.
+_LINKPRED_VIA_CAP = 64
+_LINKPRED_RA_SCALE = 10**9
+
+
+def part_copurchase_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import link_prediction_scores
+
+    und = _brand_copurchase_pairs(spark, sf_dir)
+    scored = link_prediction_scores(
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+        max_via_degree=_LINKPRED_VIA_CAP,
+        ra_scale=_LINKPRED_RA_SCALE,
+    )
+    order = [
+        F.desc("common_neighbors"),
+        F.desc("ra_scaled"),
+        F.asc("pa"),
+        F.asc("pb"),
+    ]
+    top = scored.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint")).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        "common_neighbors",
+        "ra_scaled",
+        "rk",
+    )
+
+
+PART_COPURCHASE_LINK_PREDICTION_SQL = f"""
+WITH {_BRAND_PAIRS_CTE}, sym AS MATERIALIZED (
+  SELECT pa AS z, pb AS n FROM pairs UNION ALL SELECT pb, pa FROM pairs
+), deg AS MATERIALIZED (
+  SELECT z, COUNT(*) AS d FROM sym GROUP BY z
+), via AS MATERIALIZED (
+  SELECT s.z, s.n, deg.d FROM sym s JOIN deg ON s.z = deg.z
+  WHERE deg.d <= {_LINKPRED_VIA_CAP}
+), cand AS MATERIALIZED (
+  SELECT e1.n AS pa, e2.n AS pb,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM({_LINKPRED_RA_SCALE} // e1.d) AS BIGINT) AS ra_scaled
+  FROM via e1 JOIN via e2 ON e1.z = e2.z AND e1.n < e2.n
+  GROUP BY e1.n, e2.n
+), nonadj AS MATERIALIZED (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.pa = c.pa AND p.pb = c.pb)
+)
+SELECT part_a, part_b, common_neighbors, ra_scaled, rk FROM (
+  SELECT pa AS part_a, pb AS part_b, common_neighbors, ra_scaled,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY common_neighbors DESC, ra_scaled DESC, pa ASC, pb ASC
+         ) AS BIGINT) AS rk
+  FROM nonadj
+) WHERE rk <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # INTERSECT set op (completes the O-family: union_pages covers UNION,
 # snapshot_diff_report covers EXCEPT ALL): customers who ordered in BOTH
 # 1995 and 1996. Catalyst plans this as a distinct semi-style aggregate —
@@ -5081,6 +5150,10 @@ QUERIES = {
     "part_copurchase_coreness": (
         part_copurchase_coreness,
         PART_COPURCHASE_CORENESS_SQL,
+    ),
+    "part_copurchase_link_prediction": (
+        part_copurchase_link_prediction,
+        PART_COPURCHASE_LINK_PREDICTION_SQL,
     ),
     "part_copurchase_triangles": (
         part_copurchase_triangles,

@@ -378,3 +378,25 @@ def test_core_numbers_match_peeling_reference_and_k_core(spark):
     for k in (2, 3, 4):
         in_core = {r["node"] for r in k_core(df, k).collect()}
         assert in_core == {n for n, (c, _) in got.items() if c >= k}, k
+
+
+def test_link_prediction_common_neighbors_and_ra(spark):
+    """Known tiny graph: edges 1-2, 1-3, 2-3, 2-4. Non-adjacent pairs
+    with a common neighbor: (1,4) and (3,4), both via node 2 (deg 3) →
+    cn=1, ra = scale // 3. The hub cap excludes node 2 as intermediary
+    when set below its degree."""
+    from data_ingestion_pipelines_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4)], "src bigint, dst bigint"
+    )
+    got = {
+        (r.pa, r.pb): (r.common_neighbors, r.ra_scaled)
+        for r in link_prediction_scores(edges, ra_scale=10**9).collect()
+    }
+    assert got == {(1, 4): (1, 333333333), (3, 4): (1, 333333333)}
+
+    capped = link_prediction_scores(edges, max_via_degree=2).collect()
+    assert capped == []  # only via-node 2 (deg 3) produced candidates

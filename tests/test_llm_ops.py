@@ -1148,3 +1148,117 @@ def test_score_with_linear_model_semantics(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         score_with_linear_model(df, dup)
+
+
+# --- n-gram containment (subset/quote detection) ---------------------------
+
+
+def test_ngram_containment_detects_contained_prefix(spark):
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    full = "one two three four five six seven eight nine ten"
+    prefix = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, full), (2, prefix), (3, "totally different words entirely here")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.intersection, r.containment)
+        for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+    }
+    # prefix's 3 trigrams are all inside full's 8 → containment 1.0;
+    # Jaccard would be 3/8 — far below any dedup threshold
+    assert got == {(1, 2): (3, 1.0)}
+
+
+def test_ngram_containment_df_cap_blocks_common_grams(spark):
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    # 12 identical docs: every gram has df=12 > max_gram_df=10, so the
+    # rare-gram blocking generates NO candidates — the documented recall
+    # contract of the df cap (common-gram-only pairs are missed by design)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    assert ngram_containment_pairs(docs, threshold=0.5, max_gram_df=10).collect() == []
+    # raising the cap past the df restores them
+    assert (
+        len(ngram_containment_pairs(docs, threshold=0.5, max_gram_df=12).collect())
+        == 12 * 11 // 2
+    )
+
+
+# --- T5 span corruption ----------------------------------------------------
+
+
+def test_t5_span_corruption_replays_md5_draws(spark):
+    import hashlib
+
+    from data_ingestion_pipelines_spark.operators.masking import (
+        t5_span_corruption,
+    )
+
+    toks = ["a", "b", "c", "d", "e", "f", "g"]  # 3 spans: abc, def, g
+    df = spark.createDataFrame([(42, toks)], "doc_id bigint, tokens array<string>")
+    row = t5_span_corruption(
+        df, span_tokens=3, corrupt_rate=0.2, seed="t5"
+    ).collect()[0]
+    thr = int(0.2 * (1 << 32))
+
+    def sel(i):
+        h = hashlib.md5(f"t5:sc:42:{i}".encode()).hexdigest()
+        return int(h[:8], 16) < thr
+
+    spans = [" ".join(toks[i * 3 : i * 3 + 3]) for i in range(3)]
+    exp_corrupted = " ".join(
+        f"<extra_id_{i}>" if sel(i) else spans[i] for i in range(3)
+    )
+    exp_targets = " ".join(
+        f"<extra_id_{i}> {spans[i]}" for i in range(3) if sel(i)
+    )
+    assert row.n_spans == 3
+    assert row.n_corrupted == sum(sel(i) for i in range(3))
+    assert row.corrupted_text == exp_corrupted
+    assert row.targets_text == exp_targets
+
+
+def test_t5_span_corruption_empty_doc(spark):
+    from data_ingestion_pipelines_spark.operators.masking import (
+        t5_span_corruption,
+    )
+
+    df = spark.createDataFrame([(1, [])], "doc_id bigint, tokens array<string>")
+    row = t5_span_corruption(df).collect()[0]
+    assert (row.n_spans, row.n_corrupted) == (0, 0)
+    assert row.corrupted_text == "" and row.targets_text == ""
+
+
+# --- structural / code-likeness signals ------------------------------------
+
+
+def test_structural_text_signals_counts(spark):
+    from data_ingestion_pipelines_spark.operators.text import (
+        structural_text_signals,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain prose with no punctuation at all"),
+            (2, "if (x == 2) { return f(3); }"),
+            (3, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in structural_text_signals(df).collect()}
+    assert got[1].code_logit == 0 and not got[1].is_codeish
+    r = got[2]
+    assert (r.n_braces, r.n_parens, r.n_semicolons, r.n_digits, r.n_equals) == (
+        2, 4, 1, 2, 2,
+    )
+    assert r.code_logit == 4 * 1 + 3 * 2 + 2 * 2 + 4 + 2 and r.is_codeish
+    assert got[3].code_logit == 0  # NULL text coalesces to empty
