@@ -70,3 +70,54 @@ def generalize_number(col: Column, width: int) -> Column:
     small cells so fewer rows need suppression."""
     w = F.lit(int(width))
     return (F.floor(col / w) * w).cast("bigint")
+
+
+def l_diversify(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """Suppress every row whose quasi-identifier cell carries fewer than
+    ``l`` DISTINCT sensitive values — distinct l-diversity (Machanavajjhala
+    et al. 2007), the guard k-anonymity cannot provide: a 50-member cell
+    is k-anonymous for k=50, but if every member shares one sensitive
+    value the attacker learns it with certainty (the homogeneity
+    attack). Compose AFTER :func:`k_anonymize` for both guarantees.
+
+    Scale shape: one quasi-key shuffle (group-partitioned
+    ``approx``-free exact distinct count via a window over the cell),
+    then a pure filter — the same partial-agg bound as the k-anonymity
+    pass."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    cells = df.groupBy(*quasi_cols).agg(
+        F.count_distinct(F.col(sensitive_col)).alias("_ldiv")
+    )
+    return (
+        df.join(cells, quasi_cols)
+        .filter(F.col("_ldiv") >= F.lit(int(l)))
+        .drop("_ldiv")
+    )
+
+
+def l_diversity_report(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """One-row audit for :func:`l_diversify` — cell counts, how many
+    violate, rows suppressed, and the smallest released diversity.
+    Exact integers only (compliance evidence, like
+    :func:`k_anonymity_report`)."""
+    cells = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.count_distinct(F.col(sensitive_col)).cast("bigint").alias("_d"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum((F.col("_d") < l).cast("bigint")).cast("bigint").alias(
+            "n_cells_violating"
+        ),
+        F.sum(F.when(F.col("_d") < l, F.col("_n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_rows_suppressed"),
+        F.min(F.when(F.col("_d") >= l, F.col("_d")))
+        .cast("bigint")
+        .alias("min_released_diversity"),
+    ).withColumn("l", F.lit(int(l)).cast("bigint"))

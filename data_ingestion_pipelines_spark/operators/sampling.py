@@ -417,3 +417,38 @@ def sliding_chunk_documents(
         F.array_join("_w.win", " ").alias("chunk_text"),
         F.size("_w.win").cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
+    """Kish effective sample size of a weighted sample —
+    ``ESS = (Σw)² / Σw²`` — the standard importance-sampling diagnostic
+    (Kong 1992): ESS ≈ n means the weights are near-uniform; ESS ≪ n
+    means a few heavy documents dominate and the weighted estimate's
+    variance explodes (run this BEFORE committing to a DSIR/temperature
+    mixture — a collapsed ESS is the first sign the target distribution
+    is too narrow).
+
+    Exactness: weights must be integer-typed; both sums accumulate as
+    DECIMAL(38,0) (no 64-bit wraparound at corpus scale), and the ESS is
+    ONE division of the two exact operands — hash-stable cross-engine.
+    One partial-combined aggregate; COUNT(*)-class cost.
+    """
+    w = F.col(weight_col).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(w), zero).alias("_sw"),
+        F.coalesce(F.sum(w * w), zero).alias("_sw2"),
+    )
+    return agg.select(
+        "n_rows",
+        F.col("_sw").cast("bigint").alias("sum_w"),
+        F.col("_sw2").cast("bigint").alias("sum_w2"),
+        F.when(
+            F.col("_sw2") > 0,
+            (F.col("_sw") * F.col("_sw")).cast("double")
+            / F.col("_sw2").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ess"),
+    )

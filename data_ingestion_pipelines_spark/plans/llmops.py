@@ -6115,6 +6115,238 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------------
+# l-diversity export guard (operators/privacy.l_diversify): the
+# homogeneity-attack check k-anonymity cannot provide — a released
+# quasi-cell must also carry >= l DISTINCT sensitive values. Quasi =
+# (nation, balance band), sensitive = market segment, l = 3. One
+# quasi-key shuffle; the report row is the compliance evidence.
+_LDIV_QUASI = ["c_nationkey", "bal_band"]
+_LDIV_L = 3
+
+
+def _ldiv_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import generalize_number
+
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        generalize_number(F.col("c_acctbal"), 2000).alias("bal_band"),
+    )
+
+
+def customer_l_diverse_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import l_diversify
+
+    released = l_diversify(
+        _ldiv_base(spark, sf_dir), _LDIV_QUASI, "c_mktsegment", _LDIV_L
+    )
+    return released.groupBy(*_LDIV_QUASI).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count_distinct("c_mktsegment").cast("bigint").alias("n_segments"),
+    )
+
+
+CUSTOMER_L_DIVERSE_CELLS_SQL = """
+SELECT c_nationkey,
+       CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT c_mktsegment) >= 3
+"""
+
+
+def customer_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import l_diversity_report
+
+    return l_diversity_report(
+        _ldiv_base(spark, sf_dir), _LDIV_QUASI, "c_mktsegment", _LDIV_L
+    )
+
+
+CUSTOMER_L_DIVERSITY_REPORT_SQL = """
+WITH cells AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 2000) * 2000 AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS d
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_violating,
+       CAST(SUM(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_suppressed,
+       CAST(MIN(CASE WHEN d >= 3 THEN d END) AS BIGINT)
+         AS min_released_diversity,
+       CAST(3 AS BIGINT) AS l
+FROM cells
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-label embedding centroid cosine matrix — the class-separability /
+# corpus-drift readout in embedding space. Float means would accumulate
+# in shuffle order (ulp drift), so the centroids ride the int8-quantized
+# codes (quantize_embeddings' deterministic midpoint rule): per-label
+# per-dimension INTEGER sums are exact, counts cancel in the cosine
+# (cos(sum_a, sum_b) == cos(mean_a, mean_b)), and the final cosine is a
+# fixed chain of correctly-rounded IEEE ops (2 sqrt + 1 mul + 1 div) on
+# exact DECIMAL operands — hash-stable. Shuffles: one (label, dim)
+# aggregate (bounded by labels × 64), one dim-keyed pair join.
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", dim=64, out="qvec")
+    long = q.select(
+        "label", F.posexplode("qvec").alias("dim", "code")
+    )
+    sums = long.groupBy("label", "dim").agg(
+        F.sum("code").cast("decimal(38,0)").alias("s")
+    )
+    a = sums.select(
+        F.col("label").alias("label_a"), "dim", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"), "dim", F.col("s").alias("sb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("_dot"))
+    )
+    norms = sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("_q"))
+    return (
+        pairs.join(
+            norms.withColumnsRenamed({"label": "label_a", "_q": "_qa"}),
+            "label_a",
+        )
+        .join(
+            norms.withColumnsRenamed({"label": "label_b", "_q": "_qb"}),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.col("_dot").cast("double").alias("dot"),
+            (
+                F.col("_dot").cast("double")
+                / (
+                    F.sqrt(F.col("_qa").cast("double"))
+                    * F.sqrt(F.col("_qb").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+LABEL_CENTROID_SIMILARITY_SQL = """
+WITH dims AS (
+  SELECT i AS d, MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+         MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+  GROUP BY i
+), stats AS (
+  SELECT list(mn ORDER BY d) AS mins, list(mx ORDER BY d) AS maxs FROM dims
+), q AS (
+  SELECT vec_id, label,
+         list_transform(range(1, 65), i ->
+           CASE WHEN maxs[i] > mins[i]
+                THEN CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0
+                                / (maxs[i] - mins[i]) + 0.5) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END) AS qvec
+  FROM embeddings, stats
+), longf AS (
+  SELECT label, i - 1 AS dim, CAST(qvec[i] AS HUGEINT) AS code
+  FROM q, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+), sums AS (
+  SELECT label, dim, SUM(code) AS s FROM longf GROUP BY 1, 2
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b, SUM(a.s * b.s) AS dot
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+), norms AS (
+  SELECT label, SUM(s * s) AS nq FROM sums GROUP BY label
+)
+SELECT label_a, label_b,
+       CAST(dot AS DOUBLE) AS dot,
+       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nq AS DOUBLE))
+                              * sqrt(CAST(nb.nq AS DOUBLE))) AS cosine
+FROM pairs
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Kish effective sample size (operators/sampling.effective_sample_size)
+# of the length-weighted corpus — the importance-sampling diagnostic to
+# run BEFORE committing to a weighted mixture: ESS ≪ n means a few heavy
+# documents dominate the weighted estimate. DECIMAL(38) exact sums; the
+# ESS is one division of exact operands.
+def sampling_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import effective_sample_size
+
+    return effective_sample_size(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars"
+    )
+
+
+SAMPLING_ESS_REPORT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(n_chars AS HUGEINT)) AS BIGINT) AS sum_w,
+       CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS BIGINT) AS sum_w2,
+       CAST(SUM(CAST(n_chars AS HUGEINT)) * SUM(CAST(n_chars AS HUGEINT))
+            AS DOUBLE)
+         / CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) AS ess
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-wide BPE lossless-roundtrip verdict: detokenize(apply(w)) must
+# equal w for EVERY vocabulary word under the trained merge list (the
+# hypothesis property test pins arbitrary merges on small words; this
+# gate pins the REAL trained tokenizer over the real corpus vocabulary,
+# engine-side, with the oracle asserting the verdict constant — the
+# pagerank float_matches_exact pattern). Vocab-bounded work: train +
+# apply + detokenize all run over the distinct-word frame.
+def bpe_roundtrip_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import (
+        apply_bpe_merges,
+        detokenize_pieces,
+        train_bpe_merges,
+    )
+
+    docs = with_word_tokens(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges = train_bpe_merges(words, n_merges=_BPE_N_MERGES)
+    pieces = apply_bpe_merges(words, merges, word_col="word")
+    round_ = detokenize_pieces(pieces, "pieces", "rebuilt")
+    return round_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        (
+            F.sum((F.col("rebuilt") != F.col("word")).cast("bigint"))
+            == F.lit(0)
+        ).alias("roundtrip_ok"),
+    )
+
+
+BPE_ROUNDTRIP_VERDICT_SQL = f"""
+SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_words, TRUE AS roundtrip_ok
+FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+"""
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
     "doc_embeddings": (doc_embeddings, DOC_EMBEDDINGS_SQL),
@@ -6238,6 +6470,20 @@ QUERIES = {
         source_normalized_quality,
         SOURCE_NORMALIZED_QUALITY_SQL,
     ),
+    "customer_l_diverse_cells": (
+        customer_l_diverse_cells,
+        CUSTOMER_L_DIVERSE_CELLS_SQL,
+    ),
+    "customer_l_diversity_report": (
+        customer_l_diversity_report,
+        CUSTOMER_L_DIVERSITY_REPORT_SQL,
+    ),
+    "label_centroid_similarity": (
+        label_centroid_similarity,
+        LABEL_CENTROID_SIMILARITY_SQL,
+    ),
+    "sampling_ess_report": (sampling_ess_report, SAMPLING_ESS_REPORT_SQL),
+    "bpe_roundtrip_verdict": (bpe_roundtrip_verdict, BPE_ROUNDTRIP_VERDICT_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

@@ -59,3 +59,30 @@ def test_window_is_group_partitioned(spark):
     out = k_anonymize(_people(spark), ["country", "g"], k=2)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_l_diversify_blocks_homogeneous_cells(spark):
+    """A k-anonymous cell whose members all share one sensitive value is
+    the homogeneity attack: l-diversity suppresses it even when
+    k-anonymity releases it."""
+    from data_ingestion_pipelines_spark.operators.privacy import (
+        k_anonymize,
+        l_diversify,
+        l_diversity_report,
+    )
+
+    rows = (
+        [(i, "cellA", "cancer") for i in range(5)]  # 5 members, 1 value
+        + [(10 + i, "cellB", v) for i, v in enumerate(["flu", "cold", "ok"])]
+    )
+    df = spark.createDataFrame(rows, "pid bigint, quasi string, dx string")
+    # k-anonymity at k=5 releases cellA (5 members) — the attack surface
+    assert {
+        r.quasi for r in k_anonymize(df, ["quasi"], 5).collect()
+    } == {"cellA"}
+    # l-diversity at l=2 suppresses it and keeps the diverse cell
+    released = l_diversify(df, ["quasi"], "dx", 2).collect()
+    assert {r.quasi for r in released} == {"cellB"} and len(released) == 3
+    rep = l_diversity_report(df, ["quasi"], "dx", 2).collect()[0]
+    assert (rep.n_cells, rep.n_cells_violating, rep.n_rows_suppressed) == (2, 1, 5)
+    assert rep.min_released_diversity == 3 and rep.l == 2

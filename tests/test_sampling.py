@@ -383,3 +383,27 @@ def test_sliding_stride_bounds_refused(spark):
         sliding_chunk_documents(df, size=4, stride=5)
     with pytest.raises(ValueError, match="stride must be in"):
         sliding_chunk_documents(df, size=4, stride=0)
+
+
+def test_effective_sample_size(spark):
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        effective_sample_size,
+    )
+
+    # uniform weights: ESS == n exactly
+    uni = spark.createDataFrame([(i, 7) for i in range(10)], "id bigint, w bigint")
+    r = effective_sample_size(uni, "w").collect()[0]
+    assert (r.n_rows, r.sum_w, r.sum_w2) == (10, 70, 490) and r.ess == 10.0
+
+    # one dominating weight collapses ESS toward 1
+    dom = spark.createDataFrame(
+        [(0, 1000)] + [(i, 1) for i in range(1, 10)], "id bigint, w bigint"
+    )
+    r2 = effective_sample_size(dom, "w").collect()[0]
+    assert r2.ess == (1009 * 1009) / 1000009
+    assert r2.ess < 1.02
+
+    # empty frame: defined, not a crash
+    empty = spark.createDataFrame([], "id bigint, w bigint")
+    r3 = effective_sample_size(empty, "w").collect()[0]
+    assert (r3.n_rows, r3.ess) == (0, 0.0)
