@@ -725,3 +725,65 @@ def structural_text_signals(
         .withColumn("code_logit", logit)
         .withColumn("is_codeish", logit >= F.lit(8))
     )
+
+
+def positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """Positional inverted-index rows ``(id, token, pos)`` (1-based
+    positions) — the index layout phrase and proximity queries need
+    (``token_postings`` is document-level; phrases need positions).
+    ``terms`` restricts the explode to the query's own vocabulary — the
+    predicate sits INSIDE the generator, so for a known query only the
+    matching tokens ever materialize (at 100 TB you persist the full
+    postings table bucketed by token instead and let partition pruning
+    do this job)."""
+    toks = F.coalesce(
+        word_tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos0", "token")
+    ).select(id_col, "token", (F.col("pos0") + 1).alias("pos"))
+    if terms is not None:
+        out = out.filter(F.col("token").isin(*terms))
+    return out
+
+
+def phrase_match_counts(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via the positional index: documents where the
+    words of ``phrase`` occur CONSECUTIVELY, with the match count — the
+    retrieval primitive BM25's bag-of-words scoring can't express
+    ("merge table scan" ≠ "table scan merge").
+
+    Plan shape: postings are filtered to the phrase's own terms before
+    anything joins (O(occurrences of query terms), not O(corpus
+    tokens)), then k−1 equi-joins chain positions (``pos_{i} = pos_0 +
+    i``) on the uniform composite key (id, pos) — each join's build side
+    is one term's postings. Counts are exact integers.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    terms = [t.lower() for t in phrase]
+    posts = positional_postings(
+        df, text_col, id_col, terms=sorted(set(terms))
+    ).localCheckpoint(eager=False)  # k join legs read the same frame
+    cur = (
+        posts.filter(F.col("token") == terms[0])
+        .select(F.col(id_col), F.col("pos").alias("_p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        leg = posts.filter(F.col("token") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("_p0")
+        )
+        cur = cur.join(leg, [id_col, "_p0"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches")
+    )

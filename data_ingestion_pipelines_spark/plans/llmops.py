@@ -6347,6 +6347,41 @@ FROM (SELECT unnest({_TOKS}) AS t FROM documents)
 """
 
 
+# --------------------------------------------------------------------------
+# Exact phrase search over the positional inverted index
+# (operators/text.phrase_match_counts): consecutive-position chaining —
+# the retrieval primitive bag-of-words BM25 can't express. Postings are
+# filtered to the query's own terms BEFORE any join, so the work is
+# O(query-term occurrences); the k−1 position joins ride the uniform
+# (doc, pos) key. The oracle counts the same consecutive-token windows
+# from the token arrays directly.
+_PHRASE = ["table", "scan", "merge"]
+
+
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import phrase_match_counts
+
+    return phrase_match_counts(
+        _t(spark, sf_dir, "documents"), _PHRASE
+    )
+
+
+PHRASE_SEARCH_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(generate_series(1, len(t) - 2), i ->
+         t[i] = '{_PHRASE[0]}' AND t[i + 1] = '{_PHRASE[1]}'
+           AND t[i + 2] = '{_PHRASE[2]}')) AS BIGINT) AS n_matches
+FROM toks
+WHERE len(t) >= 3
+  AND len(list_filter(generate_series(1, len(t) - 2), i ->
+        t[i] = '{_PHRASE[0]}' AND t[i + 1] = '{_PHRASE[1]}'
+          AND t[i + 2] = '{_PHRASE[2]}')) > 0
+"""
+
+
 QUERIES = {
     "doc_rare_bigram_rate": (doc_rare_bigram_rate, DOC_RARE_BIGRAM_RATE_SQL),
     "doc_embeddings": (doc_embeddings, DOC_EMBEDDINGS_SQL),
@@ -6484,6 +6519,7 @@ QUERIES = {
     ),
     "sampling_ess_report": (sampling_ess_report, SAMPLING_ESS_REPORT_SQL),
     "bpe_roundtrip_verdict": (bpe_roundtrip_verdict, BPE_ROUNDTRIP_VERDICT_SQL),
+    "phrase_search_docs": (phrase_search_docs, PHRASE_SEARCH_DOCS_SQL),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

@@ -1262,3 +1262,34 @@ def test_structural_text_signals_counts(spark):
     )
     assert r.code_logit == 4 * 1 + 3 * 2 + 2 * 2 + 4 + 2 and r.is_codeish
     assert got[3].code_logit == 0  # NULL text coalesces to empty
+
+
+# --- positional phrase search ------------------------------------------------
+
+
+def test_phrase_match_counts(spark):
+    from data_ingestion_pipelines_spark.operators.text import (
+        phrase_match_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan merge then table scan merge again"),
+            (2, "scan table merge"),  # words present, order wrong
+            (3, "a table scan without the third word"),
+            (4, "the table scan merge once"),
+            (5, "aaa aaa aaa aaa"),  # overlapping self-phrase
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.n_matches
+        for r in phrase_match_counts(docs, ["table", "scan", "merge"]).collect()
+    }
+    assert got == {1: 2, 4: 1}
+    # overlapping occurrences all count (positions 1..2 for a 3x window)
+    rep = {
+        r.doc_id: r.n_matches
+        for r in phrase_match_counts(docs, ["aaa", "aaa", "aaa"]).collect()
+    }
+    assert rep == {5: 2}
