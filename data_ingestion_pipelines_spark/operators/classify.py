@@ -164,3 +164,35 @@ def classify(
             "toBeExcluded": F.when(reason.isNotNull(), F.lit("Y")).otherwise(F.lit("N")),
         }
     )
+
+
+def curation_attribution(
+    df: DataFrame, rules: dict[str, "Column"]
+) -> DataFrame:
+    """Per-row drop ATTRIBUTION for a curation pipeline — the "why was
+    my document dropped?" answer a sequential filter chain cannot give
+    (after stage 2 drops a row, stages 3..k never see it, so the funnel
+    counts under-attribute every later rule).
+
+    ``rules`` maps rule name → a BOOLEAN drop-predicate Column. Every
+    rule is evaluated INDEPENDENTLY in one pass; the output adds one
+    ``drop_<name>`` boolean per rule, a ``drop_mask`` bitmask (bit i =
+    the i-th rule in sorted-name order — sorted so the encoding is
+    stable under dict ordering), and ``kept`` (mask == 0). Pure
+    projection over whatever the predicates need — rules that require
+    aggregates/windows (e.g. "not the min id for this fingerprint")
+    compose them into the Column before calling.
+    """
+    if not rules:
+        raise ValueError("curation_attribution: at least one rule required")
+    if len(rules) > 63:
+        raise ValueError("curation_attribution: at most 63 rules (bigint mask)")
+    out = df
+    mask = F.lit(0).cast("bigint")
+    for i, name in enumerate(sorted(rules)):
+        flag = F.coalesce(rules[name].cast("boolean"), F.lit(False))
+        out = out.withColumn(f"drop_{name}", flag)
+        mask = mask + F.col(f"drop_{name}").cast("bigint") * F.lit(1 << i)
+    return out.withColumn("drop_mask", mask).withColumn(
+        "kept", F.col("drop_mask") == 0
+    )

@@ -111,3 +111,60 @@ def keep_latest(
     ]
     w = Window.partitionBy(*keys).orderBy(*order)
     return df.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+
+
+def bitshift_decayed_counts(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    as_of_epoch: int,
+    half_life_seconds: int,
+    scale_bits: int = 32,
+) -> DataFrame:
+    """Freshness-weighted counts with EXACT integer half-life decay —
+    the recency-biased popularity/monitoring aggregate, without the
+    float ``exp(-age/τ)`` EWMA (libm, order-dependent sums, not
+    hash-reproducible). An event ``a`` whole half-lives old contributes
+    ``2^scale_bits >> a`` — exactly half per period, by bit shift, so
+    the sum is an exact BIGINT in any shuffle order on any engine.
+
+    ``as_of_epoch`` is an EXPLICIT epoch-seconds anchor (never now():
+    reproducibility demands the caller pin the evaluation instant).
+    Events newer than the anchor count at full weight (age clamps at 0);
+    ages ≥ 63 contribute 0 (shifted out). Output per group:
+    ``n_events``, ``decayed_scaled`` (Σ shifted weights), and
+    ``decayed`` = decayed_scaled / 2^scale_bits — ONE division of exact
+    operands, the equivalent full-weight event count.
+
+    One partial-combined groupBy — COUNT(*)-class cost; the decay
+    arithmetic is pure codegen projection.
+    """
+    if half_life_seconds < 1:
+        raise ValueError(f"half_life_seconds must be >= 1, got {half_life_seconds}")
+    if not 1 <= scale_bits <= 62:
+        raise ValueError(f"scale_bits must be in [1, 62], got {scale_bits}")
+    from ..functions.datetime_utils import epoch_seconds
+
+    age_sec = F.lit(int(as_of_epoch)) - epoch_seconds(F.col(ts_col))
+    periods = F.greatest(
+        F.floor(age_sec / F.lit(int(half_life_seconds))).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    w = F.expr(
+        f"IF(_age_p >= 63, CAST(0 AS BIGINT), "
+        f"shiftright(CAST({1 << scale_bits} AS BIGINT), CAST(_age_p AS INT)))"
+    )
+    return (
+        df.withColumn("_age_p", periods)
+        .withColumn("_w", w)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("_w").cast("bigint").alias("decayed_scaled"),
+        )
+        .withColumn(
+            "decayed",
+            F.col("decayed_scaled").cast("double")
+            / F.lit(float(1 << scale_bits)),
+        )
+    )

@@ -6348,6 +6348,72 @@ FROM (SELECT unnest({_TOKS}) AS t FROM documents)
 
 
 # --------------------------------------------------------------------------
+# Per-document curation DROP ATTRIBUTION (operators/classify.
+# curation_attribution): every rule evaluated INDEPENDENTLY in one pass
+# — the "why was my document dropped?" answer the sequential funnel
+# (curation_funnel) cannot give, because a doc dropped at stage 2 never
+# reaches stage 3's predicate. Rules mirror the funnel's thresholds
+# plus the exact-dup keep-min rule; bit i of drop_mask = i-th rule in
+# sorted-name order (dup=1, punct=2, short=4, stop_poor=8).
+def curation_attribution_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.classify import curation_attribution
+
+    sig = with_fingerprint(
+        with_quality_signals(_t(spark, sf_dir, "documents"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    sig = sig.withColumn("_fp_rn", F.row_number().over(w))
+    out = curation_attribution(
+        sig,
+        {
+            "dup": F.col("_fp_rn") > 1,
+            "short": F.col("n_tokens") < 30,
+            "punct": F.col("punct_ratio") > 0.3,
+            "stop_poor": F.col("stopword_ratio") < 0.05,
+        },
+    )
+    return out.select(
+        "doc_id", "drop_dup", "drop_punct", "drop_short", "drop_stop_poor",
+        "drop_mask", "kept",
+    )
+
+
+CURATION_ATTRIBUTION_DOCS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         (LENGTH(text) - LENGTH(regexp_replace(text,
+            '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')))
+           / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS punct_ratio,
+         CAST(len(list_filter({_TOKS},
+              t -> list_contains({_STOPWORDS_SQL}, t))) AS BIGINT)
+           / CAST(GREATEST(len({_TOKS}), 1) AS DOUBLE) AS stopword_ratio,
+         md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+  FROM documents
+), rn AS (
+  SELECT sig.*,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS fp_rn
+  FROM sig
+), flags AS (
+  SELECT doc_id,
+         fp_rn > 1 AS drop_dup,
+         punct_ratio > 0.3 AS drop_punct,
+         n_tokens < 30 AS drop_short,
+         stopword_ratio < 0.05 AS drop_stop_poor
+  FROM rn
+)
+SELECT doc_id, drop_dup, drop_punct, drop_short, drop_stop_poor,
+       CAST(CASE WHEN drop_dup THEN 1 ELSE 0 END
+            + CASE WHEN drop_punct THEN 2 ELSE 0 END
+            + CASE WHEN drop_short THEN 4 ELSE 0 END
+            + CASE WHEN drop_stop_poor THEN 8 ELSE 0 END AS BIGINT)
+         AS drop_mask,
+       NOT (drop_dup OR drop_punct OR drop_short OR drop_stop_poor) AS kept
+FROM flags
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact phrase search over the positional inverted index
 # (operators/text.phrase_match_counts): consecutive-position chaining —
 # the retrieval primitive bag-of-words BM25 can't express. Postings are
@@ -6520,6 +6586,10 @@ QUERIES = {
     "sampling_ess_report": (sampling_ess_report, SAMPLING_ESS_REPORT_SQL),
     "bpe_roundtrip_verdict": (bpe_roundtrip_verdict, BPE_ROUNDTRIP_VERDICT_SQL),
     "phrase_search_docs": (phrase_search_docs, PHRASE_SEARCH_DOCS_SQL),
+    "curation_attribution_docs": (
+        curation_attribution_docs,
+        CURATION_ATTRIBUTION_DOCS_SQL,
+    ),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),

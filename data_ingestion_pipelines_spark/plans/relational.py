@@ -4437,6 +4437,50 @@ SELECT part_a, part_b, common_neighbors, ra_scaled, rk FROM (
 
 
 # --------------------------------------------------------------------------
+# Freshness-weighted event counts (operators/windows.
+# bitshift_decayed_counts): exact integer half-life decay — an event a
+# whole 7-day half-lives before the pinned anchor contributes
+# 2³² >> a, so the recency-biased popularity readout is an exact BIGINT
+# sum in any shuffle order (the float exp(-age/τ) EWMA is libm +
+# order-dependent). The anchor is explicit (never now(): reproducibility
+# means pinning the evaluation instant).
+_DECAY_AS_OF = 1706745600  # 2024-02-01T00:00:00Z, just past the feed
+_DECAY_HALF_LIFE = 7 * 86400
+
+
+def decayed_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import bitshift_decayed_counts
+
+    return bitshift_decayed_counts(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        group_cols=["event_type"],
+        as_of_epoch=_DECAY_AS_OF,
+        half_life_seconds=_DECAY_HALF_LIFE,
+    )
+
+
+DECAYED_EVENT_TYPE_COUNTS_SQL = f"""
+WITH aged AS (
+  SELECT event_type,
+         GREATEST(({_DECAY_AS_OF} - CAST(floor(epoch(ts)) AS BIGINT))
+                  // {_DECAY_HALF_LIFE}, 0) AS p
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN p >= 63 THEN 0
+                     ELSE CAST(4294967296 AS BIGINT) >> p END) AS BIGINT)
+         AS decayed_scaled,
+       CAST(SUM(CASE WHEN p >= 63 THEN 0
+                     ELSE CAST(4294967296 AS BIGINT) >> p END) AS DOUBLE)
+         / 4294967296.0 AS decayed
+FROM aged
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # INTERSECT set op (completes the O-family: union_pages covers UNION,
 # snapshot_diff_report covers EXCEPT ALL): customers who ordered in BOTH
 # 1995 and 1996. Catalyst plans this as a distinct semi-style aggregate —
@@ -5154,6 +5198,10 @@ QUERIES = {
     "part_copurchase_link_prediction": (
         part_copurchase_link_prediction,
         PART_COPURCHASE_LINK_PREDICTION_SQL,
+    ),
+    "decayed_event_type_counts": (
+        decayed_event_type_counts,
+        DECAYED_EVENT_TYPE_COUNTS_SQL,
     ),
     "part_copurchase_triangles": (
         part_copurchase_triangles,

@@ -185,3 +185,35 @@ def test_split_quarantine_null_safe(spark):
     # NULL predicate rows are quarantined, not silently dropped
     assert got == {2: "neg_or_null_qty", 3: "neg_or_null_qty"}
     assert valid.count() + bad.count() == df.count()
+
+
+def test_bitshift_decayed_counts_exact(spark):
+    """Known-answer half-life decay: ages of 0/1/2 half-lives contribute
+    2^32, 2^31, 2^30; future events clamp to full weight; 63+ half-lives
+    contribute 0."""
+    import datetime as dt
+
+    from data_ingestion_pipelines_spark.operators.windows import (
+        bitshift_decayed_counts,
+    )
+
+    hl = 3600  # 1-hour half-life
+    anchor = dt.datetime(2024, 1, 10, 12, 0, 0)
+    as_of = int(anchor.replace(tzinfo=dt.timezone.utc).timestamp())
+    rows = [
+        (1, "a", anchor),                                   # age 0
+        (2, "a", anchor - dt.timedelta(seconds=hl)),        # 1 half-life
+        (3, "a", anchor - dt.timedelta(seconds=2 * hl)),    # 2 half-lives
+        (4, "b", anchor + dt.timedelta(seconds=500)),       # future: clamp
+        (5, "b", anchor - dt.timedelta(seconds=100 * hl)),  # shifted out
+    ]
+    df = spark.createDataFrame(rows, "id bigint, k string, ts timestamp")
+    got = {
+        r.k: (r.n_events, r.decayed_scaled, r.decayed)
+        for r in bitshift_decayed_counts(
+            df, "ts", ["k"], as_of_epoch=as_of, half_life_seconds=hl
+        ).collect()
+    }
+    s = (1 << 32) + (1 << 31) + (1 << 30)
+    assert got["a"] == (3, s, s / float(1 << 32))
+    assert got["b"] == (2, 1 << 32, 1.0)

@@ -1293,3 +1293,33 @@ def test_phrase_match_counts(spark):
         for r in phrase_match_counts(docs, ["aaa", "aaa", "aaa"]).collect()
     }
     assert rep == {5: 2}
+
+
+# --- curation drop attribution ----------------------------------------------
+
+
+def test_curation_attribution_bitmask(spark):
+    from pyspark.sql import functions as F
+
+    from data_ingestion_pipelines_spark.operators.classify import (
+        curation_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3, "en"), (2, 50, "fr"), (3, 2, "fr"), (4, 40, "en")],
+        "doc_id bigint, n_tokens bigint, lang string",
+    )
+    out = curation_attribution(
+        df,
+        {"short": F.col("n_tokens") < 10, "lang": F.col("lang") != "en"},
+    )
+    got = {r.doc_id: (r.drop_lang, r.drop_short, r.drop_mask, r.kept)
+           for r in out.collect()}
+    # sorted names: lang=bit0, short=bit1. Doc 3 fails BOTH — the
+    # attribution a sequential filter chain cannot produce
+    assert got == {
+        1: (False, True, 2, False),
+        2: (True, False, 1, False),
+        3: (True, True, 3, False),
+        4: (False, False, 0, True),
+    }
