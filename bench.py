@@ -174,6 +174,21 @@ HEADLINE = [
     "doc_sliding_chunks",
     "documents_write_plan",
     "hybrid_rrf_ranking",
+    # round-11 additions with distinctive execution surfaces: the
+    # common-neighbor link-prediction join (deg²-bounded via-node
+    # self-join + anti-join), the rare-gram-blocked containment
+    # detector (df-capped blocking + array-intersect verify), the T5
+    # span-corruption codegen transform, the dual-weight DSIR pass
+    # (quantized + float from one featurization), the quantized
+    # label-centroid cosine matrix, the positional-index phrase chain,
+    # and the failures-table rerun ladder (driver-looped fetch rounds)
+    "part_copurchase_link_prediction",
+    "ngram_containment_docs",
+    "t5_span_corrupted_docs",
+    "dsir_float_rank_verdict",
+    "label_centroid_similarity",
+    "phrase_search_docs",
+    "rest_fetch_retry_ladder",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
@@ -201,6 +216,9 @@ EXTRA_RUNS = {
     # the first run 2-3x the warm cost; best-of-5 converges to the
     # steady-state number
     "dsir_selected_docs",
+    # same checkpoint-materialization shape (shared featurization pass
+    # feeding two weight maps)
+    "dsir_float_rank_verdict",
 }
 
 

@@ -40,56 +40,56 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    "skew_strategy_verdicts",
-    "parquet_footer_stats_docs",
-    "part_copurchase_kcore",
-    "streaming_cms_table_ingest",
-    "streaming_neardup_compacted",
-    "bm25_doc_ranking",
-    "linear_quality_scores",
-    "part_copurchase_coreness",
-    "dsir_selected_docs",  # new (round 10)
-    "preference_pairs_docs",  # new (round 10)
-    "doc_lm_surprisal",  # new (round 10)
-    "streaming_lm_scored_ingest",  # new (round 10)
-    "forget_sweep_verdict",  # new (round 10)
-    "customer_k_anonymous_cells",  # new (round 10)
-    "k_anonymity_audit_report",  # new (round 10)
-    "documents_content_fingerprint",  # new (round 10)
-    "events_temporal_split_report",  # new (round 10)
-    "similarity_mmr_topk",  # new (round 10)
-    "event_skipgram_pairs",  # new (round 10)
-    "doc_sliding_chunks",  # new (round 10)
-    "documents_write_plan",  # new (round 10)
-    "hybrid_rrf_ranking",  # new (round 10)
-    "split_drift_chisq",  # new (round 10)
-    "association_rules",  # changed
-    "part_copurchase_pagerank",  # changed
-    "part_copurchase_communities",  # changed
-    "part_copurchase_triangles",  # changed
-    "cms_token_counts",  # changed
-    "bpe_vocab_table",  # changed
-    "load_reconciliation_report",  # changed
-    "ann_index_drift_verdict",  # changed
-    "streaming_neardup_ingest",  # changed
-    "ann_index_delete_verdict",  # changed
-    "mlm_masked_docs",  # changed
-    "tfrecord_roundtrip_docs",  # changed
-    "inc_merge_upsert",  # green CORRECTNESS_r09.json
-    "asof_view_before_purchase",  # green CORRECTNESS_r09.json
-    "xml_extract",  # green CORRECTNESS_r08.json
-    "pricing_summary",  # green CORRECTNESS_r09.json
-    "corpus_curation",  # green CORRECTNESS_r08.json
-    "pretraining_manifest",  # green CORRECTNESS_r08.json
-    "bpe_tokenized_docs",  # green CORRECTNESS_r09.json
-    "similarity_pq_topk",  # green CORRECTNESS_r08.json
-    "winnowing_overlap_docs",  # green CORRECTNESS_r08.json
-    "corpus_curation_gopher",  # green CORRECTNESS_r08.json
-    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r09.json
-    "webdataset_roundtrip_docs",  # green CORRECTNESS_r09.json
-    "ngram_jaccard_docs",  # green CORRECTNESS_r09.json
-    "similarity_ivf_pq_topk",  # green CORRECTNESS_r09.json
-    "price_band_lookup",  # green CORRECTNESS_r03.json
+    "part_copurchase_link_prediction",
+    "decayed_event_type_counts",
+    "dsir_float_rank_verdict",
+    "t5_span_corrupted_docs",
+    "doc_structural_signals",
+    "source_vocab_overlap",
+    "ngram_containment_docs",
+    "source_normalized_quality",
+    "customer_l_diverse_cells",
+    "customer_l_diversity_report",
+    "label_centroid_similarity",
+    "sampling_ess_report",
+    "bpe_roundtrip_verdict",
+    "phrase_search_docs",
+    "curation_attribution_docs",
+    "rest_fetch_retry_ladder",
+    "forget_sweep_verdict",  # changed
+    "split_drift_chisq",  # changed
+    "documents_content_fingerprint",  # changed
+    "similarity_mmr_topk",  # changed
+    "inc_merge_upsert",  # green CORRECTNESS_r10.json
+    "asof_view_before_purchase",  # green CORRECTNESS_r10.json
+    "xml_extract",  # green CORRECTNESS_r10.json
+    "pricing_summary",  # green CORRECTNESS_r10.json
+    "corpus_curation",  # green CORRECTNESS_r10.json
+    "pretraining_manifest",  # green CORRECTNESS_r10.json
+    "bpe_tokenized_docs",  # green CORRECTNESS_r10.json
+    "similarity_pq_topk",  # green CORRECTNESS_r10.json
+    "winnowing_overlap_docs",  # green CORRECTNESS_r10.json
+    "corpus_curation_gopher",  # green CORRECTNESS_r10.json
+    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r10.json
+    "webdataset_roundtrip_docs",  # green CORRECTNESS_r10.json
+    "ngram_jaccard_docs",  # green CORRECTNESS_r10.json
+    "similarity_ivf_pq_topk",  # green CORRECTNESS_r10.json
+    "conversion_funnel",  # green CORRECTNESS_r02.json
+    "urgent_open_orders",  # green CORRECTNESS_r02.json
+    "returned_item_losses",  # green CORRECTNESS_r02.json
+    "part_zorder_keys",  # green CORRECTNESS_r03.json
+    "event_type_skew_report",  # green CORRECTNESS_r03.json
+    "order_quality_expectations",  # green CORRECTNESS_r03.json
+    "event_sessions",  # green CORRECTNESS_r03.json
+    "chunk_assignment_ranged",  # green CORRECTNESS_r03.json
+    "asof_next_purchase_after_view",  # green CORRECTNESS_r03.json
+    "latest_event_per_user",  # green CORRECTNESS_r03.json
+    "inc_copy_candidates",  # green CORRECTNESS_r03.json
+    "cast_rename_spec",  # green CORRECTNESS_r03.json
+    "flatten_roundtrip",  # green CORRECTNESS_r03.json
+    "correlated_explode",  # green CORRECTNESS_r03.json
+    "event_hourly_windows_streaming",  # green CORRECTNESS_r03.json
+    "streaming_dedup_watermarked",  # green CORRECTNESS_r03.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)
