@@ -452,3 +452,52 @@ def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ess"),
     )
+
+
+def mixture_attainment_report(
+    df: DataFrame,
+    source_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Post-sampling QA for :func:`mixture_sample`: per source, the
+    population count, the kept count under the SAME hash-membership
+    predicate, the target fraction, the realized fraction (ONE division
+    of exact integers), and an ``attained`` verdict
+    (|realized − target| ≤ tolerance) — the check a mixture run ships
+    with, because a typo'd fraction or a wrong salt silently reshapes
+    the training distribution and nothing downstream would notice.
+    Sources absent from ``fractions`` report a 0 target (mixture_sample
+    drops them). One partial-combined aggregate — COUNT(*)-class.
+    """
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+    )
+    kept = F.lit(False)
+    target = F.lit(0.0)
+    for source, frac in sorted(fractions.items()):
+        hit = (F.col(source_col) == source) & (
+            prefix < F.lit(_hex_threshold(frac))
+        )
+        kept = kept | hit
+        target = F.when(F.col(source_col) == source, F.lit(float(frac))).otherwise(
+            target
+        )
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum(kept.cast("bigint")).cast("bigint").alias("n_kept"),
+        F.first(target).alias("target_frac"),
+    )
+    realized = F.col("n_kept").cast("double") / F.col("n_total").cast("double")
+    return agg.select(
+        "source",
+        "n_total",
+        "n_kept",
+        "target_frac",
+        realized.alias("realized_frac"),
+        (F.abs(realized - F.col("target_frac")) <= F.lit(float(tolerance))).alias(
+            "attained"
+        ),
+    )

@@ -1978,3 +1978,89 @@ def rrf_fuse(
             ).alias("rrf"),
         )
     )
+
+
+def mutual_knn_pairs(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    num_tables: int = 8,
+    bits: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Reciprocal (mutual) k-nearest-neighbor pairs: (a, b) kept iff b is
+    in a's top-k AND a is in b's top-k — the symmetric matching
+    criterion that kills the hubness artifacts a one-directional
+    threshold sweep keeps (a generic hub vector is in everyone's top-k,
+    but almost nobody is in ITS top-k; mutuality filters it — the
+    standard trick in image-matching and SemDeDup-style curation).
+
+    ``method='lsh'`` (scale path): candidate pairs come from
+    random-hyperplane buckets (the :func:`embedding_dup_pairs`
+    machinery), so each row ranks only its collision set; directed
+    top-k is a per-source window over candidates — uniform vector-id
+    keys, never global. Approximate exactly where the bucket recall is
+    approximate; ranks among surfaced candidates are exact.
+    ``method='exact'``: full self-join — O(n²) scoring for oracles and
+    bounded slices only. Scores use the 6-dp-rounded Column cosine with
+    id tiebreaks (the brute_force_topk determinism contract), so the
+    exact tier is hash-replayable in SQL.
+
+    Output: ``(id_a, id_b, score, rank_ab, rank_ba)``, id_a < id_b —
+    both directed ranks ride along so callers can post-filter to
+    stricter reciprocity (e.g. both ranks <= 2).
+    """
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    if method == "exact":
+        a = c.withColumnsRenamed({id_col: "_src", vec_col: "_v_a"})
+        b = c.withColumnsRenamed({id_col: "_nbr", vec_col: "_v_b"})
+        cand = a.crossJoin(b).filter(F.col("_src") != F.col("_nbr"))
+    elif method == "lsh":
+        if dim is None:
+            dim = _infer_dim(c, vec_col, "mutual_knn_pairs")
+        planes = _plane_matrix(dim, bits, num_tables)
+        id_type = dict(c.dtypes)[id_col]
+        vec_type = dict(c.dtypes)[vec_col]
+        schema = f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, tbl BIGINT, bucket BIGINT"
+
+        def run(batches):
+            for pdf in batches:
+                yield _bucket_rows(pdf, vec_col, planes, bits, num_tables)
+
+        bucketed = c.mapInPandas(run, schema)
+        a = bucketed.withColumnsRenamed({id_col: "_src", vec_col: "_v_a"})
+        b = bucketed.withColumnsRenamed({id_col: "_nbr", vec_col: "_v_b"})
+        cand = (
+            a.join(b, on=["tbl", "bucket"])
+            .filter(F.col("_src") != F.col("_nbr"))
+            .dropDuplicates(["_src", "_nbr"])
+        )
+    else:
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+    scored = cand.select(
+        "_src",
+        "_nbr",
+        F.round(cosine_similarity(F.col("_v_a"), F.col("_v_b")), 6).alias(
+            "_s"
+        ),
+    )
+    w = Window.partitionBy("_src").orderBy(F.desc("_s"), F.asc("_nbr"))
+    directed = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .localCheckpoint(eager=False)  # both join sides read it
+    )
+    fwd = directed.select(
+        F.col("_src").alias("id_a"),
+        F.col("_nbr").alias("id_b"),
+        F.col("_s").alias("score"),
+        F.col("_rk").cast("bigint").alias("rank_ab"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = directed.select(
+        F.col("_nbr").alias("id_a"),
+        F.col("_src").alias("id_b"),
+        F.col("_rk").cast("bigint").alias("rank_ba"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return fwd.join(rev, ["id_a", "id_b"])

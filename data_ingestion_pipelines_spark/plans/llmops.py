@@ -6414,6 +6414,99 @@ FROM flags
 
 
 # --------------------------------------------------------------------------
+# Reciprocal k-NN pairs (operators/similarity.mutual_knn_pairs): (a, b)
+# kept iff each is in the other's top-k — the hub-killing symmetric
+# matching criterion. Gate runs the exact tier on a bounded slice
+# (vec_id < 400 at every SF — the fuzzy_part_matches absolute-size
+# trick) so the O(n²) scoring stays gate-sized; the LSH candidate tier
+# is the scale path (bucketed candidates, per-source windows) and its
+# plumbing is pytest-pinned against the exact tier on a planted corpus.
+_MKNN_CAP, _MKNN_K = 400, 5
+
+
+def mutual_knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mutual_knn_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _MKNN_CAP)
+    return mutual_knn_pairs(emb, k=_MKNN_K, method="exact")
+
+
+MUTUAL_KNN_DOCS_SQL = f"""
+WITH sl AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_MKNN_CAP}
+), scored AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS nbr,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS s
+  FROM sl a JOIN sl b ON a.vec_id <> b.vec_id
+), directed AS MATERIALIZED (
+  SELECT src, nbr, s,
+         CAST(row_number() OVER (
+           PARTITION BY src ORDER BY s DESC, nbr ASC) AS BIGINT) AS rk
+  FROM scored
+  QUALIFY rk <= {_MKNN_K}
+)
+SELECT f.id_a, f.id_b, f.score, f.rank_ab, r.rank_ba FROM (
+  SELECT src AS id_a, nbr AS id_b, s AS score, rk AS rank_ab
+  FROM directed WHERE src < nbr
+) f JOIN (
+  SELECT nbr AS id_a, src AS id_b, rk AS rank_ba
+  FROM directed WHERE nbr < src
+) r ON f.id_a = r.id_a AND f.id_b = r.id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Mixture attainment QA (operators/sampling.mixture_attainment_report):
+# per source, population vs kept counts under the SAME hash-membership
+# predicate as mixture_sample, realized vs target fraction (one exact
+# division) and the tolerance verdict — the check that catches a typo'd
+# fraction or wrong salt before it silently reshapes the training mix.
+def mixture_attainment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import mixture_attainment_report
+
+    return mixture_attainment_report(
+        _t(spark, sf_dir, "documents"),
+        source_col="source",
+        fractions=_MIXTURE,
+        key_col="doc_id",
+        salt="mix1",
+        tolerance=0.05,
+    )
+
+
+def _mix_attainment_sql() -> str:
+    from ..operators.sampling import _hex_threshold
+
+    target = " ".join(
+        f"WHEN source = '{s}' THEN {float(f)!r}"
+        for s, f in sorted(_MIXTURE.items())
+    )
+    return f"""
+WITH f AS (
+  SELECT source,
+         CASE WHEN {_mix_cases()} THEN 1 ELSE 0 END AS kept,
+         -- CAST: DuckDB types bare numeric literals as DECIMAL, which
+         -- the hash gate flags as an unsafe driver type
+         CAST(CASE {target} ELSE 0.0 END AS DOUBLE) AS target_frac
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ANY_VALUE(target_frac) AS target_frac,
+       CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS realized_frac,
+       abs(CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           - ANY_VALUE(target_frac)) <= 0.05 AS attained
+FROM f GROUP BY source
+"""
+
+
+MIXTURE_ATTAINMENT_DOCS_SQL = _mix_attainment_sql()
+
+
+# --------------------------------------------------------------------------
 # Exact phrase search over the positional inverted index
 # (operators/text.phrase_match_counts): consecutive-position chaining —
 # the retrieval primitive bag-of-words BM25 can't express. Postings are
@@ -6589,6 +6682,11 @@ QUERIES = {
     "curation_attribution_docs": (
         curation_attribution_docs,
         CURATION_ATTRIBUTION_DOCS_SQL,
+    ),
+    "mutual_knn_docs": (mutual_knn_docs, MUTUAL_KNN_DOCS_SQL),
+    "mixture_attainment_docs": (
+        mixture_attainment_docs,
+        MIXTURE_ATTAINMENT_DOCS_SQL,
     ),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),

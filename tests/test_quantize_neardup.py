@@ -818,3 +818,42 @@ def test_rrf_requires_rankings_and_positive_k(spark):
         rrf_fuse({})
     with _pytest.raises(ValueError, match="k must be >= 1"):
         rrf_fuse({"a": bm}, id_col="id", k=0)
+
+
+# --- reciprocal (mutual) k-NN pairs -----------------------------------------
+
+
+def test_mutual_knn_filters_hubs_and_matches_lsh_tier(spark):
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.02, 0.0]),   # cluster A
+        (2, [1.0, 0.03, 0.0]),
+        (3, [0.0, 0.02, 1.0]),   # cluster B
+        (4, [0.0, 0.03, 1.0]),
+        (5, [0.7, 0.1, 0.7]),    # hub: near everyone's middle
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn_pairs(emb, k=1, method="exact").collect()
+    }
+    # with k=1 only the intra-cluster pairs are reciprocal; the hub is
+    # in nobody's top-1 even though it is everyone's #2
+    assert got == {(1, 2): (1, 1), (3, 4): (1, 1)}
+
+    # the LSH tier with near-total recall params reproduces the exact
+    # tier on a small corpus (bucket recall is the only approximation)
+    exact = {
+        (r.id_a, r.id_b, r.score, r.rank_ab, r.rank_ba)
+        for r in mutual_knn_pairs(emb, k=2, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.score, r.rank_ab, r.rank_ba)
+        for r in mutual_knn_pairs(
+            emb, k=2, method="lsh", bits=1, num_tables=16
+        ).collect()
+    }
+    assert lsh == exact

@@ -407,3 +407,38 @@ def test_effective_sample_size(spark):
     empty = spark.createDataFrame([], "id bigint, w bigint")
     r3 = effective_sample_size(empty, "w").collect()[0]
     assert (r3.n_rows, r3.ess) == (0, 0.0)
+
+
+def test_mixture_attainment_report(spark):
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        mixture_attainment_report,
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    fr = {"a": 0.5, "b": 0.0}
+    rep = {
+        r.source: r
+        for r in mixture_attainment_report(
+            df, "source", fr, "doc_id", salt="s1", tolerance=0.1
+        ).collect()
+    }
+    # kept counts must equal the real mixture_sample membership
+    kept = mixture_sample(df, "source", fr, "doc_id", salt="s1").groupBy(
+        "source"
+    ).count().collect()
+    kept = {r.source: r["count"] for r in kept}
+    assert rep["a"].n_kept == kept.get("a", 0)
+    assert rep["b"].n_kept == kept.get("b", 0) == 0
+    assert rep["a"].attained and rep["b"].attained
+    assert rep["a"].target_frac == 0.5 and rep["b"].target_frac == 0.0
+    # a wrong salt misses the target → verdict flips
+    bad = {
+        r.source: r
+        for r in mixture_attainment_report(
+            df, "source", {"a": 0.5, "b": 0.5}, "doc_id",
+            salt="s1", tolerance=0.01,
+        ).collect()
+    }
+    assert bad["b"].n_kept > 0  # b now sampled
