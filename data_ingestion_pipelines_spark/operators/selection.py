@@ -304,27 +304,67 @@ def dsir_weights_with_float(
     the un-oracled float path against its quantized twin should not pay
     the corpus featurization twice."""
     bucketed = _with_buckets(raw, text_col, n_buckets)
-    joint = _joint_distribution(
-        bucketed, target, text_col, n_buckets
-    ).localCheckpoint(eager=False)
-    wmap_q = _weight_map_row(
-        joint,
-        n_buckets,
-        lambda t_cnt, r_cnt: _floor_log2_plus1(t_cnt) - _floor_log2_plus1(r_cnt),
-        lambda tpb, rpb: (
+    joint = _joint_distribution(bucketed, target, text_col, n_buckets)
+    # FUSED maps: one aggregate over the (<= n_buckets-row) joint
+    # distribution produces BOTH weight maps and both constants — two
+    # _weight_map_row calls would run two jobs over the same frame
+    # (measured ~3s extra at sf0.1 in the verdict gate)
+    t = F.coalesce(F.col("t_cnt"), F.lit(0)).cast("bigint")
+    r = F.col("cnt").cast("bigint")
+    per_bucket = joint.select(
+        "bucket",
+        (_floor_log2_plus1(t) - _floor_log2_plus1(r)).alias("_wq"),
+        (
+            F.log((t + F.lit(1)).cast("double"))
+            - F.log((r + F.lit(1)).cast("double"))
+        ).alias("_wf"),
+        r.alias("_r"),
+        t.alias("_t"),
+    )
+    b = F.lit(n_buckets).cast("bigint")
+    tpb = F.sum("_t").cast("bigint") + b
+    rpb = F.sum("_r").cast("bigint") + b
+    wmaps = per_bucket.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "_wq")))
+        ).alias("_wmap_q"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "_wf")))
+        ).alias("_wmap_f"),
+        (
             (F.length(F.bin(rpb)) - F.lit(1))
             - (F.length(F.bin(tpb)) - F.lit(1))
-        ).cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("_wconst_q"),
+        (F.log(rpb.cast("double")) - F.log(tpb.cast("double"))).alias(
+            "_wconst_f"
+        ),
     )
-    wmap_f = _weight_map_row(
-        joint,
-        n_buckets,
-        lambda t_cnt, r_cnt: F.log((t_cnt + F.lit(1)).cast("double"))
-        - F.log((r_cnt + F.lit(1)).cast("double")),
-        lambda tpb, rpb: F.log(rpb.cast("double")) - F.log(tpb.cast("double")),
-    )
-    scored = _score_against_map(bucketed, wmap_q, q_out, F.lit(0).cast("bigint"))
-    scored = _score_against_map(scored, wmap_f, f_out, F.lit(0.0).cast("double"))
+    # FUSED scoring: one crossJoin, one fold per weight (same per-gram
+    # lookups the two-pass form paid twice for the broadcast join)
+    scored = bucketed.crossJoin(F.broadcast(wmaps))
+    zq = F.lit(0).cast("bigint")
+    zf = F.lit(0.0)
+    scored = scored.withColumn(
+        q_out,
+        F.aggregate(
+            F.col("_buckets"),
+            zq,
+            lambda acc, bk: acc
+            + F.coalesce(F.element_at(F.col("_wmap_q"), bk), zq)
+            + F.col("_wconst_q"),
+        ),
+    ).withColumn(
+        f_out,
+        F.aggregate(
+            F.col("_buckets"),
+            zf,
+            lambda acc, bk: acc
+            + F.coalesce(F.element_at(F.col("_wmap_f"), bk), zf)
+            + F.col("_wconst_f"),
+        ),
+    ).drop("_wmap_q", "_wmap_f", "_wconst_q", "_wconst_f")
     return scored.withColumn(
         "n_grams", F.size("_buckets").cast("bigint")
     ).drop("_buckets")
