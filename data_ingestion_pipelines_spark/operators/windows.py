@@ -168,3 +168,105 @@ def bitshift_decayed_counts(
             / F.lit(float(1 << scale_bits)),
         )
     )
+
+
+def _decayed_partials(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    as_of_epoch: int,
+    half_life_seconds: int,
+    scale_bits: int,
+) -> DataFrame:
+    return bitshift_decayed_counts(
+        df, ts_col, group_cols, as_of_epoch, half_life_seconds, scale_bits
+    ).drop("decayed")
+
+
+def save_decayed_counts(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    group_cols: list[str],
+    as_of_epoch: int,
+    half_life_seconds: int,
+    scale_bits: int = 32,
+    commit_token: str | None = None,
+) -> None:
+    """PERSIST a decayed-count table (:func:`bitshift_decayed_counts`
+    with no raw retention): because each event's weight is a pure
+    function of its timestamp and the FIXED anchor, per-batch partial
+    sums merge EXACTLY (both columns are additive) — the same
+    mergeability contract as the CMS/t-digest/HLL tables, on the same
+    versioned layout: ``{path}/params`` lands before the tokened
+    publish of ``{path}/counts`` (the publish is the commit point)."""
+    from ..sinks.versioned import write_snapshot
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [
+            (
+                ts_col,
+                ",".join(group_cols),
+                int(as_of_epoch),
+                int(half_life_seconds),
+                int(scale_bits),
+            )
+        ],
+        "ts_col STRING, keys STRING, as_of_epoch BIGINT, "
+        "half_life_seconds BIGINT, scale_bits INT",
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
+    partials = _decayed_partials(
+        df, ts_col, group_cols, as_of_epoch, half_life_seconds, scale_bits
+    )
+    write_snapshot(partials, f"{base}/counts", commit_token=commit_token)
+
+
+def append_decayed_counts(
+    df: DataFrame, path: str, commit_token: str | None = None
+) -> int:
+    """Fold NEW rows into a persisted decayed-count table under its
+    STORED params (anchor/half-life/keys come from ``{path}/params`` —
+    a caller can't fold a different clock into the same table). Both
+    state columns ADD (non-idempotent), so stream writers must ride a
+    commit token (``decayed_append_ingest``). One bounded aggregate
+    over stored-groups + batch-groups rows."""
+    from ..sinks.versioned import read_current, write_snapshot
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    p = spark.read.parquet(f"{base}/params").first()
+    keys = p["keys"].split(",")
+    batch = _decayed_partials(
+        df,
+        p["ts_col"],
+        keys,
+        int(p["as_of_epoch"]),
+        int(p["half_life_seconds"]),
+        int(p["scale_bits"]),
+    )
+    stored = read_current(spark, f"{base}/counts")
+    merged = (
+        stored.unionByName(batch)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("decayed_scaled").cast("bigint").alias("decayed_scaled"),
+        )
+    )
+    return write_snapshot(merged, f"{base}/counts", commit_token=commit_token)
+
+
+def read_decayed_counts(spark, path: str) -> DataFrame:
+    """Current decayed-count table with the derived ``decayed`` column
+    (decayed_scaled / 2^scale_bits — one division of exact operands)."""
+    from ..sinks.versioned import read_current
+
+    base = path.rstrip("/")
+    p = spark.read.parquet(f"{base}/params").first()
+    return read_current(spark, f"{base}/counts").withColumn(
+        "decayed",
+        F.col("decayed_scaled").cast("double")
+        / F.lit(float(1 << int(p["scale_bits"]))),
+    )

@@ -4481,6 +4481,47 @@ GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# STREAMING twin of the decayed-count aggregate: 4 real micro-batches
+# fold into one persisted per-type decayed table via the shared
+# commit-token sketch core (streaming/incremental.decayed_append_ingest)
+# — each event's weight is a pure function of (ts, FIXED anchor), so
+# the streamed union must equal the one-shot batch aggregate EXACTLY;
+# the oracle IS the batch gate's SQL. Exactly-once is in the hash: a
+# double-folded batch inflates both sums.
+def streaming_decayed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import read_decayed_counts
+    from ..streaming.incremental import await_or_raise, decayed_append_ingest
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    root = scratch_dir(prefix="sdec_")
+    feed, target = f"{root}/feed", f"{root}/table"
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            decayed_append_ingest(
+                target,
+                ts_col="ts",
+                by=["event_type"],
+                as_of_epoch=_DECAY_AS_OF,
+                half_life_seconds=_DECAY_HALF_LIFE,
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    await_or_raise(q)
+    return read_decayed_counts(spark, target).select(
+        "event_type", "n_events", "decayed_scaled", "decayed"
+    )
+
+
+# --------------------------------------------------------------------------
 # INTERSECT set op (completes the O-family: union_pages covers UNION,
 # snapshot_diff_report covers EXCEPT ALL): customers who ordered in BOTH
 # 1995 and 1996. Catalyst plans this as a distinct semi-style aggregate —
@@ -5201,6 +5242,11 @@ QUERIES = {
     ),
     "decayed_event_type_counts": (
         decayed_event_type_counts,
+        DECAYED_EVENT_TYPE_COUNTS_SQL,
+    ),
+    # streaming twin, verified against the SAME oracle string
+    "streaming_decayed_ingest": (
+        streaming_decayed_ingest,
         DECAYED_EVENT_TYPE_COUNTS_SQL,
     ),
     "part_copurchase_triangles": (

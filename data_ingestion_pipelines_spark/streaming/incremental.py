@@ -1171,3 +1171,46 @@ def cms_append_ingest(
         lambda df, base, tok: append_cms_table(df, base, commit_token=tok),
         retain_snapshots,
     )
+
+
+def decayed_append_ingest(
+    path: str,
+    ts_col: str,
+    by: list,
+    as_of_epoch: int,
+    half_life_seconds: int,
+    scale_bits: int = 32,
+    retain_snapshots: int = 2,
+):
+    """``foreachBatch`` sink factory: maintain a PERSISTED decayed-count
+    table (``operators/windows.py`` save/append_decayed_counts) over a
+    stream — recency-weighted popularity monitoring with no raw
+    retention. Each event's weight is a pure function of (timestamp,
+    FIXED anchor), so per-batch partials merge exactly (both columns
+    add) and the streamed union equals the one-shot batch aggregate —
+    which is exactly what the gate's oracle asserts. Folding is NOT
+    idempotent (sums add), so the shared :func:`_sketch_table_ingest`
+    commit-token core is load-bearing, like the t-digest/CMS sinks.
+    The anchor is part of the persisted params: a restarted sink with a
+    different clock is refused rather than silently mixing decays."""
+    from ..operators.windows import append_decayed_counts, save_decayed_counts
+
+    return _sketch_table_ingest(
+        "decayed_append_ingest",
+        path,
+        "counts",
+        lambda p: (
+            p["ts_col"],
+            p["keys"].split(","),
+            int(p["as_of_epoch"]),
+            int(p["half_life_seconds"]),
+            int(p["scale_bits"]),
+        ),
+        (ts_col, list(by), int(as_of_epoch), int(half_life_seconds), int(scale_bits)),
+        lambda df, base, tok: save_decayed_counts(
+            df, base, ts_col, list(by), as_of_epoch, half_life_seconds,
+            scale_bits, commit_token=tok,
+        ),
+        lambda df, base, tok: append_decayed_counts(df, base, commit_token=tok),
+        retain_snapshots,
+    )

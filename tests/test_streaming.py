@@ -1009,18 +1009,26 @@ def test_sketch_sink_core_replay_parity_all_three(spark, tmp_path):
     )
     from data_ingestion_pipelines_spark.streaming.incremental import (
         cms_append_ingest,
+        decayed_append_ingest,
         hll_append_ingest,
         tdigest_append_ingest,
     )
 
+    import datetime as _dt
+
+    _t0 = _dt.datetime(2024, 1, 10, 0, 0, 0)
     batches = [
         spark.createDataFrame(
-            [(d, f"u{d}_{i}", float(d * 10 + i))
+            [(d, f"u{d}_{i}", float(d * 10 + i),
+              _t0 + _dt.timedelta(hours=d, minutes=i))
              for d in (b, b + 1) for i in range(40)],
-            "day bigint, user string, value double",
+            "day bigint, user string, value double, ts timestamp",
         )
         for b in range(3)
     ]
+    _anchor = int(
+        (_t0 + _dt.timedelta(days=1)).replace(tzinfo=_dt.timezone.utc).timestamp()
+    )
 
     cases = [
         ("td", "digests",
@@ -1032,6 +1040,13 @@ def test_sketch_sink_core_replay_parity_all_three(spark, tmp_path):
         ("cms", "cells",
          lambda p: cms_append_ingest(p, "user", width=64),
          lambda p: cms_append_ingest(p, "user", width=128)),
+        ("dec", "counts",
+         lambda p: decayed_append_ingest(
+             p, "ts", by=["day"], as_of_epoch=_anchor,
+             half_life_seconds=3600),
+         lambda p: decayed_append_ingest(
+             p, "ts", by=["day"], as_of_epoch=_anchor + 1,
+             half_life_seconds=3600)),
     ]
     for name, subdir, mk, mk_wrong in cases:
         path = str(tmp_path / name)
@@ -1070,6 +1085,27 @@ def test_sketch_sink_core_replay_parity_all_three(spark, tmp_path):
         map(tuple, read_current(spark, str(tmp_path / "cms") + "/cells").collect())
     )
     assert folded == oneshot
+
+    # decayed-specific exactness: the folded table equals the one-shot
+    # batch aggregate over the union (weights are pure functions of
+    # (ts, anchor), so partial sums merge exactly)
+    from data_ingestion_pipelines_spark.operators.windows import (
+        bitshift_decayed_counts,
+    )
+
+    dec_oneshot = sorted(
+        map(
+            tuple,
+            bitshift_decayed_counts(
+                union, "ts", ["day"], as_of_epoch=_anchor,
+                half_life_seconds=3600,
+            ).drop("decayed").collect(),
+        )
+    )
+    dec_folded = sorted(
+        map(tuple, read_current(spark, str(tmp_path / "dec") + "/counts").collect())
+    )
+    assert dec_folded == dec_oneshot
     true_n = {r["item"]: r["n"] for r in counts.collect()}
     est = {
         r["item"]: r["cms_est"]
