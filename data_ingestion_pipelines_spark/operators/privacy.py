@@ -85,14 +85,20 @@ def l_diversify(
     Scale shape: one quasi-key shuffle (group-partitioned
     ``approx``-free exact distinct count via a window over the cell),
     then a pure filter — the same partial-agg bound as the k-anonymity
-    pass."""
+    pass. A WINDOW, not a groupBy+join, deliberately: SQL join equality
+    never matches NULL keys, so a join-back would unconditionally
+    suppress every cell containing a NULL quasi value even when it
+    satisfies l (and diverge from :func:`l_diversity_report`'s groupBy,
+    which merges NULLs) — the same NULL-key class the r10 advisory
+    found in the drift monitor; `partitionBy` groups NULLs like
+    GROUP BY does (review r11)."""
     if l < 1:
         raise ValueError(f"l must be >= 1, got {l}")
-    cells = df.groupBy(*quasi_cols).agg(
-        F.count_distinct(F.col(sensitive_col)).alias("_ldiv")
-    )
+    w = Window.partitionBy(*quasi_cols)
     return (
-        df.join(cells, quasi_cols)
+        df.withColumn(
+            "_ldiv", F.size(F.collect_set(F.col(sensitive_col)).over(w))
+        )
         .filter(F.col("_ldiv") >= F.lit(int(l)))
         .drop("_ldiv")
     )

@@ -136,6 +136,15 @@ def bitshift_decayed_counts(
     ``decayed`` = decayed_scaled / 2^scale_bits — ONE division of exact
     operands, the equivalent full-weight event count.
 
+    Overflow discipline (review r11): the sum ACCUMULATES as
+    DECIMAL(38,0) — a bare LongType sum would silently wrap past 2^63
+    in non-ANSI Spark once a group holds > 2^(63−scale_bits) full-weight
+    events (~2.1B at the default 32 bits — reachable per key at corpus
+    scale). The published ``decayed_scaled`` column is still BIGINT (the
+    hash-gate-portable type); groups beyond the 2^63 publication bound
+    need a smaller ``scale_bits`` (each bit of scale trades one bit of
+    per-group event headroom).
+
     One partial-combined groupBy — COUNT(*)-class cost; the decay
     arithmetic is pure codegen projection.
     """
@@ -160,7 +169,9 @@ def bitshift_decayed_counts(
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum("_w").cast("bigint").alias("decayed_scaled"),
+            F.sum(F.col("_w").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("decayed_scaled"),
         )
         .withColumn(
             "decayed",
@@ -251,8 +262,14 @@ def append_decayed_counts(
         stored.unionByName(batch)
         .groupBy(*keys)
         .agg(
-            F.sum("n_events").cast("bigint").alias("n_events"),
-            F.sum("decayed_scaled").cast("bigint").alias("decayed_scaled"),
+            F.sum(F.col("n_events").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("n_events"),
+            # DECIMAL accumulation — same overflow discipline as the
+            # batch aggregate (review r11)
+            F.sum(F.col("decayed_scaled").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("decayed_scaled"),
         )
     )
     return write_snapshot(merged, f"{base}/counts", commit_token=commit_token)

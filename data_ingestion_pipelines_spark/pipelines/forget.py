@@ -96,12 +96,15 @@ def forget_ids(
                 read_neardup_corpus,
             )
 
+            # the stripped base, not the raw path: a file:// prefix is
+            # valid for this spec (the other branches strip it too) but
+            # the sink's filesystem probes need the plain path
             before = _count_matching(
-                read_neardup_corpus(spark, path), fset, idx_id_col
+                read_neardup_corpus(spark, base), fset, idx_id_col
             )
-            neardup_forget(spark, path, fset, id_col=idx_id_col)
+            neardup_forget(spark, base, fset, id_col=idx_id_col)
             after = _count_matching(
-                read_neardup_corpus(spark, path), fset, idx_id_col
+                read_neardup_corpus(spark, base), fset, idx_id_col
             )
             rows.append((label, n_requested, before, after))
             continue

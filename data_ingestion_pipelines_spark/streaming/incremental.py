@@ -488,6 +488,20 @@ def neardup_lowid_ingest(
             # re-sent ids are already signed and flagged — re-unioning
             # them would be a no-op anyway, so skip the work entirely
             batch = batch.join(old_docs.select(id_col), id_col, "left_anti")
+        forget_df = _neardup_forget_df(s, base)
+        if forget_df is not None:
+            # a tombstoned id is RETIRED for this target: dropping it at
+            # write time keeps the invariant visible (a row written into
+            # a delta but hidden by every read and physically dropped at
+            # the next compaction would be silent data loss — review
+            # r11). Re-onboarding a returning subject goes through
+            # neardup_unforget (after compaction purged the old rows) or
+            # a new id.
+            batch = batch.join(
+                F.broadcast(forget_df.select(F.col("_forget_id").alias(id_col))),
+                id_col,
+                "left_anti",
+            )
         batch = batch.localCheckpoint(eager=False)
 
         # the banded gram signing stage is SHARED with
@@ -772,18 +786,24 @@ def neardup_forget(spark, target_path: str, forget: DataFrame,
     set, so forgotten ids disappear IMMEDIATELY from query results and
     from future dedup decisions; the next :func:`compact_neardup_corpus`
     then purges them PHYSICALLY (its snapshot is written from the
-    tombstone-filtered state). Tombstone files persist after compaction:
-    retained older snapshots still hold the rows on disk, so the filter
-    must keep guarding time-travel reads until those generations are
-    pruned.
+    tombstone-filtered state; grace-retained delta dirs from the
+    previous generation keep raw bytes until the SECOND compaction's
+    prune — unreadable either way, the same one-generation grace every
+    reader already lives with). Tombstone files persist after
+    compaction: retained older snapshots still hold the rows on disk,
+    so the filter must keep guarding time-travel reads until those
+    generations are pruned.
 
     Semantics note: survivors stay flagged even when their justifying
     lower-id near-duplicate is forgotten — the flag set's monotonicity
     (and batch-order invariance) is preserved; forgetting removes the
     subject's content and its future influence, not historical dedup
-    decisions about OTHER documents. A forgotten id that is re-sent
-    later is treated as a brand-new document (the data subject can
-    return)."""
+    decisions about OTHER documents. A forgotten id is RETIRED for this
+    target: the ingest drops re-sent rows for it at write time (hidden
+    delta rows that compaction later deletes would be silent data
+    loss). A returning data subject re-onboards under a new id, or an
+    operator clears the tombstone with :func:`neardup_unforget` once
+    compaction has purged the old rows."""
     import uuid
 
     base = target_path.rstrip("/")
@@ -793,6 +813,59 @@ def neardup_forget(spark, target_path: str, forget: DataFrame,
     ids.write.mode("overwrite").parquet(
         f"{base}/_forget/t-{uuid.uuid4().hex[:8]}"
     )
+
+
+def neardup_unforget(spark, target_path: str, ids: list) -> None:
+    """Clear tombstones for ``ids`` — the explicit re-onboarding path
+    for a returning data subject. REFUSES while any stored doc row for
+    the ids still exists on disk (raw-path scan, tombstone filter
+    bypassed): clearing a tombstone before compaction purged the old
+    rows would RESURRECT the forgotten content. Run
+    :func:`compact_neardup_corpus` first. Rewrites the bounded
+    tombstone set atomically (new delta dir, then old dirs removed)."""
+    import os
+    import shutil
+    import uuid
+
+    base = target_path.rstrip("/")
+    cur = _neardup_forget_df(spark, base)
+    if cur is None:
+        return
+    ids_set = {i for i in ids}
+    snap, visible = _neardup_visible(base)
+    doc_paths = [f"{base}/{snap}/docs"] if snap is not None else []
+    doc_paths += [f"{base}/delta/batch-{i}/docs" for i in visible]
+    if doc_paths:
+        raw = spark.read.parquet(*doc_paths)
+        idc = raw.columns[0]
+        still = (
+            raw.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(i,) for i in ids_set], raw.select(idc).schema
+                    )
+                ),
+                idc,
+            ).count()
+        )
+        if still:
+            raise ValueError(
+                f"neardup_unforget: {still} stored row(s) for the ids are "
+                f"still on disk under {base} — run compact_neardup_corpus "
+                "first so the forgotten content is physically purged"
+            )
+    remaining = cur.filter(~F.col("_forget_id").isin(list(ids_set)))
+    fdir = f"{base}/_forget"
+    old_dirs = [
+        os.path.join(fdir, d)
+        for d in os.listdir(fdir)
+        if os.path.isdir(os.path.join(fdir, d))
+    ]
+    remaining.write.mode("overwrite").parquet(
+        f"{fdir}/t-{uuid.uuid4().hex[:8]}"
+    )
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _neardup_forget_df(spark, base: str):

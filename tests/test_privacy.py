@@ -86,3 +86,24 @@ def test_l_diversify_blocks_homogeneous_cells(spark):
     rep = l_diversity_report(df, ["quasi"], "dx", 2).collect()[0]
     assert (rep.n_cells, rep.n_cells_violating, rep.n_rows_suppressed) == (2, 1, 5)
     assert rep.min_released_diversity == 3 and rep.l == 2
+
+
+def test_l_diversify_releases_null_quasi_cells(spark):
+    """A diverse cell whose quasi key is NULL must be RELEASED — a
+    groupBy+join-back would drop it unconditionally (SQL equality never
+    matches NULL keys) and silently diverge from the report (review
+    r11; the same NULL-key class as the r10 drift-monitor advisory)."""
+    from data_ingestion_pipelines_spark.operators.privacy import (
+        l_diversify,
+        l_diversity_report,
+    )
+
+    rows = [(i, None, v) for i, v in enumerate(["flu", "cold", "ok"])] + [
+        (10, "cellX", "flu")
+    ]
+    df = spark.createDataFrame(rows, "pid bigint, quasi string, dx string")
+    released = l_diversify(df, ["quasi"], "dx", 2).collect()
+    assert {r.pid for r in released} == {0, 1, 2}  # the NULL cell, released
+    rep = l_diversity_report(df, ["quasi"], "dx", 2).collect()[0]
+    # report and release agree: 1 violating cell (cellX), 1 row suppressed
+    assert (rep.n_cells, rep.n_cells_violating, rep.n_rows_suppressed) == (2, 1, 1)

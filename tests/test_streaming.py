@@ -607,6 +607,27 @@ def test_neardup_forget_tombstones_then_compaction_purges(spark, tmp_path):
     )
     assert survivors() == [2, 8, 12]
 
+    # a RE-SENT forgotten id is retired at write time — not hidden rows
+    # (review r11: a row written but masked by every read and deleted at
+    # compaction would be silent loss; retire loudly instead)
+    sink(
+        spark.createDataFrame(
+            [(1, "the subject has returned with fresh words")],
+            "doc_id bigint, text string",
+        ),
+        3,
+    )
+    assert survivors() == [2, 8, 12]
+
+    # un-forgetting is refused while the old rows are still on disk
+    import pytest
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        neardup_unforget,
+    )
+
+    with pytest.raises(ValueError, match="still on disk"):
+        neardup_unforget(spark, str(path), [1])
+
     # compaction publishes a snapshot with the forgotten id PHYSICALLY
     # absent from docs/grams/sizes (read raw, not through the filter)
     assert compact_neardup_corpus(spark, str(path)) is True
@@ -622,6 +643,18 @@ def test_neardup_forget_tombstones_then_compaction_purges(spark, tmp_path):
     assert {r[0] for r in raw_flags.collect()} == {7}
     # tombstone dir persists as the guard for retained older snapshots
     assert os.path.isdir(path / "_forget")
+
+    # after the purge, the explicit re-onboarding path clears the
+    # tombstone and the returning id ingests as a brand-new document
+    neardup_unforget(spark, str(path), [1])
+    sink(
+        spark.createDataFrame(
+            [(1, "the subject has returned with fresh words")],
+            "doc_id bigint, text string",
+        ),
+        4,
+    )
+    assert survivors() == [1, 2, 8, 12]
 
 
 def test_neardup_band_partitioned_gram_snapshot_prunes_scan(spark, tmp_path):

@@ -85,6 +85,11 @@ def run_bench(cmd: list[str]) -> None:
             print(f"FAILED axis: bench (summary line missing {key!r})")
             sys.exit(1)
     qf = summary["queries_file"]
+    if not qf:
+        # bench.py publishes queries_file: null when the sidecar write
+        # itself failed — that's a failed axis, not a TypeError
+        print("FAILED axis: bench (queries_file is null — sidecar write failed)")
+        sys.exit(1)
     if not os.path.isabs(qf):
         qf = os.path.join(HERE, qf)
     try:
