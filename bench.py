@@ -189,6 +189,10 @@ HEADLINE = [
     "label_centroid_similarity",
     "phrase_search_docs",
     "rest_fetch_retry_ladder",
+    # round-11 close: the bounded-slice reciprocal-kNN self-join and the
+    # commit-token decayed-count stream sink (4 real micro-batches)
+    "mutual_knn_docs",
+    "streaming_decayed_ingest",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

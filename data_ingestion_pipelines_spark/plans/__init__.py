@@ -56,10 +56,10 @@ _PRIORITY = [
     "phrase_search_docs",
     "curation_attribution_docs",
     "rest_fetch_retry_ladder",
+    "streaming_decayed_ingest",
+    "mutual_knn_docs",
+    "mixture_attainment_docs",
     "forget_sweep_verdict",  # changed
-    "split_drift_chisq",  # changed
-    "documents_content_fingerprint",  # changed
-    "similarity_mmr_topk",  # changed
     "inc_merge_upsert",  # green CORRECTNESS_r10.json
     "asof_view_before_purchase",  # green CORRECTNESS_r10.json
     "xml_extract",  # green CORRECTNESS_r10.json
