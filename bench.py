@@ -193,6 +193,9 @@ HEADLINE = [
     # commit-token decayed-count stream sink (4 real micro-batches)
     "mutual_knn_docs",
     "streaming_decayed_ingest",
+    # exact-operand OLS trend (five sufficient statistics in one
+    # integer-decimal aggregate)
+    "nation_revenue_trend",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

@@ -231,3 +231,63 @@ def equi_width_histogram(
             "n",
         )
     )
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line — the "is revenue
+    growing and how fast" primitive, computed entirely from EXACT sums
+    so the slope/intercept hash cross-engine (a black-box ML fit would
+    not):
+
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` and
+    ``intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)`` — the closed
+    form. BOTH columns must be INTEGER-typed (quantize money to cents
+    first — the repo's exact-2dp convention): sums and cross-products
+    accumulate as DECIMAL(38,0), i.e. pure integer arithmetic with no
+    decimal-scale games (Spark's and DuckDB's DECIMAL multiplication
+    scale-capping rules differ; integer-only operands sidestep them),
+    so numerator and denominator are exact and each output is ONE
+    correctly-rounded IEEE division of exact operands. Degenerate
+    groups (n < 2 or zero x-variance) yield NULL slope/intercept rather
+    than a division blow-up.
+
+    One partial-combined groupBy — COUNT(*)-class cost at any scale;
+    no window, no second pass (the closed form needs only the five
+    sufficient statistics).
+    """
+    for c in (x_col, y_col):
+        t = dict(df.dtypes)[c]
+        if t not in ("bigint", "int", "smallint", "tinyint"):
+            raise ValueError(
+                f"grouped_linear_trend: {c} must be integer-typed "
+                f"(got {t}); quantize first (e.g. money -> cents)"
+            )
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(x).cast(dec).alias("_sx"),
+        F.sum(y).cast(dec).alias("_sy"),
+        F.sum(x * y).cast(dec).alias("_sxy"),
+        F.sum(x * x).cast(dec).alias("_sxx"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num_s = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    num_i = F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    nz = den != F.lit(0).cast(dec)
+    return agg.select(
+        *group_cols,
+        F.col("_n").cast("bigint").alias("n"),
+        F.when(nz, num_s.cast("double") / den.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("slope"),
+        F.when(nz, num_i.cast("double") / den.cast("double"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("intercept"),
+    )

@@ -59,7 +59,7 @@ _PRIORITY = [
     "streaming_decayed_ingest",
     "mutual_knn_docs",
     "mixture_attainment_docs",
-    "forget_sweep_verdict",  # changed
+    "nation_revenue_trend",
     "inc_merge_upsert",  # green CORRECTNESS_r10.json
     "asof_view_before_purchase",  # green CORRECTNESS_r10.json
     "xml_extract",  # green CORRECTNESS_r10.json

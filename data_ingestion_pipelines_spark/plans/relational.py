@@ -4522,6 +4522,68 @@ def streaming_decayed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-nation revenue trend line (operators/profiling.
+# grouped_linear_trend): closed-form OLS over monthly revenue — slope
+# and intercept from the five sufficient statistics, ALL accumulated as
+# integer-exact DECIMAL(38,0) sums (money quantized to cents first, the
+# repo's exact-2dp idiom), so each output is one division of exact
+# operands and the trend hashes cross-engine where a black-box fit
+# never could. Monthly pre-aggregation first: the trend input is
+# (nation × month) rows, never raw orders.
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profiling import grouped_linear_trend
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    month_idx = (
+        (F.year("o_orderdate") - F.lit(1992)) * F.lit(12)
+        + F.month("o_orderdate")
+        - F.lit(1)
+    ).cast("bigint")
+    cents = (
+        F.col("o_totalprice").cast("decimal(12,2)") * F.lit(100)
+    ).cast("decimal(38,0)")
+    monthly = (
+        j.groupBy("c_nationkey", month_idx.alias("month_idx"))
+        .agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    )
+    return grouped_linear_trend(
+        monthly, "month_idx", "rev_cents", ["c_nationkey"]
+    )
+
+
+NATION_REVENUE_TREND_SQL = """
+WITH monthly AS (
+  SELECT c_nationkey,
+         CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+              AS BIGINT) AS month_idx,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                       AS HUGEINT)) AS BIGINT) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(month_idx AS HUGEINT)) AS sx,
+         SUM(CAST(rev_cents AS HUGEINT)) AS sy,
+         SUM(CAST(month_idx AS HUGEINT) * rev_cents) AS sxy,
+         SUM(CAST(month_idx AS HUGEINT) * month_idx) AS sxx
+  FROM monthly GROUP BY 1
+)
+SELECT c_nationkey,
+       CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS intercept
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # INTERSECT set op (completes the O-family: union_pages covers UNION,
 # snapshot_diff_report covers EXCEPT ALL): customers who ordered in BOTH
 # 1995 and 1996. Catalyst plans this as a distinct semi-style aggregate —
@@ -5249,6 +5311,7 @@ QUERIES = {
         streaming_decayed_ingest,
         DECAYED_EVENT_TYPE_COUNTS_SQL,
     ),
+    "nation_revenue_trend": (nation_revenue_trend, NATION_REVENUE_TREND_SQL),
     "part_copurchase_triangles": (
         part_copurchase_triangles,
         PART_COPURCHASE_TRIANGLES_SQL,

@@ -260,3 +260,35 @@ def test_chisq_empty_side_contributes_zero_not_nan(spark):
     out = categorical_drift_chisq(a, b, "c").collect()
     assert len(out) == 1
     assert not math.isnan(out[0].contrib)
+
+
+def test_grouped_linear_trend_known_answers(spark):
+    from data_ingestion_pipelines_spark.operators.profiling import (
+        grouped_linear_trend,
+    )
+
+    rows = (
+        # group a: perfect line y = 3x + 10
+        [("a", x, 3 * x + 10) for x in range(5)]
+        # group b: n=5, Σx=10, Σy=35, Σxy=72, Σxx=30 →
+        # slope = (360-350)/50 = 0.2, intercept = (1050-720)/50 = 6.6
+        + [("b", 0, 5), ("b", 1, 7), ("b", 2, 9), ("b", 3, 9), ("b", 4, 5)]
+        # group c: single point -> degenerate, NULL fit
+        + [("c", 2, 100)]
+        # group d: zero x-variance -> degenerate
+        + [("d", 3, 1), ("d", 3, 2)]
+    )
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    got = {r.g: r for r in grouped_linear_trend(df, "x", "y", ["g"]).collect()}
+    assert (got["a"].slope, got["a"].intercept, got["a"].n) == (3.0, 10.0, 5)
+    assert got["b"].slope == 0.2 and got["b"].intercept == 6.6
+    assert got["c"].slope is None and got["c"].intercept is None
+    assert got["d"].slope is None and got["d"].intercept is None
+
+    import pytest
+
+    with pytest.raises(ValueError, match="integer-typed"):
+        grouped_linear_trend(
+            spark.createDataFrame([("a", 1, 1.5)], "g string, x bigint, y double"),
+            "x", "y", ["g"],
+        )
