@@ -308,6 +308,19 @@ def main() -> None:
                                   _load_bench_json(args[2])))
             return
 
+    # Resolve the compare baseline NOW, before this run overwrites the
+    # shared sidecar (ADVICE r11: round-11+ artifacts all point their
+    # 'queries_file' at the same BENCH_QUERIES.json path, so a deferred
+    # load after the sidecar write would resolve the baseline to the
+    # CURRENT run's own per-query map and report zero deltas).
+    compare_baseline = None
+    if compare_path is not None:
+        try:
+            compare_baseline = _load_bench_json(compare_path)
+        except Exception as exc:  # noqa: BLE001 — broken artifact must not kill the run
+            print(f"# compare baseline unreadable ({exc}); will skip compare",
+                  file=sys.stderr)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -494,10 +507,13 @@ def main() -> None:
         # never let a broken/absent compare target kill the run — the
         # summary JSON line below is the artifact of record (round 9's
         # driver artifact is parse-broken and must still be passable
-        # as a --compare arg without masking this run's numbers)
+        # as a --compare arg without masking this run's numbers).
+        # compare_baseline was loaded at startup, BEFORE the sidecar
+        # write above replaced the file old artifacts point at.
         try:
-            print(compare_benches(_load_bench_json(compare_path), detail),
-                  file=sys.stderr)
+            if compare_baseline is None:
+                raise ValueError("baseline failed to load at startup")
+            print(compare_benches(compare_baseline, detail), file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             print(f"# compare skipped: {exc}", file=sys.stderr)
     sys.stderr.flush()

@@ -256,9 +256,24 @@ def grouped_linear_trend(
     groups (n < 2 or zero x-variance) yield NULL slope/intercept rather
     than a division blow-up.
 
+    OVERFLOW IS LOUD, not a fake degenerate group (ADVICE r11): past 38
+    digits non-ANSI Spark silently NULLs a DECIMAL product/sum, which
+    would be indistinguishable from the documented degenerate-group
+    NULL (and DuckDB's 128-bit HUGEINT oracle overflows at a different
+    magnitude — a silent cross-engine divergence). The operator
+    therefore carries cheap per-group count columns that witness
+    whether any sum/product NULLed despite non-null operands, and
+    raises at evaluation time when they do. Operand-magnitude bound:
+    every intermediate stays exact while ``n · max|x|² < 10³⁸`` and
+    ``n · max|x·y| < 10³⁸`` AND the closed-form products ``n·Σxx``,
+    ``Σx·Σy``, ``Σy·Σxx``, ``Σx·Σxy`` stay under 10³⁸ — e.g. a trillion
+    rows per group with |x|,|y| ≤ 10⁹ overflows; quantize to a coarser
+    unit first.
+
     One partial-combined groupBy — COUNT(*)-class cost at any scale;
     no window, no second pass (the closed form needs only the five
-    sufficient statistics).
+    sufficient statistics plus the overflow-witness counts from the
+    same pass).
     """
     for c in (x_col, y_col):
         t = dict(df.dtypes)[c]
@@ -270,24 +285,67 @@ def grouped_linear_trend(
     dec = "decimal(38,0)"
     x = F.col(x_col).cast(dec)
     y = F.col(y_col).cast(dec)
+    both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast(dec).alias("_n"),
         F.sum(x).cast(dec).alias("_sx"),
         F.sum(y).cast(dec).alias("_sy"),
         F.sum(x * y).cast(dec).alias("_sxy"),
         F.sum(x * x).cast(dec).alias("_sxx"),
+        # overflow witnesses (same pass, no extra shuffle): how many
+        # non-null operands each sum/product SHOULD have seen
+        F.count(x).alias("_cx"),
+        F.count(y).alias("_cy"),
+        F.count(x * y).alias("_cxy"),
+        F.count(x * x).alias("_cxx"),
+        F.count(F.when(both, F.lit(1))).alias("_cboth"),
     )
     den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     num_s = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     num_i = F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    # A sum that NULLed despite non-null inputs, a per-row product that
+    # NULLed (count mismatch vs rows where both operands were non-null),
+    # or a closed-form product that NULLed over non-null sums — all are
+    # DECIMAL(38,0) overflow, never a degenerate group.
+    oflow = (
+        ((F.col("_cx") > 0) & F.col("_sx").isNull())
+        | ((F.col("_cy") > 0) & F.col("_sy").isNull())
+        | (F.col("_cxy") != F.col("_cboth"))
+        | (F.col("_cxx") != F.col("_cx"))
+        | ((F.col("_cboth") > 0) & F.col("_sxy").isNull())
+        | ((F.col("_cx") > 0) & F.col("_sxx").isNull())
+        | (den.isNull() & F.col("_sx").isNotNull() & F.col("_sxx").isNotNull())
+        | (
+            num_s.isNull()
+            & F.col("_sx").isNotNull()
+            & F.col("_sy").isNotNull()
+            & F.col("_sxy").isNotNull()
+        )
+        | (
+            num_i.isNull()
+            & F.col("_sx").isNotNull()
+            & F.col("_sy").isNotNull()
+            & F.col("_sxy").isNotNull()
+            & F.col("_sxx").isNotNull()
+        )
+    )
+    boom = F.raise_error(
+        F.lit(
+            "grouped_linear_trend: DECIMAL(38,0) overflow in a "
+            "sufficient statistic or closed-form product — quantize "
+            f"{x_col}/{y_col} to a coarser unit (see docstring bound)"
+        )
+    ).cast("double")
     nz = den != F.lit(0).cast(dec)
     return agg.select(
         *group_cols,
         F.col("_n").cast("bigint").alias("n"),
-        F.when(nz, num_s.cast("double") / den.cast("double"))
+        F.when(oflow, boom)
+        .when(nz, num_s.cast("double") / den.cast("double"))
         .otherwise(F.lit(None).cast("double"))
         .alias("slope"),
-        F.when(nz, num_i.cast("double") / den.cast("double"))
+        F.when(oflow, boom)
+        .when(nz, num_i.cast("double") / den.cast("double"))
         .otherwise(F.lit(None).cast("double"))
         .alias("intercept"),
     )

@@ -1858,10 +1858,14 @@ def mmr_rerank(
     bounded argmax rounds, each a ``limit(1).collect()`` single-row
     read (the same control-plane class as the BPE trainer's per-merge
     argmax; never data-plane rows). ``max_candidates`` ENFORCES the
-    bound (VERDICT r10 #6): the frame is pre-top-k'd by ``(rel desc,
-    id)`` through the limit-first idiom before the argmax loop, so a
-    caller accidentally passing a corpus-sized frame gets k sorts over
-    <= max_candidates rows, never k full-table sorts. Selected vectors
+    bound (VERDICT r10 #6) and enforcement is LOUD (ADVICE r11): the
+    frame is fetched through the limit-first idiom ordered by ``(rel
+    desc, id)``, and if MORE than ``max_candidates`` rows exist the
+    call raises instead of silently truncating — silent truncation
+    changed results for existing callers with no error. A caller with
+    a genuinely larger bounded set raises the cap explicitly; a caller
+    accidentally passing a corpus-sized frame gets one cheap bounded
+    count and a ValueError, never k full-table sorts. Selected vectors
     re-enter the plan as literals; similarities use the 6-dp rounded
     cosine so the chain is reproducible across engines; ties break on
     the id. Output: ``(rank, id, rel, mmr_score)`` with the id/rel
@@ -1876,9 +1880,17 @@ def mmr_rerank(
     base = (
         candidates.select(id_col, rel_col, vec_col)
         .orderBy(F.desc(rel_col), F.asc(id_col))
-        .limit(int(max_candidates))
+        .limit(int(max_candidates) + 1)
         .localCheckpoint(eager=False)
     )
+    n_cand = base.count()  # bounded: at most max_candidates + 1 rows
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"mmr_rerank: candidate frame exceeds max_candidates="
+            f"{max_candidates}; MMR needs a bounded candidate set (the "
+            f"ANN top-k output) — pre-filter the frame or raise "
+            f"max_candidates explicitly"
+        )
     selected: list[list[float]] = []
     out_rows: list[tuple[int, int, float, float]] = []
     remaining = base

@@ -213,6 +213,16 @@ def save_decayed_counts(
     publish of ``{path}/counts`` (the publish is the commit point)."""
     from ..sinks.versioned import write_snapshot
 
+    # the params row stores the key list comma-joined and
+    # append_decayed_counts re-parses it with split(',') — a key column
+    # name containing a comma would round-trip into WRONG group keys
+    # silently (ADVICE r11), so refuse it at save time
+    bad = [c for c in group_cols if "," in c]
+    if bad:
+        raise ValueError(
+            f"save_decayed_counts: group column names may not contain "
+            f"commas (params round-trip is comma-joined): {bad}"
+        )
     base = path.rstrip("/")
     spark = df.sparkSession
     spark.createDataFrame(

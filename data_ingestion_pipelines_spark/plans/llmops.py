@@ -61,7 +61,7 @@ toks AS MATERIALIZED (
          CASE WHEN len(t) >= 3 THEN
            list_distinct(list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g
+         ELSE [COALESCE(array_to_string(t, ' '), '')] END AS g
   FROM toks
 ), bands AS MATERIALIZED (
   SELECT s.doc_id, s.g, t.band,
@@ -3031,7 +3031,7 @@ WITH toks AS (
          CASE WHEN len(t) >= 5 THEN
            list_transform(generate_series(1, len(t) - 4),
                           i -> array_to_string(t[i:i+4], ' '))
-         ELSE [array_to_string(t, ' ')] END AS g
+         ELSE [COALESCE(array_to_string(t, ' '), '')] END AS g
   FROM toks
 ), hashes AS (
   SELECT doc_id,
@@ -5380,7 +5380,7 @@ WITH corpus AS (
                CASE WHEN len(t) >= 3 THEN
                  list_distinct(list_transform(generate_series(1, len(t) - 2),
                                               i -> array_to_string(t[i:i+2], ' ')))
-               ELSE [array_to_string(t, ' ')] END AS g
+               ELSE [COALESCE(array_to_string(t, ' '), '')] END AS g
         FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM corpus))
 ), bg AS (
   SELECT doc_id, g, list_min(list_transform(g, x -> md5(x))) AS bucket
@@ -5388,7 +5388,7 @@ WITH corpus AS (
                CASE WHEN len(t) >= 3 THEN
                  list_distinct(list_transform(generate_series(1, len(t) - 2),
                                               i -> array_to_string(t[i:i+2], ' ')))
-               ELSE [array_to_string(t, ' ')] END AS g
+               ELSE [COALESCE(array_to_string(t, ' '), '')] END AS g
         FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM batch))
 ), dups AS (
   SELECT DISTINCT bg.doc_id
@@ -5787,7 +5787,7 @@ WITH toks AS (
          CASE WHEN len(t) >= 3 THEN
            list_distinct(list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g,
+         ELSE [COALESCE(array_to_string(t, ' '), '')] END AS g,
          CAST(len(t) AS BIGINT) AS q
   FROM toks
 ), bands AS (
@@ -6050,7 +6050,7 @@ WITH corpus AS MATERIALIZED (
          CASE WHEN len(t) >= 3 THEN
            list_distinct(list_transform(generate_series(1, len(t) - 2),
                                         i -> array_to_string(t[i:i+2], ' ')))
-         ELSE [array_to_string(t, ' ')] END AS g
+         ELSE [COALESCE(array_to_string(t, ' '), '')] END AS g
   FROM toks
 ), exploded AS MATERIALIZED (
   SELECT doc_id, unnest(g) AS gram FROM gsets

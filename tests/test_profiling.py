@@ -292,3 +292,66 @@ def test_grouped_linear_trend_known_answers(spark):
             spark.createDataFrame([("a", 1, 1.5)], "g string, x bigint, y double"),
             "x", "y", ["g"],
         )
+
+
+def test_grouped_linear_trend_overflow_is_loud(spark):
+    """ADVICE r11: a DECIMAL(38,0) overflow in the closed-form products
+    must raise, not masquerade as a degenerate-group NULL (non-ANSI
+    Spark silently NULLs overflowed DECIMAL arithmetic, and DuckDB's
+    128-bit HUGEINT oracle would diverge silently)."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.profiling import (
+        grouped_linear_trend,
+    )
+
+    big = 10**18  # x*y = 10^36; sums of a few rows push products past 10^38
+    rows = [("o", big - i, big - i) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, x bigint, y bigint")
+    # Under ANSI mode (Spark 4 default) the DECIMAL overflow itself
+    # raises (ArithmeticException); under non-ANSI it NULLs silently and
+    # the operator's witness columns convert that into raise_error.
+    # Either way: loud, never a fake degenerate-group NULL.
+    with pytest.raises(Exception, match="Decimal\\(38|overflow"):
+        grouped_linear_trend(df, "x", "y", ["g"]).collect()
+
+    # non-ANSI path: the overflow silently NULLs, and the operator's
+    # witness columns must surface it via raise_error — not return the
+    # degenerate-group NULL shape
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="overflow.*quantize"):
+            grouped_linear_trend(df, "x", "y", ["g"]).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
+    # NULL-operand degenerate groups still fit quietly (all-null x)
+    df2 = spark.createDataFrame(
+        [("n", None, 1), ("n", None, 2)], "g string, x bigint, y bigint"
+    )
+    got = grouped_linear_trend(df2, "x", "y", ["g"]).collect()
+    assert got[0].slope is None and got[0].intercept is None
+
+
+def test_save_decayed_counts_rejects_comma_key_names(spark, tmp_path):
+    """ADVICE r11: the params table comma-joins the key list and
+    append re-parses with split(',') — a comma in a key column name
+    would silently round-trip into wrong group keys, so save refuses."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.windows import (
+        save_decayed_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1,)], "id bigint"
+    ).selectExpr("id", "timestamp'2024-01-01' as ts", "'x' as `k,bad`")
+    with pytest.raises(ValueError, match="comma"):
+        save_decayed_counts(
+            df,
+            str(tmp_path / "dc"),
+            ts_col="ts",
+            group_cols=["k,bad"],
+            as_of_epoch=1700000000,
+            half_life_seconds=3600,
+        )

@@ -758,17 +758,22 @@ def test_mmr_exhausts_small_candidate_sets(spark):
 
 
 def test_mmr_candidate_bound_guard(spark):
-    # VERDICT r10 #6: max_candidates enforces the bounded-set contract.
-    # A sub-k bound is a caller error; an oversized frame is pre-top-k'd
-    # by rel (limit-first) instead of paying k full-table sorts.
+    # VERDICT r10 #6 + ADVICE r11: max_candidates enforces the
+    # bounded-set contract LOUDLY. A sub-k bound is a caller error; an
+    # oversized frame raises (silent truncation changed results for
+    # existing callers with no warning); a frame exactly at the cap
+    # runs fully.
     import pytest
 
     with pytest.raises(ValueError, match="max_candidates"):
         mmr_rerank(_mmr_cands(spark), k=3, max_candidates=2)
+    # 4 candidates > cap of 3 -> loud error, not a silent top-3 re-rank
+    with pytest.raises(ValueError, match="exceeds max_candidates"):
+        mmr_rerank(_mmr_cands(spark), k=2, lam=0.5, max_candidates=3)
+    # exactly at the cap: full result, same as unbounded
     out = mmr_rerank(
-        _mmr_cands(spark), k=2, lam=0.5, max_candidates=3
+        _mmr_cands(spark), k=2, lam=0.5, max_candidates=4
     ).collect()
-    # bound=3 keeps ids {1,2,3} (top rel); MMR still picks 1 then 3
     assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [1, 3]
 
 
