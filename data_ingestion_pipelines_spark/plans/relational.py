@@ -2759,6 +2759,111 @@ SELECT *, 'removed' AS change FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM n
 
 
 # --------------------------------------------------------------------------
+# Versioned-sink change feed — the buildable slice of the env-blocked
+# Delta surface (VERDICT r11 missing #3): Delta CDF's table_changes on
+# the versioned-parquet layout. Three deterministic snapshots of orders
+# land through the atomic-pointer sink (v2 inserts the %4==0 keys and
+# re-prices %5==0; v3 deletes %7==0 and re-flags %3==0), then
+# change_feed(1, 3) replays the keyed I/U/D log per commit — a key
+# updated at v2 and deleted at v3 appears twice, exactly what an
+# incremental consumer replays instead of re-reading snapshots. The
+# oracle recomputes both diffs as FULL OUTER JOINs over the same
+# deterministic version CTEs.
+_VFEED_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+def _vfeed_versions(orders: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    base = orders.select(*_VFEED_COLS)
+    v1 = base.filter(F.col("o_orderkey") % 4 != 0)
+    v2 = base.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    v3 = v2.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return v1, v2, v3
+
+
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.versioned import change_feed, write_snapshot
+
+    v1, v2, v3 = _vfeed_versions(_t(spark, sf_dir, "orders"))
+    root = scratch_dir(prefix="vfeed_") + "/orders"
+    for i, df in enumerate((v1, v2, v3), start=1):
+        write_snapshot(df, root, commit_ts=float(i * 100))
+    return change_feed(spark, root, 1, 3, keys=["o_orderkey"])
+
+
+_VFEED_VERSION_CTES = """
+v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 4 <> 0
+), v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+), v3 AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM v2 WHERE o_orderkey % 7 <> 0
+)"""
+
+
+def _vfeed_diff_sql(old: str, new: str, version: int) -> str:
+    return f"""
+  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+         n.o_custkey, n.o_orderstatus, n.o_totalprice,
+         CASE WHEN o.o_orderkey IS NULL THEN 'I'
+              WHEN n.o_orderkey IS NULL THEN 'D'
+              WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice) THEN 'U'
+         END AS op,
+         CAST({version} AS BIGINT) AS _commit_version
+  FROM {old} o FULL OUTER JOIN {new} n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+VERSIONED_CHANGE_FEED_SQL = f"""
+WITH {_VFEED_VERSION_CTES.strip()},
+d12 AS ({_vfeed_diff_sql('v1', 'v2', 2)}),
+d23 AS ({_vfeed_diff_sql('v2', 'v3', 3)})
+SELECT * FROM d12 WHERE op IS NOT NULL
+UNION ALL
+SELECT * FROM d23 WHERE op IS NOT NULL
+"""
+
+
+# Time-travel read by timestamp: three commits at ts 100/200/300, then
+# the pointer is ROLLED BACK to v1 — read_asof(250) must still resolve
+# v2 from the commit timestamps, proving time travel is independent of
+# what _CURRENT points at (the non-mutating counterpart of rollback).
+def versioned_timetravel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.versioned import read_asof, rollback, write_snapshot
+
+    v1, v2, v3 = _vfeed_versions(_t(spark, sf_dir, "orders"))
+    root = scratch_dir(prefix="vasof_") + "/orders"
+    for i, df in enumerate((v1, v2, v3), start=1):
+        write_snapshot(df, root, commit_ts=float(i * 100))
+    rollback(root, 1)
+    return read_asof(spark, root, 250.0).select(*_VFEED_COLS)
+
+
+VERSIONED_TIMETRAVEL_READ_SQL = f"""
+WITH {_VFEED_VERSION_CTES.strip()}
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM v2
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q16-style supplier variety: distinct suppliers able to ship
 # each (brand, size-band) part class, excluding one brand and a
 # "complaint list" of suppliers (every 13th — the reference pattern is
@@ -5415,6 +5520,11 @@ QUERIES = {
         SUPPLIER_VARIETY_SQL,
     ),
     "snapshot_diff_report": (snapshot_diff_report, SNAPSHOT_DIFF_REPORT_SQL),
+    "versioned_change_feed": (versioned_change_feed, VERSIONED_CHANGE_FEED_SQL),
+    "versioned_timetravel_read": (
+        versioned_timetravel_read,
+        VERSIONED_TIMETRAVEL_READ_SQL,
+    ),
     "value_winsorized_stats": (value_winsorized_stats, VALUE_WINSORIZED_STATS_SQL),
     "totalprice_histogram": (totalprice_histogram, TOTALPRICE_HISTOGRAM_SQL),
     "weekly_retention_cohorts": (weekly_retention_cohorts, WEEKLY_RETENTION_COHORTS_SQL),
