@@ -199,6 +199,96 @@ def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pre
     return df.withColumn(out, pred)
 
 
+# Unicode-script codepoint ranges (BMP only — Spark counts codepoints
+# via numChars and DuckDB via UTF-8 decode, which agree on the BMP; the
+# ranges are literal characters so Java regex and RE2 both read them as
+# plain class ranges). The stopword langid above is Latin-alphabet
+# blind: CJK/Cyrillic/Arabic text scores zero on every marker set and
+# collapses to 'und' (VERDICT r11 next #4) — these exact histograms are
+# the routing signal that fixes it.
+def _rng(lo: int, hi: int) -> str:
+    return f"{chr(lo)}-{chr(hi)}"
+
+
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z" + _rng(0x00C0, 0x024F),  # + Latin-1 Sup/Ext-A/Ext-B letters
+    "cyrillic": _rng(0x0400, 0x04FF),
+    "greek": _rng(0x0370, 0x03FF),
+    "arabic": _rng(0x0600, 0x06FF),
+    "devanagari": _rng(0x0900, 0x097F),
+    "han": _rng(0x4E00, 0x9FFF),  # CJK Unified Ideographs
+    "kana": _rng(0x3040, 0x30FF),  # Hiragana + Katakana
+    "hangul": _rng(0xAC00, 0xD7A3),  # Hangul Syllables
+}
+
+# ISO 15924-ish label a script routes to when it dominates a document
+_SCRIPT_LABELS: dict[str, str] = {
+    "latin": "latn",
+    "cyrillic": "cyrl",
+    "greek": "grek",
+    "arabic": "arab",
+    "devanagari": "deva",
+    "han": "hani",
+    "kana": "kana",
+    "hangul": "hang",
+}
+
+
+def with_script_shares(
+    df: DataFrame, text_col: str = "text", out_prefix: str = "n_"
+) -> DataFrame:
+    """Exact per-script codepoint counts and shares: for each script in
+    :data:`SCRIPT_RANGES`, ``{out_prefix}{script}`` (BIGINT count of
+    codepoints in the range) and ``{out_prefix}{script}_share`` (ONE
+    division of exact integers by the total codepoint count). Pure
+    codegen — each count is ``length(regexp_replace(text, '[^range]',
+    ''))``, a construct Java regex and RE2 evaluate identically — so the
+    whole histogram hash-verifies cross-engine. No shuffle."""
+    col = F.col(text_col)
+    tot = F.length(col)
+    res = df
+    for script, rng in SCRIPT_RANGES.items():
+        cnt = F.length(F.regexp_replace(col, f"[^{rng}]", "")).cast("bigint")
+        res = res.withColumn(f"{out_prefix}{script}", cnt).withColumn(
+            f"{out_prefix}{script}_share",
+            F.when(tot > 0, cnt.cast("double") / tot.cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    return res
+
+
+def with_language_id_scripted(
+    df: DataFrame, text_col: str = "text", out: str = "lang_routed"
+) -> DataFrame:
+    """Script-aware language ID: route through the codepoint-script
+    histogram FIRST, then fall back to the stopword argmax. If any
+    non-Latin script has strictly more codepoints than Latin (ties
+    between non-Latin scripts break alphabetically by script name), the
+    document gets that script's ISO 15924-ish label ('cyrl', 'hani',
+    'arab', …) — text the Latin-centric stopword sets can only ever
+    call 'und' (or worse, mislabel off an embedded Latin fragment).
+    Otherwise the stopword prediction stands. Pure integer comparisons
+    over the exact script counts; one projection, no shuffle."""
+    col = F.col(text_col)
+    counts = {
+        s: F.length(F.regexp_replace(col, f"[^{rng}]", "")).cast("bigint")
+        for s, rng in SCRIPT_RANGES.items()
+    }
+    non_latin = {s: c for s, c in counts.items() if s != "latin"}
+    best = F.greatest(*non_latin.values())
+    routed = F.lit(None).cast("string")
+    for s in sorted(non_latin, reverse=True):
+        routed = F.when(
+            (non_latin[s] > counts["latin"]) & (non_latin[s] == best),
+            F.lit(_SCRIPT_LABELS[s]),
+        ).otherwise(routed)
+    base = with_language_id(df, text_col=text_col, out="_lang_sw")
+    return base.withColumn(out, F.coalesce(routed, F.col("_lang_sw"))).drop(
+        "_lang_sw"
+    )
+
+
 # Regexes shared with the SQL twins: plain character classes only (no
 # lookarounds/backrefs), so Java regex (Spark) and RE2 (DuckDB) agree.
 # Order matters: IPv4 before phone, or the looser phone pattern consumes

@@ -236,6 +236,109 @@ FROM scored
 
 
 # --------------------------------------------------------------------------
+# Unicode-script shares + script-aware language ID (VERDICT r11 next
+# #4): the stopword langid above is Latin-alphabet blind — CJK/
+# Cyrillic/Arabic/Devanagari documents tokenize to NOTHING under
+# [a-z0-9]+ and collapse to 'und'. The fixture REPLACES the text of
+# doc_id%5∈{0..3} with a deterministic non-Latin snippet (both engines
+# plant the identical literal), computes the exact per-script codepoint
+# histogram, and routes language ID through the dominant script first.
+_SCRIPT_SNIPPETS: dict[int, str] = {
+    0: "Привет мир это документ на русском языке",
+    1: "你好世界这是一份中文文件",
+    2: "مرحبا بالعالم هذه وثيقة عربية",
+    3: "नमस्ते दुनिया यह हिंदी दस्तावेज है",
+}
+
+
+def doc_script_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_language_id_scripted, with_script_shares
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    text = F.col("text")
+    for k, snippet in _SCRIPT_SNIPPETS.items():
+        text = F.when(m == k, F.lit(snippet)).otherwise(text)
+    corpus = docs.select("doc_id", text.alias("text"))
+    out = with_language_id_scripted(with_script_shares(corpus))
+    return out.select(
+        "doc_id",
+        "n_latin",
+        "n_cyrillic",
+        "n_han",
+        "n_arabic",
+        "n_devanagari",
+        "n_cyrillic_share",
+        "n_han_share",
+        "lang_routed",
+    )
+
+
+def _script_shares_sql() -> str:
+    """DuckDB twin generated from the engine's own SCRIPT_RANGES /
+    _SCRIPT_SNIPPETS so ranges, snippet literals, routing order, and the
+    stopword fallback can never drift."""
+    from ..operators.text import _SCRIPT_LABELS, SCRIPT_RANGES
+
+    plant_arms = "\n".join(
+        f"           WHEN {k} THEN '{s}'" for k, s in _SCRIPT_SNIPPETS.items()
+    )
+    cnt_cols = ",\n".join(
+        f"         CAST(length(regexp_replace(text, '[^{rng}]', '', 'g')) AS BIGINT)"
+        f" AS n_{s}"
+        for s, rng in SCRIPT_RANGES.items()
+    )
+    non_latin = sorted(s for s in SCRIPT_RANGES if s != "latin")
+    best = "GREATEST(" + ", ".join(f"n_{s}" for s in non_latin) + ")"
+    route_arms = "\n".join(
+        f"            WHEN n_{s} > n_latin AND n_{s} = {best}"
+        f" THEN '{_SCRIPT_LABELS[s]}'"
+        for s in non_latin
+    )
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    sw_scores = ",\n".join(
+        f"         len(list_filter({toks}, x -> list_contains({_MARKERS_SQL[l]}, x)))"
+        f" AS s_{l}"
+        for l in ("en", "de", "fr", "es")
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+{plant_arms}
+           ELSE text
+         END AS text
+  FROM documents
+), counted AS (
+  SELECT doc_id, text,
+{cnt_cols},
+{sw_scores},
+         CAST(length(text) AS BIGINT) AS n_total
+  FROM planted
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_devanagari,
+       CASE WHEN n_total > 0 THEN CAST(n_cyrillic AS DOUBLE) / n_total
+            ELSE 0.0 END AS n_cyrillic_share,
+       CASE WHEN n_total > 0 THEN CAST(n_han AS DOUBLE) / n_total
+            ELSE 0.0 END AS n_han_share,
+       COALESCE(
+         CASE
+{route_arms}
+         END,
+         CASE WHEN s_de > 0 AND s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+              WHEN s_en > 0 AND s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_es > 0 AND s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+              WHEN s_fr > 0 AND s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+              ELSE 'und' END
+       ) AS lang_routed
+FROM counted
+"""
+
+
+DOC_SCRIPT_SHARES_SQL = _script_shares_sql()
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs (bucketed self-join)
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -6825,6 +6928,7 @@ QUERIES = {
     "heavy_hitter_tokens": (heavy_hitter_tokens, HEAVY_HITTER_TOKENS_SQL),
     "bigram_collocations": (bigram_collocations, BIGRAM_COLLOCATIONS_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
+    "doc_script_shares": (doc_script_shares, DOC_SCRIPT_SHARES_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
     "secrets_redacted_docs": (secrets_redacted_docs, SECRETS_REDACTED_DOCS_SQL),

@@ -261,6 +261,52 @@ def test_pii_redaction_actually_redacts(spark):
     assert got[3] == "clean text with no identifiers"
 
 
+def test_script_shares_and_routed_langid(spark):
+    """Exact codepoint-script histograms; the script-aware router labels
+    the CJK/Cyrillic docs the Latin-centric stopword langid collapses
+    to 'und' (VERDICT r11 next #4), and mixed docs route by majority."""
+    from data_ingestion_pipelines_spark.operators.text import (
+        with_language_id,
+        with_language_id_scripted,
+        with_script_shares,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Привет мир это русский текст"),
+            (2, "你好世界这是中文"),
+            (3, "the cat and the dog sat for it"),
+            (4, "mixed Привет text где кириллицы больше чем latin"),
+            (5, "ひらがなとカタカナのテキスト"),
+            (6, ""),
+        ],
+        "doc_id int, text string",
+    )
+    # the stopword langid alone mislabels 1/2/5 as 'und'
+    sw = {r.doc_id: r.lang_pred for r in with_language_id(df).collect()}
+    assert sw[1] == "und" and sw[2] == "und" and sw[5] == "und"
+    assert sw[3] == "en"
+
+    routed = {
+        r.doc_id: r.lang_routed
+        for r in with_language_id_scripted(df).collect()
+    }
+    assert routed[1] == "cyrl"
+    assert routed[2] == "hani"
+    assert routed[3] == "en"  # Latin majority: stopword fallback stands
+    assert routed[4] == "cyrl"  # majority-script routing on mixed text
+    assert routed[5] == "kana"
+    assert routed[6] == "und"
+
+    shares = {r.doc_id: r for r in with_script_shares(df).collect()}
+    assert shares[1]["n_cyrillic"] == 24  # codepoints, spaces excluded
+    assert shares[1]["n_latin"] == 0
+    assert shares[2]["n_han"] == 8
+    assert shares[2]["n_han_share"] == 1.0  # no spaces in the CJK doc
+    assert shares[3]["n_latin"] == 23 and shares[3]["n_cyrillic"] == 0
+    assert shares[6]["n_latin"] == 0 and shares[6]["n_latin_share"] == 0.0
+
+
 def test_secrets_redaction_per_pattern(spark):
     """Each credential class redacts; clean text is untouched; lookalike
     near-misses survive (VERDICT r11 next #1)."""
