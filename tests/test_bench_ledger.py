@@ -1,0 +1,74 @@
+"""Bench best-known ledger comparator (VERDICT r11 what's-wrong #1):
+pure-function tests — a planted regression must flag, host-noise-scale
+wobble must not, and improvements tighten the ledger."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "tools")
+
+from bench_ledger import compare, extract_timings, update_ledger  # noqa: E402
+
+LEDGER = {
+    "band": 2.0,
+    "abs_floor_sec": 1.0,
+    "queries": {
+        "heavy_q": {"best_sec": 5.0, "source": "r10"},
+        "mid_q": {"best_sec": 2.0, "source": "r11"},
+        "tiny_q": {"best_sec": 0.3, "source": "r11"},
+    },
+}
+
+
+def test_planted_regression_flags():
+    # the planted time.sleep class: a multi-second query at 3x best
+    res = compare(LEDGER, {"heavy_q": 15.0, "mid_q": 2.1, "tiny_q": 0.31})
+    assert [f[0] for f in res["flagged"]] == ["heavy_q"]
+    q, cur, best, ratio = res["flagged"][0]
+    assert (cur, best, ratio) == (15.0, 5.0, 3.0)
+
+
+def test_host_noise_does_not_flag():
+    # 1.9x on a multi-second query (the r11 observed noise ceiling) is
+    # under the 2x band; tiny queries can triple without tripping the
+    # absolute floor (0.9 -> only +0.6s over best)
+    res = compare(LEDGER, {"heavy_q": 9.5, "mid_q": 3.9, "tiny_q": 0.9})
+    assert res["flagged"] == []
+
+
+def test_band_requires_both_conditions():
+    # past the band but under the absolute floor: no flag (tiny query);
+    # past the floor but under the band: no flag (mid query at 1.99x)
+    res = compare(LEDGER, {"tiny_q": 1.2, "mid_q": 3.98})
+    assert res["flagged"] == []
+    # both conditions together: flag
+    res = compare(LEDGER, {"tiny_q": 1.4})  # 4.7x and +1.1s
+    assert [f[0] for f in res["flagged"]] == ["tiny_q"]
+
+
+def test_update_records_new_bests_and_first_seen_only():
+    timings = {"heavy_q": 4.2, "mid_q": 2.5, "fresh_q": 1.0}
+    out = update_ledger(LEDGER, timings, "r12")
+    assert out["queries"]["heavy_q"] == {"best_sec": 4.2, "source": "r12"}
+    # slower-than-best never loosens the ledger
+    assert out["queries"]["mid_q"] == {"best_sec": 2.0, "source": "r11"}
+    assert out["queries"]["fresh_q"] == {"best_sec": 1.0, "source": "r12"}
+    # input ledger untouched (pure function)
+    assert LEDGER["queries"]["heavy_q"]["best_sec"] == 5.0
+
+
+def test_extract_skips_error_entries():
+    sidecar = {"queries": {"a": 1.5, "b": {"err": "boom"}, "c": 2}}
+    assert extract_timings(sidecar) == {"a": 1.5, "c": 2.0}
+
+
+def test_committed_ledger_is_well_formed():
+    with open("BENCH_BASELINE.json") as fh:
+        ledger = json.load(fh)
+    assert ledger["band"] >= 1.0 and ledger["abs_floor_sec"] >= 0.0
+    assert ledger["queries"], "ledger must not be empty"
+    for q, entry in ledger["queries"].items():
+        assert entry["best_sec"] > 0, q
+        assert isinstance(entry["source"], str), q

@@ -1,0 +1,144 @@
+"""Per-query best-known bench ledger (VERDICT r11 what's-wrong #1).
+
+Host noise on this box moves individual query timings by up to ~1.9x
+with zero code changes (r11 measured bm25_doc_ranking 1.22->2.29 s
+across rounds on an untouched file), so comparing a fresh run against
+LAST ROUND cannot distinguish a real 2x regression from a busy host.
+The ledger instead records the BEST time ever observed per query
+(host noise only ever inflates; the minimum converges on the true
+cost), and the verify axis flags only queries that are BOTH
+
+  - slower than ``band`` x best-known (default 2.0), AND
+  - more than ``abs_floor`` seconds over best-known (default 1.0 s --
+    sub-second queries jitter multiplicatively and would false-flag),
+
+which a planted real regression trips and a busy host practically
+cannot (it would have to double a multi-second query).
+
+File format (BENCH_BASELINE.json, committed):
+
+    {"band": 2.0, "abs_floor_sec": 1.0,
+     "queries": {"q": {"best_sec": 1.234, "source": "r11"}}}
+
+CLI:
+
+    python tools/bench_ledger.py SIDECAR.json [--update TAG]
+
+Prints the comparison; rc=1 if any query regresses past the band.
+``--update TAG`` rewrites the ledger with new bests (and adds
+first-seen queries) attributed to TAG.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER_PATH = os.path.join(HERE, "BENCH_BASELINE.json")
+
+DEFAULT_BAND = 2.0
+DEFAULT_ABS_FLOOR = 1.0
+
+
+def load_ledger(path: str = LEDGER_PATH) -> dict:
+    with open(path) as fh:
+        data = json.load(fh)
+    data.setdefault("band", DEFAULT_BAND)
+    data.setdefault("abs_floor_sec", DEFAULT_ABS_FLOOR)
+    data.setdefault("queries", {})
+    return data
+
+
+def extract_timings(sidecar: dict) -> dict[str, float]:
+    """Numeric per-query timings from a bench sidecar/artifact dict
+    (error entries are dicts and are skipped)."""
+    return {
+        q: float(t)
+        for q, t in sidecar.get("queries", {}).items()
+        if isinstance(t, (int, float))
+    }
+
+
+def compare(ledger: dict, timings: dict[str, float]) -> dict:
+    """Pure comparison: current timings vs best-known.
+
+    Returns {"flagged": [(q, cur, best, ratio)], "improved": {q: cur},
+    "new": {q: cur}} — flagged = cur > band*best AND cur-best >
+    abs_floor; improved = cur < best; new = not in the ledger."""
+    band = float(ledger["band"])
+    floor = float(ledger["abs_floor_sec"])
+    best_map = ledger["queries"]
+    flagged, improved, new = [], {}, {}
+    for q, cur in sorted(timings.items()):
+        entry = best_map.get(q)
+        if entry is None:
+            new[q] = cur
+            continue
+        best = float(entry["best_sec"])
+        if cur > band * best and cur - best > floor:
+            flagged.append((q, cur, best, cur / best if best else float("inf")))
+        elif cur < best:
+            improved[q] = cur
+    return {"flagged": flagged, "improved": improved, "new": new}
+
+
+def update_ledger(ledger: dict, timings: dict[str, float], tag: str) -> dict:
+    """New ledger dict with improved bests recorded and first-seen
+    queries added, attributed to ``tag``. Never loosens a best."""
+    out = {
+        "band": ledger["band"],
+        "abs_floor_sec": ledger["abs_floor_sec"],
+        "queries": dict(ledger["queries"]),
+    }
+    res = compare(ledger, timings)
+    for q, cur in {**res["improved"], **res["new"]}.items():
+        out["queries"][q] = {"best_sec": round(cur, 3), "source": tag}
+    return out
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if not args:
+        print(__doc__)
+        return 2
+    update_tag = None
+    if "--update" in sys.argv:
+        update_tag = sys.argv[sys.argv.index("--update") + 1]
+    with open(args[0]) as fh:
+        sidecar = json.load(fh)
+    timings = extract_timings(sidecar)
+    ledger = load_ledger()
+    res = compare(ledger, timings)
+
+    for q, cur in sorted(res["new"].items()):
+        print(f"new      {q}: {cur:.3f}s (first observation)")
+    for q, cur in sorted(res["improved"].items()):
+        best = ledger["queries"][q]["best_sec"]
+        print(f"improved {q}: {cur:.3f}s (best was {best:.3f}s)")
+    for q, cur, best, ratio in res["flagged"]:
+        print(
+            f"REGRESSED {q}: {cur:.3f}s vs best-known {best:.3f}s "
+            f"({ratio:.2f}x, band {ledger['band']}x + "
+            f"{ledger['abs_floor_sec']}s floor)"
+        )
+    n_checked = len(timings) - len(res["new"])
+    print(
+        f"ledger: {n_checked} checked, {len(res['flagged'])} regressed, "
+        f"{len(res['improved'])} improved, {len(res['new'])} new"
+    )
+    if update_tag:
+        new_ledger = update_ledger(ledger, timings, update_tag)
+        with open(LEDGER_PATH, "w") as fh:
+            json.dump(new_ledger, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(
+            f"ledger updated ({len(res['improved']) + len(res['new'])} "
+            f"entries -> {update_tag})"
+        )
+    return 1 if res["flagged"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

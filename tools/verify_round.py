@@ -15,7 +15,10 @@ Axes (each is the documented command from .claude/skills/verify):
      single-partition-window guard (fails on a one-task global
      sort/window over an unbounded relation)           [skipped with --fast]
   7. bench.py (one JSON line, asserted to be the LAST stdout line and
-     to parse; compare vs the previous BENCH_r*.json)
+     to parse) + the best-known ledger: every per-query timing compared
+     against BENCH_BASELINE.json's best-ever (band x best + absolute
+     floor — NOT last-round, which host noise contaminates); new bests
+     are written back to the ledger
   8. rotate_window.py --check (no pre-current-round gate is
      driver-dark outside the window; pass this round's new/changed
      gate names via --changed so they're exempt)
@@ -103,9 +106,35 @@ def run_bench(cmd: list[str]) -> None:
         print(f"FAILED axis: bench (sidecar has {n_detail} queries, line "
               f"claims {summary['n_ok']}+{summary.get('n_err', 0)})")
         sys.exit(1)
+    # best-known ledger comparison (VERDICT r11 what's-wrong #1): flag
+    # only queries past band x best-ever + an absolute floor — the
+    # last-round comparison couldn't distinguish host noise (observed
+    # up to ~1.9x on untouched code) from a real regression. New bests
+    # are recorded so the ledger tightens over time.
+    sys.path.insert(0, os.path.join(HERE, "tools"))
+    import bench_ledger
+
+    ledger = bench_ledger.load_ledger()
+    res = bench_ledger.compare(ledger, bench_ledger.extract_timings(detail))
+    for q, cur, best, ratio in res["flagged"]:
+        print(f"FAILED axis: bench ledger ({q}: {cur:.3f}s vs best-known "
+              f"{best:.3f}s = {ratio:.2f}x past the {ledger['band']}x band)")
+    if res["flagged"]:
+        sys.exit(1)
+    if res["improved"] or res["new"]:
+        import json as _json
+
+        new_ledger = bench_ledger.update_ledger(
+            ledger, bench_ledger.extract_timings(detail), "verify")
+        with open(bench_ledger.LEDGER_PATH, "w") as fh:
+            _json.dump(new_ledger, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"== bench ledger updated: {len(res['improved'])} improved, "
+              f"{len(res['new'])} new")
     print(f"== bench ok ({time.time() - t:.0f}s, "
           f"{summary['n_ok']} queries, {summary['value']}s, "
-          f"line {len(last)} bytes, sidecar {os.path.basename(qf)})",
+          f"line {len(last)} bytes, sidecar {os.path.basename(qf)}, "
+          f"ledger: 0 regressed)",
           flush=True)
 
 
