@@ -385,6 +385,64 @@ def with_secrets_redacted(
     return res
 
 
+def remove_repeated_lines(
+    df: DataFrame,
+    max_doc_freq: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 5,
+    out: str = "cleaned",
+) -> DataFrame:
+    """Cross-corpus repeated-line removal — the CCNet/RefinedWeb
+    boilerplate pass: a line whose normalized form (``lower(trim())``)
+    appears in MORE than ``max_doc_freq`` distinct documents is
+    navigation/cookie-banner/copyright chrome, not content, and is
+    dropped from every document. Lines shorter than ``min_chars``
+    after normalization are exempt (blank lines and list bullets are
+    structure, not boilerplate). Returns one row per input document:
+    ``(id, out, n_lines, n_dropped)`` with line order preserved and
+    fully-boilerplate documents collapsing to ''.
+
+    Scale shape: posexplode → per-(key, doc) then per-key partial
+    aggregate for the EXACT distinct-document frequency (never a
+    window's collect_set — hot boilerplate keys appear in millions of
+    docs) → one key join back → one per-document regroup that sorts by
+    original position inside the aggregate. Three shuffles total, all
+    on uniform or AQE-splittable keys; everything stays JVM-side
+    codegen."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_key", F.lower(F.trim(F.col("_line"))))
+    eligible = F.length(F.col("_key")) >= min_chars
+    docfreq = (
+        lines.filter(eligible)
+        .select("_key", id_col)
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)  # ship only the hot keys
+        .select("_key")
+        .withColumn("_hot", F.lit(True))
+    )
+    flagged = lines.join(docfreq, on="_key", how="left").withColumn(
+        "_drop", eligible & F.coalesce(F.col("_hot"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("_drop"), F.struct(F.col("_pos"), F.col("_line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["_line"]
+            ),
+        ).alias(out),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("_drop").cast("bigint")).cast("bigint").alias("n_dropped"),
+    )
+
+
 def with_repetition_ratio(
     df: DataFrame, text_col: str = "text", n: int = 3, out: str = "rep_ratio"
 ) -> DataFrame:

@@ -339,6 +339,73 @@ DOC_SCRIPT_SHARES_SQL = _script_shares_sql()
 
 
 # --------------------------------------------------------------------------
+# Cross-corpus repeated-line removal (CCNet/RefinedWeb boilerplate
+# pass). Every document gains a planted copyright footer (appears in
+# ALL docs → doc-frequency far past the threshold → dropped
+# everywhere), every doc_id%10==0 doc gains a unique md5-salted line
+# (doc-frequency 1 → kept), and short structural lines ('---') are
+# exempt by min_chars. The oracle replays the exact distinct-doc
+# frequency + positional reassembly in SQL.
+_BOILERPLATE_LINE = "copyright acme corp all rights reserved"
+
+
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import remove_repeated_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.lit("\n---\n" + _BOILERPLATE_LINE),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit("\nunique footer "),
+                F.md5(F.concat(F.lit("bl"), F.col("doc_id").cast("string"))),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    corpus = docs.select("doc_id", text.alias("text"))
+    return remove_repeated_lines(corpus, max_doc_freq=10, min_chars=5).select(
+        "doc_id", "cleaned", "n_lines", "n_dropped"
+    )
+
+
+BOILERPLATE_LINE_REMOVAL_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || chr(10) || '---' || chr(10) || '{_BOILERPLATE_LINE}'
+              || CASE WHEN doc_id % 10 = 0
+                      THEN chr(10) || 'unique footer '
+                           || md5('bl' || CAST(doc_id AS VARCHAR))
+                      ELSE '' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM planted)
+), keyed AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS key,
+         length(lower(trim(line))) >= 5 AS eligible
+  FROM lines
+), hot AS (
+  SELECT key FROM (
+    SELECT key, COUNT(DISTINCT doc_id) AS docfreq
+    FROM keyed WHERE eligible GROUP BY key
+  ) WHERE docfreq > 10
+), flagged AS (
+  SELECT k.doc_id, k.pos, k.line,
+         k.eligible AND h.key IS NOT NULL AS dropped
+  FROM keyed k LEFT JOIN hot h ON k.key = h.key
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                           chr(10) ORDER BY pos), '') AS cleaned,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs (bucketed self-join)
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -6929,6 +6996,10 @@ QUERIES = {
     "bigram_collocations": (bigram_collocations, BIGRAM_COLLOCATIONS_SQL),
     "doc_language_id": (doc_language_id, DOC_LANGUAGE_ID_SQL),
     "doc_script_shares": (doc_script_shares, DOC_SCRIPT_SHARES_SQL),
+    "boilerplate_line_removal": (
+        boilerplate_line_removal,
+        BOILERPLATE_LINE_REMOVAL_SQL,
+    ),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
     "secrets_redacted_docs": (secrets_redacted_docs, SECRETS_REDACTED_DOCS_SQL),

@@ -261,6 +261,37 @@ def test_pii_redaction_actually_redacts(spark):
     assert got[3] == "clean text with no identifiers"
 
 
+def test_remove_repeated_lines_boilerplate(spark):
+    """CCNet/RefinedWeb line dedup: a line in > max_doc_freq distinct
+    docs drops everywhere; order is preserved; short structural lines
+    are exempt; within-doc repetition alone never triggers a drop."""
+    from data_ingestion_pipelines_spark.operators.text import (
+        remove_repeated_lines,
+    )
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"real content one\n---\n{footer}"),
+        (2, f"real content two\n{footer}"),
+        (3, f"{footer}\nreal content three"),
+        # within-doc repetition: 'my own refrain' x3 in ONE doc -> df=1
+        (4, "my own refrain\nmy own refrain\nmy own refrain"),
+        (5, footer),  # all-boilerplate doc collapses to ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_repeated_lines(df, max_doc_freq=2, min_chars=5).collect()
+    }
+    assert got[1]["cleaned"] == "real content one\n---"  # '---' exempt (short)
+    assert got[1]["n_lines"] == 3 and got[1]["n_dropped"] == 1
+    assert got[2]["cleaned"] == "real content two"
+    assert got[3]["cleaned"] == "real content three"  # leading boilerplate
+    assert got[4]["cleaned"] == "my own refrain\nmy own refrain\nmy own refrain"
+    assert got[4]["n_dropped"] == 0
+    assert got[5]["cleaned"] == "" and got[5]["n_dropped"] == 1
+
+
 def test_script_shares_and_routed_langid(spark):
     """Exact codepoint-script histograms; the script-aware router labels
     the CJK/Cyrillic docs the Latin-centric stopword langid collapses
