@@ -212,6 +212,49 @@ def knn_classify(
     )
 
 
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard negatives for contrastive/embedding training: per query, the
+    ``k`` MOST-similar corpus vectors whose label differs from the
+    query's — the highest-loss negatives a contrastive batch wants
+    (random negatives are trivially separable; training signal lives in
+    the near-miss wrong-label neighbors). Returns ``(query_id, vec_id,
+    neg_label, score)``, exact cosine at 6 dp, ties broken by id.
+
+    Scale shape: queries broadcast with their labels; the label
+    inequality rides the broadcast join condition so same-label rows
+    are discarded BEFORE scoring (filtering after a per-batch top-k
+    pre-reduction would silently under-fill the negative set); scoring
+    is the deterministic Column-algebra cosine the knn gates hash, and
+    the per-batch top-k pre-reduction bounds the final window's input.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    cand = corpus.select(id_col, vec_col, label_col).join(
+        F.broadcast(q), on=F.col(label_col) != F.col("_qlabel")
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.col(label_col).alias("neg_label"),
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias(
+            "score"
+        ),
+    )
+    pre = _prereduce_topk(scored, query_id_col, id_col, k, "score")
+    return _final_topk(pre, query_id_col, id_col, k)
+
+
 def _hyperplane(dim: int, bit: int, table: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane (hash-based signs
     and magnitudes — no RNG state, reproducible across runs/engines)."""

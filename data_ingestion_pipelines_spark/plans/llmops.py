@@ -2280,6 +2280,41 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive/embedding training: per query,
+# the top-5 most-similar corpus vectors with a DIFFERENT label — the
+# near-miss negatives a contrastive batch wants. Same 6-dp exact-cosine
+# machinery as the knn gates, with the label inequality applied BEFORE
+# the top-k so the negative set never under-fills.
+def hard_negatives_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negative_mining
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    return hard_negative_mining(corpus, queries, k=5)
+
+
+HARD_NEGATIVES_DOCS_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id, c.label AS neg_label,
+         ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS score
+  FROM embeddings c
+  CROSS JOIN (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id < 20) q
+  WHERE c.vec_id >= 20 AND c.label <> q.label
+)
+SELECT query_id, vec_id, neg_label, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 # SemDeDup (cluster-bucketed semantic dedup, Abbas et al. 2023): plant
 # 10 exact-duplicate vectors (copies of vec_id<10 under high ids) into
 # the embeddings corpus and drive semantic_dup_pairs + semantic_dedup.
@@ -6844,6 +6879,7 @@ QUERIES = {
         MINHASH_INDEX_DEDUP_DOCS_SQL,
     ),
     "knn_label_vote": (knn_label_vote, KNN_LABEL_VOTE_SQL),
+    "hard_negatives_docs": (hard_negatives_docs, HARD_NEGATIVES_DOCS_SQL),
     "knn_label_vote_ann": (knn_label_vote_ann, KNN_LABEL_VOTE_ANN_SQL),
     "semantic_dedup_docs": (semantic_dedup_docs, SEMANTIC_DEDUP_DOCS_SQL),
     "curriculum_quality_buckets": (

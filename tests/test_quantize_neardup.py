@@ -761,6 +761,42 @@ def test_semantic_cluster_recall_vs_global_lsh(spark):
     assert cluster_recall >= lsh_recall
 
 
+def test_hard_negative_mining_excludes_same_label(spark):
+    """Per query: top-k most-similar DIFFERENT-label vectors. The most
+    similar vector overall shares the query's label and must be skipped
+    without under-filling the negative set (label filter runs BEFORE
+    the top-k pre-reduction)."""
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0),    # same label as query: excluded
+            (11, [0.99, 0.14], 1),  # hardest negative
+            (12, [0.8, 0.6], 1),
+            (13, [0.0, 1.0], 2),    # easy negative
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)],
+        "query_id bigint, embedding array<float>, label int",
+    )
+    got = (
+        hard_negative_mining(corpus, queries, k=3)
+        .orderBy(F.desc("score"), "vec_id")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [11, 12, 13]
+    assert all(r.neg_label != 0 for r in got)
+    assert got[0].score > got[1].score > got[2].score
+    # k larger than the negative pool: returns all negatives, never a
+    # same-label filler
+    got_all = hard_negative_mining(corpus, queries, k=10).collect()
+    assert sorted(r.vec_id for r in got_all) == [11, 12, 13]
+
+
 # --- MMR diversified re-rank ----------------------------------------------
 
 from data_ingestion_pipelines_spark.operators.similarity import mmr_rerank
