@@ -385,6 +385,59 @@ def with_secrets_redacted(
     return res
 
 
+def with_high_entropy_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "entropy_flagged",
+    min_len: int = 20,
+    ic_num: int = 6,
+    ic_den: int = 100,
+) -> DataFrame:
+    """Entropy-gated generic secret detection — the detect-secrets-style
+    complement to :data:`SECRET_PATTERNS`: pattern rules catch KNOWN
+    credential shapes, this catches the unknown ones (random API keys,
+    session tokens, signing secrets) by their statistical signature. A
+    candidate is any run of >= ``min_len`` base64-ish characters; it is
+    flagged when its UNBIASED character index of coincidence
+    ``Σ n_c(n_c−1) / (n(n−1))`` is at most ``ic_num/ic_den`` (default
+    0.06). The unbiased form matters: its expectation is EXACTLY
+    1/alphabet regardless of token length (the naive Σn_c²/n² is
+    inflated by n/n² ≈ 1/n on short tokens and would mis-gate 20-40
+    char keys) — random base64 sits at 1/64, random alnum at 1/62,
+    hex digests at 1/16 just ABOVE the default gate, English words at
+    0.08+. The IC is the exact RATIONAL twin of Shannon entropy (same
+    machinery as char_diversity_stats): the test is one integer
+    cross-multiplication ``ic_den·Σn_c(n_c−1) <= ic_num·n(n−1)``, so
+    there is no float comparison to diverge cross-engine. Adds ``out``
+    (sorted array of flagged tokens) and ``{out}_n``. Pure nested
+    higher-order functions — no UDF, no shuffle; per-token cost
+    O(distinct_chars · len), bounded."""
+    col = F.col(text_col)
+    cand = F.regexp_extract_all(
+        col, F.lit("[A-Za-z0-9+/=_-]{%d,}" % min_len), 0
+    )
+
+    def flagged(tok):
+        chars = F.regexp_extract_all(tok, F.lit("."), 0)
+        n = F.size(chars).cast("bigint")
+
+        def add_pairs(acc, c):
+            cnt = F.size(F.filter(chars, lambda x: x == c)).cast("bigint")
+            return acc + cnt * (cnt - 1)
+
+        pairs = F.aggregate(
+            F.array_distinct(chars), F.lit(0).cast("bigint"), add_pairs
+        )
+        return (F.lit(ic_den).cast("bigint") * pairs) <= (
+            F.lit(ic_num).cast("bigint") * n * (n - 1)
+        )
+
+    hits = F.array_sort(F.filter(cand, flagged))
+    return df.withColumn(out, hits).withColumn(
+        f"{out}_n", F.size(hits).cast("bigint")
+    )
+
+
 def remove_repeated_lines(
     df: DataFrame,
     max_doc_freq: int = 10,

@@ -1239,6 +1239,67 @@ SECRETS_REDACTED_DOCS_SQL = _secrets_redacted_sql()
 
 
 # --------------------------------------------------------------------------
+# Entropy-gated generic secret detection (detect-secrets style): the
+# complement of the pattern scrub above for UNKNOWN credential shapes.
+# doc_id%3==0 plants a 44-char base64 token (unbiased IC E=1/64 → 11σ
+# below the 0.06 gate, always flagged); %3==1 plants an equally-long
+# low-diversity 'aaaabbbb'x4 pad (IC ≈0.48 → passes); %3==2 is
+# untouched. The flag is one integer cross-multiplication, so both
+# engines agree exactly; base64(unhex(md5||md5)) is byte-identical
+# across Spark and DuckDB (verified).
+def entropy_secret_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_high_entropy_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    tok64 = F.base64(
+        F.unhex(
+            F.concat(
+                F.md5(F.concat(F.lit("e1"), sid)), F.md5(F.concat(F.lit("e2"), sid))
+            )
+        )
+    )
+    m = F.col("doc_id") % 3
+    planted = (
+        F.when(m == 0, F.concat(F.lit(" "), tok64))
+        .when(m == 1, F.lit(" " + "aaaabbbb" * 4))
+        .otherwise(F.lit(""))
+    )
+    corpus = docs.select("doc_id", F.concat(F.col("text"), planted).alias("text"))
+    return with_high_entropy_tokens(corpus).select(
+        "doc_id", "entropy_flagged", "entropy_flagged_n"
+    )
+
+
+ENTROPY_SECRET_DOCS_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE doc_id % 3
+           WHEN 0 THEN ' ' || to_base64(unhex(
+                         md5('e1' || CAST(doc_id AS VARCHAR))
+                         || md5('e2' || CAST(doc_id AS VARCHAR))))
+           WHEN 1 THEN ' {"aaaabbbb" * 4}'
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id, f AS entropy_flagged,
+       CAST(len(f) AS BIGINT) AS entropy_flagged_n
+FROM (
+  SELECT doc_id,
+         list_sort(list_filter(
+           regexp_extract_all(text, '[A-Za-z0-9+/=_-]{{20,}}'),
+           tok -> 100 * list_sum(list_transform(
+                    list_distinct(regexp_extract_all(tok, '.')),
+                    c -> len(list_filter(regexp_extract_all(tok, '.'), x -> x = c))
+                         * (len(list_filter(regexp_extract_all(tok, '.'), x -> x = c)) - 1)))
+                  <= 6 * length(tok) * (length(tok) - 1)
+         )) AS f
+  FROM planted
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition signal: duplicate 3-gram fraction
 def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import with_repetition_ratio
@@ -7039,6 +7100,7 @@ QUERIES = {
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
     "secrets_redacted_docs": (secrets_redacted_docs, SECRETS_REDACTED_DOCS_SQL),
+    "entropy_secret_docs": (entropy_secret_docs, ENTROPY_SECRET_DOCS_SQL),
     "doc_repetition_ratio": (doc_repetition_ratio, DOC_REPETITION_RATIO_SQL),
     "gopher_repetition_docs": (gopher_repetition_docs, GOPHER_REPETITION_DOCS_SQL),
     "sampled_docs": (sampled_docs, SAMPLED_DOCS_SQL),

@@ -394,6 +394,31 @@ def test_secrets_redaction_per_pattern(spark):
     assert got[8]["n_pem"] == 2
 
 
+def test_high_entropy_token_detection(spark):
+    """Unbiased-IC gate: a random base64 key flags; an equally long
+    low-diversity pad, a long English word run, and a 32-char hex
+    digest (IC 1/16, just above the 0.06 gate) all pass; short tokens
+    are not candidates."""
+    from data_ingestion_pipelines_spark.operators.text import (
+        with_high_entropy_tokens,
+    )
+
+    key = "QmGkeoyiKLS8h3jNYn8D3WQfJTDMwChEa89yDv7+XXE="
+    rows = [
+        (1, f"config token {key} end"),
+        (2, "pad " + "aaaabbbb" * 4),
+        (3, "internationalization-characterization"),
+        (4, "digest 5d41402abc4b2a76b9719d911017c592"),  # md5 hex
+        (5, "short Ab3+ token"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: r for r in with_high_entropy_tokens(df).collect()}
+    assert got[1]["entropy_flagged"] == [key]
+    assert got[1]["entropy_flagged_n"] == 1
+    for d in (2, 3, 4, 5):
+        assert got[d]["entropy_flagged_n"] == 0, d
+
+
 def test_secrets_redaction_chain_order(spark):
     """A JWT inside a Password= clause: the JWT pass rewrites it first,
     then the conn-password pass (deliberately LAST) collapses the whole
