@@ -40,56 +40,56 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    "part_copurchase_link_prediction",
-    "decayed_event_type_counts",
-    "dsir_float_rank_verdict",
-    "t5_span_corrupted_docs",
-    "doc_structural_signals",
-    "source_vocab_overlap",
-    "ngram_containment_docs",
-    "source_normalized_quality",
-    "customer_l_diverse_cells",
-    "customer_l_diversity_report",
-    "label_centroid_similarity",
-    "sampling_ess_report",
-    "bpe_roundtrip_verdict",
-    "phrase_search_docs",
-    "curation_attribution_docs",
-    "rest_fetch_retry_ladder",
-    "streaming_decayed_ingest",
-    "mutual_knn_docs",
-    "mixture_attainment_docs",
-    "nation_revenue_trend",
-    "inc_merge_upsert",  # green CORRECTNESS_r10.json
-    "asof_view_before_purchase",  # green CORRECTNESS_r10.json
-    "xml_extract",  # green CORRECTNESS_r10.json
-    "pricing_summary",  # green CORRECTNESS_r10.json
-    "corpus_curation",  # green CORRECTNESS_r10.json
-    "pretraining_manifest",  # green CORRECTNESS_r10.json
-    "bpe_tokenized_docs",  # green CORRECTNESS_r10.json
-    "similarity_pq_topk",  # green CORRECTNESS_r10.json
-    "winnowing_overlap_docs",  # green CORRECTNESS_r10.json
-    "corpus_curation_gopher",  # green CORRECTNESS_r10.json
-    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r10.json
-    "webdataset_roundtrip_docs",  # green CORRECTNESS_r10.json
-    "ngram_jaccard_docs",  # green CORRECTNESS_r10.json
-    "similarity_ivf_pq_topk",  # green CORRECTNESS_r10.json
-    "conversion_funnel",  # green CORRECTNESS_r02.json
-    "urgent_open_orders",  # green CORRECTNESS_r02.json
-    "returned_item_losses",  # green CORRECTNESS_r02.json
-    "part_zorder_keys",  # green CORRECTNESS_r03.json
-    "event_type_skew_report",  # green CORRECTNESS_r03.json
-    "order_quality_expectations",  # green CORRECTNESS_r03.json
-    "event_sessions",  # green CORRECTNESS_r03.json
-    "chunk_assignment_ranged",  # green CORRECTNESS_r03.json
-    "asof_next_purchase_after_view",  # green CORRECTNESS_r03.json
-    "latest_event_per_user",  # green CORRECTNESS_r03.json
-    "inc_copy_candidates",  # green CORRECTNESS_r03.json
-    "cast_rename_spec",  # green CORRECTNESS_r03.json
-    "flatten_roundtrip",  # green CORRECTNESS_r03.json
-    "correlated_explode",  # green CORRECTNESS_r03.json
-    "event_hourly_windows_streaming",  # green CORRECTNESS_r03.json
-    "streaming_dedup_watermarked",  # green CORRECTNESS_r03.json
+    "versioned_change_feed",
+    "versioned_timetravel_read",
+    "hard_negatives_docs",
+    "doc_script_shares",
+    "boilerplate_line_removal",
+    "secrets_redacted_docs",
+    "entropy_secret_docs",
+    "inc_merge_upsert",  # green CORRECTNESS_r11.json
+    "asof_view_before_purchase",  # green CORRECTNESS_r11.json
+    "xml_extract",  # green CORRECTNESS_r11.json
+    "pricing_summary",  # green CORRECTNESS_r11.json
+    "corpus_curation",  # green CORRECTNESS_r11.json
+    "pretraining_manifest",  # green CORRECTNESS_r11.json
+    "bpe_tokenized_docs",  # green CORRECTNESS_r11.json
+    "similarity_pq_topk",  # green CORRECTNESS_r11.json
+    "winnowing_overlap_docs",  # green CORRECTNESS_r11.json
+    "corpus_curation_gopher",  # green CORRECTNESS_r11.json
+    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r11.json
+    "webdataset_roundtrip_docs",  # green CORRECTNESS_r11.json
+    "ngram_jaccard_docs",  # green CORRECTNESS_r11.json
+    "similarity_ivf_pq_topk",  # green CORRECTNESS_r11.json
+    "skewed_event_type_counts",  # green CORRECTNESS_r03.json
+    "totalprice_equidepth_histogram",  # green CORRECTNESS_r03.json
+    "doc_rare_bigram_rate",  # green CORRECTNESS_r03.json
+    "curation_funnel",  # green CORRECTNESS_r03.json
+    "bpe_merge_candidates",  # green CORRECTNESS_r03.json
+    "incremental_dedup_new_docs",  # green CORRECTNESS_r03.json
+    "packed_doc_chunks",  # green CORRECTNESS_r03.json
+    "benchmark_decontamination",  # green CORRECTNESS_r03.json
+    "dedup_exact_docs",  # green CORRECTNESS_r03.json
+    "tfidf_top_terms_docs",  # green CORRECTNESS_r03.json
+    "boilerplate_ngram_docs",  # green CORRECTNESS_r03.json
+    "doc_fingerprints",  # green CORRECTNESS_r03.json
+    "token_stats_by_source",  # green CORRECTNESS_r03.json
+    "doc_quality_signals",  # green CORRECTNESS_r03.json
+    "heavy_hitter_tokens",  # green CORRECTNESS_r03.json
+    "doc_language_id",  # green CORRECTNESS_r03.json
+    "pii_redacted_docs",  # green CORRECTNESS_r03.json
+    "doc_repetition_ratio",  # green CORRECTNESS_r03.json
+    "embedding_dedup_pairs",  # green CORRECTNESS_r03.json
+    "rest_fetch_per_id",  # green CORRECTNESS_r03.json
+    "weekly_user_sketch_rollup",  # green CORRECTNESS_r04.json
+    "orders_cdc_log",  # green CORRECTNESS_r04.json
+    "overlapping_order_windows",  # green CORRECTNESS_r04.json
+    "tdigest_price_quantiles",  # green CORRECTNESS_r04.json
+    "events_profile_approx",  # green CORRECTNESS_r04.json
+    "customer_order_distribution",  # green CORRECTNESS_r04.json
+    "supplier_variety_by_part_class",  # green CORRECTNESS_r04.json
+    "snapshot_diff_report",  # green CORRECTNESS_r04.json
+    "value_winsorized_stats",  # green CORRECTNESS_r04.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)
