@@ -454,6 +454,69 @@ def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
     )
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled source mixture — the mT5/XLM-R α-sampling
+    recipe ``p_i ∝ n_i^α``: α < 1 up-weights small sources (a uniform
+    mixture at α=0, raw proportions at α=1), the standard fix for
+    head-source domination in multi-source pretraining.
+
+    Exactness contract: ``alpha`` must be 1.0, 0.5, or 0.25 — n, √n,
+    √√n are all chains of CORRECTLY-ROUNDED IEEE ops (sqrt is exact to
+    0.5 ulp by the standard, unlike pow/log which are libm-dependent
+    and would break the cross-engine hash). The weight is quantized to
+    an exact BIGINT ``floor(n^α · scale)``; shares and boosts are ONE
+    division each over exact DECIMAL(38,0) products.
+
+    Output per source: ``(source, n_docs, weight_q, share, boost)`` —
+    ``share`` the temperature-mixture probability, ``boost`` =
+    share / raw-proportion (how much the source is up-/down-weighted;
+    an epoch over the mixture shows each of the source's docs
+    ``boost``× as often as natural sampling would).
+
+    One partial-combined groupBy + a broadcast 1-row total; cost
+    COUNT(*)-class at any corpus size.
+    """
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(
+            f"temperature_mixture_weights: alpha must be 1.0, 0.5, or "
+            f"0.25 (correctly-rounded sqrt chains only; pow() is "
+            f"libm-dependent), got {alpha}"
+        )
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = F.col("n_docs").cast("double")
+    if alpha <= 0.5:
+        w = F.sqrt(w)
+    if alpha == 0.25:
+        w = F.sqrt(w)
+    weighted = counts.withColumn(
+        "weight_q", F.floor(w * F.lit(float(scale))).cast("bigint")
+    )
+    dec = "decimal(38,0)"
+    totals = weighted.agg(
+        F.sum(F.col("weight_q").cast(dec)).alias("_tw"),
+        F.sum(F.col("n_docs").cast(dec)).alias("_tn"),
+    )
+    return weighted.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        "n_docs",
+        "weight_q",
+        (
+            F.col("weight_q").cast("double") / F.col("_tw").cast("double")
+        ).alias("share"),
+        (
+            (F.col("weight_q").cast(dec) * F.col("_tn")).cast("double")
+            / (F.col("_tw") * F.col("n_docs").cast(dec)).cast("double")
+        ).alias("boost"),
+    )
+
+
 def mixture_attainment_report(
     df: DataFrame,
     source_col: str,

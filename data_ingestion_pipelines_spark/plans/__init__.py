@@ -47,6 +47,8 @@ _PRIORITY = [
     "boilerplate_line_removal",
     "secrets_redacted_docs",
     "entropy_secret_docs",
+    "temperature_mixture_report",
+    "cross_source_dup_matrix",
     "inc_merge_upsert",  # green CORRECTNESS_r11.json
     "asof_view_before_purchase",  # green CORRECTNESS_r11.json
     "xml_extract",  # green CORRECTNESS_r11.json
@@ -88,8 +90,6 @@ _PRIORITY = [
     "events_profile_approx",  # green CORRECTNESS_r04.json
     "customer_order_distribution",  # green CORRECTNESS_r04.json
     "supplier_variety_by_part_class",  # green CORRECTNESS_r04.json
-    "snapshot_diff_report",  # green CORRECTNESS_r04.json
-    "value_winsorized_stats",  # green CORRECTNESS_r04.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

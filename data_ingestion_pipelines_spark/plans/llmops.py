@@ -428,6 +428,59 @@ WHERE len(list_intersect(ga.g, gb.g)) / CAST(len(list_distinct(list_concat(ga.g,
 
 
 # --------------------------------------------------------------------------
+# Cross-source duplication matrix — WHICH sources copy from which: the
+# oracled banded n-gram Jaccard pair set aggregated by canonicalized
+# (source, source) cell. The mixture-design readout that says "dedup
+# source X against source Y before weighting them independently" (a
+# cross-source near-dup cell means their token counts double-count).
+# Aggregates are order-independent (COUNT + MIN/MAX of per-pair
+# jaccards that already hash cross-engine), so the matrix hashes too.
+# Scale shape: the pair search dominates; the source attribution is
+# two uniform-key joins on the (bounded) pair output and one tiny
+# groupBy — cost O(pairs), never O(corpus²).
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs.select("doc_id", "text"), n=3, threshold=0.05)
+    src = docs.select("doc_id", "source")
+    attributed = pairs.join(
+        src.withColumnsRenamed({"doc_id": "id_a", "source": "source_a"}), "id_a"
+    ).join(
+        src.withColumnsRenamed({"doc_id": "id_b", "source": "source_b"}), "id_b"
+    )
+    return attributed.groupBy(
+        F.least("source_a", "source_b").alias("source_lo"),
+        F.greatest("source_a", "source_b").alias("source_hi"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+        F.min("jaccard").alias("min_jaccard"),
+    )
+
+
+CROSS_SOURCE_DUP_MATRIX_SQL = """
+WITH {cand_ctes}, pairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(ga.g, gb.g))
+           / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN gsets ga ON ga.doc_id = c.id_a
+  JOIN gsets gb ON gb.doc_id = c.id_b
+  WHERE len(list_intersect(ga.g, gb.g))
+          / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) >= 0.05
+)
+SELECT LEAST(da.source, db.source) AS source_lo,
+       GREATEST(da.source, db.source) AS source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MAX(jaccard) AS max_jaccard,
+       MIN(jaccard) AS min_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+""".replace("{cand_ctes}", _NGRAM_CAND_CTES.strip())
+
+
+# --------------------------------------------------------------------------
 # Corpus curation: quality filter → language filter → exact dedup, the
 # oracle-expressible slice of the curation pipeline (the LSH near-dup
 # stage is gated separately by minhash_pairs_docs — oracled planted-copy
@@ -6878,6 +6931,41 @@ MIXTURE_ATTAINMENT_DOCS_SQL = _mix_attainment_sql()
 
 
 # --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (mT5/XLM-R α-sampling, α=0.5):
+# p_i ∝ √n_i up-weights small sources. Exact cross-engine because sqrt
+# is correctly rounded to 0.5 ulp by IEEE 754 (pow/log are not), the
+# weight quantizes to floor(√n·10⁶) BIGINT, and share/boost are one
+# division each over exact DECIMAL products.
+def temperature_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture_weights(docs, source_col="source", alpha=0.5)
+
+
+TEMPERATURE_MIXTURE_REPORT_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS weight_q
+  FROM counts
+), totals AS (
+  SELECT SUM(CAST(weight_q AS HUGEINT)) AS tw,
+         SUM(CAST(n_docs AS HUGEINT)) AS tn
+  FROM weighted
+)
+SELECT source, n_docs, weight_q,
+       CAST(weight_q AS DOUBLE) / CAST(tw AS DOUBLE) AS share,
+       CAST(weight_q * CAST(tn AS HUGEINT) AS DOUBLE)
+         / CAST(tw * CAST(n_docs AS HUGEINT) AS DOUBLE) AS boost
+FROM weighted, totals
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact phrase search over the positional inverted index
 # (operators/text.phrase_match_counts): consecutive-position chaining —
 # the retrieval primitive bag-of-words BM25 can't express. Postings are
@@ -7060,6 +7148,10 @@ QUERIES = {
         mixture_attainment_docs,
         MIXTURE_ATTAINMENT_DOCS_SQL,
     ),
+    "temperature_mixture_report": (
+        temperature_mixture_report,
+        TEMPERATURE_MIXTURE_REPORT_SQL,
+    ),
     "boilerplate_ngram_docs": (boilerplate_ngram_docs, BOILERPLATE_NGRAM_DOCS_SQL),
     "corpus_curation": (corpus_curation, CORPUS_CURATION_SQL),
     "corpus_curation_gopher": (corpus_curation_gopher, CORPUS_CURATION_GOPHER_SQL),
@@ -7098,6 +7190,10 @@ QUERIES = {
         BOILERPLATE_LINE_REMOVAL_SQL,
     ),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
+    "cross_source_dup_matrix": (
+        cross_source_dup_matrix,
+        CROSS_SOURCE_DUP_MATRIX_SQL,
+    ),
     "pii_redacted_docs": (pii_redacted_docs, PII_REDACTED_DOCS_SQL),
     "secrets_redacted_docs": (secrets_redacted_docs, SECRETS_REDACTED_DOCS_SQL),
     "entropy_secret_docs": (entropy_secret_docs, ENTROPY_SECRET_DOCS_SQL),

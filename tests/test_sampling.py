@@ -442,3 +442,42 @@ def test_mixture_attainment_report(spark):
         ).collect()
     }
     assert bad["b"].n_kept > 0  # b now sampled
+
+
+def test_temperature_mixture_weights_known_answers(spark):
+    """alpha=0.5 up-weights the small source: known-answer shares and
+    boosts from exact quantized sqrt weights; alpha=1.0 degenerates to
+    raw proportions; libm-dependent alphas are refused."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    rows = [("a",)] * 100 + [("b",)] * 4
+    df = spark.createDataFrame(rows, "source string")
+    got = {
+        r.source: r
+        for r in temperature_mixture_weights(df, alpha=0.5).collect()
+    }
+    # sqrt(100)=10, sqrt(4)=2 -> quantized 10e6 / 2e6
+    assert got["a"].weight_q == 10_000_000 and got["b"].weight_q == 2_000_000
+    assert got["a"].share == 10 / 12 and got["b"].share == 2 / 12
+    # boost = share / raw proportion: small source oversampled ~4.33x
+    assert abs(got["b"].boost - (2 / 12) / (4 / 104)) < 1e-12
+    assert abs(got["a"].boost - (10 / 12) / (100 / 104)) < 1e-12
+
+    raw = {
+        r.source: r.share
+        for r in temperature_mixture_weights(df, alpha=1.0).collect()
+    }
+    assert raw["a"] == 100 / 104 and raw["b"] == 4 / 104
+
+    q = {
+        r.source: r.weight_q
+        for r in temperature_mixture_weights(df, alpha=0.25).collect()
+    }
+    assert q["a"] == int(100 ** 0.25 * 1e6)  # sqrt(sqrt(100))
+
+    with pytest.raises(ValueError, match="alpha must be"):
+        temperature_mixture_weights(df, alpha=0.3)
