@@ -463,24 +463,49 @@ def remove_repeated_lines(
     original position inside the aggregate. Three shuffles total, all
     on uniform or AQE-splittable keys; everything stays JVM-side
     codegen."""
-    lines = df.select(
+    lines = _doc_lines(df, text_col, id_col)
+    eligible = F.length(F.col("_key")) >= min_chars
+    hot = (
+        _line_doc_freq(lines, id_col, min_chars)
+        .filter(F.col("line_df") > max_doc_freq)  # ship only the hot keys
+        .select(F.col("line_key").alias("_key"))
+    )
+    return _scrub_lines(lines, hot, id_col, min_chars, out)
+
+
+def _doc_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _pos, _line, _key) positional line explode with the
+    normalized dedup key."""
+    return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     ).withColumn("_key", F.lower(F.trim(F.col("_line"))))
-    eligible = F.length(F.col("_key")) >= min_chars
-    docfreq = (
-        lines.filter(eligible)
+
+
+def _line_doc_freq(lines: DataFrame, id_col: str, min_chars: int) -> DataFrame:
+    """Exact distinct-document frequency per eligible normalized line:
+    ``(line_key, line_df)`` — the ADDITIVE state of the persisted line
+    index (distinct-doc counts add across deliveries with disjoint doc
+    sets)."""
+    return (
+        lines.filter(F.length(F.col("_key")) >= min_chars)
         .select("_key", id_col)
         .distinct()
         .groupBy("_key")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > max_doc_freq)  # ship only the hot keys
-        .select("_key")
-        .withColumn("_hot", F.lit(True))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("line_df"))
+        .withColumnRenamed("_key", "line_key")
     )
-    flagged = lines.join(docfreq, on="_key", how="left").withColumn(
-        "_drop", eligible & F.coalesce(F.col("_hot"), F.lit(False))
-    )
+
+
+def _scrub_lines(
+    lines: DataFrame, hot: DataFrame, id_col: str, min_chars: int, out: str
+) -> DataFrame:
+    """Drop eligible lines whose key is in ``hot`` (a ``_key`` frame)
+    and reassemble documents in positional order."""
+    eligible = F.length(F.col("_key")) >= min_chars
+    flagged = lines.join(
+        hot.withColumn("_hot", F.lit(True)), on="_key", how="left"
+    ).withColumn("_drop", eligible & F.coalesce(F.col("_hot"), F.lit(False)))
     kept_struct = F.when(
         ~F.col("_drop"), F.struct(F.col("_pos"), F.col("_line"))
     )
@@ -494,6 +519,104 @@ def remove_repeated_lines(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(F.col("_drop").cast("bigint")).cast("bigint").alias("n_dropped"),
     )
+
+
+def save_line_index(
+    df: DataFrame,
+    path: str,
+    max_doc_freq: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 5,
+    commit_token: str | None = None,
+) -> None:
+    """PERSIST the cross-corpus line-frequency index behind
+    :func:`remove_repeated_lines` — the incremental counterpart: a
+    100 TB corpus counts its line frequencies ONCE, then each new
+    delivery folds in its own counts and scrubs against the running
+    state instead of recounting the world.
+
+    Layout (same versioned discipline as the decayed-count / MinHash /
+    IVF index families): ``{path}/params`` (threshold + min_chars,
+    stamped so a caller can't scrub under different rules than the
+    counts were built with) and a tokened snapshot of the FULL
+    ``(line_key, line_df)`` table under ``{path}/counts`` — full, not
+    hot-only, because a key at df=6 plus a delivery's df=5 must cross
+    an 11-threshold; the hot subset is derived at scrub time.
+
+    Additivity contract: deliveries must carry DISJOINT document-id
+    sets (the ingestion family's standing append contract) — then
+    per-key distinct-doc counts ADD exactly and append ≡ rebuild
+    bit-identically (pytest-pinned)."""
+    from ..sinks.versioned import write_snapshot
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(int(max_doc_freq), int(min_chars))],
+        "max_doc_freq BIGINT, min_chars BIGINT",
+    ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
+    counts = _line_doc_freq(_doc_lines(df, text_col, id_col), id_col, min_chars)
+    write_snapshot(counts, f"{base}/counts", commit_token=commit_token)
+
+
+def append_to_line_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    commit_token: str | None = None,
+) -> int:
+    """Fold a NEW delivery's line frequencies into the persisted index
+    under its STORED params. Returns the new snapshot version. Counts
+    add (non-idempotent) — stream writers ride the commit token."""
+    from ..sinks.versioned import read_current, write_snapshot
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    p = spark.read.parquet(f"{base}/params").first()
+    batch = _line_doc_freq(
+        _doc_lines(df, text_col, id_col), id_col, int(p["min_chars"])
+    )
+    stored = read_current(spark, f"{base}/counts")
+    merged = (
+        stored.unionByName(batch)
+        .groupBy("line_key")
+        .agg(
+            F.sum(F.col("line_df").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("line_df")
+        )
+    )
+    return write_snapshot(merged, f"{base}/counts", commit_token=commit_token)
+
+
+def scrub_with_line_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "cleaned",
+) -> DataFrame:
+    """Scrub a delivery against the PERSISTED line index: lines whose
+    stored corpus-wide doc frequency exceeds the stored threshold drop,
+    exactly as :func:`remove_repeated_lines` would have dropped them
+    with the whole corpus in hand (parity pytest-pinned). The hot-key
+    set (post-threshold) is small by construction, so the scrub join
+    broadcasts at any corpus scale; the delivery itself is never
+    re-counted."""
+    from ..sinks.versioned import read_current
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    p = spark.read.parquet(f"{base}/params").first()
+    hot = (
+        read_current(spark, f"{base}/counts")
+        .filter(F.col("line_df") > int(p["max_doc_freq"]))
+        .select(F.col("line_key").alias("_key"))
+    )
+    lines = _doc_lines(df, text_col, id_col)
+    return _scrub_lines(lines, hot, id_col, int(p["min_chars"]), out)
 
 
 def with_repetition_ratio(

@@ -349,10 +349,7 @@ DOC_SCRIPT_SHARES_SQL = _script_shares_sql()
 _BOILERPLATE_LINE = "copyright acme corp all rights reserved"
 
 
-def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.text import remove_repeated_lines
-
-    docs = _t(spark, sf_dir, "documents")
+def _planted_boilerplate(docs: DataFrame) -> DataFrame:
     text = F.concat(
         F.col("text"),
         F.lit("\n---\n" + _BOILERPLATE_LINE),
@@ -364,7 +361,13 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    corpus = docs.select("doc_id", text.alias("text"))
+    return docs.select("doc_id", text.alias("text"))
+
+
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import remove_repeated_lines
+
+    corpus = _planted_boilerplate(_t(spark, sf_dir, "documents"))
     return remove_repeated_lines(corpus, max_doc_freq=10, min_chars=5).select(
         "doc_id", "cleaned", "n_lines", "n_dropped"
     )
@@ -403,6 +406,38 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM flagged GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Persisted line-index lifecycle: the corpus's line frequencies are
+# built once from the even-doc delivery, the odd-doc delivery FOLDS IN
+# its own counts (distinct-doc counts add across disjoint deliveries),
+# and the odd delivery is scrubbed against the MERGED state — exactly
+# what remove_repeated_lines would drop with the whole corpus in hand,
+# which is what the oracle computes (whole-corpus frequencies, odd docs
+# projected).
+def line_index_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import (
+        append_to_line_index,
+        save_line_index,
+        scrub_with_line_index,
+    )
+
+    corpus = _planted_boilerplate(_t(spark, sf_dir, "documents"))
+    even = corpus.filter(F.col("doc_id") % 2 == 0)
+    odd = corpus.filter(F.col("doc_id") % 2 == 1)
+    root = scratch_dir(prefix="lineidx_") + "/idx"
+    save_line_index(even, root, max_doc_freq=10, min_chars=5)
+    append_to_line_index(odd, root)
+    return scrub_with_line_index(odd, root).select(
+        "doc_id", "cleaned", "n_lines", "n_dropped"
+    )
+
+
+LINE_INDEX_SCRUB_DOCS_SQL = BOILERPLATE_LINE_REMOVAL_SQL.replace(
+    "FROM flagged GROUP BY doc_id",
+    "FROM flagged WHERE doc_id % 2 = 1 GROUP BY doc_id",
+)
 
 
 # --------------------------------------------------------------------------
@@ -7189,6 +7224,7 @@ QUERIES = {
         boilerplate_line_removal,
         BOILERPLATE_LINE_REMOVAL_SQL,
     ),
+    "line_index_scrub_docs": (line_index_scrub_docs, LINE_INDEX_SCRUB_DOCS_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "cross_source_dup_matrix": (
         cross_source_dup_matrix,

@@ -292,6 +292,64 @@ def test_remove_repeated_lines_boilerplate(spark):
     assert got[5]["cleaned"] == "" and got[5]["n_dropped"] == 1
 
 
+def test_line_index_lifecycle_parity(spark, tmp_path):
+    """Persisted line index: (a) scrubbing against an index built from
+    the full corpus ≡ remove_repeated_lines on that corpus; (b) append
+    ≡ rebuild bit-identically on the counts table (disjoint-delivery
+    additivity); (c) a key crossing the threshold ONLY via the merged
+    counts (df 6+5 > 10) drops — the reason the index stores full
+    counts, not the hot subset."""
+    from data_ingestion_pipelines_spark.operators.text import (
+        append_to_line_index,
+        remove_repeated_lines,
+        save_line_index,
+        scrub_with_line_index,
+    )
+    from data_ingestion_pipelines_spark.sinks.versioned import read_current
+
+    footer = "all rights reserved worldwide"
+    # delivery A: ids 0..5 (footer df=6), delivery B: ids 10..14 (df=5)
+    rows_a = [(i, f"content {i}\n{footer}") for i in range(6)]
+    rows_b = [(i, f"content {i}\n{footer}") for i in range(10, 15)]
+    a = spark.createDataFrame(rows_a, "doc_id bigint, text string")
+    b = spark.createDataFrame(rows_b, "doc_id bigint, text string")
+    both = a.unionByName(b)
+
+    root = str(tmp_path / "idx")
+    save_line_index(a, root, max_doc_freq=10, min_chars=5)
+    append_to_line_index(b, root)
+
+    # (c) footer df = 11 > 10 only across BOTH deliveries
+    got = {r.doc_id: r for r in scrub_with_line_index(b, root).collect()}
+    assert all(got[i].cleaned == f"content {i}" for i in range(10, 15))
+    assert all(got[i].n_dropped == 1 for i in range(10, 15))
+
+    # (a) parity with the one-shot operator over the union
+    oneshot = {
+        r.doc_id: (r.cleaned, r.n_lines, r.n_dropped)
+        for r in remove_repeated_lines(both, max_doc_freq=10, min_chars=5)
+        .collect()
+        if r.doc_id >= 10
+    }
+    incremental = {
+        r.doc_id: (r.cleaned, r.n_lines, r.n_dropped) for r in got.values()
+    }
+    assert oneshot == incremental
+
+    # (b) append ≡ rebuild on the counts table
+    root2 = str(tmp_path / "idx2")
+    save_line_index(both, root2, max_doc_freq=10, min_chars=5)
+    merged = {
+        (r.line_key, r.line_df)
+        for r in read_current(spark, f"{root}/counts").collect()
+    }
+    rebuilt = {
+        (r.line_key, r.line_df)
+        for r in read_current(spark, f"{root2}/counts").collect()
+    }
+    assert merged == rebuilt
+
+
 def test_script_shares_and_routed_langid(spark):
     """Exact codepoint-script histograms; the script-aware router labels
     the CJK/Cyrillic docs the Latin-centric stopword langid collapses
