@@ -369,6 +369,14 @@ def with_secrets_redacted(
     scrubbed by patterns *< i*), so the counts are exactly the number of
     substitutions performed — reproducible cross-engine by construction.
     """
+    if out == text_col:
+        # the count expressions re-resolve text_col lazily, AFTER the
+        # withColumn replaced it — they would count over the redacted
+        # text instead of the chain's view. Refuse rather than mis-count.
+        raise ValueError(
+            "with_secrets_redacted: out must differ from text_col "
+            f"(both {text_col!r})"
+        )
     col = F.col(text_col)
     counts: list = []
     for name, pattern, token in SECRET_PATTERNS:
@@ -412,6 +420,14 @@ def with_high_entropy_tokens(
     (sorted array of flagged tokens) and ``{out}_n``. Pure nested
     higher-order functions — no UDF, no shuffle; per-token cost
     O(distinct_chars · len), bounded."""
+    if out == text_col:
+        # the {out}_n expression re-resolves text_col lazily after the
+        # first withColumn replaced it with the flagged ARRAY — an
+        # analysis error at best, a silent mis-count at worst
+        raise ValueError(
+            f"with_high_entropy_tokens: out must differ from text_col "
+            f"(both {text_col!r})"
+        )
     col = F.col(text_col)
     cand = F.regexp_extract_all(
         col, F.lit("[A-Za-z0-9+/=_-]{%d,}" % min_len), 0
@@ -475,10 +491,14 @@ def remove_repeated_lines(
 
 def _doc_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, _pos, _line, _key) positional line explode with the
-    normalized dedup key."""
+    normalized dedup key. NULL text coerces to '' — posexplode(NULL)
+    emits no rows, which would silently DROP the document from the
+    reassembled output instead of returning it empty."""
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("_pos", "_line"),
     ).withColumn("_key", F.lower(F.trim(F.col("_line"))))
 
 

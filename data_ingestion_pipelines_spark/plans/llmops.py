@@ -383,8 +383,11 @@ WITH planted AS (
                       ELSE '' END AS text
   FROM documents
 ), lines AS (
+  -- COALESCE mirrors _doc_lines: a NULL text is an EMPTY doc (one ''
+  -- line), never a silently-dropped one
   SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS line
-  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM planted)
+  FROM (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS t
+        FROM planted)
 ), keyed AS (
   SELECT doc_id, pos, line, lower(trim(line)) AS key,
          length(lower(trim(line))) >= 5 AS eligible

@@ -180,9 +180,14 @@ def change_feed(
     change-rate cost instead of a 100 TB re-read per version.
 
     Both endpoints must still exist on disk (pruned history can't be
-    diffed — same contract as Delta after VACUUM). Each pairwise diff is
-    one full-outer join on the keys; the per-pair frames union without
-    a shuffle."""
+    diffed — same contract as Delta after VACUUM). If an INTERIOR
+    version was pruned, the feed diffs the surviving neighbors directly
+    — a SQUASHED feed: the missing commit's changes fold into the next
+    surviving ``_commit_version`` (net effect preserved, per-commit
+    attribution coarsened), and an update+revert confined to the pruned
+    version disappears entirely, as any squashed log would. Each
+    pairwise diff is one full-outer join on the keys; the per-pair
+    frames union without a shuffle."""
     versions = [v for v in list_snapshots(root) if v_from <= v <= v_to]
     if v_from not in versions or v_to not in versions:
         raise ValueError(

@@ -292,6 +292,33 @@ def test_remove_repeated_lines_boilerplate(spark):
     assert got[5]["cleaned"] == "" and got[5]["n_dropped"] == 1
 
 
+def test_round12_review_guards(spark, tmp_path):
+    """Self-review fixes: (a) out == text_col refused where a lazily
+    re-resolved count expression would silently mis-count; (b) a NULL
+    text survives remove_repeated_lines as an EMPTY document instead of
+    vanishing from the output."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.text import (
+        remove_repeated_lines,
+        with_high_entropy_tokens,
+        with_secrets_redacted,
+    )
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="must differ"):
+        with_secrets_redacted(df, out="text", with_counts=True)
+    with pytest.raises(ValueError, match="must differ"):
+        with_high_entropy_tokens(df, out="text")
+
+    nulldoc = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in remove_repeated_lines(nulldoc).collect()}
+    assert set(got) == {1, 2}
+    assert got[2].cleaned == "" and got[2].n_lines == 1
+
+
 def test_line_index_lifecycle_parity(spark, tmp_path):
     """Persisted line index: (a) scrubbing against an index built from
     the full corpus ≡ remove_repeated_lines on that corpus; (b) append
