@@ -196,6 +196,22 @@ HEADLINE = [
     # exact-operand OLS trend (five sufficient statistics in one
     # integer-decimal aggregate)
     "nation_revenue_trend",
+    # round-12 additions with distinctive execution surfaces: the
+    # cross-corpus line-frequency pass (explode -> distinct-doc agg ->
+    # broadcast hot-key scrub -> positional regroup), its persisted
+    # two-delivery index lifecycle, the ordered secrets regexp chain +
+    # the nested-HOF entropy gate (both zero-shuffle projections over
+    # the whole corpus), the version-store change feed (three snapshot
+    # writes + two full-outer diffs), the broadcast-nested-loop hard
+    # negatives, and the banded-pair source-attribution matrix
+    "boilerplate_line_removal",
+    "line_index_scrub_docs",
+    "secrets_redacted_docs",
+    "entropy_secret_docs",
+    "versioned_change_feed",
+    "hard_negatives_docs",
+    "cross_source_dup_matrix",
+    "doc_script_shares",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
