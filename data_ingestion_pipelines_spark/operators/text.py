@@ -393,6 +393,49 @@ def with_secrets_redacted(
     return res
 
 
+def with_blocklist_score(
+    df: DataFrame,
+    blocklist: dict[str, int],
+    threshold: int = 1,
+    text_col: str = "text",
+    out_prefix: str = "block",
+) -> DataFrame:
+    """C4-style weighted badword scoring: per document, which blocklist
+    terms appear as WHOLE word tokens (C4 dropped any doc containing a
+    "List of Dirty, Naughty …" word; weighting generalizes that to
+    severity tiers so borderline terms don't nuke recall). Adds
+    ``{p}_terms`` (sorted distinct matched terms), ``{p}_hits`` (total
+    occurrences), ``{p}_severity`` (Σ weight per occurrence — exact
+    integers), and ``{p}ed`` (severity >= threshold, the drop flag).
+
+    Token membership, not substring — 'class' never matches a 3-letter
+    blocklist entry mid-word (the classic Scunthorpe failure of
+    substring blocklists). The list compiles into the plan as a map
+    literal (fine to ~10k terms — the C4 list is ~400); zero UDFs, zero
+    shuffles, one projection."""
+    if not blocklist:
+        raise ValueError("with_blocklist_score: blocklist must be non-empty")
+    p = out_prefix
+    toks = word_tokens(F.col(text_col))
+    kv: list = []
+    for term in sorted(blocklist):
+        kv.append(F.lit(term))
+        kv.append(F.lit(int(blocklist[term])))
+    wmap = F.create_map(*kv)
+    hits = F.filter(toks, lambda t: F.map_contains_key(wmap, t))
+    severity = F.aggregate(
+        hits,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + F.element_at(wmap, t).cast("bigint"),
+    )
+    return (
+        df.withColumn(f"{p}_terms", F.array_sort(F.array_distinct(hits)))
+        .withColumn(f"{p}_hits", F.size(hits).cast("bigint"))
+        .withColumn(f"{p}_severity", severity)
+        .withColumn(f"{p}ed", severity >= F.lit(int(threshold)))
+    )
+
+
 def with_high_entropy_tokens(
     df: DataFrame,
     text_col: str = "text",

@@ -444,6 +444,57 @@ LINE_INDEX_SCRUB_DOCS_SQL = BOILERPLATE_LINE_REMOVAL_SQL.replace(
 
 
 # --------------------------------------------------------------------------
+# C4-style weighted blocklist: WHOLE-token matches against a severity
+# map ('slow' and 'merge' occur organically in the synthetic corpus;
+# 'forbiddenterm' is planted on doc_id%7==0 at nuking weight). Exact
+# integer severity sums; token membership, never substring (no
+# Scunthorpe false positives).
+_BLOCKLIST: dict[str, int] = {"slow": 1, "merge": 2, "forbiddenterm": 5}
+
+
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_blocklist_score
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0, F.lit(" forbiddenterm warning")
+    ).otherwise(F.lit(""))
+    corpus = docs.select("doc_id", F.concat(F.col("text"), planted).alias("text"))
+    return with_blocklist_score(corpus, _BLOCKLIST, threshold=3).select(
+        "doc_id", "block_terms", "block_hits", "block_severity", "blocked"
+    )
+
+
+def _blocklist_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_BLOCKLIST))
+    case = " ".join(
+        f"WHEN '{t}' THEN {w}" for t, w in sorted(_BLOCKLIST.items())
+    )
+    hits = f"list_filter({_TOKS}, x -> x IN ({terms}))"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0 THEN ' forbiddenterm warning'
+                      ELSE '' END AS text
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         list_sort(list_distinct({hits})) AS block_terms,
+         CAST(len({hits}) AS BIGINT) AS block_hits,
+         CAST(COALESCE(list_sum(list_transform({hits},
+                x -> CASE x {case} END)), 0) AS BIGINT) AS block_severity
+  FROM planted
+)
+SELECT doc_id, block_terms, block_hits, block_severity,
+       block_severity >= 3 AS blocked
+FROM scored
+"""
+
+
+BLOCKLIST_FILTER_DOCS_SQL = _blocklist_sql()
+
+
+# --------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs (bucketed self-join)
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -7228,6 +7279,7 @@ QUERIES = {
         BOILERPLATE_LINE_REMOVAL_SQL,
     ),
     "line_index_scrub_docs": (line_index_scrub_docs, LINE_INDEX_SCRUB_DOCS_SQL),
+    "blocklist_filter_docs": (blocklist_filter_docs, BLOCKLIST_FILTER_DOCS_SQL),
     "ngram_jaccard_docs": (ngram_jaccard_docs, NGRAM_JACCARD_DOCS_SQL),
     "cross_source_dup_matrix": (
         cross_source_dup_matrix,

@@ -292,6 +292,39 @@ def test_remove_repeated_lines_boilerplate(spark):
     assert got[5]["cleaned"] == "" and got[5]["n_dropped"] == 1
 
 
+def test_blocklist_score_word_boundaries_and_weights(spark):
+    """C4-style badword scoring: whole-token matches only (the
+    Scunthorpe substring failure must NOT fire), exact weighted
+    severity, zero-hit docs score 0/unblocked."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.text import (
+        with_blocklist_score,
+    )
+
+    bl = {"bad": 2, "worse": 5}
+    df = spark.createDataFrame(
+        [
+            (1, "a bad day and a worse night"),       # 2 + 5 = 7
+            (2, "badger sinbad embadded"),            # substring only: 0
+            (3, "bad bad bad"),                       # 3 hits, severity 6
+            (4, "totally clean text"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: r for r in with_blocklist_score(df, bl, threshold=5).collect()
+    }
+    assert got[1].block_terms == ["bad", "worse"]
+    assert (got[1].block_hits, got[1].block_severity, got[1].blocked) == (2, 7, True)
+    assert (got[2].block_hits, got[2].block_severity, got[2].blocked) == (0, 0, False)
+    assert (got[3].block_hits, got[3].block_severity, got[3].blocked) == (3, 6, True)
+    assert got[4].block_terms == [] and not got[4].blocked
+
+    with pytest.raises(ValueError, match="non-empty"):
+        with_blocklist_score(df, {})
+
+
 def test_round12_review_guards(spark, tmp_path):
     """Self-review fixes: (a) out == text_col refused where a lazily
     re-resolved count expression would silently mis-count; (b) a NULL
