@@ -725,6 +725,76 @@ def with_contamination(
     )
 
 
+def contamination_pairs(
+    docs: DataFrame,
+    needles: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    needle_id_col: str = "needle_id",
+    needle_col: str = "phrase",
+) -> DataFrame:
+    """Data-scale benchmark decontamination: ``(doc id, needle id)``
+    pairs where the needle's TOKEN SEQUENCE appears consecutively in
+    the document — :func:`with_contamination` with the needle list as a
+    DATAFRAME instead of a plan literal, for eval suites with millions
+    of phrases (a literal array caps out around 10k and re-broadcasts
+    with every plan).
+
+    Semantics are token-sequence containment (the form eval
+    decontamination actually wants — raw-substring matching fires
+    mid-word), implemented as: block on the needle's FIRST ``n``-token
+    gram against each document's distinct ``n``-gram set (LOSSLESS: a
+    consecutive token-sequence occurrence implies its first n-gram is
+    in the doc's gram set — the gate proves this by hash-matching a
+    brute-force cross-join oracle), then verify candidates with one
+    delimiter-wrapped substring test over the space-joined token
+    stream. Needles must carry at least ``n`` tokens (raised
+    otherwise — a shorter needle's gram key would silently never
+    match).
+
+    Scale shape: one gram explode per side, an equi-join on the
+    uniform gram key (needle side aggregates per gram; hot grams are
+    rare-gram-pickable by the caller via needle curation), candidate
+    dedup, then one doc-keyed join for the verify — never docs ×
+    needles. Zero UDFs."""
+    from .dedup import _gram_array
+
+    ndl = needles.select(
+        F.col(needle_id_col), word_tokens(F.col(needle_col)).alias("_ntoks")
+    )
+    n_short = ndl.filter(F.size("_ntoks") < n).count()  # control-plane
+    if n_short:
+        raise ValueError(
+            f"contamination_pairs: {n_short} needle(s) have fewer than "
+            f"n={n} tokens — their gram key can never match; shorten n "
+            f"or drop them explicitly"
+        )
+    ndl = ndl.select(
+        needle_id_col,
+        F.concat_ws(" ", F.slice("_ntoks", 1, n)).alias("_gram"),
+        F.concat_ws(" ", "_ntoks").alias("_nstr"),
+    )
+    dtoks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_dtoks")
+    )
+    dgrams = dtoks.select(
+        id_col, F.explode(_gram_array("_dtoks", n)).alias("_gram")
+    )
+    cand = (
+        dgrams.join(ndl, on="_gram")
+        .select(id_col, needle_id_col, "_nstr")
+        .dropDuplicates([id_col, needle_id_col])
+    )
+    joined_doc = F.concat(F.lit(" "), F.concat_ws(" ", "_dtoks"), F.lit(" "))
+    needle_window = F.concat(F.lit(" "), F.col("_nstr"), F.lit(" "))
+    return (
+        cand.join(dtoks, on=id_col)
+        .filter(F.contains(joined_doc, needle_window))
+        .select(id_col, needle_id_col)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",

@@ -4890,6 +4890,42 @@ GROUP BY g.doc_id
 
 
 # --------------------------------------------------------------------------
+# Data-scale decontamination join: needles as a DATAFRAME (8-token
+# excerpts lifted from every doc_id%9==0 document — guaranteed
+# self-matches plus whatever cross-doc excerpt reuse the corpus
+# contains). The engine runs the gram-BLOCKED join + token-sequence
+# verify; the ORACLE runs the brute-force docs × needles cross join —
+# hash equality proves the blocking lossless, not just plausible.
+def contamination_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import contamination_pairs, word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = word_tokens(F.col("text"))
+    needles = (
+        docs.filter((F.col("doc_id") % 9 == 0) & (F.size(toks) >= 10))
+        .select(
+            F.col("doc_id").alias("needle_id"),
+            F.concat_ws(" ", F.slice(toks, 3, 8)).alias("phrase"),
+        )
+    )
+    return contamination_pairs(docs, needles, n=3)
+
+
+CONTAMINATION_JOIN_DOCS_SQL = f"""
+WITH dt AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), needles AS (
+  SELECT doc_id AS needle_id, array_to_string(t[3:10], ' ') AS nstr
+  FROM dt WHERE doc_id % 9 = 0 AND len(t) >= 10
+)
+SELECT d.doc_id, n.needle_id
+FROM dt d CROSS JOIN needles n
+WHERE contains(' ' || array_to_string(d.t, ' ') || ' ',
+               ' ' || n.nstr || ' ')
+"""
+
+
+# --------------------------------------------------------------------------
 # Sequence packing manifest (concat-and-chunk, 256-token budget, sharded
 # by source): the exact (doc × chunk) slice map a training loader needs.
 # Integer prefix sums + floor division only — deterministic, hashable.
@@ -7159,6 +7195,10 @@ QUERIES = {
     "benchmark_decontamination": (
         benchmark_decontamination,
         BENCHMARK_DECONTAMINATION_SQL,
+    ),
+    "contamination_join_docs": (
+        contamination_join_docs,
+        CONTAMINATION_JOIN_DOCS_SQL,
     ),
     "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_DOCS_SQL),
     "tfidf_top_terms_docs": (tfidf_top_terms_docs, TFIDF_TOP_TERMS_DOCS_SQL),

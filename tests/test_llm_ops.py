@@ -292,6 +292,47 @@ def test_remove_repeated_lines_boilerplate(spark):
     assert got[5]["cleaned"] == "" and got[5]["n_dropped"] == 1
 
 
+def test_contamination_pairs_token_sequence_semantics(spark):
+    """Needles-as-data decontamination: token-SEQUENCE containment (a
+    mid-word raw-substring hit must NOT fire, nor a partial-token tail
+    match), cross-doc matches found through the gram-blocked join, and
+    sub-n needles are refused loudly."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.text import (
+        contamination_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "prefixthe quick brown fox suffix"),  # 'prefixthe' != 'the'
+            (3, "quick brown foxtrot dancing"),       # 'foxtrot' != 'fox'
+            (4, "totally unrelated content here"),
+        ],
+        "doc_id int, text string",
+    )
+    needles = spark.createDataFrame(
+        [(100, "the quick brown fox"), (200, "quick brown fox")],
+        "needle_id int, phrase string",
+    )
+    got = {
+        (r.doc_id, r.needle_id)
+        for r in contamination_pairs(docs, needles, n=3).collect()
+    }
+    # doc 1 contains both; doc 2 contains 'quick brown fox' as tokens
+    # (prefixthe is its own token) but NOT 'the quick brown fox';
+    # doc 3's 'foxtrot' never completes either needle
+    assert got == {(1, 100), (1, 200), (2, 200)}
+
+    with pytest.raises(ValueError, match="fewer than n=3"):
+        contamination_pairs(
+            docs,
+            spark.createDataFrame([(1, "too short")], "needle_id int, phrase string"),
+            n=3,
+        )
+
+
 def test_blocklist_score_word_boundaries_and_weights(spark):
     """C4-style badword scoring: whole-token matches only (the
     Scunthorpe substring failure must NOT fire), exact weighted
