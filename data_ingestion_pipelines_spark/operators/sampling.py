@@ -419,6 +419,36 @@ def sliding_chunk_documents(
     )
 
 
+def stitch_chunks(
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    out: str = "text",
+) -> DataFrame:
+    """Inverse of non-overlapping chunking (``stride == size``):
+    reassemble each document's chunks in order into the space-joined
+    token stream — the stitch a page-split ingestion (PDF pages, OCR
+    blocks) or a chunked retrieval store runs to recover whole
+    documents. Returns ``(id, out, n_chunks)``.
+
+    Invertibility contract (gate-proven): ``stitch_chunks(
+    sliding_chunk_documents(df, size=k, stride=k))`` equals the
+    document's normalized token stream exactly. Overlapping chunks
+    (stride < size) are NOT stitchable — tokens would duplicate at
+    every boundary; callers stitch only lossless partitions. One
+    per-document groupBy with the sort inside the aggregate (same
+    shape as the line-reassembly family)."""
+    kept = F.struct(F.col(order_col).alias("_o"), F.col(text_col).alias("_t"))
+    return chunks.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["_t"]),
+        ).alias(out),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+    )
+
+
 def effective_sample_size(df: DataFrame, weight_col: str) -> DataFrame:
     """Kish effective sample size of a weighted sample —
     ``ESS = (Σw)² / Σw²`` — the standard importance-sampling diagnostic

@@ -2290,6 +2290,32 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Chunk → stitch roundtrip: chunk every document losslessly (stride ==
+# size) then reassemble — the stitched text must equal the document's
+# normalized token stream EXACTLY and the chunk count must match the
+# window formula, proving the chunker invertible end to end (the
+# property a page-split ingestion or chunked retrieval store relies
+# on), not merely shaped right.
+def chunk_stitch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import sliding_chunk_documents, stitch_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = sliding_chunk_documents(docs, size=32, stride=32)
+    return stitch_chunks(chunks).select("doc_id", "text", "n_chunks")
+
+
+CHUNK_STITCH_ROUNDTRIP_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       COALESCE(array_to_string(toks, ' '), '') AS text,
+       CAST(CASE WHEN len(toks) >= 1
+                 THEN CAST(floor((len(toks) - 1) / 32.0) AS INT)
+                 ELSE 0 END + 1 AS BIGINT) AS n_chunks
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # SQL-registration path for the Python UDTF surface (functions/udtfs.py):
 # the gate goes through spark.udtf.register + a LATERAL call in
 # spark.sql — the exact route a SQL-only user takes — not the DataFrame
@@ -7233,6 +7259,7 @@ QUERIES = {
     "similarity_mmr_topk": (similarity_mmr_topk, SIMILARITY_MMR_TOPK_SQL),
     "event_skipgram_pairs": (event_skipgram_pairs, EVENT_SKIPGRAM_PAIRS_SQL),
     "doc_sliding_chunks": (doc_sliding_chunks, DOC_SLIDING_CHUNKS_SQL),
+    "chunk_stitch_roundtrip": (chunk_stitch_roundtrip, CHUNK_STITCH_ROUNDTRIP_SQL),
     "documents_write_plan": (documents_write_plan, DOCUMENTS_WRITE_PLAN_SQL),
     "hybrid_rrf_ranking": (hybrid_rrf_ranking, HYBRID_RRF_RANKING_SQL),
     "split_drift_chisq": (split_drift_chisq, SPLIT_DRIFT_CHISQ_SQL),

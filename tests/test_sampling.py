@@ -481,3 +481,32 @@ def test_temperature_mixture_weights_known_answers(spark):
 
     with pytest.raises(ValueError, match="alpha must be"):
         temperature_mixture_weights(df, alpha=0.3)
+
+
+def test_stitch_chunks_inverts_lossless_partition(spark):
+    """stitch(chunk(df, stride=size)) == normalized token stream; order
+    reassembles from chunk_id regardless of row order; chunk counts
+    survive."""
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        sliding_chunk_documents,
+        stitch_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(70))),  # 3 chunks at 32
+            (2, "one two"),                              # 1 short chunk
+            (3, ""),                                     # zero tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    chunks = sliding_chunk_documents(docs, size=32, stride=32)
+    # shuffle row order deliberately before stitching
+    got = {
+        r.doc_id: r
+        for r in stitch_chunks(chunks.orderBy(F.desc("chunk_id"))).collect()
+    }
+    assert got[1].text == " ".join(f"w{i}" for i in range(70))
+    assert got[1].n_chunks == 3
+    assert got[2].text == "one two" and got[2].n_chunks == 1
+    assert got[3].text == "" and got[3].n_chunks == 1
