@@ -49,6 +49,10 @@ _PRIORITY = [
     "entropy_secret_docs",
     "temperature_mixture_report",
     "cross_source_dup_matrix",
+    "contamination_join_docs",
+    "chunk_stitch_roundtrip",
+    "line_index_scrub_docs",
+    "blocklist_filter_docs",
     "inc_merge_upsert",  # green CORRECTNESS_r11.json
     "asof_view_before_purchase",  # green CORRECTNESS_r11.json
     "xml_extract",  # green CORRECTNESS_r11.json
@@ -86,10 +90,6 @@ _PRIORITY = [
     "weekly_user_sketch_rollup",  # green CORRECTNESS_r04.json
     "orders_cdc_log",  # green CORRECTNESS_r04.json
     "overlapping_order_windows",  # green CORRECTNESS_r04.json
-    "tdigest_price_quantiles",  # green CORRECTNESS_r04.json
-    "events_profile_approx",  # green CORRECTNESS_r04.json
-    "customer_order_distribution",  # green CORRECTNESS_r04.json
-    "supplier_variety_by_part_class",  # green CORRECTNESS_r04.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)
