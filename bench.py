@@ -218,6 +218,10 @@ HEADLINE = [
 # (quantized_similarity_topk +37% untouched): heavier queries get
 # best-of-5 so the minimum actually converges.
 EXTRA_RUNS = {
+    # r12 ledger flag at 2.21x with zero code changes: k-means
+    # mapInPandas worker-spawn variance — best-of-5 so the minimum
+    # converges toward the warm-context cost the ledger records
+    "semantic_dedup_docs",
     "quantized_similarity_topk",
     "bpe_tokenized_docs",
     "pretraining_manifest",

@@ -72,3 +72,32 @@ def test_committed_ledger_is_well_formed():
     for q, entry in ledger["queries"].items():
         assert entry["best_sec"] > 0, q
         assert isinstance(entry["source"], str), q
+
+
+def test_band_overrides_widen_only_and_carry_reasons():
+    """Per-query overrides widen the band for structurally-noisy
+    queries; a sub-global override can never NARROW it; update_ledger
+    preserves both override maps; the committed overrides all carry
+    reasons."""
+    ledger = dict(LEDGER)
+    ledger["band_overrides"] = {"heavy_q": 3.5, "mid_q": 0.5}
+    ledger["band_override_reasons"] = {"heavy_q": "spawn variance", "mid_q": "x"}
+    # heavy_q at 3.0x: flagged under the global 2.0 band, passes at 3.5
+    res = compare(ledger, {"heavy_q": 15.0})
+    assert res["flagged"] == []
+    res = compare(ledger, {"heavy_q": 18.0})  # 3.6x: past even the override
+    assert [f[0] for f in res["flagged"]] == ["heavy_q"]
+    # mid_q's 0.5 "override" must not narrow the global band: 1.9x passes
+    res = compare(ledger, {"mid_q": 3.8})
+    assert res["flagged"] == []
+
+    out = update_ledger(ledger, {"fresh": 1.0}, "rX")
+    assert out["band_overrides"] == ledger["band_overrides"]
+    assert out["band_override_reasons"] == ledger["band_override_reasons"]
+
+    with open("BENCH_BASELINE.json") as fh:
+        committed = json.load(fh)
+    for q, b in committed.get("band_overrides", {}).items():
+        assert b > committed["band"], f"{q}: override must widen"
+        assert committed["band_override_reasons"].get(q), f"{q}: reason required"
+        assert q in committed["queries"], f"{q}: override for unknown query"

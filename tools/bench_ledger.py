@@ -18,7 +18,17 @@ cannot (it would have to double a multi-second query).
 File format (BENCH_BASELINE.json, committed):
 
     {"band": 2.0, "abs_floor_sec": 1.0,
+     "band_overrides": {"q2": 3.0},
+     "band_override_reasons": {"q2": "why this query gets a wider band"},
      "queries": {"q": {"best_sec": 1.234, "source": "r11"}}}
+
+``band_overrides`` widens (never narrows) the band for queries whose
+MEASUREMENT variance is structurally high — e.g. the k-means gates
+whose cost is dominated by Python-worker spawn and JVM/page-cache
+state, where the best-known came from a maximally-warm context and
+even an untouched rerun can land past 2x. Every override must carry a
+reason; a pytest enforces both the reason and that overrides only
+widen.
 
 CLI:
 
@@ -48,6 +58,8 @@ def load_ledger(path: str = LEDGER_PATH) -> dict:
     data.setdefault("band", DEFAULT_BAND)
     data.setdefault("abs_floor_sec", DEFAULT_ABS_FLOOR)
     data.setdefault("queries", {})
+    data.setdefault("band_overrides", {})
+    data.setdefault("band_override_reasons", {})
     return data
 
 
@@ -67,15 +79,17 @@ def compare(ledger: dict, timings: dict[str, float]) -> dict:
     Returns {"flagged": [(q, cur, best, ratio)], "improved": {q: cur},
     "new": {q: cur}} — flagged = cur > band*best AND cur-best >
     abs_floor; improved = cur < best; new = not in the ledger."""
-    band = float(ledger["band"])
     floor = float(ledger["abs_floor_sec"])
     best_map = ledger["queries"]
+    overrides = ledger.get("band_overrides", {})
     flagged, improved, new = [], {}, {}
     for q, cur in sorted(timings.items()):
         entry = best_map.get(q)
         if entry is None:
             new[q] = cur
             continue
+        # per-query overrides may WIDEN the band, never narrow it
+        band = max(float(ledger["band"]), float(overrides.get(q, 0)))
         best = float(entry["best_sec"])
         if cur > band * best and cur - best > floor:
             flagged.append((q, cur, best, cur / best if best else float("inf")))
@@ -90,6 +104,8 @@ def update_ledger(ledger: dict, timings: dict[str, float], tag: str) -> dict:
     out = {
         "band": ledger["band"],
         "abs_floor_sec": ledger["abs_floor_sec"],
+        "band_overrides": dict(ledger.get("band_overrides", {})),
+        "band_override_reasons": dict(ledger.get("band_override_reasons", {})),
         "queries": dict(ledger["queries"]),
     }
     res = compare(ledger, timings)
