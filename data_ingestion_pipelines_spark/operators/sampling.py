@@ -419,6 +419,51 @@ def sliding_chunk_documents(
     )
 
 
+def stratified_holdout(
+    df: DataFrame,
+    stratum_col: str = "source",
+    frac: float = 0.1,
+    min_per_stratum: int = 10,
+    key_col: str = "doc_id",
+    salt: str = "holdout0",
+) -> DataFrame:
+    """Evaluation-holdout selection with per-stratum floors: within each
+    stratum take ``max(ceil(frac·n), min(min_per_stratum, n))`` rows —
+    the eval-set construction rule that keeps SMALL sources represented
+    (a bare fraction gives a 50-doc source 5 eval docs and a 3-doc
+    source 1; the floor guarantees statistical floor-space without
+    letting tiny strata demand more rows than they have).
+
+    Selection order is the seeded md5 hash of (salt, key) — the same
+    membership-is-a-pure-function contract as ``hash_split``: reruns,
+    ablations, and both engines agree forever, and changing ``salt``
+    draws an independent holdout. Returns the SELECTED rows with
+    ``holdout_rank`` (1-based within stratum). One group-scoped window
+    (uniform stratum keys, never global) over a count-augmented frame —
+    two shuffles total."""
+    if not 0 < frac <= 1:
+        raise ValueError(f"stratified_holdout: frac must be in (0, 1], got {frac}")
+    if min_per_stratum < 0:
+        raise ValueError(
+            f"stratified_holdout: min_per_stratum must be >= 0, got {min_per_stratum}"
+        )
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    n = F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
+    quota = F.greatest(
+        F.ceil(n * F.lit(float(frac))).cast("bigint"),
+        F.least(F.lit(int(min_per_stratum)).cast("bigint"), n.cast("bigint")),
+    )
+    return (
+        df.withColumn("holdout_rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("_quota", quota)
+        .filter(F.col("holdout_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
 def stitch_chunks(
     chunks: DataFrame,
     id_col: str = "doc_id",

@@ -53,6 +53,7 @@ _PRIORITY = [
     "chunk_stitch_roundtrip",
     "line_index_scrub_docs",
     "blocklist_filter_docs",
+    "stratified_holdout_docs",
     "inc_merge_upsert",  # green CORRECTNESS_r11.json
     "asof_view_before_purchase",  # green CORRECTNESS_r11.json
     "xml_extract",  # green CORRECTNESS_r11.json
@@ -89,7 +90,6 @@ _PRIORITY = [
     "rest_fetch_per_id",  # green CORRECTNESS_r03.json
     "weekly_user_sketch_rollup",  # green CORRECTNESS_r04.json
     "orders_cdc_log",  # green CORRECTNESS_r04.json
-    "overlapping_order_windows",  # green CORRECTNESS_r04.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -2316,6 +2316,39 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# Stratified eval holdout with per-stratum floors: within each source,
+# take max(ceil(frac·n), min(floor, n)) rows in seeded-hash order —
+# small sources keep guaranteed eval representation, membership is a
+# pure function of (salt, doc_id), and the per-source window never
+# goes global.
+def stratified_holdout_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_holdout
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_holdout(
+        docs, stratum_col="source", frac=0.1, min_per_stratum=10
+    ).select("doc_id", "source", "holdout_rank")
+
+
+STRATIFIED_HOLDOUT_DOCS_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('holdout0|' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC
+         ) AS BIGINT) AS holdout_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, holdout_rank
+FROM ranked
+WHERE holdout_rank <= GREATEST(CAST(ceil(n * 0.1) AS BIGINT),
+                               LEAST(10, CAST(n AS BIGINT)))
+"""
+
+
+# --------------------------------------------------------------------------
 # SQL-registration path for the Python UDTF surface (functions/udtfs.py):
 # the gate goes through spark.udtf.register + a LATERAL call in
 # spark.sql — the exact route a SQL-only user takes — not the DataFrame
@@ -7260,6 +7293,10 @@ QUERIES = {
     "event_skipgram_pairs": (event_skipgram_pairs, EVENT_SKIPGRAM_PAIRS_SQL),
     "doc_sliding_chunks": (doc_sliding_chunks, DOC_SLIDING_CHUNKS_SQL),
     "chunk_stitch_roundtrip": (chunk_stitch_roundtrip, CHUNK_STITCH_ROUNDTRIP_SQL),
+    "stratified_holdout_docs": (
+        stratified_holdout_docs,
+        STRATIFIED_HOLDOUT_DOCS_SQL,
+    ),
     "documents_write_plan": (documents_write_plan, DOCUMENTS_WRITE_PLAN_SQL),
     "hybrid_rrf_ranking": (hybrid_rrf_ranking, HYBRID_RRF_RANKING_SQL),
     "split_drift_chisq": (split_drift_chisq, SPLIT_DRIFT_CHISQ_SQL),

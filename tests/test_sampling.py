@@ -510,3 +510,53 @@ def test_stitch_chunks_inverts_lossless_partition(spark):
     assert got[1].n_chunks == 3
     assert got[2].text == "one two" and got[2].n_chunks == 1
     assert got[3].text == "" and got[3].n_chunks == 1
+
+
+def test_stratified_holdout_floors_and_determinism(spark):
+    """Per-stratum floor beats the fraction on small strata, the
+    fraction beats the floor on big ones, tiny strata never over-draw,
+    membership is salt-stable, and param guards are loud."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        stratified_holdout,
+    )
+
+    rows = (
+        [(i, "big") for i in range(200)]        # ceil(20) > floor 10
+        + [(1000 + i, "small") for i in range(30)]   # floor 10 > ceil(3)
+        + [(2000 + i, "tiny") for i in range(4)]     # n=4 < floor -> all 4
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = stratified_holdout(
+        df, stratum_col="source", frac=0.1, min_per_stratum=10
+    )
+    sizes = {r.source: r.n for r in got.groupBy("source").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert sizes == {"big": 20, "small": 10, "tiny": 4}
+    # ranks are 1..quota within each stratum
+    ranks = sorted(
+        r.holdout_rank for r in got.filter(F.col("source") == "small").collect()
+    )
+    assert ranks == list(range(1, 11))
+    # pure function of (salt, key): identical re-draw, different salt differs
+    a = {r.doc_id for r in got.collect()}
+    b = {
+        r.doc_id
+        for r in stratified_holdout(
+            df, stratum_col="source", frac=0.1, min_per_stratum=10
+        ).collect()
+    }
+    assert a == b
+    c = {
+        r.doc_id
+        for r in stratified_holdout(
+            df, stratum_col="source", frac=0.1, min_per_stratum=10, salt="other"
+        ).collect()
+    }
+    assert c != a and len(c) == len(a)
+
+    with pytest.raises(ValueError, match="frac"):
+        stratified_holdout(df, frac=0.0)
+    with pytest.raises(ValueError, match="min_per_stratum"):
+        stratified_holdout(df, min_per_stratum=-1)
