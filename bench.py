@@ -212,6 +212,11 @@ HEADLINE = [
     "hard_negatives_docs",
     "cross_source_dup_matrix",
     "doc_script_shares",
+    # r13: cluster-scoped SemDeDup (k-means + clustered-LSH + global-LSH
+    # parity), the ANN hard-negative tiers, the 6-language Latin langid
+    "semantic_dedup_clustered",
+    "hard_negatives_ann_verdict",
+    "doc_language_id_latin",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor
@@ -222,6 +227,8 @@ EXTRA_RUNS = {
     # mapInPandas worker-spawn variance — best-of-5 so the minimum
     # converges toward the warm-context cost the ledger records
     "semantic_dedup_docs",
+    # same k-means mapInPandas spawn-variance class as semantic_dedup_docs
+    "semantic_dedup_clustered",
     "quantized_similarity_topk",
     "bpe_tokenized_docs",
     "pretraining_manifest",

@@ -422,7 +422,7 @@ def sliding_chunk_documents(
 def stratified_holdout(
     df: DataFrame,
     stratum_col: str = "source",
-    frac: float = 0.1,
+    frac: float | tuple[int, int] = 0.1,
     min_per_stratum: int = 10,
     key_col: str = "doc_id",
     salt: str = "holdout0",
@@ -440,8 +440,29 @@ def stratified_holdout(
     draws an independent holdout. Returns the SELECTED rows with
     ``holdout_rank`` (1-based within stratum). One group-scoped window
     (uniform stratum keys, never global) over a count-augmented frame —
-    two shuffles total."""
-    if not 0 < frac <= 1:
+    two shuffles total.
+
+    The quota is computed in EXACT integer arithmetic: ``frac`` is
+    interpreted as the rational its decimal literal denotes (via
+    ``Fraction(str(frac))``, denominator capped at 10^6), and
+    ``ceil(n·num/den)`` is the bigint ceil-division
+    ``(n·num + den − 1) div den`` — never a double multiply. Double
+    ``ceil(n * frac)`` overshoots the mathematical ceiling whenever the
+    float rounds up (``ceil(100 * 0.07) = 8`` in double vs the exact
+    7), silently diverging from the documented contract and from any
+    exact-decimal oracle. ``frac`` may also be an explicit
+    ``(num, den)`` tuple for rationals that aren't short decimals."""
+    from fractions import Fraction
+
+    if isinstance(frac, tuple):
+        num, den = int(frac[0]), int(frac[1])
+    else:
+        # str(frac) renders the shortest decimal that round-trips, so
+        # 0.07 becomes exactly 7/100 — the rational the caller wrote,
+        # not the nearest double
+        r = Fraction(str(frac)).limit_denominator(10**6)
+        num, den = r.numerator, r.denominator
+    if den <= 0 or not 0 < num <= den:
         raise ValueError(f"stratified_holdout: frac must be in (0, 1], got {frac}")
     if min_per_stratum < 0:
         raise ValueError(
@@ -452,15 +473,21 @@ def stratified_holdout(
     h = F.md5(F.concat(F.lit(salt + "|"), F.col(key_col).cast("string")))
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
     n = F.count(F.lit(1)).over(Window.partitionBy(stratum_col))
-    quota = F.greatest(
-        F.ceil(n * F.lit(float(frac))).cast("bigint"),
-        F.least(F.lit(int(min_per_stratum)).cast("bigint"), n.cast("bigint")),
-    )
     return (
         df.withColumn("holdout_rank", F.row_number().over(w).cast("bigint"))
-        .withColumn("_quota", quota)
+        .withColumn("_n", n.cast("bigint"))
+        # exact bigint ceil-division (SQL `div`, not `/` — no double
+        # anywhere); den <= 10^6 keeps n*num overflow-free to ~9e12
+        # rows per stratum
+        .withColumn(
+            "_quota",
+            F.greatest(
+                F.expr(f"(_n * {num} + {den - 1}) div {den}"),
+                F.least(F.lit(int(min_per_stratum)).cast("bigint"), F.col("_n")),
+            ),
+        )
         .filter(F.col("holdout_rank") <= F.col("_quota"))
-        .drop("_quota")
+        .drop("_quota", "_n")
     )
 
 

@@ -37,6 +37,13 @@ _LANG_MARKERS: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
     "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"],
     "es": ["el", "la", "los", "y", "es", "una", "para", "en", "que", "no"],
+    # VERDICT r12 next #5: pt/it were missing, so every Portuguese text
+    # funneled to 'es' off shared function words (para/que/no) and
+    # Italian to 'und' or a one-marker accident. ASCII-only markers
+    # (WORD_RE is [a-z0-9]+ — accented forms tokenize into fragments),
+    # chosen distinctive against the sibling Romance sets.
+    "pt": ["uma", "com", "mais", "os", "dos", "das", "ele", "isso", "foi", "seu"],
+    "it": ["il", "di", "che", "per", "con", "del", "della", "gli", "sono", "anche"],
 }
 
 _STOPWORDS = _LANG_MARKERS["en"]
@@ -523,7 +530,6 @@ def remove_repeated_lines(
     on uniform or AQE-splittable keys; everything stays JVM-side
     codegen."""
     lines = _doc_lines(df, text_col, id_col)
-    eligible = F.length(F.col("_key")) >= min_chars
     hot = (
         _line_doc_freq(lines, id_col, min_chars)
         .filter(F.col("line_df") > max_doc_freq)  # ship only the hot keys
@@ -652,6 +658,70 @@ def append_to_line_index(
         )
     )
     return write_snapshot(merged, f"{base}/counts", commit_token=commit_token)
+
+
+def forget_from_line_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    commit_token: str | None = None,
+) -> int:
+    """Remove documents' contributions from the persisted line index —
+    the right-to-be-forgotten path the other index families already
+    have (``neardup_forget``; VERDICT r12 next #6). Each document
+    contributed exactly 1 to ``line_df`` for every distinct eligible
+    line key it contains, so forgetting decrements those keys by the
+    forgotten batch's own distinct-doc frequencies: forget ≡ rebuild
+    on the surviving corpus, bit-identically (pytest-pinned).
+
+    Contract (loud, never silent): the index stores AGGREGATED counts,
+    not per-document lines, so ``df`` must carry the EXACT text that
+    was indexed for each forgotten id, each id indexed exactly once
+    (the save/append disjoint-delivery contract). The guard that makes
+    a violation loud: any key whose count would go NEGATIVE — text
+    that was never indexed, or an id forgotten twice — refuses the
+    whole write with ValueError instead of persisting a corrupt index.
+    (A violation that only UNDER-decrements existing keys is
+    undetectable from aggregates; the per-doc ledger to catch it would
+    cost the full corpus, which is what the index exists to avoid.)
+    Keys at zero are dropped from the snapshot. Returns the new
+    snapshot version; an O(|batch keys|) join against the stored
+    counts, never a corpus recount."""
+    from ..sinks.versioned import read_current, write_snapshot
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    p = spark.read.parquet(f"{base}/params").first()
+    removal = _line_doc_freq(
+        _doc_lines(df, text_col, id_col), id_col, int(p["min_chars"])
+    ).withColumnRenamed("line_df", "_dec")
+    stored = read_current(spark, f"{base}/counts")
+    merged = stored.join(F.broadcast(removal), "line_key", "left").select(
+        "line_key",
+        (F.col("line_df") - F.coalesce(F.col("_dec"), F.lit(0))).alias(
+            "line_df"
+        ),
+    )
+    # a decrement for a key the index never stored is the same
+    # violation from the other side: detect via the unmatched half
+    ghost = removal.join(
+        stored.select("line_key"), "line_key", "left_anti"
+    ).select("line_key").first()
+    neg = merged.filter(F.col("line_df") < 0).select("line_key").first()
+    if ghost is not None or neg is not None:
+        key = (ghost or neg)["line_key"]
+        raise ValueError(
+            "forget_from_line_index: forgotten batch does not match the "
+            f"indexed content (first offending line_key={key!r}) — ids "
+            "must have been indexed exactly once with exactly this text; "
+            "refusing to persist a corrupt index"
+        )
+    return write_snapshot(
+        merged.filter(F.col("line_df") > 0),
+        f"{base}/counts",
+        commit_token=commit_token,
+    )
 
 
 def scrub_with_line_index(
@@ -1317,3 +1387,4 @@ def phrase_match_counts(
     return cur.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
     )
+

@@ -40,56 +40,56 @@ from . import ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    "versioned_change_feed",
-    "versioned_timetravel_read",
-    "hard_negatives_docs",
-    "doc_script_shares",
-    "boilerplate_line_removal",
-    "secrets_redacted_docs",
     "entropy_secret_docs",
-    "temperature_mixture_report",
-    "cross_source_dup_matrix",
-    "contamination_join_docs",
-    "chunk_stitch_roundtrip",
-    "line_index_scrub_docs",
     "blocklist_filter_docs",
-    "stratified_holdout_docs",
-    "inc_merge_upsert",  # green CORRECTNESS_r11.json
-    "asof_view_before_purchase",  # green CORRECTNESS_r11.json
-    "xml_extract",  # green CORRECTNESS_r11.json
-    "pricing_summary",  # green CORRECTNESS_r11.json
-    "corpus_curation",  # green CORRECTNESS_r11.json
-    "pretraining_manifest",  # green CORRECTNESS_r11.json
-    "bpe_tokenized_docs",  # green CORRECTNESS_r11.json
-    "similarity_pq_topk",  # green CORRECTNESS_r11.json
-    "winnowing_overlap_docs",  # green CORRECTNESS_r11.json
-    "corpus_curation_gopher",  # green CORRECTNESS_r11.json
-    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r11.json
-    "webdataset_roundtrip_docs",  # green CORRECTNESS_r11.json
-    "ngram_jaccard_docs",  # green CORRECTNESS_r11.json
-    "similarity_ivf_pq_topk",  # green CORRECTNESS_r11.json
-    "skewed_event_type_counts",  # green CORRECTNESS_r03.json
-    "totalprice_equidepth_histogram",  # green CORRECTNESS_r03.json
-    "doc_rare_bigram_rate",  # green CORRECTNESS_r03.json
-    "curation_funnel",  # green CORRECTNESS_r03.json
-    "bpe_merge_candidates",  # green CORRECTNESS_r03.json
-    "incremental_dedup_new_docs",  # green CORRECTNESS_r03.json
-    "packed_doc_chunks",  # green CORRECTNESS_r03.json
-    "benchmark_decontamination",  # green CORRECTNESS_r03.json
-    "dedup_exact_docs",  # green CORRECTNESS_r03.json
-    "tfidf_top_terms_docs",  # green CORRECTNESS_r03.json
-    "boilerplate_ngram_docs",  # green CORRECTNESS_r03.json
-    "doc_fingerprints",  # green CORRECTNESS_r03.json
-    "token_stats_by_source",  # green CORRECTNESS_r03.json
-    "doc_quality_signals",  # green CORRECTNESS_r03.json
-    "heavy_hitter_tokens",  # green CORRECTNESS_r03.json
-    "doc_language_id",  # green CORRECTNESS_r03.json
-    "pii_redacted_docs",  # green CORRECTNESS_r03.json
-    "doc_repetition_ratio",  # green CORRECTNESS_r03.json
-    "embedding_dedup_pairs",  # green CORRECTNESS_r03.json
-    "rest_fetch_per_id",  # green CORRECTNESS_r03.json
-    "weekly_user_sketch_rollup",  # green CORRECTNESS_r04.json
-    "orders_cdc_log",  # green CORRECTNESS_r04.json
+    "semantic_dedup_clustered",
+    "hard_negatives_ann_verdict",
+    "doc_language_id_latin",
+    "stratified_holdout_docs",  # changed
+    "doc_language_id",  # changed
+    "doc_script_shares",  # changed
+    "corpus_curation",  # changed
+    "curation_funnel",  # changed
+    "pretraining_manifest",  # changed
+    "hard_negatives_docs",  # changed
+    "inc_merge_upsert",  # green CORRECTNESS_r12.json
+    "asof_view_before_purchase",  # green CORRECTNESS_r12.json
+    "xml_extract",  # green CORRECTNESS_r12.json
+    "pricing_summary",  # green CORRECTNESS_r12.json
+    "bpe_tokenized_docs",  # green CORRECTNESS_r12.json
+    "similarity_pq_topk",  # green CORRECTNESS_r12.json
+    "winnowing_overlap_docs",  # green CORRECTNESS_r12.json
+    "corpus_curation_gopher",  # green CORRECTNESS_r12.json
+    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r12.json
+    "webdataset_roundtrip_docs",  # green CORRECTNESS_r12.json
+    "ngram_jaccard_docs",  # green CORRECTNESS_r12.json
+    "similarity_ivf_pq_topk",  # green CORRECTNESS_r12.json
+    "overlapping_order_windows",  # green CORRECTNESS_r04.json
+    "tdigest_price_quantiles",  # green CORRECTNESS_r04.json
+    "events_profile_approx",  # green CORRECTNESS_r04.json
+    "customer_order_distribution",  # green CORRECTNESS_r04.json
+    "supplier_variety_by_part_class",  # green CORRECTNESS_r04.json
+    "snapshot_diff_report",  # green CORRECTNESS_r04.json
+    "value_winsorized_stats",  # green CORRECTNESS_r04.json
+    "totalprice_histogram",  # green CORRECTNESS_r04.json
+    "weekly_retention_cohorts",  # green CORRECTNESS_r04.json
+    "events_profile",  # green CORRECTNESS_r04.json
+    "cheapest_part_per_brand",  # green CORRECTNESS_r04.json
+    "customer_balance_ranks",  # green CORRECTNESS_r04.json
+    "schema_drift_union",  # green CORRECTNESS_r04.json
+    "streaming_distinct_types",  # green CORRECTNESS_r04.json
+    "pivot_status_counts",  # green CORRECTNESS_r04.json
+    "cube_order_stats",  # green CORRECTNESS_r04.json
+    "moving_revenue_3d",  # green CORRECTNESS_r04.json
+    "daily_gap_fill",  # green CORRECTNESS_r04.json
+    "event_sliding_windows",  # green CORRECTNESS_r04.json
+    "stream_enriched_segments",  # green CORRECTNESS_r04.json
+    "sql_api_region_revenue",  # green CORRECTNESS_r04.json
+    "cumulative_unique_users",  # green CORRECTNESS_r04.json
+    "event_transition_matrix",  # green CORRECTNESS_r04.json
+    "format_roundtrip_totals",  # green CORRECTNESS_r04.json
+    "stream_stream_attribution",  # green CORRECTNESS_r04.json
+    "nullsafe_parity_labels",  # green CORRECTNESS_r04.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

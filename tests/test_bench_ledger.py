@@ -9,7 +9,14 @@ import sys
 
 sys.path.insert(0, "tools")
 
-from bench_ledger import compare, extract_timings, update_ledger  # noqa: E402
+import pytest
+
+from bench_ledger import (  # noqa: E402
+    compare,
+    extract_config,
+    extract_timings,
+    update_ledger,
+)
 
 LEDGER = {
     "band": 2.0,
@@ -72,6 +79,40 @@ def test_committed_ledger_is_well_formed():
     for q, entry in ledger["queries"].items():
         assert entry["best_sec"] > 0, q
         assert isinstance(entry["source"], str), q
+    # ADVICE r12: the measurement config MUST be recorded, or one run
+    # at a smaller SF poisons every best-known
+    assert ledger["config"] == {"sf": 0.1, "cpus": 32}
+
+
+def test_config_mismatch_refuses_compare_and_update():
+    """A sidecar measured at a different sf (or cpus) must neither be
+    compared against the ledger's bests nor recorded into them — a
+    single sf0.01 run would otherwise beat every sf0.1 best forever
+    and false-flag all subsequent runs (ADVICE r12)."""
+    ledger = dict(LEDGER)
+    ledger["config"] = {"sf": 0.1, "cpus": 32}
+    good = {"sf": 0.1, "cpus": 32}
+    # matching config: behaves exactly as before
+    assert compare(ledger, {"heavy_q": 4.0}, good)["improved"] == {"heavy_q": 4.0}
+    # mismatching sf and mismatching cpus each refuse loudly
+    for bad in ({"sf": 0.01, "cpus": 32}, {"sf": 0.1, "cpus": 4}):
+        with pytest.raises(ValueError, match="refusing"):
+            compare(ledger, {"heavy_q": 1.0}, bad)
+        with pytest.raises(ValueError, match="refusing"):
+            update_ledger(ledger, {"heavy_q": 1.0}, "rX", bad)
+    # a sidecar with no measurement metadata (None fields) is accepted
+    # for backward compatibility
+    assert compare(ledger, {"heavy_q": 4.5}, {"sf": None, "cpus": None})
+    # update stamps the config through to the new ledger
+    out = update_ledger(ledger, {"fresh": 1.0}, "rX", good)
+    assert out["config"] == good
+
+
+def test_extract_config_reads_sidecar_sf_cpus():
+    assert extract_config({"sf": 0.1, "cpus": 32, "queries": {}}) == {
+        "sf": 0.1, "cpus": 32,
+    }
+    assert extract_config({"queries": {}}) == {"sf": None, "cpus": None}
 
 
 def test_band_overrides_widen_only_and_carry_reasons():

@@ -192,6 +192,41 @@ def test_language_id(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
 
 
+def test_language_id_latin_pt_it(spark):
+    """VERDICT r12 next #5: before pt/it joined _LANG_MARKERS, the
+    Portuguese sentence below funneled to 'es' off shared function
+    words (para/que) and the Italian one tied es/fr on 'la' -> 'es' —
+    both Latin-script mislabels the script router cannot see. With the
+    per-language sets they resolve by exact-count argmax; the shared
+    tie rule (alphabetically-first positive maximum) is pinned too."""
+    from data_ingestion_pipelines_spark.operators.text import _LANG_MARKERS
+
+    pt = "uma casa com mais para que os dos das ele isso foi seu"
+    it = "il cane e la di che per con del della gli sono anche"
+    df = spark.createDataFrame(
+        [
+            (1, pt),
+            (2, it),
+            (3, "el perro y la casa es una para en que no los"),  # still es
+            # one es marker + one fr marker, no pt/it hits: tie -> 'es'
+            # (alphabetically first among the positive maxima)
+            (4, "la"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_language_id(df).collect()}
+    assert got == {1: "pt", 2: "it", 3: "es", 4: "es"}
+
+    # the mislabel premise is real: the pt/it fixtures DO hit the es set
+    # (so the old 4-language table labeled them 'es', not 'und')
+    es = set(_LANG_MARKERS["es"])
+    assert es & set(pt.split()) and es & set(it.split())
+    # marker hygiene: pt/it sets are ASCII (WORD_RE is [a-z0-9]+) and
+    # don't collide with each other
+    assert all(w.isascii() and w.isalpha() for w in _LANG_MARKERS["pt"] + _LANG_MARKERS["it"])
+    assert not set(_LANG_MARKERS["pt"]) & set(_LANG_MARKERS["it"])
+
+
 def _vectors(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
@@ -449,6 +484,73 @@ def test_line_index_lifecycle_parity(spark, tmp_path):
         for r in read_current(spark, f"{root2}/counts").collect()
     }
     assert merged == rebuilt
+
+
+def test_line_index_forget_parity_and_guard(spark, tmp_path):
+    """VERDICT r12 next #6: forget ≡ rebuild on the surviving corpus
+    (bit-identical counts), remove-then-scrub semantics flip — a line
+    hot only because of the forgotten delivery stops scrubbing — and
+    the corrupt-decrement guard is loud: forgetting text that was never
+    indexed (or the same id twice) raises instead of persisting
+    negative counts."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.text import (
+        forget_from_line_index,
+        save_line_index,
+        scrub_with_line_index,
+    )
+    from data_ingestion_pipelines_spark.sinks.versioned import read_current
+
+    footer = "all rights reserved worldwide"
+    rows_a = [(i, f"content {i}\n{footer}") for i in range(6)]
+    rows_b = [(i, f"content {i}\n{footer}") for i in range(10, 16)]
+    a = spark.createDataFrame(rows_a, "doc_id bigint, text string")
+    b = spark.createDataFrame(rows_b, "doc_id bigint, text string")
+    both = a.unionByName(b)
+
+    # footer df = 12 > 10 with both deliveries in: it scrubs
+    root = str(tmp_path / "idx")
+    save_line_index(both, root, max_doc_freq=10, min_chars=5)
+    probe = spark.createDataFrame(
+        [(99, f"probe\n{footer}")], "doc_id bigint, text string"
+    )
+    got = scrub_with_line_index(probe, root).first()
+    assert got.cleaned == "probe" and got.n_dropped == 1
+
+    # forget delivery B -> df drops to 6 <= 10 -> the footer survives
+    forget_from_line_index(b, root)
+    got = scrub_with_line_index(probe, root).first()
+    assert got.n_dropped == 0 and footer in got.cleaned
+
+    # forget ≡ rebuild, bit-identically
+    root2 = str(tmp_path / "idx2")
+    save_line_index(a, root2, max_doc_freq=10, min_chars=5)
+    after = {
+        (r.line_key, r.line_df)
+        for r in read_current(spark, f"{root}/counts").collect()
+    }
+    rebuilt = {
+        (r.line_key, r.line_df)
+        for r in read_current(spark, f"{root2}/counts").collect()
+    }
+    assert after == rebuilt
+
+    # guards: double-forget decrements keys the index no longer stores
+    # (B's unique content lines); never-indexed text is the same ghost
+    # decrement — both refuse, index state unchanged
+    with pytest.raises(ValueError, match="indexed exactly once"):
+        forget_from_line_index(b, root)
+    ghost = spark.createDataFrame(
+        [(500, "this line was never indexed anywhere")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(ValueError, match="indexed exactly once"):
+        forget_from_line_index(ghost, root)
+    assert {
+        (r.line_key, r.line_df)
+        for r in read_current(spark, f"{root}/counts").collect()
+    } == rebuilt
 
 
 def test_script_shares_and_routed_langid(spark):

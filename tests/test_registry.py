@@ -86,15 +86,54 @@ def test_no_shadowed_top_level_defs_in_package():
         assert not dupes, f"{mod}: shadowed top-level names {dupes}"
 
 
-def _rotate_window_mod():
+def _tool_mod(name: str):
     import importlib.util
     import pathlib
 
-    path = pathlib.Path(__file__).parent.parent / "tools" / "rotate_window.py"
-    spec = importlib.util.spec_from_file_location("rotate_window", path)
+    path = pathlib.Path(__file__).parent.parent / "tools" / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def _rotate_window_mod():
+    return _tool_mod("rotate_window")
+
+
+def test_driver_unsafe_columns_guard_flags_complex_top_level_types():
+    """The r12 driver failure class: a gate emitting a top-level
+    ArrayType column hash-errs in the driver's pandas canonicalizer
+    (sort_values -> TypeError: unhashable type 'list') while the local
+    harness — which stringifies values — stays green. The guard in
+    check_correctness must go red on planted array/map/struct columns
+    and stay green on scalar-only schemas (the registry contract; the
+    full-registry application happens in verify_round's sweeps)."""
+    from pyspark.sql import types as T
+
+    cc = _tool_mod("check_correctness")
+
+    planted = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("entropy_flagged", T.ArrayType(T.StringType())),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("pair", T.StructType([
+            T.StructField("a", T.LongType()),
+        ])),
+    ])
+    bad = cc.driver_unsafe_columns(planted)
+    assert bad == [
+        "entropy_flagged:array", "meta:map", "pair:struct",
+    ], bad
+
+    scalar = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("entropy_flagged", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    assert cc.driver_unsafe_columns(scalar) == []
 
 
 def test_rotate_window_flags_stale_dark_gates():

@@ -560,3 +560,30 @@ def test_stratified_holdout_floors_and_determinism(spark):
         stratified_holdout(df, frac=0.0)
     with pytest.raises(ValueError, match="min_per_stratum"):
         stratified_holdout(df, min_per_stratum=-1)
+
+
+def test_stratified_holdout_quota_is_exact_rational(spark):
+    """ADVICE r12: double ceil(n * frac) overshoots the mathematical
+    ceiling whenever the float literal rounds UP — ceil(100 * 0.07) = 8
+    in IEEE double vs the exact 7 — silently diverging from the
+    documented quota contract and any exact-decimal oracle. The quota
+    must be computed as bigint ceil-division of the rational the
+    decimal literal denotes."""
+    from data_ingestion_pipelines_spark.operators.sampling import (
+        stratified_holdout,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(100)], "doc_id bigint, source string"
+    )
+    # the ADVICE-verified divergence case: exact 7, double says 8
+    got = stratified_holdout(df, frac=0.07, min_per_stratum=0)
+    assert got.count() == 7
+    # explicit rational form: ceil(100 * 1/3) = 34
+    got = stratified_holdout(df, frac=(1, 3), min_per_stratum=0)
+    assert got.count() == 34
+    # exact-division boundary: ceil(100 * 0.25) = 25, not 26
+    got = stratified_holdout(df, frac=0.25, min_per_stratum=0)
+    assert got.count() == 25
+    with pytest.raises(ValueError, match="frac"):
+        stratified_holdout(df, frac=(3, 2))

@@ -20,7 +20,13 @@ File format (BENCH_BASELINE.json, committed):
     {"band": 2.0, "abs_floor_sec": 1.0,
      "band_overrides": {"q2": 3.0},
      "band_override_reasons": {"q2": "why this query gets a wider band"},
+     "config": {"sf": 0.1, "cpus": 32},
      "queries": {"q": {"best_sec": 1.234, "source": "r11"}}}
+
+``config`` is the measurement config every best-known came from;
+compare/update REFUSE (ValueError) a sidecar measured at a different
+(sf, cpus) — a single sf0.01 or low-CPU run would otherwise poison the
+bests forever and false-flag every subsequent sf0.1 run (ADVICE r12).
 
 ``band_overrides`` widens (never narrows) the band for queries whose
 MEASUREMENT variance is structurally high — e.g. the k-means gates
@@ -52,6 +58,9 @@ DEFAULT_BAND = 2.0
 DEFAULT_ABS_FLOOR = 1.0
 
 
+DEFAULT_CONFIG = {"sf": 0.1, "cpus": 32}
+
+
 def load_ledger(path: str = LEDGER_PATH) -> dict:
     with open(path) as fh:
         data = json.load(fh)
@@ -60,7 +69,40 @@ def load_ledger(path: str = LEDGER_PATH) -> dict:
     data.setdefault("queries", {})
     data.setdefault("band_overrides", {})
     data.setdefault("band_override_reasons", {})
+    # the bench config every best-known was measured at (ADVICE r12:
+    # without it, one run at a smaller SF would permanently poison the
+    # bests and false-flag every subsequent sf0.1 run)
+    data.setdefault("config", dict(DEFAULT_CONFIG))
     return data
+
+
+def extract_config(sidecar: dict) -> dict:
+    """The (sf, cpus) the sidecar's timings were measured at."""
+    return {"sf": sidecar.get("sf"), "cpus": sidecar.get("cpus")}
+
+
+def check_config(ledger: dict, config: dict | None) -> None:
+    """Refuse timings measured at a different (sf, cpus) than the
+    ledger records — comparing them is meaningless and RECORDING them
+    poisons the best-knowns forever (a sf0.01 run would beat every
+    sf0.1 best). Raises ValueError on mismatch; ``config=None`` (the
+    caller has no measurement metadata) is accepted for backward
+    compatibility but discouraged."""
+    if config is None:
+        return
+    want = ledger.get("config") or {}
+    bad = {
+        k: (config.get(k), want[k])
+        for k in want
+        if config.get(k) is not None and config.get(k) != want[k]
+    }
+    if bad:
+        raise ValueError(
+            "bench_ledger: timing config does not match the ledger's "
+            f"recorded measurement config: {bad} (got, want) — refusing "
+            "to compare/record; rerun bench at the ledger config or "
+            "start a new ledger"
+        )
 
 
 def extract_timings(sidecar: dict) -> dict[str, float]:
@@ -73,12 +115,16 @@ def extract_timings(sidecar: dict) -> dict[str, float]:
     }
 
 
-def compare(ledger: dict, timings: dict[str, float]) -> dict:
+def compare(ledger: dict, timings: dict[str, float],
+            config: dict | None = None) -> dict:
     """Pure comparison: current timings vs best-known.
 
     Returns {"flagged": [(q, cur, best, ratio)], "improved": {q: cur},
     "new": {q: cur}} — flagged = cur > band*best AND cur-best >
-    abs_floor; improved = cur < best; new = not in the ledger."""
+    abs_floor; improved = cur < best; new = not in the ledger.
+    Raises ValueError when ``config`` (the run's sf/cpus) does not
+    match the ledger's recorded measurement config."""
+    check_config(ledger, config)
     floor = float(ledger["abs_floor_sec"])
     best_map = ledger["queries"]
     overrides = ledger.get("band_overrides", {})
@@ -98,14 +144,18 @@ def compare(ledger: dict, timings: dict[str, float]) -> dict:
     return {"flagged": flagged, "improved": improved, "new": new}
 
 
-def update_ledger(ledger: dict, timings: dict[str, float], tag: str) -> dict:
+def update_ledger(ledger: dict, timings: dict[str, float], tag: str,
+                  config: dict | None = None) -> dict:
     """New ledger dict with improved bests recorded and first-seen
-    queries added, attributed to ``tag``. Never loosens a best."""
+    queries added, attributed to ``tag``. Never loosens a best; refuses
+    (ValueError) timings whose ``config`` mismatches the ledger's."""
+    check_config(ledger, config)
     out = {
         "band": ledger["band"],
         "abs_floor_sec": ledger["abs_floor_sec"],
         "band_overrides": dict(ledger.get("band_overrides", {})),
         "band_override_reasons": dict(ledger.get("band_override_reasons", {})),
+        "config": dict(ledger.get("config", DEFAULT_CONFIG)),
         "queries": dict(ledger["queries"]),
     }
     res = compare(ledger, timings)
@@ -125,8 +175,9 @@ def main() -> int:
     with open(args[0]) as fh:
         sidecar = json.load(fh)
     timings = extract_timings(sidecar)
+    config = extract_config(sidecar)
     ledger = load_ledger()
-    res = compare(ledger, timings)
+    res = compare(ledger, timings, config)
 
     for q, cur in sorted(res["new"].items()):
         print(f"new      {q}: {cur:.3f}s (first observation)")
@@ -145,7 +196,7 @@ def main() -> int:
         f"{len(res['improved'])} improved, {len(res['new'])} new"
     )
     if update_tag:
-        new_ledger = update_ledger(ledger, timings, update_tag)
+        new_ledger = update_ledger(ledger, timings, update_tag, config)
         with open(LEDGER_PATH, "w") as fh:
             json.dump(new_ledger, fh, indent=1, sort_keys=True)
             fh.write("\n")

@@ -21,6 +21,26 @@ TABLES = [
 ]
 
 
+def driver_unsafe_columns(schema) -> list[str]:
+    """Top-level columns the DRIVER's canonicalizer cannot process.
+
+    The driver hashes query output via pandas ``sort_values``, which
+    raises ``TypeError: unhashable type`` on list/dict-valued cells —
+    so any gate emitting a top-level ArrayType/MapType/StructType
+    column is a driver ``err`` even when its values are correct
+    (CORRECTNESS_r12.json: entropy_secret_docs, blocklist_filter_docs).
+    This local harness stringifies values (``value_hash``'s norm) and
+    was blind to the class; every ``queries()`` output must therefore
+    pass this guard. Canonicalize with ``F.array_join(col, '|')`` /
+    ``array_to_string(..., '|')`` (llmops.py:969,1090,1190 pattern).
+    """
+    return [
+        f"{f.name}:{f.dataType.typeName()}"
+        for f in schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
 def value_hash(rows: list[tuple], colnames: list[str]) -> str:
     """Order-insensitive hash: normalize each value to a string, sort rows."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -82,6 +102,17 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        # driver-canonicalizability guard (r12 what's-wrong #1): applies
+        # to EVERY gate, rows-only included — the driver errs on complex
+        # top-level columns before any comparison happens
+        unsafe = driver_unsafe_columns(sdf.schema)
+        if unsafe:
+            print(
+                f"FAIL  {name}: driver-uncanonicalizable top-level "
+                f"complex columns: {unsafe}"
+            )
             failures.append(name)
             continue
         if name not in oracles:

@@ -115,7 +115,15 @@ def run_bench(cmd: list[str]) -> None:
     import bench_ledger
 
     ledger = bench_ledger.load_ledger()
-    res = bench_ledger.compare(ledger, bench_ledger.extract_timings(detail))
+    config = bench_ledger.extract_config(detail)
+    try:
+        res = bench_ledger.compare(
+            ledger, bench_ledger.extract_timings(detail), config)
+    except ValueError as exc:
+        # a bench run at the wrong (sf, cpus) must fail the axis, not
+        # poison the best-known ledger (ADVICE r12)
+        print(f"FAILED axis: bench ({exc})")
+        sys.exit(1)
     for q, cur, best, ratio in res["flagged"]:
         print(f"FAILED axis: bench ledger ({q}: {cur:.3f}s vs best-known "
               f"{best:.3f}s = {ratio:.2f}x past the {ledger['band']}x band)")
@@ -125,7 +133,7 @@ def run_bench(cmd: list[str]) -> None:
         import json as _json
 
         new_ledger = bench_ledger.update_ledger(
-            ledger, bench_ledger.extract_timings(detail), "verify")
+            ledger, bench_ledger.extract_timings(detail), "verify", config)
         with open(bench_ledger.LEDGER_PATH, "w") as fh:
             _json.dump(new_ledger, fh, indent=1, sort_keys=True)
             fh.write("\n")
