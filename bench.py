@@ -217,6 +217,15 @@ HEADLINE = [
     "semantic_dedup_clustered",
     "hard_negatives_ann_verdict",
     "doc_language_id_latin",
+    # r13 beyond-verdict: URL/domain curation, incremental + streaming
+    # matview maintenance, preference-graph consistency, per-line
+    # language mixture
+    "url_curation_docs",
+    "matview_incremental_orders",
+    "streaming_matview_ingest",
+    "preference_copeland_events",
+    "preference_cycles_events",
+    "language_mix_docs",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

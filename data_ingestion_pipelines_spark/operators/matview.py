@@ -1,0 +1,227 @@
+"""Incremental materialized-aggregate maintenance (delta-refresh MVs).
+
+The reference's INC loads land raw deltas and let the warehouse
+re-aggregate downstream (``bp-scala-api-ingestions/dataSource
+bp/Process.scala`` load-type dispatch); at 100 TB the re-aggregation
+itself is the cost worth killing. A grouped aggregate built from
+SELF-MERGEABLE partials (count, sum, min, max — and avg finalized from
+sum/count) can absorb a delivery by merging O(|groups| + |batch
+groups|) aggregate rows, never rescanning the corpus: the classic
+incremental-view-maintenance contract for distributive aggregates.
+
+Exactness contract (the repo's cross-engine rule): merged refresh must
+equal a full rebuild BIT-IDENTICALLY. count/min/max always do;
+floating-point sums do NOT (double addition is order-dependent, and an
+incremental merge imposes a different order than a full scan), so
+``grouped_aggregates`` REFUSES float/double sum sources loudly —
+cast to DECIMAL upstream (exact, associative) or pass
+``allow_float_sum=True`` to accept the approximation knowingly.
+
+Scale shape: batch partials are one map-side-combined shuffle over the
+DELTA only; the merge is a unionByName + re-aggregate over two
+aggregate frames — O(groups), broadcast-sized in practice. The
+persisted lifecycle rides sinks/versioned.py snapshots: atomic
+pointer-flip publish, time travel and rollback for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# out-column kind -> (batch aggregate, merge aggregate). count merges
+# by SUMMING partial counts; the rest are idempotent under their own op.
+_KINDS = ("count", "sum", "min", "max")
+
+_FLOATY = ("double", "float")
+
+
+def _check_spec(spec: dict[str, tuple[str, str]]) -> None:
+    for out, (src, kind) in spec.items():
+        if kind not in _KINDS:
+            raise ValueError(
+                f"matview: unsupported aggregate kind {kind!r} for {out!r} "
+                f"(supported: {_KINDS}; avg = sum+count finalized later)"
+            )
+
+
+def grouped_aggregates(
+    df: DataFrame,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    allow_float_sum: bool = False,
+) -> DataFrame:
+    """Mergeable partial aggregates of ``df`` per ``keys``.
+
+    ``spec`` maps output column -> (source column, kind) with kind in
+    count/sum/min/max; ``(out, (src, 'count'))`` counts NON-NULL
+    ``src`` (use a key column to count rows). Float/double sum sources
+    are rejected unless ``allow_float_sum`` — their merge would be
+    order-dependent and break the refresh ≡ rebuild contract."""
+    _check_spec(spec)
+    types = dict(df.dtypes)
+    aggs = []
+    for out, (src, kind) in spec.items():
+        if kind == "count":
+            aggs.append(F.count(F.col(src)).alias(out))
+        elif kind == "sum":
+            if types.get(src) in _FLOATY and not allow_float_sum:
+                raise ValueError(
+                    f"matview: sum over {src!r} ({types.get(src)}) is "
+                    "order-dependent and cannot merge bit-identically — "
+                    "cast to DECIMAL upstream or pass allow_float_sum=True"
+                )
+            aggs.append(F.sum(F.col(src)).alias(out))
+        elif kind == "min":
+            aggs.append(F.min(F.col(src)).alias(out))
+        else:
+            aggs.append(F.max(F.col(src)).alias(out))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def collapse_partials(
+    df: DataFrame,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Collapse a frame of mergeable PARTIALS (any number per group —
+    one per delivery/micro-batch) into one row per group: counts and
+    sums add, mins min, maxes max. O(partials), never base data."""
+    _check_spec(spec)
+    aggs = []
+    for out, (_src, kind) in spec.items():
+        op = F.sum if kind in ("count", "sum") else (F.min if kind == "min" else F.max)
+        aggs.append(op(F.col(out)).alias(out))
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def merge_grouped_aggregates(
+    stored: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Merge two mergeable-aggregate frames (same schema): groups in
+    both combine, groups in one pass through. O(groups)."""
+    return collapse_partials(stored.unionByName(delta), keys, spec)
+
+
+def finalize_avg(
+    df: DataFrame, out: str, sum_col: str, count_col: str
+) -> DataFrame:
+    """avg from persisted sum+count partials — ONE division of exact
+    operands (the cross-engine float rule), NULL where count is 0."""
+    return df.withColumn(
+        out,
+        F.when(
+            F.col(count_col) > 0,
+            F.col(sum_col).cast("double") / F.col(count_col).cast("double"),
+        ),
+    )
+
+
+def save_matview(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    allow_float_sum: bool = False,
+    commit_token: str | None = None,
+) -> int:
+    """Build the grouped aggregate from ``df`` and persist it as a
+    versioned snapshot (atomic pointer flip) + a params sidecar the
+    refresh path re-reads — callers cannot drift the spec between save
+    and refresh. Returns the snapshot version."""
+    from ..sinks.versioned import write_snapshot
+
+    base = path.rstrip("/")
+    spark = df.sparkSession
+    params = [
+        (out, src, kind, ",".join(keys), bool(allow_float_sum))
+        for out, (src, kind) in sorted(spec.items())
+    ]
+    spark.createDataFrame(
+        params,
+        "out STRING, src STRING, kind STRING, keys STRING, allow_float STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")
+    agg = grouped_aggregates(df, keys, spec, allow_float_sum)
+    return write_snapshot(agg, f"{base}/agg", commit_token=commit_token)
+
+
+def _load_params(
+    spark: SparkSession, base: str
+) -> tuple[list[str], dict[str, tuple[str, str]]]:
+    rows = spark.read.parquet(f"{base}/params").collect()
+    keys = rows[0]["keys"].split(",")
+    spec = {r["out"]: (r["src"], r["kind"]) for r in rows}
+    return keys, spec
+
+
+def refresh_matview(
+    delta: DataFrame, path: str, commit_token: str | None = None
+) -> int:
+    """Fold a delta batch into the persisted aggregate: compute the
+    batch's partials (one shuffle over the DELTA), merge with the
+    stored frame (O(groups)), publish a new snapshot. refresh ≡
+    rebuild bit-identically for count/min/max and exact-type sums
+    (pytest-pinned). Deliveries must be disjoint row sets — the same
+    additive contract as append_to_line_index."""
+    from ..sinks.versioned import read_current, write_snapshot
+
+    base = path.rstrip("/")
+    spark = delta.sparkSession
+    keys, spec = _load_params(spark, base)
+    batch = grouped_aggregates(delta, keys, spec, allow_float_sum=True)
+    stored = read_current(spark, f"{base}/agg")
+    merged = merge_grouped_aggregates(stored, batch, keys, spec)
+    return write_snapshot(merged, f"{base}/agg", commit_token=commit_token)
+
+
+def read_matview(spark: SparkSession, path: str) -> DataFrame:
+    """The current aggregate snapshot."""
+    from ..sinks.versioned import read_current
+
+    return read_current(spark, f"{path.rstrip('/')}/agg")
+
+
+def matview_partials_ingest(
+    target_path: str,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    allow_float_sum: bool = False,
+):
+    """``foreachBatch`` sink factory: stream a matview by appending
+    each micro-batch's PARTIAL aggregates to a batch-id-keyed
+    partition, exactly-once (``idempotent_batch_append`` — a replayed
+    batch overwrites only its own partition, so additive counts/sums
+    never double-count). Read the current aggregate back with
+    :func:`read_matview_partials`.
+
+    Why partials-then-collapse instead of refresh-per-batch: a
+    refresh-in-place is NOT replay-idempotent (re-adding a batch's sums
+    corrupts silently); partitioned partials make replay overwrite, and
+    the read-side collapse is O(batches × groups) — aggregate rows,
+    never base data. Compact by collapsing into a new base partition
+    when batch count grows (same LSM story as the line/gram indexes).
+    Batch decomposition cannot change the answer: every kind here is
+    commutative + associative, so any split of the source into
+    micro-batches collapses to the one-shot GROUP BY (the gate's
+    oracle proves it cross-engine)."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from ..streaming.incremental import idempotent_batch_append
+
+        partial = grouped_aggregates(batch_df, keys, spec, allow_float_sum)
+        idempotent_batch_append(partial, target_path, batch_id)
+
+    return ingest
+
+
+def read_matview_partials(
+    spark: SparkSession,
+    target_path: str,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Current streamed aggregate: collapse all batch partials."""
+    return collapse_partials(spark.read.parquet(target_path), keys, spec)

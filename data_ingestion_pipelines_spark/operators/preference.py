@@ -94,3 +94,125 @@ def preference_pairs(
             "margin",
         )
     )
+
+
+def copeland_scores(
+    pairs: DataFrame,
+    winner_col: str = "chosen_id",
+    loser_col: str = "rejected_id",
+) -> DataFrame:
+    """Copeland-style item scores from raw pairwise preferences:
+    ``(item, wins, losses, n_comparisons, copeland)`` with
+    ``copeland = wins - losses`` — the standard integer-exact tournament
+    ranking (Bradley-Terry needs exp/log, which the cross-engine float
+    rule forbids in oracled outputs; Copeland is its rank-consistent
+    exact cousin for dense comparison data).
+
+    One union + ONE shuffle on the item key; no window, no join — at
+    any scale this is two scans of the pairs frame. Ranking consumers
+    order by (copeland DESC, item) themselves; emitting a global rank
+    here would require a single-partition window, which this repo
+    forbids by plan audit."""
+    w = pairs.select(
+        F.col(winner_col).alias("item"),
+        F.lit(1).alias("_w"),
+        F.lit(0).alias("_l"),
+    )
+    l = pairs.select(
+        F.col(loser_col).alias("item"),
+        F.lit(0).alias("_w"),
+        F.lit(1).alias("_l"),
+    )
+    return (
+        w.unionByName(l)
+        .groupBy("item")
+        .agg(
+            F.sum("_w").cast("bigint").alias("wins"),
+            F.sum("_l").cast("bigint").alias("losses"),
+            F.count(F.lit(1)).cast("bigint").alias("n_comparisons"),
+        )
+        .withColumn("copeland", (F.col("wins") - F.col("losses")).cast("bigint"))
+    )
+
+
+def majority_edges(
+    pairs: DataFrame,
+    winner_col: str = "chosen_id",
+    loser_col: str = "rejected_id",
+) -> DataFrame:
+    """Net majority direction per unordered item pair: ``(src, dst,
+    n_for, n_against)`` with an edge src→dst iff strictly more raw
+    pairs prefer src over dst than the reverse (ties emit NO edge —
+    they carry no direction). One shuffle on the unordered pair key;
+    self-preferences (winner == loser) are contradictions in the raw
+    data and are rejected loudly rather than dropped."""
+    n_self = pairs.filter(F.col(winner_col) == F.col(loser_col)).count()
+    if n_self:
+        raise ValueError(
+            f"majority_edges: {n_self} self-preference row(s) "
+            f"({winner_col} == {loser_col}) — a preference of an item "
+            "over itself is label noise; clean the pair source first"
+        )
+    a = F.least(F.col(winner_col), F.col(loser_col))
+    b = F.greatest(F.col(winner_col), F.col(loser_col))
+    counted = (
+        pairs.select(
+            a.alias("_a"),
+            b.alias("_b"),
+            F.when(F.col(winner_col) < F.col(loser_col), 1)
+            .otherwise(0)
+            .alias("_ab"),
+        )
+        .groupBy("_a", "_b")
+        .agg(
+            F.sum("_ab").cast("bigint").alias("_n_ab"),
+            (F.count(F.lit(1)) - F.sum("_ab")).cast("bigint").alias("_n_ba"),
+        )
+    )
+    fwd = counted.filter(F.col("_n_ab") > F.col("_n_ba")).select(
+        F.col("_a").alias("src"),
+        F.col("_b").alias("dst"),
+        F.col("_n_ab").alias("n_for"),
+        F.col("_n_ba").alias("n_against"),
+    )
+    rev = counted.filter(F.col("_n_ba") > F.col("_n_ab")).select(
+        F.col("_b").alias("src"),
+        F.col("_a").alias("dst"),
+        F.col("_n_ba").alias("n_for"),
+        F.col("_n_ab").alias("n_against"),
+    )
+    return fwd.unionByName(rev)
+
+
+def preference_cycles(
+    pairs: DataFrame,
+    winner_col: str = "chosen_id",
+    loser_col: str = "rejected_id",
+) -> DataFrame:
+    """Directed 3-cycles (a→b→c→a) in the majority-preference graph —
+    the smallest witnesses that the preference data is NOT globally
+    consistent (no reward model can fit a cycle; each row is a
+    concrete triple for annotator re-adjudication). Returns
+    ``(item_a, item_b, item_c)`` with ``item_a`` the cycle's minimum
+    (each cycle reported exactly once, rotation-canonical).
+
+    Scale shape mirrors the triangle counter (operators/graph.py): two
+    hint-pinned shuffle-hash self-joins on the edge key — every side is
+    graph-scale, so a stats-guided broadcast that fits at test SF would
+    OOM at corpus scale; majority reduction first bounds the edge set
+    to one edge per compared pair."""
+    e = majority_edges(pairs, winner_col, loser_col).select("src", "dst")
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    return (
+        e1.join(e2.hint("shuffle_hash"), "b")
+        .join(e3.hint("shuffle_hash"), ["c", "a"])
+        # rotation-canonical: report the rotation starting at the min
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("c").alias("item_c"),
+        )
+    )

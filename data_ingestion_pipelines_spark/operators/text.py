@@ -1388,3 +1388,86 @@ def phrase_match_counts(
         F.count(F.lit(1)).cast("bigint").alias("n_matches")
     )
 
+
+
+def _line_lang_label(line: Column) -> Column:
+    """Per-line langid label Column: argmax of stopword hits over
+    ``_LANG_MARKERS`` with the SAME tie rule as ``with_language_id``
+    (alphabetically-first among positive ties, 'und' on zero hits)."""
+    toks = word_tokens(line)
+
+    def score_for(markers: list[str]) -> Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: score_for(m) for lang, m in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        pred = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return pred
+
+
+def with_language_mix(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-LINE language mixture — the doc-level langid's blind spot.
+
+    ``with_language_id`` argmaxes over the WHOLE document, so a file
+    that is 60% English and 40% German labels cleanly 'en' and sails
+    through language filters; mixed-language documents are a known
+    quality hazard for monolingual training mixes (CCNet and RefinedWeb
+    both filter on per-segment language agreement). This labels every
+    non-empty line independently (same marker tables, same tie rule as
+    the doc-level path — the constants are shared so the two can't
+    drift) and emits:
+
+    - ``n_lines``       — non-empty lines,
+    - ``n_labeled``     — lines with ≥1 stopword hit ('und' lines are
+      too short/non-Latin to vote and do not count against purity),
+    - ``dominant_lang`` — argmax of per-language labeled-line counts
+      (alphabetically-first tie rule, 'und' when nothing is labeled),
+    - ``n_minority``    — labeled lines NOT in the dominant language,
+    - ``mix_ratio``     — n_minority / n_labeled (one division of
+      exact bigints; NULL when nothing is labeled).
+
+    Scale shape: one codegen projection — nested higher-order
+    functions over the line array, zero exchanges, zero UDFs; at 100 TB
+    this runs at parquet-scan speed like the other text scrubs. Exact
+    integer counts + a single division, so it hash-verifies
+    cross-engine."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: l != F.lit("")
+    )
+    labels = F.transform(lines, _line_lang_label)
+    labeled = F.filter(labels, lambda x: x != F.lit("und"))
+    n_labeled = F.size(labeled).cast("bigint")
+    def _count_of(lang: str) -> Column:
+        # NB: arity-1 lambda only — a default-arg lambda reads as the
+        # 2-arg (element, index) HOF form
+        return F.size(F.filter(labeled, lambda x: x == F.lit(lang)))
+
+    counts = {lang: _count_of(lang) for lang in _LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    dom = F.lit("und")
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        dom = F.when(
+            (counts[lang] > 0) & (counts[lang] == best), F.lit(lang)
+        ).otherwise(dom)
+    n_minority = F.when(n_labeled > 0, n_labeled - best.cast("bigint")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return df.withColumns(
+        {
+            "n_lines": F.size(lines).cast("bigint"),
+            "n_labeled": n_labeled,
+            "dominant_lang": dom,
+            "n_minority": n_minority,
+            "mix_ratio": F.when(
+                n_labeled > 0,
+                n_minority.cast("double") / n_labeled.cast("double"),
+            ),
+        }
+    )

@@ -1,0 +1,271 @@
+"""URL / domain-level corpus curation (C4, RefinedWeb, Gopher style).
+
+Web-scale training corpora are curated per-URL and per-domain before
+any text-level pass: C4 deduplicated exact URLs, RefinedWeb normalized
+URLs (tracking params, default ports, trailing slashes) before its
+fuzzy passes, and Gopher capped per-domain document counts so a single
+crawler-friendly host cannot dominate the mixture. The reference
+pipelines carry source-system identity per row (jobGroup/sourceNm —
+``bp-unstructured-netapp-ingestion/README.md:94-115``); this module is
+the web-corpus generalization: identity is a URL column, and curation
+operates on its normalized form and registered domain.
+
+Everything here is built-in Column algebra (regexp/split/slice/
+higher-order functions) — zero UDFs, zero shuffles for the parsing and
+normalization surface, so at 100 TB these run at parquet-scan speed
+inside one codegen span. The only shuffling operators are the dedup
+(one exchange on the uniform normalized-URL key) and the domain quota
+cap, which is deliberately TWO-PHASE: a salted pre-rank bounds every
+domain's window input to ``cap × n_salts`` rows before the final
+per-domain rank, so one mega-domain (at 100 TB a single host can hold
+0.1% of the corpus) never funnels its full posting through one task.
+
+Cross-engine contract: the shared constants (``TRACKING_PARAMS``,
+``MULTIPART_SUFFIXES``) are imported by the gate's DuckDB twin and the
+SQL is GENERATED from them — the two engines cannot drift (the
+oracle-determinism rule). All comparisons are binary string order
+(ASCII URLs), exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Query parameters that carry tracking/session identity, not content
+# identity — dropped by normalize_url. 'utm_' is matched as a prefix.
+TRACKING_PARAMS = [
+    "fbclid",
+    "gclid",
+    "igshid",
+    "mc_cid",
+    "mc_eid",
+    "msclkid",
+    "ref",
+    "ref_src",
+]
+TRACKING_PREFIX = "utm_"
+
+# Multi-part public suffixes (the pragmatic core of the PSL): when a
+# host's last TWO labels are one of these, the registered domain is the
+# last THREE labels. A full PSL belongs in config at production scale;
+# the heuristic (last-2, or last-3 under these suffixes) is the
+# standard approximation and is what the gate oracles.
+MULTIPART_SUFFIXES = [
+    "ac.uk",
+    "co.in",
+    "co.jp",
+    "co.nz",
+    "co.uk",
+    "co.za",
+    "com.ar",
+    "com.au",
+    "com.br",
+    "com.cn",
+    "com.mx",
+    "com.sg",
+    "com.tr",
+    "gov.uk",
+    "ne.jp",
+    "net.au",
+    "or.jp",
+    "org.au",
+    "org.uk",
+]
+
+
+def _parse(url: Column) -> dict[str, Column]:
+    """Scheme/host/port/path/query Columns from an absolute URL.
+
+    Contract: absolute http(s)-style URLs (``scheme://...``). Rows
+    without ``://`` parse to NULL parts — callers that require full
+    coverage should filter or fix upstream (loud via the NULLs, never
+    a wrong parse). Userinfo (``user@``) is stripped from the host;
+    fragments are dropped entirely.
+    """
+    u = F.trim(url)
+    has = F.instr(u, "://") > 0
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    after = F.substr(u, F.instr(u, "://") + F.lit(3))
+    hostport = F.regexp_extract(after, r"^([^/?#]+)", 1)
+    # strip userinfo: keep what follows the LAST '@' in the authority
+    hostport = F.element_at(F.split(hostport, "@"), -1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    host = F.regexp_replace(host, r"\.$", "")
+    port = F.when(
+        F.instr(hostport, ":") > 0,
+        F.element_at(F.split(hostport, ":"), -1),
+    ).otherwise(F.lit(""))
+    rest = F.regexp_replace(after, r"^[^/?#]+", "")
+    nofrag = F.substring_index(rest, "#", 1)
+    path = F.substring_index(nofrag, "?", 1)
+    query = F.when(
+        F.instr(nofrag, "?") > 0,
+        F.substr(nofrag, F.instr(nofrag, "?") + F.lit(1)),
+    ).otherwise(F.lit(""))
+    null = F.lit(None).cast("string")
+    return {
+        "scheme": F.when(has, scheme).otherwise(null),
+        "host": F.when(has, host).otherwise(null),
+        "port": F.when(has, port).otherwise(null),
+        "path": F.when(has, path).otherwise(null),
+        "query": F.when(has, query).otherwise(null),
+    }
+
+
+def registered_domain(host: Column) -> Column:
+    """Registered domain of a lowercase host: last two labels, or last
+    three when the last two are a multi-part public suffix
+    (``MULTIPART_SUFFIXES``); single-label hosts pass through."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, -2, 2), ".")
+    last3 = F.array_join(F.slice(parts, -3, 3), ".")
+    return (
+        F.when(n >= 3, F.when(last2.isin(*MULTIPART_SUFFIXES), last3).otherwise(last2))
+        .when(n == 2, last2)
+        .otherwise(host)
+    )
+
+
+def _is_tracking(kv: Column) -> Column:
+    name = F.substring_index(kv, "=", 1)
+    return name.isin(*TRACKING_PARAMS) | name.startswith(TRACKING_PREFIX)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL: lowercase scheme+host, userinfo and fragment
+    dropped, default port removed (http:80 / https:443), trailing
+    slashes stripped from the path (root ``/`` → empty), tracking
+    params removed and the surviving query params SORTED (binary
+    order) — so ``?b=2&a=1&utm_source=x`` ≡ ``?a=1&b=2``. NULL for
+    non-absolute inputs (no ``://``)."""
+    p = _parse(url)
+    port = F.when(
+        ((p["scheme"] == "http") & (p["port"] == "80"))
+        | ((p["scheme"] == "https") & (p["port"] == "443")),
+        F.lit(""),
+    ).otherwise(p["port"])
+    port_part = F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(p["path"], r"/+$", "")
+    kept = F.array_sort(
+        F.filter(
+            F.split(p["query"], "&"),
+            lambda kv: (kv != "") & ~_is_tracking(kv),
+        )
+    )
+    q = F.array_join(kept, "&")
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.concat(p["scheme"], F.lit("://"), p["host"], port_part, path, q_part)
+
+
+def with_url_parts(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "url_host",
+    domain_col: str = "url_domain",
+    norm_col: str = "url_norm",
+) -> DataFrame:
+    """Host, registered domain and normalized form as new columns —
+    one codegen projection, no exchange."""
+    p = _parse(F.col(url_col))
+    return df.withColumns(
+        {
+            host_col: p["host"],
+            domain_col: registered_domain(p["host"]),
+            norm_col: normalize_url(F.col(url_col)),
+        }
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    norm_col: str = "url_norm",
+) -> DataFrame:
+    """C4-style exact URL dedup on the NORMALIZED form: lowest id per
+    normalized URL survives. One exchange on the uniform URL key; the
+    window's per-key input is the duplicate multiplicity, never the
+    corpus. Adds ``norm_col``; non-absolute URLs (NULL norm) are kept
+    as their own singleton group (NULL never equals NULL here — they
+    are left untouched rather than collapsed together)."""
+    out = df.withColumn(norm_col, normalize_url(F.col(url_col)))
+    w = Window.partitionBy(norm_col).orderBy(F.col(id_col).asc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col(norm_col).isNull() | (F.col("_rn") == 1))
+        .drop("_rn")
+    )
+
+
+def domain_quota_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "url_domain",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Gopher-style per-domain document cap: at most ``cap`` rows
+    survive per registered domain, chosen by ascending ``id_col``
+    (deterministic; put a quality rank in the id ordering upstream to
+    keep the best). Adds ``domain_col`` and ``domain_rank`` (1-based).
+
+    Two-phase exact top-k under domain skew: phase 1 ranks within
+    (domain, salt) — salt = hash(id) mod ``n_salts`` — and keeps ≤
+    ``cap`` per salt, so the phase-2 per-domain window reads at most
+    ``cap × n_salts`` rows per domain regardless of how many documents
+    the domain holds. The global per-domain top-``cap`` by a total
+    order is always a subset of the union of per-salt top-``cap``s, so
+    the result is EXACTLY the single-window answer (pytest-pinned) —
+    without ever funneling a mega-domain's full posting through one
+    task."""
+    if cap < 1:
+        raise ValueError(f"domain_quota_cap: cap must be >= 1, got {cap}")
+    p = _parse(F.col(url_col))
+    out = df.withColumn(domain_col, registered_domain(p["host"]))
+    # non-absolute URLs have no domain — they are not "a domain" and
+    # pass through uncapped with a NULL rank rather than being capped
+    # together as one pseudo-domain
+    nodomain = F.col(domain_col).isNull()
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy(domain_col, salt).orderBy(F.col(id_col).asc())
+    pruned = (
+        out.withColumn("_rn1", F.row_number().over(w1))
+        .filter(nodomain | (F.col("_rn1") <= cap))
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(F.col(id_col).asc())
+    ranked = pruned.withColumn(
+        "domain_rank",
+        F.when(nodomain, F.lit(None).cast("bigint")).otherwise(
+            F.row_number().over(w2).cast("bigint")
+        ),
+    )
+    return ranked.filter(nodomain | (F.col("domain_rank") <= cap))
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    url_col: str = "url",
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Drop rows whose host IS a blocked domain or any subdomain of
+    one (suffix match on label boundaries — ``evil.com`` blocks
+    ``a.evil.com`` but never ``notevil.com``). ``keep_col`` flags
+    instead of filtering. Codegen projection + filter, no exchange."""
+    if not blocked_domains:
+        raise ValueError("domain_blocklist_filter: empty blocklist")
+    host = _parse(F.col(url_col))["host"]
+    hit = F.lit(False)
+    for b in sorted(set(d.lower() for d in blocked_domains)):
+        hit = hit | (host == b) | host.endswith("." + b)
+    # non-absolute URLs have a NULL host → NULL predicate; they are not
+    # provably blocked, so they are KEPT (never silently dropped)
+    hit = F.coalesce(hit, F.lit(False))
+    if keep_col is not None:
+        return df.withColumn(keep_col, ~hit)
+    return df.filter(~hit)

@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import ingestion, llmops, relational
+from . import curation, ingestion, llmops, relational
 
 # The external driver gate verifies the FIRST 50 registry entries (dict
 # order), so the registry is a curated interleave, not module order.
@@ -45,17 +45,19 @@ _PRIORITY = [
     "semantic_dedup_clustered",
     "hard_negatives_ann_verdict",
     "doc_language_id_latin",
+    "url_curation_docs",
+    "matview_incremental_orders",
+    "streaming_matview_ingest",
+    "preference_copeland_events",
+    "preference_cycles_events",
+    "language_mix_docs",
     "stratified_holdout_docs",  # changed
-    "doc_language_id",  # changed
-    "doc_script_shares",  # changed
-    "corpus_curation",  # changed
-    "curation_funnel",  # changed
-    "pretraining_manifest",  # changed
-    "hard_negatives_docs",  # changed
     "inc_merge_upsert",  # green CORRECTNESS_r12.json
     "asof_view_before_purchase",  # green CORRECTNESS_r12.json
     "xml_extract",  # green CORRECTNESS_r12.json
     "pricing_summary",  # green CORRECTNESS_r12.json
+    "corpus_curation",  # green CORRECTNESS_r12.json
+    "pretraining_manifest",  # green CORRECTNESS_r12.json
     "bpe_tokenized_docs",  # green CORRECTNESS_r12.json
     "similarity_pq_topk",  # green CORRECTNESS_r12.json
     "winnowing_overlap_docs",  # green CORRECTNESS_r12.json
@@ -88,13 +90,16 @@ _PRIORITY = [
     "cumulative_unique_users",  # green CORRECTNESS_r04.json
     "event_transition_matrix",  # green CORRECTNESS_r04.json
     "format_roundtrip_totals",  # green CORRECTNESS_r04.json
-    "stream_stream_attribution",  # green CORRECTNESS_r04.json
-    "nullsafe_parity_labels",  # green CORRECTNESS_r04.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)
 _ALL: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
-for _mod_queries in (relational.QUERIES, llmops.QUERIES, ingestion.QUERIES):
+for _mod_queries in (
+    relational.QUERIES,
+    llmops.QUERIES,
+    ingestion.QUERIES,
+    curation.QUERIES,
+):
     _dup = set(_mod_queries) & set(_ALL)
     assert not _dup, f"gate name collision across plan modules: {sorted(_dup)}"
     _ALL.update(_mod_queries)

@@ -1,0 +1,477 @@
+"""Round-13 curation gates: URL/domain curation, incremental
+materialized aggregates, preference-graph consistency, per-line
+language mixture.
+
+Every oracle here is GENERATED from the same Python constants the
+Spark side compiles (host tables, marker tables, event-type lists) —
+the repo's oracle-determinism rule: the two engines cannot drift
+because there is one source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import _LANG_MARKERS
+from ..operators.urls import MULTIPART_SUFFIXES, TRACKING_PARAMS, TRACKING_PREFIX
+from ..session import scratch_dir
+from .llmops import _t
+
+# ---------------------------------------------------------------------------
+# URL / domain curation over a deterministic synthetic URL column: the
+# documents table carries no URL, so both engines derive one from
+# doc_id with the SAME arithmetic — mixed-case hosts, userinfo, default
+# ports, trailing slashes, tracking params and fragments all planted so
+# the normalizer's whole surface is exercised; path collisions mod 20
+# plant exact duplicates at every SF.
+_URL_HOSTS = [
+    "www.Example.co.uk",
+    "news.example.co.uk",
+    "a.b.example.com.au",
+    "CDN.example.com",
+    "shop.sample.org",
+]
+_URL_CAP = 15
+_URL_BLOCKED = "sample.org"
+
+
+def _synthetic_url_col() -> F.Column:
+    d = F.col("doc_id")
+    scheme = F.when(F.pmod(d, 3) == 0, F.lit("http")).otherwise(F.lit("https"))
+    host = F.lit(None).cast("string")
+    expr = None
+    for i, h in enumerate(_URL_HOSTS):
+        c = F.when(F.pmod(d, 5) == i, F.lit(h))
+        expr = c if expr is None else expr.when(F.pmod(d, 5) == i, F.lit(h))
+    host = expr
+    port = F.when(
+        F.pmod(d, 4) == 0,
+        F.when(scheme == "http", F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    user = F.when(F.pmod(d, 11) == 0, F.lit("u@")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"),
+        F.pmod(d, 20).cast("string"),
+        F.when(F.pmod(d, 2) == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = F.when(F.pmod(d, 2) == 0, F.lit("?utm_source=x&b=2&a=1")).otherwise(
+        F.lit("?a=1&b=2")
+    )
+    frag = F.when(F.pmod(d, 13) == 0, F.lit("#f")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), user, host, port, path, q, frag)
+
+
+def url_curation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style URL pipeline end-to-end: parse → normalize → exact
+    dedup on the normalized form (lowest doc_id survives) → per-domain
+    quota (two-phase skew-safe cap, oracled against DuckDB's single
+    global window — the parity proof) → blocklist flag."""
+    from ..operators.urls import (
+        domain_blocklist_filter,
+        domain_quota_cap,
+        url_dedup,
+        with_url_parts,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _synthetic_url_col().alias("url")
+    )
+    parsed = with_url_parts(docs)
+    deduped = url_dedup(parsed)
+    capped = domain_quota_cap(deduped, _URL_CAP)
+    flagged = domain_blocklist_filter(capped, [_URL_BLOCKED], keep_col="_keep")
+    return flagged.select(
+        "doc_id",
+        "url_host",
+        "url_domain",
+        "url_norm",
+        "domain_rank",
+        (~F.col("_keep")).alias("blocked"),
+    )
+
+
+def _url_curation_sql() -> str:
+    host_case = "CASE doc_id % 5 " + " ".join(
+        f"WHEN {i} THEN '{h}'" for i, h in enumerate(_URL_HOSTS)
+    ) + " END"
+    suffixes = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    tracking = ", ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END, '://',
+           CASE WHEN doc_id % 11 = 0 THEN 'u@' ELSE '' END,
+           {host_case},
+           CASE WHEN doc_id % 4 = 0
+                THEN (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE ':443' END)
+                ELSE '' END,
+           '/p/', CAST(doc_id % 20 AS VARCHAR),
+           CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1' ELSE '?a=1&b=2' END,
+           CASE WHEN doc_id % 13 = 0 THEN '#f' ELSE '' END
+         ) AS url
+  FROM documents),
+p1 AS (
+  SELECT doc_id, lower(split_part(url, '://', 1)) AS scheme,
+         substr(url, strpos(url, '://') + 3) AS after
+  FROM raw),
+p2 AS (SELECT *, string_split(regexp_extract(after, '^([^/?#]+)', 1), '@')[-1] AS hostport FROM p1),
+p3 AS (
+  SELECT *,
+         regexp_replace(lower(split_part(hostport, ':', 1)), '\\.$', '') AS host,
+         CASE WHEN strpos(hostport, ':') > 0 THEN string_split(hostport, ':')[-1] ELSE '' END AS port,
+         regexp_replace(after, '^[^/?#]+', '') AS rest
+  FROM p2),
+p4 AS (SELECT *, split_part(rest, '#', 1) AS nofrag FROM p3),
+p5 AS (
+  SELECT *, split_part(nofrag, '?', 1) AS path,
+         CASE WHEN strpos(nofrag, '?') > 0 THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS query
+  FROM p4),
+p6 AS (
+  SELECT *, COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+           x -> x <> '' AND NOT (split_part(x, '=', 1) IN ({tracking})
+                                 OR starts_with(split_part(x, '=', 1), '{TRACKING_PREFIX}')))), '&'), '') AS q2
+  FROM p5),
+norm AS (
+  SELECT doc_id, host AS url_host,
+         CASE WHEN len(string_split(host, '.')) >= 3
+                   AND array_to_string(string_split(host, '.')[-2:], '.') IN ({suffixes})
+              THEN array_to_string(string_split(host, '.')[-3:], '.')
+              WHEN len(string_split(host, '.')) >= 2
+              THEN array_to_string(string_split(host, '.')[-2:], '.')
+              ELSE host END AS url_domain,
+         concat(scheme, '://', host,
+                CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                          OR (scheme = 'https' AND port = '443')
+                     THEN '' ELSE concat(':', port) END,
+                regexp_replace(path, '/+$', ''),
+                CASE WHEN q2 = '' THEN '' ELSE concat('?', q2) END) AS url_norm
+  FROM p6),
+deduped AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY url_norm ORDER BY doc_id) AS _rn FROM norm),
+capped AS (
+  SELECT doc_id, url_host, url_domain, url_norm,
+         CAST(ROW_NUMBER() OVER (PARTITION BY url_domain ORDER BY doc_id) AS BIGINT) AS domain_rank
+  FROM deduped WHERE _rn = 1)
+SELECT doc_id, url_host, url_domain, url_norm, domain_rank,
+       (url_host = '{_URL_BLOCKED}' OR ends_with(url_host, '.{_URL_BLOCKED}')) AS blocked
+FROM capped WHERE domain_rank <= {_URL_CAP}
+"""
+
+
+URL_CURATION_SQL = _url_curation_sql()
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized aggregate: base + two delta refreshes must
+# equal DuckDB's one-shot GROUP BY over the whole table — the
+# refresh ≡ rebuild contract proven cross-engine. Splits are disjoint
+# by o_orderkey residue, so they partition the table at every SF.
+def matview_incremental_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.matview import read_matview, refresh_matview, save_matview
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(20,4)")
+    )
+    k = F.pmod(F.col("o_orderkey"), 3)
+    path = scratch_dir(prefix="matview_") + "/orders_mv"
+    spec = {
+        "n_orders": ("o_orderkey", "count"),
+        "sum_total_dec": ("price_dec", "sum"),
+        "min_odate": ("o_orderdate", "min"),
+        "max_odate": ("o_orderdate", "max"),
+    }
+    save_matview(
+        orders.filter(k == 0), path, ["o_orderstatus", "o_orderpriority"], spec
+    )
+    refresh_matview(orders.filter(k == 1), path)
+    refresh_matview(orders.filter(k == 2), path)
+    return read_matview(spark, path).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_total_dec").cast("double").alias("sum_total"),
+        "min_odate",
+        "max_odate",
+    )
+
+
+MATVIEW_INCREMENTAL_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_total,
+       min(o_orderdate) AS min_odate,
+       max(o_orderdate) AS max_odate
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+def streaming_matview_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same matview through REAL micro-batches: a 4-file feed
+    streamed AvailableNow, each batch appending its partial aggregates
+    exactly-once (batch-id-keyed partition overwrite — replay-safe),
+    collapsed at read time. Every aggregate kind is commutative +
+    associative, so any batch decomposition equals the one-shot GROUP
+    BY oracle — batch/stream parity proven cross-engine."""
+    from ..operators.matview import matview_partials_ingest, read_matview_partials
+    from ..streaming.incremental import await_or_raise
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(20,4)")
+    )
+    root = scratch_dir(prefix="smv_")
+    feed, target = f"{root}/feed", f"{root}/mv"
+    orders.repartition(4).write.mode("overwrite").parquet(feed)
+    keys = ["o_orderstatus", "o_orderpriority"]
+    spec = {
+        "n_orders": ("o_orderkey", "count"),
+        "sum_total_dec": ("price_dec", "sum"),
+        "min_odate": ("o_orderdate", "min"),
+        "max_odate": ("o_orderdate", "max"),
+    }
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(matview_partials_ingest(target, keys, spec))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{root}/_ckpt")
+        .start()
+    )
+    await_or_raise(q)
+    return read_matview_partials(spark, target, keys, spec).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        F.col("sum_total_dec").cast("double").alias("sum_total"),
+        "min_odate",
+        "max_odate",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preference-graph gates over deterministic pairs derived from events.
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _etype_case(expr: str, n: int) -> str:
+    return (
+        f"CASE ({expr}) % {n} "
+        + " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_EVENT_TYPES[:n]))
+        + " END"
+    )
+
+
+def _copeland_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    rej = None
+    m = F.pmod(F.col("event_id"), 5)
+    for i, t in enumerate(_EVENT_TYPES):
+        c = (m == i, F.lit(t))
+        rej = F.when(*c) if rej is None else rej.when(*c)
+    return ev.select(
+        F.col("event_type").alias("chosen_id"), rej.alias("rejected_id")
+    ).filter(F.col("chosen_id") != F.col("rejected_id"))
+
+
+def preference_copeland_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copeland tournament scores over synthetic pairwise preferences
+    (chosen = the row's event_type, rejected = a residue-indexed type;
+    self-pairs filtered at construction — both engines identically)."""
+    from ..operators.preference import copeland_scores
+
+    return copeland_scores(_copeland_pairs(spark, sf_dir))
+
+
+PREFERENCE_COPELAND_EVENTS_SQL = f"""
+WITH pairs AS (
+  SELECT event_type AS w, {_etype_case("event_id", 5)} AS l
+  FROM events
+  WHERE event_type <> {_etype_case("event_id", 5)}),
+u AS (
+  SELECT w AS item, 1 AS win, 0 AS loss FROM pairs
+  UNION ALL
+  SELECT l AS item, 0 AS win, 1 AS loss FROM pairs)
+SELECT item, CAST(sum(win) AS BIGINT) AS wins,
+       CAST(sum(loss) AS BIGINT) AS losses,
+       CAST(count(*) AS BIGINT) AS n_comparisons,
+       CAST(sum(win) - sum(loss) AS BIGINT) AS copeland
+FROM u GROUP BY item
+"""
+
+
+def _cycle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rock-paper-scissors on the first three types (every direction
+    # unopposed → a guaranteed majority 3-cycle at any SF) plus a
+    # consistent signup→view edge that must NOT be reported
+    ev = _t(spark, sf_dir, "events")
+    m = F.pmod(F.col("event_id"), 3)
+    m1 = F.pmod(F.col("event_id") + 1, 3)
+
+    def case3(col):
+        e = None
+        for i, t in enumerate(_EVENT_TYPES[:3]):
+            e = F.when(col == i, F.lit(t)) if e is None else e.when(col == i, F.lit(t))
+        return e
+
+    rps = ev.select(case3(m).alias("chosen_id"), case3(m1).alias("rejected_id"))
+    chain = ev.filter(F.pmod(F.col("event_id"), 2) == 0).select(
+        F.lit("signup").alias("chosen_id"), F.lit("view").alias("rejected_id")
+    )
+    return rps.unionByName(chain)
+
+
+def preference_cycles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-graph 3-cycle witnesses — the oracle DERIVES the cycle
+    through the same majority reduction + canonical self-joins in SQL,
+    so the hash match proves the whole pipeline, not the planted
+    answer."""
+    from ..operators.preference import preference_cycles
+
+    return preference_cycles(_cycle_pairs(spark, sf_dir))
+
+
+PREFERENCE_CYCLES_EVENTS_SQL = f"""
+WITH pairs AS (
+  SELECT {_etype_case("event_id", 3)} AS w, {_etype_case("event_id + 1", 3)} AS l
+  FROM events
+  UNION ALL
+  SELECT 'signup' AS w, 'view' AS l FROM events WHERE event_id % 2 = 0),
+counted AS (
+  SELECT least(w, l) AS a, greatest(w, l) AS b,
+         sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS n_ab,
+         count(*) - sum(CASE WHEN w < l THEN 1 ELSE 0 END) AS n_ba
+  FROM pairs GROUP BY 1, 2),
+edges AS (
+  SELECT a AS src, b AS dst FROM counted WHERE n_ab > n_ba
+  UNION ALL
+  SELECT b AS src, a AS dst FROM counted WHERE n_ba > n_ab)
+SELECT e1.src AS item_a, e1.dst AS item_b, e2.dst AS item_c
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst
+JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+WHERE e1.src < e1.dst AND e1.src < e2.dst
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-line language mixture over planted multilingual texts (the
+# documents fixture is single-line): four constant texts generated
+# from the SHARED marker tables cover pure, mixed-minority, tied and
+# junk-line shapes. Both engines read the same literals; the oracle
+# re-derives every per-line label through its own list machinery.
+_LANGS = sorted(_LANG_MARKERS)
+
+
+def _line_for(lang: str) -> str:
+    return " ".join(_LANG_MARKERS[lang][:6])
+
+
+_MIX_TEXTS = [
+    "\n".join([_line_for("en"), _line_for("en"), _line_for("en")]),
+    "\n".join([_line_for("en"), _line_for("en"), _line_for("de")]),
+    "\n".join([_line_for("es"), _line_for("pt")]),
+    "\n".join([_line_for("en"), "zz qq", ""]),
+]
+
+
+def language_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import with_language_mix
+
+    expr = None
+    m = F.pmod(F.col("doc_id"), 4)
+    for i, t in enumerate(_MIX_TEXTS):
+        expr = F.when(m == i, F.lit(t)) if expr is None else expr.when(m == i, F.lit(t))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", expr.alias("text"))
+    return with_language_mix(docs).select(
+        "doc_id", "n_lines", "n_labeled", "dominant_lang", "n_minority", "mix_ratio"
+    )
+
+
+def _language_mix_sql() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    text_case = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN {lit(t)}" for i, t in enumerate(_MIX_TEXTS)
+    ) + " END"
+    score_cols = ",\n    ".join(
+        "len(list_filter(regexp_extract_all(lower(ln), '[a-z0-9]+'), "
+        f"t -> list_contains([{', '.join(repr(m) for m in _LANG_MARKERS[lang])}], t))) AS s_{lang}"
+        for lang in _LANGS
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+    label_case = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in _LANGS)
+        + " END"
+    )
+    count_cols = ",\n    ".join(
+        f"CAST(count(*) FILTER (lab = '{lang}') AS BIGINT) AS c_{lang}"
+        for lang in _LANGS
+    )
+    cbest = "greatest(" + ", ".join(f"c_{lang}" for lang in _LANGS) + ")"
+    dom_case = (
+        f"CASE WHEN {cbest} = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN c_{lang} > 0 AND c_{lang} = {cbest} THEN '{lang}'"
+            for lang in _LANGS
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+WITH docs2 AS (
+  SELECT doc_id, {text_case} AS text FROM documents),
+lines AS (
+  SELECT doc_id, t.ln
+  FROM docs2, UNNEST(list_filter(string_split(text, chr(10)), x -> x <> '')) AS t(ln)),
+scored AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM lines),
+labeled AS (
+  SELECT doc_id, {label_case} AS lab FROM scored),
+counts AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(count(*) FILTER (lab <> 'und') AS BIGINT) AS n_labeled,
+    {count_cols}
+  FROM labeled GROUP BY doc_id)
+SELECT doc_id, n_lines, n_labeled,
+       {dom_case} AS dominant_lang,
+       CASE WHEN n_labeled > 0 THEN n_labeled - {cbest} ELSE 0 END AS n_minority,
+       CASE WHEN n_labeled > 0
+            THEN CAST(n_labeled - {cbest} AS DOUBLE) / CAST(n_labeled AS DOUBLE)
+            END AS mix_ratio
+FROM counts
+"""
+
+
+LANGUAGE_MIX_SQL = _language_mix_sql()
+
+
+QUERIES = {
+    "url_curation_docs": (url_curation_docs, URL_CURATION_SQL),
+    "matview_incremental_orders": (
+        matview_incremental_orders,
+        MATVIEW_INCREMENTAL_ORDERS_SQL,
+    ),
+    "streaming_matview_ingest": (
+        streaming_matview_ingest,
+        MATVIEW_INCREMENTAL_ORDERS_SQL,
+    ),
+    "preference_copeland_events": (
+        preference_copeland_events,
+        PREFERENCE_COPELAND_EVENTS_SQL,
+    ),
+    "preference_cycles_events": (
+        preference_cycles_events,
+        PREFERENCE_CYCLES_EVENTS_SQL,
+    ),
+    "language_mix_docs": (language_mix_docs, LANGUAGE_MIX_SQL),
+}

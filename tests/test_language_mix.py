@@ -1,0 +1,88 @@
+"""Per-line language mixture (text.with_language_mix).
+
+Pins: per-line labeling with the shared marker tables, 'und' lines
+excluded from purity, dominant-language tie rule (alphabetical-first,
+matching with_language_id), exact minority counts + single division,
+and empty/unlabeled edge cases.
+"""
+
+from data_ingestion_pipelines_spark.operators.text import (
+    with_language_id,
+    with_language_mix,
+)
+
+
+def _mix(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    return {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["n_labeled"],
+            r["dominant_lang"],
+            r["n_minority"],
+            r["mix_ratio"],
+        )
+        for r in with_language_mix(df).collect()
+    }
+
+
+def test_mixed_doc_counts_minority_lines(spark):
+    got = _mix(
+        spark,
+        [
+            (
+                1,
+                "the cat is that for it\n"
+                "der hund ist nicht ein\n"
+                "the dog and the fox\n"
+                "\n"
+                "zzz qqq",
+            )
+        ],
+    )
+    # 4 non-empty lines, 3 labeled (en, de, en), the junk line is 'und'
+    # and does NOT count against purity
+    assert got[1] == (4, 3, "en", 1, 1 / 3)
+
+
+def test_pure_doc_and_unlabeled_doc(spark):
+    got = _mix(
+        spark,
+        [
+            (1, "el gato es una para\nel perro es una en"),
+            (2, "zz\nqq"),
+            (3, ""),
+        ],
+    )
+    assert got[1] == (2, 2, "es", 0, 0.0)
+    assert got[2] == (2, 0, "und", 0, None)
+    assert got[3] == (0, 0, "und", 0, None)
+
+
+def test_dominant_tie_matches_doc_level_tie_rule(spark):
+    # one clean German line, one clean English line → 1-1 tie; the
+    # doc-level langid's rule is alphabetically-first among positives
+    rows = [(1, "der hund ist nicht ein mit\nthe cat is that for it")]
+    got = _mix(spark, rows)
+    assert got[1][2] == "de" and got[1][3] == 1
+    # and the doc-level label on the same text agrees with the rule
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    doc_label = with_language_id(df).collect()[0]["lang_pred"]
+    assert doc_label in ("de", "en")  # whole-doc counts may differ,
+    # but the tie rule itself is pinned above at line granularity
+
+
+def test_line_blind_spot_demonstrated(spark):
+    # majority-English doc with a German tail: doc-level says 'en',
+    # line-level exposes the 40% German mixture
+    text = (
+        "the cat is that for it\n"
+        "the dog and the fox is\n"
+        "the fish is in the bowl\n"
+        "der hund ist nicht ein\n"
+        "das ist nicht der und\n"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id BIGINT, text STRING")
+    assert with_language_id(df).collect()[0]["lang_pred"] == "en"
+    got = _mix(spark, [(1, text)])
+    assert got[1] == (5, 5, "en", 2, 0.4)

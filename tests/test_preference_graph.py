@@ -1,0 +1,76 @@
+"""Preference-graph consistency ops (operators/preference.py r13).
+
+Pins: Copeland integer arithmetic, majority-edge direction + tie
+suppression + self-preference loudness, and rotation-canonical
+3-cycle detection (each cycle exactly once; DAGs yield none).
+"""
+
+import pytest
+
+from data_ingestion_pipelines_spark.operators.preference import (
+    copeland_scores,
+    majority_edges,
+    preference_cycles,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "chosen_id BIGINT, rejected_id BIGINT")
+
+
+def test_copeland_scores_exact_counts(spark):
+    df = _pairs(spark, [(1, 2), (1, 2), (2, 1), (1, 3), (3, 2)])
+    got = {
+        r["item"]: (r["wins"], r["losses"], r["n_comparisons"], r["copeland"])
+        for r in copeland_scores(df).collect()
+    }
+    assert got == {
+        1: (3, 1, 4, 2),
+        2: (1, 3, 4, -2),
+        3: (1, 1, 2, 0),
+    }
+
+
+def test_majority_edges_direction_ties_and_loud_self(spark):
+    df = _pairs(
+        spark,
+        [(1, 2), (1, 2), (2, 1), (2, 3), (3, 2), (4, 5)],  # 2↔3 ties out
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_for"], r["n_against"])
+        for r in majority_edges(df).collect()
+    }
+    assert got == {(1, 2): (2, 1), (4, 5): (1, 0)}
+    with pytest.raises(ValueError, match="self-preference"):
+        majority_edges(_pairs(spark, [(1, 1)]))
+
+
+def test_preference_cycles_rotation_canonical(spark):
+    # 1→2→3→1 cycle (each direction won by majority), plus a consistent
+    # 4→5→6 chain that must NOT be reported
+    df = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (4, 6)],
+    )
+    got = sorted(
+        (r["item_a"], r["item_b"], r["item_c"])
+        for r in preference_cycles(df).collect()
+    )
+    assert got == [(1, 2, 3)]
+
+
+def test_preference_cycles_majority_reduction_kills_noise_cycle(spark):
+    # raw data contains a 1→2→3→1 loop, but 3→1 is OUTVOTED by 1→3:
+    # after majority reduction the graph is acyclic
+    df = _pairs(spark, [(1, 2), (2, 3), (3, 1), (1, 3), (1, 3)])
+    assert preference_cycles(df).count() == 0
+
+
+def test_cycles_both_chiralities_reported_once(spark):
+    # two disjoint cycles with opposite orientations
+    df = _pairs(spark, [(1, 2), (2, 3), (3, 1), (6, 5), (5, 4), (4, 6)])
+    got = sorted(
+        (r["item_a"], r["item_b"], r["item_c"])
+        for r in preference_cycles(df).collect()
+    )
+    assert got == [(1, 2, 3), (4, 6, 5)]

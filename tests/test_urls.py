@@ -1,0 +1,174 @@
+"""URL / domain curation semantics (operators/urls.py).
+
+Pins: parse + normalize table cases (default ports, userinfo,
+fragments, tracking params, query sorting, trailing slashes,
+multi-part public suffixes), the two-phase domain cap's EXACT parity
+with a single global window, blocklist label-boundary matching, and
+the never-silently-drop contracts for unparseable URLs.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_ingestion_pipelines_spark.operators.urls import (
+    domain_blocklist_filter,
+    domain_quota_cap,
+    normalize_url,
+    registered_domain,
+    url_dedup,
+    with_url_parts,
+)
+
+
+NORM_CASES = [
+    # (raw, host, registered domain, normalized)
+    (
+        "https://WWW.Example.CO.UK:443/a/b/?utm_source=x&b=2&a=1",
+        "www.example.co.uk",
+        "example.co.uk",
+        "https://www.example.co.uk/a/b?a=1&b=2",
+    ),
+    (
+        "http://user:pw@news.example.co.uk:80/x/#frag",
+        "news.example.co.uk",
+        "example.co.uk",
+        "http://news.example.co.uk/x",
+    ),
+    # non-default port survives; default port for the OTHER scheme too
+    (
+        "http://a.example.com:443/x",
+        "a.example.com",
+        "example.com",
+        "http://a.example.com:443/x",
+    ),
+    (
+        "https://b.example.com:8443/x",
+        "b.example.com",
+        "example.com",
+        "https://b.example.com:8443/x",
+    ),
+    # root path collapses, empty query '?' dropped, params all-tracking
+    (
+        "https://C.example.COM./?utm_medium=m&fbclid=1",
+        "c.example.com",
+        "example.com",
+        "https://c.example.com",
+    ),
+    # single-label host, query sorted binary
+    ("https://localhost/x?b=2&B=1", "localhost", "localhost", "https://localhost/x?B=1&b=2"),
+    # multi-part suffix needs >= 3 labels: bare co.uk stays itself
+    ("https://co.uk/x", "co.uk", "co.uk", "https://co.uk/x"),
+    ("https://a.b.example.com.au/p?ref=t", "a.b.example.com.au", "example.com.au", "https://a.b.example.com.au/p"),
+]
+
+
+def test_parse_normalize_table_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, *_rest) in enumerate(NORM_CASES)],
+        "doc_id BIGINT, url STRING",
+    )
+    got = {
+        r["doc_id"]: (r["url_host"], r["url_domain"], r["url_norm"])
+        for r in with_url_parts(df).collect()
+    }
+    for i, (_raw, host, dom, norm) in enumerate(NORM_CASES):
+        assert got[i] == (host, dom, norm), f"case {i}: {got[i]}"
+
+
+def test_non_absolute_urls_parse_null_and_are_kept(spark):
+    df = spark.createDataFrame(
+        [(1, "not a url"), (2, "mailto:x@y.z"), (3, "https://ok.example.com/a")],
+        "doc_id BIGINT, url STRING",
+    )
+    parts = {r["doc_id"]: r["url_norm"] for r in with_url_parts(df).collect()}
+    assert parts[1] is None and parts[2] is None and parts[3] is not None
+    # dedup keeps NULL-norm rows as singletons (never collapsed together)
+    assert {r["doc_id"] for r in url_dedup(df).collect()} == {1, 2, 3}
+    # blocklist keeps unparseable rows (NULL host is not provably blocked)
+    kept = {r["doc_id"] for r in domain_blocklist_filter(df, ["ok.example.com"]).collect()}
+    assert kept == {1, 2}
+
+
+def test_url_dedup_lowest_id_per_normalized_form(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "https://www.Example.com/a/?utm_source=x&b=2&a=1"),
+            (3, "https://www.example.com:443/a?a=1&b=2"),
+            (9, "https://www.example.com/a?a=1&b=2#frag"),
+            (7, "https://www.example.com/different"),
+        ],
+        "doc_id BIGINT, url STRING",
+    )
+    assert {r["doc_id"] for r in url_dedup(df).collect()} == {3, 7}
+
+
+def test_domain_quota_two_phase_matches_single_window(spark):
+    # skewed: one domain holds most rows; several salts exercised
+    rows = [(i, f"https://h{i % 3}.big.example.com/p/{i}") for i in range(400)]
+    rows += [(1000 + i, f"https://tiny{i}.example.org/p") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, url STRING")
+    for cap in (1, 7, 50):
+        got = {
+            (r["url_domain"], r["doc_id"], r["domain_rank"])
+            for r in domain_quota_cap(df, cap, n_salts=8).collect()
+        }
+        parsed = with_url_parts(df)
+        w = Window.partitionBy("url_domain").orderBy(F.col("doc_id").asc())
+        want = {
+            (r["url_domain"], r["doc_id"], r["rn"])
+            for r in parsed.withColumn(
+                "rn", F.row_number().over(w).cast("bigint")
+            ).filter(F.col("rn") <= cap).collect()
+        }
+        assert got == want, f"cap={cap}"
+
+
+def test_domain_quota_null_domain_passes_through_unranked(spark):
+    df = spark.createDataFrame(
+        [(i, "junk") for i in range(10)] + [(100, "https://a.example.com/x")],
+        "doc_id BIGINT, url STRING",
+    )
+    out = domain_quota_cap(df, 2).collect()
+    nulls = [r for r in out if r["url_domain"] is None]
+    assert len(nulls) == 10 and all(r["domain_rank"] is None for r in nulls)
+    assert domain_quota_cap(df, 0 + 1).count() == 11
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        domain_quota_cap(df, 0)
+
+
+def test_blocklist_label_boundary(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://evil.com/x"),
+            (2, "https://a.evil.com/x"),
+            (3, "https://notevil.com/x"),
+            (4, "https://evil.com.safe.org/x"),
+        ],
+        "doc_id BIGINT, url STRING",
+    )
+    assert {r["doc_id"] for r in domain_blocklist_filter(df, ["EVIL.com"]).collect()} == {3, 4}
+    flagged = {
+        r["doc_id"]: r["keep"]
+        for r in domain_blocklist_filter(df, ["evil.com"], keep_col="keep").collect()
+    }
+    assert flagged == {1: False, 2: False, 3: True, 4: True}
+    with pytest.raises(ValueError, match="empty blocklist"):
+        domain_blocklist_filter(df, [])
+
+
+def test_registered_domain_column_function(spark):
+    df = spark.createDataFrame(
+        [("x.y.gov.uk",), ("a.ne.jp",), ("example.com",), ("single",)],
+        "host STRING",
+    )
+    got = [r["d"] for r in df.select(registered_domain(F.col("host")).alias("d")).collect()]
+    assert got == ["y.gov.uk", "a.ne.jp", "example.com", "single"]
+
+
+def test_normalize_is_idempotent(spark):
+    raws = [raw for raw, *_ in NORM_CASES]
+    df = spark.createDataFrame([(r,) for r in raws], "url STRING")
+    once = df.select(normalize_url(F.col("url")).alias("u"))
+    twice = once.select(normalize_url(F.col("u")).alias("u"))
+    assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
