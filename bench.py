@@ -226,6 +226,7 @@ HEADLINE = [
     "preference_copeland_events",
     "preference_cycles_events",
     "language_mix_docs",
+    "bucketed_colocated_join",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

@@ -51,6 +51,7 @@ _PRIORITY = [
     "preference_copeland_events",
     "preference_cycles_events",
     "language_mix_docs",
+    "bucketed_colocated_join",
     "stratified_holdout_docs",  # changed
     "inc_merge_upsert",  # green CORRECTNESS_r12.json
     "asof_view_before_purchase",  # green CORRECTNESS_r12.json
@@ -89,7 +90,6 @@ _PRIORITY = [
     "sql_api_region_revenue",  # green CORRECTNESS_r04.json
     "cumulative_unique_users",  # green CORRECTNESS_r04.json
     "event_transition_matrix",  # green CORRECTNESS_r04.json
-    "format_roundtrip_totals",  # green CORRECTNESS_r04.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -254,6 +254,55 @@ def streaming_matview_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables eliminate the repeated join shuffle: orders and
+    customer are written ONCE bucketed on custkey (same bucket count →
+    co-located), then the merge join reads buckets as-is. The
+    ``colocated_join`` verdict column is computed from the actual
+    physical plan (no shuffle exchange on either join side — broadcast
+    wouldn't prove bucketing, so the join is hint-pinned to SMJ); the
+    revenue aggregate rides the usual DECIMAL-exact money rule."""
+    from ..sinks.bucketed import (
+        plan_has_shuffle,
+        read_bucketed_table,
+        write_bucketed_table,
+    )
+
+    root = scratch_dir(prefix="buckt_")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    write_bucketed_table(
+        orders, "r13_b_orders", f"{root}/o", 8, ["o_custkey"], ["o_custkey"]
+    )
+    write_bucketed_table(
+        cust, "r13_b_cust", f"{root}/c", 8, ["c_custkey"], ["c_custkey"]
+    )
+    o = read_bucketed_table(spark, "r13_b_orders")
+    c = read_bucketed_table(spark, "r13_b_cust")
+    joined = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    colocated = not plan_has_shuffle(joined)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(20,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("colocated_join", F.lit(colocated))
+    )
+
+
+BUCKETED_COLOCATED_JOIN_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+       TRUE AS colocated_join
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Preference-graph gates over deterministic pairs derived from events.
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -474,4 +523,8 @@ QUERIES = {
         PREFERENCE_CYCLES_EVENTS_SQL,
     ),
     "language_mix_docs": (language_mix_docs, LANGUAGE_MIX_SQL),
+    "bucketed_colocated_join": (
+        bucketed_colocated_join,
+        BUCKETED_COLOCATED_JOIN_SQL,
+    ),
 }

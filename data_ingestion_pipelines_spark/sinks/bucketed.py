@@ -1,0 +1,91 @@
+"""Bucketed tables: pre-shuffled storage for co-located joins.
+
+The single biggest repeated cost in a 100 TB warehouse is re-shuffling
+the same fact table on the same join key for every downstream job.
+Spark's bucketed tables spend that shuffle ONCE at write time: rows are
+hash-partitioned into a fixed number of buckets on the join key (and
+optionally sorted within each bucket), and every later equi-join or
+aggregation on that key reads the buckets as-is — the plan shows a
+SortMergeJoin with NO Exchange on either side (pytest pins this on the
+explain output; ``spark.sql.sources.bucketing.enabled`` is on by
+default). Two tables bucketed on the same key with the SAME bucket
+count co-locate: bucket i joins bucket i, task-local.
+
+Sizing rule of thumb at scale: pick ``buckets`` so one bucket of the
+LARGER table is a few hundred MB (e.g. 100 TB / 4096 buckets ≈ 25 GB —
+too big; 65536 ≈ 1.5 GB; bucket counts must match across tables you
+join, so choose for the pair). Bucket counts are powers of two by
+convention so they can be coarsened by unioning adjacent buckets.
+
+Reference parity: the reference persists curated Delta tables and
+re-reads them downstream (``bp-scala-api-ingestions/dataSource
+bp/ModuleFunctions.scala`` saveADLS paths); bucketing is the
+Spark-native answer to the same "write once, join many" shape (Delta's
+equivalents are OPTIMIZE ZORDER / liquid clustering — see
+operators/layout.py for the z-order path).
+
+Local caveat: ``bucketBy`` requires ``saveAsTable`` (bucket metadata
+lives in the catalog, not the parquet footer); we register an EXTERNAL
+table over an explicit ``path`` so nothing lands in a default
+warehouse dir, and drop-if-exists first so repeated gate/bench runs in
+one session are idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as an external bucketed (and optionally
+    bucket-sorted) parquet table. The one-time shuffle happens here;
+    joins/aggregations on ``bucket_cols`` read it back exchange-free."""
+    if buckets < 1:
+        raise ValueError(f"write_bucketed_table: buckets must be >= 1, got {buckets}")
+    if not bucket_cols:
+        raise ValueError("write_bucketed_table: bucket_cols must be non-empty")
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_bucketed_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back (bucket metadata rides the catalog
+    entry, so this MUST go through the table name, not the path)."""
+    return spark.table(table)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True when the physical plan contains a SHUFFLE exchange (hash or
+    range repartitioning) — the co-location check the bucketed-join
+    pytest and gate verdicts use. Broadcast exchanges do NOT count: a
+    broadcast of a small side moves no partitioned data and is exactly
+    what a bucketed scan should still allow. Use a ``merge`` join hint
+    (or disable the broadcast threshold) when asserting co-location, so
+    AQE's small-table broadcast doesn't bypass the bucketed SMJ path
+    being proven."""
+    # simple mode prints each node inline ("Exchange hashpartitioning(...")
+    # — formatted mode splits the node name from its Arguments: line and
+    # would false-negative a substring check
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    return ("Exchange hashpartitioning" in plan) or (
+        "Exchange rangepartitioning" in plan
+    )

@@ -1,0 +1,70 @@
+"""Bucketed-table co-located joins (sinks/bucketed.py).
+
+Pins: a same-bucket-count pair joins with ZERO shuffle exchanges while
+the plain-parquet control shuffles both sides; bucketed groupBy on the
+bucket key is exchange-free too; results are identical to the plain
+path; validation is loud.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_ingestion_pipelines_spark.sinks.bucketed import (
+    plan_has_shuffle,
+    read_bucketed_table,
+    write_bucketed_table,
+)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(i % 50, i, float(i)) for i in range(500)], "k BIGINT, id BIGINT, v DOUBLE"
+    )
+    right = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(50)], "k BIGINT, grp STRING"
+    )
+    return left, right
+
+
+def test_bucketed_join_is_shuffle_free_and_exact(spark, tmp_path):
+    left, right = _frames(spark)
+    write_bucketed_table(left, "t_b_left", str(tmp_path / "l"), 4, ["k"], ["k"])
+    write_bucketed_table(right, "t_b_right", str(tmp_path / "r"), 4, ["k"], ["k"])
+    bl = read_bucketed_table(spark, "t_b_left")
+    br = read_bucketed_table(spark, "t_b_right")
+    bj = bl.hint("merge").join(br, "k")
+    assert not plan_has_shuffle(bj)
+    # the plain-parquet control DOES shuffle both sides
+    pj = left.hint("merge").join(right, "k")
+    assert plan_has_shuffle(pj)
+    # and the results are identical
+    got = sorted((r["k"], r["id"], r["grp"]) for r in bj.collect())
+    want = sorted((r["k"], r["id"], r["grp"]) for r in pj.collect())
+    assert got == want and len(got) == 500
+
+
+def test_bucketed_groupby_on_bucket_key_is_shuffle_free(spark, tmp_path):
+    left, _ = _frames(spark)
+    write_bucketed_table(left, "t_b_agg", str(tmp_path / "a"), 4, ["k"])
+    b = read_bucketed_table(spark, "t_b_agg")
+    agg = b.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    assert not plan_has_shuffle(agg)
+    assert plan_has_shuffle(left.groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+    assert {r["k"]: r["n"] for r in agg.collect()} == {k: 10 for k in range(50)}
+
+
+def test_rewrite_same_table_name_is_idempotent(spark, tmp_path):
+    left, _ = _frames(spark)
+    write_bucketed_table(left, "t_b_re", str(tmp_path / "x1"), 4, ["k"])
+    write_bucketed_table(
+        left.filter(F.col("k") < 10), "t_b_re", str(tmp_path / "x2"), 4, ["k"]
+    )
+    assert read_bucketed_table(spark, "t_b_re").count() == 100
+
+
+def test_validation_is_loud(spark, tmp_path):
+    left, _ = _frames(spark)
+    with pytest.raises(ValueError, match="buckets must be >= 1"):
+        write_bucketed_table(left, "t_bad", str(tmp_path / "b"), 0, ["k"])
+    with pytest.raises(ValueError, match="bucket_cols"):
+        write_bucketed_table(left, "t_bad", str(tmp_path / "b"), 4, [])
