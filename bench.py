@@ -227,6 +227,7 @@ HEADLINE = [
     "preference_cycles_events",
     "language_mix_docs",
     "bucketed_colocated_join",
+    "neardup_best_survivor_docs",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

@@ -1373,3 +1373,50 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= F.lit(float(threshold)))
     )
+
+
+def cluster_best_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep the HIGHEST-QUALITY member per near-dup cluster (ties →
+    lowest id) plus every unpaired document — the survivor rule
+    production curation actually wants (RefinedWeb keeps the longest /
+    best-scored member, not the lowest id; cf.
+    :func:`cluster_representatives` for the min-id variant the
+    incremental sinks use, where the survivor must be ORDER-FREE).
+
+    Trade-off worth knowing: quality-keyed survival is NOT mergeable —
+    min-id is commutative/associative/idempotent across deliveries,
+    while "best quality" can flip when a later delivery adds a better
+    member, so this belongs in batch curation passes, not the
+    streaming min-id sinks.
+
+    One aggregate on the cluster key (``max_by`` over a (quality, -id)
+    struct — no window, the per-cluster reduction is map-side
+    combinable) plus graph-scale anti-joins pinned to ``shuffle_hash``
+    (losers grow with the dup rate — never broadcastable at corpus
+    scale)."""
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    memq = clusters.join(
+        docs.select(
+            F.col(id_col).cast("bigint").alias("node"),
+            F.col(quality_col).alias("_q"),
+        ).hint("shuffle_hash"),
+        "node",
+    )
+    winners = memq.groupBy("cluster").agg(
+        F.max_by(F.col("node"), F.struct(F.col("_q"), (-F.col("node")).alias("_nid"))).alias(
+            "_winner"
+        )
+    )
+    losers = (
+        clusters.join(winners.hint("shuffle_hash"), "cluster")
+        .filter(F.col("node") != F.col("_winner"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(losers.hint("shuffle_hash"), on=id_col, how="left_anti")

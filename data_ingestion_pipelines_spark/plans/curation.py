@@ -254,6 +254,70 @@ def streaming_matview_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_best_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-keyed survivor selection over deterministic near-dup
+    chains: edges (i,i+1),(i+1,i+2) for i ≡ 0 (mod 10) — 3-node
+    clusters (diameter 2) wherever the neighbors exist, built by
+    EXISTENCE joins (no contiguity assumption). The best ``n_chars``
+    member survives (ties → lowest id); the oracle re-derives the
+    clusters with a two-hop reachability closure and its own window,
+    so the hash pins the connected-components fixpoint AND the argmax
+    rule."""
+    from ..operators.dedup import cluster_best_representatives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ids = docs.select("doc_id")
+    base = ids.filter(F.pmod(F.col("doc_id"), 10) == 0)
+    e1 = (
+        base.select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    e2 = (
+        base.select(
+            (F.col("doc_id") + 1).alias("id_a"), (F.col("doc_id") + 2).alias("id_b")
+        )
+        .join(ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+    )
+    pairs = e1.unionByName(e2)
+    return cluster_best_representatives(docs, pairs, quality_col="n_chars")
+
+
+NEARDUP_BEST_SURVIVOR_SQL = """
+WITH ids AS (SELECT doc_id FROM documents),
+e1 AS (
+  SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b
+  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0),
+e2 AS (
+  SELECT a.doc_id + 1 AS id_a, a.doc_id + 2 AS id_b
+  FROM ids a
+  JOIN ids b1 ON b1.doc_id = a.doc_id + 1
+  JOIN ids b2 ON b2.doc_id = a.doc_id + 2
+  WHERE a.doc_id % 10 = 0),
+edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+sym AS (
+  SELECT id_a AS s, id_b AS t FROM edges
+  UNION ALL SELECT id_b AS s, id_a AS t FROM edges),
+reach AS (
+  SELECT s, t FROM sym
+  UNION ALL SELECT a.s, b.t FROM sym a JOIN sym b ON a.t = b.s
+  UNION ALL SELECT s, s AS t FROM sym),
+clusters AS (SELECT s AS node, min(t) AS cluster FROM reach GROUP BY s),
+ranked AS (
+  SELECT c.node,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster
+                            ORDER BY d.n_chars DESC, c.node ASC) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.node),
+losers AS (SELECT node FROM ranked WHERE rn > 1)
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = d.doc_id)
+"""
+
+
 def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed tables eliminate the repeated join shuffle: orders and
     customer are written ONCE bucketed on custkey (same bucket count →
@@ -526,5 +590,9 @@ QUERIES = {
     "bucketed_colocated_join": (
         bucketed_colocated_join,
         BUCKETED_COLOCATED_JOIN_SQL,
+    ),
+    "neardup_best_survivor_docs": (
+        neardup_best_survivor_docs,
+        NEARDUP_BEST_SURVIVOR_SQL,
     ),
 }

@@ -68,3 +68,33 @@ def test_validation_is_loud(spark, tmp_path):
         write_bucketed_table(left, "t_bad", str(tmp_path / "b"), 0, ["k"])
     with pytest.raises(ValueError, match="bucket_cols"):
         write_bucketed_table(left, "t_bad", str(tmp_path / "b"), 4, [])
+
+
+def test_cluster_best_representatives_quality_and_ties(spark):
+    # separate concern but small: quality-keyed survivor selection
+    # (operators/dedup.py r13) — 4-node chain plus a tied pair plus an
+    # unpaired doc
+    from data_ingestion_pipelines_spark.operators.dedup import (
+        cluster_best_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10),
+            (2, 99),  # best of cluster {1,2,3,4}
+            (3, 50),
+            (4, 99),  # ties with 2 -> lower id (2) wins
+            (10, 7),
+            (11, 7),  # tied pair -> 10 survives
+            (20, 1),  # unpaired -> survives untouched
+        ],
+        "doc_id BIGINT, q BIGINT",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in cluster_best_representatives(docs, pairs, "q").collect()
+    )
+    assert got == [2, 10, 20]
