@@ -228,6 +228,7 @@ HEADLINE = [
     "language_mix_docs",
     "bucketed_colocated_join",
     "neardup_best_survivor_docs",
+    "html_extract_docs",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

@@ -1471,3 +1471,48 @@ def with_language_mix(
             ),
         }
     )
+
+
+# HTML-strip pipeline, shared with the gate's DuckDB twin (the oracle
+# SQL is GENERATED from these tables — one source of truth). RE2-safe:
+# no backreferences (script/style are separate patterns), non-greedy
+# spans, inline (?is) flags both engines accept, explicit whitespace
+# class (Java \s includes U+000B, RE2's does not).
+HTML_STRIP_REGEXES: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+]
+# single-pass literal entity decode; '&amp;' LAST so '&amp;lt;' decodes
+# to the literal text '&lt;' (standard one-pass semantics), never to '<'
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def strip_html(col: Column) -> Column:
+    """Plain text from HTML-ish markup: script/style/comment blocks
+    removed, tags stripped, the common entities decoded in one pass,
+    whitespace collapsed and trimmed — the trafilatura-lite extraction
+    step a web-corpus pipeline runs before any text-quality pass. Pure
+    ordered regexp/replace chain: zero shuffle, zero UDF, scan speed at
+    any corpus size; NOT an HTML parser (malformed nesting degrades to
+    tag-stripping, which is the curation-appropriate failure mode)."""
+    out = col
+    for pat, rep in HTML_STRIP_REGEXES:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, "[ \\t\\n\\f\\r]+", " "))
+
+
+def with_html_stripped(
+    df: DataFrame, text_col: str = "text", out: str = "text_plain"
+) -> DataFrame:
+    return df.withColumn(out, strip_html(F.col(text_col)))

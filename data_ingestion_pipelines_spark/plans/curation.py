@@ -254,6 +254,64 @@ def streaming_matview_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HTML wrappers keyed by doc_id — cover script+style+comment blocks,
+# entity decode (incl. the '&amp;lt;' one-pass case) and bare text with
+# a self-closing tag. Both engines build them from these literals.
+_HTML_PRE = [
+    (
+        '<html><head><script type="text/javascript">var x = 1 < 2;</script>'
+        "<style>.a{color:red}</style></head><body><h1>T</h1><p>",
+        "</p><!-- note --></body></html>",
+    ),
+    ('<div class="x">', " &amp; more &lt;tags&gt; &amp;lt;literal</div>"),
+    ("", " <br/> tail"),
+]
+
+
+def html_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strip_html over deterministically HTML-wrapped documents — the
+    oracle replays the SAME regex/entity tables (generated SQL) through
+    DuckDB's RE2, so the hash proves the chain is engine-portable
+    (no backreferences, inline flags, explicit whitespace class)."""
+    from ..operators.text import with_html_stripped
+
+    m = F.pmod(F.col("doc_id"), 3)
+    expr = None
+    for i, (pre, post) in enumerate(_HTML_PRE):
+        v = F.concat(F.lit(pre), F.col("text"), F.lit(post))
+        expr = F.when(m == i, v) if expr is None else expr.when(m == i, v)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", expr.alias("text"))
+    return with_html_stripped(docs).select(
+        "doc_id", F.length("text").cast("bigint").alias("n_raw"), "text_plain"
+    )
+
+
+def _html_extract_sql() -> str:
+    from ..operators.text import HTML_ENTITIES, HTML_STRIP_REGEXES
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    case = "CASE doc_id % 3 " + " ".join(
+        f"WHEN {i} THEN concat({lit(pre)}, text, {lit(post)})"
+        for i, (pre, post) in enumerate(_HTML_PRE)
+    ) + " END"
+    out = "raw"
+    for pat, rep in HTML_STRIP_REGEXES:
+        out = f"regexp_replace({out}, {lit(pat)}, {lit(rep)}, 'g')"
+    for ent, ch in HTML_ENTITIES:
+        out = f"replace({out}, {lit(ent)}, {lit(ch)})"
+    out = f"trim(regexp_replace({out}, '[ \\t\\n\\f\\r]+', ' ', 'g'))"
+    return f"""
+WITH wrapped AS (SELECT doc_id, {case} AS raw FROM documents)
+SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw, {out} AS text_plain
+FROM wrapped
+"""
+
+
+HTML_EXTRACT_SQL = _html_extract_sql()
+
+
 def neardup_best_survivor_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-keyed survivor selection over deterministic near-dup
     chains: edges (i,i+1),(i+1,i+2) for i ≡ 0 (mod 10) — 3-node
@@ -595,4 +653,5 @@ QUERIES = {
         neardup_best_survivor_docs,
         NEARDUP_BEST_SURVIVOR_SQL,
     ),
+    "html_extract_docs": (html_extract_docs, HTML_EXTRACT_SQL),
 }

@@ -89,3 +89,26 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     return ("Exchange hashpartitioning" in plan) or (
         "Exchange rangepartitioning" in plan
     )
+
+
+def selected_buckets(df: DataFrame) -> tuple[int, int] | None:
+    """(selected, total) bucket counts from the physical plan's scan —
+    the bucket-pruning evidence: an equality filter on the bucket key
+    reads ``1 out of N`` buckets instead of the whole table. ``None``
+    when the plan has no bucketed scan.
+
+    Caveat: Spark's auto-bucketed-scan heuristic
+    (``spark.sql.sources.bucketing.autoBucketedScan.enabled``, default
+    true) DISABLES the bucketed read when the plan has no
+    distribution-requiring operator — i.e. exactly the bare
+    point-lookup this check wants to prove. Turn it off around pure
+    lookups (the pytest does) or keep a join/agg in the plan."""
+    import re
+
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    return (int(m.group(1)), int(m.group(2))) if m else None

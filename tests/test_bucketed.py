@@ -98,3 +98,26 @@ def test_cluster_best_representatives_quality_and_ties(spark):
         for r in cluster_best_representatives(docs, pairs, "q").collect()
     )
     assert got == [2, 10, 20]
+
+
+def test_bucket_pruning_point_lookup(spark, tmp_path):
+    from data_ingestion_pipelines_spark.sinks.bucketed import selected_buckets
+
+    left, _ = _frames(spark)
+    write_bucketed_table(left, "t_b_prune", str(tmp_path / "p"), 8, ["k"])
+    b = read_bucketed_table(spark, "t_b_prune")
+    old = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    try:
+        # the auto-bucketed-scan heuristic drops the bucketed read for a
+        # bare lookup (no distribution-requiring operator) — disable it
+        # to prove the pruning path
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        hit = b.filter(F.col("k") == 7)
+        assert selected_buckets(hit) == (1, 8)
+        assert hit.count() == 10
+        # no filter -> all buckets
+        assert selected_buckets(b) == (8, 8)
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
+    # a non-bucketed frame has no bucketed scan at all
+    assert selected_buckets(left) is None

@@ -86,3 +86,28 @@ def test_line_blind_spot_demonstrated(spark):
     assert with_language_id(df).collect()[0]["lang_pred"] == "en"
     got = _mix(spark, [(1, text)])
     assert got[1] == (5, 5, "en", 2, 0.4)
+
+
+def test_strip_html_table_cases(spark):
+    from data_ingestion_pipelines_spark.operators.text import with_html_stripped
+
+    cases = [
+        (
+            1,
+            '<html><head><script>var x = 1 < 2;</script><style>.a{c}</style>'
+            "</head><body><h1>Title</h1><p>hello   world</p><!-- c --></body></html>",
+            "Title hello world",
+        ),
+        (2, "a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "a & b <tag> \"q\" 's'"),
+        # one-pass decode: &amp;lt; is the literal text '&lt;', never '<'
+        (3, "x &amp;lt; y", "x &lt; y"),
+        (4, "line1<br/>line2\n\nline3", "line1 line2 line3"),
+        (5, "no markup at all", "no markup at all"),
+        (6, "<SCRIPT>alert(1)</SCRIPT>ok", "ok"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, raw, _ in cases], "doc_id BIGINT, text STRING"
+    )
+    got = {r["doc_id"]: r["text_plain"] for r in with_html_stripped(df).collect()}
+    for i, _raw, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r}"
