@@ -225,3 +225,45 @@ def read_matview_partials(
 ) -> DataFrame:
     """Current streamed aggregate: collapse all batch partials."""
     return collapse_partials(spark.read.parquet(target_path), keys, spec)
+
+
+def compact_matview_partials(
+    spark: SparkSession,
+    target_path: str,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+) -> int:
+    """Fold accumulated batch partials into one base partition
+    (``_batch_id=-1``) so the read-side collapse stays O(groups)
+    instead of O(batches × groups) — the LSM compaction step the
+    partials sink's contract promises.
+
+    Replay-safety rule: the NEWEST batch partition is NEVER folded.
+    Structured Streaming only re-runs a micro-batch whose checkpoint
+    commit didn't land, and that can only be the latest batch — every
+    older batch the stream advanced past is committed. Folding an
+    uncommitted batch would break exactly-once: its replay would
+    re-append a partial that compaction already absorbed into the base
+    (double count). By folding only ``_batch_id < max``, a replayed
+    max-batch still overwrites its own partition and the base is
+    untouched. Returns the number of batch partitions folded (0 =
+    nothing to do: one batch, or only the base)."""
+    import shutil
+
+    df = spark.read.parquet(target_path)
+    bids = sorted(
+        r["_batch_id"] for r in df.select("_batch_id").distinct().collect()
+    )
+    foldable = [b for b in bids if b != -1 and b != max(bids)]
+    if not foldable:
+        return 0
+    fold = df.filter(F.col("_batch_id") != max(bids))  # base + old batches
+    base = collapse_partials(fold.drop("_batch_id"), keys, spec)
+    # same dynamic-partition-overwrite idempotence as the ingest path:
+    # the base rewrite only touches its own _batch_id=-1 partition
+    from ..streaming.incremental import idempotent_batch_append
+
+    idempotent_batch_append(base, target_path, -1)
+    for b in foldable:
+        shutil.rmtree(f"{target_path.rstrip('/')}/_batch_id={b}", ignore_errors=True)
+    return len(foldable)

@@ -1390,11 +1390,14 @@ def phrase_match_counts(
 
 
 
-def _line_lang_label(line: Column) -> Column:
-    """Per-line langid label Column: argmax of stopword hits over
-    ``_LANG_MARKERS`` with the SAME tie rule as ``with_language_id``
-    (alphabetically-first among positive ties, 'und' on zero hits)."""
-    toks = word_tokens(line)
+def _label_from_tokens(toks: Column) -> Column:
+    """Langid label from a pre-extracted token array: argmax of
+    stopword hits over ``_LANG_MARKERS`` with the SAME tie rule as
+    ``with_language_id`` (alphabetically-first among positive ties,
+    'und' on zero hits). Taking TOKENS, not text, lets callers that
+    label many segments extract each segment's tokens exactly once —
+    inlining ``word_tokens`` here would replay the regex extraction
+    per score expression (Catalyst does not CSE inside HOF lambdas)."""
 
     def score_for(markers: list[str]) -> Column:
         arr = F.array(*[F.lit(m) for m in markers])
@@ -1408,6 +1411,12 @@ def _line_lang_label(line: Column) -> Column:
             (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
         ).otherwise(pred)
     return pred
+
+
+def _line_lang_label(line: Column) -> Column:
+    """Per-line langid label from raw line text (one-off convenience;
+    batch callers should tokenize once and use _label_from_tokens)."""
+    return _label_from_tokens(word_tokens(line))
 
 
 def with_language_mix(
@@ -1441,7 +1450,12 @@ def with_language_mix(
     lines = F.filter(
         F.split(F.col(text_col), "\n"), lambda l: l != F.lit("")
     )
-    labels = F.transform(lines, _line_lang_label)
+    # tokenize each line ONCE, then label from the token arrays — the
+    # label expression references its scores ~3× each across 6
+    # languages, and Catalyst does not CSE inside HOF lambdas, so
+    # inlining the regex extraction replays it ~18× per line
+    toks_per_line = F.transform(lines, word_tokens)
+    labels = F.transform(toks_per_line, _label_from_tokens)
     labeled = F.filter(labels, lambda x: x != F.lit("und"))
     n_labeled = F.size(labeled).cast("bigint")
     def _count_of(lang: str) -> Column:

@@ -213,10 +213,17 @@ def streaming_matview_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same matview through REAL micro-batches: a 4-file feed
     streamed AvailableNow, each batch appending its partial aggregates
     exactly-once (batch-id-keyed partition overwrite — replay-safe),
-    collapsed at read time. Every aggregate kind is commutative +
-    associative, so any batch decomposition equals the one-shot GROUP
-    BY oracle — batch/stream parity proven cross-engine."""
-    from ..operators.matview import matview_partials_ingest, read_matview_partials
+    collapsed at read time; after the stream drains, the LSM
+    compaction folds all but the newest batch into the base partition
+    (the replay-safe rule) and the post-compaction read is what gets
+    hashed. Every aggregate kind is commutative + associative, so any
+    batch decomposition — and the compaction — equals the one-shot
+    GROUP BY oracle: batch/stream/compaction parity cross-engine."""
+    from ..operators.matview import (
+        compact_matview_partials,
+        matview_partials_ingest,
+        read_matview_partials,
+    )
     from ..streaming.incremental import await_or_raise
 
     orders = _t(spark, sf_dir, "orders").withColumn(
@@ -244,6 +251,7 @@ def streaming_matview_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     await_or_raise(q)
+    compact_matview_partials(spark, target, keys, spec)
     return read_matview_partials(spark, target, keys, spec).select(
         "o_orderstatus",
         "o_orderpriority",

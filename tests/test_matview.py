@@ -145,3 +145,42 @@ def test_partials_ingest_replay_is_exactly_once(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_compact_partials_preserves_answer_and_replay_safety(spark, tmp_path):
+    from data_ingestion_pipelines_spark.operators.matview import (
+        compact_matview_partials,
+        matview_partials_ingest,
+        read_matview_partials,
+    )
+
+    target = str(tmp_path / "mvc")
+    spec = {"n": ("k", "count"), "total": ("amount", "sum")}
+    ingest = matview_partials_ingest(target, ["k"], spec)
+    batches = [
+        spark.createDataFrame([("a", 1), ("b", 5)], "k STRING, amount BIGINT"),
+        spark.createDataFrame([("a", 2)], "k STRING, amount BIGINT"),
+        spark.createDataFrame([("a", 10), ("c", 1)], "k STRING, amount BIGINT"),
+    ]
+    for i, b in enumerate(batches):
+        ingest(b, i)
+    want = {("a", 3, 13), ("b", 1, 5), ("c", 1, 1)}
+
+    def snap():
+        return {
+            (r["k"], r["n"], r["total"])
+            for r in read_matview_partials(spark, target, ["k"], spec).collect()
+        }
+
+    # folds batches 0,1 into the base; batch 2 (newest) stays
+    assert compact_matview_partials(spark, target, ["k"], spec) == 2
+    assert snap() == want
+    # replay of the NEWEST batch after compaction overwrites its own
+    # partition — still exactly-once
+    ingest(batches[2], 2)
+    assert snap() == want
+    # nothing left to fold: base + one live batch
+    assert compact_matview_partials(spark, target, ["k"], spec) == 0
+    # ingestion continues after compaction
+    ingest(spark.createDataFrame([("b", -1)], "k STRING, amount BIGINT"), 3)
+    assert snap() == {("a", 3, 13), ("b", 2, 4), ("c", 1, 1)}
