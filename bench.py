@@ -229,6 +229,7 @@ HEADLINE = [
     "bucketed_colocated_join",
     "neardup_best_survivor_docs",
     "html_extract_docs",
+    "variant_props_rollup",
 ]
 
 # Gates whose r5->r6 no-change swing exceeded the best-of-3 noise floor

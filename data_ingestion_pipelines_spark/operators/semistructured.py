@@ -1,0 +1,97 @@
+"""Semi-structured (JSON → Variant) columns, Spark-4 native.
+
+The reference flattens REST/JSON payloads eagerly into columns
+(`flattenDataframe`, `bp-scala-api-ingestions/dataSource
+bp/ModuleFunctions.scala:211-246` — see operators/flatten.py for that
+path). That is right when the schema is stable; event ``props``-style
+payloads whose shape drifts per producer want the OTHER strategy:
+keep the payload semi-structured and extract typed paths lazily.
+Spark 4's VariantType is the native answer — ``parse_json`` decodes
+once into a binary variant (field access is O(log fields) on the
+encoded form, not a re-parse), ``variant_get`` pulls typed paths, and
+Parquet writers can SHRED hot variant paths into real columns so
+scans prune and push down like any other column.
+
+Scale shape: everything here is a codegen projection — zero shuffle,
+zero UDFs; the parse cost is paid once per row instead of once per
+extracted field (re-running ``get_json_object`` per field re-parses
+the string each time — the classic anti-pattern this module replaces).
+
+Contract notes: ``variant_get`` with a target type CASTS and FAILS on
+mismatch (ANSI), while ``try_variant_get`` yields NULL — callers pick
+loud vs permissive per field. Paths are ``$.a.b[0]`` JSONPath with
+0-based array indices (DuckDB's json_extract agrees, which is what the
+gate's oracle leans on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_variant(
+    df: DataFrame, json_col: str, out: str = "v", permissive: bool = False
+) -> DataFrame:
+    """Decode a JSON string column into a VariantType column.
+    ``permissive`` uses ``try_parse_json`` (malformed → NULL) instead
+    of failing the job — the quarantine-style choice for dirty feeds."""
+    fn = F.try_parse_json if permissive else F.parse_json
+    return df.withColumn(out, fn(F.col(json_col)))
+
+
+def variant_field(v: Column, path: str, dtype: str, permissive: bool = False) -> Column:
+    """One typed path extraction from a variant column."""
+    fn = F.try_variant_get if permissive else F.variant_get
+    return fn(v, path, dtype)
+
+
+def with_variant_fields(
+    df: DataFrame,
+    json_col: str,
+    fields: dict[str, tuple[str, str]],
+    permissive: bool = False,
+) -> DataFrame:
+    """Extract typed fields from a JSON column via ONE variant decode.
+
+    ``fields`` maps output column -> (JSONPath, spark type). The JSON
+    is parsed once into a variant and every field reads the binary
+    form; N ``get_json_object`` calls would re-parse the string N
+    times. ``permissive`` routes BOTH the parse and the casts through
+    the try_ variants (NULL instead of error)."""
+    if not fields:
+        raise ValueError("with_variant_fields: empty fields spec")
+    parse = F.try_parse_json if permissive else F.parse_json
+    v = parse(F.col(json_col))
+    return df.withColumns(
+        {out: variant_field(v, path, dtype, permissive) for out, (path, dtype) in fields.items()}
+    )
+
+
+def variant_schema_profile(
+    df: DataFrame, json_col: str, top_n: int = 20
+) -> DataFrame:
+    """Schema-drift census over a semi-structured feed: per distinct
+    inferred variant schema, how many rows carry it — the first
+    question when a producer silently changes payload shape. Returns
+    ``(variant_schema, n_rows)``, top ``top_n`` by count (full
+    tiebreak on the schema string — no bare LIMIT).
+
+    One shuffle on the schema-string key; the distinct-schema universe
+    is tiny by construction (payload SHAPES, not payloads)."""
+    counted = (
+        df.select(F.schema_of_variant(F.parse_json(F.col(json_col))).alias("variant_schema"))
+        .groupBy("variant_schema")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("variant_schema").asc())
+    # single-partition global window — acceptable ONLY because the
+    # input is the aggregated schema census (bounded by distinct payload
+    # shapes), never row-scale
+    return (
+        counted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .drop("_rn")
+    )

@@ -54,6 +54,7 @@ _PRIORITY = [
     "bucketed_colocated_join",
     "neardup_best_survivor_docs",
     "html_extract_docs",
+    "variant_props_rollup",
     "stratified_holdout_docs",  # changed
     "inc_merge_upsert",  # green CORRECTNESS_r12.json
     "asof_view_before_purchase",  # green CORRECTNESS_r12.json
@@ -89,7 +90,6 @@ _PRIORITY = [
     "daily_gap_fill",  # green CORRECTNESS_r04.json
     "event_sliding_windows",  # green CORRECTNESS_r04.json
     "stream_enriched_segments",  # green CORRECTNESS_r04.json
-    "sql_api_region_revenue",  # green CORRECTNESS_r04.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)

@@ -433,6 +433,67 @@ GROUP BY c.c_mktsegment
 """
 
 
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 VariantType over semi-structured payloads: each event's
+    JSON ``props`` is enriched into a nested document (object + array,
+    built identically in both engines), decoded ONCE via ``parse_json``
+    and read through typed ``variant_get`` paths — never N re-parses —
+    then rolled up. The oracle walks the same JSONPaths with DuckDB's
+    json_extract (0-based array indices in both)."""
+    from ..operators.semistructured import with_variant_fields
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.concat(
+            F.lit('{"p": '),
+            F.col("props"),
+            F.lit(', "user": {"id": '),
+            F.col("user_id").cast("string"),
+            F.lit(', "ty": "'),
+            F.col("event_type"),
+            F.lit('"}, "arr": [1, '),
+            F.pmod(F.col("event_id"), 5).cast("string"),
+            F.lit("]}"),
+        ).alias("doc"),
+    )
+    fields = {
+        "k": ("$.p.k", "bigint"),
+        "uid": ("$.user.id", "bigint"),
+        "ty": ("$.user.ty", "string"),
+        "arr1": ("$.arr[1]", "bigint"),
+    }
+    ex = with_variant_fields(ev, "doc", fields)
+    return ex.groupBy("ty").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.sum("arr1").cast("bigint").alias("sum_arr1"),
+        F.count_distinct(F.col("uid")).cast("bigint").alias("n_users"),
+    )
+
+
+VARIANT_PROPS_ROLLUP_SQL = """
+WITH docs AS (
+  SELECT concat('{"p": ', props,
+                ', "user": {"id": ', CAST(user_id AS VARCHAR),
+                ', "ty": "', event_type,
+                '"}, "arr": [1, ', CAST(event_id % 5 AS VARCHAR), ']}') AS doc
+  FROM events),
+ex AS (
+  SELECT CAST(json_extract_string(doc, '$.p.k') AS BIGINT) AS k,
+         CAST(json_extract_string(doc, '$.user.id') AS BIGINT) AS uid,
+         json_extract_string(doc, '$.user.ty') AS ty,
+         CAST(json_extract_string(doc, '$.arr[1]') AS BIGINT) AS arr1
+  FROM docs)
+SELECT ty, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(arr1) AS BIGINT) AS sum_arr1,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+FROM ex GROUP BY ty
+"""
+
+
 # ---------------------------------------------------------------------------
 # Preference-graph gates over deterministic pairs derived from events.
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -662,4 +723,5 @@ QUERIES = {
         NEARDUP_BEST_SURVIVOR_SQL,
     ),
     "html_extract_docs": (html_extract_docs, HTML_EXTRACT_SQL),
+    "variant_props_rollup": (variant_props_rollup, VARIANT_PROPS_ROLLUP_SQL),
 }

@@ -1,0 +1,78 @@
+"""VariantType semi-structured ops (operators/semistructured.py).
+
+Pins: one-decode multi-field extraction (typed paths, 0-based array
+indices), permissive vs loud parse/cast behavior, and the
+schema-drift census.
+"""
+
+import pytest
+
+from data_ingestion_pipelines_spark.operators.semistructured import (
+    variant_schema_profile,
+    with_variant,
+    with_variant_fields,
+)
+
+
+def test_typed_path_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "u": {"id": 9, "t": "x"}, "a": [10, 7]}'),
+            (2, '{"k": 6, "u": {"id": 2, "t": "y"}, "a": [1]}'),
+        ],
+        "id BIGINT, j STRING",
+    )
+    fields = {
+        "k": ("$.k", "bigint"),
+        "uid": ("$.u.id", "bigint"),
+        "t": ("$.u.t", "string"),
+        "a0": ("$.a[0]", "bigint"),
+        "a1": ("$.a[1]", "bigint"),  # missing on row 2 -> NULL (path miss,
+        # not a cast error, so even the loud mode yields NULL)
+    }
+    got = {
+        r["id"]: (r["k"], r["uid"], r["t"], r["a0"], r["a1"])
+        for r in with_variant_fields(df, "j", fields).collect()
+    }
+    assert got == {1: (5, 9, "x", 10, 7), 2: (6, 2, "y", 1, None)}
+
+
+def test_permissive_vs_loud(spark):
+    bad = spark.createDataFrame([(1, "not json {")], "id BIGINT, j STRING")
+    out = with_variant_fields(bad, "j", {"k": ("$.k", "bigint")}, permissive=True)
+    assert out.collect()[0]["k"] is None
+    with pytest.raises(Exception):  # malformed JSON fails the loud parse
+        with_variant_fields(bad, "j", {"k": ("$.k", "bigint")}).collect()
+    # type mismatch: loud cast errors, permissive NULLs
+    typed = spark.createDataFrame([(1, '{"k": "abc"}')], "id BIGINT, j STRING")
+    assert (
+        with_variant_fields(typed, "j", {"k": ("$.k", "bigint")}, permissive=True)
+        .collect()[0]["k"]
+        is None
+    )
+    with pytest.raises(Exception):
+        with_variant_fields(typed, "j", {"k": ("$.k", "bigint")}).collect()
+    with pytest.raises(ValueError, match="empty fields"):
+        with_variant_fields(bad, "j", {})
+
+
+def test_schema_profile_census(spark):
+    rows = [(i, '{"a": 1}') for i in range(6)]
+    rows += [(100 + i, '{"a": 1, "b": "x"}') for i in range(3)]
+    rows += [(200, '{"a": "str-now"}')]  # drifted type
+    df = spark.createDataFrame(rows, "id BIGINT, j STRING")
+    got = [
+        (r["variant_schema"], r["n_rows"])
+        for r in variant_schema_profile(df, "j").collect()
+    ]
+    assert got[0][1] == 6 and len(got) == 3
+    assert sum(n for _, n in got) == 10
+    # top_n truncation with deterministic tiebreak
+    assert len(variant_schema_profile(df, "j", top_n=2).collect()) == 2
+
+
+def test_with_variant_column(spark):
+    df = spark.createDataFrame([(1, '{"x": 1}')], "id BIGINT, j STRING")
+    assert "v" in with_variant(df, "j").columns
+    bad = spark.createDataFrame([(1, "{oops")], "id BIGINT, j STRING")
+    assert with_variant(bad, "j", permissive=True).collect()[0]["v"] is None
