@@ -192,29 +192,39 @@ def matview_partials_ingest(
 ):
     """``foreachBatch`` sink factory: stream a matview by appending
     each micro-batch's PARTIAL aggregates to a batch-id-keyed
-    partition, exactly-once (``idempotent_batch_append`` — a replayed
-    batch overwrites only its own partition, so additive counts/sums
-    never double-count). Read the current aggregate back with
-    :func:`read_matview_partials`.
+    partition under ``{target}/deltas``, exactly-once
+    (``idempotent_batch_append`` — a replayed batch overwrites only
+    its own partition, so additive counts/sums never double-count).
+    Read the current aggregate back with :func:`read_matview_partials`;
+    bound the read-side cost with :func:`compact_matview_partials`.
 
     Why partials-then-collapse instead of refresh-per-batch: a
     refresh-in-place is NOT replay-idempotent (re-adding a batch's sums
     corrupts silently); partitioned partials make replay overwrite, and
     the read-side collapse is O(batches × groups) — aggregate rows,
-    never base data. Compact by collapsing into a new base partition
-    when batch count grows (same LSM story as the line/gram indexes).
-    Batch decomposition cannot change the answer: every kind here is
-    commutative + associative, so any split of the source into
-    micro-batches collapses to the one-shot GROUP BY (the gate's
-    oracle proves it cross-engine)."""
+    never base data. Batch decomposition cannot change the answer:
+    every kind here is commutative + associative, so any split of the
+    source into micro-batches collapses to the one-shot GROUP BY (the
+    gate's oracle proves it cross-engine)."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         from ..streaming.incremental import idempotent_batch_append
 
         partial = grouped_aggregates(batch_df, keys, spec, allow_float_sum)
-        idempotent_batch_append(partial, target_path, batch_id)
+        idempotent_batch_append(
+            partial, f"{target_path.rstrip('/')}/deltas", batch_id
+        )
 
     return ingest
+
+
+def _folded_through(base_root: str) -> int:
+    from ..sinks.versioned import current_commit_token
+
+    token = current_commit_token(base_root)
+    if token and token.startswith("folded_through="):
+        return int(token.split("=", 1)[1])
+    return -1
 
 
 def read_matview_partials(
@@ -223,8 +233,20 @@ def read_matview_partials(
     keys: list[str],
     spec: dict[str, tuple[str, str]],
 ) -> DataFrame:
-    """Current streamed aggregate: collapse all batch partials."""
-    return collapse_partials(spark.read.parquet(target_path), keys, spec)
+    """Current streamed aggregate: the compacted base snapshot (if one
+    was published) merged with every delta batch NEWER than the base's
+    ``folded_through`` watermark. The watermark — not directory
+    absence — is what excludes folded deltas, so a crash between the
+    base publish and the delta cleanup can never double-count."""
+    from ..sinks.versioned import current_version, read_current
+
+    t = target_path.rstrip("/")
+    deltas = spark.read.parquet(f"{t}/deltas").filter(
+        F.col("_batch_id") > F.lit(_folded_through(f"{t}/base"))
+    ).drop("_batch_id")
+    if current_version(f"{t}/base") is not None:
+        deltas = read_current(spark, f"{t}/base").unionByName(deltas)
+    return collapse_partials(deltas, keys, spec)
 
 
 def compact_matview_partials(
@@ -233,37 +255,62 @@ def compact_matview_partials(
     keys: list[str],
     spec: dict[str, tuple[str, str]],
 ) -> int:
-    """Fold accumulated batch partials into one base partition
-    (``_batch_id=-1``) so the read-side collapse stays O(groups)
-    instead of O(batches × groups) — the LSM compaction step the
-    partials sink's contract promises.
+    """Fold accumulated delta partials into the base snapshot so the
+    read-side collapse stays O(groups + newest batch) instead of
+    O(batches × groups) — the LSM compaction step the partials sink's
+    contract promises.
 
-    Replay-safety rule: the NEWEST batch partition is NEVER folded.
-    Structured Streaming only re-runs a micro-batch whose checkpoint
-    commit didn't land, and that can only be the latest batch — every
-    older batch the stream advanced past is committed. Folding an
-    uncommitted batch would break exactly-once: its replay would
-    re-append a partial that compaction already absorbed into the base
-    (double count). By folding only ``_batch_id < max``, a replayed
-    max-batch still overwrites its own partition and the base is
-    untouched. Returns the number of batch partitions folded (0 =
-    nothing to do: one batch, or only the base)."""
+    Atomicity (this is the whole design): the new base — old base plus
+    every foldable delta — publishes through the versioned-snapshot
+    pointer flip with a ``folded_through=<max folded batch id>`` commit
+    token, and the READ PATH excludes deltas at-or-below that
+    watermark. So the crash matrix is clean: crash before the flip →
+    old base + all deltas (correct); crash after the flip but before
+    cleanup → new base, stale delta dirs EXCLUDED by the watermark
+    (correct, just disk); cleanup failures are therefore loud-logged
+    space leaks, never double counts, and the next compaction retries
+    them.
+
+    Replay-safety: the NEWEST delta is never folded — Structured
+    Streaming only re-runs a batch whose checkpoint commit didn't land,
+    which can only be the latest; its replay overwrites its own
+    partition. Returns the number of delta partitions folded."""
     import shutil
 
-    df = spark.read.parquet(target_path)
+    t = target_path.rstrip("/")
+    from ..sinks.versioned import current_version, read_current, write_snapshot
+
+    through = _folded_through(f"{t}/base")
+    df = spark.read.parquet(f"{t}/deltas")
     bids = sorted(
         r["_batch_id"] for r in df.select("_batch_id").distinct().collect()
     )
-    foldable = [b for b in bids if b != -1 and b != max(bids)]
-    if not foldable:
-        return 0
-    fold = df.filter(F.col("_batch_id") != max(bids))  # base + old batches
-    base = collapse_partials(fold.drop("_batch_id"), keys, spec)
-    # same dynamic-partition-overwrite idempotence as the ingest path:
-    # the base rewrite only touches its own _batch_id=-1 partition
-    from ..streaming.incremental import idempotent_batch_append
-
-    idempotent_batch_append(base, target_path, -1)
-    for b in foldable:
-        shutil.rmtree(f"{target_path.rstrip('/')}/_batch_id={b}", ignore_errors=True)
+    live = [b for b in bids if b > through]
+    foldable = [b for b in live if b != max(live)] if live else []
+    if foldable:
+        fold = df.filter(
+            F.col("_batch_id").isin([int(b) for b in foldable])
+        ).drop("_batch_id")
+        if current_version(f"{t}/base") is not None:
+            fold = read_current(spark, f"{t}/base").unionByName(fold)
+        write_snapshot(
+            collapse_partials(fold, keys, spec),
+            f"{t}/base",
+            commit_token=f"folded_through={max(foldable)}",
+        )
+    # cleanup: every delta dir at-or-below the (possibly new) watermark
+    # is dead — including leftovers from an earlier crashed cleanup
+    new_through = _folded_through(f"{t}/base")
+    for b in bids:
+        if b <= new_through:
+            try:
+                shutil.rmtree(f"{t}/deltas/_batch_id={b}")
+            except OSError as exc:  # noqa: PERF203
+                # loud, but correctness is watermark-protected — the
+                # next compaction retries the delete
+                print(
+                    f"compact_matview_partials: could not remove folded "
+                    f"delta _batch_id={b}: {exc} (space leak only; "
+                    "excluded from reads by the folded_through watermark)"
+                )
     return len(foldable)

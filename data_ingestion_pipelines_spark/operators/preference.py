@@ -145,14 +145,10 @@ def majority_edges(
     pairs prefer src over dst than the reverse (ties emit NO edge —
     they carry no direction). One shuffle on the unordered pair key;
     self-preferences (winner == loser) are contradictions in the raw
-    data and are rejected loudly rather than dropped."""
-    n_self = pairs.filter(F.col(winner_col) == F.col(loser_col)).count()
-    if n_self:
-        raise ValueError(
-            f"majority_edges: {n_self} self-preference row(s) "
-            f"({winner_col} == {loser_col}) — a preference of an item "
-            "over itself is label noise; clean the pair source first"
-        )
+    data and are rejected loudly rather than dropped — detected on the
+    AGGREGATED frame (a == b groups), so the guard costs an O(groups)
+    read of the checkpointed reduction, never a second eager scan of
+    the corpus-scale raw pairs."""
     a = F.least(F.col(winner_col), F.col(loser_col))
     b = F.greatest(F.col(winner_col), F.col(loser_col))
     counted = (
@@ -168,7 +164,18 @@ def majority_edges(
             F.sum("_ab").cast("bigint").alias("_n_ab"),
             (F.count(F.lit(1)) - F.sum("_ab")).cast("bigint").alias("_n_ba"),
         )
+        # materialized once: the self-pair guard and both edge
+        # selections below read this without recomputing the corpus
+        # aggregation
+        .localCheckpoint(eager=True)
     )
+    bad = counted.filter(F.col("_a") == F.col("_b")).select("_a").first()
+    if bad is not None:
+        raise ValueError(
+            f"majority_edges: self-preference row(s) present (e.g. item "
+            f"{bad['_a']!r} preferred over itself) — label noise; clean "
+            "the pair source first"
+        )
     fwd = counted.filter(F.col("_n_ab") > F.col("_n_ba")).select(
         F.col("_a").alias("src"),
         F.col("_b").alias("dst"),

@@ -444,7 +444,8 @@ def stratified_holdout(
 
     The quota is computed in EXACT integer arithmetic: ``frac`` is
     interpreted as the rational its decimal literal denotes (via
-    ``Fraction(str(frac))``, denominator capped at 10^6), and
+    ``Fraction(str(frac))``, denominator capped at 10^9 — rejected
+    loudly, never approximated), and
     ``ceil(n·num/den)`` is the bigint ceil-division
     ``(n·num + den − 1) div den`` — never a double multiply. Double
     ``ceil(n * frac)`` overshoots the mathematical ceiling whenever the
@@ -454,14 +455,28 @@ def stratified_holdout(
     ``(num, den)`` tuple for rationals that aren't short decimals."""
     from fractions import Fraction
 
+    _DEN_CAP = 10**9
     if isinstance(frac, tuple):
         num, den = int(frac[0]), int(frac[1])
     else:
         # str(frac) renders the shortest decimal that round-trips, so
         # 0.07 becomes exactly 7/100 — the rational the caller wrote,
-        # not the nearest double
-        r = Fraction(str(frac)).limit_denominator(10**6)
+        # not the nearest double. NEVER approximated: a frac whose
+        # exact denominator exceeds the cap is REJECTED loudly rather
+        # than silently rounded to a nearby rational (limit_denominator
+        # would turn 0.3333333 into 1/3 and collapse 3e-07 to 0).
+        r = Fraction(str(frac))
         num, den = r.numerator, r.denominator
+        if den > _DEN_CAP:
+            raise ValueError(
+                f"stratified_holdout: frac={frac} needs denominator {den} > "
+                f"{_DEN_CAP}; pass frac as an explicit (num, den) tuple"
+            )
+    if den > _DEN_CAP:
+        raise ValueError(
+            f"stratified_holdout: denominator {den} > {_DEN_CAP} — the bigint "
+            "ceil-division n*num would overflow for large strata"
+        )
     if den <= 0 or not 0 < num <= den:
         raise ValueError(f"stratified_holdout: frac must be in (0, 1], got {frac}")
     if min_per_stratum < 0:
@@ -477,8 +492,9 @@ def stratified_holdout(
         df.withColumn("holdout_rank", F.row_number().over(w).cast("bigint"))
         .withColumn("_n", n.cast("bigint"))
         # exact bigint ceil-division (SQL `div`, not `/` — no double
-        # anywhere); den <= 10^6 keeps n*num overflow-free to ~9e12
-        # rows per stratum
+        # anywhere); den <= 10^9 keeps n*num overflow-free to ~9e9
+        # rows per stratum (ceil-divide larger strata with a smaller
+        # den or pre-split)
         .withColumn(
             "_quota",
             F.greatest(

@@ -77,10 +77,21 @@ def variant_schema_profile(
     ``(variant_schema, n_rows)``, top ``top_n`` by count (full
     tiebreak on the schema string — no bare LIMIT).
 
+    Always permissive: the census is the tool you reach for on a DIRTY
+    feed, so a producer change that breaks JSON syntax outright must
+    show up as its own ``<unparseable>`` bucket, not crash the one
+    diagnostic that would have explained it (``try_parse_json`` →
+    NULL → bucketed).
+
     One shuffle on the schema-string key; the distinct-schema universe
     is tiny by construction (payload SHAPES, not payloads)."""
     counted = (
-        df.select(F.schema_of_variant(F.parse_json(F.col(json_col))).alias("variant_schema"))
+        df.select(
+            F.coalesce(
+                F.schema_of_variant(F.try_parse_json(F.col(json_col))),
+                F.lit("<unparseable>"),
+            ).alias("variant_schema")
+        )
         .groupBy("variant_schema")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )

@@ -284,27 +284,8 @@ def hard_negative_mining(
         if dim is None:
             dim = _infer_dim(c, vec_col, "hard_negative_mining")
         planes = _plane_matrix(dim, bits, num_tables)
-        types = dict(c.dtypes)
-
-        def run_c(batches):
-            for pdf in batches:
-                yield _bucket_rows(pdf, vec_col, planes, bits, num_tables)
-
-        def run_q(batches):
-            for pdf in batches:
-                yield _bucket_rows(pdf, "_qvec", planes, bits, num_tables)
-
-        bc = c.mapInPandas(
-            run_c,
-            f"`{id_col}` {types[id_col]}, `{vec_col}` {types[vec_col]}, "
-            f"`{label_col}` {types[label_col]}, tbl BIGINT, bucket BIGINT",
-        )
-        qt = dict(q.dtypes)
-        bq = q.mapInPandas(
-            run_q,
-            f"`{query_id_col}` {qt[query_id_col]}, `_qvec` {qt['_qvec']}, "
-            f"`_qlabel` {qt['_qlabel']}, tbl BIGINT, bucket BIGINT",
-        )
+        bc = _bucketed_frame(c, vec_col, planes, bits, num_tables)
+        bq = _bucketed_frame(q, "_qvec", planes, bits, num_tables)
         cand = (
             bc.join(F.broadcast(bq), on=["tbl", "bucket"])
             .filter(neg)
@@ -368,6 +349,13 @@ def _bucket_rows(pdf, vec_col: str, planes, bits: int, num_tables: int):
     import numpy as np
     import pandas as pd
 
+    if len(pdf) == 0:
+        # an empty batch's vec stack has shape (0,) and the matmul
+        # throws — return the empty frame with the bucket columns typed
+        out = pdf.copy()
+        out["tbl"] = np.array([], dtype="int64")
+        out["bucket"] = np.array([], dtype="int64")
+        return out
     vecs = np.asarray([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
     signs = (vecs @ planes.T) >= 0  # (n, tables*bits)
     weights = np.tile(1 << np.arange(bits, dtype="int64"), num_tables)
@@ -376,6 +364,22 @@ def _bucket_rows(pdf, vec_col: str, planes, bits: int, num_tables: int):
     out["tbl"] = np.tile(np.arange(num_tables, dtype="int64"), len(pdf))
     out["bucket"] = per_table.reshape(-1)
     return out
+
+
+def _bucketed_frame(df, vec_col: str, planes, bits: int, num_tables: int):
+    """ALL input columns passthrough + (tbl, bucket) hyperplane keys —
+    the one executor-side bucketing step the LSH surfaces share
+    (mapInPandas closure + schema derivation factored out so a fix to
+    the bucketing path lands once, not per call site)."""
+    types = dict(df.dtypes)
+    cols = list(df.columns)
+    schema = ", ".join(f"`{c}` {types[c]}" for c in cols) + ", tbl BIGINT, bucket BIGINT"
+
+    def run(batches):
+        for pdf in batches:
+            yield _bucket_rows(pdf[cols], vec_col, planes, bits, num_tables)
+
+    return df.mapInPandas(run, schema)
 
 
 def _lsh_scored(
@@ -395,21 +399,11 @@ def _lsh_scored(
         dim = _infer_dim(queries, vec_col, "lsh_topk")
     planes = _plane_matrix(dim, bits, num_tables)
 
-    c_types = dict(corpus.dtypes)
-    c_schema = f"`{id_col}` {c_types[id_col]}, `{vec_col}` {c_types[vec_col]}, tbl BIGINT, bucket BIGINT"
-    q_types = dict(queries.dtypes)
-    q_schema = f"`{query_id_col}` {q_types[query_id_col]}, `{vec_col}` {q_types[vec_col]}, tbl BIGINT, bucket BIGINT"
-
-    def bucket_iter(cols):
-        def run(batches):
-            for pdf in batches:
-                yield _bucket_rows(pdf[cols], vec_col, planes, bits, num_tables)
-
-        return run
-
-    c = corpus.select(id_col, vec_col).mapInPandas(bucket_iter([id_col, vec_col]), c_schema)
-    q = queries.select(query_id_col, vec_col).mapInPandas(
-        bucket_iter([query_id_col, vec_col]), q_schema
+    c = _bucketed_frame(
+        corpus.select(id_col, vec_col), vec_col, planes, bits, num_tables
+    )
+    q = _bucketed_frame(
+        queries.select(query_id_col, vec_col), vec_col, planes, bits, num_tables
     ).withColumnRenamed(vec_col, "_qvec")
 
     cand = (
@@ -418,6 +412,8 @@ def _lsh_scored(
         .dropDuplicates([query_id_col, id_col])
     )
 
+    c_types = dict(corpus.dtypes)
+    q_types = dict(queries.dtypes)
     score_schema = f"`{query_id_col}` {q_types[query_id_col]}, `{id_col}` {c_types[id_col]}, score DOUBLE"
 
     def score(batches):

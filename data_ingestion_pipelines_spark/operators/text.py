@@ -182,13 +182,9 @@ def char_diversity_stats(
     )
 
 
-def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
-    """Heuristic language ID: argmax of per-language stopword hit counts.
-
-    Ties and zero-hit documents resolve to 'und'. One projection, no
-    shuffle; the marker arrays are literals compiled into the plan.
-    """
-    toks = word_tokens(F.col(text_col))
+def _lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language stopword-hit-count Columns over a token array —
+    the ONE scoring implementation every langid surface shares."""
 
     def score_for(markers: list[str]) -> Column:
         # NB: the filter lambda must be arity-1 — PySpark treats a 2-arg
@@ -196,14 +192,32 @@ def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pre
         arr = F.array(*[F.lit(m) for m in markers])
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
-    scores = {lang: score_for(markers) for lang, markers in _LANG_MARKERS.items()}
+    return {lang: score_for(m) for lang, m in _LANG_MARKERS.items()}
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
+    """Argmax language with the repo-wide tie rule: alphabetically-first
+    among positive ties, 'und' when every score is zero. The ONE copy of
+    the rule — doc-level langid, per-line labeling and the language-mix
+    dominant pick all call this, so they cannot drift."""
     best = F.greatest(*scores.values())
     pred = F.lit("und")
-    # deterministic priority: iterate sorted so equal scores pick the
-    # alphabetically-first language, stably
-    for lang in sorted(_LANG_MARKERS, reverse=True):
+    # deterministic priority: iterate sorted-reverse so the outermost
+    # (first-tested) branch is the alphabetically-first language
+    for lang in sorted(scores, reverse=True):
         pred = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(pred)
-    return df.withColumn(out, pred)
+    return pred
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts.
+
+    Ties and zero-hit documents resolve to 'und'. One projection, no
+    shuffle; the marker arrays are literals compiled into the plan.
+    """
+    return df.withColumn(
+        out, _argmax_lang(_lang_scores(word_tokens(F.col(text_col))))
+    )
 
 
 # Unicode-script codepoint ranges (BMP only — Spark counts codepoints
@@ -1391,26 +1405,14 @@ def phrase_match_counts(
 
 
 def _label_from_tokens(toks: Column) -> Column:
-    """Langid label from a pre-extracted token array: argmax of
-    stopword hits over ``_LANG_MARKERS`` with the SAME tie rule as
-    ``with_language_id`` (alphabetically-first among positive ties,
-    'und' on zero hits). Taking TOKENS, not text, lets callers that
-    label many segments extract each segment's tokens exactly once —
-    inlining ``word_tokens`` here would replay the regex extraction
-    per score expression (Catalyst does not CSE inside HOF lambdas)."""
-
-    def score_for(markers: list[str]) -> Column:
-        arr = F.array(*[F.lit(m) for m in markers])
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
-
-    scores = {lang: score_for(m) for lang, m in _LANG_MARKERS.items()}
-    best = F.greatest(*scores.values())
-    pred = F.lit("und")
-    for lang in sorted(_LANG_MARKERS, reverse=True):
-        pred = F.when(
-            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
-        ).otherwise(pred)
-    return pred
+    """Langid label from a pre-extracted token array — the shared
+    ``_lang_scores`` + ``_argmax_lang`` pair, so line-level and
+    doc-level labeling share one scoring and one tie rule. Taking
+    TOKENS, not text, lets callers that label many segments extract
+    each segment's tokens exactly once — inlining ``word_tokens`` here
+    would replay the regex extraction per score expression (Catalyst
+    does not CSE inside HOF lambdas)."""
+    return _argmax_lang(_lang_scores(toks))
 
 
 def _line_lang_label(line: Column) -> Column:
@@ -1465,11 +1467,8 @@ def with_language_mix(
 
     counts = {lang: _count_of(lang) for lang in _LANG_MARKERS}
     best = F.greatest(*counts.values())
-    dom = F.lit("und")
-    for lang in sorted(_LANG_MARKERS, reverse=True):
-        dom = F.when(
-            (counts[lang] > 0) & (counts[lang] == best), F.lit(lang)
-        ).otherwise(dom)
+    # dominant pick reuses the ONE argmax-tie-rule implementation
+    dom = _argmax_lang(counts)
     n_minority = F.when(n_labeled > 0, n_labeled - best.cast("bigint")).otherwise(
         F.lit(0).cast("bigint")
     )

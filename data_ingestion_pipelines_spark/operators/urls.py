@@ -189,15 +189,21 @@ def url_dedup(
     normalized URL survives. One exchange on the uniform URL key; the
     window's per-key input is the duplicate multiplicity, never the
     corpus. Adds ``norm_col``; non-absolute URLs (NULL norm) are kept
-    as their own singleton group (NULL never equals NULL here — they
-    are left untouched rather than collapsed together)."""
+    untouched and — crucially — SPLIT OUT before the window: a web
+    crawl can carry millions of malformed/relative URLs, and window
+    partitioning groups every NULL key into ONE task even though NULL
+    rows never dedup against each other — the split keeps them a plain
+    narrow branch of the union instead of a mega-partition."""
     out = df.withColumn(norm_col, normalize_url(F.col(url_col)))
+    nulls = out.filter(F.col(norm_col).isNull())
     w = Window.partitionBy(norm_col).orderBy(F.col(id_col).asc())
-    return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col(norm_col).isNull() | (F.col("_rn") == 1))
+    survivors = (
+        out.filter(F.col(norm_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return survivors.unionByName(nulls)
 
 
 def domain_quota_cap(
@@ -227,24 +233,27 @@ def domain_quota_cap(
     p = _parse(F.col(url_col))
     out = df.withColumn(domain_col, registered_domain(p["host"]))
     # non-absolute URLs have no domain — they are not "a domain" and
-    # pass through uncapped with a NULL rank rather than being capped
-    # together as one pseudo-domain
-    nodomain = F.col(domain_col).isNull()
+    # pass through uncapped with a NULL rank. SPLIT OUT before the
+    # windows: window partitioning would put every NULL-domain row in
+    # ONE task (a crawl's malformed-URL tail can be huge) even though
+    # none of them compete for a quota.
+    nulls = out.filter(F.col(domain_col).isNull()).withColumn(
+        "domain_rank", F.lit(None).cast("bigint")
+    )
+    dom = out.filter(F.col(domain_col).isNotNull())
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
     w1 = Window.partitionBy(domain_col, salt).orderBy(F.col(id_col).asc())
     pruned = (
-        out.withColumn("_rn1", F.row_number().over(w1))
-        .filter(nodomain | (F.col("_rn1") <= cap))
+        dom.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)
         .drop("_rn1")
     )
     w2 = Window.partitionBy(domain_col).orderBy(F.col(id_col).asc())
-    ranked = pruned.withColumn(
-        "domain_rank",
-        F.when(nodomain, F.lit(None).cast("bigint")).otherwise(
-            F.row_number().over(w2).cast("bigint")
-        ),
+    ranked = (
+        pruned.withColumn("domain_rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("domain_rank") <= cap)
     )
-    return ranked.filter(nodomain | (F.col("domain_rank") <= cap))
+    return ranked.unionByName(nulls)
 
 
 def domain_blocklist_filter(

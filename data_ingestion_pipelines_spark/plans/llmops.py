@@ -2655,7 +2655,11 @@ WITH scored AS (
   FROM embeddings c
   CROSS JOIN (SELECT vec_id, embedding, label FROM embeddings
               WHERE vec_id < 20) q
-  WHERE c.vec_id >= 20 AND c.label <> q.label
+  -- IS DISTINCT FROM mirrors the operator's null-safe inequality:
+  -- NULL-labeled corpus rows are genuine negatives for every labeled
+  -- query (the fixture has no NULLs today; the twins must still
+  -- encode ONE contract so a future regen can't split them)
+  WHERE c.vec_id >= 20 AND c.label IS DISTINCT FROM q.label
 )
 SELECT query_id, vec_id, neg_label, score FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id

@@ -184,3 +184,48 @@ def test_compact_partials_preserves_answer_and_replay_safety(spark, tmp_path):
     # ingestion continues after compaction
     ingest(spark.createDataFrame([("b", -1)], "k STRING, amount BIGINT"), 3)
     assert snap() == {("a", 3, 13), ("b", 2, 4), ("c", 1, 1)}
+
+
+def test_compact_watermark_excludes_stale_delta_dirs(spark, tmp_path):
+    # simulates the crash window: base published (folded_through=1) but
+    # delta cleanup never ran / a folded dir reappears — the watermark,
+    # not directory absence, must keep reads exact
+    from data_ingestion_pipelines_spark.operators.matview import (
+        compact_matview_partials,
+        matview_partials_ingest,
+        read_matview_partials,
+    )
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        idempotent_batch_append,
+    )
+
+    target = str(tmp_path / "mvw")
+    spec = {"n": ("k", "count"), "total": ("amount", "sum")}
+    ingest = matview_partials_ingest(target, ["k"], spec)
+    ingest(spark.createDataFrame([("a", 1)], "k STRING, amount BIGINT"), 0)
+    ingest(spark.createDataFrame([("a", 2)], "k STRING, amount BIGINT"), 1)
+    ingest(spark.createDataFrame([("a", 4)], "k STRING, amount BIGINT"), 2)
+    assert compact_matview_partials(spark, target, ["k"], spec) == 2
+
+    def snap():
+        return {
+            (r["k"], r["n"], r["total"])
+            for r in read_matview_partials(spark, target, ["k"], spec).collect()
+        }
+
+    assert snap() == {("a", 3, 7)}
+    # resurrect a folded delta dir (crashed cleanup / stale replay):
+    # its batch id is <= folded_through, so reads must ignore it
+    from data_ingestion_pipelines_spark.operators.matview import grouped_aggregates
+
+    stale = grouped_aggregates(
+        spark.createDataFrame([("a", 99)], "k STRING, amount BIGINT"), ["k"], spec
+    )
+    idempotent_batch_append(stale, f"{target}/deltas", 1)
+    assert snap() == {("a", 3, 7)}
+    # and the next compaction clears the stale dir without refolding it
+    assert compact_matview_partials(spark, target, ["k"], spec) == 0
+    import os
+
+    assert not os.path.exists(f"{target}/deltas/_batch_id=1")
+    assert snap() == {("a", 3, 7)}

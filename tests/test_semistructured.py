@@ -76,3 +76,11 @@ def test_with_variant_column(spark):
     assert "v" in with_variant(df, "j").columns
     bad = spark.createDataFrame([(1, "{oops")], "id BIGINT, j STRING")
     assert with_variant(bad, "j", permissive=True).collect()[0]["v"] is None
+
+
+def test_schema_profile_buckets_unparseable(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, "{truncated"), (3, None)], "id BIGINT, j STRING"
+    )
+    got = {r["variant_schema"]: r["n_rows"] for r in variant_schema_profile(df, "j").collect()}
+    assert got.get("<unparseable>") == 2 and sum(got.values()) == 3
