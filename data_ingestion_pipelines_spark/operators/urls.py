@@ -189,21 +189,25 @@ def url_dedup(
     normalized URL survives. One exchange on the uniform URL key; the
     window's per-key input is the duplicate multiplicity, never the
     corpus. Adds ``norm_col``; non-absolute URLs (NULL norm) are kept
-    untouched and — crucially — SPLIT OUT before the window: a web
-    crawl can carry millions of malformed/relative URLs, and window
-    partitioning groups every NULL key into ONE task even though NULL
-    rows never dedup against each other — the split keeps them a plain
-    narrow branch of the union instead of a mega-partition."""
+    untouched. NULL-skew safety: a web crawl can carry millions of
+    malformed/relative URLs, and ``partitionBy(norm_col)`` would group
+    every NULL key into ONE task even though NULL rows never dedup
+    against each other — so the window key substitutes a per-row
+    synthetic singleton for NULLs (``\\x00null\\x00<id>`` — the NUL
+    byte cannot occur in a normalized URL). One branch, one window:
+    no union (whose branches would each re-execute the upstream plan)
+    and no mega-partition."""
     out = df.withColumn(norm_col, normalize_url(F.col(url_col)))
-    nulls = out.filter(F.col(norm_col).isNull())
-    w = Window.partitionBy(norm_col).orderBy(F.col(id_col).asc())
-    survivors = (
-        out.filter(F.col(norm_col).isNotNull())
-        .withColumn("_rn", F.row_number().over(w))
+    pkey = F.coalesce(
+        F.col(norm_col),
+        F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(pkey).orderBy(F.col(id_col).asc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return survivors.unionByName(nulls)
 
 
 def domain_quota_cap(
@@ -233,27 +237,33 @@ def domain_quota_cap(
     p = _parse(F.col(url_col))
     out = df.withColumn(domain_col, registered_domain(p["host"]))
     # non-absolute URLs have no domain — they are not "a domain" and
-    # pass through uncapped with a NULL rank. SPLIT OUT before the
-    # windows: window partitioning would put every NULL-domain row in
-    # ONE task (a crawl's malformed-URL tail can be huge) even though
-    # none of them compete for a quota.
-    nulls = out.filter(F.col(domain_col).isNull()).withColumn(
-        "domain_rank", F.lit(None).cast("bigint")
+    # pass through uncapped with a NULL rank. NULL-skew safety: window
+    # partitioning would put every NULL-domain row in ONE task (a
+    # crawl's malformed-URL tail can be huge) even though none of them
+    # compete for a quota — so the window keys substitute a per-row
+    # synthetic singleton domain for NULLs (NUL byte cannot occur in a
+    # registered domain). One branch, no union (whose branches would
+    # each re-execute the upstream plan), no mega-partition.
+    nodomain = F.col(domain_col).isNull()
+    pdom = F.coalesce(
+        F.col(domain_col),
+        F.concat(F.lit("\x00null\x00"), F.col(id_col).cast("string")),
     )
-    dom = out.filter(F.col(domain_col).isNotNull())
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
-    w1 = Window.partitionBy(domain_col, salt).orderBy(F.col(id_col).asc())
+    w1 = Window.partitionBy(pdom, salt).orderBy(F.col(id_col).asc())
     pruned = (
-        dom.withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= cap)
+        out.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)  # NULL rows are singletons: rn1 == 1
         .drop("_rn1")
     )
-    w2 = Window.partitionBy(domain_col).orderBy(F.col(id_col).asc())
-    ranked = (
-        pruned.withColumn("domain_rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("domain_rank") <= cap)
+    w2 = Window.partitionBy(pdom).orderBy(F.col(id_col).asc())
+    ranked = pruned.withColumn(
+        "domain_rank",
+        F.when(nodomain, F.lit(None).cast("bigint")).otherwise(
+            F.row_number().over(w2).cast("bigint")
+        ),
     )
-    return ranked.unionByName(nulls)
+    return ranked.filter(nodomain | (F.col("domain_rank") <= cap))
 
 
 def domain_blocklist_filter(
