@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_BROADCAST_RANKS_MAX_NODES = 2_000_000
+
+
 def _pagerank_loop(
     edges: DataFrame,
     src: str,
@@ -49,7 +52,31 @@ def _pagerank_loop(
     """The single shared iteration skeleton. Emits ``rank`` (DOUBLE)
     and/or ``rank_scaled`` (BIGINT) per ``emit_*``; both recurrences ride
     the same joins, dangling aggregate and lineage checkpoints, so the
-    three public entry points cannot drift apart structurally."""
+    three public entry points cannot drift apart structurally.
+
+    Iteration shape (optimization r13): everything static is joined ONCE
+    before the loop — the out-degree rides on the pinned edge list
+    (``e2``), the dangling flag rides on the node set (``nodes_f``) —
+    so the loop body never re-joins static frames. The per-iteration
+    fundamental shuffle (contributions re-keyed by destination) is the
+    ONLY exchange: no-in-edge nodes are kept by unioning a zero-row per
+    node INTO that same exchange instead of a trailing nodes join. The
+    rank vector itself is tiny relative to the edge list (one row per
+    node), so when the counted node set fits comfortably under the
+    broadcast-relation cap (``_BROADCAST_RANKS_MAX_NODES`` = 2M rows
+    ≈ 100-200 MB built; the hard cap is 512M rows / 8 GB) the edge join
+    BROADCASTS the rank vector — zero shuffle of the edge list per
+    iteration (it was re-exchanged EVERY iteration before: lazy
+    localCheckpoint yields UnknownPartitioning, so ENSURE_REQUIREMENTS
+    re-shuffled the pinned frame each round — 22 MB × iterations at
+    sf0.1). Past the threshold the join falls back to the shuffle-hash
+    form: ranks/edges both grow with the graph, and letting AQE pick
+    broadcast at a small SF plants a strategy that OOMs the moment the
+    graph outgrows the driver (observed at the sf0.1 sweep with a
+    default-heap JVM). The threshold is measured from the data (node
+    count, already computed for the rank init), never from the local
+    core count. The only other broadcast in the loop stays the 1-row
+    dangling-mass frame."""
     assert emit_float or emit_int
     # Pin the edge list once: it (and nodes/out_deg derived from it) is
     # consumed every iteration, and without the checkpoint each of the
@@ -67,16 +94,30 @@ def _pagerank_loop(
     out_deg = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    n = nodes.count()
+    # Static per-edge out-degree: joined once here instead of once per
+    # iteration (the old loop joined ranks⋈out_deg every round, and the
+    # join ran twice per round — the dangling branch and the contribs
+    # branch each re-evaluated it).
+    e2 = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
+        .join(out_deg.hint("shuffle_hash"), "node")
+        .localCheckpoint(eager=False)
+    )
+    # Static dangling flag: a node is a sink iff it has no out-edges.
+    nodes_f = (
+        nodes.join(out_deg.hint("shuffle_hash"), "node", "left")
+        .select("node", F.col("out_deg").isNull().alias("_dang"))
+        .localCheckpoint(eager=False)
+    )
+    n = nodes_f.count()
 
     init_cols = []
     if emit_float:
         init_cols.append(F.lit(1.0 / n).alias("rank"))
     if emit_int:
         init_cols.append(F.lit(scale // n).cast("bigint").alias("rank_scaled"))
-    ranks = nodes.select("node", *init_cols)
+    ranks = nodes_f.select("node", "_dang", *init_cols)
 
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
     base_f = (1.0 - damping) / n
     base_i = (damping_den - damping_num) * scale // (damping_den * n)
     update_i = (
@@ -84,41 +125,47 @@ def _pagerank_loop(
         f"(COALESCE(ci, CAST(0 AS BIGINT)) + _dang_i DIV CAST({n} AS BIGINT)))"
         f" DIV CAST({damping_den} AS BIGINT)"
     )
-    # Graph-scale joins are pinned to shuffle-hash: ranks/out_deg/edges
-    # all grow with the graph, so letting AQE pick broadcast at a small
-    # SF plants a strategy that OOMs the moment the graph outgrows the
-    # driver (observed at the sf0.1 sweep with a default-heap JVM). The
-    # only broadcast in the loop stays the 1-row dangling-mass frame.
-    for _ in range(iterations):
-        with_deg = ranks.join(out_deg.hint("shuffle_hash"), "node", "left")
-        # mass parked on sinks (out_deg null) redistributes uniformly;
-        # kept as a 1-row LAZY aggregate broadcast onto the update below
-        # — no collect(), no driver round-trip per iteration
-        dang_aggs = []
-        if emit_float:
-            dang_aggs.append(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang_f")
-            )
-        if emit_int:
-            dang_aggs.append(
-                F.coalesce(F.sum("rank_scaled"), F.lit(0))
-                .cast("bigint")
-                .alias("_dang_i")
-            )
-        dangling_df = with_deg.filter(F.col("out_deg").isNull()).agg(*dang_aggs)
+    broadcast_ranks = n <= _BROADCAST_RANKS_MAX_NODES
 
-        contrib_cols, contrib_aggs = [], []
-        if emit_float:
-            contrib_cols.append((F.col("rank") / F.col("out_deg")).alias("cf"))
-            contrib_aggs.append(F.sum("cf").alias("cf"))
-        if emit_int:
-            contrib_cols.append(F.expr("rank_scaled DIV out_deg").alias("ci"))
-            contrib_aggs.append(F.sum("ci").cast("bigint").alias("ci"))
-        contribs = (
-            with_deg.join(e.hint("shuffle_hash"), "node")
-            .select(F.col("_dst").alias("node"), *contrib_cols)
-            .groupBy("node")
-            .agg(*contrib_aggs)
+    dang_aggs = []
+    if emit_float:
+        dang_aggs.append(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang_f"))
+    if emit_int:
+        dang_aggs.append(
+            F.coalesce(F.sum("rank_scaled"), F.lit(0))
+            .cast("bigint")
+            .alias("_dang_i")
+        )
+
+    contrib_cols, contrib_aggs, zero_cols = [], [], []
+    if emit_float:
+        contrib_cols.append((F.col("rank") / F.col("out_deg")).alias("cf"))
+        contrib_aggs.append(F.sum("cf").alias("cf"))
+        zero_cols.append(F.lit(0.0).alias("cf"))
+    if emit_int:
+        contrib_cols.append(F.expr("rank_scaled DIV out_deg").alias("ci"))
+        contrib_aggs.append(F.sum("ci").cast("bigint").alias("ci"))
+        zero_cols.append(F.lit(0).cast("bigint").alias("ci"))
+    # zero contribution per node, unioned into the contribution exchange:
+    # keeps no-in-edge nodes alive through the aggregate (and carries the
+    # static dangling flag) WITHOUT a per-iteration join against nodes
+    seeds = nodes_f.select("node", "_dang", *zero_cols)
+
+    for _ in range(iterations):
+        # mass parked on sinks redistributes uniformly; a 1-row LAZY
+        # aggregate over the (one-row-per-node) rank vector, broadcast
+        # onto the update below — no collect(), no per-round driver trip
+        dangling_df = ranks.filter(F.col("_dang")).agg(*dang_aggs)
+
+        rank_vec = ranks.drop("_dang")
+        if broadcast_ranks:
+            edge_contrib = e2.join(F.broadcast(rank_vec), "node")
+        else:
+            edge_contrib = rank_vec.join(e2.hint("shuffle_hash"), "node")
+        contribs = edge_contrib.select(
+            F.col("_dst").alias("node"),
+            F.lit(False).alias("_dang"),
+            *contrib_cols,
         )
 
         out_cols = []
@@ -136,9 +183,11 @@ def _pagerank_loop(
         if emit_int:
             out_cols.append(F.expr(update_i).alias("rank_scaled"))
         ranks = (
-            nodes.join(contribs.hint("shuffle_hash"), "node", "left")
+            contribs.unionByName(seeds)
+            .groupBy("node")
+            .agg(F.max("_dang").alias("_dang"), *contrib_aggs)
             .crossJoin(F.broadcast(dangling_df))
-            .select("node", *out_cols)
+            .select("node", "_dang", *out_cols)
         )
         # Truncate lineage: without this each round's plan would replay
         # every previous round (O(iters²) recompute). Lazy (eager=False):
@@ -146,7 +195,7 @@ def _pagerank_loop(
         # use, but all levels run inside ONE job instead of one eager
         # job per iteration.
         ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.drop("_dang")
 
 
 def label_propagation(
@@ -204,13 +253,27 @@ def label_propagation(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    # One-time node count gates the per-round join strategy: the label
+    # vector is one row per node, so when it fits comfortably under the
+    # broadcast cap, broadcasting it leaves the pinned edge list
+    # UNSHUFFLED every round (a lazy localCheckpoint reports
+    # UnknownPartitioning, so the old shuffle-hash join re-exchanged the
+    # whole edge list each round). Past the threshold the shuffle-hash
+    # pin stays — both sides grow with the graph and an AQE-planted
+    # broadcast would OOM the driver the moment the graph outgrows it.
+    n_nodes = nodes.count()
+    bcast_labels = n_nodes <= _BROADCAST_RANKS_MAX_NODES
     labels = nodes.select("node", F.col("node").alias("label"))
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_dst"))
     for _ in range(iterations):
+        if bcast_labels:
+            moved = e.join(F.broadcast(labels), "node")
+        else:
+            moved = labels.join(e.hint("shuffle_hash"), "node")
         votes = (
-            labels.join(e.hint("shuffle_hash"), "node")
-            .select(F.col("_dst").alias("node"), "label")
+            moved.select(F.col("_dst").alias("node"), "label")
             .unionByName(labels)  # self-vote
         )
         labels = (
@@ -272,12 +335,20 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("degree"))
         .localCheckpoint(eager=False)
     )
+    # The degree table is one row per node: broadcast-attach it to the
+    # edge list when the counted node set allows (zero shuffles of the
+    # edge list for the two degree joins AND the final left join); keep
+    # the shuffle-hash pin past the threshold — see _pagerank_loop.
+    bcast_deg = deg.count() <= _BROADCAST_RANKS_MAX_NODES
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("_da"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("_db"))
-    ranked = (
-        und.join(da.hint("shuffle_hash"), "a")
-        .join(db.hint("shuffle_hash"), "b")
-    )
+    if bcast_deg:
+        ranked = und.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    else:
+        ranked = (
+            und.join(da.hint("shuffle_hash"), "a")
+            .join(db.hint("shuffle_hash"), "b")
+        )
     a_first = (F.col("_da") < F.col("_db")) | (
         (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
     )
@@ -307,7 +378,10 @@ def triangle_counts(
     )
     two_t = F.coalesce(F.col("triangles"), F.lit(0)) * 2
     denom = F.col("degree") * (F.col("degree") - 1)
-    return deg.join(per_node.hint("shuffle_hash"), "node", "left").select(
+    per_node = (
+        F.broadcast(per_node) if bcast_deg else per_node.hint("shuffle_hash")
+    )
+    return deg.join(per_node, "node", "left").select(
         "node",
         F.col("degree").cast("bigint").alias("degree"),
         F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
@@ -469,13 +543,27 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("core_degree"))
         )
 
+    # One-time edge count gates the per-round semi-join strategy: the
+    # alive set is at most one row per node (≤ 2·|edges|), so under the
+    # cap it broadcasts and the pinned edge list is never re-shuffled by
+    # the two semi-joins (only the degree aggregate still exchanges it,
+    # map-side combined); past the cap the shuffle-hash pin stays — see
+    # _pagerank_loop for the AQE-broadcast hazard. The count
+    # materializes the lazy checkpoint the first peel would materialize
+    # anyway. Within one round the two identical alive subtrees
+    # deduplicate at execution via exchange/broadcast reuse.
+    bcast_alive = und.count() <= _BROADCAST_RANKS_MAX_NODES
+
     def peel(e: DataFrame) -> DataFrame:
         alive = degrees(e).filter(F.col("core_degree") >= k).select("node")
+
+        def side(name: str) -> DataFrame:
+            s = alive.withColumnRenamed("node", name)
+            return F.broadcast(s) if bcast_alive else s.hint("shuffle_hash")
+
         return (
-            e.join(alive.withColumnRenamed("node", "a").hint("shuffle_hash"),
-                   "a", "left_semi")
-            .join(alive.withColumnRenamed("node", "b").hint("shuffle_hash"),
-                  "b", "left_semi")
+            e.join(side("a"), "a", "left_semi")
+            .join(side("b"), "b", "left_semi")
             .localCheckpoint(eager=False)
         )
 
@@ -550,10 +638,13 @@ def core_numbers(
 
     Scale shape per round: one equi-join of the label vector against
     the pinned symmetric edge list (shuffle-hash — both sides
-    graph-scale), then the h-index as a PER-NODE window rank over each
-    node's neighbor labels (partitioned by node — uniform vertex keys,
-    never a global window) and one max aggregate. Lineage truncates per
-    round with lazy localCheckpoints like every loop in this module.
+    graph-scale, and a per-round broadcast measurably loses here; see
+    the loop comment), then the h-index
+    from ONE per-node aggregation whose in-expression fold over the
+    sorted neighbor-label array replaces a window sort + row_number +
+    re-aggregate (uniform vertex keys, never a global window either
+    way). Lineage truncates per round with lazy localCheckpoints like
+    every loop in this module.
     """
     und = (
         edges.select(
@@ -574,21 +665,51 @@ def core_numbers(
         .localCheckpoint(eager=False)
     )
     prev = labels
-    from pyspark.sql import Window
+    # Join strategy: UNLIKE the other loops in this module, this one
+    # pins shuffle-hash unconditionally. A per-round broadcast of the
+    # label vector was MEASURED at sf0.1 (back-to-back A/B, fresh
+    # sessions) at ~2× the shuffle-hash wall time: this loop runs many
+    # more rounds than the others, and every BroadcastExchange breaks
+    # the lazy-checkpoint chain into a separate driver-coordinated job
+    # (profile: 3.7 s of job wall vs 4.4 s of inter-job planning gaps),
+    # so the fixed per-round driver cost dominates the saved edge-list
+    # exchange. Shuffle-hash keeps all rounds inside one materialization
+    # chain, and both sides grow with the graph so it is also the safe
+    # strategy at 100 TB.
+
+    # h-index via ONE aggregation + an in-expression per-node fold
+    # instead of a per-node window rank: for neighbor labels sorted
+    # descending, h = max_i min(i, l_i). collect_list ships the same
+    # bytes the window shuffle did, but replaces the window's
+    # partition-wide sort + row_number + second aggregate with a
+    # bounded per-node sort_array/fold — one exchange and one codegen
+    # span per round instead of exchange → sort → window → agg. (A
+    # two-level (node,label)-histogram variant — map-side combinable,
+    # smaller exchange — was measured at sf0.1 and LOST: the second
+    # exchange per round costs more than the byte shrink saves; noted
+    # in OPTIMIZATION_r13.md.)
+    def _h_index(labels_col):
+        zero = F.struct(
+            F.lit(0).cast("bigint").alias("i"),
+            F.lit(0).cast("bigint").alias("h"),
+        )
+        return F.aggregate(
+            F.sort_array(labels_col, asc=False),
+            zero,
+            lambda acc, l: F.struct(
+                (acc["i"] + 1).alias("i"),
+                F.greatest(acc["h"], F.least(l, acc["i"] + 1)).alias("h"),
+            ),
+            lambda acc: acc["h"],
+        )
 
     for _ in range(int(rounds)):
         prev = labels
-        nb = sym.join(
-            labels.withColumnsRenamed({"node": "_nb", "label": "_nl"}).hint(
-                "shuffle_hash"
-            ),
-            "_nb",
-        )
-        w = Window.partitionBy("node").orderBy(F.desc("_nl"))
+        lab_nb = labels.withColumnsRenamed({"node": "_nb", "label": "_nl"})
+        nb = sym.join(lab_nb.hint("shuffle_hash"), "_nb")
         labels = (
-            nb.withColumn("_rn", F.row_number().over(w))
-            .groupBy("node")
-            .agg(F.max(F.least(F.col("_rn"), F.col("_nl"))).alias("label"))
+            nb.groupBy("node")
+            .agg(_h_index(F.collect_list("_nl")).alias("label"))
             .localCheckpoint(eager=False)
         )
     out = labels.select("node", F.col("label").cast("bigint").alias("coreness"))

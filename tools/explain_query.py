@@ -1,0 +1,50 @@
+"""Capture ``explain('formatted')`` for registry queries (optimization
+round evidence: plans/r<N>/<query>_{before,after}.txt).
+
+Usage:
+    python tools/explain_query.py OUT_DIR SUFFIX <query> [<query> ...]
+
+Writes OUT_DIR/<query>_<SUFFIX>.txt per query. Uses the same session
+shape as bench.py (local[$SPARK_GRAFT_CPUS], shuffle partitions = cpus)
+so the captured plans are the plans the bench actually runs.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_ingestion_pipelines_spark import plans  # noqa: E402
+from data_ingestion_pipelines_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    out_dir, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(
+        "explain",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = plans.queries()
+    for name in names:
+        df = registry[name](spark, sf_dir)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(txt)
+        print(f"# wrote {path} ({len(txt)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Subset bench for optimization rounds: time named registry queries
+with EXACTLY bench.py's methodology (one shared session, JVM warmup,
+noop sink, best-of-N) without running the full 108-query headline list.
+
+Usage:
+    python tools/minibench.py [-n RUNS] <query> [<query> ...]
+
+Honors $SPARK_GRAFT_SF_DIR and $SPARK_GRAFT_CPUS like bench.py. This is
+a measurement tool only — the driver's bench contract lives in bench.py
+and is untouched.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_ingestion_pipelines_spark import plans  # noqa: E402
+from data_ingestion_pipelines_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    runs = 3
+    if args and args[0] == "-n":
+        runs = int(args[1])
+        args = args[2:]
+    names = args
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "minibench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.driver.memory": "16g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = plans.queries()
+    warm_dir = "/root/testdata/sf0.001"
+    for w in ("pricing_summary", "classify_exclusions", "minhash_pairs_docs"):
+        registry[w](spark, warm_dir).write.format("noop").mode("overwrite").save()
+
+    for name in names:
+        fn = registry[name]
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.perf_counter() - t0)
+        print(f"{name}: {best:.3f}s (best of {runs})", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

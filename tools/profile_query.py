@@ -1,0 +1,149 @@
+"""Job/stage-level profiler for one registry query (optimization rounds).
+
+Runs a named ``plans.queries()`` entry through the noop sink (same
+timing methodology as bench.py) with the Spark event log enabled, then
+parses the log and prints, per job: wall duration, stage names, task
+counts, executor run time, and shuffle read/write bytes. This is the
+"which of the 14 jobs inside this gate costs the time" view that
+``explain()`` cannot give (guide §1.1/§7.1 — the empirical loop, driven
+from the event log because the UI is headless here).
+
+Usage:
+    python tools/profile_query.py <query> [sf_dir] [runs]
+
+The FIRST run is reported separately (cold: codegen + worker spawn);
+the profile table aggregates the LAST run only, which is what bench.py's
+best-of-N converges to.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_ingestion_pipelines_spark import plans  # noqa: E402
+from data_ingestion_pipelines_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    name = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    evdir = tempfile.mkdtemp(prefix="prof_ev_")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        "profile",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.driver.memory": "16g",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = plans.queries()
+
+    # bench-equivalent warmup so run timings are comparable
+    warm = "/root/testdata/sf0.001"
+    for w in ("pricing_summary", "classify_exclusions", "minhash_pairs_docs"):
+        registry[w](spark, warm).write.format("noop").mode("overwrite").save()
+
+    fn = registry[name]
+    marks = []
+    for i in range(runs):
+        spark.sparkContext.setJobDescription(f"RUN{i}")
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        marks.append(time.perf_counter() - t0)
+        spark.sparkContext.setJobDescription(None)
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+
+    # Spark 4 writes a rolling dir: eventlog_v2_<appid>/events_1_<appid>...
+    cands = [
+        os.path.join(evdir, app_id),
+        os.path.join(evdir, app_id + ".inprogress"),
+        os.path.join(evdir, "eventlog_v2_" + app_id),
+    ]
+    path = next(p for p in cands if os.path.exists(p))
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, e) for e in os.listdir(path)
+            if e.startswith("events_")
+        )
+    else:
+        parts = [path]
+    jobs: dict[int, dict] = {}
+    stages: dict[int, dict] = {}
+    for part in parts:
+      with open(part) as fh:
+        for line in fh:
+            ev = json.loads(line)
+            k = ev.get("Event")
+            if k == "SparkListenerJobStart":
+                jid = ev["Job ID"]
+                jobs[jid] = {
+                    "t0": ev["Submission Time"],
+                    "desc": ev.get("Properties", {}).get(
+                        "spark.job.description", ""
+                    ),
+                    "stages": [s["Stage ID"] for s in ev["Stage Infos"]],
+                    "names": {
+                        s["Stage ID"]: (s["Stage Name"], s["Number of Tasks"])
+                        for s in ev["Stage Infos"]
+                    },
+                }
+            elif k == "SparkListenerJobEnd":
+                if ev["Job ID"] in jobs:
+                    jobs[ev["Job ID"]]["t1"] = ev["Completion Time"]
+            elif k == "SparkListenerStageCompleted":
+                si = ev["Stage Info"]
+                acc = {a.get("Name"): a.get("Value") for a in si.get("Accumulables", [])}
+                stages[si["Stage ID"]] = {
+                    "run_ms": acc.get("internal.metrics.executorRunTime", 0),
+                    "sr": acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0)
+                    + acc.get("internal.metrics.shuffle.read.localBytesRead", 0),
+                    "sw": acc.get("internal.metrics.shuffle.write.bytesWritten", 0),
+                    "tasks": si.get("Number of Tasks"),
+                }
+
+    for i, m in enumerate(marks):
+        print(f"# run {i}: {m:.3f}s" + ("  (cold)" if i == 0 else ""))
+
+    last = f"RUN{runs - 1}"
+    sel = [j for j in sorted(jobs) if jobs[j].get("desc") == last and "t1" in jobs[j]]
+    total = 0.0
+    print(f"\n{'job':>4} {'wall_s':>7} {'tasks':>6} {'exec_s':>7} "
+          f"{'shuf_r':>9} {'shuf_w':>9}  first-stage name")
+    for j in sel:
+        job = jobs[j]
+        wall = (job["t1"] - job["t0"]) / 1000.0
+        total += wall
+        st = [stages.get(s, {}) for s in job["stages"] if s in stages]
+        tasks = sum(s.get("tasks") or 0 for s in st)
+        ex = sum(s.get("run_ms") or 0 for s in st) / 1000.0
+        sr = sum(s.get("sr") or 0 for s in st)
+        sw = sum(s.get("sw") or 0 for s in st)
+        nm = ""
+        if job["stages"]:
+            executed = [s for s in job["stages"] if s in stages]
+            sid = executed[0] if executed else job["stages"][0]
+            nm = job["names"].get(sid, ("?", 0))[0][:70]
+        print(f"{j:>4} {wall:7.3f} {tasks:>6} {ex:7.2f} {sr:>9} {sw:>9}  {nm}")
+    gaps = 0.0
+    for a, b in zip(sel, sel[1:]):
+        gaps += max(0, (jobs[b]["t0"] - jobs[a]["t1"])) / 1000.0
+    print(f"# jobs={len(sel)} sum_wall={total:.3f}s inter-job driver gaps={gaps:.3f}s "
+          f"(run wall {marks[-1]:.3f}s)")
+
+
+if __name__ == "__main__":
+    main()
