@@ -72,6 +72,40 @@ def _infer_dim(df: DataFrame, vec_col: str, caller: str) -> int:
     return len(row[0])
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Give compute-heavy scoring stages full parallelism (optimization
+    r13, guide §2.5/§6): a small single-file parquet corpus scans as 1-2
+    input partitions, and every downstream Arrow/codegen scoring stage
+    (numpy cosine over candidate pairs, bucketing matmuls, broadcast
+    cross-join scoring) inherits that width — at bench SFs the quadratic
+    scoring work of this module ran on 2 of 32 cores. When the plan
+    yields fewer partitions than the cluster's ``defaultParallelism``,
+    hash-repartition on the unique id (unique key ≫ partitions, so the
+    spread is even — never a rand() key, guide §2.5); otherwise return
+    the frame UNTOUCHED, so at scale (input partitions ≥ cores) this is
+    a no-op and no exchange is added. The exchange only ever moves a
+    corpus that is small by construction of the trigger.
+
+    Only call this on scan-shaped inputs (reads, filters, lazy
+    checkpoints): ``df.rdd`` materializes upstream AQE query stages, so
+    a shuffle-bearing input would execute early.
+
+    WHEN to spread (measured on the r13 gates): only where the heavy
+    downstream stage INHERITS this frame's partitioning — a broadcast
+    or cross join whose quadratic scoring runs map-side (similarity_topk
+    2.25→1.16s, mutual_knn exact 5.5→1.1s). Do NOT spread inputs whose
+    expensive stage sits behind a shuffle join (the exchange already
+    sets that stage's parallelism — semantic_dedup_docs regressed
+    6.2→11.6s with a blanket spread) or that feed iterative
+    collect-per-round training loops (each action replays the exchange).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    cols = [F.col(k) for k in keys]
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 def _batch_topk(pdf, query_col: str, id_col: str, k: int, score_col: str = "score"):
     """Per-query top-k WITHIN one pandas batch, by the exact total order
     the final window rank uses (score desc NULLS LAST, id asc NULLS
@@ -138,7 +172,9 @@ def _brute_force_scored(
     Scores stay pure Column algebra (deterministic index-order summation,
     6 dp rounding) — the pre-reduction stage only filters rows."""
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
+    joined = _spread(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col
+    ).crossJoin(F.broadcast(q))
     scored = joined.select(
         query_id_col,
         id_col,
@@ -279,8 +315,11 @@ def hard_negative_mining(
     neg = ~F.col(label_col).eqNullSafe(F.col("_qlabel"))
     c = corpus.select(id_col, vec_col, label_col)
     if method == "exact":
-        cand = c.join(F.broadcast(q), on=neg)
+        # spread: the broadcast cross join's quadratic scoring inherits
+        # the corpus's input partitioning (no shuffle below it)
+        cand = _spread(c, id_col).join(F.broadcast(q), on=neg)
     elif method == "lsh":
+        c = _spread(c, id_col)  # collision scoring rides c's partitions
         if dim is None:
             dim = _infer_dim(c, vec_col, "hard_negative_mining")
         planes = _plane_matrix(dim, bits, num_tables)
@@ -400,7 +439,8 @@ def _lsh_scored(
     planes = _plane_matrix(dim, bits, num_tables)
 
     c = _bucketed_frame(
-        corpus.select(id_col, vec_col), vec_col, planes, bits, num_tables
+        _spread(corpus.select(id_col, vec_col), id_col),
+        vec_col, planes, bits, num_tables,
     )
     q = _bucketed_frame(
         queries.select(query_id_col, vec_col), vec_col, planes, bits, num_tables
@@ -521,12 +561,23 @@ def embedding_dup_pairs(
     ``method='exact'``: full self-join — O(n²) scoring, for oracles and
     small corpora only.
     """
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    c0 = corpus.select(F.col(id_col), F.col(vec_col))
     if method == "exact":
-        a = c.withColumnsRenamed({id_col: "id_a", vec_col: "_v_a"})
-        b = c.withColumnsRenamed({id_col: "id_b", vec_col: "_v_b"})
+        # spread only the streamed side: the cartesian's quadratic
+        # scoring inherits its partitioning (no shuffle below), and
+        # cartesian partition counts multiply (n_a x n_b), so a compact
+        # right side keeps the task count at the spread width instead
+        # of its square
+        a = _spread(c0, id_col).withColumnsRenamed(
+            {id_col: "id_a", vec_col: "_v_a"}
+        )
+        b = c0.withColumnsRenamed({id_col: "id_b", vec_col: "_v_b"})
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
+        # NOT _spread: the bucket self-join below is a shuffle join, so
+        # collision scoring is parallelized by the exchange, not the
+        # input partitioning
+        c = c0
         if dim is None:
             dim = _infer_dim(c, vec_col, "embedding_dup_pairs")
         planes = _plane_matrix(dim, bits, num_tables)
@@ -585,6 +636,11 @@ def semantic_dup_pairs(
     """
     import numpy as np
 
+    # deliberately NOT _spread: the pair scoring below runs AFTER the
+    # list_id shuffle join, so its parallelism comes from the shuffle,
+    # not the input partitioning — a pre-spread exchange here is pure
+    # cost, replayed per action when kmeans training iterates (measured
+    # 6.2s -> 11.6s on the semantic_dedup_docs gate with it in)
     c = corpus.select(F.col(id_col), F.col(vec_col))
     if centroids is not None:
         # normalize caller-supplied centroids: _assign_lists argmaxes raw
@@ -674,6 +730,9 @@ def clustered_dup_pairs(
     persisted index's) instead of retraining."""
     import numpy as np
 
+    # NOT _spread, same reasoning as semantic_dup_pairs: scoring runs
+    # after the composite-key shuffle join, so the pre-exchange only
+    # adds cost (and replays per kmeans action when training here)
     c = corpus.select(F.col(id_col), F.col(vec_col))
     if centroids is not None:
         # same normalization contract as semantic_dup_pairs: assignment
@@ -840,7 +899,10 @@ def ivf_topk(
     )
     # shared assignment primitive (also the persisted-IVF lifecycle's):
     # nearest list per corpus vector, nearest-nprobe lists per query
-    c = _assign_lists(corpus.select(id_col, vec_col), id_col, vec_col, cents, 1)
+    c = _assign_lists(
+        _spread(corpus.select(id_col, vec_col), id_col),
+        id_col, vec_col, cents, 1,
+    )
     q = _assign_lists(
         queries.select(F.col(query_id_col), F.col(vec_col)),
         query_id_col, vec_col, cents, nprobe,
@@ -2269,12 +2331,20 @@ def mutual_knn_pairs(
     both directed ranks ride along so callers can post-filter to
     stricter reciprocity (e.g. both ranks <= 2).
     """
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    c0 = corpus.select(F.col(id_col), F.col(vec_col))
     if method == "exact":
-        a = c.withColumnsRenamed({id_col: "_src", vec_col: "_v_a"})
-        b = c.withColumnsRenamed({id_col: "_nbr", vec_col: "_v_b"})
+        # spread only the streamed side: the cartesian's quadratic
+        # scoring inherits its partitioning, and cartesian partition
+        # counts multiply — see embedding_dup_pairs
+        a = _spread(c0, id_col).withColumnsRenamed(
+            {id_col: "_src", vec_col: "_v_a"}
+        )
+        b = c0.withColumnsRenamed({id_col: "_nbr", vec_col: "_v_b"})
         cand = a.crossJoin(b).filter(F.col("_src") != F.col("_nbr"))
     elif method == "lsh":
+        # NOT _spread: the bucket self-join is a shuffle join — scoring
+        # parallelism comes from the exchange, not input partitioning
+        c = c0
         if dim is None:
             dim = _infer_dim(c, vec_col, "mutual_knn_pairs")
         planes = _plane_matrix(dim, bits, num_tables)

@@ -2706,7 +2706,12 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             planted, k=16, threshold=0.9, centroids=cents
         ).collect()
     }  # bounded: organic cosines max out at 0.60, only planted pairs match
-    surv = semantic_dedup(planted, k=16, threshold=0.9, centroids=cents)
+    # pin the survivor frame: count() and the planted-region collect
+    # below both consume it, and without the checkpoint the second
+    # action replays the whole assign+join+score pass (optimization r13)
+    surv = semantic_dedup(
+        planted, k=16, threshold=0.9, centroids=cents
+    ).localCheckpoint(eager=False)
     n_surv = surv.count()
     kept = {
         r["vec_id"]
@@ -2855,9 +2860,11 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             planted, threshold=0.9, method="lsh", num_tables=8, bits=8, dim=64
         ).collect()
     }
+    # pinned for the same count-then-collect double consumption as
+    # semantic_dedup_docs (optimization r13)
     surv = clustered_dedup(
         planted, threshold=0.9, centroids=cents, num_tables=4, bits=4
-    )
+    ).localCheckpoint(eager=False)
     n_surv = surv.count()
     kept = {
         r["vec_id"]

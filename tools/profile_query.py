@@ -58,8 +58,10 @@ def main() -> None:
 
     fn = registry[name]
     marks = []
+    last_t0_ms = 0
     for i in range(runs):
         spark.sparkContext.setJobDescription(f"RUN{i}")
+        last_t0_ms = int(time.time() * 1000)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         marks.append(time.perf_counter() - t0)
@@ -120,6 +122,15 @@ def main() -> None:
 
     last = f"RUN{runs - 1}"
     sel = [j for j in sorted(jobs) if jobs[j].get("desc") == last and "t1" in jobs[j]]
+    # streaming gates run their micro-batch jobs under the STREAM's own
+    # description, not the RUN marker — fall back to the last run's time
+    # window so foreachBatch work is attributed too
+    win = [
+        j for j in sorted(jobs)
+        if "t1" in jobs[j] and jobs[j]["t0"] >= last_t0_ms and j not in sel
+    ]
+    if win:
+        sel = sorted(sel + win)
     total = 0.0
     print(f"\n{'job':>4} {'wall_s':>7} {'tasks':>6} {'exec_s':>7} "
           f"{'shuf_r':>9} {'shuf_w':>9}  first-stage name")
