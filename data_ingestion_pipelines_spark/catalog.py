@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .sources.pandas_bridge import local_control_df
+
 from .specs import JobSpec
 
 CONTROL_COLUMNS = [
@@ -66,7 +68,7 @@ def spec_to_row(spec: JobSpec, pk: int = 0) -> tuple:
 
 def save_specs(spark: SparkSession, specs: list[JobSpec], path: str) -> None:
     rows = [spec_to_row(s, pk=i + 1) for i, s in enumerate(specs)]
-    spark.createDataFrame(rows, CONTROL_DDL).write.mode("overwrite").parquet(path)
+    local_control_df(spark, rows, CONTROL_DDL).write.mode("overwrite").parquet(path)
 
 
 def load_specs(
@@ -90,6 +92,6 @@ def load_specs(
 
 
 def specs_dataframe(spark: SparkSession, specs: list[JobSpec]) -> DataFrame:
-    return spark.createDataFrame(
-        [spec_to_row(s, pk=i + 1) for i, s in enumerate(specs)], CONTROL_DDL
+    return local_control_df(
+        spark, [spec_to_row(s, pk=i + 1) for i, s in enumerate(specs)], CONTROL_DDL
     )

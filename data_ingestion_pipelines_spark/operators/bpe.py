@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 #: regex wrapping every character of a word into ``<c>`` markers
 _WRAP_SPARK = ("(.)", "<$1>")
 
@@ -135,7 +137,7 @@ def detokenize_pieces(df: DataFrame, pieces_col: str, out: str) -> DataFrame:
 
 def merges_df(spark: SparkSession, merges: list[tuple[int, str, int]]) -> DataFrame:
     """Lift the (bounded, k-row) merge table back into a DataFrame."""
-    return spark.createDataFrame(merges, "rk bigint, pair string, weight bigint")
+    return local_control_df(spark, merges, "rk bigint, pair string, weight bigint")
 
 
 def apply_bpe_merges(

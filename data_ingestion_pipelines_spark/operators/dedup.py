@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 from .text import with_fingerprint
 
 
@@ -355,7 +357,8 @@ def save_minhash_index(
     minhash_signatures(
         texts, text_col, id_col, num_bands, rows_per_band, shingle_k
     ).write.mode("overwrite").parquet(f"{base}/bands")
-    spark.createDataFrame(
+    local_control_df(
+        spark,
         [(num_bands, rows_per_band, shingle_k)],
         "num_bands INT, rows_per_band INT, shingle_k INT",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")

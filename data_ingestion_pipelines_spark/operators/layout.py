@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 
 def _cell(col: Column, mn: float, mx: float, bits: int) -> Column:
     """Normalize col into [0, 2^bits) as a long (clamped, null→0)."""
@@ -136,7 +138,7 @@ def parquet_rowgroup_stats(
     if not paths:
         raise FileNotFoundError(f"no parquet files under {path}")
     want = set(columns) if columns else None
-    pdf = spark.createDataFrame([(x,) for x in paths], "path STRING").repartition(
+    pdf = local_control_df(spark, [(x,) for x in paths], "path STRING").repartition(
         min(len(paths), 32)
     )
 

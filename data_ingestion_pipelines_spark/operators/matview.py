@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 # out-column kind -> (batch aggregate, merge aggregate). count merges
 # by SUMMING partial counts; the rest are idempotent under their own op.
 _KINDS = ("count", "sum", "min", "max")
@@ -136,11 +138,17 @@ def save_matview(
 
     base = path.rstrip("/")
     spark = df.sparkSession
+    # str(), not bool(): the column is declared STRING, and a bool cell
+    # makes the Arrow conversion below fall back to the slow pickled
+    # path silently (nothing reads this audit column back)
     params = [
-        (out, src, kind, ",".join(keys), bool(allow_float_sum))
+        (out, src, kind, ",".join(keys), str(bool(allow_float_sum)))
         for out, (src, kind) in sorted(spec.items())
     ]
-    spark.createDataFrame(
+    # Arrow transport (optimization r13): the list path costs ~5 s per
+    # save on local[32] — see sources.pandas_bridge.local_control_df
+    local_control_df(
+        spark,
         params,
         "out STRING, src STRING, kind STRING, keys STRING, allow_float STRING",
     ).coalesce(1).write.mode("overwrite").parquet(f"{base}/params")

@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _spread
 from .text import word_tokens
 
 DEFAULT_BUCKETS = 4096
@@ -138,19 +139,67 @@ def _joint_distribution(
     )
 
 
+def _bucket_spine(per_bucket: DataFrame, n_buckets: int) -> DataFrame:
+    """LEFT-join a sparse ``(bucket, ...)`` frame onto the full
+    0..n_buckets-1 bucket spine, so a later sorted ``collect_list``
+    yields a POSITIONALLY-dense array (slot b+1 = bucket b).
+
+    Why dense arrays and not maps (optimization r13, guide §1.2 step
+    2): Spark's map ``element_at`` (GetMapValue) is a LINEAR scan of
+    the entries per lookup, so folding a document's gram array against
+    a ≤n_buckets-entry map costs O(grams × n_buckets) comparisons —
+    the measured dominant term of every DSIR/LM scoring fold at
+    4096-8192 buckets (dsir_float_rank_verdict spent 3.9 s in ONE
+    task's fold). A transform-over-sequence densify of the map is no
+    better (it pays the same O(B²) probes — measured 5 s); the spine
+    join builds the dense array in O(B log B) once, after which every
+    per-gram lookup is an O(1) array index. Values are identical."""
+    spark = per_bucket.sparkSession
+    spine = spark.range(int(n_buckets)).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    return spine.join(per_bucket, "bucket", "left")
+
+
+def _dense_agg(w_col: str, default) -> Column:
+    """Aggregate expression: spine-complete ``(bucket, w)`` rows → the
+    dense weight array (sorted by bucket, missing weights defaulted)."""
+    return F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bucket"), F.col(w_col).alias("_w")))
+        ),
+        lambda s: F.coalesce(s["_w"], default),
+    )
+
+
+def _dense_from_map(map_col: str, n_buckets: int, default) -> Column:
+    """Map column → dense array (slot b+1 = bucket b, missing buckets
+    prefilled with ``default``) via per-slot map probes. O(slots ×
+    entries) — use ONLY on one-row broadcast-side frames where the
+    probe loop runs once (the frozen-LM scorer); corpus-side weight
+    tables build dense arrays via :func:`_bucket_spine` instead."""
+    return F.transform(
+        F.sequence(
+            F.lit(0).cast("bigint"), F.lit(int(n_buckets) - 1).cast("bigint")
+        ),
+        lambda i: F.coalesce(F.element_at(F.col(map_col), i), default),
+    )
+
+
 def _weight_map_row(
     joint_dist: DataFrame,
     n_buckets: int,
     weight_expr,
     const_expr,
+    default,
 ) -> DataFrame:
-    """One-row frame with a bucket -> per-occurrence weight map
-    (<= n_buckets entries) plus the per-gram normalization constant
-    ``const(T_total + B, R_total + B)`` — the ``log((R+B)/(T+B))`` term
-    of the smoothed likelihood ratio, which scales with each document's
-    GRAM COUNT (it is not doc-constant, so dropping it would bias the
-    ranking toward short documents). Bounded: the single-partition
-    aggregate folds at most n_buckets rows."""
+    """One-row frame with the DENSE bucket -> per-occurrence weight
+    array (see :func:`_bucket_spine`) plus the per-gram normalization
+    constant ``const(T_total + B, R_total + B)`` — the
+    ``log((R+B)/(T+B))`` term of the smoothed likelihood ratio, which
+    scales with each document's GRAM COUNT (it is not doc-constant, so
+    dropping it would bias the ranking toward short documents).
+    Bounded: the single-partition aggregate folds n_buckets rows."""
     per_bucket = joint_dist.select(
         "bucket",
         weight_expr(
@@ -161,10 +210,8 @@ def _weight_map_row(
         F.coalesce(F.col("t_cnt"), F.lit(0)).cast("bigint").alias("_t"),
     )
     b = F.lit(n_buckets).cast("bigint")
-    return per_bucket.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("bucket", "w")))
-        ).alias("_wmap"),
+    return _bucket_spine(per_bucket, n_buckets).agg(
+        _dense_agg("w", default).alias("_warr"),
         const_expr(
             F.sum("_t").cast("bigint") + b, F.sum("_r").cast("bigint") + b
         ).alias("_wconst"),
@@ -172,11 +219,13 @@ def _weight_map_row(
 
 
 def _score_against_map(
-    docs_with_buckets: DataFrame, wmap_row: DataFrame, out: str, zero
+    docs_with_buckets: DataFrame, wmap_row: DataFrame, out: str, zero,
+    n_buckets: int,
 ) -> DataFrame:
-    """Map-only scoring: broadcast the one-row weight map, fold each
-    document's bucket array against it; the per-gram normalization
-    constant is added once per gram occurrence."""
+    """Map-only scoring: broadcast the one-row dense weight table, fold
+    each document's bucket array against it with O(1) array indexing;
+    the per-gram normalization constant is added once per gram
+    occurrence."""
     scored = docs_with_buckets.crossJoin(F.broadcast(wmap_row))
     return scored.withColumn(
         out,
@@ -184,15 +233,22 @@ def _score_against_map(
             F.col("_buckets"),
             zero,
             lambda acc, b: acc
-            + F.coalesce(F.element_at(F.col("_wmap"), b), zero)
+            + F.element_at(F.col("_warr"), (b + F.lit(1)).cast("int"))
             + F.col("_wconst"),
         ),
-    ).drop("_wmap", "_wconst")
+    ).drop("_warr", "_wconst")
 
 
 def _with_buckets(
     df: DataFrame, text_col: str, n_buckets: int, shared: bool = True
 ) -> DataFrame:
+    # Spread (optimization r13, guide §2.5): every downstream stage —
+    # md5-per-gram bucketize, the interpreted-HOF scoring folds —
+    # inherits this frame's partitioning, and a small parquet corpus
+    # scans as 1-2 partitions (measured: the whole 3.9 s scoring fold
+    # of dsir_float_rank_verdict ran as ONE task). Local-master-only,
+    # partition-gated — a no-op on real inputs.
+    df = _spread(df)
     # First barrier: materialize tokens before the HOFs (interpreted-
     # lambda rule — an inline regexp would re-run per element).
     toks = df.withColumn(
@@ -246,9 +302,10 @@ def dsir_quantized_weights(
             (F.length(F.bin(rpb)) - F.lit(1))
             - (F.length(F.bin(tpb)) - F.lit(1))
         ).cast("bigint"),
+        F.lit(0).cast("bigint"),
     )
     scored = _score_against_map(
-        bucketed, wmap, out, F.lit(0).cast("bigint")
+        bucketed, wmap, out, F.lit(0).cast("bigint"), n_buckets
     )
     return scored.withColumn(
         "n_grams", F.size("_buckets").cast("bigint")
@@ -278,9 +335,10 @@ def dsir_log_weights(
         - F.log((r_cnt + F.lit(1)).cast("double")),
         lambda tpb, rpb: F.log(rpb.cast("double"))
         - F.log(tpb.cast("double")),
+        F.lit(0.0).cast("double"),
     )
     scored = _score_against_map(
-        bucketed, wmap, out, F.lit(0.0).cast("double")
+        bucketed, wmap, out, F.lit(0.0).cast("double"), n_buckets
     )
     return scored.withColumn(
         "n_grams", F.size("_buckets").cast("bigint")
@@ -324,13 +382,13 @@ def dsir_weights_with_float(
     b = F.lit(n_buckets).cast("bigint")
     tpb = F.sum("_t").cast("bigint") + b
     rpb = F.sum("_r").cast("bigint") + b
-    wmaps = per_bucket.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("bucket", "_wq")))
-        ).alias("_wmap_q"),
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("bucket", "_wf")))
-        ).alias("_wmap_f"),
+    # dense weight ARRAYS straight off the bucket spine (O(1) lookups
+    # in the folds below — see _bucket_spine for why never maps)
+    zq = F.lit(0).cast("bigint")
+    zf = F.lit(0.0)
+    wmaps = _bucket_spine(per_bucket, n_buckets).agg(
+        _dense_agg("_wq", zq).alias("_warr_q"),
+        _dense_agg("_wf", zf).alias("_warr_f"),
         (
             (F.length(F.bin(rpb)) - F.lit(1))
             - (F.length(F.bin(tpb)) - F.lit(1))
@@ -344,15 +402,13 @@ def dsir_weights_with_float(
     # FUSED scoring: one crossJoin, one fold per weight (same per-gram
     # lookups the two-pass form paid twice for the broadcast join)
     scored = bucketed.crossJoin(F.broadcast(wmaps))
-    zq = F.lit(0).cast("bigint")
-    zf = F.lit(0.0)
     scored = scored.withColumn(
         q_out,
         F.aggregate(
             F.col("_buckets"),
             zq,
             lambda acc, bk: acc
-            + F.coalesce(F.element_at(F.col("_wmap_q"), bk), zq)
+            + F.element_at(F.col("_warr_q"), (bk + F.lit(1)).cast("int"))
             + F.col("_wconst_q"),
         ),
     ).withColumn(
@@ -361,10 +417,10 @@ def dsir_weights_with_float(
             F.col("_buckets"),
             zf,
             lambda acc, bk: acc
-            + F.coalesce(F.element_at(F.col("_wmap_f"), bk), zf)
+            + F.element_at(F.col("_warr_f"), (bk + F.lit(1)).cast("int"))
             + F.col("_wconst_f"),
         ),
-    ).drop("_wmap_q", "_wmap_f", "_wconst_q", "_wconst_f")
+    ).drop("_warr_q", "_warr_f", "_wconst_q", "_wconst_f")
     return scored.withColumn(
         "n_grams", F.size("_buckets").cast("bigint")
     ).drop("_buckets")
@@ -414,7 +470,11 @@ def frozen_lm_maps(
     over ``cnt + 1``). This is the frozen model artifact — persist or
     cache it and apply to any number of (micro-)batches with
     :func:`score_with_frozen_lm`; training never reruns per batch
-    (the same frozen-artifact contract as the ANN index family)."""
+    (the same frozen-artifact contract as the ANN index family).
+    The artifact stays a MAP (compact, schema-stable); the scorer
+    densifies it to an O(1)-indexed array at broadcast time — the
+    dense-literal and spine-join artifact forms were both measured
+    SLOWER end-to-end (optimization r13)."""
     ref = _with_pair_buckets(reference, text_col, n_buckets, shared=True)
     uni_cnt = bucket_distribution(ref, "_uni")
     bi_cnt = bucket_distribution(ref, "_bi")
@@ -458,18 +518,26 @@ def score_with_frozen_lm(
     must match the value the maps were trained with (it fixes the
     hash modulus and the unseen-unigram cost)."""
     bucketed = _with_pair_buckets(docs, text_col, n_buckets)
-    unseen_uni = _floor_log2(F.lit(n_buckets).cast("bigint"))
     zero = F.lit(0).cast("bigint")
-    scored = bucketed.crossJoin(F.broadcast(maps)).withColumn(
+    unseen_uni = _floor_log2(F.lit(n_buckets).cast("bigint"))
+    # densify the broadcast maps to O(1)-indexed arrays (map element_at
+    # is a linear entry scan per gram — see _bucket_spine); the probe
+    # loop runs ONCE on the one-row broadcast side, the per-gram folds
+    # below get array indexing with the unseen defaults prefilled
+    dense = maps.select(
+        _dense_from_map("_umap", n_buckets, unseen_uni).alias("_uarr"),
+        _dense_from_map("_bmap", n_buckets, zero).alias("_barr"),
+    )
+    scored = bucketed.crossJoin(F.broadcast(dense)).withColumn(
         out,
         F.aggregate(
             F.zip_with(
                 F.slice(F.col("_uni"), 1, F.greatest(F.size("_bi"), F.lit(0))),
                 F.col("_bi"),
-                lambda u, bi: F.coalesce(
-                    F.element_at(F.col("_umap"), u), unseen_uni
+                lambda u, bi: F.element_at(
+                    F.col("_uarr"), (u + F.lit(1)).cast("int")
                 )
-                - F.coalesce(F.element_at(F.col("_bmap"), bi), zero),
+                - F.element_at(F.col("_barr"), (bi + F.lit(1)).cast("int")),
             ),
             zero,
             lambda acc, t: acc + t,
@@ -484,7 +552,7 @@ def score_with_frozen_lm(
                 F.col(out).cast("double") / F.col("n_bigrams").cast("double"),
             ).otherwise(F.lit(None).cast("double")),
         )
-        .drop("_uni", "_bi", "_umap", "_bmap")
+        .drop("_uni", "_bi", "_uarr", "_barr")
     )
 
 
@@ -507,7 +575,11 @@ def _with_pair_buckets(
             F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"), mod
         )
 
-    toks = df.withColumn(
+    # same spread rationale as _with_buckets (md5-per-gram + the
+    # scoring folds inherit the scan width); measured NET-positive here
+    # even on the streaming per-batch path (the scored write stays
+    # batch-shaped, unlike the near-dup sink's delta dirs)
+    toks = _spread(df).withColumn(
         "_toks",
         F.coalesce(
             word_tokens(F.col(text_col)), F.array().cast("array<string>")

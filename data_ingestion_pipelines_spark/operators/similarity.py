@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources.pandas_bridge import local_control_df
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -978,17 +980,19 @@ def save_ivf_index(
     _assign_lists(corpus, id_col, vec_col, cents, 1).write.mode(
         "overwrite"
     ).parquet(f"{base}/vectors")
-    spark.createDataFrame(
+    local_control_df(
+        spark,
         [(i, cents[i].tolist()) for i in range(cents.shape[0])],
         "list_id BIGINT, vec ARRAY<DOUBLE>",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/centroids")
-    spark.createDataFrame(
-        [(int(cents.shape[0]), int(cents.shape[1]))], "num_lists INT, dim INT"
+    local_control_df(
+        spark, [(int(cents.shape[0]), int(cents.shape[1]))], "num_lists INT, dim INT"
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
     # training-time coarse-quantizer figures for ivf_drift_report (the
     # drift-retrain contract of append_to_ivf_index, made measurable)
     n, dist, ent = _ivf_assign_stats(corpus, cents, vec_col)
-    spark.createDataFrame(
+    local_control_df(
+        spark,
         [(int(n), float(dist), float(ent))],
         "n BIGINT, mean_dist DOUBLE, assign_entropy DOUBLE",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/stats")
@@ -1438,8 +1442,8 @@ def save_lsh_index(
     bucketed.select(id_col, "tbl", "bucket").write.mode("overwrite").parquet(
         f"{base}/buckets"
     )
-    spark.createDataFrame(
-        [(num_tables, bits, dim)], "num_tables INT, bits INT, dim INT"
+    local_control_df(
+        spark, [(num_tables, bits, dim)], "num_tables INT, bits INT, dim INT"
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
 
 
@@ -1570,7 +1574,7 @@ def save_pq_index(
     # at local[32]); repartition's tiny shuffle keeps the slices
     # parallel (measured 0.4 s). Applies to every small single-file
     # artifact write in the package.
-    spark.createDataFrame(rows, "sub INT, cid INT, vec ARRAY<DOUBLE>").repartition(
+    local_control_df(spark, rows, "sub INT, cid INT, vec ARRAY<DOUBLE>").repartition(
         1
     ).write.mode("overwrite").parquet(f"{path.rstrip('/')}/codebooks")
     pq_encode(corpus, books, vec_col=vec_col, id_col=id_col).write.mode(
@@ -1580,8 +1584,8 @@ def save_pq_index(
     # compare frozen-codebook appends against it (the drift-retrain
     # contract of append_to_pq_index, made measurable)
     n, err = _pq_recon_stats(corpus, books, vec_col)
-    spark.createDataFrame(
-        [(int(n), float(err))], "n BIGINT, mean_sq_err DOUBLE"
+    local_control_df(
+        spark, [(int(n), float(err))], "n BIGINT, mean_sq_err DOUBLE"
     ).repartition(1).write.mode("overwrite").parquet(f"{path.rstrip('/')}/stats")
 
 
@@ -1849,7 +1853,8 @@ def pq_drift_report(
         ) from exc
     n_new, new_err = _pq_recon_stats(new_vectors, books, vec_col)
     ratio = new_err / st["mean_sq_err"] if st["mean_sq_err"] > 0 else float("inf")
-    return spark.createDataFrame(
+    return local_control_df(
+        spark,
         [
             (
                 "pq",
@@ -1906,7 +1911,8 @@ def ivf_drift_report(
         new_dist > retrain_ratio * st["mean_dist"]
         or new_ent < entropy_floor * st["assign_entropy"]
     )
-    return spark.createDataFrame(
+    return local_control_df(
+        spark,
         [
             (
                 "ivf",
@@ -2242,7 +2248,7 @@ def mmr_rerank(
             T.StructField("mmr_score", T.DoubleType(), True),
         ]
     )
-    return spark.createDataFrame(out_rows, out_schema)
+    return local_control_df(spark, out_rows, out_schema)
 
 
 def rrf_fuse(

@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
+from ..sources.pandas_bridge import local_control_df
+
 
 def _compress(means: np.ndarray, weights: np.ndarray, delta: int) -> tuple[np.ndarray, np.ndarray]:
     """Merge sorted (mean, weight) clusters under the t-digest size limit."""
@@ -240,7 +242,8 @@ def save_tdigest_partials(
     # re-runs the save) — the reverse order would commit a table whose
     # params never arrive, permanently unreadable by append/rollup.
     spark = df.sparkSession
-    spark.createDataFrame(
+    local_control_df(
+        spark,
         [(int(delta), value_col, ",".join(keys))],
         "delta INT, value_col STRING, keys STRING",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
@@ -453,7 +456,8 @@ def save_cms_table(
 
     base = path.rstrip("/")
     spark = df.sparkSession
-    spark.createDataFrame(
+    local_control_df(
+        spark,
         [(int(width), item_col, ",".join(seeds))],
         "width INT, item_col STRING, seeds STRING",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
@@ -886,7 +890,8 @@ def save_hll_sketches(
 
     base = path.rstrip("/")
     spark = df.sparkSession
-    spark.createDataFrame(
+    local_control_df(
+        spark,
         [(int(lgk), key_col, ",".join(keys))],
         "lgk INT, key_col STRING, keys STRING",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")

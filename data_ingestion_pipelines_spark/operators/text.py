@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 WORD_RE = "[a-z0-9]+"  # ASCII word pieces; explicit class so Spark (Java
 # regex) and any SQL oracle (RE2/PCRE) agree — \\w and \\W diverge on unicode.
 
@@ -635,7 +637,8 @@ def save_line_index(
 
     base = path.rstrip("/")
     spark = df.sparkSession
-    spark.createDataFrame(
+    local_control_df(
+        spark,
         [(int(max_doc_freq), int(min_chars))],
         "max_doc_freq BIGINT, min_chars BIGINT",
     ).repartition(1).write.mode("overwrite").parquet(f"{base}/params")
@@ -1411,8 +1414,26 @@ def _label_from_tokens(toks: Column) -> Column:
     TOKENS, not text, lets callers that label many segments extract
     each segment's tokens exactly once — inlining ``word_tokens`` here
     would replay the regex extraction per score expression (Catalyst
-    does not CSE inside HOF lambdas)."""
-    return _argmax_lang(_lang_scores(toks))
+    does not CSE inside HOF lambdas).
+
+    The argmax references each score ~3× and the 6-way ``greatest``
+    once more; inlined, that is ~8 token-array scans PER SCORE
+    EXPRESSION with no CSE when this runs inside an HOF lambda
+    (optimization r13, guide §1.2 step 2 — measured 3.1 s/single task
+    on the language-mix gate). The scores are therefore BOUND once via
+    the one-element-array ``transform`` trick: the inner lambda sees
+    them as a bound array variable, so each score is computed exactly
+    once and the argmax reads cheap ``element_at`` slots."""
+    scores = _lang_scores(toks)
+    langs = list(scores)
+    arr = F.array(*[scores[lang] for lang in langs])
+
+    def _from_bound(s: Column) -> Column:
+        return _argmax_lang(
+            {lang: F.element_at(s, i + 1) for i, lang in enumerate(langs)}
+        )
+
+    return F.element_at(F.transform(F.array(arr), _from_bound), 1)
 
 
 def _line_lang_label(line: Column) -> Column:
@@ -1458,31 +1479,55 @@ def with_language_mix(
     # inlining the regex extraction replays it ~18× per line
     toks_per_line = F.transform(lines, word_tokens)
     labels = F.transform(toks_per_line, _label_from_tokens)
-    labeled = F.filter(labels, lambda x: x != F.lit("und"))
-    n_labeled = F.size(labeled).cast("bigint")
-    def _count_of(lang: str) -> Column:
-        # NB: arity-1 lambda only — a default-arg lambda reads as the
-        # 2-arg (element, index) HOF form
-        return F.size(F.filter(labeled, lambda x: x == F.lit(lang)))
 
-    counts = {lang: _count_of(lang) for lang in _LANG_MARKERS}
-    best = F.greatest(*counts.values())
-    # dominant pick reuses the ONE argmax-tie-rule implementation
-    dom = _argmax_lang(counts)
-    n_minority = F.when(n_labeled > 0, n_labeled - best.cast("bigint")).otherwise(
-        F.lit(0).cast("bigint")
-    )
-    return df.withColumns(
-        {
-            "n_lines": F.size(lines).cast("bigint"),
-            "n_labeled": n_labeled,
-            "dominant_lang": dom,
-            "n_minority": n_minority,
-            "mix_ratio": F.when(
+    # Bind the per-line labels array ONCE (optimization r13): the five
+    # outputs below reference it ~10× between them, and with no CSE
+    # across HOF lambdas each reference would inline the whole per-line
+    # labeling pass. The one-element-array transform makes `labs` a
+    # bound variable — the labeling runs once per row — and the struct
+    # rides ONE intermediate column that CollapseProject will not
+    # duplicate (non-cheap expression referenced 4×), so the field
+    # extractions are free GetStructField reads.
+    def _stats(labs: Column) -> Column:
+        labeled = F.filter(labs, lambda x: x != F.lit("und"))
+        n_labeled = F.size(labeled).cast("bigint")
+
+        def _count_of(lang: str) -> Column:
+            # NB: arity-1 lambda only — a default-arg lambda reads as
+            # the 2-arg (element, index) HOF form
+            return F.size(F.filter(labeled, lambda x: x == F.lit(lang)))
+
+        counts = {lang: _count_of(lang) for lang in _LANG_MARKERS}
+        best = F.greatest(*counts.values())
+        # dominant pick reuses the ONE argmax-tie-rule implementation
+        dom = _argmax_lang(counts)
+        n_minority = F.when(
+            n_labeled > 0, n_labeled - best.cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            n_labeled.alias("n_labeled"),
+            dom.alias("dominant_lang"),
+            n_minority.alias("n_minority"),
+            F.when(
                 n_labeled > 0,
                 n_minority.cast("double") / n_labeled.cast("double"),
-            ),
-        }
+            ).alias("mix_ratio"),
+        )
+
+    lm = F.element_at(F.transform(F.array(labels), _stats), 1)
+    return (
+        df.withColumns(
+            {"n_lines": F.size(lines).cast("bigint"), "_lm": lm}
+        )
+        .withColumns(
+            {
+                "n_labeled": F.col("_lm.n_labeled"),
+                "dominant_lang": F.col("_lm.dominant_lang"),
+                "n_minority": F.col("_lm.n_minority"),
+                "mix_ratio": F.col("_lm.mix_ratio"),
+            }
+        )
+        .drop("_lm")
     )
 
 

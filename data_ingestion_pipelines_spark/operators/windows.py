@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 
 def chunk_by_row_number(df: DataFrame, order_by: str, chunk_size: int = 200) -> DataFrame:
     """Add ``rn`` (1-based) and ``chunk_id`` (0-based) columns.
@@ -225,7 +227,8 @@ def save_decayed_counts(
         )
     base = path.rstrip("/")
     spark = df.sparkSession
-    spark.createDataFrame(
+    local_control_df(
+        spark,
         [
             (
                 ts_col,

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 from ..operators.similarity import _apply_tombstones, delete_from_index
 from ..sinks import versioned
 
@@ -127,7 +129,8 @@ def forget_ids(
         )
         rows.append((label, n_requested, before, after))
 
-    return spark.createDataFrame(
+    return local_control_df(
+        spark,
         rows,
         "artifact string, requested bigint, visible_before bigint, "
         "visible_after bigint",

@@ -36,6 +36,7 @@ from ..operators.text import (
 from ..sources.files import read_parquet_table
 from ..session import scratch_dir
 from ..streaming.incremental import await_or_raise
+from ..sources.pandas_bridge import local_control_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2733,7 +2734,7 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in src_ids
     ]
-    return spark.createDataFrame(
+    return local_control_df(spark, 
         rows,
         "planted_src BIGINT, caught BOOLEAN, dup_dropped BOOLEAN, "
         "src_survives BOOLEAN, n_pairs BIGINT, n_survivors BIGINT",
@@ -2889,7 +2890,7 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in src_ids
     ]
-    return spark.createDataFrame(
+    return local_control_df(spark, 
         rows,
         "planted_src BIGINT, caught_clustered BOOLEAN, caught_global BOOLEAN, "
         "recall_parity BOOLEAN, dup_dropped BOOLEAN, src_survives BOOLEAN, "
@@ -2943,7 +2944,7 @@ def knn_label_vote_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = {r["query_id"]: r["predicted_label"] for r in exact.collect()}
     n = len(e)
     agree = sum(1 for q in e if a.get(q) == e[q])
-    return spark.createDataFrame(
+    return local_control_df(spark, 
         [(n, len(a), 0.6, bool(n and agree / n >= 0.6))],
         "n_queries BIGINT, n_predicted BIGINT, agreement_floor DOUBLE, "
         "agreement_ok BOOLEAN",
@@ -3532,7 +3533,7 @@ def ann_index_append_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         + verdict("pq", pq_append, pq_rebuild)
         + verdict("ivf", ivf_append, ivf_rebuild)
     )
-    return spark.createDataFrame(
+    return local_control_df(spark, 
         rows,
         "method STRING, query_id BIGINT, has_results BOOLEAN, "
         "append_equals_rebuild BOOLEAN",
@@ -3641,7 +3642,7 @@ def ann_index_delete_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         + verdict("pq", pq_del, pq_ref)
         + verdict("ivf", ivf_del, ivf_ref)
     )
-    return spark.createDataFrame(
+    return local_control_df(spark, 
         rows,
         "method STRING, query_id BIGINT, has_results BOOLEAN, "
         "delete_equals_rebuild BOOLEAN, no_deleted_hits BOOLEAN",
@@ -3729,7 +3730,7 @@ def ann_index_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         r = rep.collect()[0]
         rows.append((method, cohort, int(r["n_appended"]), bool(r["drift_flagged"])))
-    return spark.createDataFrame(
+    return local_control_df(spark, 
         rows, "method STRING, cohort STRING, n_appended BIGINT, drift_flagged BOOLEAN"
     )
 
@@ -4095,7 +4096,7 @@ def linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import word_tokens
 
     docs = _t(spark, sf_dir, "documents")
-    weights = spark.createDataFrame(
+    weights = local_control_df(spark, 
         [("n_chars", 3), ("n_tokens", 20), ("n_stop", -150)],
         "feature string, weight bigint",
     )
@@ -4498,7 +4499,7 @@ def hybrid_rrf_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    queries = spark.createDataFrame(
+    queries = local_control_df(spark, 
         [(1, ["hash", "join"])], "query_id bigint, terms array<string>"
     )
     bm = bm25_scores(docs, queries, top_k=50).select(
@@ -4824,7 +4825,7 @@ def forget_sweep_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     neardup_lowid_ingest(nd_target, n=3, threshold=0.5, num_bands=4)(
         docs.select("doc_id", "text"), 0
     )
-    forget = spark.createDataFrame(
+    forget = local_control_df(spark, 
         [(i,) for i in _FORGET_IDS], "doc_id bigint"
     )
     return forget_ids(
@@ -4944,7 +4945,7 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = local_control_df(spark, 
         _BM25_QUERIES, "query_id bigint, terms array<string>"
     )
     return bm25_scores(docs, queries, top_k=10)
@@ -5908,7 +5909,7 @@ def bpe_vocab_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_base + rk - 1, pair.replace("><", "")[1:-1], "merge")
         for rk, pair, _ in merges
     ]
-    merge_ids = spark.createDataFrame(
+    merge_ids = local_control_df(spark, 
         merge_rows, "token_id bigint, token string, kind string"
     )
     return base_ids.unionByName(merge_ids)

@@ -24,6 +24,7 @@ from ..sinks.merge import merge_upsert
 from ..sources.files import read_parquet_table
 from ..session import scratch_dir
 from ..streaming.incremental import await_or_raise
+from ..sources.pandas_bridge import local_control_df
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1138,7 +1139,7 @@ def nullsafe_parity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("parity")
     )
-    mapping = spark.createDataFrame(
+    mapping = local_control_df(spark, 
         [(None, "missing"), (0, "even"), (1, "odd")], "parity bigint, label string"
     )
     joined = ev.join(
@@ -1614,7 +1615,7 @@ def price_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal_joins import range_join_points
 
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
-    bands = spark.createDataFrame(_PRICE_BANDS, "band_id int, lo double, hi double")
+    bands = local_control_df(spark, _PRICE_BANDS, "band_id int, lo double, hi double")
     joined = range_join_points(
         li, bands, point_col="l_extendedprice", lo_col="lo", hi_col="hi",
         bucket_width=1_000.0,

@@ -28,6 +28,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 # Spark DDL type -> pyarrow constructor name; explicit allow-list so an
 # unsupported type is refused before any write (struct/map columns need
 # a flatten first, the ``operators.flatten`` job)
@@ -233,6 +235,6 @@ def read_arrow_shards(
                 out.insert(0, "shard_path", p)
                 yield out
 
-    pdf = spark.createDataFrame([(p,) for p in paths], "shard_path string")
+    pdf = local_control_df(spark, [(p,) for p in paths], "shard_path string")
     # round-robin: exactly one shard per task (see sinks/tfrecord.py)
     return pdf.repartition(len(paths)).mapInPandas(parse, full_schema)

@@ -35,6 +35,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..sources.pandas_bridge import local_control_df
+
 _TYPE_MAP: list[tuple[type, str]] = [
     (StringType, "NVARCHAR(MAX)"),
     (DoubleType, "FLOAT"),
@@ -93,7 +95,7 @@ def export_secondary_copy(
                 f.write("ready")
         else:  # object stores: single-row text file via Spark
             spark = df.sparkSession
-            spark.createDataFrame([("ready",)], "v string").repartition(1).write.mode(
+            local_control_df(spark, [("ready",)], "v string").repartition(1).write.mode(
                 "overwrite"
             ).text(path.rstrip("/") + "/" + ready_marker)
 
@@ -109,7 +111,7 @@ def put_text_file(spark: SparkSession, text: str, path: str) -> None:
         with open(local, "w") as f:
             f.write(text)
     else:
-        spark.createDataFrame([(text,)], "v string").repartition(1).write.mode(
+        local_control_df(spark, [(text,)], "v string").repartition(1).write.mode(
             "overwrite"
         ).text(path)
 
@@ -292,6 +294,6 @@ def relocate_database_tables(
                 rows.append((full, "YES", ""))
         except Exception as ex:  # noqa: BLE001 — per-table fault isolation
             rows.append((full, "NO", str(ex)[:500]))
-    return spark.createDataFrame(
-        rows, "dbTable string, alterExecuted string, errorMessage string"
+    return local_control_df(
+        spark, rows, "dbTable string, alterExecuted string, errorMessage string"
     )

@@ -17,6 +17,8 @@ from dataclasses import asdict, dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 RUNLOG_SCHEMA = (
     "jobGroup INT, jobOrder INT, startTime TIMESTAMP, endTime TIMESTAMP, "
     "status STRING, errorMessage STRING, fileName STRING, fileSizeMB STRING, "
@@ -58,7 +60,7 @@ class RunLog:
         if not self._buffer:
             return
         rows = [asdict(r) for r in self._buffer]
-        df = self.spark.createDataFrame(rows, RUNLOG_SCHEMA)
+        df = local_control_df(self.spark, rows, RUNLOG_SCHEMA)
         df = df.withColumns(
             {"_year": F.year("startTime"), "_month": F.month("startTime")}
         )

@@ -38,6 +38,8 @@ import struct
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.pandas_bridge import local_control_df
+
 # ---------------------------------------------------------------- CRC32C
 _CRC_TABLE = []
 for _i in range(256):
@@ -394,7 +396,7 @@ def read_tfrecord_shards(spark, shards_dir: str, schema: str) -> DataFrame:
         if t not in _KINDS:
             raise ValueError(f"read_tfrecord_shards: unsupported type {t!r}")
     full_schema = "shard_path string, " + schema
-    pdf = spark.createDataFrame([(p,) for p in paths], "shard_path string")
+    pdf = local_control_df(spark, [(p,) for p in paths], "shard_path string")
 
     names = ["shard_path"] + [n for n, _ in cols]
 

@@ -18,6 +18,8 @@ import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .pandas_bridge import local_control_df
+
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
@@ -98,7 +100,7 @@ def read_excel_df(
         names = [f"_c{i}" for i in range(len(rows[0]))]
         data = rows
     schema = ", ".join(f"`{n}` STRING" for n in names)
-    return spark.createDataFrame([tuple(r) for r in data], schema)
+    return local_control_df(spark, [tuple(r) for r in data], schema)
 
 
 def extract_watermark(

@@ -34,6 +34,8 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .pandas_bridge import local_control_df
+
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 # schema for one listed file's metadata row (reference CONTROL_TABLE_SCHEMA
@@ -151,7 +153,7 @@ def list_files_distributed(
     """
     import datetime as dt
 
-    seeds = spark.createDataFrame([(d,) for d in seed_dirs], "root STRING")
+    seeds = local_control_df(spark, [(d,) for d in seed_dirs], "root STRING")
     seeds = seeds.repartition(max(len(seed_dirs), 1))
 
     def walk(rows):

@@ -46,3 +46,42 @@ def rows_to_spark(
         cols = [f.strip().split()[0].strip("`") for f in schema.split(",")]
         rows = [tuple(r.get(c) for c in cols) for r in rows]
     return spark.createDataFrame(rows, schema)
+
+
+def local_control_df(
+    spark: SparkSession,
+    rows: list[dict[str, Any]] | list[tuple],
+    schema: str,
+) -> DataFrame:
+    """Small driver-built rows → DataFrame through ONE Arrow batch.
+
+    ``spark.createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` pickled slices, and every later single-task
+    stage over them — the ``coalesce(1)`` params/manifest sidecar
+    writes all the persisted-index lifecycles do — pays one
+    SEQUENTIAL Python-worker round-trip per slice: measured 4.5-6 s
+    for a 4-row params write on local[32] (optimization r13, guide
+    §4.1 — the Python boundary, eliminated rather than widened). The
+    pandas route ships the rows as a single Arrow batch the JVM reads
+    directly: same rows, same schema, ~0.2 s, and NO Python workers at
+    action time. Results are identical — this is purely a transport
+    change for bounded control-plane data (params rows, centroid
+    tables, shard manifests, collected verdict rows); large
+    distributed data should never come through here.
+
+    Arrow-incompatible values fall back to the classic path via
+    Spark's own ``arrow.pyspark.fallback.enabled`` (default on), so
+    the worst case is exactly the old behavior.
+    """
+    import pandas as pd
+
+    # parse column names through Spark's own DDL parser (no job runs —
+    # an empty local frame only carries the schema); naive comma
+    # splitting breaks on nested types like ARRAY<STRUCT<a INT, b INT>>
+    cols = spark.createDataFrame([], schema).columns
+    if rows and isinstance(rows[0], dict):
+        rows = [tuple(r.get(c) for c in cols) for r in rows]
+    pdf = pd.DataFrame(list(rows), columns=cols, dtype=object)
+    # object-dtype NaNs (pandas' None stand-in) must become real nulls
+    pdf = pdf.where(pdf.notna(), None)
+    return spark.createDataFrame(pdf, schema)

@@ -30,6 +30,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .pandas_bridge import local_control_df
+
 
 def _strip_ns(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
@@ -134,4 +136,6 @@ def parse_xml_string(
     ``parseXMLtoDF`` shape): rows → createDataFrame, all-string schema."""
     rows = parse_xml_rows(body, node_path, columns, values_from)
     schema = ", ".join(f"`{c}` STRING" for c in columns)
-    return spark.createDataFrame([tuple(r[c] for c in columns) for r in rows], schema)
+    return local_control_df(
+        spark, [tuple(r[c] for c in columns) for r in rows], schema
+    )

@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from ..sources.pandas_bridge import local_control_df
+
 
 def await_or_raise(query: StreamingQuery, timeout_sec: int = 300) -> None:
     """``awaitTermination`` with the silent-timeout footgun removed:
@@ -841,8 +843,8 @@ def neardup_unforget(spark, target_path: str, ids: list) -> None:
         still = (
             raw.join(
                 F.broadcast(
-                    spark.createDataFrame(
-                        [(i,) for i in ids_set], raw.select(idc).schema
+                    local_control_df(
+                        spark, [(i,) for i in ids_set], raw.select(idc).schema
                     )
                 ),
                 idc,

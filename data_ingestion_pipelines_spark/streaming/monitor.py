@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
 
+from ..sources.pandas_bridge import local_control_df
+
 PROGRESS_SCHEMA = (
     "query_id STRING, run_id STRING, name STRING, batch_id BIGINT, "
     "timestamp STRING, num_input_rows BIGINT, input_rows_per_second DOUBLE, "
@@ -72,4 +74,4 @@ def progress_df(spark: SparkSession, recorder: ProgressRecorder) -> DataFrame:
         "batch_duration_ms", "state_rows", "watermark",
     ]
     rows = [tuple(r[n] for n in names) for r in recorder.rows]
-    return spark.createDataFrame(rows, PROGRESS_SCHEMA)
+    return local_control_df(spark, rows, PROGRESS_SCHEMA)
