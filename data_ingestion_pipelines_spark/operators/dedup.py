@@ -845,12 +845,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard over cheap candidate buckets.
 
-    Exploded-gram formulation: one row per (doc, band, distinct gram),
-    self-join on (band, bucket, gram), distinct matched grams = |A∩B|,
-    and |A∪B| = |A|+|B|−|A∩B| from per-doc set sizes. Everything stays
-    JVM-side as shuffles on uniform keys — no per-pair document payload
-    ever moves (a pairwise text join ships O(pairs·doclen) bytes; this
-    ships O(grams·num_bands)).
+    Decide-small / verify-heavy formulation (optimization guide §8):
+    candidates come from a self-join of the per-doc BAND KEYS ONLY
+    (``num_bands`` rows of a few bytes per doc — never the grams), and
+    the exact intersection is computed by attaching the per-doc distinct
+    gram ARRAY to just the surviving candidate pairs
+    (``array_intersect``). The r8–r12 formulation exploded every gram
+    ``num_bands`` times and self-joined THAT (shuffling ~2·num_bands×
+    the corpus gram bytes on (band, bucket, gram) plus a pair-gram
+    aggregate); here the only corpus-scale payload that can move is the
+    gram array, at most once per join side, and the band-key self-join
+    shuffles O(num_bands) tiny rows per doc. |A∩B| via
+    ``array_intersect`` over distinct-gram arrays ≡ the old
+    countDistinct-over-matched-grams (pytest + oracle hash both pin
+    this), and |A∪B| = |A|+|B|−|A∩B| from the same arrays' sizes.
 
     Candidates come from ``num_bands`` OR-amplified salted MinHash bands
     (:func:`_band_keys`): a pair at Jaccard J is a candidate with
@@ -862,54 +870,73 @@ def ngram_jaccard_pairs(
     :func:`_bucket_col`), ignoring ``num_bands``. Output
     ``(id_a, id_b, jaccard)``, id_a < id_b, jaccard ≥ threshold.
 
-    Measured cost (r8, sf0.1 5k docs, local[8]): 3.8–5.3 s standalone
-    — the 4-band OR-amplification keeps buckets tiny (avg 2.9, max 18
-    docs over ~6.9k buckets), so the gram self-join volume is bounded
-    and ~3/4 of the wall time is the two gram shuffles themselves
-    (260k gram rows ×4 bands), not pair blowup. The ~15 s sometimes
-    seen in full-registry sweeps is sweep contention + Python-worker
-    spin-up, not this plan; it is bench-tracked (``ngram_jaccard_docs``
-    in bench.py HEADLINE) so drift shows up per round.
+    Measured cost (r13 opt round, sf0.1 5k docs, local[32]): the 4-band
+    OR-amplification keeps buckets tiny (avg 2.9, max 18 docs over
+    ~6.9k buckets), so the candidate set is bounded; with the band-key
+    candidate join the corpus-scale work is one tokenize+gram pass plus
+    the two array-attachment joins (the r8–r12 exploded-gram self-join
+    spent ~3/4 of its wall on shuffling 260k gram rows ×4 bands). It is
+    bench-tracked (``ngram_jaccard_docs`` in bench.py HEADLINE) so
+    drift shows up per round.
     """
     if num_bands < 1:
         raise ValueError(f"num_bands must be >= 1, got {num_bands}")
     df = _spread(df)
+    # same tokenize→distinct-gram barriers as _sign_grams (the streaming
+    # sink keeps the exploded-gram form — its stored index is per-gram)
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
     if bucket_prefix_tokens is not None:
-        # legacy single first-k-tokens bucket (not shared with the
-        # streaming sink): same barrier rationale as _sign_grams
-        toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-        toks_df = df.select(F.col(id_col), toks.alias("_toks")).localCheckpoint(eager=False)
+        # legacy single first-k-tokens bucket: _bucket_col reads the
+        # token array too, so the checkpoint carries it for this path
         gram_df = toks_df.select(
             F.col(id_col),
             F.col("_toks"),
             _gram_array("_toks", n).alias("_grams"),
         ).localCheckpoint(eager=False)
-        banded = gram_df.select(
+        bands = gram_df.select(
             F.col(id_col),
             F.lit(0).cast("int").alias("_t"),
             _bucket_col(F.col("_grams"), "_toks", bucket_prefix_tokens).alias("_bucket"),
-            F.col("_grams"),
         )
-        grams = banded.select(
-            F.col(id_col), "_t", "_bucket", F.explode("_grams").alias("_g")
-        ).localCheckpoint(eager=False)  # consumed by both join sides
-        sizes = gram_df.select(F.col(id_col), F.size("_grams").cast("bigint").alias("_sz"))
     else:
-        grams, sizes = _sign_grams(df, text_col, id_col, n, num_bands)
-    a = grams.withColumnRenamed(id_col, "id_a")
-    b = grams.withColumnRenamed(id_col, "id_b")
-    # countDistinct: a pair colliding in several bands must count each
-    # shared gram ONCE, not once per colliding band
-    inter = (
-        a.join(b, on=["_t", "_bucket", "_g"])
+        gram_df = toks_df.select(
+            F.col(id_col), _gram_array("_toks", n).alias("_grams")
+        ).localCheckpoint(eager=False)
+        bands = gram_df.select(
+            F.col(id_col),
+            F.explode(_band_keys(F.col("_grams"), num_bands)).alias("_band"),
+        ).select(
+            F.col(id_col),
+            F.col("_band._t").alias("_t"),
+            F.col("_band._bucket").alias("_bucket"),
+        )
+    a = bands.select(F.col(id_col).alias("id_a"), "_t", "_bucket")
+    b = bands.select(F.col(id_col).alias("id_b"), "_t", "_bucket")
+    cand = (
+        a.join(b, on=["_t", "_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.countDistinct("_g").alias("_inter"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    # attach the heavy gram arrays to candidate pairs only; cand sits
+    # behind the distinct's exchange, so AQE sizes it with runtime stats
+    # (small pair set → broadcast, gram arrays never shuffled; huge pair
+    # set → SMJ that moves each array at most once per side)
+    gsets = gram_df.select(F.col(id_col), F.col("_grams"))
+    verified = (
+        cand.join(gsets.withColumnsRenamed({id_col: "id_a", "_grams": "_ga"}), "id_a")
+        .join(gsets.withColumnsRenamed({id_col: "id_b", "_grams": "_gb"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_ga", "_gb")).cast("bigint").alias("_inter"),
+            F.size("_ga").cast("bigint").alias("_sz_a"),
+            F.size("_gb").cast("bigint").alias("_sz_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "_sz": "_sz_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "_sz": "_sz_b"}), "id_b")
-        .withColumn(
+        verified.withColumn(
             "jaccard",
             F.col("_inter")
             / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
@@ -932,51 +959,67 @@ def dedup_clusters(
     CLUSTERS so one representative survives per group. Min-label
     propagation: every node starts as its own label; each round a node
     takes the minimum label among itself and its neighbors; fixpoint in
-    O(component diameter) rounds. Each round is one equi-join + one
-    groupBy on uniform node-id keys — no driver-side graph. Real corpora
-    have tiny diameters (duplicate groups are near-cliques), so the
-    default ``max_iters`` is generous; a RuntimeError (not silently-wrong
-    output) signals non-convergence.
+    O(component diameter) rounds. Each round is ONE equi-join + one
+    groupBy on uniform node-id keys — no driver-side graph. Self-loops
+    added to the (static) symmetric edge list fold the "keep my own
+    label" term into the neighbor aggregate, so the per-round
+    least/coalesce join of the original formulation disappears; and
+    because labels only ever DECREASE, "nothing changed" is exactly
+    "Σ labels is unchanged" — an aggregate-only scan of the freshly
+    checkpointed label frame (summed in DECIMAL(38,0) so bigint ids
+    cannot wrap), replacing the old per-round labels⋈labels diff join.
+    The static edge list is hash-partitioned on the join key ONCE before
+    its checkpoint; each round's label frame comes out of the previous
+    round's groupBy already partitioned on ``node``, so the per-round
+    join plans with no Exchange on either side (checkpoint preserves
+    outputPartitioning). Real corpora have tiny diameters (duplicate
+    groups are near-cliques), so the default ``max_iters`` is generous;
+    a RuntimeError (not silently-wrong output) signals non-convergence.
 
     Output columns: ``node`` (bigint), ``cluster`` (bigint).
     """
     edges = pairs.select(
         F.col(id_a).cast("bigint").alias("a"), F.col(id_b).cast("bigint").alias("b")
     )
-    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)  # iterated over; cut the lineage once
+    # checkpoint the raw symmetric edges FIRST: pair generation (the
+    # expensive upstream — LSH buckets, exact cosine tiers) must run
+    # exactly once, and both the node universe and the looped edge list
+    # derive from this materialization (deriving either from the
+    # un-checkpointed subtree re-runs pair generation per consumer)
+    raw = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
-        sym.select(F.col("a").alias("node")).distinct()
+        raw.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # self-loops make min-over-neighbors the full update in one aggregate
+    sym = (
+        raw.unionByName(
+            labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
+        )
+        .repartition(F.col("b"))  # pinned layout: every round joins on b
+        .localCheckpoint(eager=True)  # iterated over; cut the lineage once
+    )
+    _dec = F.sum(F.col("label").cast("decimal(38,0)")).alias("_s")
+    prev_sum = labels.agg(_dec).first()["_s"]
     # node/edge-scale joins pinned to shuffle_hash: letting AQE broadcast
     # a side that grows with the graph plants a driver-heap OOM at scale
     # (same hazard class as the PageRank loop — see operators/graph.py)
     for _ in range(max_iters):
-        neighbor_min = (
+        new_labels = (
             sym.join(labels.hint("shuffle_hash"), sym.b == labels.node)
             .groupBy("a")
-            .agg(F.min("label").alias("_nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min.hint("shuffle_hash"), labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("a", "node")
             .localCheckpoint(eager=True)  # bound plan growth per iteration
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(_dec).first()["_s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             return labels.select(F.col("node"), F.col("label").alias("cluster"))
+        prev_sum = cur_sum
     raise RuntimeError(f"dedup_clusters did not converge in {max_iters} iterations")
 
 
