@@ -1383,19 +1383,29 @@ def ngram_containment_pairs(
         _gram_array("_toks", n).alias("_grams"),
     ).localCheckpoint(eager=False)  # read by the explode AND both verify sides
     exploded = gsets.select(F.col(id_col), F.explode("_grams").alias("_g"))
-    rare = (
-        exploded.join(
-            exploded.groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= F.lit(int(max_gram_df))),
-            "_g",
-        )
+    rare_grams = (
+        exploded.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= F.lit(int(max_gram_df)))
+        .select("_g")
+    )
+    # pairs per rare gram via a bounded per-gram id list: the collect
+    # runs AFTER the df filter, so no list ever exceeds max_gram_df ids
+    # (a collect before the filter would buffer every doc of a stopword
+    # gram), and the double explode is O(max_gram_df²) per gram,
+    # map-side on the join's existing _g partitioning. The previous
+    # rare⋈rare self-join planned the explode+count subtree TWICE (once
+    # per side) and shuffled the rare rows again on _g.
+    ids_per_gram = (
+        exploded.join(rare_grams, "_g")
+        .groupBy("_g")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
     )
     cand = (
-        rare.select(F.col(id_col).alias("_ida"), "_g")
-        .join(rare.select(F.col(id_col).alias("_idb"), "_g"), "_g")
+        ids_per_gram.select(F.explode("_ids").alias("_ida"), "_ids")
+        .select("_ida", F.explode("_ids").alias("_idb"))
         .filter(F.col("_ida") < F.col("_idb"))
-        .select("_ida", "_idb")
         .distinct()
     )
     ga = gsets.select(
@@ -1408,10 +1418,24 @@ def ngram_containment_pairs(
     containment = inter.cast("double") / F.least(
         F.size("_ga"), F.size("_gb")
     ).cast("double")
+    # the exact verify is COMPUTE-bound, not byte-bound: left alone the
+    # planner broadcasts one side and streams the other at whatever
+    # width AQE's byte-based coalescing picked for the slim pair set —
+    # measured at sf0.1 as 3 tasks (~1 MB each) holding ~7 s of
+    # probe+intersect work (an explicit repartition of the pair set is
+    # silently elided whenever that side is broadcast). Pinning both
+    # attachments to shuffle_hash shuffles each side ONCE on the
+    # uniform id key at the configured shuffle width — full parallelism
+    # at any scale. This is also the OOM-safe strategy: BOTH sides grow
+    # with the corpus (cand with the dup rate, the gram table with the
+    # corpus), so neither may ever be broadcast — the same hazard class
+    # as the cluster/PageRank loop joins; the per-partition build side
+    # is a gram-table slice, never a whole relation.
+    paired = cand.join(ga.hint("shuffle_hash"), "_ida").join(
+        gb.hint("shuffle_hash"), "_idb"
+    )
     return (
-        cand.join(ga, "_ida")
-        .join(gb, "_idb")
-        .select(
+        paired.select(
             F.col("_ida").alias("id_a"),
             F.col("_idb").alias("id_b"),
             inter.alias("intersection"),
