@@ -251,7 +251,7 @@ def save_tdigest_partials(
 
 
 def append_tdigest_partials(
-    df: DataFrame, path: str, commit_token: str | None = None
+    df: DataFrame, path: str, commit_token: str | None = None, params=None
 ) -> int:
     """Fold NEW rows into a persisted digest table (the sketch-table
     append lifecycle, same contract family as ``append_to_lsh_index``):
@@ -271,7 +271,10 @@ def append_tdigest_partials(
     spark = df.sparkSession
     from ..sinks.versioned import read_current, write_snapshot
 
-    p = spark.read.parquet(f"{base}/params").first()
+    # params are write-once table config: a caller that already read
+    # them (the streaming sink validates them anyway) passes the row
+    # through so each micro-batch skips a driver-coordinated re-read
+    p = params if params is not None else spark.read.parquet(f"{base}/params").first()
     delta, value_col = int(p["delta"]), p["value_col"]
     keys = p["keys"].split(",")
 
@@ -470,7 +473,7 @@ def save_cms_table(
 
 
 def append_cms_table(
-    df: DataFrame, path: str, commit_token: str | None = None
+    df: DataFrame, path: str, commit_token: str | None = None, params=None
 ) -> int:
     """Fold NEW rows into a persisted CMS table: the batch's own sketch
     merges cell-wise (counts ADD — CMS mergeability) with the stored
@@ -482,7 +485,9 @@ def append_cms_table(
     spark = df.sparkSession
     from ..sinks.versioned import read_current, write_snapshot
 
-    p = spark.read.parquet(f"{base}/params").first()
+    # see append_tdigest_partials: write-once config, pass-through
+    # saves a per-micro-batch driver read
+    p = params if params is not None else spark.read.parquet(f"{base}/params").first()
     width, item_col = int(p["width"]), p["item_col"]
     seeds = tuple(p["seeds"].split(","))
 
@@ -902,7 +907,7 @@ def save_hll_sketches(
 
 
 def append_hll_sketches(
-    df: DataFrame, path: str, commit_token: str | None = None
+    df: DataFrame, path: str, commit_token: str | None = None, params=None
 ) -> int:
     """Union NEW rows into a persisted HLL sketch table: groups present
     in ``df`` re-union stored sketch ∪ batch sketch (EXACT over set
@@ -913,7 +918,9 @@ def append_hll_sketches(
     spark = df.sparkSession
     from ..sinks.versioned import read_current, write_snapshot
 
-    p = spark.read.parquet(f"{base}/params").first()
+    # see append_tdigest_partials: write-once config, pass-through
+    # saves a per-micro-batch driver read
+    p = params if params is not None else spark.read.parquet(f"{base}/params").first()
     lgk, key_col = int(p["lgk"]), p["key_col"]
     keys = p["keys"].split(",")
 

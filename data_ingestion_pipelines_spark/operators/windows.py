@@ -248,7 +248,7 @@ def save_decayed_counts(
 
 
 def append_decayed_counts(
-    df: DataFrame, path: str, commit_token: str | None = None
+    df: DataFrame, path: str, commit_token: str | None = None, params=None
 ) -> int:
     """Fold NEW rows into a persisted decayed-count table under its
     STORED params (anchor/half-life/keys come from ``{path}/params`` —
@@ -260,7 +260,10 @@ def append_decayed_counts(
 
     base = path.rstrip("/")
     spark = df.sparkSession
-    p = spark.read.parquet(f"{base}/params").first()
+    # write-once config: a caller that already read the params row (the
+    # streaming sink validates it) passes it through so each
+    # micro-batch skips a driver-coordinated re-read
+    p = params if params is not None else spark.read.parquet(f"{base}/params").first()
     keys = p["keys"].split(",")
     batch = _decayed_partials(
         df,

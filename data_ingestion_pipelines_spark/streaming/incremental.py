@@ -1124,6 +1124,13 @@ def _sketch_table_ingest(
     PRUNE: superseded snapshot versions go one generation late (lazy
     readers hold parquet paths)."""
 
+    # params are write-once table config: validate them ONCE per sink
+    # instance and hand the row to every subsequent append — without
+    # the cache each micro-batch paid two driver-coordinated parquet
+    # reads of the same 1-row file (the guard here plus the append's
+    # own read). A restarted sink is a new closure and re-validates.
+    cached_params: dict = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..sinks.versioned import current_version, prune_snapshots
 
@@ -1134,16 +1141,19 @@ def _sketch_table_ingest(
         if current_version(droot) is None:
             save_fn(batch_df, base, str(batch_id))
         else:
-            p = batch_df.sparkSession.read.parquet(f"{base}/params").first()
-            stored = params_of(p)
-            if stored != mine:
-                raise ValueError(
-                    f"{caller}: sink configured as {mine} but "
-                    f"{base}/params holds {stored} — appending would fold "
-                    "the wrong column/grain; use a new target or matching "
-                    "params"
-                )
-            append_fn(batch_df, base, str(batch_id))
+            p = cached_params.get("p")
+            if p is None:
+                p = batch_df.sparkSession.read.parquet(f"{base}/params").first()
+                stored = params_of(p)
+                if stored != mine:
+                    raise ValueError(
+                        f"{caller}: sink configured as {mine} but "
+                        f"{base}/params holds {stored} — appending would fold "
+                        "the wrong column/grain; use a new target or matching "
+                        "params"
+                    )
+                cached_params["p"] = p
+            append_fn(batch_df, base, str(batch_id), p)
         prune_snapshots(droot, keep=max(int(retain_snapshots), 1))
 
     return sink
@@ -1177,7 +1187,9 @@ def tdigest_append_ingest(
         lambda df, base, tok: save_tdigest_partials(
             df, base, value_col, by=by, delta=delta, commit_token=tok
         ),
-        lambda df, base, tok: append_tdigest_partials(df, base, commit_token=tok),
+        lambda df, base, tok, prm: append_tdigest_partials(
+            df, base, commit_token=tok, params=prm
+        ),
         retain_snapshots,
     )
 
@@ -1208,7 +1220,9 @@ def hll_append_ingest(
         lambda df, base, tok: save_hll_sketches(
             df, base, key_col, by=by, lgk=lgk, commit_token=tok
         ),
-        lambda df, base, tok: append_hll_sketches(df, base, commit_token=tok),
+        lambda df, base, tok, prm: append_hll_sketches(
+            df, base, commit_token=tok, params=prm
+        ),
         retain_snapshots,
     )
 
@@ -1243,7 +1257,9 @@ def cms_append_ingest(
         lambda df, base, tok: save_cms_table(
             df, base, item_col, width=width, seeds=use_seeds, commit_token=tok
         ),
-        lambda df, base, tok: append_cms_table(df, base, commit_token=tok),
+        lambda df, base, tok, prm: append_cms_table(
+            df, base, commit_token=tok, params=prm
+        ),
         retain_snapshots,
     )
 
@@ -1286,6 +1302,8 @@ def decayed_append_ingest(
             df, base, ts_col, list(by), as_of_epoch, half_life_seconds,
             scale_bits, commit_token=tok,
         ),
-        lambda df, base, tok: append_decayed_counts(df, base, commit_token=tok),
+        lambda df, base, tok, prm: append_decayed_counts(
+            df, base, commit_token=tok, params=prm
+        ),
         retain_snapshots,
     )
