@@ -672,20 +672,25 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus minus semantic near-duplicates: every row with a LOWER-id
     neighbor at cosine ≥ threshold (within its cluster) is dropped —
     lowest-id-wins, the same deterministic survivor rule as the
     text-dedup family, so results are layout- and order-independent
     given the pair set. Returns the surviving rows of ``corpus`` with
-    all original columns."""
+    all original columns. Pass ``pairs`` (a ``semantic_dup_pairs``
+    output for the same corpus/threshold) to reuse an already-computed
+    pair set instead of re-running the assign+score pass — the same
+    reuse contract as ``centroids``."""
     flagged = (
-        semantic_dup_pairs(
+        pairs
+        if pairs is not None
+        else semantic_dup_pairs(
             corpus, k, threshold, iters, id_col, vec_col, centroids
         )
-        .select(F.col("id_b").alias(id_col))
-        .dropDuplicates([id_col])
     )
+    flagged = flagged.select(F.col("id_b").alias(id_col)).dropDuplicates([id_col])
     return corpus.join(flagged, id_col, "left_anti")
 
 
@@ -798,18 +803,24 @@ def clustered_dedup(
     centroids=None,
     num_tables: int = 4,
     bits: int = 4,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus minus cluster-scoped semantic near-duplicates — the same
     lowest-id-wins survivor rule as :func:`semantic_dedup`, over
-    :func:`clustered_dup_pairs` candidates."""
+    :func:`clustered_dup_pairs` candidates. Pass ``pairs`` (a
+    ``clustered_dup_pairs`` output for the same corpus/threshold) to
+    reuse an already-computed pair set instead of re-running the
+    assign+bucket+score pass — the same reuse contract as
+    ``centroids``."""
     flagged = (
-        clustered_dup_pairs(
+        pairs
+        if pairs is not None
+        else clustered_dup_pairs(
             corpus, threshold, id_col, vec_col, coarse_k, iters, centroids,
             num_tables, bits,
         )
-        .select(F.col("id_b").alias(id_col))
-        .dropDuplicates([id_col])
     )
+    flagged = flagged.select(F.col("id_b").alias(id_col)).dropDuplicates([id_col])
     return corpus.join(flagged, id_col, "left_anti")
 
 

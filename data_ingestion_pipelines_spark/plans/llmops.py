@@ -2697,22 +2697,22 @@ def semantic_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     # one k-means training shared by both operator calls (also exercises
-    # the precomputed-centroids path the docstring advertises); the two
-    # cluster-scoring passes stay — the gate's job is driving BOTH the
-    # pair and the survivor operator end-to-end
+    # the precomputed-centroids path the docstring advertises); the
+    # assign+score pass runs ONCE — its pinned pair frame feeds the
+    # collect below AND the survivor operator through the pairs= reuse
+    # contract, so the gate still drives both public operators without
+    # paying the cluster-scoring pass twice (optimization r13)
     cents = kmeans_centroids(planted, vec_col="embedding", k=16, iters=2)
+    pair_df = semantic_dup_pairs(
+        planted, k=16, threshold=0.9, centroids=cents
+    ).localCheckpoint(eager=False)
     pairs = {
-        (r["id_a"], r["id_b"])
-        for r in semantic_dup_pairs(
-            planted, k=16, threshold=0.9, centroids=cents
-        ).collect()
+        (r["id_a"], r["id_b"]) for r in pair_df.collect()
     }  # bounded: organic cosines max out at 0.60, only planted pairs match
     # pin the survivor frame: count() and the planted-region collect
     # below both consume it, and without the checkpoint the second
-    # action replays the whole assign+join+score pass (optimization r13)
-    surv = semantic_dedup(
-        planted, k=16, threshold=0.9, centroids=cents
-    ).localCheckpoint(eager=False)
+    # action replays the anti-join pass (optimization r13)
+    surv = semantic_dedup(planted, pairs=pair_df).localCheckpoint(eager=False)
     n_surv = surv.count()
     kept = {
         r["vec_id"]
@@ -2849,11 +2849,15 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
     cents = kmeans_centroids(planted, vec_col="embedding", k=16, iters=2)
+    # the clustered assign+bucket+score pass runs ONCE: its pinned pair
+    # frame feeds the parity collect AND the survivor operator via the
+    # pairs= reuse contract (optimization r13 — previously the pass ran
+    # a second time inside clustered_dedup)
+    clus_df = clustered_dup_pairs(
+        planted, threshold=0.9, centroids=cents, num_tables=4, bits=4
+    ).localCheckpoint(eager=False)
     clus = {
-        (r["id_a"], r["id_b"])
-        for r in clustered_dup_pairs(
-            planted, threshold=0.9, centroids=cents, num_tables=4, bits=4
-        ).collect()
+        (r["id_a"], r["id_b"]) for r in clus_df.collect()
     }  # bounded: only the 10 planted pairs clear 0.9
     glob = {
         (r["id_a"], r["id_b"])
@@ -2863,9 +2867,7 @@ def semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     # pinned for the same count-then-collect double consumption as
     # semantic_dedup_docs (optimization r13)
-    surv = clustered_dedup(
-        planted, threshold=0.9, centroids=cents, num_tables=4, bits=4
-    ).localCheckpoint(eager=False)
+    surv = clustered_dedup(planted, pairs=clus_df).localCheckpoint(eager=False)
     n_surv = surv.count()
     kept = {
         r["vec_id"]
