@@ -1419,21 +1419,26 @@ def ngram_containment_pairs(
         F.size("_ga"), F.size("_gb")
     ).cast("double")
     # the exact verify is COMPUTE-bound, not byte-bound: left alone the
-    # planner broadcasts one side and streams the other at whatever
-    # width AQE's byte-based coalescing picked for the slim pair set —
+    # planner broadcasts the gram sides and streams the slim pair set
+    # at whatever width AQE's byte-based coalescing picked for it —
     # measured at sf0.1 as 3 tasks (~1 MB each) holding ~7 s of
-    # probe+intersect work (an explicit repartition of the pair set is
-    # silently elided whenever that side is broadcast). Pinning both
-    # attachments to shuffle_hash shuffles each side ONCE on the
-    # uniform id key at the configured shuffle width — full parallelism
-    # at any scale. This is also the OOM-safe strategy: BOTH sides grow
-    # with the corpus (cand with the dup rate, the gram table with the
-    # corpus), so neither may ever be broadcast — the same hazard class
-    # as the cluster/PageRank loop joins; the per-partition build side
-    # is a gram-table slice, never a whole relation.
-    paired = cand.join(ga.hint("shuffle_hash"), "_ida").join(
-        gb.hint("shuffle_hash"), "_idb"
-    )
+    # probe+intersect work. r13 pinned both gram attachments to
+    # shuffle_hash for width; the driver's 32-core bench then measured
+    # the gate at 10.8 s (vs 3.1 s before the pin) — the two extra
+    # array-carrying exchanges cost more than the width bought
+    # (VERDICT r13 #1), so the pins are reverted. Width is instead
+    # NOT restored locally: an explicit-number repartition of the pair
+    # set was tried this round and DEFEATED by AQE's local shuffle read
+    # (the runtime-broadcast join reads the repartition exchange
+    # map-locally, so the verify stage width collapses back to the
+    # 3-task map side — profiled). The 3-task width is an sf0.1
+    # artifact only: at scale the pair set is large and AQE's 64 MB
+    # byte-based sizing yields full-width verify stages, while the
+    # gram sides outgrow every broadcast threshold and AQE's runtime
+    # sizes pick a shuffle join that moves each gram array once per
+    # side — the OOM-safe strategy is chosen from MEASURED bytes, not
+    # planted from a small-SF hint.
+    paired = cand.join(ga, "_ida").join(gb, "_idb")
     return (
         paired.select(
             F.col("_ida").alias("id_a"),
