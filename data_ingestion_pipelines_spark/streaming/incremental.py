@@ -375,12 +375,19 @@ def neardup_lowid_ingest(
 
     MERGE-ON-READ LAYOUT — O(batch) writes per batch, never O(corpus):
     because the flag set is monotone and docs/grams/sizes only ever gain
-    rows, NOTHING needs rewriting on ingest. Each batch appends four
-    batch-keyed DELTA dirs (``delta/batch-<id>/{docs,grams,sizes,
-    flags}``, overwrite mode so a crashed write is replay-overwritten)
-    and then atomically drops a ``_committed/batch-<id>`` marker;
-    readers union the committed deltas (plus the compaction snapshot,
-    below) and resolve survivors at read time (docs anti-join flags).
+    rows, NOTHING needs rewriting on ingest. Each batch appends ONE
+    batch-keyed combined DELTA dir (``delta/batch-<id>/all`` — the four
+    logical frames docs/grams/sizes/flags union into a single
+    ``_kind``-tagged write, with ``_layout.json`` recording each kind's
+    column list; optimization r14 — one driver-coordinated write job
+    per batch instead of four, and readers list/schema-infer the whole
+    delta set in one multi-path read. Overwrite mode, so a crashed
+    write is replay-overwritten; pre-r14 targets with the legacy
+    four-dir layout keep reading transparently, see
+    :func:`_delta_frames`) and then atomically drops a
+    ``_committed/batch-<id>`` marker; readers union the committed
+    deltas (plus the compaction snapshot, below) and resolve survivors
+    at read time (docs anti-join flags).
     Contrast :func:`min_id_dedup_ingest`, which is copy-on-write: its
     min-id winner set REPLACES rows, so it must republish a full
     snapshot per batch. On Delta/Iceberg the deltas map to appends and
@@ -625,13 +632,40 @@ def neardup_lowid_ingest(
             # lean deltas: a pair can re-justify an already-flagged id
             flagged_new = flagged_new.join(old_flags, id_col, "left_anti")
 
-        # O(batch) delta writes (overwrite: a crashed attempt's partial
-        # dir is replaced wholesale on replay), then the atomic marker
+        # O(batch) delta write (overwrite: a crashed attempt's partial
+        # dir is replaced wholesale on replay), then the atomic marker.
+        # ONE combined write (optimization r14, guide §5 — the driver
+        # should coordinate as few actions as possible): the four
+        # per-batch frames union into a single `_kind`-tagged frame
+        # written once, so each micro-batch pays ONE driver-coordinated
+        # write job instead of four (the four separate writes plus
+        # their inter-job planning gaps were ~half the gate's wall —
+        # profile in OPTIMIZATION_r14.md). Union tasks stay branch-pure,
+        # so every output FILE holds exactly one kind and the readers'
+        # `_kind` filter prunes at row-group stats level; `_layout.json`
+        # records each kind's exact column list (written before the
+        # commit marker, overwritten wholesale on replay — same crash
+        # semantics as the data dir).
         delta = f"{base}/delta/batch-{int(batch_id)}"
-        batch.write.mode("overwrite").parquet(f"{delta}/docs")
-        banded.write.mode("overwrite").parquet(f"{delta}/grams")
-        sizes_new.write.mode("overwrite").parquet(f"{delta}/sizes")
-        flagged_new.write.mode("overwrite").parquet(f"{delta}/flags")
+        frames = {
+            "docs": batch,
+            "grams": banded,
+            "sizes": sizes_new,
+            "flags": flagged_new,
+        }
+        wide = None
+        for kind, frame in frames.items():
+            tagged = frame.withColumn("_kind", F.lit(kind))
+            wide = (
+                tagged
+                if wide is None
+                else wide.unionByName(tagged, allowMissingColumns=True)
+            )
+        wide.write.mode("overwrite").parquet(f"{delta}/all")
+        with open(f"{delta}/_layout.json", "w") as fh:
+            import json
+
+            json.dump({"kinds": {k: f.columns for k, f in frames.items()}}, fh)
         os.makedirs(f"{base}/_committed", exist_ok=True)
         tmp = f"{base}/_committed/.batch-{int(batch_id)}.tmp"
         with open(tmp, "w") as fh:
@@ -675,8 +709,13 @@ def _neardup_gram_bytes(base: str) -> int:
     for root, _dirs, files in os.walk(base):
         # band-partitioned snapshots nest files under grams/_t=*/_bp=* —
         # match any dir whose path contains a grams component, not just
-        # the top-level dir itself
-        if "grams" not in root.replace("\\", "/").split("/"):
+        # the top-level dir itself. Combined deltas (r14) hold their
+        # gram rows inside the batch's single `all` dir; counting that
+        # dir whole overstates by the docs/sizes/flags share, which
+        # only turns the prefilter on a batch early — harmless (results
+        # are prefilter-invariant), same as the folded-delta overcount.
+        comps = root.replace("\\", "/").split("/")
+        if "grams" not in comps and "all" not in comps:
             continue
         for f in files:
             try:
@@ -744,7 +783,56 @@ def _neardup_visible(base: str, as_of_batch: int | None = None) -> tuple[str | N
         ids = [i for i in ids if i <= int(as_of_batch)]
     # a marker whose data dirs were pruned by compaction contributes
     # nothing (its rows live in the snapshot) — guard against it
-    return snap, [i for i in ids if os.path.isdir(f"{base}/delta/batch-{i}/docs")]
+    return snap, [
+        i
+        for i in ids
+        if os.path.isdir(f"{base}/delta/batch-{i}/all")
+        or os.path.isdir(f"{base}/delta/batch-{i}/docs")
+    ]
+
+
+_DELTA_KINDS = ("docs", "grams", "sizes", "flags")
+
+
+def _delta_frames(spark, base: str, ids: list[int], kinds=_DELTA_KINDS):
+    """Per-kind union of committed delta frames — ``{kind: DataFrame |
+    None}`` — reading BOTH delta layouts transparently: the combined
+    single-dir layout (``delta/batch-N/all`` + ``_layout.json``, one
+    ``_kind``-tagged frame per batch, optimization r14) and the legacy
+    four-dir layout. ALL combined deltas ride ONE multi-path read (they
+    share a schema by construction — one sink per target), so a reader
+    pays one file-listing/schema job for the whole delta set instead of
+    one per delta per kind; kind extraction is a ``_kind`` filter plus
+    the layout's recorded column list (kind-pure files make the filter
+    a row-group stats prune, not a scan)."""
+    import json
+    import os
+
+    legacy: dict[str, list[str]] = {k: [] for k in kinds}
+    comb_paths: list[str] = []
+    layout: dict[str, list[str]] | None = None
+    for i in ids:
+        d = f"{base}/delta/batch-{i}"
+        lp = f"{d}/_layout.json"
+        if os.path.exists(lp):
+            comb_paths.append(f"{d}/all")
+            if layout is None:
+                with open(lp) as fh:
+                    layout = json.load(fh)["kinds"]
+        else:
+            for k in kinds:
+                legacy[k].append(f"{d}/{k}")
+    comb = spark.read.parquet(*comb_paths) if comb_paths else None
+    out: dict[str, DataFrame | None] = {}
+    for k in kinds:
+        frame = None
+        if legacy[k]:
+            frame = spark.read.parquet(*legacy[k])
+        if comb is not None:
+            part = comb.filter(F.col("_kind") == F.lit(k)).select(*layout[k])
+            frame = part if frame is None else frame.unionByName(part)
+        out[k] = frame
+    return out
 
 
 def _write_gram_snapshot(grams, snap_dir: str, bucket_prefixes: int | None) -> None:
@@ -835,10 +923,17 @@ def neardup_unforget(spark, target_path: str, ids: list) -> None:
         return
     ids_set = {i for i in ids}
     snap, visible = _neardup_visible(base)
-    doc_paths = [f"{base}/{snap}/docs"] if snap is not None else []
-    doc_paths += [f"{base}/delta/batch-{i}/docs" for i in visible]
-    if doc_paths:
-        raw = spark.read.parquet(*doc_paths)
+    doc_frames = (
+        [spark.read.parquet(f"{base}/{snap}/docs")] if snap is not None else []
+    )
+    if visible:
+        d = _delta_frames(spark, base, visible, kinds=("docs",))["docs"]
+        if d is not None:
+            doc_frames.append(d)
+    if doc_frames:
+        raw = doc_frames[0]
+        for p in doc_frames[1:]:
+            raw = raw.unionByName(p)
         idc = raw.columns[0]
         still = (
             raw.join(
@@ -906,7 +1001,8 @@ def _apply_neardup_forget(df, forget_df):
 
 
 def _read_neardup_grams(spark, base: str, snap: str | None, ids: list[int],
-                        gram_cells: list[int] | None = None):
+                        gram_cells: list[int] | None = None,
+                        delta_grams: DataFrame | None = None):
     """Merged gram-index view (snapshot + committed deltas), handling
     both snapshot layouts: legacy flat dirs and the band-partitioned
     layout (``_t=<band>/_bp=<prefix>`` directories). With ``gram_cells``
@@ -943,8 +1039,14 @@ def _read_neardup_grams(spark, base: str, snap: str | None, ids: list[int],
                 idc, F.col("_t").cast("int").alias("_t"), "_bucket", "_g"
             )
         parts.append(g)
-    for i in ids:
-        parts.append(spark.read.parquet(f"{base}/delta/batch-{i}/grams"))
+    if delta_grams is not None:
+        # caller already holds the combined delta read (one listing for
+        # the whole state, see _read_neardup_state) — reuse it
+        parts.append(delta_grams)
+    elif ids:
+        dg = _delta_frames(spark, base, ids, kinds=("grams",))["grams"]
+        if dg is not None:
+            parts.append(dg)
     if not parts:
         return None
     out = parts[0]
@@ -955,7 +1057,8 @@ def _read_neardup_grams(spark, base: str, snap: str | None, ids: list[int],
     return _apply_neardup_forget(out, _neardup_forget_df(spark, base))
 
 
-def _read_neardup_state(spark, base: str, as_of_batch: int | None = None):
+def _read_neardup_state(spark, base: str, as_of_batch: int | None = None,
+                        need_grams: bool = True):
     """Merged MOR view (docs, grams, sizes, flags): the compaction
     snapshot, if any, plus every committed delta above its high-water
     batch id. All None when nothing has committed yet. Delta data dirs
@@ -971,24 +1074,41 @@ def _read_neardup_state(spark, base: str, as_of_batch: int | None = None):
     snapshot-expiry trade: compaction exchanges time-travel depth for
     file count)."""
     snap, ids = _neardup_visible(base, as_of_batch)
-    parts: dict[str, list[str]] = {k: [] for k in ("docs", "sizes", "flags")}
-    if snap is not None:
-        for k in parts:
-            parts[k].append(f"{base}/{snap}/{k}")
-    for i in ids:
-        for k in parts:
-            parts[k].append(f"{base}/delta/batch-{i}/{k}")
-    if not parts["docs"]:
+    if snap is None and not ids:
         return None, None, None, None
-    forget_df = _neardup_forget_df(spark, base)
-    docs, sizes, flags = (
-        _apply_neardup_forget(spark.read.parquet(*parts[k]), forget_df)
-        for k in ("docs", "sizes", "flags")
+    deltas = (
+        _delta_frames(spark, base, ids)
+        if ids
+        else {k: None for k in _DELTA_KINDS}
     )
+    forget_df = _neardup_forget_df(spark, base)
+
+    def merged(k: str):
+        frame = (
+            spark.read.parquet(f"{base}/{snap}/{k}")
+            if snap is not None
+            else None
+        )
+        d = deltas[k]
+        if d is not None:
+            frame = d if frame is None else frame.unionByName(d)
+        return _apply_neardup_forget(frame, forget_df)
+
+    docs, sizes, flags = merged("docs"), merged("sizes"), merged("flags")
     # grams go through the layout-aware reader: the snapshot gram dir may
     # be band-partitioned and can't ride one multi-path read with the
     # flat delta dirs (it applies the forget tombstones itself)
-    grams = _read_neardup_grams(spark, base, snap, ids)
+    # the gram index is the corpus-sized artifact: its snapshot read
+    # (partitioned-dir listing + footers) is the expensive part of the
+    # state read, so callers that never touch grams (the corpus read
+    # path) skip it outright — ``need_grams=False``
+    grams = (
+        _read_neardup_grams(
+            spark, base, snap, ids, delta_grams=deltas["grams"]
+        )
+        if need_grams
+        else None
+    )
     return docs, grams, sizes, flags
 
 
@@ -1002,7 +1122,9 @@ def read_neardup_corpus(
     reproducibility handle for "which corpus did run X train on?"
     (compaction bounds the horizon; see :func:`_read_neardup_state`)."""
     base = target_path.rstrip("/")
-    docs, _, _, flags = _read_neardup_state(spark, base, as_of_batch)
+    docs, _, _, flags = _read_neardup_state(
+        spark, base, as_of_batch, need_grams=False
+    )
     if docs is None:
         raise FileNotFoundError(f"no committed batches under {base}")
     return docs.join(flags.select(flags.columns[0]), flags.columns[0], "left_anti")
@@ -1010,7 +1132,7 @@ def read_neardup_corpus(
 
 def compact_neardup_corpus(
     spark, target_path: str, retain_snapshots: int = 2,
-    bucket_prefixes: int | None = 64,
+    bucket_prefixes: int | None | str = "auto",
 ) -> bool:
     """Fold every committed delta into ONE versioned snapshot (the
     LSM/Iceberg ``rewrite_data_files`` step for
@@ -1030,9 +1152,11 @@ def compact_neardup_corpus(
     :func:`read_neardup_corpus` should be collected before the
     second-next compaction.
 
-    GRAM LAYOUT (``bucket_prefixes``, default 64): the snapshot's gram
-    dir — the corpus-sized artifact every future batch probes — is
-    written partitioned by ``(_t, _bp)`` where ``_bp =
+    GRAM LAYOUT (``bucket_prefixes``, default ``"auto"`` = sized from
+    the stored gram bytes, 1..64, targeting ≥ ~4 MB per cell so small
+    corpora never shatter into hundreds of tiny files — guide §6): the
+    snapshot's gram dir — the corpus-sized artifact every future batch
+    probes — is written partitioned by ``(_t, _bp)`` where ``_bp =
     xxhash64(_bucket) mod bucket_prefixes``, one file per cell
     (``repartition`` on the cell key first, so the layout never
     explodes into tasks × cells small files). The ingest's candidate
@@ -1053,6 +1177,18 @@ def compact_neardup_corpus(
         return False
     docs, grams, sizes, flags = _read_neardup_state(spark, base)
     new_hwm = max(fresh)
+    if bucket_prefixes == "auto":
+        # size the cell count from the stored gram bytes (fs metadata,
+        # no Spark job): one file per cell, targeting ≥ ~4 MB per cell
+        # so a small corpus never shatters into hundreds of tiny files
+        # (guide §6 — the 64-cell layout measured 12 CPU-s of
+        # per-file writer overhead for a 14 MB index at gate scale,
+        # and its 256-dir listing runs as 64-task jobs on every
+        # post-compaction read). A corpus big enough to profit from
+        # pruning gets the full 64 prefixes; partition-prune exactness
+        # is P-invariant (the cell is a pure function of (_t, _bucket)
+        # and each snapshot is self-describing via grams_layout.json).
+        bucket_prefixes = max(1, min(64, _neardup_gram_bytes(base) >> 22))
 
     def write(snap_dir: str) -> None:
         docs.write.parquet(f"{snap_dir}/docs")

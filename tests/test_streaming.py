@@ -394,6 +394,77 @@ def test_min_id_dedup_ingest_batch_order_deterministic(spark, tmp_path):
     assert final == expect
 
 
+def test_neardup_mixed_delta_layouts_read_identically(spark, tmp_path):
+    """A pre-r14 target holds legacy four-dir deltas
+    (``delta/batch-N/{docs,grams,sizes,flags}``); r14 sinks write the
+    combined single-dir layout (``all`` + ``_layout.json``). A target
+    with BOTH must read as one merged state — survivors, time-travel
+    and compaction identical to an all-combined run."""
+    import json
+    import os
+    import shutil
+
+    from data_ingestion_pipelines_spark.streaming.incremental import (
+        compact_neardup_corpus,
+        neardup_lowid_ingest,
+        read_neardup_corpus,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    batches = [
+        spark.createDataFrame(
+            [(2, base_a), (1, "first unique doc")],
+            "doc_id bigint, text string",
+        ),
+        spark.createDataFrame(
+            [(7, near_a), (3, "second unique doc")],
+            "doc_id bigint, text string",
+        ),
+    ]
+
+    def downgrade_to_legacy(delta_dir: str) -> None:
+        # rewrite one combined delta as the legacy four-dir layout —
+        # exactly what a pre-r14 sink left on disk
+        with open(os.path.join(delta_dir, "_layout.json")) as fh:
+            kinds = json.load(fh)["kinds"]
+        from pyspark.sql import functions as F
+
+        allf = spark.read.parquet(os.path.join(delta_dir, "all"))
+        for kind, cols in kinds.items():
+            allf.filter(F.col("_kind") == kind).select(*cols).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(delta_dir, kind))
+        shutil.rmtree(os.path.join(delta_dir, "all"))
+        os.remove(os.path.join(delta_dir, "_layout.json"))
+
+    def survivors(path):
+        return sorted(
+            r["doc_id"]
+            for r in read_neardup_corpus(spark, str(path)).select("doc_id").collect()
+        )
+
+    mixed, comb = str(tmp_path / "mixed"), str(tmp_path / "comb")
+    for path in (mixed, comb):
+        sink = neardup_lowid_ingest(path, threshold=0.5)
+        sink(batches[0], 0)
+        if path == mixed:
+            downgrade_to_legacy(os.path.join(path, "delta", "batch-0"))
+        sink(batches[1], 1)
+
+    assert survivors(mixed) == survivors(comb) == [1, 2, 3]
+    # time travel reads the legacy delta alone
+    tt = sorted(
+        r["doc_id"]
+        for r in read_neardup_corpus(spark, mixed, as_of_batch=0)
+        .select("doc_id").collect()
+    )
+    assert tt == [1, 2]
+    # compaction folds the mixed generations into one snapshot
+    assert compact_neardup_corpus(spark, mixed) is True
+    assert survivors(mixed) == [1, 2, 3]
+
+
 def test_neardup_lowid_ingest_batch_order_deterministic(spark, tmp_path):
     """The NEAR-dup streaming sink (lowest-id-wins by 3-gram Jaccard)
     must give the same survivor set regardless of batch order, flag the
@@ -703,7 +774,9 @@ def test_neardup_band_partitioned_gram_snapshot_prunes_scan(spark, tmp_path):
     part = tmp_path / "part"
     sink = neardup_lowid_ingest(str(part), threshold=0.5)
     sink(batches[0], 0)
-    assert compact_neardup_corpus(spark, str(part)) is True
+    # pin P=64 explicitly: the default is now bytes-adaptive (tiny
+    # fixture → small P) and this test exercises the full-width layout
+    assert compact_neardup_corpus(spark, str(part), bucket_prefixes=64) is True
     snap, ids = _neardup_visible(str(part))
     # on-disk shape: _t=<band>/_bp=<prefix> cell dirs + the layout marker
     assert _neardup_gram_layout(str(part)) == 64
@@ -898,10 +971,13 @@ def test_neardup_auto_compaction_bounds_deltas(spark, tmp_path):
         return spark.createDataFrame(rows, "doc_id bigint, text string")
 
     def live_deltas(path):
+        # layout-agnostic: r14's combined single-dir delta (`all`) or
+        # the legacy four-dir layout (`docs`)
         d = os.path.join(path, "delta")
         return sorted(
             e for e in os.listdir(d)
-            if os.path.isdir(os.path.join(d, e, "docs"))
+            if os.path.isdir(os.path.join(d, e, "all"))
+            or os.path.isdir(os.path.join(d, e, "docs"))
         ) if os.path.isdir(d) else []
 
     auto, plain = str(tmp_path / "auto"), str(tmp_path / "plain")
