@@ -4325,12 +4325,21 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 # pure per-row function of the frozen maps, so the streamed union
 # equals the one-shot batch gate — the oracle IS the batch gate's SQL.
 def streaming_lm_scored_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.selection import frozen_lm_maps, score_with_frozen_lm
+    from ..operators.selection import (
+        dense_lm_arrays,
+        frozen_lm_maps,
+        score_with_frozen_lm,
+    )
     from ..sources.files import read_parquet_table
     from ..streaming.incremental import idempotent_batch_append
 
     docs = _t(spark, sf_dir, "documents")
-    maps = frozen_lm_maps(docs.filter(F.col("lang") == "en")).localCheckpoint()
+    # train once, densify once: the eager checkpoint pins the DENSE
+    # array form, so each micro-batch broadcasts a cached one-row frame
+    # instead of re-running the O(n_buckets × entries) densify
+    maps = dense_lm_arrays(
+        frozen_lm_maps(docs.filter(F.col("lang") == "en"))
+    ).localCheckpoint()
     root = scratch_dir(prefix="slmi_")
     feed, target = f"{root}/feed", f"{root}/scored"
     docs.repartition(4).write.mode("overwrite").parquet(feed)
