@@ -847,7 +847,17 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    # Pin the (id, vec) projection once (optimization r14, VERDICT r13
+    # #5): the init collect plus EVERY Lloyd iteration's partial-sums
+    # pass used to replay the caller's whole upstream subtree (scan +
+    # projections + any planted-fixture joins) — iters+1 replays per
+    # training run. The lazy checkpoint materializes on the init
+    # collect and each later pass reads the cached partitions.
+    # Plan-instance-scoped, same as every loop pin in this repo — not a
+    # cross-run cache. Assignments/partial sums are unchanged (the
+    # checkpoint preserves the partitioning as-is).
+    vecs = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
+    rows = vecs.orderBy(id_col).limit(k).collect()
     if not rows:
         raise ValueError("kmeans_centroids: corpus is empty")
     k = min(k, len(rows))  # fewer rows than requested lists: clamp, don't crash
@@ -873,7 +883,7 @@ def kmeans_centroids(
                     out.append((int(cid), vecs[mask].sum(axis=0).tolist(), int(mask.sum())))
                 yield pd.DataFrame(out, columns=["cid", "vsum", "n"])
 
-        part = corpus.select(vec_col).mapInPandas(
+        part = vecs.select(vec_col).mapInPandas(
             partials, "cid INT, vsum ARRAY<DOUBLE>, n BIGINT"
         ).collect()
         sums = np.zeros((k, dim))
