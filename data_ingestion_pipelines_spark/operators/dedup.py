@@ -941,7 +941,14 @@ def ngram_jaccard_pairs(
             F.col("_inter")
             / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # a pair must SHARE at least one gram (ADVICE r13 #1): the
+        # band-key path guarantees it (a band collision implies a
+        # shared arg-min gram), but the legacy prefix-bucket path can
+        # collide same-prefix docs with zero shared grams, and with
+        # threshold=0.0 those jaccard-0 pairs would newly surface —
+        # the pre-r13 formulation joined on (bucket, gram) and never
+        # emitted them. Same stage, no extra exchange.
+        .filter((F.col("_inter") >= 1) & (F.col("jaccard") >= threshold))
         .select("id_a", "id_b", "jaccard")
     )
 

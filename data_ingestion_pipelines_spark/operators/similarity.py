@@ -682,7 +682,20 @@ def semantic_dedup(
     all original columns. Pass ``pairs`` (a ``semantic_dup_pairs``
     output for the same corpus/threshold) to reuse an already-computed
     pair set instead of re-running the assign+score pass — the same
-    reuse contract as ``centroids``."""
+    reuse contract as ``centroids``. ``pairs`` is the WHOLE scoring
+    configuration: combining it with non-default k/threshold/iters/
+    centroids is refused loudly (ADVICE r13 #3 — a pair frame computed
+    at a different threshold would silently yield wrong survivors)."""
+    if pairs is not None and (
+        k != 16 or threshold != 0.9 or iters != 2 or centroids is not None
+    ):
+        raise ValueError(
+            "semantic_dedup: pairs= supplies the scored pair set, so "
+            "k/threshold/iters/centroids are ignored — passing non-default "
+            "values alongside pairs is almost certainly a mismatch between "
+            "the pair frame's scoring config and the requested one; drop "
+            "them or recompute pairs with semantic_dup_pairs(...)"
+        )
     flagged = (
         pairs
         if pairs is not None
@@ -811,7 +824,23 @@ def clustered_dedup(
     ``clustered_dup_pairs`` output for the same corpus/threshold) to
     reuse an already-computed pair set instead of re-running the
     assign+bucket+score pass — the same reuse contract as
-    ``centroids``."""
+    ``centroids``, with the same loud-misuse guard as
+    :func:`semantic_dedup` (ADVICE r13 #3)."""
+    if pairs is not None and (
+        threshold != 0.9
+        or coarse_k != 16
+        or iters != 2
+        or centroids is not None
+        or num_tables != 4
+        or bits != 4
+    ):
+        raise ValueError(
+            "clustered_dedup: pairs= supplies the scored pair set, so "
+            "threshold/coarse_k/iters/centroids/num_tables/bits are "
+            "ignored — passing non-default values alongside pairs is "
+            "almost certainly a scoring-config mismatch; drop them or "
+            "recompute pairs with clustered_dup_pairs(...)"
+        )
     flagged = (
         pairs
         if pairs is not None

@@ -70,6 +70,27 @@ def test_ngram_jaccard_pairs_prefix_bucket_opt_in(spark):
     assert (1, 4) in got and got[(1, 4)] < 1.0
 
 
+def test_ngram_jaccard_prefix_bucket_zero_threshold_needs_shared_gram(spark):
+    """ADVICE r13 #1: in the legacy prefix-bucket path two docs sharing
+    only their first token (same bucket, ZERO shared grams) must not
+    surface as a jaccard-0.0 pair even at threshold=0.0 — the pre-r13
+    formulation joined on (bucket, gram), so such pairs never existed."""
+    docs = spark.createDataFrame(
+        [
+            (1, "shared alpha beta gamma delta"),
+            (2, "shared epsilon zeta eta theta"),  # same first token, no shared 3-gram
+            (3, "shared alpha beta gamma delta"),  # exact dup of 1
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.0, bucket_prefix_tokens=1
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 3)] == 1.0
+    assert (1, 2) not in got and (2, 3) not in got
+
+
 def test_ngram_jaccard_pairs_default_minhash_bucket(spark):
     # default bucketing = min(md5(gram)): identical gram sets share a
     # bucket by construction, so exact + formatting dups always pair

@@ -672,6 +672,30 @@ def test_drift_report_flags_planted_shift_only(spark, tmp_path):
         ivf_drift_report(holdout, ivf_path)
 
 
+def test_semantic_dedup_pairs_reuse_refuses_config_mismatch(spark):
+    """ADVICE r13 #3: pairs= supplies the whole scoring configuration —
+    combining it with a non-default threshold/k/centroids must raise
+    (a pair frame computed at another threshold would silently yield
+    wrong survivors)."""
+    import pytest
+
+    from data_ingestion_pipelines_spark.operators.similarity import (
+        clustered_dedup,
+        semantic_dedup,
+    )
+
+    corpus = _clustered_embeddings(spark, n=24, dim=8, n_clusters=2, noise=0.3)
+    dummy_pairs = corpus.selectExpr(
+        "vec_id as id_a", "vec_id + 1 as id_b", "cast(1.0 as double) as score"
+    ).limit(1)
+    with pytest.raises(ValueError, match="pairs="):
+        semantic_dedup(corpus, threshold=0.5, pairs=dummy_pairs)
+    with pytest.raises(ValueError, match="pairs="):
+        clustered_dedup(corpus, bits=8, pairs=dummy_pairs)
+    # defaults + pairs is the supported reuse contract
+    semantic_dedup(corpus, pairs=dummy_pairs).count()
+
+
 def test_semantic_dedup_precision_and_survivors(spark):
     """SemDeDup cluster pruning: every reported pair must appear in the
     exact all-pairs tier at the same threshold (precision 1.0 — exact
