@@ -435,10 +435,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     noise: dict[str, dict] = {}
+    run_counts: dict[str, int] = {}
     for name in HEADLINE:
         fn = registry[name]
         best = None
         n_runs = runs if explicit_runs else (5 if name in EXTRA_RUNS else runs)
+        run_counts[name] = n_runs
         seg_start = _log_size()
         try:
             for _ in range(n_runs):
@@ -504,6 +506,11 @@ def main() -> None:
         "n_err": len(errors),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
+        # per-query best-of-N run counts (VERDICT r13 evidence-hygiene
+        # item: run-count-matched comparisons need N recorded, not
+        # inferred from EXTRA_RUNS membership at read time). Sidecar
+        # only — the compact stdout line is unchanged.
+        "runs": run_counts,
     }
     if noise:
         detail["stderr_noise"] = noise
