@@ -40,56 +40,56 @@ from . import curation, ingestion, llmops, relational
 # two rounds of being added.
 #
 _PRIORITY = [
-    "entropy_secret_docs",
-    "blocklist_filter_docs",
-    "semantic_dedup_clustered",
-    "hard_negatives_ann_verdict",
-    "doc_language_id_latin",
-    "url_curation_docs",
-    "matview_incremental_orders",
-    "streaming_matview_ingest",
-    "preference_copeland_events",
-    "preference_cycles_events",
-    "language_mix_docs",
-    "bucketed_colocated_join",
-    "neardup_best_survivor_docs",
-    "html_extract_docs",
-    "variant_props_rollup",
-    "stratified_holdout_docs",  # changed
-    "inc_merge_upsert",  # green CORRECTNESS_r12.json
-    "asof_view_before_purchase",  # green CORRECTNESS_r12.json
-    "xml_extract",  # green CORRECTNESS_r12.json
-    "pricing_summary",  # green CORRECTNESS_r12.json
-    "corpus_curation",  # green CORRECTNESS_r12.json
-    "pretraining_manifest",  # green CORRECTNESS_r12.json
-    "bpe_tokenized_docs",  # green CORRECTNESS_r12.json
-    "similarity_pq_topk",  # green CORRECTNESS_r12.json
-    "winnowing_overlap_docs",  # green CORRECTNESS_r12.json
-    "corpus_curation_gopher",  # green CORRECTNESS_r12.json
-    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r12.json
-    "webdataset_roundtrip_docs",  # green CORRECTNESS_r12.json
-    "ngram_jaccard_docs",  # green CORRECTNESS_r12.json
-    "similarity_ivf_pq_topk",  # green CORRECTNESS_r12.json
-    "overlapping_order_windows",  # green CORRECTNESS_r04.json
-    "tdigest_price_quantiles",  # green CORRECTNESS_r04.json
-    "events_profile_approx",  # green CORRECTNESS_r04.json
-    "customer_order_distribution",  # green CORRECTNESS_r04.json
-    "supplier_variety_by_part_class",  # green CORRECTNESS_r04.json
-    "snapshot_diff_report",  # green CORRECTNESS_r04.json
-    "value_winsorized_stats",  # green CORRECTNESS_r04.json
-    "totalprice_histogram",  # green CORRECTNESS_r04.json
-    "weekly_retention_cohorts",  # green CORRECTNESS_r04.json
-    "events_profile",  # green CORRECTNESS_r04.json
-    "cheapest_part_per_brand",  # green CORRECTNESS_r04.json
-    "customer_balance_ranks",  # green CORRECTNESS_r04.json
-    "schema_drift_union",  # green CORRECTNESS_r04.json
-    "streaming_distinct_types",  # green CORRECTNESS_r04.json
-    "pivot_status_counts",  # green CORRECTNESS_r04.json
-    "cube_order_stats",  # green CORRECTNESS_r04.json
-    "moving_revenue_3d",  # green CORRECTNESS_r04.json
-    "daily_gap_fill",  # green CORRECTNESS_r04.json
-    "event_sliding_windows",  # green CORRECTNESS_r04.json
-    "stream_enriched_segments",  # green CORRECTNESS_r04.json
+    "ngram_containment_docs",  # changed
+    "streaming_neardup_ingest",  # changed
+    "streaming_neardup_compacted",  # changed
+    "streaming_lm_scored_ingest",  # changed
+    "semantic_dedup_docs",  # changed
+    "semantic_dedup_clustered",  # changed
+    "similarity_ivf_pq_topk",  # changed
+    "ngram_jaccard_docs",  # changed
+    "neardup_best_survivor_docs",  # changed
+    "inc_merge_upsert",  # green CORRECTNESS_r13.json
+    "asof_view_before_purchase",  # green CORRECTNESS_r13.json
+    "xml_extract",  # green CORRECTNESS_r13.json
+    "pricing_summary",  # green CORRECTNESS_r13.json
+    "corpus_curation",  # green CORRECTNESS_r13.json
+    "pretraining_manifest",  # green CORRECTNESS_r13.json
+    "bpe_tokenized_docs",  # green CORRECTNESS_r13.json
+    "similarity_pq_topk",  # green CORRECTNESS_r13.json
+    "winnowing_overlap_docs",  # green CORRECTNESS_r13.json
+    "corpus_curation_gopher",  # green CORRECTNESS_r13.json
+    "streaming_corpus_ingest_multibatch",  # green CORRECTNESS_r13.json
+    "webdataset_roundtrip_docs",  # green CORRECTNESS_r13.json
+    "sql_api_region_revenue",  # green CORRECTNESS_r04.json
+    "cumulative_unique_users",  # green CORRECTNESS_r04.json
+    "event_transition_matrix",  # green CORRECTNESS_r04.json
+    "format_roundtrip_totals",  # green CORRECTNESS_r04.json
+    "stream_stream_attribution",  # green CORRECTNESS_r04.json
+    "nullsafe_parity_labels",  # green CORRECTNESS_r04.json
+    "doc_embeddings",  # green CORRECTNESS_r04.json
+    "mixture_token_plan",  # green CORRECTNESS_r04.json
+    "ann_recall_report",  # green CORRECTNESS_r04.json
+    "doc_length_percentiles",  # green CORRECTNESS_r04.json
+    "contaminated_docs",  # green CORRECTNESS_r04.json
+    "fuzzy_part_matches",  # green CORRECTNESS_r04.json
+    "top_tokens_by_source",  # green CORRECTNESS_r04.json
+    "token_postings",  # green CORRECTNESS_r04.json
+    "bigram_collocations",  # green CORRECTNESS_r04.json
+    "sampled_docs",  # green CORRECTNESS_r04.json
+    "stratified_docs_sample",  # green CORRECTNESS_r04.json
+    "mixture_sampled_docs",  # green CORRECTNESS_r04.json
+    "doc_chunks",  # green CORRECTNESS_r04.json
+    "training_order_docs",  # green CORRECTNESS_r04.json
+    "duplicate_text_spans",  # green CORRECTNESS_r04.json
+    "span_deduped_docs",  # green CORRECTNESS_r04.json
+    "udtf_chunk_text",  # green CORRECTNESS_r04.json
+    "simhash_docs",  # green CORRECTNESS_r04.json
+    "top_revenue_suppliers",  # green CORRECTNESS_r06.json
+    "rich_idle_customers",  # green CORRECTNESS_r06.json
+    "user_state_scd2",  # green CORRECTNESS_r06.json
+    "partitioned_write_prune",  # green CORRECTNESS_r06.json
+    "stream_scd2_enrichment",  # green CORRECTNESS_r06.json
 ]
 
 # name -> (spark_fn, oracle_sql_or_None)
